@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema literals and loaders.
+  *
+  * E-commerce schemas are the authoritative `StructType`s the reference
+  * declares at ingest (reference: src/glue_scripts/product_etl.py:28-33,
+  * orders_etl.py:28-35, order_items_etl.py:29-39). Schemas are fixed and
+  * enforced at read time, never inferred (SURVEY.md §1.2).
+  *
+  * Testdata loaders read the driver-generated TPC-H-ish star schema at
+  * /root/testdata/sf* (TESTDATA.md). All reads go through
+  * `spark.read.parquet` so Catalyst gets a `FileSourceScanExec` it can
+  * push filters / prune columns into.
+  */
+object Tables {
+
+  // ---- e-commerce reference schemas (SURVEY.md §1.4) ----
+
+  /** products — PK product_id, partitioned by department_id
+    * (reference: product_etl.py:28-33,57,72). */
+  val products: StructType = StructType(Seq(
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("department_id", IntegerType, nullable = false),
+    StructField("department", StringType, nullable = false),
+    StructField("product_name", StringType, nullable = false)))
+
+  /** orders — PK order_id, partitioned by date (string!)
+    * (reference: orders_etl.py:28-35,59,74). */
+  val orders: StructType = StructType(Seq(
+    StructField("order_num", IntegerType, nullable = false),
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("total_amount", DoubleType, nullable = false),
+    StructField("date", StringType, nullable = false)))
+
+  /** order_items — PK id, partitioned by date; FKs order_id→orders,
+    * product_id→products (reference: order_items_etl.py:29-39,72,83,94,109).
+    * days_since_prior_order is the single nullable field
+    * (order_items_etl.py:33). */
+  val orderItems: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("days_since_prior_order", IntegerType, nullable = true),
+    StructField("product_id", IntegerType, nullable = false),
+    StructField("add_to_cart_order", IntegerType, nullable = false),
+    StructField("reordered", IntegerType, nullable = false),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("date", StringType, nullable = false)))
+
+  /** Schema-enforced CSV scan (S1; reference: orders_etl.py:46). The
+    * declared schema reaches the reader so the CSV parser does typed
+    * parsing in one pass — no infer pass, no post-hoc cast of clean rows. */
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .schema(asNullable(schema)) // nullability enforced by Validation, not the reader
+      .option("header", "true")
+      // accept both the ISO 'T'-separated real data and the space-separated
+      // fixture format (SURVEY.md §7.5)
+      .option("timestampFormat", "yyyy-MM-dd['T'][' ']HH:mm:ss")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** CSV nullability is advisory in Spark; declare everything nullable at
+    * the reader and let Validation do the rejecting (SURVEY.md §1.2). */
+  def asNullable(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
+  // ---- driver testdata (TESTDATA.md) ----
+
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every testdata table as a temp view so `spark.sql` works
+    * against the same names the DuckDB oracle uses (S4 mapping). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    testTables.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+}

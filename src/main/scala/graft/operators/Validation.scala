@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Outcome of a validation pass: the clean rows (declared schema) and the
+  * rejected rows tagged with a `reject_reason`. Both sides derive from ONE
+  * cached scan — unlike the reference, which re-executes the CSV scan for
+  * every rule and count (reference: src/utils/validation.py:63-87 chains
+  * five filter+write+count rounds, each recomputing lineage; SURVEY.md §4).
+  */
+final case class ValidationResult(valid: DataFrame, rejected: DataFrame) {
+  def unpersist(): Unit = { valid.unpersist(); rejected.unpersist() }
+}
+
+/** The reference's signature composite operator (SURVEY.md §2.12),
+  * re-expressed as a single-pass, reason-tagged split.
+  *
+  * Rules, in reference order (reference: src/utils/validation.py):
+  *   1. enforce_schema       — cast every column to its declared type;
+  *                             unparseable values become null (P1, :12-16)
+  *   2. schema / null checks — reject rows where the PK or any required
+  *                             column is null after the cast (P2-P5, :19-49)
+  *   3. invalid timestamps   — reject rows whose timestamp column fails to
+  *                             cast (P6, :52-60)
+  *
+  * Scale notes (100 TB): the whole thing is a projection + two
+  * complementary filters over one scan — no shuffle, fully
+  * whole-stage-codegen'd, and the reason expression folds into the same
+  * generated code as the cast. Reject side-outputs are written once, not
+  * once per rule.
+  */
+object Validation {
+
+  val ReasonCol = "reject_reason"
+
+  /** P1 — cast-projection. `try_cast` (not `cast`) so bad values become
+    * null under Spark 4's default ANSI mode, matching the reference's
+    * non-ANSI cast→null semantics (reference: validation.py:12-16). */
+  def enforceSchema(df: DataFrame, schema: StructType): DataFrame =
+    df.select(castColumns(df, schema): _*)
+
+  private def castColumns(df: DataFrame, schema: StructType): Seq[Column] =
+    schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) tryCast(col(f.name), f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+
+  private def tryCast(c: Column, dt: DataType): Column =
+    c.try_cast(dt)
+
+  /** The reason a row would be rejected, or null if it is clean. First
+    * failing rule wins, in the reference's rule order: null PK, then each
+    * required column in declared order, then timestamp validity.
+    * (A value that fails its cast surfaces here as a null, so the
+    * reference's separate "schema mismatch" rule collapses into the null
+    * checks — same keep-set, SURVEY.md §2.12.) */
+  def reasonFor(primaryKey: String, required: Seq[String], timestampCols: Seq[String],
+                columns: Seq[String]): Column = {
+    val pkRule: Seq[(Column, String)] =
+      Seq(col(primaryKey).isNull -> "null_primary_key")
+    val requiredRules = required.filterNot(_ == primaryKey).map { c =>
+      col(c).isNull -> s"null_required_column:$c"
+    }
+    // column-presence guard mirrors the reference (validation.py:53)
+    val tsRules = timestampCols.filter(columns.contains).map { c =>
+      col(c).try_cast(TimestampType).isNull && col(c).isNotNull -> s"invalid_timestamp:$c"
+    }
+    (pkRule ++ requiredRules ++ tsRules)
+      .foldRight(lit(null).cast(StringType)) { case ((cond, reason), rest) =>
+        when(cond, reason).otherwise(rest)
+      }
+  }
+
+  /** Full composite (reference: validate_dataframe, validation.py:63-87).
+    *
+    * @param required columns that must be non-null after the cast; defaults
+    *                 to the schema's non-nullable fields (SURVEY.md §1.2)
+    * @param cache    persist the tagged frame so valid/rejected/counts share
+    *                 one computation (the reference recomputes ~8×, §4)
+    */
+  def validate(df: DataFrame, schema: StructType, primaryKey: String,
+               required: Seq[String] = Nil,
+               timestampCols: Seq[String] = Seq("order_timestamp"),
+               cache: Boolean = true): ValidationResult = {
+    val req = if (required.nonEmpty) required
+              else schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val casted = enforceSchema(df, schema)
+    val tagged = casted.withColumn(
+      ReasonCol, reasonFor(primaryKey, req, timestampCols, casted.columns.toSeq))
+    val t = if (cache) tagged.persist() else tagged
+    ValidationResult(
+      valid = t.filter(col(ReasonCol).isNull).drop(ReasonCol),
+      rejected = t.filter(col(ReasonCol).isNotNull))
+  }
+
+  /** K3 — rejected-record side output (reference: validation.py:26 et al,
+    * mode=append so successive batches accumulate). */
+  def writeRejected(rejected: DataFrame, path: String): Unit =
+    if (!rejected.isEmpty)
+      rejected.write.mode("append").option("header", "true").csv(path)
+}
