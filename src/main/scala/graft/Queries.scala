@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Integrity, Validation}
+import graft.plans.LakehouseTable
+
+/** The SURVEY.md §2 operator surface as named queries over the driver
+  * testdata (TESTDATA.md), each with a DuckDB oracle in
+  * `Queries.oracle`. Column names and types are aligned with the oracle
+  * SQL — the driver sorts columns by name before hashing.
+  *
+  * Query style: everything is declarative DataFrame algebra — scans stay
+  * `FileSourceScanExec` with pushed filters/pruned columns, joins are
+  * semi/anti or broadcast-hash, aggregates are partial+final hash
+  * aggregates. No collect-and-loop, no UDFs in this file.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Scratch dir for queries that materialize a table (upsert/partition
+    * demos). Unique per (query, sf) so runs don't collide. */
+  private def scratch(tag: String, dir: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$tag/$sf"
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.1 scans + §2.5 aggregates
+  // ---------------------------------------------------------------------
+
+  /** S1/A1 — scan + global count per table (the reference's record-count
+    * logging and COUNT(*) validation gates, A1/A3). */
+  def scanCounts(s: SparkSession, dir: String): DataFrame = {
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events").map { name =>
+      t(s, dir, name).agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("tbl"), col("cnt"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** P1 — cast-projection (schema enforcement): re-cast columns to wider /
+    * string types; `try_cast` turns unparseable values into nulls
+    * (reference: validation.py:12-16). */
+  def castProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber").cast(LongType).as("linenumber_big"),
+      col("l_quantity").cast(StringType).try_cast(DoubleType).as("quantity_roundtrip"),
+      col("l_returnflag").try_cast(IntegerType).as("flag_as_int"), // letters -> null
+      concat(col("l_returnflag"), lit("_"), col("l_linestatus")).as("flag_status"))
+
+  // ---------------------------------------------------------------------
+  // §2.3 filters / predicates
+  // ---------------------------------------------------------------------
+
+  /** P2/P3 — predicate filter with null semantics: keep rows where a
+    * nullable derived column is non-null (nullif models dirty data). */
+  def filterNulls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("qty_dirty", nullif(col("l_quantity"), lit(25.0d)))
+      .na.drop(Seq("qty_dirty"))
+      .select("l_orderkey", "l_linenumber", "qty_dirty")
+
+  /** P2 complement — the reject side (OR-of-nulls keeps the defect rows;
+    * reference: validation.py:20-22). */
+  def filterNullRejects(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("qty_dirty", nullif(col("l_quantity"), lit(25.0d)))
+      .filter(col("qty_dirty").isNull || nullif(col("l_returnflag"), lit("N")).isNull)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+
+  // ---------------------------------------------------------------------
+  // §2.12 the validation composite, over reference-shaped dirty data
+  // ---------------------------------------------------------------------
+
+  /** Orders-like frame derived from testdata with injected defects:
+    * null PK every 97th row, null required col every 89th, malformed
+    * timestamp every 83rd — a scaled-up version of the reference's 4-row
+    * defect fixture (test_validation.py:77-84). Everything is stringly
+    * typed like the reference's raw CSV zone. */
+  private def dirtyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      when(col("o_orderkey") % 97 === 0, lit(null: String))
+        .otherwise(col("o_orderkey").cast(StringType)).as("order_id"),
+      when(col("o_orderkey") % 89 === 0, lit(null: String))
+        .otherwise(col("o_custkey").cast(StringType)).as("user_id"),
+      when(col("o_orderkey") % 83 === 0, lit("not-a-timestamp"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .as("order_timestamp"),
+      col("o_totalprice").cast(StringType).as("total_amount"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"))
+
+  private val dirtyOrdersSchema = StructType(Seq(
+    StructField("order_id", IntegerType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("total_amount", DoubleType, nullable = false),
+    StructField("date", StringType, nullable = false)))
+
+  /** Oracle-side equivalent of dirtyOrders, shared by the three
+    * validation oracles. */
+  private val dirtyOrdersSql: String =
+    """SELECT
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE CAST(o_orderkey AS INTEGER) END AS order_id,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE CAST(o_custkey AS INTEGER) END AS user_id,
+      |  CASE WHEN o_orderkey % 83 = 0 THEN NULL ELSE CAST(o_orderdate AS TIMESTAMP) END AS order_timestamp,
+      |  (o_orderkey % 83 = 0) AS ts_malformed,
+      |  o_totalprice AS total_amount,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS date
+      |FROM orders""".stripMargin
+
+  /** P1-P6/§2.12 — the valid side of the validation composite. */
+  def validationValid(s: SparkSession, dir: String): DataFrame =
+    Validation.validate(dirtyOrders(s, dir), dirtyOrdersSchema, "order_id",
+      cache = false).valid
+
+  /** K3-side — the rejected rows with their reason tags. */
+  def validationRejected(s: SparkSession, dir: String): DataFrame =
+    Validation.validate(dirtyOrders(s, dir), dirtyOrdersSchema, "order_id",
+      cache = false).rejected
+
+  // ---------------------------------------------------------------------
+  // §2.4 joins
+  // ---------------------------------------------------------------------
+
+  /** J1 — RI keep-side as a left-semi join (reference's LEFT JOIN +
+    * null-probe keep path, order_items_etl.py:72-79). */
+  def riSemiJoin(s: SparkSession, dir: String): DataFrame =
+    Integrity.existing(
+      t(s, dir, "lineitem"),
+      t(s, dir, "part").filter(col("p_size") > 25),
+      "l_partkey", "p_partkey", broadcastDim = true)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+
+  /** J2 — RI orphan-side as a left-anti join (the reject path,
+    * order_items_etl.py:76,87). */
+  def riAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Integrity.orphans(
+      t(s, dir, "lineitem"),
+      t(s, dir, "part").filter(col("p_size") > 25),
+      "l_partkey", "p_partkey", broadcastDim = true)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+
+  // ---------------------------------------------------------------------
+  // §2.5 dedup
+  // ---------------------------------------------------------------------
+
+  /** A2 — deterministic key dedup: one surviving row per customer, lowest
+    * order key wins (the reference's dropDuplicates with the tiebreak made
+    * explicit so the oracle can reproduce it; orders_etl.py:59). */
+  def dedupDeterministic(s: SparkSession, dir: String): DataFrame =
+    Dedup.deterministic(
+      t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(col("o_orderkey")))
+
+  // ---------------------------------------------------------------------
+  // §2.2 sinks: upsert (K2), partition pruning (P8), limit (L1)
+  // ---------------------------------------------------------------------
+
+  private val ordersCols: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  /** K1/K2/S2 — MERGE upsert emulation, run twice with the same source to
+    * also prove idempotency (reference semantics: orders_etl.py:65-71).
+    * Target = even order keys; source = keys divisible by 3 with bumped
+    * totals. Result = evens not div-3 untouched + all div-3 rows updated/
+    * inserted. */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val table = LakehouseTable(s, scratch("upsert", dir), "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(target)
+    table.upsert(source)
+    table.upsert(source) // idempotent re-run: must be a no-op
+    table.read.select(ordersCols.map(col): _*)
+  }
+
+  /** P8 — partition-pruned scan: write date-string-partitioned, read back
+    * with a partition filter (reference: step_functions.json:210,227).
+    * The filter must prune at planning time — see PlanChecks. */
+  def partitionPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .withColumn("date", date_format(Tables.eventsTs("ts"), "yyyy-MM-dd"))
+    val path = scratch("partitioned_events", dir)
+    val schema = StructType(events.schema.fields.map(_.copy(nullable = true)))
+    val table = LakehouseTable(s, path, "event_id",
+      partitionCol = Some("date"), declaredSchema = Some(schema))
+    if (!table.exists) table.create(events)
+    val firstDate = "2024-01-05"
+    table.read.filter(col("date") <= firstDate)
+      .select("event_id", "user_id", "event_type", "value", "date")
+  }
+
+  /** L1 — deterministic LIMIT (ORDER BY + LIMIT so the oracle agrees;
+    * reference: step_functions.json:193). */
+  def limitTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_orderkey"))
+      .limit(10)
+      .select(ordersCols.map(col): _*)
+
+  // ---------------------------------------------------------------------
+  // analytics (bench headliners — grouped aggregation + multi-join)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary over lineitem: the canonical
+    * shuffle-light partial+final hash aggregate. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-join star query: fact→dim joins (broadcast dims) + grouped
+    * aggregate, TPC-H Q3/Q5 flavored. */
+  def starJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 2).as("revenue"),
+        countDistinct("o_orderkey").as("order_cnt"))
+      .orderBy("n_name")
+  }
+
+  /** Window ranking: top order per customer by value (deterministic
+    * tiebreak) — the engine's window-function surface (§2.6's
+    * row_number primitive, generalized). */
+  def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_counts" -> (scanCounts _),
+    "cast_projection" -> (castProjection _),
+    "filter_nulls" -> (filterNulls _),
+    "filter_null_rejects" -> (filterNullRejects _),
+    "validation_valid" -> (validationValid _),
+    "validation_rejected" -> (validationRejected _),
+    "ri_semi_join" -> (riSemiJoin _),
+    "ri_anti_join" -> (riAntiJoin _),
+    "dedup_deterministic" -> (dedupDeterministic _),
+    "upsert_merge" -> (upsertMerge _),
+    "partition_pruned_scan" -> (partitionPrunedScan _),
+    "limit_topk" -> (limitTopK _),
+    "q1_pricing" -> (q1Pricing _),
+    "star_join_agg" -> (starJoinAgg _),
+    "window_top_orders" -> (windowTopOrders _))
+
+  val oracle: Map[String, String] = Map(
+    "scan_counts" ->
+      """SELECT 'region' AS tbl, count(*) AS cnt FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'events', count(*) FROM events""".stripMargin,
+    "cast_projection" ->
+      """SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS linenumber_big,
+        |  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS quantity_roundtrip,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+        |  l_returnflag || '_' || l_linestatus AS flag_status
+        |FROM lineitem""".stripMargin,
+    "filter_nulls" ->
+      """SELECT l_orderkey, l_linenumber, nullif(l_quantity, 25.0) AS qty_dirty
+        |FROM lineitem WHERE nullif(l_quantity, 25.0) IS NOT NULL""".stripMargin,
+    "filter_null_rejects" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem
+        |WHERE nullif(l_quantity, 25.0) IS NULL OR nullif(l_returnflag, 'N') IS NULL""".stripMargin,
+    "validation_valid" ->
+      s"""SELECT order_id, user_id, order_timestamp, total_amount, date
+         |FROM ($dirtyOrdersSql)
+         |WHERE order_id IS NOT NULL AND user_id IS NOT NULL
+         |  AND order_timestamp IS NOT NULL AND total_amount IS NOT NULL
+         |  AND date IS NOT NULL AND NOT ts_malformed""".stripMargin,
+    "validation_rejected" ->
+      s"""SELECT order_id, user_id, order_timestamp, total_amount, date,
+         |  CASE
+         |    WHEN order_id IS NULL THEN 'null_primary_key'
+         |    WHEN user_id IS NULL THEN 'null_required_column:user_id'
+         |    WHEN order_timestamp IS NULL AND NOT ts_malformed THEN 'null_required_column:order_timestamp'
+         |    WHEN ts_malformed THEN 'null_required_column:order_timestamp'
+         |    WHEN total_amount IS NULL THEN 'null_required_column:total_amount'
+         |    WHEN date IS NULL THEN 'null_required_column:date'
+         |  END AS reject_reason
+         |FROM ($dirtyOrdersSql)
+         |WHERE order_id IS NULL OR user_id IS NULL OR order_timestamp IS NULL
+         |   OR ts_malformed OR total_amount IS NULL OR date IS NULL""".stripMargin,
+    "ri_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_size > 25)""".stripMargin,
+    "ri_anti_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part
+        |                  WHERE p_partkey = l_partkey AND p_size > 25)""".stripMargin,
+    "dedup_deterministic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "upsert_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "partition_pruned_scan" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-05'""".stripMargin,
+    "limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "star_join_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT o_orderkey) AS order_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk = 1""".stripMargin)
+}

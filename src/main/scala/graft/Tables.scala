@@ -76,8 +76,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** The events table is written with TIMESTAMP(NANOS), which Spark 4's
+    * parquet reader rejects by default; `nanosAsLong` surfaces it as a
+    * LongType of nanos-since-epoch which [[eventsTs]] converts. The conf
+    * is set per-session on first touch (it only affects NANOS columns —
+    * micro/milli timestamps elsewhere are untouched). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Events `ts` (nanos-since-epoch long under nanosAsLong) as a proper
+    * TimestampType column, truncated to micros like any Spark timestamp.
+    * Integral `div` — a double division would lose precision at 1e18. */
+  def eventsTs(tsCol: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)")
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * against the same names the DuckDB oracle uses (S4 mapping). */

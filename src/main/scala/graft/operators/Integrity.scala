@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Referential-integrity check (J1/J2; reference:
   * order_items_etl.py:72-90).
@@ -20,23 +20,29 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Integrity {
 
-  /** Split fact rows into (kept = key exists in dim, orphans = it doesn't). */
-  def split(fact: DataFrame, dim: DataFrame, key: String,
+  /** Split fact rows into (kept = key exists in dim, orphans = it
+    * doesn't). `factKey`/`dimKey` may differ (star-schema FK naming). */
+  def split(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
             broadcastDim: Boolean = false): (DataFrame, DataFrame) = {
-    val keys0 = dim.select(key).distinct()
+    val keys0 = dim.select(col(dimKey).as(factKey)).distinct()
     val keys = if (broadcastDim) broadcast(keys0) else keys0
-    (fact.join(keys, Seq(key), "left_semi"),
-     fact.join(keys, Seq(key), "left_anti"))
+    (fact.join(keys, Seq(factKey), "left_semi"),
+     fact.join(keys, Seq(factKey), "left_anti"))
   }
 
+  /** Same-named key convenience (the reference's case: order_id,
+    * product_id). */
+  def split(fact: DataFrame, dim: DataFrame, key: String): (DataFrame, DataFrame) =
+    split(fact, dim, key, key)
+
   /** Kept side only (EXISTS). */
-  def existing(fact: DataFrame, dim: DataFrame, key: String,
+  def existing(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                broadcastDim: Boolean = false): DataFrame =
-    split(fact, dim, key, broadcastDim)._1
+    split(fact, dim, factKey, dimKey, broadcastDim)._1
 
   /** Orphan side only (NOT EXISTS) — the RI violations the reference
     * appends to rejected/ (order_items_etl.py:76,87). */
-  def orphans(fact: DataFrame, dim: DataFrame, key: String,
+  def orphans(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
               broadcastDim: Boolean = false): DataFrame =
-    split(fact, dim, key, broadcastDim)._2
+    split(fact, dim, factKey, dimKey, broadcastDim)._2
 }

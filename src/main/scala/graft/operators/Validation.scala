@@ -55,23 +55,34 @@ object Validation {
     * required column in declared order, then timestamp validity.
     * (A value that fails its cast surfaces here as a null, so the
     * reference's separate "schema mismatch" rule collapses into the null
-    * checks — same keep-set, SURVEY.md §2.12.) */
-  def reasonFor(primaryKey: String, required: Seq[String], timestampCols: Seq[String],
-                columns: Seq[String]): Column = {
+    * checks — same keep-set, SURVEY.md §2.12.)
+    *
+    * The timestamp rule is evaluated against the PRE-cast raw values via
+    * the `tsInvalidFlag` boolean carried through the cast-projection —
+    * post-cast the column is already TimestampType and the rule could
+    * never fire (the reference's step 5 is identically dead,
+    * validation.py:54 runs after enforce_schema). This way a malformed
+    * timestamp in a nullable, non-required column is still rejected with
+    * the right tag, matching the reference's *intent*. */
+  def reasonFor(primaryKey: String, required: Seq[String],
+                tsFlagCols: Seq[String]): Column = {
     val pkRule: Seq[(Column, String)] =
       Seq(col(primaryKey).isNull -> "null_primary_key")
     val requiredRules = required.filterNot(_ == primaryKey).map { c =>
       col(c).isNull -> s"null_required_column:$c"
     }
-    // column-presence guard mirrors the reference (validation.py:53)
-    val tsRules = timestampCols.filter(columns.contains).map { c =>
-      col(c).try_cast(TimestampType).isNull && col(c).isNotNull -> s"invalid_timestamp:$c"
+    val tsRules = tsFlagCols.map { c =>
+      (col(tsInvalidFlag(c)) === lit(true)) -> s"invalid_timestamp:$c"
     }
     (pkRule ++ requiredRules ++ tsRules)
       .foldRight(lit(null).cast(StringType)) { case ((cond, reason), rest) =>
         when(cond, reason).otherwise(rest)
       }
   }
+
+  /** Name of the carried-through boolean marking a raw value that is
+    * present but fails the timestamp cast. */
+  def tsInvalidFlag(c: String): String = s"__graft_ts_invalid_$c"
 
   /** Full composite (reference: validate_dataframe, validation.py:63-87).
     *
@@ -86,13 +97,21 @@ object Validation {
                cache: Boolean = true): ValidationResult = {
     val req = if (required.nonEmpty) required
               else schema.fields.filterNot(_.nullable).map(_.name).toSeq
-    val casted = enforceSchema(df, schema)
+    // column-presence guard mirrors the reference (validation.py:53)
+    val tsPresent = timestampCols.filter(df.columns.contains)
+    // pre-cast validity flags (computed on the raw values, see reasonFor)
+    val flagCols = tsPresent.map { c =>
+      (col(c).isNotNull && col(c).try_cast(TimestampType).isNull)
+        .as(tsInvalidFlag(c))
+    }
+    val casted = df.select(castColumns(df, schema) ++ flagCols: _*)
     val tagged = casted.withColumn(
-      ReasonCol, reasonFor(primaryKey, req, timestampCols, casted.columns.toSeq))
+      ReasonCol, reasonFor(primaryKey, req, tsPresent))
     val t = if (cache) tagged.persist() else tagged
+    val carried = tsPresent.map(tsInvalidFlag)
     ValidationResult(
-      valid = t.filter(col(ReasonCol).isNull).drop(ReasonCol),
-      rejected = t.filter(col(ReasonCol).isNotNull))
+      valid = t.filter(col(ReasonCol).isNull).drop(ReasonCol +: carried: _*),
+      rejected = t.filter(col(ReasonCol).isNotNull).drop(carried: _*))
   }
 
   /** K3 — rejected-record side output (reference: validation.py:26 et al,

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** A partitioned-parquet "lakehouse" table with MERGE-by-PK upsert — the
   * pure-Spark re-expression of the reference's Delta tables (K1/K2/S2/S3;
@@ -24,13 +25,22 @@ import org.apache.spark.sql.functions._
   * This relies on the PK→partition mapping being stable across batches
   * (true for the reference: `date` is derived from the row itself). For
   * keys that can migrate partitions, `upsertFull` does the global merge
-  * with a staging-dir swap.
+  * with a crash-safe staging swap.
+  *
+  * Consistency model: dynamic partition overwrite commits per partition,
+  * so a mid-job crash can leave a subset of TOUCHED partitions rewritten —
+  * weaker than Delta's atomic commit. Re-running the same batch repairs
+  * the table (the merge is idempotent); that retry-until-success model is
+  * exactly the reference's (3 retries per job,
+  * step_functions.json:14-23). `upsertFull` keeps a `.backup` of the live
+  * directory until the swap completes, so no failure window loses data.
   */
 final class LakehouseTable(
     spark: SparkSession,
     val path: String,
     val primaryKey: String,
-    val partitionCol: Option[String] = None) {
+    val partitionCol: Option[String] = None,
+    val declaredSchema: Option[StructType] = None) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,8 +54,14 @@ final class LakehouseTable(
     }
   }
 
-  /** S2 — snapshot scan of the current table state. */
-  def read: DataFrame = spark.read.parquet(path)
+  /** S2 — snapshot scan of the current table state. Reads with the
+    * declared schema when given, so a string partition column (the
+    * reference's `date`) is not silently re-inferred as DateType and the
+    * table schema never drifts across upsert round-trips. */
+  def read: DataFrame = declaredSchema match {
+    case Some(s) => spark.read.schema(s).parquet(path)
+    case None    => spark.read.parquet(path)
+  }
 
   /** K1 — initial partitioned create (reference: orders_etl.py:74). */
   def create(df: DataFrame): Unit = {
@@ -64,41 +80,58 @@ final class LakehouseTable(
     }
   }
 
-  /** Partition-scoped merge: prune target read + rewrite to the partitions
-    * present in the source batch. */
+  /** Max touched-partition values inlined as an `isin` literal list for
+    * static partition pruning; above this the target slice is pruned by a
+    * broadcast semi-join instead (dynamic partition pruning), keeping the
+    * driver out of the data path at high partition cardinality. */
+  private val IsinPruneLimit = 1000
+
+  /** Partition-scoped merge: prune the target read + rewrite to only the
+    * partitions present in the source batch. Overwrite mode is set
+    * per-write (option, not session conf) so concurrent writers in the
+    * same session are unaffected. */
   private def upsertPartitionScoped(source: DataFrame, pc: String): Unit = {
     val src = source.persist()
     try {
-      val touched = src.select(pc).distinct().collect().map(_.get(0))
-      val targetSlice = read.filter(col(pc).isin(touched.toSeq: _*))
+      val touched = src.select(pc).distinct().limit(IsinPruneLimit + 1).collect()
+      val targetSlice =
+        if (touched.length <= IsinPruneLimit)
+          read.filter(col(pc).isin(touched.toSeq.map(_.get(0)): _*))
+        else
+          read.join(broadcast(src.select(pc).distinct()), Seq(pc), "left_semi")
       val merged = targetSlice
         .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
-        .unionByName(src)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.mode("overwrite").partitionBy(pc).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        .unionByName(src.select(targetSlice.columns.map(col): _*))
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(pc).parquet(path)
     } finally src.unpersist()
   }
 
-  /** Global merge via staging-dir swap (works for unpartitioned tables and
-    * PKs that may migrate partitions). The swap keeps readers consistent:
-    * we never overwrite a directory we are concurrently scanning. */
+  /** Global merge via a crash-safe staging swap (works for unpartitioned
+    * tables and PKs that may migrate partitions). Swap order: write
+    * staging → rename live to `.backup` → rename staging to live → drop
+    * backup. A failure at any point leaves either the old table or both
+    * directories on disk — never a window with no data (the round-1
+    * delete-then-rename had one). */
   def upsertFull(source: DataFrame): Unit = {
     if (!exists) { create(source); return }
     val merged = read
       .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-      .unionByName(source)
+      .unionByName(source.select(read.columns.map(col): _*))
     val staging = path + ".staging"
+    val backup = path + ".backup"
     val w = merged.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging)
-    val p = new Path(path); val s = new Path(staging)
-    fs.delete(p, true)
-    if (!fs.rename(s, p))
+    val p = new Path(path); val s = new Path(staging); val b = new Path(backup)
+    fs.delete(b, true)
+    if (!fs.rename(p, b))
+      throw new IllegalStateException(s"backup rename failed: $path -> $backup")
+    if (!fs.rename(s, p)) {
+      fs.rename(b, p) // restore
       throw new IllegalStateException(s"staging swap failed: $staging -> $path")
+    }
+    fs.delete(b, true)
   }
 
   /** S4 — register in the session catalog so `spark.sql` resolves the
@@ -110,6 +143,7 @@ final class LakehouseTable(
 
 object LakehouseTable {
   def apply(spark: SparkSession, path: String, primaryKey: String,
-            partitionCol: Option[String] = None): LakehouseTable =
-    new LakehouseTable(spark, path, primaryKey, partitionCol)
+            partitionCol: Option[String] = None,
+            declaredSchema: Option[StructType] = None): LakehouseTable =
+    new LakehouseTable(spark, path, primaryKey, partitionCol, declaredSchema)
 }
