@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Dedup, Integrity, Validation}
-import graft.plans.LakehouseTable
+import graft.plans.{LakehouseTable, Pipeline}
+import graft.streaming.Ingest
 
 /** The SURVEY.md §2 operator surface as named queries over the driver
   * testdata (TESTDATA.md), each with a DuckDB oracle in
@@ -210,6 +211,103 @@ object Queries {
       .select(ordersCols.map(col): _*)
 
   // ---------------------------------------------------------------------
+  // T4/T3/A3/T7 — the full reference pipeline, end-to-end
+  // ---------------------------------------------------------------------
+
+  /** Reference-shaped raw CSVs derived deterministically from testdata,
+    * with injected defects: products lose product_name every 71st key,
+    * orders lose order_id every 97th and user_id every 89th, and orders
+    * divisible by 50 arrive twice (dedup exercise). */
+  private def writePipelineRaw(s: SparkSession, dir: String, base: String): Unit = {
+    val products = t(s, dir, "part").select(
+      col("p_partkey").cast(StringType).as("product_id"),
+      (col("p_size") % 10).cast(StringType).as("department_id"),
+      col("p_brand").as("department"),
+      when(col("p_partkey") % 71 === 0, lit(null: String))
+        .otherwise(col("p_name")).as("product_name"))
+    val orders0 = t(s, dir, "orders").select(
+      col("o_orderkey").cast(StringType).as("order_num"),
+      when(col("o_orderkey") % 97 === 0, lit(null: String))
+        .otherwise(col("o_orderkey").cast(StringType)).as("order_id"),
+      when(col("o_orderkey") % 89 === 0, lit(null: String))
+        .otherwise(col("o_custkey").cast(StringType)).as("user_id"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_timestamp"),
+      col("o_totalprice").cast(StringType).as("total_amount"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"))
+    val orders = orders0.unionAll(
+      orders0.filter(col("order_num").cast(IntegerType) % 50 === 0))
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata (up to 13
+    // lines/order, repeated linenumbers) — synthesize a per-order sequence
+    // under a total ordering so `id` is a real PK in both engines.
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val items = t(s, dir, "lineitem")
+      .withColumn("seq", row_number().over(seqW))
+      .select(
+      (col("l_orderkey") * 16 + col("seq")).cast(StringType).as("id"),
+      col("l_orderkey").cast(StringType).as("order_id"),
+      col("l_suppkey").cast(StringType).as("user_id"),
+      when(col("l_linenumber") === 1, lit(null: String))
+        .otherwise(col("l_linenumber").cast(StringType)).as("days_since_prior_order"),
+      col("l_partkey").cast(StringType).as("product_id"),
+      col("l_linenumber").cast(StringType).as("add_to_cart_order"),
+      (col("l_orderkey") % 2).cast(StringType).as("reordered"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_timestamp"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true")
+        .csv(s"$base/raw/$name")
+    w(products, "products"); w(orders, "orders"); w(items, "order_items")
+  }
+
+  /** The reference's whole state machine in one call: three ETL jobs in
+    * dependency order with validation, RI against the freshly-written
+    * dims, dedup, MERGE upsert, archive, and parallel post-load gates.
+    * Returns the final order_items table — the job whose lineage crosses
+    * all three (reference: step_functions.json:3-94,183-237). */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("pipeline", dir)
+    writePipelineRaw(s, dir, base)
+    val report = Pipeline.run(s, s"$base/raw", s"$base/dwh",
+      s"$base/rejected", s"$base/archived")
+    require(report.gatesPassed, "post-load validation gates failed")
+    LakehouseTable(s, s"$base/dwh/order_items", "id", Some("date"),
+      Some(Tables.asNullable(Tables.orderItems))).read
+  }
+
+  // ---------------------------------------------------------------------
+  // T1/T2 — streaming ingestion (file source → foreachBatch MERGE)
+  // ---------------------------------------------------------------------
+
+  private val streamedEventsSchema = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("date", StringType, nullable = false)))
+
+  /** Events land as CSV files; Structured Streaming picks them up with
+    * AvailableNow and MERGEs each micro-batch by event_id. Batch-vs-
+    * stream parity: the final table must equal a plain batch read of the
+    * same events. */
+  def streamIngestParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream", dir)
+    val landing = s"$base/landing"
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+      .repartition(8)
+      .write.mode("overwrite").option("header", "true").csv(landing)
+    val table = LakehouseTable(s, s"$base/table", "event_id",
+      Some("date"), Some(streamedEventsSchema))
+    Ingest.csvToTable(s, landing, streamedEventsSchema, table,
+      s"$base/checkpoint", maxFilesPerTrigger = Some(2))
+    table.read
+  }
+
+  // ---------------------------------------------------------------------
   // analytics (bench headliners — grouped aggregation + multi-join)
   // ---------------------------------------------------------------------
 
@@ -276,7 +374,9 @@ object Queries {
     "limit_topk" -> (limitTopK _),
     "q1_pricing" -> (q1Pricing _),
     "star_join_agg" -> (starJoinAgg _),
-    "window_top_orders" -> (windowTopOrders _))
+    "window_top_orders" -> (windowTopOrders _),
+    "pipeline_e2e" -> (pipelineE2e _),
+    "stream_ingest_parity" -> (streamIngestParity _))
 
   val oracle: Map[String, String] = Map(
     "scan_counts" ->
@@ -372,5 +472,29 @@ object Queries {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
-        |  FROM orders) WHERE rk = 1""".stripMargin)
+        |  FROM orders) WHERE rk = 1""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH numbered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS seq
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey * 16 + seq AS INTEGER) AS id,
+        |  CAST(l_orderkey AS INTEGER) AS order_id,
+        |  CAST(l_suppkey AS INTEGER) AS user_id,
+        |  CASE WHEN l_linenumber = 1 THEN NULL
+        |       ELSE CAST(l_linenumber AS INTEGER) END AS days_since_prior_order,
+        |  CAST(l_partkey AS INTEGER) AS product_id,
+        |  CAST(l_linenumber AS INTEGER) AS add_to_cart_order,
+        |  CAST(l_orderkey % 2 AS INTEGER) AS reordered,
+        |  CAST(l_shipdate AS TIMESTAMP) AS order_timestamp,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS date
+        |FROM numbered
+        |WHERE l_orderkey % 97 <> 0 AND l_orderkey % 89 <> 0
+        |  AND l_partkey % 71 <> 0
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)""".stripMargin,
+    "stream_ingest_parity" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events""".stripMargin)
 }

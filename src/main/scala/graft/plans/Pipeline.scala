@@ -1,0 +1,132 @@
+package graft.plans
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+import graft.operators.{Dedup, Integrity, Validation}
+
+/** The reference's orchestration as a driver-side sequence (T4;
+  * reference: src/step_functions.json:3-94 — ProcessProducts →
+  * ProcessOrders → ProcessOrderItems → ArchiveFiles → validation
+  * queries). Each step is the corresponding Glue job's logic
+  * (product_etl.py / orders_etl.py / order_items_etl.py):
+  * schema-enforced CSV scan → validate → [RI for order_items] → dedup →
+  * MERGE upsert, with rejects side-written as CSV.
+  *
+  * Scale notes (100 TB): per-job data flow is one pass —
+  * validation is shuffle-free, RI joins broadcast the dim key set, dedup
+  * is the only keyed shuffle, and the upsert rewrites only touched
+  * partitions. The driver does no data work (no collect in the loop);
+  * post-load gates are aggregates pushed to the engine and run
+  * concurrently (T7, step_functions.json:183-237).
+  */
+object Pipeline {
+
+  /** One ETL job spec (≈ one Glue job in the reference). */
+  final case class JobSpec(
+      name: String,
+      schema: StructType,
+      primaryKey: String,
+      partitionCol: String,
+      /** (fact FK column, dim table name, dim key column) — checked
+        * against the freshly-written dim (order_items_etl.py:66-90). */
+      foreignKeys: Seq[(String, String, String)] = Nil)
+
+  /** The reference's three jobs, in dependency order (T4). */
+  val referenceJobs: Seq[JobSpec] = Seq(
+    JobSpec("products", Tables.products, "product_id", "department_id"),
+    JobSpec("orders", Tables.orders, "order_id", "date"),
+    JobSpec("order_items", Tables.orderItems, "id", "date",
+      foreignKeys = Seq(
+        ("order_id", "orders", "order_id"),
+        ("product_id", "products", "product_id"))))
+
+  final case class JobResult(
+      name: String, read: Long, valid: Long, rejected: Long,
+      orphaned: Long, loaded: Long)
+
+  final case class Report(jobs: Seq[JobResult], gatesPassed: Boolean)
+
+  /** Run the full pipeline: for each job, raw CSVs under
+    * `$rawDir/<name>/` are validated, RI-checked, deduped and
+    * merged into `$warehouseDir/<name>`; rejects append under
+    * `$rejectedDir/<name>`; raws then move to `$archivedDir` (T3); and
+    * the post-load COUNT(*)/LIMIT 10 gates run in parallel (A3/T7). */
+  def run(spark: SparkSession, rawDir: String, warehouseDir: String,
+          rejectedDir: String, archivedDir: String,
+          jobs: Seq[JobSpec] = referenceJobs): Report = {
+    val tables = jobs.map { j =>
+      j.name -> LakehouseTable(spark, s"$warehouseDir/${j.name}", j.primaryKey,
+        Some(j.partitionCol), Some(Tables.asNullable(j.schema)))
+    }.toMap
+
+    val results = jobs.map { job =>
+      val raw = Tables.readCsv(spark, job.schema, s"$rawDir/${job.name}/")
+      val readCount = raw.count()
+
+      // validate (§2.12) — one cached pass, rejects written once (K3)
+      val vr = Validation.validate(raw, job.schema, job.primaryKey)
+      Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}")
+      val validCount = vr.valid.count()
+
+      // RI against the freshly-written dims (J1/J2) — semi/anti split,
+      // dim reduced to its key column and broadcast
+      var kept = vr.valid
+      var orphaned = 0L
+      job.foreignKeys.foreach { case (fk, dimName, dimKey) =>
+        val dim = tables(dimName).read
+        val (ok, orphans) = Integrity.split(kept, dim, fk, dimKey,
+          broadcastDim = true)
+        val orphanCount = orphans.count()
+        if (orphanCount > 0)
+          Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
+        orphaned += orphanCount
+        kept = ok
+      }
+
+      // dedup (A2) then MERGE upsert (K2)
+      val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
+      tables(job.name).upsert(deduped)
+      vr.unpersist()
+      val loaded = tables(job.name).read.count()
+      JobResult(job.name, readCount, validCount,
+        readCount - validCount, orphaned, loaded)
+    }
+
+    archive(spark, rawDir, archivedDir)
+
+    // post-load validation gates, fanned out concurrently (A3/T7)
+    jobs.foreach(j => tables(j.name).registerAs(j.name))
+    val gates = jobs.map { j =>
+      Future {
+        val n = spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
+          .head().getLong(0)
+        val sample = spark.sql(s"SELECT * FROM ${j.name} LIMIT 10").count()
+        n > 0 && sample > 0
+      }
+    }
+    val gatesPassed = Await.result(Future.sequence(gates), Duration.Inf).forall(identity)
+    Report(results, gatesPassed)
+  }
+
+  /** T3 — archive-after-success: move everything under raw/ to archived/
+    * (reference: lambda_function.py:11-52; its delete is commented out,
+    * making "move" a copy — we do the real move the code intends). */
+  def archive(spark: SparkSession, rawDir: String, archivedDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(rawDir)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return
+    val dst = new Path(archivedDir)
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      fs.rename(st.getPath, new Path(dst, st.getPath.getName))
+    }
+  }
+}

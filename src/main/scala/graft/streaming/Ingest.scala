@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.LakehouseTable
+
+/** The reference's event-driven ingestion loop (T1/T2; reference:
+  * README.md:76-90 — S3 event → SQS → Lambda → pipeline) re-expressed as
+  * Structured Streaming: a file source watches the landing directory,
+  * each micro-batch MERGEs into the lakehouse table by PK, and
+  * `Trigger.AvailableNow` gives the reference's "process everything
+  * that has arrived, then stop" batch-per-arrival semantics.
+  *
+  * Idempotent late/duplicate handling is inherited from the MERGE-by-PK
+  * sink (T2; orders_etl.py:65-71) — no watermark needed for parity
+  * (SURVEY.md §2.10: the reference has no event-time operators). The
+  * checkpoint gives exactly-once file tracking across restarts, which
+  * is STRONGER than the reference's at-least-once Lambda trigger; the
+  * upsert makes re-delivery harmless either way.
+  *
+  * Scale notes (100 TB): the file source lists incrementally
+  * (`maxFilesPerTrigger` bounds batch size); each batch's upsert cost is
+  * O(touched partitions), so steady-state ingest scales with arrival
+  * rate, not table size.
+  */
+object Ingest {
+
+  /** Stream CSV files from `landingDir` into `table`. Returns once all
+    * currently-available files are processed (AvailableNow). */
+  def csvToTable(spark: SparkSession, landingDir: String, schema: StructType,
+                 table: LakehouseTable, checkpointDir: String,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 timestampFormat: String = "yyyy-MM-dd['T'][' ']HH:mm:ss"): Unit = {
+    val reader = spark.readStream
+      .schema(graft.Tables.asNullable(schema))
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    runToTable(reader.csv(landingDir), table, checkpointDir)
+  }
+
+  /** Stream parquet files from `landingDir` into `table` (same loop for
+    * columnar landings). */
+  def parquetToTable(spark: SparkSession, landingDir: String,
+                     schema: StructType, table: LakehouseTable,
+                     checkpointDir: String): Unit =
+    runToTable(
+      spark.readStream.schema(schema).parquet(landingDir),
+      table, checkpointDir)
+
+  private def runToTable(stream: DataFrame, table: LakehouseTable,
+                         checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch MERGE (T2): dedup within the batch first — a batch
+        // may contain multiple files carrying the same PK
+        val deduped = batch.dropDuplicates(Seq(table.primaryKey))
+        table.upsert(deduped)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
