@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Integrity, Validation}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Integrity, Multimodal, Similarity, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.Ingest
 
@@ -356,6 +357,103 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // LLM-pipeline operators: text analysis / dedup / similarity / media
+  // ---------------------------------------------------------------------
+
+  /** Text quality + token statistics per document (TextAnalysis). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(txt).as("n_tokens"),
+      TextAnalysis.regexTokenCount(txt).as("n_tokens_regex"),
+      round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
+      TextAnalysis.qualityScore(txt).as("quality"))
+  }
+
+  /** Language-ID heuristic per document. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  /** Document fingerprinting (md5 of normalized text). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Exact dedup: documents unioned with whitespace/case-mutated copies
+    * (ids offset by 1e6); normalize+hash dedup must keep exactly the
+    * originals. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mutated = docs.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      upper(concat(lit("  "), col("text"), lit(" "))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    TextDedup.exactDedup(
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(mutated),
+      "doc_id", "text")
+  }
+
+  /** MinHash+LSH near-duplicate pairs (banded buckets, exact Jaccard
+    * re-check — never all-pairs). Probabilistic candidate generation ⇒
+    * no SQL oracle; unit tests pin recall on injected near-dups. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+
+  /** SimHash near-duplicate pairs (16-bit bands, Hamming re-check). */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
+
+  /** Exact n-gram-Jaccard near-dups with prefix blocking — the
+    * deterministic, oracle-checkable dedup path. */
+  def ngramJaccardNearDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardNearDup(
+      t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, blockChars = 40)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jaccard"))
+
+  /** Brute-force cosine top-10 for the first five vectors as queries —
+    * the exact ANN baseline. */
+  def embeddingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  /** LSH-bucketed ANN top-10 (multi-probe sign LSH + exact re-rank).
+    * Probabilistic recall ⇒ no SQL oracle; unit tests check recall vs
+    * the brute-force baseline. */
+  def embeddingAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  /** Multimodal plumbing: documents wrapped as binary media payloads,
+    * metadata + stub-decoded dimensions (decode is a deterministic fake;
+    * the binary/schema/pruning path is real). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      t(s, dir, "documents"), "doc_id", "text", "source")
+    media.select(
+      col("media_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
+      Multimodal.stubDecodeImage(col("bytes")).getField("width").as("width"),
+      Multimodal.stubDecodeImage(col("bytes")).getField("height").as("height"))
+  }
+
+  /** Batched per-partition feature extraction over media bytes
+    * (mapPartitions; stub features). Rows-only check. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      t(s, dir, "documents"), "doc_id", "text", "source")
+    Multimodal.extractFeatures(s, media)
+      .select(col("media_id"), col("kind"), size(col("features")).as("n_features"))
+  }
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
@@ -376,7 +474,23 @@ object Queries {
     "star_join_agg" -> (starJoinAgg _),
     "window_top_orders" -> (windowTopOrders _),
     "pipeline_e2e" -> (pipelineE2e _),
-    "stream_ingest_parity" -> (streamIngestParity _))
+    "stream_ingest_parity" -> (streamIngestParity _),
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "exact_dedup" -> (exactDedup _),
+    "minhash_neardup" -> (minhashNearDup _),
+    "simhash_neardup" -> (simhashNearDup _),
+    "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
+    "embedding_topk" -> (embeddingTopK _),
+    "embedding_ann_lsh" -> (embeddingAnnLsh _),
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_features" -> (multimodalFeatures _))
+
+  /** DuckDB-side text normalization, identical to
+    * [[graft.functions.TextAnalysis.normalize]]. */
+  private val NormSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
     "scan_counts" ->
@@ -496,5 +610,83 @@ object Queries {
     "stream_ingest_parity" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    string_split($NormSql, ' ') AS toks,
+         |    length(text) AS n,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_regex,
+         |  round(CASE WHEN n > 0 THEN p::DOUBLE / n::DOUBLE ELSE 0.0 END, 6) AS punct_ratio,
+         |  round(
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+         |    (1.0 - CASE WHEN n > 0 THEN p::DOUBLE / n::DOUBLE ELSE 0.0 END) * 0.3 +
+         |    least((len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0) * 0.3
+         |  , 6) AS quality
+         |FROM base""".stripMargin,
+    "lang_id" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, string_split($NormSql, ' ') AS toks,
+         |    length(text) AS n,
+         |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN n > 0 THEN na::DOUBLE / n::DOUBLE ELSE 0.0 END AS nonascii,
+         |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))::DOUBLE / len(toks)::DOUBLE AS r_en,
+         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','auf'], x)))::DOUBLE / len(toks)::DOUBLE AS r_de,
+         |    len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))::DOUBLE / len(toks)::DOUBLE AS r_fr,
+         |    len(list_filter(toks, x -> list_contains(['el','los','las','y','un','una','es','en','por','como'], x)))::DOUBLE / len(toks)::DOUBLE AS r_es
+         |  FROM base)
+         |SELECT doc_id, lang,
+         |  CASE WHEN nonascii > 0.3 THEN 'cjk'
+         |       WHEN r_en = greatest(r_en, r_de, r_fr, r_es) AND r_en > 0 THEN 'en'
+         |       WHEN r_de = greatest(r_en, r_de, r_fr, r_es) AND r_de > 0 THEN 'de'
+         |       WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) AND r_fr > 0 THEN 'fr'
+         |       WHEN r_es = greatest(r_en, r_de, r_fr, r_es) AND r_es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM r""".stripMargin,
+    "doc_fingerprint" ->
+      s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents",
+    "exact_dedup" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "ngram_jaccard_neardup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, $NormSql AS norm FROM documents),
+         |sh AS (
+         |  SELECT id, norm[1:40] AS block,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |                          i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    "embedding_topk" ->
+      """SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               e.vec_id) AS rk
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rk <= 10""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * normalization, token counting, quality scoring, language ID,
+  * fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` column algebra — no UDFs — so the
+  * whole feature set stays inside whole-stage codegen and scales as a
+  * pure map over the corpus (no shuffle, no driver involvement).
+  *
+  * These extend the reference's capability surface (its validation ops
+  * are the same shape: column-algebra predicates, SURVEY.md §2.9) toward
+  * the document/LLM-pipeline operators the engine is expected to own.
+  */
+object TextAnalysis {
+
+  /** Canonical form: lowercase, trim, whitespace runs collapsed to one
+    * space. The shared base for dedup hashing and tokenization. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: words, digit runs, and
+    * individual punctuation marks each count as one token (a regex
+    * approximation of a byte-pair tokenizer's pre-tokenization). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text).cast("double")
+    val p = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
+    when(n > 0, p / n).otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens found in `words` (a small in-plan literal array —
+    * broadcast-free; it folds into the generated code). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val hits = size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+    val n = tokenCount(text)
+    when(n > 0, hits.cast("double") / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Public, conventional stopword samples per language (tiny on purpose:
+    * the heuristic needs discrimination, not coverage). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "pour", "dans", "que"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "en", "por", "como"))
+
+  /** n-gram-free language ID heuristic: highest stopword-hit ratio wins,
+    * ties broken in fixed en>de>fr>es order; high non-ASCII ratio
+    * short-circuits to "cjk"; no hits at all → "unknown". */
+  def languageId(text: Column): Column = {
+    val ratios = Seq("en", "de", "fr", "es").map(l => l -> wordSetRatio(text, stopwords(l)))
+    val maxR = greatest(ratios.map(_._2): _*)
+    val nonAscii = {
+      val n = length(text).cast("double")
+      val na = length(regexp_replace(text, "[\\x00-\\x7F]", "")).cast("double")
+      when(n > 0, na / n).otherwise(lit(0.0))
+    }
+    // en>de>fr>es tie-break: the innermost when is built first (es), the
+    // outermost (en) tested first
+    val pickOrdered = ratios.reverse.foldLeft(lit("unknown")) { case (rest, (l, r)) =>
+      when(r === maxR && r > 0, lit(l)).otherwise(rest)
+    }
+    when(nonAscii > 0.3, lit("cjk")).otherwise(pickOrdered)
+  }
+
+  /** Composite quality score in [0,1]: length adequacy + low punctuation
+    * noise + stopword presence (a cheap fluency proxy). Fixed evaluation
+    * order keeps the double arithmetic reproducible across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) - punctRatio(text)
+    val stopTerm = least(wordSetRatio(text, stopwords("en")) * lit(5.0), lit(1.0))
+    round(lenTerm * lit(0.4) + punctTerm * lit(0.3) + stopTerm * lit(0.3), 6)
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup
+    * key. (md5 rather than xxhash so external engines can reproduce it.) */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

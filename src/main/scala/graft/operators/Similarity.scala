@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale notes (100 TB): brute force broadcasts the (small) query set
+  * and scans the corpus once — a narrow map + per-query top-k, no
+  * shuffle of the big side; cost O(|corpus|·|queries|·dim), exact. The
+  * LSH variant hashes both sides into sign-pattern buckets so each query
+  * only scores its bucket (multi-probe over single-bit flips recovers
+  * recall); corpus re-bucketing is a one-off map, and the join shuffles
+  * only the bucketed candidates. Dot products are `zip_with` +
+  * `aggregate` in double precision — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double (fixed left-to-right accumulation ⇒ reproducible). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector, by brute-force cosine.
+    * `queries` must be small (it is broadcast). Ties broken by id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .crossJoin(q) // broadcast-nested-loop: corpus scanned once, never shuffled
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): murmur3 of the pair, mapped to (-0.5, 0.5). In-plan
+    * arithmetic — every executor computes the same planes, nothing is
+    * shipped. */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(hash(p, d), lit(10007)).cast("double") / lit(10007.0)) - lit(0.5)
+
+  /** Sign-pattern LSH bucket id of a vector: bit p = sign of dot(vec,
+    * plane_p), packed into an int. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, d) => v.cast("double") * planeComponent(lit(p), d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: score only corpus vectors whose LSH bucket matches the
+    * query's bucket or differs by one bit (multi-probe), then exact
+    * cosine re-rank within candidates. Recall is probabilistic;
+    * precision is exact (true cosine on every returned pair). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    // multi-probe: the query claims its own bucket plus all 1-bit flips
+    val probes = array(
+      (lshBucket(col("qvec"), numPlanes) +: (0 until numPlanes).map(p =>
+        lshBucket(col("qvec"), numPlanes).bitwiseXOR(lit(1 << p)))): _*)
+    val qb = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("bucket", explode(probes)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(qb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: bucketed candidate generation (same
+    * sign-LSH), exact cosine ≥ threshold re-check. Never all-pairs. */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double,
+                            numPlanes: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
+    val r = b.select(col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
+    l.join(r, Seq("bucket")).filter(col("idA") < col("idB"))
+      .withColumn("cosine", cosine(col("vecA"), col("vecB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+}

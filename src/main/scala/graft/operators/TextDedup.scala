@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Document deduplication for training-data pipelines: exact
+  * (normalize+hash), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+  * all with BUCKETED candidate generation, never an all-pairs cross
+  * join.
+  *
+  * Scale notes (100 TB): every variant is
+  *   map (per-doc signature, codegen'd column algebra)
+  *   → explode to (bucket, doc) pairs
+  *   → shuffle on bucket (the only wide op; bucket cardinality ≈ corpus
+  *     size, so partitions stay balanced)
+  *   → within-bucket self-join (tiny groups)
+  *   → exact re-check of candidates only.
+  * An O(n²) cosine/Jaccard join would be the single worst scale-killer
+  * possible at this size; the LSH recall/precision knobs (numHashes,
+  * bands) trade re-check cost, not correctness of the exact re-check.
+  */
+object TextDedup {
+
+  /** Exact dedup: keep the lowest-id document per normalized-text
+    * fingerprint. Deterministic (min-id, not arbitrary) so results are
+    * stable and oracle-checkable. One hash-shuffle, same shape as the
+    * reference's PK dedup (A2). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Word w-shingles of the normalized text (distinct). Built with
+    * higher-order functions — stays in codegen. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(0), n - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for hash function i (murmur3 salted with i), the
+    * minimum over the doc's shingles. numHashes independent permutation
+    * approximations ⇒ P(sig_i equal) ≈ Jaccard similarity. */
+  def minhashSignature(text: Column, numHashes: Int = 64, w: Int = 3): Column = {
+    val sh = shingles(text, w)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => hash(s, i))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; docs sharing ANY band hash are
+    * candidates. Returns (bucket key columns, exploded). */
+  private def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(sig, b * rows + 1, lit(rows))).as("bh")))
+  }
+
+  /** Near-duplicate pairs by MinHash+LSH: candidate pairs from banded
+    * buckets, then EXACT shingle-Jaccard re-check ≥ `threshold`.
+    * Output: (idA, idB, jaccard) with idA < idB, deduped. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.7, numHashes: Int = 64,
+                          bands: Int = 16, w: Int = 3): DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), w).as("sh"),
+      minhashSignature(col(textCol), numHashes, w).as("sig"))
+    val buckets = docs
+      .select(col("id"), col("sh"),
+        explode(bandBuckets(col("sig"), numHashes, bands)).as("bucket"))
+    val a = buckets.select(col("bucket"), col("id").as("idA"), col("sh").as("shA"))
+    val b = buckets.select(col("bucket"), col("id").as("idB"), col("sh").as("shB"))
+    val cand = a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
+      .select("idA", "idB", "shA", "shB").dropDuplicates("idA", "idB")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per-token murmur3×2 → 64 bit votes (+1 present /
+    * −1 absent) summed over tokens; bit b set iff its vote is positive.
+    * Pure higher-order-function algebra, no UDF (the 64 per-bit
+    * aggregates are unrolled at plan-build time — heavy expression tree,
+    * but still a narrow map over the corpus). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text),
+      t => hash(t).cast("long") * lit(4294967296L) + // hi 32 bits
+        (hash(t, lit(1)).cast("long") + lit(2147483648L))) // lo 32, unsigned
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (v, h) => v + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1)))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash: candidates share at least one of
+    * four 16-bit bands (any pair within Hamming distance 3 must agree on
+    * ≥1 band — pigeonhole), then exact Hamming re-check ≤ maxDistance. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDistance: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = docs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
+        .as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("idA"), col("sh").as("shA"))
+    val b = banded.select(col("bucket"), col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", hammingDistance(col("shA"), col("shB")))
+      .filter(col("hamming") <= maxDistance)
+      .select("idA", "idB", "hamming")
+  }
+
+  /** Exact n-gram Jaccard near-dup with prefix blocking: candidates
+    * share the first `blockChars` of normalized text (cheap, SQL-
+    * expressible blocking — an oracle-checkable complement to the
+    * probabilistic LSH path), then exact shingle-Jaccard ≥ threshold. */
+  def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.5, blockChars: Int = 40,
+                          w: Int = 3): DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      substring(TextAnalysis.normalize(col(textCol)), 1, blockChars).as("block"),
+      shingles(col(textCol), w).as("sh"))
+    val a = docs.select(col("block"), col("id").as("idA"), col("sh").as("shA"))
+    val b = docs.select(col("block"), col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("block")).filter(col("idA") < col("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextAnalysis
+
+/** LLM-pipeline operator behavior on controlled fixtures: near-dup
+  * recall, ANN quality vs the brute-force baseline, multimodal plumbing. */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val doc =
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  private def docs = Seq(
+    (1L, doc),
+    (2L, doc + " extra"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away into the woods today"), // near-dup of 1
+    (5L, "Der schnelle braune Fuchs springt nicht mit und ist ein auf zu")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val withDup = docs.unionByName(
+      Seq((10L, "  THE quick   brown fox jumps over the lazy dog and runs far away into the woods tonight "))
+        .toDF("doc_id", "text"))
+    val out = TextDedup.exactDedup(withDup, "doc_id", "text")
+    assert(out.count() == 5)
+    assert(!out.filter($"doc_id" === 10L).isEmpty == false)
+  }
+
+  test("minhash LSH finds the injected near-dup pairs, no false positives across topics") {
+    val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash jaccard estimate matches exact jaccard on candidates") {
+    val exact = TextDedup.ngramJaccardNearDup(docs, "doc_id", "text",
+      threshold = 0.5, blockChars = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = TextDedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // both compute EXACT jaccard on their candidates; where both found a
+    // pair the values must agree
+    exact.keySet.intersect(lsh.keySet).foreach { k =>
+      assert(math.abs(exact(k) - lsh(k)) < 1e-9)
+    }
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, different topics far") {
+    val sh = docs.select($"doc_id", TextDedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(1L)) == 0)
+    assert(ham(sh(1L), sh(4L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val out = docs.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("ANN lsh returns exact-cosine values that appear in the brute-force ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.lshTopK(emb, queries, k = 10).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine equals the exact cosine for that pair
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // recall@10 vs brute force top-10 is nonzero for at least one query
+    val bruteTop = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = ann.map(r => (r.getLong(0), r.getLong(2))).count(bruteTop.contains)
+    assert(hits > 0, "LSH ANN found none of the true top-10 neighbors")
+  }
+
+  test("multimodal: metadata-only query prunes the binary column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text", "text")
+    media.write.mode("overwrite").parquet(dir)
+    val metaOnly = spark.read.parquet(dir).select("media_id", "kind", "meta.n_bytes")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    assert(!scan.contains("bytes#") || scan.contains("ReadSchema: struct<media_id"),
+      s"binary column not pruned:\n$scan")
+    assert(metaOnly.count() == 5)
+  }
+
+  test("multimodal: frame sampling chunks the byte stream") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text", "text")
+    val frames = media.select($"media_id",
+      Multimodal.stubSampleFrames($"bytes", chunk = 10, stride = 2).as("frames"))
+      .withColumn("n", size($"frames")).collect()
+    frames.foreach { r => assert(r.getAs[Int]("n") > 0) }
+  }
+
+  test("multimodal: per-partition feature extraction yields fixed-width vectors") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text", "text")
+    val out = Multimodal.extractFeatures(spark, media).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == 8)
+    }
+    // deterministic: same input, same features
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}
