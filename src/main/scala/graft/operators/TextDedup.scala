@@ -49,14 +49,21 @@ object TextDedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: for hash function i (murmur3 salted with i), the
-    * minimum over the doc's shingles. numHashes independent permutation
-    * approximations ⇒ P(sig_i equal) ≈ Jaccard similarity. */
-  def minhashSignature(text: Column, numHashes: Int = 64, w: Int = 3): Column = {
-    val sh = shingles(text, w)
+  /** MinHash signature FROM A MATERIALIZED shingle column: for hash
+    * function i (murmur3 salted with i), the minimum over the doc's
+    * shingles. numHashes independent permutation approximations ⇒
+    * P(sig_i equal) ≈ Jaccard similarity.
+    *
+    * `sh` must be a stored column reference, not an inline shingle
+    * expression — an expression nested here is re-evaluated once per
+    * hash function (64× the tokenization cost; measured 60× slower). */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => hash(s, i))))
-  }
+
+  /** Convenience one-shot form (tests, single-pass use). */
+  def minhashSignature(text: Column, numHashes: Int = 64, w: Int = 3): Column =
+    minhashSignatureOfShingles(shingles(text, w), numHashes)
 
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows each; docs sharing ANY band hash are
@@ -73,18 +80,23 @@ object TextDedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.7, numHashes: Int = 64,
                           bands: Int = 16, w: Int = 3): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), w).as("sh"),
-      minhashSignature(col(textCol), numHashes, w).as("sig"))
+    // two-stage projection: shingles stored once, signature computed from
+    // the stored column (NOT inline — see minhashSignatureOfShingles)
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .withColumn("sig", minhashSignatureOfShingles(col("sh"), numHashes))
+      .persist()
+    // candidate ids travel WITHOUT their shingle arrays (ids are what
+    // shuffles); arrays re-attach after pair dedup
     val buckets = docs
-      .select(col("id"), col("sh"),
-        explode(bandBuckets(col("sig"), numHashes, bands)).as("bucket"))
-    val a = buckets.select(col("bucket"), col("id").as("idA"), col("sh").as("shA"))
-    val b = buckets.select(col("bucket"), col("id").as("idB"), col("sh").as("shB"))
-    val cand = a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
-      .select("idA", "idB", "shA", "shB").dropDuplicates("idA", "idB")
+      .select(col("id"), explode(bandBuckets(col("sig"), numHashes, bands)).as("bucket"))
+    val cand = buckets.select(col("bucket"), col("id").as("idA"))
+      .join(buckets.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").dropDuplicates("idA", "idB")
+    val sh = docs.select(col("id"), col("sh"))
     cand
+      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
       .withColumn("jaccard",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB"))).cast("double"))
@@ -97,10 +109,19 @@ object TextDedup {
     * Pure higher-order-function algebra, no UDF (the 64 per-bit
     * aggregates are unrolled at plan-build time — heavy expression tree,
     * but still a narrow map over the corpus). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text),
+  def simhash(text: Column): Column =
+    simhashOfHashes(tokenHashes(text))
+
+  /** Per-token 64-bit hashes (murmur3×2) — materialize this column first,
+    * then feed [[simhashOfHashes]]: inlining it re-evaluates the
+    * tokenization once per bit (64×). */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
       t => hash(t).cast("long") * lit(4294967296L) + // hi 32 bits
         (hash(t, lit(1)).cast("long") + lit(2147483648L))) // lo 32, unsigned
+
+  /** SimHash from a STORED token-hash column (see [[tokenHashes]]). */
+  def simhashOfHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),
         (v, h) => v + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1))
@@ -119,7 +140,9 @@ object TextDedup {
     * ≥1 band — pigeonhole), then exact Hamming re-check ≤ maxDistance. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDistance: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val docs = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), simhashOfHashes(col("th")).as("sh"))
     val banded = docs.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
