@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Integrity, Multimodal, Similarity, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
-import graft.streaming.Ingest
+import graft.streaming.{Ingest, WindowedAgg}
 
 /** The SURVEY.md §2 operator surface as named queries over the driver
   * testdata (TESTDATA.md), each with a DuckDB oracle in
@@ -203,6 +203,21 @@ object Queries {
       .select("event_id", "user_id", "event_type", "value", "date")
   }
 
+  /** S4 — catalog scan: tables registered in the session catalog and
+    * queried through `spark.sql` — the reference's Glue-crawler + Athena
+    * path (SURVEY.md §3.3). The SQL itself is the reference's validation
+    * query shape: COUNT(*) + a partition-filtered aggregate. */
+  def sqlCatalogQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** L1 — deterministic LIMIT (ORDER BY + LIMIT so the oracle agrees;
     * reference: step_functions.json:193). */
   def limitTopK(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +371,28 @@ object Queries {
       .select("o_custkey", "o_orderkey", "o_totalprice")
   }
 
+  /** Streaming tumbling-window aggregate over events (complete-mode
+    * snapshot): after AvailableNow drains the source the result equals
+    * the batch aggregation — checked by the oracle. */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_window", dir)
+    // events.parquet is TIMESTAMP(NANOS); set the conf before the
+    // streaming schema probe touches it
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(s, dir, "events").schema
+    // the file-stream source needs a DIRECTORY: stage the single file
+    val landing = java.nio.file.Paths.get(base, "landing")
+    java.nio.file.Files.createDirectories(landing)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      landing.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    WindowedAgg.tumblingComplete(s, landing.toString,
+      Tables.eventsTs("ts"), "event_type", "value", "1 day",
+      s"$base/out", s"$base/checkpoint", schema)
+    s.read.parquet(s"$base/out")
+  }
+
   // ---------------------------------------------------------------------
   // LLM-pipeline operators: text analysis / dedup / similarity / media
   // ---------------------------------------------------------------------
@@ -469,12 +506,14 @@ object Queries {
     "dedup_deterministic" -> (dedupDeterministic _),
     "upsert_merge" -> (upsertMerge _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
+    "sql_catalog_query" -> (sqlCatalogQuery _),
     "limit_topk" -> (limitTopK _),
     "q1_pricing" -> (q1Pricing _),
     "star_join_agg" -> (starJoinAgg _),
     "window_top_orders" -> (windowTopOrders _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
+    "stream_window_agg" -> (streamWindowAgg _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -559,6 +598,13 @@ object Queries {
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events
         |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-05'""".stripMargin,
+    "sql_catalog_query" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
@@ -611,6 +657,11 @@ object Queries {
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS window_date,
+        |       event_type, count(*) AS cnt,
+        |       round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Validation
+import org.apache.spark.sql.types._
+
+/** Plan-shape assertions: the optimizations the 100 TB design depends on
+  * must actually appear in the physical plan — pushed filters, broadcast
+  * joins, partial aggregation, shuffle-free maps. A correctness-green
+  * query with the wrong plan is a scale bug. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter is pushed to the parquet scan and aggregation is partial+final") {
+    val plan = planOf(Queries.q1Pricing(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val plan = planOf(Queries.q1Pricing(spark, sf))
+    // plan strings truncate ReadSchema; assert on the scan's column list
+    assert(plan.contains("FileScan parquet [l_quantity#"),
+      s"column pruning failed:\n$plan")
+    assert(!plan.contains("l_orderkey#"), s"unreferenced column read:\n$plan")
+  }
+
+  test("star join: dimension joins broadcast, fact side never shuffles for the joins") {
+    val plan = planOf(Queries.starJoinAgg(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"dims not broadcast:\n$plan")
+  }
+
+  test("validation composite is shuffle-free (single-pass map)") {
+    val dirty = Tables.load(spark, sf, "orders")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType, nullable = false)))
+    val r = Validation.validate(
+      dirty.select("o_orderkey", "o_custkey"), schema, "o_orderkey",
+      cache = false)
+    val plan = planOf(r.valid)
+    assert(!plan.contains("Exchange"), s"validation shuffled:\n$plan")
+  }
+
+  test("text stats pipeline is shuffle-free") {
+    val plan = planOf(Queries.textStats(spark, sf))
+    assert(!plan.contains("Exchange"), s"text stats shuffled:\n$plan")
+  }
+
+  test("RI semi join prunes the dim to its key column") {
+    val plan = planOf(Queries.riSemiJoin(spark, sf))
+    assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
+    // dim scan must read only the join key + pushed filter column
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_size:int>"),
+      s"dim not pruned:\n$plan")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    val df = Queries.q1Pricing(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    // codegen'd operators carry the *(stageId) marker in the final plan
+    assert(plan.contains("*(1)"), s"no codegen:\n$plan")
+  }
+}
