@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double (fixed left-to-right accumulation ⇒ reproducible). */
+  /** Cosine similarity between two float-array columns — the native
+    * codegen expression (one fused loop inside whole-stage codegen;
+    * see [[graft.functions.expressions.CosineSimilarity]]). */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Composable higher-order-function form of [[cosine]] — interpreted
+    * (≈3 passes + per-element closures); kept as the readable reference
+    * implementation and the cross-check for the codegen expression.
+    * Double accumulation, left-to-right — bit-identical to [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
