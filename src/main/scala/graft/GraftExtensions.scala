@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.CosineSimilarity
+
+/** Session extension registering the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)        // or:
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * This is the engine's `SparkSessionExtensions` surface — only genuinely
+  * non-expressible operators live here (SURVEY.md §2.11: the reference
+  * needs none; the similarity kernel is our 100 TB extension).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_similarity takes 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -469,6 +469,14 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    * re-check (probabilistic candidate recall ⇒ rows-only check; the
+    * cosine values themselves are exact). */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      t(s, dir, "embeddings"), threshold = 0.5)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("cosine"))
+
   /** Multimodal plumbing: documents wrapped as binary media payloads,
     * metadata + stub-decoded dimensions (decode is a deterministic fake;
     * the binary/schema/pruning path is real). */
@@ -523,6 +531,7 @@ object Queries {
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "embedding_topk" -> (embeddingTopK _),
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
+    "embedding_neardup" -> (embeddingNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 

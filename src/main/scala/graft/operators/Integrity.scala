@@ -23,8 +23,17 @@ object Integrity {
   /** Split fact rows into (kept = key exists in dim, orphans = it
     * doesn't). `factKey`/`dimKey` may differ (star-schema FK naming). */
   def split(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-            broadcastDim: Boolean = false): (DataFrame, DataFrame) = {
-    val keys0 = dim.select(col(dimKey).as(factKey)).distinct()
+            broadcastDim: Boolean = false): (DataFrame, DataFrame) =
+    splitOnKeys(fact, dim.select(col(dimKey).as(factKey)).distinct(),
+      factKey, broadcastDim)
+
+  /** Split against a pre-extracted distinct key frame (single column
+    * named `factKey`). Callers issuing several actions over the same
+    * split should `persist()` the key frame first — otherwise every
+    * action re-scans the dim table (at 100 TB: re-lists and re-reads a
+    * partitioned table per count). */
+  def splitOnKeys(fact: DataFrame, keys0: DataFrame, factKey: String,
+                  broadcastDim: Boolean = false): (DataFrame, DataFrame) = {
     val keys = if (broadcastDim) broadcast(keys0) else keys0
     (fact.join(keys, Seq(factKey), "left_semi"),
      fact.join(keys, Seq(factKey), "left_anti"))

@@ -67,52 +67,68 @@ object Pipeline {
     }.toMap
 
     val results = jobs.map { job =>
+      val t0 = System.nanoTime()
+      def lap(tag: String): Unit =
+        println(f"[pipeline] ${job.name} $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
       val raw = Tables.readCsv(spark, job.schema, s"$rawDir/${job.name}/")
       val readCount = raw.count()
+      lap("read")
 
       // validate (§2.12) — one cached pass, rejects written once (K3)
       val vr = Validation.validate(raw, job.schema, job.primaryKey)
       Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}")
       val validCount = vr.valid.count()
+      lap("validate")
 
-      // RI against the freshly-written dims (J1/J2) — semi/anti split,
-      // dim reduced to its key column and broadcast
+      // RI against the freshly-written dims (J1/J2) — semi/anti split;
+      // the dim key set is persisted so the orphan count and the upsert
+      // lineage don't each re-list + re-scan the partitioned dim table
       var kept = vr.valid
       var orphaned = 0L
-      job.foreignKeys.foreach { case (fk, dimName, dimKey) =>
-        val dim = tables(dimName).read
-        val (ok, orphans) = Integrity.split(kept, dim, fk, dimKey,
+      val cachedKeys = job.foreignKeys.map { case (fk, dimName, dimKey) =>
+        val keys = tables(dimName).read
+          .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
+          .distinct().persist()
+        val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
           broadcastDim = true)
         val orphanCount = orphans.count()
         if (orphanCount > 0)
           Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
         orphaned += orphanCount
         kept = ok
+        keys
       }
+      lap("ri")
 
       // dedup (A2) then MERGE upsert (K2)
       val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
       tables(job.name).upsert(deduped)
+      lap("upsert")
       vr.unpersist()
-      val loaded = tables(job.name).read.count()
+      cachedKeys.foreach(_.unpersist())
       JobResult(job.name, readCount, validCount,
-        readCount - validCount, orphaned, loaded)
+        readCount - validCount, orphaned, loaded = -1L)
     }
 
     archive(spark, rawDir, archivedDir)
 
-    // post-load validation gates, fanned out concurrently (A3/T7)
+    // post-load validation gates, fanned out concurrently (A3/T7); the
+    // COUNT(*) gate doubles as the per-table loaded count (one scan, not
+    // a separate loaded-count pass per job)
     jobs.foreach(j => tables(j.name).registerAs(j.name))
     val gates = jobs.map { j =>
       Future {
         val n = spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
           .head().getLong(0)
         val sample = spark.sql(s"SELECT * FROM ${j.name} LIMIT 10").count()
-        n > 0 && sample > 0
+        (n, n > 0 && sample > 0)
       }
     }
-    val gatesPassed = Await.result(Future.sequence(gates), Duration.Inf).forall(identity)
-    Report(results, gatesPassed)
+    val gateResults = Await.result(Future.sequence(gates), Duration.Inf)
+    val withLoaded = results.zip(gateResults).map { case (r, (n, _)) =>
+      r.copy(loaded = n)
+    }
+    Report(withLoaded, gateResults.forall(_._2))
   }
 
   /** T3 — archive-after-success: move everything under raw/ to archived/
