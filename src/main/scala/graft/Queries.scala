@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Integrity, Multimodal, Similarity, TextDedup, Validation}
+import graft.operators.{Dedup, Integrity, Multimodal, Similarity, Skew, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.{Ingest, WindowedAgg}
 
@@ -469,6 +469,28 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** IVF ANN top-10 (centroid inverted lists, nProbe nearest lists,
+    * exact re-rank). Probabilistic recall ⇒ rows-only; unit tests pin
+    * recall vs brute force. */
+  def embeddingAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      nCentroids = 16, nProbe = 6)
+  }
+
+  /** Salted skewed equi-join + aggregate: result must be identical to
+    * the plain join (the salt is plan-level only) — oracle-checked. */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedEquiJoin(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority")),
+      "l_orderkey", numSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets + exact
     * re-check (probabilistic candidate recall ⇒ rows-only check; the
     * cosine values themselves are exact). */
@@ -532,6 +554,8 @@ object Queries {
     "embedding_topk" -> (embeddingTopK _),
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
+    "embedding_ann_ivf" -> (embeddingAnnIvf _),
+    "salted_join_agg" -> (saltedJoinAgg _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -742,6 +766,11 @@ object Queries {
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rk <= 10""".stripMargin,
+    "salted_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,

@@ -109,6 +109,63 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) index: every vector assigned to its nearest of
+    * `nCentroids` centroids. Centroids are a deterministic pseudo-random
+    * sample of the corpus (smallest murmur3(vec_id) — a stable stand-in
+    * for k-means training, which would slot in here unchanged). The
+    * assignment is |corpus| × nCentroids codegen cosines — a narrow map
+    * against a broadcast centroid set. */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(
+      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+        .orderBy(pmod(hash(col("centroid_id")), lit(1000000007)), col("centroid_id"))
+        .limit(nCentroids))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(centroids)
+      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: queries probe their `nProbe` nearest centroids and
+    * score only vectors in those inverted lists, exact cosine re-rank.
+    * Recall grows with nProbe; precision is exact. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val indexed = ivfIndex(corpus, nCentroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        col("centroid_id"))
+    val centroids = broadcast(
+      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+        .orderBy(pmod(hash(col("centroid_id")), lit(1000000007)), col("centroid_id"))
+        .limit(nCentroids))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(centroids)
+        .withColumn("__sim", cosine(col("qvec"), col("cvec")))
+        .withColumn("__rk", row_number().over(probeW))
+        .filter(col("__rk") <= nProbe)
+        .select(col("query_id"), col("qvec"), col("centroid_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: bucketed candidate generation (same
     * sign-LSH), exact cosine ≥ threshold re-check. Never all-pairs. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
