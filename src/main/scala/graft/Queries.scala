@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Integrity, Multimodal, Similarity, Skew, TextDedup, Validation}
+import graft.operators.{Dedup, Integrity, Multimodal, Sessionize, Similarity, Skew, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.{Ingest, WindowedAgg}
 
@@ -469,6 +469,14 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Gap-based sessionization of the event stream (30-minute gap):
+    * gaps-and-islands via two window passes + one grouped aggregate,
+    * all sharing a single shuffle on user_id. */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+      t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_id",
+      "value", gapSeconds = 1800)
+
   /** IVF ANN top-10 (centroid inverted lists, nProbe nearest lists,
     * exact re-rank). Probabilistic recall ⇒ rows-only; unit tests pin
     * recall vs brute force. */
@@ -556,6 +564,7 @@ object Queries {
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
     "salted_join_agg" -> (saltedJoinAgg _),
+    "sessionize_events" -> (sessionizeEvents _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -766,6 +775,24 @@ object Queries {
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rk <= 10""".stripMargin,
+    "sessionize_events" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS started, max(ts) AS ended,
+        |  round(sum(value), 2) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
     "salted_join_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(l_extendedprice), 2) AS revenue
