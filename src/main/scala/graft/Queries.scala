@@ -454,6 +454,23 @@ object Queries {
       threshold = 0.5, blockChars = 40)
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jaccard"))
 
+  /** End-to-end training-data curation: quality gate → language gate →
+    * exact dedup → per-source corpus stats. The composition every
+    * LLM-data pipeline runs before tokenization, as one declarative
+    * plan (filters fold into the scan; dedup is the only shuffle). */
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+    TextDedup.exactDedup(scored, "doc_id", "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   /** Brute-force cosine top-10 for the first five vectors as queries —
     * the exact ANN baseline. */
   def embeddingTopK(s: SparkSession, dir: String): DataFrame = {
@@ -565,6 +582,7 @@ object Queries {
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
+    "corpus_curation" -> (corpusCuration _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -572,6 +590,31 @@ object Queries {
     * [[graft.functions.TextAnalysis.normalize]]. */
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def ratioSql(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(toks)::DOUBLE"
+
+  private val REn = ratioSql(TextAnalysis.stopwords("en"))
+  private val RDe = ratioSql(TextAnalysis.stopwords("de"))
+  private val RFr = ratioSql(TextAnalysis.stopwords("fr"))
+  private val REs = ratioSql(TextAnalysis.stopwords("es"))
+
+  /** DuckDB-side quality score, identical to TextAnalysis.qualityScore
+    * (expects CTE columns toks/n/p). */
+  private val QualitySql =
+    s"""round(
+       |  least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+       |  (1.0 - CASE WHEN n > 0 THEN p::DOUBLE / n::DOUBLE ELSE 0.0 END) * 0.3 +
+       |  least(($REn) * 5.0, 1.0) * 0.3, 6)""".stripMargin
+
+  /** DuckDB-side language id (expects toks/n/na). */
+  private val LangPredSql =
+    s"""CASE WHEN (CASE WHEN n > 0 THEN na::DOUBLE / n::DOUBLE ELSE 0.0 END) > 0.3 THEN 'cjk'
+       |     WHEN $REn = greatest($REn, $RDe, $RFr, $REs) AND $REn > 0 THEN 'en'
+       |     WHEN $RDe = greatest($REn, $RDe, $RFr, $REs) AND $RDe > 0 THEN 'de'
+       |     WHEN $RFr = greatest($REn, $RDe, $RFr, $REs) AND $RFr > 0 THEN 'fr'
+       |     WHEN $REs = greatest($REn, $RDe, $RFr, $REs) AND $REs > 0 THEN 'es'
+       |     ELSE 'unknown' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "scan_counts" ->
@@ -775,6 +818,25 @@ object Queries {
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rk <= 10""".stripMargin,
+    "corpus_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars,
+         |    string_split($NormSql, ' ') AS toks,
+         |    length(text) AS n,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p,
+         |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, n_chars,
+         |    $QualitySql AS quality,
+         |    $LangPredSql AS lang_pred
+         |  FROM base)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  sum(n_chars) AS total_chars
+         |FROM scored
+         |WHERE quality >= 0.5 AND lang_pred = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
     "sessionize_events" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
