@@ -408,11 +408,13 @@ object Queries {
       TextAnalysis.qualityScore(txt).as("quality"))
   }
 
-  /** Language-ID heuristic per document. */
+  /** Language-ID heuristic per document (tokens materialized once). */
   def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      TextAnalysis.languageId(col("text")).as("lang_pred"))
+    t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageIdOfTokens(col("__toks"), col("text")).as("lang_pred"))
 
   /** Document fingerprinting (md5 of normalized text). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -460,9 +462,13 @@ object Queries {
     * plan (filters fold into the scan; dedup is the only shuffle). */
   def corpusCuration(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("quality",
+        TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")))
+      .withColumn("lang_pred",
+        TextAnalysis.languageIdOfTokens(col("__toks"), col("text")))
       .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      .drop("__toks")
     TextDedup.exactDedup(scored, "doc_id", "text")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -484,6 +490,32 @@ object Queries {
   def embeddingAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key, so the sort-merge join runs with NO exchange under it —
+    * the bucketing-based shuffle elimination a repeated fact-fact join
+    * depends on at 100 TB (shuffle once at write time, never per query).
+    * The merge hint keeps the small side from broadcasting so the
+    * co-location actually shows in the plan (PlanSpec asserts it). */
+  def bucketedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val liTable = "graft_lineitem_bucketed"
+    val ordTable = "graft_orders_bucketed"
+    val base = scratch("bucketed", dir)
+    if (!s.catalog.tableExists(liTable)) {
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(liTable)
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordTable)
+    }
+    s.table(liTable)
+      .join(s.table(ordTable).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
   }
 
   /** Gap-based sessionization of the event stream (30-minute gap):
@@ -583,6 +615,7 @@ object Queries {
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
     "corpus_curation" -> (corpusCuration _),
+    "bucketed_join_agg" -> (bucketedJoinAgg _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -855,6 +888,11 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "bucketed_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "salted_join_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(l_extendedprice), 2) AS revenue

@@ -42,9 +42,16 @@ object TextAnalysis {
 
   /** Fraction of tokens found in `words` (a small in-plan literal array —
     * broadcast-free; it folds into the generated code). */
-  def wordSetRatio(text: Column, words: Seq[String]): Column = {
-    val hits = size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
-    val n = tokenCount(text)
+  def wordSetRatio(text: Column, words: Seq[String]): Column =
+    wordSetRatioOfTokens(tokens(text), words)
+
+  /** Same, from a MATERIALIZED tokens column. Prefer this whenever more
+    * than one ratio is computed over the same text: an inline `tokens`
+    * expression re-normalizes and re-splits once per ratio (the
+    * languageId heuristic alone would tokenize 8+ times per row). */
+  def wordSetRatioOfTokens(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    val n = size(toks)
     when(n > 0, hits.cast("double") / n.cast("double")).otherwise(lit(0.0))
   }
 
@@ -59,8 +66,13 @@ object TextAnalysis {
   /** n-gram-free language ID heuristic: highest stopword-hit ratio wins,
     * ties broken in fixed en>de>fr>es order; high non-ASCII ratio
     * short-circuits to "cjk"; no hits at all → "unknown". */
-  def languageId(text: Column): Column = {
-    val ratios = Seq("en", "de", "fr", "es").map(l => l -> wordSetRatio(text, stopwords(l)))
+  def languageId(text: Column): Column =
+    languageIdOfTokens(tokens(text), text)
+
+  /** languageId from a MATERIALIZED tokens column (see
+    * [[wordSetRatioOfTokens]] for why callers should pre-project it). */
+  def languageIdOfTokens(toks: Column, text: Column): Column = {
+    val ratios = Seq("en", "de", "fr", "es").map(l => l -> wordSetRatioOfTokens(toks, stopwords(l)))
     val maxR = greatest(ratios.map(_._2): _*)
     val nonAscii = {
       val n = length(text).cast("double")
@@ -78,10 +90,14 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length adequacy + low punctuation
     * noise + stopword presence (a cheap fluency proxy). Fixed evaluation
     * order keeps the double arithmetic reproducible across engines. */
-  def qualityScore(text: Column): Column = {
-    val lenTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreOfTokens(tokens(text), text)
+
+  /** qualityScore from a MATERIALIZED tokens column. */
+  def qualityScoreOfTokens(toks: Column, text: Column): Column = {
+    val lenTerm = least(size(toks).cast("double") / lit(100.0), lit(1.0))
     val punctTerm = lit(1.0) - punctRatio(text)
-    val stopTerm = least(wordSetRatio(text, stopwords("en")) * lit(5.0), lit(1.0))
+    val stopTerm = least(wordSetRatioOfTokens(toks, stopwords("en")) * lit(5.0), lit(1.0))
     round(lenTerm * lit(0.4) + punctTerm * lit(0.3) + stopTerm * lit(0.3), 6)
   }
 

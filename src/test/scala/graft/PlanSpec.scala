@@ -61,6 +61,23 @@ class PlanSpec extends SparkSpec {
       s"dim not pruned:\n$plan")
   }
 
+  test("bucketed join: sort-merge with no exchange below the join") {
+    val df = Queries.bucketedJoinAgg(spark, sf)
+    df.collect()
+    // keep only the final adaptive plan (the appended "== Initial
+    // Plan ==" section would false-positive the exchange check)
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    // the only shuffle allowed is the one ABOVE the join for the final
+    // groupBy/orderBy — the join inputs read bucketed, no repartition
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"join inputs were shuffled despite bucketing:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan not bucketed:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan
