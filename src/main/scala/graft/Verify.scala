@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is a gate-scale convenience (sf0.01 results are tiny
+      // and single-file output simplifies the DuckDB compare) — NOT a
+      // pattern for production result sinks, which should keep the
+      // query's natural output partitioning.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
