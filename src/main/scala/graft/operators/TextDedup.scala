@@ -164,10 +164,12 @@ object TextDedup {
   def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.5, blockChars: Int = 40,
                           w: Int = 3): DataFrame = {
+    // persisted: both self-join sides reuse one tokenization pass
     val docs = df.select(
       col(idCol).as("id"),
       substring(TextAnalysis.normalize(col(textCol)), 1, blockChars).as("block"),
       shingles(col(textCol), w).as("sh"))
+      .persist()
     val a = docs.select(col("block"), col("id").as("idA"), col("sh").as("shA"))
     val b = docs.select(col("block"), col("id").as("idB"), col("sh").as("shB"))
     a.join(b, Seq("block")).filter(col("idA") < col("idB"))
