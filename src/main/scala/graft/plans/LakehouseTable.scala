@@ -111,7 +111,7 @@ final class LakehouseTable(
           read.join(broadcast(src.select(pc).distinct()), Seq(pc), "left_semi")
       val merged = targetSlice
         .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
-        .unionByName(src.select(targetSlice.columns.map(col): _*))
+        .unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
       clustered(merged).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(pc).parquet(path)
@@ -128,7 +128,7 @@ final class LakehouseTable(
     if (!exists) { create(source); return }
     val merged = read
       .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-      .unionByName(source.select(read.columns.map(col): _*))
+      .unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
     val staging = path + ".staging"
     val backup = path + ".backup"
     val w = clustered(merged).write.mode("overwrite")
