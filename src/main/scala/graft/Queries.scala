@@ -358,6 +358,40 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** HAVING-style post-aggregation filter (filter on a rounded aggregate
+    * so both engines test the same boundary). */
+  def havingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("spend") > 300000.0d)
+      .orderBy("o_custkey")
+
+  /** Correlated EXISTS / NOT EXISTS subqueries through spark.sql —
+    * Catalyst's subquery decorrelation rewrites both into semi/anti
+    * joins (integer-only output, no float edge). */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** ROLLUP aggregation with grouping-level id — multi-level aggregates
+    * in one pass. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast(IntegerType).as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+
   /** Window ranking: top order per customer by value (deterministic
     * tiebreak) — the engine's window-function surface (§2.6's
     * row_number primitive, generalized). */
@@ -598,6 +632,9 @@ object Queries {
     "q1_pricing" -> (q1Pricing _),
     "star_join_agg" -> (starJoinAgg _),
     "window_top_orders" -> (windowTopOrders _),
+    "having_agg" -> (havingAgg _),
+    "exists_subquery" -> (existsSubquery _),
+    "rollup_agg" -> (rollupAgg _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -751,6 +788,26 @@ object Queries {
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk = 1""".stripMargin,
+    "having_agg" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING round(sum(o_totalprice), 2) > 300000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS lvl
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     "pipeline_e2e" ->
       """WITH numbered AS (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
