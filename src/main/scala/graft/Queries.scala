@@ -455,6 +455,16 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
+  /** Winnowing fingerprints (rolling char-8-gram hashes, window-min
+    * selection), one row per (doc, fingerprint) so the oracle compares
+    * flat rows instead of nested arrays. */
+  def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__norm", TextAnalysis.normalize(col("text")))
+      .withColumn("__grams", TextAnalysis.charGramHashesOfNorm(col("__norm"), k = 8))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("__grams"), w = 4)).as("fp"))
+
   /** Exact dedup: documents unioned with whitespace/case-mutated copies
     * (ids offset by 1e6); normalize+hash dedup must keep exactly the
     * originals. */
@@ -641,6 +651,7 @@ object Queries {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
     "exact_dedup" -> (exactDedup _),
     "minhash_neardup" -> (minhashNearDup _),
     "simhash_neardup" -> (simhashNearDup _),
@@ -878,6 +889,22 @@ object Queries {
          |FROM r""".stripMargin,
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents",
+    "doc_winnow_fingerprints" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) >= 8
+         |      THEN list_transform(range(1, length(norm) - 8 + 2),
+         |                          i -> md5(norm[i:i+7]))
+         |      ELSE [md5(norm)] END AS grams
+         |  FROM (SELECT doc_id, $NormSql AS norm FROM documents)),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(grams) >= 4
+         |      THEN list_transform(range(1, len(grams) - 4 + 2),
+         |                          j -> list_aggregate(grams[j:j+3], 'min'))
+         |      ELSE [list_aggregate(grams, 'min')] END) AS fps
+         |  FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "exact_dedup" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "ngram_jaccard_neardup" ->
