@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Integrity, Multimodal, Sessionize, Similarity, Skew, TextDedup, Validation}
+import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, Sessionize, Similarity, Skew, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.{Ingest, WindowedAgg}
 
@@ -536,6 +536,24 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** As-of join: every event enriched with the user's most recent order
+    * at-or-before the event time (ties on order date break on the
+    * larger order key). One shuffle+sort — no per-row probe. */
+  def asofEventOrder(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val orders = t(s, dir, "orders")
+    AsOfJoin.lastPriorMatch(
+      events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = Tables.eventsTs("ts"), rightTime = col("o_orderdate"),
+      rightTiebreak = "o_orderkey",
+      rightPayloadCols = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("__match.o_orderkey").as("o_orderkey"),
+        col("__match.o_totalprice").as("o_totalprice"))
+  }
+
   /** Bucketed co-located join: both sides written bucketed+sorted on the
     * join key, so the sort-merge join runs with NO exchange under it —
     * the bucketing-based shuffle elimination a repeated fact-fact join
@@ -664,6 +682,7 @@ object Queries {
     "sessionize_events" -> (sessionizeEvents _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
+    "asof_event_order" -> (asofEventOrder _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -972,6 +991,14 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "asof_event_order" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       m.o_orderkey, m.o_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id
+        |    AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) m ON true""".stripMargin,
     "bucketed_join_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(l_quantity), 2) AS sum_qty
