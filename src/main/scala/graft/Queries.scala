@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, Sessionize, Similarity, Skew, TextDedup, Validation}
+import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.{Ingest, WindowedAgg}
 
@@ -554,6 +554,21 @@ object Queries {
         col("__match.o_totalprice").as("o_totalprice"))
   }
 
+  /** Range join: customers whose account balance falls inside a
+    * supplier's balance band — binned candidate generation, never a
+    * nested-loop theta join. Aggregated per customer to keep the output
+    * compact and deterministic. */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.pointInInterval(
+      t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+      t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_acctbal").as("lo"),
+        (col("s_acctbal") + 500.0d).as("hi")),
+      "c_acctbal", "lo", "hi", binWidth = 500.0)
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_bands"), min("s_suppkey").as("first_supp"))
+      .orderBy("c_custkey")
+
   /** Bucketed co-located join: both sides written bucketed+sorted on the
     * join key, so the sort-merge join runs with NO exchange under it —
     * the bucketing-based shuffle elimination a repeated fact-fact join
@@ -683,6 +698,7 @@ object Queries {
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
+    "range_join_bands" -> (rangeJoinBands _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -991,6 +1007,11 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "range_join_bands" ->
+      """SELECT c_custkey, count(*) AS n_bands, min(s_suppkey) AS first_supp
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 500.0
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "asof_event_order" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |       m.o_orderkey, m.o_totalprice
