@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, SortedSetJaccard}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"cosine_similarity takes 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_set_jaccard"),
+      new ExpressionInfo(classOf[SortedSetJaccard].getName, "sorted_set_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_set_jaccard takes 2 arguments, got ${children.length}")
+        SortedSetJaccard(children.head, children(1))
       }))
   }
 }

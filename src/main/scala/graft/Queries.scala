@@ -536,6 +536,47 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** JSON column parsing: events.props is a JSON string; parse with an
+    * explicit schema (from_json — codegen'd Jackson parse, no inference
+    * pass) and aggregate the extracted field. */
+  def jsonExtractProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(
+          StructField("k", IntegerType)))).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k").cast(LongType)).as("sum_k"))
+      .orderBy("event_type")
+
+  /** JSON-lines source round-trip: events staged as JSON files, read
+    * back schema-enforced (no inference), aggregated — the S1 scan shape
+    * for a JSON landing zone. */
+  def jsonScanRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("json_src", dir)
+    val staged = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    staged.write.mode("overwrite").json(s"$base/landing")
+    s.read.schema(staged.schema).json(s"$base/landing")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** ORC source round-trip — same S1 shape for the second columnar
+    * format Spark ships natively. */
+  def orcScanRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("orc_src", dir)
+    val staged = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    staged.write.mode("overwrite").orc(s"$base/landing")
+    s.read.schema(staged.schema).orc(s"$base/landing")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** As-of join: every event enriched with the user's most recent order
     * at-or-before the event time (ties on order date break on the
     * larger order key). One shuffle+sort — no per-row probe. */
@@ -699,6 +740,9 @@ object Queries {
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
     "range_join_bands" -> (rangeJoinBands _),
+    "json_extract_props" -> (jsonExtractProps _),
+    "json_scan_roundtrip" -> (jsonScanRoundtrip _),
+    "orc_scan_roundtrip" -> (orcScanRoundtrip _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -1007,6 +1051,19 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "json_extract_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_scan_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_value,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "orc_scan_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "range_join_bands" ->
       """SELECT c_custkey, count(*) AS n_bands, min(s_suppkey) AS first_supp
         |FROM customer JOIN supplier

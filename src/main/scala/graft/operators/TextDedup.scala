@@ -37,16 +37,26 @@ object TextDedup {
       .drop("__fp", "__rn")
   }
 
-  /** Word w-shingles of the normalized text (distinct). Built with
+  /** Word w-shingles of the normalized text — distinct AND sorted
+    * (binary UTF8 order), the contract [[jaccard]] relies on. Built with
     * higher-order functions — stays in codegen. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     val n = size(toks)
-    array_distinct(
+    sort_array(array_distinct(
       when(n >= w,
         transform(sequence(lit(0), n - w),
           i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-        .otherwise(array(concat_ws(" ", toks))))
+        .otherwise(array(concat_ws(" ", toks)))))
+  }
+
+  /** Exact Jaccard of two shingle columns — the fused codegen merge loop
+    * (see [[graft.functions.expressions.SortedSetJaccard]]); both inputs
+    * must come from [[shingles]] (sorted, distinct). */
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.SortedSetJaccard(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
   /** MinHash signature FROM A MATERIALIZED shingle column: for hash
@@ -97,9 +107,7 @@ object TextDedup {
     cand
       .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
       .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -173,9 +181,7 @@ object TextDedup {
     val a = docs.select(col("block"), col("id").as("idA"), col("sh").as("shA"))
     val b = docs.select(col("block"), col("id").as("idB"), col("sh").as("shB"))
     a.join(b, Seq("block")).filter(col("idA") < col("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
