@@ -81,12 +81,17 @@ final class LakehouseTable(
 
   /** K2 — MERGE upsert. Source must be PK-unique (the reference dedups
     * immediately before merging, orders_etl.py:59-71; multi-row-per-key
-    * merge behavior is unspecified there, SURVEY.md §7.3). */
-  def upsert(source: DataFrame): Unit = {
+    * merge behavior is unspecified there, SURVEY.md §7.3).
+    *
+    * @param evolveSchema allow the source to carry NEW columns: kept
+    *   target rows get nulls for them (Delta's mergeSchema analog).
+    *   Old files stay as-is; reads see the new column as null once the
+    *   caller's declared schema includes it. */
+  def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit = {
     if (!exists) { create(source); return }
     partitionCol match {
-      case Some(pc) => upsertPartitionScoped(source, pc)
-      case None     => upsertFull(source)
+      case Some(pc) => upsertPartitionScoped(source, pc, evolveSchema)
+      case None     => upsertFull(source, evolveSchema)
     }
   }
 
@@ -100,7 +105,8 @@ final class LakehouseTable(
     * partitions present in the source batch. Overwrite mode is set
     * per-write (option, not session conf) so concurrent writers in the
     * same session are unaffected. */
-  private def upsertPartitionScoped(source: DataFrame, pc: String): Unit = {
+  private def upsertPartitionScoped(source: DataFrame, pc: String,
+                                    evolveSchema: Boolean = false): Unit = {
     val src = source.persist()
     try {
       val touched = src.select(pc).distinct().limit(IsinPruneLimit + 1).collect()
@@ -109,9 +115,10 @@ final class LakehouseTable(
           read.filter(col(pc).isin(touched.toSeq.map(_.get(0)): _*))
         else
           read.join(broadcast(src.select(pc).distinct()), Seq(pc), "left_semi")
-      val merged = targetSlice
-        .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
-        .unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
+      val kept = targetSlice.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+      val merged =
+        if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
+        else kept.unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
       clustered(merged).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(pc).parquet(path)
@@ -124,14 +131,32 @@ final class LakehouseTable(
     * backup. A failure at any point leaves either the old table or both
     * directories on disk — never a window with no data (the round-1
     * delete-then-rename had one). */
-  def upsertFull(source: DataFrame): Unit = {
+  def upsertFull(source: DataFrame, evolveSchema: Boolean = false): Unit = {
     if (!exists) { create(source); return }
-    val merged = read
-      .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-      .unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
+    val kept = read.join(source.select(primaryKey), Seq(primaryKey), "left_anti")
+    val merged =
+      if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
+      else kept.unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
+    writeStagingAndSwap(merged)
+  }
+
+  /** OPTIMIZE analog: rewrite the table clustered by the partition
+    * column, collapsing accumulated small files (every incremental
+    * upsert adds at least one file per touched partition) back to one
+    * file per partition-holding task. O(table) — schedule it like any
+    * compaction, not per batch. Crash-safe via the same staging swap. */
+  def compact(): Unit = {
+    if (!exists) return
+    writeStagingAndSwap(read)
+  }
+
+  /** Write `df` to a staging dir, then swap: live → `.backup`, staging →
+    * live, drop backup; restore on failure. Never a window with no
+    * table. */
+  private def writeStagingAndSwap(df: DataFrame): Unit = {
     val staging = path + ".staging"
     val backup = path + ".backup"
-    val w = clustered(merged).write.mode("overwrite")
+    val w = clustered(df).write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging)
     val p = new Path(path); val s = new Path(staging); val b = new Path(backup)
     fs.delete(b, true)

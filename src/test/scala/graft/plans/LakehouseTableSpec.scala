@@ -75,6 +75,46 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.read.count() == 3)
   }
 
+  test("compact collapses accumulated small files, data unchanged") {
+    val path = tmp("compact")
+    val t = LakehouseTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1")))
+    // append-style ingestion (e.g. a streaming sink) fragments the
+    // partition into many small files; the MERGE paths don't, because
+    // they rewrite touched partitions wholesale
+    (3 to 6).foreach(i => frame((i, s"v$i", "p1")).write.mode("append")
+      .partitionBy("part").parquet(path))
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files()
+    val data = t.read.orderBy("id").collect().map(_.toString).toSeq
+    t.compact()
+    assert(files() < before, s"no compaction: $before -> ${files()}")
+    assert(t.read.orderBy("id").collect().map(_.toString).toSeq == data)
+  }
+
+  test("schema-evolving upsert: new source column, kept rows read null") {
+    val path = tmp("evolve")
+    val t = LakehouseTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val evolved = Seq((2, "B2", "p2", 7), (3, "c", "p1", 9))
+      .toDF("id", "val", "part", "extra")
+    t.upsert(evolved, evolveSchema = true)
+    // untouched files lack the column: read with the evolved declared
+    // schema so they surface it as null
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("val", StringType),
+      StructField("extra", IntegerType), StructField("part", StringType)))
+    val t2 = LakehouseTable(spark, path, "id", Some("part"), Some(schema))
+    val out = t2.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"),
+        if (r.isNullAt(2)) -1 else r.getAs[Int]("extra"))).toSeq
+    assert(out == Seq((1, "a", -1), (2, "B2", 7), (3, "c", 9)))
+  }
+
   test("partition pruning: partition filter reaches the scan") {
     val path = tmp("prune")
     val t = LakehouseTable(spark, path, "id", Some("part"))
