@@ -536,6 +536,18 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Pivot: daily event counts, one column per event type (explicit
+    * value list so no extra distinct pass runs and the output schema is
+    * plan-time static). */
+  def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("date", date_format(Tables.eventsTs("ts"), "yyyy-MM-dd"))
+      .groupBy("date")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("date")
+
   /** JSON column parsing: events.props is a JSON string; parse with an
     * explicit schema (from_json — codegen'd Jackson parse, no inference
     * pass) and aggregate the extracted field. */
@@ -741,6 +753,7 @@ object Queries {
     "asof_event_order" -> (asofEventOrder _),
     "range_join_bands" -> (rangeJoinBands _),
     "json_extract_props" -> (jsonExtractProps _),
+    "pivot_event_counts" -> (pivotEventCounts _),
     "json_scan_roundtrip" -> (jsonScanRoundtrip _),
     "orc_scan_roundtrip" -> (orcScanRoundtrip _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -1051,6 +1064,14 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "pivot_event_counts" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_extract_props" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
