@@ -261,7 +261,8 @@ object Queries {
     val items = t(s, dir, "lineitem")
       .withColumn("seq", row_number().over(seqW))
       .select(
-      (col("l_orderkey") * 16 + col("seq")).cast(StringType).as("id"),
+      // ×32: orders carry up to 17 lines at sf0.1 (×16 collided there)
+      (col("l_orderkey") * 32 + col("seq")).cast(StringType).as("id"),
       col("l_orderkey").cast(StringType).as("order_id"),
       col("l_suppkey").cast(StringType).as("user_id"),
       when(col("l_linenumber") === 1, lit(null: String))
@@ -916,7 +917,7 @@ object Queries {
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS seq
         |  FROM lineitem)
-        |SELECT CAST(l_orderkey * 16 + seq AS INTEGER) AS id,
+        |SELECT CAST(l_orderkey * 32 + seq AS INTEGER) AS id,
         |  CAST(l_orderkey AS INTEGER) AS order_id,
         |  CAST(l_suppkey AS INTEGER) AS user_id,
         |  CASE WHEN l_linenumber = 1 THEN NULL
@@ -998,7 +999,14 @@ object Queries {
          |  FROM g)
          |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "exact_dedup" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+      // min-id per normalized fingerprint: the corpus itself contains a
+      // few normalized duplicates at larger sf, so the oracle must
+      // perform the same dedup, not assume uniqueness (mutated copies
+      // never win — their originals share the fingerprint at lower ids)
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT d.*, row_number() OVER (PARTITION BY md5($NormSql)
+         |                                 ORDER BY doc_id) AS rn
+         |  FROM documents d) WHERE rn = 1""".stripMargin,
     "ngram_jaccard_neardup" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS id, $NormSql AS norm FROM documents),
@@ -1028,31 +1036,35 @@ object Queries {
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rk <= 10""".stripMargin,
     "corpus_curation" ->
+      // mirrors the Spark pipeline exactly: gate first, then dedup by
+      // normalized fingerprint (min doc_id among survivors) — the corpus
+      // has normalized duplicates at larger sf
       s"""WITH base AS (
-         |  SELECT doc_id, source, n_chars,
+         |  SELECT doc_id, source, n_chars, md5($NormSql) AS fp,
          |    string_split($NormSql, ' ') AS toks,
          |    length(text) AS n,
          |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p,
          |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
          |  FROM documents),
          |scored AS (
-         |  SELECT doc_id, source, n_chars,
+         |  SELECT doc_id, source, n_chars, fp,
          |    $QualitySql AS quality,
          |    $LangPredSql AS lang_pred
-         |  FROM base)
+         |  FROM base),
+         |gated AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM scored WHERE quality >= 0.5 AND lang_pred = 'en')
          |SELECT source, count(*) AS n_docs,
          |  round(avg(quality), 4) AS avg_quality,
          |  sum(n_chars) AS total_chars
-         |FROM scored
-         |WHERE quality >= 0.5 AND lang_pred = 'en'
+         |FROM gated WHERE rn = 1
          |GROUP BY source ORDER BY source""".stripMargin,
     "sessionize_events" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
         |flagged AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (

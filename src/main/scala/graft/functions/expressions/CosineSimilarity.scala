@@ -35,6 +35,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  /** Can return null even for non-null inputs (length mismatch, null
+    * elements) — without this override, non-nullable children would
+    * declare the expression non-nullable and codegen would emit an
+    * assignment to a constant-folded `false` isNull. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

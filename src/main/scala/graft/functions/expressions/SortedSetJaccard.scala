@@ -35,6 +35,10 @@ case class SortedSetJaccard(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  /** Can return null for non-null inputs (null elements) — see the same
+    * override in CosineSimilarity. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "sorted_set_jaccard"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

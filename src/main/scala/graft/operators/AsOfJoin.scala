@@ -40,6 +40,9 @@ object AsOfJoin {
     val r = right
       .withColumn("__key", col(rightKey))
       .withColumn("__time", rightTime)
+      // a null right time can never satisfy time ≤ leftTime; unfiltered
+      // it would sort first (nulls-first) and wrongly carry forward
+      .filter(col("__time").isNotNull)
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(rightTiebreak).cast("long"))
       .withColumn("__payload", payload)

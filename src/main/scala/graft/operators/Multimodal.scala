@@ -60,11 +60,15 @@ object Multimodal {
   def stubSampleFrames(bytes: org.apache.spark.sql.Column, chunk: Int,
                        stride: Int): org.apache.spark.sql.Column = {
     val n = ceil(length(bytes).cast("double") / chunk).cast("int")
-    filter(
+    val frames = filter(
       transform(sequence(lit(0), n - 1),
         i => struct(i.as("frame_no"),
           bytes.substr(i * chunk + 1, lit(chunk)).as("frame_bytes"))),
       f => pmod(f.getField("frame_no"), lit(stride)) === 0)
+    // empty payload: n = 0 would make sequence(0, -1) DESCEND to [0, -1]
+    // and emit phantom frames — return an empty frame list instead
+    when(n > 0, frames)
+      .otherwise(expr("CAST(array() AS ARRAY<STRUCT<frame_no: INT, frame_bytes: BINARY>>)"))
   }
 
   /** Feature extraction over media batches via `mapPartitions` — the

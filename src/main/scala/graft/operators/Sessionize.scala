@@ -27,9 +27,13 @@ object Sessionize {
                valueCol: String, gapSeconds: Long): DataFrame = {
     val byTime = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), col(tieCol))
+    // millisecond arithmetic, NOT unix_timestamp (whole-second
+    // truncation): the streaming form (StatefulSessions) compares raw
+    // milliseconds, and sub-second timestamps must sessionize
+    // identically in both
     val newSession = when(
-      unix_timestamp(col("__ts")) -
-        unix_timestamp(lag(col("__ts"), 1).over(byTime)) > gapSeconds, 1)
+      unix_millis(col("__ts")) -
+        unix_millis(lag(col("__ts"), 1).over(byTime)) > gapSeconds * 1000L, 1)
       .otherwise(0)
     val numbered = df
       .withColumn("__ts", tsCol)

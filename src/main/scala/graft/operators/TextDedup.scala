@@ -95,21 +95,26 @@ object TextDedup {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
       .withColumn("sig", minhashSignatureOfShingles(col("sh"), numHashes))
       .persist()
-    // candidate ids travel WITHOUT their shingle arrays (ids are what
-    // shuffles); arrays re-attach after pair dedup
-    val buckets = docs
-      .select(col("id"), explode(bandBuckets(col("sig"), numHashes, bands)).as("bucket"))
-    val cand = buckets.select(col("bucket"), col("id").as("idA"))
-      .join(buckets.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB").dropDuplicates("idA", "idB")
-    val sh = docs.select(col("id"), col("sh"))
-    cand
-      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
-      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      // candidate ids travel WITHOUT their shingle arrays (ids are what
+      // shuffles); arrays re-attach after pair dedup
+      val buckets = docs
+        .select(col("id"), explode(bandBuckets(col("sig"), numHashes, bands)).as("bucket"))
+      val cand = buckets.select(col("bucket"), col("id").as("idA"))
+        .join(buckets.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
+        .filter(col("idA") < col("idB"))
+        .select("idA", "idB").dropDuplicates("idA", "idB")
+      val sh = docs.select(col("id"), col("sh"))
+      val result = cand
+        .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+        .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+        .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+      // materialize (small pair set, lineage truncated) so the doc-level
+      // cache can be released now instead of leaking for the session
+      result.localCheckpoint(eager = true)
+    } finally docs.unpersist()
   }
 
   /** 64-bit SimHash: per-token murmur3×2 → 64 bit votes (+1 present /
@@ -172,17 +177,21 @@ object TextDedup {
   def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.5, blockChars: Int = 40,
                           w: Int = 3): DataFrame = {
-    // persisted: both self-join sides reuse one tokenization pass
+    // persisted: both self-join sides reuse one tokenization pass;
+    // released after the (small) pair set is materialized
     val docs = df.select(
       col(idCol).as("id"),
       substring(TextAnalysis.normalize(col(textCol)), 1, blockChars).as("block"),
       shingles(col(textCol), w).as("sh"))
       .persist()
-    val a = docs.select(col("block"), col("id").as("idA"), col("sh").as("shA"))
-    val b = docs.select(col("block"), col("id").as("idB"), col("sh").as("shB"))
-    a.join(b, Seq("block")).filter(col("idA") < col("idB"))
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      val a = docs.select(col("block"), col("id").as("idA"), col("sh").as("shA"))
+      val b = docs.select(col("block"), col("id").as("idB"), col("sh").as("shB"))
+      val result = a.join(b, Seq("block")).filter(col("idA") < col("idB"))
+        .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+      result.localCheckpoint(eager = true)
+    } finally docs.unpersist()
   }
 }

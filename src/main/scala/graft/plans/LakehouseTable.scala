@@ -46,11 +46,26 @@ final class LakehouseTable(
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** S3# — existence probe (reference: DeltaTable.isDeltaTable,
-    * orders_etl.py:65). */
+    * orders_etl.py:65). Runs crash recovery first: a death between the
+    * two swap renames leaves live missing but `.backup` present — naive
+    * `!exists` would let the next upsert silently rebuild the table from
+    * one batch and later delete the stranded backup (= full data loss).
+    * Restoring the backup here makes "retry the batch" actually repair. */
   def exists: Boolean = {
+    recoverFromCrash()
     val p = new Path(path)
     fs.exists(p) && fs.listStatus(p).exists { st =>
       st.getPath.getName != "_SUCCESS" && !st.getPath.getName.startsWith(".")
+    }
+  }
+
+  private def recoverFromCrash(): Unit = {
+    val p = new Path(path)
+    val b = new Path(path + ".backup")
+    if (!fs.exists(p) && fs.exists(b)) {
+      if (!fs.rename(b, p))
+        throw new IllegalStateException(
+          s"crash recovery failed: cannot restore $b to $p")
     }
   }
 
@@ -110,11 +125,19 @@ final class LakehouseTable(
     val src = source.persist()
     try {
       val touched = src.select(pc).distinct().limit(IsinPruneLimit + 1).collect()
+      // null partition values need explicit handling: isin and an
+      // equi-semi-join never match null, but dynamic overwrite still
+      // rewrites the null partition — without this the merge would
+      // replace existing null-partition rows with source-only rows
       val targetSlice =
-        if (touched.length <= IsinPruneLimit)
-          read.filter(col(pc).isin(touched.toSeq.map(_.get(0)): _*))
-        else
-          read.join(broadcast(src.select(pc).distinct()), Seq(pc), "left_semi")
+        if (touched.length <= IsinPruneLimit) {
+          val (nullVals, vals) = touched.toSeq.partition(_.isNullAt(0))
+          val base = col(pc).isin(vals.map(_.get(0)): _*)
+          read.filter(if (nullVals.nonEmpty) base || col(pc).isNull else base)
+        } else {
+          val srcParts = broadcast(src.select(col(pc).as("__src_pc")).distinct())
+          read.join(srcParts, col(pc) <=> col("__src_pc"), "left_semi")
+        }
       val kept = targetSlice.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
       val merged =
         if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)

@@ -106,6 +106,15 @@ class LlmOpsSpec extends SparkSpec {
     frames.foreach { r => assert(r.getAs[Int]("n") > 0) }
   }
 
+  test("multimodal: empty payload yields zero frames, not phantom ones") {
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(empty, "doc_id", "text", "text")
+    val n = media.select(
+      size(Multimodal.stubSampleFrames($"bytes", chunk = 10, stride = 1)))
+      .head().getInt(0)
+    assert(n == 0, s"phantom frames on empty bytes: $n")
+  }
+
   test("multimodal: per-partition feature extraction yields fixed-width vectors") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text", "text")
     val out = Multimodal.extractFeatures(spark, media).collect()

@@ -46,6 +46,15 @@ class ValidationSpec extends SparkSpec {
       "null_required_column:user_id"))
   }
 
+  test("enforceSchema alone is the P1 cast-projection (bad values to null, no split)") {
+    val out = Validation.enforceSchema(fixture, declared)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      declared.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(out.count() == 4) // no rows dropped — casting only
+    assert(out.filter(org.apache.spark.sql.functions.col("order_timestamp").isNull)
+      .count() == 1) // the malformed timestamp became null
+  }
+
   test("valid side carries the declared schema, no helper columns") {
     val r = Validation.validate(fixture, declared, "order_id", cache = false)
     assert(r.valid.columns.toSeq == declared.fields.map(_.name).toSeq)

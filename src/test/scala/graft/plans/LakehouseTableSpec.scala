@@ -115,6 +115,33 @@ class LakehouseTableSpec extends SparkSpec {
     assert(out == Seq((1, "a", -1), (2, "B2", 7), (3, "c", 9)))
   }
 
+  test("crash recovery: stranded backup is restored before any operation") {
+    val path = tmp("crash")
+    val t = LakehouseTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    // simulate a death between the two swap renames: live gone, backup present
+    val fsDir = new java.io.File(path)
+    val backup = new java.io.File(path + ".backup")
+    assert(fsDir.renameTo(backup))
+    assert(!fsDir.exists())
+    // any table operation must restore the backup, not rebuild from scratch
+    t.upsert(frame((3, "c", "p1")))
+    val out = t.read.orderBy("id").collect().map(_.getAs[Int]("id")).toSeq
+    assert(out == Seq(1, 2, 3), s"history lost after crash: $out")
+    assert(!backup.exists())
+  }
+
+  test("null partition values survive an upsert touching the null partition") {
+    val path = tmp("nullpart")
+    val t = LakehouseTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", null: String), (2, "b", "p1")).toDF("id", "val", "part"))
+    t.upsert(Seq((3, "c", null: String)).toDF("id", "val", "part"))
+    val out = t.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(out == Seq(1 -> "a", 2 -> "b", 3 -> "c"),
+      s"null-partition rows lost: $out")
+  }
+
   test("partition pruning: partition filter reaches the scan") {
     val path = tmp("prune")
     val t = LakehouseTable(spark, path, "id", Some("part"))
