@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, SortedSetJaccard}
+import graft.functions.expressions.{CosineSimilarity, SimHash64, SortedSetJaccard}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"sorted_set_jaccard takes 2 arguments, got ${children.length}")
         SortedSetJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash64 takes 1 argument, got ${children.length}")
+        SimHash64(children.head)
       }))
   }
 }

@@ -272,10 +272,28 @@ object Queries {
       (col("l_orderkey") % 2).cast(StringType).as("reordered"),
       date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_timestamp"),
       date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))
+    // Derivation is deterministic per sf, and Pipeline.archive MOVES the
+    // raw files after success — so stage ONCE under staged/ and fs-copy
+    // into raw/ per run (a local copy, not a recompute: the windowed
+    // order_items derivation is the expensive part).
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    def done(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").option("header", "true")
-        .csv(s"$base/raw/$name")
-    w(products, "products"); w(orders, "orders"); w(items, "order_items")
+        .csv(s"$base/staged/$name")
+    if (!Seq("products", "orders", "order_items").forall(n => done(s"$base/staged/$n"))) {
+      w(products, "products"); w(orders, "orders"); w(items, "order_items")
+    }
+    val rawRoot = new org.apache.hadoop.fs.Path(s"$base/raw")
+    if (fs.exists(rawRoot)) fs.delete(rawRoot, true)
+    Seq("products", "orders", "order_items").foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$base/staged/$n"),
+        fs, new org.apache.hadoop.fs.Path(s"$base/raw/$n"),
+        false, true, conf)
+    }
   }
 
   /** The reference's whole state machine in one call: three ETL jobs in
@@ -315,7 +333,11 @@ object Queries {
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
-      .repartition(8)
+      // cluster landing files by the partition key: each micro-batch then
+      // touches a contiguous date slice instead of ALL ~366 partitions —
+      // with random file contents the partition-scoped merge degenerates
+      // to a near-full table rewrite PER batch (O(table·batches) at scale)
+      .repartitionByRange(8, col("date"))
       .write.mode("overwrite").option("header", "true").csv(landing)
     val table = LakehouseTable(s, s"$base/table", "event_id",
       Some("date"), Some(streamedEventsSchema))
@@ -681,22 +703,52 @@ object Queries {
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets + exact
     * re-check (probabilistic candidate recall ⇒ rows-only check; the
-    * cosine values themselves are exact). */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairs(
-      t(s, dir, "embeddings"), threshold = 0.5)
+    * cosine values themselves are exact). The raw embeddings are near-
+    * orthogonal (zero pairs at any useful threshold), so every 10th
+    * vector is re-injected (id + 1e6) with a small deterministic
+    * perturbation — known near-dup pairs at cosine ≈ 1 that the LSH
+    * bucketing must recover (the `exactDedup` injection pattern;
+    * recall vs brute force is pinned by LlmOpsSpec). */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mutated = emb.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (v, i) =>
+        (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
+          .otherwise(lit(-0.01))).cast("float")).as("embedding"),
+      col("label"))
+    Similarity.embeddingNearDupPairs(emb.unionByName(mutated), threshold = 0.9)
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("cosine"))
+  }
 
-  /** Multimodal plumbing: documents wrapped as binary media payloads,
-    * metadata + stub-decoded dimensions (decode is a deterministic fake;
-    * the binary/schema/pruning path is real). */
+  /** Multimodal decode: image payloads are REAL BMPs and audio payloads
+    * REAL WAVs, synthesized per row with dims derived from doc_id, and
+    * the decode reads width/height/sample-rate back FROM THE ACTUAL
+    * HEADER BYTES — a genuine write→parse round-trip; the oracle
+    * recomputes the expected fields (incl. BMP row padding) in closed
+    * form. Video payloads stay opaque bytes (no demuxer in this build);
+    * their header fields are null. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(
-      t(s, dir, "documents"), "doc_id", "text", "source")
+    val docs = t(s, dir, "documents")
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
+    val media = docs.select(
+      col("doc_id").as("media_id"), kind.as("kind"),
+      when(kind === "image", Multimodal.bmpBytes(
+          pmod(col("doc_id"), lit(32)) + 1, pmod(col("doc_id"), lit(24)) + 1))
+        .when(kind === "audio", Multimodal.wavBytes(
+          lit(8000) + pmod(col("doc_id"), lit(100)) * 100,
+          pmod(col("doc_id"), lit(50)) + 1))
+        .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
+    val bmp = Multimodal.decodeBmp(col("bytes"))
+    val wav = Multimodal.decodeWav(col("bytes"))
     media.select(
-      col("media_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
-      Multimodal.stubDecodeImage(col("bytes")).getField("width").as("width"),
-      Multimodal.stubDecodeImage(col("bytes")).getField("height").as("height"))
+      col("media_id"), col("kind"),
+      length(col("bytes")).cast(LongType).as("n_bytes"),
+      when(col("kind") === "image", bmp.getField("width")).as("width"),
+      when(col("kind") === "image", bmp.getField("height")).as("height"),
+      when(col("kind") === "audio", wav.getField("sample_rate")).as("sample_rate"),
+      when(col("kind") === "audio", wav.getField("channels")).as("channels"))
   }
 
   /** Batched per-partition feature extraction over media bytes
@@ -1056,7 +1108,7 @@ object Queries {
          |  FROM scored WHERE quality >= 0.5 AND lang_pred = 'en')
          |SELECT source, count(*) AS n_docs,
          |  round(avg(quality), 4) AS avg_quality,
-         |  sum(n_chars) AS total_chars
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM gated WHERE rn = 1
          |GROUP BY source ORDER BY source""".stripMargin,
     "sessionize_events" ->
@@ -1086,7 +1138,7 @@ object Queries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_extract_props" ->
       """SELECT event_type, count(*) AS cnt,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_scan_roundtrip" ->
       """SELECT event_type, count(*) AS cnt,
@@ -1121,10 +1173,18 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "multimodal_decode" ->
+      // independent closed-form recomputation of what the Spark side
+      // must read back from the BMP/WAV headers it generated — incl.
+      // the BMP 4-byte row padding in n_bytes
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 54 + ((((doc_id % 32 + 1) * 3 + 3) // 4) * 4) * (doc_id % 24 + 1)
+        |    WHEN 1 THEN 44 + (doc_id % 50 + 1) * 2
+        |    ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 32 + 1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 24 + 1 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 100) * 100 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER) END AS channels
         |FROM documents""".stripMargin)
 }

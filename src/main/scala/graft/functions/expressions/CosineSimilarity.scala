@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation is double, strictly left-to-right, matching the HOF
   * form bit-for-bit (results are interchangeable; tests assert it).
-  * Returns null for null/length-mismatched/null-element inputs.
+  * Returns null for null/length-mismatched/null-element inputs AND for
+  * zero-norm (or empty) vectors — 0/0 would be NaN, and Spark orders
+  * NaN above every double, so a zero vector in a corpus would
+  * otherwise rank as the TOP neighbor in every top-k.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -57,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -82,7 +86,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -9,16 +9,106 @@ import org.apache.spark.sql.types._
   * payloads travel as opaque `binary` columns next to typed metadata;
   * decode / feature-extraction runs batched per partition.
   *
-  * The actual byte→pixels/samples decode is STUBBED (no image/audio
-  * codecs in this build): `stubDecode*` derive deterministic fake
-  * outputs from the bytes, clearly marked below. Everything around the
-  * stub — schema, binary handling, partition-level batching, output
-  * shape — is real Spark plumbing and is what matters at 100 TB: media
-  * bytes never pass through the driver, decode parallelism is partition
-  * parallelism, and metadata-only queries prune the binary column out of
-  * the scan entirely (columnar projection).
+  * Two container formats are decoded FOR REAL, headers parsed from the
+  * actual bytes with column algebra (no codec library needed for
+  * container metadata): BMP ([[bmpBytes]]/[[decodeBmp]] — width/height/
+  * bit-depth from the BITMAPINFOHEADER) and WAV ([[wavBytes]]/
+  * [[decodeWav]] — channels/sample-rate/bit-depth from the RIFF fmt
+  * chunk). PIXEL/SAMPLE decode and video demuxing remain STUBBED (no
+  * image/audio codecs in this build): `stubDecode*` derive
+  * deterministic fake outputs from the bytes, clearly marked below.
+  * Everything around the stubs — schema, binary handling,
+  * partition-level batching, output shape — is real Spark plumbing and
+  * is what matters at 100 TB: media bytes never pass through the
+  * driver, decode parallelism is partition parallelism, and
+  * metadata-only queries prune the binary column out of the scan
+  * entirely (columnar projection).
   */
 object Multimodal {
+
+  import org.apache.spark.sql.Column
+
+  // ---------------------------------------------------------------
+  // real container formats: BMP + WAV, built and parsed byte-by-byte
+  // ---------------------------------------------------------------
+
+  /** Little-endian hex encoding of the low `nBytes` bytes of an
+    * integral column (builds file headers as hex, one `unhex` at the
+    * end). */
+  private def leHex(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(k =>
+      lpad(hex(shiftright(c.cast(LongType), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")): _*)
+
+  /** Little-endian unsigned read of `nBytes` bytes at 1-based `pos` of a
+    * binary column (hex per byte, reassembled big-endian for conv). */
+  private def leAt(b: Column, pos: Int, nBytes: Int): Column =
+    conv(concat(((nBytes - 1) to 0 by -1).map(k =>
+      hex(substring(b, pos + k, 1))): _*), 16, 10).cast(LongType)
+
+  /** Valid 24-bit uncompressed BMP bytes (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding per the
+    * format). Column algebra only — a per-row generated file. Max
+    * supported here: 32×24 (bounded by the static zero-pixel pool). */
+  def bmpBytes(width: Column, height: Column): Column = {
+    val w = width.cast(LongType)
+    val h = height.cast(LongType)
+    val rowBytes = w * 3 + lit(3L) - pmod(w * 3 + lit(3L), lit(4L)) // pad to 4
+    val imgSize = rowBytes * h
+    val fileSize = imgSize + lit(54L)
+    val zeros = lit("00" * (96 * 24)) // pixel pool for dims up to 32×24
+    unhex(concat(
+      lit("424D"), leHex(fileSize, 4), lit("00000000"), leHex(lit(54L), 4),
+      leHex(lit(40L), 4), leHex(w, 4), leHex(h, 4),
+      leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
+      leHex(imgSize, 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
+      leHex(lit(0L), 4), leHex(lit(0L), 4),
+      substring(zeros, lit(1), (imgSize * 2).cast(IntegerType))))
+  }
+
+  /** REAL BMP header decode: magic check + width/height/bit-depth/
+    * declared file size read from the actual header bytes. Null for
+    * non-BMP payloads. */
+  def decodeBmp(bytes: Column): Column =
+    when(length(bytes) >= 54 &&
+         substring(bytes, 1, 2) === lit("BM".getBytes("US-ASCII")),
+      struct(
+        leAt(bytes, 19, 4).cast(IntegerType).as("width"),
+        leAt(bytes, 23, 4).cast(IntegerType).as("height"),
+        leAt(bytes, 29, 2).cast(IntegerType).as("bit_depth"),
+        leAt(bytes, 3, 4).as("file_size")))
+
+  /** Valid 16-bit PCM WAV bytes (RIFF/WAVE header + fmt + data chunk of
+    * zeroed samples). Max `nSamples`×`channels` bounded by the static
+    * zero-sample pool (256 samples). */
+  def wavBytes(sampleRate: Column, nSamples: Column,
+               channels: Column = lit(1)): Column = {
+    val rate = sampleRate.cast(LongType)
+    val ch = channels.cast(LongType)
+    val dataSize = nSamples.cast(LongType) * ch * lit(2L)
+    val zeros = lit("00" * 512) // sample pool
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + lit(36L), 4), lit("57415645"), // RIFF..WAVE
+      lit("666D7420"), leHex(lit(16L), 4), // "fmt ", chunk size
+      leHex(lit(1L), 2), leHex(ch, 2), leHex(rate, 4), // PCM, channels, rate
+      leHex(rate * ch * lit(2L), 4), leHex(ch * lit(2L), 2), leHex(lit(16L), 2),
+      lit("64617461"), leHex(dataSize, 4), // "data", size
+      substring(zeros, lit(1), (dataSize * 2).cast(IntegerType))))
+  }
+
+  /** REAL WAV header decode: RIFF/WAVE magic + channels/sample-rate/
+    * bit-depth/data-size from the fmt and data chunks. Null for non-WAV
+    * payloads. (Assumes the canonical 44-byte header layout emitted by
+    * [[wavBytes]] and most encoders — fmt first, data second.) */
+  def decodeWav(bytes: Column): Column =
+    when(length(bytes) >= 44 &&
+         substring(bytes, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+         substring(bytes, 9, 4) === lit("WAVE".getBytes("US-ASCII")),
+      struct(
+        leAt(bytes, 23, 2).cast(IntegerType).as("channels"),
+        leAt(bytes, 25, 4).cast(IntegerType).as("sample_rate"),
+        leAt(bytes, 35, 2).cast(IntegerType).as("bit_depth"),
+        leAt(bytes, 41, 4).as("data_size")))
 
   /** Typed metadata carried beside the payload. */
   val mediaSchema: StructType = StructType(Seq(

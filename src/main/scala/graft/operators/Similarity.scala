@@ -36,7 +36,10 @@ object Similarity {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // null (not NaN) on a zero-norm side, matching the codegen expression:
+    // NaN would sort above every real cosine in a top-k window
+    when(dot(a, a) === 0.0 || dot(b, b) === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
   }
 
   /** Exact top-k neighbors for each query vector, by brute-force cosine.
@@ -51,6 +54,7 @@ object Similarity {
       .crossJoin(q) // broadcast-nested-loop: corpus scanned once, never shuffled
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .filter(col("cosine").isNotNull) // zero-norm corpus vectors are not neighbors
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -103,6 +107,7 @@ object Similarity {
     cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .filter(col("cosine").isNotNull)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -160,6 +165,7 @@ object Similarity {
     indexed.join(probes, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .filter(col("cosine").isNotNull)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),

@@ -119,9 +119,8 @@ object TextDedup {
 
   /** 64-bit SimHash: per-token murmur3×2 → 64 bit votes (+1 present /
     * −1 absent) summed over tokens; bit b set iff its vote is positive.
-    * Pure higher-order-function algebra, no UDF (the 64 per-bit
-    * aggregates are unrolled at plan-build time — heavy expression tree,
-    * but still a narrow map over the corpus). */
+    * One fused codegen pass over the token hashes (see
+    * [[graft.functions.expressions.SimHash64]]). */
   def simhash(text: Column): Column =
     simhashOfHashes(tokenHashes(text))
 
@@ -133,8 +132,19 @@ object TextDedup {
       t => hash(t).cast("long") * lit(4294967296L) + // hi 32 bits
         (hash(t, lit(1)).cast("long") + lit(2147483648L))) // lo 32, unsigned
 
-  /** SimHash from a STORED token-hash column (see [[tokenHashes]]). */
+  /** SimHash from a STORED token-hash column (see [[tokenHashes]]) —
+    * the fused single-pass codegen expression. */
   def simhashOfHashes(hashes: Column): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.SimHash64(
+      GraftBridge.expression(hashes)))
+  }
+
+  /** Composable higher-order-function form of [[simhashOfHashes]] — 64
+    * unrolled `aggregate` passes (O(64·tokens) interpreted lambda calls).
+    * Kept as the readable reference implementation and the cross-check
+    * for the codegen expression; tests assert bit-identity. */
+  def simhashOfHashesHof(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),
         (v, h) => v + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1))

@@ -138,13 +138,31 @@ final class LakehouseTable(
           val srcParts = broadcast(src.select(col(pc).as("__src_pc")).distinct())
           read.join(srcParts, col(pc) <=> col("__src_pc"), "left_semi")
         }
-      val kept = targetSlice.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
-      val merged =
-        if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
-        else kept.unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
-      clustered(merged).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(pc).parquet(path)
+      // Append fast path: a batch whose PKs are ALL new (the steady state
+      // for streaming ingest of immutable events) needs no rewrite at all —
+      // just add files to the touched partitions. The overlap probe reads
+      // only the pruned PK column, far cheaper than the full-width rewrite
+      // it avoids. Retrying a crashed/duplicated batch is still safe: the
+      // PKs then exist, so the retry takes the merge path, whose anti-join
+      // collapses the duplicates. Appended small files are reclaimed by
+      // `compact()`.
+      val overlaps = !targetSlice.select(primaryKey)
+        .join(src.select(primaryKey), Seq(primaryKey), "left_semi")
+        .isEmpty
+      if (!overlaps) {
+        val out =
+          if (evolveSchema) src
+          else src.select(targetSlice.columns.toIndexedSeq.map(col): _*)
+        clustered(out).write.mode("append").partitionBy(pc).parquet(path)
+      } else {
+        val kept = targetSlice.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+        val merged =
+          if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
+          else kept.unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
+        clustered(merged).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(pc).parquet(path)
+      }
     } finally src.unpersist()
   }
 

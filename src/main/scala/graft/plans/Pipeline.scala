@@ -51,6 +51,37 @@ object Pipeline {
       name: String, read: Long, valid: Long, rejected: Long,
       orphaned: Long, loaded: Long)
 
+  /** T5 — retry with exponential backoff (reference:
+    * step_functions.json:14-23 — 3 attempts, 30s interval, ×2 backoff
+    * per Glue job). This is the missing half of the LakehouseTable
+    * consistency story: a crash mid-upsert leaves a subset of touched
+    * partitions rewritten, and re-running the idempotent merge repairs
+    * the table (LakehouseTable scaladoc) — so transient failures must
+    * actually re-run, not fail the pipeline.
+    *
+    * Reject side-writes that happened before the failure re-append on
+    * retry, exactly as a re-run Glue job re-appends its reject objects
+    * in the reference. `sleep` is injectable for tests. */
+  def retry[A](name: String, attempts: Int = 3, initialDelayMs: Long = 30000,
+               sleep: Long => Unit = Thread.sleep)(body: => A): A = {
+    var i = 1
+    var delay = initialDelayMs
+    var result: Option[A] = None
+    while (result.isEmpty) {
+      try result = Some(body)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (i >= attempts) throw e
+          println(s"[pipeline] $name attempt $i/$attempts failed " +
+            s"(${e.getMessage}); retrying in ${delay}ms")
+          sleep(delay)
+          delay *= 2
+          i += 1
+      }
+    }
+    result.get
+  }
+
   final case class Report(jobs: Seq[JobResult], gatesPassed: Boolean)
 
   /** Run the full pipeline: for each job, raw CSVs under
@@ -60,13 +91,15 @@ object Pipeline {
     * the post-load COUNT(*)/LIMIT 10 gates run in parallel (A3/T7). */
   def run(spark: SparkSession, rawDir: String, warehouseDir: String,
           rejectedDir: String, archivedDir: String,
-          jobs: Seq[JobSpec] = referenceJobs): Report = {
+          jobs: Seq[JobSpec] = referenceJobs,
+          retryAttempts: Int = 3, retryDelayMs: Long = 30000): Report = {
     val tables = jobs.map { j =>
       j.name -> LakehouseTable(spark, s"$warehouseDir/${j.name}", j.primaryKey,
         Some(j.partitionCol), Some(Tables.asNullable(j.schema)))
     }.toMap
 
     val results = jobs.map { job =>
+      retry(job.name, retryAttempts, retryDelayMs) {
       val t0 = System.nanoTime()
       def lap(tag: String): Unit =
         println(f"[pipeline] ${job.name} $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -108,6 +141,7 @@ object Pipeline {
       cachedKeys.foreach(_.unpersist())
       JobResult(job.name, readCount, validCount,
         readCount - validCount, orphaned, loaded = -1L)
+      }
     }
 
     archive(spark, rawDir, archivedDir)

@@ -30,7 +30,16 @@ object StatefulSessions {
 
   /** The per-key state transition: fold new events into the open
     * session, emitting every session that closes. Pure function —
-    * shared by the streaming query and directly unit-testable. */
+    * shared by the streaming query and directly unit-testable.
+    *
+    * Out-of-order (watermark-admitted) events are handled in two steps:
+    * the batch is first folded into LOCAL sessions under batch semantics
+    * (so consecutive late stragglers merge with each other), then each
+    * local session merges into the open cross-batch session only if it
+    * is within `gapMillis` of EITHER edge — merging can lower `start`.
+    * A local session ending more than a gap before the open session's
+    * start is emitted as its own closed session (it can never extend the
+    * open one; the watermark bounds how late such stragglers can be). */
   def transition(gapMillis: Long)(
       key: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
@@ -41,20 +50,38 @@ object StatefulSessions {
         new Timestamp(s.last), s.total))
     }
     val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
-    var open = state.getOption
-    val closed = Seq.newBuilder[Session]
+    val locals = Seq.newBuilder[SessionState]
+    var cur: Option[SessionState] = None
     sorted.foreach { e =>
       val t = e.ts.getTime
+      cur match {
+        case Some(c) if t - c.last <= gapMillis =>
+          cur = Some(c.copy(last = math.max(c.last, t), n = c.n + 1,
+            total = c.total + e.value))
+        case other =>
+          other.foreach(locals += _)
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach(locals += _)
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    def emit(s: SessionState): Unit =
+      closed += Session(key, s.n, new Timestamp(s.start),
+        new Timestamp(s.last), s.total)
+    locals.result().foreach { l =>
       open match {
-        case Some(s) if t - s.last <= gapMillis =>
-          open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-            total = s.total + e.value))
+        case Some(s) if l.start - s.last <= gapMillis &&
+                        s.start - l.last <= gapMillis =>
+          open = Some(SessionState(
+            math.min(s.start, l.start), math.max(s.last, l.last),
+            s.n + l.n, s.total + l.total))
+        case Some(s) if l.last < s.start - gapMillis =>
+          emit(l) // entirely before the open session: already complete
         case Some(s) =>
-          closed += Session(key, s.n, new Timestamp(s.start),
-            new Timestamp(s.last), s.total)
-          open = Some(SessionState(t, t, 1, e.value))
+          emit(s); open = Some(l) // gap after the open session: it closes
         case None =>
-          open = Some(SessionState(t, t, 1, e.value))
+          open = Some(l)
       }
     }
     open match {

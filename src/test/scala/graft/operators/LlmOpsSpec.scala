@@ -87,6 +87,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits > 0, "LSH ANN found none of the true top-10 neighbors")
   }
 
+  test("embedding near-dup recovers injected perturbed pairs with high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // same injection as Queries.embeddingNearDup: every 10th vector copied
+    // (id + 1e6) with an alternating ±0.01 perturbation → cosine ≈ 0.997
+    val mutated = emb.filter($"vec_id" % 10 === 0).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (v, i) =>
+        (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
+          .otherwise(lit(-0.01))).cast("float")).as("embedding"),
+      $"label")
+    val injected = emb.filter($"vec_id" % 10 === 0).select($"vec_id")
+      .collect().map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
+    assert(injected.nonEmpty)
+    val found = Similarity.embeddingNearDupPairs(
+      emb.unionByName(mutated), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // LSH candidates are a subset of true pairs; cosine re-check is exact,
+    // so zero false positives below threshold and all found pairs injected
+    val foundSet = found.toSet
+    assert(found.length == foundSet.size, "duplicate pairs emitted")
+    val recall = injected.count(foundSet.contains).toDouble / injected.size
+    assert(recall >= 0.6,
+      s"recall $recall too low (${foundSet.size} pairs found of ${injected.size} injected)")
+  }
+
+  test("zero-norm vectors are null-cosine and never rank in top-k") {
+    val vecs = (1L to 5L).map(i =>
+      (i, Array.fill(4)(i.toFloat))) :+ (99L, Array.fill(4)(0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1L), k = 10)
+      .collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(2) == 99L),
+      "zero vector ranked as a neighbor (NaN ordering bug)")
+  }
+
   test("multimodal: metadata-only query prunes the binary column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text", "text")

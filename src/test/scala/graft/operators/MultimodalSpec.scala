@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Real-container round-trips: the BMP/WAV bytes built by column
+  * algebra must decode under the JDK's OWN independent parsers
+  * (javax.imageio for BMP, javax.sound.sampled for WAV) — not just
+  * under our decode — and our header decode must read back exactly
+  * what was written. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dims = Seq((7L, 13, 11), (8L, 32, 24), (9L, 1, 1))
+
+  test("bmpBytes is a REAL BMP: JDK ImageIO decodes it with the same dims") {
+    val rows = dims.toDF("id", "w", "h")
+      .select($"w", $"h", Multimodal.bmpBytes($"w", $"h").as("bytes"))
+      .collect()
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      assert(img != null, "ImageIO could not decode the generated BMP")
+      assert(img.getWidth == r.getAs[Int]("w"), "width mismatch")
+      assert(img.getHeight == r.getAs[Int]("h"), "height mismatch")
+    }
+  }
+
+  test("decodeBmp reads back exactly what bmpBytes wrote") {
+    val out = dims.toDF("id", "w", "h")
+      .select($"w", $"h",
+        Multimodal.decodeBmp(Multimodal.bmpBytes($"w", $"h")).as("d"))
+      .select($"w", $"h", $"d.width", $"d.height", $"d.bit_depth", $"d.file_size")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") == r.getAs[Int]("w"))
+      assert(r.getAs[Int]("height") == r.getAs[Int]("h"))
+      assert(r.getAs[Int]("bit_depth") == 24)
+      val rowBytes = (r.getAs[Int]("w") * 3 + 3) / 4 * 4
+      assert(r.getAs[Long]("file_size") == 54L + rowBytes.toLong * r.getAs[Int]("h"))
+    }
+  }
+
+  test("wavBytes is a REAL WAV: JDK AudioSystem parses rate/channels/frames") {
+    val bytes = Seq((1L, 8800, 25)).toDF("id", "rate", "n")
+      .select(Multimodal.wavBytes($"rate", $"n").as("bytes"))
+      .head().getAs[Array[Byte]]("bytes")
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new ByteArrayInputStream(bytes))
+    assert(fmt.getFormat.getSampleRate == 8800f)
+    assert(fmt.getFormat.getChannels == 1)
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFrameLength == 25)
+  }
+
+  test("decodeWav reads back exactly what wavBytes wrote; non-media is null") {
+    val out = Seq((1L, 8800, 25)).toDF("id", "rate", "n")
+      .select(Multimodal.decodeWav(Multimodal.wavBytes($"rate", $"n")).as("d"))
+      .select($"d.channels", $"d.sample_rate", $"d.bit_depth", $"d.data_size")
+      .head()
+    assert(out.getAs[Int]("channels") == 1)
+    assert(out.getAs[Int]("sample_rate") == 8800)
+    assert(out.getAs[Int]("bit_depth") == 16)
+    assert(out.getAs[Long]("data_size") == 50L)
+    // plain text bytes: both decoders must refuse, not parse garbage
+    val junk = Seq(Tuple1("this is not a media file, just text padding to 54+ bytes......"))
+      .toDF("t").select(encode($"t", "UTF-8").as("b"))
+    assert(junk.select(Multimodal.decodeBmp($"b")).head().isNullAt(0))
+    assert(junk.select(Multimodal.decodeWav($"b")).head().isNullAt(0))
+  }
+}

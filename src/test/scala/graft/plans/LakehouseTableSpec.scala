@@ -50,6 +50,29 @@ class LakehouseTableSpec extends SparkSpec {
     assert(first.size == 3)
   }
 
+  test("all-new-PK upsert takes the append path: no existing file rewritten") {
+    val path = tmp("append")
+    val t = LakehouseTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    def dataFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    val before = dataFiles
+    t.upsert(frame((3, "c", "p1"), (4, "d", "p3"))) // no PK overlap
+    val after = dataFiles
+    // old files untouched (same path, same mtime) — appended, not rewritten
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"pre-existing file rewritten: $p")
+    }
+    assert(after.size > before.size)
+    val out = t.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(out == Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // a duplicated retry of the same batch falls back to merge: no dupes
+    t.upsert(frame((3, "c", "p1"), (4, "d", "p3")))
+    assert(t.read.count() == 4)
+  }
+
   test("unpartitioned upsertFull merges and leaves no staging/backup dirs") {
     val path = tmp("full")
     val t = LakehouseTable(spark, path, "id")

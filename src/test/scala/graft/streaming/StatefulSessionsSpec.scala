@@ -68,6 +68,36 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(state.updated.exists(_.n == 1)) // trailing session in state
   }
 
+  test("transition: late event within gap of start merges and LOWERS start") {
+    val state = new TestGroupState[StatefulSessions.SessionState]
+    state.update(StatefulSessions.SessionState(
+      ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:10:00").getTime, 2, 3.0))
+    val late = Iterator(
+      StatefulSessions.Event(7L, ts("2024-01-01 09:45:00"), 1.0))
+    val out = StatefulSessions.transition(1800 * 1000L)(7L, late, state).toSeq
+    assert(out.isEmpty)
+    val s = state.updated.get
+    assert(s.start == ts("2024-01-01 09:45:00").getTime, "start not lowered")
+    assert(s.n == 3 && s.total == 4.0)
+  }
+
+  test("transition: event far before the open session is its own closed session") {
+    val state = new TestGroupState[StatefulSessions.SessionState]
+    state.update(StatefulSessions.SessionState(
+      ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:10:00").getTime, 2, 3.0))
+    // two stragglers hours earlier, within a gap of EACH OTHER: they must
+    // form ONE closed session and must NOT absorb into the open session
+    val stragglers = Iterator(
+      StatefulSessions.Event(7L, ts("2024-01-01 06:00:00"), 1.0),
+      StatefulSessions.Event(7L, ts("2024-01-01 06:20:00"), 2.0))
+    val out = StatefulSessions.transition(1800 * 1000L)(7L, stragglers, state).toSeq
+    assert(out.map(s => (s.n_events, s.started.toString, s.total_value)) ==
+      Seq((2L, "2024-01-01 06:00:00.0", 3.0)), out.toString)
+    val s = state.updated.get
+    assert(s.start == ts("2024-01-01 10:00:00").getTime && s.n == 2,
+      "open session was corrupted by the stragglers")
+  }
+
   /** Minimal GroupState stub for driving the transition function. */
   private class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     var updated: Option[S] = None

@@ -15,16 +15,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize types for comparison
+    # normalize types for comparison — keep integers integral (the driver's
+    # hash distinguishes int64 from HUGEINT/float; coercing to float64 here
+    # masked exactly that class of oracle bug, and loses exactness > 2^53)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith('datetime64'):
             df[c] = df[c].astype('datetime64[us]')
         elif str(df[c].dtype).startswith(('Int', 'UInt', 'int', 'uint')):
-            df[c] = df[c].astype('float64')
+            df[c] = df[c].astype('Int64')
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def kind(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(('Int', 'UInt', 'int', 'uint')): return 'int'
+    if s.startswith('float'): return 'float'
+    if s.startswith('datetime64'): return 'ts'
+    if s == 'bool' or s == 'boolean': return 'bool'
+    return 'str'
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -49,6 +59,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols {list(g.columns)} vs {list(w.columns)}"); fail += 1; continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fail += 1; continue
+        kinds_g = [kind(t) for t in g.dtypes]
+        kinds_w = [kind(t) for t in w.dtypes]
+        if kinds_g != kinds_w:
+            mism = [(c, a, b) for c, a, b in zip(g.columns, kinds_g, kinds_w) if a != b]
+            print(f"FAIL {name}: type kinds differ {mism}"); fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=False, rtol=1e-9, atol=1e-9)
