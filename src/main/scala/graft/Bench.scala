@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * Failures are NOT silently folded into timings (the round-1 harness
   * swallowed exceptions into wall time): a failed query reports -1,
-  * lands in `failures`, and the process exits nonzero. */
+  * lands in `failures`, and the process exits nonzero.
+  *
+  * Each query is forced via a full-column xxhash64 checksum aggregate,
+  * not `count()` — under count() Catalyst prunes unreferenced computed
+  * columns, so pure-projection queries would time row counting instead
+  * of their actual work. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,7 +26,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          val df = fn(spark, sfDir)
+          df.agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.xxhash64(
+              df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)))
+            .head()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failures ::= name; false

@@ -187,6 +187,50 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** K2 (atomic variant) — the same MERGE semantics as [[upsertMerge]]
+    * through [[graft.plans.SnapshotTable]]: every upsert is ONE atomic
+    * manifest commit (readers see old or new snapshot, never a mixed
+    * partition state — the Delta-parity consistency LakehouseTable
+    * trades away), untouched partitions carry over by reference, and
+    * vacuum reclaims pre-retention files. Same oracle as upsert_merge:
+    * the stronger commit protocol must not change the result. */
+  def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val base = scratch("snapshot", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(target)
+    table.upsert(source)
+    table.upsert(source) // idempotent re-run: a new (identical) snapshot
+    table.vacuum(keepVersions = 2)
+    table.read.select(ordersCols.map(col): _*)
+  }
+
+  /** S2 (time travel) — read a PAST snapshot version after later
+    * commits changed the table: v1 must still be exactly the created
+    * state, byte-stable under the immutable-file + manifest design. */
+  def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val base = scratch("snaptt", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(target)
+    table.upsert(source) // v2 diverges...
+    table.readVersion(1).select(ordersCols.map(col): _*) // ...v1 unchanged
+  }
+
   /** P8 — partition-pruned scan: write date-string-partitioned, read back
     * with a partition filter (reference: step_functions.json:210,227).
     * The filter must prune at planning time — see PlanChecks. */
@@ -203,19 +247,26 @@ object Queries {
       .select("event_id", "user_id", "event_type", "value", "date")
   }
 
-  /** S4 — catalog scan: tables registered in the session catalog and
-    * queried through `spark.sql` — the reference's Glue-crawler + Athena
-    * path (SURVEY.md §3.3). The SQL itself is the reference's validation
-    * query shape: COUNT(*) + a partition-filtered aggregate. */
+  /** S4 — catalog scan: the orders table registered as a PERSISTENT
+    * external catalog table (CREATE TABLE ... USING parquet LOCATION —
+    * the metastore path Athena/Glue uses, not a session temp view) and
+    * queried through `spark.sql`. Registers only the table the query
+    * needs — the old registerAll re-listed all 10 testdata tables per
+    * call, which was most of this query's 6.5s. The SQL itself is the
+    * reference's validation query shape: COUNT(*) + a filtered
+    * aggregate. */
   def sqlCatalogQuery(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    val tbl = "graft_cat_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"CREATE TABLE `$tbl` USING parquet LOCATION '$dir/orders.parquet'")
+    }
     s.sql(
-      """SELECT o_orderstatus, COUNT(*) AS cnt,
-        |       ROUND(SUM(o_totalprice), 2) AS total
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |       ROUND(SUM(o_totalprice), 2) AS total
+         |FROM `$tbl`
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** L1 — deterministic LIMIT (ORDER BY + LIMIT so the oracle agrees;
@@ -775,6 +826,8 @@ object Queries {
     "ri_anti_join" -> (riAntiJoin _),
     "dedup_deterministic" -> (dedupDeterministic _),
     "upsert_merge" -> (upsertMerge _),
+    "snapshot_upsert" -> (snapshotUpsert _),
+    "snapshot_time_travel" -> (snapshotTimeTravel _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
     "limit_topk" -> (limitTopK _),
@@ -904,6 +957,18 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // the atomic-commit table must produce the SAME result as the
+    // per-partition-commit table for the same merge
+    "snapshot_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // v1 = exactly the created state, regardless of later commits
+    "snapshot_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     "partition_pruned_scan" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date

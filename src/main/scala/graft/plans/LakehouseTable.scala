@@ -215,6 +215,24 @@ final class LakehouseTable(
     * SURVEY.md §3.3 — our catalog updates synchronously, no crawler). */
   def registerAs(name: String): Unit =
     read.createOrReplaceTempView(name)
+
+  /** S4 — PERSISTENT catalog registration: an external datasource table
+    * (`CREATE TABLE ... USING parquet LOCATION`) that outlives the
+    * session, like the reference's Glue Catalog tables outlive the job
+    * (step_functions.json:115-130) — unlike [[registerAs]]'s session
+    * temp view. For partitioned tables the metastore partition list is
+    * recovered from the directory layout (the crawler's job, done
+    * synchronously); re-running after an upsert refreshes it, so call
+    * this again after writes that add partitions. Backed by the
+    * catalog the session is configured with (in-memory per-JVM here;
+    * an external metastore in a real deployment). */
+  def registerPersistent(name: String): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$path'")
+    }
+    spark.sql(s"REFRESH TABLE `$name`")
+    if (partitionCol.isDefined) spark.sql(s"MSCK REPAIR TABLE `$name`")
+  }
 }
 
 object LakehouseTable {

@@ -1,0 +1,130 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Atomic-commit semantics of the manifest/pointer-file table: commits
+  * are all-or-nothing across partitions, uncommitted files are
+  * invisible, old versions stay readable, vacuum reclaims only
+  * unreferenced files. */
+class SnapshotTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/table"
+
+  private def frame(rows: (Int, String, String)*) =
+    rows.toDF("id", "val", "part")
+
+  private def contents(t: SnapshotTable): Seq[(Int, String)] =
+    t.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+
+  test("create/read round-trip; upsert merges; re-run is idempotent") {
+    val t = SnapshotTable(spark, tmp("snap"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    val batch = frame((2, "B2", "p2"), (4, "d", "p3"))
+    t.upsert(batch)
+    assert(contents(t) == Seq(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+    t.upsert(batch)
+    assert(contents(t) == Seq(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+    assert(t.currentVersion.contains(3L))
+  }
+
+  test("untouched partitions carry over BY REFERENCE: same physical files") {
+    val path = tmp("snapref")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    def filesOf(part: String) = new java.io.File(s"$path/data/part=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val p1Before = filesOf("p1")
+    t.upsert(frame((3, "c", "p2"))) // touches only p2
+    assert(filesOf("p1") == p1Before, "untouched partition was rewritten")
+    assert(contents(t) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
+  test("a crashed commit (data files, no manifest) is invisible to readers") {
+    val path = tmp("snapcrash")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    // simulate a writer that died between data-move and manifest rename:
+    // drop an orphan parquet file into a live partition dir
+    frame((99, "GHOST", "p1")).drop("part").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/orphan")
+    val orphan = new java.io.File(s"$path/orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphan.toPath,
+      java.nio.file.Paths.get(s"$path/data/part=p1/deadbeef-${orphan.getName}"))
+    assert(contents(t) == Seq(1 -> "a"), "orphan file leaked into the snapshot")
+    // vacuum reclaims it
+    t.vacuum(keepVersions = 1)
+    assert(!new java.io.File(s"$path/data/part=p1")
+      .listFiles().exists(_.getName.startsWith("deadbeef-")))
+    assert(contents(t) == Seq(1 -> "a"))
+  }
+
+  test("time travel: old version readable and unchanged after later commits") {
+    val t = SnapshotTable(spark, tmp("snaptt"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((2, "B2", "p2"), (3, "c", "p1")))
+    assert(contents(t) == Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+    val v1 = t.readVersion(1).orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(v1 == Seq(1 -> "a", 2 -> "b"))
+  }
+
+  test("vacuum drops pre-retention versions but keeps the live window") {
+    val path = tmp("snapvac")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.upsert(frame((1, "a2", "p1")))
+    t.upsert(frame((1, "a3", "p1")))
+    t.vacuum(keepVersions = 2)
+    assert(contents(t) == Seq(1 -> "a3"))
+    // v2 still time-travelable, v1 gone
+    assert(t.readVersion(2).count() == 1)
+    intercept[Exception](t.readVersion(1).count())
+  }
+
+  test("null partition values round-trip through upsert") {
+    val t = SnapshotTable(spark, tmp("snapnull"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")).unionByName(
+      Seq((2, "b")).toDF("id", "val")
+        .withColumn("part", lit(null).cast("string"))))
+    t.upsert(Seq((2, "B")).toDF("id", "val")
+      .withColumn("part", lit(null).cast("string")))
+    val out = t.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(out == Seq(1 -> "a", 2 -> "B"))
+  }
+
+  test("concurrent commit of the same version: loser fails, table intact") {
+    val path = tmp("snapcc")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    // forge a competing v2 manifest, then attempt an upsert (also v2)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new Path(s"$path/data/part=p1"))
+      .map(st => "part=p1/" + st.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    val out = fs.create(new Path(s"$path/_commits/v000000002.manifest"), false)
+    out.write(("version\t2\n" + live.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    intercept[IllegalStateException] {
+      // direct probe of the commit primitive: committing a version that
+      // already exists (the losing side of the race) must throw, not
+      // clobber the winner's manifest
+      val m = classOf[SnapshotTable].getDeclaredMethod(
+        "commitManifest", classOf[Long], classOf[Seq[String]])
+      m.setAccessible(true)
+      try m.invoke(t, java.lang.Long.valueOf(2L), live.toSeq)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(t.read.count() == 1, "losing commit corrupted the table")
+  }
+}
