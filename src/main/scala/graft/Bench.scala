@@ -28,7 +28,9 @@ object Bench {
       val ok =
         try {
           val df = fn(spark, sfDir)
-          df.agg(org.apache.spark.sql.functions.sum(
+          // bit_xor, not sum: ANSI mode (Spark 4 default) throws on long
+          // overflow, and a 60k-row sum of 64-bit hashes overflows.
+          df.agg(org.apache.spark.sql.functions.bit_xor(
             org.apache.spark.sql.functions.xxhash64(
               df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)))
             .head()
