@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.functions.TextAnalysis
 import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextDedup, Validation}
 import graft.plans.{LakehouseTable, Pipeline}
-import graft.streaming.{Ingest, WindowedAgg}
+import graft.streaming.{Ingest, StreamDedup, WindowedAgg}
 
 /** The SURVEY.md §2 operator surface as named queries over the driver
   * testdata (TESTDATA.md), each with a DuckDB oracle in
@@ -229,6 +229,29 @@ object Queries {
     table.create(target)
     table.upsert(source) // v2 diverges...
     table.readVersion(1).select(ordersCols.map(col): _*) // ...v1 unchanged
+  }
+
+  /** S2 (incremental read / CDC) — the change set between two snapshot
+    * versions: after create(evens) then upsert(div-3 bumped), the delta
+    * of v1→v2 is exactly the upsert's row images (inserted odd-div-3 +
+    * updated even-div-3), with the untouched even rows absent. The diff
+    * reads only partitions the commit rewrote (carried-over files are
+    * immutable and skipped), so an incremental consumer's cost scales
+    * with the change, not the table. */
+  def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val base = scratch("snapchg", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(target)
+    table.upsert(source)
+    table.changes(1L, 2L).select(ordersCols.map(col): _*)
   }
 
   /** P8 — partition-pruned scan: write date-string-partitioned, read back
@@ -477,6 +500,33 @@ object Queries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Streaming dedup of an at-least-once source: every 10th event is
+    * re-delivered, `dropDuplicatesWithinWatermark` keeps the first
+    * arrival per event_id with BOUNDED state (keys within the watermark,
+    * not stream history). Parity: the accumulated sink must equal the
+    * batch distinct — i.e. exactly the original events. */
+  def streamDedupParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_dedup", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val landing = s"$base/landing"
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      Tables.eventsTs("ts").as("ets"))
+    // re-deliver every 10th event, cluster landing files by event time so
+    // each trigger sees a time slice (the shape a log shipper produces)
+    ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      .repartitionByRange(8, col("ets"))
+      .write.mode("overwrite").parquet(landing)
+    val schema = s.read.parquet(landing).schema
+    StreamDedup.dedupToParquet(s, landing, schema, "event_id", "ets",
+      "90 days", s"$base/out", s"$base/checkpoint",
+      maxFilesPerTrigger = Some(4))
+    s.read.parquet(s"$base/out")
+      .select("event_id", "user_id", "event_type", "value")
   }
 
   /** Streaming tumbling-window aggregate over events (complete-mode
@@ -828,6 +878,7 @@ object Queries {
     "upsert_merge" -> (upsertMerge _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
+    "snapshot_changes" -> (snapshotChanges _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
     "limit_topk" -> (limitTopK _),
@@ -839,6 +890,7 @@ object Queries {
     "rollup_agg" -> (rollupAgg _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
+    "stream_dedup_parity" -> (streamDedupParity _),
     "stream_window_agg" -> (streamWindowAgg _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -965,6 +1017,11 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // v1→v2 delta = exactly the upsert's row images: inserted odd-div-3
+    // rows + updated even-div-3 rows; untouched evens must be absent
+    "snapshot_changes" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2) AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -1053,6 +1110,10 @@ object Queries {
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events""".stripMargin,
+    // the deduped sink must equal the original events: every injected
+    // re-delivery dropped, every first arrival kept exactly once
+    "stream_dedup_parity" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS window_date,
         |       event_type, count(*) AS cnt,

@@ -194,6 +194,35 @@ final class SnapshotTable(
     commitManifest(v + 1, next)
   }
 
+  private def readFiles(files: Seq[String]): DataFrame = {
+    val r = spark.read.option("basePath", dataDir)
+    declaredSchema.fold(r)(s => r.schema(s))
+      .parquet(files.map(f => s"$dataDir/$f"): _*)
+  }
+
+  /** CDC / incremental read: the new row images committed in versions
+    * (fromV, toV] — every row inserted or updated since fromV (upserts
+    * never delete, so this is the complete change set). Downstream
+    * consumers re-process only the delta instead of re-reading the
+    * table.
+    *
+    * Cost is O(rewritten partitions), never O(table): files carried
+    * over by reference are immutable and identical in both manifests,
+    * so only files NEW in toV are read, diffed against fromV's files of
+    * the same partitions (a rewrite includes the partition's unchanged
+    * rows, which the EXCEPT removes). */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val before = readManifest(fromV).toSet
+    val newFiles = readManifest(toV).filterNot(before)
+    if (newFiles.isEmpty) return read.limit(0)
+    val touched = newFiles.map(partOf).toSet
+    val oldTouched = before.toSeq.filter(f => touched(partOf(f)))
+    val newRows = readFiles(newFiles)
+    if (oldTouched.isEmpty) newRows
+    else newRows.except(readFiles(oldTouched))
+  }
+
   /** OPTIMIZE analog: rewrite the current snapshot compacted, as one
     * atomic commit; old versions stay time-travelable until vacuum. */
   def compact(): Unit = {

@@ -78,6 +78,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v1 == Seq(1 -> "a", 2 -> "b"))
   }
 
+  test("changes: inserts + updates only, carried-over rows excluded, span composes") {
+    val path = tmp("snapchg")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    t.upsert(frame((2, "B2", "p2"), (4, "d", "p3"))) // update + insert; 3 carried in rewritten p2
+    def delta(a: Long, b: Long) = t.changes(a, b).orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(delta(1, 2) == Seq(2 -> "B2", 4 -> "d"),
+      "delta must be exactly the upsert's row images")
+    // only the rewritten partitions' files are read: p1 untouched, so a
+    // corrupted p1 file must not break the diff
+    val p1 = new java.io.File(s"$path/data/part=p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(p1.toPath)
+    try {
+      java.nio.file.Files.write(p1.toPath, Array[Byte](0, 1, 2, 3))
+      assert(delta(1, 2) == Seq(2 -> "B2", 4 -> "d"),
+        "changes read an untouched partition")
+    } finally java.nio.file.Files.write(p1.toPath, bytes)
+    t.upsert(frame((4, "D2", "p3")))
+    assert(delta(2, 3) == Seq(4 -> "D2"))
+    assert(delta(1, 3) == Seq(2 -> "B2", 4 -> "D2"),
+      "multi-version span must net out intermediate states")
+    assert(delta(3, 3).isEmpty, "same-version delta must be empty")
+  }
+
   test("vacuum drops pre-retention versions but keeps the live window") {
     val path = tmp("snapvac")
     val t = SnapshotTable(spark, path, "id", Some("part"))
