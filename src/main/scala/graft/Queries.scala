@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextDedup, Validation}
+import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextDedup, Validation, ZOrder}
 import graft.plans.{LakehouseTable, Pipeline}
 import graft.streaming.{Ingest, StreamDedup, WindowedAgg}
 
@@ -252,6 +252,53 @@ object Queries {
     table.create(target)
     table.upsert(source)
     table.changes(1L, 2L).select(ordersCols.map(col): _*)
+  }
+
+  /** S2 (data skipping) — manifest min/max stats + range clustering:
+    * the table is written range-clustered on o_orderkey with per-file
+    * stats in the manifest, and a range read opens only files whose
+    * stats overlap the bound — the Delta/Iceberg skipping model, where
+    * a selective scan is O(matching files) regardless of table size.
+    * The exact filter still applies on top, so the result is the plain
+    * SQL range either way (the oracle). */
+  def snapshotSkipScan(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapskip", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+      clusterFiles = 16) // pinned: AQE would coalesce toy-scale input to 1 file
+
+    table.create(t(s, dir, "orders"))
+    val total = table.candidateFiles(("o_orderkey", Long.MinValue, Long.MaxValue)).size
+    val hit = table.candidateFiles(("o_orderkey", 1000L, 2000L)).size
+    require(hit < total,
+      s"data skipping had no effect: $hit of $total files in range")
+    table.readWhere(("o_orderkey", 1000L, 2000L)).select(ordersCols.map(col): _*)
+  }
+
+  /** Z-order clustering + data skipping on a BOX predicate: orders are
+    * clustered along the Morton curve over (o_custkey, o_orderkey), so
+    * every file covers a small rectangle of that key space and manifest
+    * min/max stats prune on BOTH columns — a linear sort would prune on
+    * one and scan everything for the other. Result must equal the plain
+    * SQL box filter (the oracle). */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("zorder", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_custkey", "o_orderkey"))
+    table.create(ZOrder.cluster(
+      t(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), numFiles = 16))
+    val box = Seq(("o_custkey", 100L, 300L), ("o_orderkey", 1000L, 5000L))
+    val total = table.candidateFiles().size
+    val hit = table.candidateFiles(box: _*).size
+    require(hit < total,
+      s"z-order skipping had no effect: $hit of $total files in box")
+    table.readWhere(box: _*).select(ordersCols.map(col): _*)
   }
 
   /** P8 — partition-pruned scan: write date-string-partitioned, read back
@@ -879,6 +926,8 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_changes" -> (snapshotChanges _),
+    "snapshot_skip_scan" -> (snapshotSkipScan _),
+    "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
     "limit_topk" -> (limitTopK _),
@@ -1022,6 +1071,15 @@ object Queries {
     "snapshot_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2) AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // the z-ordered, stats-pruned box read must equal the plain SQL box
+    "zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    // the skipping read must equal the plain SQL range scan
+    "snapshot_skip_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -48,7 +48,22 @@ final class SnapshotTable(
     val path: String,
     val primaryKey: String,
     val partitionCol: Option[String] = None,
-    val declaredSchema: Option[StructType] = None) {
+    val declaredSchema: Option[StructType] = None,
+    /** Columns whose per-file min/max land in the manifest (data
+      * skipping, Delta/Iceberg-style): [[readWhere]] prunes files whose
+      * range can't overlap the predicate before any data I/O. */
+    val statsCols: Seq[String] = Nil,
+    /** Range-cluster batches on these columns at write so each data
+      * file covers a narrow value range — what makes the stats above
+      * selective. */
+    val clusterBy: Seq[String] = Nil,
+    /** Explicit cluster-file count per write. 0 (default) lets AQE
+      * right-size range partitions to the data volume — correct at
+      * scale, but at toy scale AQE coalesces everything into one file
+      * and there is nothing to skip; set a count to pin granularity. */
+    val clusterFiles: Int = 0) {
+
+  import SnapshotTable.FileEntry
 
   private val dataDir = s"$path/data"
   private val commitsDir = s"$path/_commits"
@@ -56,8 +71,10 @@ final class SnapshotTable(
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // ---- manifest format: line 1 "version\t<n>", then "<file>" lines ----
-  // (paths are table-relative so the table directory is relocatable)
+  // ---- manifest format: line 1 "version\t<n>", then per-file lines
+  // "<relpath>[\t<col>\t<min>\t<max>]*" — values tagged L:/D:/S: (long/
+  // double/URL-encoded string). Paths are table-relative so the table
+  // directory is relocatable; stats ride along when files carry over.
 
   private def manifestPath(v: Long) = new Path(f"$commitsDir/v$v%09d.manifest")
 
@@ -73,25 +90,25 @@ final class SnapshotTable(
 
   def exists: Boolean = currentVersion.isDefined
 
-  private def readManifest(v: Long): Seq[String] = {
+  private def readManifest(v: Long): Seq[FileEntry] = {
     val in = fs.open(manifestPath(v))
     try {
       val txt = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       val lines = txt.split("\n").filter(_.nonEmpty).toSeq
       require(lines.head == s"version\t$v", s"manifest header mismatch at v$v")
-      lines.tail
+      lines.tail.map(FileEntry.parse)
     } finally in.close()
   }
 
   /** Write manifest to a tmp name, then the ONE atomic rename that is
     * the commit point. A concurrent committer of the same version loses
     * the rename and fails cleanly (optimistic concurrency). */
-  private def commitManifest(v: Long, files: Seq[String]): Unit = {
+  private def commitManifest(v: Long, files: Seq[FileEntry]): Unit = {
     fs.mkdirs(new Path(commitsDir))
     val tmp = new Path(s"$commitsDir/.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write((s"version\t$v\n" + files.mkString("\n") + "\n")
+    try out.write((s"version\t$v\n" + files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, manifestPath(v))) {
@@ -102,12 +119,8 @@ final class SnapshotTable(
   }
 
   /** Snapshot read of a specific version (time travel). */
-  def readVersion(v: Long): DataFrame = {
-    val files = readManifest(v).map(f => s"$dataDir/$f")
-    val r = spark.read.option("basePath", dataDir)
-    val withSchema = declaredSchema.fold(r)(s => r.schema(s))
-    withSchema.parquet(files: _*)
-  }
+  def readVersion(v: Long): DataFrame =
+    readFiles(readManifest(v).map(_.path))
 
   /** Snapshot read of the current version. */
   def read: DataFrame = readVersion(currentVersion.getOrElse(
@@ -122,10 +135,19 @@ final class SnapshotTable(
     * table-relative paths. The batch lands in a staging dir, then files
     * move (same-FS renames, metadata ops) into the canonical tree under
     * a fresh commit id so basePath partition parsing spans commits. */
-  private def writeDataFiles(df: DataFrame): Seq[String] = {
+  private def writeDataFiles(df: DataFrame): Seq[FileEntry] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val stage = s"$path/_stage/$commitId"
-    val clustered = partitionCol.fold(df)(c => df.repartition(col(c)))
+    val clustered =
+      if (clusterBy.nonEmpty) {
+        // range-cluster (within the partition column when present) so
+        // each file covers a narrow slice of the cluster columns —
+        // the precondition for min/max skipping to actually skip
+        val cs = (partitionCol.toSeq ++ clusterBy).map(col)
+        val ranged = if (clusterFiles > 0) df.repartitionByRange(clusterFiles, cs: _*)
+                     else df.repartitionByRange(cs: _*)
+        ranged.sortWithinPartitions(cs: _*)
+      } else partitionCol.fold(df)(c => df.repartition(col(c)))
     val w = clustered.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage)
     val moved = mutable.Buffer.empty[String]
@@ -145,7 +167,53 @@ final class SnapshotTable(
       }
     walk(new Path(stage), "")
     fs.delete(new Path(s"$path/_stage/$commitId"), true)
-    moved.toSeq
+    moved.toSeq.map(rel =>
+      FileEntry(rel, if (statsCols.isEmpty) Map.empty else footerStats(rel)))
+  }
+
+  /** Per-file min/max of `statsCols` from the parquet footer (one
+    * metadata read per NEW file, driver-side — the same information a
+    * production writer would collect task-side during the write, as
+    * Iceberg does; footers are the no-write-hook equivalent). A column
+    * missing stats in any row group is left unstated = never pruned. */
+  private def footerStats(rel: String): Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(s"$dataDir/$rel"), spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val wanted = statsCols.toSet
+      val chunks = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(c => wanted(c.getPath.toDotString))
+        .groupBy(_.getPath.toDotString)
+      chunks.flatMap { case (name, cs) =>
+        val vals = cs.map { c =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number)
+                if !mn.isInstanceOf[java.lang.Double] &&
+                   !mn.isInstanceOf[java.lang.Float] =>
+              Some((s"L:${mn.longValue}", s"L:${mx.longValue}"))
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              Some((s"D:${mn.doubleValue}", s"D:${mx.doubleValue}"))
+            case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+              Some((FileEntry.encS(mn.toStringUsingUTF8),
+                    FileEntry.encS(mx.toStringUsingUTF8)))
+            case _ => None
+          }
+        }
+        if (vals.exists(_.isEmpty)) None // a statless row group: stay safe
+        else {
+          val mins = vals.flatten.map(_._1)
+          val maxs = vals.flatten.map(_._2)
+          Some(name -> (mins.min(FileEntry.valueOrdering),
+                        maxs.max(FileEntry.valueOrdering)))
+        }
+      }.toMap
+    } finally reader.close()
   }
 
   /** Initial commit (v1). */
@@ -173,14 +241,10 @@ final class SnapshotTable(
         val touched = source.select(pc).distinct().collect()
           .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
                     else r.get(0).toString).toSet
-        val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f)))
+        val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
-          else {
-            val r = spark.read.option("basePath", dataDir)
-            declaredSchema.fold(r)(s => r.schema(s))
-              .parquet(touchedFiles.map(f => s"$dataDir/$f"): _*)
-          }
+          else readFiles(touchedFiles.map(_.path))
         val srcAligned =
           if (touchedFiles.isEmpty) source
           else source.select(current.columns.toIndexedSeq.map(col): _*)
@@ -213,8 +277,8 @@ final class SnapshotTable(
     * rows, which the EXCEPT removes). */
   def changes(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
-    val before = readManifest(fromV).toSet
-    val newFiles = readManifest(toV).filterNot(before)
+    val before = readManifest(fromV).map(_.path).toSet
+    val newFiles = readManifest(toV).map(_.path).filterNot(before)
     if (newFiles.isEmpty) return read.limit(0)
     val touched = newFiles.map(partOf).toSet
     val oldTouched = before.toSeq.filter(f => touched(partOf(f)))
@@ -222,6 +286,37 @@ final class SnapshotTable(
     if (oldTouched.isEmpty) newRows
     else newRows.except(readFiles(oldTouched))
   }
+
+  /** The manifest entries of the current version whose stats range can
+    * overlap EVERY [lower, upper] bound — the data-skipping candidate
+    * set, decided on manifest METADATA alone. Files without stats for a
+    * bound's column are conservatively kept for that bound. */
+  def candidateFiles(bounds: (String, Any, Any)*): Seq[FileEntry] = {
+    val encoded = bounds.map { case (c, lo, hi) =>
+      (c, FileEntry.enc(lo), FileEntry.enc(hi))
+    }
+    readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path")))
+      .filter(e => encoded.forall { case (c, lo, hi) =>
+        e.stats.get(c) match {
+          // compare only within a tag family: a bound typed differently
+          // from the footer stats (schema drift) keeps the file — pruning
+          // must never be wrong, only sometimes useless
+          case Some((mn, mx)) if mn.take(2) == lo.take(2) && mx.take(2) == hi.take(2) =>
+            val ord = FileEntry.valueOrdering
+            ord.lteq(mn, hi) && ord.gteq(mx, lo) // ranges overlap
+          case _ => true
+        }
+      })
+  }
+
+  /** Box-predicate read with manifest-level data skipping: only files
+    * whose min/max can overlap every bound are opened — O(matching
+    * files) I/O, not O(table) — then the exact filter is applied on
+    * top, so the result is correct whether or not stats exist. */
+  def readWhere(bounds: (String, Any, Any)*): DataFrame =
+    bounds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .foldLeft(readFiles(candidateFiles(bounds: _*).map(_.path)))(_.filter(_))
 
   /** OPTIMIZE analog: rewrite the current snapshot compacted, as one
     * atomic commit; old versions stay time-travelable until vacuum. */
@@ -235,7 +330,7 @@ final class SnapshotTable(
   def vacuum(keepVersions: Int = 2): Unit = {
     val v = currentVersion.getOrElse(return)
     val keep = ((v - keepVersions + 1) max 1L) to v
-    val referenced = keep.flatMap(readManifest).toSet
+    val referenced = keep.flatMap(readManifest(_).map(_.path)).toSet
     // drop manifests older than the retention window
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>
@@ -268,6 +363,58 @@ final class SnapshotTable(
 object SnapshotTable {
   def apply(spark: SparkSession, path: String, primaryKey: String,
             partitionCol: Option[String] = None,
-            declaredSchema: Option[StructType] = None): SnapshotTable =
-    new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema)
+            declaredSchema: Option[StructType] = None,
+            statsCols: Seq[String] = Nil,
+            clusterBy: Seq[String] = Nil,
+            clusterFiles: Int = 0): SnapshotTable =
+    new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
+      statsCols, clusterBy, clusterFiles)
+
+  /** One manifest line: a table-relative file path plus optional
+    * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they
+    * order correctly at prune time (strings URL-encoded — tabs and
+    * newlines can appear in data values). */
+  final case class FileEntry(path: String, stats: Map[String, (String, String)]) {
+    def serialize: String =
+      (path +: stats.toSeq.sortBy(_._1).flatMap { case (c, (mn, mx)) =>
+        Seq(c, mn, mx)
+      }).mkString("\t")
+  }
+
+  object FileEntry {
+    def parse(line: String): FileEntry = {
+      val parts = line.split("\t", -1)
+      val stats = parts.drop(1).grouped(3).collect {
+        case Array(c, mn, mx) => c -> (mn, mx)
+      }.toMap
+      FileEntry(parts.head, stats)
+    }
+
+    def encS(s: String): String =
+      "S:" + java.net.URLEncoder.encode(s, "UTF-8")
+
+    /** Tag a predicate bound the way footer stats are tagged. */
+    def enc(v: Any): String = v match {
+      case n: Long => s"L:$n"
+      case n: Int => s"L:$n"
+      case n: Short => s"L:$n"
+      case n: Byte => s"L:$n"
+      case n: Double => s"D:$n"
+      case n: Float => s"D:${n.toDouble}"
+      case s: String => encS(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported stats bound type: ${other.getClass}")
+    }
+
+    /** Order tagged values within a tag family (callers guarantee same
+      * family — candidateFiles keeps any cross-family file unpruned). */
+    val valueOrdering: Ordering[String] = Ordering.fromLessThan { (a, b) =>
+      (a.splitAt(2), b.splitAt(2)) match {
+        case (("L:", x), ("L:", y)) => x.toLong < y.toLong
+        case (("D:", x), ("D:", y)) => x.toDouble < y.toDouble
+        case (("S:", x), ("S:", y)) => x < y
+        case _ => a < b
+      }
+    }
+  }
 }

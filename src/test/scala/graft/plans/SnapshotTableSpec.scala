@@ -104,6 +104,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(delta(3, 3).isEmpty, "same-version delta must be empty")
   }
 
+  test("data skipping: range-clustered files prune by manifest stats alone") {
+    val path = tmp("snapskip")
+    val t = SnapshotTable(spark, path, "id", statsCols = Seq("id", "val"),
+      clusterBy = Seq("id"), clusterFiles = 8)
+    t.create((1 to 1000).map(i => (i, f"v$i%04d", "p"))
+      .toDF("id", "val", "part").repartition(10))
+    val total = t.candidateFiles(("id", Int.MinValue.toLong, Int.MaxValue.toLong)).size
+    assert(total >= 4, s"expected several files, got $total")
+    val hit = t.candidateFiles(("id", 100L, 150L))
+    assert(hit.size < total, "narrow range pruned nothing")
+    // the pruned read is still exact
+    val got = t.readWhere(("id", 100L, 150L)).orderBy("id")
+      .collect().map(_.getAs[Int]("id")).toSeq
+    assert(got == (100 to 150))
+    // string stats prune too, and URL-encoding round-trips
+    val sHit = t.candidateFiles(("val", "v0100", "v0150"))
+    assert(sHit.size < total, "string stats pruned nothing")
+    assert(t.readWhere(("val", "v0100", "v0150")).count() == 51)
+    // a column with no stats never prunes (conservative)
+    assert(t.candidateFiles(("part", "zzz", "zzz")).size == 0 ||
+      t.readWhere(("part", "p", "p")).count() == 1000)
+  }
+
+  test("data skipping: stats carry over with unrewritten files across upserts") {
+    val path = tmp("snapskipup")
+    val t = SnapshotTable(spark, path, "id", partitionCol = Some("part"),
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 8)
+    t.create((1 to 500).map(i => (i, s"v$i", if (i <= 250) "p1" else "p2"))
+      .toDF("id", "val", "part"))
+    t.upsert(frame((1, "A1", "p1"))) // rewrites only p1
+    val hi = t.candidateFiles(("id", 400L, 410L))
+    assert(hi.nonEmpty && hi.forall(_.stats.contains("id")),
+      "carried-over p2 files lost their stats")
+    assert(t.readWhere(("id", 400L, 410L)).count() == 11)
+    assert(t.readWhere(("id", 1L, 1L)).select("val").head().getString(0) == "A1")
+  }
+
   test("vacuum drops pre-retention versions but keeps the live window") {
     val path = tmp("snapvac")
     val t = SnapshotTable(spark, path, "id", Some("part"))
@@ -146,9 +183,10 @@ class SnapshotTableSpec extends SparkSpec {
       // already exists (the losing side of the race) must throw, not
       // clobber the winner's manifest
       val m = classOf[SnapshotTable].getDeclaredMethod(
-        "commitManifest", classOf[Long], classOf[Seq[String]])
+        "commitManifest", classOf[Long], classOf[Seq[_]])
       m.setAccessible(true)
-      try m.invoke(t, java.lang.Long.valueOf(2L), live.toSeq)
+      try m.invoke(t, java.lang.Long.valueOf(2L),
+        live.toSeq.map(SnapshotTable.FileEntry(_, Map.empty)))
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
     assert(t.read.count() == 1, "losing commit corrupted the table")
