@@ -97,6 +97,11 @@ object Pipeline {
       j.name -> LakehouseTable(spark, s"$warehouseDir/${j.name}", j.primaryKey,
         Some(j.partitionCol), Some(Tables.asNullable(j.schema)))
     }.toMap
+    // one cached read per freshly-written table, shared by downstream RI
+    // checks and the post-load gates — without it each consumer re-lists
+    // and re-scans the partitioned table (the date-partitioned testdata
+    // has thousands of partition dirs, so listings aren't free)
+    val written = scala.collection.mutable.Map.empty[String, DataFrame]
 
     val results = jobs.map { job =>
       retry(job.name, retryAttempts, retryDelayMs) {
@@ -119,7 +124,7 @@ object Pipeline {
       var kept = vr.valid
       var orphaned = 0L
       val cachedKeys = job.foreignKeys.map { case (fk, dimName, dimKey) =>
-        val keys = tables(dimName).read
+        val keys = written.getOrElse(dimName, tables(dimName).read)
           .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
           .distinct().persist()
         val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
@@ -136,6 +141,7 @@ object Pipeline {
       // dedup (A2) then MERGE upsert (K2)
       val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
       tables(job.name).upsert(deduped)
+      written(job.name) = tables(job.name).read.persist()
       lap("upsert")
       vr.unpersist()
       cachedKeys.foreach(_.unpersist())
@@ -149,7 +155,9 @@ object Pipeline {
     // post-load validation gates, fanned out concurrently (A3/T7); the
     // COUNT(*) gate doubles as the per-table loaded count (one scan, not
     // a separate loaded-count pass per job)
-    jobs.foreach(j => tables(j.name).registerAs(j.name))
+    jobs.foreach(j =>
+      written.getOrElse(j.name, tables(j.name).read)
+        .createOrReplaceTempView(j.name))
     val gates = jobs.map { j =>
       Future {
         val n = spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
@@ -159,6 +167,7 @@ object Pipeline {
       }
     }
     val gateResults = Await.result(Future.sequence(gates), Duration.Inf)
+    written.values.foreach(_.unpersist())
     val withLoaded = results.zip(gateResults).map { case (r, (n, _)) =>
       r.copy(loaded = n)
     }
