@@ -526,6 +526,34 @@ object Queries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** §2.8-style set operations as first-class relational surface:
+    * INTERSECT (customers ordering in both statuses) and EXCEPT
+    * (F-only customers), labeled and unioned so one result exercises
+    * both. Set ops distinct-reduce each side before the compare — at
+    * scale that is two partial-aggregated shuffles, not a join. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def side(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey")
+    val f = side("F")
+    val o = side("O")
+    f.intersect(o).withColumn("op", lit("both"))
+      .unionByName(f.except(o).withColumn("op", lit("f_only")))
+  }
+
+  /** Sketch profile: HLL++ distinct counts and t-digest-style quantiles
+    * in ONE aggregation pass with O(sketch) memory — the only viable
+    * shape for profiling a 100 TB corpus (exact distinct/percentile
+    * would shuffle the full column). Deterministic for fixed input;
+    * error bounds vs exact are pinned by SketchSpec (no SQL oracle —
+    * DuckDB's sketches use different algorithms/seeds). */
+  def approxProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      approx_count_distinct("user_id").as("approx_users"),
+      approx_count_distinct("event_type").as("approx_types"),
+      expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+        .as("value_quantiles"))
+
   /** ROLLUP aggregation with grouping-level id — multi-level aggregates
     * in one pass. */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
@@ -547,6 +575,34 @@ object Queries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Streaming ingest through the ATOMIC commit path: parquet landings
+    * drain through AvailableNow micro-batches, each committed as ONE
+    * snapshot-manifest swap — a reader polling mid-ingest sees complete
+    * batch boundaries only. Multiple batches must have produced
+    * multiple versions, and the final table must equal the batch read
+    * (same parity oracle as the per-partition sink). */
+  def streamSnapshotIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_snap", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic version history
+    val landing = s"$base/landing"
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+      .repartitionByRange(8, col("date"))
+      .write.mode("overwrite").parquet(landing)
+    val schema = s.read.parquet(landing).schema
+    val table = plans.SnapshotTable(s, s"$base/table", "event_id",
+      Some("date"), Some(Tables.asNullable(schema)))
+    Ingest.parquetToSnapshot(s, landing, schema, table,
+      s"$base/checkpoint", maxFilesPerTrigger = Some(2))
+    require(table.currentVersion.exists(_ >= 2),
+      "expected multiple atomic commits from multiple micro-batches")
+    table.read.select("event_id", "user_id", "event_type", "value", "date")
   }
 
   /** Streaming dedup of an at-least-once source: every 10th event is
@@ -937,9 +993,12 @@ object Queries {
     "having_agg" -> (havingAgg _),
     "exists_subquery" -> (existsSubquery _),
     "rollup_agg" -> (rollupAgg _),
+    "set_ops" -> (setOps _),
+    "approx_profile" -> (approxProfile _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
     "stream_dedup_parity" -> (streamDedupParity _),
+    "stream_snapshot_ingest" -> (streamSnapshotIngest _),
     "stream_window_agg" -> (streamWindowAgg _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -1144,6 +1203,16 @@ object Queries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "set_ops" ->
+      """SELECT o_custkey, 'both' AS op FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS op FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
     "pipeline_e2e" ->
       """WITH numbered AS (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
@@ -1172,6 +1241,11 @@ object Queries {
     // re-delivery dropped, every first arrival kept exactly once
     "stream_dedup_parity" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // atomic-commit streaming sink: same parity as the per-partition sink
+    "stream_snapshot_ingest" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS window_date,
         |       event_type, count(*) AS cnt,

@@ -41,7 +41,11 @@ import org.apache.spark.sql.types.StructType
   * `basePath`, so Catalyst still partition-prunes file-level.
   *
   * Old snapshots remain readable ([[readVersion]] — time travel) until
-  * vacuumed.
+  * vacuumed; [[changes]] serves incremental consumers from rewritten
+  * files only (CDC), and manifest min/max stats ([[statsCols]]) let
+  * [[readWhere]] skip files on metadata alone (combine with
+  * [[clusterBy]] or [[graft.operators.ZOrder]] to make the stats
+  * selective).
   */
 final class SnapshotTable(
     spark: SparkSession,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.plans.LakehouseTable
+import graft.plans.{LakehouseTable, SnapshotTable}
 
 /** The reference's event-driven ingestion loop (T1/T2; reference:
   * README.md:76-90 — S3 event → SQS → Lambda → pipeline) re-expressed as
@@ -49,6 +49,29 @@ object Ingest {
     runToTable(
       spark.readStream.schema(schema).parquet(landingDir),
       table, checkpointDir)
+
+  /** Stream parquet files into an ATOMIC snapshot table: each
+    * micro-batch commits as ONE manifest swap, so a concurrent reader
+    * always sees a complete batch boundary — never a batch applied to
+    * some partitions and not others (the gap the per-partition
+    * LakehouseTable sink leaves under concurrent reads). A batch
+    * replayed after a crash re-merges idempotently; its extra commit is
+    * content-identical and vacuumable. */
+  def parquetToSnapshot(spark: SparkSession, landingDir: String,
+                        schema: StructType, table: SnapshotTable,
+                        checkpointDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.parquet(landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.upsert(batch.dropDuplicates(Seq(table.primaryKey)))
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   private def runToTable(stream: DataFrame, table: LakehouseTable,
                          checkpointDir: String): Unit = {
