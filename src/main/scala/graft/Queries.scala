@@ -564,6 +564,16 @@ object Queries {
           .cast(IntegerType).as("lvl"))
       .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
 
+  /** CUBE aggregation — all four grouping levels in one pass (the
+    * rollup sibling completing the multi-level aggregate surface). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast(IntegerType).as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+
   /** Window ranking: top order per customer by value (deterministic
     * tiebreak) — the engine's window-function surface (§2.6's
     * row_number primitive, generalized). */
@@ -667,6 +677,39 @@ object Queries {
       TextAnalysis.regexTokenCount(txt).as("n_tokens_regex"),
       round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
       TextAnalysis.qualityScore(txt).as("quality"))
+  }
+
+  /** Fixed-window document chunking with overlap — the standard
+    * pre-training prep step (split long docs into model-context-sized
+    * pieces; stride < size keeps boundary context). Pure column
+    * algebra: one `sequence` + `explode`, no shuffle, no UDF — a narrow
+    * map that streams at 100 TB. */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, (length(text) - 1) div 150)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substring(text, cast(chunk_id * 150 + 1 as int), 200)").as("chunk"))
+
+  /** PII scrubbing: e-mail and SSN shapes redacted via codegen'd
+    * `regexp_replace`, with a per-doc redaction count. Every 5th doc
+    * gets a synthetic deterministic e-mail+SSN injected (testdata has
+    * no real PII, and a scrub that never fires proves nothing); the
+    * oracle performs the same injection. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    t(s, dir, "documents")
+      .withColumn("inj", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com ssn 123-45-6789")))
+        .otherwise(col("text")))
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("inj"), lit(email), lit("[EMAIL]")),
+          lit(ssn), lit("[SSN]")).as("scrubbed"),
+        (regexp_count(col("inj"), lit(email)) +
+          regexp_count(col("inj"), lit(ssn))).cast(LongType).as("n_redacted"))
   }
 
   /** Language-ID heuristic per document (tokens materialized once). */
@@ -993,6 +1036,7 @@ object Queries {
     "having_agg" -> (havingAgg _),
     "exists_subquery" -> (existsSubquery _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
     "set_ops" -> (setOps _),
     "approx_profile" -> (approxProfile _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -1001,6 +1045,8 @@ object Queries {
     "stream_snapshot_ingest" -> (streamSnapshotIngest _),
     "stream_window_agg" -> (streamWindowAgg _),
     "text_stats" -> (textStats _),
+    "doc_chunks" -> (docChunks _),
+    "pii_scrub" -> (piiScrub _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
@@ -1203,6 +1249,13 @@ object Queries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS lvl
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     "set_ops" ->
       """SELECT o_custkey, 'both' AS op FROM
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -1268,6 +1321,29 @@ object Queries {
          |    least((len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0) * 0.3
          |  , 6) AS quality
          |FROM base""".stripMargin,
+    // same fixed-window/stride arithmetic on both engines; DuckDB's
+    // lateral generate_series mirrors Spark's sequence+explode
+    "doc_chunks" ->
+      """SELECT doc_id, k AS chunk_id,
+        |       substring(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
+        |      FROM documents)""".stripMargin,
+    // oracle injects the identical synthetic PII before scrubbing
+    "pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact: user' || doc_id || '@example.com ssn 123-45-6789'
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted
+        |FROM inj""".stripMargin,
     "lang_id" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, text, string_split($NormSql, ' ') AS toks,
