@@ -642,6 +642,49 @@ object Queries {
       .select("event_id", "user_id", "event_type", "value")
   }
 
+  /** Stream-stream inner join with event-time bounds: even-id events
+    * (left) pair with same-user odd-id events no older than one hour.
+    * Both sides carry watermarks and the join condition bounds both
+    * event times, so join state is EVICTABLE — the property that keeps
+    * a stream-stream join's memory bounded on an unbounded feed. After
+    * AvailableNow drains both sides the emitted pairs equal the batch
+    * join (the oracle). */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_join", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), Tables.eventsTs("ts").as("ets"))
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("ets"))
+      .write.parquet(s"$base/left")
+    ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("ets"))
+      .write.parquet(s"$base/right")
+    val schema = s.read.parquet(s"$base/left").schema
+    val a = s.readStream.schema(schema).parquet(s"$base/left")
+      .withWatermark("ets", "2 days")
+      .select(col("event_id").as("a_event_id"), col("user_id"),
+        col("ets").as("a_ets"))
+    val b = s.readStream.schema(schema).parquet(s"$base/right")
+      .withWatermark("ets", "2 days")
+      .select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
+        col("ets").as("b_ets"))
+    val q = a.join(b,
+        col("user_id") === col("b_user_id") &&
+          col("b_ets") >= col("a_ets") - expr("INTERVAL 1 HOUR") &&
+          col("b_ets") <= col("a_ets"))
+      .select("a_event_id", "b_event_id", "user_id")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   /** Streaming tumbling-window aggregate over events (complete-mode
     * snapshot): after AvailableNow drains the source the result equals
     * the batch aggregation — checked by the oracle. */
@@ -710,6 +753,28 @@ object Queries {
           lit(ssn), lit("[SSN]")).as("scrubbed"),
         (regexp_count(col("inj"), lit(email)) +
           regexp_count(col("inj"), lit(ssn))).cast(LongType).as("n_redacted"))
+  }
+
+  /** The LLM training-data pipeline composed end-to-end: quality gate →
+    * exact dedup (min-id per normalized fingerprint) → PII scrub →
+    * fixed-window chunking. One narrow-map pass per stage plus the one
+    * dedup shuffle — the whole curation flow a pre-training corpus goes
+    * through, with every stage's semantics already oracle-pinned
+    * individually. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val quality = t(s, dir, "documents")
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.55)
+    val deduped = TextDedup.exactDedup(quality, "doc_id", "text")
+    val scrubbed = deduped.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), lit(email), lit("[EMAIL]")),
+        lit(ssn), lit("[SSN]")).as("text"))
+    scrubbed
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, (length(text) - 1) div 150)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substring(text, cast(chunk_id * 150 + 1 as int), 200)").as("chunk"))
   }
 
   /** Language-ID heuristic per document (tokens materialized once). */
@@ -1047,6 +1112,8 @@ object Queries {
     "text_stats" -> (textStats _),
     "doc_chunks" -> (docChunks _),
     "pii_scrub" -> (piiScrub _),
+    "curation_pipeline" -> (curationPipeline _),
+    "stream_stream_join" -> (streamStreamJoin _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
@@ -1294,6 +1361,14 @@ object Queries {
     // re-delivery dropped, every first arrival kept exactly once
     "stream_dedup_parity" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // drained stream-stream join must equal the batch time-bounded join
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+        | AND b.t BETWEEN a.t - INTERVAL 1 HOUR AND a.t""".stripMargin,
     // atomic-commit streaming sink: same parity as the per-partition sink
     "stream_snapshot_ingest" ->
       """SELECT event_id, user_id, event_type, value,
@@ -1329,6 +1404,37 @@ object Queries {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
         |      FROM documents)""".stripMargin,
+    // quality gate → min-id dedup → scrub → chunk, replayed stage by
+    // stage in SQL (each stage's expression is the one its standalone
+    // oracle already pins)
+    "curation_pipeline" ->
+      s"""WITH base AS (
+         |  SELECT *, string_split($NormSql, ' ') AS toks, length(text) AS n,
+         |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text FROM base
+         |  WHERE round(
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+         |    (1.0 - CASE WHEN n > 0 THEN p::DOUBLE / n::DOUBLE ELSE 0.0 END) * 0.3 +
+         |    least((len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0) * 0.3
+         |  , 6) >= 0.55),
+         |ded AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY md5($NormSql)
+         |                                   ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |scr AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS text
+         |  FROM ded)
+         |SELECT doc_id, k AS chunk_id,
+         |       substring(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
+         |FROM (SELECT doc_id, text,
+         |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
+         |      FROM scr)""".stripMargin,
     // oracle injects the identical synthetic PII before scrubbing
     "pii_scrub" ->
       """WITH inj AS (
