@@ -78,6 +78,19 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n$plan")
   }
 
+  test("doc chunking is a shuffle-free narrow map") {
+    val plan = planOf(Queries.docChunks(spark, sf))
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+    assert(plan.contains("Generate explode"), s"no explode:\n$plan")
+  }
+
+  test("curation pipeline has exactly one shuffle (the dedup window)") {
+    val plan = planOf(Queries.curationPipeline(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected the single dedup shuffle, found $exchanges:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan
