@@ -635,8 +635,12 @@ object Queries {
       .repartitionByRange(8, col("ets"))
       .write.mode("overwrite").parquet(landing)
     val schema = s.read.parquet(landing).schema
+    // watermark wider than the data's full time span: the file source
+    // orders same-mtime files arbitrarily, so a tighter watermark could
+    // let one batch's late-time files mark an earlier batch's FIRST
+    // arrivals as late and silently drop originals, not re-deliveries
     StreamDedup.dedupToParquet(s, landing, schema, "event_id", "ets",
-      "90 days", s"$base/out", s"$base/checkpoint",
+      "3650 days", s"$base/out", s"$base/checkpoint",
       maxFilesPerTrigger = Some(4))
     s.read.parquet(s"$base/out")
       .select("event_id", "user_id", "event_type", "value")
@@ -729,6 +733,10 @@ object Queries {
     * map that streams at 100 TB. */
   def docChunks(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // empty docs chunk to nothing on both engines (Spark's `div`
+      // truncates toward zero while DuckDB's `//` floors, so -1/150
+      // would diverge exactly there)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0L, (length(text) - 1) div 150)")).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
@@ -771,6 +779,7 @@ object Queries {
       regexp_replace(regexp_replace(col("text"), lit(email), lit("[EMAIL]")),
         lit(ssn), lit("[SSN]")).as("text"))
     scrubbed
+      .filter(length(col("text")) > 0) // see docChunks: div-vs-floor edge
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0L, (length(text) - 1) div 150)")).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
@@ -1403,7 +1412,7 @@ object Queries {
         |       substring(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
-        |      FROM documents)""".stripMargin,
+        |      FROM documents WHERE length(text) > 0)""".stripMargin,
     // quality gate → min-id dedup → scrub → chunk, replayed stage by
     // stage in SQL (each stage's expression is the one its standalone
     // oracle already pins)
@@ -1434,7 +1443,7 @@ object Queries {
          |       substring(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
          |FROM (SELECT doc_id, text,
          |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
-         |      FROM scr)""".stripMargin,
+         |      FROM scr WHERE length(text) > 0)""".stripMargin,
     // oracle injects the identical synthetic PII before scrubbing
     "pii_scrub" ->
       """WITH inj AS (

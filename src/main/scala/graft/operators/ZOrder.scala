@@ -55,6 +55,9 @@ object ZOrder {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input or an all-null column has no frame: nothing to
+    // cluster (getDouble on the null aggregate would NPE)
+    if ((0 until 2 * cols.size).exists(row.isNullAt)) return df
     val framed = cols.zipWithIndex.map { case (c, i) =>
       (col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }

@@ -114,39 +114,46 @@ object Pipeline {
 
       // validate (§2.12) — one cached pass, rejects written once (K3)
       val vr = Validation.validate(raw, job.schema, job.primaryKey)
-      Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}")
-      val validCount = vr.valid.count()
-      lap("validate")
+      // unpersist on the FAILURE path too: a failed attempt otherwise
+      // leaves its cached blocks behind and each retry stacks more
+      val cachedKeys = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.Dataset[_]]
+      try {
+        Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}")
+        val validCount = vr.valid.count()
+        lap("validate")
 
-      // RI against the freshly-written dims (J1/J2) — semi/anti split;
-      // the dim key set is persisted so the orphan count and the upsert
-      // lineage don't each re-list + re-scan the partitioned dim table
-      var kept = vr.valid
-      var orphaned = 0L
-      val cachedKeys = job.foreignKeys.map { case (fk, dimName, dimKey) =>
-        val keys = written.getOrElse(dimName, tables(dimName).read)
-          .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
-          .distinct().persist()
-        val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
-          broadcastDim = true)
-        val orphanCount = orphans.count()
-        if (orphanCount > 0)
-          Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
-        orphaned += orphanCount
-        kept = ok
-        keys
+        // RI against the freshly-written dims (J1/J2) — semi/anti split;
+        // the dim key set is persisted so the orphan count and the upsert
+        // lineage don't each re-list + re-scan the partitioned dim table
+        var kept = vr.valid
+        var orphaned = 0L
+        job.foreignKeys.foreach { case (fk, dimName, dimKey) =>
+          val keys = written.getOrElse(dimName, tables(dimName).read)
+            .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
+            .distinct().persist()
+          cachedKeys += keys
+          val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
+            broadcastDim = true)
+          val orphanCount = orphans.count()
+          if (orphanCount > 0)
+            Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
+          orphaned += orphanCount
+          kept = ok
+        }
+        lap("ri")
+
+        // dedup (A2) then MERGE upsert (K2)
+        val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
+        tables(job.name).upsert(deduped)
+        written(job.name) = tables(job.name).read.persist()
+        lap("upsert")
+        JobResult(job.name, readCount, validCount,
+          readCount - validCount, orphaned, loaded = -1L)
+      } finally {
+        vr.unpersist()
+        cachedKeys.foreach(_.unpersist())
       }
-      lap("ri")
-
-      // dedup (A2) then MERGE upsert (K2)
-      val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
-      tables(job.name).upsert(deduped)
-      written(job.name) = tables(job.name).read.persist()
-      lap("upsert")
-      vr.unpersist()
-      cachedKeys.foreach(_.unpersist())
-      JobResult(job.name, readCount, validCount,
-        readCount - validCount, orphaned, loaded = -1L)
       }
     }
 

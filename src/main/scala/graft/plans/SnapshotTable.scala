@@ -204,8 +204,13 @@ final class SnapshotTable(
               Some((s"D:${mn.doubleValue}", s"D:${mx.doubleValue}"))
             case (mn: org.apache.parquet.io.api.Binary,
                   mx: org.apache.parquet.io.api.Binary) =>
-              Some((FileEntry.encS(mn.toStringUsingUTF8),
-                    FileEntry.encS(mx.toStringUsingUTF8)))
+              val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+              // parquet orders binary stats by unsigned bytes; Java
+              // compares UTF-16 chars — the orders agree only on ASCII,
+              // so non-ASCII bounds are dropped (file stays unprunable)
+              if (lo.forall(_ < 128) && hi.forall(_ < 128))
+                Some((FileEntry.encS(lo), FileEntry.encS(hi)))
+              else None
             case _ => None
           }
         }
@@ -242,9 +247,14 @@ final class SnapshotTable(
           .unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
         writeDataFiles(merged)
       case Some(pc) =>
+        // escape the way Spark writes Hive dirs — partOf() yields the
+        // ESCAPED form, so raw values (e.g. containing ':' or '%')
+        // would never match and a touched partition would be treated as
+        // untouched, duplicating its primary keys in the new snapshot
         val touched = source.select(pc).distinct().collect()
           .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
-                    else r.get(0).toString).toSet
+                    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                      .escapePathName(r.get(0).toString)).toSet
         val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
@@ -318,9 +328,14 @@ final class SnapshotTable(
     * whose min/max can overlap every bound are opened — O(matching
     * files) I/O, not O(table) — then the exact filter is applied on
     * top, so the result is correct whether or not stats exist. */
-  def readWhere(bounds: (String, Any, Any)*): DataFrame =
+  def readWhere(bounds: (String, Any, Any)*): DataFrame = {
+    val cand = candidateFiles(bounds: _*)
+    // parquet() with zero paths cannot infer a schema — an all-pruned
+    // predicate must still return an empty frame of the table's schema
+    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand.map(_.path))
     bounds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
-      .foldLeft(readFiles(candidateFiles(bounds: _*).map(_.path)))(_.filter(_))
+      .foldLeft(base)(_.filter(_))
+  }
 
   /** OPTIMIZE analog: rewrite the current snapshot compacted, as one
     * atomic commit; old versions stay time-travelable until vacuum. */
@@ -411,12 +426,17 @@ object SnapshotTable {
     }
 
     /** Order tagged values within a tag family (callers guarantee same
-      * family — candidateFiles keeps any cross-family file unpruned). */
+      * family — candidateFiles keeps any cross-family file unpruned).
+      * String values must be DECODED before comparing: URL-encoding is
+      * not order-preserving ('!' encodes to "%21" which sorts before
+      * " "'s "+"), so comparing encoded forms would wrongly prune. */
     val valueOrdering: Ordering[String] = Ordering.fromLessThan { (a, b) =>
       (a.splitAt(2), b.splitAt(2)) match {
         case (("L:", x), ("L:", y)) => x.toLong < y.toLong
         case (("D:", x), ("D:", y)) => x.toDouble < y.toDouble
-        case (("S:", x), ("S:", y)) => x < y
+        case (("S:", x), ("S:", y)) =>
+          java.net.URLDecoder.decode(x, "UTF-8") <
+            java.net.URLDecoder.decode(y, "UTF-8")
         case _ => a < b
       }
     }

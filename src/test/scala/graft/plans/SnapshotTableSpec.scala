@@ -127,6 +127,26 @@ class SnapshotTableSpec extends SparkSpec {
       t.readWhere(("part", "p", "p")).count() == 1000)
   }
 
+  test("upsert matches partitions whose values Spark escapes in dir names") {
+    val t = SnapshotTable(spark, tmp("snapesc"), "id", Some("part"))
+    t.create(frame((1, "a", "p:1"), (2, "b", "p2")))
+    t.upsert(frame((1, "A", "p:1"))) // ':' is Hive-escaped to %3A on disk
+    assert(contents(t) == Seq(1 -> "A", 2 -> "b"),
+      "escaped partition treated as untouched → duplicate PK")
+  }
+
+  test("string stats compare on decoded values (URL-encoding is not order-preserving)") {
+    val t = SnapshotTable(spark, tmp("snapord"), "id",
+      statsCols = Seq("val"), clusterBy = Seq("val"), clusterFiles = 2)
+    // '!' (0x21) URL-encodes to "%21", ' ' to "+": encoded order inverts
+    t.create((1 to 100).map(i => (i, if (i <= 50) "!x" else "zx", "p"))
+      .toDF("id", "val", "part"))
+    assert(t.readWhere(("val", " ", "0")).count() == 50,
+      "file with '!x' wrongly pruned for range [' ', '0']")
+    // an all-pruned predicate returns an empty frame, not an error
+    assert(t.readWhere(("val", "aaa", "bbb")).count() == 0)
+  }
+
   test("data skipping: stats carry over with unrewritten files across upserts") {
     val path = tmp("snapskipup")
     val t = SnapshotTable(spark, path, "id", partitionCol = Some("part"),
