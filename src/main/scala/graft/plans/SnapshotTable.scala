@@ -235,16 +235,22 @@ final class SnapshotTable(
     * merged and rewritten as new files; untouched partitions carry over
     * BY REFERENCE (their existing files are listed unchanged in the new
     * manifest — zero data I/O). Readers see the old snapshot until the
-    * manifest rename, then the new one, never a mix. */
-  def upsert(source: DataFrame): Unit = {
+    * manifest rename, then the new one, never a mix.
+    *
+    * @param evolveSchema allow the source to carry NEW columns: kept
+    *   rows read them as null (mergeSchema), mirroring
+    *   [[LakehouseTable.upsert]]'s evolution contract. */
+  def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit = {
     if (!exists) { create(source); return }
     val v = currentVersion.get
     val live = readManifest(v)
     val next = partitionCol match {
       case None =>
-        val merged = read
-          .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-          .unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
+        val cur = read
+        val kept = cur.join(source.select(primaryKey), Seq(primaryKey), "left_anti")
+        val merged =
+          if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
+          else kept.unionByName(source.select(cur.columns.toIndexedSeq.map(col): _*))
         writeDataFiles(merged)
       case Some(pc) =>
         // escape the way Spark writes Hive dirs — partOf() yields the
@@ -259,21 +265,26 @@ final class SnapshotTable(
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
           else readFiles(touchedFiles.map(_.path))
-        val srcAligned =
-          if (touchedFiles.isEmpty) source
-          else source.select(current.columns.toIndexedSeq.map(col): _*)
         val merged =
-          if (touchedFiles.isEmpty) srcAligned
-          else current
-            .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-            .unionByName(srcAligned)
+          if (touchedFiles.isEmpty) source
+          else {
+            val kept = current
+              .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
+            if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
+            else kept.unionByName(
+              source.select(current.columns.toIndexedSeq.map(col): _*))
+          }
         keptFiles ++ writeDataFiles(merged)
     }
     commitManifest(v + 1, next)
   }
 
   private def readFiles(files: Seq[String]): DataFrame = {
+    // mergeSchema: a snapshot can mix pre- and post-evolution files
+    // (untouched partitions carry over by reference), and the evolved
+    // column must surface as null for the old files
     val r = spark.read.option("basePath", dataDir)
+      .option("mergeSchema", "true")
     declaredSchema.fold(r)(s => r.schema(s))
       .parquet(files.map(f => s"$dataDir/$f"): _*)
   }
@@ -298,7 +309,16 @@ final class SnapshotTable(
     val oldTouched = before.toSeq.filter(f => touched(partOf(f)))
     val newRows = readFiles(newFiles)
     if (oldTouched.isEmpty) newRows
-    else newRows.except(readFiles(oldTouched))
+    else {
+      // a span crossing a schema-evolution commit reads old files
+      // without the new columns: pad them with nulls so EXCEPT lines up
+      val oldRows = readFiles(oldTouched)
+      val oldAligned =
+        if (oldRows.columns.sameElements(newRows.columns)) oldRows
+        else oldRows.unionByName(newRows.limit(0), allowMissingColumns = true)
+          .select(newRows.columns.toIndexedSeq.map(col): _*)
+      newRows.except(oldAligned)
+    }
   }
 
   /** The manifest entries of the current version whose stats range can

@@ -127,6 +127,22 @@ class SnapshotTableSpec extends SparkSpec {
       t.readWhere(("part", "p", "p")).count() == 1000)
   }
 
+  test("schema-evolving upsert: kept rows read the new column as null; CDC aligns") {
+    val t = SnapshotTable(spark, tmp("snapevo"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((2, "B", "p2")).withColumn("extra", lit(7)),
+      evolveSchema = true)
+    val out = t.read.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Any]("extra"))).toSeq
+    assert(out == Seq(1 -> null, 2 -> 7))
+    // the CDC diff crosses the evolution commit: old files pad with null
+    val delta = t.changes(1, 2).orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq
+    assert(delta == Seq(2 -> "B"))
+    // time travel keeps the pre-evolution shape
+    assert(!t.readVersion(1).columns.contains("extra"))
+  }
+
   test("upsert matches partitions whose values Spark escapes in dir names") {
     val t = SnapshotTable(spark, tmp("snapesc"), "id", Some("part"))
     t.create(frame((1, "a", "p:1"), (2, "b", "p2")))
