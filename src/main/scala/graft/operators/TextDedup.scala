@@ -64,10 +64,23 @@ object TextDedup {
     * shingles. numHashes independent permutation approximations ⇒
     * P(sig_i equal) ≈ Jaccard similarity.
     *
+    * Fused: each shingle is string-hashed ONCE and the 64 salted values
+    * derive from 5-op int murmurs inside one codegen loop
+    * ([[graft.functions.expressions.MinHashMins]] — bit-identical to
+    * the HOF form below, which pays 64 string murmurs per shingle).
+    *
     * `sh` must be a stored column reference, not an inline shingle
-    * expression — an expression nested here is re-evaluated once per
-    * hash function (64× the tokenization cost; measured 60× slower). */
-  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column =
+    * expression — an expression nested here is re-evaluated per element
+    * (64× the tokenization cost; measured 60× slower). */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.MinHashMins(
+      GraftBridge.expression(transform(sh, s => hash(s))), numHashes))
+  }
+
+  /** Composable HOF reference form of [[minhashSignatureOfShingles]] —
+    * kept as the cross-check for the fused expression. */
+  def minhashSignatureOfShinglesHof(sh: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => hash(s, i))))
 

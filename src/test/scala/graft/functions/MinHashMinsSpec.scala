@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.TextDedup
+
+/** The fused MinHash signature must be BIT-IDENTICAL to the composable
+  * HOF form — the fusion relies on Spark's multi-arg hash(s, i) folding
+  * left (string hashed once, i int-hashed with that digest as seed), so
+  * any drift in that assumption shows up here. */
+class MinHashMinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fused signature matches the per-hash-function HOF form on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .withColumn("sh", TextDedup.shingles($"text"))
+    val both = docs.select(
+      TextDedup.minhashSignatureOfShingles($"sh").as("fused"),
+      TextDedup.minhashSignatureOfShinglesHof($"sh").as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Integer](0) == r.getSeq[Integer](1),
+        s"fused ${r.getSeq[Integer](0).take(4)}... vs ref ${r.getSeq[Integer](1).take(4)}...")
+    }
+  }
+
+  test("empty shingle set gives an all-null signature, like array_min(empty)") {
+    val out = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(TextDedup.minhashSignatureOfShingles($"sh", numHashes = 8))
+      .head().getSeq[Integer](0)
+    assert(out.size == 8 && out.forall(_ == null))
+  }
+
+  test("the expression participates in whole-stage codegen") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(5)
+      .withColumn("sh", TextDedup.shingles($"text"))
+      .select(TextDedup.minhashSignatureOfShingles($"sh").as("sig"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in plan:\n$plan")
+  }
+}
