@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * shingle, all inside whole-stage codegen.
   *
   * Empty input array → an all-null signature (matching
-  * `array_min(empty) = null`). Null array or null element → null.
+  * `array_min(empty) = null`). Null array or null element → null — the
+  * one intentional divergence from the HOF form, which maps a null
+  * ARRAY to `[null × numHashes]`; `shingles()` never yields null, so
+  * the divergence is unreachable through the dedup operators.
   */
 case class MinHashMins(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -67,11 +67,9 @@ object TextDedup {
     * Fused: each shingle is string-hashed ONCE and the 64 salted values
     * derive from 5-op int murmurs inside one codegen loop
     * ([[graft.functions.expressions.MinHashMins]] — bit-identical to
-    * the HOF form below, which pays 64 string murmurs per shingle).
-    *
-    * `sh` must be a stored column reference, not an inline shingle
-    * expression — an expression nested here is re-evaluated per element
-    * (64× the tokenization cost; measured 60× slower). */
+    * the HOF form below for non-null inputs, which pays 64 string
+    * murmurs per shingle). The shingle expression is evaluated once per
+    * row here (single `transform`), so inlining is safe. */
   def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column = {
     import org.apache.spark.sql.graftext.GraftBridge
     GraftBridge.column(graft.functions.expressions.MinHashMins(
@@ -79,7 +77,10 @@ object TextDedup {
   }
 
   /** Composable HOF reference form of [[minhashSignatureOfShingles]] —
-    * kept as the cross-check for the fused expression. */
+    * kept as the cross-check for the fused expression. An inline
+    * shingle expression here is re-evaluated once PER HASH FUNCTION
+    * (64× the tokenization cost; measured 60× slower) — pass a stored
+    * column reference. */
   def minhashSignatureOfShinglesHof(sh: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => hash(s, i))))

@@ -102,6 +102,9 @@ object Pipeline {
     // and re-scans the partitioned table (the date-partitioned testdata
     // has thousands of partition dirs, so listings aren't free)
     val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    // released in the finally below — also when a job exhausts its
+    // retries, so earlier jobs' caches don't outlive a failed pipeline
+    try {
 
     val results = jobs.map { job =>
       retry(job.name, retryAttempts, retryDelayMs) {
@@ -174,11 +177,12 @@ object Pipeline {
       }
     }
     val gateResults = Await.result(Future.sequence(gates), Duration.Inf)
-    written.values.foreach(_.unpersist())
     val withLoaded = results.zip(gateResults).map { case (r, (n, _)) =>
       r.copy(loaded = n)
     }
     Report(withLoaded, gateResults.forall(_._2))
+
+    } finally written.values.foreach(_.unpersist())
   }
 
   /** T3 — archive-after-success: move everything under raw/ to archived/

@@ -239,9 +239,16 @@ final class SnapshotTable(
     *
     * @param evolveSchema allow the source to carry NEW columns: kept
     *   rows read them as null (mergeSchema), mirroring
-    *   [[LakehouseTable.upsert]]'s evolution contract. */
+    *   [[LakehouseTable.upsert]]'s evolution contract. Incompatible
+    *   with a declaredSchema (a pinned schema would silently project
+    *   the new column away on every read). */
   def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit = {
+    require(!evolveSchema || declaredSchema.isEmpty,
+      "evolveSchema requires schema inference: a declaredSchema would " +
+        "silently drop the evolved columns on read")
     if (!exists) { create(source); return }
+    if (evolveSchema && !fs.exists(evolvedMarker))
+      fs.create(evolvedMarker, true).close()
     val v = currentVersion.get
     val live = readManifest(v)
     val next = partitionCol match {
@@ -253,14 +260,17 @@ final class SnapshotTable(
           else kept.unionByName(source.select(cur.columns.toIndexedSeq.map(col): _*))
         writeDataFiles(merged)
       case Some(pc) =>
-        // escape the way Spark writes Hive dirs — partOf() yields the
-        // ESCAPED form, so raw values (e.g. containing ':' or '%')
-        // would never match and a touched partition would be treated as
-        // untouched, duplicating its primary keys in the new snapshot
-        val touched = source.select(pc).distinct().collect()
-          .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
-                    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                      .escapePathName(r.get(0).toString)).toSet
+        // render the partition values exactly the way the writer names
+        // dirs: CAST to string (matches Spark's path rendering for
+        // timestamps etc., unlike java toString), then
+        // getPartitionValueString (escapes AND maps null/empty to
+        // __HIVE_DEFAULT_PARTITION__). A mismatch here makes a touched
+        // partition look untouched: its old files carry over alongside
+        // the rewrite, duplicating primary keys.
+        val touched = source.select(col(pc).cast("string")).distinct().collect()
+          .map(r => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionValueString(if (r.isNullAt(0)) null else r.getString(0)))
+          .toSet
         val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
@@ -279,12 +289,19 @@ final class SnapshotTable(
     commitManifest(v + 1, next)
   }
 
+  /** Touched by the first evolveSchema upsert; its presence is the only
+    * case where reads must merge footers across files. */
+  private def evolvedMarker = new Path(s"$path/_evolved")
+
   private def readFiles(files: Seq[String]): DataFrame = {
-    // mergeSchema: a snapshot can mix pre- and post-evolution files
-    // (untouched partitions carry over by reference), and the evolved
-    // column must surface as null for the old files
+    // mergeSchema only once the table has actually evolved: a snapshot
+    // then mixes pre- and post-evolution files (untouched partitions
+    // carry over by reference) and the new column must surface as null
+    // for the old ones. On a never-evolved table the option would turn
+    // every read into an O(files) footer-merge job for nothing — the
+    // marker check is one FS metadata op instead.
     val r = spark.read.option("basePath", dataDir)
-      .option("mergeSchema", "true")
+      .option("mergeSchema", fs.exists(evolvedMarker).toString)
     declaredSchema.fold(r)(s => r.schema(s))
       .parquet(files.map(f => s"$dataDir/$f"): _*)
   }

@@ -151,6 +151,25 @@ class SnapshotTableSpec extends SparkSpec {
       "escaped partition treated as untouched → duplicate PK")
   }
 
+  test("upsert matches the empty-string partition (written as the default partition)") {
+    val t = SnapshotTable(spark, tmp("snapempty"), "id", Some("part"))
+    t.create(frame((1, "a", ""), (2, "b", "p2")))
+    t.upsert(frame((1, "A", ""))) // "" lands in __HIVE_DEFAULT_PARTITION__
+    assert(contents(t) == Seq(1 -> "A", 2 -> "b"),
+      "empty-string partition treated as untouched → duplicate PK")
+  }
+
+  test("upsert matches timestamp partitions (path rendering, not java toString)") {
+    import org.apache.spark.sql.functions.to_timestamp
+    def rows(v: (Int, String)*) = v.toDF("id", "val")
+      .withColumn("part", to_timestamp(lit("2024-01-15 12:00:00")))
+    val t = SnapshotTable(spark, tmp("snapts"), "id", Some("part"))
+    t.create(rows(1 -> "a", 2 -> "b"))
+    t.upsert(rows(1 -> "A")) // java.sql.Timestamp.toString appends ".0"
+    assert(contents(t) == Seq(1 -> "A", 2 -> "b"),
+      "timestamp partition treated as untouched → duplicate PK")
+  }
+
   test("string stats compare on decoded values (URL-encoding is not order-preserving)") {
     val t = SnapshotTable(spark, tmp("snapord"), "id",
       statsCols = Seq("val"), clusterBy = Seq("val"), clusterFiles = 2)
