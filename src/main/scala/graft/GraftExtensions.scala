@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, SimHash64, SortedSetJaccard}
+import graft.functions.expressions.{CosineSimilarity, MinHashMins, SimHash64, SortedSetJaccard}
 
 /** Session extension registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -46,6 +46,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"simhash64 takes 1 argument, got ${children.length}")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_mins"),
+      new ExpressionInfo(classOf[MinHashMins].getName, "minhash_mins"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"minhash_mins takes 2 arguments (seed array, numHashes), got ${children.length}")
+        val n = children(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"minhash_mins numHashes must be an int literal, got $other")
+        }
+        MinHashMins(children.head, n)
       }))
   }
 }

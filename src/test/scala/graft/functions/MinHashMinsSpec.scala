@@ -34,6 +34,21 @@ class MinHashMinsSpec extends SparkSpec {
     assert(out.size == 8 && out.forall(_ == null))
   }
 
+  test("SQL registration via extension") {
+    val prior = graft.SparkSpec.session
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").withExtensions(new graft.GraftExtensions).getOrCreate()
+      val v = s.sql("SELECT minhash_mins(array(7), 4)").head().getSeq[Integer](0)
+      assert(v.size == 4 && v.forall(_ != null))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prior)
+      org.apache.spark.sql.SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("the expression participates in whole-stage codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(5)
