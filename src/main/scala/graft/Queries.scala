@@ -786,6 +786,22 @@ object Queries {
         expr("substring(text, cast(chunk_id * 150 + 1 as int), 200)").as("chunk"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) by hashing the
+    * document id into a bucket — STABLE under corpus growth, re-runs,
+    * and re-partitioning, unlike positional sampling: a doc's split
+    * never changes when neighbors are added or removed (the property a
+    * training pipeline needs to avoid test-set leakage across corpus
+    * versions). Pure narrow map, shuffle-free. */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 100).as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 80, "train")
+          .when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+
   /** Language-ID heuristic per document (tokens materialized once). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1122,6 +1138,7 @@ object Queries {
     "doc_chunks" -> (docChunks _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
+    "dataset_split" -> (datasetSplit _),
     "stream_stream_join" -> (streamStreamJoin _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1444,6 +1461,15 @@ object Queries {
          |FROM (SELECT doc_id, text,
          |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
          |      FROM scr WHERE length(text) > 0)""".stripMargin,
+    // same md5-bucket arithmetic: hex prefix → int → percent bucket
+    "dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+        |      FROM documents)""".stripMargin,
     // oracle injects the identical synthetic PII before scrubbing
     "pii_scrub" ->
       """WITH inj AS (
