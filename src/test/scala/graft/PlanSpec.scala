@@ -91,6 +91,13 @@ class PlanSpec extends SparkSpec {
       s"expected the single dedup shuffle, found $exchanges:\n$plan")
   }
 
+  test("PII scrub and dataset split are shuffle-free narrow maps") {
+    val scrub = planOf(Queries.piiScrub(spark, sf))
+    assert(!scrub.contains("Exchange"), s"pii scrub shuffled:\n$scrub")
+    val split = planOf(Queries.datasetSplit(spark, sf))
+    assert(!split.contains("Exchange"), s"dataset split shuffled:\n$split")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan
