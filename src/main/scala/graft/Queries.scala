@@ -689,6 +689,50 @@ object Queries {
     s.read.parquet(s"$base/out")
   }
 
+  /** Window-function breadth beyond row_number: lag/lead navigation and
+    * a running cumulative sum per customer, ordered by a deterministic
+    * key. One shuffle on the partition key, sort within. */
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        round(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"))
+  }
+
+  /** Date/time dimension functions: truncation, field extraction, and
+    * day arithmetic — the scalar surface an analytics user needs that
+    * the reference never touches (SURVEY §2.9). */
+  def dateDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd")
+          .as("due_date"))
+
+  /** Correlated SCALAR subquery (per-customer max order value compared
+    * to each order) through spark.sql — Catalyst decorrelates it into
+    * an aggregate + join rather than a per-row re-execution. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       (SELECT ROUND(MAX(o2.o_totalprice), 2) FROM orders o2
+        |        WHERE o2.o_custkey = o1.o_custkey) AS cust_max
+        |FROM orders o1
+        |WHERE o_totalprice > 350000""".stripMargin)
+  }
+
   /** Streaming tumbling-window aggregate over events (complete-mode
     * snapshot): after AvailableNow drains the source the result equals
     * the batch aggregation — checked by the oracle. */
@@ -1128,6 +1172,9 @@ object Queries {
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
     "set_ops" -> (setOps _),
+    "window_analytics" -> (windowAnalytics _),
+    "date_dims" -> (dateDims _),
+    "scalar_subquery" -> (scalarSubquery _),
     "approx_profile" -> (approxProfile _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
@@ -1349,6 +1396,29 @@ object Queries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+    "date_dims" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+        |FROM orders""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       (SELECT ROUND(MAX(o2.o_totalprice), 2) FROM orders o2
+        |        WHERE o2.o_custkey = o1.o_custkey) AS cust_max
+        |FROM orders o1
+        |WHERE o_totalprice > 350000""".stripMargin,
     "set_ops" ->
       """SELECT o_custkey, 'both' AS op FROM
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
