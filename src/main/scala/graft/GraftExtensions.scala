@@ -54,8 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"minhash_mins takes 2 arguments (seed array, numHashes), got ${children.length}")
         val n = children(1) match {
+          // a foldable CAST(NULL AS INT) passes the type guard but evals
+          // to null — reject it with the same message, not an NPE
           case e if e.foldable && e.dataType ==
-              org.apache.spark.sql.types.IntegerType =>
+              org.apache.spark.sql.types.IntegerType && e.eval() != null =>
             e.eval().asInstanceOf[Int]
           case other => throw new IllegalArgumentException(
             s"minhash_mins numHashes must be an int literal, got $other")

@@ -208,7 +208,7 @@ object Queries {
     table.create(target)
     table.upsert(source)
     table.upsert(source) // idempotent re-run: a new (identical) snapshot
-    table.vacuum(keepVersions = 2)
+    table.vacuum(keepVersions = 2, retentionMs = 0) // single writer here
     table.read.select(ordersCols.map(col): _*)
   }
 
@@ -552,7 +552,11 @@ object Queries {
       approx_count_distinct("user_id").as("approx_users"),
       approx_count_distinct("event_type").as("approx_types"),
       expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
-        .as("value_quantiles"))
+        .as("q"))
+      .select(col("approx_users"), col("approx_types"),
+        round(element_at(col("q"), 1), 4).as("value_p50"),
+        round(element_at(col("q"), 2), 4).as("value_p95"),
+        round(element_at(col("q"), 3), 4).as("value_p99"))
 
   /** ROLLUP aggregation with grouping-level id — multi-level aggregates
     * in one pass. */

@@ -101,22 +101,45 @@ final class SnapshotTable(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       val lines = txt.split("\n").filter(_.nonEmpty).toSeq
       require(lines.head == s"version\t$v", s"manifest header mismatch at v$v")
-      lines.tail.map(FileEntry.parse)
+      lines.tail.filterNot(_.startsWith("token\t")).map(FileEntry.parse)
     } finally in.close()
   }
 
   /** Write manifest to a tmp name, then the ONE atomic rename that is
-    * the commit point. A concurrent committer of the same version loses
-    * the rename and fails cleanly (optimistic concurrency). */
+    * the commit point. The rename alone is a safe commit point only on
+    * an HDFS-like namespace (rename onto an existing file FAILS there);
+    * RawLocalFileSystem and S3A happily REPLACE the destination, so two
+    * same-version committers could both "succeed" with one commit lost.
+    * Two extra guards close the observable cases on such filesystems:
+    * an exists() precheck fails any non-racing duplicate commit cleanly
+    * before touching the destination, and a post-rename read-back of the
+    * unique commit token detects a committer that replaced us in the
+    * window. A perfectly interleaved pair on a replacing-rename FS can
+    * still trade wins inside that window — strict N-writer mutual
+    * exclusion requires HDFS-like atomic-namespace rename semantics. */
   private def commitManifest(v: Long, files: Seq[FileEntry]): Unit = {
     fs.mkdirs(new Path(commitsDir))
-    val tmp = new Path(s"$commitsDir/.tmp-${UUID.randomUUID()}")
+    val dest = manifestPath(v)
+    if (fs.exists(dest))
+      throw new IllegalStateException(
+        s"commit conflict: version $v already exists at $path")
+    val token = UUID.randomUUID().toString
+    val payload = (s"version\t$v\ntoken\t$token\n" +
+      files.map(_.serialize).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val tmp = new Path(s"$commitsDir/.tmp-$token")
     val out = fs.create(tmp, true)
-    try out.write((s"version\t$v\n" + files.map(_.serialize).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(payload)
     finally out.close()
-    if (!fs.rename(tmp, manifestPath(v))) {
-      fs.delete(tmp, false)
+    val renamed = fs.rename(tmp, dest)
+    val won = renamed && {
+      val in = fs.open(dest)
+      try java.util.Arrays.equals(
+        org.apache.commons.io.IOUtils.toByteArray(in), payload)
+      finally in.close()
+    }
+    if (!won) {
+      if (!renamed) fs.delete(tmp, false)
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
     }
@@ -382,9 +405,17 @@ final class SnapshotTable(
   }
 
   /** Reclaim files referenced by no retained manifest: crashed-commit
-    * orphans and data aged out of the last `keepVersions` snapshots. */
-  def vacuum(keepVersions: Int = 2): Unit = {
+    * orphans and data aged out of the last `keepVersions` snapshots.
+    *
+    * Safe next to in-flight writers (Delta-style age gate): an
+    * unreferenced file is only deleted once older than `retentionMs`, so
+    * the staged/just-moved files of a concurrent upsert whose manifest
+    * hasn't committed yet are left alone; likewise `_stage` subtrees
+    * younger than the threshold. `retentionMs = 0` is the single-writer
+    * fast path (reclaim everything unreferenced now). */
+  def vacuum(keepVersions: Int = 2, retentionMs: Long = 60 * 60 * 1000L): Unit = {
     val v = currentVersion.getOrElse(return)
+    val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
     val referenced = keep.flatMap(readManifest(_).map(_.path)).toSet
     // drop manifests older than the retention window
@@ -395,7 +426,7 @@ final class SnapshotTable(
           n.stripPrefix("v").stripSuffix(".manifest").toLong < keep.head)
         fs.delete(st.getPath, false)
     }
-    // delete unreferenced data files, then empty partition dirs
+    // delete unreferenced-AND-aged data files, then empty partition dirs
     val root = new Path(dataDir)
     if (!fs.exists(root)) return
     def sweep(p: Path, rel: String): Boolean = { // returns "now empty"
@@ -406,13 +437,20 @@ final class SnapshotTable(
         if (st.isDirectory) {
           if (sweep(st.getPath, childRel)) fs.delete(st.getPath, false)
           else empty = false
-        } else if (!referenced(childRel)) fs.delete(st.getPath, false)
+        } else if (!referenced(childRel) &&
+                   st.getModificationTime <= cutoff) fs.delete(st.getPath, false)
         else empty = false
       }
       empty
     }
     sweep(root, "")
-    fs.delete(new Path(s"$path/_stage"), true)
+    // _stage subtrees: only reap those past the retention age — a young
+    // one may belong to an upsert that is mid-move
+    val stageRoot = new Path(s"$path/_stage")
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach { st =>
+        if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true)
+      }
   }
 }
 

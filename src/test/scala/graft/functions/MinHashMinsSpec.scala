@@ -43,6 +43,14 @@ class MinHashMinsSpec extends SparkSpec {
         .master("local[2]").withExtensions(new graft.GraftExtensions).getOrCreate()
       val v = s.sql("SELECT minhash_mins(array(7), 4)").head().getSeq[Integer](0)
       assert(v.size == 4 && v.forall(_ != null))
+      // a foldable NULL int literal passes the type guard but must get
+      // the same "int literal" rejection, not an unboxing NPE
+      val e = intercept[Exception](
+        s.sql("SELECT minhash_mins(array(7), CAST(NULL AS INT))").head())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("must be an int literal")),
+        s"wrong error: $e")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prior)
       org.apache.spark.sql.SparkSession.setActiveSession(prior)

@@ -23,7 +23,8 @@ class SketchSpec extends SparkSpec {
     // low-cardinality column: HLL is exact there
     assert(row.getAs[Long]("approx_types") == exact.getLong(1))
 
-    val approxQ = row.getSeq[Double](row.fieldIndex("value_quantiles"))
+    val approxQ = Seq("value_p50", "value_p95", "value_p99")
+      .map(c => row.getAs[Double](c))
     val exactQ = exact.getSeq[Double](2)
     // approx_percentile guarantees rank accuracy; translate to a value
     // check against a small neighborhood of the exact quantile

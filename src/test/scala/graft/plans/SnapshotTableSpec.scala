@@ -61,8 +61,14 @@ class SnapshotTableSpec extends SparkSpec {
     java.nio.file.Files.copy(orphan.toPath,
       java.nio.file.Paths.get(s"$path/data/part=p1/deadbeef-${orphan.getName}"))
     assert(contents(t) == Seq(1 -> "a"), "orphan file leaked into the snapshot")
-    // vacuum reclaims it
+    // default retention: the orphan is YOUNG, so it may belong to an
+    // in-flight commit — vacuum must leave it alone
     t.vacuum(keepVersions = 1)
+    assert(new java.io.File(s"$path/data/part=p1")
+      .listFiles().exists(_.getName.startsWith("deadbeef-")),
+      "vacuum reclaimed a young unreferenced file inside the retention age")
+    // single-writer fast path reclaims it immediately
+    t.vacuum(keepVersions = 1, retentionMs = 0)
     assert(!new java.io.File(s"$path/data/part=p1")
       .listFiles().exists(_.getName.startsWith("deadbeef-")))
     assert(contents(t) == Seq(1 -> "a"))
@@ -202,7 +208,7 @@ class SnapshotTableSpec extends SparkSpec {
     t.create(frame((1, "a", "p1")))
     t.upsert(frame((1, "a2", "p1")))
     t.upsert(frame((1, "a3", "p1")))
-    t.vacuum(keepVersions = 2)
+    t.vacuum(keepVersions = 2, retentionMs = 0)
     assert(contents(t) == Seq(1 -> "a3"))
     // v2 still time-travelable, v1 gone
     assert(t.readVersion(2).count() == 1)
