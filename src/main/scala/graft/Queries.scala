@@ -54,7 +54,10 @@ object Queries {
       col("l_orderkey"),
       col("l_linenumber").cast(LongType).as("linenumber_big"),
       col("l_quantity").cast(StringType).try_cast(DoubleType).as("quantity_roundtrip"),
-      col("l_returnflag").try_cast(IntegerType).as("flag_as_int"), // letters -> null
+      // letters -> null; the guarded form never throws (plain try_cast
+      // pays an exception per row here — every value fails the parse)
+      operators.Validation.tryCastColumn(
+        col("l_returnflag"), StringType, IntegerType).as("flag_as_int"),
       concat(col("l_returnflag"), lit("_"), col("l_linestatus")).as("flag_status"))
 
   // ---------------------------------------------------------------------
@@ -577,6 +580,66 @@ object Queries {
         grouping_id(col("l_returnflag"), col("l_linestatus"))
           .cast(IntegerType).as("lvl"))
       .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+
+  /** GROUPING SETS aggregation — the general multi-level form rollup
+    * and cube specialize. Still ONE pass over the fact (Catalyst
+    * expands the sets, partial aggregation stays map-side). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast(IntegerType).as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 (shipping priority): selective dim filter → two fact
+    * joins → grouped revenue → deterministic top-10. The plan to want
+    * at scale: the filtered customer dim BROADCASTS into orders, the
+    * fact shuffles once on orderkey, and the top-k runs as
+    * TakeOrderedAndProject (per-partition partial top-k, never a global
+    * sort of the aggregate). Tiebreak on l_orderkey pins the boundary
+    * rows for the oracle compare. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(TimestampType)
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (regional revenue): six-table join chain — the longest
+    * in the suite, with the Q5 co-location constraint (customer and
+    * supplier must share a nation). All four dims broadcast; the only
+    * shuffle joins the two fact-sized sides on orderkey. */
+  def q5RegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
 
   /** Window ranking: top order per customer by value (deterministic
     * tiebreak) — the engine's window-function surface (§2.6's
@@ -1175,6 +1238,9 @@ object Queries {
     "exists_subquery" -> (existsSubquery _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
+    "grouping_sets_agg" -> (groupingSetsAgg _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_regional_revenue" -> (q5RegionalRevenue _),
     "set_ops" -> (setOps _),
     "window_analytics" -> (windowAnalytics _),
     "date_dims" -> (dateDims _),
@@ -1393,6 +1459,36 @@ object Queries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS lvl
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_regional_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       round(sum(l_quantity), 2) AS sum_qty,

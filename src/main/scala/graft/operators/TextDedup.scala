@@ -39,14 +39,27 @@ object TextDedup {
 
   /** Word w-shingles of the normalized text — distinct AND sorted
     * (binary UTF8 order), the contract [[jaccard]] relies on. Built with
-    * higher-order functions — stays in codegen. */
+    * higher-order functions — stays in codegen.
+    *
+    * The w-gram construction zips w SHIFTED SLICES of the token array
+    * with `zip_with` string concats: every slice (and the tokenization
+    * under it) is a row-level expression, evaluated once per row and
+    * common-subexpression-eliminated by codegen. The tempting
+    * alternative — `transform(sequence(0, n-w), i => slice(toks, i+1,
+    * w))` — captures `toks` inside the lambda, and Catalyst re-evaluates
+    * captured expressions per element: one full tokenization PER SHINGLE
+    * (~50× per document on real corpora; measured 2× end-to-end on the
+    * near-dup pipelines). */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     val n = size(toks)
+    val len = greatest(n - lit(w - 1), lit(0)) // shingle count when n >= w
+    val grams = (1 until w).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
     sort_array(array_distinct(
-      when(n >= w,
-        transform(sequence(lit(0), n - w),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      when(n >= w, grams)
         .otherwise(array(concat_ws(" ", toks)))))
   }
 

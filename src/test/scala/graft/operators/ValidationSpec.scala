@@ -90,6 +90,31 @@ class ValidationSpec extends SparkSpec {
     assert(r2.valid.count() == r1.valid.count())
   }
 
+  test("guarded integral tryCastColumn is value-identical to plain try_cast") {
+    import org.apache.spark.sql.functions.col
+    // every syntax class try_cast distinguishes: plain/signed/padded
+    // (TRY trims all chars <= 0x20, incl. \t and \u0001), decimals and
+    // exponents (rejected), overflow per target width, garbage, empty
+    val vals = Seq("42", "+42", "-7", " 42 ", "\t42", "\u0001" + "42" + "\u0001",
+      "0042", "42.5", "42.0", "4e2", "2147483647", "2147483648",
+      "9223372036854775807", "9223372036854775808", "99999999999999999999",
+      "0x1A", "42abc", "", "   ", null)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(Row(_)): _*),
+      StructType(Seq(StructField("v", StringType))))
+    for (t <- Seq(ByteType, ShortType, IntegerType, LongType)) {
+      val both = df.select(
+        col("v"),
+        Validation.tryCastColumn(col("v"), StringType, t).as("guarded"),
+        col("v").try_cast(t).as("plain")).collect()
+      both.foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"$t of ${Option(r.get(0)).map(v => s"'$v'")}: " +
+            s"guarded=${r.get(1)} plain=${r.get(2)}")
+      }
+    }
+  }
+
   test("both ISO-T and space-separated timestamps parse via the CSV reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(
