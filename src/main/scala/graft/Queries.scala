@@ -281,6 +281,32 @@ object Queries {
     table.readWhere(("o_orderkey", 1000L, 2000L)).select(ordersCols.map(col): _*)
   }
 
+  /** Bloom-index point lookup: orders cluster on o_orderkey, so every
+    * file's [min, max] of o_custkey spans any probe key and min/max
+    * stats prune NOTHING for a customer lookup — the per-file bloom
+    * (built distributively at write, one pass) is what rules files out.
+    * The query REQUIRES bloom pruning to fire and must return exactly
+    * the plain equality filter's rows (the oracle). */
+  def snapshotBloomScan(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapbloomq", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_orderkey", "o_custkey"),
+      clusterBy = Seq("o_orderkey"), clusterFiles = 16,
+      bloomCols = Seq("o_custkey"), bloomExpectedItems = 20000L)
+    table.create(t(s, dir, "orders"))
+    val total = table.candidateFiles().size
+    val ranged = table.candidateFiles(("o_custkey", 42L, 42L)).size
+    val bloomed = table.candidateFilesEq(("o_custkey", 42L)).size
+    require(ranged == total,
+      s"fixture broke: o_custkey range-pruned $ranged of $total despite orderkey clustering")
+    require(bloomed < total,
+      s"bloom skipping had no effect: $bloomed of $total files for the probe")
+    table.readWhereEq(("o_custkey", 42L)).select(ordersCols.map(col): _*)
+  }
+
   /** Z-order clustering + data skipping on a BOX predicate: orders are
     * clustered along the Morton curve over (o_custkey, o_orderkey), so
     * every file covers a small rectangle of that key space and manifest
@@ -1227,6 +1253,7 @@ object Queries {
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_changes" -> (snapshotChanges _),
     "snapshot_skip_scan" -> (snapshotSkipScan _),
+    "snapshot_bloom_scan" -> (snapshotBloomScan _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
@@ -1395,6 +1422,9 @@ object Queries {
     "snapshot_skip_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "snapshot_bloom_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_custkey = 42""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -65,7 +65,20 @@ final class SnapshotTable(
       * right-size range partitions to the data volume — correct at
       * scale, but at toy scale AQE coalesces everything into one file
       * and there is nothing to skip; set a count to pin granularity. */
-    val clusterFiles: Int = 0) {
+    val clusterFiles: Int = 0,
+    /** Columns carrying a per-file Bloom filter in the manifest
+      * (Delta-style bloom index): [[readWhereEq]] prunes files whose
+      * bloom rules the probe key out. This is POINT-LOOKUP skipping for
+      * high-cardinality, NON-clustered columns — the case min/max
+      * stats can't prune (every file's [min,max] spans the key).
+      * Integral and string columns only. Costs one extra distributed
+      * pass over each commit's NEW files and O(bloom bytes) manifest
+      * per file per column. */
+    val bloomCols: Seq[String] = Nil,
+    /** Sizing for each per-file bloom (per-FILE expected distinct
+      * items, not per table). ~0.9 bytes/item at 3% fpp. */
+    val bloomExpectedItems: Long = 100000L,
+    val bloomFpp: Double = 0.03) {
 
   import SnapshotTable.FileEntry
 
@@ -194,8 +207,50 @@ final class SnapshotTable(
       }
     walk(new Path(stage), "")
     fs.delete(new Path(s"$path/_stage/$commitId"), true)
-    moved.toSeq.map(rel =>
+    val entries = moved.toSeq.map(rel =>
       FileEntry(rel, if (statsCols.isEmpty) Map.empty else footerStats(rel)))
+    val blooms = fileBlooms(entries)
+    entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
+  }
+
+  /** One Bloom filter per (new file × bloom column), built in a SINGLE
+    * distributed pass over the commit's new files: rows group by
+    * `input_file_name()` and each group folds into a
+    * [[graft.functions.BloomSketch]] typed-UDAF sketch — only the
+    * finished sketches (one row per file) come back to the driver.
+    * Files match manifest entries by basename (commit-UUID-prefixed,
+    * so unique; partition DIRS can be Hive/URI-escaped in
+    * `input_file_name`, basenames never are). */
+  private def fileBlooms(entries: Seq[FileEntry])
+      : Map[String, Map[String, (String, String)]] = {
+    if (bloomCols.isEmpty || entries.isEmpty) return Map.empty
+    import graft.functions.BloomSketch
+    val df = readFiles(entries.map(_.path))
+    val aggs = bloomCols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          BloomSketch.longBloom(col(c).cast("long"), bloomExpectedItems, bloomFpp).as(c)
+        case org.apache.spark.sql.types.StringType =>
+          BloomSketch.stringBloom(col(c), bloomExpectedItems, bloomFpp).as(c)
+        case other => throw new IllegalArgumentException(
+          s"bloom index on $c: unsupported type $other (integral/string only)")
+      }
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byBase = entries.map(e => e.path.split('/').last -> e.path).toMap
+    rows.iterator.flatMap { r =>
+      byBase.get(r.getString(0).split('/').last).map { rel =>
+        rel -> bloomCols.zipWithIndex.map { case (c, i) =>
+          FileEntry.bloomKey(c) ->
+            (("B:" + java.util.Base64.getEncoder.encodeToString(
+              r.getAs[Array[Byte]](i + 1))), "B:")
+        }.toMap
+      }
+    }.toMap
   }
 
   /** Per-file min/max of `statsCols` from the parquet footer (one
@@ -397,6 +452,38 @@ final class SnapshotTable(
       .foldLeft(base)(_.filter(_))
   }
 
+  /** The current version's manifest entries that might contain EVERY
+    * probe key, decided on manifest metadata alone: min/max stats first
+    * (the key must sit inside the file's range), then the per-file
+    * bloom (which can rule the key out even when the range can't —
+    * the high-cardinality non-clustered case). Files without a bloom
+    * for a probed column are conservatively kept. */
+  def candidateFilesEq(points: (String, Any)*): Seq[FileEntry] =
+    candidateFiles(points.map { case (c, v) => (c, v, v) }: _*)
+      .filter(e => points.forall { case (c, v) =>
+        e.bloom(c) match {
+          case Some(bf) => v match {
+            case n: Long => bf.mightContainLong(n)
+            case n: Int => bf.mightContainLong(n.toLong)
+            case n: Short => bf.mightContainLong(n.toLong)
+            case n: Byte => bf.mightContainLong(n.toLong)
+            case s: String => bf.mightContainString(s)
+            case _ => true // un-probeable type: never prune on it
+          }
+          case None => true
+        }
+      })
+
+  /** Point-lookup read with bloom + min/max file skipping: only files
+    * that might contain every probe key are opened, then the exact
+    * equality filter applies on top — correct with or without blooms,
+    * O(matching files) I/O with them. */
+  def readWhereEq(points: (String, Any)*): DataFrame = {
+    val cand = candidateFilesEq(points: _*)
+    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand.map(_.path))
+    points.foldLeft(base) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
+  }
+
   /** OPTIMIZE analog: rewrite the current snapshot compacted, as one
     * atomic commit; old versions stay time-travelable until vacuum. */
   def compact(): Unit = {
@@ -460,9 +547,13 @@ object SnapshotTable {
             declaredSchema: Option[StructType] = None,
             statsCols: Seq[String] = Nil,
             clusterBy: Seq[String] = Nil,
-            clusterFiles: Int = 0): SnapshotTable =
+            clusterFiles: Int = 0,
+            bloomCols: Seq[String] = Nil,
+            bloomExpectedItems: Long = 100000L,
+            bloomFpp: Double = 0.03): SnapshotTable =
     new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
-      statsCols, clusterBy, clusterFiles)
+      statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
+      bloomFpp)
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they
@@ -473,9 +564,21 @@ object SnapshotTable {
       (path +: stats.toSeq.sortBy(_._1).flatMap { case (c, (mn, mx)) =>
         Seq(c, mn, mx)
       }).mkString("\t")
+
+    /** The file's Bloom filter for `c`, if one was built at write. */
+    def bloom(c: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+      stats.get(FileEntry.bloomKey(c)).map { case (v, _) =>
+        graft.functions.BloomSketch.fromBase64(v.stripPrefix("B:"))
+      }
   }
 
   object FileEntry {
+    /** Blooms ride in the stats map under a reserved key prefix (the
+      * manifest line format is untouched; plain column stats keys can
+      * never collide with the prefixed form). */
+    private val BloomPrefix = "bloom:"
+    def bloomKey(c: String): String = BloomPrefix + c
+
     def parse(line: String): FileEntry = {
       val parts = line.split("\t", -1)
       val stats = parts.drop(1).grouped(3).collect {

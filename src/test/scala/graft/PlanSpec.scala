@@ -36,6 +36,26 @@ class PlanSpec extends SparkSpec {
       s"dims not broadcast:\n$plan")
   }
 
+  test("q3: customer broadcasts, date filters push to the scans, top-k never global-sorts") {
+    val plan = planOf(Queries.q3ShippingPriority(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 fell back to a global sort:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(o_orderdate") || plan.contains("LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$plan")
+  }
+
+  test("q5: all four dims broadcast — exactly one shuffled join (the fact pair)") {
+    val plan = planOf(Queries.q5RegionalRevenue(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"expected 4 broadcast dim joins:\n$plan")
+    val shuffledJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffledJoins <= 1,
+      s"more than one shuffled join in the chain ($shuffledJoins):\n$plan")
+  }
+
   test("validation composite is shuffle-free (single-pass map)") {
     val dirty = Tables.load(spark, sf, "orders")
     val schema = StructType(Seq(

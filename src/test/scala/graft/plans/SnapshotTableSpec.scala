@@ -227,6 +227,59 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out == Seq(1 -> "a", 2 -> "B"))
   }
 
+  test("bloom index: point probe prunes files min/max cannot, result exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = tmp("snapbloom")
+    // k is a scattered high-cardinality key while files cluster on id:
+    // every file's [min(k), max(k)] spans any probe, so min/max stats
+    // alone keep ALL files — only the bloom can rule files out
+    val df = spark.range(4000).select(
+      col("id"),
+      ((col("id") * 2654435761L) % 1000003L).as("k"),
+      (col("id") % 97).as("v"))
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id", "k"), clusterBy = Seq("id"), clusterFiles = 8,
+      bloomCols = Seq("k"), bloomExpectedItems = 1000L)
+    t.create(df)
+    val total = t.candidateFiles().size
+    assert(total >= 8, s"expected >=8 files, got $total")
+    // a key that exists: min/max keeps everything, bloom prunes
+    val probe = (2000L * 2654435761L) % 1000003L
+    val ranged = t.candidateFiles(("k", probe, probe)).size
+    val bloomed = t.candidateFilesEq(("k", probe)).size
+    assert(ranged == total, "scattered key was range-prunable — bad fixture")
+    assert(bloomed < total, s"bloom pruned nothing: $bloomed of $total")
+    val got = t.readWhereEq(("k", probe)).select("id", "k", "v").collect()
+    val want = df.filter(col("k") === lit(probe)).select("id", "k", "v").collect()
+    assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq)
+    // a key that does not exist: bloom rules (almost) everything out and
+    // the read is still a correct empty result
+    assert(t.candidateFilesEq(("k", 999999999L)).size < total)
+    assert(t.readWhereEq(("k", 999999999L)).count() == 0)
+    // un-bloomed column: no pruning, still correct
+    assert(t.candidateFilesEq(("v", 3L)).size == total)
+    assert(t.readWhereEq(("v", 3L)).count() == df.filter(col("v") === 3).count())
+  }
+
+  test("blooms ride carried-over files across upserts") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp("snapbloomcarry")
+    val t = SnapshotTable(spark, path, "id", partitionCol = Some("part"),
+      bloomCols = Seq("val"), bloomExpectedItems = 100L)
+    t.create(frame((1, "alpha", "p1"), (2, "beta", "p2"), (3, "gamma", "p2")))
+    t.upsert(frame((1, "ALPHA", "p1"))) // rewrites only p1; p2 carries over
+    val p2 = t.candidateFiles().filter(_.path.startsWith("part=p2"))
+    assert(p2.nonEmpty && p2.forall(_.bloom("val").isDefined),
+      "carried-over p2 files lost their blooms")
+    // the probe hits only p2's files (plus possible false positives in p1)
+    val hit = t.candidateFilesEq(("val", "beta"))
+    assert(hit.exists(_.path.startsWith("part=p2")))
+    assert(t.readWhereEq(("val", "beta")).select("id").head().getInt(0) == 2)
+    // rewritten p1 got a FRESH bloom: new value found, old value's rows gone
+    assert(t.readWhereEq(("val", "ALPHA")).count() == 1)
+    assert(t.readWhereEq(("val", "alpha")).count() == 0)
+  }
+
   test("concurrent commit of the same version: loser fails, table intact") {
     val path = tmp("snapcc")
     val t = SnapshotTable(spark, path, "id", Some("part"))
