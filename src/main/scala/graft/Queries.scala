@@ -281,6 +281,28 @@ object Queries {
     table.readWhere(("o_orderkey", 1000L, 2000L)).select(ordersCols.map(col): _*)
   }
 
+  /** Incremental OPTIMIZE: a fragmented clustered table bin-packs to
+    * the target file size in one atomic commit — file count must
+    * actually drop, data must be byte-identical to the source (the
+    * oracle), and skipping still works on the packed files. */
+  def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapcompact", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+      clusterFiles = 16)
+    table.create(t(s, dir, "orders"))
+    val before = table.candidateFiles().size
+    table.compact()
+    val after = table.candidateFiles().size
+    require(after < before, s"compaction had no effect: $before -> $after files")
+    require(table.readWhere(("o_orderkey", 1000L, 2000L))
+      .count() > 0, "skipping broke on packed files")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** Bloom-index point lookup: orders cluster on o_orderkey, so every
     * file's [min, max] of o_custkey spans any probe key and min/max
     * stats prune NOTHING for a customer lookup — the per-file bloom
@@ -1254,6 +1276,7 @@ object Queries {
     "snapshot_changes" -> (snapshotChanges _),
     "snapshot_skip_scan" -> (snapshotSkipScan _),
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
+    "snapshot_compact" -> (snapshotCompact _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
@@ -1425,6 +1448,9 @@ object Queries {
     "snapshot_bloom_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_custkey = 42""".stripMargin,
+    "snapshot_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

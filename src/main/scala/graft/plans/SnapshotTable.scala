@@ -175,19 +175,27 @@ final class SnapshotTable(
     * table-relative paths. The batch lands in a staging dir, then files
     * move (same-FS renames, metadata ops) into the canonical tree under
     * a fresh commit id so basePath partition parsing spans commits. */
-  private def writeDataFiles(df: DataFrame): Seq[FileEntry] = {
+  private def writeDataFiles(df: DataFrame,
+                             packFiles: Option[Int] = None): Seq[FileEntry] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val stage = s"$path/_stage/$commitId"
     val clustered =
       if (clusterBy.nonEmpty) {
         // range-cluster (within the partition column when present) so
         // each file covers a narrow slice of the cluster columns —
-        // the precondition for min/max skipping to actually skip
+        // the precondition for min/max skipping to actually skip.
+        // packFiles (compaction) overrides the pinned count but keeps
+        // the clustering, so compacted files stay skippable.
         val cs = (partitionCol.toSeq ++ clusterBy).map(col)
-        val ranged = if (clusterFiles > 0) df.repartitionByRange(clusterFiles, cs: _*)
+        val nf = packFiles.getOrElse(clusterFiles)
+        val ranged = if (nf > 0) df.repartitionByRange(nf, cs: _*)
                      else df.repartitionByRange(cs: _*)
         ranged.sortWithinPartitions(cs: _*)
-      } else partitionCol.fold(df)(c => df.repartition(col(c)))
+      } else (partitionCol, packFiles) match {
+        case (Some(c), _) => df.repartition(col(c)) // one file per partition
+        case (None, Some(n)) => df.repartition(math.max(n, 1))
+        case (None, None) => df
+      }
     val w = clustered.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage)
     val moved = mutable.Buffer.empty[String]
@@ -484,11 +492,31 @@ final class SnapshotTable(
     points.foldLeft(base) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
   }
 
-  /** OPTIMIZE analog: rewrite the current snapshot compacted, as one
-    * atomic commit; old versions stay time-travelable until vacuum. */
-  def compact(): Unit = {
+  /** OPTIMIZE analog, incremental: bin-packs small files toward
+    * `targetFileBytes`, rewriting ONLY partitions whose file count
+    * would actually shrink — every already-right-sized partition
+    * carries over BY REFERENCE, so the cost is O(fragmented data),
+    * never O(table). One atomic commit; a no-op (nothing fragmented)
+    * commits nothing at all. Old versions stay time-travelable until
+    * vacuum; clustered tables are re-range-clustered at the packed
+    * file count, so compacted files remain skippable. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): Unit = {
     val v = currentVersion.getOrElse(return)
-    commitManifest(v + 1, writeDataFiles(readVersion(v)))
+    val live = readManifest(v)
+    val sizeOf: Map[String, Long] = live.map(e =>
+      e.path -> fs.getFileStatus(new Path(s"$dataDir/${e.path}")).getLen).toMap
+    def packed(es: Seq[FileEntry]): Int =
+      math.max(1, math.ceil(es.map(e => sizeOf(e.path)).sum.toDouble
+        / targetFileBytes).toInt)
+    val (frag, keep) = live.groupBy(e => partOf(e.path)).partition {
+      case (_, es) => es.size >= minFiles && packed(es) < es.size
+    }
+    if (frag.isEmpty) return
+    val files = frag.values.flatten.toSeq
+    val rewritten = writeDataFiles(
+      readFiles(files.map(_.path)), packFiles = Some(packed(files)))
+    commitManifest(v + 1, keep.values.flatten.toSeq ++ rewritten)
   }
 
   /** Reclaim files referenced by no retained manifest: crashed-commit

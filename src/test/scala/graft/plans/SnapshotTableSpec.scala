@@ -227,6 +227,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out == Seq(1 -> "a", 2 -> "B"))
   }
 
+  test("compact bin-packs fragmented files, carries packed partitions, no-ops when tight") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp("snapcompact")
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 8)
+    t.create(spark.range(2000).select(col("id"), (col("id") % 7).as("v")))
+    assert(t.candidateFiles().size >= 8)
+    val before = t.read.orderBy("id").collect()
+    t.compact() // tiny files, default 128MB target -> packs to 1
+    assert(t.currentVersion.contains(2L))
+    assert(t.candidateFiles().size == 1,
+      s"expected 1 packed file, got ${t.candidateFiles().size}")
+    assert(t.read.orderBy("id").collect().toSeq == before.toSeq)
+    // packed files carry fresh stats: skipping still works
+    assert(t.readWhere(("id", 10L, 20L)).count() == 11)
+    // v1 still time-travelable
+    assert(t.readVersion(1).count() == 2000)
+    // second compact: nothing fragmented -> commits nothing
+    t.compact()
+    assert(t.currentVersion.contains(2L), "no-op compact committed a version")
+  }
+
+  test("compact leaves right-sized partitions by reference, rewrites only fragmented ones") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp("snapcompactpart")
+    // partitioned + clustered: ranges split across partition dirs, so
+    // each dir holds several small files
+    val t = SnapshotTable(spark, path, "id", partitionCol = Some("part"),
+      clusterBy = Seq("id"), clusterFiles = 6)
+    t.create(spark.range(1000).select(
+      col("id"), (col("id") % 2).cast("string").as("part"), (col("id") % 5).as("v")))
+    val fragged = t.candidateFiles().groupBy(e => e.path.split('/').head)
+    assert(fragged.values.exists(_.size >= 2), "fixture not fragmented")
+    t.compact()
+    val after = t.candidateFiles().groupBy(e => e.path.split('/').head)
+    assert(after.values.forall(_.size == 1),
+      s"partitions still fragmented: ${after.view.mapValues(_.size).toMap}")
+    assert(t.read.count() == 1000)
+    assert(t.read.select("id").distinct().count() == 1000)
+  }
+
   test("bloom index: point probe prunes files min/max cannot, result exact") {
     import org.apache.spark.sql.functions.{col, lit}
     val path = tmp("snapbloom")
