@@ -689,6 +689,32 @@ object Queries {
       .orderBy(col("revenue").desc)
   }
 
+  /** SCD2 dimension maintenance: customer history after one change
+    * batch — balances bumped for 1-in-7 keys, brand-new 1-in-13 keys,
+    * everyone else untouched. The oracle replays the type-2 semantics
+    * in plain SQL (closed version + unchanged current + new current +
+    * inserted keys), so close/insert/keep logic is hash-checked, not
+    * just row-counted. */
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    import operators.Scd2
+    val t1 = lit("2020-01-01 00:00:00")
+    val t2 = lit("2020-06-01 00:00:00")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val h1 = Scd2.init(cust, "c_custkey", Seq("c_name", "c_acctbal"), t1)
+    val updates = cust
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, round(col("c_acctbal") + 100.0d, 2))
+          .otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0).select(
+        (col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + 5.0d, 2).as("c_acctbal")))
+    Scd2.applyBatch(h1, updates, "c_custkey", Seq("c_name", "c_acctbal"), t2)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        col(Scd2.FromCol), col(Scd2.ToCol),
+        col(Scd2.CurrentCol).cast(IntegerType).as(Scd2.CurrentCol))
+  }
+
   /** Window ranking: top order per customer by value (deterministic
     * tiebreak) — the engine's window-function surface (§2.6's
     * row_number primitive, generalized). */
@@ -1289,6 +1315,7 @@ object Queries {
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
+    "scd2_dimension" -> (scd2Dimension _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_regional_revenue" -> (q5RegionalRevenue _),
     "set_ops" -> (setOps _),
@@ -1522,6 +1549,24 @@ object Queries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "scd2_dimension" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+        |       TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+        |       TIMESTAMP '2020-06-01 00:00:00' AS effective_to,
+        |       0 AS is_current
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal, 2),
+        |       TIMESTAMP '2020-01-01 00:00:00', NULL, 1
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal + 100, 2),
+        |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, round(c_acctbal + 5, 2),
+        |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
