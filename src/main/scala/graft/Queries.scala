@@ -689,6 +689,41 @@ object Queries {
       .orderBy(col("revenue").desc)
   }
 
+  /** Exact per-group percentiles (interpolated): the OLAP quantile
+    * surface, oracle-checked against DuckDB's quantile_cont. Exact
+    * percentile sorts within each group — fine for grouped dims; at
+    * 100 TB ungrouped use [[approxProfile]]'s sketch instead. */
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** Declarative data-quality report (dbt-tests style): five named
+    * constraints over orders/lineitem reduce to per-table aggregates —
+    * (check, violations) rows are all that reach the driver. The
+    * oracle recomputes every count in SQL, so pass AND fail numbers
+    * are hash-checked (the range check fires on real data — a report
+    * of all zeros would prove nothing). */
+  def qualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import operators.QualityChecks._
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val rowChecks = report(s, Seq(
+      notNull(orders, "o_custkey"),
+      acceptedValues(orders, "o_orderstatus", Seq("O", "F", "P")),
+      inRange(orders, "o_totalprice", 0.0d, 300000.0d)))
+    rowChecks
+      .unionByName(duplicates(orders, Seq("o_orderkey"))
+        .select(lit("unique:o_orderkey").as("check"), col("violations")))
+      .unionByName(orphans(lineitem, "l_orderkey", orders, "o_orderkey")
+        .select(lit("orphans:l_orderkey").as("check"), col("violations")))
+  }
+
   /** SCD2 dimension maintenance: customer history after one change
     * batch — balances bumped for 1-in-7 keys, brand-new 1-in-13 keys,
     * everyone else untouched. The oracle replays the type-2 semantics
@@ -1316,6 +1351,8 @@ object Queries {
     "cube_agg" -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "scd2_dimension" -> (scd2Dimension _),
+    "group_percentiles" -> (groupPercentiles _),
+    "quality_checks" -> (qualityChecks _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_regional_revenue" -> (q5RegionalRevenue _),
     "set_ops" -> (setOps _),
@@ -1549,6 +1586,36 @@ object Queries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "group_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "quality_checks" ->
+      """SELECT 'not_null:o_custkey' AS check,
+        |       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'accepted_values:o_orderstatus',
+        |       count(CASE WHEN o_orderstatus IS NULL
+        |                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range:o_totalprice',
+        |       count(CASE WHEN o_totalprice IS NULL
+        |                    OR o_totalprice < 0 OR o_totalprice > 300000 THEN 1 END)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'orphans:l_orderkey', count(*)
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
     "scd2_dimension" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
         |       TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
