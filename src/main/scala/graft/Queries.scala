@@ -1045,6 +1045,22 @@ object Queries {
       .select(col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("__grams"), w = 4)).as("fp"))
 
+  /** Repetition / boilerplate signals per document (Gopher-style):
+    * token-, top-token- and bigram-level repetition fractions, all
+    * shuffle-free column algebra over one tokenization. The oracle
+    * recomputes every signal relationally (unnest + window) — two
+    * entirely different formulations must agree to 6 decimals. */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        size(array_distinct(col("__toks"))).as("distinct_tokens"),
+        functions.TextAnalysis.dupTokenFrac(col("__toks")).as("dup_token_frac"),
+        functions.TextAnalysis.topTokenFrac(col("__toks")).as("top_token_frac"),
+        functions.TextAnalysis.dupBigramFrac(col("__toks")).as("dup_bigram_frac"))
+
   /** Exact dedup: documents unioned with whitespace/case-mutated copies
     * (ids offset by 1e6); normalize+hash dedup must keep exactly the
     * originals. */
@@ -1373,6 +1389,7 @@ object Queries {
     "stream_stream_join" -> (streamStreamJoin _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_repetition" -> (docRepetition _),
     "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
     "exact_dedup" -> (exactDedup _),
     "minhash_neardup" -> (minhashNearDup _),
@@ -1743,6 +1760,36 @@ object Queries {
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "doc_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS t,
+         |         unnest(generate_series(1, len(toks))) AS i,
+         |         len(toks) AS n
+         |  FROM base),
+         |freq AS (
+         |  SELECT doc_id, max(c) AS topc
+         |  FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |big AS (
+         |  SELECT doc_id, count(bg) AS nb, count(DISTINCT bg) AS db
+         |  FROM (SELECT doc_id,
+         |               t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+         |        FROM tok)
+         |  GROUP BY doc_id),
+         |agg AS (
+         |  SELECT doc_id, any_value(n) AS n, count(DISTINCT t) AS m
+         |  FROM tok GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |       CAST(a.n AS INTEGER) AS n_tokens,
+         |       CAST(a.m AS INTEGER) AS distinct_tokens,
+         |       round(1 - a.m / CAST(a.n AS DOUBLE), 6) AS dup_token_frac,
+         |       round(f.topc / CAST(a.n AS DOUBLE), 6) AS top_token_frac,
+         |       CASE WHEN b.nb > 0 THEN round(1 - b.db / CAST(b.nb AS DOUBLE), 6)
+         |            ELSE 0.0 END AS dup_bigram_frac
+         |FROM agg a JOIN freq f USING (doc_id) LEFT JOIN big b USING (doc_id)""".stripMargin,
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

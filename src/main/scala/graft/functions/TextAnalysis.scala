@@ -101,6 +101,61 @@ object TextAnalysis {
     round(lenTerm * lit(0.4) + punctTerm * lit(0.3) + stopTerm * lit(0.3), 6)
   }
 
+  /** Repetition / boilerplate signals (Gopher-style corpus quality):
+    * all from a MATERIALIZED tokens column, all narrow column algebra.
+    * Degenerate or machine-repeated text scores high; use as filter
+    * inputs alongside [[qualityScore]]. */
+
+  /** 1 − distinct/total tokens: overall token repetition. */
+  def dupTokenFrac(toks: Column): Column = {
+    val n = size(toks)
+    when(n > 0, round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / n.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Frequency of the single most common token over total tokens — the
+    * classic "most common word fraction" signal. One O(n) pass over the
+    * SORTED tokens tracking the longest equal run (sorting groups equal
+    * tokens, so max run = max frequency); no per-token rescan. */
+  def topTokenFrac(toks: Column): Column = {
+    val n = size(toks)
+    val best = aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n > 0, round(best.cast("double") / n.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Word bigrams (NOT deduplicated — repetition needs raw counts),
+    * built by zipping the token array against itself shifted by one:
+    * both slices are row-level (evaluated once), the lambda touches
+    * only its own pair. n−1 bigrams for n ≥ 2 tokens, else empty. */
+  def tokenBigrams(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 2,
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 1 − distinct/total bigrams: phrase-level repetition (catches
+    * looped phrases that token-level stats miss). */
+  def dupBigramFrac(toks: Column): Column = {
+    val bg = tokenBigrams(toks)
+    val nb = size(bg)
+    when(nb > 0, round(lit(1.0) -
+      size(array_distinct(bg)).cast("double") / nb.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: md5 of the normalized text — the exact-dedup
     * key. (md5 rather than xxhash so external engines can reproduce it.) */
   def fingerprint(text: Column): Column = md5(normalize(text))

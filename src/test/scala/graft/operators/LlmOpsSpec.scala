@@ -21,6 +21,25 @@ class LlmOpsSpec extends SparkSpec {
     (5L, "Der schnelle braune Fuchs springt nicht mit und ist ein auf zu")
   ).toDF("doc_id", "text")
 
+  test("repetition signals match hand-computed values") {
+    import graft.functions.TextAnalysis._
+    import org.apache.spark.sql.functions.col
+    // "a a a b": 4 tokens, 2 distinct -> dup 0.5; top "a" 3/4;
+    // bigrams [a a, a a, a b]: 3 total, 2 distinct -> dup 1/3
+    val df = Seq((1L, "a a a b"), (2L, "x"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val r = df.select(col("doc_id"),
+      dupTokenFrac(col("tk")).as("d"),
+      topTokenFrac(col("tk")).as("t"),
+      dupBigramFrac(col("tk")).as("b"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    assert(r(1L) == ((0.5, 0.75, 0.333333)))
+    assert(r(2L) == ((0.0, 1.0, 0.0))) // single token: no bigrams
+    assert(r(3L) == ((0.0, 0.333333, 0.0))) // all distinct
+  }
+
   test("exact dedup keeps lowest id per normalized text") {
     val withDup = docs.unionByName(
       Seq((10L, "  THE quick   brown fox jumps over the lazy dog and runs far away into the woods tonight "))
