@@ -1324,6 +1324,34 @@ object Queries {
       when(col("kind") === "audio", wav.getField("channels")).as("channels"))
   }
 
+  /** PNG write→parse round-trip: per-doc headers are generated with a
+    * REAL computed IHDR CRC, then decoded back field-by-field with the
+    * CRC re-verified; one corrupted payload per 50 docs must surface as
+    * crc_ok = 0 with its fields still readable (integrity detection,
+    * not trust). The oracle recomputes everything in closed form. */
+  def multimodalPng(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = (pmod(col("doc_id"), lit(64)) + 1).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(48)) + 1).cast(IntegerType)
+    val clean = Multimodal.pngBytes(w, h)
+    // flip one width byte AFTER the CRC was computed -> stored CRC no
+    // longer matches the bytes, exactly what a bit-rot scanner must catch
+    val corrupted = concat(
+      substring(clean, 1, 18), unhex(lit("7F")), substring(clean, 20, 26))
+    val media = docs.select(col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0, corrupted)
+        .otherwise(clean).as("bytes"))
+    val png = Multimodal.decodePng(col("bytes"))
+    media.select(
+      col("media_id"),
+      length(col("bytes")).cast(LongType).as("n_bytes"),
+      png.getField("width").as("width"),
+      png.getField("height").as("height"),
+      png.getField("bit_depth").as("bit_depth"),
+      png.getField("color_type").as("color_type"),
+      png.getField("crc_ok").cast(IntegerType).as("crc_ok"))
+  }
+
   /** Batched per-partition feature extraction over media bytes
     * (mapPartitions; stub features). Rows-only check. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -1410,6 +1438,7 @@ object Queries {
     "json_scan_roundtrip" -> (jsonScanRoundtrip _),
     "orc_scan_roundtrip" -> (orcScanRoundtrip _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_png" -> (multimodalPng _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -2046,5 +2075,18 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 24 + 1 AS INTEGER) END AS height,
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 100) * 100 AS INTEGER) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER) END AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_png" ->
+      // closed-form recomputation: a corrupted payload (every 50th doc
+      // got width byte 3 overwritten with 0x7F after CRC computation)
+      // must decode with the bogus width AND crc_ok = 0
+      """SELECT doc_id AS media_id,
+        |  CAST(45 AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 32512 ELSE 0 END
+        |       + doc_id % 64 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth,
+        |  CAST(2 AS INTEGER) AS color_type,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS crc_ok
         |FROM documents""".stripMargin)
 }

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * payloads travel as opaque `binary` columns next to typed metadata;
   * decode / feature-extraction runs batched per partition.
   *
-  * Two container formats are decoded FOR REAL, headers parsed from the
-  * actual bytes with column algebra (no codec library needed for
+  * Three container formats are decoded FOR REAL, headers parsed from
+  * the actual bytes with column algebra (no codec library needed for
   * container metadata): BMP ([[bmpBytes]]/[[decodeBmp]] — width/height/
-  * bit-depth from the BITMAPINFOHEADER) and WAV ([[wavBytes]]/
+  * bit-depth from the BITMAPINFOHEADER), WAV ([[wavBytes]]/
   * [[decodeWav]] — channels/sample-rate/bit-depth from the RIFF fmt
-  * chunk). PIXEL/SAMPLE decode and video demuxing remain STUBBED (no
+  * chunk) and PNG ([[pngBytes]]/[[decodePng]] — big-endian IHDR fields
+  * with the chunk CRC32 recomputed and verified, not trusted).
+  * PIXEL/SAMPLE decode and video demuxing remain STUBBED (no
   * image/audio codecs in this build): `stubDecode*` derive
   * deterministic fake outputs from the bytes, clearly marked below.
   * Everything around the stubs — schema, binary handling,
@@ -109,6 +111,44 @@ object Multimodal {
         leAt(bytes, 25, 4).cast(IntegerType).as("sample_rate"),
         leAt(bytes, 35, 2).cast(IntegerType).as("bit_depth"),
         leAt(bytes, 41, 4).as("data_size")))
+
+  /** Big-endian unsigned read of `nBytes` at 1-based `pos` (PNG uses
+    * network byte order — bytes hex out in order, no reversal). */
+  private def beAt(b: Column, pos: Int, nBytes: Int): Column =
+    conv(hex(substring(b, pos, nBytes)), 16, 10).cast(LongType)
+
+  private def beHex(c: Column, nBytes: Int): Column =
+    lpad(hex(c.cast(LongType)), 2 * nBytes, "0")
+
+  /** Structurally valid PNG signature + IHDR + empty IEND, with the
+    * IHDR CRC32 COMPUTED over the real chunk bytes (column algebra via
+    * `crc32` — headers round-trip through any PNG parser's integrity
+    * check). 8-bit truecolor, no interlace. */
+  def pngBytes(width: Column, height: Column): Column = {
+    val ihdr = concat(lit("49484452"), beHex(width, 4), beHex(height, 4),
+      lit("0802000000")) // bit depth 8, color type 2, std compression/filter/interlace
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), ihdr, beHex(crc32(unhex(ihdr)), 4),
+      lit("0000000049454E44AE426082"))) // empty IEND + its fixed CRC
+  }
+
+  /** REAL PNG header decode: signature + IHDR magic, width/height/
+    * bit-depth/color-type from the actual big-endian header bytes, and
+    * the IHDR CRC RECOMPUTED and compared against the stored one
+    * (`crc_ok`) — a corrupted header is detected, not trusted. Null for
+    * non-PNG payloads. */
+  def decodePng(bytes: Column): Column =
+    when(length(bytes) >= 33 &&
+         substring(bytes, 1, 8) === lit(Array(0x89, 0x50, 0x4E, 0x47,
+           0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)) &&
+         substring(bytes, 13, 4) === lit("IHDR".getBytes("US-ASCII")),
+      struct(
+        beAt(bytes, 17, 4).cast(IntegerType).as("width"),
+        beAt(bytes, 21, 4).cast(IntegerType).as("height"),
+        beAt(bytes, 25, 1).cast(IntegerType).as("bit_depth"),
+        beAt(bytes, 26, 1).cast(IntegerType).as("color_type"),
+        (crc32(substring(bytes, 13, 17)) === beAt(bytes, 30, 4)).as("crc_ok")))
 
   /** Typed metadata carried beside the payload. */
   val mediaSchema: StructType = StructType(Seq(

@@ -56,6 +56,41 @@ class MultimodalSpec extends SparkSpec {
     assert(fmt.getFrameLength == 25)
   }
 
+  test("pngBytes carries a REAL IHDR CRC (java.util.zip agrees); decode round-trips; corruption detected") {
+    val bytes = Seq((1L, 640, 480)).toDF("id", "w", "h")
+      .select(Multimodal.pngBytes($"w", $"h").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(bytes.length == 45)
+    // independent CRC check with the JDK over the IHDR chunk (tag+data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 17)
+    val stored = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt & 0xFFFFFFFFL
+    assert(crc.getValue == stored, "IHDR CRC does not match java.util.zip")
+    // JDK's own PNG reader parses the header (no pixel data needed)
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    assert(it.hasNext)
+    val reader = it.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes)))
+    assert(reader.getWidth(0) == 640 && reader.getHeight(0) == 480)
+    // our decode reads the same fields and verifies the CRC
+    val d = Seq(Tuple1(bytes)).toDF("b")
+      .select(Multimodal.decodePng($"b").as("d"))
+      .select($"d.width", $"d.height", $"d.bit_depth", $"d.color_type", $"d.crc_ok")
+      .head()
+    assert((d.getInt(0), d.getInt(1), d.getInt(2), d.getInt(3), d.getBoolean(4))
+      == ((640, 480, 8, 2, true)))
+    // flip a width byte: fields still read, CRC mismatch is DETECTED
+    val bad = bytes.clone(); bad(18) = 0x7F.toByte
+    val bd = Seq(Tuple1(bad)).toDF("b")
+      .select(Multimodal.decodePng($"b").as("d"))
+      .select($"d.crc_ok", $"d.width").head()
+    assert(!bd.getBoolean(0) && bd.getInt(1) == (0x7F00 | 640))
+    // non-PNG bytes refuse
+    assert(Seq(Tuple1("just text".getBytes)).toDF("b")
+      .select(Multimodal.decodePng($"b")).head().isNullAt(0))
+  }
+
   test("decodeWav reads back exactly what wavBytes wrote; non-media is null") {
     val out = Seq((1L, 8800, 25)).toDF("id", "rate", "n")
       .select(Multimodal.decodeWav(Multimodal.wavBytes($"rate", $"n")).as("d"))
