@@ -281,6 +281,42 @@ object Queries {
     table.readWhere(("o_orderkey", 1000L, 2000L)).select(ordersCols.map(col): _*)
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance: a per-status
+    * (count, sum) aggregate built at v1 is refreshed to v2 using ONLY
+    * the CDC delta (`changesDelta`: after-images add, before-images
+    * subtract) — never re-reading the table. The oracle is the full
+    * recompute over the merged state, so the maintained aggregate must
+    * be EXACTLY the from-scratch answer. At 100 TB this is the
+    * difference between an O(delta) refresh and an O(table) one. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val base = scratch("incragg", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(target)
+    val agg1 = table.readVersion(1).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt0"), sum("o_totalprice").as("sum0"))
+    table.upsert(source)
+    val img = col(plans.SnapshotTable.ImageCol)
+    val delta = table.changesDelta(1, 2).groupBy("o_orderstatus")
+      .agg(
+        sum(when(img === "after", 1L).otherwise(-1L)).as("dcnt"),
+        sum(when(img === "after", col("o_totalprice"))
+          .otherwise(-col("o_totalprice"))).as("dsum"))
+    agg1.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("cnt0"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"),
+        round(coalesce(col("sum0"), lit(0.0d)) + coalesce(col("dsum"), lit(0.0d)), 2)
+          .as("total"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Incremental OPTIMIZE: a fragmented clustered table bin-packs to
     * the target file size in one atomic commit — file count must
     * actually drop, data must be byte-identical to the source (the
@@ -1382,6 +1418,7 @@ object Queries {
     "snapshot_skip_scan" -> (snapshotSkipScan _),
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
     "snapshot_compact" -> (snapshotCompact _),
+    "incremental_agg" -> (incrementalAgg _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
@@ -1561,6 +1598,18 @@ object Queries {
     "snapshot_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    // the CDC-maintained aggregate must equal the full recompute over
+    // the merged table state
+    "incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, round(o_totalprice + 1.0, 2) FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |GROUP BY o_orderstatus""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -403,15 +403,30 @@ final class SnapshotTable(
     * so only files NEW in toV are read, diffed against fromV's files of
     * the same partitions (a rewrite includes the partition's unchanged
     * rows, which the EXCEPT removes). */
-  def changes(fromV: Long, toV: Long): DataFrame = {
+  def changes(fromV: Long, toV: Long): DataFrame =
+    changesDelta(fromV, toV)
+      .filter(col(SnapshotTable.ImageCol) === "after")
+      .drop(SnapshotTable.ImageCol)
+
+  /** CDC with BEFORE and AFTER images: every row removed-or-replaced in
+    * (fromV, toV] tagged `before`, every row inserted-or-new tagged
+    * `after` (an update contributes one of each; carried-over rows
+    * contribute nothing). This is the algebra downstream state needs to
+    * refresh INCREMENTALLY — `agg += f(after) − f(before)` — without
+    * re-reading the table: cost stays O(rewritten partitions), and a
+    * materialized aggregate maintained this way is exact, not
+    * approximate. Same file-diff core as [[changes]]. */
+  def changesDelta(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val img = SnapshotTable.ImageCol
     val before = readManifest(fromV).map(_.path).toSet
     val newFiles = readManifest(toV).map(_.path).filterNot(before)
-    if (newFiles.isEmpty) return read.limit(0)
+    if (newFiles.isEmpty)
+      return read.limit(0).withColumn(img, lit(""))
     val touched = newFiles.map(partOf).toSet
     val oldTouched = before.toSeq.filter(f => touched(partOf(f)))
     val newRows = readFiles(newFiles)
-    if (oldTouched.isEmpty) newRows
+    if (oldTouched.isEmpty) newRows.withColumn(img, lit("after"))
     else {
       // a span crossing a schema-evolution commit reads old files
       // without the new columns: pad them with nulls so EXCEPT lines up
@@ -420,7 +435,8 @@ final class SnapshotTable(
         if (oldRows.columns.sameElements(newRows.columns)) oldRows
         else oldRows.unionByName(newRows.limit(0), allowMissingColumns = true)
           .select(newRows.columns.toIndexedSeq.map(col): _*)
-      newRows.except(oldAligned)
+      newRows.except(oldAligned).withColumn(img, lit("after"))
+        .unionByName(oldAligned.except(newRows).withColumn(img, lit("before")))
     }
   }
 
@@ -570,6 +586,9 @@ final class SnapshotTable(
 }
 
 object SnapshotTable {
+  /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
+  val ImageCol = "_change_image"
+
   def apply(spark: SparkSession, path: String, primaryKey: String,
             partitionCol: Option[String] = None,
             declaredSchema: Option[StructType] = None,

@@ -227,6 +227,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out == Seq(1 -> "a", 2 -> "B"))
   }
 
+  test("changesDelta: update emits before+after pair, insert after only, carried rows nothing") {
+    import org.apache.spark.sql.functions.col
+    val t = SnapshotTable(spark, tmp("snapdelta"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    t.upsert(frame((2, "B2", "p2"), (4, "d", "p3"))) // update 2, insert 4; 3 carried in rewritten p2
+    val d = t.changesDelta(1, 2)
+      .select(col("id"), col("val"), col(SnapshotTable.ImageCol))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set(
+      (2, "b", "before"), (2, "B2", "after"), (4, "d", "after")),
+      s"wrong delta: $d")
+    // maintained count via the delta algebra == direct count
+    val net = d.toSeq.map { case (_, _, img) => if (img == "after") 1 else -1 }.sum
+    assert(3 + net == t.read.count())
+  }
+
   test("compact bin-packs fragmented files, carries packed partitions, no-ops when tight") {
     import org.apache.spark.sql.functions.col
     val path = tmp("snapcompact")
