@@ -46,7 +46,13 @@ object Scd2 {
     * identical tracked attributes → untouched; present with changed
     * attributes → current version closed at `batchTs` and a new current
     * version inserted; brand-new key → inserted current. Rows already
-    * closed in the history pass through by union (never re-joined). */
+    * closed in the history pass through by union (never re-joined).
+    *
+    * PRECONDITION: `updates` carries at most one row per key (a batch
+    * is a dimension snapshot, not an event log). Duplicate keys would
+    * fan out the join and close the same version twice — collapse an
+    * event-log batch to latest-per-key first (e.g.
+    * [[Dedup.deterministic]] on an event-time ordering). */
   def applyBatch(history: DataFrame, updates: DataFrame, key: String,
                  tracked: Seq[String], batchTs: Column): DataFrame = {
     val outCols = (key +: tracked) ++ metaCols

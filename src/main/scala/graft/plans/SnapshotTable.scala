@@ -199,13 +199,20 @@ final class SnapshotTable(
     val w = clustered.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage)
     val moved = mutable.Buffer.empty[String]
+    // per-commit counter makes every BASENAME globally unique: Spark's
+    // dynamic-partition writer can emit the same task file name into
+    // two partition dirs (per-dir counter, same task UUID), and
+    // fileBlooms matches input_file_name back to manifest entries by
+    // basename — a collision there would attach the wrong bloom
+    var fileNo = -1
     def walk(p: Path, rel: String): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
         else if (name.endsWith(".parquet")) {
+          fileNo += 1
           val destRel =
-            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$name"
+            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name"
           val dest = new Path(s"$dataDir/$destRel")
           fs.mkdirs(dest.getParent)
           if (!fs.rename(st.getPath, dest))

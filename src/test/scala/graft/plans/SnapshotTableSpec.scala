@@ -318,6 +318,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readWhereEq(("v", 3L)).count() == df.filter(col("v") === 3).count())
   }
 
+  test("bloom basenames stay unique when ONE task writes multiple partition dirs") {
+    import org.apache.spark.sql.functions.col
+    // clusterFiles=1 + partitionCol: a single range task writes both
+    // partition dirs, and Spark's dynamic-partition writer reuses the
+    // same task file name in each (per-dir counter) — without globally
+    // unique basenames, fileBlooms would attach a bloom to the WRONG
+    // file and prune incorrectly
+    val t = SnapshotTable(spark, tmp("snapbloomuniq"), "id",
+      partitionCol = Some("part"), clusterBy = Seq("id"), clusterFiles = 1,
+      bloomCols = Seq("val"), bloomExpectedItems = 100L)
+    t.create(frame((1, "aa", "p1"), (2, "bb", "p2")))
+    val files = t.candidateFiles()
+    assert(files.size == 2, s"fixture wrong: ${files.map(_.path)}")
+    assert(files.map(_.path.split('/').last).distinct.size == 2,
+      "basename collision across partition dirs")
+    assert(files.forall(_.bloom("val").isDefined),
+      "a file lost its bloom to the basename collision")
+    assert(t.readWhereEq(("val", "aa")).select("id").head().getInt(0) == 1)
+    assert(t.readWhereEq(("val", "bb")).select("id").head().getInt(0) == 2)
+  }
+
   test("blooms ride carried-over files across upserts") {
     import org.apache.spark.sql.functions.col
     val path = tmp("snapbloomcarry")
