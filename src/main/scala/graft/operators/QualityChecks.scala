@@ -35,19 +35,22 @@ object QualityChecks {
   def inRange(df: DataFrame, c: String, lo: Any, hi: Any): Check =
     Check(s"in_range:$c", df, col(c) < lit(lo) || col(c) > lit(hi) || col(c).isNull)
 
-  /** Evaluate simple per-row checks, one aggregate PER FRAME: checks on
-    * the same DataFrame fold into a single scan with N conditional
-    * counts. Returns (check, violations). */
+  /** Evaluate simple per-row checks, one aggregate PER TABLE: checks
+    * over the same source fold into a single scan with N conditional
+    * counts. Sameness is decided on the CANONICALIZED analyzed plan,
+    * not object identity, so two `spark.read...` calls against the same
+    * table still share one scan. Returns (check, violations). */
   def report(spark: SparkSession, checks: Seq[Check]): DataFrame = {
     import spark.implicits._
-    val perFrame = checks.zipWithIndex.groupBy(_._1.frame).toSeq.map {
-      case (frame, cs) =>
-        val aggs = cs.map { case (c, i) =>
-          count(when(c.violation, 1)).as(s"__v_$i")
-        }
-        val row = frame.agg(aggs.head, aggs.tail: _*).head()
-        cs.zipWithIndex.map { case ((c, _), j) => (c.name, row.getLong(j)) }
-    }
+    val perFrame = checks.zipWithIndex
+      .groupBy(_._1.frame.queryExecution.analyzed.canonicalized).toSeq.map {
+        case (_, cs) =>
+          val aggs = cs.map { case (c, i) =>
+            count(when(c.violation, 1)).as(s"__v_$i")
+          }
+          val row = cs.head._1.frame.agg(aggs.head, aggs.tail: _*).head()
+          cs.zipWithIndex.map { case ((c, _), j) => (c.name, row.getLong(j)) }
+      }
     perFrame.flatten.toDF("check", "violations")
   }
 

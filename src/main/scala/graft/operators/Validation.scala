@@ -62,7 +62,10 @@ object Validation {
   def tryCastColumn(c: Column, from: DataType, to: DataType): Column =
     (from, to) match {
       case (StringType, ByteType | ShortType | IntegerType | LongType) =>
-        when(c.rlike("^[\\x00-\\x20]*[+-]?[0-9]{1,19}[\\x00-\\x20]*$"),
+        // 0* before the capped digits: TRY accepts any number of
+        // leading zeros (zero-padded ID feeds), only SIGNIFICANT digits
+        // beyond 19 are a guaranteed overflow
+        when(c.rlike("^[\\x00-\\x20]*[+-]?0*[0-9]{1,19}[\\x00-\\x20]*$"),
           c.try_cast(to)).otherwise(lit(null).cast(to))
       case _ => c.try_cast(to)
     }

@@ -254,6 +254,16 @@ final class SnapshotTable(
           s"bloom index on $c: unsupported type $other (integral/string only)")
       }
     }
+    // tag each bloom with the type family it was built from (long vs
+    // string): a probe of the OTHER family hashes differently and would
+    // prune files that DO contain the key — candidateFilesEq only
+    // consults same-family blooms
+    val kinds = bloomCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => "BS:"
+        case _ => "BL:"
+      })
+    }.toMap
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val byBase = entries.map(e => e.path.split('/').last -> e.path).toMap
@@ -261,8 +271,8 @@ final class SnapshotTable(
       byBase.get(r.getString(0).split('/').last).map { rel =>
         rel -> bloomCols.zipWithIndex.map { case (c, i) =>
           FileEntry.bloomKey(c) ->
-            (("B:" + java.util.Base64.getEncoder.encodeToString(
-              r.getAs[Array[Byte]](i + 1))), "B:")
+            ((kinds(c) + java.util.Base64.getEncoder.encodeToString(
+              r.getAs[Array[Byte]](i + 1))), kinds(c))
         }.toMap
       }
     }.toMap
@@ -492,16 +502,24 @@ final class SnapshotTable(
   def candidateFilesEq(points: (String, Any)*): Seq[FileEntry] =
     candidateFiles(points.map { case (c, v) => (c, v, v) }: _*)
       .filter(e => points.forall { case (c, v) =>
+        // a probe may only consult a bloom of ITS OWN type family — a
+        // long probe against a string-built bloom (or vice versa)
+        // hashes unrelated bytes and would prune files that DO contain
+        // the key; on mismatch the file is conservatively kept (the
+        // exact filter on top stays correct either way)
         e.bloom(c) match {
-          case Some(bf) => v match {
+          case Some(("BL:", bf)) => v match {
             case n: Long => bf.mightContainLong(n)
             case n: Int => bf.mightContainLong(n.toLong)
             case n: Short => bf.mightContainLong(n.toLong)
             case n: Byte => bf.mightContainLong(n.toLong)
-            case s: String => bf.mightContainString(s)
-            case _ => true // un-probeable type: never prune on it
+            case _ => true
           }
-          case None => true
+          case Some(("BS:", bf)) => v match {
+            case s: String => bf.mightContainString(s)
+            case _ => true
+          }
+          case _ => true // no bloom, or unknown tag: never prune
         }
       })
 
@@ -527,8 +545,22 @@ final class SnapshotTable(
               minFiles: Int = 2): Unit = {
     val v = currentVersion.getOrElse(return)
     val live = readManifest(v)
-    val sizeOf: Map[String, Long] = live.map(e =>
-      e.path -> fs.getFileStatus(new Path(s"$dataDir/${e.path}")).getLen).toMap
+    // size live files with ONE listStatus per directory (lengths come
+    // back with the listing) — per-file getFileStatus would be O(live
+    // files) metadata round-trips on every compact, no-op or not
+    val liveSet = live.map(_.path).toSet
+    val sizeOf: Map[String, Long] = live.map { e =>
+      val slash = e.path.lastIndexOf('/')
+      if (slash < 0) "" else e.path.substring(0, slash)
+    }.distinct.flatMap { dir =>
+      val p = if (dir.isEmpty) new Path(dataDir) else new Path(s"$dataDir/$dir")
+      fs.listStatus(p).toSeq.collect {
+        case st if !st.isDirectory =>
+          val rel = if (dir.isEmpty) st.getPath.getName
+                    else s"$dir/${st.getPath.getName}"
+          rel -> st.getLen
+      }.filter(kv => liveSet(kv._1))
+    }.toMap
     def packed(es: Seq[FileEntry]): Int =
       math.max(1, math.ceil(es.map(e => sizeOf(e.path)).sum.toDouble
         / targetFileBytes).toInt)
@@ -546,11 +578,14 @@ final class SnapshotTable(
     * orphans and data aged out of the last `keepVersions` snapshots.
     *
     * Safe next to in-flight writers (Delta-style age gate): an
-    * unreferenced file is only deleted once older than `retentionMs`, so
-    * the staged/just-moved files of a concurrent upsert whose manifest
-    * hasn't committed yet are left alone; likewise `_stage` subtrees
-    * younger than the threshold. `retentionMs = 0` is the single-writer
-    * fast path (reclaim everything unreferenced now). */
+    * unreferenced file, empty directory or `_stage` subtree is only
+    * deleted once older than `retentionMs`, so the staged/just-moved
+    * files (and freshly-mkdir'd partition dirs) of a concurrent upsert
+    * whose manifest hasn't committed yet are left alone. Size
+    * `retentionMs` above the longest plausible write duration — an
+    * in-flight commit older than it can still be clobbered.
+    * `retentionMs = 0` is the single-writer fast path (reclaim
+    * everything unreferenced now). */
   def vacuum(keepVersions: Int = 2, retentionMs: Long = 60 * 60 * 1000L): Unit = {
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -573,7 +608,11 @@ final class SnapshotTable(
         val name = st.getPath.getName
         val childRel = if (rel.isEmpty) name else s"$rel/$name"
         if (st.isDirectory) {
-          if (sweep(st.getPath, childRel)) fs.delete(st.getPath, false)
+          // the age gate applies to empty DIRS too: a concurrent upsert
+          // mkdirs() a new partition dir just before moving files in —
+          // deleting it in that window aborts the writer's rename
+          if (sweep(st.getPath, childRel) && st.getModificationTime <= cutoff)
+            fs.delete(st.getPath, false)
           else empty = false
         } else if (!referenced(childRel) &&
                    st.getModificationTime <= cutoff) fs.delete(st.getPath, false)
@@ -619,10 +658,13 @@ object SnapshotTable {
         Seq(c, mn, mx)
       }).mkString("\t")
 
-    /** The file's Bloom filter for `c`, if one was built at write. */
-    def bloom(c: String): Option[org.apache.spark.util.sketch.BloomFilter] =
-      stats.get(FileEntry.bloomKey(c)).map { case (v, _) =>
-        graft.functions.BloomSketch.fromBase64(v.stripPrefix("B:"))
+    /** The file's Bloom filter for `c` with its type-family tag
+      * ("BL:" long, "BS:" string), if one was built at write. */
+    def bloom(c: String)
+        : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+      stats.get(FileEntry.bloomKey(c)).collect {
+        case (v, _) if v.length > 3 && v.charAt(2) == ':' =>
+          (v.take(3), graft.functions.BloomSketch.fromBase64(v.drop(3)))
       }
   }
 

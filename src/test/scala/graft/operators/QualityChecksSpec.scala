@@ -45,6 +45,21 @@ class QualityChecksSpec extends SparkSpec {
       .head().getLong(0) == 0) // coalesce path on the empty sum is safe
   }
 
+  test("checks over separately-loaded but identical sources share one group and count right") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    // two DISTINCT Dataset objects over the same table: canonicalized-
+    // plan grouping must fold them into one aggregate without
+    // mis-routing either check's violation column
+    val a = spark.read.parquet(dir)
+    val b = spark.read.parquet(dir)
+    val r = report(spark, Seq(
+      notNull(a, "k"),
+      inRange(b, "amt", 0.0, 100.0))).as[(String, Long)].collect().toMap
+    assert(r("not_null:k") == 1)
+    assert(r("in_range:amt") == 1)
+  }
+
   test("orphans is the anti-join count; zero when contained") {
     val parent = Seq(1, 2, 4).toDF("k")
     val child = Seq(1, 1, 3, 5).toDF("ck")

@@ -96,7 +96,8 @@ class ValidationSpec extends SparkSpec {
     // (TRY trims all chars <= 0x20, incl. \t and \u0001), decimals and
     // exponents (rejected), overflow per target width, garbage, empty
     val vals = Seq("42", "+42", "-7", " 42 ", "\t42", "\u0001" + "42" + "\u0001",
-      "0042", "42.5", "42.0", "4e2", "2147483647", "2147483648",
+      "0042", "00000000000000000000042", "0" * 30, "42.5", "42.0", "4e2",
+      "2147483647", "2147483648",
       "9223372036854775807", "9223372036854775808", "99999999999999999999",
       "0x1A", "42abc", "", "   ", null)
     val df = spark.createDataFrame(

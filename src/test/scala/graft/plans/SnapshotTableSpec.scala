@@ -318,6 +318,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readWhereEq(("v", 3L)).count() == df.filter(col("v") === 3).count())
   }
 
+  test("type-mismatched bloom probe never prunes (long probe vs string bloom)") {
+    val t = SnapshotTable(spark, tmp("snapbloomtype"), "id",
+      partitionCol = Some("part"), bloomCols = Seq("val"),
+      bloomExpectedItems = 100L)
+    t.create(frame((1, "42", "p1"), (2, "7", "p2")))
+    val total = t.candidateFiles().size
+    // the bloom was built with putString("42"); a Long probe hashes
+    // unrelated bytes — it must consult nothing and keep every file
+    assert(t.candidateFilesEq(("val", 42L)).size == total,
+      "long probe pruned against a string-built bloom")
+    // same-family probe still prunes and still finds the row
+    assert(t.candidateFilesEq(("val", "42")).size < total)
+    assert(t.readWhereEq(("val", "42")).select("id").head().getInt(0) == 1)
+  }
+
   test("bloom basenames stay unique when ONE task writes multiple partition dirs") {
     import org.apache.spark.sql.functions.col
     // clusterFiles=1 + partitionCol: a single range task writes both
