@@ -1097,6 +1097,19 @@ object Queries {
         functions.TextAnalysis.topTokenFrac(col("__toks")).as("top_token_frac"),
         functions.TextAnalysis.dupBigramFrac(col("__toks")).as("dup_bigram_frac"))
 
+  /** Corpus-level token frequencies: explode one tokenization, count
+    * per token, deterministic top-20. One shuffle (the count) and a
+    * TakeOrdered — the vocabulary/frequency pass every corpus pipeline
+    * runs; at 100 TB the same plan holds because partial aggregation
+    * collapses per-executor counts before the shuffle. */
+  def corpusTopTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(functions.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
   /** Exact dedup: documents unioned with whitespace/case-mutated copies
     * (ids offset by 1e6); normalize+hash dedup must keep exactly the
     * originals. */
@@ -1455,6 +1468,7 @@ object Queries {
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_repetition" -> (docRepetition _),
+    "corpus_top_tokens" -> (corpusTopTokens _),
     "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
     "exact_dedup" -> (exactDedup _),
     "minhash_neardup" -> (minhashNearDup _),
@@ -1838,6 +1852,12 @@ object Queries {
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "corpus_top_tokens" ->
+      s"""SELECT t AS token, count(*) AS cnt
+         |FROM (SELECT unnest(string_split($NormSql, ' ')) AS t FROM documents)
+         |GROUP BY t
+         |ORDER BY cnt DESC, t
+         |LIMIT 20""".stripMargin,
     "doc_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split($NormSql, ' ') AS toks
