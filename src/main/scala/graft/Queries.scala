@@ -786,6 +786,61 @@ object Queries {
         col(Scd2.CurrentCol).cast(IntegerType).as(Scd2.CurrentCol))
   }
 
+  /** STREAMING SCD2: the same dimension change batch as
+    * [[scd2Dimension]], but delivered as TWO micro-batches through a
+    * file stream + `foreachBatch`, each applying [[operators.Scd2]]
+    * incrementally to the running history. Batches are key-disjoint
+    * (parity split) and share one batch timestamp, so the streamed
+    * history must equal the one-shot batch apply — the oracle is
+    * literally scd2_dimension's. The shape to scale: per-batch cost is
+    * O(current dim + batch), never O(history), and closed rows stream
+    * through untouched. */
+  def scd2StreamParity(s: SparkSession, dir: String): DataFrame = {
+    import operators.Scd2
+    val base = scratch("scd2stream", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val t1 = lit("2020-01-01 00:00:00")
+    val t2 = lit("2020-06-01 00:00:00")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val updates = cust
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, round(col("c_acctbal") + 100.0d, 2))
+          .otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0).select(
+        (col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + 5.0d, 2).as("c_acctbal")))
+    // land the batch as two KEY-DISJOINT files (parity split): one
+    // micro-batch each under maxFilesPerTrigger=1; disjointness + a
+    // shared batchTs make apply order irrelevant
+    val landing = s"$base/landing"
+    updates.filter(col("c_custkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$landing/even")
+    updates.filter(col("c_custkey") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$landing/odd")
+    var history = Scd2.init(cust, "c_custkey", Seq("c_name", "c_acctbal"), t1)
+      .localCheckpoint(eager = true)
+    val q = s.readStream
+      .schema(updates.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        history = Scd2
+          .applyBatch(history, batch, "c_custkey", Seq("c_name", "c_acctbal"), t2)
+          .localCheckpoint(eager = true)
+      }
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    history.select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal"), 2).as("acctbal"),
+      col(Scd2.FromCol), col(Scd2.ToCol),
+      col(Scd2.CurrentCol).cast(IntegerType).as(Scd2.CurrentCol))
+  }
+
   /** Window ranking: top order per customer by value (deterministic
     * tiebreak) — the engine's window-function surface (§2.6's
     * row_number primitive, generalized). */
@@ -1445,6 +1500,7 @@ object Queries {
     "cube_agg" -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "scd2_dimension" -> (scd2Dimension _),
+    "scd2_stream_parity" -> (scd2StreamParity _),
     "group_percentiles" -> (groupPercentiles _),
     "quality_checks" -> (qualityChecks _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1496,6 +1552,27 @@ object Queries {
     * [[graft.functions.TextAnalysis.normalize]]. */
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** SQL replay of the SCD2 close/keep/insert semantics — shared by the
+    * one-shot and streamed variants, which must agree exactly. */
+  private val Scd2Sql =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+      |       TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+      |       TIMESTAMP '2020-06-01 00:00:00' AS effective_to,
+      |       0 AS is_current
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, round(c_acctbal, 2),
+      |       TIMESTAMP '2020-01-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, round(c_acctbal + 100, 2),
+      |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, round(c_acctbal + 5, 2),
+      |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
+      |FROM customer WHERE c_custkey % 13 = 0""".stripMargin
 
   private def ratioSql(words: Seq[String]): String =
     s"len(list_filter(toks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(toks)::DOUBLE"
@@ -1725,24 +1802,9 @@ object Queries {
         |SELECT 'orphans:l_orderkey', count(*)
         |FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
-    "scd2_dimension" ->
-      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
-        |       TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
-        |       TIMESTAMP '2020-06-01 00:00:00' AS effective_to,
-        |       0 AS is_current
-        |FROM customer WHERE c_custkey % 7 = 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, round(c_acctbal, 2),
-        |       TIMESTAMP '2020-01-01 00:00:00', NULL, 1
-        |FROM customer WHERE c_custkey % 7 <> 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, round(c_acctbal + 100, 2),
-        |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
-        |FROM customer WHERE c_custkey % 7 = 0
-        |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, round(c_acctbal + 5, 2),
-        |       TIMESTAMP '2020-06-01 00:00:00', NULL, 1
-        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
+    "scd2_dimension" -> Scd2Sql,
+    // the incrementally-streamed history must equal the one-shot apply
+    "scd2_stream_parity" -> Scd2Sql,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
