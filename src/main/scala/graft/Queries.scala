@@ -1228,6 +1228,30 @@ object Queries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** Symmetric int8 embedding quantization (per-vector absmax scale) —
+    * the 4× memory cut a 100 TB vector corpus takes before ANN
+    * serving. Shuffle-free narrow map; the rounding is
+    * `floor(v + 0.5)` in double — bit-deterministic across engines, so
+    * the oracle recomputes the quantized values exactly and compares
+    * scalar summaries (sum/min/max per vector; arrays themselves are
+    * not harness-comparable). Staged projections keep the absmax out
+    * of the quantize lambda (per-element re-eval gotcha). */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("mx", aggregate(col("e"), lit(0.0d),
+        (a, x) => greatest(a, abs(x.cast(DoubleType)))))
+      .withColumn("q",
+        when(col("mx") > 0, transform(col("e"),
+          x => floor(x.cast(DoubleType) * 127.0d / col("mx") + 0.5d).cast(LongType)))
+          .otherwise(transform(col("e"), _ => lit(0L))))
+      .select(col("vec_id"),
+        size(col("e")).as("n_dims"),
+        round(col("mx"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).cast(IntegerType).as("q_min"),
+        array_max(col("q")).cast(IntegerType).as("q_max"))
+
   /** LSH-bucketed ANN top-10 (multi-probe sign LSH + exact re-rank).
     * Probabilistic recall ⇒ no SQL oracle; unit tests check recall vs
     * the brute-force baseline. */
@@ -1531,6 +1555,7 @@ object Queries {
     "simhash_neardup" -> (simhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "embedding_topk" -> (embeddingTopK _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
@@ -2107,6 +2132,25 @@ object Queries {
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rk <= 10""".stripMargin,
+    // quantized values recomputed exactly (floor(v+0.5) is IEEE-
+    // deterministic), compared via per-vector scalar summaries
+    "embedding_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, len(e) AS n_dims, round(mx, 6) AS scale,
+        |    CASE WHEN mx > 0
+        |      THEN list_transform(e,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+        |      ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base)
+        |SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,
+        |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS INTEGER) AS q_min,
+        |       CAST(list_max(qv) AS INTEGER) AS q_max
+        |FROM q""".stripMargin,
     "corpus_curation" ->
       // mirrors the Spark pipeline exactly: gate first, then dedup by
       // normalized fingerprint (min doc_id among survivors) — the corpus
