@@ -1380,6 +1380,16 @@ object Queries {
       t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_id",
       "value", gapSeconds = 1800)
 
+  /** Conversion funnel view → click → purchase over the event stream:
+    * one shuffle + one sorted fold per user ([[operators.Funnel]]),
+    * against an oracle that formulates the same strict-ordering
+    * semantics as one self-join PER STEP — the naive shape the
+    * operator exists to avoid. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.steps(
+      t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_type",
+      Seq("view", "click", "purchase"))
+
   /** IVF ANN top-10 (centroid inverted lists, nProbe nearest lists,
     * exact re-rank). Probabilistic recall ⇒ rows-only; unit tests pin
     * recall vs brute force. */
@@ -1561,6 +1571,7 @@ object Queries {
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
+    "funnel_steps" -> (funnelSteps _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
@@ -2192,6 +2203,20 @@ object Queries {
         |  min(ts) AS started, max(ts) AS ended,
         |  round(sum(value), 2) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    // the operator folds each user's sorted events once; the oracle is
+    // the naive one-self-join-per-step formulation — both must agree
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT 'view' AS step, count(*) AS users FROM v
+        |UNION ALL SELECT 'click', count(*) FROM c
+        |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin,
     "pivot_event_counts" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
