@@ -56,6 +56,16 @@ class PlanSpec extends SparkSpec {
       s"more than one shuffled join in the chain ($shuffledJoins):\n$plan")
   }
 
+  test("funnel: exactly one exchange (the per-user grouping), no join in the plan") {
+    val plan = planOf(Queries.funnelSteps(spark, sf))
+    // the naive formulation joins the event table once per step; the
+    // fold-based operator must not join at all
+    assert(!plan.contains("Join"), s"funnel plan contains a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // user grouping + the final single-row agg
+      s"funnel shuffled $exchanges times:\n$plan")
+  }
+
   test("validation composite is shuffle-free (single-pass map)") {
     val dirty = Tables.load(spark, sf, "orders")
     val schema = StructType(Seq(
