@@ -1572,6 +1572,7 @@ object Queries {
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
+    "funnel_steps_window" -> (funnelSteps _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
@@ -2217,6 +2218,24 @@ object Queries {
         |SELECT 'view' AS step, count(*) AS users FROM v
         |UNION ALL SELECT 'click', count(*) FROM c
         |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin,
+    // second, independent oracle shape for the same operator: layered
+    // window minima instead of per-step self-joins — guards the fold's
+    // strict-ordering/tie semantics against a formulation bug shared
+    // with the join oracle
+    "funnel_steps_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |      FROM w3 GROUP BY user_id)
+        |SELECT 'view' AS step, count(t1) AS users FROM u
+        |UNION ALL SELECT 'click', count(t2) FROM u
+        |UNION ALL SELECT 'purchase', count(t3) FROM u""".stripMargin,
     "pivot_event_counts" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev convenience: SPARK_GRAFT_ONLY=a,b,c restricts the dump (the
+    // driver never sets it, so the gate always runs the full surface)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       // coalesce(1) is a gate-scale convenience (sf0.01 results are tiny
       // and single-file output simplifies the DuckDB compare) — NOT a
       // pattern for production result sinks, which should keep the

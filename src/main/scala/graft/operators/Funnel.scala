@@ -29,7 +29,13 @@ object Funnel {
     require(stepTypes.nonEmpty && stepTypes.distinct == stepTypes,
       s"funnel steps must be non-empty and distinct: $stepTypes")
     val n = stepTypes.size
+    // Only step-type events can ever fill a slot, so everything else is
+    // filtered BEFORE the shuffle: a real event log is mostly non-step
+    // types, and collecting a heavy user's full history into one
+    // collect_list array is the OOM shape at scale. The filter is
+    // semantics-preserving — the fold skips non-step events anyway.
     val perUser = events
+      .filter(col(typeCol).isin(stepTypes: _*))
       .groupBy(userCol)
       .agg(sort_array(collect_list(
         struct(ts.as("ts"), col(typeCol).as("et")))).as("seq"))

@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
       s"funnel shuffled $exchanges times:\n$plan")
   }
 
+  test("funnel: step-type filter sits below the exchange (pushed to the scan)") {
+    val plan = planOf(Queries.funnelSteps(spark, sf))
+    // only step-type events may cross the shuffle — a heavy user's full
+    // event history in one collect_list array is the OOM shape at 100×
+    val shuffleAt = plan.indexOf("Exchange hashpartitioning")
+    assert(shuffleAt >= 0, s"no per-user exchange:\n$plan")
+    val belowShuffle = plan.substring(shuffleAt)
+    assert(belowShuffle.contains("In(event_type") ||
+           "event_type#\\d+ IN \\(".r.findFirstIn(belowShuffle).isDefined,
+      s"step-type filter not below the exchange:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type") ||
+           plan.contains("In(event_type"),
+      s"step-type filter not pushed to the parquet scan:\n$plan")
+  }
+
   test("validation composite is shuffle-free (single-pass map)") {
     val dirty = Tables.load(spark, sf, "orders")
     val schema = StructType(Seq(
