@@ -95,14 +95,57 @@ final class SnapshotTable(
 
   private def manifestPath(v: Long) = new Path(f"$commitsDir/v$v%09d.manifest")
 
-  /** Highest committed version, or None for an empty/new table. */
+  /** Checkpoint hint: the last committed version number, rewritten after
+    * every successful commit (Delta's `_last_checkpoint` idea). Purely an
+    * optimization — writes are best-effort and non-atomic; readers verify
+    * the hinted manifest exists, probe FORWARD for later commits (a
+    * racing writer may have advanced past a stale hint, or crashed
+    * between commit and hint write), and fall back to a full directory
+    * listing when the hint is unreadable. */
+  private val latestHint = new Path(s"$commitsDir/_latest")
+
+  private def writeLatestHint(v: Long): Unit =
+    try {
+      val out = fs.create(latestHint, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () } // a lost hint only costs a listing
+
+  private def readLatestHint: Option[Long] =
+    try {
+      if (!fs.exists(latestHint)) None
+      else {
+        val in = fs.open(latestHint)
+        val txt =
+          try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8).trim
+          finally in.close()
+        txt.toLongOption
+      }
+    } catch { case _: Exception => None } // torn/corrupt hint → listing
+
+  /** Highest committed version, or None for an empty/new table.
+    *
+    * Fast path is O(1) metadata ops regardless of history length: read
+    * the hint, verify its manifest exists, probe forward until the next
+    * version is missing (one probe when the hint is fresh). Months of
+    * streaming commits otherwise make every read pay an O(versions)
+    * directory listing. */
   def currentVersion: Option[Long] = {
-    val dir = new Path(commitsDir)
-    if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+    readLatestHint.filter(h => h >= 1 && fs.exists(manifestPath(h))) match {
+      case Some(h) =>
+        var v = h
+        while (fs.exists(manifestPath(v + 1))) v += 1
+        Some(v)
+      case None =>
+        val dir = new Path(commitsDir)
+        if (!fs.exists(dir)) return None
+        val vs = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   def exists: Boolean = currentVersion.isDefined
@@ -118,18 +161,26 @@ final class SnapshotTable(
     } finally in.close()
   }
 
-  /** Write manifest to a tmp name, then the ONE atomic rename that is
-    * the commit point. The rename alone is a safe commit point only on
-    * an HDFS-like namespace (rename onto an existing file FAILS there);
-    * RawLocalFileSystem and S3A happily REPLACE the destination, so two
-    * same-version committers could both "succeed" with one commit lost.
-    * Two extra guards close the observable cases on such filesystems:
-    * an exists() precheck fails any non-racing duplicate commit cleanly
-    * before touching the destination, and a post-rename read-back of the
-    * unique commit token detects a committer that replaced us in the
-    * window. A perfectly interleaved pair on a replacing-rename FS can
-    * still trade wins inside that window — strict N-writer mutual
-    * exclusion requires HDFS-like atomic-namespace rename semantics. */
+  /** Write manifest to a tmp name, then ONE atomic-exclusive namespace
+    * op that is the commit point — optimistic concurrency: the writer
+    * that lands the destination name wins the version, every other
+    * same-version committer fails cleanly and none of its files are
+    * visible to readers (readers only follow manifest-listed paths).
+    *
+    * The commit op is chosen per filesystem:
+    *  - HDFS-like namespaces: `rename(tmp, dest)` — rename onto an
+    *    existing file FAILS atomically there.
+    *  - `file:` (local): POSIX `link(tmp, dest)` — rename() on POSIX
+    *    REPLACES an existing destination, so two racing committers
+    *    could both "succeed" with one commit silently lost; hard-link
+    *    creation is the local namespace op that fails with EEXIST
+    *    atomically.
+    *  - Everything else (S3A-style replacing rename): exists() precheck
+    *    plus a post-rename read-back of the unique commit token — this
+    *    detects a committer that replaced us in the window, though a
+    *    perfectly interleaved pair can still trade wins; strict
+    *    N-writer exclusion there needs an external lock/catalog
+    *    (public Delta has the same caveat on raw S3). */
   private def commitManifest(v: Long, files: Seq[FileEntry]): Unit = {
     fs.mkdirs(new Path(commitsDir))
     val dest = manifestPath(v)
@@ -144,18 +195,34 @@ final class SnapshotTable(
     val out = fs.create(tmp, true)
     try out.write(payload)
     finally out.close()
-    val renamed = fs.rename(tmp, dest)
-    val won = renamed && {
-      val in = fs.open(dest)
-      try java.util.Arrays.equals(
-        org.apache.commons.io.IOUtils.toByteArray(in), payload)
-      finally in.close()
-    }
-    if (!won) {
-      if (!renamed) fs.delete(tmp, false)
+    val won =
+      if (fs.getScheme == "file") {
+        val local = (p: Path) =>
+          java.nio.file.Paths.get(p.toUri.getPath) match {
+            case abs if abs.isAbsolute => abs
+            case rel => rel.toAbsolutePath
+          }
+        try {
+          java.nio.file.Files.createLink(local(dest), local(tmp))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally fs.delete(tmp, false)
+      } else {
+        val renamed = fs.rename(tmp, dest)
+        val ok = renamed && {
+          val in = fs.open(dest)
+          try java.util.Arrays.equals(
+            org.apache.commons.io.IOUtils.toByteArray(in), payload)
+          finally in.close()
+        }
+        if (!renamed) fs.delete(tmp, false)
+        ok
+      }
+    if (!won)
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
-    }
+    writeLatestHint(v)
   }
 
   /** Snapshot read of a specific version (time travel). */

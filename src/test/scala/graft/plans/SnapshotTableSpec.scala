@@ -398,4 +398,81 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(t.read.count() == 1, "losing commit corrupted the table")
   }
+
+  test("two writers racing the same version: exactly one wins, loser fails cleanly") {
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val path = tmp("snaprace")
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Unit]]()
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    (0 to 1).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val t = SnapshotTable(spark, path, "id", Some("part"))
+          val df = frame((i + 10, s"w$i", "p1"))
+          barrier.await(60, TimeUnit.SECONDS)
+          results.put(i,
+            try { t.create(df); Right(()) }
+            catch { case e: Throwable => Left(e) })
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "race threads hung")
+    val (wins, losses) = (0 to 1).partition(i => results.get(i).isRight)
+    assert(wins.size == 1,
+      s"optimistic concurrency must elect exactly one winner: $results")
+    // the loser failed cleanly — either at the exists precheck (table
+    // already created) or at the atomic commit op (version conflict)
+    val msg = results.get(losses.head).swap.toOption.get.getMessage
+    assert(msg.contains("commit conflict") || msg.contains("already exists"),
+      s"loser died with an undocumented error: $msg")
+    // and left nothing visible: one committed version, the winner's row
+    // only (the loser's data files are manifest-unreferenced orphans)
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(reader.currentVersion.contains(1L))
+    val w = wins.head
+    assert(contents(reader) == Seq((w + 10) -> s"w$w"))
+  }
+
+  test("_latest checkpoint: fresh, stale, corrupt, and missing hints all resolve") {
+    val path = tmp("snaphint")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    (2 to 6).foreach(i => t.upsert(frame((i, s"v$i", "p1"))))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(s"$path/_commits/_latest")
+    def hintText: String = {
+      val in = fs.open(hint)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
+    def rewrite(s: String): Unit = {
+      val out = fs.create(hint, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // fresh: every commit rewrote it, so the read path is hint + one
+    // forward probe — O(1) metadata ops however long the history grows
+    assert(hintText == "6")
+    assert(t.currentVersion.contains(6L))
+    // stale (writer crashed between commit and hint write, or a racing
+    // writer's hint landed last): forward probe recovers the real head
+    rewrite("2")
+    assert(t.currentVersion.contains(6L))
+    // pointing past the end (fabricated/rolled back): manifest-exists
+    // check rejects it, listing fallback answers
+    rewrite("99")
+    assert(t.currentVersion.contains(6L))
+    // corrupt: unparseable content falls back to the listing
+    rewrite("not-a-version")
+    assert(t.currentVersion.contains(6L))
+    // missing entirely (pre-checkpoint table): listing fallback
+    fs.delete(hint, false)
+    assert(t.currentVersion.contains(6L))
+    // and the next commit restores the fast path
+    t.upsert(frame((7, "g", "p1")))
+    assert(hintText == "7")
+    assert(t.currentVersion.contains(7L))
+  }
 }
