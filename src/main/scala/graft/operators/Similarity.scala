@@ -114,48 +114,101 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF (inverted-file) index: every vector assigned to its nearest of
-    * `nCentroids` centroids. Centroids are a deterministic pseudo-random
-    * sample of the corpus (smallest murmur3(vec_id) — a stable stand-in
-    * for k-means training, which would slot in here unchanged). The
-    * assignment is |corpus| × nCentroids codegen cosines — a narrow map
-    * against a broadcast centroid set. */
-  def ivfIndex(corpus: DataFrame, nCentroids: Int,
-               idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(
-      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-        .orderBy(pmod(hash(col("centroid_id")), lit(1000000007)), col("centroid_id"))
-        .limit(nCentroids))
+  /** Seed centroids: a deterministic pseudo-random corpus sample
+    * (smallest murmur3(id), id tiebreak). */
+  private def seedCentroids(corpus: DataFrame, nCentroids: Int,
+                            idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy(pmod(hash(col("centroid_id")), lit(1000000007)), col("centroid_id"))
+      .limit(nCentroids)
+
+  /** Nearest-centroid assignment: |df| × nCentroids codegen cosines —
+    * a narrow map against the broadcast centroid set, argmax per row. */
+  private def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy(idCol)
       .orderBy(col("__sim").desc, col("centroid_id"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(centroids)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
       .withColumn("__sim", cosine(col(vecCol), col("cvec")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Lloyd-trained IVF centroids: seed with the stable pseudo-random
+    * sample, then `iters` assign/update rounds — assignment is the
+    * broadcast crossJoin + argmax above; the update is the per-cluster
+    * dimension-wise mean via posexplode + two grouped aggregates. On
+    * clustered real embeddings a raw sample gives unbalanced inverted
+    * lists (most samples land in the dense region), which skews probe
+    * fan-out and craters recall for queries near small clusters;
+    * training spreads the centroids. Cosine assignment is spherical
+    * k-means; the unnormalized mean is fine because cosine is
+    * scale-invariant. Empty clusters keep their previous centroid.
+    *
+    * Per round, the centroid set — O(nCentroids × dim), never
+    * O(corpus) — is collected to the driver and re-broadcast, exactly
+    * the iteration state MLlib's KMeans keeps; this severs the plan
+    * lineage so round N's assignment stays one crossJoin deep. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    if (iters <= 0) return cents
+    val spark = corpus.sparkSession
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, cents, idCol, vecCol)
+      val means = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy("centroid_id", "__pos")
+        .agg(avg("__x").as("__m"))
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("__pos"), col("__m"))))
+          .as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), e => e.getField("__m").cast("float"))
+            .as("cvec"))
+      val kept = cents.join(means, Seq("centroid_id"), "left_anti")
+      val next = means.unionByName(kept)
+      val rows = next.collect() // O(nCentroids·dim) — bounded driver state
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), next.schema)
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) index: every vector assigned to its nearest of
+    * `nCentroids` Lloyd-trained centroids ([[trainCentroids]];
+    * `trainIters = 0` keeps the raw sampled seed). */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               trainIters: Int = 2): DataFrame =
+    assignToCentroids(corpus,
+      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol),
+      idCol, vecCol)
+
   /** IVF ANN top-k: queries probe their `nProbe` nearest centroids and
     * score only vectors in those inverted lists, exact cosine re-rank.
-    * Recall grows with nProbe; precision is exact. */
+    * Recall grows with nProbe (and with centroid training quality);
+    * precision is exact. Index and probes share ONE trained centroid
+    * set. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val indexed = ivfIndex(corpus, nCentroids, idCol, vecCol)
+              vecCol: String = "embedding",
+              trainIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+    val indexed = assignToCentroids(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         col("centroid_id"))
-    val centroids = broadcast(
-      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-        .orderBy(pmod(hash(col("centroid_id")), lit(1000000007)), col("centroid_id"))
-        .limit(nCentroids))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__sim").desc, col("centroid_id"))
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-        .crossJoin(centroids)
+        .crossJoin(broadcast(cents))
         .withColumn("__sim", cosine(col("qvec"), col("cvec")))
         .withColumn("__rk", row_number().over(probeW))
         .filter(col("__rk") <= nProbe)

@@ -47,6 +47,37 @@ class SkewIvfSpec extends SparkSpec {
     assert(idx.select("centroid_id").distinct().count() <= 8)
   }
 
+  test("Lloyd training strictly improves IVF recall on clustered embeddings at equal nProbe") {
+    // the production-ANN case: clustered embeddings with one dense
+    // region. A raw corpus sample drops most centroids into the dense
+    // cluster, starving the small clusters of inverted lists — queries
+    // near those clusters then probe the wrong lists. Lloyd rounds
+    // spread the centroids toward the actual cluster structure.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 400).map { i =>
+      val c = if (i % 5 != 0) 0 else 1 + (i / 5) % 7 // 80% crowd cluster 0
+      val v = centers(c).map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.15f)
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // queries from the SMALL clusters — the ones sampling starves
+    val queries = emb.filter(col("vec_id") < 50 && col("vec_id") % 5 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(trainIters: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 10,
+        nCentroids = 8, nProbe = 2, trainIters = trainIters).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      approx.count(brute.contains).toDouble / brute.size
+    }
+    val sampled = recall(0)
+    val trained = recall(2)
+    assert(trained > sampled,
+      s"Lloyd training did not improve recall: sampled=$sampled trained=$trained")
+  }
+
   test("IVF ANN: exact cosines, sane recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3)
