@@ -1517,6 +1517,34 @@ object Queries {
       png.getField("crc_ok").cast(IntegerType).as("crc_ok"))
   }
 
+  /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
+    * frame header sits behind APP0 and COM segments, decoded back via
+    * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
+    * per 50 docs has its SOF0 marker byte broken: the walk must then
+    * run off to EOI without finding a frame header and every field
+    * must null out — corruption detected, not trusted. */
+  def multimodalJpeg(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = (pmod(col("doc_id"), lit(500)) + 1).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(300)) + 1).cast(IntegerType)
+    val clean = Multimodal.jpegBytes(w, h)
+    // byte 36 is the 0xC0 of the SOF0 marker — overwrite it so the
+    // segment chain no longer contains a frame header
+    val corrupted = concat(
+      substring(clean, 1, 35), unhex(lit("77")), substring(clean, 37, 33))
+    val media = docs.select(col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0, corrupted)
+        .otherwise(clean).as("bytes"))
+    val jpg = Multimodal.decodeJpeg(col("bytes"))
+    media.select(
+      col("media_id"),
+      length(col("bytes")).cast(LongType).as("n_bytes"),
+      jpg.getField("width").as("width"),
+      jpg.getField("height").as("height"),
+      jpg.getField("bit_depth").as("bit_depth"),
+      jpg.getField("n_components").as("n_components"))
+  }
+
   /** Batched per-partition feature extraction over media bytes
     * (mapPartitions; stub features). Rows-only check. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -1610,6 +1638,7 @@ object Queries {
     "orc_scan_roundtrip" -> (orcScanRoundtrip _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
+    "multimodal_jpeg" -> (multimodalJpeg _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -2334,5 +2363,16 @@ object Queries {
         |  CAST(8 AS INTEGER) AS bit_depth,
         |  CAST(2 AS INTEGER) AS color_type,
         |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS crc_ok
+        |FROM documents""".stripMargin,
+    "multimodal_jpeg" ->
+      // closed-form recomputation: every 50th doc got its SOF0 marker
+      // byte broken, so the segment walk finds no frame header and all
+      // decoded fields must be NULL; the rest decode their real dims
+      """SELECT doc_id AS media_id,
+        |  CAST(69 AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(doc_id % 500 + 1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(doc_id % 300 + 1 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(3 AS INTEGER) END AS n_components
         |FROM documents""".stripMargin)
 }

@@ -48,6 +48,13 @@ object Multimodal {
     conv(concat(((nBytes - 1) to 0 by -1).map(k =>
       hex(substring(b, pos + k, 1))): _*), 16, 10).cast(LongType)
 
+  /** Int-range guard for 4-byte header fields: a corrupted or crafted
+    * header whose top bit is set would make a bare Long→Int cast THROW
+    * under ANSI mode and fail the whole scan — corruption must yield a
+    * null field, not a job failure. */
+  private def asInt(v: Column): Column =
+    when(v <= Int.MaxValue, v).otherwise(lit(null)).cast(IntegerType)
+
   /** Valid 24-bit uncompressed BMP bytes (BITMAPFILEHEADER +
     * BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding per the
     * format). Column algebra only — a per-row generated file. Max
@@ -75,8 +82,8 @@ object Multimodal {
     when(length(bytes) >= 54 &&
          substring(bytes, 1, 2) === lit("BM".getBytes("US-ASCII")),
       struct(
-        leAt(bytes, 19, 4).cast(IntegerType).as("width"),
-        leAt(bytes, 23, 4).cast(IntegerType).as("height"),
+        asInt(leAt(bytes, 19, 4)).as("width"),
+        asInt(leAt(bytes, 23, 4)).as("height"),
         leAt(bytes, 29, 2).cast(IntegerType).as("bit_depth"),
         leAt(bytes, 3, 4).as("file_size")))
 
@@ -108,7 +115,7 @@ object Multimodal {
          substring(bytes, 9, 4) === lit("WAVE".getBytes("US-ASCII")),
       struct(
         leAt(bytes, 23, 2).cast(IntegerType).as("channels"),
-        leAt(bytes, 25, 4).cast(IntegerType).as("sample_rate"),
+        asInt(leAt(bytes, 25, 4)).as("sample_rate"),
         leAt(bytes, 35, 2).cast(IntegerType).as("bit_depth"),
         leAt(bytes, 41, 4).as("data_size")))
 
@@ -118,7 +125,11 @@ object Multimodal {
     conv(hex(substring(b, pos, nBytes)), 16, 10).cast(LongType)
 
   private def beHex(c: Column, nBytes: Int): Column =
-    lpad(hex(c.cast(LongType)), 2 * nBytes, "0")
+    // mask to the low nBytes first: lpad TRUNCATES longer strings to
+    // their LEADING chars, so an out-of-range value would otherwise
+    // silently emit its high-order bytes into the header
+    lpad(hex(c.cast(LongType)
+      .bitwiseAND(lit((1L << (8 * nBytes)) - 1))), 2 * nBytes, "0")
 
   /** Structurally valid PNG signature + IHDR + empty IEND, with the
     * IHDR CRC32 COMPUTED over the real chunk bytes (column algebra via
@@ -144,11 +155,89 @@ object Multimodal {
            0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)) &&
          substring(bytes, 13, 4) === lit("IHDR".getBytes("US-ASCII")),
       struct(
-        beAt(bytes, 17, 4).cast(IntegerType).as("width"),
-        beAt(bytes, 21, 4).cast(IntegerType).as("height"),
+        asInt(beAt(bytes, 17, 4)).as("width"),
+        asInt(beAt(bytes, 21, 4)).as("height"),
         beAt(bytes, 25, 1).cast(IntegerType).as("bit_depth"),
         beAt(bytes, 26, 1).cast(IntegerType).as("color_type"),
         (crc32(substring(bytes, 13, 17)) === beAt(bytes, 30, 4)).as("crc_ok")))
+
+  /** Big-endian unsigned read at a DYNAMIC 1-based position (the JPEG
+    * segment walk advances by each segment's declared length). */
+  private def beAtDyn(b: Column, pos: Column, nBytes: Int): Column =
+    conv(hex(b.substr(pos.cast(IntegerType), lit(nBytes))), 16, 10)
+      .cast(LongType)
+
+  /** Structurally valid baseline JPEG bytes: SOI, an APP0/JFIF segment,
+    * a COM segment, the SOF0 frame header carrying the real dimensions
+    * (8-bit, 3 components, standard 4:2:0-ish sampling specs), an SOS
+    * header (the JDK's reader refuses to report a frame without one),
+    * and EOI. No entropy-coded data — this is the header surface a
+    * metadata scanner reads; the SOF0 deliberately sits BEHIND two
+    * other segments so decoding requires the real segment walk, not a
+    * fixed offset. Width/height are 2-byte fields (≤ 65535). 69 bytes. */
+  def jpegBytes(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100004800480000"), // APP0: JFIF v1.1, 72dpi
+      lit("FFFE000C6772616674206A706567"), // COM "graft jpeg"
+      lit("FFC00011") /* SOF0, length 17 */, lit("08"), // precision 8
+      beHex(height, 2), beHex(width, 2),
+      lit("03"), lit("012200021101031101"), // 3 components + sampling specs
+      lit("FFDA000C03011002110311003F00"), // SOS: 3 components, 0-63, no data
+      lit("FFD9"))) // EOI
+
+  /** 1-based offset of the SOF marker (SOF0/1/2 — baseline, extended,
+    * progressive), found by walking the segment chain from after SOI:
+    * each step reads the 2-byte marker and its big-endian length and
+    * jumps past it. The walk is a bounded unroll of `maxSegments`
+    * steps in pure column algebra; it stops (null) at EOI, at SOS —
+    * past which lies entropy data, a frame header there would be
+    * garbage — on a malformed marker byte, or off the end. Real-world
+    * JPEGs put SOF behind a handful of APPn/DQT/DHT/COM segments, so a
+    * fixed-offset read is wrong by construction. */
+  def jpegSofOffset(bytes: Column, maxSegments: Int = 12): Column = {
+    val init = struct(
+      lit(3L).as("pos"), lit(null).cast(LongType).as("sof"))
+    // the fold MUST be a higher-order `aggregate` (state = lambda
+    // variable): a Scala-level foldLeft would inline the entire state
+    // subtree at every one of its ~6 references per step — an
+    // exponentially-sized Column tree by step 12
+    val fin = aggregate(
+      sequence(lit(1), lit(maxSegments)), init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val sof = st.getField("sof")
+        val m0 = beAtDyn(bytes, pos, 1)
+        val m1 = beAtDyn(bytes, pos + 1, 1)
+        val segLen = beAtDyn(bytes, pos + 2, 2)
+        val isSof = m1.isin(0xC0L, 0xC1L, 0xC2L)
+        val walking = sof.isNull && m0 === 0xFFL &&
+          m1 =!= 0xD9L && m1 =!= 0xDAL && // EOI / SOS terminate the walk
+          (pos + 3) <= length(bytes)
+        struct(
+          when(walking && !isSof, pos + 2 + segLen).otherwise(pos).as("pos"),
+          when(walking && isSof, pos).otherwise(sof).as("sof"))
+      })
+    fin.getField("sof")
+  }
+
+  /** REAL JPEG frame-header decode: SOI magic check, then the segment
+    * walk above locates SOF0/1/2 and width/height/precision/component
+    * count are read from its actual big-endian bytes. Null for non-JPEG
+    * payloads AND for corrupted ones whose segment chain no longer
+    * reaches a frame header — corruption is detected, not trusted. */
+  def decodeJpeg(bytes: Column): Column = {
+    val sof = jpegSofOffset(bytes)
+    when(length(bytes) >= 4 &&
+         substring(bytes, 1, 2) ===
+           lit(Array(0xFF, 0xD8).map(_.toByte)) && // SOI
+         sof.isNotNull && (sof + 9) <= length(bytes),
+      struct(
+        asInt(beAtDyn(bytes, sof + 7, 2)).as("width"),
+        asInt(beAtDyn(bytes, sof + 5, 2)).as("height"),
+        asInt(beAtDyn(bytes, sof + 4, 1)).as("bit_depth"),
+        asInt(beAtDyn(bytes, sof + 9, 1)).as("n_components")))
+  }
 
   /** Typed metadata carried beside the payload. */
   val mediaSchema: StructType = StructType(Seq(

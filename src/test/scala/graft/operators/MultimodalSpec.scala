@@ -91,6 +91,54 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.decodePng($"b")).head().isNullAt(0))
   }
 
+  test("jpegBytes is a REAL JPEG header: JDK ImageIO reads the same dims from it") {
+    val rows = dims.toDF("id", "w", "h")
+      .select($"w", $"h", Multimodal.jpegBytes($"w", $"h").as("bytes"))
+      .collect()
+    rows.foreach { r =>
+      // header-only JPEG (no scan data): ImageIO's JPEG reader parses
+      // dimensions lazily from SOF without needing decodable pixels
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JDK found no JPEG reader for the bytes")
+      val reader = readers.next()
+      reader.setInput(iis)
+      assert(reader.getWidth(0) == r.getAs[Int]("w"), "width mismatch")
+      assert(reader.getHeight(0) == r.getAs[Int]("h"), "height mismatch")
+      reader.dispose()
+    }
+  }
+
+  test("decodeJpeg segment-walks to SOF0; corruption and non-JPEG payloads null out") {
+    val out = dims.toDF("id", "w", "h")
+      .select($"w", $"h",
+        Multimodal.decodeJpeg(Multimodal.jpegBytes($"w", $"h")).as("d"))
+      .select($"w", $"h", $"d.width", $"d.height", $"d.bit_depth",
+        $"d.n_components")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") == r.getAs[Int]("w"))
+      assert(r.getAs[Int]("height") == r.getAs[Int]("h"))
+      assert(r.getAs[Int]("bit_depth") == 8)
+      assert(r.getAs[Int]("n_components") == 3)
+    }
+    val clean = Multimodal.jpegBytes(lit(64), lit(48))
+    val broken = Seq(1L).toDF("id").select(
+      // break the SOF0 marker byte (byte 36): the walk must run off to
+      // EOI and find no frame header
+      Multimodal.decodeJpeg(concat(substring(clean, 1, 35),
+        unhex(lit("77")), substring(clean, 37, 33))).as("d"),
+      // truncate mid-APP0: the walk falls off the end
+      Multimodal.decodeJpeg(substring(clean, 1, 10)).as("t"),
+      // not a JPEG at all
+      Multimodal.decodeJpeg(encode(lit("plain text"), "UTF-8")).as("n"))
+      .head()
+    assert(broken.isNullAt(0), "broken SOF chain must decode to null")
+    assert(broken.isNullAt(1), "truncated payload must decode to null")
+    assert(broken.isNullAt(2), "non-JPEG payload must decode to null")
+  }
+
   test("decodeWav reads back exactly what wavBytes wrote; non-media is null") {
     val out = Seq((1L, 8800, 25)).toDF("id", "rate", "n")
       .select(Multimodal.decodeWav(Multimodal.wavBytes($"rate", $"n")).as("d"))
