@@ -321,20 +321,27 @@ object Queries {
     val table = plans.SnapshotTable(s, base, "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     table.create(target)
+    // fixed-point (cents) accumulation: the maintained sum must be
+    // bit-identical to the oracle's from-scratch sum, but double
+    // addition is not associative — the subtract-then-add delta path
+    // loses precision differently than a straight sum and a group
+    // landing within an ulp of a .xx5 boundary could flip the rounding.
+    // o_totalprice is a 2-dp quantity, so cents-as-long is exact.
+    def cents(c: Column): Column = round(c * 100).cast(LongType)
     val agg1 = table.readVersion(1).groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt0"), sum("o_totalprice").as("sum0"))
+      .agg(count(lit(1)).as("cnt0"), sum(cents(col("o_totalprice"))).as("sum0"))
     table.upsert(source)
     val img = col(plans.SnapshotTable.ImageCol)
     val delta = table.changesDelta(1, 2).groupBy("o_orderstatus")
       .agg(
         sum(when(img === "after", 1L).otherwise(-1L)).as("dcnt"),
-        sum(when(img === "after", col("o_totalprice"))
-          .otherwise(-col("o_totalprice"))).as("dsum"))
+        sum(when(img === "after", cents(col("o_totalprice")))
+          .otherwise(-cents(col("o_totalprice")))).as("dsum"))
     agg1.join(delta, Seq("o_orderstatus"), "full_outer")
       .select(col("o_orderstatus"),
         (coalesce(col("cnt0"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"),
-        round(coalesce(col("sum0"), lit(0.0d)) + coalesce(col("dsum"), lit(0.0d)), 2)
-          .as("total"))
+        round((coalesce(col("sum0"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          / 100.0d, 2).as("total"))
       .filter(col("cnt") > 0)
   }
 
@@ -1785,8 +1792,11 @@ object Queries {
     // the CDC-maintained aggregate must equal the full recompute over
     // the merged table state
     "incremental_agg" ->
+      // fixed-point: sum cents as BIGINT exactly like the operator does
+      // (double sums are order-sensitive; the delta path adds/subtracts
+      // in a different order than this straight sum)
       """SELECT o_orderstatus, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS total
+        |       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total
         |FROM (
         |  SELECT o_orderstatus, o_totalprice FROM orders
         |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0

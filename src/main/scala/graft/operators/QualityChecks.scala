@@ -31,7 +31,10 @@ object QualityChecks {
   def acceptedValues(df: DataFrame, c: String, values: Seq[Any]): Check =
     Check(s"accepted_values:$c", df, !col(c).isin(values: _*) || col(c).isNull)
 
-  /** Rows whose value falls outside [lo, hi]. */
+  /** Rows whose value falls outside [lo, hi] (nulls violate too, same
+    * contract as [[acceptedValues]] — a suite combining this with
+    * [[notNull]] on the same column counts a null row under BOTH
+    * checks; use only one of them when that double-count matters). */
   def inRange(df: DataFrame, c: String, lo: Any, hi: Any): Check =
     Check(s"in_range:$c", df, col(c) < lit(lo) || col(c) > lit(hi) || col(c).isNull)
 
