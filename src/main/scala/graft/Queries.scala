@@ -345,6 +345,36 @@ object Queries {
       .filter(col("cnt") > 0)
   }
 
+  /** Partition-level HLL sketch INDEX maintained from CDC: per-month
+    * user sketches built at v1 are refreshed after an upsert by
+    * rebuilding ONLY the months the delta touched (sketches can't
+    * retract, so partition rebuild mirrors the table's own rewrite
+    * granularity); untouched months carry over by reference. The
+    * corpus-wide distinct estimate then reads O(partitions) sketch
+    * bytes, never the table. HLL union is deterministic, so the spec
+    * pins incremental == full rebuild EXACTLY; rows-only here (DuckDB
+    * has no Datasketches HLL to reproduce the estimate). */
+  def sketchPartitionMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+    val base = scratch("sketchidx", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "event_id",
+      partitionCol = Some("date"))
+    table.create(ev.filter(col("event_id") % 2 === 0))
+    val idx1 = operators.PartitionSketches.build(
+      table.readVersion(1), "date", "user_id")
+    table.upsert(ev.filter(col("event_id") % 3 === 0 &&
+      col("date") < "2024-01-10"))
+    val touched = table.changes(1, 2).select("date").distinct()
+    val currentTouched = table.read
+      .join(broadcast(touched), Seq("date"), "left_semi")
+    val idx2 = operators.PartitionSketches.refresh(
+      idx1, currentTouched, "date", "user_id")
+    operators.PartitionSketches.estimateTotal(idx2)
+  }
+
   /** Incremental OPTIMIZE: a fragmented clustered table bin-packs to
     * the target file size in one atomic commit — file count must
     * actually drop, data must be byte-identical to the source (the
@@ -1583,6 +1613,7 @@ object Queries {
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
     "snapshot_compact" -> (snapshotCompact _),
     "incremental_agg" -> (incrementalAgg _),
+    "sketch_partition_maintenance" -> (sketchPartitionMaintenance _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),

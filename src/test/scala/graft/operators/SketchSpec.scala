@@ -8,6 +8,54 @@ import graft.{Queries, SparkSpec}
   * approx-vs-exact on the same engine instead). */
 class SketchSpec extends SparkSpec {
 
+  test("partition sketch index: incremental refresh equals full rebuild EXACTLY; untouched sketches carried") {
+    import spark.implicits._
+    val v1 = Seq(
+      ("p1", 1L), ("p1", 2L), ("p1", 3L),
+      ("p2", 2L), ("p2", 4L),
+      ("p3", 5L), ("p3", 6L), ("p3", 7L)).toDF("part", "uid")
+    val idx1 = PartitionSketches.build(v1, "part", "uid")
+    // an upsert rewrites p2 (new rows replace old) — p1/p3 untouched
+    val v2 = Seq(
+      ("p1", 1L), ("p1", 2L), ("p1", 3L),
+      ("p2", 2L), ("p2", 8L), ("p2", 9L),
+      ("p3", 5L), ("p3", 6L), ("p3", 7L)).toDF("part", "uid")
+    val touchedCurrent = v2.filter($"part" === "p2")
+    val idx2 = PartitionSketches.refresh(idx1, touchedCurrent, "part", "uid")
+    // HLL union is deterministic: the maintained index must answer
+    // BIT-IDENTICALLY to a from-scratch rebuild, not approximately
+    val full = PartitionSketches.build(v2, "part", "uid")
+    val a = PartitionSketches.estimateTotal(idx2).head()
+    val b = PartitionSketches.estimateTotal(full).head()
+    assert(a.getLong(0) == 3 && b.getLong(0) == 3)
+    assert(a.getLong(1) == b.getLong(1),
+      s"incremental estimate ${a.getLong(1)} != full rebuild ${b.getLong(1)}")
+    // at this cardinality HLL is exact: 8 distinct uids across v2
+    assert(a.getLong(1) == v2.select("uid").distinct().count())
+    // untouched partitions carried BY REFERENCE: sketch bytes identical
+    val sk = (df: org.apache.spark.sql.DataFrame) => df
+      .filter($"part" =!= "p2").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(sk(idx2) == sk(idx1), "untouched partition sketches were rebuilt")
+  }
+
+  test("sketch_partition_maintenance query: estimate within 5% of exact distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Queries.sketchPartitionMaintenance(spark, dir).head()
+    val ev = graft.Tables.load(spark, dir, "events")
+    // the maintained table holds even event_ids plus div-3 ids of the
+    // first nine days — recompute the exact distinct user count
+    val exact = ev.filter(
+      col("event_id") % 2 === 0 ||
+        (col("event_id") % 3 === 0 &&
+          date_format(graft.Tables.eventsTs("ts"), "yyyy-MM-dd") < "2024-01-10"))
+      .select("user_id").distinct().count()
+    val est = row.getAs[Long]("distinct_est").toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"sketch estimate $est vs exact $exact")
+    assert(row.getAs[Long]("n_partitions") > 1)
+  }
+
   test("approx_profile: HLL distincts within 5% of exact, quantiles within rank tolerance") {
     val dir = "/root/testdata/sf0.001"
     val row = Queries.approxProfile(spark, dir).head()
