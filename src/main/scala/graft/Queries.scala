@@ -1454,6 +1454,15 @@ object Queries {
       t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_type",
       Seq("view", "click", "purchase"))
 
+  /** Cohort retention matrix over the event stream: users cohorted by
+    * first-activity day, per-(cohort, offset) active share
+    * ([[operators.Retention]]). Oracle replays the same cohorting in
+    * SQL. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    operators.Retention.cohorts(
+      t(s, dir, "events"), "user_id", Tables.eventsTs("ts"),
+      maxOffsetDays = 30)
+
   /** IVF ANN top-10 (centroid inverted lists, nProbe nearest lists,
     * exact re-rank). Probabilistic recall ⇒ rows-only; unit tests pin
     * recall vs brute force. */
@@ -1666,6 +1675,7 @@ object Queries {
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
     "funnel_steps_window" -> (funnelSteps _),
+    "cohort_retention" -> (cohortRetention _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
@@ -2333,6 +2343,22 @@ object Queries {
         |SELECT 'view' AS step, count(t1) AS users FROM u
         |UNION ALL SELECT 'click', count(t2) FROM u
         |UNION ALL SELECT 'purchase', count(t3) FROM u""".stripMargin,
+    // same cohorting replayed relationally: first-activity day per
+    // user, distinct (cohort, offset) activity, cohort sizes
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        CAST(date_diff('day', f.cohort_day, e.day) AS INTEGER) AS day_offset
+        |      FROM e JOIN f USING (user_id)
+        |      WHERE date_diff('day', f.cohort_day, e.day) <= 30),
+        |s AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day)
+        |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day, a.day_offset,
+        |       count(*) AS active_users, s.cohort_size,
+        |       round(count(*) * 1.0 / s.cohort_size, 4) AS retention
+        |FROM a JOIN s USING (cohort_day)
+        |GROUP BY a.cohort_day, a.day_offset, s.cohort_size""".stripMargin,
     "pivot_event_counts" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cohort retention analysis: users cohorted by their first activity
+  * day; retention at offset k = share of the cohort active exactly k
+  * days after that first day — the matrix behind every retention
+  * dashboard.
+  *
+  * Shape (scale notes): the first-activity aggregate and the
+  * events-to-cohort join both key on the user column, so Catalyst
+  * reuses ONE hash partitioning for both (no second exchange for the
+  * join — PlanSpec pins it). The per-(cohort, offset) distinct-user
+  * count then reduces over the small (cohorts × offsets) key space.
+  * Nothing is collected; per-user state never exceeds the user's own
+  * activity days.
+  */
+object Retention {
+
+  /** One row per (cohort_day, day_offset) with the cohort's size, the
+    * users active at that offset, and the retention rate. Offsets are
+    * capped at `maxOffsetDays` to bound the output (a year-long log
+    * would otherwise emit one row per lived day per cohort). */
+  def cohorts(events: DataFrame, userCol: String, ts: Column,
+              maxOffsetDays: Int = 30): DataFrame = {
+    val days = events.select(col(userCol).as("user"), to_date(ts).as("day"))
+    val first = days.groupBy("user").agg(min("day").as("cohort_day"))
+    val activity = days.join(first, Seq("user"))
+      .select(col("user"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .distinct() // a user counts once per (cohort, offset)
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, Seq("cohort_day"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"), col("cohort_size"),
+        round(col("active_users") / col("cohort_size"), 4).as("retention"))
+  }
+}
