@@ -21,7 +21,15 @@ object Retention {
   /** One row per (cohort_day, day_offset) with the cohort's size, the
     * users active at that offset, and the retention rate. Offsets are
     * capped at `maxOffsetDays` to bound the output (a year-long log
-    * would otherwise emit one row per lived day per cohort). */
+    * would otherwise emit one row per lived day per cohort).
+    *
+    * Cohort sizes are NOT a separate aggregate over the event stream:
+    * every user is active at offset 0 by construction, so the size is
+    * the cohort's offset-0 cell of the same counts matrix, read back
+    * with a window max over the (tiny) matrix — ONE lineage, no second
+    * scan of the events. (A `counts.filter(offset === 0)` self-join
+    * looks equivalent but Catalyst pushes the filter into the join and
+    * the re-derived branch re-scans the whole event stream.) */
   def cohorts(events: DataFrame, userCol: String, ts: Column,
               maxOffsetDays: Int = 30): DataFrame = {
     val days = events.select(col(userCol).as("user"), to_date(ts).as("day"))
@@ -31,11 +39,11 @@ object Retention {
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .filter(col("day_offset") <= maxOffsetDays)
       .distinct() // a user counts once per (cohort, offset)
-    val sizes = first.groupBy("cohort_day")
-      .agg(count(lit(1)).as("cohort_size"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort_day")
     activity.groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("active_users"))
-      .join(sizes, Seq("cohort_day"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("active_users"))).over(w))
       .select(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("active_users"), col("cohort_size"),

@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
       s"step-type filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("retention: two scans only (days + first-activity), sizes derived in-plan") {
+    val plan = planOf(Queries.cohortRetention(spark, sf))
+    // the sizes column must come from the window over the tiny counts
+    // matrix, not a third scan of the event stream
+    assert("FileScan".r.findAllIn(plan).length == 2,
+      s"cohort sizes re-scanned the events:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"first-activity side not broadcast:\n$plan")
+  }
+
   test("validation composite is shuffle-free (single-pass map)") {
     val dirty = Tables.load(spark, sf, "orders")
     val schema = StructType(Seq(
