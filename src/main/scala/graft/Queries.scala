@@ -1454,6 +1454,14 @@ object Queries {
       t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_type",
       Seq("view", "click", "purchase"))
 
+  /** Funnel with a 48-hour CONVERSION WINDOW anchored at the user's
+    * first view — later steps outside the window don't convert. Same
+    * fold, one extra bound; oracle is the windowed self-join shape. */
+  def funnelStepsWindowed(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.stepsWithin(
+      t(s, dir, "events"), "user_id", Tables.eventsTs("ts"), "event_type",
+      Seq("view", "click", "purchase"), windowSeconds = 48L * 3600)
+
   /** Cohort retention matrix over the event stream: users cohorted by
     * first-activity day, per-(cohort, offset) active share
     * ([[operators.Retention]]). Oracle replays the same cohorting in
@@ -1675,6 +1683,7 @@ object Queries {
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
     "funnel_steps_window" -> (funnelSteps _),
+    "funnel_steps_windowed" -> (funnelStepsWindowed _),
     "cohort_retention" -> (cohortRetention _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
@@ -2343,6 +2352,23 @@ object Queries {
         |SELECT 'view' AS step, count(t1) AS users FROM u
         |UNION ALL SELECT 'click', count(t2) FROM u
         |UNION ALL SELECT 'purchase', count(t3) FROM u""".stripMargin,
+    // conversion window: each later step must land within 48h of the
+    // user's FIRST view (the anchor), strictly after the prior step
+    "funnel_steps_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM e JOIN c USING (user_id) JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= v.t1 + INTERVAL 48 HOUR GROUP BY e.user_id)
+        |SELECT 'view' AS step, count(*) AS users FROM v
+        |UNION ALL SELECT 'click', count(*) FROM c
+        |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin,
     // same cohorting replayed relationally: first-activity day per
     // user, distinct (cohort, offset) activity, cohort sizes
     "cohort_retention" ->

@@ -25,7 +25,24 @@ object Funnel {
   /** Per-step reach counts: one row per step, `users` = users whose
     * funnel got at least that deep. */
   def steps(events: DataFrame, userCol: String, ts: Column,
-            typeCol: String, stepTypes: Seq[String]): DataFrame = {
+            typeCol: String, stepTypes: Seq[String]): DataFrame =
+    foldSteps(events, userCol, ts, typeCol, stepTypes, None)
+
+  /** [[steps]] with a CONVERSION WINDOW: later steps only count within
+    * `windowSeconds` of the user's FIRST step-1 event (the anchor —
+    * the semantics product-analytics tools call "conversion window",
+    * anchored at the earliest funnel entry; a user who re-enters the
+    * funnel later is not re-anchored). Same single-shuffle fold. */
+  def stepsWithin(events: DataFrame, userCol: String, ts: Column,
+                  typeCol: String, stepTypes: Seq[String],
+                  windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"conversion window must be positive")
+    foldSteps(events, userCol, ts, typeCol, stepTypes, Some(windowSeconds))
+  }
+
+  private def foldSteps(events: DataFrame, userCol: String, ts: Column,
+                        typeCol: String, stepTypes: Seq[String],
+                        windowSeconds: Option[Long]): DataFrame = {
     require(stepTypes.nonEmpty && stepTypes.distinct == stepTypes,
       s"funnel steps must be non-empty and distinct: $stepTypes")
     val n = stepTypes.size
@@ -50,9 +67,14 @@ object Funnel {
         // ANSI element_at is 1-based and errors on 0: the i=0 probe is
         // never USED (the `when` guards it) but must not throw either
         val prev = element_at(st, when(i > 0, i).otherwise(lit(1)))
+        // conversion window: anchored at slot 1 (the first step-1
+        // event) — by fill order st[1] is set before any i>0 slot
+        val inWindow = windowSeconds.fold(lit(true))(w =>
+          e.getField("ts") <= element_at(st, 1) +
+            make_dt_interval(lit(0), lit(0), lit(0), lit(w.toDouble)))
         val ok = element_at(st, i + 1).isNull &&
           e.getField("et") === element_at(stepLits, i + 1) &&
-          (i === 0 || (prev.isNotNull && e.getField("ts") > prev))
+          (i === 0 || (prev.isNotNull && e.getField("ts") > prev && inWindow))
         when(ok, e.getField("ts")).otherwise(element_at(st, i + 1))
       }))
     val aggs = (0 until n).map(i =>

@@ -32,6 +32,30 @@ class FunnelSpec extends SparkSpec {
     assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L), out.toString)
   }
 
+  test("conversion window: steps outside the anchor window don't convert") {
+    val events = Seq(
+      // user 1: full funnel inside a 10s window
+      (1L, ts(1), "view"), (1L, ts(4), "click"), (1L, ts(9), "purchase"),
+      // user 2: click lands AFTER the window closes -> depth 1
+      (2L, ts(1), "view"), (2L, ts(15), "click"),
+      // user 3: click inside, purchase outside -> depth 2
+      (3L, ts(1), "view"), (3L, ts(5), "click"), (3L, ts(20), "purchase"),
+      // user 4: window is anchored at the FIRST view — a later re-entry
+      // does not re-open it
+      (4L, ts(1), "view"), (4L, ts(20), "view"),
+      (4L, ts(22), "click"), (4L, ts(24), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.stepsWithin(events, "user_id", col("ts"), "event_type",
+      Seq("view", "click", "purchase"), windowSeconds = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L), out.toString)
+    // sanity: the unwindowed fold converts users 2-4 deeper
+    val un = Funnel.steps(events, "user_id", col("ts"), "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(un == Map("view" -> 4L, "click" -> 4L, "purchase" -> 3L), un.toString)
+  }
+
   test("duplicate step types are rejected") {
     val e = Seq((1L, ts(1), "view")).toDF("user_id", "ts", "event_type")
     intercept[IllegalArgumentException](
