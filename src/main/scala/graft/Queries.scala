@@ -595,16 +595,23 @@ object Queries {
   def streamIngestParity(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream", dir)
     val landing = s"$base/landing"
-    t(s, dir, "events")
-      .select(
-        col("event_id"), col("user_id"), col("event_type"), col("value"),
-        date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
-      // cluster landing files by the partition key: each micro-batch then
-      // touches a contiguous date slice instead of ALL ~366 partitions —
-      // with random file contents the partition-scoped merge degenerates
-      // to a near-full table rewrite PER batch (O(table·batches) at scale)
-      .repartitionByRange(8, col("date"))
-      .write.mode("overwrite").option("header", "true").csv(landing)
+    staged(s, landing) {
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+        // cluster landing files by the partition key: each micro-batch
+        // then touches a contiguous date slice instead of ALL ~366
+        // partitions — with random file contents the partition-scoped
+        // merge degenerates to a near-full table rewrite PER batch
+        // (O(table·batches) at scale)
+        .repartitionByRange(8, col("date"))
+        .write.mode("overwrite").option("header", "true").csv(landing)
+    }
+    // fresh table+checkpoint per run: every run measures a from-scratch
+    // ingest (a CSV re-write would rename every part file and make the
+    // checkpoint reprocess the world against an already-full table)
+    freshDirs(s, s"$base/table", s"$base/checkpoint")
     val table = LakehouseTable(s, s"$base/table", "event_id",
       Some("date"), Some(streamedEventsSchema))
     Ingest.csvToTable(s, landing, streamedEventsSchema, table,
