@@ -238,6 +238,25 @@ final class SnapshotTable(
   private def partOf(rel: String): String =
     rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
 
+  /** Run `f` over `items` on a bounded thread pool, rethrowing the
+    * first failure. Per-file metadata ops (rename / mkdirs / footer
+    * reads) are driver-side RPCs: a commit touching thousands of files
+    * pays them sequentially otherwise, and on an object store each one
+    * is a network round-trip — issuing them concurrently is what every
+    * production committer does. Hadoop FileSystem instances are
+    * thread-safe for these calls. */
+  private def inParallel[A, B](items: Seq[A], threads: Int = 32)
+                              (f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, items.size))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
+
   /** Write `df` as new immutable data files and return their
     * table-relative paths. The batch lands in a staging dir, then files
     * move (same-FS renames, metadata ops) into the canonical tree under
@@ -265,12 +284,14 @@ final class SnapshotTable(
       }
     val w = clustered.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage)
-    val moved = mutable.Buffer.empty[String]
     // per-commit counter makes every BASENAME globally unique: Spark's
     // dynamic-partition writer can emit the same task file name into
     // two partition dirs (per-dir counter, same task UUID), and
     // fileBlooms matches input_file_name back to manifest entries by
-    // basename — a collision there would attach the wrong bloom
+    // basename — a collision there would attach the wrong bloom.
+    // The walk only LISTS (sequential, one RPC per dir); the per-file
+    // mkdirs+rename moves then run concurrently.
+    val toMove = mutable.Buffer.empty[(Path, String)]
     var fileNo = -1
     def walk(p: Path, rel: String): Unit =
       fs.listStatus(p).foreach { st =>
@@ -278,18 +299,20 @@ final class SnapshotTable(
         if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
         else if (name.endsWith(".parquet")) {
           fileNo += 1
-          val destRel =
-            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name"
-          val dest = new Path(s"$dataDir/$destRel")
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw new IllegalStateException(s"data move failed: $dest")
-          moved += destRel
+          toMove += ((st.getPath,
+            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name"))
         }
       }
     walk(new Path(stage), "")
+    inParallel(toMove.toSeq) { case (src, destRel) =>
+      val dest = new Path(s"$dataDir/$destRel")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(s"data move failed: $dest")
+    }
+    val moved = toMove.map(_._2)
     fs.delete(new Path(s"$path/_stage/$commitId"), true)
-    val entries = moved.toSeq.map(rel =>
+    val entries = inParallel(moved.toSeq)(rel =>
       FileEntry(rel, if (statsCols.isEmpty) Map.empty else footerStats(rel)))
     val blooms = fileBlooms(entries)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
