@@ -1184,6 +1184,21 @@ object Queries {
           .when(col("b") < 90, "val")
           .otherwise("test").as("split"))
 
+  /** Training-data MIXTURE rebalancing: deterministic per-language
+    * downsampling (dominant `en` keeps a 40% rate, the rest 100%) —
+    * the data-mixing stage of corpus prep. The keep decision is a pure
+    * md5-bucket function of doc_id: stable under corpus growth, no RNG
+    * seed drift, reproducible across engines (the oracle replays it).
+    * Shuffle-free scan+filter; only the per-language tally shuffles. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
+      16, 10).cast(IntegerType) % 100
+    val rate = when(col("lang") === "en", lit(40)).otherwise(lit(100))
+    t(s, dir, "documents")
+      .filter(bucket < rate)
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+  }
+
   /** Language-ID heuristic per document (tokens materialized once). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1671,6 +1686,7 @@ object Queries {
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "dataset_split" -> (datasetSplit _),
+    "corpus_mix" -> (corpusMix _),
     "stream_stream_join" -> (streamStreamJoin _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -2167,6 +2183,14 @@ object Queries {
          |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
          |      FROM scr WHERE length(text) > 0)""".stripMargin,
     // same md5-bucket arithmetic: hex prefix → int → percent bucket
+    // same md5 bucket arithmetic, same per-language rates
+    "corpus_mix" ->
+      """SELECT lang, count(*) AS kept
+        |FROM (SELECT lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+        |      FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 40 ELSE 100 END
+        |GROUP BY lang""".stripMargin,
     "dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train'
