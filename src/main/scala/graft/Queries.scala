@@ -1199,6 +1199,20 @@ object Queries {
       .groupBy("lang").agg(count(lit(1)).as("kept"))
   }
 
+  /** Benchmark DECONTAMINATION: every 40th doc stands in for the eval
+    * set; corpus documents sharing any 8-token shingle with it are
+    * dropped ([[operators.Decontaminate]] — broadcast semi-join on
+    * shingle hashes, corpus never shuffled, no all-pairs compare).
+    * Returns per-source survivor counts; the oracle replays the
+    * shingling relationally. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+    val corpus = docs.filter(col("doc_id") % 40 =!= 0)
+    operators.Decontaminate.clean(corpus, bench, "doc_id", "text", n = 8)
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+  }
+
   /** Language-ID heuristic per document (tokens materialized once). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1687,6 +1701,7 @@ object Queries {
     "curation_pipeline" -> (curationPipeline _),
     "dataset_split" -> (datasetSplit _),
     "corpus_mix" -> (corpusMix _),
+    "decontaminate" -> (decontaminate _),
     "stream_stream_join" -> (streamStreamJoin _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -2183,6 +2198,25 @@ object Queries {
          |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
          |      FROM scr WHERE length(text) > 0)""".stripMargin,
     // same md5-bucket arithmetic: hex prefix → int → percent bucket
+    // same 8-token shingling replayed relationally: a corpus doc
+    // sharing ANY shingle hash with the benchmark set is dropped
+    "decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 8
+         |      THEN list_transform(range(1, len(toks) - 8 + 2),
+         |             i -> md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+         |      ELSE [md5(list_aggregate(toks, 'string_agg', ' '))] END AS grams
+         |  FROM t),
+         |fp AS (SELECT doc_id, unnest(grams) AS fp FROM g),
+         |bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 40 = 0),
+         |bad AS (SELECT DISTINCT doc_id FROM fp
+         |        WHERE doc_id % 40 <> 0 AND fp IN (SELECT fp FROM bench))
+         |SELECT source, count(*) AS kept FROM documents
+         |WHERE doc_id % 40 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |GROUP BY source""".stripMargin,
     // same md5 bucket arithmetic, same per-language rates
     "corpus_mix" ->
       """SELECT lang, count(*) AS kept

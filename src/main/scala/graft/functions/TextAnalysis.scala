@@ -27,6 +27,19 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** md5 hashes of word-level n-gram shingles from a MATERIALIZED
+    * tokens column — the decontamination unit: sharing one n-token
+    * sequence with an eval document marks contamination (the long-gram
+    * overlap rule GPT-3/Llama-style dataset papers use). Shorter docs
+    * hash as one whole-document shingle. */
+  def tokenNgramHashes(toks: Column, n: Int): Column = {
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(0), count - 1),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(md5(concat_ws(" ", toks))))
+  }
+
   /** BPE-ish subword-boundary token count: words, digit runs, and
     * individual punctuation marks each count as one token (a regex
     * approximation of a byte-pair tokenizer's pre-tokenization). */
