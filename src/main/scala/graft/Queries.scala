@@ -1507,6 +1507,56 @@ object Queries {
       t(s, dir, "events"), "user_id", Tables.eventsTs("ts"),
       maxOffsetDays = 30)
 
+  /** Streaming funnel parity: the stateful per-user slot fold
+    * ([[streaming.StreamingFunnel]]) over time-ordered micro-batches
+    * must reproduce the batch funnel exactly — same oracle SQL as
+    * `funnel_steps`. The landing is staged as four sequentially
+    * written week-slice files (ascending mtimes ⇒ the file source
+    * drains them in event-time order, one per micro-batch). */
+  def funnelStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val base = scratch("stream_funnel", dir)
+    val landing = s"$base/landing"
+    staged(s, landing) {
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("user"), Tables.eventsTs("ts").as("ts"),
+        col("event_type").as("et"))
+      // one file per ~week under a CONTROLLED name: the file source
+      // consumes files in listing (path) order, and Spark part-file
+      // UUIDs would randomize it — batch-b{i}.parquet makes lexical
+      // order = event-time order (coalesce(1) is fixture prep, not a
+      // production sink pattern)
+      val fs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      (0 to 3).foreach { b =>
+        val tmp = s"$base/tmp-week"
+        ev.filter(floor((dayofmonth(col("ts")) - 1) / 8) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$landing/batch-b$b.parquet"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/tmp-week"), true)
+      fs.create(new org.apache.hadoop.fs.Path(s"$landing/_SUCCESS"), true)
+        .close()
+    }
+    freshDirs(s, s"$base/out", s"$base/checkpoint")
+    streaming.StreamingFunnel.run(s, landing, steps,
+      s"$base/out", s"$base/checkpoint", maxFilesPerTrigger = 1)
+    // depth is monotone per user: the final state is the max emission
+    val depths = s.read.parquet(s"$base/out")
+      .groupBy("user").agg(max("depth").as("d"))
+    val aggs = steps.indices.map(i =>
+      sum(when(col("d") > i, 1L).otherwise(0L)).as(s"__u$i"))
+    depths.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(st).as("step"),
+          coalesce(col(s"__u$i"), lit(0L)).as("users")) }: _*)).as("r"))
+      .select(col("r.step"), col("r.users"))
+  }
+
   /** IVF ANN top-10 (centroid inverted lists, nProbe nearest lists,
     * exact re-rank). Probabilistic recall ⇒ rows-only; unit tests pin
     * recall vs brute force. */
@@ -1722,6 +1772,7 @@ object Queries {
     "funnel_steps" -> (funnelSteps _),
     "funnel_steps_window" -> (funnelSteps _),
     "funnel_steps_windowed" -> (funnelStepsWindowed _),
+    "funnel_stream_parity" -> (funnelStreamParity _),
     "cohort_retention" -> (cohortRetention _),
     "corpus_curation" -> (corpusCuration _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
@@ -2417,6 +2468,20 @@ object Queries {
         |SELECT 'view' AS step, count(t1) AS users FROM u
         |UNION ALL SELECT 'click', count(t2) FROM u
         |UNION ALL SELECT 'purchase', count(t3) FROM u""".stripMargin,
+    // the streamed stateful fold must reproduce the batch funnel
+    // exactly — the oracle IS the batch funnel's formulation
+    "funnel_stream_parity" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT 'view' AS step, count(*) AS users FROM v
+        |UNION ALL SELECT 'click', count(*) FROM c
+        |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin,
     // conversion window: each later step must land within 48h of the
     // user's FIRST view (the anchor), strictly after the prior step
     "funnel_steps_windowed" ->

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming conversion funnel with custom per-user state: slots hold
+  * the earliest valid fill time per step, micro-batches fold new step
+  * events into them, and each batch emits the user's current depth
+  * (monotone — the final depth per user is the max emission).
+  *
+  * Ordering contract: the greedy slot fill is exact when micro-batches
+  * arrive in event-time order (the range-clustered landing shape a log
+  * shipper produces) — out-of-order WITHIN a batch is sorted locally.
+  * An event-time-late batch can only make reach counts conservative
+  * (a slot records a later fill time than the true earliest); exact
+  * arbitrary-order streaming would require retaining per-user event
+  * history, which is what the batch operator is for. State is
+  * O(steps) per user — production deployments should add an
+  * event-time timeout to evict users whose window has passed.
+  *
+  * Parity contract (oracle-checked): on a drained time-ordered stream,
+  * per-step reach == the batch [[graft.operators.Funnel.steps]]
+  * result.
+  */
+object StreamingFunnel {
+
+  final case class StepEvent(user: Long, ts: Timestamp, et: String)
+
+  final case class Reach(user: Long, depth: Int)
+
+  /** Per-user state transition: fold the batch's events (sorted by
+    * (ts, type) — the batch fold's exact tie order) into the slot
+    * array; slot i fills at the first event of step i strictly after
+    * slot i-1's fill. Pure function, directly unit-testable. */
+  def transition(stepTypes: Seq[String])(
+      user: Long, events: Iterator[StepEvent],
+      state: GroupState[Array[Long]]): Iterator[Reach] = {
+    val n = stepTypes.size
+    val idx = stepTypes.zipWithIndex.toMap
+    val slots = state.getOption.getOrElse(Array.fill(n)(-1L))
+    events.toSeq.sortBy(e => (e.ts.getTime, e.et)).foreach { e =>
+      idx.get(e.et).foreach { i =>
+        val t = e.ts.getTime
+        val ok = slots(i) < 0 &&
+          (i == 0 || (slots(i - 1) >= 0 && t > slots(i - 1)))
+        if (ok) slots(i) = t
+      }
+    }
+    state.update(slots)
+    Iterator(Reach(user, slots.count(_ >= 0)))
+  }
+
+  /** Drain a parquet stream of [[StepEvent]] rows (AvailableNow),
+    * appending per-batch (user, depth) rows to `outDir`. */
+  def run(spark: SparkSession, landingDir: String, stepTypes: Seq[String],
+          outDir: String, checkpointDir: String,
+          maxFilesPerTrigger: Int): Unit = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[StepEvent].schema
+    val events: Dataset[StepEvent] = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      // only step types can fill slots: filtered BEFORE the stateful
+      // shuffle, same as the batch operator
+      .filter(col("et").isin(stepTypes: _*))
+      .as[StepEvent]
+    val q = events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        transition(stepTypes))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
