@@ -371,7 +371,7 @@ object Queries {
     val currentTouched = table.read
       .join(broadcast(touched), Seq("date"), "left_semi")
     val idx2 = operators.PartitionSketches.refresh(
-      idx1, currentTouched, "date", "user_id")
+      idx1, currentTouched, touched, "date", "user_id")
     operators.PartitionSketches.estimateTotal(idx2)
   }
 
@@ -1521,16 +1521,20 @@ object Queries {
       val ev = t(s, dir, "events").select(
         col("user_id").as("user"), Tables.eventsTs("ts").as("ts"),
         col("event_type").as("et"))
-      // one file per ~week under a CONTROLLED name: the file source
-      // consumes files in listing (path) order, and Spark part-file
-      // UUIDs would randomize it — batch-b{i}.parquet makes lexical
-      // order = event-time order (coalesce(1) is fixture prep, not a
-      // production sink pattern)
+      // one file per event-time QUARTILE under a CONTROLLED name: the
+      // file source consumes files in listing (path) order, and Spark
+      // part-file UUIDs would randomize it — batch-b{i}.parquet makes
+      // lexical order = event-time order. ntile over the global ts
+      // order (not day-of-month, which would interleave batches the
+      // moment the fixture spans a second month); the global sort and
+      // coalesce(1) are fixture prep, not a production sink pattern
       val fs = new org.apache.hadoop.fs.Path(landing)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val sliced = ev.withColumn("__b",
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts")) - 1)
       (0 to 3).foreach { b =>
         val tmp = s"$base/tmp-week"
-        ev.filter(floor((dayofmonth(col("ts")) - 1) / 8) === b)
+        sliced.filter(col("__b") === b).drop("__b")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head

@@ -29,13 +29,18 @@ object PartitionSketches {
     df.groupBy(partCol)
       .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
 
-  /** Incremental refresh: sketches for `touched` partition values are
-    * rebuilt from `current` (the table's present rows of those
-    * partitions), every other sketch carries over by reference. */
-  def refresh(index: DataFrame, current: DataFrame, partCol: String,
-              valueCol: String, lgConfigK: Int = 12): DataFrame = {
+  /** Incremental refresh: sketches for the `touched` partition values
+    * (one column, matching `partCol`) are rebuilt from `current` (the
+    * table's present rows of those partitions), every other sketch
+    * carries over by reference. `touched` is passed explicitly rather
+    * than derived from `current`: a touched partition whose rows were
+    * all removed is absent from `current`, and deriving touched from it
+    * would silently CARRY the stale sketch instead of dropping it. */
+  def refresh(index: DataFrame, current: DataFrame, touched: DataFrame,
+              partCol: String, valueCol: String,
+              lgConfigK: Int = 12): DataFrame = {
     val rebuilt = build(current, partCol, valueCol, lgConfigK)
-    index.join(rebuilt.select(partCol), Seq(partCol), "left_anti")
+    index.join(touched.toDF(partCol), Seq(partCol), "left_anti")
       .unionByName(rebuilt)
   }
 

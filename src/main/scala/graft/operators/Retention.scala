@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * days after that first day — the matrix behind every retention
   * dashboard.
   *
-  * Shape (scale notes): the first-activity aggregate and the
-  * events-to-cohort join both key on the user column, so Catalyst
-  * reuses ONE hash partitioning for both (no second exchange for the
-  * join — PlanSpec pins it). The per-(cohort, offset) distinct-user
+  * Shape (scale notes): the event stream is scanned exactly twice —
+  * once for per-event days, once for the per-user first-activity
+  * aggregate — and PlanSpec pins that count. The events⋈first join
+  * keys on the user column: at small scale Catalyst broadcasts the
+  * (one row per user) aggregate; at a scale where O(users) no longer
+  * broadcasts, AQE falls back to a shuffle join whose aggregate side
+  * is already partitioned by user, so the join costs one shuffle of
+  * the events, never two. The per-(cohort, offset) distinct-user
   * count then reduces over the small (cohorts × offsets) key space.
   * Nothing is collected; per-user state never exceeds the user's own
   * activity days.

@@ -251,10 +251,20 @@ final class SnapshotTable(
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(threads, items.size))
-      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
-        override def call(): B = f(a)
-      })).map(_.get())
-      finally pool.shutdown()
+      try {
+        val futures = items.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(a)
+          }))
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // stop issuing queued work and rethrow the ORIGINAL error —
+            // callers match on the bare failure, not the wrapper
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } finally pool.shutdown()
     }
 
   /** Write `df` as new immutable data files and return their

@@ -38,6 +38,10 @@ object StreamingFunnel {
   def transition(stepTypes: Seq[String])(
       user: Long, events: Iterator[StepEvent],
       state: GroupState[Array[Long]]): Iterator[Reach] = {
+    // same contract as the batch operator: a duplicate step type would
+    // silently map to its LAST slot only and depth would stick at 0
+    require(stepTypes.nonEmpty && stepTypes.distinct == stepTypes,
+      s"funnel steps must be non-empty and distinct: $stepTypes")
     val n = stepTypes.size
     val idx = stepTypes.zipWithIndex.toMap
     val slots = state.getOption.getOrElse(Array.fill(n)(-1L))
@@ -58,6 +62,8 @@ object StreamingFunnel {
   def run(spark: SparkSession, landingDir: String, stepTypes: Seq[String],
           outDir: String, checkpointDir: String,
           maxFilesPerTrigger: Int): Unit = {
+    require(stepTypes.nonEmpty && stepTypes.distinct == stepTypes,
+      s"funnel steps must be non-empty and distinct: $stepTypes")
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[StepEvent].schema
     val events: Dataset[StepEvent] = spark.readStream.schema(schema)

@@ -21,7 +21,8 @@ class SketchSpec extends SparkSpec {
       ("p2", 2L), ("p2", 8L), ("p2", 9L),
       ("p3", 5L), ("p3", 6L), ("p3", 7L)).toDF("part", "uid")
     val touchedCurrent = v2.filter($"part" === "p2")
-    val idx2 = PartitionSketches.refresh(idx1, touchedCurrent, "part", "uid")
+    val idx2 = PartitionSketches.refresh(idx1, touchedCurrent,
+      Seq("p2").toDF("part"), "part", "uid")
     // HLL union is deterministic: the maintained index must answer
     // BIT-IDENTICALLY to a from-scratch rebuild, not approximately
     val full = PartitionSketches.build(v2, "part", "uid")
@@ -37,6 +38,16 @@ class SketchSpec extends SparkSpec {
       .filter($"part" =!= "p2").collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
     assert(sk(idx2) == sk(idx1), "untouched partition sketches were rebuilt")
+    // a touched partition whose rows were ALL removed must DROP its
+    // sketch, not carry the stale one (touched is explicit for this)
+    val idx3 = PartitionSketches.refresh(idx2,
+      v2.filter($"part" === "none-left"), Seq("p3").toDF("part"),
+      "part", "uid")
+    val parts = idx3.select("part").collect().map(_.getString(0)).toSet
+    assert(parts == Set("p1", "p2"), s"stale sketch survived: $parts")
+    val est3 = PartitionSketches.estimateTotal(idx3).head()
+    assert(est3.getLong(1) ==
+      v2.filter($"part" =!= "p3").select("uid").distinct().count())
   }
 
   test("sketch_partition_maintenance query: estimate within 5% of exact distinct") {
