@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
       s"first-activity side not broadcast:\n$plan")
   }
 
+  test("decontaminate: benchmark fingerprints broadcast for the semi-join probe") {
+    val plan = planOf(Queries.decontaminate(spark, sf))
+    // the membership probe must be a broadcast semi-join — shuffling
+    // the corpus's exploded shingles by hash would move O(corpus·grams)
+    // rows for an eval-suite-sized right side
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"semi-join probe not broadcast:\n$plan")
+  }
+
   test("validation composite is shuffle-free (single-pass map)") {
     val dirty = Tables.load(spark, sf, "orders")
     val schema = StructType(Seq(
