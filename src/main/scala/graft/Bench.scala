@@ -24,15 +24,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     var failures = List.empty[String]
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty, // a typo must not read as a clean run of nothing
-        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
-    }
-    val selected = only.fold(SparkEntry.queries)(
-      names => SparkEntry.queries.filter(kv => names(kv._1)))
+    val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     // untimed warmup: the first query otherwise pays ~3s of one-off
     // session costs (codegen compiler, shuffle machinery, parquet footer
     // caches), which pollutes per-query regression tracking across rounds

@@ -1174,11 +1174,17 @@ object Queries {
     * never changes when neighbors are added or removed (the property a
     * training pipeline needs to avoid test-set leakage across corpus
     * versions). Pure narrow map, shuffle-free. */
+  /** Deterministic 0–99 bucket from an id column — the single source of
+    * the split/mix keep decision, replayed character-for-character by
+    * both DuckDB oracles (a drift between two inline copies would
+    * desynchronize one of them). */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType) % 100
+
   def datasetSplit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-          .cast(IntegerType) % 100).as("b"))
+      .select(col("doc_id"), md5Bucket(col("doc_id")).as("b"))
       .select(col("doc_id"),
         when(col("b") < 80, "train")
           .when(col("b") < 90, "val")
@@ -1191,11 +1197,9 @@ object Queries {
     * seed drift, reproducible across engines (the oracle replays it).
     * Shuffle-free scan+filter; only the per-language tally shuffles. */
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
-      16, 10).cast(IntegerType) % 100
     val rate = when(col("lang") === "en", lit(40)).otherwise(lit(100))
     t(s, dir, "documents")
-      .filter(bucket < rate)
+      .filter(md5Bucket(col("doc_id")) < rate)
       .groupBy("lang").agg(count(lit(1)).as("kept"))
   }
 
@@ -1539,8 +1543,14 @@ object Queries {
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
         fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        fs.rename(part,
-          new org.apache.hadoop.fs.Path(s"$landing/batch-b$b.parquet"))
+        val dest = new org.apache.hadoop.fs.Path(s"$landing/batch-b$b.parquet")
+        // self-heal a crashed prior attempt (rename onto an existing
+        // file fails on HDFS-like namespaces) and never mark _SUCCESS
+        // over a silently failed move — a poisoned staged fixture would
+        // fail every later run with no error at the corruption point
+        fs.delete(dest, false)
+        if (!fs.rename(part, dest))
+          throw new IllegalStateException(s"fixture stage failed: $dest")
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/tmp-week"), true)
       fs.create(new org.apache.hadoop.fs.Path(s"$landing/_SUCCESS"), true)

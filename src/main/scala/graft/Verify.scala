@@ -15,18 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev convenience: SPARK_GRAFT_ONLY=a,b,c restricts the dump (the
-    // driver never sets it, so the gate always runs the full surface)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty, // a typo must not read as a clean run of nothing
-        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
-    }
-    val selected = SparkEntry.queries.filter {
-      case (name, _) => only.forall(_.contains(name))
-    }
+    val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     selected.foreach { case (name, fn) =>
       // coalesce(1) is a gate-scale convenience (sf0.01 results are tiny
       // and single-file output simplifies the DuckDB compare) — NOT a

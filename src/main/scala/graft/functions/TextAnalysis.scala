@@ -31,12 +31,17 @@ object TextAnalysis {
     * tokens column — the decontamination unit: sharing one n-token
     * sequence with an eval document marks contamination (the long-gram
     * overlap rule GPT-3/Llama-style dataset papers use). Shorter docs
-    * hash as one whole-document shingle. */
+    * hash as one whole-document shingle; a NULL tokens column yields
+    * NULL (not the md5 of an empty string — `concat_ws` swallows null
+    * arrays, which would silently conflate null-text documents with
+    * empty-text ones and diverge from a relational replay where NULL
+    * never equals anything). */
   def tokenNgramHashes(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
-    when(count >= 1,
-      transform(sequence(lit(0), count - 1),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(count >= 1,
+        transform(sequence(lit(0), count - 1),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(md5(concat_ws(" ", toks))))
   }
 

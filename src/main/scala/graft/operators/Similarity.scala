@@ -123,18 +123,24 @@ object Similarity {
       .limit(nCentroids)
 
   /** Nearest-centroid assignment: |df| × nCentroids codegen cosines —
-    * a narrow map against the broadcast centroid set, argmax per row. */
+    * a narrow map against the broadcast centroid set, then an argmax
+    * per row via `max_by` so the k-fold row blowup collapses in the
+    * MAP-SIDE partial aggregate (a row_number window here would
+    * instead shuffle and sort all |df| × k exploded rows). Ties break
+    * toward the smallest centroid id; a null cosine (zero-norm vector)
+    * ranks below every real one, so every row keeps an assignment. */
   private def assignToCentroids(df: DataFrame, centroids: DataFrame,
-                                idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("__sim").desc, col("centroid_id"))
+                                idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
       .withColumn("__sim", cosine(col(vecCol), col("cvec")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
-  }
+      .groupBy(idCol)
+      .agg(max_by(
+        struct(col(vecCol), col("centroid_id")),
+        struct(coalesce(col("__sim"), lit(-2.0)),
+          -col("centroid_id"))).as("__best"))
+      .select(col(idCol), col(s"__best.$vecCol").as(vecCol),
+        col("__best.centroid_id").as("centroid_id"))
 
   /** Lloyd-trained IVF centroids: seed with the stable pseudo-random
     * sample, then `iters` assign/update rounds — assignment is the

@@ -31,10 +31,22 @@ object StreamingFunnel {
 
   final case class Reach(user: Long, depth: Int)
 
+  /** Unfilled-slot sentinel: MinValue, not -1 — a legitimate event one
+    * millisecond before the epoch must not read as an empty slot. */
+  private val Empty = Long.MinValue
+
+  /** Epoch MICROseconds of a Timestamp: getTime() truncates to millis,
+    * but TimestampType carries microsecond precision and the batch
+    * operator's strictly-after comparison sees it — comparing millis
+    * here would silently break parity for same-millisecond events. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   /** Per-user state transition: fold the batch's events (sorted by
-    * (ts, type) — the batch fold's exact tie order) into the slot
-    * array; slot i fills at the first event of step i strictly after
-    * slot i-1's fill. Pure function, directly unit-testable. */
+    * (ts, type) — the batch fold's exact tie order, at full microsecond
+    * precision) into the slot array; slot i fills at the first event of
+    * step i strictly after slot i-1's fill. Pure function, directly
+    * unit-testable. */
   def transition(stepTypes: Seq[String])(
       user: Long, events: Iterator[StepEvent],
       state: GroupState[Array[Long]]): Iterator[Reach] = {
@@ -44,17 +56,17 @@ object StreamingFunnel {
       s"funnel steps must be non-empty and distinct: $stepTypes")
     val n = stepTypes.size
     val idx = stepTypes.zipWithIndex.toMap
-    val slots = state.getOption.getOrElse(Array.fill(n)(-1L))
-    events.toSeq.sortBy(e => (e.ts.getTime, e.et)).foreach { e =>
+    val slots = state.getOption.getOrElse(Array.fill(n)(Empty))
+    events.toSeq.sortBy(e => (micros(e.ts), e.et)).foreach { e =>
       idx.get(e.et).foreach { i =>
-        val t = e.ts.getTime
-        val ok = slots(i) < 0 &&
-          (i == 0 || (slots(i - 1) >= 0 && t > slots(i - 1)))
+        val t = micros(e.ts)
+        val ok = slots(i) == Empty &&
+          (i == 0 || (slots(i - 1) != Empty && t > slots(i - 1)))
         if (ok) slots(i) = t
       }
     }
     state.update(slots)
-    Iterator(Reach(user, slots.count(_ >= 0)))
+    Iterator(Reach(user, slots.count(_ != Empty)))
   }
 
   /** Drain a parquet stream of [[StepEvent]] rows (AvailableNow),
