@@ -375,6 +375,23 @@ object Queries {
     operators.PartitionSketches.estimateTotal(idx2)
   }
 
+  /** The registered `format("graft")` source end-to-end
+    * ([[sources.GraftSource]]): a skipping-enabled snapshot read back
+    * through plain `spark.read.format("graft")` with a range predicate
+    * — the filter prunes manifest files at the source boundary and is
+    * re-applied on top, so the rows must equal the direct SQL. */
+  def sourceFormatRead(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graftsrc", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+      clusterFiles = 16)
+    table.create(t(s, dir, "orders"))
+    s.read.format("graft").load(base)
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") <= 2000)
+      .select(ordersCols.map(col): _*)
+  }
+
   /** Incremental OPTIMIZE: a fragmented clustered table bin-packs to
     * the target file size in one atomic commit — file count must
     * actually drop, data must be byte-identical to the source (the
@@ -1731,6 +1748,7 @@ object Queries {
     "snapshot_compact" -> (snapshotCompact _),
     "incremental_agg" -> (incrementalAgg _),
     "sketch_partition_maintenance" -> (sketchPartitionMaintenance _),
+    "source_format_read" -> (sourceFormatRead _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
@@ -1957,6 +1975,9 @@ object Queries {
         |  SELECT o_orderstatus, round(o_totalprice + 1.0, 2) FROM orders
         |  WHERE o_orderkey % 3 = 0)
         |GROUP BY o_orderstatus""".stripMargin,
+    "source_format_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

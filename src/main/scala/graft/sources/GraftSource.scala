@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.SnapshotTable
+
+/** `spark.read.format("graft")` — the snapshot table as a registered
+  * Spark data source (public, stable V1 source API: RelationProvider +
+  * PrunedFilteredScan), so SQL users reach time travel and manifest
+  * data skipping without touching the [[SnapshotTable]] API:
+  *
+  * {{{
+  *   spark.read.format("graft").load(path)                    // head
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 3).load(path)                   // travel
+  *   ...load(path).where($"k" between (lo, hi))               // skips
+  * }}}
+  *
+  * Pushed filters are used ONLY to prune manifest files (bounds on
+  * stats-carrying columns); every filter is reported unhandled, so
+  * Spark re-applies them all on top — pruning can skip files, never
+  * rows, and a filter on a statless column is simply useless rather
+  * than wrong. Column pruning happens before the scan materializes. */
+class GraftSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
+    SnapshotRelation(ctx,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft source requires a path: .load(<table dir>)")),
+      parameters.get("versionAsOf").map(_.toLong))
+}
+
+case class SnapshotRelation(ctx: SQLContext, path: String,
+                            version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  // read-only handle: the primary key only matters for writes
+  private def table =
+    SnapshotTable(ctx.sparkSession, path, primaryKey = "_unused_read_only")
+
+  override def sqlContext: SQLContext = ctx
+
+  override lazy val schema: StructType =
+    version.fold(table.read)(table.readVersion).schema
+
+  /** Manifest [lo, hi] bounds from the pushed filters. One-sided
+    * numeric comparisons complete with the type's extreme; a one-sided
+    * string bound only exists on the low side ("" is the minimum
+    * string) — an upper-only string filter just doesn't prune. */
+  private def pruneBounds(filters: Array[Filter]): Seq[(String, Any, Any)] = {
+    def loOf(v: Any): Option[Any] = v match {
+      case _: Long | _: Int | _: Short | _: Byte => Some(Long.MinValue)
+      case _: Double | _: Float => Some(Double.NegativeInfinity)
+      case _: String => Some("")
+      case _ => None
+    }
+    def hiOf(v: Any): Option[Any] = v match {
+      case _: Long | _: Int | _: Short | _: Byte => Some(Long.MaxValue)
+      case _: Double | _: Float => Some(Double.PositiveInfinity)
+      case _ => None
+    }
+    def supported(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
+           _: String => true
+      case _ => false
+    }
+    filters.toSeq.flatMap {
+      case EqualTo(c, v) if supported(v) => Seq((c, v, v))
+      case GreaterThan(c, v) if supported(v) =>
+        hiOf(v).map(hi => (c, v, hi)).toSeq
+      case GreaterThanOrEqual(c, v) if supported(v) =>
+        hiOf(v).map(hi => (c, v, hi)).toSeq
+      case LessThan(c, v) if supported(v) =>
+        loOf(v).map(lo => (c, lo, v)).toSeq
+      case LessThanOrEqual(c, v) if supported(v) =>
+        loOf(v).map(lo => (c, lo, v)).toSeq
+      case _ => Seq.empty // other shapes never prune
+    }
+  }
+
+  // every filter is re-applied by Spark on top of the scan: pruning
+  // may only skip files, never rows
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val bounds = pruneBounds(filters)
+    val base = version match {
+      case Some(v) => table.readVersion(v) // travel reads skip pruning:
+      // candidateFiles prunes the CURRENT manifest only, and pruning
+      // against the wrong version's stats could be wrong, not just slow
+      case None if bounds.nonEmpty => table.readWhere(bounds: _*)
+      case None => table.read
+    }
+    // exactly the requested columns — count(*) asks for NONE, and the
+    // row converter reads fields positionally against the pruned schema
+    base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}
