@@ -492,6 +492,18 @@ final class SnapshotTable(
     commitManifest(v + 1, next)
   }
 
+  /** Atomic full REPLACE: the next version's manifest lists only the
+    * new data files — readers see the old snapshot until the manifest
+    * commit, then the new one, never a mix; prior versions stay
+    * time-travelable until vacuum reclaims them. (The overwrite analog
+    * of [[upsert]]; `df.write.format("graft").mode("overwrite")` maps
+    * here.) */
+  def replace(df: DataFrame): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    commitManifest(v + 1, writeDataFiles(df))
+  }
+
   /** Touched by the first evolveSchema upsert; its presence is the only
     * case where reads must merge footers across files. */
   private def evolvedMarker = new Path(s"$path/_evolved")

@@ -25,16 +25,51 @@ import graft.plans.SnapshotTable
   * Spark re-applies them all on top — pruning can skip files, never
   * rows, and a filter on a statless column is simply useless rather
   * than wrong. Column pruning happens before the scan materializes. */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path: .load/.save(<table dir>)"))
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
-    SnapshotRelation(ctx,
-      parameters.getOrElse("path", throw new IllegalArgumentException(
-        "graft source requires a path: .load(<table dir>)")),
+    SnapshotRelation(ctx, pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong))
+
+  /** Sink side — `df.write.format("graft")`: every SaveMode maps onto
+    * an ATOMIC snapshot commit. Append MERGEs by the `primaryKey`
+    * option (the table's upsert semantics — Append of existing keys
+    * replaces those rows); Overwrite commits a fresh version whose
+    * manifest lists only the new data, with history retained for time
+    * travel; ErrorIfExists/Ignore follow their contracts against table
+    * existence. `partitionCol` opts into partition-scoped rewrites. */
+  override def createRelation(
+      ctx: SQLContext, mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val pk = parameters.getOrElse("primaryKey",
+      throw new IllegalArgumentException(
+        "graft sink requires option(\"primaryKey\", <col>)"))
+    val table = SnapshotTable(ctx.sparkSession, path, pk,
+      partitionCol = parameters.get("partitionCol"))
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case ErrorIfExists if table.exists =>
+        throw new IllegalStateException(s"table already exists at $path")
+      case Ignore if table.exists => ()
+      case ErrorIfExists | Ignore => table.create(data)
+      case Append => table.upsert(data)
+      case Overwrite =>
+        // an atomic full replace: commit a version containing ONLY the
+        // new data (prior versions stay time-travelable until vacuum)
+        if (table.exists) table.replace(data) else table.create(data)
+    }
+    SnapshotRelation(ctx, path, None)
+  }
 }
 
 case class SnapshotRelation(ctx: SQLContext, path: String,

@@ -50,6 +50,29 @@ class GraftSourceSpec extends SparkSpec {
       .filter($"k" === 500).count() == 1)
   }
 
+  test("sink: save modes map onto atomic commits (append merges, overwrite replaces, history survives)") {
+    val path = tmp("srcsink")
+    def w(rows: Seq[(Int, String)], mode: String) =
+      rows.toDF("id", "val").write.format("graft")
+        .option("primaryKey", "id").mode(mode).save(path)
+    w(Seq((1, "a"), (2, "b")), "errorifexists")
+    w(Seq((2, "B2"), (3, "c")), "append") // MERGE by pk
+    val afterAppend = spark.read.format("graft").load(path)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(afterAppend.toSeq == Seq((1, "a"), (2, "B2"), (3, "c")))
+    w(Seq((9, "z")), "overwrite") // atomic full replace
+    val afterOverwrite = spark.read.format("graft").load(path)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(afterOverwrite.toSeq == Seq((9, "z")))
+    // prior versions stay time-travelable across the replace
+    val v2 = spark.read.format("graft").option("versionAsOf", 2).load(path)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(v2.toSeq == Seq((1, "a"), (2, "B2"), (3, "c")))
+    intercept[IllegalStateException](w(Seq((1, "x")), "errorifexists"))
+    w(Seq((1, "x")), "ignore") // no-op on an existing table
+    assert(spark.read.format("graft").load(path).count() == 1)
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")
