@@ -73,6 +73,24 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path).count() == 1)
   }
 
+  test("SQL catalog: CREATE TABLE ... USING graft resolves the snapshot by name") {
+    val path = tmp("srcsql")
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "a"), (2, "b")).toDF("id", "val"))
+    spark.sql(s"CREATE TABLE graft_sql_spec USING graft LOCATION '$path'")
+    try {
+      val rows = spark.sql(
+        "SELECT id, val FROM graft_sql_spec ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1, "a"), (2, "b")))
+      // a committed upsert is visible to the SQL name without DDL churn
+      t.upsert(Seq((3, "c")).toDF("id", "val"))
+      spark.sql("REFRESH TABLE graft_sql_spec")
+      assert(spark.sql("SELECT count(*) FROM graft_sql_spec")
+        .head().getLong(0) == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")
