@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
 import graft.operators.{AsOfJoin, Dedup, Integrity, Multimodal, RangeJoin, Sessionize, Similarity, Skew, TextDedup, Validation, ZOrder}
-import graft.plans.{LakehouseTable, Pipeline}
+import graft.plans.{LakehouseTable, Pipeline, SnapshotTable}
 import graft.streaming.{Ingest, StreamDedup, WindowedAgg}
 
 /** The SURVEY.md §2 operator surface as named queries over the driver
@@ -587,10 +587,19 @@ object Queries {
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("pipeline", dir)
     writePipelineRaw(s, dir, base)
+    // one-time layout migration: a dwh written by a pre-SnapshotTable
+    // build has Hive dirs but no _commits — wipe it so create() starts
+    // clean instead of stranding unreferenced files under data/
+    val conf = s.sparkContext.hadoopConfiguration
+    val dwh = new org.apache.hadoop.fs.Path(s"$base/dwh")
+    val dfs = dwh.getFileSystem(conf)
+    if (dfs.exists(dwh) &&
+        !dfs.exists(new org.apache.hadoop.fs.Path(s"$base/dwh/order_items/_commits")))
+      dfs.delete(dwh, true)
     val report = Pipeline.run(s, s"$base/raw", s"$base/dwh",
       s"$base/rejected", s"$base/archived")
     require(report.gatesPassed, "post-load validation gates failed")
-    LakehouseTable(s, s"$base/dwh/order_items", "id", Some("date"),
+    SnapshotTable(s, s"$base/dwh/order_items", "id", Some("date"),
       Some(Tables.asNullable(Tables.orderItems))).read
   }
 
