@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -87,6 +87,16 @@ final class SnapshotTable(
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Phase timing, printed only when GRAFT_TIMING is set (dev tool —
+    * the commit path is FS-metadata-bound and regressions hide in
+    * whichever phase one isn't looking at). */
+  private def timed[A](tag: String)(body: => A): A =
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime()
+      try body
+      finally println(f"[snap-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else body
 
   // ---- manifest format: line 1 "version\t<n>", then per-file lines
   // "<relpath>[\t<col>\t<min>\t<max>]*" — values tagged L:/D:/S: (long/
@@ -227,7 +237,7 @@ final class SnapshotTable(
 
   /** Snapshot read of a specific version (time travel). */
   def readVersion(v: Long): DataFrame =
-    readFiles(readManifest(v).map(_.path))
+    readFiles(readManifest(v))
 
   /** Snapshot read of the current version. */
   def read: DataFrame = readVersion(currentVersion.getOrElse(
@@ -298,7 +308,7 @@ final class SnapshotTable(
         case (None, None) => df
       }
     val w = clustered.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage)
+    timed("write-stage")(partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage))
     // per-commit counter makes every BASENAME globally unique: Spark's
     // dynamic-partition writer can emit the same task file name into
     // two partition dirs (per-dir counter, same task UUID), and
@@ -306,7 +316,10 @@ final class SnapshotTable(
     // basename — a collision there would attach the wrong bloom.
     // The walk only LISTS (sequential, one RPC per dir); the per-file
     // mkdirs+rename moves then run concurrently.
-    val toMove = mutable.Buffer.empty[(Path, String)]
+    // (src, destRel, len, mtime) — length and mtime are captured from
+    // the walk's own listing (rename preserves both), so the manifest
+    // records a complete scan plan with no extra filesystem calls
+    val toMove = mutable.Buffer.empty[(Path, String, Long, Long)]
     var fileNo = -1
     def walk(p: Path, rel: String): Unit =
       fs.listStatus(p).foreach { st =>
@@ -315,20 +328,24 @@ final class SnapshotTable(
         else if (name.endsWith(".parquet")) {
           fileNo += 1
           toMove += ((st.getPath,
-            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name"))
+            (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name",
+            st.getLen, st.getModificationTime))
         }
       }
-    walk(new Path(stage), "")
-    inParallel(toMove.toSeq) { case (src, destRel) =>
+    timed("walk")(walk(new Path(stage), ""))
+    timed("moves")(inParallel(toMove.toSeq) { case (src, destRel, _, _) =>
       val dest = new Path(s"$dataDir/$destRel")
       fs.mkdirs(dest.getParent)
       if (!fs.rename(src, dest))
         throw new IllegalStateException(s"data move failed: $dest")
-    }
-    val moved = toMove.map(_._2)
-    fs.delete(new Path(s"$path/_stage/$commitId"), true)
-    val entries = inParallel(moved.toSeq)(rel =>
-      FileEntry(rel, if (statsCols.isEmpty) Map.empty else footerStats(rel)))
+    })
+    timed("stage-delete")(fs.delete(new Path(s"$path/_stage/$commitId"), true))
+    val entries = timed("footer-stats")(inParallel(toMove.toSeq) {
+      case (_, rel, len, mtime) =>
+        FileEntry(rel,
+          (if (statsCols.isEmpty) Map.empty[String, (String, String)]
+           else footerStats(rel)) + FileEntry.metaStat(len, mtime))
+    })
     val blooms = fileBlooms(entries)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
   }
@@ -345,7 +362,7 @@ final class SnapshotTable(
       : Map[String, Map[String, (String, String)]] = {
     if (bloomCols.isEmpty || entries.isEmpty) return Map.empty
     import graft.functions.BloomSketch
-    val df = readFiles(entries.map(_.path))
+    val df = readFiles(entries)
     val aggs = bloomCols.map { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -475,14 +492,15 @@ final class SnapshotTable(
         // __HIVE_DEFAULT_PARTITION__). A mismatch here makes a touched
         // partition look untouched: its old files carry over alongside
         // the rewrite, duplicating primary keys.
-        val touched = source.select(col(pc).cast("string")).distinct().collect()
+        val touched = timed("touched-collect")(
+          source.select(col(pc).cast("string")).distinct().collect()
           .map(r => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .getPartitionValueString(if (r.isNullAt(0)) null else r.getString(0)))
-          .toSet
+          .toSet)
         val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
-          else readFiles(touchedFiles.map(_.path))
+          else timed("open-touched")(readFiles(touchedFiles))
         val merged =
           if (touchedFiles.isEmpty) source
           else {
@@ -509,11 +527,91 @@ final class SnapshotTable(
     commitManifest(v + 1, writeDataFiles(df))
   }
 
+  /** Atomic DELETE of the rows matching `predicate`, as ONE manifest
+    * commit (Delta's `DELETE FROM` analog). SQL semantics: a row is
+    * removed iff the predicate is TRUE — FALSE and NULL rows are kept.
+    *
+    * File pruning happens in two stages, both before any rewrite I/O:
+    * optional manifest min/max `bounds` first (the [[readWhere]] box
+    * form — files whose stats can't overlap are never opened), then an
+    * exact distributed probe that finds the files actually holding a
+    * matching row. Every file with no match carries over BY REFERENCE,
+    * so a selective delete against a 100 TB table rewrites O(matching
+    * files), never the table. A predicate matching nothing commits
+    * nothing at all (the version does not advance).
+    *
+    * Deleted rows surface in [[changesDelta]] as `before` images with
+    * no paired `after` — the file-diff core needs no special casing —
+    * so incremental consumers fold deletes exactly like the removal
+    * half of an update. Old versions stay time-travelable until
+    * [[vacuum]]. */
+  def delete(predicate: Column, bounds: Seq[(String, Any, Any)] = Nil): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val live = readManifest(v)
+    val cands = if (bounds.isEmpty) live else candidateFiles(bounds: _*)
+    if (cands.isEmpty) return
+    // exact probe: which candidate files hold at least one TRUE row?
+    // O(distinct files) strings cross the driver, never data. Basenames
+    // are commit-UUID-prefixed, hence unique across the whole table.
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val hit = readFiles(cands)
+      .filter(predicate)
+      .select(input_file_name())
+      .distinct().collect()
+      .map(r => basename(r.getString(0))).toSet
+    val (touched, _) = cands.partition(e => hit(basename(e.path)))
+    if (touched.isEmpty) return
+    val touchedSet = touched.map(_.path).toSet
+    val carried = live.filterNot(e => touchedSet(e.path))
+    // keep = NOT coalesce(predicate, false): NULL-predicate rows stay
+    val kept = readFiles(touched)
+      .filter(!coalesce(predicate, lit(false)))
+    commitManifest(v + 1, carried ++ writeDataFiles(kept))
+  }
+
   /** Touched by the first evolveSchema upsert; its presence is the only
     * case where reads must merge footers across files. */
   private def evolvedMarker = new Path(s"$path/_evolved")
 
-  private def readFiles(files: Seq[String]): DataFrame = {
+  private def readFiles(entries: Seq[FileEntry]): DataFrame = {
+    if (entries.isEmpty) {
+      // a delete can legitimately empty the table; parquet() with zero
+      // paths cannot infer a schema, so type the empty frame explicitly
+      val s = declaredSchema.getOrElse(throw new IllegalStateException(
+        s"snapshot at $path has no data files and no declaredSchema to " +
+          "type an empty read"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    // Manifest-index fast path: the scan is planned from manifest
+    // metadata ALONE ([[ManifestFileIndex]]) — no directory listing, no
+    // per-file stat (spark.read.parquet(paths*) stats every explicit
+    // path: ~5s per 2,400-file snapshot read, twice per upsert, at the
+    // pipeline's shape). Requires a declaredSchema covering the
+    // partition column (nothing may be inferred without I/O), recorded
+    // file lengths (older manifests lack them), and a never-evolved
+    // table (evolution mixes footer schemas and needs mergeSchema's
+    // footer pass).
+    val indexable = declaredSchema.exists(s =>
+      partitionCol.forall(s.fieldNames.contains)) &&
+      entries.forall(_.len >= 0) && !fs.exists(evolvedMarker)
+    if (indexable) {
+      val schema = declaredSchema.get
+      val partSchema = StructType(
+        partitionCol.toSeq.flatMap(c => schema.fields.find(_.name == c)))
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partitionCol.contains(f.name)))
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new ManifestFileIndex(spark, dataDir, entries, partSchema),
+        partSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty)(spark)
+      // relation schema is dataSchema ++ partitionSchema; restore the
+      // declared column order
+      return spark.baseRelationToDataFrame(rel)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
     // mergeSchema only once the table has actually evolved: a snapshot
     // then mixes pre- and post-evolution files (untouched partitions
     // carry over by reference) and the new column must surface as null
@@ -523,14 +621,15 @@ final class SnapshotTable(
     val r = spark.read.option("basePath", dataDir)
       .option("mergeSchema", fs.exists(evolvedMarker).toString)
     declaredSchema.fold(r)(s => r.schema(s))
-      .parquet(files.map(f => s"$dataDir/$f"): _*)
+      .parquet(entries.map(e => s"$dataDir/${e.path}"): _*)
   }
 
   /** CDC / incremental read: the new row images committed in versions
-    * (fromV, toV] — every row inserted or updated since fromV (upserts
-    * never delete, so this is the complete change set). Downstream
-    * consumers re-process only the delta instead of re-reading the
-    * table.
+    * (fromV, toV] — every row inserted or updated since fromV. Rows
+    * removed by [[delete]] have no new image and so do not appear here;
+    * consumers that must observe deletes read [[changesDelta]]'s
+    * `before` images. Downstream consumers re-process only the delta
+    * instead of re-reading the table.
     *
     * Cost is O(rewritten partitions), never O(table): files carried
     * over by reference are immutable and identical in both manifests,
@@ -553,13 +652,14 @@ final class SnapshotTable(
   def changesDelta(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
     val img = SnapshotTable.ImageCol
-    val before = readManifest(fromV).map(_.path).toSet
-    val newFiles = readManifest(toV).map(_.path).filterNot(before)
-    if (newFiles.isEmpty)
+    val beforeEntries = readManifest(fromV)
+    val before = beforeEntries.map(_.path).toSet
+    val newEntries = readManifest(toV).filterNot(e => before(e.path))
+    if (newEntries.isEmpty)
       return read.limit(0).withColumn(img, lit(""))
-    val touched = newFiles.map(partOf).toSet
-    val oldTouched = before.toSeq.filter(f => touched(partOf(f)))
-    val newRows = readFiles(newFiles)
+    val touched = newEntries.map(e => partOf(e.path)).toSet
+    val oldTouched = beforeEntries.filter(e => touched(partOf(e.path)))
+    val newRows = readFiles(newEntries)
     if (oldTouched.isEmpty) newRows.withColumn(img, lit("after"))
     else {
       // a span crossing a schema-evolution commit reads old files
@@ -605,7 +705,7 @@ final class SnapshotTable(
     val cand = candidateFiles(bounds: _*)
     // parquet() with zero paths cannot infer a schema — an all-pruned
     // predicate must still return an empty frame of the table's schema
-    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand.map(_.path))
+    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand)
     bounds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .foldLeft(base)(_.filter(_))
   }
@@ -646,7 +746,7 @@ final class SnapshotTable(
     * O(matching files) I/O with them. */
   def readWhereEq(points: (String, Any)*): DataFrame = {
     val cand = candidateFilesEq(points: _*)
-    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand.map(_.path))
+    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand)
     points.foldLeft(base) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
   }
 
@@ -687,7 +787,7 @@ final class SnapshotTable(
     if (frag.isEmpty) return
     val files = frag.values.flatten.toSeq
     val rewritten = writeDataFiles(
-      readFiles(files.map(_.path)), packFiles = Some(packed(files)))
+      readFiles(files), packFiles = Some(packed(files)))
     commitManifest(v + 1, keep.values.flatten.toSeq ++ rewritten)
   }
 
@@ -775,6 +875,22 @@ object SnapshotTable {
         Seq(c, mn, mx)
       }).mkString("\t")
 
+    /** File length from the reserved `file:meta` stats entry, or -1 for
+      * manifests written before lengths were recorded (readers needing
+      * a length then fall back to a filesystem stat). */
+    def len: Long = meta.fold(-1L)(_._1)
+
+    /** Modification time from `file:meta`, or -1 when unrecorded. */
+    def mtime: Long = meta.fold(-1L)(_._2)
+
+    private def meta: Option[(Long, Long)] =
+      stats.get(FileEntry.MetaKey).flatMap { case (l, m) =>
+        for {
+          len <- l.stripPrefix("L:").toLongOption
+          mt <- m.stripPrefix("L:").toLongOption
+        } yield (len, mt)
+      }
+
     /** The file's Bloom filter for `c` with its type-family tag
       * ("BL:" long, "BS:" string), if one was built at write. */
     def bloom(c: String)
@@ -791,6 +907,15 @@ object SnapshotTable {
       * never collide with the prefixed form). */
     private val BloomPrefix = "bloom:"
     def bloomKey(c: String): String = BloomPrefix + c
+
+    /** (length, mtime) ride in the stats map under a reserved key —
+      * the `:` makes collision with a plain column name impossible for
+      * any column the stats writer accepts (same convention as blooms).
+      * They make the manifest a COMPLETE scan plan: a reader can build
+      * its file index without one filesystem call. */
+    val MetaKey = "file:meta"
+    def metaStat(len: Long, mtime: Long): (String, (String, String)) =
+      MetaKey -> (s"L:$len", s"L:$mtime")
 
     def parse(line: String): FileEntry = {
       val parts = line.split("\t", -1)

@@ -1,0 +1,116 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The manifest-backed scan plan: reads of a declared-schema snapshot
+  * table plan off manifest metadata alone, stay partition-prunable,
+  * and agree bit-for-bit with the listing-based read path. */
+class ManifestFileIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/table"
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("val", StringType),
+    StructField("part", StringType)))
+
+  private def frame(rows: (Int, String, String)*) =
+    rows.toDF("id", "val", "part")
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s } ++
+      plan.collect { case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case s: FileSourceScanExec => s }
+      }.flatten
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    scans.head
+  }
+
+  test("declared-schema read plans through ManifestFileIndex; parity with legacy") {
+    val path = tmp("mfi")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      declaredSchema = Some(schema))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    t.upsert(frame((2, "B2", "p2"), (4, "d", "p3")))
+
+    val fast = t.read
+    assert(scanOf(fast).relation.location.isInstanceOf[ManifestFileIndex],
+      "declared-schema read did not use the manifest index")
+    // same table through the legacy listing path (no declared schema,
+    // schema inferred) must agree on content
+    val legacy = SnapshotTable(spark, path, "id", Some("part")).read
+      .select("id", "val", "part")
+    assert(fast.orderBy("id").collect().toSeq ==
+      legacy.withColumn("id", col("id").cast(IntegerType))
+        .orderBy("id").collect().toSeq)
+    // declared column order is preserved
+    assert(fast.columns.toSeq == Seq("id", "val", "part"))
+  }
+
+  test("partition filters prune at planning time from manifest metadata") {
+    val path = tmp("mfiprune")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      declaredSchema = Some(schema))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    val pruned = t.read.filter(col("part") === "p2")
+    val scan = scanOf(pruned)
+    assert(scan.relation.location.isInstanceOf[ManifestFileIndex])
+    // exactly one partition's file is selected — pruning happened on
+    // manifest metadata, before any data I/O
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 1, s"expected 1 partition, got ${selected.size}")
+    assert(pruned.select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("pre-meta manifests (no recorded lengths) fall back to the listing path") {
+    val path = tmp("mfiold")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      declaredSchema = Some(schema))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    // strip the file:meta stats from the manifest, simulating a table
+    // written before lengths were recorded
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$path/_commits/v000000001.manifest")
+    val txt = new String(org.apache.commons.io.IOUtils.toByteArray(fs.open(mf)), "UTF-8")
+    val stripped = txt.linesIterator.map { line =>
+      line.split("\t", -1).toSeq match {
+        case head +: rest =>
+          (head +: rest.grouped(3).filterNot(_.headOption.contains("file:meta"))
+            .flatten.toSeq).mkString("\t")
+      }
+    }.mkString("\n") + "\n"
+    fs.delete(mf, false)
+    val out = fs.create(mf, true)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+
+    val df = t.read
+    assert(!scanOf(df).relation.location.isInstanceOf[ManifestFileIndex],
+      "read without recorded lengths must not trust the manifest index")
+    assert(df.orderBy("id").select("val").as[String].collect().toSeq ==
+      Seq("a", "b"))
+  }
+
+  test("unpartitioned declared-schema table also plans off the manifest") {
+    val path = tmp("mfiflat")
+    val s2 = StructType(schema.fields.filterNot(_.name == "part"))
+    val t = SnapshotTable(spark, path, "id",
+      declaredSchema = Some(s2))
+    t.create(frame((1, "a", "px"), (2, "b", "px")).drop("part"))
+    val df = t.read
+    assert(scanOf(df).relation.location.isInstanceOf[ManifestFileIndex])
+    assert(df.count() == 2)
+  }
+}

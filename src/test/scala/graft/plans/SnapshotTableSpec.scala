@@ -475,4 +475,76 @@ class SnapshotTableSpec extends SparkSpec {
     assert(hintText == "7")
     assert(t.currentVersion.contains(7L))
   }
+
+  test("delete: matching rows removed atomically; non-matching files carry over") {
+    val path = tmp("snapdel")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    def filesOf(part: String) = new java.io.File(s"$path/data/part=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val p1Before = filesOf("p1")
+    t.delete(col("val") === "b")
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+    assert(t.currentVersion.contains(2L))
+    // the file with no matching row was never rewritten
+    assert(filesOf("p1") == p1Before, "unmatched file was rewritten")
+    // old version still time-travelable
+    assert(t.readVersion(1).count() == 3)
+  }
+
+  test("delete SQL semantics: NULL predicate keeps the row; no match commits nothing") {
+    val t = SnapshotTable(spark, tmp("snapdelnull"), "id", Some("part"))
+    t.create(Seq((1, Some("a"), "p1"), (2, None, "p1"), (3, Some("b"), "p1"))
+      .toDF("id", "val", "part"))
+    t.delete(col("val") === "zzz") // matches nothing (NULL rows are not TRUE)
+    assert(t.currentVersion.contains(1L), "no-op delete advanced the version")
+    t.delete(col("val") === "a")
+    // row 2's predicate is NULL — kept, exactly like SQL DELETE WHERE
+    assert(t.read.orderBy("id").select("id").as[Int].collect().toSeq == Seq(2, 3))
+  }
+
+  test("delete flows through CDC as before-images with no paired after") {
+    val t = SnapshotTable(spark, tmp("snapdelcdc"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    t.delete(col("id") === 2)
+    val delta = t.changesDelta(1, 2)
+      .select(col("id"), col(SnapshotTable.ImageCol).as("img"))
+      .as[(Int, String)].collect().toSeq.sorted
+    // only the deleted row appears, as a before image; the rewritten
+    // file's surviving row and the untouched p2 file contribute nothing
+    assert(delta == Seq((2, "before")))
+    assert(t.changes(1, 2).count() == 0)
+  }
+
+  test("delete with stats bounds prunes files on manifest metadata alone") {
+    val t = SnapshotTable(spark, tmp("snapdelskip"), "id", None,
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 4)
+    t.create((1 to 100).map(i => (i, s"v$i", "p")).toDF("id", "val", "part"))
+    val v1All = t.candidateFiles(("id", Int.MinValue, Int.MaxValue)).map(_.path)
+    assert(v1All.size == 4)
+    val v1Overlapping = t.candidateFiles(("id", Int.MinValue, 10)).map(_.path)
+    assert(v1Overlapping.size < v1All.size, "bounds pruned nothing at v1")
+    t.delete(col("id") <= 10, bounds = Seq(("id", Int.MinValue, 10)))
+    assert(t.read.count() == 90)
+    // every v1 file OUTSIDE the bounds must carry over verbatim (same
+    // manifest path = same physical file, zero rewrite I/O); only the
+    // overlapping file(s) were replaced (re-clustered at clusterFiles)
+    val v2All = t.candidateFiles(("id", Int.MinValue, Int.MaxValue)).map(_.path).toSet
+    val carried = v1All.filterNot(v1Overlapping.contains)
+    assert(carried.forall(v2All), "a non-overlapping file was rewritten")
+    assert(v1Overlapping.forall(p => !v2All(p)), "an overlapping file survived")
+    assert(t.readVersion(1).count() == 100)
+  }
+
+  test("delete can empty the table; a declared schema types the empty read") {
+    val schema = frame((1, "a", "p1")).schema
+    val t = SnapshotTable(spark, tmp("snapdelall"), "id", Some("part"),
+      declaredSchema = Some(schema))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.delete(lit(true))
+    assert(t.read.count() == 0)
+    assert(t.read.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(t.readVersion(1).count() == 2)
+  }
 }
