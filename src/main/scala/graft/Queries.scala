@@ -278,6 +278,29 @@ object Queries {
     table.changes(1L, 2L).select(ordersCols.map(col): _*)
   }
 
+  /** S2/K2 (atomic DELETE) — `DELETE FROM orders WHERE status = 'F'
+    * AND totalprice < 100k` as ONE manifest commit: the partition
+    * predicate prunes the match probe to the F partition, files with no
+    * matching row carry over by reference (the require proves no other
+    * partition was touched), and the oracle is the plain complement
+    * SELECT. */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapdel", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(t(s, dir, "orders"))
+    val v1Files = table.candidateFiles().map(_.path).toSet
+    table.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    val v2Files = table.candidateFiles().map(_.path).toSet
+    val untouched = v1Files.filterNot(_.contains("o_orderstatus=F"))
+    require(untouched.subsetOf(v2Files),
+      "delete rewrote partitions its predicate cannot match")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** S2 (data skipping) — manifest min/max stats + range clustering:
     * the table is written range-clustered on o_orderkey with per-file
     * stats in the manifest, and a range read opens only files whose
@@ -1751,6 +1774,7 @@ object Queries {
     "upsert_merge" -> (upsertMerge _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
+    "snapshot_delete" -> (snapshotDelete _),
     "snapshot_changes" -> (snapshotChanges _),
     "snapshot_skip_scan" -> (snapshotSkipScan _),
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
@@ -1943,6 +1967,11 @@ object Queries {
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // the atomic-commit table must produce the SAME result as the
     // per-partition-commit table for the same merge
+    // the post-delete table is the plain complement of the predicate
+    "snapshot_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
     "snapshot_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
