@@ -301,6 +301,27 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** S2/K2 (atomic UPDATE) — `UPDATE orders SET o_orderpriority =
+    * '0-RUSH' WHERE status = 'F' AND totalprice < 100k` as one manifest
+    * commit, same pruning contract as [[snapshotDelete]]; the oracle is
+    * the CASE-WHEN projection of the same table. */
+  def snapshotUpdate(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapupd", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(t(s, dir, "orders"))
+    val v1Files = table.candidateFiles().map(_.path).toSet
+    table.update(Map("o_orderpriority" -> lit("0-RUSH")),
+      col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+    val untouched = v1Files.filterNot(_.contains("o_orderstatus=F"))
+    require(untouched.subsetOf(table.candidateFiles().map(_.path).toSet),
+      "update rewrote partitions its predicate cannot match")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** S2 (data skipping) — manifest min/max stats + range clustering:
     * the table is written range-clustered on o_orderkey with per-file
     * stats in the manifest, and a range read opens only files whose
@@ -1775,6 +1796,7 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
+    "snapshot_update" -> (snapshotUpdate _),
     "snapshot_changes" -> (snapshotChanges _),
     "snapshot_skip_scan" -> (snapshotSkipScan _),
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
@@ -1967,6 +1989,12 @@ object Queries {
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // the atomic-commit table must produce the SAME result as the
     // per-partition-commit table for the same merge
+    // the post-update table is the CASE-WHEN projection of the original
+    "snapshot_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000.0
+        |       THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
     // the post-delete table is the plain complement of the predicate
     "snapshot_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -545,7 +545,42 @@ final class SnapshotTable(
     * so incremental consumers fold deletes exactly like the removal
     * half of an update. Old versions stay time-travelable until
     * [[vacuum]]. */
-  def delete(predicate: Column, bounds: Seq[(String, Any, Any)] = Nil): Unit = {
+  def delete(predicate: Column, bounds: Seq[(String, Any, Any)] = Nil): Unit =
+    // keep = NOT coalesce(predicate, false): NULL-predicate rows stay
+    rewriteWhere(predicate, bounds)(_.filter(!coalesce(predicate, lit(false))))
+
+  /** Atomic UPDATE (Delta's `UPDATE ... SET` analog): rows matching
+    * `predicate` get each `set` column replaced by its expression, in
+    * ONE manifest commit, with the same two-stage file pruning as
+    * [[delete]] — untouched files carry over by reference. All SET
+    * expressions evaluate against the OLD row (standard SQL UPDATE
+    * semantics: `SET a = b, b = a` swaps), and each value is cast back
+    * to the column's declared type so the table schema can never drift.
+    * Updating the PARTITION column is allowed: rewritten rows land in
+    * their new partition's directory (the partitioned write re-derives
+    * the dir from the row). */
+  def update(set: Map[String, Column], predicate: Column,
+             bounds: Seq[(String, Any, Any)] = Nil): Unit =
+    rewriteWhere(predicate, bounds) { df =>
+      val unknown = set.keySet.diff(df.columns.toSet)
+      require(unknown.isEmpty, s"update of unknown column(s): $unknown")
+      val cond = coalesce(predicate, lit(false))
+      // ONE select so every SET expression sees the pre-update row
+      df.select(df.columns.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(cond, e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+
+  /** Shared DML core: stats-prune candidates (`bounds`), probe for the
+    * files actually holding a predicate match, rewrite ONLY those
+    * through `rewrite`, carry everything else over by reference, and
+    * commit once. A predicate matching nothing commits nothing. */
+  private def rewriteWhere(predicate: Column, bounds: Seq[(String, Any, Any)])
+                          (rewrite: DataFrame => DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val live = readManifest(v)
@@ -564,10 +599,7 @@ final class SnapshotTable(
     if (touched.isEmpty) return
     val touchedSet = touched.map(_.path).toSet
     val carried = live.filterNot(e => touchedSet(e.path))
-    // keep = NOT coalesce(predicate, false): NULL-predicate rows stay
-    val kept = readFiles(touched)
-      .filter(!coalesce(predicate, lit(false)))
-    commitManifest(v + 1, carried ++ writeDataFiles(kept))
+    commitManifest(v + 1, carried ++ writeDataFiles(rewrite(readFiles(touched))))
   }
 
   /** Touched by the first evolveSchema upsert; its presence is the only

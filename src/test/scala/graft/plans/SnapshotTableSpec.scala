@@ -537,6 +537,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readVersion(1).count() == 100)
   }
 
+  test("update: matched rows rewritten in place, one commit, files carry over") {
+    val path = tmp("snapupd")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    def filesOf(part: String) = new java.io.File(s"$path/data/part=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val p1Before = filesOf("p1")
+    t.update(Map("val" -> upper(col("val"))), col("id") >= 2)
+    assert(contents(t) == Seq(1 -> "a", 2 -> "B", 3 -> "C"))
+    assert(t.currentVersion.contains(2L))
+    assert(filesOf("p1") == p1Before, "unmatched file was rewritten")
+    assert(t.readVersion(1).count() == 3)
+  }
+
+  test("update SET expressions all evaluate against the OLD row (swap works)") {
+    val t = SnapshotTable(spark, tmp("snapswap"), "id", None)
+    t.create(Seq((1, "x", "y")).toDF("id", "a", "b"))
+    t.update(Map("a" -> col("b"), "b" -> col("a")), lit(true))
+    val r = t.read.head()
+    assert((r.getAs[String]("a"), r.getAs[String]("b")) == ("y", "x"))
+  }
+
+  test("update may move rows across partitions; values cast back to column type") {
+    val t = SnapshotTable(spark, tmp("snapmove"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.update(Map("part" -> lit("p9")), col("id") === 1)
+    val parts = t.read.orderBy("id").select("part").collect().map(_.getString(0))
+    assert(parts.toSeq == Seq("p9", "p2"))
+    // the moved row physically lives in its new partition dir
+    assert(new java.io.File(t.path + "/data/part=p9").exists())
+  }
+
   test("delete can empty the table; a declared schema types the empty read") {
     val schema = frame((1, "a", "p1")).schema
     val t = SnapshotTable(spark, tmp("snapdelall"), "id", Some("part"),
