@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, BoundReference, Cast, EvalMode, Expression,
+  And, AttributeReference, BoundReference, Cast, EqualTo, EvalMode,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, PartitionDirectory}
@@ -73,12 +74,79 @@ final class ManifestFileIndex(
   private def partOf(rel: String): String =
     rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
 
+  /** Conjunctive [lo, hi] bounds (encoded in the manifest's tagged-value
+    * form) extracted from the query's data filters. Only shapes that can
+    * prune are collected — anything else (OR, UDFs, casts, unsupported
+    * literal types) simply contributes no bound, which can never be
+    * wrong, only useless. */
+  private def filterBounds(filters: Seq[Expression])
+      : Seq[(String, Option[String], Option[String])] = {
+    def enc(v: Any): Option[String] = v match {
+      case n: Long => Some(s"L:$n")
+      case n: Int => Some(s"L:$n")
+      case n: Short => Some(s"L:$n")
+      case n: Byte => Some(s"L:$n")
+      case n: Double => Some(s"D:$n")
+      case n: Float => Some(s"D:${n.toDouble}")
+      case s: UTF8String => Some(FileEntry.encS(s.toString))
+      case _ => None // dates/decimals/etc: no pruning, never wrong
+    }
+    def walk(e: Expression): Seq[(String, Option[String], Option[String])] =
+      e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case EqualTo(a: AttributeReference, Literal(v, _)) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), Some(x)))
+        case EqualTo(Literal(v, _), a: AttributeReference) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), Some(x)))
+        case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), None))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), None))
+        case LessThan(Literal(v, _), a: AttributeReference) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), None))
+        case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+          enc(v).toSeq.map(x => (a.name, Some(x), None))
+        case LessThan(a: AttributeReference, Literal(v, _)) =>
+          enc(v).toSeq.map(x => (a.name, None, Some(x)))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+          enc(v).toSeq.map(x => (a.name, None, Some(x)))
+        case GreaterThan(Literal(v, _), a: AttributeReference) =>
+          enc(v).toSeq.map(x => (a.name, None, Some(x)))
+        case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+          enc(v).toSeq.map(x => (a.name, None, Some(x)))
+        case _ => Nil
+      }
+    filters.flatMap(walk)
+  }
+
+  /** Delta-style automatic data skipping: a file whose manifest min/max
+    * range provably can't overlap EVERY bound is dropped at planning
+    * time — for any read with pushable filters, not just
+    * [[SnapshotTable.readWhere]]. Files without stats for a bound's
+    * column (or stats of another type family) are conservatively kept;
+    * the exact filter still runs on top of the scan. */
+  private def skipByStats(es: Seq[FileEntry],
+                          dataFilters: Seq[Expression]): Seq[FileEntry] = {
+    val bounds = filterBounds(dataFilters)
+    if (bounds.isEmpty) es
+    else es.filter(e => bounds.forall { case (c, lo, hi) =>
+      e.stats.get(c) match {
+        case Some((mn, mx)) if lo.forall(_.take(2) == mn.take(2)) &&
+            hi.forall(_.take(2) == mx.take(2)) =>
+          val ord = FileEntry.valueOrdering
+          hi.forall(h => ord.lteq(mn, h)) && lo.forall(l => ord.gteq(mx, l))
+        case _ => true // no/foreign-typed stats: never prune
+      }
+    })
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = skipByStats(entries, dataFilters)
     if (partitionSchema.isEmpty) {
-      Seq(PartitionDirectory(InternalRow.empty, entries.map(statusOf).toArray))
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
     } else {
-      val dirs = entries.groupBy(e => partOf(e.path)).toSeq.map {
+      val dirs = kept.groupBy(e => partOf(e.path)).toSeq.map {
         case (raw, es) =>
           PartitionDirectory(InternalRow(partitionValue(raw)),
             es.map(statusOf).toArray)
@@ -99,4 +167,5 @@ final class ManifestFileIndex(
         dirs.filter(d => pred.eval(d.values))
       }
     }
+  }
 }

@@ -103,6 +103,40 @@ class ManifestFileIndexSpec extends SparkSpec {
       Seq("a", "b"))
   }
 
+  test("plain read.filter skips files automatically from manifest stats") {
+    val path = tmp("mfiskip")
+    val s2 = StructType(Seq(
+      StructField("id", IntegerType), StructField("val", StringType)))
+    val t = SnapshotTable(spark, path, "id",
+      declaredSchema = Some(s2), statsCols = Seq("id"),
+      clusterBy = Seq("id"), clusterFiles = 4)
+    t.create((1 to 100).map(i => (i, s"v$i")).toDF("id", "val"))
+    def selectedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = scanOf(df)
+      scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    assert(selectedFiles(t.read) == 4)
+    // a selective range opens only the overlapping file(s) — no
+    // readWhere needed, the data filters prune at planning time
+    val sel = t.read.filter(col("id") <= 10)
+    assert(selectedFiles(sel) < 4, "stats pruned nothing")
+    assert(sel.count() == 10)
+    // equality probe
+    val eq = t.read.filter(col("id") === 55)
+    assert(selectedFiles(eq) == 1)
+    assert(eq.select("val").as[String].head() == "v55")
+    // provably-disjoint predicate: zero files, still a correct empty scan
+    val none = t.read.filter(col("id") > 1000)
+    assert(selectedFiles(none) == 0)
+    assert(none.count() == 0)
+    // a filter on a statless column prunes nothing and stays correct
+    val statless = t.read.filter(col("val") === "v7")
+    assert(selectedFiles(statless) == 4)
+    assert(statless.count() == 1)
+  }
+
   test("unpartitioned declared-schema table also plans off the manifest") {
     val path = tmp("mfiflat")
     val s2 = StructType(schema.fields.filterNot(_.name == "part"))
