@@ -37,7 +37,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
     SnapshotRelation(ctx, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      parameters.get("versionAsOf").map(_.toLong), parameters)
 
   /** Sink side — `df.write.format("graft")`: every SaveMode maps onto
     * an ATOMIC snapshot commit. Append MERGEs by the `primaryKey`
@@ -68,13 +68,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         // new data (prior versions stay time-travelable until vacuum)
         if (table.exists) table.replace(data) else table.create(data)
     }
-    SnapshotRelation(ctx, path, None)
+    SnapshotRelation(ctx, path, None, parameters)
   }
 }
 
 case class SnapshotRelation(ctx: SQLContext, path: String,
-                            version: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+                            version: Option[Long],
+                            parameters: Map[String, String] = Map.empty)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   // read-only handle: the primary key only matters for writes
   private def table =
@@ -124,6 +125,23 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
   // may only skip files, never rows
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
+
+  /** SQL DML — `INSERT INTO` a `USING graft` catalog table MERGEs by
+    * the table's `primaryKey` OPTION (the graft Append semantic);
+    * `INSERT OVERWRITE` is an atomic full replace with history
+    * retained. Requires `OPTIONS (primaryKey '<col>')` on the CREATE
+    * TABLE — the manifest alone cannot name the merge key. */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    require(version.isEmpty, "cannot INSERT into a versionAsOf read")
+    val pk = parameters.getOrElse("primaryKey",
+      throw new IllegalArgumentException(
+        "INSERT into a graft table requires OPTIONS (primaryKey '<col>')"))
+    val t = SnapshotTable(ctx.sparkSession, path, pk,
+      partitionCol = parameters.get("partitionCol"))
+    if (overwrite) { if (t.exists) t.replace(data) else t.create(data) }
+    else t.upsert(data)
+  }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

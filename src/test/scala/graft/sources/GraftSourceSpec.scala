@@ -91,6 +91,31 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
   }
 
+  test("SQL DML: INSERT INTO merges by primaryKey; INSERT OVERWRITE replaces") {
+    val path = tmp("srcinsert")
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "a"), (2, "b")).toDF("id", "val"))
+    spark.sql(
+      s"""CREATE TABLE graft_sql_ins USING graft
+         |OPTIONS (primaryKey 'id') LOCATION '$path'""".stripMargin)
+    try {
+      // merge semantics: existing key 2 replaced, key 3 inserted
+      spark.sql("INSERT INTO graft_sql_ins VALUES (2, 'B2'), (3, 'c')")
+      spark.sql("REFRESH TABLE graft_sql_ins")
+      assert(spark.sql("SELECT id, val FROM graft_sql_ins ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "a"), (2, "B2"), (3, "c")))
+      // atomic full replace, history retained
+      spark.sql("INSERT OVERWRITE graft_sql_ins VALUES (9, 'z')")
+      spark.sql("REFRESH TABLE graft_sql_ins")
+      assert(spark.sql("SELECT id, val FROM graft_sql_ins")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((9, "z")))
+      assert(spark.read.format("graft").option("versionAsOf", 2).load(path)
+        .count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ins")
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")
