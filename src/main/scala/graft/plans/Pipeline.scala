@@ -185,6 +185,14 @@ object Pipeline {
     val withLoaded = results.zip(gateResults).map { case (r, (n, _)) =>
       r.copy(loaded = n)
     }
+    // bound version history: each run commits a full rewrite per table,
+    // so without reclamation the warehouse grows by O(table files) per
+    // run and every later merge pays for the garbage. Two versions stay
+    // time-travelable; retention 0 is safe here because each table has
+    // exactly one writer (the job that owns it, reference semantics —
+    // a shared-table deployment would keep the default retention).
+    if (gateResults.forall(_._2))
+      tables.values.foreach(_.vacuum(keepVersions = 2, retentionMs = 0))
     Report(withLoaded, gateResults.forall(_._2))
 
     } finally written.values.foreach(_.unpersist())
