@@ -206,7 +206,10 @@ final class SnapshotTable(
     try out.write(payload)
     finally out.close()
     val won =
-      if (fs.getScheme == "file") {
+      // getUri, not getScheme: RawLocalFileSystem (and other bare
+      // FileSystem subclasses) never override getScheme and the base
+      // class THROWS — the URI's scheme is always present
+      if (fs.getUri.getScheme == "file") {
         val local = (p: Path) =>
           java.nio.file.Paths.get(p.toUri.getPath) match {
             case abs if abs.isAbsolute => abs
