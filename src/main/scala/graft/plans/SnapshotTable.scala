@@ -160,14 +160,29 @@ final class SnapshotTable(
 
   def exists: Boolean = currentVersion.isDefined
 
-  private def readManifest(v: Long): Seq[FileEntry] = {
+  /** One parsed manifest: the snapshot's file set plus the schema the
+    * commit recorded (absent only for manifests written before schemas
+    * were logged — Delta keeps the schema in its transaction log for
+    * the same reason: a reader should never need file footers to know
+    * what a table looks like). */
+  private final case class Manifest(entries: Seq[FileEntry],
+                                    schema: Option[StructType])
+
+  private def readManifest(v: Long): Manifest = {
     val in = fs.open(manifestPath(v))
     try {
       val txt = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       val lines = txt.split("\n").filter(_.nonEmpty).toSeq
       require(lines.head == s"version\t$v", s"manifest header mismatch at v$v")
-      lines.tail.filterNot(_.startsWith("token\t")).map(FileEntry.parse)
+      val schema = lines.tail.find(_.startsWith("schema\t")).flatMap { l =>
+        scala.util.Try(org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("schema\t")).asInstanceOf[StructType]).toOption
+      }
+      val entries = lines.tail
+        .filterNot(l => l.startsWith("token\t") || l.startsWith("schema\t"))
+        .map(FileEntry.parse)
+      Manifest(entries, schema)
     } finally in.close()
   }
 
@@ -191,14 +206,21 @@ final class SnapshotTable(
     *    perfectly interleaved pair can still trade wins; strict
     *    N-writer exclusion there needs an external lock/catalog
     *    (public Delta has the same caveat on raw S3). */
-  private def commitManifest(v: Long, files: Seq[FileEntry]): Unit = {
+  private def commitManifest(v: Long, files: Seq[FileEntry],
+                             schema: StructType): Unit = {
     fs.mkdirs(new Path(commitsDir))
     val dest = manifestPath(v)
     if (fs.exists(dest))
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
     val token = UUID.randomUUID().toString
-    val payload = (s"version\t$v\ntoken\t$token\n" +
+    // the schema rides in the manifest as one compact-JSON line (JSON
+    // string escaping guarantees no literal tab/newline), nullability
+    // relaxed to match what a parquet read reports — so readers plan
+    // scans without opening a single footer
+    val loggedSchema =
+      StructType(schema.fields.map(_.copy(nullable = true))).json
+    val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
       files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
@@ -238,9 +260,17 @@ final class SnapshotTable(
     writeLatestHint(v)
   }
 
-  /** Snapshot read of a specific version (time travel). */
-  def readVersion(v: Long): DataFrame =
-    readFiles(readManifest(v))
+  /** Snapshot read of a specific version (time travel), typed by that
+    * version's logged schema. */
+  def readVersion(v: Long): DataFrame = {
+    val m = readManifest(v)
+    readFiles(m.entries, m.schema)
+  }
+
+  /** The current version's parsed manifest. */
+  private def currentManifest: Manifest =
+    readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path")))
 
   /** Snapshot read of the current version. */
   def read: DataFrame = readVersion(currentVersion.getOrElse(
@@ -349,7 +379,8 @@ final class SnapshotTable(
           (if (statsCols.isEmpty) Map.empty[String, (String, String)]
            else footerStats(rel)) + FileEntry.metaStat(len, mtime))
     })
-    val blooms = fileBlooms(entries)
+    val blooms = fileBlooms(entries,
+      Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
   }
 
@@ -361,11 +392,12 @@ final class SnapshotTable(
     * Files match manifest entries by basename (commit-UUID-prefixed,
     * so unique; partition DIRS can be Hive/URI-escaped in
     * `input_file_name`, basenames never are). */
-  private def fileBlooms(entries: Seq[FileEntry])
+  private def fileBlooms(entries: Seq[FileEntry],
+                         writeSchema: Option[StructType])
       : Map[String, Map[String, (String, String)]] = {
     if (bloomCols.isEmpty || entries.isEmpty) return Map.empty
     import graft.functions.BloomSketch
-    val df = readFiles(entries)
+    val df = readFiles(entries, writeSchema)
     val aggs = bloomCols.map { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -456,7 +488,7 @@ final class SnapshotTable(
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
     require(!exists, s"table already exists at $path")
-    commitManifest(1L, writeDataFiles(df))
+    commitManifest(1L, writeDataFiles(df), df.schema)
   }
 
   /** MERGE-by-PK upsert as ONE atomic commit: touched partitions are
@@ -478,7 +510,9 @@ final class SnapshotTable(
     if (evolveSchema && !fs.exists(evolvedMarker))
       fs.create(evolvedMarker, true).close()
     val v = currentVersion.get
-    val live = readManifest(v)
+    val m = readManifest(v)
+    val live = m.entries
+    var committedSchema: StructType = null
     val next = partitionCol match {
       case None =>
         val cur = read
@@ -486,6 +520,7 @@ final class SnapshotTable(
         val merged =
           if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
           else kept.unionByName(source.select(cur.columns.toIndexedSeq.map(col): _*))
+        committedSchema = merged.schema
         writeDataFiles(merged)
       case Some(pc) =>
         // render the partition values exactly the way the writer names
@@ -503,7 +538,7 @@ final class SnapshotTable(
         val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
-          else timed("open-touched")(readFiles(touchedFiles))
+          else timed("open-touched")(readFiles(touchedFiles, m.schema))
         val merged =
           if (touchedFiles.isEmpty) source
           else {
@@ -513,9 +548,10 @@ final class SnapshotTable(
             else kept.unionByName(
               source.select(current.columns.toIndexedSeq.map(col): _*))
           }
+        committedSchema = merged.schema
         keptFiles ++ writeDataFiles(merged)
     }
-    commitManifest(v + 1, next)
+    commitManifest(v + 1, next, committedSchema)
   }
 
   /** Atomic full REPLACE: the next version's manifest lists only the
@@ -527,7 +563,7 @@ final class SnapshotTable(
   def replace(df: DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    commitManifest(v + 1, writeDataFiles(df))
+    commitManifest(v + 1, writeDataFiles(df), df.schema)
   }
 
   /** Atomic DELETE of the rows matching `predicate`, as ONE manifest
@@ -586,14 +622,15 @@ final class SnapshotTable(
                           (rewrite: DataFrame => DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    val live = readManifest(v)
-    val cands = if (bounds.isEmpty) live else candidateFiles(bounds: _*)
+    val m = readManifest(v)
+    val live = m.entries
+    val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
     if (cands.isEmpty) return
     // exact probe: which candidate files hold at least one TRUE row?
     // O(distinct files) strings cross the driver, never data. Basenames
     // are commit-UUID-prefixed, hence unique across the whole table.
     def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val hit = readFiles(cands)
+    val hit = readFiles(cands, m.schema)
       .filter(predicate)
       .select(input_file_name())
       .distinct().collect()
@@ -602,19 +639,32 @@ final class SnapshotTable(
     if (touched.isEmpty) return
     val touchedSet = touched.map(_.path).toSet
     val carried = live.filterNot(e => touchedSet(e.path))
-    commitManifest(v + 1, carried ++ writeDataFiles(rewrite(readFiles(touched))))
+    val rewritten = rewrite(readFiles(touched, m.schema))
+    commitManifest(v + 1, carried ++ writeDataFiles(rewritten),
+      rewritten.schema)
   }
 
   /** Touched by the first evolveSchema upsert; its presence is the only
     * case where reads must merge footers across files. */
   private def evolvedMarker = new Path(s"$path/_evolved")
 
-  private def readFiles(entries: Seq[FileEntry]): DataFrame = {
+  /** Read a file set, planning from manifest metadata when possible.
+    *
+    * `manifestSchema` is the schema the files' manifest logged at
+    * commit; an explicit `declaredSchema` overrides it (pinning), and
+    * with neither the read falls back to footer inference. A read typed
+    * by a manifest schema handles files written before a schema
+    * evolution too: parquet resolves columns by name, so a column
+    * absent from an old file simply reads as null under the newer
+    * schema — the per-version schema IS the mergeSchema answer. */
+  private def readFiles(entries: Seq[FileEntry],
+                        manifestSchema: Option[StructType] = None): DataFrame = {
+    val effective = declaredSchema.orElse(manifestSchema)
     if (entries.isEmpty) {
       // a delete can legitimately empty the table; parquet() with zero
       // paths cannot infer a schema, so type the empty frame explicitly
-      val s = declaredSchema.getOrElse(throw new IllegalStateException(
-        s"snapshot at $path has no data files and no declaredSchema to " +
+      val s = effective.getOrElse(throw new IllegalStateException(
+        s"snapshot at $path has no data files and no schema to " +
           "type an empty read"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -623,16 +673,15 @@ final class SnapshotTable(
     // metadata ALONE ([[ManifestFileIndex]]) — no directory listing, no
     // per-file stat (spark.read.parquet(paths*) stats every explicit
     // path: ~5s per 2,400-file snapshot read, twice per upsert, at the
-    // pipeline's shape). Requires a declaredSchema covering the
-    // partition column (nothing may be inferred without I/O), recorded
-    // file lengths (older manifests lack them), and a never-evolved
-    // table (evolution mixes footer schemas and needs mergeSchema's
-    // footer pass).
-    val indexable = declaredSchema.exists(s =>
+    // pipeline's shape). Requires a schema covering the partition
+    // column (nothing may be inferred without I/O) and recorded file
+    // lengths (manifests written before either was logged fall back to
+    // the listing path below).
+    val indexable = effective.exists(s =>
       partitionCol.forall(s.fieldNames.contains)) &&
-      entries.forall(_.len >= 0) && !fs.exists(evolvedMarker)
+      entries.forall(_.len >= 0)
     if (indexable) {
-      val schema = declaredSchema.get
+      val schema = effective.get
       val partSchema = StructType(
         partitionCol.toSeq.flatMap(c => schema.fields.find(_.name == c)))
       val dataSchema = StructType(
@@ -647,15 +696,16 @@ final class SnapshotTable(
       return spark.baseRelationToDataFrame(rel)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     }
-    // mergeSchema only once the table has actually evolved: a snapshot
-    // then mixes pre- and post-evolution files (untouched partitions
-    // carry over by reference) and the new column must surface as null
-    // for the old ones. On a never-evolved table the option would turn
-    // every read into an O(files) footer-merge job for nothing — the
-    // marker check is one FS metadata op instead.
+    // Listing fallback (pre-schema/pre-meta manifests). mergeSchema only
+    // once the table has actually evolved: a snapshot then mixes pre-
+    // and post-evolution files (untouched partitions carry over by
+    // reference) and the new column must surface as null for the old
+    // ones. On a never-evolved table the option would turn every read
+    // into an O(files) footer-merge job for nothing — the marker check
+    // is one FS metadata op instead.
     val r = spark.read.option("basePath", dataDir)
       .option("mergeSchema", fs.exists(evolvedMarker).toString)
-    declaredSchema.fold(r)(s => r.schema(s))
+    effective.fold(r)(s => r.schema(s))
       .parquet(entries.map(e => s"$dataDir/${e.path}"): _*)
   }
 
@@ -687,19 +737,20 @@ final class SnapshotTable(
   def changesDelta(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
     val img = SnapshotTable.ImageCol
-    val beforeEntries = readManifest(fromV)
-    val before = beforeEntries.map(_.path).toSet
-    val newEntries = readManifest(toV).filterNot(e => before(e.path))
+    val mFrom = readManifest(fromV)
+    val mTo = readManifest(toV)
+    val before = mFrom.entries.map(_.path).toSet
+    val newEntries = mTo.entries.filterNot(e => before(e.path))
     if (newEntries.isEmpty)
       return read.limit(0).withColumn(img, lit(""))
     val touched = newEntries.map(e => partOf(e.path)).toSet
-    val oldTouched = beforeEntries.filter(e => touched(partOf(e.path)))
-    val newRows = readFiles(newEntries)
+    val oldTouched = mFrom.entries.filter(e => touched(partOf(e.path)))
+    val newRows = readFiles(newEntries, mTo.schema)
     if (oldTouched.isEmpty) newRows.withColumn(img, lit("after"))
     else {
       // a span crossing a schema-evolution commit reads old files
       // without the new columns: pad them with nulls so EXCEPT lines up
-      val oldRows = readFiles(oldTouched)
+      val oldRows = readFiles(oldTouched, mFrom.schema)
       val oldAligned =
         if (oldRows.columns.sameElements(newRows.columns)) oldRows
         else oldRows.unionByName(newRows.limit(0), allowMissingColumns = true)
@@ -713,13 +764,15 @@ final class SnapshotTable(
     * overlap EVERY [lower, upper] bound — the data-skipping candidate
     * set, decided on manifest METADATA alone. Files without stats for a
     * bound's column are conservatively kept for that bound. */
-  def candidateFiles(bounds: (String, Any, Any)*): Seq[FileEntry] = {
+  def candidateFiles(bounds: (String, Any, Any)*): Seq[FileEntry] =
+    candidatesOf(currentManifest.entries, bounds)
+
+  private def candidatesOf(entries: Seq[FileEntry],
+                           bounds: Seq[(String, Any, Any)]): Seq[FileEntry] = {
     val encoded = bounds.map { case (c, lo, hi) =>
       (c, FileEntry.enc(lo), FileEntry.enc(hi))
     }
-    readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $path")))
-      .filter(e => encoded.forall { case (c, lo, hi) =>
+    entries.filter(e => encoded.forall { case (c, lo, hi) =>
         e.stats.get(c) match {
           // compare only within a tag family: a bound typed differently
           // from the footer stats (schema drift) keeps the file — pruning
@@ -737,10 +790,11 @@ final class SnapshotTable(
     * files) I/O, not O(table) — then the exact filter is applied on
     * top, so the result is correct whether or not stats exist. */
   def readWhere(bounds: (String, Any, Any)*): DataFrame = {
-    val cand = candidateFiles(bounds: _*)
+    val m = currentManifest
+    val cand = candidatesOf(m.entries, bounds)
     // parquet() with zero paths cannot infer a schema — an all-pruned
     // predicate must still return an empty frame of the table's schema
-    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand)
+    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand, m.schema)
     bounds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .foldLeft(base)(_.filter(_))
   }
@@ -781,7 +835,9 @@ final class SnapshotTable(
     * O(matching files) I/O with them. */
   def readWhereEq(points: (String, Any)*): DataFrame = {
     val cand = candidateFilesEq(points: _*)
-    val base = if (cand.isEmpty) read.limit(0) else readFiles(cand)
+    val base =
+      if (cand.isEmpty) read.limit(0)
+      else readFiles(cand, currentManifest.schema)
     points.foldLeft(base) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
   }
 
@@ -796,7 +852,8 @@ final class SnapshotTable(
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
               minFiles: Int = 2): Unit = {
     val v = currentVersion.getOrElse(return)
-    val live = readManifest(v)
+    val m = readManifest(v)
+    val live = m.entries
     // size live files with ONE listStatus per directory (lengths come
     // back with the listing) — per-file getFileStatus would be O(live
     // files) metadata round-trips on every compact, no-op or not
@@ -821,9 +878,10 @@ final class SnapshotTable(
     }
     if (frag.isEmpty) return
     val files = frag.values.flatten.toSeq
-    val rewritten = writeDataFiles(
-      readFiles(files), packFiles = Some(packed(files)))
-    commitManifest(v + 1, keep.values.flatten.toSeq ++ rewritten)
+    val packIn = readFiles(files, m.schema)
+    val rewritten = writeDataFiles(packIn, packFiles = Some(packed(files)))
+    commitManifest(v + 1, keep.values.flatten.toSeq ++ rewritten,
+      m.schema.getOrElse(packIn.schema))
   }
 
   /** Reclaim files referenced by no retained manifest: crashed-commit
@@ -842,7 +900,7 @@ final class SnapshotTable(
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
-    val referenced = keep.flatMap(readManifest(_).map(_.path)).toSet
+    val referenced = keep.flatMap(readManifest(_).entries.map(_.path)).toSet
     // drop manifests older than the retention window
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>

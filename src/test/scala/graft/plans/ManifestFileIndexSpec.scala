@@ -137,6 +137,36 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(statless.count() == 1)
   }
 
+  test("schema-less tables plan off the manifest: the commit logs the schema") {
+    val path = tmp("mfilog")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val df = t.read
+    assert(scanOf(df).relation.location.isInstanceOf[ManifestFileIndex],
+      "schema-less read did not plan from the logged schema")
+    // types come from the log, not partition-dir inference
+    assert(df.schema("id").dataType == IntegerType)
+    assert(df.schema("part").dataType == StringType)
+    assert(df.count() == 2)
+  }
+
+  test("schema evolution: per-version logged schema null-fills old files") {
+    val path = tmp("mfievo")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(Seq((3, "c", "p2", 7)).toDF("id", "val", "part", "extra"),
+      evolveSchema = true)
+    val df = t.read
+    // the evolved read still plans off the manifest (v2's schema has
+    // the new column; parquet resolves by name, old files read null)
+    assert(scanOf(df).relation.location.isInstanceOf[ManifestFileIndex])
+    val rows = df.orderBy("id").select("id", "extra").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(rows.toSeq == Seq((1, None), (2, None), (3, Some(7))))
+    // time travel to v1 sees the PRE-evolution schema
+    assert(!t.readVersion(1).columns.contains("extra"))
+  }
+
   test("unpartitioned declared-schema table also plans off the manifest") {
     val path = tmp("mfiflat")
     val s2 = StructType(schema.fields.filterNot(_.name == "part"))

@@ -390,10 +390,12 @@ class SnapshotTableSpec extends SparkSpec {
       // already exists (the losing side of the race) must throw, not
       // clobber the winner's manifest
       val m = classOf[SnapshotTable].getDeclaredMethod(
-        "commitManifest", classOf[Long], classOf[Seq[_]])
+        "commitManifest", classOf[Long], classOf[Seq[_]],
+        classOf[org.apache.spark.sql.types.StructType])
       m.setAccessible(true)
       try m.invoke(t, java.lang.Long.valueOf(2L),
-        live.toSeq.map(SnapshotTable.FileEntry(_, Map.empty)))
+        live.toSeq.map(SnapshotTable.FileEntry(_, Map.empty)),
+        frame((1, "a", "p1")).schema)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
     assert(t.read.count() == 1, "losing commit corrupted the table")
