@@ -78,7 +78,16 @@ final class SnapshotTable(
     /** Sizing for each per-file bloom (per-FILE expected distinct
       * items, not per table). ~0.9 bytes/item at 3% fpp. */
     val bloomExpectedItems: Long = 100000L,
-    val bloomFpp: Double = 0.03) {
+    val bloomFpp: Double = 0.03,
+    /** CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT CHECK`
+      * analog): named predicates every INCOMING row must satisfy. SQL
+      * CHECK semantics — a row violates only when the predicate is
+      * FALSE (NULL passes). Enforced on the new rows of create/upsert/
+      * replace and on updated rows, BEFORE the commit: a violating
+      * batch fails whole, the table keeps its previous snapshot, and
+      * already-committed rows are never re-checked (O(batch), never
+      * O(table)). */
+    val checkConstraints: Seq[(String, Column)] = Nil) {
 
   import SnapshotTable.FileEntry
 
@@ -485,9 +494,21 @@ final class SnapshotTable(
     } finally reader.close()
   }
 
+  /** Fail (before any commit) if a batch row violates a CHECK
+    * constraint — FALSE violates, NULL passes. The probe is a
+    * short-circuiting existence check per constraint, O(batch). */
+  private def enforceChecks(batch: DataFrame): Unit =
+    checkConstraints.foreach { case (name, pred) =>
+      val violating = batch.filter(coalesce(pred, lit(true)) === false)
+      if (!violating.isEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' violated by incoming batch at $path")
+    }
+
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
     require(!exists, s"table already exists at $path")
+    enforceChecks(df)
     commitManifest(1L, writeDataFiles(df), df.schema)
   }
 
@@ -507,6 +528,7 @@ final class SnapshotTable(
       "evolveSchema requires schema inference: a declaredSchema would " +
         "silently drop the evolved columns on read")
     if (!exists) { create(source); return }
+    enforceChecks(source)
     if (evolveSchema && !fs.exists(evolvedMarker))
       fs.create(evolvedMarker, true).close()
     val v = currentVersion.get
@@ -563,6 +585,7 @@ final class SnapshotTable(
   def replace(df: DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
+    enforceChecks(df)
     commitManifest(v + 1, writeDataFiles(df), df.schema)
   }
 
@@ -604,14 +627,19 @@ final class SnapshotTable(
       val unknown = set.keySet.diff(df.columns.toSet)
       require(unknown.isEmpty, s"update of unknown column(s): $unknown")
       val cond = coalesce(predicate, lit(false))
-      // ONE select so every SET expression sees the pre-update row
-      df.select(df.columns.toIndexedSeq.map { c =>
+      // ONE select so every SET expression sees the pre-update row; the
+      // match flag rides along so constraints check exactly the
+      // POST-images of modified rows (carried rows are never re-checked)
+      val flag = "__graft_updated"
+      val updated = df.select(df.columns.toIndexedSeq.map { c =>
         set.get(c) match {
           case Some(e) =>
             when(cond, e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }: _*)
+      } :+ cond.as(flag): _*)
+      enforceChecks(updated.filter(col(flag)).drop(flag))
+      updated.drop(flag)
     }
 
   /** Shared DML core: stats-prune candidates (`bounds`), probe for the
@@ -953,10 +981,11 @@ object SnapshotTable {
             clusterFiles: Int = 0,
             bloomCols: Seq[String] = Nil,
             bloomExpectedItems: Long = 100000L,
-            bloomFpp: Double = 0.03): SnapshotTable =
+            bloomFpp: Double = 0.03,
+            checkConstraints: Seq[(String, Column)] = Nil): SnapshotTable =
     new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
       statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
-      bloomFpp)
+      bloomFpp, checkConstraints)
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they

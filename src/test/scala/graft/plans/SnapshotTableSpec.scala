@@ -572,6 +572,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(new java.io.File(t.path + "/data/part=p9").exists())
   }
 
+  test("CHECK constraints: violating batch fails whole before commit; NULL passes") {
+    val path = tmp("snapcheck")
+    def table = SnapshotTable(spark, path, "id", Some("part"),
+      checkConstraints = Seq("val_nonempty" -> (length(col("val")) > 0)))
+    val t = table
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    // a violating upsert fails whole: nothing committed, table intact
+    intercept[IllegalArgumentException] {
+      t.upsert(frame((3, "", "p1"), (4, "ok", "p2")))
+    }
+    assert(t.currentVersion.contains(1L))
+    assert(t.read.count() == 2)
+    // NULL predicate passes (SQL CHECK semantics)
+    t.upsert(Seq((5, null: String, "p1")).toDF("id", "val", "part"))
+    assert(t.read.count() == 3)
+    // update enforcement checks POST-images of modified rows only —
+    // the nulled row 5 (constraint NULL, passes) is carried unchecked
+    intercept[IllegalArgumentException] {
+      t.update(Map("val" -> lit("")), col("id") === 1)
+    }
+    assert(t.read.filter(col("id") === 1).select("val").head().getString(0) == "a")
+    t.update(Map("val" -> lit("A")), col("id") === 1)
+    assert(t.read.filter(col("id") === 1).select("val").head().getString(0) == "A")
+  }
+
   test("delete can empty the table; a declared schema types the empty read") {
     val schema = frame((1, "a", "p1")).schema
     val t = SnapshotTable(spark, tmp("snapdelall"), "id", Some("part"),
