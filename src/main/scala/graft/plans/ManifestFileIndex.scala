@@ -71,8 +71,7 @@ final class ManifestFileIndex(
     }
   }
 
-  private def partOf(rel: String): String =
-    rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
+  private def partOf(rel: String): String = SnapshotTable.partOf(rel)
 
   /** Conjunctive [lo, hi] bounds (encoded in the manifest's tagged-value
     * form) extracted from the query's data filters. Only shapes that can

@@ -175,7 +175,10 @@ final class SnapshotTable(
     * the same reason: a reader should never need file footers to know
     * what a table looks like). */
   private final case class Manifest(entries: Seq[FileEntry],
-                                    schema: Option[StructType])
+                                    schema: Option[StructType],
+                                    partitionCol: Option[String])
+
+  private val HeaderPrefixes = Seq("token\t", "schema\t", "partition\t")
 
   private def readManifest(v: Long): Manifest = {
     val in = fs.open(manifestPath(v))
@@ -188,12 +191,24 @@ final class SnapshotTable(
         scala.util.Try(org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("schema\t")).asInstanceOf[StructType]).toOption
       }
+      val pc = lines.tail.find(_.startsWith("partition\t"))
+        .map(_.stripPrefix("partition\t")).filter(_.nonEmpty)
       val entries = lines.tail
-        .filterNot(l => l.startsWith("token\t") || l.startsWith("schema\t"))
+        .filterNot(l => HeaderPrefixes.exists(l.startsWith))
         .map(FileEntry.parse)
-      Manifest(entries, schema)
+      Manifest(entries, schema, pc)
     } finally in.close()
   }
+
+  /** The table's REAL partition column: the constructor's when given,
+    * else the one the manifest logged at commit — so a read-only handle
+    * (`format("graft")`, SQL `USING graft`, a bare SnapshotTable(path))
+    * can never mis-plan a partitioned table as unpartitioned. Resolved
+    * once per handle; create() on a not-yet-existing table sees the
+    * constructor value. */
+  private lazy val tablePartitionCol: Option[String] =
+    partitionCol.orElse(
+      currentVersion.flatMap(v => readManifest(v).partitionCol))
 
   /** Write manifest to a tmp name, then ONE atomic-exclusive namespace
     * op that is the commit point — optimistic concurrency: the writer
@@ -229,8 +244,12 @@ final class SnapshotTable(
     // scans without opening a single footer
     val loggedSchema =
       StructType(schema.fields.map(_.copy(nullable = true))).json
+    // the partition column is layout metadata readers MUST know (a
+    // handle without it would mis-plan a partitioned table), so it is
+    // logged with every commit alongside the schema
+    val pcLine = tablePartitionCol.fold("")(c => s"partition\t$c\n")
     val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      files.map(_.serialize).mkString("\n") + "\n")
+      pcLine + files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
     val out = fs.create(tmp, true)
@@ -285,10 +304,7 @@ final class SnapshotTable(
   def read: DataFrame = readVersion(currentVersion.getOrElse(
     throw new IllegalStateException(s"no committed snapshot at $path")))
 
-  /** Partition value encoded the way Spark writes Hive dirs (null →
-    * __HIVE_DEFAULT_PARTITION__). */
-  private def partOf(rel: String): String =
-    rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
+  private def partOf(rel: String): String = SnapshotTable.partOf(rel)
 
   /** Run `f` over `items` on a bounded thread pool, rethrowing the
     * first failure. Per-file metadata ops (rename / mkdirs / footer
@@ -334,12 +350,12 @@ final class SnapshotTable(
         // the precondition for min/max skipping to actually skip.
         // packFiles (compaction) overrides the pinned count but keeps
         // the clustering, so compacted files stay skippable.
-        val cs = (partitionCol.toSeq ++ clusterBy).map(col)
+        val cs = (tablePartitionCol.toSeq ++ clusterBy).map(col)
         val nf = packFiles.getOrElse(clusterFiles)
         val ranged = if (nf > 0) df.repartitionByRange(nf, cs: _*)
                      else df.repartitionByRange(cs: _*)
         ranged.sortWithinPartitions(cs: _*)
-      } else (partitionCol, packFiles) match {
+      } else (tablePartitionCol, packFiles) match {
         // one file per partition; count pinned so AQE can't collapse a
         // small batch over many partitions onto one task that pays every
         // per-dir file round-trip sequentially (38s vs 7s at the
@@ -350,7 +366,7 @@ final class SnapshotTable(
         case (None, None) => df
       }
     val w = clustered.write.mode("overwrite")
-    timed("write-stage")(partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage))
+    timed("write-stage")(tablePartitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage))
     // per-commit counter makes every BASENAME globally unique: Spark's
     // dynamic-partition writer can emit the same task file name into
     // two partition dirs (per-dir counter, same task UUID), and
@@ -495,15 +511,22 @@ final class SnapshotTable(
   }
 
   /** Fail (before any commit) if a batch row violates a CHECK
-    * constraint — FALSE violates, NULL passes. The probe is a
-    * short-circuiting existence check per constraint, O(batch). */
-  private def enforceChecks(batch: DataFrame): Unit =
-    checkConstraints.foreach { case (name, pred) =>
-      val violating = batch.filter(coalesce(pred, lit(true)) === false)
-      if (!violating.isEmpty)
-        throw new IllegalArgumentException(
-          s"CHECK constraint '$name' violated by incoming batch at $path")
+    * constraint — FALSE violates, NULL passes. ONE aggregate pass over
+    * the batch counts violations of every constraint together (N
+    * constraints would otherwise cost N distributed probes). */
+  private def enforceChecks(batch: DataFrame): Unit = {
+    if (checkConstraints.isEmpty) return
+    val counts = checkConstraints.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(true)) === false, 1L).otherwise(0L)).as(name)
     }
+    val row = batch.agg(counts.head, counts.tail: _*).head()
+    checkConstraints.indices.foreach { i =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '${checkConstraints(i)._1}' violated by " +
+            s"${row.getLong(i)} incoming row(s) at $path")
+    }
+  }
 
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
@@ -535,7 +558,7 @@ final class SnapshotTable(
     val m = readManifest(v)
     val live = m.entries
     var committedSchema: StructType = null
-    val next = partitionCol match {
+    val next = tablePartitionCol match {
       case None =>
         val cur = read
         val kept = cur.join(source.select(primaryKey), Seq(primaryKey), "left_anti")
@@ -706,14 +729,19 @@ final class SnapshotTable(
     // lengths (manifests written before either was logged fall back to
     // the listing path below).
     val indexable = effective.exists(s =>
-      partitionCol.forall(s.fieldNames.contains)) &&
-      entries.forall(_.len >= 0)
+      tablePartitionCol.forall(s.fieldNames.contains)) &&
+      entries.forall(_.len >= 0) &&
+      // files under Hive dirs with NO known partition column (possible
+      // only for manifests from before the layout was logged) must take
+      // the inferring path — the index would plan the partition column
+      // as data and read it null
+      (tablePartitionCol.isDefined || entries.forall(e => !e.path.contains("=")))
     if (indexable) {
       val schema = effective.get
       val partSchema = StructType(
-        partitionCol.toSeq.flatMap(c => schema.fields.find(_.name == c)))
+        tablePartitionCol.toSeq.flatMap(c => schema.fields.find(_.name == c)))
       val dataSchema = StructType(
-        schema.fields.filterNot(f => partitionCol.contains(f.name)))
+        schema.fields.filterNot(f => tablePartitionCol.contains(f.name)))
       val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new ManifestFileIndex(spark, dataDir, entries, partSchema),
         partSchema, dataSchema, None,
@@ -768,10 +796,16 @@ final class SnapshotTable(
     val mFrom = readManifest(fromV)
     val mTo = readManifest(toV)
     val before = mFrom.entries.map(_.path).toSet
+    val after = mTo.entries.map(_.path).toSet
     val newEntries = mTo.entries.filterNot(e => before(e.path))
-    if (newEntries.isEmpty)
+    // REMOVED files touch partitions too: a delete can take a file away
+    // without leaving a replacement in that partition (delete-all leaves
+    // none anywhere) — deriving `touched` from added files alone would
+    // silently drop those partitions' before-images
+    val removedEntries = mFrom.entries.filterNot(e => after(e.path))
+    if (newEntries.isEmpty && removedEntries.isEmpty)
       return read.limit(0).withColumn(img, lit(""))
-    val touched = newEntries.map(e => partOf(e.path)).toSet
+    val touched = (newEntries ++ removedEntries).map(e => partOf(e.path)).toSet
     val oldTouched = mFrom.entries.filter(e => touched(partOf(e.path)))
     val newRows = readFiles(newEntries, mTo.schema)
     if (oldTouched.isEmpty) newRows.withColumn(img, lit("after"))
@@ -972,6 +1006,14 @@ final class SnapshotTable(
 object SnapshotTable {
   /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
   val ImageCol = "_change_image"
+
+  /** The Hive-dir-encoded partition value of a table-relative file path
+    * (null → __HIVE_DEFAULT_PARTITION__). ONE definition shared by the
+    * table's touched-partition detection and [[ManifestFileIndex]]'s
+    * partition grouping — if these ever disagreed, a touched partition
+    * could look untouched and carry stale files over a rewrite. */
+  private[plans] def partOf(rel: String): String =
+    rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
 
   def apply(spark: SparkSession, path: String, primaryKey: String,
             partitionCol: Option[String] = None,

@@ -506,6 +506,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.orderBy("id").select("id").as[Int].collect().toSeq == Seq(2, 3))
   }
 
+  test("a handle without partitionCol resolves the layout from the manifest") {
+    val path = tmp("snappcless")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2")))
+    // read-only handle, no partitionCol declared: partition values must
+    // come back real, not null (the manifest logs the layout)
+    val bare = SnapshotTable(spark, path, "id")
+    assert(bare.read.orderBy("id").select("part")
+      .collect().map(_.getString(0)).toSeq == Seq("p1", "p2"))
+    // and an upsert through the bare handle keeps the PARTITIONED
+    // layout — it must not silently rewrite the table unpartitioned
+    bare.upsert(frame((3, "c", "p3")))
+    assert(new java.io.File(s"$path/data/part=p3").exists(),
+      "bare-handle upsert lost the partition layout")
+    assert(bare.read.count() == 3)
+  }
+
+  test("CDC: a delete that empties a partition still emits before-images") {
+    val t = SnapshotTable(spark, tmp("snapdelpart"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    t.delete(col("part") === "p1") // p1 loses its only file, no new file
+    val delta = t.changesDelta(1, 2)
+      .select(col("id"), col(SnapshotTable.ImageCol).as("img"))
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(delta == Seq((1, "before")))
+    // delete-all: every row must surface as a before-image
+    val t2 = SnapshotTable(spark, tmp("snapdelall2"), "id", Some("part"))
+    t2.create(frame((7, "x", "p1"), (8, "y", "p2")))
+    t2.delete(lit(true))
+    val all = t2.changesDelta(1, 2)
+      .select(col("id"), col(SnapshotTable.ImageCol).as("img"))
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(all == Seq((7, "before"), (8, "before")))
+  }
+
   test("delete flows through CDC as before-images with no paired after") {
     val t = SnapshotTable(spark, tmp("snapdelcdc"), "id", Some("part"))
     t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))

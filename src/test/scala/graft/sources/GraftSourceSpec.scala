@@ -116,6 +116,26 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ins")
   }
 
+  test("partitioned table through the source: values survive, INSERT keeps layout") {
+    val path = tmp("srcpart")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "val", "part"))
+    // the source handle never states partitionCol — values must be real
+    assert(spark.read.format("graft").load(path).orderBy("id")
+      .select("part").as[String].collect().toSeq == Seq("p1", "p2"))
+    spark.sql(
+      s"""CREATE TABLE graft_sql_part USING graft
+         |OPTIONS (primaryKey 'id') LOCATION '$path'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft_sql_part VALUES (3, 'c', 'p3')")
+      spark.sql("REFRESH TABLE graft_sql_part")
+      assert(spark.sql("SELECT part FROM graft_sql_part ORDER BY id")
+        .as[String].collect().toSeq == Seq("p1", "p2", "p3"))
+      assert(new java.io.File(s"$path/data/part=p3").exists(),
+        "SQL INSERT lost the partition layout")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_part")
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")
