@@ -301,6 +301,26 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** S2 (RESTORE) — roll the table back to v1 after a divergent v2
+    * commit: a metadata-only commit referencing v1's files verbatim,
+    * so the read must be exactly the created state (the oracle), with
+    * the undone v2 still time-travelable. */
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snaprestore", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val orders = t(s, dir, "orders")
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(orders.filter(col("o_orderkey") % 2 === 0))
+    table.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+    table.restoreTo(1)
+    require(table.readVersion(2).count() > 0, "undone version lost")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** S2/K2 (atomic UPDATE) — `UPDATE orders SET o_orderpriority =
     * '0-RUSH' WHERE status = 'F' AND totalprice < 100k` as one manifest
     * commit, same pruning contract as [[snapshotDelete]]; the oracle is
@@ -1797,6 +1817,7 @@ object Queries {
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "snapshot_update" -> (snapshotUpdate _),
+    "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
     "snapshot_skip_scan" -> (snapshotSkipScan _),
     "snapshot_bloom_scan" -> (snapshotBloomScan _),
@@ -1989,6 +2010,10 @@ object Queries {
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // the atomic-commit table must produce the SAME result as the
     // per-partition-commit table for the same merge
+    // a restore to v1 is exactly the created state
+    "snapshot_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // the post-update table is the CASE-WHEN projection of the original
     "snapshot_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

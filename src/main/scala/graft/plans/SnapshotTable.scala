@@ -695,6 +695,24 @@ final class SnapshotTable(
       rewritten.schema)
   }
 
+  /** Delta `RESTORE` analog: make the table's NEXT version an exact
+    * copy of `targetVersion`'s manifest — a metadata-only commit (every
+    * file carries over by reference, zero data I/O), so a bad write is
+    * undone atomically while the bad version itself stays
+    * time-travelable until [[vacuum]] reclaims it. The target must
+    * still be within the vacuum retention window: restoring to a
+    * vacuumed version has no files left to reference. */
+  def restoreTo(targetVersion: Long): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    require(targetVersion <= v,
+      s"cannot restore to future version $targetVersion (current $v)")
+    if (targetVersion == v) return
+    val m = readManifest(targetVersion)
+    commitManifest(v + 1, m.entries,
+      m.schema.getOrElse(readFiles(m.entries).schema))
+  }
+
   /** Touched by the first evolveSchema upsert; its presence is the only
     * case where reads must merge footers across files. */
   private def evolvedMarker = new Path(s"$path/_evolved")

@@ -607,6 +607,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(new java.io.File(t.path + "/data/part=p9").exists())
   }
 
+  test("restoreTo: metadata-only rollback, files shared, bad version travelable") {
+    val path = tmp("snaprestore")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((2, "BAD", "p2"), (3, "x", "p2")))
+    t.restoreTo(1)
+    assert(t.currentVersion.contains(3L))
+    assert(contents(t) == Seq(1 -> "a", 2 -> "b"))
+    // metadata-only: v3 references exactly v1's physical files
+    assert(t.readVersion(3).inputFiles.sorted.toSeq ==
+      t.readVersion(1).inputFiles.sorted.toSeq)
+    // the undone version stays readable until vacuum
+    assert(t.readVersion(2).count() == 3)
+    // restoring to the current version is a no-op (no empty commit)
+    t.restoreTo(3)
+    assert(t.currentVersion.contains(3L))
+    intercept[IllegalArgumentException](t.restoreTo(99))
+  }
+
   test("CHECK constraints: violating batch fails whole before commit; NULL passes") {
     val path = tmp("snapcheck")
     def table = SnapshotTable(spark, path, "id", Some("part"),
