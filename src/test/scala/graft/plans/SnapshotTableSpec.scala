@@ -626,6 +626,20 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.restoreTo(99))
   }
 
+  test("vacuum after restore keeps files the restored manifest references") {
+    val path = tmp("snaprestvac")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))     // v1
+    t.upsert(frame((2, "BAD", "p2"), (3, "x", "p2")))   // v2
+    t.restoreTo(1)                                      // v3 = v1's files
+    t.vacuum(keepVersions = 2, retentionMs = 0)         // drops v1's manifest
+    // v3 references v1's physical files — they must survive the vacuum
+    // even though v1's own manifest is gone
+    assert(contents(t) == Seq(1 -> "a", 2 -> "b"))
+    assert(t.readVersion(2).count() == 3) // still within keepVersions
+    intercept[Exception](t.readVersion(1)) // manifest reclaimed
+  }
+
   test("CHECK constraints: violating batch fails whole before commit; NULL passes") {
     val path = tmp("snapcheck")
     def table = SnapshotTable(spark, path, "id", Some("part"),
