@@ -295,6 +295,27 @@ final class SnapshotTable(
     readFiles(m.entries, m.schema)
   }
 
+  /** Timestamp-based time travel (Delta's `timestampAsOf`): the highest
+    * version whose manifest was committed at or before `epochMs` —
+    * manifest file mtimes ARE the commit times (the atomic namespace op
+    * stamps them). None if the table didn't exist yet. O(versions)
+    * metadata probes bounded by the retained history. */
+  def versionAt(epochMs: Long): Option[Long] = {
+    val head = currentVersion.getOrElse(return None)
+    // walk back from the head until a manifest is old enough; vacuumed
+    // manifests end the walk (their commit times are unknowable)
+    var v = head
+    while (v >= 1 && fs.exists(manifestPath(v)) &&
+           fs.getFileStatus(manifestPath(v)).getModificationTime > epochMs)
+      v -= 1
+    if (v >= 1 && fs.exists(manifestPath(v))) Some(v) else None
+  }
+
+  /** Snapshot read as of a wall-clock instant ([[versionAt]]). */
+  def readAsOf(epochMs: Long): DataFrame =
+    readVersion(versionAt(epochMs).getOrElse(throw new IllegalStateException(
+      s"no snapshot at $path existed at epochMs=$epochMs")))
+
   /** The current version's parsed manifest. */
   private def currentManifest: Manifest =
     readManifest(currentVersion.getOrElse(

@@ -35,9 +35,22 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       "graft source requires a path: .load/.save(<table dir>)"))
 
   override def createRelation(
-      ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
-    SnapshotRelation(ctx, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong), parameters)
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    // timestampAsOf (epoch millis or ISO date/datetime) resolves to a
+    // version here, once, so the relation itself stays version-pinned
+    val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
+      parameters.get("timestampAsOf").map { raw =>
+        val ms = raw.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(
+            if (raw.length == 10) raw + " 00:00:00" else raw.replace('T', ' '))
+            .getTime)
+        SnapshotTable(ctx.sparkSession, path, "_unused_read_only")
+          .versionAt(ms).getOrElse(throw new IllegalArgumentException(
+            s"no snapshot at $path existed at timestampAsOf=$raw"))
+      })
+    SnapshotRelation(ctx, path, asOf, parameters)
+  }
 
   /** Sink side — `df.write.format("graft")`: every SaveMode maps onto
     * an ATOMIC snapshot commit. Append MERGEs by the `primaryKey`

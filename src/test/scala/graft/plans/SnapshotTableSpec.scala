@@ -607,6 +607,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(new java.io.File(t.path + "/data/part=p9").exists())
   }
 
+  test("timestamp time travel: versionAt maps instants to commit versions") {
+    val t = SnapshotTable(spark, tmp("snapasof"), "id", Some("part"))
+    assert(t.versionAt(System.currentTimeMillis()).isEmpty) // no table yet
+    t.create(frame((1, "a", "p1")))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local FS mtime can be second-granular
+    t.upsert(frame((2, "b", "p1")))
+    val afterV2 = System.currentTimeMillis()
+    assert(t.versionAt(afterV1).contains(1L))
+    assert(t.versionAt(afterV2).contains(2L))
+    assert(t.versionAt(0L).isEmpty) // before the table existed
+    assert(t.readAsOf(afterV1).count() == 1)
+    assert(t.readAsOf(afterV2).count() == 2)
+    // the source option resolves the same way
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", afterV1).load(t.path).count() == 1)
+  }
+
   test("restoreTo: metadata-only rollback, files shared, bad version travelable") {
     val path = tmp("snaprestore")
     val t = SnapshotTable(spark, path, "id", Some("part"))
