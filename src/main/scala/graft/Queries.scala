@@ -1551,12 +1551,32 @@ object Queries {
     val ordTable = "graft_orders_bucketed"
     val base = scratch("bucketed", dir)
     if (!s.catalog.tableExists(liTable)) {
-      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(liTable)
-      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordTable)
+      // bucketed data is written ONCE and re-registered across sessions
+      // (the point of bucketing: shuffle at write time, reuse forever) —
+      // a fresh JVM's in-memory catalog has lost the table entry, but
+      // the bucketed files survive; external bucketed DDL over the
+      // existing LOCATION restores the metadata without rewriting a byte
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def written(name: String): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/$name/_SUCCESS"))
+      if (written("lineitem") && written("orders")) {
+        s.sql(
+          s"""CREATE TABLE `$liTable` (l_orderkey BIGINT, l_quantity DOUBLE)
+             |USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+             |INTO 8 BUCKETS LOCATION '$base/lineitem'""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE `$ordTable` (o_orderkey BIGINT, o_orderpriority STRING)
+             |USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+             |INTO 8 BUCKETS LOCATION '$base/orders'""".stripMargin)
+      } else {
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(liTable)
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").mode("overwrite").saveAsTable(ordTable)
+      }
     }
     s.table(liTable)
       .join(s.table(ordTable).hint("merge"),
