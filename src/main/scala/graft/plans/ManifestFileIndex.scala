@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{
-  FileIndex, PartitionDirectory}
+  FileStatusCache, PartitionDirectory, PartitioningAwareFileIndex,
+  PartitionPath, PartitionSpec}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,7 +37,14 @@ final class ManifestFileIndex(
     spark: SparkSession,
     dataDir: String,
     entries: Seq[FileEntry],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType)
+  // PartitioningAwareFileIndex (not bare FileIndex) so Spark's own
+  // ParquetScanBuilder/ParquetScan — the vectorized DSv2 parquet read
+  // stack — can plan directly on top of this index; every listing
+  // member is overridden to answer from the manifest, so the base
+  // class's filesystem machinery is never invoked
+  extends PartitioningAwareFileIndex(
+    spark, Map.empty, None, FileStatusCache.getOrCreate(spark)) {
 
   require(partitionSchema.size <= 1,
     "snapshot tables have at most one partition column")
@@ -53,6 +61,30 @@ final class ManifestFileIndex(
   private def statusOf(e: FileEntry): FileStatus =
     new FileStatus(e.len, false, 1, 128L * 1024 * 1024, e.mtime,
       new Path(s"$dataDir/${e.path}"))
+
+  // ---- PartitioningAwareFileIndex contract, answered from the
+  // manifest alone (zero filesystem calls — the whole point)
+
+  override def partitionSpec(): PartitionSpec =
+    if (partitionSchema.isEmpty) PartitionSpec.emptySpec
+    else PartitionSpec(partitionSchema,
+      entries.map(e => partOf(e.path)).distinct.map { raw =>
+        val dir = partitionSchema.fields.head.name + "=" + raw
+        PartitionPath(InternalRow(partitionValue(raw)),
+          new Path(s"$dataDir/$dir"))
+      })
+
+  override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    entries.foreach { e => val st = statusOf(e); m += (st.getPath -> st) }
+    m
+  }
+
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    entries.map(statusOf).groupBy(_.getPath.getParent)
+      .map { case (dir, sts) => dir -> sts.toArray }
 
   /** The Hive dir value parsed back to the partition column's type;
     * __HIVE_DEFAULT_PARTITION__ → null. LEGACY cast: an unparseable

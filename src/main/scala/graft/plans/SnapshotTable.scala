@@ -804,6 +804,32 @@ final class SnapshotTable(
       .parquet(entries.map(e => s"$dataDir/${e.path}"): _*)
   }
 
+  /** Planning inputs for an external scan of one snapshot (the DSv2
+    * `format("graft")` table plans with these): the version's manifest
+    * entries (file lengths guaranteed present — pre-meta manifests pay
+    * one stat per file, once, here), the schema reads should be typed
+    * by, and the table's partition column. Metadata-only: no data I/O. */
+  private[graft] def scanInfo(version: Option[Long] = None)
+      : (Seq[FileEntry], StructType, Option[String]) = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val schema = declaredSchema.orElse(m.schema).getOrElse(
+      readFiles(m.entries).schema) // pre-schema manifest: infer via footers
+    val entries = inParallel(m.entries)(e =>
+      if (e.len >= 0) e
+      else {
+        val st = fs.getFileStatus(new Path(s"$dataDir/${e.path}"))
+        e.copy(stats = e.stats +
+          FileEntry.metaStat(st.getLen, st.getModificationTime))
+      })
+    (entries, schema, tablePartitionCol)
+  }
+
+  /** The table-relative data root (`<path>/data`) external planners
+    * resolve manifest paths against. */
+  private[graft] def dataDirPath: String = dataDir
+
   /** CDC / incremental read: the new row images committed in versions
     * (fromV, toV] — every row inserted or updated since fromV. Rows
     * removed by [[delete]] have no new image and so do not appear here;

@@ -1,17 +1,18 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.plans.SnapshotTable
 
 /** `spark.read.format("graft")` — the snapshot table as a registered
-  * Spark data source (public, stable V1 source API: RelationProvider +
-  * PrunedFilteredScan), so SQL users reach time travel and manifest
-  * data skipping without touching the [[SnapshotTable]] API:
+  * Spark data source:
   *
   * {{{
   *   spark.read.format("graft").load(path)                    // head
@@ -20,13 +21,19 @@ import graft.plans.SnapshotTable
   *   ...load(path).where($"k" between (lo, hi))               // skips
   * }}}
   *
-  * Pushed filters are used ONLY to prune manifest files (bounds on
-  * stats-carrying columns); every filter is reported unhandled, so
-  * Spark re-applies them all on top — pruning can skip files, never
-  * rows, and a filter on a statless column is simply useless rather
-  * than wrong. Column pruning happens before the scan materializes. */
+  * READS resolve through the DataSource V2 [[TableProvider]] interface
+  * to a [[GraftTable]]: Spark's own vectorized parquet `BatchScan`
+  * planned over the snapshot manifest (zero listings, planning-time
+  * partition pruning + min/max skipping, whole-stage codegen intact).
+  *
+  * WRITES keep the V1 [[CreatableRelationProvider]] path on purpose:
+  * the V2 `save()` contract forbids ErrorIfExists/Ignore, while the
+  * table's save-mode matrix maps all four modes onto atomic snapshot
+  * commits. [[GraftTable]] therefore declares no BATCH_WRITE
+  * capability, which makes `DataFrameWriter.save` fall back to exactly
+  * this V1 path — both halves stay reachable by one `format("graft")`. */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft"
 
@@ -34,21 +41,65 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: .load/.save(<table dir>)"))
 
-  override def createRelation(
-      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val path = pathOf(parameters)
-    // timestampAsOf (epoch millis or ISO date/datetime) resolves to a
-    // version here, once, so the relation itself stays version-pinned
-    val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
+  /** versionAsOf/timestampAsOf options → the pinned snapshot version.
+    * Timestamps (epoch millis, or an ISO date/datetime literal
+    * interpreted in the SESSION time zone — the zone SQL literals mean,
+    * not the JVM default) resolve once, so relations stay
+    * version-pinned. */
+  private def resolveVersion(spark: SparkSession, path: String,
+                             parameters: Map[String, String]): Option[Long] =
+    parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map { raw =>
-        val ms = raw.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(
-            if (raw.length == 10) raw + " 00:00:00" else raw.replace('T', ' '))
-            .getTime)
-        SnapshotTable(ctx.sparkSession, path, "_unused_read_only")
+        val ms = raw.toLongOption.getOrElse {
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val ldt =
+            if (raw.length == 10)
+              java.time.LocalDate.parse(raw).atStartOfDay()
+            else java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+          ldt.atZone(zone).toInstant.toEpochMilli
+        }
+        SnapshotTable(spark, path, "_unused_read_only")
           .versionAt(ms).getOrElse(throw new IllegalArgumentException(
             s"no snapshot at $path existed at timestampAsOf=$raw"))
       })
+
+  // ---- DataSource V2 read half: TableProvider → GraftTable
+
+  private def makeTable(options: Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    if (!SnapshotTable(spark, path, "_unused_read_only").exists)
+      new MissingGraftTable(path)
+    else new GraftTable(spark, path, resolveVersion(spark, path, options),
+      options)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    import scala.jdk.CollectionConverters._
+    makeTable(options.asCaseSensitiveMap.asScala.toMap).schema()
+  }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap)
+      : Array[Transform] = {
+    import scala.jdk.CollectionConverters._
+    makeTable(options.asCaseSensitiveMap.asScala.toMap).partitioning()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    makeTable(properties.asScala.toMap)
+  }
+
+  // ---- V1 read half kept only for code paths that explicitly ask for
+  // a BaseRelation (none in Spark's own resolution once TableProvider
+  // exists; SQL `USING graft` and INSERT INTO ride it — see below)
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    val asOf = resolveVersion(ctx.sparkSession, path, parameters)
     SnapshotRelation(ctx, path, asOf, parameters)
   }
 

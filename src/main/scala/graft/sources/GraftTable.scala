@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.util.{Collections, Set => JSet}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.plans.{ManifestFileIndex, SnapshotTable}
+
+/** The snapshot table as a DataSource V2 [[Table]] — what
+  * `spark.read.format("graft")` resolves to. Scans are planned by
+  * Spark's own vectorized parquet stack ([[ParquetScanBuilder]] →
+  * columnar `BatchScan`, inside whole-stage codegen) over a
+  * [[ManifestFileIndex]], so a `format("graft")` read costs exactly
+  * what a native parquet read costs while planning from manifest
+  * metadata alone: zero directory listings, partition pruning and
+  * min/max data skipping decided before any I/O.
+  *
+  * A table handle is pinned to ONE snapshot version (head at
+  * construction, or `versionAsOf`/`timestampAsOf`): time travel is just
+  * a handle onto an older manifest, and a concurrent commit can never
+  * shift a query's file set mid-plan. */
+final class GraftTable(
+    spark: SparkSession,
+    val tablePath: String,
+    val pinnedVersion: Option[Long] = None,
+    /** CREATE TABLE OPTIONS / writer options — `primaryKey` names the
+      * MERGE key for the write half, `partitionCol` opts writes into
+      * partition-scoped rewrites. */
+    val options: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
+
+  // one manifest read per handle: entries (lengths guaranteed), the
+  // version's logged schema, and the table's partition column
+  private val (entries, tableSchema, partitionCol) = snapshot.scanInfo(pinnedVersion)
+
+  private val partitionSchema: StructType = StructType(
+    partitionCol.toSeq.flatMap(c => tableSchema.fields.find(_.name == c)))
+
+  private val dataSchema: StructType = StructType(
+    tableSchema.fields.filterNot(f => partitionCol.contains(f.name)))
+
+  override def name(): String =
+    s"graft.`$tablePath`" + pinnedVersion.fold("")(v => s"@v$v")
+
+  override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    partitionCol.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    Collections.emptyMap()
+
+  /** V1_BATCH_WRITE — not BATCH_WRITE — is deliberate: SQL
+    * `INSERT INTO` / `INSERT OVERWRITE` on a V2 relation accept it
+    * (TableCapabilityCheck), so SQL DML rides the proven
+    * [[SnapshotRelation.insert]] semantics (Append MERGEs by
+    * primaryKey), while `DataFrameWriter.save` only takes its V2 path
+    * on full BATCH_WRITE and therefore falls back to the V1 sink —
+    * which is the only API that can honor ALL FOUR save modes
+    * (the V2 writer contract forbids ErrorIfExists/Ignore). */
+  override def capabilities(): JSet[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  private[sources] def fileIndex: ManifestFileIndex =
+    new ManifestFileIndex(spark, snapshot.dataDirPath, entries, partitionSchema)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema, opts)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val ow = overwrite
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (data, _) => SnapshotRelation(
+              spark.sqlContext, tablePath, None, options).insert(data, ow)
+        }
+      }
+    }
+}
+
+/** What [[GraftSource.getTable]] returns for a path with NO committed
+  * snapshot yet: declaring no capabilities makes `DataFrameWriter.save`
+  * fall back to the V1 sink (whose ErrorIfExists/Ignore/Append/
+  * Overwrite all handle table creation), while any read planned
+  * against it fails with the real cause instead of an empty scan. */
+final class MissingGraftTable(val tablePath: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$tablePath` (uncommitted)"
+  override def schema(): StructType = new StructType()
+  override def properties(): java.util.Map[String, String] =
+    Collections.emptyMap()
+  override def capabilities(): JSet[TableCapability] = Collections.emptySet()
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(s"no committed snapshot at $tablePath")
+}

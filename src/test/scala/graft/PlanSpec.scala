@@ -162,6 +162,23 @@ class PlanSpec extends SparkSpec {
     assert(!split.contains("Exchange"), s"dataset split shuffled:\n$split")
   }
 
+  test("format(\"graft\") reads are columnar V2 scans planned by the manifest index") {
+    val df = Queries.sourceFormatRead(spark, sf)
+    val plan = planOf(df)
+    // the DSv2 migration's contract: a registered-source read is a
+    // vectorized parquet BatchScan (no RDD[Row] conversion at the
+    // source boundary), planned by ManifestFileIndex, with the filter
+    // pushed and the row-domain side inside whole-stage codegen
+    assert(plan.contains("BatchScan graft."), s"not a V2 BatchScan:\n$plan")
+    assert(plan.contains("ManifestFileIndex"),
+      s"scan not planned by the manifest index:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"scan not columnar:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("ExternalRDDScan"),
+      s"RDD[Row] conversion survived the DSv2 migration:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey"),
+      s"filter not pushed through the V2 scan:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan
