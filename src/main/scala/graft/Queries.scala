@@ -236,6 +236,39 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** K2 through PURE SQL — the reference's central Delta MERGE
+    * (orders_etl.py:67-71) as a SQL `MERGE INTO` statement against a
+    * registered `USING graft` catalog table, planned by the DSv2
+    * row-level operation (group-based copy-on-write; Spark's runtime
+    * group filter narrows the rewrite to the partitions the source
+    * touches). Run twice to prove idempotency. Same oracle as
+    * [[upsertMerge]]: SQL must produce exactly the API path's result. */
+  def mergeIntoSql(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val target = orders.filter(col("o_orderkey") % 2 === 0)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2))
+    val base = scratch("mergesql", dir)
+    freshDirs(s, base)
+    plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus")).create(target)
+    s.sql("DROP TABLE IF EXISTS merge_sql_target")
+    s.sql("CREATE TABLE merge_sql_target USING graft " +
+      s"OPTIONS (primaryKey 'o_orderkey') LOCATION '$base'")
+    source.createOrReplaceTempView("merge_sql_source")
+    def merge(): Unit = {
+      s.sql("REFRESH TABLE merge_sql_target") // re-pin to the new head
+      s.sql(
+        """MERGE INTO merge_sql_target t USING merge_sql_source s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    merge()
+    merge() // idempotent re-run: a new (identical) snapshot
+    s.read.format("graft").load(base).select(ordersCols.map(col): _*)
+  }
+
   /** S2 (time travel) — read a PAST snapshot version after later
     * commits changed the table: v1 must still be exactly the created
     * state, byte-stable under the immutable-file + manifest design. */
@@ -1833,6 +1866,7 @@ object Queries {
     "ri_anti_join" -> (riAntiJoin _),
     "dedup_deterministic" -> (dedupDeterministic _),
     "upsert_merge" -> (upsertMerge _),
+    "merge_into_sql" -> (mergeIntoSql _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
@@ -2023,6 +2057,13 @@ object Queries {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
     "upsert_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // the SQL MERGE INTO path must equal the API upsert exactly
+    "merge_into_sql" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
         |UNION ALL

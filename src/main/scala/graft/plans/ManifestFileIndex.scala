@@ -46,7 +46,8 @@ final class ManifestFileIndex(
   extends PartitioningAwareFileIndex(
     spark, Map.empty, None, FileStatusCache.getOrCreate(spark)) {
 
-  require(partitionSchema.size <= 1,
+  require(partitionSchema.fields
+      .count(_.name != ManifestFileIndex.MetaPartitionCol) <= 1,
     "snapshot tables have at most one partition column")
 
   override def rootPaths: Seq[Path] = Seq(new Path(dataDir))
@@ -70,8 +71,7 @@ final class ManifestFileIndex(
     else PartitionSpec(partitionSchema,
       entries.map(e => partOf(e.path)).distinct.map { raw =>
         val dir = partitionSchema.fields.head.name + "=" + raw
-        PartitionPath(InternalRow(partitionValue(raw)),
-          new Path(s"$dataDir/$dir"))
+        PartitionPath(partitionRow(raw), new Path(s"$dataDir/$dir"))
       })
 
   override protected def leafFiles
@@ -86,22 +86,31 @@ final class ManifestFileIndex(
     entries.map(statusOf).groupBy(_.getPath.getParent)
       .map { case (dir, sts) => dir -> sts.toArray }
 
-  /** The Hive dir value parsed back to the partition column's type;
+  /** The Hive dir value parsed back to `dt`;
     * __HIVE_DEFAULT_PARTITION__ → null. LEGACY cast: an unparseable
     * value becomes null rather than failing the scan, matching Spark's
     * own partition-value parsing. */
-  private def partitionValue(raw: String): Any = {
+  private def partitionValue(raw: String,
+                             dt: org.apache.spark.sql.types.DataType): Any = {
     val unescaped = ExternalCatalogUtils.unescapePathName(raw)
     if (unescaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-    else {
-      val dt = partitionSchema.fields.head.dataType
-      if (dt == StringType) UTF8String.fromString(unescaped)
-      else Cast(
-        Literal(UTF8String.fromString(unescaped), StringType), dt,
-        Some(spark.sessionState.conf.sessionLocalTimeZone),
-        EvalMode.LEGACY).eval(null)
-    }
+    else if (dt == StringType) UTF8String.fromString(unescaped)
+    else Cast(
+      Literal(UTF8String.fromString(unescaped), StringType), dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone),
+      EvalMode.LEGACY).eval(null)
   }
+
+  /** One row over `partitionSchema` for a Hive dir value. The reserved
+    * [[ManifestFileIndex.MetaPartitionCol]] field carries the RAW
+    * (still-escaped) dir string — the `_partition` metadata column row
+    * -level operations group by; real partition fields parse by type. */
+  private def partitionRow(raw: String): InternalRow =
+    InternalRow.fromSeq(partitionSchema.fields.toIndexedSeq.map { f =>
+      if (f.name == ManifestFileIndex.MetaPartitionCol)
+        UTF8String.fromString(raw)
+      else partitionValue(raw, f.dataType)
+    })
 
   private def partOf(rel: String): String = SnapshotTable.partOf(rel)
 
@@ -179,8 +188,7 @@ final class ManifestFileIndex(
     } else {
       val dirs = kept.groupBy(e => partOf(e.path)).toSeq.map {
         case (raw, es) =>
-          PartitionDirectory(InternalRow(partitionValue(raw)),
-            es.map(statusOf).toArray)
+          PartitionDirectory(partitionRow(raw), es.map(statusOf).toArray)
       }
       if (partitionFilters.isEmpty) dirs
       else {
@@ -199,4 +207,15 @@ final class ManifestFileIndex(
       }
     }
   }
+}
+
+object ManifestFileIndex {
+  /** Name of the reserved metadata "partition" field: when present in
+    * an index's `partitionSchema`, every row of a file reads this field
+    * as the file's RAW Hive-encoded partition-dir value ("" for
+    * unpartitioned tables). This is how the `_partition` METADATA
+    * column ([[graft.sources.GraftTable]]) is served without touching
+    * the parquet readers: to the scan it is just one more partition
+    * column whose value comes from the manifest path. */
+  val MetaPartitionCol = "_partition"
 }

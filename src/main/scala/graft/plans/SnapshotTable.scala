@@ -388,6 +388,17 @@ final class SnapshotTable(
       }
     val w = clustered.write.mode("overwrite")
     timed("write-stage")(tablePartitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage))
+    promoteStage(commitId,
+      Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+  }
+
+  /** Move a fully-written staging tree into the canonical data dir and
+    * index it: walk, per-file rename, footer stats, blooms. Shared by
+    * [[writeDataFiles]] (the engine's own spark-write staging) and the
+    * DSv2 row-level writer (whose tasks stage files directly). */
+  private def promoteStage(commitId: String,
+                           bloomSchema: Option[StructType]): Seq[FileEntry] = {
+    val stage = s"$path/_stage/$commitId"
     // per-commit counter makes every BASENAME globally unique: Spark's
     // dynamic-partition writer can emit the same task file name into
     // two partition dirs (per-dir counter, same task UUID), and
@@ -411,7 +422,9 @@ final class SnapshotTable(
             st.getLen, st.getModificationTime))
         }
       }
-    timed("walk")(walk(new Path(stage), ""))
+    // a rewrite can legitimately stage nothing (e.g. a row-level delete
+    // of every scanned row): no stage dir, no new files
+    if (fs.exists(new Path(stage))) timed("walk")(walk(new Path(stage), ""))
     timed("moves")(inParallel(toMove.toSeq) { case (src, destRel, _, _) =>
       val dest = new Path(s"$dataDir/$destRel")
       fs.mkdirs(dest.getParent)
@@ -425,10 +438,42 @@ final class SnapshotTable(
           (if (statsCols.isEmpty) Map.empty[String, (String, String)]
            else footerStats(rel)) + FileEntry.metaStat(len, mtime))
     })
-    val blooms = fileBlooms(entries,
-      Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val blooms = fileBlooms(entries, bloomSchema)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
   }
+
+  /** Commit the staged output of an external (DSv2 row-level) writer as
+    * ONE atomic partition-level copy-on-write replacement: the staged
+    * files REPLACE exactly `replacedPaths` (the files the operation's
+    * scan read); every other live file carries over by reference. A
+    * replaced file no longer live at commit time means another writer
+    * rewrote it since the scan — fail instead of silently dropping that
+    * writer's rows (write-write conflict, Delta-style). */
+  private[graft] def commitStagedReplace(commitId: String,
+                                         replacedPaths: Set[String],
+                                         schema: StructType): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val live = readManifest(v).entries
+    val gone = replacedPaths -- live.map(_.path).toSet
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"concurrent modification at $path: replaced file(s) no longer " +
+          s"live: ${gone.take(3).mkString(", ")}")
+    val carried = live.filterNot(e => replacedPaths(e.path))
+    val fresh = promoteStage(commitId,
+      Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+    commitManifest(v + 1, carried ++ fresh, schema)
+  }
+
+  /** Drop an external writer's staging tree (DSv2 write abort). */
+  private[graft] def abortStaged(commitId: String): Unit =
+    fs.delete(new Path(s"$path/_stage/$commitId"), true)
+
+  /** Where an external (DSv2) writer's tasks stage files for
+    * [[commitStagedReplace]]. */
+  private[graft] def stageDirFor(commitId: String): String =
+    s"$path/_stage/$commitId"
 
   /** One Bloom filter per (new file × bloom column), built in a SINGLE
     * distributed pass over the commit's new files: rows group by
@@ -894,7 +939,7 @@ final class SnapshotTable(
   def candidateFiles(bounds: (String, Any, Any)*): Seq[FileEntry] =
     candidatesOf(currentManifest.entries, bounds)
 
-  private def candidatesOf(entries: Seq[FileEntry],
+  private[graft] def candidatesOf(entries: Seq[FileEntry],
                            bounds: Seq[(String, Any, Any)]): Seq[FileEntry] = {
     val encoded = bounds.map { case (c, lo, hi) =>
       (c, FileEntry.enc(lo), FileEntry.enc(hi))
@@ -1077,7 +1122,7 @@ object SnapshotTable {
     * table's touched-partition detection and [[ManifestFileIndex]]'s
     * partition grouping — if these ever disagreed, a touched partition
     * could look untouched and carry stale files over a rewrite. */
-  private[plans] def partOf(rel: String): String =
+  private[graft] def partOf(rel: String): String =
     rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
 
   def apply(spark: SparkSession, path: String, primaryKey: String,

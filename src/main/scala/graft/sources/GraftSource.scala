@@ -150,40 +150,10 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
   override lazy val schema: StructType =
     version.fold(table.read)(table.readVersion).schema
 
-  /** Manifest [lo, hi] bounds from the pushed filters. One-sided
-    * numeric comparisons complete with the type's extreme; a one-sided
-    * string bound only exists on the low side ("" is the minimum
-    * string) — an upper-only string filter just doesn't prune. */
-  private def pruneBounds(filters: Array[Filter]): Seq[(String, Any, Any)] = {
-    def loOf(v: Any): Option[Any] = v match {
-      case _: Long | _: Int | _: Short | _: Byte => Some(Long.MinValue)
-      case _: Double | _: Float => Some(Double.NegativeInfinity)
-      case _: String => Some("")
-      case _ => None
-    }
-    def hiOf(v: Any): Option[Any] = v match {
-      case _: Long | _: Int | _: Short | _: Byte => Some(Long.MaxValue)
-      case _: Double | _: Float => Some(Double.PositiveInfinity)
-      case _ => None
-    }
-    def supported(v: Any): Boolean = v match {
-      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
-           _: String => true
-      case _ => false
-    }
-    filters.toSeq.flatMap {
-      case EqualTo(c, v) if supported(v) => Seq((c, v, v))
-      case GreaterThan(c, v) if supported(v) =>
-        hiOf(v).map(hi => (c, v, hi)).toSeq
-      case GreaterThanOrEqual(c, v) if supported(v) =>
-        hiOf(v).map(hi => (c, v, hi)).toSeq
-      case LessThan(c, v) if supported(v) =>
-        loOf(v).map(lo => (c, lo, v)).toSeq
-      case LessThanOrEqual(c, v) if supported(v) =>
-        loOf(v).map(lo => (c, lo, v)).toSeq
-      case _ => Seq.empty // other shapes never prune
-    }
-  }
+  /** Manifest [lo, hi] bounds from the pushed filters
+    * ([[FilterPruning.pruneBounds]] — shared with the row-level scan). */
+  private def pruneBounds(filters: Array[Filter]): Seq[(String, Any, Any)] =
+    FilterPruning.pruneBounds(filters)
 
   // every filter is re-applied by Spark on top of the scan: pruning
   // may only skip files, never rows

@@ -4,11 +4,13 @@ import java.util.{Collections, Set => JSet}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, SupportsWrite, Table, TableCapability}
+  MetadataColumn, SupportsMetadataColumns, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
@@ -37,7 +39,8 @@ final class GraftTable(
       * MERGE key for the write half, `partitionCol` opts writes into
       * partition-scoped rewrites. */
     val options: Map[String, String] = Map.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
 
@@ -78,11 +81,43 @@ final class GraftTable(
     s
   }
 
+  /** The row's group identity: its Hive-encoded partition-dir value
+    * ("" on unpartitioned tables). Iceberg's `_partition` analog — and
+    * the metadata attribute the row-level operations require, which is
+    * what routes their writes through Spark's projecting write task. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = ManifestFileIndex.MetaPartitionCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "Hive-encoded partition value of the row's data file"
+    })
+
+  /** Served as one more "partition column" whose value comes from the
+    * manifest path — the parquet readers never see it. */
+  private def indexPartitionSchema: StructType = StructType(
+    partitionSchema.fields :+ org.apache.spark.sql.types.StructField(
+      ManifestFileIndex.MetaPartitionCol,
+      org.apache.spark.sql.types.StringType, nullable = true))
+
   private[sources] def fileIndex: ManifestFileIndex =
-    new ManifestFileIndex(spark, snapshot.dataDirPath, entries, partitionSchema)
+    new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
+      indexPartitionSchema)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema, opts)
+
+  /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row
+    * level operations ([[GraftRowLevelOperation]]). DML against a
+    * time-travel handle is rejected: only the head may be mutated. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot ${info.command} a versionAsOf/timestampAsOf read of $tablePath")
+    () => new GraftRowLevelOperation(spark, tablePath, info.command)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
