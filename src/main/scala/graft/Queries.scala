@@ -465,8 +465,12 @@ object Queries {
     table.upsert(ev.filter(col("event_id") % 3 === 0 &&
       col("date") < "2024-01-10"))
     val touched = table.changes(1, 2).select("date").distinct()
-    val currentTouched = table.read
-      .join(broadcast(touched), Seq("date"), "left_semi")
+    // the touched set is O(partitions) driver data; re-reading through
+    // readPartitions plans ONLY those partitions' files from the
+    // manifest — O(delta) by construction, no reliance on dynamic
+    // pruning firing through the join
+    val touchedVals = touched.collect().map(_.getString(0)).toSeq
+    val currentTouched = table.readPartitions(touchedVals)
     val idx2 = operators.PartitionSketches.refresh(
       idx1, currentTouched, touched, "date", "user_id")
     operators.PartitionSketches.estimateTotal(idx2)

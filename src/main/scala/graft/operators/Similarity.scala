@@ -159,12 +159,24 @@ object Similarity {
     * lineage so round N's assignment stays one crossJoin deep. */
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     /** Lloyd TRAINING set bound. Each iteration scores
+                       * train×centroids cosines — on a 100 TB corpus
+                       * that must run on a bounded sample (k-means
+                       * converges on ~10³ vectors/centroid); only the
+                       * one final assignment is O(corpus). */
+                     maxTrainVectors: Long = 100000L): DataFrame = {
     var cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
     if (iters <= 0) return cents
     val spark = corpus.sparkSession
+    val corpusSize = corpus.count()
+    val train =
+      if (corpusSize <= maxTrainVectors) corpus
+      else corpus.sample(
+        math.min(1.0, maxTrainVectors.toDouble * 1.1 / corpusSize), 42L)
+    if (iters > 1 && (train ne corpus)) train.persist()
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroids(corpus, cents, idCol, vecCol)
+      val assigned = assignToCentroids(train, cents, idCol, vecCol)
       val means = assigned
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("__pos", "__x")))
@@ -182,6 +194,7 @@ object Similarity {
       cents = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), next.schema)
     }
+    if (iters > 1 && (train ne corpus)) train.unpersist()
     cents
   }
 
@@ -191,9 +204,11 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, nCentroids: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding",
-               trainIters: Int = 2): DataFrame =
+               trainIters: Int = 2,
+               maxTrainVectors: Long = 100000L): DataFrame =
     assignToCentroids(corpus,
-      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol),
+      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol,
+        maxTrainVectors),
       idCol, vecCol)
 
   /** IVF ANN top-k: queries probe their `nProbe` nearest centroids and
@@ -205,8 +220,10 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding",
-              trainIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+              trainIters: Int = 2,
+              maxTrainVectors: Long = 100000L): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol,
+      maxTrainVectors)
     val indexed = assignToCentroids(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         col("centroid_id"))

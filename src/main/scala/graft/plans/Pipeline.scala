@@ -88,11 +88,33 @@ object Pipeline {
     * `$rawDir/<name>/` are validated, RI-checked, deduped and
     * merged into `$warehouseDir/<name>`; rejects append under
     * `$rejectedDir/<name>`; raws then move to `$archivedDir` (T3); and
-    * the post-load COUNT(*)/LIMIT 10 gates run in parallel (A3/T7). */
+    * the post-load COUNT(*)/LIMIT 10 gates run in parallel (A3/T7).
+    *
+    * `onTerminal` is the T8 notification hook (reference:
+    * step_functions.json:249-269 publishes success/failure to SNS):
+    * invoked EXACTLY ONCE per run, with `Success(report)` after the
+    * gates resolve or `Failure(cause)` when a job exhausts its retries
+    * — the driver-side seam where a deployment wires its SNS/pager
+    * publish. A hook that itself throws does not mask the outcome. */
   def run(spark: SparkSession, rawDir: String, warehouseDir: String,
           rejectedDir: String, archivedDir: String,
           jobs: Seq[JobSpec] = referenceJobs,
-          retryAttempts: Int = 3, retryDelayMs: Long = 30000): Report = {
+          retryAttempts: Int = 3, retryDelayMs: Long = 30000,
+          onTerminal: scala.util.Try[Report] => Unit = _ => ()): Report = {
+    val outcome = scala.util.Try(runJobs(spark, rawDir, warehouseDir,
+      rejectedDir, archivedDir, jobs, retryAttempts, retryDelayMs))
+    try onTerminal(outcome)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        println(s"[pipeline] onTerminal hook failed: ${e.getMessage}")
+    }
+    outcome.get
+  }
+
+  private def runJobs(spark: SparkSession, rawDir: String, warehouseDir: String,
+          rejectedDir: String, archivedDir: String,
+          jobs: Seq[JobSpec],
+          retryAttempts: Int, retryDelayMs: Long): Report = {
     // SnapshotTable over LakehouseTable here: the pipeline's date key
     // fans out to thousands of partition dirs, and the manifest commit
     // (parallel per-file metadata + one rename) measures 1.25–1.6×
@@ -102,10 +124,13 @@ object Pipeline {
       j.name -> SnapshotTable(spark, s"$warehouseDir/${j.name}", j.primaryKey,
         Some(j.partitionCol), Some(Tables.asNullable(j.schema)))
     }.toMap
-    // one cached read per freshly-written table, shared by downstream RI
-    // checks and the post-load gates — without it each consumer re-lists
-    // and re-scans the partitioned table (the date-partitioned testdata
-    // has thousands of partition dirs, so listings aren't free)
+    // one read per freshly-written table, shared by downstream RI checks
+    // and the post-load gates. Only DIM tables (those some later job's
+    // foreign keys probe) are PERSISTED: the RI path re-reads exactly
+    // those, while a fact table is only touched again by its two light
+    // gate queries — at 100 TB caching the fact table is pure memory
+    // churn for nothing (the manifest-planned re-read is cheap).
+    val dimNames = jobs.flatMap(_.foreignKeys.map(_._2)).toSet
     val written = scala.collection.mutable.Map.empty[String, DataFrame]
     // released in the finally below — also when a job exhausts its
     // retries, so earlier jobs' caches don't outlive a failed pipeline
@@ -154,7 +179,9 @@ object Pipeline {
         // dedup (A2) then MERGE upsert (K2)
         val deduped = Dedup.arbitrary(kept, Seq(job.primaryKey))
         tables(job.name).upsert(deduped)
-        written(job.name) = tables(job.name).read.persist()
+        val fresh = tables(job.name).read
+        written(job.name) =
+          if (dimNames(job.name)) fresh.persist() else fresh
         lap("upsert")
         JobResult(job.name, readCount, validCount,
           readCount - validCount, orphaned, loaded = -1L)

@@ -407,8 +407,12 @@ final class SnapshotTable(
     // The walk only LISTS (sequential, one RPC per dir); the per-file
     // mkdirs+rename moves then run concurrently.
     // (src, destRel, len, mtime) — length and mtime are captured from
-    // the walk's own listing (rename preserves both), so the manifest
-    // records a complete scan plan with no extra filesystem calls
+    // the walk's own listing, so the manifest records a complete scan
+    // plan with no extra filesystem calls. NOTE: mtimes are STAGE-TIME
+    // approximations — exact where rename preserves them (POSIX, HDFS),
+    // drifting on copy-based-rename stores (S3A). They exist only to
+    // populate FileStatus for scan planning; nothing may use them for
+    // freshness logic (commit times live on the MANIFEST files).
     val toMove = mutable.Buffer.empty[(Path, String, Long, Long)]
     var fileNo = -1
     def walk(p: Path, rel: String): Unit =
@@ -1000,6 +1004,25 @@ final class SnapshotTable(
           case _ => true // no bloom, or unknown tag: never prune
         }
       })
+
+  /** Manifest-planned read of EXACTLY the named partitions: the file
+    * set is decided on manifest metadata alone — by construction, no
+    * other partition's files enter the plan (the deterministic form of
+    * "did dynamic pruning fire?"). `values` are the partition column's
+    * string-rendered values (what the Hive dirs encode); null selects
+    * the default partition. The O(delta) maintenance pattern: collect
+    * the touched partition values (O(partitions) driver data), then
+    * re-read just those. */
+  def readPartitions(values: Seq[String]): DataFrame = {
+    require(tablePartitionCol.isDefined,
+      s"readPartitions on unpartitioned table at $path")
+    val m = currentManifest
+    val dirs = values.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionValueString(v)).toSet
+    val kept = m.entries.filter(e => dirs(partOf(e.path)))
+    if (kept.isEmpty) read.limit(0) else readFiles(kept, m.schema)
+  }
 
   /** Point-lookup read with bloom + min/max file skipping: only files
     * that might contain every probe key are opened, then the exact

@@ -115,9 +115,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val path = pathOf(parameters)
-    val pk = parameters.getOrElse("primaryKey",
-      throw new IllegalArgumentException(
-        "graft sink requires option(\"primaryKey\", <col>)"))
+    // only Append MERGEs by key; replace/create modes need none — a
+    // plain .mode("overwrite").save(path) must not demand an option the
+    // operation never uses
+    val pk = parameters.get("primaryKey").getOrElse {
+      if (mode == org.apache.spark.sql.SaveMode.Append)
+        throw new IllegalArgumentException(
+          "graft sink Append merges by key: option(\"primaryKey\", <col>)")
+      else "_unused_no_merge_key"
+    }
     val table = SnapshotTable(ctx.sparkSession, path, pk,
       partitionCol = parameters.get("partitionCol"))
     import org.apache.spark.sql.SaveMode._

@@ -76,6 +76,19 @@ class SkewIvfSpec extends SparkSpec {
     val trained = recall(2)
     assert(trained > sampled,
       s"Lloyd training did not improve recall: sampled=$sampled trained=$trained")
+
+    // SAMPLE-BOUNDED training (the 100 TB path: Lloyd on a bounded
+    // sample, one full assignment) must hold the trained recall within
+    // tolerance of full-corpus training — not fall back to seed quality
+    val sampleTrained = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 10,
+        nCentroids = 8, nProbe = 2, trainIters = 2,
+        maxTrainVectors = 150L).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      approx.count(brute.contains).toDouble / brute.size
+    }
+    assert(sampleTrained >= trained - 0.15,
+      s"sample-bounded Lloyd lost recall: full=$trained sampled=$sampleTrained")
   }
 
   test("IVF ANN: exact cosines, sane recall vs brute force") {

@@ -79,12 +79,42 @@ class PipelineRetrySpec extends SparkSpec {
     Seq(("1", "d1", "dep", "widget"), ("2", "d1", "dep", "gadget"))
       .toDF("product_id", "department_id", "department", "product_name")
       .write.option("header", "true").csv(s"$base/raw/products")
+    var notified = List.empty[scala.util.Try[Pipeline.Report]]
     val report = Pipeline.run(spark, s"$base/raw", s"$base/dwh",
       s"$base/rejected", s"$base/archived",
       jobs = Seq(Pipeline.JobSpec("products", schema, "product_id",
         "department_id")),
-      retryAttempts = 3, retryDelayMs = 1)
+      retryAttempts = 3, retryDelayMs = 1,
+      onTerminal = notified ::= _)
     assert(report.gatesPassed)
     assert(report.jobs.head.loaded == 2)
+    // T8: the success notification fired exactly once with the report
+    assert(notified.map(_.map(_.gatesPassed)) ==
+      List(scala.util.Success(true)))
+  }
+
+  test("T8 hook: a job that exhausts retries notifies failure exactly once, then rethrows") {
+    val base = Files.createTempDirectory("graft_pipe_t8").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.StringType)))
+    // no raw CSV dir at all: the job's read fails every attempt
+    var notified = List.empty[scala.util.Try[Pipeline.Report]]
+    intercept[Exception] {
+      Pipeline.run(spark, s"$base/missing_raw", s"$base/dwh",
+        s"$base/rejected", s"$base/archived",
+        jobs = Seq(Pipeline.JobSpec("products", schema, "product_id",
+          "product_id")),
+        retryAttempts = 2, retryDelayMs = 1,
+        onTerminal = notified ::= _)
+    }
+    assert(notified.length == 1, "failure hook must fire exactly once")
+    assert(notified.head.isFailure)
+    // a throwing hook must not mask the pipeline outcome
+    val r = Pipeline.run(spark, s"$base/still_missing", s"$base/dwh2",
+      s"$base/rej2", s"$base/arch2",
+      jobs = Seq.empty, retryAttempts = 1, retryDelayMs = 1,
+      onTerminal = _ => throw new RuntimeException("pager down"))
+    assert(r.jobs.isEmpty && r.gatesPassed)
   }
 }

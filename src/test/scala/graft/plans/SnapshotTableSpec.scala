@@ -35,6 +35,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.currentVersion.contains(3L))
   }
 
+  test("readPartitions plans ONLY the named partitions' files (manifest-decided)") {
+    val t = SnapshotTable(spark, tmp("readparts"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    val df = t.readPartitions(Seq("p1", "p3"))
+    assert(df.inputFiles.nonEmpty)
+    assert(df.inputFiles.forall(f =>
+      f.contains("part=p1") || f.contains("part=p3")),
+      s"plan lists unnamed partitions' files: ${df.inputFiles.mkString(", ")}")
+    assert(df.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // an empty selection still returns a typed empty frame
+    assert(t.readPartitions(Seq("nope")).count() == 0)
+    // null selects the default partition
+    t.upsert(Seq((4, "d", null: String)).toDF("id", "val", "part"))
+    assert(t.readPartitions(Seq(null)).collect().map(_.getInt(0)).toSeq
+      == Seq(4))
+  }
+
   test("untouched partitions carry over BY REFERENCE: same physical files") {
     val path = tmp("snapref")
     val t = SnapshotTable(spark, path, "id", Some("part"))

@@ -73,6 +73,21 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path).count() == 1)
   }
 
+  test("sink: overwrite/errorifexists/ignore need no primaryKey (only Append merges)") {
+    val path = tmp("srcnopk")
+    def w(rows: Seq[(Int, String)], mode: String) =
+      rows.toDF("id", "val").write.format("graft").mode(mode).save(path)
+    w(Seq((1, "a")), "errorifexists") // create without a merge key
+    w(Seq((2, "b")), "overwrite") // replace without a merge key
+    w(Seq((9, "x")), "ignore") // no-op, no key demanded
+    assert(spark.read.format("graft").load(path)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "b")))
+    // Append is the merge path — it still requires the key
+    val e = intercept[IllegalArgumentException](w(Seq((3, "c")), "append"))
+    assert(e.getMessage.contains("primaryKey"))
+  }
+
   test("SQL catalog: CREATE TABLE ... USING graft resolves the snapshot by name") {
     val path = tmp("srcsql")
     val t = SnapshotTable(spark, path, "id")
