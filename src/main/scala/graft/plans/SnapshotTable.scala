@@ -176,9 +176,16 @@ final class SnapshotTable(
     * what a table looks like). */
   private final case class Manifest(entries: Seq[FileEntry],
                                     schema: Option[StructType],
-                                    partitionCol: Option[String])
+                                    partitionCol: Option[String],
+                                    checks: Seq[(String, String)])
 
-  private val HeaderPrefixes = Seq("token\t", "schema\t", "partition\t")
+  private val HeaderPrefixes =
+    Seq("token\t", "schema\t", "partition\t", "check\t")
+
+  private def encHdr(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decHdr(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
 
   private def readManifest(v: Long): Manifest = {
     val in = fs.open(manifestPath(v))
@@ -193,10 +200,14 @@ final class SnapshotTable(
       }
       val pc = lines.tail.find(_.startsWith("partition\t"))
         .map(_.stripPrefix("partition\t")).filter(_.nonEmpty)
+      val checks = lines.tail.filter(_.startsWith("check\t")).map { l =>
+        val parts = l.split("\t", 3)
+        (decHdr(parts(1)), decHdr(parts(2)))
+      }
       val entries = lines.tail
         .filterNot(l => HeaderPrefixes.exists(l.startsWith))
         .map(FileEntry.parse)
-      Manifest(entries, schema, pc)
+      Manifest(entries, schema, pc, checks)
     } finally in.close()
   }
 
@@ -248,8 +259,28 @@ final class SnapshotTable(
     // handle without it would mis-plan a partitioned table), so it is
     // logged with every commit alongside the schema
     val pcLine = tablePartitionCol.fold("")(c => s"partition\t$c\n")
+    // CHECK constraints are TABLE metadata, not handle state: logging
+    // them re-binds every future writer — whatever handle or source API
+    // it comes through — exactly as Delta persists constraints in its
+    // transaction log (a handle-only constraint would be silently
+    // bypassed by the format("graft") sink or SQL INSERT)
+    // constraint SQL comes from the ANALYZED predicate against this
+    // commit's schema (Column itself exposes no expression in the v4
+    // API): resolved-then-.sql round-trips through expr() on read
+    def checkSql(c: Column): String = {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      dummy.filter(c).queryExecution.analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.sql
+        case other => throw new IllegalStateException(
+          s"unexpected CHECK analysis shape: $other")
+      }
+    }
+    val checkLines = effectiveChecks.map { case (n, c) =>
+      s"check\t${encHdr(n)}\t${encHdr(checkSql(c))}\n" }.mkString
     val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      pcLine + files.map(_.serialize).mkString("\n") + "\n")
+      pcLine + checkLines + files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
     val out = fs.create(tmp, true)
@@ -580,29 +611,42 @@ final class SnapshotTable(
     } finally reader.close()
   }
 
-  /** Fail (before any commit) if a batch row violates a CHECK
-    * constraint — FALSE violates, NULL passes. ONE aggregate pass over
-    * the batch counts violations of every constraint together (N
-    * constraints would otherwise cost N distributed probes). */
-  private def enforceChecks(batch: DataFrame): Unit = {
-    if (checkConstraints.isEmpty) return
-    val counts = checkConstraints.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(true)) === false, 1L).otherwise(0L)).as(name)
-    }
-    val row = batch.agg(counts.head, counts.tail: _*).head()
-    checkConstraints.indices.foreach { i =>
-      if (!row.isNullAt(i) && row.getLong(i) > 0)
-        throw new IllegalArgumentException(
-          s"CHECK constraint '${checkConstraints(i)._1}' violated by " +
-            s"${row.getLong(i)} incoming row(s) at $path")
-    }
+  /** The CHECK constraints in force: those LOGGED in the table's
+    * manifest — binding on every writer, whatever handle or source API
+    * the write comes through — unioned with constructor-supplied ones
+    * (same name: the constructor definition wins, which is also how a
+    * constraint gets added: construct a handle with it and commit). */
+  private[graft] def effectiveChecks: Seq[(String, Column)] = {
+    val logged = currentVersion
+      .map(v => readManifest(v).checks).getOrElse(Nil)
+      .map { case (n, sql) => n -> expr(sql) }
+    val ctor = checkConstraints.map(_._1).toSet
+    logged.filterNot(c => ctor(c._1)) ++ checkConstraints
   }
+
+  /** Project CHECK enforcement INTO the write plan itself
+    * (Delta-invariant style): rows are validated by the very job that
+    * writes them, so a non-deterministic source (rand(), a table that
+    * changed between jobs) cannot slip rows past a separate pre-pass —
+    * check and write see identical rows, computed once. A violation
+    * fails the job before the manifest commit: nothing becomes
+    * visible. FALSE violates, NULL passes (SQL CHECK); rows where
+    * `onlyWhen` is not TRUE are exempt (the UPDATE path checks only
+    * post-images of modified rows). */
+  private def guardChecks(df: DataFrame,
+                          onlyWhen: Column = lit(true)): DataFrame =
+    effectiveChecks.foldLeft(df) { case (d, (name, pred)) =>
+      d.filter(assert_true(
+        !coalesce(onlyWhen, lit(false)) ||
+          coalesce(pred, lit(true)) =!= lit(false),
+        lit(s"CHECK constraint '$name' violated by an incoming row " +
+          s"at $path")).isNull)
+    }
 
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
     require(!exists, s"table already exists at $path")
-    enforceChecks(df)
-    commitManifest(1L, writeDataFiles(df), df.schema)
+    commitManifest(1L, writeDataFiles(guardChecks(df)), df.schema)
   }
 
   /** MERGE-by-PK upsert as ONE atomic commit: touched partitions are
@@ -621,7 +665,9 @@ final class SnapshotTable(
       "evolveSchema requires schema inference: a declaredSchema would " +
         "silently drop the evolved columns on read")
     if (!exists) { create(source); return }
-    enforceChecks(source)
+    // checks ride the source's lineage into the write job itself —
+    // kept rows (already committed) are never re-checked
+    val src = guardChecks(source)
     if (evolveSchema && !fs.exists(evolvedMarker))
       fs.create(evolvedMarker, true).close()
     val v = currentVersion.get
@@ -631,10 +677,10 @@ final class SnapshotTable(
     val next = tablePartitionCol match {
       case None =>
         val cur = read
-        val kept = cur.join(source.select(primaryKey), Seq(primaryKey), "left_anti")
+        val kept = cur.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
         val merged =
-          if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
-          else kept.unionByName(source.select(cur.columns.toIndexedSeq.map(col): _*))
+          if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
+          else kept.unionByName(src.select(cur.columns.toIndexedSeq.map(col): _*))
         committedSchema = merged.schema
         writeDataFiles(merged)
       case Some(pc) =>
@@ -655,13 +701,13 @@ final class SnapshotTable(
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
           else timed("open-touched")(readFiles(touchedFiles, m.schema))
         val merged =
-          if (touchedFiles.isEmpty) source
+          if (touchedFiles.isEmpty) src
           else {
             val kept = current
-              .join(source.select(primaryKey), Seq(primaryKey), "left_anti")
-            if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
+              .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+            if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
             else kept.unionByName(
-              source.select(current.columns.toIndexedSeq.map(col): _*))
+              src.select(current.columns.toIndexedSeq.map(col): _*))
           }
         committedSchema = merged.schema
         keptFiles ++ writeDataFiles(merged)
@@ -678,8 +724,7 @@ final class SnapshotTable(
   def replace(df: DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    enforceChecks(df)
-    commitManifest(v + 1, writeDataFiles(df), df.schema)
+    commitManifest(v + 1, writeDataFiles(guardChecks(df)), df.schema)
   }
 
   /** Atomic DELETE of the rows matching `predicate`, as ONE manifest
@@ -731,8 +776,7 @@ final class SnapshotTable(
           case None => col(c)
         }
       } :+ cond.as(flag): _*)
-      enforceChecks(updated.filter(col(flag)).drop(flag))
-      updated.drop(flag)
+      guardChecks(updated, col(flag)).drop(flag)
     }
 
   /** Shared DML core: stats-prune candidates (`bounds`), probe for the

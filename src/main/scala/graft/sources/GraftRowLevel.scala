@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{
-  BoundReference, Cast, UnsafeProjection}
+  BindReferences, BoundReference, Cast, Expression,
+  Predicate => CatalystPredicate, UnsafeProjection}
 import org.apache.spark.sql.connector.expressions.{
   Expressions, NamedReference, SortDirection, SortOrder,
   Literal => V2Literal}
@@ -273,10 +274,34 @@ final class GraftReplaceDataWrite(
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat()
         .prepareWrite(spark, job, Map.empty, dataSchema)
+      // the table's logged CHECK constraints, resolved against the
+      // write schema and BOUND so executors can evaluate them per row —
+      // SQL MERGE/UPDATE write paths are constraint-enforced like every
+      // other writer. Copy-on-write rewrites re-validate the copied
+      // rows of touched groups too (strictly stronger, Delta-style).
+      val boundChecks: Seq[(String, Expression)] = {
+        val checks = op.snapshot.effectiveChecks
+        if (checks.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions.{coalesce, lit}
+          val dummy = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            writeSchema)
+          checks.map { case (n, c) =>
+            dummy.filter(coalesce(c, lit(true)) =!= lit(false))
+              .queryExecution.analyzed match {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                n -> BindReferences.bindReference(f.condition, f.child.output)
+              case other => throw new IllegalStateException(
+                s"unexpected CHECK analysis shape: $other")
+            }
+          }
+        }
+      }
       new GraftStagedWriterFactory(
         new SerializableConfiguration(job.getConfiguration), owf,
         op.snapshot.stageDirFor(commitId), writeSchema, op.partitionCol,
-        spark.sessionState.conf.sessionLocalTimeZone)
+        spark.sessionState.conf.sessionLocalTimeZone, boundChecks)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -299,12 +324,13 @@ final class GraftStagedWriterFactory(
     stageDir: String,
     writeSchema: StructType,
     partitionCol: Option[String],
-    zoneId: String) extends DataWriterFactory {
+    zoneId: String,
+    boundChecks: Seq[(String, Expression)] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftStagedDataWriter(conf, owf, stageDir, writeSchema,
-      partitionCol, zoneId, partitionId, taskId)
+      partitionCol, zoneId, partitionId, taskId, boundChecks)
 }
 
 /** Task-side staged parquet writer. Rows arrive clustered and sorted by
@@ -323,7 +349,17 @@ final class GraftStagedDataWriter(
     partitionCol: Option[String],
     zoneId: String,
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    boundChecks: Seq[(String, Expression)] = Nil)
+    extends DataWriter[InternalRow] {
+
+  // CHECK constraints, interpreted per row (FALSE after the driver-side
+  // coalesce wrap = violation; the wrap already let NULL pass)
+  private val checkPreds = boundChecks.map { case (n, e) =>
+    val p = CatalystPredicate.createInterpreted(e)
+    p.initialize(partitionId)
+    (n, p)
+  }
 
   private val pcIdx = partitionCol.map(writeSchema.fieldIndex)
 
@@ -376,6 +412,11 @@ final class GraftStagedDataWriter(
     write(record)
 
   override def write(row: InternalRow): Unit = {
+    checkPreds.foreach { case (name, p) =>
+      if (!p.eval(row))
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' violated by a row-level write")
+    }
     val dir = (partitionCol, projectDir) match {
       case (Some(pc), Some(p)) =>
         val s = p(row)

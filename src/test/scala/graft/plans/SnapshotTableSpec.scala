@@ -681,10 +681,15 @@ class SnapshotTableSpec extends SparkSpec {
       checkConstraints = Seq("val_nonempty" -> (length(col("val")) > 0)))
     val t = table
     t.create(frame((1, "a", "p1"), (2, "b", "p2")))
-    // a violating upsert fails whole: nothing committed, table intact
-    intercept[IllegalArgumentException] {
+    // a violating upsert fails whole: nothing committed, table intact.
+    // Enforcement happens INSIDE the write job (Delta-invariant style),
+    // so the failure surfaces as the job's error carrying the message.
+    val e = intercept[Exception] {
       t.upsert(frame((3, "", "p1"), (4, "ok", "p2")))
     }
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + messages(x.getCause)
+    assert(messages(e).contains("CHECK constraint 'val_nonempty'"))
     assert(t.currentVersion.contains(1L))
     assert(t.read.count() == 2)
     // NULL predicate passes (SQL CHECK semantics)
@@ -692,12 +697,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.count() == 3)
     // update enforcement checks POST-images of modified rows only —
     // the nulled row 5 (constraint NULL, passes) is carried unchecked
-    intercept[IllegalArgumentException] {
+    intercept[Exception] {
       t.update(Map("val" -> lit("")), col("id") === 1)
     }
     assert(t.read.filter(col("id") === 1).select("val").head().getString(0) == "a")
     t.update(Map("val" -> lit("A")), col("id") === 1)
     assert(t.read.filter(col("id") === 1).select("val").head().getString(0) == "A")
+  }
+
+  test("CHECK constraints persist in the manifest: every writer is bound, not just the defining handle") {
+    val path = tmp("snapchecklog")
+    SnapshotTable(spark, path, "id", Some("part"),
+      checkConstraints = Seq("val_nonempty" -> (length(col("val")) > 0)))
+      .create(frame((1, "a", "p1")))
+    // a FRESH handle with no constructor constraints — as the
+    // format("graft") sink or SQL INSERT constructs — still enforces
+    val bare = SnapshotTable(spark, path, "id", Some("part"))
+    val e = intercept[Exception] { bare.upsert(frame((2, "", "p1"))) }
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + messages(x.getCause)
+    assert(messages(e).contains("CHECK constraint 'val_nonempty'"))
+    assert(bare.read.count() == 1)
+    // the registered sink path is bound too
+    val e2 = intercept[Exception] {
+      Seq((3, "", "p1")).toDF("id", "val", "part")
+        .write.format("graft").option("primaryKey", "id")
+        .mode("append").save(path)
+    }
+    assert(messages(e2).contains("CHECK constraint 'val_nonempty'"))
+    // compliant rows still flow through the bare handle, and the
+    // constraint survives ITS commit onto the next manifest as well
+    bare.upsert(frame((4, "ok", "p2")))
+    assert(bare.read.count() == 2)
+    val e3 = intercept[Exception] {
+      SnapshotTable(spark, path, "id", Some("part"))
+        .upsert(frame((5, "", "p1")))
+    }
+    assert(messages(e3).contains("CHECK constraint 'val_nonempty'"))
   }
 
   test("delete can empty the table; a declared schema types the empty read") {

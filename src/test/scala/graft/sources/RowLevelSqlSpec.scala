@@ -135,6 +135,34 @@ class RowLevelSqlSpec extends SparkSpec {
     }
   }
 
+  test("row-level SQL writes enforce manifest-logged CHECK constraints") {
+    val path = tmp("rlscheck")
+    val name = "graft_rls_check"
+    SnapshotTable(spark, path, "id", Some("part"),
+      checkConstraints = Seq("amt_nonneg" -> (col("amt") >= 0.0)))
+      .create(Seq((1, "a", 10.0, "p1"), (2, "b", 20.0, "p2"))
+        .toDF("id", "val", "amt", "part"))
+    spark.sql(s"CREATE TABLE $name USING graft " +
+      s"OPTIONS (primaryKey 'id') LOCATION '$path'")
+    try {
+      def messages(x: Throwable): String =
+        if (x == null) "" else x.getMessage + messages(x.getCause)
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE $name SET amt = -1.0 WHERE id = 1")
+      }
+      assert(messages(e).contains("CHECK constraint 'amt_nonneg'"))
+      spark.sql(s"REFRESH TABLE $name")
+      // nothing committed: the violating rewrite never became visible
+      assert(spark.sql(s"SELECT amt FROM $name WHERE id = 1")
+        .head().getDouble(0) == 10.0)
+      // a compliant UPDATE through the same path still lands
+      spark.sql(s"UPDATE $name SET amt = 11.0 WHERE id = 1")
+      spark.sql(s"REFRESH TABLE $name")
+      assert(spark.sql(s"SELECT amt FROM $name WHERE id = 1")
+        .head().getDouble(0) == 11.0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("DML on a time-travel read is rejected") {
     withTable("travel", partitioned = true) { (name, path, t) =>
       t.delete(col("id") === 5)
