@@ -493,6 +493,25 @@ object Queries {
       .select(ordersCols.map(col): _*)
   }
 
+  /** MULTI-column partitioning end-to-end: a (status, month)-composite
+    * snapshot — the (date, region)-style layout real 100 TB tables use
+    * — read back through the registered source with filters on BOTH
+    * levels, pruned at planning time from the manifest (PlanSpec pins
+    * the partition filters; the oracle pins the rows). */
+  def multiPartitionScan(s: SparkSession, dir: String): DataFrame = {
+    // long, not int: the DuckDB oracle's month() is BIGINT and the
+    // driver hash-compares typed values
+    val orders = t(s, dir, "orders")
+      .withColumn("o_month", month(col("o_orderdate")).cast("long"))
+    val base = scratch("multipart", dir)
+    freshDirs(s, base)
+    plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCols = Seq("o_orderstatus", "o_month")).create(orders)
+    s.read.format("graft").load(base)
+      .filter(col("o_orderstatus") === "F" && col("o_month") === 3)
+      .select((ordersCols :+ "o_month").map(col): _*)
+  }
+
   /** Incremental OPTIMIZE: a fragmented clustered table bin-packs to
     * the target file size in one atomic commit — file count must
     * actually drop, data must be byte-identical to the source (the
@@ -1883,6 +1902,7 @@ object Queries {
     "incremental_agg" -> (incrementalAgg _),
     "sketch_partition_maintenance" -> (sketchPartitionMaintenance _),
     "source_format_read" -> (sourceFormatRead _),
+    "multi_partition_scan" -> (multiPartitionScan _),
     "zorder_scan" -> (zorderScan _),
     "partition_pruned_scan" -> (partitionPrunedScan _),
     "sql_catalog_query" -> (sqlCatalogQuery _),
@@ -2134,6 +2154,12 @@ object Queries {
     "source_format_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    // both partition levels must filter correctly through the source
+    "multi_partition_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |       month(o_orderdate) AS o_month
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND month(o_orderdate) = 3""".stripMargin,
     // v1 = exactly the created state, regardless of later commits
     "snapshot_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -46,9 +46,15 @@ final class ManifestFileIndex(
   extends PartitioningAwareFileIndex(
     spark, Map.empty, None, FileStatusCache.getOrCreate(spark)) {
 
-  require(partitionSchema.fields
-      .count(_.name != ManifestFileIndex.MetaPartitionCol) <= 1,
-    "snapshot tables have at most one partition column")
+  // real partition fields (any number of levels) may be followed by the
+  // reserved _partition metadata field, never interleaved
+  require(partitionSchema.fields.zipWithIndex.forall { case (f, i) =>
+      f.name != ManifestFileIndex.MetaPartitionCol ||
+        i == partitionSchema.fields.length - 1
+    }, s"$ManifestFileIndex.MetaPartitionCol must be the last field")
+
+  private val realPartitionFields = partitionSchema.fields
+    .filterNot(_.name == ManifestFileIndex.MetaPartitionCol)
 
   override def rootPaths: Seq[Path] = Seq(new Path(dataDir))
 
@@ -70,7 +76,9 @@ final class ManifestFileIndex(
     if (partitionSchema.isEmpty) PartitionSpec.emptySpec
     else PartitionSpec(partitionSchema,
       entries.map(e => partOf(e.path)).distinct.map { raw =>
-        val dir = partitionSchema.fields.head.name + "=" + raw
+        val dir = realPartitionFields.map(_.name)
+          .zip(raw.split("/", -1)).map { case (n, v) => s"$n=$v" }
+          .mkString("/")
         PartitionPath(partitionRow(raw), new Path(s"$dataDir/$dir"))
       })
 
@@ -101,16 +109,24 @@ final class ManifestFileIndex(
       EvalMode.LEGACY).eval(null)
   }
 
-  /** One row over `partitionSchema` for a Hive dir value. The reserved
+  /** One row over `partitionSchema` for a (possibly "/"-joined
+    * multi-level) Hive dir value. The reserved
     * [[ManifestFileIndex.MetaPartitionCol]] field carries the RAW
-    * (still-escaped) dir string — the `_partition` metadata column row
-    * -level operations group by; real partition fields parse by type. */
-  private def partitionRow(raw: String): InternalRow =
+    * (still-escaped) joined dir string — the `_partition` metadata
+    * column row-level operations group by; real partition fields parse
+    * positionally by type ('/' never appears inside an escaped
+    * value). */
+  private def partitionRow(raw: String): InternalRow = {
+    val levels = raw.split("/", -1)
     InternalRow.fromSeq(partitionSchema.fields.toIndexedSeq.map { f =>
       if (f.name == ManifestFileIndex.MetaPartitionCol)
         UTF8String.fromString(raw)
-      else partitionValue(raw, f.dataType)
+      else {
+        val i = realPartitionFields.indexWhere(_.name == f.name)
+        partitionValue(if (i < levels.length) levels(i) else "", f.dataType)
+      }
     })
+  }
 
   private def partOf(rel: String): String = SnapshotTable.partOf(rel)
 

@@ -87,7 +87,16 @@ final class SnapshotTable(
       * batch fails whole, the table keeps its previous snapshot, and
       * already-committed rows are never re-checked (O(batch), never
       * O(table)). */
-    val checkConstraints: Seq[(String, Column)] = Nil) {
+    val checkConstraints: Seq[(String, Column)] = Nil,
+    /** MULTI-column partitioning (e.g. `Seq("status", "month")` — real
+      * 100 TB tables partition by (date, region)-style composites):
+      * nested Hive dirs `a=.../b=.../`, pruned level by level at
+      * planning time. Mutually exclusive with the single
+      * `partitionCol`. */
+    val partitionCols: Seq[String] = Nil) {
+
+  require(partitionCol.isEmpty || partitionCols.isEmpty,
+    "give either partitionCol or partitionCols, not both")
 
   import SnapshotTable.FileEntry
 
@@ -217,9 +226,13 @@ final class SnapshotTable(
     * can never mis-plan a partitioned table as unpartitioned. Resolved
     * once per handle; create() on a not-yet-existing table sees the
     * constructor value. */
-  private lazy val tablePartitionCol: Option[String] =
-    partitionCol.orElse(
-      currentVersion.flatMap(v => readManifest(v).partitionCol))
+  private[graft] lazy val tablePartitionCols: Seq[String] = {
+    val ctor =
+      if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+    if (ctor.nonEmpty) ctor
+    else currentVersion.flatMap(v => readManifest(v).partitionCol)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+  }
 
   /** Write manifest to a tmp name, then ONE atomic-exclusive namespace
     * op that is the commit point — optimistic concurrency: the writer
@@ -258,7 +271,9 @@ final class SnapshotTable(
     // the partition column is layout metadata readers MUST know (a
     // handle without it would mis-plan a partitioned table), so it is
     // logged with every commit alongside the schema
-    val pcLine = tablePartitionCol.fold("")(c => s"partition\t$c\n")
+    val pcLine =
+      if (tablePartitionCols.isEmpty) ""
+      else s"partition\t${tablePartitionCols.mkString(",")}\n"
     // CHECK constraints are TABLE metadata, not handle state: logging
     // them re-binds every future writer — whatever handle or source API
     // it comes through — exactly as Delta persists constraints in its
@@ -402,23 +417,25 @@ final class SnapshotTable(
         // the precondition for min/max skipping to actually skip.
         // packFiles (compaction) overrides the pinned count but keeps
         // the clustering, so compacted files stay skippable.
-        val cs = (tablePartitionCol.toSeq ++ clusterBy).map(col)
+        val cs = (tablePartitionCols ++ clusterBy).map(col)
         val nf = packFiles.getOrElse(clusterFiles)
         val ranged = if (nf > 0) df.repartitionByRange(nf, cs: _*)
                      else df.repartitionByRange(cs: _*)
         ranged.sortWithinPartitions(cs: _*)
-      } else (tablePartitionCol, packFiles) match {
+      } else (tablePartitionCols, packFiles) match {
         // one file per partition; count pinned so AQE can't collapse a
         // small batch over many partitions onto one task that pays every
         // per-dir file round-trip sequentially (38s vs 7s at the
         // pipeline's 2,400-date shape, same one-file-per-dir layout)
-        case (Some(c), _) =>
-          df.repartition(spark.sessionState.conf.numShufflePartitions, col(c))
-        case (None, Some(n)) => df.repartition(math.max(n, 1))
-        case (None, None) => df
+        case (cs, _) if cs.nonEmpty =>
+          df.repartition(spark.sessionState.conf.numShufflePartitions,
+            cs.map(col): _*)
+        case (_, Some(n)) => df.repartition(math.max(n, 1))
+        case (_, None) => df
       }
     val w = clustered.write.mode("overwrite")
-    timed("write-stage")(tablePartitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage))
+    timed("write-stage")((if (tablePartitionCols.isEmpty) w
+      else w.partitionBy(tablePartitionCols: _*)).parquet(stage))
     promoteStage(commitId,
       Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
   }
@@ -674,8 +691,8 @@ final class SnapshotTable(
     val m = readManifest(v)
     val live = m.entries
     var committedSchema: StructType = null
-    val next = tablePartitionCol match {
-      case None =>
+    val next = tablePartitionCols match {
+      case Seq() =>
         val cur = read
         val kept = cur.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
         val merged =
@@ -683,18 +700,24 @@ final class SnapshotTable(
           else kept.unionByName(src.select(cur.columns.toIndexedSeq.map(col): _*))
         committedSchema = merged.schema
         writeDataFiles(merged)
-      case Some(pc) =>
+      case pcs =>
         // render the partition values exactly the way the writer names
         // dirs: CAST to string (matches Spark's path rendering for
         // timestamps etc., unlike java toString), then
         // getPartitionValueString (escapes AND maps null/empty to
-        // __HIVE_DEFAULT_PARTITION__). A mismatch here makes a touched
-        // partition look untouched: its old files carry over alongside
-        // the rewrite, duplicating primary keys.
+        // __HIVE_DEFAULT_PARTITION__); multi-level keys join their
+        // per-level values with "/" ([[SnapshotTable.partOf]]'s form).
+        // A mismatch here makes a touched partition look untouched: its
+        // old files carry over alongside the rewrite, duplicating
+        // primary keys.
         val touched = timed("touched-collect")(
-          source.select(col(pc).cast("string")).distinct().collect()
-          .map(r => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionValueString(if (r.isNullAt(0)) null else r.getString(0)))
+          source.select(pcs.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => pcs.indices.map(i =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionValueString(
+                if (r.isNullAt(i)) null else r.getString(i)))
+            .mkString("/"))
           .toSet)
         val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
         val current =
@@ -861,19 +884,19 @@ final class SnapshotTable(
     // lengths (manifests written before either was logged fall back to
     // the listing path below).
     val indexable = effective.exists(s =>
-      tablePartitionCol.forall(s.fieldNames.contains)) &&
+      tablePartitionCols.forall(s.fieldNames.contains)) &&
       entries.forall(_.len >= 0) &&
       // files under Hive dirs with NO known partition column (possible
       // only for manifests from before the layout was logged) must take
       // the inferring path — the index would plan the partition column
       // as data and read it null
-      (tablePartitionCol.isDefined || entries.forall(e => !e.path.contains("=")))
+      (tablePartitionCols.nonEmpty || entries.forall(e => !e.path.contains("=")))
     if (indexable) {
       val schema = effective.get
       val partSchema = StructType(
-        tablePartitionCol.toSeq.flatMap(c => schema.fields.find(_.name == c)))
+        tablePartitionCols.flatMap(c => schema.fields.find(_.name == c)))
       val dataSchema = StructType(
-        schema.fields.filterNot(f => tablePartitionCol.contains(f.name)))
+        schema.fields.filterNot(f => tablePartitionCols.contains(f.name)))
       val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new ManifestFileIndex(spark, dataDir, entries, partSchema),
         partSchema, dataSchema, None,
@@ -903,7 +926,7 @@ final class SnapshotTable(
     * one stat per file, once, here), the schema reads should be typed
     * by, and the table's partition column. Metadata-only: no data I/O. */
   private[graft] def scanInfo(version: Option[Long] = None)
-      : (Seq[FileEntry], StructType, Option[String]) = {
+      : (Seq[FileEntry], StructType, Seq[String]) = {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
@@ -916,7 +939,7 @@ final class SnapshotTable(
         e.copy(stats = e.stats +
           FileEntry.metaStat(st.getLen, st.getModificationTime))
       })
-    (entries, schema, tablePartitionCol)
+    (entries, schema, tablePartitionCols)
   }
 
   /** The table-relative data root (`<path>/data`) external planners
@@ -1058,8 +1081,9 @@ final class SnapshotTable(
     * the touched partition values (O(partitions) driver data), then
     * re-read just those. */
   def readPartitions(values: Seq[String]): DataFrame = {
-    require(tablePartitionCol.isDefined,
-      s"readPartitions on unpartitioned table at $path")
+    require(tablePartitionCols.size == 1,
+      s"readPartitions targets single-column layouts; table at $path " +
+        s"partitions by ${tablePartitionCols.mkString(",")}")
     val m = currentManifest
     val dirs = values.map(v =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1184,13 +1208,23 @@ object SnapshotTable {
   /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
   val ImageCol = "_change_image"
 
-  /** The Hive-dir-encoded partition value of a table-relative file path
-    * (null → __HIVE_DEFAULT_PARTITION__). ONE definition shared by the
-    * table's touched-partition detection and [[ManifestFileIndex]]'s
-    * partition grouping — if these ever disagreed, a touched partition
-    * could look untouched and carry stale files over a rewrite. */
+  /** The Hive-dir-encoded partition value(s) of a table-relative file
+    * path, "/"-joined for multi-level layouts ("F/5" for
+    * `status=F/month=5/file`; null level → __HIVE_DEFAULT_PARTITION__;
+    * "" for unpartitioned — values never contain a literal '/', the
+    * escaper encodes it). ONE definition shared by the table's
+    * touched-partition detection and [[ManifestFileIndex]]'s partition
+    * grouping — if these ever disagreed, a touched partition could look
+    * untouched and carry stale files over a rewrite. */
   private[graft] def partOf(rel: String): String =
-    rel.split("/").find(_.contains("=")).map(_.split("=", 2)(1)).getOrElse("")
+    rel.split("/").iterator.filter(_.contains("="))
+      .map(_.split("=", 2)(1)).mkString("/")
+
+  /** Per-column partition values of a table-relative path:
+    * name → raw Hive-encoded value. */
+  private[graft] def partValuesOf(rel: String): Map[String, String] =
+    rel.split("/").iterator.filter(_.contains("="))
+      .map { seg => val a = seg.split("=", 2); (a(0), a(1)) }.toMap
 
   def apply(spark: SparkSession, path: String, primaryKey: String,
             partitionCol: Option[String] = None,
@@ -1201,10 +1235,11 @@ object SnapshotTable {
             bloomCols: Seq[String] = Nil,
             bloomExpectedItems: Long = 100000L,
             bloomFpp: Double = 0.03,
-            checkConstraints: Seq[(String, Column)] = Nil): SnapshotTable =
+            checkConstraints: Seq[(String, Column)] = Nil,
+            partitionCols: Seq[String] = Nil): SnapshotTable =
     new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
       statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
-      bloomFpp, checkConstraints)
+      bloomFpp, checkConstraints, partitionCols)
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they

@@ -73,7 +73,7 @@ final class GraftRowLevelOperation(
   private[sources] val snapshot =
     SnapshotTable(spark, tablePath, "_unused_read_only")
 
-  private[sources] val (liveEntries, tableSchema, partitionCol) =
+  private[sources] val (liveEntries, tableSchema, partitionCols) =
     snapshot.scanInfo(None)
 
   /** Live entries after STATIC condition pruning. Both scan builders
@@ -82,18 +82,20 @@ final class GraftRowLevelOperation(
     * the same set, so last-write-wins assignment is deterministic. */
   @volatile private[sources] var staticEntries: Seq[FileEntry] = liveEntries
 
-  /** Hive-encoded partition values the runtime group filter proved
-    * matched; None until (unless) the filter fires. */
-  @volatile private[sources] var runtimeDirs: Option[Set[String]] = None
+  /** Per-column Hive-encoded partition values the runtime group filter
+    * proved matched; empty until (unless) the filter fires. */
+  @volatile private[sources] var runtimeDirs: Map[String, Set[String]] =
+    Map.empty
 
   /** The exact file set the (pruned) scan plans — what the commit
     * replaces. Derived, not recorded from a scan instance: the
     * matching-rows subquery scan must not perturb it. */
-  private[sources] def replacedEntries: Seq[FileEntry] = runtimeDirs match {
-    case Some(dirs) =>
-      staticEntries.filter(e => dirs(SnapshotTable.partOf(e.path)))
-    case None => staticEntries
-  }
+  private[sources] def replacedEntries: Seq[FileEntry] =
+    if (runtimeDirs.isEmpty) staticEntries
+    else staticEntries.filter { e =>
+      val vals = SnapshotTable.partValuesOf(e.path)
+      runtimeDirs.forall { case (c, set) => vals.get(c).forall(set) }
+    }
 
   override def command(): Command = cmd
 
@@ -117,8 +119,9 @@ final class GraftRowLevelOperation(
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(ManifestFileIndex.MetaPartitionCol))
 
-  override def description(): String =
-    s"GraftRowLevelOperation[$cmd, groups=${partitionCol.getOrElse("table")}]"
+  override def description(): String = "GraftRowLevelOperation[" + cmd +
+    ", groups=" + (if (partitionCols.isEmpty) "table"
+                   else partitionCols.mkString("+")) + "]"
 }
 
 /** Scan builder for the row-level operation: pushed filters prune
@@ -135,14 +138,12 @@ final class GraftRowLevelScanBuilder(
     val statsPruned =
       if (bounds.isEmpty) op.liveEntries
       else op.snapshot.candidatesOf(op.liveEntries, bounds)
-    op.staticEntries = op.partitionCol match {
-      case Some(pc) =>
-        FilterPruning.partitionValues(filters, pc) match {
-          case Some(dirs) =>
-            statsPruned.filter(e => dirs(SnapshotTable.partOf(e.path)))
-          case None => statsPruned
-        }
-      case None => statsPruned
+    op.staticEntries = op.partitionCols.foldLeft(statsPruned) { (es, pc) =>
+      FilterPruning.partitionValues(filters, pc) match {
+        case Some(dirs) => es.filter(e =>
+          SnapshotTable.partValuesOf(e.path).get(pc).forall(dirs))
+        case None => es
+      }
     }
     filters // ALL post-scan: pruning may drop files, never rows
   }
@@ -163,11 +164,11 @@ final class GraftRowLevelScan(
     op: GraftRowLevelOperation) extends Scan with SupportsRuntimeV2Filtering {
 
   private val dataSchema = StructType(op.tableSchema.fields.filterNot(f =>
-    op.partitionCol.contains(f.name)))
+    op.partitionCols.contains(f.name)))
 
   // _partition rides as one more manifest-valued "partition column"
   private val partSchema = StructType(
-    op.partitionCol.toSeq.flatMap(c =>
+    op.partitionCols.flatMap(c =>
       op.tableSchema.fields.find(_.name == c)) :+
     org.apache.spark.sql.types.StructField(
       ManifestFileIndex.MetaPartitionCol, StringType, nullable = true))
@@ -180,43 +181,47 @@ final class GraftRowLevelScan(
     StructType(dataSchema.fields ++ partSchema.fields)
 
   override def filterAttributes(): Array[NamedReference] =
-    op.partitionCol.map(Expressions.column).toArray
+    op.partitionCols.map(Expressions.column).toArray
 
-  override def filter(predicates: Array[V2Predicate]): Unit =
-    op.partitionCol.foreach { pc =>
-      val zone = spark.sessionState.conf.sessionLocalTimeZone
-      def render(lit: V2Literal[_]): String = {
-        val s = Cast(
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            lit.value, lit.dataType),
-          StringType, Some(zone)).eval(null)
-        ExternalCatalogUtils.getPartitionValueString(
-          if (s == null) null else s.toString)
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    def render(lit: V2Literal[_]): String = {
+      val s = Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          lit.value, lit.dataType),
+        StringType, Some(zone)).eval(null)
+      ExternalCatalogUtils.getPartitionValueString(
+        if (s == null) null else s.toString)
+    }
+    def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          op.partitionCols.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    // each understood predicate narrows its column's value set;
+    // anything else is ignored (no pruning — never wrong, only less
+    // selective)
+    predicates.foreach { p =>
+      val kids = p.children()
+      val hit: Option[(String, Set[String])] = p.name() match {
+        case "IN" if kids.nonEmpty && refCol(kids.head).isDefined &&
+            kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(refCol(kids.head).get ->
+            kids.tail.map(k => render(k.asInstanceOf[V2Literal[_]])).toSet)
+        case "=" if kids.length == 2 && refCol(kids.head).isDefined &&
+            kids(1).isInstanceOf[V2Literal[_]] =>
+          Some(refCol(kids.head).get ->
+            Set(render(kids(1).asInstanceOf[V2Literal[_]])))
+        case _ => None
       }
-      def refIs(e: org.apache.spark.sql.connector.expressions.Expression)
-          : Boolean = e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array(pc))
-        case _ => false
-      }
-      // each understood predicate narrows; anything else is ignored
-      // (no pruning — never wrong, only less selective)
-      predicates.foreach { p =>
-        val kids = p.children()
-        val dirs: Option[Set[String]] = p.name() match {
-          case "IN" if kids.nonEmpty && refIs(kids.head) &&
-              kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
-            Some(kids.tail.map(k => render(k.asInstanceOf[V2Literal[_]]))
-              .toSet)
-          case "=" if kids.length == 2 && refIs(kids.head) &&
-              kids(1).isInstanceOf[V2Literal[_]] =>
-            Some(Set(render(kids(1).asInstanceOf[V2Literal[_]])))
-          case _ => None
-        }
-        dirs.foreach { d =>
-          op.runtimeDirs = Some(op.runtimeDirs.fold(d)(_ intersect d))
-        }
+      hit.foreach { case (c, d) =>
+        op.runtimeDirs = op.runtimeDirs.updated(c,
+          op.runtimeDirs.get(c).fold(d)(_ intersect d))
       }
     }
+  }
 
   override def toBatch: Batch = {
     val index = new ManifestFileIndex(
@@ -246,23 +251,20 @@ final class GraftReplaceDataWrite(
   // partition directory at a time (single open writer, no small-file
   // explosion); unpartitioned tables write one file per input task
   override def requiredDistribution(): Distribution =
-    op.partitionCol
-      .map(c => Distributions.clustered(
-        Array[org.apache.spark.sql.connector.expressions.Expression](
-          Expressions.identity(c))))
-      .getOrElse(Distributions.unspecified())
+    if (op.partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(op.partitionCols
+      .map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    op.partitionCol
-      .map(c => Array(Expressions.sort(
-        Expressions.column(c), SortDirection.ASCENDING)))
-      .getOrElse(Array.empty)
+    op.partitionCols.map(c => Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING)).toArray
 
   // pin the shuffle width: AQE would otherwise coalesce a toy-scale
   // rewrite onto one task that pays every partition dir's file
   // round-trips sequentially (the measured 38s-vs-7s trap)
   override def requiredNumPartitions(): Int =
-    if (op.partitionCol.isDefined)
+    if (op.partitionCols.nonEmpty)
       spark.sessionState.conf.numShufflePartitions
     else 0
 
@@ -270,7 +272,7 @@ final class GraftReplaceDataWrite(
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory = {
       val dataSchema = StructType(writeSchema.fields.filterNot(f =>
-        op.partitionCol.contains(f.name)))
+        op.partitionCols.contains(f.name)))
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat()
         .prepareWrite(spark, job, Map.empty, dataSchema)
@@ -300,7 +302,7 @@ final class GraftReplaceDataWrite(
       }
       new GraftStagedWriterFactory(
         new SerializableConfiguration(job.getConfiguration), owf,
-        op.snapshot.stageDirFor(commitId), writeSchema, op.partitionCol,
+        op.snapshot.stageDirFor(commitId), writeSchema, op.partitionCols,
         spark.sessionState.conf.sessionLocalTimeZone, boundChecks)
     }
 
@@ -323,14 +325,14 @@ final class GraftStagedWriterFactory(
     owf: OutputWriterFactory,
     stageDir: String,
     writeSchema: StructType,
-    partitionCol: Option[String],
+    partitionCols: Seq[String],
     zoneId: String,
     boundChecks: Seq[(String, Expression)] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftStagedDataWriter(conf, owf, stageDir, writeSchema,
-      partitionCol, zoneId, partitionId, taskId, boundChecks)
+      partitionCols, zoneId, partitionId, taskId, boundChecks)
 }
 
 /** Task-side staged parquet writer. Rows arrive clustered and sorted by
@@ -346,7 +348,7 @@ final class GraftStagedDataWriter(
     owf: OutputWriterFactory,
     stageDir: String,
     writeSchema: StructType,
-    partitionCol: Option[String],
+    partitionCols: Seq[String],
     zoneId: String,
     partitionId: Int,
     taskId: Long,
@@ -361,7 +363,7 @@ final class GraftStagedDataWriter(
     (n, p)
   }
 
-  private val pcIdx = partitionCol.map(writeSchema.fieldIndex)
+  private val pcIdx = partitionCols.map(writeSchema.fieldIndex)
 
   private val dataFields = writeSchema.fields.zipWithIndex
     .filterNot { case (_, i) => pcIdx.contains(i) }
@@ -372,13 +374,13 @@ final class GraftStagedDataWriter(
     dataFields.toIndexedSeq.map { case (f, i) =>
       BoundReference(i, f.dataType, f.nullable) })
 
-  // partition value rendered EXACTLY the way the engine's own writer
+  // partition values rendered EXACTLY the way the engine's own writer
   // names dirs: CAST to string in the session zone, then Hive-escaped
-  private val projectDir = pcIdx.map { i =>
-    UnsafeProjection.create(Seq(Cast(
+  private val projectDir =
+    if (pcIdx.isEmpty) None
+    else Some(UnsafeProjection.create(pcIdx.toIndexedSeq.map(i => Cast(
       BoundReference(i, writeSchema.fields(i).dataType, nullable = true),
-      StringType, Some(zoneId))))
-  }
+      StringType, Some(zoneId)))))
 
   private val tmpRoot = s"$stageDir/_tmp-$taskId"
 
@@ -417,12 +419,14 @@ final class GraftStagedDataWriter(
         throw new IllegalArgumentException(
           s"CHECK constraint '$name' violated by a row-level write")
     }
-    val dir = (partitionCol, projectDir) match {
-      case (Some(pc), Some(p)) =>
+    val dir = projectDir match {
+      case Some(p) =>
         val s = p(row)
-        val v = if (s.isNullAt(0)) null else s.getUTF8String(0).toString
-        ExternalCatalogUtils.getPartitionPathString(pc, v)
-      case _ => ""
+        partitionCols.zipWithIndex.map { case (pc, i) =>
+          ExternalCatalogUtils.getPartitionPathString(pc,
+            if (s.isNullAt(i)) null else s.getUTF8String(i).toString)
+        }.mkString("/")
+      case None => ""
     }
     if (writer == null || dir != currentDir) roll(dir)
     writer.write(projectData(row))

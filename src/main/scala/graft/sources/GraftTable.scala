@@ -46,13 +46,14 @@ final class GraftTable(
 
   // one manifest read per handle: entries (lengths guaranteed), the
   // version's logged schema, and the table's partition column
-  private val (entries, tableSchema, partitionCol) = snapshot.scanInfo(pinnedVersion)
+  private val (entries, tableSchema, partitionCols) =
+    snapshot.scanInfo(pinnedVersion)
 
   private val partitionSchema: StructType = StructType(
-    partitionCol.toSeq.flatMap(c => tableSchema.fields.find(_.name == c)))
+    partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
 
   private val dataSchema: StructType = StructType(
-    tableSchema.fields.filterNot(f => partitionCol.contains(f.name)))
+    tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
 
   override def name(): String =
     s"graft.`$tablePath`" + pinnedVersion.fold("")(v => s"@v$v")
@@ -60,7 +61,7 @@ final class GraftTable(
   override def schema(): StructType = tableSchema
 
   override def partitioning(): Array[Transform] =
-    partitionCol.map(c => Expressions.identity(c)).toArray
+    partitionCols.map(c => Expressions.identity(c)).toArray
 
   override def properties(): java.util.Map[String, String] =
     Collections.emptyMap()

@@ -179,6 +179,20 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed through the V2 scan:\n$plan")
   }
 
+  test("multi-column partitioned read prunes BOTH levels at planning time") {
+    val df = Queries.multiPartitionScan(spark, sf)
+    val plan = planOf(df)
+    // both composite-key columns must appear as PARTITION filters on
+    // the manifest-planned scan (planning-time pruning), not as data
+    // filters re-evaluated per row
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no partition filters on the scan:\n$plan")
+    assert(pf.get.contains("o_orderstatus") && pf.get.contains("o_month"),
+      s"a composite level missed planning-time pruning: ${pf.get}")
+    assert(plan.contains("ManifestFileIndex"),
+      s"scan not planned by the manifest index:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan

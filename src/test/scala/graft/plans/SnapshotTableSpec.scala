@@ -52,6 +52,44 @@ class SnapshotTableSpec extends SparkSpec {
       == Seq(4))
   }
 
+  test("multi-column partitioning: nested dirs, composite-scoped upsert, two-level pruned reads") {
+    val t = SnapshotTable(spark, tmp("multipart"), "id",
+      partitionCols = Seq("status", "month"))
+    t.create(Seq(
+      (1, "a", "F", 1), (2, "b", "F", 2), (3, "c", "O", 1), (4, "d", "O", 2))
+      .toDF("id", "val", "status", "month"))
+    // layout: two-level Hive dirs
+    assert(t.candidateFiles().forall(e =>
+      e.path.matches("status=[FO]/month=[12]/.*")),
+      s"unexpected layout: ${t.candidateFiles().map(_.path)}")
+    // upsert touching ONE (status, month) composite: the other three
+    // composites' files carry over by reference
+    val before = t.candidateFiles().map(_.path).toSet
+    t.upsert(Seq((1, "A1", "F", 1), (9, "z", "F", 1))
+      .toDF("id", "val", "status", "month"))
+    val after = t.candidateFiles().map(_.path).toSet
+    assert((before intersect after) ==
+      before.filterNot(_.startsWith("status=F/month=1/")),
+      s"composite scoping broke.\nbefore=$before\nafter=$after")
+    assert(t.read.count() == 5)
+    // partition values survive the read and both levels filter
+    val got = t.read.filter(col("status") === "F" && col("month") === 1)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq(1 -> "A1", 9 -> "z"))
+    // registered-source read: both levels prune AT PLANNING TIME
+    val path = t.path
+    val df = spark.read.format("graft").load(path)
+      .filter(col("status") === "O" && col("month") === 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(4))
+    // DELETE prunes by both partition levels too
+    t.delete(col("status") === "O" && col("month") === 1)
+    assert(t.read.count() == 4)
+    assert(t.candidateFiles().map(_.path).toSet ==
+      after.filterNot(_.startsWith("status=O/month=1/")))
+  }
+
   test("untouched partitions carry over BY REFERENCE: same physical files") {
     val path = tmp("snapref")
     val t = SnapshotTable(spark, path, "id", Some("part"))
