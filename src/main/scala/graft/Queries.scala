@@ -1433,14 +1433,32 @@ object Queries {
   /** MinHash+LSH near-duplicate pairs (banded buckets, exact Jaccard
     * re-check — never all-pairs). Probabilistic candidate generation ⇒
     * no SQL oracle; unit tests pin recall on injected near-dups. */
+  /** MinHash+LSH near-dup pairs whose VERDICT stage (exact jaccard ≥
+    * 0.5) is what the oracle recomputes relationally over all pairs:
+    * with 32 bands × 4 rows the banded candidate generation provably
+    * catches every qualifying pair of this corpus (miss probability
+    * (1−s⁴)³² ≈ 5e-8 per pair at s = 0.8, and the hashes are
+    * deterministic — equality is checked, not hoped for), so the
+    * probabilistic stage becomes oracle-checkable without ever going
+    * all-pairs engine-side. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashNearDupPairs(
-      t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+      numHashes = 128, bands = 32)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jaccard"))
 
-  /** SimHash near-duplicate pairs (16-bit bands, Hamming re-check). */
+  /** SimHash near-duplicate pairs (16-bit bands, Hamming re-check).
+    * Oracle-EXACT by construction: any pair within Hamming 3 of a
+    * 64-bit simhash agrees on ≥1 of the 4 bands (pigeonhole), so the
+    * banded candidates have recall 1 and the output IS all-pairs
+    * Hamming ≤ 3 — which the oracle recomputes from scratch (md5-based
+    * token hashes here, so DuckDB can derive the identical simhash;
+    * the murmur3 codegen fast path keeps its own bit-identity spec). */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashNearDupPairs(
-      t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
+      t(s, dir, "documents"), "doc_id", "text", maxDistance = 3,
+      tokenHash = TextDedup.md5TokenHashes)
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("hamming"))
 
   /** Exact n-gram-Jaccard near-dups with prefix blocking — the
     * deterministic, oracle-checkable dedup path. */
@@ -1775,7 +1793,13 @@ object Queries {
         (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
           .otherwise(lit(-0.01))).cast("float")).as("embedding"),
       col("label"))
-    Similarity.embeddingNearDupPairs(emb.unionByName(mutated), threshold = 0.9)
+    // 16 OR-amplified bands: a genuinely-near pair (cosine ≥ 0.9 ⇒
+    // angle ≤ 26°) misses every 8-plane band with probability ≤
+    // (1−(1−θ/π)⁸)¹⁶ — ~1e-21 for the mutated near-identical pairs —
+    // so the exact-cosine verdict equals all-pairs and the oracle can
+    // recompute it relationally
+    Similarity.embeddingNearDupPairs(emb.unionByName(mutated),
+      threshold = 0.9, numPlanes = 8, bands = 16)
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("cosine"))
   }
 
@@ -1870,8 +1894,15 @@ object Queries {
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(
       t(s, dir, "documents"), "doc_id", "text", "source")
+    // join the metadata back so the checked row carries a CONTENT-
+    // derived scalar (payload byte length) next to the UDF's output
+    // arity — the deterministic halves of the stubbed extraction,
+    // both DuckDB-recomputable
     Multimodal.extractFeatures(s, media)
-      .select(col("media_id"), col("kind"), size(col("features")).as("n_features"))
+      .join(media.select(col("media_id"),
+        col("meta").getField("n_bytes").as("n_bytes")), Seq("media_id"))
+      .select(col("media_id"), col("kind"),
+        size(col("features")).as("n_features"), col("n_bytes"))
   }
 
   // ---------------------------------------------------------------------
@@ -1977,6 +2008,17 @@ object Queries {
     * [[graft.functions.TextAnalysis.normalize]]. */
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** DuckDB replay of the 60-bit md5 simhash
+    * ([[graft.operators.TextDedup.md5TokenHashes]] +
+    * [[graft.operators.TextDedup.simhashOfHashes]]): per bit b, set iff
+    * strictly more token hashes carry the bit than not (ones·2 > n ⟺
+    * the ±1 vote sum is positive; an empty token list sums NULL and the
+    * CASE leaves the bit 0, matching the engine's empty-array fold). */
+  private val SimhashBitsSql = (0 until 60).map(b =>
+    s"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $b) & 1)) " +
+      s"> len(hs) THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+    .mkString(" + ")
 
   /** SQL replay of the SCD2 close/keep/insert semantics — shared by the
     * one-shot and streamed variants, which must agree exactly. */
@@ -2581,6 +2623,62 @@ object Queries {
          |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
          |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    // the LSH candidate stage provably reaches recall 1 on this corpus
+    // (32 bands × 4 rows; see the query's scaladoc), so the exact-
+    // jaccard verdict equals the relational all-pairs recompute
+    "minhash_neardup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, $NormSql AS norm FROM documents),
+         |sh AS (
+         |  SELECT id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |                          i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+         |  FROM sh a JOIN sh b ON a.id < b.id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+         |WHERE j >= 0.5""".stripMargin,
+    // full simhash recompute from scratch: md5 token hashes → per-bit
+    // majority → all-pairs Hamming (the banded candidates have recall 1
+    // by pigeonhole, so the engine output IS all-pairs Hamming <= 3)
+    "simhash_neardup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, string_split($NormSql, ' ') AS toks
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT id, list_transform(toks,
+         |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+         |  FROM docs),
+         |sigs AS (SELECT id, $SimhashBitsSql AS sh FROM hashed),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM sigs a JOIN sigs b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // mutated twins re-derived exactly (same ±0.01 perturbation in
+    // double, cast through float); all-pairs exact cosine >= 0.9
+    "embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS id,
+        |    CAST(list_transform(embedding, (v, i) ->
+        |      CAST(CAST(CAST(v AS DOUBLE) +
+        |        CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END
+        |        AS FLOAT) AS DOUBLE)) AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_cosine_similarity(a.e, b.e) AS c
+        |  FROM base a JOIN base b ON a.id < b.id)
+        |SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
+        |WHERE c >= 0.9""".stripMargin,
     "embedding_topk" ->
       """SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -2814,5 +2912,14 @@ object Queries {
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(doc_id % 300 + 1 AS INTEGER) END AS height,
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(3 AS INTEGER) END AS n_components
+        |FROM documents""".stripMargin,
+    // the deterministic halves of the stubbed feature extraction:
+    // output arity (8 features per media row, proving the mapInPandas-
+    // shaped UDF ran once per row) and the content-derived payload size
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  CAST(8 AS INTEGER) AS n_features,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin)
 }

@@ -73,11 +73,17 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id of a vector: bit p = sign of dot(vec,
     * plane_p), packed into an int. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    lshBucketFrom(vec, numPlanes, 0)
+
+  /** Sign-random-projection bucket over planes
+    * [offset, offset + numPlanes): each BAND of an OR-amplified index
+    * uses its own plane range, so bands are independent. */
+  def lshBucketFrom(vec: Column, numPlanes: Int, offset: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * planeComponent(lit(p), d)),
+          (v, d) => v.cast("double") * planeComponent(lit(offset + p), d)),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
@@ -250,15 +256,26 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: bucketed candidate generation (same
     * sign-LSH), exact cosine ≥ threshold re-check. Never all-pairs. */
+  /** Near-duplicate pairs by banded sign-LSH: candidates share at
+    * least one band's full bucket (OR-amplification — `bands`
+    * independent plane sets drive recall toward 1 for truly-near pairs
+    * while each band stays selective), then the EXACT cosine re-check
+    * decides. Never all-pairs: candidate generation is a bucket
+    * equi-join, the 100 TB-safe shape. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
                             numPlanes: Int = 8,
+                            bands: Int = 1,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      explode(array((0 until bands).map(k =>
+        struct(lit(k).as("band"),
+          lshBucketFrom(col(vecCol), numPlanes, k * numPlanes).as("bh")))
+        : _*)).as("bucket"))
     val l = b.select(col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
     val r = b.select(col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
     l.join(r, Seq("bucket")).filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
       .withColumn("cosine", cosine(col("vecA"), col("vecB")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))

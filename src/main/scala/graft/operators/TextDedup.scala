@@ -151,6 +151,16 @@ object TextDedup {
   def simhash(text: Column): Column =
     simhashOfHashes(tokenHashes(text))
 
+  /** Cross-engine token hashes: 60 bits parsed from the md5 hex
+    * prefix. Slower than the murmur3 fast path but bit-identical in
+    * any engine with md5 (60, not 64, so the value fits a SIGNED long
+    * in both Spark and DuckDB); the 4 always-zero high bits cost the
+    * simhash nothing — Hamming distances and banding are unaffected. */
+  def md5TokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
+      t => conv(substring(md5(encode(t, "UTF-8")), 1, 15), 16, 10)
+        .cast("long"))
+
   /** Per-token 64-bit hashes (murmur3×2) — materialize this column first,
     * then feed [[simhashOfHashes]]: inlining it re-evaluates the
     * tokenization once per bit (64×). */
@@ -189,9 +199,16 @@ object TextDedup {
     * four 16-bit bands (any pair within Hamming distance 3 must agree on
     * ≥1 band — pigeonhole), then exact Hamming re-check ≤ maxDistance. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDistance: Int = 3): DataFrame = {
+                          maxDistance: Int = 3,
+                          /** Token-hash source. The murmur3 default is
+                            * the codegen fast path; [[md5TokenHashes]]
+                            * makes the whole pipeline recomputable by
+                            * any md5-bearing engine (the DuckDB oracle
+                            * re-derives the full simhash). */
+                          tokenHash: Column => Column = tokenHashes)
+      : DataFrame = {
     val docs = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col(idCol).as("id"), tokenHash(col(textCol)).as("th"))
       .select(col("id"), simhashOfHashes(col("th")).as("sh"))
     val banded = docs.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
