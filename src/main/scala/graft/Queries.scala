@@ -1435,12 +1435,14 @@ object Queries {
     * no SQL oracle; unit tests pin recall on injected near-dups. */
   /** MinHash+LSH near-dup pairs whose VERDICT stage (exact jaccard ≥
     * 0.5) is what the oracle recomputes relationally over all pairs:
-    * with 32 bands × 4 rows the banded candidate generation provably
-    * catches every qualifying pair of this corpus (miss probability
-    * (1−s⁴)³² ≈ 5e-8 per pair at s = 0.8, and the hashes are
-    * deterministic — equality is checked, not hoped for), so the
-    * probabilistic stage becomes oracle-checkable without ever going
-    * all-pairs engine-side. */
+    * with 32 bands × 4 rows the banded candidate generation catches
+    * every qualifying pair of THIS corpus — a property the harness
+    * CHECKS, and one that cannot silently regress (hashes and fixture
+    * are deterministic). It is corpus-dependent, not universal: miss
+    * probability per pair is (1−s⁴)³² ≈ 5e-8 at s = 0.8 but ~13% at a
+    * borderline s = 0.5, so a corpus with barely-qualifying pairs
+    * would need more bands. The conversion buys an exact oracle
+    * without ever going all-pairs engine-side. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashNearDupPairs(
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,

@@ -170,7 +170,10 @@ object Similarity {
                        * train×centroids cosines — on a 100 TB corpus
                        * that must run on a bounded sample (k-means
                        * converges on ~10³ vectors/centroid); only the
-                       * one final assignment is O(corpus). */
+                       * one final assignment is O(corpus). Sizing the
+                       * sample costs one count() pass up front — the
+                       * price of replacing iters full-corpus training
+                       * passes with sampled ones. */
                      maxTrainVectors: Long = 100000L): DataFrame = {
     var cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
     if (iters <= 0) return cents

@@ -51,7 +51,7 @@ final class ManifestFileIndex(
   require(partitionSchema.fields.zipWithIndex.forall { case (f, i) =>
       f.name != ManifestFileIndex.MetaPartitionCol ||
         i == partitionSchema.fields.length - 1
-    }, s"$ManifestFileIndex.MetaPartitionCol must be the last field")
+    }, s"${ManifestFileIndex.MetaPartitionCol} must be the last field")
 
   private val realPartitionFields = partitionSchema.fields
     .filterNot(_.name == ManifestFileIndex.MetaPartitionCol)
@@ -72,7 +72,10 @@ final class ManifestFileIndex(
   // ---- PartitioningAwareFileIndex contract, answered from the
   // manifest alone (zero filesystem calls — the whole point)
 
-  override def partitionSpec(): PartitionSpec =
+  // a snapshot index is immutable (refresh() is a no-op), so the
+  // O(entries) structures the base class consults repeatedly during
+  // planning are computed once
+  private lazy val computedSpec: PartitionSpec =
     if (partitionSchema.isEmpty) PartitionSpec.emptySpec
     else PartitionSpec(partitionSchema,
       entries.map(e => partOf(e.path)).distinct.map { raw =>
@@ -82,14 +85,16 @@ final class ManifestFileIndex(
         PartitionPath(partitionRow(raw), new Path(s"$dataDir/$dir"))
       })
 
-  override protected def leafFiles
+  override def partitionSpec(): PartitionSpec = computedSpec
+
+  override protected lazy val leafFiles
       : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
     entries.foreach { e => val st = statusOf(e); m += (st.getPath -> st) }
     m
   }
 
-  override protected def leafDirToChildrenFiles
+  override protected lazy val leafDirToChildrenFiles
       : Map[Path, Array[FileStatus]] =
     entries.map(statusOf).groupBy(_.getPath.getParent)
       .map { case (dir, sts) => dir -> sts.toArray }

@@ -183,20 +183,49 @@ final class SnapshotTable(
     * were logged — Delta keeps the schema in its transaction log for
     * the same reason: a reader should never need file footers to know
     * what a table looks like). */
+  /** Skipping/clustering LAYOUT logged with each commit — like the
+    * partition column and CHECK constraints, this is TABLE metadata
+    * every writer must honor: a rewrite through a bare handle (SQL
+    * MERGE, the registered sink) would otherwise silently stop
+    * collecting the stats and blooms the table's pruning depends on. */
+  private[graft] final case class Layout(statsCols: Seq[String],
+                                         clusterBy: Seq[String],
+                                         clusterFiles: Int,
+                                         bloomCols: Seq[String],
+                                         bloomItems: Long,
+                                         bloomFpp: Double)
+
   private final case class Manifest(entries: Seq[FileEntry],
                                     schema: Option[StructType],
                                     partitionCol: Option[String],
-                                    checks: Seq[(String, String)])
+                                    checks: Seq[(String, String)],
+                                    layout: Option[Layout])
 
   private val HeaderPrefixes =
-    Seq("token\t", "schema\t", "partition\t", "check\t")
+    Seq("token\t", "schema\t", "partition\t", "check\t", "layout\t")
 
   private def encHdr(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def decHdr(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def readManifest(v: Long): Manifest = {
+  private def encCols(cs: Seq[String]): String =
+    cs.map(encHdr).mkString(",")
+  private def decCols(s: String): Seq[String] =
+    if (s.isEmpty) Nil else s.split(",", -1).toSeq.map(decHdr)
+
+  // manifests are immutable per version: parsing one is cacheable for
+  // the handle's lifetime. Bounded (last few versions) so a long-lived
+  // streaming handle doesn't accumulate history.
+  private val manifestCache =
+    new java.util.LinkedHashMap[Long, Manifest](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Manifest]): Boolean = size() > 4
+    }
+
+  private def readManifest(v: Long): Manifest = manifestCache.synchronized {
+    val cached = manifestCache.get(v)
+    if (cached != null) return cached
     val in = fs.open(manifestPath(v))
     try {
       val txt = new String(
@@ -213,11 +242,39 @@ final class SnapshotTable(
         val parts = l.split("\t", 3)
         (decHdr(parts(1)), decHdr(parts(2)))
       }
+      val layout = lines.tail.find(_.startsWith("layout\t")).map { l =>
+        val p = l.split("\t", -1)
+        Layout(decCols(p(1)), decCols(p(2)), p(3).toInt,
+          decCols(p(4)), p(5).toLong, p(6).toDouble)
+      }
       val entries = lines.tail
         .filterNot(l => HeaderPrefixes.exists(l.startsWith))
         .map(FileEntry.parse)
-      Manifest(entries, schema, pc, checks)
+      val m = Manifest(entries, schema, pc, checks, layout)
+      manifestCache.put(v, m)
+      m
     } finally in.close()
+  }
+
+  /** The layout in force: constructor values where given (that is how
+    * a layout is declared or changed), the logged ones otherwise — so
+    * rewrites through read-only handles keep collecting the same stats
+    * and blooms. */
+  private lazy val effectiveLayout: Layout = {
+    val logged = currentVersion.flatMap(v => readManifest(v).layout)
+    Layout(
+      if (statsCols.nonEmpty) statsCols
+      else logged.map(_.statsCols).getOrElse(Nil),
+      if (clusterBy.nonEmpty) clusterBy
+      else logged.map(_.clusterBy).getOrElse(Nil),
+      if (clusterFiles != 0) clusterFiles
+      else logged.map(_.clusterFiles).getOrElse(0),
+      if (bloomCols.nonEmpty) bloomCols
+      else logged.map(_.bloomCols).getOrElse(Nil),
+      if (bloomExpectedItems != 100000L) bloomExpectedItems
+      else logged.map(_.bloomItems).getOrElse(100000L),
+      if (bloomFpp != 0.03) bloomFpp
+      else logged.map(_.bloomFpp).getOrElse(0.03))
   }
 
   /** The table's REAL partition column: the constructor's when given,
@@ -279,9 +336,11 @@ final class SnapshotTable(
     // it comes through — exactly as Delta persists constraints in its
     // transaction log (a handle-only constraint would be silently
     // bypassed by the format("graft") sink or SQL INSERT)
-    // constraint SQL comes from the ANALYZED predicate against this
-    // commit's schema (Column itself exposes no expression in the v4
-    // API): resolved-then-.sql round-trips through expr() on read
+    // CONSTRUCTOR constraints get their SQL from the ANALYZED predicate
+    // against this commit's schema (Column exposes no expression in the
+    // v4 API); already-LOGGED constraints carry forward VERBATIM — a
+    // metadata-only commit (restore) or one whose schema predates an
+    // evolved-column constraint must not re-analyze and fail
     def checkSql(c: Column): String = {
       val dummy = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -292,10 +351,22 @@ final class SnapshotTable(
           s"unexpected CHECK analysis shape: $other")
       }
     }
-    val checkLines = effectiveChecks.map { case (n, c) =>
-      s"check\t${encHdr(n)}\t${encHdr(checkSql(c))}\n" }.mkString
+    val ctorNames = checkConstraints.map(_._1).toSet
+    val carried = loggedChecks.filterNot(c => ctorNames(c._1))
+      .map { case (n, sql) => (n, sql) }
+    val checkLines = (carried ++ checkConstraints.map { case (n, c) =>
+      (n, checkSql(c)) })
+      .map { case (n, sql) => s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }
+      .mkString
+    val lay = effectiveLayout
+    val layoutLine =
+      if (lay == Layout(Nil, Nil, 0, Nil, 100000L, 0.03)) ""
+      else s"layout\t${encCols(lay.statsCols)}\t${encCols(lay.clusterBy)}\t" +
+        s"${lay.clusterFiles}\t${encCols(lay.bloomCols)}\t" +
+        s"${lay.bloomItems}\t${lay.bloomFpp}\n"
     val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      pcLine + checkLines + files.map(_.serialize).mkString("\n") + "\n")
+      pcLine + checkLines + layoutLine +
+      files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
     val out = fs.create(tmp, true)
@@ -410,15 +481,16 @@ final class SnapshotTable(
                              packFiles: Option[Int] = None): Seq[FileEntry] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val stage = s"$path/_stage/$commitId"
+    val lay = effectiveLayout
     val clustered =
-      if (clusterBy.nonEmpty) {
+      if (lay.clusterBy.nonEmpty) {
         // range-cluster (within the partition column when present) so
         // each file covers a narrow slice of the cluster columns —
         // the precondition for min/max skipping to actually skip.
         // packFiles (compaction) overrides the pinned count but keeps
         // the clustering, so compacted files stay skippable.
-        val cs = (tablePartitionCols ++ clusterBy).map(col)
-        val nf = packFiles.getOrElse(clusterFiles)
+        val cs = (tablePartitionCols ++ lay.clusterBy).map(col)
+        val nf = packFiles.getOrElse(lay.clusterFiles)
         val ranged = if (nf > 0) df.repartitionByRange(nf, cs: _*)
                      else df.repartitionByRange(cs: _*)
         ranged.sortWithinPartitions(cs: _*)
@@ -484,11 +556,12 @@ final class SnapshotTable(
         throw new IllegalStateException(s"data move failed: $dest")
     })
     timed("stage-delete")(fs.delete(new Path(s"$path/_stage/$commitId"), true))
+    val statCols = effectiveLayout.statsCols
     val entries = timed("footer-stats")(inParallel(toMove.toSeq) {
       case (_, rel, len, mtime) =>
         FileEntry(rel,
-          (if (statsCols.isEmpty) Map.empty[String, (String, String)]
-           else footerStats(rel)) + FileEntry.metaStat(len, mtime))
+          (if (statCols.isEmpty) Map.empty[String, (String, String)]
+           else footerStats(rel, statCols)) + FileEntry.metaStat(len, mtime))
     })
     val blooms = fileBlooms(entries, bloomSchema)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
@@ -515,6 +588,10 @@ final class SnapshotTable(
     val carried = live.filterNot(e => replacedPaths(e.path))
     val fresh = promoteStage(commitId,
       Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+    // a no-op operation (runtime group filter matched nothing: no file
+    // replaced, nothing staged) commits nothing — same contract as the
+    // API DML paths, so repeated no-op SQL never churns versions
+    if (fresh.isEmpty && replacedPaths.isEmpty) return
     commitManifest(v + 1, carried ++ fresh, schema)
   }
 
@@ -538,18 +615,20 @@ final class SnapshotTable(
   private def fileBlooms(entries: Seq[FileEntry],
                          writeSchema: Option[StructType])
       : Map[String, Map[String, (String, String)]] = {
-    if (bloomCols.isEmpty || entries.isEmpty) return Map.empty
+    val lay = effectiveLayout
+    val bCols = lay.bloomCols
+    if (bCols.isEmpty || entries.isEmpty) return Map.empty
     import graft.functions.BloomSketch
     val df = readFiles(entries, writeSchema)
-    val aggs = bloomCols.map { c =>
+    val aggs = bCols.map { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType =>
-          BloomSketch.longBloom(col(c).cast("long"), bloomExpectedItems, bloomFpp).as(c)
+          BloomSketch.longBloom(col(c).cast("long"), lay.bloomItems, lay.bloomFpp).as(c)
         case org.apache.spark.sql.types.StringType =>
-          BloomSketch.stringBloom(col(c), bloomExpectedItems, bloomFpp).as(c)
+          BloomSketch.stringBloom(col(c), lay.bloomItems, lay.bloomFpp).as(c)
         case other => throw new IllegalArgumentException(
           s"bloom index on $c: unsupported type $other (integral/string only)")
       }
@@ -558,7 +637,7 @@ final class SnapshotTable(
     // string): a probe of the OTHER family hashes differently and would
     // prune files that DO contain the key — candidateFilesEq only
     // consults same-family blooms
-    val kinds = bloomCols.map { c =>
+    val kinds = bCols.map { c =>
       c -> (df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType => "BS:"
         case _ => "BL:"
@@ -569,7 +648,7 @@ final class SnapshotTable(
     val byBase = entries.map(e => e.path.split('/').last -> e.path).toMap
     rows.iterator.flatMap { r =>
       byBase.get(r.getString(0).split('/').last).map { rel =>
-        rel -> bloomCols.zipWithIndex.map { case (c, i) =>
+        rel -> bCols.zipWithIndex.map { case (c, i) =>
           FileEntry.bloomKey(c) ->
             ((kinds(c) + java.util.Base64.getEncoder.encodeToString(
               r.getAs[Array[Byte]](i + 1))), kinds(c))
@@ -583,13 +662,14 @@ final class SnapshotTable(
     * production writer would collect task-side during the write, as
     * Iceberg does; footers are the no-write-hook equivalent). A column
     * missing stats in any row group is left unstated = never pruned. */
-  private def footerStats(rel: String): Map[String, (String, String)] = {
+  private def footerStats(rel: String,
+                          statCols: Seq[String]): Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new Path(s"$dataDir/$rel"), spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val wanted = statsCols.toSet
+      val wanted = statCols.toSet
       val chunks = reader.getFooter.getBlocks.asScala
         .flatMap(_.getColumns.asScala)
         .filter(c => wanted(c.getPath.toDotString))
@@ -628,17 +708,19 @@ final class SnapshotTable(
     } finally reader.close()
   }
 
+  /** The head manifest's logged CHECK constraints, (name, sql). */
+  private def loggedChecks: Seq[(String, String)] =
+    currentVersion.map(v => readManifest(v).checks).getOrElse(Nil)
+
   /** The CHECK constraints in force: those LOGGED in the table's
     * manifest — binding on every writer, whatever handle or source API
     * the write comes through — unioned with constructor-supplied ones
     * (same name: the constructor definition wins, which is also how a
     * constraint gets added: construct a handle with it and commit). */
   private[graft] def effectiveChecks: Seq[(String, Column)] = {
-    val logged = currentVersion
-      .map(v => readManifest(v).checks).getOrElse(Nil)
-      .map { case (n, sql) => n -> expr(sql) }
     val ctor = checkConstraints.map(_._1).toSet
-    logged.filterNot(c => ctor(c._1)) ++ checkConstraints
+    loggedChecks.filterNot(c => ctor(c._1))
+      .map { case (n, sql) => n -> expr(sql) } ++ checkConstraints
   }
 
   /** Project CHECK enforcement INTO the write plan itself
@@ -1164,13 +1246,19 @@ final class SnapshotTable(
     val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
     val referenced = keep.flatMap(readManifest(_).entries.map(_.path)).toSet
-    // drop manifests older than the retention window
+    // drop manifests older than the retention window (and forget their
+    // cached parses: a reclaimed version must fail time travel, not be
+    // served from this handle's memory)
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.endsWith(".manifest") &&
-          n.stripPrefix("v").stripSuffix(".manifest").toLong < keep.head)
-        fs.delete(st.getPath, false)
+      if (n.startsWith("v") && n.endsWith(".manifest")) {
+        val mv = n.stripPrefix("v").stripSuffix(".manifest").toLong
+        if (mv < keep.head) {
+          fs.delete(st.getPath, false)
+          manifestCache.synchronized(manifestCache.remove(mv))
+        }
+      }
     }
     // delete unreferenced-AND-aged data files, then empty partition dirs
     val root = new Path(dataDir)

@@ -139,7 +139,8 @@ final class GraftRowLevelScanBuilder(
       if (bounds.isEmpty) op.liveEntries
       else op.snapshot.candidatesOf(op.liveEntries, bounds)
     op.staticEntries = op.partitionCols.foldLeft(statsPruned) { (es, pc) =>
-      FilterPruning.partitionValues(filters, pc) match {
+      FilterPruning.partitionValues(filters, pc,
+        spark.sessionState.conf.sessionLocalTimeZone) match {
         case Some(dirs) => es.filter(e =>
           SnapshotTable.partValuesOf(e.path).get(pc).forall(dirs))
         case None => es
@@ -506,12 +507,23 @@ private[sources] object FilterPruning {
   }
 
   /** The Hive-dir-encoded partition values a conjunctive filter set
-    * pins the partition column to, or None when unconstrained. */
-  def partitionValues(filters: Array[Filter],
-                      pc: String): Option[Set[String]] = {
-    def render(v: Any): String =
+    * pins the partition column to, or None when unconstrained.
+    * Rendering goes through CAST-to-string in the session zone — the
+    * exact transform the writer used to name the dirs. A java
+    * `toString` would differ for timestamps ('2024-01-05 00:00:00.0'),
+    * match no dir, and silently prune the very partition the command
+    * targets (the scan would read nothing: an UPDATE that updates 0
+    * rows, a MERGE that duplicates matched keys as inserts). */
+  def partitionValues(filters: Array[Filter], pc: String,
+                      zoneId: String): Option[Set[String]] = {
+    def render(v: Any): String = {
+      val s =
+        if (v == null) null
+        else Cast(org.apache.spark.sql.catalyst.expressions.Literal
+          .create(v), StringType, Some(zoneId)).eval(null)
       ExternalCatalogUtils.getPartitionValueString(
-        if (v == null) null else v.toString)
+        if (s == null) null else s.toString)
+    }
     val sets = filters.toSeq.collect {
       case EqualTo(c, v) if c == pc => Set(render(v))
       case In(c, vs) if c == pc => vs.map(render).toSet

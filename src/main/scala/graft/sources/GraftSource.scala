@@ -66,13 +66,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
   // ---- DataSource V2 read half: TableProvider → GraftTable
 
+  // one table per resolution sequence: Spark calls inferSchema,
+  // inferPartitioning and getTable back-to-back on one provider
+  // instance, and each GraftTable construction reads the manifest —
+  // memoizing by options cuts three metadata reads to one
+  @volatile private var lastTable: (Map[String, String], Table) = null
+
   private def makeTable(options: Map[String, String]): Table = {
+    val cached = lastTable
+    if (cached != null && cached._1 == options) return cached._2
     val spark = SparkSession.active
     val path = pathOf(options)
-    if (!SnapshotTable(spark, path, "_unused_read_only").exists)
-      new MissingGraftTable(path)
-    else new GraftTable(spark, path, resolveVersion(spark, path, options),
-      options)
+    val t =
+      if (!SnapshotTable(spark, path, "_unused_read_only").exists)
+        new MissingGraftTable(path)
+      else new GraftTable(spark, path, resolveVersion(spark, path, options),
+        options)
+    lastTable = (options, t)
+    t
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

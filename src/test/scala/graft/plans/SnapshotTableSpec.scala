@@ -743,6 +743,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.filter(col("id") === 1).select("val").head().getString(0) == "A")
   }
 
+  test("skipping layout persists in the manifest: bare-handle rewrites keep stats and blooms") {
+    val path = tmp("snaplayout")
+    val defining = SnapshotTable(spark, path, "k",
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 4,
+      bloomCols = Seq("k"))
+    defining.create(spark.range(0, 400).select(col("id").as("k"),
+      (col("id") * 2).as("v")))
+    // a BARE handle — as the SQL/sink paths construct — rewrites rows;
+    // the new files must still carry k's min/max stats and bloom
+    val bare = SnapshotTable(spark, path, "k")
+    bare.upsert(spark.range(400, 800).select(col("id").as("k"),
+      (col("id") * 2).as("v")))
+    val t = SnapshotTable(spark, path, "k")
+    // every live file has k stats: an impossible range prunes ALL files
+    assert(t.candidateFiles(("k", -100L, -50L)).isEmpty,
+      "a rewrite through a bare handle dropped the min/max stats")
+    // blooms survive too: a point probe for an absent key prunes all
+    assert(t.candidateFilesEq(("k", 999999L)).isEmpty,
+      "a rewrite through a bare handle dropped the bloom index")
+    assert(t.read.count() == 800)
+  }
+
+  test("restore succeeds when a logged constraint references an evolved column") {
+    val path = tmp("snaprestorechk")
+    val t1 = SnapshotTable(spark, path, "id", Some("part"))
+    t1.create(frame((1, "a", "p1")))                        // v1: (id,val,part)
+    t1.upsert(Seq((2, "b", "p2", 5)).toDF("id", "val", "part", "extra"),
+      evolveSchema = true)                                   // v2: +extra
+    SnapshotTable(spark, path, "id", Some("part"),
+      checkConstraints = Seq("extra_pos" -> (coalesce(col("extra"),
+        lit(1)) > 0)))
+      .upsert(Seq((3, "c", "p1", 7)).toDF("id", "val", "part", "extra"))
+    // v3 logged the constraint; restoring to v1 (whose schema has no
+    // 'extra') must not re-analyze it against the old schema and fail
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.restoreTo(1)
+    assert(t.read.columns.toSeq == Seq("id", "val", "part"))
+    assert(t.read.count() == 1)
+  }
+
   test("CHECK constraints persist in the manifest: every writer is bound, not just the defining handle") {
     val path = tmp("snapchecklog")
     SnapshotTable(spark, path, "id", Some("part"),

@@ -135,6 +135,29 @@ class RowLevelSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE prunes timestamp partitions via the writer's dir rendering, not toString") {
+    val path = tmp("rlsts")
+    val name = "graft_rls_ts"
+    val src = Seq(
+      (1, 10.0, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (2, 20.0, java.sql.Timestamp.valueOf("2024-02-05 00:00:00")))
+      .toDF("id", "amt", "day")
+    SnapshotTable(spark, path, "id", Some("day")).create(src)
+    spark.sql(s"CREATE TABLE $name USING graft " +
+      s"OPTIONS (primaryKey 'id') LOCATION '$path'")
+    try {
+      // a toString-rendered filter value ('2024-01-05 00:00:00.0')
+      // matches no Hive dir and would statically prune the TARGET
+      // partition away: the update would silently touch 0 rows
+      spark.sql(s"UPDATE $name SET amt = 11.0 " +
+        "WHERE day = TIMESTAMP'2024-01-05 00:00:00'")
+      spark.sql(s"REFRESH TABLE $name")
+      assert(spark.sql(s"SELECT amt FROM $name WHERE id = 1")
+        .head().getDouble(0) == 11.0,
+        "timestamp-partition static pruning dropped the target partition")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("row-level SQL writes enforce manifest-logged CHECK constraints") {
     val path = tmp("rlscheck")
     val name = "graft_rls_check"
