@@ -270,17 +270,31 @@ object Similarity {
                             bands: Int = 1,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array((0 until bands).map(k =>
-        struct(lit(k).as("band"),
-          lshBucketFrom(col(vecCol), numPlanes, k * numPlanes).as("bh")))
-        : _*)).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
-    val r = b.select(col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
-    l.join(r, Seq("bucket")).filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-      .withColumn("cosine", cosine(col("vecA"), col("vecB")))
-      .filter(col("cosine") >= threshold)
-      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    // candidate IDS travel through the bucket join and the pair dedup
+    // WITHOUT their vectors (same design as the minhash pipeline:
+    // shipping two dense arrays per candidate pair through the shuffle
+    // multiplies its width for nothing); vectors re-attach to the
+    // deduplicated pair set for the one exact re-check
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist()
+    try {
+      val b = docs.select(col("id"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"),
+            lshBucketFrom(col("vec"), numPlanes, k * numPlanes).as("bh")))
+          : _*)).as("bucket"))
+      val cand = b.select(col("bucket"), col("id").as("idA"))
+        .join(b.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
+        .filter(col("idA") < col("idB"))
+        .select("idA", "idB").dropDuplicates("idA", "idB")
+      val result = cand
+        .join(docs.select(col("id").as("idA"), col("vec").as("vecA")), Seq("idA"))
+        .join(docs.select(col("id").as("idB"), col("vec").as("vecB")), Seq("idB"))
+        .withColumn("cosine", cosine(col("vecA"), col("vecB")))
+        .filter(col("cosine") >= threshold)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+      // small verified pair set: materialize so the doc cache releases
+      result.localCheckpoint(eager = true)
+    } finally docs.unpersist()
   }
 }
