@@ -352,7 +352,8 @@ final class SnapshotTable(
       }
     }
     val ctorNames = checkConstraints.map(_._1).toSet
-    val carried = loggedChecks.filterNot(c => ctorNames(c._1))
+    val carried = loggedChecks
+      .filterNot(c => ctorNames(c._1) || droppedChecks(c._1))
       .map { case (n, sql) => (n, sql) }
     val checkLines = (carried ++ checkConstraints.map { case (n, c) =>
       (n, checkSql(c)) })
@@ -719,7 +720,7 @@ final class SnapshotTable(
     * constraint gets added: construct a handle with it and commit). */
   private[graft] def effectiveChecks: Seq[(String, Column)] = {
     val ctor = checkConstraints.map(_._1).toSet
-    loggedChecks.filterNot(c => ctor(c._1))
+    loggedChecks.filterNot(c => ctor(c._1) || droppedChecks(c._1))
       .map { case (n, sql) => n -> expr(sql) } ++ checkConstraints
   }
 
@@ -913,6 +914,31 @@ final class SnapshotTable(
     commitManifest(v + 1, carried ++ writeDataFiles(rewritten),
       rewritten.schema)
   }
+
+  /** Delta's `ALTER TABLE DROP CONSTRAINT` analog: a METADATA-ONLY
+    * commit (every file carries over by reference) whose manifest no
+    * longer logs the named CHECK — writers constructed after it stop
+    * enforcing. Unknown names fail loudly: silently "dropping" a
+    * constraint that never existed usually means a typo and a
+    * constraint the caller believes gone but still enforced. */
+  def dropCheckConstraint(name: String): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    require(m.checks.exists(_._1 == name),
+      s"no CHECK constraint named '$name' at $path " +
+        s"(logged: ${m.checks.map(_._1).mkString(", ")})")
+    require(!checkConstraints.exists(_._1 == name),
+      s"cannot drop '$name' through a handle that re-declares it " +
+        "(constructor constraints re-log on every commit)")
+    droppedChecks += name
+    commitManifest(v + 1, m.entries,
+      m.schema.getOrElse(readFiles(m.entries).schema))
+  }
+
+  /** Names excluded from the carry-forward of logged constraints on
+    * this handle's commits ([[dropCheckConstraint]]). */
+  private val droppedChecks = scala.collection.mutable.Set.empty[String]
 
   /** Delta `RESTORE` analog: make the table's NEXT version an exact
     * copy of `targetVersion`'s manifest — a metadata-only commit (every

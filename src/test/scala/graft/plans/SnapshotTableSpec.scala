@@ -765,6 +765,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.count() == 800)
   }
 
+  test("dropCheckConstraint: metadata-only commit, later writers stop enforcing") {
+    val path = tmp("snapdropchk")
+    SnapshotTable(spark, path, "id", Some("part"),
+      checkConstraints = Seq("val_nonempty" -> (length(col("val")) > 0)))
+      .create(frame((1, "a", "p1")))
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    intercept[Exception] { t.upsert(frame((2, "", "p1"))) } // still bound
+    intercept[IllegalArgumentException] {
+      t.dropCheckConstraint("nope") // unknown name fails loudly
+    }
+    val before = t.candidateFiles().map(_.path).toSet
+    t.dropCheckConstraint("val_nonempty")
+    assert(t.candidateFiles().map(_.path).toSet == before,
+      "drop must be metadata-only (files carried by reference)")
+    // the dropping handle AND fresh handles both stop enforcing
+    t.upsert(frame((2, "", "p1")))
+    SnapshotTable(spark, path, "id", Some("part"))
+      .upsert(frame((3, "", "p2")))
+    assert(t.read.count() == 3)
+  }
+
   test("restore succeeds when a logged constraint references an evolved column") {
     val path = tmp("snaprestorechk")
     val t1 = SnapshotTable(spark, path, "id", Some("part"))
