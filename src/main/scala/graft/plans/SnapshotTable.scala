@@ -93,7 +93,16 @@ final class SnapshotTable(
       * nested Hive dirs `a=.../b=.../`, pruned level by level at
       * planning time. Mutually exclusive with the single
       * `partitionCol`. */
-    val partitionCols: Seq[String] = Nil) {
+    val partitionCols: Seq[String] = Nil,
+    /** Free-form TABLE properties (Delta TBLPROPERTIES analog), logged
+      * in the manifest with every commit so any handle — the catalog,
+      * `format("graft")`, a bare SnapshotTable(path) — reads the same
+      * metadata. The catalog persists `primaryKey`/`partitionCol`
+      * writer options here, which is what lets a plain
+      * `INSERT INTO graft.ns.t` know its merge key. Constructor values
+      * override same-named logged ones; [[setProperties]] changes them
+      * after the fact. */
+    val tableProps: Map[String, String] = Map.empty) {
 
   require(partitionCol.isEmpty || partitionCols.isEmpty,
     "give either partitionCol or partitionCols, not both")
@@ -199,10 +208,12 @@ final class SnapshotTable(
                                     schema: Option[StructType],
                                     partitionCol: Option[String],
                                     checks: Seq[(String, String)],
-                                    layout: Option[Layout])
+                                    layout: Option[Layout],
+                                    props: Map[String, String])
 
   private val HeaderPrefixes =
-    Seq("token\t", "schema\t", "partition\t", "check\t", "layout\t")
+    Seq("token\t", "schema\t", "partition\t", "check\t", "layout\t",
+      "property\t")
 
   private def encHdr(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -247,10 +258,14 @@ final class SnapshotTable(
         Layout(decCols(p(1)), decCols(p(2)), p(3).toInt,
           decCols(p(4)), p(5).toLong, p(6).toDouble)
       }
+      val props = lines.tail.filter(_.startsWith("property\t")).map { l =>
+        val parts = l.split("\t", 3)
+        (decHdr(parts(1)), decHdr(parts(2)))
+      }.toMap
       val entries = lines.tail
         .filterNot(l => HeaderPrefixes.exists(l.startsWith))
         .map(FileEntry.parse)
-      val m = Manifest(entries, schema, pc, checks, layout)
+      val m = Manifest(entries, schema, pc, checks, layout, props)
       manifestCache.put(v, m)
       m
     } finally in.close()
@@ -365,8 +380,14 @@ final class SnapshotTable(
       else s"layout\t${encCols(lay.statsCols)}\t${encCols(lay.clusterBy)}\t" +
         s"${lay.clusterFiles}\t${encCols(lay.bloomCols)}\t" +
         s"${lay.bloomItems}\t${lay.bloomFpp}\n"
+    // table properties carry forward like checks: logged ones minus
+    // explicit unsets, constructor/setProperties values winning — sorted
+    // so byte-identical metadata commits stay reproducible
+    val propLines = effectiveProps.toSeq.sortBy(_._1)
+      .map { case (k, vl) => s"property\t${encHdr(k)}\t${encHdr(vl)}\n" }
+      .mkString
     val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      pcLine + checkLines + layoutLine +
+      pcLine + checkLines + layoutLine + propLines +
       files.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
@@ -427,6 +448,21 @@ final class SnapshotTable(
            fs.getFileStatus(manifestPath(v)).getModificationTime > epochMs)
       v -= 1
     if (v >= 1 && fs.exists(manifestPath(v))) Some(v) else None
+  }
+
+  /** The table's retained commit history, newest first: (version,
+    * commitTimeMs, liveFileCount). Commit times are the manifest file
+    * mtimes (the atomic commit op stamps them); vacuumed versions are
+    * absent. O(retained versions) metadata probes — the walk stops at
+    * the vacuum horizon, never scanning data. */
+  def history: Seq[(Long, Long, Int)] = {
+    val head = currentVersion.getOrElse(return Nil)
+    (1L to head).reverse.iterator.map { v =>
+      val p = manifestPath(v)
+      if (!fs.exists(p)) None
+      else Some((v, fs.getFileStatus(p).getModificationTime,
+        readManifest(v).entries.size))
+    }.takeWhile(_.isDefined).flatten.toSeq
   }
 
   /** Snapshot read as of a wall-clock instant ([[versionAt]]). */
@@ -713,6 +749,63 @@ final class SnapshotTable(
   private def loggedChecks: Seq[(String, String)] =
     currentVersion.map(v => readManifest(v).checks).getOrElse(Nil)
 
+  /** The head manifest's logged table properties. */
+  def properties: Map[String, String] =
+    currentVersion.map(v => readManifest(v).props).getOrElse(Map.empty)
+
+  /** The properties the NEXT commit will log: logged minus explicit
+    * unsets, overridden by constructor values and [[setProperties]]
+    * calls on this handle. */
+  private def effectiveProps: Map[String, String] =
+    (properties -- unsetProps) ++ tableProps ++ pendingProps
+
+  private val pendingProps =
+    scala.collection.mutable.Map.empty[String, String]
+  private val unsetProps = scala.collection.mutable.Set.empty[String]
+
+  /** `ALTER TABLE SET/UNSET TBLPROPERTIES` analog: a METADATA-ONLY
+    * commit (files carry over by reference) whose manifest logs the
+    * updated property map — binding on every subsequently-constructed
+    * handle, whatever API it comes through. */
+  def setProperties(add: Map[String, String],
+                    remove: Seq[String] = Nil): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    pendingProps ++= add
+    unsetProps ++= remove
+    pendingProps --= remove
+    val m = readManifest(v)
+    commitManifest(v + 1, m.entries,
+      m.schema.getOrElse(readFiles(m.entries).schema))
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` analog: a METADATA-ONLY commit logging
+    * the evolved schema. Parquet resolves columns by name, so every
+    * already-committed file reads the added columns as null under the
+    * new schema — zero data I/O, exactly the upsert(evolveSchema=true)
+    * read contract. Existing columns must carry over unchanged (type
+    * narrowing through metadata would corrupt reads), and added columns
+    * must be nullable (old rows have no value to satisfy NOT NULL). */
+  def evolveTo(newSchema: StructType): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val old = m.schema.getOrElse(readFiles(m.entries).schema)
+    old.fields.foreach { f =>
+      val kept = newSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolveTo drops column '${f.name}' — schema evolution may " +
+            "only add columns"))
+      require(kept.dataType == f.dataType,
+        s"evolveTo changes type of '${f.name}': ${f.dataType} -> " +
+          s"${kept.dataType}")
+    }
+    require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
+      .forall(_.nullable), "added columns must be nullable")
+    if (!fs.exists(evolvedMarker)) fs.create(evolvedMarker, true).close()
+    commitManifest(v + 1, m.entries, newSchema)
+  }
+
   /** The CHECK constraints in force: those LOGGED in the table's
     * manifest — binding on every writer, whatever handle or source API
     * the write comes through — unioned with constructor-supplied ones
@@ -747,6 +840,46 @@ final class SnapshotTable(
   def create(df: DataFrame): Unit = {
     require(!exists, s"table already exists at $path")
     commitManifest(1L, writeDataFiles(guardChecks(df)), df.schema)
+  }
+
+  /** Initial commit of an EMPTY table (SQL `CREATE TABLE` without AS
+    * SELECT): v1 logs the declared schema, partitioning, constraints
+    * and properties but lists no files — reads type an empty frame off
+    * the manifest alone, and the first data commit is a plain
+    * [[append]]/[[upsert]] like any other. */
+  def createEmpty(schema: StructType): Unit = {
+    require(!exists, s"table already exists at $path")
+    commitManifest(1L, Nil, schema)
+  }
+
+  /** BLIND append as ONE atomic commit: the new batch's files are added
+    * to the manifest, every existing file carries over by reference —
+    * no merge anti-join, no partition rewrite, O(batch) I/O always.
+    * This is standard `INSERT INTO` / Delta `append` semantics (rows
+    * with duplicate keys are kept); tables that declare a `primaryKey`
+    * and want merge semantics use [[upsert]]. Incoming rows are
+    * conformed to the table's logged column order and types, and CHECK
+    * constraints guard the write job itself. */
+  def append(df: DataFrame): Unit = {
+    if (!exists) { create(df); return }
+    val v = currentVersion.get
+    val m = readManifest(v)
+    val schema = declaredSchema.orElse(m.schema)
+      .getOrElse(readFiles(m.entries).schema)
+    require(df.columns.length == schema.length,
+      s"append of ${df.columns.length} columns into ${schema.length}-column " +
+        s"table at $path")
+    // by-name when the names all match (any order), positional otherwise
+    // (SQL INSERT by position) — either way cast to the logged types so
+    // the table schema never drifts
+    val byName = df.columns.toSet == schema.fieldNames.toSet
+    val conformed = df.select(schema.fields.toIndexedSeq.zipWithIndex.map {
+      case (f, i) =>
+        (if (byName) col(f.name) else col(df.columns(i)))
+          .cast(f.dataType).as(f.name)
+    }: _*)
+    commitManifest(v + 1, m.entries ++ writeDataFiles(guardChecks(conformed)),
+      schema)
   }
 
   /** MERGE-by-PK upsert as ONE atomic commit: touched partitions are
@@ -1350,10 +1483,11 @@ object SnapshotTable {
             bloomExpectedItems: Long = 100000L,
             bloomFpp: Double = 0.03,
             checkConstraints: Seq[(String, Column)] = Nil,
-            partitionCols: Seq[String] = Nil): SnapshotTable =
+            partitionCols: Seq[String] = Nil,
+            tableProps: Map[String, String] = Map.empty): SnapshotTable =
     new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
       statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
-      bloomFpp, checkConstraints, partitionCols)
+      bloomFpp, checkConstraints, partitionCols, tableProps)
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they

@@ -1,0 +1,417 @@
+package graft.sources
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NoSuchNamespaceException,
+  NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog,
+  SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{
+  DataTypes, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.SnapshotTable
+
+/** A DataSource V2 catalog over a warehouse of graft snapshot tables —
+  * the lakehouse surface a SQL-only user drives end to end:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *
+  *   CREATE NAMESPACE graft.sales
+  *   CREATE TABLE graft.sales.orders (id BIGINT, status STRING, ...)
+  *     PARTITIONED BY (status) TBLPROPERTIES ('primaryKey' = 'id')
+  *   INSERT INTO graft.sales.orders ...        -- MERGEs by primaryKey
+  *   MERGE INTO graft.sales.orders ...         -- row-level operations
+  *   SELECT * FROM graft.sales.orders VERSION AS OF 1   -- time travel
+  *   ALTER TABLE graft.sales.orders ADD COLUMNS (note STRING)
+  *   CALL graft.system.compact(table => 'sales.orders')
+  * }}}
+  *
+  * Table layout: `<warehouse>/<namespace dirs...>/<table>` — a table
+  * dir is one with a `_commits` manifest log; every other dir is a
+  * namespace. All table metadata (schema, partition columns, CHECK
+  * constraints, properties) lives in the table's own manifest, so the
+  * catalog itself is stateless: any handle — this catalog,
+  * `format("graft")`, a bare [[SnapshotTable]] — sees the same table.
+  *
+  * Maintenance runs through SQL `CALL` ([[ProcedureCatalog]]):
+  * `graft.system.{vacuum, compact, restore, history}`.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs: FileSystem = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- layout --------------------------------------------------------
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
+
+  private def tablePath(ident: Identifier): String =
+    ((warehouse +: ident.namespace.toSeq) :+ ident.name).mkString("/")
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_commits"))
+
+  private def snapshotAt(ident: Identifier): SnapshotTable =
+    SnapshotTable(spark, tablePath(ident), "_unused_read_only")
+
+  // ---- TableCatalog --------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    snapshotAt(ident).exists
+
+  override def loadTable(ident: Identifier): Table = {
+    val snap = snapshotAt(ident)
+    if (!snap.exists) throw new NoSuchTableException(ident)
+    // the logged properties ride along as the table's options so the
+    // write path knows its merge key without re-reading the manifest
+    new GraftTable(spark, tablePath(ident), None, snap.properties)
+  }
+
+  /** SQL `VERSION AS OF <v>`: a handle pinned to one manifest. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snap = snapshotAt(ident)
+    if (!snap.exists) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft versions are numeric manifest ids, got '$version'"))
+    new GraftTable(spark, tablePath(ident), Some(v), snap.properties)
+  }
+
+  /** SQL `TIMESTAMP AS OF <t>` — Spark hands the instant as MICROsecond
+    * epoch; resolve it against manifest commit times once, so the
+    * relation stays version-pinned for its lifetime. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val snap = snapshotAt(ident)
+    if (!snap.exists) throw new NoSuchTableException(ident)
+    val v = snap.versionAt(Math.floorDiv(timestampMicros, 1000L)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of ${ident} existed at timestamp $timestampMicros"))
+    new GraftTable(spark, tablePath(ident), Some(v), snap.properties)
+  }
+
+  /** Reserved keys Spark routes through `properties` that are not table
+    * metadata of ours. */
+  private val ReservedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  /** CREATE TABLE OPTIONS arrive `option.`-prefixed, TBLPROPERTIES
+    * bare; normalize both into the bare property map the manifest logs
+    * (bare wins on collision). */
+  private def normalizeProps(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    val all = properties.asScala.toMap
+    val fromOptions = all.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }
+    (fromOptions ++ all.filterNot(_._1.startsWith(TableCatalog.OPTION_PREFIX)))
+      .filterNot { case (k, _) => ReservedProps.contains(k) }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables partition by identity columns only, got $t")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in table schema"))
+    val props = normalizeProps(properties)
+    fs.mkdirs(nsPath(ident.namespace))
+    SnapshotTable(spark, tablePath(ident),
+      props.getOrElse("primaryKey", "_unused_no_merge_key"),
+      partitionCols = partCols, tableProps = props)
+      .createEmpty(schema)
+    loadTable(ident)
+  }
+
+  /** ALTER TABLE — SET/UNSET TBLPROPERTIES and ADD COLUMNS map onto
+    * metadata-only manifest commits; anything that would rewrite or
+    * reinterpret committed bytes (type changes, renames, drops) is
+    * rejected. */
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val snap = snapshotAt(ident)
+    if (!snap.exists) throw new NoSuchTableException(ident)
+    val sets = scala.collection.mutable.Map.empty[String, String]
+    val unsets = scala.collection.mutable.Buffer.empty[String]
+    val adds = scala.collection.mutable.Buffer.empty[StructField]
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        sets += s.property -> s.value
+      case r: TableChange.RemoveProperty =>
+        unsets += r.property
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft schema evolution adds top-level columns only")
+        adds += StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables do not support ALTER change $other")
+    }
+    if (adds.nonEmpty)
+      snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
+    if (sets.nonEmpty || unsets.nonEmpty)
+      snap.setProperties(sets.toMap, unsets.toSeq)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(new Path(tablePath(ident)), true)
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(nsPath(newIdent.namespace))
+    if (!fs.rename(new Path(tablePath(oldIdent)),
+                   new Path(tablePath(newIdent))))
+      throw new IllegalStateException(
+        s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ---- SupportsNamespaces --------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    namespace.nonEmpty && fs.exists(p) && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir)
+      .map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir)
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsPath(namespace)
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(dir, true)
+  }
+
+  // ---- ProcedureCatalog: CALL graft.system.<proc>(...) ---------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.ProcedureNames
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under $catalogName.system, got $ident")
+    val makeSnapshot = (tableArg: String) => {
+      val parts = tableArg.split('.').toSeq
+      val path = ((warehouse +: parts.init) :+ parts.last).mkString("/")
+      val t = SnapshotTable(spark, path, "_unused_read_only")
+      require(t.exists, s"no graft table '$tableArg' under $warehouse")
+      t
+    }
+    GraftCatalog.procedure(ident.name, makeSnapshot).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure $catalogName.system.${ident.name} " +
+          s"(have: ${GraftCatalog.ProcedureNames.mkString(", ")})"))
+  }
+}
+
+object GraftCatalog {
+
+  /** Register this catalog on a session under `name` (idempotent).
+    * V2 catalogs resolve lazily from conf, so no builder change is
+    * needed — but the warehouse is pinned at first use. */
+  def register(spark: SparkSession, name: String, warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+
+  private[sources] val ProcedureNames =
+    Seq("vacuum", "compact", "restore", "history")
+
+  /** One row of procedure output, all columns pre-encoded. */
+  private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  })
+
+  private final case class ResultScan(out: StructType,
+                                      rs: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = out
+  }
+
+  /** A procedure whose bind is identity (parameters are statically
+    * typed) and whose result is one in-memory scan. */
+  private abstract class Proc(procName: String, desc: String,
+                              params: Seq[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    def run(input: InternalRow): (StructType, Array[InternalRow])
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (schema, rows) = run(input)
+      Collections.singletonList[Scan](ResultScan(schema, rows)).iterator()
+    }
+  }
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String,
+                        dt: org.apache.spark.sql.types.DataType,
+                        default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private val StatusSchema = StructType(Seq(
+    StructField("table", DataTypes.StringType, nullable = false),
+    StructField("head_version", DataTypes.LongType, nullable = false),
+    StructField("live_files", DataTypes.LongType, nullable = false)))
+
+  private def statusRow(tableArg: String, t: SnapshotTable) =
+    Array(row(tableArg, t.currentVersion.getOrElse(-1L),
+      t.history.headOption.fold(0L)(_._3.toLong)))
+
+  /** The maintenance surface, Iceberg-procedure style: each returns a
+    * small status relation so `CALL` output is inspectable. */
+  private[sources] def procedure(
+      name: String,
+      snapshotOf: String => SnapshotTable): Option[UnboundProcedure] =
+    name match {
+      case "vacuum" => Some(new Proc("vacuum",
+        "reclaim files unreferenced by the newest keep_versions manifests",
+        Seq(in("table", DataTypes.StringType),
+          inDefault("keep_versions", DataTypes.IntegerType, "2"),
+          inDefault("retention_ms", DataTypes.LongType, "3600000"))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.vacuum(input.getInt(1), input.getLong(2))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "compact" => Some(new Proc("compact",
+        "bin-pack small files into ~target_file_bytes files, one commit",
+        Seq(in("table", DataTypes.StringType),
+          inDefault("target_file_bytes", DataTypes.LongType,
+            (128L * 1024 * 1024).toString),
+          inDefault("min_files", DataTypes.IntegerType, "2"))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.compact(input.getLong(1), input.getInt(2))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "restore" => Some(new Proc("restore",
+        "metadata-only rollback: next version = copy of target manifest",
+        Seq(in("table", DataTypes.StringType),
+          in("version", DataTypes.LongType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.restoreTo(input.getLong(1))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "history" => Some(new Proc("history",
+        "retained commits, newest first: version, commit time, file count",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val t = snapshotOf(input.getUTF8String(0).toString)
+          val schema = StructType(Seq(
+            StructField("version", DataTypes.LongType, nullable = false),
+            StructField("committed_at", DataTypes.TimestampType,
+              nullable = false),
+            StructField("live_files", DataTypes.LongType, nullable = false)))
+          (schema, t.history.map { case (v, ms, files) =>
+            row(v, ms * 1000L, files.toLong)
+          }.toArray)
+        }
+      })
+      case _ => None
+    }
+}

@@ -115,9 +115,11 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   }
 
   /** Sink side — `df.write.format("graft")`: every SaveMode maps onto
-    * an ATOMIC snapshot commit. Append MERGEs by the `primaryKey`
-    * option (the table's upsert semantics — Append of existing keys
-    * replaces those rows); Overwrite commits a fresh version whose
+    * an ATOMIC snapshot commit. Append MERGEs by the merge key when one
+    * is known — the `primaryKey` option, or the table property a
+    * catalog-created table logs in its manifest — and is a standard
+    * BLIND append otherwise (duplicate keys kept, O(batch) I/O, the
+    * Delta `append` semantic); Overwrite commits a fresh version whose
     * manifest lists only the new data, with history retained for time
     * travel; ErrorIfExists/Ignore follow their contracts against table
     * existence. `partitionCol` opts into partition-scoped rewrites. */
@@ -126,16 +128,11 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val path = pathOf(parameters)
-    // only Append MERGEs by key; replace/create modes need none — a
-    // plain .mode("overwrite").save(path) must not demand an option the
-    // operation never uses
-    val pk = parameters.get("primaryKey").getOrElse {
-      if (mode == org.apache.spark.sql.SaveMode.Append)
-        throw new IllegalArgumentException(
-          "graft sink Append merges by key: option(\"primaryKey\", <col>)")
-      else "_unused_no_merge_key"
-    }
-    val table = SnapshotTable(ctx.sparkSession, path, pk,
+    val pkOpt = parameters.get("primaryKey").orElse(
+      SnapshotTable(ctx.sparkSession, path, "_unused_read_only")
+        .properties.get("primaryKey"))
+    val table = SnapshotTable(ctx.sparkSession, path,
+      pkOpt.getOrElse("_unused_no_merge_key"),
       partitionCol = parameters.get("partitionCol"))
     import org.apache.spark.sql.SaveMode._
     mode match {
@@ -143,7 +140,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         throw new IllegalStateException(s"table already exists at $path")
       case Ignore if table.exists => ()
       case ErrorIfExists | Ignore => table.create(data)
-      case Append => table.upsert(data)
+      case Append if pkOpt.isDefined => table.upsert(data)
+      case Append => table.append(data)
       case Overwrite =>
         // an atomic full replace: commit a version containing ONLY the
         // new data (prior versions stay time-travelable until vacuum)
@@ -177,21 +175,26 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
 
-  /** SQL DML — `INSERT INTO` a `USING graft` catalog table MERGEs by
-    * the table's `primaryKey` OPTION (the graft Append semantic);
-    * `INSERT OVERWRITE` is an atomic full replace with history
-    * retained. Requires `OPTIONS (primaryKey '<col>')` on the CREATE
-    * TABLE — the manifest alone cannot name the merge key. */
+  /** SQL DML — `INSERT INTO` a graft table. With a `primaryKey`
+    * (CREATE TABLE OPTIONS, or the table property the catalog
+    * persists in the manifest) the insert MERGEs by that key — the
+    * graft Append semantic; WITHOUT one it is a standard blind append
+    * (duplicate keys kept, O(batch) I/O, no merge join). `INSERT
+    * OVERWRITE` is an atomic full replace with history retained. */
   override def insert(data: org.apache.spark.sql.DataFrame,
                       overwrite: Boolean): Unit = {
     require(version.isEmpty, "cannot INSERT into a versionAsOf read")
-    val pk = parameters.getOrElse("primaryKey",
-      throw new IllegalArgumentException(
-        "INSERT into a graft table requires OPTIONS (primaryKey '<col>')"))
-    val t = SnapshotTable(ctx.sparkSession, path, pk,
+    // the OPTIONS key wins; a catalog table carries it as a logged
+    // table property instead
+    val t0 = table
+    val pk = parameters.get("primaryKey")
+      .orElse(t0.properties.get("primaryKey"))
+    val t = SnapshotTable(ctx.sparkSession, path,
+      pk.getOrElse("_unused_no_merge_key"),
       partitionCol = parameters.get("partitionCol"))
     if (overwrite) { if (t.exists) t.replace(data) else t.create(data) }
-    else t.upsert(data)
+    else if (pk.isDefined) t.upsert(data)
+    else t.append(data)
   }
 
   override def buildScan(requiredColumns: Array[String],

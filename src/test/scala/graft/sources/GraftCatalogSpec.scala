@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.plans.SnapshotTable
+
+/** The `graft` TableCatalog + ProcedureCatalog: the SQL-only lakehouse
+  * surface — DDL, DML, time travel and maintenance, all by name. */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft_catalog_wh").toString
+    GraftCatalog.register(spark, "graft", wh)
+    wh
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE TABLE + INSERT merges by primaryKey property; SELECT by name") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.sales")
+    sql("""CREATE TABLE graft.sales.orders
+           (id BIGINT, status STRING, amount DOUBLE)
+           PARTITIONED BY (status)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("""INSERT INTO graft.sales.orders
+           VALUES (1, 'open', 10.0), (2, 'open', 20.0), (3, 'done', 30.0)""")
+    // a second insert of id=2 MERGEs (replaces), not duplicates —
+    // within its partition: the partition-scoped upsert contract
+    sql("INSERT INTO graft.sales.orders VALUES (2, 'open', 99.0)")
+    val rows = sql("""SELECT id, status, amount FROM graft.sales.orders
+                      ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq ==
+      Seq((1L, "open", 10.0), (2L, "open", 99.0), (3L, "done", 30.0)))
+    // the partitioning and merge key came from the manifest, not the
+    // session: a fresh path-based handle sees the same metadata
+    val snap = SnapshotTable(spark, s"$warehouse/sales/orders", "id")
+    assert(snap.properties.get("primaryKey").contains("id"))
+  }
+
+  test("keyless table: INSERT INTO is a blind append (duplicates kept)") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.raw")
+    sql("CREATE TABLE graft.raw.events_log (id BIGINT, msg STRING)")
+    sql("INSERT INTO graft.raw.events_log VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.raw.events_log VALUES (2, 'b2')")
+    assert(sql("SELECT count(*) FROM graft.raw.events_log")
+      .head().getLong(0) == 3)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    sql("""CREATE TABLE graft.tt.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.tt.t VALUES (1, 'one')") // v2 (v1 = empty create)
+    Thread.sleep(20) // manifest mtimes are the commit clock
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    sql("INSERT INTO graft.tt.t VALUES (1, 'ONE'), (2, 'two')") // v3
+    assert(sql("SELECT count(*) FROM graft.tt.t").head().getLong(0) == 2)
+    assert(sql("SELECT v FROM graft.tt.t VERSION AS OF 2")
+      .collect().map(_.getString(0)).toSeq == Seq("one"))
+    val ts = new java.sql.Timestamp(betweenMs)
+    val atTs = sql(
+      s"SELECT v FROM graft.tt.t TIMESTAMP AS OF '$ts'")
+      .collect().map(_.getString(0))
+    assert(atTs.toSeq == Seq("one"))
+    // DML against a pinned read is rejected, head DML still fine
+    assertThrows[Exception](
+      sql("DELETE FROM graft.tt.t VERSION AS OF 2 WHERE id = 1"))
+  }
+
+  test("MERGE INTO / UPDATE / DELETE resolve through the catalog") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    sql("""CREATE TABLE graft.dml.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.dml.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("""MERGE INTO graft.dml.t t USING (SELECT * FROM VALUES
+             (2, 'B'), (4, 'd') AS s(id, v)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    sql("UPDATE graft.dml.t SET v = upper(v) WHERE id = 1")
+    sql("DELETE FROM graft.dml.t WHERE id = 3")
+    val rows = sql("SELECT id, v FROM graft.dml.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "A"), (2L, "B"), (4L, "d")))
+  }
+
+  test("ALTER TABLE: ADD COLUMNS evolves, SET/UNSET TBLPROPERTIES commit") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.alt")
+    sql("""CREATE TABLE graft.alt.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.alt.t VALUES (1, 'a')")
+    sql("ALTER TABLE graft.alt.t ADD COLUMNS (note STRING)")
+    // old rows read the new column as null; inserts can fill it
+    sql("INSERT INTO graft.alt.t VALUES (2, 'b', 'fresh')")
+    val rows = sql("SELECT id, note FROM graft.alt.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some("fresh"))))
+    sql("ALTER TABLE graft.alt.t SET TBLPROPERTIES ('owner.team' = 'data')")
+    assert(SnapshotTable(spark, s"$warehouse/alt/t", "id")
+      .properties.get("owner.team").contains("data"))
+    sql("ALTER TABLE graft.alt.t UNSET TBLPROPERTIES ('owner.team')")
+    assert(!SnapshotTable(spark, s"$warehouse/alt/t", "id")
+      .properties.contains("owner.team"))
+  }
+
+  test("CTAS, SHOW TABLES, RENAME, DROP") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    sql("""CREATE TABLE graft.ddl.src AS
+           SELECT id, id * 2 AS dbl FROM range(5)""")
+    assert(sql("SELECT sum(dbl) FROM graft.ddl.src").head().getLong(0) == 20)
+    val shown = sql("SHOW TABLES IN graft.ddl").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("src"))
+    sql("ALTER TABLE graft.ddl.src RENAME TO ddl.dst")
+    assert(sql("SELECT count(*) FROM graft.ddl.dst").head().getLong(0) == 5)
+    sql("DROP TABLE graft.ddl.dst")
+    assert(sql("SHOW TABLES IN graft.ddl").collect().isEmpty)
+  }
+
+  test("CALL graft.system.{history, restore, compact, vacuum}") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    sql("""CREATE TABLE graft.maint.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.maint.t VALUES (1, 'a')") // v2
+    sql("INSERT INTO graft.maint.t VALUES (2, 'b')") // v3
+    val hist = sql("CALL graft.system.history(table => 'maint.t')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // restore to v2: only id=1 remains, history extends to v4
+    val restored = sql(
+      "CALL graft.system.restore(table => 'maint.t', version => 2)").head()
+    assert(restored.getLong(1) == 4L)
+    assert(sql("SELECT id FROM graft.maint.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // put the second row back (a fresh insert), compact the small files
+    sql("INSERT INTO graft.maint.t VALUES (2, 'b')")
+    val compacted = sql(
+      "CALL graft.system.compact(table => 'maint.t', " +
+        "target_file_bytes => 134217728, min_files => 2)").head()
+    assert(compacted.getLong(2) == 1L, "two tiny files should bin-pack to 1")
+    sql("CALL graft.system.vacuum(table => 'maint.t', " +
+      "keep_versions => 1, retention_ms => 0)")
+    // the table still reads fine after reclamation
+    assert(sql("SELECT count(*) FROM graft.maint.t").head().getLong(0) == 2)
+  }
+}

@@ -83,9 +83,13 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((2, "b")))
-    // Append is the merge path — it still requires the key
-    val e = intercept[IllegalArgumentException](w(Seq((3, "c")), "append"))
-    assert(e.getMessage.contains("primaryKey"))
+    // keyless Append is a BLIND append: duplicate ids are kept, the
+    // prior version's files carry over by reference
+    w(Seq((2, "dup"), (3, "c")), "append")
+    assert(spark.read.format("graft").load(path)
+      .orderBy("id", "val").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "b"), (2, "dup"), (3, "c")))
   }
 
   test("SQL catalog: CREATE TABLE ... USING graft resolves the snapshot by name") {
