@@ -269,6 +269,73 @@ object Queries {
     s.read.format("graft").load(base).select(ordersCols.map(col): _*)
   }
 
+  /** The shared warehouse of the session's `graft` V2 catalog. The
+    * catalog resolves lazily from conf and pins its warehouse at first
+    * use, so every catalog query in a JVM must agree on the path —
+    * one scratch tag, keyed by sf like every other fixture. */
+  private def catalogWarehouse(s: SparkSession, dir: String): Unit =
+    sources.GraftCatalog.register(s, "graft", scratch("catalog_wh", dir))
+
+  /** The V2 TableCatalog surface end-to-end in PURE SQL — the full
+    * lakehouse lifecycle a SQL-only user runs, nothing but names:
+    * CREATE TABLE under the `graft` catalog (schema, partitioning and
+    * merge key all persisted in the table's own manifest — the catalog
+    * is stateless), INSERT as create then keyed MERGE, row-level
+    * UPDATE and DELETE through the DSv2 operations, SELECT by name.
+    * Every run DROPs and rebuilds through DDL, proving the whole cycle
+    * rather than a pre-staged fixture. */
+  def catalogSqlLifecycle(s: SparkSession, dir: String): DataFrame = {
+    catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    s.sql("DROP TABLE IF EXISTS graft.cat.orders")
+    s.sql("""CREATE TABLE graft.cat.orders (
+            |  o_orderkey BIGINT, o_custkey BIGINT,
+            |  o_orderstatus STRING, o_totalprice DOUBLE)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("catalog_orders_src")
+    s.sql("""INSERT INTO graft.cat.orders
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM catalog_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    // the second insert hits only existing keys: a pure keyed MERGE
+    // (prices bumped in place, no duplicates), partition unchanged
+    s.sql("""INSERT INTO graft.cat.orders
+            |SELECT o_orderkey, o_custkey, o_orderstatus,
+            |       round(o_totalprice + 1.0, 2)
+            |FROM catalog_orders_src WHERE o_orderkey % 6 = 0""".stripMargin)
+    s.sql("""UPDATE graft.cat.orders
+            |SET o_totalprice = round(o_totalprice * 2, 2)
+            |WHERE o_orderkey % 10 = 0""".stripMargin)
+    s.sql("DELETE FROM graft.cat.orders WHERE o_custkey % 7 = 0")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft.cat.orders""".stripMargin)
+  }
+
+  /** SQL time travel by NAME — `VERSION AS OF` against a catalog
+    * table: after a create and a diverging merge, version 2 (the first
+    * insert; v1 is the empty CREATE TABLE commit) must read back
+    * exactly as committed, while the head moved on. */
+  def catalogTimeTravelSql(s: SparkSession, dir: String): DataFrame = {
+    catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    s.sql("DROP TABLE IF EXISTS graft.cat.orders_tt")
+    s.sql("""CREATE TABLE graft.cat.orders_tt (
+            |  o_orderkey BIGINT, o_custkey BIGINT,
+            |  o_orderstatus STRING, o_totalprice DOUBLE)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("catalog_orders_src")
+    s.sql("""INSERT INTO graft.cat.orders_tt
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM catalog_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft.cat.orders_tt
+            |SELECT o_orderkey, o_custkey, o_orderstatus,
+            |       round(o_totalprice + 1.0, 2)
+            |FROM catalog_orders_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft.cat.orders_tt VERSION AS OF 2""".stripMargin)
+  }
+
   /** S2 (time travel) — read a PAST snapshot version after later
     * commits changed the table: v1 must still be exactly the created
     * state, byte-stable under the immutable-file + manifest design. */
@@ -1923,6 +1990,8 @@ object Queries {
     "dedup_deterministic" -> (dedupDeterministic _),
     "upsert_merge" -> (upsertMerge _),
     "merge_into_sql" -> (mergeIntoSql _),
+    "catalog_sql_lifecycle" -> (catalogSqlLifecycle _),
+    "catalog_time_travel_sql" -> (catalogTimeTravelSql _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
@@ -2137,6 +2206,25 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2), o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // the catalog lifecycle (CREATE, INSERT-create, INSERT-merge,
+    // UPDATE, DELETE) folds into one relational expression
+    "catalog_sql_lifecycle" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN round(o_totalprice + 1.0, 2)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updated AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM merged)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM updated WHERE o_custkey % 7 <> 0""".stripMargin,
+    // VERSION AS OF 2 = the first insert's state, untouched by the merge
+    "catalog_time_travel_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // the atomic-commit table must produce the SAME result as the
     // per-partition-commit table for the same merge
     // a restore to v1 is exactly the created state
