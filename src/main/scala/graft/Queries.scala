@@ -269,6 +269,31 @@ object Queries {
     s.read.format("graft").load(base).select(ordersCols.map(col): _*)
   }
 
+  /** The snapshot table as a STREAMING SOURCE (the Delta
+    * streaming-source analog): manifest versions are offsets, each
+    * micro-batch reads exactly the files its commits added through the
+    * same manifest-planned vectorized scan as batch reads. Two blind
+    * appends build the table; an AvailableNow catch-up must deliver
+    * every committed row exactly once into the sink — so the sink's
+    * content equals the head snapshot, relationally just the evens. */
+  def streamSourceParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("streamsrc", dir)
+    freshDirs(s, base)
+    val orders = t(s, dir, "orders").select(ordersCols.map(col): _*)
+    val table = plans.SnapshotTable(s, s"$base/table", "o_orderkey")
+    table.create(orders.filter(
+      col("o_orderkey") % 2 === 0 && col("o_orderkey") % 3 =!= 0))
+    table.append(orders.filter( // disjoint: appends stay exactly-once
+      col("o_orderkey") % 2 === 0 && col("o_orderkey") % 3 === 0))
+    val q = s.readStream.format("graft").load(s"$base/table")
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.read.parquet(s"$base/out").select(ordersCols.map(col): _*)
+  }
+
   /** The shared warehouse of the session's `graft` V2 catalog. The
     * catalog resolves lazily from conf and pins its warehouse at first
     * use, so every catalog query in a JVM must agree on the path —
@@ -1992,6 +2017,7 @@ object Queries {
     "merge_into_sql" -> (mergeIntoSql _),
     "catalog_sql_lifecycle" -> (catalogSqlLifecycle _),
     "catalog_time_travel_sql" -> (catalogTimeTravelSql _),
+    "stream_source_parity" -> (streamSourceParity _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
@@ -2224,6 +2250,10 @@ object Queries {
     // VERSION AS OF 2 = the first insert's state, untouched by the merge
     "catalog_time_travel_sql" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    // the streamed catch-up must deliver exactly the appended rows
+    "stream_source_parity" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // the atomic-commit table must produce the SAME result as the
     // per-partition-commit table for the same merge

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.{
+  ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.plans.{ManifestFileIndex, SnapshotTable}
+
+/** A stream position in a snapshot table: the last manifest version
+  * whose files have been delivered. Versions are the table's commit
+  * sequence, so offsets are totally ordered, durable across restarts,
+  * and comparable with nothing but a long. */
+private[sources] final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** [[ParquetScanBuilder]] with one override: the built scan also
+  * answers `toMicroBatchStream`, making the same `format("graft")`
+  * relation readable by `spark.readStream`. Batch planning, column
+  * pruning, filter pushdown and the vectorized reader are inherited
+  * untouched — the subclass only adds the streaming entry point. */
+private[sources] final class GraftScanBuilder(
+    spark: SparkSession,
+    tablePath: String,
+    pinnedVersion: Option[Long],
+    fileIndex: PartitioningAwareFileIndex,
+    tableSchema: StructType,
+    dataSchema: StructType,
+    opts: CaseInsensitiveStringMap)
+    extends ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
+      opts) {
+  override def build(): ParquetScan =
+    new GraftScan(tablePath, pinnedVersion, super.build())
+}
+
+/** The built scan IS a [[ParquetScan]] (same batch planning, columnar
+  * `BatchScan`, whole-stage codegen, estimateStatistics); the subclass
+  * only overrides the streaming entry point, handing the same pruned/
+  * pushed scan shape to [[GraftMicroBatchStream]], which re-plans it
+  * per micro-batch over only the files each commit added. */
+private[sources] final class GraftScan(
+    tablePath: String,
+    pinnedVersion: Option[Long],
+    base: ParquetScan)
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+      base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+      base.pushedFilters, base.options, base.pushedAggregate,
+      base.partitionFilters, base.dataFilters,
+      base.pushedVariantExtractions) {
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    require(pinnedVersion.isEmpty,
+      s"cannot stream a versionAsOf/timestampAsOf read of $tablePath — " +
+        "a pinned snapshot never changes")
+    new GraftMicroBatchStream(tablePath, this, options)
+  }
+}
+
+/** `spark.readStream.format("graft").load(path)` — the snapshot table
+  * as a Structured Streaming SOURCE (the Delta streaming-source
+  * analog). Offsets are manifest versions; each micro-batch reads
+  * exactly the data files that commits `(start, end]` ADDED, planned
+  * through the same manifest index + vectorized parquet stack as batch
+  * reads — no directory listing, no file-arrival heuristics, and a
+  * restart resumes from the checkpointed version.
+  *
+  * Delivery contract: file-level, at-least-once per row image. Blind
+  * [[SnapshotTable.append]] tables stream exactly-once per row.
+  * Upsert/delete commits rewrite whole partitions, so a merge delivers
+  * the rewritten partition's rows (new images AND carried rows) —
+  * downstream either dedups by key (the engine's idempotent-merge
+  * stance) or consumes append-only tables. Compaction likewise
+  * re-delivers what it rewrites (same caveat as Delta without CDF).
+  *
+  * Options: `startingVersion` — first batch starts AFTER this version
+  * (default 0 = deliver the whole table first); `latest` skips history
+  * and tails only commits after stream start. */
+private[sources] final class GraftMicroBatchStream(
+    tablePath: String,
+    template: ParquetScan,
+    opts: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def snapshot: SnapshotTable =
+    SnapshotTable(spark, tablePath, "_unused_read_only")
+
+  private def head: Long = snapshot.currentVersion.getOrElse(0L)
+
+  override def initialOffset(): Offset = {
+    val raw = Option(opts.get("startingVersion")).getOrElse("0")
+    if (raw.equalsIgnoreCase("latest")) GraftOffset(head)
+    else GraftOffset(raw.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"startingVersion must be a version number or 'latest', got '$raw'")))
+  }
+
+  override def latestOffset(): Offset = GraftOffset(head)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val vs = start.asInstanceOf[GraftOffset].version
+    val ve = end.asInstanceOf[GraftOffset].version
+    if (ve <= vs) return Array.empty
+    val endEntries = snapshot.scanInfo(Some(ve))._1
+    val already =
+      if (vs == 0L) Set.empty[String]
+      else snapshot.scanInfo(Some(vs))._1.map(_.path).toSet
+    val delta = endEntries.filterNot(e => already(e.path))
+    if (delta.isEmpty) return Array.empty
+    val idx = new ManifestFileIndex(spark, snapshot.dataDirPath, delta,
+      template.fileIndex.partitionSchema)
+    // same pruned columns, pushed filters and options as the batch
+    // scan — only the file set differs
+    template.copy(fileIndex = idx).toBatch.planInputPartitions()
+  }
+
+  /** Row decoding depends only on the scan shape, not the file set —
+    * the template's factory serves every micro-batch. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

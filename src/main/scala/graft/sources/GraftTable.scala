@@ -77,6 +77,7 @@ final class GraftTable(
   override def capabilities(): JSet[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.MICRO_BATCH_READ)
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s
@@ -107,8 +108,12 @@ final class GraftTable(
     new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
       indexPartitionSchema)
 
+  /** Batch plans are exactly Spark's parquet scans; the graft subclass
+    * only adds `toMicroBatchStream`, so the same relation serves
+    * `spark.read` and `spark.readStream` ([[GraftMicroBatchStream]]). */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema, opts)
+    new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
+      tableSchema, dataSchema, opts)
 
   /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row
     * level operations ([[GraftRowLevelOperation]]). DML against a
