@@ -290,7 +290,7 @@ object Queries {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    q.awaitTermination() // AvailableNow self-terminates after the drain
     s.read.parquet(s"$base/out").select(ordersCols.map(col): _*)
   }
 

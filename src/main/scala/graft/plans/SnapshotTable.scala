@@ -450,6 +450,10 @@ final class SnapshotTable(
     if (v >= 1 && fs.exists(manifestPath(v))) Some(v) else None
   }
 
+  /** Whether version `v`'s manifest is still retained (committed and
+    * not vacuumed) — one metadata probe, no parse. */
+  def hasVersion(v: Long): Boolean = v >= 1 && fs.exists(manifestPath(v))
+
   /** The table's retained commit history, newest first: (version,
     * commitTimeMs, liveFileCount). Commit times are the manifest file
     * mtimes (the atomic commit op stamps them); vacuumed versions are
@@ -771,6 +775,14 @@ final class SnapshotTable(
                     remove: Seq[String] = Nil): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
+    // effectiveProps re-applies constructor tableProps after unsets, so
+    // an unset through such a handle would commit a silent no-op — same
+    // stance as dropCheckConstraint on a ctor-redeclared check
+    val ctorRedeclared = remove.filter(tableProps.contains)
+    require(ctorRedeclared.isEmpty,
+      s"cannot unset ${ctorRedeclared.mkString(", ")} through a handle " +
+        "that re-declares them in tableProps — use a handle without the " +
+        "constructor override")
     pendingProps ++= add
     unsetProps ++= remove
     pendingProps --= remove

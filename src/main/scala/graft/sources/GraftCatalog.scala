@@ -60,7 +60,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def spark: SparkSession = SparkSession.active
 
-  private def fs: FileSystem = new Path(warehouse)
+  // resolved once: the warehouse never changes after initialize, and a
+  // per-probe newHadoopConf() clone would tax every metadata operation
+  private lazy val fs: FileSystem = new Path(warehouse)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
   override def initialize(name: String,
@@ -114,6 +116,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!snap.exists) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft versions are numeric manifest ids, got '$version'"))
+    // fail resolution with the operational fact, not a scan-time
+    // FileNotFoundException (the timestamp overload below already does)
+    if (!snap.hasVersion(v)) throw new IllegalArgumentException(
+      s"no retained snapshot v$v of $ident — never committed or vacuumed")
     new GraftTable(spark, tablePath(ident), Some(v), snap.properties)
   }
 
@@ -164,6 +170,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in table schema"))
     val props = normalizeProps(properties)
+    // fail the typo at CREATE, not deep in the first INSERT's anti-join
+    props.get("primaryKey").foreach(pk =>
+      require(schema.fieldNames.contains(pk),
+        s"primaryKey '$pk' not in table schema"))
     fs.mkdirs(nsPath(ident.namespace))
     SnapshotTable(spark, tablePath(ident),
       props.getOrElse("primaryKey", "_unused_no_merge_key"),
@@ -191,7 +201,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft schema evolution adds top-level columns only")
-        adds += StructField(a.fieldNames.head, a.dataType, nullable = true)
+        // reject rather than silently rewrite the user's DDL: old rows
+        // read an added column as null, so NOT NULL cannot be honored,
+        // and parquet name-resolution ignores position
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"added column '${a.fieldNames.head}' must be nullable — " +
+            "existing rows have no value for it")
+        if (a.position != null) throw new UnsupportedOperationException(
+          "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
+            "supported")
+        val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        adds += Option(a.comment).fold(f)(f.withComment)
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }
@@ -353,7 +373,9 @@ object GraftCatalog {
 
   private def statusRow(tableArg: String, t: SnapshotTable) =
     Array(row(tableArg, t.currentVersion.getOrElse(-1L),
-      t.history.headOption.fold(0L)(_._3.toLong)))
+      // one head-manifest read — history would pay a metadata probe +
+      // parse per retained version just to take the first element
+      t.currentVersion.fold(0L)(v => t.scanInfo(Some(v))._1.size.toLong)))
 
   /** The maintenance surface, Iceberg-procedure style: each returns a
     * small status relation so `CALL` output is inspectable. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset}
+  MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{
   ParquetScan, ParquetScanBuilder}
@@ -66,11 +66,15 @@ private[sources] final class GraftScan(
 
 /** `spark.readStream.format("graft").load(path)` — the snapshot table
   * as a Structured Streaming SOURCE (the Delta streaming-source
-  * analog). Offsets are manifest versions; each micro-batch reads
-  * exactly the data files that commits `(start, end]` ADDED, planned
-  * through the same manifest index + vectorized parquet stack as batch
-  * reads — no directory listing, no file-arrival heuristics, and a
-  * restart resumes from the checkpointed version.
+  * analog). Offsets are manifest versions; the first batch delivers
+  * the whole snapshot at stream start, and every later micro-batch
+  * walks the commits in `(start, end]` and reads exactly the files
+  * EACH commit added — so a row image that lived only between two
+  * triggers (appended at v6, rewritten away at v7) is still delivered,
+  * not lost to a net set-diff. Planning goes through the same manifest
+  * index + vectorized parquet stack as batch reads — no directory
+  * listing, no file-arrival heuristics — and a restart resumes from
+  * the checkpointed version.
   *
   * Delivery contract: file-level, at-least-once per row image. Blind
   * [[SnapshotTable.append]] tables stream exactly-once per row.
@@ -79,6 +83,9 @@ private[sources] final class GraftScan(
   * downstream either dedups by key (the engine's idempotent-merge
   * stance) or consumes append-only tables. Compaction likewise
   * re-delivers what it rewrites (same caveat as Delta without CDF).
+  * Vacuuming past a stream's checkpointed offset fails the stream with
+  * an explicit message (the history it needs is gone), never a raw
+  * missing-file crash loop.
   *
   * Options: `startingVersion` — first batch starts AFTER this version
   * (default 0 = deliver the whole table first); `latest` skips history
@@ -86,11 +93,14 @@ private[sources] final class GraftScan(
 private[sources] final class GraftMicroBatchStream(
     tablePath: String,
     template: ParquetScan,
-    opts: CaseInsensitiveStringMap) extends MicroBatchStream {
+    opts: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def snapshot: SnapshotTable =
+  // one handle for the stream's lifetime: its bounded manifest cache is
+  // exactly what serves the consecutive-version walks each trigger does
+  private lazy val snapshot: SnapshotTable =
     SnapshotTable(spark, tablePath, "_unused_read_only")
 
   private def head: Long = snapshot.currentVersion.getOrElse(0L)
@@ -105,19 +115,58 @@ private[sources] final class GraftMicroBatchStream(
 
   override def latestOffset(): Offset = GraftOffset(head)
 
+  // Trigger.AvailableNow: pin the drain target ONCE at query start so
+  // the run terminates at that head even under concurrent commits,
+  // instead of Spark's single-batch fallback (which warns and cannot
+  // bound the run against a live writer)
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(head)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftOffset(availableNowEnd.getOrElse(head))
+
+  override def reportLatestOffset(): Offset = GraftOffset(head)
+
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
+
+  /** One version's manifest entries, with missing-history surfaced as
+    * the operational fact it is: the offset was vacuumed. */
+  private def entriesAt(v: Long): Seq[SnapshotTable.FileEntry] =
+    try snapshot.scanInfo(Some(v))._1
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"stream offset v$v of $tablePath is no longer retained " +
+            "(vacuumed) — restart from a fresh checkpoint with " +
+            "startingVersion = 'latest' or a retained version")
+    }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val vs = start.asInstanceOf[GraftOffset].version
     val ve = end.asInstanceOf[GraftOffset].version
     if (ve <= vs) return Array.empty
-    val endEntries = snapshot.scanInfo(Some(ve))._1
-    val already =
-      if (vs == 0L) Set.empty[String]
-      else snapshot.scanInfo(Some(vs))._1.map(_.path).toSet
-    val delta = endEntries.filterNot(e => already(e.path))
+    val delta =
+      if (vs == 0L) entriesAt(ve) // initial batch: the whole snapshot
+      else {
+        // per-commit walk, not a net vs→ve set-diff: a file added at
+        // some v and rewritten away before ve never shows in the net
+        // diff, silently dropping its rows from the stream. File paths
+        // are write-unique, so the union needs no dedup.
+        val added = Seq.newBuilder[SnapshotTable.FileEntry]
+        var prev = entriesAt(vs).map(_.path).toSet
+        var v = vs + 1
+        while (v <= ve) {
+          val cur = entriesAt(v)
+          added ++= cur.filterNot(e => prev(e.path))
+          prev = cur.map(_.path).toSet
+          v += 1
+        }
+        added.result()
+      }
     if (delta.isEmpty) return Array.empty
     val idx = new ManifestFileIndex(spark, snapshot.dataDirPath, delta,
       template.fileIndex.partitionSchema)

@@ -835,6 +835,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(messages(e3).contains("CHECK constraint 'val_nonempty'"))
   }
 
+  test("setProperties cannot silently no-op an unset of a ctor-declared property") {
+    val path = tmp("snapprops")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      tableProps = Map("ttl" -> "7d"))
+    t.create(frame((1, "a", "p1")))
+    // effectiveProps re-applies ctor tableProps after the unset, so the
+    // "removed" property would still be logged — fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      t.setProperties(Map.empty, remove = Seq("ttl"))
+    }
+    assert(e.getMessage.contains("ttl"))
+    // a handle without the override removes it for real
+    val bare = SnapshotTable(spark, path, "id")
+    bare.setProperties(Map.empty, remove = Seq("ttl"))
+    assert(!bare.properties.contains("ttl"))
+  }
+
   test("delete can empty the table; a declared schema types the empty read") {
     val schema = frame((1, "a", "p1")).schema
     val t = SnapshotTable(spark, tmp("snapdelall"), "id", Some("part"),

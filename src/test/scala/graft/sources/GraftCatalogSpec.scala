@@ -113,6 +113,36 @@ class GraftCatalogSpec extends SparkSpec {
       .properties.contains("owner.team"))
   }
 
+  test("DDL guard rails: bad primaryKey, NOT NULL / positioned adds, missing version") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.guard")
+    // a primaryKey typo fails at CREATE, not at the first INSERT
+    val pkErr = intercept[Exception] {
+      sql("""CREATE TABLE graft.guard.bad_pk (id BIGINT, v STRING)
+             TBLPROPERTIES ('primaryKey' = 'idd')""")
+    }
+    assert(pkErr.getMessage.contains("primaryKey 'idd'"))
+    sql("""CREATE TABLE graft.guard.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.guard.t VALUES (1, 'one')")
+    // ADD COLUMNS rejects what the table cannot honor instead of
+    // silently rewriting the DDL
+    val nnErr = intercept[Exception] {
+      sql("ALTER TABLE graft.guard.t ADD COLUMNS (x INT NOT NULL)")
+    }
+    assert(nnErr.getMessage.contains("must be nullable"))
+    val posErr = intercept[Exception] {
+      sql("ALTER TABLE graft.guard.t ADD COLUMNS (y INT AFTER id)")
+    }
+    assert(posErr.getMessage.contains("FIRST/AFTER"))
+    // VERSION AS OF a version that never existed: a clean resolution
+    // error naming the fact, not a scan-time FileNotFoundException
+    val vErr = intercept[Exception] {
+      sql("SELECT * FROM graft.guard.t VERSION AS OF 99").collect()
+    }
+    assert(vErr.getMessage.contains("no retained snapshot v99"))
+  }
+
   test("CTAS, SHOW TABLES, RENAME, DROP") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")

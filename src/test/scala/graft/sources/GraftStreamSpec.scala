@@ -91,6 +91,59 @@ class GraftStreamSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "new")))
   }
 
+  test("a row image added and rewritten away between triggers is still delivered") {
+    val root = tmp("stream_shortlived")
+    val path = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "a")).toDF("id", "v")) // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain() // checkpoint at v1
+    // while the stream is down: a row lives at v2 and is deleted at v3.
+    // A net v1→v3 set-diff never sees its file; the per-commit walk
+    // delivers it — at-least-once per row image, as documented.
+    t.append(Seq((2, "short")).toDF("id", "v")) // v2
+    t.delete($"id" === 2)                       // v3
+    drain()
+    assert(spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "short")))
+  }
+
+  test("a vacuumed start offset fails the stream with an explicit message") {
+    val root = tmp("stream_vacuumed")
+    val path = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "a")).toDF("id", "v")) // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain() // checkpoint at v1
+    t.append(Seq((2, "b")).toDF("id", "v")) // v2
+    t.append(Seq((3, "c")).toDF("id", "v")) // v3
+    t.append(Seq((4, "d")).toDF("id", "v")) // v4
+    t.vacuum(keepVersions = 2, retentionMs = 0L) // v1's manifest is gone
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no longer retained")))
+  }
+
   test("a partitioned upsert table streams its rewritten partitions") {
     val root = tmp("stream_part")
     val path = s"$root/table"
