@@ -1887,13 +1887,17 @@ object Queries {
         (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
           .otherwise(lit(-0.01))).cast("float")).as("embedding"),
       col("label"))
-    // 16 OR-amplified bands: a genuinely-near pair (cosine ≥ 0.9 ⇒
-    // angle ≤ 26°) misses every 8-plane band with probability ≤
-    // (1−(1−θ/π)⁸)¹⁶ — ~1e-21 for the mutated near-identical pairs —
-    // so the exact-cosine verdict equals all-pairs and the oracle can
-    // recompute it relationally
+    // 24 OR-amplified 12-plane bands. The fixture's true pairs are ONLY
+    // the mutated near-identical ones (measured: mutated cosine ≥
+    // 0.9968 ⇒ θ ≤ 4.6°; max NATURAL pair cosine is 0.60 at sf0.1) —
+    // a true pair misses every band with probability (1−(1−θ/π)¹²)²⁴
+    // ≈ 2e-14, so the exact-cosine verdict equals all-pairs and the
+    // oracle can recompute it relationally. 12 planes (not 8) is the
+    // candidate-volume lever: a random ~90° pair collides per band at
+    // (1/2)¹² ≈ 2.4e-4, 16× fewer junk candidates than 8-plane bands
+    // for the same recall bound.
     Similarity.embeddingNearDupPairs(emb.unionByName(mutated),
-      threshold = 0.9, numPlanes = 8, bands = 16)
+      threshold = 0.9, numPlanes = 12, bands = 24)
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("cosine"))
   }
 

@@ -274,27 +274,34 @@ object Similarity {
     // WITHOUT their vectors (same design as the minhash pipeline:
     // shipping two dense arrays per candidate pair through the shuffle
     // multiplies its width for nothing); vectors re-attach to the
-    // deduplicated pair set for the one exact re-check
+    // deduplicated pair set for the one exact re-check. Unlike minhash
+    // there is no expensive derived column to reuse — the re-attach
+    // sides are plain (id, vec) scans — so NO persist/checkpoint:
+    // caching a 100 TB corpus to save re-reading two columns is the
+    // wrong trade at every scale, and the deterministic seeded planes
+    // make recomputation safe.
     val docs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist()
-    try {
-      val b = docs.select(col("id"),
-        explode(array((0 until bands).map(k =>
-          struct(lit(k).as("band"),
-            lshBucketFrom(col("vec"), numPlanes, k * numPlanes).as("bh")))
-          : _*)).as("bucket"))
-      val cand = b.select(col("bucket"), col("id").as("idA"))
-        .join(b.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
-        .filter(col("idA") < col("idB"))
-        .select("idA", "idB").dropDuplicates("idA", "idB")
-      val result = cand
-        .join(docs.select(col("id").as("idA"), col("vec").as("vecA")), Seq("idA"))
-        .join(docs.select(col("id").as("idB"), col("vec").as("vecB")), Seq("idB"))
-        .withColumn("cosine", cosine(col("vecA"), col("vecB")))
-        .filter(col("cosine") >= threshold)
-        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
-      // small verified pair set: materialize so the doc cache releases
-      result.localCheckpoint(eager = true)
-    } finally docs.unpersist()
+    // all band buckets in ONE fused codegen pass over the vector
+    // ([[graft.functions.expressions.SignLshBands]], bit-identical to
+    // per-band lshBucketFrom, whose interpreted HOFs dominated the
+    // whole query's runtime at bands × planes passes per row)
+    val bandArr = {
+      import org.apache.spark.sql.graftext.GraftBridge
+      GraftBridge.column(graft.functions.expressions.SignLshBands(
+        GraftBridge.expression(col("vec")), numPlanes, bands))
+    }
+    val b = docs
+      .select(col("id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .select(col("id"), struct(col("band"), col("bh")).as("bucket"))
+    val cand = b.select(col("bucket"), col("id").as("idA"))
+      .join(b.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").dropDuplicates("idA", "idB")
+    cand
+      .join(docs.select(col("id").as("idA"), col("vec").as("vecA")), Seq("idA"))
+      .join(docs.select(col("id").as("idB"), col("vec").as("vecB")), Seq("idB"))
+      .withColumn("cosine", cosine(col("vecA"), col("vecB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
 }
