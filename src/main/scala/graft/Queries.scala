@@ -1186,6 +1186,53 @@ object Queries {
     table.read.select("event_id", "user_id", "event_type", "value", "date")
   }
 
+  /** The engine's full native streaming loop: a snapshot table is BOTH
+    * source and sink. `readStream.format("graft")` tails the staged
+    * events table commit by commit (`maxVersionsPerTrigger=1` keeps
+    * each epoch one source version — bounded catch-up batches), and
+    * `writeStream.format("graft")` lands every epoch as ONE atomic
+    * manifest commit carrying the epoch high-water mark, so a replayed
+    * micro-batch can never double-append (exactly-once end-to-end,
+    * Delta's txnVersion idempotence). Parity: the sink table must equal
+    * a batch read of the source's events. */
+  def streamSinkParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_sink", dir)
+    val srcPath = s"$base/source"
+    staged(s, srcPath) {
+      freshDirs(s, srcPath)
+      val events = t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+      val src = SnapshotTable(s, srcPath, "event_id",
+        partitionCol = Some("date"))
+      // three commits: the stream must walk multi-version history
+      src.create(events.filter(col("event_id") % 3 === 0))
+      src.append(events.filter(col("event_id") % 3 === 1))
+      src.append(events.filter(col("event_id") % 3 === 2))
+      val fs = new org.apache.hadoop.fs.Path(srcPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(s"$srcPath/_SUCCESS"), true)
+        .close()
+    }
+    freshDirs(s, s"$base/sink", s"$base/ckpt")
+    val srcSchema = SnapshotTable(s, srcPath, "event_id").read.schema
+    val sink = SnapshotTable(s, s"$base/sink", "event_id",
+      partitionCol = Some("date"))
+    sink.createEmpty(Tables.asNullable(srcSchema))
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(srcPath)
+      .writeStream.format("graft").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(600000)
+    val done = SnapshotTable(s, s"$base/sink", "event_id")
+    require(done.currentVersion.exists(_ >= 4),
+      "expected one atomic sink commit per source version")
+    done.read.select("event_id", "user_id", "event_type", "value", "date")
+  }
+
   /** Streaming dedup of an at-least-once source: every 10th event is
     * re-delivered, `dropDuplicatesWithinWatermark` keeps the first
     * arrival per event_id with BOUNDED state (keys within the watermark,
@@ -2060,6 +2107,7 @@ object Queries {
     "approx_profile" -> (approxProfile _),
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
+    "stream_sink_parity" -> (streamSinkParity _),
     "stream_dedup_parity" -> (streamDedupParity _),
     "stream_snapshot_ingest" -> (streamSnapshotIngest _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -2514,6 +2562,12 @@ object Queries {
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |  AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)""".stripMargin,
     "stream_ingest_parity" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events""".stripMargin,
+    // the graft-source → graft-sink loop must deliver exactly the
+    // source's rows: every epoch appended once, none twice
+    "stream_sink_parity" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events""".stripMargin,

@@ -636,6 +636,53 @@ final class SnapshotTable(
     commitManifest(v + 1, carried ++ fresh, schema)
   }
 
+  /** Commit a STREAMING sink's staged epoch as ONE atomic append
+    * (truncate = complete-mode replace), idempotently: the committed
+    * epoch high-water mark rides the manifest as a table property
+    * (`streamKey` → epochId), so a replayed micro-batch — Spark
+    * re-running an epoch whose sink commit landed but whose checkpoint
+    * commit-log record didn't — finds the mark already at/past its
+    * epoch and drops its re-staged files instead of appending them
+    * twice. This is the txnAppId/txnVersion idempotence public Delta
+    * implements for its streaming sink. A concurrent writer advancing
+    * the head between our manifest read and commit only re-bases the
+    * append (bounded retries); the epoch mark is re-checked under every
+    * new head so a zombie attempt of the same query can never
+    * double-commit. Returns true when the epoch committed, false on a
+    * detected replay. */
+  private[graft] def commitStagedStreamAppend(commitId: String,
+                                              schema: StructType,
+                                              streamKey: String,
+                                              epochId: Long,
+                                              truncate: Boolean): Boolean = {
+    def epochDone(v: Option[Long]): Boolean =
+      v.flatMap(readManifest(_).props.get(streamKey))
+        .exists(_.toLong >= epochId)
+    if (epochDone(currentVersion)) { abortStaged(commitId); return false }
+    val fresh = promoteStage(commitId,
+      Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+    pendingProps(streamKey) = epochId.toString
+    var attempt = 0
+    while (true) {
+      val head = currentVersion
+      if (epochDone(head))
+        // another attempt of this very epoch won the race after we
+        // promoted: our files are unreferenced orphans, vacuum's sweep
+        // reclaims them
+        return false
+      val carried =
+        if (truncate) Nil
+        else head.map(readManifest(_).entries).getOrElse(Nil)
+      try {
+        commitManifest(head.getOrElse(0L) + 1L, carried ++ fresh, schema)
+        return true
+      } catch {
+        case _: IllegalStateException if attempt < 5 => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   /** Drop an external writer's staging tree (DSv2 write abort). */
   private[graft] def abortStaged(commitId: String): Unit =
     fs.delete(new Path(s"$path/_stage/$commitId"), true)

@@ -124,8 +124,25 @@ private[sources] final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(head)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    GraftOffset(availableNowEnd.getOrElse(head))
+  // admission control for burst catch-up: bound how many table
+  // versions one micro-batch may span, so a stream recovering a long
+  // backlog drains it in bounded-size epochs instead of one giant
+  // batch (the maxFilesPerTrigger analog, but in the table's own
+  // commit granularity — each epoch stays one atomic, replayable unit)
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(opts.get("maxVersionsPerTrigger")).map { raw =>
+      val v = raw.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive number, got '$raw'"))
+      v
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = availableNowEnd.getOrElse(head)
+    val from = start.asInstanceOf[GraftOffset].version
+    GraftOffset(maxVersionsPerTrigger
+      .fold(end)(m => math.min(end, from + m)))
+  }
 
   override def reportLatestOffset(): Offset = GraftOffset(head)
 

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression}
+import org.apache.spark.sql.connector.write.{
+  DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.plans.SnapshotTable
+
+/** Streaming half of the graft sink — what
+  * `df.writeStream.format("graft")` commits through. Each epoch's tasks
+  * stage parquet via the same writer as the row-level DML paths
+  * ([[GraftStagedDataWriter]], partition-routed, CHECK-enforced), then
+  * the driver commits ONE manifest version that both appends the
+  * epoch's files (Complete mode: replaces the table) and records the
+  * epoch high-water mark as a table property — so a replayed
+  * micro-batch is detected and dropped and the sink is exactly-once
+  * end-to-end, the txnAppId/txnVersion idempotence of public Delta's
+  * streaming sink (reference ingests micro-batch-wise with Delta MERGE,
+  * `/root/reference/src/glue_scripts/orders_etl.py:60-71`).
+  *
+  * The epoch property key derives from the streaming QUERY id (stable
+  * across restarts — it lives in the checkpoint), overridable with the
+  * `txnAppId` write option for sinks fed by replacement queries. */
+final class GraftStreamingWrite(
+    spark: SparkSession,
+    tablePath: String,
+    writeSchema: StructType,
+    queryId: String,
+    truncate: Boolean,
+    options: Map[String, String]) extends StreamingWrite {
+
+  private val streamId = {
+    val raw = options.getOrElse("txnAppId", queryId)
+    val safe = raw.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
+    require(safe.nonEmpty, s"unusable txnAppId/queryId: '$raw'")
+    safe
+  }
+
+  private val propKey = s"stream.epoch.$streamId"
+
+  private val snapshot =
+    SnapshotTable(spark, tablePath, "_unused_stream_sink")
+
+  // the sink appends INTO the table's logged schema: parquet resolves
+  // columns by name on read, so column order is free, but a name/type
+  // mismatch would commit files the table's own schema cannot read
+  private val tableSchema: StructType = {
+    val (_, ts, _) = snapshot.scanInfo(None)
+    ts
+  }
+  {
+    val want = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val got = writeSchema.fields.map(f => f.name -> f.dataType).toMap
+    require(got == want,
+      s"streaming write schema mismatch at $tablePath: " +
+        s"query writes ${writeSchema.simpleString}, " +
+        s"table is ${tableSchema.simpleString}")
+  }
+
+  private def commitIdOf(epochId: Long) =
+    s"stream-${streamId.take(12)}-$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val partitionCols = snapshot.tablePartitionCols
+    val dataSchema = StructType(writeSchema.fields.filterNot(f =>
+      partitionCols.contains(f.name)))
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, dataSchema)
+    // logged CHECK constraints, bound against the write schema so
+    // executors enforce them per row — the streaming sink is
+    // constraint-bound like every other writer
+    val boundChecks: Seq[(String, Expression)] = {
+      val checks = snapshot.effectiveChecks
+      if (checks.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        val dummy = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+        checks.map { case (n, c) =>
+          dummy.filter(coalesce(c, lit(true)) =!= lit(false))
+            .queryExecution.analyzed match {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              n -> BindReferences.bindReference(f.condition, f.child.output)
+            case other => throw new IllegalStateException(
+              s"unexpected CHECK analysis shape: $other")
+          }
+        }
+      }
+    }
+    new GraftStreamingWriterFactory(
+      new SerializableConfiguration(job.getConfiguration), owf,
+      s"$tablePath/_stage", s"stream-${streamId.take(12)}", writeSchema,
+      partitionCols, spark.sessionState.conf.sessionLocalTimeZone,
+      boundChecks)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    // false = replay of an already-committed epoch: dropping the
+    // re-staged batch IS the exactly-once outcome, not an error
+    snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
+      propKey, epochId, truncate)
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    snapshot.abortStaged(commitIdOf(epochId))
+}
+
+/** Per-epoch staging: writer tasks for epoch N land files under
+  * `_stage/<prefix>-N`, the exact tree
+  * [[SnapshotTable.commitStagedStreamAppend]] promotes for commit id
+  * `<prefix>-N` — epochs never share a staging dir, so a straggler
+  * task of a failed attempt can't contaminate the next epoch. */
+final class GraftStreamingWriterFactory(
+    conf: SerializableConfiguration,
+    owf: OutputWriterFactory,
+    stageRoot: String,
+    commitPrefix: String,
+    writeSchema: StructType,
+    partitionCols: Seq[String],
+    zoneId: String,
+    boundChecks: Seq[(String, Expression)])
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftStagedDataWriter(conf, owf,
+      s"$stageRoot/$commitPrefix-$epochId", writeSchema, partitionCols,
+      zoneId, partitionId, taskId, boundChecks)
+}

@@ -6,11 +6,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{
   MetadataColumn, SupportsMetadataColumns, SupportsRead,
   SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.distributions.{
+  Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo,
-  SupportsTruncate, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, RequiresDistributionAndOrdering,
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate,
+  V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
@@ -80,6 +85,7 @@ final class GraftTable(
     s.add(TableCapability.MICRO_BATCH_READ)
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
 
@@ -125,16 +131,56 @@ final class GraftTable(
     () => new GraftRowLevelOperation(spark, tablePath, info.command)
   }
 
+  /** One builder, two transports: batch writes ride the V1 sink (the
+    * only API honoring all four save modes, see capabilities note);
+    * `writeStream.format("graft")` asks the SAME Write for
+    * `toStreaming` and gets the exactly-once epoch-committing sink
+    * ([[GraftStreamingWrite]]). The clustered-by-partition distribution
+    * is declared ONLY once `toStreaming` is taken (Spark's micro-batch
+    * planner builds the streaming write before preparing the query):
+    * the V1 batch path does its own pinned repartition inside
+    * [[graft.plans.SnapshotTable]] and must not pay a second
+    * exchange. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = {
         val ow = overwrite
-        new V1Write {
+        new V1Write with RequiresDistributionAndOrdering {
+          @volatile private var streaming = false
           override def toInsertableRelation: InsertableRelation =
             (data, _) => SnapshotRelation(
               spark.sqlContext, tablePath, None, options).insert(data, ow)
+          override def toStreaming: StreamingWrite = {
+            require(pinnedVersion.isEmpty,
+              s"cannot stream into a versionAsOf/timestampAsOf handle " +
+                s"of $tablePath")
+            streaming = true
+            new GraftStreamingWrite(spark, tablePath, info.schema(),
+              info.queryId(), ow, options)
+          }
+          // cluster + sort each micro-batch by the partition column so
+          // every task streams one partition dir at a time (single open
+          // writer, no per-epoch small-file explosion); width pinned so
+          // AQE can't serialize a toy batch's per-dir round-trips onto
+          // one task
+          override def requiredDistribution(): Distribution =
+            if (streaming && partitionCols.nonEmpty)
+              Distributions.clustered(partitionCols.map(c =>
+                Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                .toArray)
+            else Distributions.unspecified()
+          override def requiredOrdering(): Array[SortOrder] =
+            if (streaming)
+              partitionCols.map(c => Expressions.sort(
+                Expressions.column(c), SortDirection.ASCENDING)).toArray
+            else Array.empty
+          override def requiredNumPartitions(): Int =
+            if (streaming && partitionCols.nonEmpty)
+              spark.sessionState.conf.numShufflePartitions
+            else 0
         }
       }
     }
