@@ -800,6 +800,11 @@ final class SnapshotTable(
   private def loggedChecks: Seq[(String, String)] =
     currentVersion.map(v => readManifest(v).checks).getOrElse(Nil)
 
+  /** The stats-collection columns in force (ctor-over-logged) — what a
+    * maintenance rewrite must preserve, and extend, when it re-layouts
+    * the table. */
+  private[graft] def statsColumns: Seq[String] = effectiveLayout.statsCols
+
   /** The head manifest's logged table properties. */
   def properties: Map[String, String] =
     currentVersion.map(v => readManifest(v).props).getOrElse(Map.empty)

@@ -327,7 +327,7 @@ object GraftCatalog {
   }
 
   private[sources] val ProcedureNames =
-    Seq("vacuum", "compact", "restore", "history")
+    Seq("vacuum", "compact", "restore", "history", "zorder")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -416,6 +416,36 @@ object GraftCatalog {
           val arg = input.getUTF8String(0).toString
           val t = snapshotOf(arg)
           t.restoreTo(input.getLong(1))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "zorder" => Some(new Proc("zorder",
+        "rewrite the table clustered along the Morton curve over cols " +
+          "so min/max stats prune box predicates on every listed column",
+        Seq(in("table", DataTypes.StringType),
+          in("cols", DataTypes.StringType),
+          inDefault("num_files", DataTypes.IntegerType, "16"),
+          inDefault("bits", DataTypes.IntegerType, "12"))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val cols = input.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "zorder needs at least one column")
+          val t0 = snapshotOf(arg)
+          // partitioned tables write one file per partition dir, so an
+          // intra-file curve order has no per-file stats to sharpen —
+          // the honest answer is to refuse, not silently no-op
+          require(t0.tablePartitionCols.isEmpty,
+            s"zorder rewrites whole unpartitioned tables; '$arg' is " +
+              s"partitioned by ${t0.tablePartitionCols.mkString(",")}")
+          // the rewrite is only worth its I/O if min/max stats cover
+          // the curve columns: extend the logged stats layout (never
+          // shrink it — other columns' skipping must survive)
+          val t = SnapshotTable(SparkSession.active, t0.path,
+            "_unused_read_only",
+            statsCols = (t0.statsColumns ++ cols).distinct)
+          t.replace(graft.operators.ZOrder.cluster(
+            t.read, cols, input.getInt(2), input.getInt(3)))
           (StatusSchema, statusRow(arg, t))
         }
       })

@@ -184,4 +184,35 @@ class GraftCatalogSpec extends SparkSpec {
     // the table still reads fine after reclamation
     assert(sql("SELECT count(*) FROM graft.maint.t").head().getLong(0) == 2)
   }
+
+  test("CALL graft.system.zorder: rewrite makes box predicates prune on both columns") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.zm")
+    sql("""CREATE TABLE graft.zm.pts (x BIGINT, y BIGINT)
+           TBLPROPERTIES ('primaryKey' = 'x')""")
+    // a 64×64 grid scattered in insertion order: without clustering,
+    // every file spans the whole value space and nothing prunes
+    sql("""INSERT INTO graft.zm.pts
+           SELECT (id * 37) % 64 AS x, (id * 53) % 64 AS y
+           FROM range(4096)""")
+    val before = sql("SELECT sum(x + y) FROM graft.zm.pts").head().getLong(0)
+
+    sql("CALL graft.system.zorder(table => 'zm.pts', cols => 'x,y', " +
+      "num_files => 16)")
+
+    // contents untouched by the rewrite
+    assert(sql("SELECT sum(x + y) FROM graft.zm.pts").head().getLong(0)
+      == before)
+    val t = SnapshotTable(spark, s"$warehouse/zm/pts", "x")
+    val box = Seq(("x", 0L, 15L), ("y", 0L, 15L))
+    val total = t.candidateFiles().size
+    val hit = t.candidateFiles(box: _*).size
+    assert(total >= 8, s"expected a multi-file rewrite, got $total")
+    assert(hit < total / 2,
+      s"curve clustering should prune most files: $hit of $total in box")
+    // the box read returns exactly the grid points inside the box
+    assert(t.readWhere(box: _*).count() ==
+      sql("SELECT count(*) FROM graft.zm.pts WHERE x BETWEEN 0 AND 15 " +
+        "AND y BETWEEN 0 AND 15").head().getLong(0))
+  }
 }
