@@ -50,15 +50,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
                              parameters: Map[String, String]): Option[Long] =
     parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map { raw =>
-        val ms = raw.toLongOption.getOrElse {
-          val zone = java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone)
-          val ldt =
-            if (raw.length == 10)
-              java.time.LocalDate.parse(raw).atStartOfDay()
-            else java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-          ldt.atZone(zone).toInstant.toEpochMilli
-        }
+        val ms = GraftSource.sessionEpochMs(spark, raw)
         SnapshotTable(spark, path, "_unused_read_only")
           .versionAt(ms).getOrElse(throw new IllegalArgumentException(
             s"no snapshot at $path existed at timestampAsOf=$raw"))
@@ -211,4 +203,22 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
     // row converter reads fields positionally against the pruned schema
     base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
+}
+
+private[sources] object GraftSource {
+
+  /** An epoch-millis literal, or an ISO date/datetime interpreted in
+    * the SESSION time zone — the zone SQL literals mean, not the JVM
+    * default. Shared by batch `timestampAsOf` and the streaming
+    * source's `startingTimestamp`. */
+  def sessionEpochMs(spark: SparkSession, raw: String): Long =
+    raw.toLongOption.getOrElse {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val ldt =
+        if (raw.length == 10)
+          java.time.LocalDate.parse(raw).atStartOfDay()
+        else java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+      ldt.atZone(zone).toInstant.toEpochMilli
+    }
 }

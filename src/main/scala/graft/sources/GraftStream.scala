@@ -89,7 +89,11 @@ private[sources] final class GraftScan(
   *
   * Options: `startingVersion` — first batch starts AFTER this version
   * (default 0 = deliver the whole table first); `latest` skips history
-  * and tails only commits after stream start. */
+  * and tails only commits after stream start. `startingTimestamp` —
+  * deliver commits made at or after the instant (epoch millis or an
+  * ISO literal in the session zone); mutually exclusive with
+  * `startingVersion`. `maxVersionsPerTrigger` — cap how many table
+  * versions one micro-batch may span (bounded catch-up epochs). */
 private[sources] final class GraftMicroBatchStream(
     tablePath: String,
     template: ParquetScan,
@@ -106,11 +110,26 @@ private[sources] final class GraftMicroBatchStream(
   private def head: Long = snapshot.currentVersion.getOrElse(0L)
 
   override def initialOffset(): Offset = {
-    val raw = Option(opts.get("startingVersion")).getOrElse("0")
-    if (raw.equalsIgnoreCase("latest")) GraftOffset(head)
-    else GraftOffset(raw.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"startingVersion must be a version number or 'latest', got '$raw'")))
+    val byVersion = Option(opts.get("startingVersion"))
+    val byTs = Option(opts.get("startingTimestamp"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "set startingVersion or startingTimestamp, not both")
+    byTs match {
+      case Some(raw) =>
+        // versions committed strictly BEFORE the instant are history
+        // the stream skips; a commit at or after it is delivered
+        // (Delta's at-or-after startingTimestamp contract). Instants
+        // predating the table deliver everything, like version 0.
+        val ms = GraftSource.sessionEpochMs(spark, raw)
+        GraftOffset(snapshot.versionAt(ms - 1).getOrElse(0L))
+      case None =>
+        val raw = byVersion.getOrElse("0")
+        if (raw.equalsIgnoreCase("latest")) GraftOffset(head)
+        else GraftOffset(raw.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion must be a version number or 'latest', " +
+              s"got '$raw'")))
+    }
   }
 
   override def latestOffset(): Offset = GraftOffset(head)

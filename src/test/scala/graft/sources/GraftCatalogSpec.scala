@@ -185,6 +185,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.maint.t").head().getLong(0) == 2)
   }
 
+  test("writeStream.toTable streams into a catalog table through the native sink") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.live")
+    sql("""CREATE TABLE graft.live.events (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    val srcRoot = Files.createTempDirectory("graft_totable").toString
+    val src = SnapshotTable(spark, s"$srcRoot/src", "id")
+    src.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.append(Seq((3L, "c")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(s"$srcRoot/src")
+      .writeStream
+      .option("checkpointLocation", s"$srcRoot/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.live.events")
+    q.awaitTermination(120000)
+
+    assert(sql("SELECT id, v FROM graft.live.events ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the sink's epoch high-water mark is logged table metadata
+    val t = SnapshotTable(spark, s"$warehouse/live/events", "id")
+    assert(t.properties.keys.exists(_.startsWith("stream.epoch.")))
+  }
+
   test("CALL graft.system.zorder: rewrite makes box predicates prune on both columns") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.zm")

@@ -67,6 +67,50 @@ class GraftStreamSpec extends SparkSpec {
       Seq((1, 10), (3, 30)))
   }
 
+  test("startingTimestamp skips history committed before the instant") {
+    val root = tmp("stream_ts")
+    val path = s"$root/table"
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "old")).toDF("id", "v"))
+    // manifest mtimes ARE the commit times: put a real gap between the
+    // historical commit and the cut so the boundary is unambiguous
+    Thread.sleep(50)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(50)
+    t.append(Seq((2, "new")).toDF("id", "v"))
+
+    val out = s"$root/out"
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", cut.toString).load(path)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "new")))
+
+    // an instant predating the table delivers everything
+    val out2 = s"$root/out2"
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp", "2000-01-01").load(path)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out2).count() == 2)
+
+    // both range options at once is a configuration error
+    intercept[Exception] {
+      val q3 = spark.readStream.format("graft")
+        .option("startingTimestamp", cut.toString)
+        .option("startingVersion", "1").load(path)
+        .writeStream.format("parquet").option("path", s"$root/out3")
+        .option("checkpointLocation", s"$root/ckpt3")
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    }
+  }
+
   test("startingVersion=latest tails only post-start commits") {
     val root = tmp("stream_tail")
     val path = s"$root/table"
