@@ -201,9 +201,20 @@ final class ManifestFileIndex(
     })
   }
 
+  // dynamic-partition-pruning narrowing, delivered AFTER the dim-side
+  // subquery ran (the scan's SupportsRuntimeV2Filtering.filter call):
+  // appended to every subsequent listing. Monotone — runtime filters
+  // may only SKIP partitions the static plan kept, never add any, so
+  // racing re-plans stay correct.
+  @volatile private var runtimeFilters: Seq[Expression] = Nil
+
+  private[graft] def narrowForRuntime(filters: Seq[Expression]): Unit =
+    runtimeFilters = runtimeFilters ++ filters
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = skipByStats(entries, dataFilters)
+    val allPartFilters = partitionFilters ++ runtimeFilters
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
     } else {
@@ -211,13 +222,13 @@ final class ManifestFileIndex(
         case (raw, es) =>
           PartitionDirectory(partitionRow(raw), es.map(statusOf).toArray)
       }
-      if (partitionFilters.isEmpty) dirs
+      if (allPartFilters.isEmpty) dirs
       else {
         // bind by NAME against the single partition attribute — the
         // incoming filters reference the relation's attribute instances,
         // whose exprIds a fresh index cannot know (same binding
         // InMemoryFileIndex.prunePartitions does)
-        val bound = partitionFilters.reduce(And).transform {
+        val bound = allPartFilters.reduce(And).transform {
           case a: AttributeReference =>
             BoundReference(partitionSchema.fieldIndex(a.name),
               a.dataType, a.nullable)

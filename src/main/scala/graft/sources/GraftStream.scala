@@ -1,8 +1,16 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.connector.expressions.{
+  Expression => V2Expression, Expressions, Literal => V2Literal,
+  NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{
+  Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
@@ -42,9 +50,15 @@ private[sources] final class GraftScanBuilder(
 
 /** The built scan IS a [[ParquetScan]] (same batch planning, columnar
   * `BatchScan`, whole-stage codegen, estimateStatistics); the subclass
-  * only overrides the streaming entry point, handing the same pruned/
-  * pushed scan shape to [[GraftMicroBatchStream]], which re-plans it
-  * per micro-batch over only the files each commit added. */
+  * adds the streaming entry point — handing the same pruned/pushed
+  * scan shape to [[GraftMicroBatchStream]], which re-plans it per
+  * micro-batch over only the files each commit added — and DYNAMIC
+  * partition pruning ([[SupportsRuntimeV2Filtering]]): a join against
+  * a filtered dimension delivers the surviving partition keys after
+  * the dim side ran, and the scan narrows its manifest listing to just
+  * those partitions before any fact I/O. At cluster scale this is the
+  * difference between scanning a 100 TB fact table and scanning the
+  * joined slice of it. */
 private[sources] final class GraftScan(
     tablePath: String,
     pinnedVersion: Option[Long],
@@ -53,7 +67,8 @@ private[sources] final class GraftScan(
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters,
-      base.pushedVariantExtractions) {
+      base.pushedVariantExtractions)
+    with SupportsRuntimeV2Filtering {
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream = {
@@ -61,6 +76,68 @@ private[sources] final class GraftScan(
       s"cannot stream a versionAsOf/timestampAsOf read of $tablePath — " +
         "a pinned snapshot never changes")
     new GraftMicroBatchStream(tablePath, this, options)
+  }
+
+  private def manifestIndex: Option[ManifestFileIndex] = fileIndex match {
+    case m: ManifestFileIndex => Some(m)
+    case _ => None
+  }
+
+  private def partitionFieldNames: Seq[String] =
+    manifestIndex.toSeq.flatMap(_.partitionSchema.fields.map(_.name))
+      .filterNot(_ == ManifestFileIndex.MetaPartitionCol)
+
+  /** Runtime filters are accepted on the PARTITION columns only: those
+    * are the ones a manifest listing can prune without touching data. */
+  override def filterAttributes(): Array[NamedReference] =
+    partitionFieldNames.map(n => Expressions.column(n): NamedReference)
+      .toArray
+
+  /** Delivered by BatchScanExec after the dim-side subquery evaluated:
+    * IN/= predicates over the partition columns. Translation is
+    * conservative — a shape or type we don't recognize narrows
+    * nothing (pruning may only skip, never change results). */
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val partCols = partitionFieldNames.toSet
+    def refOf(e: V2Expression): Option[String] = e match {
+      case r: NamedReference
+        if r.fieldNames.length == 1 && partCols(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def attrOf(name: String): Option[AttributeReference] =
+      manifestIndex.flatMap(_.partitionSchema.fields.find(_.name == name))
+        .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
+    // literals must carry exactly the partition column's type: the
+    // listing evaluates them against typed partition values, and a
+    // mis-typed comparison cannot be trusted to skip correctly
+    def litOf(e: V2Expression, attr: AttributeReference): Option[Literal] =
+      e match {
+        case l: V2Literal[_] if l.dataType == attr.dataType =>
+          Some(Literal(l.value, l.dataType))
+        case _ => None
+      }
+    def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+      if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+    val exprs: Seq[Expression] = predicates.toSeq.flatMap { p =>
+      val kids = p.children.toSeq
+      p.name match {
+        case "IN" if kids.nonEmpty =>
+          for {
+            c <- refOf(kids.head)
+            a <- attrOf(c)
+            vs <- traverse(kids.tail.map(litOf(_, a)))
+          } yield In(a, vs)
+        case "=" if kids.length == 2 =>
+          val shapes = Seq((kids(0), kids(1)), (kids(1), kids(0)))
+          shapes.flatMap { case (r, v) =>
+            for { c <- refOf(r); a <- attrOf(c); l <- litOf(v, a) }
+            yield EqualTo(a, l)
+          }.headOption
+        case _ => None
+      }
+    }
+    if (exprs.nonEmpty) manifestIndex.foreach(_.narrowForRuntime(exprs))
   }
 }
 

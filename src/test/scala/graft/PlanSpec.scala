@@ -193,6 +193,51 @@ class PlanSpec extends SparkSpec {
       s"scan not planned by the manifest index:\n$plan")
   }
 
+  test("dynamic partition pruning narrows a graft fact scan to the joined partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = graft.plans.SnapshotTable(spark, s"$root/fact", "id",
+      partitionCol = Some("d"))
+    fact.create(spark.range(1000).select($"id",
+      ($"id" % 20).cast("string").as("d"), ($"id" * 2).as("x")))
+    val dim = spark.range(3).select($"id".cast("string").as("d"),
+      lit("yes").as("flag"))
+    dim.write.parquet(s"$root/dim")
+
+    val j = spark.read.format("graft").load(s"$root/fact")
+      .join(spark.read.parquet(s"$root/dim").filter($"flag" === "yes"),
+        Seq("d"))
+      .groupBy("d").agg(sum("x").as("sx"))
+    val rows = j.collect()
+    assert(rows.length == 3)
+
+    val plan = planOf(j)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no runtime filter reached the graft scan:\n$plan")
+    // the decisive check: the fact scan must have LISTED only the 3
+    // surviving partitions' rows (150), not the whole table (1000) —
+    // manifest pruning happened before any fact I/O
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    var scanned = -1L
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec if b.toString.contains("graft") =>
+          scanned = b.metrics("numOutputRows").value
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(j.queryExecution.executedPlan)
+    assert(scanned == 150L,
+      s"fact scan read $scanned rows — dynamic pruning didn't skip files")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan
