@@ -211,9 +211,71 @@ final class ManifestFileIndex(
   private[graft] def narrowForRuntime(filters: Seq[Expression]): Unit =
     runtimeFilters = runtimeFilters ++ filters
 
+  /** DATA columns a runtime join-key filter can skip files on: those
+    * with manifest min/max stats or a per-file bloom. */
+  private[graft] lazy val skippableDataColumns: Seq[String] = {
+    val keys = entries.iterator.flatMap(_.stats.keys).toSet
+    val plain = keys.filterNot(_.contains(":"))
+    val bloomed = keys.collect {
+      case k if k.startsWith("bloom:") => k.stripPrefix("bloom:")
+    }
+    (plain ++ bloomed).toSeq.sorted
+  }
+
+  // runtime join-key narrowing on DATA columns (the file-level analog
+  // of dynamic partition pruning): per column, the distinct keys that
+  // survived the dim side. A file stays only while SOME key could be
+  // in it — inside its min/max range AND not ruled out by its bloom.
+  // Unknown types / missing stats keep the file: skipping may only be
+  // useless, never wrong.
+  @volatile private var runtimeKeySets: Seq[(String, Seq[Any])] = Nil
+
+  private[graft] def narrowDataForRuntime(col: String,
+                                          values: Seq[Any]): Unit =
+    runtimeKeySets = runtimeKeySets :+ (col -> values)
+
+  private def couldContain(e: FileEntry, c: String, v: Any): Boolean = {
+    if (v == null) return true
+    val enc = v match {
+      case s: UTF8String => Some(FileEntry.encS(s.toString))
+      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float =>
+        Some(FileEntry.enc(v))
+      case _ => None
+    }
+    val inRange = (enc, e.stats.get(c)) match {
+      case (Some(x), Some((mn, mx)))
+        if x.take(2) == mn.take(2) && x.take(2) == mx.take(2) =>
+        val ord = FileEntry.valueOrdering
+        ord.lteq(mn, x) && ord.gteq(mx, x)
+      case _ => true
+    }
+    inRange && (e.bloom(c) match {
+      case Some(("BL:", bf)) => v match {
+        case n: Long => bf.mightContainLong(n)
+        case n: Int => bf.mightContainLong(n.toLong)
+        case n: Short => bf.mightContainLong(n.toLong)
+        case n: Byte => bf.mightContainLong(n.toLong)
+        case _ => true
+      }
+      case Some(("BS:", bf)) => v match {
+        case s: UTF8String => bf.mightContainString(s.toString)
+        case _ => true
+      }
+      case _ => true
+    })
+  }
+
+  private def skipByKeySets(es: Seq[FileEntry]): Seq[FileEntry] = {
+    val sets = runtimeKeySets
+    if (sets.isEmpty) es
+    else es.filter(e => sets.forall { case (c, vs) =>
+      vs.exists(v => couldContain(e, c, v))
+    })
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = skipByStats(entries, dataFilters)
+    val kept = skipByKeySets(skipByStats(entries, dataFilters))
     val allPartFilters = partitionFilters ++ runtimeFilters
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))

@@ -87,57 +87,81 @@ private[sources] final class GraftScan(
     manifestIndex.toSeq.flatMap(_.partitionSchema.fields.map(_.name))
       .filterNot(_ == ManifestFileIndex.MetaPartitionCol)
 
-  /** Runtime filters are accepted on the PARTITION columns only: those
-    * are the ones a manifest listing can prune without touching data. */
-  override def filterAttributes(): Array[NamedReference] =
-    partitionFieldNames.map(n => Expressions.column(n): NamedReference)
-      .toArray
+  /** Runtime filters are accepted on the columns a manifest listing can
+    * prune without touching data: the PARTITION columns (directory
+    * pruning) and any DATA column carrying per-file min/max stats or a
+    * bloom (file skipping). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val dataCols = manifestIndex.toSeq.flatMap(_.skippableDataColumns)
+    (partitionFieldNames ++ dataCols).distinct
+      .map(n => Expressions.column(n): NamedReference).toArray
+  }
 
   /** Delivered by BatchScanExec after the dim-side subquery evaluated:
-    * IN/= predicates over the partition columns. Translation is
-    * conservative — a shape or type we don't recognize narrows
-    * nothing (pruning may only skip, never change results). */
+    * IN/= predicates over the declared columns. Partition-column keys
+    * become partition filters on the listing; data-column keys become
+    * per-file stats/bloom probes. Translation is conservative — a
+    * shape or type we don't recognize narrows nothing (pruning may
+    * only skip, never change results). */
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val partCols = partitionFieldNames.toSet
     def refOf(e: V2Expression): Option[String] = e match {
-      case r: NamedReference
-        if r.fieldNames.length == 1 && partCols(r.fieldNames()(0)) =>
+      case r: NamedReference if r.fieldNames.length == 1 =>
         Some(r.fieldNames()(0))
       case _ => None
     }
     def attrOf(name: String): Option[AttributeReference] =
       manifestIndex.flatMap(_.partitionSchema.fields.find(_.name == name))
         .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
-    // literals must carry exactly the partition column's type: the
-    // listing evaluates them against typed partition values, and a
-    // mis-typed comparison cannot be trusted to skip correctly
+    // partition literals must carry exactly the partition column's
+    // type: the listing evaluates them against typed partition values,
+    // and a mis-typed comparison cannot be trusted to skip correctly
     def litOf(e: V2Expression, attr: AttributeReference): Option[Literal] =
       e match {
         case l: V2Literal[_] if l.dataType == attr.dataType =>
           Some(Literal(l.value, l.dataType))
         case _ => None
       }
+    def rawOf(e: V2Expression): Option[Any] = e match {
+      case l: V2Literal[_] => Some(l.value)
+      case _ => None
+    }
     def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
       if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
-    val exprs: Seq[Expression] = predicates.toSeq.flatMap { p =>
+
+    var partExprs = List.empty[Expression]
+    def narrowData(c: String, vals: Seq[Any]): Unit =
+      manifestIndex.foreach(_.narrowDataForRuntime(c, vals))
+    predicates.foreach { p =>
       val kids = p.children.toSeq
-      p.name match {
-        case "IN" if kids.nonEmpty =>
-          for {
-            c <- refOf(kids.head)
-            a <- attrOf(c)
-            vs <- traverse(kids.tail.map(litOf(_, a)))
-          } yield In(a, vs)
-        case "=" if kids.length == 2 =>
-          val shapes = Seq((kids(0), kids(1)), (kids(1), kids(0)))
-          shapes.flatMap { case (r, v) =>
-            for { c <- refOf(r); a <- attrOf(c); l <- litOf(v, a) }
-            yield EqualTo(a, l)
-          }.headOption
-        case _ => None
+      (p.name, kids) match {
+        case ("IN", ref +: values) if values.nonEmpty =>
+          refOf(ref).foreach {
+            case c if partCols(c) =>
+              for {
+                a <- attrOf(c)
+                vs <- traverse(values.map(litOf(_, a)))
+              } partExprs ::= In(a, vs)
+            case c =>
+              traverse(values.map(rawOf)).foreach(narrowData(c, _))
+          }
+        case ("=", Seq(x, y)) =>
+          Seq((x, y), (y, x)).collectFirst {
+            case (r, v) if refOf(r).isDefined && rawOf(v).isDefined =>
+              (refOf(r).get, rawOf(v).get)
+          }.foreach {
+            case (c, _) if partCols(c) =>
+              for {
+                a <- attrOf(c)
+                l <- Seq(x, y).flatMap(litOf(_, a)).headOption
+              } partExprs ::= EqualTo(a, l)
+            case (c, v) => narrowData(c, Seq(v))
+          }
+        case _ => ()
       }
     }
-    if (exprs.nonEmpty) manifestIndex.foreach(_.narrowForRuntime(exprs))
+    if (partExprs.nonEmpty)
+      manifestIndex.foreach(_.narrowForRuntime(partExprs))
   }
 }
 

@@ -238,6 +238,53 @@ class PlanSpec extends SparkSpec {
       s"fact scan read $scanned rows — dynamic pruning didn't skip files")
   }
 
+  test("runtime join keys skip files via min/max stats on a non-partition column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rtskip").toString
+    // range-clustered on k: each of the ~8 files covers a narrow k
+    // slice, so a 2-key join should open only the files whose range
+    // holds those keys
+    val fact = graft.plans.SnapshotTable(spark, s"$root/fact", "id",
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 8)
+    fact.create(spark.range(4000).select($"id", ($"id" % 800).as("k"),
+      ($"id" * 3).as("x")))
+    val total = fact.candidateFiles().size
+    assert(total >= 8)
+    spark.range(2).select(($"id" * 300 + 10).as("k"), lit("y").as("flag"))
+      .write.parquet(s"$root/dim")
+
+    val j = spark.read.format("graft").load(s"$root/fact")
+      .join(spark.read.parquet(s"$root/dim").filter($"flag" === "y"),
+        Seq("k"))
+      .agg(sum("x").as("sx"))
+    j.collect()
+
+    val plan = planOf(j)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no runtime filter reached the graft scan:\n$plan")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    var scanned = -1L
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec if b.toString.contains("graft") =>
+          scanned = b.metrics("numOutputRows").value
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(j.queryExecution.executedPlan)
+    // 2 of ~8 k-slices survive → at most half the table's rows listed
+    assert(scanned >= 0 && scanned <= 2000,
+      s"fact scan read $scanned of 4000 rows — runtime stats skipping " +
+        "didn't drop files")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     val df = Queries.q1Pricing(spark, sf)
     df.collect() // finalize the adaptive plan

@@ -177,4 +177,41 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(scanOf(df).relation.location.isInstanceOf[ManifestFileIndex])
     assert(df.count() == 2)
   }
+
+  test("runtime key sets skip files by stats range and by bloom") {
+    val path = tmp("mfirt")
+    // two files with DISJOINT id ranges (clustered), blooms on val
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 2,
+      bloomCols = Seq("val"), bloomExpectedItems = 100)
+    t.create((1 to 100).map(i => (i, s"v$i", "px")).toDF("id", "val", "part")
+      .drop("part"))
+    val (entries, sch, _) = t.scanInfo(None)
+    def freshIndex() =
+      new ManifestFileIndex(spark, t.dataDirPath, entries, StructType(Nil))
+    assert(entries.size == 2)
+
+    // a key set inside one file's id range lists only that file
+    val byRange = freshIndex()
+    byRange.narrowDataForRuntime("id", Seq(5L.toInt))
+    assert(byRange.listFiles(Nil, Nil).head.files.length == 1)
+
+    // a val probe not in any file's bloom lists nothing; a present
+    // value keeps exactly the file(s) whose bloom may contain it
+    val byBloom = freshIndex()
+    byBloom.narrowDataForRuntime("val",
+      Seq(org.apache.spark.unsafe.types.UTF8String.fromString("nope")))
+    assert(byBloom.listFiles(Nil, Nil).head.files.isEmpty)
+    val byBloomHit = freshIndex()
+    byBloomHit.narrowDataForRuntime("val",
+      Seq(org.apache.spark.unsafe.types.UTF8String.fromString("v7")))
+    val hits = byBloomHit.listFiles(Nil, Nil).head.files.length
+    assert(hits >= 1 && hits <= 2)
+
+    // an unknown column or unsupported value type never prunes
+    val byUnknown = freshIndex()
+    byUnknown.narrowDataForRuntime("ghost", Seq(1))
+    byUnknown.narrowDataForRuntime("id", Seq(new java.math.BigDecimal(5)))
+    assert(byUnknown.listFiles(Nil, Nil).head.files.length == 2)
+  }
 }
