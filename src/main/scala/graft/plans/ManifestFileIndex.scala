@@ -234,43 +234,54 @@ final class ManifestFileIndex(
                                           values: Seq[Any]): Unit =
     runtimeKeySets = runtimeKeySets :+ (col -> values)
 
-  private def couldContain(e: FileEntry, c: String, v: Any): Boolean = {
-    if (v == null) return true
-    val enc = v match {
-      case s: UTF8String => Some(FileEntry.encS(s.toString))
-      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float =>
-        Some(FileEntry.enc(v))
-      case _ => None
-    }
-    val inRange = (enc, e.stats.get(c)) match {
-      case (Some(x), Some((mn, mx)))
-        if x.take(2) == mn.take(2) && x.take(2) == mx.take(2) =>
-        val ord = FileEntry.valueOrdering
-        ord.lteq(mn, x) && ord.gteq(mx, x)
-      case _ => true
-    }
-    inRange && (e.bloom(c) match {
-      case Some(("BL:", bf)) => v match {
-        case n: Long => bf.mightContainLong(n)
-        case n: Int => bf.mightContainLong(n.toLong)
-        case n: Short => bf.mightContainLong(n.toLong)
-        case n: Byte => bf.mightContainLong(n.toLong)
-        case _ => true
-      }
-      case Some(("BS:", bf)) => v match {
-        case s: UTF8String => bf.mightContainString(s.toString)
-        case _ => true
-      }
-      case _ => true
-    })
-  }
-
   private def skipByKeySets(es: Seq[FileEntry]): Seq[FileEntry] = {
     val sets = runtimeKeySets
-    if (sets.isEmpty) es
-    else es.filter(e => sets.forall { case (c, vs) =>
-      vs.exists(v => couldContain(e, c, v))
-    })
+    if (sets.isEmpty) return es
+    // encode each probe value once per column (not per file), and
+    // decode each file's bloom once per column (not per key) — a
+    // 1,000-key × 1,000-file narrowing must not Base64-decode a
+    // million sketches
+    val encoded: Seq[(String, Seq[(Any, Option[String])])] =
+      sets.map { case (c, vs) =>
+        c -> vs.map { v =>
+          v -> (v match {
+            case s: UTF8String => Some(FileEntry.encS(s.toString))
+            case _: Long | _: Int | _: Short | _: Byte | _: Double |
+                 _: Float => Some(FileEntry.enc(v))
+            case _ => None
+          })
+        }
+      }
+    es.filter { e =>
+      encoded.forall { case (c, vs) =>
+        val stats = e.stats.get(c)
+        val bloom = e.bloom(c)
+        def inRange(enc: Option[String]): Boolean = (enc, stats) match {
+          case (Some(x), Some((mn, mx)))
+            if x.take(2) == mn.take(2) && x.take(2) == mx.take(2) =>
+            val ord = FileEntry.valueOrdering
+            ord.lteq(mn, x) && ord.gteq(mx, x)
+          case _ => true
+        }
+        def bloomMaybe(v: Any): Boolean = bloom match {
+          case Some(("BL:", bf)) => v match {
+            case n: Long => bf.mightContainLong(n)
+            case n: Int => bf.mightContainLong(n.toLong)
+            case n: Short => bf.mightContainLong(n.toLong)
+            case n: Byte => bf.mightContainLong(n.toLong)
+            case _ => true
+          }
+          case Some(("BS:", bf)) => v match {
+            case s: UTF8String => bf.mightContainString(s.toString)
+            case _ => true
+          }
+          case _ => true
+        }
+        vs.exists { case (v, enc) =>
+          v == null || (inRange(enc) && bloomMaybe(v))
+        }
+      }
+    }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],

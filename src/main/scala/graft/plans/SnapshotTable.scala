@@ -558,7 +558,8 @@ final class SnapshotTable(
     * [[writeDataFiles]] (the engine's own spark-write staging) and the
     * DSv2 row-level writer (whose tasks stage files directly). */
   private def promoteStage(commitId: String,
-                           bloomSchema: Option[StructType]): Seq[FileEntry] = {
+                           bloomSchema: Option[StructType],
+                           only: Option[Set[String]] = None): Seq[FileEntry] = {
     val stage = s"$path/_stage/$commitId"
     // per-commit counter makes every BASENAME globally unique: Spark's
     // dynamic-partition writer can emit the same task file name into
@@ -574,13 +575,24 @@ final class SnapshotTable(
     // drifting on copy-based-rename stores (S3A). They exist only to
     // populate FileStatus for scan planning; nothing may use them for
     // freshness logic (commit times live on the MANIFEST files).
+    // `_tmp-*` subtrees are task-attempt-PRIVATE: a hard-killed
+    // executor (no abort hook) leaves its partial files there, and
+    // promoting one would commit a truncated parquet. Only files a
+    // task attempt COMMITTED (moved out of its _tmp dir) may promote.
+    // `only` narrows further to an explicit stage-relative file set —
+    // the streaming sink's replayed epochs re-use a deterministic
+    // stage dir, so a crashed prior attempt's committed leftovers may
+    // be lying beside the re-run's files and must not ride along.
     val toMove = mutable.Buffer.empty[(Path, String, Long, Long)]
     var fileNo = -1
     def walk(p: Path, rel: String): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        else if (name.endsWith(".parquet")) {
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          if (!name.startsWith("_tmp-")) walk(st.getPath, childRel)
+        } else if (name.endsWith(".parquet") &&
+            only.forall(_.contains(childRel))) {
           fileNo += 1
           toMove += ((st.getPath,
             (if (rel.isEmpty) "" else s"$rel/") + s"$commitId-$fileNo-$name",
@@ -654,13 +666,19 @@ final class SnapshotTable(
                                               schema: StructType,
                                               streamKey: String,
                                               epochId: Long,
-                                              truncate: Boolean): Boolean = {
+                                              truncate: Boolean,
+                                              stagedFiles: Set[String])
+      : Boolean = {
     def epochDone(v: Option[Long]): Boolean =
       v.flatMap(readManifest(_).props.get(streamKey))
         .exists(_.toLong >= epochId)
     if (epochDone(currentVersion)) { abortStaged(commitId); return false }
+    // promote ONLY this attempt's task-reported files: the stage dir's
+    // name is deterministic per epoch, so a crashed earlier attempt of
+    // the same epoch may have left committed files beside ours
     val fresh = promoteStage(commitId,
-      Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+      Some(StructType(schema.fields.map(_.copy(nullable = true)))),
+      only = Some(stagedFiles))
     pendingProps(streamKey) = epochId.toString
     var attempt = 0
     while (true) {
@@ -804,6 +822,11 @@ final class SnapshotTable(
     * maintenance rewrite must preserve, and extend, when it re-layouts
     * the table. */
   private[graft] def statsColumns: Seq[String] = effectiveLayout.statsCols
+
+  /** The linear range-clustering columns in force — a maintenance
+    * rewrite that wants a DIFFERENT physical order (z-order) must know
+    * the table would re-range every batch on these. */
+  private[graft] def clusterColumns: Seq[String] = effectiveLayout.clusterBy
 
   /** The head manifest's logged table properties. */
   def properties: Map[String, String] =

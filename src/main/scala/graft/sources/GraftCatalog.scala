@@ -438,6 +438,13 @@ object GraftCatalog {
           require(t0.tablePartitionCols.isEmpty,
             s"zorder rewrites whole unpartitioned tables; '$arg' is " +
               s"partitioned by ${t0.tablePartitionCols.mkString(",")}")
+          // a logged linear clusterBy layout would re-range the rewrite
+          // on ITS columns, silently undoing the curve order — refuse
+          // rather than report a success that clustered nothing
+          require(t0.clusterColumns.isEmpty,
+            s"'$arg' declares linear clustering on " +
+              s"${t0.clusterColumns.mkString(",")} — every write " +
+              "re-ranges on it, which would undo a z-order rewrite")
           // the rewrite is only worth its I/O if min/max stats cover
           // the curve columns: extend the logged stats layout (never
           // shrink it — other columns' skipping must survive)

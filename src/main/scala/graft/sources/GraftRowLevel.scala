@@ -282,25 +282,8 @@ final class GraftReplaceDataWrite(
       // SQL MERGE/UPDATE write paths are constraint-enforced like every
       // other writer. Copy-on-write rewrites re-validate the copied
       // rows of touched groups too (strictly stronger, Delta-style).
-      val boundChecks: Seq[(String, Expression)] = {
-        val checks = op.snapshot.effectiveChecks
-        if (checks.isEmpty) Nil
-        else {
-          import org.apache.spark.sql.functions.{coalesce, lit}
-          val dummy = spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            writeSchema)
-          checks.map { case (n, c) =>
-            dummy.filter(coalesce(c, lit(true)) =!= lit(false))
-              .queryExecution.analyzed match {
-              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-                n -> BindReferences.bindReference(f.condition, f.child.output)
-              case other => throw new IllegalStateException(
-                s"unexpected CHECK analysis shape: $other")
-            }
-          }
-        }
-      }
+      val boundChecks =
+        GraftWriteSupport.boundChecks(spark, op.snapshot, writeSchema)
       new GraftStagedWriterFactory(
         new SerializableConfiguration(job.getConfiguration), owf,
         op.snapshot.stageDirFor(commitId), writeSchema, op.partitionCols,
@@ -319,7 +302,40 @@ final class GraftReplaceDataWrite(
     s"GraftReplaceDataWrite ${op.description()}"
 }
 
-private[sources] case object GraftWriteCommitted extends WriterCommitMessage
+/** A task attempt's committed stage-relative file paths — what the
+  * driver-side commit may promote. The row-level batch paths promote
+  * the whole (randomly-named, abort-cleaned) stage dir and only need
+  * the ack; the streaming sink's deterministic per-epoch stage dirs
+  * promote strictly the union of these lists. */
+private[sources] final case class GraftWriteCommitted(files: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] object GraftWriteSupport {
+
+  /** The table's effective CHECK constraints, resolved against
+    * `writeSchema` and BOUND so executor-side writers evaluate them per
+    * row — shared by the row-level DML writes and the streaming sink,
+    * so the two paths can never diverge in constraint enforcement. */
+  def boundChecks(spark: SparkSession, snapshot: SnapshotTable,
+                  writeSchema: StructType): Seq[(String, Expression)] = {
+    val checks = snapshot.effectiveChecks
+    if (checks.isEmpty) Nil
+    else {
+      import org.apache.spark.sql.functions.{coalesce, lit}
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+      checks.map { case (n, c) =>
+        dummy.filter(coalesce(c, lit(true)) =!= lit(false))
+          .queryExecution.analyzed match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            n -> BindReferences.bindReference(f.condition, f.child.output)
+          case other => throw new IllegalStateException(
+            s"unexpected CHECK analysis shape: $other")
+        }
+      }
+    }
+  }
+}
 
 final class GraftStagedWriterFactory(
     conf: SerializableConfiguration,
@@ -436,7 +452,8 @@ final class GraftStagedDataWriter(
   override def commit(): WriterCommitMessage = {
     if (writer != null) { writer.close(); writer = null }
     // promote the attempt's files into the stage proper (per-file
-    // renames — same-FS metadata ops)
+    // renames — same-FS metadata ops), reporting what was moved
+    val moved = List.newBuilder[String]
     val root = new Path(tmpRoot)
     val f = fs
     if (f.exists(root)) {
@@ -449,12 +466,13 @@ final class GraftStagedDataWriter(
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
             throw new IllegalStateException(s"stage promote failed: $dest")
+          moved += childRel
         }
       }
       move(root, "")
       f.delete(root, true)
     }
-    GraftWriteCommitted
+    GraftWriteCommitted(moved.result())
   }
 
   override def abort(): Unit = {

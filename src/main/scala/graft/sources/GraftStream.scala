@@ -222,7 +222,19 @@ private[sources] final class GraftMicroBatchStream(
         // (Delta's at-or-after startingTimestamp contract). Instants
         // predating the table deliver everything, like version 0.
         val ms = GraftSource.sessionEpochMs(spark, raw)
-        GraftOffset(snapshot.versionAt(ms - 1).getOrElse(0L))
+        require(ms <= System.currentTimeMillis(),
+          s"startingTimestamp '$raw' is in the future — commits made " +
+            "after stream start but before the instant would leak in")
+        snapshot.versionAt(ms - 1) match {
+          case Some(v) => GraftOffset(v)
+          case None if snapshot.hasVersion(1) ||
+              snapshot.currentVersion.isEmpty =>
+            GraftOffset(0L) // instant predates the table: deliver all
+          case None => throw new IllegalStateException(
+            s"history at startingTimestamp=$raw of $tablePath is " +
+              "vacuumed — which rows predate the instant is no longer " +
+              "knowable; use startingVersion against a retained version")
+        }
       case None =>
         val raw = byVersion.getOrElse("0")
         if (raw.equalsIgnoreCase("latest")) GraftOffset(head)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.write.{
   DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
@@ -52,14 +52,18 @@ final class GraftStreamingWrite(
 
   // the sink appends INTO the table's logged schema: parquet resolves
   // columns by name on read, so column order is free, but a name/type
-  // mismatch would commit files the table's own schema cannot read
+  // mismatch would commit files the table's own schema cannot read.
+  // Types compare by catalogString — nullability (top-level AND
+  // nested) is no reason to reject a by-name parquet append
   private val tableSchema: StructType = {
     val (_, ts, _) = snapshot.scanInfo(None)
     ts
   }
   {
-    val want = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    val got = writeSchema.fields.map(f => f.name -> f.dataType).toMap
+    val want =
+      tableSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val got =
+      writeSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
     require(got == want,
       s"streaming write schema mismatch at $tablePath: " +
         s"query writes ${writeSchema.simpleString}, " +
@@ -79,25 +83,10 @@ final class GraftStreamingWrite(
       .prepareWrite(spark, job, Map.empty, dataSchema)
     // logged CHECK constraints, bound against the write schema so
     // executors enforce them per row — the streaming sink is
-    // constraint-bound like every other writer
-    val boundChecks: Seq[(String, Expression)] = {
-      val checks = snapshot.effectiveChecks
-      if (checks.isEmpty) Nil
-      else {
-        import org.apache.spark.sql.functions.{coalesce, lit}
-        val dummy = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
-        checks.map { case (n, c) =>
-          dummy.filter(coalesce(c, lit(true)) =!= lit(false))
-            .queryExecution.analyzed match {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              n -> BindReferences.bindReference(f.condition, f.child.output)
-            case other => throw new IllegalStateException(
-              s"unexpected CHECK analysis shape: $other")
-          }
-        }
-      }
-    }
+    // constraint-bound exactly like the row-level DML writers
+    // (one shared binding, the paths can never diverge)
+    val boundChecks =
+      GraftWriteSupport.boundChecks(spark, snapshot, writeSchema)
     new GraftStreamingWriterFactory(
       new SerializableConfiguration(job.getConfiguration), owf,
       s"$tablePath/_stage", s"stream-${streamId.take(12)}", writeSchema,
@@ -106,11 +95,19 @@ final class GraftStreamingWrite(
   }
 
   override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit =
+                      messages: Array[WriterCommitMessage]): Unit = {
+    // only THIS attempt's task-reported files may commit: the epoch's
+    // stage dir name is deterministic, so a crashed earlier attempt of
+    // the same epoch can have left committed files beside ours
+    val staged = messages.toSeq.flatMap {
+      case GraftWriteCommitted(files) => files
+      case _ => Nil
+    }.toSet
     // false = replay of an already-committed epoch: dropping the
     // re-staged batch IS the exactly-once outcome, not an error
     snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
-      propKey, epochId, truncate)
+      propKey, epochId, truncate, staged)
+  }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =

@@ -14,6 +14,29 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Rows the (already-executed) graft BatchScan actually produced —
+    * the ground truth for "did pruning skip files", walked through the
+    * adaptive plan's query stages. */
+  private def graftScanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    var scanned = -1L
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec if b.toString.contains("graft") =>
+          scanned = b.metrics("numOutputRows").value
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    scanned
+  }
+
   test("q1: filter is pushed to the parquet scan and aggregation is partial+final") {
     val plan = planOf(Queries.q1Pricing(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -218,22 +241,7 @@ class PlanSpec extends SparkSpec {
     // the decisive check: the fact scan must have LISTED only the 3
     // surviving partitions' rows (150), not the whole table (1000) —
     // manifest pruning happened before any fact I/O
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    var scanned = -1L
-    def walk(p: SparkPlan): Unit = {
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case b: BatchScanExec if b.toString.contains("graft") =>
-          scanned = b.metrics("numOutputRows").value
-        case _ => ()
-      }
-      p.children.foreach(walk)
-    }
-    walk(j.queryExecution.executedPlan)
+    val scanned = graftScanRows(j)
     assert(scanned == 150L,
       s"fact scan read $scanned rows — dynamic pruning didn't skip files")
   }
@@ -263,23 +271,8 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(j)
     assert(plan.contains("dynamicpruningexpression"),
       s"no runtime filter reached the graft scan:\n$plan")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    var scanned = -1L
-    def walk(p: SparkPlan): Unit = {
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case b: BatchScanExec if b.toString.contains("graft") =>
-          scanned = b.metrics("numOutputRows").value
-        case _ => ()
-      }
-      p.children.foreach(walk)
-    }
-    walk(j.queryExecution.executedPlan)
     // 2 of ~8 k-slices survive → at most half the table's rows listed
+    val scanned = graftScanRows(j)
     assert(scanned >= 0 && scanned <= 2000,
       s"fact scan read $scanned of 4000 rows — runtime stats skipping " +
         "didn't drop files")

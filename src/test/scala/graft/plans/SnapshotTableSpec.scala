@@ -862,4 +862,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
     assert(t.readVersion(1).count() == 2)
   }
+
+  test("stream-epoch commit promotes only reported files; attempt-tmp partials never promote") {
+    val root = Files.createTempDirectory("graft_stage_only").toString
+    val t = SnapshotTable(spark, s"$root/t", "id")
+    val df = Seq((1, "a")).toDF("id", "v")
+    t.createEmpty(df.schema)
+
+    // a deterministic epoch stage dir holding: this attempt's file, a
+    // crashed PRIOR attempt's committed leftover, and a hard-killed
+    // task's _tmp partial — only the first may reach the table
+    val stage = new Path(s"$root/t/_stage/stream-q-0")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stageOne(sub: String, rows: Seq[(Int, String)]): String = {
+      val tmp = s"$root/tmp-${sub.replace('/', '_')}"
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val rel = s"$sub${part.getName}"
+      val dest = new Path(stage, rel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(part, dest))
+      rel
+    }
+    val mine = stageOne("", Seq((1, "a")))
+    stageOne("", Seq((99, "leftover")))
+    stageOne("_tmp-42/", Seq((666, "partial")))
+
+    assert(t.commitStagedStreamAppend("stream-q-0", df.schema,
+      "stream.epoch.q", 0L, truncate = false, stagedFiles = Set(mine)))
+    val got = t.read.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a")),
+      s"leftover or partial staged files leaked into the commit: $got")
+
+    // a replayed epoch (same high-water mark) commits nothing
+    val v = t.currentVersion.get
+    assert(!t.commitStagedStreamAppend("stream-q-0", df.schema,
+      "stream.epoch.q", 0L, truncate = false, stagedFiles = Set.empty))
+    assert(t.currentVersion.get == v)
+  }
 }
