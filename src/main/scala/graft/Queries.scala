@@ -1233,6 +1233,49 @@ object Queries {
     done.read.select("event_id", "user_id", "event_type", "value", "date")
   }
 
+  /** The MERGE-mode streaming sink: `option("mergeKey", ...)` makes
+    * every epoch an idempotent UPSERT commit instead of a blind append
+    * (public Delta reaches this only through foreachBatch). The source
+    * re-delivers a slice of already-delivered events in its last
+    * commit — an at-least-once feed — and the key-merge absorbs them,
+    * so the sink equals the exact event set. */
+  def streamSinkMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_sink_merge", dir)
+    val srcPath = s"$base/source"
+    staged(s, srcPath) {
+      freshDirs(s, srcPath)
+      val events = t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(Tables.eventsTs("ts"), "yyyy-MM-dd").as("date"))
+      val src = SnapshotTable(s, srcPath, "event_id",
+        partitionCol = Some("date"))
+      src.create(events.filter(col("event_id") % 2 === 0))
+      src.append(events.filter(col("event_id") % 2 === 1))
+      // the at-least-once tail: every 10th event arrives AGAIN
+      src.append(events.filter(col("event_id") % 10 === 0))
+      val fs = new org.apache.hadoop.fs.Path(srcPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(s"$srcPath/_SUCCESS"), true)
+        .close()
+    }
+    freshDirs(s, s"$base/sink", s"$base/ckpt")
+    val srcSchema = SnapshotTable(s, srcPath, "event_id").read.schema
+    val sink = SnapshotTable(s, s"$base/sink", "event_id",
+      partitionCol = Some("date"))
+    sink.createEmpty(Tables.asNullable(srcSchema))
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(srcPath)
+      .writeStream.format("graft").option("path", s"$base/sink")
+      .option("mergeKey", "event_id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(600000)
+    SnapshotTable(s, s"$base/sink", "event_id").read
+      .select("event_id", "user_id", "event_type", "value", "date")
+  }
+
   /** Streaming dedup of an at-least-once source: every 10th event is
     * re-delivered, `dropDuplicatesWithinWatermark` keeps the first
     * arrival per event_id with BOUNDED state (keys within the watermark,
@@ -2108,6 +2151,7 @@ object Queries {
     "pipeline_e2e" -> (pipelineE2e _),
     "stream_ingest_parity" -> (streamIngestParity _),
     "stream_sink_parity" -> (streamSinkParity _),
+    "stream_sink_merge" -> (streamSinkMerge _),
     "stream_dedup_parity" -> (streamDedupParity _),
     "stream_snapshot_ingest" -> (streamSnapshotIngest _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -2568,6 +2612,12 @@ object Queries {
     // the graft-source → graft-sink loop must deliver exactly the
     // source's rows: every epoch appended once, none twice
     "stream_sink_parity" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events""".stripMargin,
+    // the MERGE sink must absorb the source's re-deliveries: exactly
+    // one row per event despite the at-least-once tail commit
+    "stream_sink_merge" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events""".stripMargin,

@@ -701,6 +701,58 @@ final class SnapshotTable(
     false // unreachable
   }
 
+  /** MERGE-mode streaming epoch: the staged batch upserts by this
+    * handle's primaryKey — touched partitions rewritten, untouched
+    * carried by reference — in ONE commit that also logs the epoch
+    * high-water mark, with the same replay detection as the append
+    * sink. The staged parquet is read back (schema from the write, dirs
+    * as partition values) and fed through [[upsert]]'s own path, so
+    * merge semantics cannot diverge between the batch API and the
+    * streaming sink. */
+  private[graft] def commitStagedStreamUpsert(commitId: String,
+                                              schema: StructType,
+                                              streamKey: String,
+                                              epochId: Long,
+                                              stagedFiles: Set[String])
+      : Boolean = {
+    def epochDone: Boolean =
+      currentVersion.flatMap(readManifest(_).props.get(streamKey))
+        .exists(_.toLong >= epochId)
+    if (epochDone) { abortStaged(commitId); return false }
+    val stage = s"$path/_stage/$commitId"
+    val batch =
+      if (stagedFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        // read back EXACTLY the attempt's reported files (a crashed
+        // prior attempt of this epoch may have left others beside them)
+        val paths = stagedFiles.toSeq.sorted.map(rel => s"$stage/$rel")
+        // the full (relaxed) schema types BOTH the data files and the
+        // partition-dir values — nothing is inferred from I/O
+        val raw = spark.read.option("basePath", stage)
+          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+          .parquet(paths: _*)
+        raw.select(schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    pendingProps(streamKey) = epochId.toString
+    try {
+      if (batch.isEmpty) {
+        // still advance the mark: a replayed empty epoch must not wait
+        // for a later batch to record progress
+        currentVersion match {
+          case Some(v) =>
+            val m = readManifest(v)
+            commitManifest(v + 1, m.entries,
+              m.schema.getOrElse(readFiles(m.entries).schema))
+          case None => createEmpty(schema)
+        }
+      } else upsert(batch)
+      true
+    } finally fs.delete(new Path(stage), true)
+  }
+
   /** Drop an external writer's staging tree (DSv2 write abort). */
   private[graft] def abortStaged(commitId: String): Unit =
     fs.delete(new Path(s"$path/_stage/$commitId"), true)

@@ -47,8 +47,20 @@ final class GraftStreamingWrite(
 
   private val propKey = s"stream.epoch.$streamId"
 
+  /** MERGE mode — `option("mergeKey", col)`: each epoch UPSERTS by the
+    * key instead of blind-appending (the streaming form of the batch
+    * sink's primaryKey merge; public Delta needs foreachBatch for
+    * this). Same epoch mark, same replay detection. */
+  private val mergeKey: Option[String] = options.get("mergeKey")
+  require(mergeKey.isEmpty || !truncate,
+    "mergeKey is incompatible with Complete mode: a per-epoch replace " +
+      "leaves nothing to merge into")
+  mergeKey.foreach(k => require(writeSchema.fieldNames.contains(k),
+    s"mergeKey '$k' is not a column of the streamed data " +
+      s"(${writeSchema.fieldNames.mkString(", ")})"))
+
   private val snapshot =
-    SnapshotTable(spark, tablePath, "_unused_stream_sink")
+    SnapshotTable(spark, tablePath, mergeKey.getOrElse("_unused_stream_sink"))
 
   // the sink appends INTO the table's logged schema: parquet resolves
   // columns by name on read, so column order is free, but a name/type
@@ -105,8 +117,12 @@ final class GraftStreamingWrite(
     }.toSet
     // false = replay of an already-committed epoch: dropping the
     // re-staged batch IS the exactly-once outcome, not an error
-    snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
-      propKey, epochId, truncate, staged)
+    if (mergeKey.isDefined)
+      snapshot.commitStagedStreamUpsert(commitIdOf(epochId), writeSchema,
+        propKey, epochId, staged)
+    else
+      snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
+        propKey, epochId, truncate, staged)
   }
 
   override def abort(epochId: Long,

@@ -156,6 +156,73 @@ class GraftStreamingSinkSpec extends SparkSpec {
       .exists(_.contains("streaming write schema mismatch"))))
   }
 
+  test("mergeKey mode: each epoch upserts; later epochs overwrite earlier rows by key") {
+    val root = tmp("sink_merge")
+    val src = SnapshotTable(spark, s"$root/src", "id")
+    // v1: initial keys; v2: updates one key, adds one; v3: updates again
+    src.create(Seq((1, "a1"), (2, "b1")).toDF("id", "v"))
+    src.append(Seq((2, "b2"), (3, "c1")).toDF("id", "v"))
+    src.append(Seq((1, "a3")).toDF("id", "v"))
+
+    val dst = SnapshotTable(spark, s"$root/dst", "id")
+    dst.createEmpty(src.read.schema)
+
+    def run(): Unit =
+      drain(spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(s"$root/src")
+        .writeStream.format("graft").option("path", s"$root/dst")
+        .option("mergeKey", "id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start())
+    run()
+
+    def state(): Seq[(Int, String)] =
+      SnapshotTable(spark, s"$root/dst", "id").read.orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // one epoch per source version: merges apply in commit order
+    assert(state() == Seq((1, "a3"), (2, "b2"), (3, "c1")))
+
+    // replay of the last epoch (commit-log record deleted) merges
+    // nothing twice and bumps no version
+    val v = SnapshotTable(spark, s"$root/dst", "id").currentVersion.get
+    val commits = new java.io.File(s"$root/ckpt/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+    run()
+    assert(state() == Seq((1, "a3"), (2, "b2"), (3, "c1")))
+    assert(SnapshotTable(spark, s"$root/dst", "id").currentVersion.get == v)
+  }
+
+  test("mergeKey mode routes through partitioned upserts: untouched partitions carry over") {
+    val root = tmp("sink_merge_part")
+    val src = SnapshotTable(spark, s"$root/src", "id")
+    src.create(Seq((1, "x", "old1"), (2, "y", "old2")).toDF("id", "p", "v"))
+    src.append(Seq((1, "x", "new1")).toDF("id", "p", "v")) // touches only p=x
+
+    val dst = SnapshotTable(spark, s"$root/dst", "id",
+      partitionCol = Some("p"))
+    dst.createEmpty(src.read.schema)
+
+    drain(spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(s"$root/src")
+      .writeStream.format("graft").option("path", s"$root/dst")
+      .option("mergeKey", "id")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start())
+
+    val dst2 = SnapshotTable(spark, s"$root/dst", "id")
+    assert(dst2.read.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "x", "new1"), (2, "y", "old2")))
+    // the second epoch rewrote only p=x: p=y's file carries the
+    // first epoch's commit id prefix
+    val parts = dst2.candidateFilesEq().groupBy(f =>
+      SnapshotTable.partOf(f.path))
+    assert(parts("y").size == 1)
+  }
+
   test("micro-batches cluster by the partition column: no per-epoch small-file explosion") {
     val root = tmp("sink_files")
     val n = 1000
