@@ -59,6 +59,21 @@ final class GraftStreamingWrite(
     s"mergeKey '$k' is not a column of the streamed data " +
       s"(${writeSchema.fieldNames.mkString(", ")})"))
 
+  /** `option("autoCompact", n)`: after any epoch that leaves the table
+    * with ≥ n live files, bin-pack small files in a follow-up commit —
+    * long-running ingestion otherwise accretes one small file set per
+    * epoch forever (Delta's auto-compaction concern). A separate,
+    * idempotent maintenance commit: a crash between epoch and compact
+    * loses nothing, and downstream streams see the usual
+    * rewrite-redelivery caveat. */
+  private val autoCompact: Option[Int] =
+    options.get("autoCompact").map { raw =>
+      raw.toIntOption.filter(_ > 1).getOrElse(throw
+        new IllegalArgumentException(
+          s"autoCompact must be an integer file-count threshold > 1, " +
+            s"got '$raw'"))
+    }
+
   private val snapshot =
     SnapshotTable(spark, tablePath, mergeKey.getOrElse("_unused_stream_sink"))
 
@@ -117,12 +132,16 @@ final class GraftStreamingWrite(
     }.toSet
     // false = replay of an already-committed epoch: dropping the
     // re-staged batch IS the exactly-once outcome, not an error
-    if (mergeKey.isDefined)
-      snapshot.commitStagedStreamUpsert(commitIdOf(epochId), writeSchema,
-        propKey, epochId, staged)
-    else
-      snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
-        propKey, epochId, truncate, staged)
+    val committed =
+      if (mergeKey.isDefined)
+        snapshot.commitStagedStreamUpsert(commitIdOf(epochId), writeSchema,
+          propKey, epochId, staged)
+      else
+        snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
+          propKey, epochId, truncate, staged)
+    if (committed) autoCompact.foreach { threshold =>
+      if (snapshot.candidateFiles().size >= threshold) snapshot.compact()
+    }
   }
 
   override def abort(epochId: Long,

@@ -68,8 +68,14 @@ final class GraftTable(
   override def partitioning(): Array[Transform] =
     partitionCols.map(c => Expressions.identity(c)).toArray
 
-  override def properties(): java.util.Map[String, String] =
-    Collections.emptyMap()
+  /** The manifest's logged table properties (primaryKey and friends) —
+    * surfaced so `DESCRIBE TABLE EXTENDED` and catalog tooling see the
+    * same metadata every writer is bound by, not an empty map. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snapshot.properties.foreach { case (k, v) => m.put(k, v) }
+    Collections.unmodifiableMap(m)
+  }
 
   /** V1_BATCH_WRITE — not BATCH_WRITE — is deliberate: SQL
     * `INSERT INTO` / `INSERT OVERWRITE` on a V2 relation accept it

@@ -210,6 +210,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.properties.keys.exists(_.startsWith("stream.epoch.")))
   }
 
+  test("readStream.table tails a catalog table; DESCRIBE EXTENDED shows logged properties") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.tail")
+    sql("""CREATE TABLE graft.tail.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.tail.t VALUES (1, 'a'), (2, 'b')")
+
+    val root = Files.createTempDirectory("graft_tailout").toString
+    val q = spark.readStream.table("graft.tail.t")
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$root/out").count() == 2)
+
+    // the logged primaryKey property is visible through the V2 table
+    val desc = sql("DESCRIBE TABLE EXTENDED graft.tail.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Table Properties").exists(_.contains("primaryKey=id")),
+      s"properties not surfaced: $desc")
+  }
+
   test("CALL graft.system.zorder: rewrite makes box predicates prune on both columns") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.zm")

@@ -223,6 +223,30 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(parts("y").size == 1)
   }
 
+  test("autoCompact bin-packs the accreted epoch files behind the stream") {
+    val root = tmp("sink_autocompact")
+    val src = SnapshotTable(spark, s"$root/src", "id")
+    // five commits → five epochs → five small files without compaction
+    src.create(Seq((1, "a")).toDF("id", "v"))
+    (2 to 5).foreach(i => src.append(Seq((i, s"v$i")).toDF("id", "v")))
+
+    val dst = SnapshotTable(spark, s"$root/dst", "id")
+    dst.createEmpty(src.read.schema)
+
+    drain(spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(s"$root/src")
+      .writeStream.format("graft").option("path", s"$root/dst")
+      .option("autoCompact", "3")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start())
+
+    val after = SnapshotTable(spark, s"$root/dst", "id")
+    assert(after.read.count() == 5)
+    assert(after.candidateFiles().size < 5,
+      s"expected compaction to pack the per-epoch files, " +
+        s"got ${after.candidateFiles().size}")
+  }
+
   test("micro-batches cluster by the partition column: no per-epoch small-file explosion") {
     val root = tmp("sink_files")
     val n = 1000
