@@ -1005,20 +1005,43 @@ final class SnapshotTable(
     val m = readManifest(v)
     val schema = declaredSchema.orElse(m.schema)
       .getOrElse(readFiles(m.entries).schema)
+    val fresh = writeDataFiles(guardChecks(conformToSchema(df, schema)))
+    // a blind append has NO read-set: losing the version race to a
+    // concurrent writer only means re-basing the same new files onto
+    // the new head — safe to retry, like Delta's append-vs-anything
+    // conflict resolution. (upsert/delete/update conflicts still fail:
+    // their merge reads would be stale.)
+    var attempt = 0
+    var base = v
+    while (true) {
+      try {
+        commitManifest(base + 1,
+          readManifest(base).entries ++ fresh, schema)
+        return
+      } catch {
+        case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("commit conflict")
+            && attempt < 5 =>
+          attempt += 1
+          base = currentVersion.getOrElse(base)
+      }
+    }
+  }
+
+  /** Conform an incoming batch to the table's logged column order and
+    * types: by-name when the names all match (any order), positional
+    * otherwise (SQL INSERT by position) — either way cast to the
+    * logged types so the table schema never drifts. */
+  private def conformToSchema(df: DataFrame, schema: StructType): DataFrame = {
     require(df.columns.length == schema.length,
-      s"append of ${df.columns.length} columns into ${schema.length}-column " +
+      s"write of ${df.columns.length} columns into ${schema.length}-column " +
         s"table at $path")
-    // by-name when the names all match (any order), positional otherwise
-    // (SQL INSERT by position) — either way cast to the logged types so
-    // the table schema never drifts
     val byName = df.columns.toSet == schema.fieldNames.toSet
-    val conformed = df.select(schema.fields.toIndexedSeq.zipWithIndex.map {
+    df.select(schema.fields.toIndexedSeq.zipWithIndex.map {
       case (f, i) =>
         (if (byName) col(f.name) else col(df.columns(i)))
           .cast(f.dataType).as(f.name)
     }: _*)
-    commitManifest(v + 1, m.entries ++ writeDataFiles(guardChecks(conformed)),
-      schema)
   }
 
   /** MERGE-by-PK upsert as ONE atomic commit: touched partitions are
@@ -1103,6 +1126,37 @@ final class SnapshotTable(
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     commitManifest(v + 1, writeDataFiles(guardChecks(df)), df.schema)
+  }
+
+  /** DYNAMIC partition overwrite as ONE atomic commit (Spark's
+    * `partitionOverwriteMode=dynamic` / the partition-scoped half of
+    * Delta's `replaceWhere`): the partitions PRESENT in `df` are
+    * replaced wholesale by its rows; every other partition's files
+    * carry over by reference — zero I/O outside the touched set.
+    * The partition-value rendering is [[upsert]]'s (path form, not
+    * toString), so escaped and timestamp-valued partitions replace the
+    * dirs they actually live in. */
+  def replacePartitions(df: DataFrame): Unit = {
+    require(tablePartitionCols.nonEmpty,
+      s"replacePartitions needs a partitioned table; $path has no " +
+        "partition columns (use replace)")
+    if (!exists) { create(df); return }
+    val v = currentVersion.get
+    val m = readManifest(v)
+    val schema = declaredSchema.orElse(m.schema)
+      .getOrElse(readFiles(m.entries).schema)
+    val src = guardChecks(conformToSchema(df, schema))
+    val pcs = tablePartitionCols
+    val touched = src.select(pcs.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pcs.indices.map(i =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionValueString(
+            if (r.isNullAt(i)) null else r.getString(i)))
+        .mkString("/"))
+      .toSet
+    val kept = m.entries.filterNot(f => touched(partOf(f.path)))
+    commitManifest(v + 1, kept ++ writeDataFiles(src), schema)
   }
 
   /** Atomic DELETE of the rows matching `predicate`, as ONE manifest

@@ -134,6 +134,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       case ErrorIfExists | Ignore => table.create(data)
       case Append if pkOpt.isDefined => table.upsert(data)
       case Append => table.append(data)
+      case Overwrite
+        if parameters.get("partitionOverwriteMode")
+          .exists(_.equalsIgnoreCase("dynamic")) && table.exists =>
+        // Spark's dynamic-overwrite contract: replace exactly the
+        // partitions the batch carries, keep the rest by reference
+        table.replacePartitions(data)
       case Overwrite =>
         // an atomic full replace: commit a version containing ONLY the
         // new data (prior versions stay time-travelable until vacuum)

@@ -863,6 +863,61 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readVersion(1).count() == 2)
   }
 
+  test("replacePartitions: touched partitions replaced wholesale, others carried by reference") {
+    val root = Files.createTempDirectory("graft_dynover").toString
+    val t = SnapshotTable(spark, s"$root/t", "id", partitionCol = Some("p"))
+    t.create(Seq((1, "x", "old1"), (2, "x", "old2"), (3, "y", "keep"))
+      .toDF("id", "p", "v").select("id", "v", "p")
+      .select(col("id"), col("p"), col("v")))
+    val yFilesBefore = t.candidateFilesEq().map(_.path)
+      .filter(_.startsWith("p=y")).toSet
+
+    // overwrite ONLY p=x: one new row replaces both old rows there
+    t.replacePartitions(Seq((9, "x", "new")).toDF("id", "p", "v"))
+
+    val t2 = SnapshotTable(spark, s"$root/t", "id")
+    assert(t2.read.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((3, "y", "keep"), (9, "x", "new")))
+    // p=y's physical file is the SAME one (carried by reference)
+    val yFilesAfter = t2.candidateFilesEq().map(_.path)
+      .filter(_.startsWith("p=y")).toSet
+    assert(yFilesAfter == yFilesBefore)
+    // prior version still time-travels to the pre-overwrite state
+    assert(t2.readVersion(1).count() == 3)
+
+    // unpartitioned tables refuse (replace() is the right tool)
+    val flat = SnapshotTable(spark, s"$root/flat", "id")
+    flat.create(Seq((1, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      flat.replacePartitions(Seq((2, "b")).toDF("id", "v"))
+    }
+  }
+
+  test("concurrent blind appends both land: the version race re-bases, never drops") {
+    val root = Files.createTempDirectory("graft_ccappend").toString
+    // two handles on the same table — the second's append collides
+    // with the first's commit and must re-base onto it
+    val a = SnapshotTable(spark, s"$root/t", "id")
+    val b = SnapshotTable(spark, s"$root/t", "id")
+    a.create(Seq((1, "base")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          a.append(Seq((2, "fromA")).toDF("id", "v"))
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          b.append(Seq((3, "fromB")).toDF("id", "v"))
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    val got = SnapshotTable(spark, s"$root/t", "id").read
+      .orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 3), s"an append was lost: $got")
+  }
+
   test("stream-epoch commit promotes only reported files; attempt-tmp partials never promote") {
     val root = Files.createTempDirectory("graft_stage_only").toString
     val t = SnapshotTable(spark, s"$root/t", "id")

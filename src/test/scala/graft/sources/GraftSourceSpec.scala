@@ -155,6 +155,23 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_part")
   }
 
+  test("sink: overwrite with partitionOverwriteMode=dynamic replaces only the batch's partitions") {
+    val path = tmp("srcdynover")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(Seq((1, "old1", "p1"), (2, "old2", "p2"))
+        .toDF("id", "val", "part"))
+    Seq((9, "new", "p1")).toDF("id", "val", "part")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(path)
+    assert(spark.read.format("graft").load(path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((2, "old2", "p2"), (9, "new", "p1")))
+    // a plain overwrite still replaces the whole table
+    Seq((7, "all", "p9")).toDF("id", "val", "part")
+      .write.format("graft").mode("overwrite").save(path)
+    assert(spark.read.format("graft").load(path).count() == 1)
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")
