@@ -713,7 +713,8 @@ final class SnapshotTable(
                                               schema: StructType,
                                               streamKey: String,
                                               epochId: Long,
-                                              stagedFiles: Set[String])
+                                              stagedFiles: Set[String],
+                                              evolve: Boolean = false)
       : Boolean = {
     def epochDone: Boolean =
       currentVersion.flatMap(readManifest(_).props.get(streamKey))
@@ -748,7 +749,7 @@ final class SnapshotTable(
               m.schema.getOrElse(readFiles(m.entries).schema))
           case None => createEmpty(schema)
         }
-      } else upsert(batch)
+      } else upsert(batch, evolveSchema = evolve)
       true
     } finally fs.delete(new Path(stage), true)
   }

@@ -77,6 +77,13 @@ final class GraftStreamingWrite(
   private val snapshot =
     SnapshotTable(spark, tablePath, mergeKey.getOrElse("_unused_stream_sink"))
 
+  /** `option("mergeSchema", true)`: the stream may carry NEW columns —
+    * the table's schema evolves (metadata-only commit, old files read
+    * the additions as null) before the first epoch that brings them.
+    * Additive only: dropping or retyping a column is always an error. */
+  private val mergeSchema: Boolean =
+    options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
+
   // the sink appends INTO the table's logged schema: parquet resolves
   // columns by name on read, so column order is free, but a name/type
   // mismatch would commit files the table's own schema cannot read.
@@ -91,10 +98,31 @@ final class GraftStreamingWrite(
       tableSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val got =
       writeSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
-    require(got == want,
+    val compatible =
+      if (mergeSchema)
+        // no type conflict on any SHARED name: the stream may add new
+        // columns (table evolves) or omit existing ones (null-filled)
+        want.forall { case (n, t) => got.get(n).forall(_ == t) }
+      else got == want
+    require(compatible,
       s"streaming write schema mismatch at $tablePath: " +
         s"query writes ${writeSchema.simpleString}, " +
-        s"table is ${tableSchema.simpleString}")
+        s"table is ${tableSchema.simpleString}" +
+        (if (mergeSchema) " (mergeSchema never retypes a column)" else ""))
+  }
+
+  /** Evolve the table once if this stream carries columns it lacks —
+    * idempotent (a replay sees the already-evolved schema and
+    * no-ops), and ordered BEFORE the epoch commit so the appended
+    * files' schema is always covered by the logged one. */
+  private def evolveIfNeeded(): Unit = {
+    if (!mergeSchema) return
+    val have = snapshot.scanInfo(None)._2
+    val added = writeSchema.fields.filterNot(f =>
+      have.fieldNames.contains(f.name))
+    if (added.nonEmpty)
+      snapshot.evolveTo(StructType(
+        have.fields ++ added.map(_.copy(nullable = true))))
   }
 
   private def commitIdOf(epochId: Long) =
@@ -130,14 +158,20 @@ final class GraftStreamingWrite(
       case GraftWriteCommitted(files) => files
       case _ => Nil
     }.toSet
+    evolveIfNeeded()
+    // the manifest must log a schema covering EVERY live file: under
+    // mergeSchema that is the evolved union (files this stream omits a
+    // column from simply read it as null), otherwise the write schema
+    val commitSchema =
+      if (mergeSchema) snapshot.scanInfo(None)._2 else writeSchema
     // false = replay of an already-committed epoch: dropping the
     // re-staged batch IS the exactly-once outcome, not an error
     val committed =
       if (mergeKey.isDefined)
         snapshot.commitStagedStreamUpsert(commitIdOf(epochId), writeSchema,
-          propKey, epochId, staged)
+          propKey, epochId, staged, evolve = mergeSchema)
       else
-        snapshot.commitStagedStreamAppend(commitIdOf(epochId), writeSchema,
+        snapshot.commitStagedStreamAppend(commitIdOf(epochId), commitSchema,
           propKey, epochId, truncate, staged)
     if (committed) autoCompact.foreach { threshold =>
       if (snapshot.candidateFiles().size >= threshold) snapshot.compact()

@@ -223,6 +223,56 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(parts("y").size == 1)
   }
 
+  test("mergeSchema evolves the table for a stream carrying new columns; old rows read null") {
+    val root = tmp("sink_evolve")
+    val src = SnapshotTable(spark, s"$root/src", "id")
+    src.create(Seq((10, "n1", "extra1")).toDF("id", "v", "extra"))
+
+    // the sink table predates the 'extra' column and has a row
+    val dst = SnapshotTable(spark, s"$root/dst", "id")
+    dst.create(Seq((1, "old")).toDF("id", "v"))
+
+    // without mergeSchema the wider stream is rejected
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(s"$root/src")
+        .writeStream.format("graft").option("path", s"$root/dst")
+        .option("checkpointLocation", s"$root/ckptA")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("streaming write schema mismatch"))))
+
+    drain(spark.readStream.format("graft").load(s"$root/src")
+      .writeStream.format("graft").option("path", s"$root/dst")
+      .option("mergeSchema", "true")
+      .option("checkpointLocation", s"$root/ckptB")
+      .trigger(Trigger.AvailableNow()).start())
+
+    val got = SnapshotTable(spark, s"$root/dst", "id").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+      .toSeq
+    assert(got == Seq((1, "old", None), (10, "n1", Some("extra1"))))
+
+    // merge mode evolves too: an update arrives with the new column
+    val src2 = SnapshotTable(spark, s"$root/src2", "id")
+    src2.create(Seq((1, "updated", "extra2")).toDF("id", "v", "extra2"))
+    drain(spark.readStream.format("graft").load(s"$root/src2")
+      .writeStream.format("graft").option("path", s"$root/dst")
+      .option("mergeSchema", "true").option("mergeKey", "id")
+      .option("checkpointLocation", s"$root/ckptC")
+      .trigger(Trigger.AvailableNow()).start())
+    val cols = SnapshotTable(spark, s"$root/dst", "id").read.columns.toSet
+    assert(cols == Set("id", "v", "extra", "extra2"))
+    val merged = SnapshotTable(spark, s"$root/dst", "id").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(merged == Seq((1, "updated"), (10, "n1")))
+  }
+
   test("autoCompact bin-packs the accreted epoch files behind the stream") {
     val root = tmp("sink_autocompact")
     val src = SnapshotTable(spark, s"$root/src", "id")
