@@ -125,12 +125,42 @@ final class SnapshotTable(
       finally println(f"[snap-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else body
 
-  // ---- manifest format: line 1 "version\t<n>", then per-file lines
-  // "<relpath>[\t<col>\t<min>\t<max>]*" — values tagged L:/D:/S: (long/
-  // double/URL-encoded string). Paths are table-relative so the table
-  // directory is relocatable; stats ride along when files carry over.
+  // ---- commit-log format (Delta-structured): each version's ATOMIC
+  // commit point is `v<n>.commit` — header lines (version/token/schema/
+  // partition/check/layout/property) plus per-file ACTION lines
+  // `add\t<relpath>[\t<col>\t<min>\t<max>]*` and `remove\t<relpath>`,
+  // so a commit writes O(files it touched) metadata, never O(live
+  // files): a 1-partition upsert into a million-file table logs a few
+  // lines, not a megabytes-long re-listing. Every `checkpointInterval`
+  // commits (and at the vacuum horizon) a CHECKPOINT `v<n>.manifest`
+  // additionally materializes the full live-file set in the original
+  // full-manifest format — readers reconstruct any version by loading
+  // the nearest checkpoint-or-cached state at-or-below it and folding
+  // the few commit deltas forward, exactly Delta's log + checkpoint
+  // replay. A version persisted ONLY as `v<n>.manifest` (tables
+  // written before the delta log, or the horizon checkpoint after its
+  // commit file was vacuumed) reads as its own base — full manifests
+  // ARE checkpoints, so the old format stays readable unchanged.
+  // Stats values tagged L:/D:/S: (long/double/URL-encoded string);
+  // paths table-relative so the table directory is relocatable.
 
   private def manifestPath(v: Long) = new Path(f"$commitsDir/v$v%09d.manifest")
+  private def commitPath(v: Long) = new Path(f"$commitsDir/v$v%09d.commit")
+
+  /** Whether version `v` is committed and retained — the commit file
+    * marks it in the delta log; a bare full manifest marks it for
+    * legacy tables and vacuum-horizon checkpoints. */
+  private def versionExists(v: Long): Boolean =
+    fs.exists(commitPath(v)) || fs.exists(manifestPath(v))
+
+  /** The instant version `v` committed: the commit file's mtime (the
+    * atomic namespace op stamps it), falling back to the full
+    * manifest's for legacy/horizon versions. */
+  private def commitTimeOf(v: Long): Long = {
+    val c = commitPath(v)
+    if (fs.exists(c)) fs.getFileStatus(c).getModificationTime
+    else fs.getFileStatus(manifestPath(v)).getModificationTime
+  }
 
   /** Checkpoint hint: the last committed version number, rewritten after
     * every successful commit (Delta's `_last_checkpoint` idea). Purely an
@@ -170,17 +200,19 @@ final class SnapshotTable(
     * streaming commits otherwise make every read pay an O(versions)
     * directory listing. */
   def currentVersion: Option[Long] = {
-    readLatestHint.filter(h => h >= 1 && fs.exists(manifestPath(h))) match {
+    readLatestHint.filter(h => h >= 1 && versionExists(h)) match {
       case Some(h) =>
         var v = h
-        while (fs.exists(manifestPath(v + 1))) v += 1
+        while (versionExists(v + 1)) v += 1
         Some(v)
       case None =>
         val dir = new Path(commitsDir)
         if (!fs.exists(dir)) return None
         val vs = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+          .filter(n => n.startsWith("v") &&
+            (n.endsWith(".commit") || n.endsWith(".manifest")))
+          .map(n => n.stripPrefix("v").stripSuffix(".manifest")
+            .stripSuffix(".commit").toLong)
         if (vs.isEmpty) None else Some(vs.max)
     }
   }
