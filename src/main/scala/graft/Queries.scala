@@ -1404,10 +1404,17 @@ object Queries {
     * the batch aggregation — checked by the oracle. */
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream_window", dir)
-    // events.parquet is TIMESTAMP(NANOS); set the conf before the
-    // streaming schema probe touches it
+    // probe the ON-DISK schema (not Tables.load's normalized one): the
+    // stream re-reads the raw file, so the declared schema must match
+    // the file's encoding; eventsTsFromRaw then normalizes in-stream
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = t(s, dir, "events").schema
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tsExpr = schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
     // the file-stream source needs a DIRECTORY: stage the single file
     val landing = java.nio.file.Paths.get(base, "landing")
     java.nio.file.Files.createDirectories(landing)
@@ -1416,7 +1423,7 @@ object Queries {
       landing.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     WindowedAgg.tumblingComplete(s, landing.toString,
-      Tables.eventsTs("ts"), "event_type", "value", "1 day",
+      tsExpr, "event_type", "value", "1 day",
       s"$base/out", s"$base/checkpoint", schema)
     s.read.parquet(s"$base/out")
   }

@@ -76,22 +76,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The events table is written with TIMESTAMP(NANOS), which Spark 4's
-    * parquet reader rejects by default; `nanosAsLong` surfaces it as a
-    * LongType of nanos-since-epoch which [[eventsTs]] converts. The conf
-    * is set per-session on first touch (it only affects NANOS columns —
-    * micro/milli timestamps elsewhere are untouched). */
+  /** The events table's `ts` encoding has varied across testdata
+    * generations (TIMESTAMP(NANOS), timestamp[us] NTZ); `nanosAsLong`
+    * lets Spark 4 read the NANOS variant (as a long), and
+    * [[normalizeEventTs]] folds every variant to session-zoned
+    * TimestampType so downstream operators never re-branch on the
+    * on-disk encoding. The conf only affects NANOS columns —
+    * micro/milli timestamps elsewhere are untouched. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df, "ts") else df
   }
 
-  /** Events `ts` (nanos-since-epoch long under nanosAsLong) as a proper
-    * TimestampType column, truncated to micros like any Spark timestamp.
-    * Integral `div` — a double division would lose precision at 1e18. */
+  /** Fold any on-disk event-time encoding to TimestampType:
+    *  - long (nanos-since-epoch under nanosAsLong) → `timestamp_micros(
+    *    ts div 1000)`; integral `div`, a double division would lose
+    *    precision at 1e18;
+    *  - TIMESTAMP_NTZ (parquet timestamp[us] isAdjustedToUTC=false) →
+    *    cast to TimestampType, a numeric no-op under the UTC session
+    *    timezone every entry point sets;
+    *  - already TimestampType → untouched.
+    * Narrow per-row map — no shuffle, stays in whole-stage codegen. */
+  def normalizeEventTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(c, df(c).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Events `ts` as loaded by [[load]] is already TimestampType; kept as
+    * the single named accessor so call sites stay encoding-agnostic. */
   def eventsTs(tsCol: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)")
+    org.apache.spark.sql.functions.col(tsCol)
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * against the same names the DuckDB oracle uses (S4 mapping). */

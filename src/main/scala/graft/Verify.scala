@@ -22,6 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
+    var errors = List.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       // coalesce(1) is a gate-scale convenience (sf0.01 results are tiny
       // and single-file output simplifies the DuckDB compare) — NOT a
@@ -31,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +50,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing failure record: every query that threw gets an
+    // explicit entry (name → first line of the error) instead of being
+    // silently absent from the output dir, and the process exits
+    // nonzero so the driver can't mistake a partial dump for a green
+    // run (VERDICT r6: 17 broken queries read as 78/81-green).
+    val errJson = errors.reverse
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.linesIterator.nextOption().getOrElse(""))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -61,20 +61,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   // one table per resolution sequence: Spark calls inferSchema,
   // inferPartitioning and getTable back-to-back on one provider
   // instance, and each GraftTable construction reads the manifest —
-  // memoizing by options cuts three metadata reads to one
-  @volatile private var lastTable: (Map[String, String], Table) = null
+  // memoizing by options cuts three metadata reads to one. The session
+  // time zone is part of the key: an ISO `timestampAsOf` literal means
+  // a different instant under a different session zone, so a zone
+  // change must re-resolve rather than reuse the cached version pin.
+  @volatile private var lastTable: ((Map[String, String], String), Table) = null
 
   private def makeTable(options: Map[String, String]): Table = {
-    val cached = lastTable
-    if (cached != null && cached._1 == options) return cached._2
     val spark = SparkSession.active
+    val key = (options, spark.sessionState.conf.sessionLocalTimeZone)
+    val cached = lastTable
+    if (cached != null && cached._1 == key) return cached._2
     val path = pathOf(options)
     val t =
       if (!SnapshotTable(spark, path, "_unused_read_only").exists)
         new MissingGraftTable(path)
       else new GraftTable(spark, path, resolveVersion(spark, path, options),
         options)
-    lastTable = (options, t)
+    lastTable = (key, t)
     t
   }
 

@@ -92,6 +92,35 @@ class GraftSourceSpec extends SparkSpec {
       Seq((2, "b"), (2, "dup"), (3, "c")))
   }
 
+  test("timestampAsOf ISO literal resolves in the SESSION time zone, not JVM default") {
+    val path = tmp("srctz")
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1, "a")).toDF("id", "val"))
+    Thread.sleep(1100) // local FS mtime is second-granular
+    t.upsert(Seq((2, "b")).toDF("id", "val"))
+    val v1CommitMs = t.history.find(_._1 == 1L).get._2
+    // pick a wall-clock instant strictly between v1 and v2, render it
+    // as an ISO local-datetime in a session zone FAR from the JVM
+    // default (UTC here): if the source parsed in the JVM zone the
+    // instant would shift by the offset and resolve the wrong version
+    val zone = "Pacific/Kiritimati" // UTC+14, no DST
+    val iso = java.time.Instant.ofEpochMilli(v1CommitMs + 500)
+      .atZone(java.time.ZoneId.of(zone)).toLocalDateTime.toString
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      assert(spark.read.format("graft")
+        .option("timestampAsOf", iso).load(path).count() == 1,
+        s"ISO literal $iso in session zone $zone must pin v1")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // same literal parsed under the (UTC) default session zone lands
+    // 14h LATER — after v2's commit — proving the zone is read from
+    // the session at resolve time, not baked in at parse-literal time
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", iso).load(path).count() == 2,
+      s"ISO literal $iso under UTC session zone must land after v2")
+  }
+
   test("SQL catalog: CREATE TABLE ... USING graft resolves the snapshot by name") {
     val path = tmp("srcsql")
     val t = SnapshotTable(spark, path, "id")
