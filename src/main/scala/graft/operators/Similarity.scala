@@ -90,21 +90,34 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k: score only corpus vectors whose LSH bucket matches the
-    * query's bucket or differs by one bit (multi-probe), then exact
-    * cosine re-rank within candidates. Recall is probabilistic;
-    * precision is exact (true cosine on every returned pair). */
+  /** ANN top-k: score only corpus vectors whose LSH bucket is within
+    * `probeRadius` bit-flips of the query's bucket (multi-probe), then
+    * exact cosine re-rank within candidates. Recall is probabilistic
+    * and grows with probeRadius — radius 1 probes 1+P buckets, radius
+    * 2 probes 1+P+C(P,2); the probe list is a plan-time constant per
+    * query, so the candidate step stays one bucket equi-join however
+    * wide the probing. Precision is exact (true cosine on every
+    * returned pair). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0, 1 or 2, got $probeRadius")
     val cb = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
-    // multi-probe: the query claims its own bucket plus all 1-bit flips
-    val probes = array(
-      (lshBucket(col("qvec"), numPlanes) +: (0 until numPlanes).map(p =>
-        lshBucket(col("qvec"), numPlanes).bitwiseXOR(lit(1 << p)))): _*)
+    // multi-probe: the query claims its own bucket plus every bucket
+    // within probeRadius bit-flips
+    val flips: Seq[Int] = Seq(0) ++ // the home bucket (xor 0)
+      (if (probeRadius >= 1) (0 until numPlanes).map(1 << _) else Nil) ++
+      (if (probeRadius >= 2)
+        (for { a <- 0 until numPlanes; b <- a + 1 until numPlanes }
+          yield (1 << a) | (1 << b))
+      else Nil)
+    val probes = array(flips.map(m =>
+      lshBucket(col("qvec"), numPlanes).bitwiseXOR(lit(m))): _*)
     val qb = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
         .withColumn("bucket", explode(probes)))

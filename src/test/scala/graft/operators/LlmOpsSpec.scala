@@ -106,6 +106,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits > 0, "LSH ANN found none of the true top-10 neighbors")
   }
 
+  test("planted near-queries: LSH(radius 2) and IVF top-1 recover the source vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the Queries.plantedAnnQueries shape: perturbed copies of vec_id<5
+    val planted = emb.filter($"vec_id" < 5).select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (v, i) =>
+        (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
+          .otherwise(lit(-0.01))).cast("float")).as("embedding"))
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.filter($"rk" === 1).collect()
+        .map(r => (r.getLong(0) - 1000000L) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    for (ann <- Seq(
+        Similarity.lshTopK(emb, planted, k = 10, probeRadius = 2),
+        Similarity.ivfTopK(emb, planted, k = 10, nCentroids = 16, nProbe = 6))) {
+      val got = top1(ann)
+      (0L until 5L).foreach { id =>
+        val (nid, cos) = got(id)
+        assert(nid == id, s"query $id: top-1 is $nid, not the planted source")
+        assert(cos > 0.99, s"query $id: top-1 cosine $cos below planted bound")
+      }
+    }
+  }
+
   test("embedding near-dup recovers injected perturbed pairs with high recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // same injection as Queries.embeddingNearDup: every 10th vector copied
