@@ -565,7 +565,17 @@ object Queries {
     val currentTouched = table.readPartitions(touchedVals)
     val idx2 = operators.PartitionSketches.refresh(
       idx1, currentTouched, touched, "date", "user_id")
+    // self-check (the approx_profile pattern): the partition count and
+    // an exact distinct over the final table state are oracle-
+    // verifiable; the union-of-sketches estimate is asserted inside a
+    // generous HLL bound in-plan. The exact pass polices the sketch at
+    // gate scale — production keeps the sketch-only path.
     operators.PartitionSketches.estimateTotal(idx2)
+      .crossJoin(table.read.agg(
+        countDistinct(col("user_id")).as("exact_users")))
+      .select(col("n_partitions"), col("exact_users"),
+        (abs(col("distinct_est") - col("exact_users")) <=
+          col("exact_users") * 0.15d).as("hll_ok"))
   }
 
   /** The registered `format("graft")` source end-to-end
@@ -934,19 +944,36 @@ object Queries {
   /** Sketch profile: HLL++ distinct counts and t-digest-style quantiles
     * in ONE aggregation pass with O(sketch) memory — the only viable
     * shape for profiling a 100 TB corpus (exact distinct/percentile
-    * would shuffle the full column). Deterministic for fixed input;
-    * error bounds vs exact are pinned by SketchSpec (no SQL oracle —
-    * DuckDB's sketches use different algorithms/seeds). */
+    * would shuffle the full column). DuckDB can't replay Spark's
+    * sketch algorithms/seeds, so the entry is SELF-CHECKING (the ANN
+    * pattern): exact distinct counts are emitted for the oracle to
+    * verify value-for-value, and each sketch estimate is asserted
+    * against its published error bound in-plan — HLL++ at default
+    * rsd 0.05 within 15 % (3σ) of exact, approx_percentile at
+    * accuracy 10000 inside the exact [q−0.01, q+0.01] quantile
+    * envelope. The exact baselines exist only to police the sketches
+    * at gate scale; production profiling keeps the sketch-only pass. */
   def approxProfile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").agg(
       approx_count_distinct("user_id").as("approx_users"),
       approx_count_distinct("event_type").as("approx_types"),
       expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
-        .as("q"))
-      .select(col("approx_users"), col("approx_types"),
-        round(element_at(col("q"), 1), 4).as("value_p50"),
-        round(element_at(col("q"), 2), 4).as("value_p95"),
-        round(element_at(col("q"), 3), 4).as("value_p99"))
+        .as("q"),
+      countDistinct("user_id").as("exact_users"),
+      countDistinct("event_type").as("exact_types"),
+      expr("percentile(value, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))")
+        .as("qx"))
+      .select(col("exact_users"), col("exact_types"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.15d).as("hll_users_ok"),
+        (abs(col("approx_types") - col("exact_types")) <=
+          col("exact_types") * 0.15d).as("hll_types_ok"),
+        element_at(col("q"), 1).between(
+          element_at(col("qx"), 1), element_at(col("qx"), 2)).as("p50_ok"),
+        element_at(col("q"), 2).between(
+          element_at(col("qx"), 3), element_at(col("qx"), 4)).as("p95_ok"),
+        element_at(col("q"), 3).between(
+          element_at(col("qx"), 5), element_at(col("qx"), 6)).as("p99_ok"))
 
   /** ROLLUP aggregation with grouping-level id — multi-level aggregates
     * in one pass. */
@@ -1459,6 +1486,20 @@ object Queries {
       .select(col("doc_id"), col("chunk_id"),
         expr("substring(text, cast(chunk_id * 150 + 1 as int), 200)").as("chunk"))
 
+  /** Sequence packing (concat-and-chunk): every document placed on the
+    * global token axis in doc_id order, cut into 512-token context
+    * windows — per doc its start offset and first/last window
+    * ([[operators.SequencePack.packOffsets]]; two-level distributed
+    * prefix sum, never a single-partition global window). The oracle
+    * replays the running sum relationally. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    operators.SequencePack.packOffsets(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text"))
+          .cast(LongType).as("n_tokens")),
+      "doc_id", "n_tokens", ctxLen = 512)
+      .orderBy("doc_id")
+
   /** PII scrubbing: e-mail and SSN shapes redacted via codegen'd
     * `regexp_replace`, with a per-doc redaction count. Every 5th doc
     * gets a synthetic deterministic e-mail+SSN injected (testdata has
@@ -1637,6 +1678,25 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
       numHashes = 128, bands = 32)
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("jaccard"))
+
+  /** Near-duplicate CLUSTERS from the MinHash pair set: iterative
+    * min-label propagation ([[operators.Components.minLabelComponents]])
+    * turns pairwise verdicts into dedup decisions — every doc gets its
+    * cluster's min id as `component`, the representative survives.
+    * The oracle computes the same transitive closure with a recursive
+    * CTE over the exact-Jaccard pair graph. */
+  def neardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashNearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+      numHashes = 128, bands = 32)
+    val comp = operators.Components.minLabelComponents(pairs, "idA", "idB")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
+      .withColumn("is_survivor", col("component") === col("doc_id"))
+      .orderBy("doc_id")
+  }
 
   /** SimHash near-duplicate pairs (16-bit bands, Hamming re-check).
     * Oracle-EXACT by construction: any pair within Hamming 3 of a
@@ -2193,6 +2253,7 @@ object Queries {
     "stream_window_agg" -> (streamWindowAgg _),
     "text_stats" -> (textStats _),
     "doc_chunks" -> (docChunks _),
+    "sequence_pack" -> (sequencePack _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "dataset_split" -> (datasetSplit _),
@@ -2206,6 +2267,7 @@ object Queries {
     "doc_winnow_fingerprints" -> (docWinnowFingerprints _),
     "exact_dedup" -> (exactDedup _),
     "minhash_neardup" -> (minhashNearDup _),
+    "neardup_components" -> (neardupComponents _),
     "simhash_neardup" -> (simhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "embedding_topk" -> (embeddingTopK _),
@@ -2237,6 +2299,26 @@ object Queries {
     * [[graft.functions.TextAnalysis.normalize]]. */
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Shared CTE chain: normalized 3-gram shingles → exact pairwise
+    * Jaccard for every id-ordered doc pair (column `j`). Used by the
+    * minhash oracle and, wrapped in a recursive closure, by the
+    * near-dup components oracle. */
+  private val MinhashPairsCte =
+    s"""docs AS (
+       |  SELECT doc_id AS id, $NormSql AS norm FROM documents),
+       |sh AS (
+       |  SELECT id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |                          i -> array_to_string(toks[i:i+2], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+       |  FROM sh a JOIN sh b ON a.id < b.id)""".stripMargin
 
   /** DuckDB replay of the planted-ANN self-check ([[plantedAnnQueries]]
     * / [[annPlantedTop1]]): rebuild each planted query vector with the
@@ -2483,6 +2565,26 @@ object Queries {
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events
         |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-05'""".stripMargin,
+    // partition-sketch maintenance self-check: the merged table state
+    // is replayed relationally (create of the even half, PK-merge of
+    // the div-3 slice before the cutoff date); partition count and
+    // exact user distinct are value-checked, the HLL union estimate is
+    // asserted inside its bound in-plan
+    "sketch_partition_maintenance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |  FROM events),
+        |merged AS (
+        |  SELECT DISTINCT event_id, user_id, date FROM (
+        |    SELECT * FROM ev WHERE event_id % 2 = 0
+        |    UNION ALL
+        |    SELECT * FROM ev
+        |    WHERE event_id % 3 = 0 AND date < '2024-01-10'))
+        |SELECT CAST(count(DISTINCT date) AS BIGINT) AS n_partitions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS hll_ok
+        |FROM merged""".stripMargin,
     "sql_catalog_query" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |       ROUND(SUM(o_totalprice), 2) AS total
@@ -2524,6 +2626,16 @@ object Queries {
         |FROM orders GROUP BY o_custkey
         |HAVING round(sum(o_totalprice), 2) > 300000.0
         |ORDER BY o_custkey""".stripMargin,
+    // sketch self-check: exact distincts verified value-for-value; the
+    // booleans assert Spark's sketch estimates landed inside their
+    // published error bounds (DuckDB can't replay HLL++/t-digest, but
+    // it CAN demand the assertions hold)
+    "approx_profile" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |       count(DISTINCT event_type) AS exact_types,
+        |       true AS hll_users_ok, true AS hll_types_ok,
+        |       true AS p50_ok, true AS p95_ok, true AS p99_ok
+        |FROM events""".stripMargin,
     "exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -2760,6 +2872,24 @@ object Queries {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, (length(text) - 1) // 150)) AS k
         |      FROM documents WHERE length(text) > 0)""".stripMargin,
+    // concat-and-chunk packing replayed relationally: global running
+    // token sum in doc_id order → window ids by integer division
+    "sequence_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 512 AS first_seq,
+         |  CAST((start_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
+         |    AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
     // quality gate → min-id dedup → scrub → chunk, replayed stage by
     // stage in SQL (each stage's expression is the one its standalone
     // oracle already pins)
@@ -2911,22 +3041,27 @@ object Queries {
     // (32 bands × 4 rows; see the query's scaladoc), so the exact-
     // jaccard verdict equals the relational all-pairs recompute
     "minhash_neardup" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id AS id, $NormSql AS norm FROM documents),
-         |sh AS (
-         |  SELECT id,
-         |    list_distinct(CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |                          i -> array_to_string(toks[i:i+2], ' '))
-         |      ELSE [array_to_string(toks, ' ')] END) AS sh
-         |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b,
-         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
-         |  FROM sh a JOIN sh b ON a.id < b.id)
+      s"""WITH $MinhashPairsCte
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
          |WHERE j >= 0.5""".stripMargin,
+    // transitive closure of the exact-Jaccard pair graph via a
+    // recursive CTE: component = min reachable id — the relational
+    // ground truth for the engine's iterative min-label propagation
+    "neardup_components" ->
+      s"""WITH RECURSIVE $MinhashPairsCte,
+         |fpairs AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM fpairs
+         |          UNION ALL SELECT id_b, id_a FROM fpairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.lab = e.a),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  least(coalesce(c.m, d.doc_id), d.doc_id) AS component,
+         |  least(coalesce(c.m, d.doc_id), d.doc_id) = d.doc_id AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |ORDER BY d.doc_id""".stripMargin,
     // full simhash recompute from scratch: md5 token hashes → per-bit
     // majority → all-pairs Hamming (the banded candidates have recall 1
     // by pigeonhole, so the engine output IS all-pairs Hamming <= 3)

