@@ -101,11 +101,8 @@ object Tables {
     * Narrow per-row map — no shuffle, stays in whole-stage codegen. */
   def normalizeEventTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
-      case LongType =>
-        df.withColumn(c,
-          org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-      case TimestampNTZType =>
-        df.withColumn(c, df(c).cast(TimestampType))
+      case dt @ (LongType | TimestampNTZType) =>
+        df.withColumn(c, eventTsExpr(c, dt))
       case _ => df
     }
 
@@ -113,6 +110,21 @@ object Tables {
     * the single named accessor so call sites stay encoding-agnostic. */
   def eventsTs(tsCol: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.col(tsCol)
+
+  /** The [[normalizeEventTs]] branch as a bare Column for callers that
+    * read the RAW file themselves (e.g. a streaming source whose
+    * declared schema must match the on-disk encoding): pass the
+    * column's resolved on-disk type, get the expression that folds it
+    * to TimestampType. Single source of truth for the encoding branch —
+    * a future testdata encoding change lands here once. */
+  def eventTsExpr(tsCol: String, onDisk: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    onDisk match {
+      case LongType => expr(s"timestamp_micros($tsCol div 1000)")
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      case _ => col(tsCol)
+    }
+  }
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * against the same names the DuckDB oracle uses (S4 mapping). */

@@ -26,10 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Release the storage blocks behind a `localCheckpoint(eager)`
+    * result. `Dataset.unpersist` only clears CacheManager entries — a
+    * checkpointed Dataset is a LogicalRDD whose persisted RDD the
+    * cache manager never sees, so without this the per-round state
+    * would linger until ContextCleaner GC (O(rounds × nodes) blocks
+    * on a deep graph). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** (node, component) for every node appearing in `edges`; component
     * is the minimum id reachable through the pair graph. The returned
     * frame is materialized as executor-local checkpoint blocks — the
-    * caller owns it; the loop's own state is released on exit.
+    * caller owns them (they are dropped when the frame is GC'd); each
+    * superseded round's blocks are released eagerly.
     *
     * Each round ends in `localCheckpoint(eager)`, not `persist`: the
     * round plan references the previous round TWICE (propagation join
@@ -57,12 +71,12 @@ object Components {
         changed = next.join(
             labels.withColumnRenamed("label", "__old"), Seq("node"))
           .filter(col("label") =!= col("__old")).count()
-        labels.unpersist()
+        releaseCheckpoint(labels)
         labels = next
         iter += 1
       }
       if (changed != 0) {
-        labels.unpersist()
+        releaseCheckpoint(labels)
         throw new IllegalStateException(
           s"components did not converge in $maxIters rounds")
       }

@@ -36,7 +36,16 @@ object SequencePack {
     * `start_offset`, `first_seq`, `last_seq`) under `ctxLen`-token
     * windows, documents concatenated in ascending `idCol` order.
     * Zero-token documents are pinned to the window at their offset
-    * (`last_seq = first_seq`) rather than producing an empty span. */
+    * (`last_seq = first_seq`) rather than producing an empty span.
+    *
+    * The partition-local running sum is a `mapPartitions` fold, not a
+    * `Window.partitionBy(__pid)`: the input is RANGE-partitioned on
+    * the order key, which Spark cannot prove clusters `__pid`, so the
+    * window form would insert a SECOND full-data hash exchange — 2×
+    * shuffle I/O for nothing. The fold consumes the sorted partition
+    * in place; the only full-data exchange in the plan is the range
+    * shuffle (its map stage is shared by the tiny per-partition-total
+    * aggregate via ReuseExchange), which the spec asserts. */
   def packOffsets(docs: DataFrame, idCol: String, tokensCol: String,
                   ctxLen: Int, numPartitions: Int = 0): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
@@ -47,21 +56,33 @@ object SequencePack {
       .select(col(idCol), col(tokensCol).cast(LongType).as(tokensCol))
       .repartitionByRange(n, col(idCol))
       .sortWithinPartitions(idCol)
-      .withColumn("__pid", spark_partition_id())
-    // per-partition totals, then the exclusive prefix across partitions
-    // — O(partitions) rows, so the global-order window here is cheap
-    // no matter how large the corpus
-    val partOffsets = ranged.groupBy("__pid")
-      .agg(sum(tokensCol).as("__psum"))
+    // one narrow pass over each sorted partition: inclusive local
+    // running sum + the partition id the offsets join keys on
+    val cumSchema = ranged.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("__cum", LongType, nullable = false)
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    val withCum = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        acc += r.getLong(tokIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(cumSchema))
+    // per-partition totals (= each partition's max inclusive sum), then
+    // the exclusive prefix across partitions — O(partitions) rows, so
+    // the global-order window here is cheap no matter how large the
+    // corpus
+    val partOffsets = withCum.groupBy("__pid")
+      .agg(max("__cum").as("__psum"))
       .withColumn("__poff",
         coalesce(sum("__psum").over(
           Window.orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__poff"))
-    val localW = Window.partitionBy("__pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(partOffsets), Seq("__pid"))
-      .withColumn("__cum", sum(tokensCol).over(localW))
+    withCum.join(broadcast(partOffsets), Seq("__pid"))
       .select(col(idCol), col(tokensCol),
         (col("__poff") + col("__cum") - col(tokensCol)).as("start_offset"))
       .withColumn("first_seq", expr(s"start_offset div $ctxLen"))

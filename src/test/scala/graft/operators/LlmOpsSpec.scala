@@ -108,15 +108,13 @@ class LlmOpsSpec extends SparkSpec {
 
   test("planted near-queries: LSH(radius 2) and IVF top-1 recover the source vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    // the Queries.plantedAnnQueries shape: perturbed copies of vec_id<5
-    val planted = emb.filter($"vec_id" < 5).select(
-      ($"vec_id" + 1000000L).as("vec_id"),
-      transform($"embedding", (v, i) =>
-        (v.cast("double") + when(pmod(i, lit(2)) === 0, lit(0.01))
-          .otherwise(lit(-0.01))).cast("float")).as("embedding"))
+    // the EXACT construction the gate entries use — reused, not copied,
+    // so a change to the planted shape cannot silently diverge from
+    // what this spec covers
+    val planted = graft.Queries.plantedAnnQueries(emb, 5)
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
-      df.filter($"rk" === 1).collect()
-        .map(r => (r.getLong(0) - 1000000L) -> (r.getLong(2), r.getDouble(3)))
+      graft.Queries.annPlantedTop1(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
         .toMap
     for (ann <- Seq(
         Similarity.lshTopK(emb, planted, k = 10, probeRadius = 2),

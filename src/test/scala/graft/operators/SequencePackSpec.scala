@@ -50,21 +50,26 @@ class SequencePackSpec extends SparkSpec {
     }
   }
 
-  test("no global-order window over the data in the physical plan") {
+  test("one full-data exchange: range shuffle only, no per-row window, fold in mapPartitions") {
     val plan = SequencePack
       .packOffsets(docs(100), "doc_id", "n_tokens", 512, numPartitions = 8)
       .queryExecution.executedPlan.toString
-    // the only unpartitioned window may be the O(partitions)-row offset
-    // scan; the per-row window must be partitioned by __pid. A global
-    // window over the docs would show as a Window whose ordering is
-    // doc_id with no partition spec AND an Exchange SinglePartition
-    // feeding a Sort on doc_id over the full input — assert the row
-    // window is partition-local instead.
+    // the per-row running sum is a partition-local fold
+    assert(plan.contains("MapPartitions"), s"no mapPartitions fold:\n$plan")
+    // no Window touches per-document rows — the only window runs over
+    // the O(partitions)-row offset table (__pid/__psum columns only)
     val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    val rowWindow = windowLines.filter(_.contains("doc_id"))
-    assert(rowWindow.nonEmpty, s"no per-row window found:\n$plan")
-    assert(rowWindow.forall(_.contains("__pid")),
-      s"per-row running sum is a GLOBAL window:\n$plan")
+    assert(windowLines.forall(l => !l.contains("doc_id")),
+      s"a window operates on per-document rows:\n$plan")
+    // exactly one full-data shuffle: the range partitioning by doc_id.
+    // Any hashpartitioning exchange may only carry the O(partitions)
+    // aggregate rows (keyed by __pid), never doc rows.
+    assert(plan.contains("rangepartitioning"),
+      s"range shuffle missing:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("__pid")),
+      s"unexpected full-data hash exchange:\n$plan")
   }
 
   test("ctxLen boundary cases: exact fits, stragglers, zero-token docs") {
