@@ -35,8 +35,12 @@ object SequencePack {
   /** Per-document packing coordinates: (idCol, tokensCol,
     * `start_offset`, `first_seq`, `last_seq`) under `ctxLen`-token
     * windows, documents concatenated in ascending `idCol` order.
-    * Zero-token documents are pinned to the window at their offset
-    * (`last_seq = first_seq`) rather than producing an empty span.
+    * `idCol` must be UNIQUE — it is the total order of the layout;
+    * with duplicate keys the relative placement of the duplicates is
+    * partitioner-dependent (and no engine-independent oracle exists
+    * for it). Zero-token documents are pinned to the window at their
+    * offset (`last_seq = first_seq`) rather than producing an empty
+    * span.
     *
     * The partition-local running sum is a `mapPartitions` fold, not a
     * `Window.partitionBy(__pid)`: the input is RANGE-partitioned on
