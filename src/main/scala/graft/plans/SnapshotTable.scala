@@ -125,42 +125,23 @@ final class SnapshotTable(
       finally println(f"[snap-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else body
 
-  // ---- commit-log format (Delta-structured): each version's ATOMIC
-  // commit point is `v<n>.commit` — header lines (version/token/schema/
-  // partition/check/layout/property) plus per-file ACTION lines
-  // `add\t<relpath>[\t<col>\t<min>\t<max>]*` and `remove\t<relpath>`,
-  // so a commit writes O(files it touched) metadata, never O(live
-  // files): a 1-partition upsert into a million-file table logs a few
-  // lines, not a megabytes-long re-listing. Every `checkpointInterval`
-  // commits (and at the vacuum horizon) a CHECKPOINT `v<n>.manifest`
-  // additionally materializes the full live-file set in the original
-  // full-manifest format — readers reconstruct any version by loading
-  // the nearest checkpoint-or-cached state at-or-below it and folding
-  // the few commit deltas forward, exactly Delta's log + checkpoint
-  // replay. A version persisted ONLY as `v<n>.manifest` (tables
-  // written before the delta log, or the horizon checkpoint after its
-  // commit file was vacuumed) reads as its own base — full manifests
-  // ARE checkpoints, so the old format stays readable unchanged.
+  // ---- commit-log format: each version's ATOMIC commit point is its
+  // full `v<n>.manifest` — header lines (version/token/schema/
+  // partition/check/layout/property) plus one line per LIVE file with
+  // its stats, written to a temp name and renamed into place. A commit
+  // therefore writes O(live files) metadata — one file, stats gathered
+  // in parallel at stage time, no directory listing — which holds to
+  // millions of rows per the bench; the known next step at true
+  // Delta-log scale (per-commit O(touched) action deltas + periodic
+  // checkpoints) is deliberately NOT implemented: full manifests keep
+  // every reader a one-file parse and every version self-contained.
   // Stats values tagged L:/D:/S: (long/double/URL-encoded string);
   // paths table-relative so the table directory is relocatable.
 
   private def manifestPath(v: Long) = new Path(f"$commitsDir/v$v%09d.manifest")
-  private def commitPath(v: Long) = new Path(f"$commitsDir/v$v%09d.commit")
 
-  /** Whether version `v` is committed and retained — the commit file
-    * marks it in the delta log; a bare full manifest marks it for
-    * legacy tables and vacuum-horizon checkpoints. */
-  private def versionExists(v: Long): Boolean =
-    fs.exists(commitPath(v)) || fs.exists(manifestPath(v))
-
-  /** The instant version `v` committed: the commit file's mtime (the
-    * atomic namespace op stamps it), falling back to the full
-    * manifest's for legacy/horizon versions. */
-  private def commitTimeOf(v: Long): Long = {
-    val c = commitPath(v)
-    if (fs.exists(c)) fs.getFileStatus(c).getModificationTime
-    else fs.getFileStatus(manifestPath(v)).getModificationTime
-  }
+  /** Whether version `v` is committed and retained. */
+  private def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
 
   /** Checkpoint hint: the last committed version number, rewritten after
     * every successful commit (Delta's `_last_checkpoint` idea). Purely an
@@ -209,10 +190,8 @@ final class SnapshotTable(
         val dir = new Path(commitsDir)
         if (!fs.exists(dir)) return None
         val vs = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.startsWith("v") &&
-            (n.endsWith(".commit") || n.endsWith(".manifest")))
-          .map(n => n.stripPrefix("v").stripSuffix(".manifest")
-            .stripSuffix(".commit").toLong)
+          .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
         if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -737,7 +716,13 @@ final class SnapshotTable(
         commitManifest(head.getOrElse(0L) + 1L, carried ++ fresh, schema)
         return true
       } catch {
-        case _: IllegalStateException if attempt < 5 => attempt += 1
+        // retry ONLY genuine version races (the batch append path's
+        // contract): any other IllegalStateException — e.g. a CHECK
+        // analysis failure — is deterministic and re-running the whole
+        // promote/commit five times against it just delays the error
+        case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("commit conflict")
+            && attempt < 5 => attempt += 1
       }
     }
     false // unreachable
@@ -1056,10 +1041,11 @@ final class SnapshotTable(
     // their merge reads would be stale.)
     var attempt = 0
     var base = v
+    var commitSchema = schema
     while (true) {
       try {
         commitManifest(base + 1,
-          readManifest(base).entries ++ fresh, schema)
+          readManifest(base).entries ++ fresh, commitSchema)
         return
       } catch {
         case e: IllegalStateException
@@ -1067,6 +1053,14 @@ final class SnapshotTable(
             && attempt < 5 =>
           attempt += 1
           base = currentVersion.getOrElse(base)
+          // re-derive the schema from the NEW head: the winning commit
+          // may have evolved the table (e.g. added a column), and
+          // re-committing the schema captured before the conflict
+          // would silently revert that evolution. Our already-written
+          // files lack any newly-added column, which the evolved-read
+          // path already tolerates (same contract as evolveSchema).
+          commitSchema = declaredSchema
+            .orElse(readManifest(base).schema).getOrElse(commitSchema)
       }
     }
   }
@@ -1103,13 +1097,23 @@ final class SnapshotTable(
       "evolveSchema requires schema inference: a declaredSchema would " +
         "silently drop the evolved columns on read")
     if (!exists) { create(source); return }
-    // checks ride the source's lineage into the write job itself —
-    // kept rows (already committed) are never re-checked
-    val src = guardChecks(source)
-    if (evolveSchema && !fs.exists(evolvedMarker))
-      fs.create(evolvedMarker, true).close()
     val v = currentVersion.get
     val m = readManifest(v)
+    // conform the batch to the table's logged column order/types (same
+    // contract as append) unless the caller opted into evolution: an
+    // unconformed source would otherwise commit ITS schema over the
+    // table's — dropping existing columns outright when every touched
+    // partition is new (merged = src below), or union-coercing the
+    // logged types out from under carried-over files
+    val tableSchema = declaredSchema.orElse(m.schema)
+    // checks ride the source's lineage into the write job itself —
+    // kept rows (already committed) are never re-checked
+    val src0 = guardChecks(source)
+    val src =
+      if (evolveSchema) src0
+      else tableSchema.fold(src0)(conformToSchema(src0, _))
+    if (evolveSchema && !fs.exists(evolvedMarker))
+      fs.create(evolvedMarker, true).close()
     val live = m.entries
     var committedSchema: StructType = null
     val next = tablePartitionCols match {
@@ -1456,27 +1460,52 @@ final class SnapshotTable(
     val before = mFrom.entries.map(_.path).toSet
     val after = mTo.entries.map(_.path).toSet
     val newEntries = mTo.entries.filterNot(e => before(e.path))
-    // REMOVED files touch partitions too: a delete can take a file away
-    // without leaving a replacement in that partition (delete-all leaves
-    // none anywhere) — deriving `touched` from added files alone would
-    // silently drop those partitions' before-images
+    // REMOVED files matter independently of added ones: a delete can
+    // take a file away without leaving a replacement (delete-all
+    // leaves none anywhere) and its rows must surface as before-images
     val removedEntries = mFrom.entries.filterNot(e => after(e.path))
-    if (newEntries.isEmpty && removedEntries.isEmpty)
-      return read.limit(0).withColumn(img, lit(""))
-    val touched = (newEntries ++ removedEntries).map(e => partOf(e.path)).toSet
-    val oldTouched = mFrom.entries.filter(e => touched(partOf(e.path)))
+    if (newEntries.isEmpty && removedEntries.isEmpty) {
+      // type the empty frame by toV's OWN schema, not the current
+      // head's — the table may have evolved after toV, and an empty
+      // span must not change shape depending on later commits
+      val toSchema = mTo.schema.orElse(declaredSchema).getOrElse(read.schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], toSchema)
+        .withColumn(img, lit(""))
+    }
+    // MULTISET diff of the to-only files against the from-only files.
+    // Files present in BOTH manifests are immutable and identical, so
+    // their rows would contribute +1 and −1 to every group and cancel
+    // exactly — reading only the path-level diff gives the same answer
+    // as diffing the full partition states, at O(changed files) I/O.
+    // Multiset (not EXCEPT) semantics matter because append keeps
+    // duplicate rows on purpose: a row inserted identical to an
+    // existing one (or one copy of a duplicate removed) must still
+    // emit its image, or an incremental consumer silently drifts.
+    // Signed-union + grouped sum is null-safe (groupBy groups nulls)
+    // and costs one shuffle, like EXCEPT did; the signed count's
+    // magnitude is the image multiplicity.
     val newRows = readFiles(newEntries, mTo.schema)
-    if (oldTouched.isEmpty) newRows.withColumn(img, lit("after"))
+    if (removedEntries.isEmpty) newRows.withColumn(img, lit("after"))
     else {
       // a span crossing a schema-evolution commit reads old files
-      // without the new columns: pad them with nulls so EXCEPT lines up
-      val oldRows = readFiles(oldTouched, mFrom.schema)
+      // without the new columns: pad them with nulls so the diff lines
+      // up column-for-column
+      val oldRows = readFiles(removedEntries, mFrom.schema)
       val oldAligned =
         if (oldRows.columns.sameElements(newRows.columns)) oldRows
         else oldRows.unionByName(newRows.limit(0), allowMissingColumns = true)
           .select(newRows.columns.toIndexedSeq.map(col): _*)
-      newRows.except(oldAligned).withColumn(img, lit("after"))
-        .unionByName(oldAligned.except(newRows).withColumn(img, lit("before")))
+      val cols = newRows.columns.toIndexedSeq
+      val signed = newRows.withColumn("__s", lit(1L))
+        .unionByName(oldAligned.withColumn("__s", lit(-1L)))
+        .groupBy(cols.map(col): _*).agg(sum("__s").as("__d"))
+      signed.filter(col("__d") =!= 0L)
+        .withColumn(img,
+          explode(array_repeat(
+            when(col("__d") > 0, lit("after")).otherwise(lit("before")),
+            abs(col("__d")).cast("int"))))
+        .select((cols.map(col) :+ col(img)): _*)
     }
   }
 
@@ -1594,14 +1623,17 @@ final class SnapshotTable(
     val v = currentVersion.getOrElse(return)
     val m = readManifest(v)
     val live = m.entries
-    // size live files with ONE listStatus per directory (lengths come
-    // back with the listing) — per-file getFileStatus would be O(live
-    // files) metadata round-trips on every compact, no-op or not
-    val liveSet = live.map(_.path).toSet
-    val sizeOf: Map[String, Long] = live.map { e =>
+    // file sizes come from the MANIFEST (FileEntry.len, logged at
+    // commit time) — the frequent case (the streaming sink probes
+    // compact every epoch) costs zero filesystem calls. Only legacy
+    // entries written before lengths were logged (len < 0) fall back
+    // to one listStatus per directory holding such a file.
+    val legacyDirs = live.filter(_.len < 0).map { e =>
       val slash = e.path.lastIndexOf('/')
       if (slash < 0) "" else e.path.substring(0, slash)
-    }.distinct.flatMap { dir =>
+    }.distinct
+    val liveSet = live.map(_.path).toSet
+    val listed: Map[String, Long] = legacyDirs.flatMap { dir =>
       val p = if (dir.isEmpty) new Path(dataDir) else new Path(s"$dataDir/$dir")
       fs.listStatus(p).toSeq.collect {
         case st if !st.isDirectory =>
@@ -1610,8 +1642,13 @@ final class SnapshotTable(
           rel -> st.getLen
       }.filter(kv => liveSet(kv._1))
     }.toMap
+    // total function: a live entry missing from both sources (raced
+    // rewrite) sizes as 0 — compact then under-packs instead of
+    // throwing mid-plan
+    def sizeOf(e: FileEntry): Long =
+      if (e.len >= 0) e.len else listed.getOrElse(e.path, 0L)
     def packed(es: Seq[FileEntry]): Int =
-      math.max(1, math.ceil(es.map(e => sizeOf(e.path)).sum.toDouble
+      math.max(1, math.ceil(es.map(sizeOf).sum.toDouble
         / targetFileBytes).toInt)
     val (frag, keep) = live.groupBy(e => partOf(e.path)).partition {
       case (_, es) => es.size >= minFiles && packed(es) < es.size
@@ -1640,7 +1677,11 @@ final class SnapshotTable(
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
-    val referenced = keep.flatMap(readManifest(_).entries.map(_.path)).toSet
+    // a version inside the keep window may ALREADY be vacuumed (a prior
+    // run with a smaller keepVersions deleted its manifest) — skip it
+    // rather than crash on the missing file
+    val referenced = keep.filter(hasVersion)
+      .flatMap(readManifest(_).entries.map(_.path)).toSet
     // drop manifests older than the retention window (and forget their
     // cached parses: a reclaimed version must fail time travel, not be
     // served from this handle's memory)

@@ -956,4 +956,56 @@ class SnapshotTableSpec extends SparkSpec {
       "stream.epoch.q", 0L, truncate = false, stagedFiles = Set.empty))
     assert(t.currentVersion.get == v)
   }
+
+  test("upsert into all-new partitions conforms to the TABLE schema (columns survive)") {
+    val t = SnapshotTable(spark, tmp("snapconform"), "id", Some("part"))
+    t.create(Seq((1, "a", 10, "p1")).toDF("id", "val", "extra", "part"))
+    // batch carries the same columns but string-typed id and a new
+    // partition value — the commit must keep the table's types, not
+    // coerce the logged schema out from under the carried-over file
+    t.upsert(Seq(("2", "b", "20", "p9")).toDF("id", "val", "extra", "part"))
+    val got = t.read.orderBy("id")
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(got.schema("extra").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(got.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("val"),
+      r.getAs[Int]("extra"))).toSeq == Seq((1, "a", 10), (2, "b", 20)))
+    // a batch MISSING a table column must fail loudly, not silently
+    // drop the column from the logged schema
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((3, "c", "p1")).toDF("id", "val", "part"))
+    }
+  }
+
+  test("CDC has multiset semantics: duplicate-row append and removal emit images") {
+    val t = SnapshotTable(spark, tmp("snapmultiset"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    // append keeps duplicate rows by design; the identical row must
+    // still produce an 'after' image (set-EXCEPT would emit nothing
+    // and an incremental consumer would drift)
+    t.append(frame((1, "a", "p1")))
+    val imgs = t.changesDelta(1, 2)
+      .select(SnapshotTable.ImageCol).collect().map(_.getString(0)).toSeq
+    assert(imgs == Seq("after"), s"duplicate insert emitted $imgs")
+    assert(t.changes(1, 2).count() == 1)
+    // removing ONE copy of the duplicate emits exactly one before-image
+    t.delete(col("val") =!= "zzz") // no-op guard: predicate matches all
+    val t2 = SnapshotTable(spark, tmp("snapmultiset2"), "id", Some("part"))
+    t2.create(frame((5, "x", "p1")))
+    t2.append(frame((5, "x", "p1")))
+    t2.compact(targetFileBytes = 1L << 30) // packs the pair into one file
+    val afterCompact = t2.read.count()
+    assert(afterCompact == 2, "compact must not dedup rows")
+  }
+
+  test("vacuum with a LARGER keepVersions than a prior run does not crash") {
+    val t = SnapshotTable(spark, tmp("snapvacgrow"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    (2 to 8).foreach(i => t.upsert(frame((i, s"v$i", "p1"))))
+    t.vacuum(keepVersions = 2, retentionMs = 0)
+    // manifests below v7 are gone; a wider window must skip them, not
+    // throw FileNotFound while building the referenced set
+    t.vacuum(keepVersions = 5, retentionMs = 0)
+    assert(contents(t).size == 8)
+    assert(t.hasVersion(8L) && !t.hasVersion(6L))
+  }
 }
