@@ -650,7 +650,9 @@ final class SnapshotTable(
     * writer's rows (write-write conflict, Delta-style). */
   private[graft] def commitStagedReplace(commitId: String,
                                          replacedPaths: Set[String],
-                                         schema: StructType): Unit = {
+                                         schema: StructType,
+                                         only: Option[Set[String]] = None)
+      : Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val live = readManifest(v).entries
@@ -660,8 +662,13 @@ final class SnapshotTable(
         s"concurrent modification at $path: replaced file(s) no longer " +
           s"live: ${gone.take(3).mkString(", ")}")
     val carried = live.filterNot(e => replacedPaths(e.path))
+    // `only` = the union of task-REPORTED files: a task attempt that
+    // committed its files to the stage dir but died before its status
+    // reached the driver gets retried under a new task id, and
+    // promoting the whole dir would commit BOTH attempts' copies
     val fresh = promoteStage(commitId,
-      Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+      Some(StructType(schema.fields.map(_.copy(nullable = true)))),
+      only = only)
     // a no-op operation (runtime group filter matched nothing: no file
     // replaced, nothing staged) commits nothing — same contract as the
     // API DML paths, so repeated no-op SQL never churns versions
@@ -709,11 +716,20 @@ final class SnapshotTable(
         // promoted: our files are unreferenced orphans, vacuum's sweep
         // reclaims them
         return false
+      val headManifest = head.map(readManifest)
       val carried =
         if (truncate) Nil
-        else head.map(readManifest(_).entries).getOrElse(Nil)
+        else headManifest.map(_.entries).getOrElse(Nil)
+      // commit the HEAD's schema whenever it covers ours (same rule as
+      // append's conflict retry): losing a version race to a schema
+      // evolution must not revert it — our files read any added column
+      // as null
+      val commitSchema = headManifest.flatMap(_.schema) match {
+        case Some(hs) if schema.fieldNames.forall(hs.fieldNames.contains) => hs
+        case _ => schema
+      }
       try {
-        commitManifest(head.getOrElse(0L) + 1L, carried ++ fresh, schema)
+        commitManifest(head.getOrElse(0L) + 1L, carried ++ fresh, commitSchema)
         return true
       } catch {
         // retry ONLY genuine version races (the batch append path's

@@ -211,10 +211,14 @@ final class GraftRowLevelScan(
             kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
           Some(refCol(kids.head).get ->
             kids.tail.map(k => render(k.asInstanceOf[V2Literal[_]])).toSet)
-        case "=" if kids.length == 2 && refCol(kids.head).isDefined &&
-            kids(1).isInstanceOf[V2Literal[_]] =>
-          Some(refCol(kids.head).get ->
-            Set(render(kids(1).asInstanceOf[V2Literal[_]])))
+        case "=" if kids.length == 2 =>
+          // both orientations: Spark may deliver `col = lit` or the
+          // flipped `lit = col` (GraftScan.filter handles both; this
+          // path silently pruned nothing on the flipped shape)
+          Seq((kids(0), kids(1)), (kids(1), kids(0))).collectFirst {
+            case (r, l: V2Literal[_]) if refCol(r).isDefined =>
+              refCol(r).get -> Set(render(l))
+          }
         case _ => None
       }
       hit.foreach { case (c, d) =>
@@ -292,7 +296,14 @@ final class GraftReplaceDataWrite(
 
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       op.snapshot.commitStagedReplace(
-        commitId, op.replacedEntries.map(_.path).toSet, writeSchema)
+        commitId, op.replacedEntries.map(_.path).toSet, writeSchema,
+        // promote only task-REPORTED files: a task that committed its
+        // files but died before reporting is retried under a new task
+        // id, and a whole-dir promote would commit both copies
+        only = Some(messages.toSeq.flatMap {
+          case GraftWriteCommitted(files) => files
+          case _ => Nil
+        }.toSet))
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       op.snapshot.abortStaged(commitId)
@@ -303,10 +314,11 @@ final class GraftReplaceDataWrite(
 }
 
 /** A task attempt's committed stage-relative file paths — what the
-  * driver-side commit may promote. The row-level batch paths promote
-  * the whole (randomly-named, abort-cleaned) stage dir and only need
-  * the ack; the streaming sink's deterministic per-epoch stage dirs
-  * promote strictly the union of these lists. */
+  * driver-side commit may promote. Every commit path (row-level batch
+  * and streaming) promotes strictly the union of these lists, never
+  * the whole stage dir: files committed by an attempt whose success
+  * status never reached the driver must not ride along with the
+  * retry's. */
 private[sources] final case class GraftWriteCommitted(files: Seq[String])
     extends WriterCommitMessage
 

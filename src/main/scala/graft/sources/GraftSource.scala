@@ -194,7 +194,18 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
     val t = SnapshotTable(ctx.sparkSession, path,
       pk.getOrElse("_unused_no_merge_key"),
       partitionCol = parameters.get("partitionCol"))
-    if (overwrite) { if (t.exists) t.replace(data) else t.create(data) }
+    // INSERT OVERWRITE honors partitionOverwriteMode=dynamic exactly
+    // like the save() path: replace only the batch's partitions, keep
+    // the rest by reference — without this the two entry points
+    // diverged, and SQL overwrite silently wiped untouched partitions
+    // on a table configured for dynamic overwrite
+    val dynamic = parameters.get("partitionOverwriteMode")
+      .exists(_.equalsIgnoreCase("dynamic"))
+    if (overwrite) {
+      if (!t.exists) t.create(data)
+      else if (dynamic) t.replacePartitions(data)
+      else t.replace(data)
+    }
     else if (pk.isDefined) t.upsert(data)
     else t.append(data)
   }

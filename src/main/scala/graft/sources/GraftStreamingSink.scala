@@ -109,24 +109,43 @@ final class GraftStreamingWrite(
         s"query writes ${writeSchema.simpleString}, " +
         s"table is ${tableSchema.simpleString}" +
         (if (mergeSchema) " (mergeSchema never retypes a column)" else ""))
+    // fail at the DRIVER if the stream omits a partition column: the
+    // executor-side writer indexes partition fields by name and would
+    // otherwise die per task with an obscure fieldIndex error after
+    // retries (mergeSchema's shared-name check above doesn't catch an
+    // omitted column — omission is legal for DATA columns only)
+    val missingPc = snapshot.tablePartitionCols
+      .filterNot(writeSchema.fieldNames.contains)
+    require(missingPc.isEmpty,
+      s"streaming write into $tablePath omits partition column(s) " +
+        s"${missingPc.mkString(", ")} — every batch row needs a " +
+        "partition value")
   }
 
-  /** Evolve the table once if this stream carries columns it lacks —
-    * idempotent (a replay sees the already-evolved schema and
-    * no-ops), and ordered BEFORE the epoch commit so the appended
-    * files' schema is always covered by the logged one. */
-  private def evolveIfNeeded(): Unit = {
-    if (!mergeSchema) return
+  /** The table's CURRENT logged schema, evolving it first when this
+    * stream carries columns it lacks (mergeSchema; idempotent — a
+    * replay sees the already-evolved schema and no-ops). ONE manifest
+    * read per epoch, shared by evolution and the commit below. */
+  private def headSchemaEvolved(): StructType = {
     val have = snapshot.scanInfo(None)._2
+    if (!mergeSchema) return have
     val added = writeSchema.fields.filterNot(f =>
       have.fieldNames.contains(f.name))
-    if (added.nonEmpty)
-      snapshot.evolveTo(StructType(
-        have.fields ++ added.map(_.copy(nullable = true))))
+    if (added.isEmpty) have
+    else {
+      val merged = StructType(have.fields ++ added.map(_.copy(nullable = true)))
+      snapshot.evolveTo(merged)
+      merged
+    }
   }
 
-  private def commitIdOf(epochId: Long) =
-    s"stream-${streamId.take(12)}-$epochId"
+  // the FULL stream id (sanitized for path use): truncating it let two
+  // queries whose txnAppIds share a prefix collide on the same
+  // per-epoch stage dir — one query's abort then deleted the other's
+  // in-flight staged files
+  private val streamTag = streamId.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def commitIdOf(epochId: Long) = s"stream-$streamTag-$epochId"
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -144,7 +163,7 @@ final class GraftStreamingWrite(
       GraftWriteSupport.boundChecks(spark, snapshot, writeSchema)
     new GraftStreamingWriterFactory(
       new SerializableConfiguration(job.getConfiguration), owf,
-      s"$tablePath/_stage", s"stream-${streamId.take(12)}", writeSchema,
+      s"$tablePath/_stage", s"stream-$streamTag", writeSchema,
       partitionCols, spark.sessionState.conf.sessionLocalTimeZone,
       boundChecks)
   }
@@ -158,12 +177,17 @@ final class GraftStreamingWrite(
       case GraftWriteCommitted(files) => files
       case _ => Nil
     }.toSet
-    evolveIfNeeded()
-    // the manifest must log a schema covering EVERY live file: under
-    // mergeSchema that is the evolved union (files this stream omits a
-    // column from simply read it as null), otherwise the write schema
+    // the manifest must log a schema covering EVERY live file. Under
+    // mergeSchema that is the evolved union; otherwise prefer the
+    // table's CURRENT schema whenever it covers the write schema — a
+    // concurrent ALTER TABLE ADD COLUMNS would otherwise be silently
+    // reverted by the next epoch commit (this epoch's files read the
+    // added column as null, the standard evolution contract)
+    val head = headSchemaEvolved()
     val commitSchema =
-      if (mergeSchema) snapshot.scanInfo(None)._2 else writeSchema
+      if (mergeSchema) head
+      else if (writeSchema.fieldNames.forall(head.fieldNames.contains)) head
+      else writeSchema
     // false = replay of an already-committed epoch: dropping the
     // re-staged batch IS the exactly-once outcome, not an error
     val committed =

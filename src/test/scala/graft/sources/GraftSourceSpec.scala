@@ -201,6 +201,25 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path).count() == 1)
   }
 
+  test("SQL INSERT OVERWRITE honors partitionOverwriteMode=dynamic like save() does") {
+    val path = tmp("srcinsdyn")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(Seq((1, "old1", "p1"), (2, "old2", "p2"))
+        .toDF("id", "val", "part"))
+    val tbl = "graft_insdyn_t"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(
+      s"""CREATE TABLE `$tbl` USING graft
+         |OPTIONS (path '$path', partitionCol 'part',
+         |         partitionOverwriteMode 'dynamic')""".stripMargin)
+    spark.sql(s"INSERT OVERWRITE TABLE `$tbl` VALUES (9, 'new', 'p1')")
+    // p2 must survive: only the batch's partition is replaced
+    assert(spark.read.format("graft").load(path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((2, "old2", "p2"), (9, "new", "p1")))
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
   test("column pruning: zero-column count and single-column projection") {
     val path = tmp("srcprune")
     val t = SnapshotTable(spark, path, "id")

@@ -156,6 +156,27 @@ class GraftStreamingSinkSpec extends SparkSpec {
       .exists(_.contains("streaming write schema mismatch"))))
   }
 
+  test("a stream omitting the partition column fails at the DRIVER, not per task") {
+    val root = tmp("sink_nopc")
+    val src = SnapshotTable(spark, s"$root/src", "id")
+    src.create(Seq((1, "a")).toDF("id", "v"))
+    val dst = SnapshotTable(spark, s"$root/dst", "id", Some("part"))
+    dst.createEmpty(Seq((1, "a", "p1")).toDF("id", "v", "part").schema)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(s"$root/src")
+        .writeStream.format("graft").option("path", s"$root/dst")
+        .option("mergeSchema", "true") // shared-name check alone passes
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("omits partition column"))),
+      s"expected the driver-side partition-column error, got: $e")
+  }
+
   test("mergeKey mode: each epoch upserts; later epochs overwrite earlier rows by key") {
     val root = tmp("sink_merge")
     val src = SnapshotTable(spark, s"$root/src", "id")
