@@ -115,7 +115,10 @@ final class LakehouseTable(
     if (!exists) { create(source); return }
     partitionCol match {
       case Some(pc) => upsertPartitionScoped(source, pc, evolveSchema)
-      case None     => upsertFull(source, evolveSchema)
+      // existence was just probed — skip upsertFull's re-check (each
+      // exists is several metadata round-trips, network calls on an
+      // object store)
+      case None     => upsertFullExisting(source, evolveSchema)
     }
   }
 
@@ -144,8 +147,19 @@ final class LakehouseTable(
           val base = col(pc).isin(vals.map(_.get(0)): _*)
           read.filter(if (nullVals.nonEmpty) base || col(pc).isNull else base)
         } else {
-          val srcParts = broadcast(src.select(col(pc).as("__src_pc")).distinct())
-          read.join(srcParts, col(pc) <=> col("__src_pc"), "left_semi")
+          // EqualTo, not <=>: Spark's PartitionPruning rule only
+          // matches null-unsafe equality, so a null-safe join here
+          // silently defeated the dynamic partition pruning this
+          // branch exists for (O(table) scan in the high-cardinality
+          // regime). The null partition — which equi-joins never
+          // match — is handled by an explicit disjunct instead.
+          val srcParts = broadcast(
+            src.select(col(pc).as("__src_pc"))
+              .filter(col("__src_pc").isNotNull).distinct())
+          val nonNull = read.join(srcParts,
+            col(pc) === col("__src_pc"), "left_semi")
+          if (src.filter(col(pc).isNull).isEmpty) nonNull
+          else nonNull.unionByName(read.filter(col(pc).isNull))
         }
       // Append fast path: a batch whose PKs are ALL new (the steady state
       // for streaming ingest of immutable events) needs no rewrite at all —
@@ -155,8 +169,14 @@ final class LakehouseTable(
       // PKs then exist, so the retry takes the merge path, whose anti-join
       // collapses the duplicates. Appended small files are reclaimed by
       // `compact()`.
+      // null-SAFE key joins throughout the merge: a null-PK row must
+      // match an existing null-PK row, or re-running the same batch
+      // appends one more copy every time — breaking the documented
+      // idempotency. (Hash joins support EqualNullSafe keys; only the
+      // partition-prune join above needs EqualTo for DPP.)
+      val srcKeys = src.select(col(primaryKey).as("__src_pk"))
       val overlaps = !targetSlice.select(primaryKey)
-        .join(src.select(primaryKey), Seq(primaryKey), "left_semi")
+        .join(srcKeys, col(primaryKey) <=> col("__src_pk"), "left_semi")
         .isEmpty
       if (!overlaps) {
         val out =
@@ -164,7 +184,8 @@ final class LakehouseTable(
           else src.select(targetSlice.columns.toIndexedSeq.map(col): _*)
         clustered(out).write.mode("append").partitionBy(pc).parquet(path)
       } else {
-        val kept = targetSlice.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+        val kept = targetSlice.join(srcKeys,
+          col(primaryKey) <=> col("__src_pk"), "left_anti")
         val merged =
           if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
           else kept.unionByName(src.select(targetSlice.columns.toIndexedSeq.map(col): _*))
@@ -183,7 +204,16 @@ final class LakehouseTable(
     * delete-then-rename had one). */
   def upsertFull(source: DataFrame, evolveSchema: Boolean = false): Unit = {
     if (!exists) { create(source); return }
-    val kept = read.join(source.select(primaryKey), Seq(primaryKey), "left_anti")
+    upsertFullExisting(source, evolveSchema)
+  }
+
+  private def upsertFullExisting(source: DataFrame,
+                                 evolveSchema: Boolean): Unit = {
+    // null-safe anti-join: see upsertPartitionScoped — a null-PK row
+    // must replace an existing null-PK row, not accumulate
+    val kept = read.join(
+      source.select(col(primaryKey).as("__src_pk")),
+      col(primaryKey) <=> col("__src_pk"), "left_anti")
     val merged =
       if (evolveSchema) kept.unionByName(source, allowMissingColumns = true)
       else kept.unionByName(source.select(read.columns.toIndexedSeq.map(col): _*))
@@ -236,11 +266,16 @@ final class LakehouseTable(
     * catalog the session is configured with (in-memory per-JVM here;
     * an external metastore in a real deployment). */
   def registerPersistent(name: String): Unit = {
+    // escape the interpolations: a path with an apostrophe or a name
+    // with a backtick (both legal on HDFS/S3/POSIX) would otherwise
+    // break — or truncate — the statement
+    val qName = name.replace("`", "``")
+    val qPath = path.replace("'", "\\'")
     if (!spark.catalog.tableExists(name)) {
-      spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$path'")
+      spark.sql(s"CREATE TABLE `$qName` USING parquet LOCATION '$qPath'")
     }
-    spark.sql(s"REFRESH TABLE `$name`")
-    if (partitionCol.isDefined) spark.sql(s"MSCK REPAIR TABLE `$name`")
+    spark.sql(s"REFRESH TABLE `$qName`")
+    if (partitionCol.isDefined) spark.sql(s"MSCK REPAIR TABLE `$qName`")
   }
 }
 

@@ -65,9 +65,19 @@ final class ManifestFileIndex(
 
   override def refresh(): Unit = () // a snapshot is immutable
 
-  private def statusOf(e: FileEntry): FileStatus =
-    new FileStatus(e.len, false, 1, 128L * 1024 * 1024, e.mtime,
+  private def statusOf(e: FileEntry): FileStatus = {
+    // an entry without a recorded length (pre-meta manifest reaching
+    // this class without scanInfo's backfill) must fall back to a real
+    // stat: a FileStatus with length -1 plans ZERO splits and the
+    // file's rows silently vanish from the scan
+    val len =
+      if (e.len >= 0) e.len
+      else new Path(s"$dataDir/${e.path}")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(new Path(s"$dataDir/${e.path}")).getLen
+    new FileStatus(len, false, 1, 128L * 1024 * 1024, e.mtime,
       new Path(s"$dataDir/${e.path}"))
+  }
 
   // ---- PartitioningAwareFileIndex contract, answered from the
   // manifest alone (zero filesystem calls — the whole point)

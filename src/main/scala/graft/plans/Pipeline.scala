@@ -166,8 +166,13 @@ object Pipeline {
             .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
             .distinct().persist()
           cachedKeys += keys
+          // broadcastDim = false: the planner/AQE broadcasts when the
+          // key set is actually small (products) and shuffle-joins when
+          // it is not — a FORCED broadcast of orders' distinct keys is
+          // O(orders table) driver+executor memory and cannot hold at
+          // the 100 TB shape this pipeline claims
           val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
-            broadcastDim = true)
+            broadcastDim = false)
           val orphanCount = orphans.count()
           if (orphanCount > 0)
             Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
@@ -204,6 +209,10 @@ object Pipeline {
       Future {
         val n = spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
           .head().getLong(0)
+        // the LIMIT 10 probe is logically implied by n > 0, but it is
+        // the reference's OWN second validation query
+        // (step_functions.json:193) — kept for behavioral parity; its
+        // cost is one 10-row scan
         val sample = spark.sql(s"SELECT * FROM ${j.name} LIMIT 10").count()
         (n, n > 0 && sample > 0)
       }
@@ -227,16 +236,37 @@ object Pipeline {
 
   /** T3 — archive-after-success: move everything under raw/ to archived/
     * (reference: lambda_function.py:11-52; its delete is commented out,
-    * making "move" a copy — we do the real move the code intends). */
+    * making "move" a copy — we do the real move the code intends).
+    *
+    * Directory collisions MERGE: run 2's `raw/products` must land its
+    * files inside the `archived/products` run 1 created — a bare
+    * dir-level rename either nests (HDFS) or returns false (local FS),
+    * and an UNCHECKED false silently leaves raws behind to be
+    * re-ingested next run. File-name collisions get a unique prefix;
+    * every rename result is checked. */
   def archive(spark: SparkSession, rawDir: String, archivedDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(rawDir)
     val fs = src.getFileSystem(conf)
     if (!fs.exists(src)) return
-    val dst = new Path(archivedDir)
-    if (!fs.exists(dst)) fs.mkdirs(dst)
-    fs.listStatus(src).foreach { st =>
-      fs.rename(st.getPath, new Path(dst, st.getPath.getName))
+    def moveInto(from: Path, destDir: Path): Unit = {
+      if (!fs.exists(destDir)) fs.mkdirs(destDir)
+      fs.listStatus(from).foreach { st =>
+        if (st.isDirectory) moveInto(st.getPath, new Path(destDir, st.getPath.getName))
+        else {
+          val plain = new Path(destDir, st.getPath.getName)
+          val dest =
+            if (!fs.exists(plain)) plain
+            else new Path(destDir,
+              s"${System.currentTimeMillis()}-${st.getPath.getName}")
+          if (!fs.rename(st.getPath, dest))
+            throw new IllegalStateException(
+              s"archive failed: ${st.getPath} -> $dest")
+        }
+      }
+      fs.delete(from, false) // now-empty source dir
     }
+    moveInto(src, new Path(archivedDir))
+    fs.mkdirs(src) // keep the landing root for the next arrival
   }
 }

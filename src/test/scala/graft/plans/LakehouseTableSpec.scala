@@ -174,4 +174,32 @@ class LakehouseTableSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(part"),
       s"partition filter not pushed:\n$plan")
   }
+
+  test("null-PK rows merge idempotently instead of accumulating per re-run") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("val", StringType, nullable = true),
+      StructField("part", StringType, nullable = true)))
+    def df(rows: (Integer, String, String)*) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)): _*), schema)
+    // partitioned path
+    val t = LakehouseTable(spark, tmp("lhnullpk"), "id", Some("part"))
+    t.create(df((1, "a", "p1"), (null, "n0", "p1")))
+    val batch = df((null, "n1", "p1"), (2, "b", "p1"))
+    t.upsert(batch)
+    t.upsert(batch) // re-run must be a no-op
+    val got = t.read.collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSeq.sortBy(_._2)
+    assert(got == Seq((Some(1), "a"), (Some(2), "b"), (None, "n1")),
+      s"null-PK row duplicated or not merged: $got")
+    // unpartitioned (staging-swap) path
+    val u = LakehouseTable(spark, tmp("lhnullpk2"), "id")
+    u.create(df((null, "n0", "p1")))
+    u.upsert(df((null, "n1", "p1")))
+    u.upsert(df((null, "n1", "p1")))
+    assert(u.read.collect().map(_.getString(1)).toSeq == Seq("n1"))
+  }
 }
