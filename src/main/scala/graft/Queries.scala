@@ -2819,7 +2819,8 @@ object Queries {
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events""".stripMargin,
     "stream_window_agg" ->
-      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS window_date,
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -40,7 +40,12 @@ object PartitionSketches {
               partCol: String, valueCol: String,
               lgConfigK: Int = 12): DataFrame = {
     val rebuilt = build(current, partCol, valueCol, lgConfigK)
-    index.join(touched.toDF(partCol), Seq(partCol), "left_anti")
+    // null-SAFE anti-join: a NULL partition value is a legal partition
+    // (Hive default partition), and a plain equi-anti-join would never
+    // drop its stale sketch — the index would then hold BOTH the stale
+    // and the rebuilt row and estimateTotal would double-count
+    index.join(touched.select(col(touched.columns.head).as("__touched_pc")),
+        col(partCol) <=> col("__touched_pc"), "left_anti")
       .unionByName(rebuilt)
   }
 

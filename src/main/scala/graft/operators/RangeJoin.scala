@@ -19,14 +19,30 @@ object RangeJoin {
     * interval columns, exactly the rows of the naive theta join. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      /** Per-interval replication cap. ONE sentinel-wide
+                        * interval ("no expiry" = 9e15) against a binWidth
+                        * sized for typical rows would otherwise ask
+                        * `sequence()` for billions of elements and kill
+                        * the whole job at Spark's array-length limit —
+                        * fail fast, per row, with a message naming the
+                        * knob instead. */
+                      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    // the guard is FOLDED into the sequence bound (assert_true yields
+    // null when it passes; coalesce makes it a no-op term) — a separate
+    // dropped guard column would be pruned away before ever evaluating
+    val guard = assert_true(hiBin - loBin < maxBinsPerInterval,
+      concat(lit("range-join interval spans too many bins (cap " +
+          s"$maxBinsPerInterval): ["), col(loCol), lit(", "), col(hiCol),
+        lit(s"] at binWidth $binWidth — widen binWidth or raise " +
+          "maxBinsPerInterval")))
     val i = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(sequence(loBin + coalesce(guard.cast("long"), lit(0L)), hiBin)))
     p.join(i, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

@@ -66,10 +66,18 @@ object SequencePack {
       .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("__cum", LongType, nullable = false)
     val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    val idIdx = ranged.schema.fieldIndex(idCol)
     val withCum = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
       it.map { r =>
+        // fail fast WITH the offending id: a bare getLong on a null
+        // token count would kill the job with an anonymous NPE deep in
+        // a task
+        if (r.isNullAt(tokIdx))
+          throw new IllegalArgumentException(
+            s"null $tokensCol for $idCol=${r.get(idIdx)} — every " +
+              "document needs a token count before packing")
         acc += r.getLong(tokIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
       }

@@ -154,10 +154,14 @@ object Similarity {
       .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
       .withColumn("__sim", cosine(col(vecCol), col("cvec")))
       .groupBy(idCol)
-      .agg(max_by(
+      // min_by over (−sim, id): highest similarity first, ties to the
+      // SMALLEST centroid id — without negating the id column, which
+      // fails analysis for non-numeric id types under ANSI (the API
+      // advertises a generic idCol)
+      .agg(min_by(
         struct(col(vecCol), col("centroid_id")),
-        struct(coalesce(col("__sim"), lit(-2.0)),
-          -col("centroid_id"))).as("__best"))
+        struct(-coalesce(col("__sim"), lit(-2.0)),
+          col("centroid_id"))).as("__best"))
       .select(col(idCol), col(s"__best.$vecCol").as(vecCol),
         col("__best.centroid_id").as("centroid_id"))
 

@@ -19,11 +19,20 @@ object Skew {
     * Cost model: small side inflates ×numSalts (keep it broadcast-sized
     * per salt); the big side's shuffle becomes balanced. Inner joins
     * only (outer variants need null-extension care on the salt). */
+  /** Per-row salt that spreads even BYTE-IDENTICAL duplicate rows: a
+    * content hash would map a hot key's millions of identical rows
+    * (heartbeats, default payloads) to ONE salt bucket, leaving the
+    * skew exactly as bad while still paying the small-side
+    * replication. `monotonically_increasing_id` is unique per row
+    * within the job, and the salt only routes rows — results never
+    * depend on its value. */
+  private def rowSalt(numSalts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int")
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      numSalts: Int = 8): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(numSalts)))
+    val saltedBig = big.withColumn("__salt", rowSalt(numSalts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
@@ -36,8 +45,8 @@ object Skew {
     * where a single reduce key is catastrophically hot. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 numSalts: Int = 8): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(numSalts)))
+    require(numSalts > 0, "numSalts must be positive")
+    val salted = df.withColumn("__salt", rowSalt(numSalts))
     salted
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))

@@ -136,7 +136,14 @@ object Validation {
 
   /** K3 — rejected-record side output (reference: validation.py:26 et al,
     * mode=append so successive batches accumulate). */
-  def writeRejected(rejected: DataFrame, path: String): Unit =
-    if (!rejected.isEmpty)
+  /** K3 — append the rejects as CSV. `knownCount` skips the emptiness
+    * probe when the caller already counted (the pipeline always has):
+    * on an uncached frame `isEmpty` is a full extra scan of the source
+    * — the exact recompute-per-rule pattern this module exists to
+    * avoid. With no known count the probe still guards against
+    * creating empty reject dirs on clean runs. */
+  def writeRejected(rejected: DataFrame, path: String,
+                    knownCount: Option[Long] = None): Unit =
+    if (knownCount.fold(!rejected.isEmpty)(_ > 0))
       rejected.write.mode("append").option("header", "true").csv(path)
 }

@@ -152,8 +152,12 @@ object Pipeline {
       val cachedKeys = scala.collection.mutable.Buffer
         .empty[org.apache.spark.sql.Dataset[_]]
       try {
-        Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}")
+        // count first: the reject count then comes free (read − valid)
+        // and writeRejected skips its emptiness probe — one less job
+        // over the cached validation split
         val validCount = vr.valid.count()
+        Validation.writeRejected(vr.rejected, s"$rejectedDir/${job.name}",
+          knownCount = Some(readCount - validCount))
         lap("validate")
 
         // RI against the freshly-written dims (J1/J2) — semi/anti split;
@@ -175,7 +179,9 @@ object Pipeline {
             broadcastDim = false)
           val orphanCount = orphans.count()
           if (orphanCount > 0)
-            Validation.writeRejected(orphans, s"$rejectedDir/${job.name}_ri_$fk")
+            Validation.writeRejected(orphans,
+              s"$rejectedDir/${job.name}_ri_$fk",
+              knownCount = Some(orphanCount))
           orphaned += orphanCount
           kept = ok
         }

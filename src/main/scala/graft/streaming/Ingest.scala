@@ -67,10 +67,28 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.upsert(batch.dropDuplicates(Seq(table.primaryKey)))
+        table.upsert(dedupLatestFile(batch, table.primaryKey))
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Intra-batch PK dedup that keeps the row from the LATEST source
+    * file (lexically greatest `input_file_name`, ties on row content):
+    * one AvailableNow batch may contain an original AND its correction
+    * file, and an arbitrary `dropDuplicates` could keep the stale row —
+    * the reference's per-file loop applies files in order, so the
+    * later file must win. */
+  private def dedupLatestFile(batch: DataFrame, pk: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(pk).orderBy(
+      col("__src_file").desc,
+      struct(batch.columns.toIndexedSeq.map(col): _*).desc)
+    batch.withColumn("__src_file", input_file_name())
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__src_file", "__rk")
   }
 
   private def runToTable(stream: DataFrame, table: LakehouseTable,
@@ -81,8 +99,7 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-batch MERGE (T2): dedup within the batch first — a batch
         // may contain multiple files carrying the same PK
-        val deduped = batch.dropDuplicates(Seq(table.primaryKey))
-        table.upsert(deduped)
+        table.upsert(dedupLatestFile(batch, table.primaryKey))
       }
       .start()
     q.awaitTermination()

@@ -8,90 +8,89 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming sessionization with custom per-key state —
   * `flatMapGroupsWithState` + event-time timeout, the Structured
   * Streaming shape for order-free session tracking: state holds the
-  * open session per key; events extend it or close it (gap exceeded);
-  * the event-time timeout flushes sessions whose gap window has passed
-  * the watermark, bounding state size.
+  * PENDING sessions per key (not just the newest — a watermark-admitted
+  * straggler may open a session far before the current one, and a later
+  * straggler may extend it); a session is emitted only once the
+  * watermark passes its `end + gap`, at which point no admissible event
+  * can extend it. State stays bounded: the same watermark that gates
+  * emission also caps how many sessions can be pending (gap windows
+  * inside the watermark delay).
+  *
+  * All session arithmetic runs on MICROSECONDS — `Timestamp.getTime`
+  * millisecond truncation would silently break streaming-vs-batch
+  * parity on sub-millisecond event times (the `StreamingFunnel.micros`
+  * rule).
   *
   * Parity contract (tested): on a drained stream, emitted sessions ==
-  * the batch [[graft.operators.Sessionize]] result for every CLOSED
-  * session; the trailing open session per key stays in state — the
-  * streaming-vs-batch difference is exactly that suffix.
+  * the batch [[graft.operators.Sessionize]] result for every session
+  * whose gap window the final watermark passed; later sessions stay in
+  * state — the streaming-vs-batch difference is exactly that suffix.
   */
 object StatefulSessions {
 
   final case class Event(key: Long, ts: Timestamp, value: Double)
 
+  /** One session, timestamps in MICROSECONDS since epoch. */
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
+
+  /** Every not-yet-emittable session for the key, ascending by start. */
+  final case class PendingSessions(sessions: Seq[SessionState])
 
   final case class Session(
       key: Long, n_events: Long, started: Timestamp, ended: Timestamp,
       total_value: Double)
 
-  /** The per-key state transition: fold new events into the open
-    * session, emitting every session that closes. Pure function —
-    * shared by the streaming query and directly unit-testable.
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The per-key state transition: fold new events into the pending
+    * session set, emitting every session whose gap window the current
+    * watermark has passed. Pure function — shared by the streaming
+    * query and directly unit-testable.
     *
-    * Out-of-order (watermark-admitted) events are handled in two steps:
-    * the batch is first folded into LOCAL sessions under batch semantics
-    * (so consecutive late stragglers merge with each other), then each
-    * local session merges into the open cross-batch session only if it
-    * is within `gapMillis` of EITHER edge — merging can lower `start`.
-    * A local session ending more than a gap before the open session's
-    * start is emitted as its own closed session (it can never extend the
-    * open one; the watermark bounds how late such stragglers can be). */
-  def transition(gapMillis: Long)(
+    * The batch's events and the pending sessions are merged under the
+    * SAME fold batch sessionization uses (sort by start, merge
+    * neighbors within the gap), so any admissible straggler — before,
+    * between, or bridging pending sessions — lands exactly where a
+    * batch recomputation would put it. */
+  def transition(gapMicros: Long)(
       key: Long, events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator(Session(key, s.n, new Timestamp(s.start),
-        new Timestamp(s.last), s.total))
-    }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
-    val locals = Seq.newBuilder[SessionState]
-    var cur: Option[SessionState] = None
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(c) if t - c.last <= gapMillis =>
-          cur = Some(c.copy(last = math.max(c.last, t), n = c.n + 1,
-            total = c.total + e.value))
-        case other =>
-          other.foreach(locals += _)
-          cur = Some(SessionState(t, t, 1, e.value))
-      }
-    }
-    cur.foreach(locals += _)
-    var open = state.getOption
-    val closed = Seq.newBuilder[Session]
-    def emit(s: SessionState): Unit =
-      closed += Session(key, s.n, new Timestamp(s.start),
-        new Timestamp(s.last), s.total)
-    locals.result().foreach { l =>
-      open match {
-        case Some(s) if l.start - s.last <= gapMillis &&
-                        s.start - l.last <= gapMillis =>
-          open = Some(SessionState(
-            math.min(s.start, l.start), math.max(s.last, l.last),
-            s.n + l.n, s.total + l.total))
-        case Some(s) if l.last < s.start - gapMillis =>
-          emit(l) // entirely before the open session: already complete
-        case Some(s) =>
-          emit(s); open = Some(l) // gap after the open session: it closes
-        case None =>
-          open = Some(l)
-      }
-    }
-    open match {
-      case Some(s) =>
-        state.update(s)
-        // close the session once the watermark passes last + gap
-        state.setTimeoutTimestamp(s.last + gapMillis)
-      case None => state.remove()
-    }
-    closed.result().iterator
+      state: GroupState[PendingSessions]): Iterator[Session] = {
+    val fresh = events.toSeq
+      .sortBy(e => (micros(e.ts), e.value))
+      .map(e => SessionState(micros(e.ts), micros(e.ts), 1, e.value))
+    val all = (state.getOption.map(_.sessions).getOrElse(Nil) ++ fresh)
+      .sortBy(s => (s.start, s.last))
+    // gaps-and-islands fold over sessions: disjoint event sets make the
+    // stats additive, so merging session summaries equals re-running
+    // the fold over the raw events
+    val merged = all.foldLeft(List.empty[SessionState]) {
+      case (cur :: done, s) if s.start - cur.last <= gapMicros =>
+        cur.copy(last = math.max(cur.last, s.last), n = cur.n + s.n,
+          total = cur.total + s.total) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+    // a session is CLOSED only when no admissible event can extend it:
+    // watermark past end + gap. Emitting any earlier splits sessions
+    // that a straggler would have extended.
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+    val (done, pending) = merged.partition(_.last + gapMicros <= wmMicros)
+    if (pending.nonEmpty) {
+      state.update(PendingSessions(pending))
+      // re-arm for the earliest still-pending close point (ceil to ms,
+      // strictly beyond the current watermark by construction)
+      val nextUs = pending.map(_.last + gapMicros).min
+      state.setTimeoutTimestamp(Math.floorDiv(nextUs + 999L, 1000L))
+    } else state.remove()
+    done.iterator.map(s =>
+      Session(key, s.n, toTs(s.start), toTs(s.last), s.total))
   }
 
   /** Run the stateful sessionization over a parquet file stream of
@@ -108,7 +107,7 @@ object StatefulSessions {
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        transition(gapSeconds * 1000L))
+        transition(gapSeconds * 1000000L))
       .writeStream
       .outputMode("append")
       .format("parquet")

@@ -37,7 +37,11 @@ object WindowedAgg {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch
           .select(
-            date_format(col("window.start"), "yyyy-MM-dd").as("window_date"),
+            // full timestamp label (like tumblingAppend): a bare date
+            // would collapse every sub-daily window of a key into
+            // indistinguishable duplicate rows
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
             col(keyCol), col("cnt"), round(col("total"), 2).as("total"))
           .write.mode("overwrite").parquet(outDir)
       }

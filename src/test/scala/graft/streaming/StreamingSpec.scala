@@ -75,9 +75,11 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
+    // full window-START labels: a bare date would collapse sub-daily
+    // windows of one key into indistinguishable duplicate rows
     assert(got == Set(
-      ("2024-01-01", "a", 1L, 2.0),
-      ("2024-01-01", "b", 1L, 3.0),
-      ("2024-01-02", "a", 1L, 4.0)))
+      ("2024-01-01 00:00:00", "a", 1L, 2.0),
+      ("2024-01-01 00:00:00", "b", 1L, 3.0),
+      ("2024-01-02 00:00:00", "a", 1L, 4.0)))
   }
 }
