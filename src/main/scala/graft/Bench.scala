@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
@@ -14,20 +13,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // raw local FS, no client-side .crc siblings: production filesystems
-      // (HDFS, S3A) don't write them either, and ChecksumFileSystem DOUBLES
-      // every metadata op on many-partition writes (measured ~30% on a
-      // 2,400-dir write) — this makes local[n] behave like a cluster
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Gate.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     var failures = List.empty[String]
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
@@ -36,7 +22,7 @@ object Bench {
     // caches), which pollutes per-query regression tracking across rounds
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -50,18 +36,22 @@ object Bench {
             .head()
           true
         }
-        catch { case e: Throwable =>
+        // NonFatal only: an OOM must abort the run — recording it as
+        // one failure and continuing with a wedged session would turn
+        // every later query into a bogus regression
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failures ::= name; false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    import Gate.jstr
     val timed = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fails = failures.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the two gate mains ([[Verify]], [[Bench]]) —
+  * ONE session recipe and ONE JSON escaper, so a conf or format fix
+  * can't land in one gate and silently diverge the other. */
+private[graft] object Gate {
+
+  /** The gate SparkSession: local[n], pinned shuffle parallelism, UTC. */
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // raw local FS, no client-side .crc siblings: production filesystems
+      // (HDFS, S3A) don't write them either, and ChecksumFileSystem DOUBLES
+      // every metadata op on many-partition writes (measured ~30% on a
+      // 2,400-dir write) — this makes local[n] behave like a cluster
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** JSON string literal: backslash, quote, and ALL control chars
+    * (<0x20) escaped — a tab or CR in builder-authored SQL (or a
+    * quote in a path) would otherwise make the driver's json.load
+    * fail and silently zero the round's artifact. */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

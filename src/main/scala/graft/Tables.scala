@@ -120,7 +120,11 @@ object Tables {
   def eventTsExpr(tsCol: String, onDisk: DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     onDisk match {
-      case LongType => expr(s"timestamp_micros($tsCol div 1000)")
+      // integral `div` (double division loses precision at 1e18 nanos)
+      // with the column name BACKQUOTED — a name with a space or dot
+      // would otherwise break, or silently mis-resolve, the parsed form
+      case LongType =>
+        expr(s"timestamp_micros(`${tsCol.replace("`", "``")}` div 1000)")
       case TimestampNTZType => col(tsCol).cast(TimestampType)
       case _ => col(tsCol)
     }

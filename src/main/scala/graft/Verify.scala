@@ -1,25 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args: " +
+        args.mkString(", ") + ")")
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // raw local FS, no client-side .crc siblings: production filesystems
-      // (HDFS, S3A) don't write them either, and ChecksumFileSystem DOUBLES
-      // every metadata op on many-partition writes (measured ~30% on a
-      // 2,400-dir write) — this makes local[n] behave like a cluster
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Gate.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     var errors = List.empty[(String, String)]
@@ -30,25 +19,29 @@ object Verify {
       // query's natural output partitioning.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM must abort the run, not wedge the
+        // session and cascade bogus failures through every later query
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName))
+        // a failure BEFORE the write action started (analysis error,
+        // builder require) leaves a PRIOR run's dump intact in a
+        // reused outDir — delete it, or the compare reads stale
+        // results as green, exactly what the error record exists to
+        // prevent
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(s"$outDir/$name"))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import Gate.jstr
+    // oracle entries only for the SELECTED queries: a dev-loop subset
+    // run would otherwise hand the compare tool ~100 oracles with one
+    // result dump and bury the real outcome in no-result noise
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .filter { case (k, _) => selected.contains(k) }
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Self-describing failure record: every query that threw gets an
     // explicit entry (name → first line of the error) instead of being
@@ -57,7 +50,7 @@ object Verify {
     // run (VERDICT r6: 17 broken queries read as 78/81-green).
     val errJson = errors.reverse
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.linesIterator.nextOption().getOrElse(""))}" }
+        s"${jstr(k)}: ${jstr(v.linesIterator.nextOption().getOrElse(""))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
