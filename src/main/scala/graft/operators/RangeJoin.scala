@@ -35,8 +35,14 @@ object RangeJoin {
     val hiBin = floor(col(hiCol) / binWidth).cast("long")
     // the guard is FOLDED into the sequence bound (assert_true yields
     // null when it passes; coalesce makes it a no-op term) — a separate
-    // dropped guard column would be pruned away before ever evaluating
-    val guard = assert_true(hiBin - loBin < maxBinsPerInterval,
+    // dropped guard column would be pruned away before ever evaluating.
+    // NULL-bounded intervals are legal and drop the row (sequence(null,x)
+    // is null, explode drops it) — exactly what the naive theta join does
+    // with a NULL comparison — so the assert must pass them through, not
+    // trip on the null `hiBin - loBin`.
+    val guard = assert_true(
+      col(loCol).isNull || col(hiCol).isNull ||
+        hiBin - loBin < maxBinsPerInterval,
       concat(lit("range-join interval spans too many bins (cap " +
           s"$maxBinsPerInterval): ["), col(loCol), lit(", "), col(hiCol),
         lit(s"] at binWidth $binWidth — widen binWidth or raise " +

@@ -270,7 +270,15 @@ object Pipeline {
               s"archive failed: ${st.getPath} -> $dest")
         }
       }
-      fs.delete(from, false) // now-empty source dir
+      // the delete must be as loud as the renames: a false return (a
+      // leftover the walk didn't move — e.g. a dot-file the next run
+      // would half-re-process) is exactly the silent-partial-archive
+      // class this rewrite exists to kill
+      if (!fs.delete(from, false) && fs.exists(from))
+        throw new IllegalStateException(
+          s"archive failed: source dir $from not empty after moving " +
+            s"its files (leftover: ${fs.listStatus(from).take(3)
+              .map(_.getPath.getName).mkString(", ")})")
     }
     moveInto(src, new Path(archivedDir))
     fs.mkdirs(src) // keep the landing root for the next arrival

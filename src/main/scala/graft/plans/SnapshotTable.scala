@@ -21,18 +21,21 @@ import org.apache.spark.sql.types.StructType
   *  - Data files are immutable, written under Hive-style partition dirs
   *    `data/<pc>=<value>/<commit>-<file>.parquet`; a commit never
   *    modifies or deletes a live file.
-  *  - A snapshot is a manifest under `_commits/v<N>.manifest` listing
-  *    exactly the files it contains (per partition). The COMMIT POINT is
-  *    the single atomic rename of the manifest tmp file into `_commits/`
-  *    — readers resolve max(version) and see either the old or the new
-  *    snapshot, never a mix, no matter where a writer died.
+  *  - A snapshot is a commit record under `_commits/`: an action DELTA
+  *    `v<N>.delta` (add/remove lines for the touched files only) with a
+  *    full checkpoint manifest `v<N>.manifest` every few versions
+  *    (Delta-log pattern). The COMMIT POINT is the single atomic rename
+  *    of the delta tmp file into `_commits/` — readers resolve
+  *    max(version) and see either the old or the new snapshot, never a
+  *    mix, no matter where a writer died.
   *  - A crashed commit leaves orphan data files referenced by no
-  *    manifest; they are invisible to readers and reclaimed by
+  *    record; they are invisible to readers and reclaimed by
   *    [[vacuum]].
   *
-  * Scale notes (100 TB): the manifest is driver-side METADATA — O(live
-  * files) lines, the same information Iceberg keeps in avro manifests —
-  * while data moves stay distributed. `upsert` reads and rewrites only
+  * Scale notes (100 TB): commit metadata is driver-side and O(touched
+  * files) per commit (checkpoints O(live files), amortized across the
+  * interval — the same shape as Delta's JSON actions + parquet
+  * checkpoints), while data moves stay distributed. `upsert` reads and rewrites only
   * the partitions the batch touches (metadata-level partition pruning:
   * untouched partitions carry over by reference, zero I/O). Reads list
   * no directories at all (no eventually-consistent listing, no
@@ -125,23 +128,56 @@ final class SnapshotTable(
       finally println(f"[snap-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else body
 
-  // ---- commit-log format: each version's ATOMIC commit point is its
-  // full `v<n>.manifest` — header lines (version/token/schema/
-  // partition/check/layout/property) plus one line per LIVE file with
-  // its stats, written to a temp name and renamed into place. A commit
-  // therefore writes O(live files) metadata — one file, stats gathered
-  // in parallel at stage time, no directory listing — which holds to
-  // millions of rows per the bench; the known next step at true
-  // Delta-log scale (per-commit O(touched) action deltas + periodic
-  // checkpoints) is deliberately NOT implemented: full manifests keep
-  // every reader a one-file parse and every version self-contained.
+  // ---- commit-log format (Delta-log pattern, two record kinds):
+  //  * `v<n>.delta` — the version's ATOMIC commit point: full header
+  //    lines (version/token/schema/partition/check/layout/property —
+  //    headers are O(schema) bytes, re-logged whole so any single
+  //    record types the table) plus ONE ACTION LINE PER TOUCHED FILE
+  //    (`add\t<entry>` / `remove\t<path>`). A commit therefore writes
+  //    O(touched files) metadata, not O(live files) — the difference
+  //    between a 1 KB and a 100 MB write per commit on a ~1M-file
+  //    table.
+  //  * `v<n>.manifest` — a CHECKPOINT: the same headers plus one line
+  //    per LIVE file. Written for v1 (the atomic point there — every
+  //    file is new, delta == full) and, best-effort AFTER the delta
+  //    commit wins, every `checkpointInterval` versions, so a reader
+  //    reconstructs any version from ≤ interval file parses. A lost
+  //    checkpoint costs replay depth, never correctness; vacuum
+  //    re-materializes one at the retention horizon before dropping
+  //    older records. Pre-delta tables (manifest-only logs) read
+  //    unchanged: a full manifest at v short-circuits the replay.
   // Stats values tagged L:/D:/S: (long/double/URL-encoded string);
   // paths table-relative so the table directory is relocatable.
 
   private def manifestPath(v: Long) = new Path(f"$commitsDir/v$v%09d.manifest")
+  private def deltaPath(v: Long) = new Path(f"$commitsDir/v$v%09d.delta")
+  // an earlier revision of this format wrote `v<n>.commit` action files;
+  // silently ignoring one would resolve the table to a STALE head, so
+  // their presence is a loud error (tables are regenerated per round;
+  // nothing writes this extension anymore)
+  private def legacyCommitPath(v: Long) = new Path(f"$commitsDir/v$v%09d.commit")
 
-  /** Whether version `v` is committed and retained. */
-  private def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
+  /** Whether version `v` is committed and retained (either record kind). */
+  private def versionExists(v: Long): Boolean =
+    fs.exists(deltaPath(v)) || fs.exists(manifestPath(v))
+
+  /** The file whose mtime is `v`'s commit time: the delta when present
+    * (the atomic commit point — a checkpoint at the same version is
+    * written after it), else the manifest (v1 / pre-delta tables /
+    * vacuum-materialized horizon). */
+  private def commitRecord(v: Long): Option[Path] = {
+    val d = deltaPath(v)
+    if (fs.exists(d)) Some(d)
+    else { val m = manifestPath(v); if (fs.exists(m)) Some(m) else None }
+  }
+
+  /** Versions between full checkpoints: the replay depth a reader pays
+    * at most. Tunable per table via the `graft.checkpointInterval`
+    * property; 10 balances commit cost (one small delta) against read
+    * cost (≤ 10 bounded parses, all but one O(touched)). */
+  private def checkpointInterval: Int =
+    effectiveProps.get("graft.checkpointInterval")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(10)
 
   /** Checkpoint hint: the last committed version number, rewritten after
     * every successful commit (Delta's `_last_checkpoint` idea). Purely an
@@ -185,13 +221,35 @@ final class SnapshotTable(
       case Some(h) =>
         var v = h
         while (versionExists(v + 1)) v += 1
+        // the forward probe stops at the first missing version — if what
+        // sits there is a legacy-format record, the head we just
+        // resolved is STALE, the silent-wrong-answer case; one extra
+        // probe makes it loud (the listing fallback below checks too)
+        if (fs.exists(legacyCommitPath(v + 1)))
+          throw new IllegalStateException(
+            s"table at $path carries a legacy-format commit record " +
+              s"(v${v + 1}.commit): this revision cannot read it and " +
+              "proceeding would silently resolve a stale head — " +
+              "regenerate the table")
         Some(v)
       case None =>
         val dir = new Path(commitsDir)
         if (!fs.exists(dir)) return None
-        val vs = fs.listStatus(dir).map(_.getPath.getName)
-          .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+        val names = fs.listStatus(dir).map(_.getPath.getName)
+        val legacy = names.filter(n =>
+          n.startsWith("v") && n.endsWith(".commit"))
+        if (legacy.nonEmpty)
+          throw new IllegalStateException(
+            s"table at $path carries legacy-format commit record(s) " +
+              s"(${legacy.sorted.take(3).mkString(", ")}): this revision " +
+              "cannot read them and proceeding would silently resolve a " +
+              "stale head — regenerate the table")
+        val vs = names.collect {
+          case n if n.startsWith("v") && n.endsWith(".manifest") =>
+            n.stripPrefix("v").stripSuffix(".manifest").toLong
+          case n if n.startsWith("v") && n.endsWith(".delta") =>
+            n.stripPrefix("v").stripSuffix(".delta").toLong
+        }
         if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -245,15 +303,24 @@ final class SnapshotTable(
           e: java.util.Map.Entry[Long, Manifest]): Boolean = size() > 4
     }
 
-  private def readManifest(v: Long): Manifest = manifestCache.synchronized {
-    val cached = manifestCache.get(v)
-    if (cached != null) return cached
-    val in = fs.open(manifestPath(v))
+  /** One parsed commit record of either kind: headers plus, for a full
+    * manifest/checkpoint, the live-file list in `entries`; for a delta,
+    * the touched-file actions in `adds`/`removes`. */
+  private final case class ParsedCommit(
+      schema: Option[StructType], partitionCol: Option[String],
+      checks: Seq[(String, String)], layout: Option[Layout],
+      props: Map[String, String], entries: Seq[FileEntry],
+      adds: Seq[FileEntry], removes: Seq[String])
+
+  private val ActionPrefixes = Seq("add\t", "remove\t")
+
+  private def parseCommit(p: Path, v: Long): ParsedCommit = {
+    val in = fs.open(p)
     try {
       val txt = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       val lines = txt.split("\n").filter(_.nonEmpty).toSeq
-      require(lines.head == s"version\t$v", s"manifest header mismatch at v$v")
+      require(lines.head == s"version\t$v", s"commit header mismatch at $p")
       val schema = lines.tail.find(_.startsWith("schema\t")).flatMap { l =>
         scala.util.Try(org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("schema\t")).asInstanceOf[StructType]).toOption
@@ -273,13 +340,67 @@ final class SnapshotTable(
         val parts = l.split("\t", 3)
         (decHdr(parts(1)), decHdr(parts(2)))
       }.toMap
+      val adds = lines.tail.filter(_.startsWith("add\t"))
+        .map(l => FileEntry.parse(l.stripPrefix("add\t")))
+      val removes = lines.tail.filter(_.startsWith("remove\t"))
+        .map(_.stripPrefix("remove\t"))
       val entries = lines.tail
-        .filterNot(l => HeaderPrefixes.exists(l.startsWith))
+        .filterNot(l =>
+          (HeaderPrefixes ++ ActionPrefixes).exists(l.startsWith))
         .map(FileEntry.parse)
-      val m = Manifest(entries, schema, pc, checks, layout, props)
-      manifestCache.put(v, m)
-      m
+      ParsedCommit(schema, pc, checks, layout, props, entries, adds, removes)
     } finally in.close()
+  }
+
+  /** The full table state at version `v`: walk down to the nearest
+    * reconstructable base (a cached state or a checkpoint manifest),
+    * then replay the delta chain above it. Bounded work — at most
+    * `checkpointInterval` file parses, exactly one of them O(live
+    * files); headers come from the LAST record applied (every delta
+    * re-logs them whole). A version whose chain is broken (vacuumed
+    * delta, legacy record) fails loudly rather than resolving to a
+    * wrong snapshot. */
+  private def readManifest(v: Long): Manifest = manifestCache.synchronized {
+    val cached = manifestCache.get(v)
+    if (cached != null) return cached
+    var deltas = List.empty[Long] // ascending: prepended as c descends
+    var base = Manifest(Nil, None, None, Nil, None, Map.empty)
+    var c = v
+    var found = false
+    while (c >= 1 && !found) {
+      val m = manifestCache.get(c)
+      if (m != null) { base = m; found = true }
+      else if (fs.exists(manifestPath(c))) {
+        val pcm = parseCommit(manifestPath(c), c)
+        base = Manifest(pcm.entries, pcm.schema, pcm.partitionCol,
+          pcm.checks, pcm.layout, pcm.props)
+        found = true
+      } else if (fs.exists(deltaPath(c))) { deltas ::= c; c -= 1 }
+      else if (fs.exists(legacyCommitPath(c)))
+        throw new IllegalStateException(
+          s"version $c at $path is a legacy-format commit record " +
+            "(.commit) this revision cannot read — regenerate the table")
+      else throw new IllegalStateException(
+        s"cannot reconstruct version $v at $path: version $c has no " +
+          "commit record (vacuumed or corrupt) and no checkpoint covers " +
+          "the gap")
+    }
+    val live = new java.util.LinkedHashMap[String, FileEntry]
+    base.entries.foreach(e => live.put(e.path, e))
+    var head = base
+    deltas.foreach { dv =>
+      val pcm = parseCommit(deltaPath(dv), dv)
+      pcm.removes.foreach(live.remove)
+      pcm.adds.foreach(e => live.put(e.path, e))
+      head = Manifest(Nil, pcm.schema, pcm.partitionCol, pcm.checks,
+        pcm.layout, pcm.props)
+    }
+    val m = Manifest(
+      scala.jdk.CollectionConverters.CollectionHasAsScala(live.values)
+        .asScala.toSeq,
+      head.schema, head.partitionCol, head.checks, head.layout, head.props)
+    manifestCache.put(v, m)
+    m
   }
 
   /** The layout in force: constructor values where given (that is how
@@ -340,8 +461,9 @@ final class SnapshotTable(
   private def commitManifest(v: Long, files: Seq[FileEntry],
                              schema: StructType): Unit = {
     fs.mkdirs(new Path(commitsDir))
-    val dest = manifestPath(v)
-    if (fs.exists(dest))
+    // either record kind at `v` means the version is taken (a fake or
+    // checkpoint-only manifest must conflict a delta commit too)
+    if (versionExists(v))
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
     val token = UUID.randomUUID().toString
@@ -381,8 +503,9 @@ final class SnapshotTable(
     val carried = loggedChecks
       .filterNot(c => ctorNames(c._1) || droppedChecks(c._1))
       .map { case (n, sql) => (n, sql) }
-    val checkLines = (carried ++ checkConstraints.map { case (n, c) =>
-      (n, checkSql(c)) })
+    val allChecks = carried ++ checkConstraints.map { case (n, c) =>
+      (n, checkSql(c)) }
+    val checkLines = allChecks
       .map { case (n, sql) => s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }
       .mkString
     val lay = effectiveLayout
@@ -397,10 +520,28 @@ final class SnapshotTable(
     val propLines = effectiveProps.toSeq.sortBy(_._1)
       .map { case (k, vl) => s"property\t${encHdr(k)}\t${encHdr(vl)}\n" }
       .mkString
-    val payload = (s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      pcLine + checkLines + layoutLine + propLines +
-      files.map(_.serialize).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8)
+    val header = s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
+      pcLine + checkLines + layoutLine + propLines
+    // v1 commits FULL (every file is new — the manifest IS the delta and
+    // doubles as the base checkpoint); later commits write only the diff
+    // against the parent state: O(touched) bytes instead of O(live).
+    // The diff costs O(parent + new) driver memory — no more than the
+    // commit already holds to plan `files` — and an entry whose stats
+    // changed under an unchanged path simply re-adds.
+    val body =
+      if (v <= 1L) files.map(_.serialize).mkString("\n")
+      else {
+        val prevSer = readManifest(v - 1).entries
+          .map(e => e.path -> e.serialize).toMap
+        val newPaths = files.map(_.path).toSet
+        val removes = prevSer.keysIterator.filterNot(newPaths).toSeq.sorted
+        val adds =
+          files.filter(e => !prevSer.get(e.path).contains(e.serialize))
+        (removes.map(p => s"remove\t$p") ++
+          adds.map(e => s"add\t${e.serialize}")).mkString("\n")
+      }
+    val payload = (header + body + "\n").getBytes(StandardCharsets.UTF_8)
+    val dest = if (v <= 1L) manifestPath(v) else deltaPath(v)
     val tmp = new Path(s"$commitsDir/.tmp-$token")
     val out = fs.create(tmp, true)
     try out.write(payload)
@@ -436,7 +577,54 @@ final class SnapshotTable(
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
     writeLatestHint(v)
+    // seed the cache with the committed state: the next commit's diff
+    // and any immediate read resolve with zero replay
+    val committed = Manifest(
+      files,
+      Some(StructType(schema.fields.map(_.copy(nullable = true)))),
+      Some(tablePartitionCols.mkString(",")).filter(_.nonEmpty),
+      allChecks,
+      Some(effectiveLayout).filterNot(_ == Layout(Nil, Nil, 0, Nil,
+        100000L, 0.03)),
+      effectiveProps)
+    manifestCache.synchronized(manifestCache.put(v, committed))
+    // periodic full checkpoint AFTER the delta wins — best-effort (a
+    // lost one costs replay depth, never correctness), and only the
+    // commit winner reaches here so there is no checkpoint race
+    if (v > 1L && v % checkpointInterval == 0L)
+      writeCheckpoint(v, checkpointPayload(v, committed))
   }
+
+  /** Serialize full state `m` as a checkpoint manifest payload —
+    * byte-compatible with what a v1/pre-delta commit writes, so every
+    * reader path parses checkpoints and full manifests identically. */
+  private def checkpointPayload(v: Long, m: Manifest): Array[Byte] = {
+    val schemaLine = m.schema.map(s => s"schema\t${s.json}\n").getOrElse("")
+    val pcLine = m.partitionCol.map(pc => s"partition\t$pc\n").getOrElse("")
+    val checkLines = m.checks.map { case (n, sql) =>
+      s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }.mkString
+    val layoutLine = m.layout.map(l =>
+      s"layout\t${encCols(l.statsCols)}\t${encCols(l.clusterBy)}\t" +
+        s"${l.clusterFiles}\t${encCols(l.bloomCols)}\t${l.bloomItems}\t" +
+        s"${l.bloomFpp}\n").getOrElse("")
+    val propLines = m.props.toSeq.sortBy(_._1).map { case (k, vl) =>
+      s"property\t${encHdr(k)}\t${encHdr(vl)}\n" }.mkString
+    (s"version\t$v\ntoken\t${UUID.randomUUID()}\n" + schemaLine + pcLine +
+      checkLines + layoutLine + propLines +
+      m.entries.map(_.serialize).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Best-effort checkpoint write — NEVER a commit point: rename onto
+    * the manifest name, failures swallowed (readers just replay more
+    * deltas; vacuum re-materializes at the horizon). */
+  private def writeCheckpoint(v: Long, payload: Array[Byte]): Unit =
+    try {
+      val tmp = new Path(s"$commitsDir/.cp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      if (!fs.rename(tmp, manifestPath(v))) fs.delete(tmp, false)
+    } catch { case _: Exception => () }
 
   /** Snapshot read of a specific version (time travel), typed by that
     * version's logged schema. */
@@ -452,18 +640,21 @@ final class SnapshotTable(
     * metadata probes bounded by the retained history. */
   def versionAt(epochMs: Long): Option[Long] = {
     val head = currentVersion.getOrElse(return None)
-    // walk back from the head until a manifest is old enough; vacuumed
-    // manifests end the walk (their commit times are unknowable)
+    // walk back from the head until a commit record is old enough;
+    // vacuumed versions end the walk (their commit times are unknowable)
     var v = head
-    while (v >= 1 && fs.exists(manifestPath(v)) &&
-           fs.getFileStatus(manifestPath(v)).getModificationTime > epochMs)
+    var rec = commitRecord(v)
+    while (v >= 1 && rec.exists(p =>
+             fs.getFileStatus(p).getModificationTime > epochMs)) {
       v -= 1
-    if (v >= 1 && fs.exists(manifestPath(v))) Some(v) else None
+      rec = if (v >= 1) commitRecord(v) else None
+    }
+    if (v >= 1 && rec.isDefined) Some(v) else None
   }
 
-  /** Whether version `v`'s manifest is still retained (committed and
-    * not vacuumed) — one metadata probe, no parse. */
-  def hasVersion(v: Long): Boolean = v >= 1 && fs.exists(manifestPath(v))
+  /** Whether version `v`'s commit record is still retained (committed
+    * and not vacuumed) — metadata probes only, no parse. */
+  def hasVersion(v: Long): Boolean = v >= 1 && versionExists(v)
 
   /** The table's retained commit history, newest first: (version,
     * commitTimeMs, liveFileCount). Commit times are the manifest file
@@ -473,10 +664,9 @@ final class SnapshotTable(
   def history: Seq[(Long, Long, Int)] = {
     val head = currentVersion.getOrElse(return Nil)
     (1L to head).reverse.iterator.map { v =>
-      val p = manifestPath(v)
-      if (!fs.exists(p)) None
-      else Some((v, fs.getFileStatus(p).getModificationTime,
-        readManifest(v).entries.size))
+      commitRecord(v).map(p =>
+        (v, fs.getFileStatus(p).getModificationTime,
+          readManifest(v).entries.size))
     }.takeWhile(_.isDefined).flatten.toSeq
   }
 
@@ -1698,18 +1888,42 @@ final class SnapshotTable(
     // rather than crash on the missing file
     val referenced = keep.filter(hasVersion)
       .flatMap(readManifest(_).entries.map(_.path)).toSet
-    // drop manifests older than the retention window (and forget their
-    // cached parses: a reclaimed version must fail time travel, not be
-    // served from this handle's memory)
+    // the retained versions must stay reconstructable AFTER the older
+    // records go: materialize a full checkpoint at the horizon version
+    // first (its base chain may reach below the horizon). Ordering is
+    // the crash-safety: checkpoint before any delete, so an interrupted
+    // vacuum never strands a retained version. Retained versions above
+    // the horizon then replay from it.
+    val horizon = keep.head
+    keep.find(hasVersion).foreach { oldest =>
+      if (!fs.exists(manifestPath(oldest))) {
+        writeCheckpoint(oldest, checkpointPayload(oldest,
+          readManifest(oldest)))
+        // writeCheckpoint is best-effort by contract; HERE it is
+        // load-bearing — verify before any record below it is dropped,
+        // abort loudly otherwise (nothing is lost by aborting: data
+        // sweep below only touches unreferenced files)
+        if (!fs.exists(manifestPath(oldest)))
+          throw new IllegalStateException(
+            s"vacuum at $path failed to materialize a checkpoint at " +
+              s"v$oldest — aborting before dropping its base chain")
+      }
+    }
+    // drop commit records older than the retention window (and forget
+    // their cached parses: a reclaimed version must fail time travel,
+    // not be served from this handle's memory)
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.endsWith(".manifest")) {
-        val mv = n.stripPrefix("v").stripSuffix(".manifest").toLong
-        if (mv < keep.head) {
-          fs.delete(st.getPath, false)
-          manifestCache.synchronized(manifestCache.remove(mv))
-        }
+      val mv =
+        if (n.startsWith("v") && n.endsWith(".manifest"))
+          Some(n.stripPrefix("v").stripSuffix(".manifest").toLong)
+        else if (n.startsWith("v") && n.endsWith(".delta"))
+          Some(n.stripPrefix("v").stripSuffix(".delta").toLong)
+        else None
+      mv.filter(_ < horizon).foreach { old =>
+        fs.delete(st.getPath, false)
+        manifestCache.synchronized(manifestCache.remove(old))
       }
     }
     // delete unreferenced-AND-aged data files, then empty partition dirs
@@ -1816,6 +2030,18 @@ object SnapshotTable {
         case (v, _) if v.length > 3 && v.charAt(2) == ':' =>
           (v.take(3), graft.functions.BloomSketch.fromBase64(v.drop(3)))
       }
+
+    /** Row positions deleted from this otherwise-live file (deletion
+      * vector), sorted ascending; empty when none. */
+    def deletedRows: Array[Long] =
+      stats.get(FileEntry.DvKey)
+        .map(v => FileEntry.decodeDv(v._1))
+        .getOrElse(Array.emptyLongArray)
+
+    /** This entry with `positions` recorded as its deletion vector
+      * (replacing any previous one — callers union first). */
+    def withDeletedRows(positions: Array[Long]): FileEntry =
+      copy(stats = stats + FileEntry.dvStat(positions))
   }
 
   object FileEntry {
@@ -1833,6 +2059,51 @@ object SnapshotTable {
     val MetaKey = "file:meta"
     def metaStat(len: Long, mtime: Long): (String, (String, String)) =
       MetaKey -> (s"L:$len", s"L:$mtime")
+
+    /** A file's DELETION VECTOR rides the stats map under a reserved
+      * key (same convention as `file:meta`/blooms — the `:` makes a
+      * column-name collision impossible): sorted row positions,
+      * delta-varint packed then base64, with the count as the second
+      * value. Point deletes cost a few BYTES of manifest metadata
+      * instead of a file rewrite; the encoding is position-exact, so a
+      * reader filters on `_metadata.row_index` with no false drops. */
+    val DvKey = "file:dv"
+
+    def dvStat(positions: Array[Long]): (String, (String, String)) = {
+      val sorted = positions.distinct.sorted
+      val bos = new java.io.ByteArrayOutputStream()
+      var prev = 0L
+      sorted.foreach { p =>
+        var d = p - prev // gaps are non-negative: sorted, first from 0
+        prev = p
+        while ((d & ~0x7fL) != 0L) {
+          bos.write(((d & 0x7f) | 0x80).toInt); d >>>= 7
+        }
+        bos.write(d.toInt)
+      }
+      DvKey -> (
+        java.util.Base64.getEncoder.encodeToString(bos.toByteArray),
+        s"L:${sorted.length}")
+    }
+
+    def decodeDv(encoded: String): Array[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(encoded)
+      val out = Array.newBuilder[Long]
+      var i = 0
+      var prev = 0L
+      while (i < bytes.length) {
+        var d = 0L
+        var shift = 0
+        var b = 0
+        while ({ b = bytes(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
+          d |= (b & 0x7fL) << shift; shift += 7
+        }
+        d |= b.toLong << shift
+        prev += d
+        out += prev
+      }
+      out.result()
+    }
 
     def parse(line: String): FileEntry = {
       val parts = line.split("\t", -1)

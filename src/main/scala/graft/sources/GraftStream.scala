@@ -283,15 +283,22 @@ private[sources] final class GraftMicroBatchStream(
 
   /** One version's manifest entries, with missing-history surfaced as
     * the operational fact it is: the offset was vacuumed. */
-  private def entriesAt(v: Long): Seq[SnapshotTable.FileEntry] =
+  private def entriesAt(v: Long): Seq[SnapshotTable.FileEntry] = {
+    def vacuumed() = new IllegalStateException(
+      s"stream offset v$v of $tablePath is no longer retained " +
+        "(vacuumed) — restart from a fresh checkpoint with " +
+        "startingVersion = 'latest' or a retained version")
     try snapshot.scanInfo(Some(v))._1
     catch {
-      case _: java.io.FileNotFoundException =>
-        throw new IllegalStateException(
-          s"stream offset v$v of $tablePath is no longer retained " +
-            "(vacuumed) — restart from a fresh checkpoint with " +
-            "startingVersion = 'latest' or a retained version")
+      // pre-delta logs surfaced a vacuumed version as the manifest's
+      // FileNotFound; the delta log surfaces it as a broken replay
+      // chain ("no commit record") — same operational fact
+      case _: java.io.FileNotFoundException => throw vacuumed()
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.contains("no commit record")) =>
+        throw vacuumed()
     }
+  }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {

@@ -77,17 +77,20 @@ object StatefulSessions {
           total = cur.total + s.total) :: done
       case (acc, s) => s :: acc
     }.reverse
-    // a session is CLOSED only when no admissible event can extend it:
-    // watermark past end + gap. Emitting any earlier splits sessions
-    // that a straggler would have extended.
+    // a session is CLOSED only when no admissible event can extend it.
+    // Spark's late-data filter ADMITS events with ts == watermark, and an
+    // event at exactly last + gap still merges (t - last <= gap), so the
+    // close test must be STRICT: watermark strictly past end + gap.
     val wmMicros = state.getCurrentWatermarkMs() * 1000L
-    val (done, pending) = merged.partition(_.last + gapMicros <= wmMicros)
+    val (done, pending) = merged.partition(_.last + gapMicros < wmMicros)
     if (pending.nonEmpty) {
       state.update(PendingSessions(pending))
-      // re-arm for the earliest still-pending close point (ceil to ms,
-      // strictly beyond the current watermark by construction)
+      // re-arm at the smallest ms T with T*1000 strictly past the
+      // earliest close point — guarantees the timeout's watermark
+      // satisfies the strict close test and strictly advances even when
+      // nextUs == wmMicros (possible under the strict partition above)
       val nextUs = pending.map(_.last + gapMicros).min
-      state.setTimeoutTimestamp(Math.floorDiv(nextUs + 999L, 1000L))
+      state.setTimeoutTimestamp(Math.floorDiv(nextUs, 1000L) + 1L)
     } else state.remove()
     done.iterator.map(s =>
       Session(key, s.n, toTs(s.start), toTs(s.last), s.total))

@@ -96,7 +96,10 @@ class ManifestFileIndexSpec extends SparkSpec {
     val out = fs.create(mf, true)
     out.write(stripped.getBytes("UTF-8")); out.close()
 
-    val df = t.read
+    // a FRESH handle: the writing handle serves its own committed state
+    // from cache (by design); a legacy table is met by a new reader
+    val df = SnapshotTable(spark, path, "id", Some("part"),
+      declaredSchema = Some(schema)).read
     assert(!scanOf(df).relation.location.isInstanceOf[ManifestFileIndex],
       "read without recorded lengths must not trust the manifest index")
     assert(df.orderBy("id").select("val").as[String].collect().toSeq ==

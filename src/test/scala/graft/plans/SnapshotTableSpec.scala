@@ -1008,4 +1008,129 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(t).size == 8)
     assert(t.hasVersion(8L) && !t.hasVersion(6L))
   }
+
+  // ---- delta-log commit records (action deltas + periodic checkpoints)
+
+  private def fsOf(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitText(path: String, name: String): String = {
+    val fs = fsOf(path)
+    val in = fs.open(new Path(s"$path/_commits/$name"))
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("delta log: commits after v1 write O(touched-files) action deltas") {
+    val path = tmp("snapdelta")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    t.upsert(frame((2, "B2", "p2"))) // touches ONLY p2
+    val fs = fsOf(path)
+    assert(fs.exists(new Path(s"$path/_commits/v000000001.manifest")),
+      "v1 must be a full manifest (its own base checkpoint)")
+    assert(!fs.exists(new Path(s"$path/_commits/v000000002.manifest")))
+    assert(fs.exists(new Path(s"$path/_commits/v000000002.delta")))
+    // the delta's action lines name p2's files only — untouched
+    // partitions never re-serialize (the O(touched) claim, directly)
+    val actions = commitText(path, "v000000002.delta").linesIterator
+      .filter(l => l.startsWith("add\t") || l.startsWith("remove\t")).toSeq
+    assert(actions.nonEmpty)
+    assert(actions.forall(_.contains("part=p2")),
+      s"delta serialized untouched partitions: $actions")
+    // fresh handle replays base + delta to the same state
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(r) == Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("delta log: checkpoint at the interval; fresh readers time-travel across it") {
+    val path = tmp("snapckpt")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    (2 to 13).foreach(i => t.upsert(frame((i, s"v$i", "p1"))))
+    val fs = fsOf(path)
+    assert(fs.exists(new Path(s"$path/_commits/v000000010.manifest")),
+      "interval checkpoint missing at v10")
+    assert(!fs.exists(new Path(s"$path/_commits/v000000007.manifest")),
+      "non-interval version must not checkpoint")
+    // a checkpoint is a FULL state: header + every live file
+    val ck = commitText(path, "v000000010.manifest")
+    assert(ck.startsWith("version\t10\n"))
+    // fresh handle: head reads from v10's checkpoint + 3 deltas;
+    // time travel BELOW the checkpoint replays from the v1 base
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(r).size == 13)
+    assert(r.readVersion(7).count() == 7)
+    assert(r.readVersion(12).count() == 12)
+  }
+
+  test("delta log: a lost checkpoint costs replay depth, never correctness") {
+    val path = tmp("snaplostck")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    (2 to 12).foreach(i => t.upsert(frame((i, s"v$i", "p1"))))
+    fsOf(path).delete(new Path(s"$path/_commits/v000000010.manifest"), false)
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(r).size == 12, "reader must replay through the gap")
+    assert(r.readVersion(11).count() == 11)
+  }
+
+  test("vacuum materializes a checkpoint at the horizon before dropping its base chain") {
+    val path = tmp("snapvacck")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    (2 to 8).foreach(i => t.upsert(frame((i, s"v$i", "p1"))))
+    t.vacuum(keepVersions = 3, retentionMs = 0) // keep v6..v8
+    val fs = fsOf(path)
+    assert(fs.exists(new Path(s"$path/_commits/v000000006.manifest")),
+      "horizon version must gain a full checkpoint")
+    assert(!fs.exists(new Path(s"$path/_commits/v000000001.manifest")))
+    assert(!fs.exists(new Path(s"$path/_commits/v000000005.delta")))
+    // every retained version reconstructs on a FRESH handle (no cache)
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(r.readVersion(6).count() == 6)
+    assert(r.readVersion(7).count() == 7)
+    assert(contents(r).size == 8)
+    // a reader pinned below the horizon fails loudly, not wrongly
+    val e = intercept[IllegalStateException](r.readVersion(4).count())
+    assert(e.getMessage.contains("no commit record"), e.getMessage)
+  }
+
+  test("vacuum never reclaims files reachable from the retained checkpoint+delta chain") {
+    val path = tmp("snapvacreach")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    // rows spread over partitions so old versions' files stay live in
+    // later snapshots (upserts touch p-own partitions only)
+    t.create(frame((1, "a", "p1")))
+    t.upsert(frame((2, "b", "p2")))
+    t.upsert(frame((3, "c", "p3")))
+    (4 to 9).foreach(i => t.upsert(frame((i, s"v$i", "p3"))))
+    t.vacuum(keepVersions = 2, retentionMs = 0)
+    // p1/p2's files were written at v1/v2 — far below the horizon — but
+    // are still REFERENCED by the retained snapshots: they must survive
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(r).take(3) == Seq(1 -> "a", 2 -> "b", 3 -> "c"),
+      "vacuum reclaimed files still referenced by retained versions")
+    assert(r.read.count() == 9)
+  }
+
+  test("a legacy .commit record fails loudly on both head-resolution paths") {
+    val path = tmp("snaplegacy")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    val fs = fsOf(path)
+    val out = fs.create(new Path(s"$path/_commits/v000000002.commit"), false)
+    out.write("version\t2\n".getBytes("UTF-8")); out.close()
+    // hint path: _latest says v1, the forward probe must trip on the
+    // legacy record instead of silently serving the stale v1 head
+    val e1 = intercept[IllegalStateException](
+      SnapshotTable(spark, path, "id", Some("part")).read.count())
+    assert(e1.getMessage.contains("legacy-format"), e1.getMessage)
+    // listing path: with the hint gone the directory scan must trip too
+    fs.delete(new Path(s"$path/_commits/_latest"), false)
+    val e2 = intercept[IllegalStateException](
+      SnapshotTable(spark, path, "id", Some("part")).read.count())
+    assert(e2.getMessage.contains("legacy-format"), e2.getMessage)
+  }
 }
