@@ -426,6 +426,45 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** S2/K2 (MERGE-ON-READ delete) — a scattered POINT delete
+    * (`o_orderkey % 1000 = 7`, a handful of rows per file) recorded as
+    * per-file deletion vectors in the manifest: the require proves the
+    * commit wrote and removed ZERO data files — at 100 TB this is the
+    * difference between bytes of metadata and rewriting every touched
+    * 100 MB file — while reads (head, time travel, CDC) apply the
+    * vectors transparently. The oracle is the plain complement SELECT;
+    * the requires additionally pin the time-travel and CDC surfaces. */
+  def morDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("mordel", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(t(s, dir, "orders"))
+    val total = table.read.count()
+    def files(): Set[(String, Long)] = {
+      def walk(d: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen))
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$base/data")).toSet
+    }
+    val v1Files = files()
+    table.deleteMoR(col("o_orderkey") % 1000 === 7)
+    require(files() == v1Files,
+      "merge-on-read delete wrote or removed data files")
+    require(table.readVersion(1).count() == total,
+      "time travel lost the pre-delete snapshot")
+    val hidden = table.changesDelta(1L, 2L)
+    require(hidden.filter(col(plans.SnapshotTable.ImageCol) === "after").isEmpty,
+      "a pure delete emitted after-images")
+    require(hidden.count() == total - table.read.count(),
+      "CDC before-images disagree with the hidden row count")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** S2 (RESTORE) — roll the table back to v1 after a divergent v2
     * commit: a metadata-only commit referencing v1's files verbatim,
     * so the read must be exactly the created state (the oracle), with
@@ -2223,6 +2262,7 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
+    "mor_delete" -> (morDelete _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2518,6 +2558,12 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
+    // merge-on-read: vectors hide the rows, the visible set is the
+    // same plain complement
+    "mor_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 1000 <> 7""".stripMargin,
     "snapshot_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0

@@ -1434,6 +1434,95 @@ final class SnapshotTable(
     // keep = NOT coalesce(predicate, false): NULL-predicate rows stay
     rewriteWhere(predicate, bounds)(_.filter(!coalesce(predicate, lit(false))))
 
+  /** MERGE-ON-READ delete: instead of rewriting every file holding a
+    * matching row ([[delete]]'s copy-on-write), record the matching ROW
+    * POSITIONS as per-file deletion vectors in the manifest — a few
+    * bytes of metadata per deleted row, ZERO data files written — and
+    * filter them out at read ([[readFiles]] applies vectors on every
+    * API read: head, time travel, CDC, upsert merges, DML probes).
+    * This is the deletion-vector shape Delta/Iceberg ship for point
+    * deletes at scale: a 1-row DELETE on a 100 TB table must not
+    * rewrite a 100 MB file. Same SQL semantics as [[delete]] (TRUE
+    * removes; FALSE and NULL keep), same two-stage file pruning, same
+    * atomic commit; a predicate matching nothing commits nothing.
+    * Newly-hidden rows surface in [[changesDelta]] as `before` images
+    * (a vector change re-keys the file in the CDC diff), and prior
+    * versions time-travel with their OWN vectors.
+    *
+    * Vectors are purged LAZILY: [[compact]] rewrites DV-carrying
+    * partitions, [[purgeDeletes]] does it eagerly, and any
+    * copy-on-write rewrite of a touched file clears its vector (new
+    * files never carry one).
+    *
+    * Deliberately capped (`graft.mor.maxDeleteRows` table property,
+    * default 4M): matching positions cross the driver into the
+    * manifest, so a BROAD delete — where rewriting is the right
+    * physical plan anyway — must use [[delete]]. */
+  def deleteMoR(predicate: Column,
+                bounds: Seq[(String, Any, Any)] = Nil): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val live = m.entries
+    val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
+    if (cands.isEmpty) return
+    val cap = effectiveProps.get("graft.mor.maxDeleteRows")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(4 * 1000 * 1000)
+    // the probe sees through EXISTING vectors (same filter readFiles
+    // applies): an already-deleted row must not re-enter its file's
+    // vector, so re-running the same delete is a clean no-op
+    val bcOld = spark.sparkContext.broadcast(
+      cands.filter(_.deletedRows.nonEmpty).map(e =>
+        e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedRows)
+        .toMap)
+    val visible = udf { (file: String, idx: Long) =>
+      val base = file.substring(file.lastIndexOf('/') + 1)
+      bcOld.value.get(base).forall(dv =>
+        java.util.Arrays.binarySearch(dv, idx) < 0)
+    }
+    val hit = readFilesRaw(cands, m.schema, withPos = true)
+      .filter(visible(
+        col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol)))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol))
+      .limit(cap + 1) // bounded collect: cap+1 detects overflow cheaply
+      .collect()
+    if (hit.length > cap)
+      throw new IllegalArgumentException(
+        s"deleteMoR matched more than $cap rows at $path — a delete " +
+          "this broad should rewrite files: use delete() " +
+          "(copy-on-write), or raise graft.mor.maxDeleteRows")
+    if (hit.isEmpty) return // nothing matched: the version does not advance
+    val byBase = hit.toSeq
+      .groupBy { r =>
+        val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1)
+      }
+      .map { case (b, rs) => b -> rs.map(_.getLong(1)).toArray }
+    val updated = live.map { e =>
+      val base = e.path.substring(e.path.lastIndexOf('/') + 1)
+      byBase.get(base).fold(e)(pos =>
+        e.withDeletedRows(e.deletedRows ++ pos))
+    }
+    commitManifest(v + 1, updated,
+      m.schema.getOrElse(readFiles(m.entries).schema))
+  }
+
+  /** Materialize deletion vectors EAGERLY: rewrite only the DV-carrying
+    * files without their deleted rows, in one atomic commit — every
+    * clean file carries over by reference, and the new files carry no
+    * vector. A table with no vectors is a no-op (no version churn).
+    * The DSv2/SQL scan path requires this (or [[compact]], which
+    * purges lazily) before it can serve a DV'd snapshot. */
+  def purgeDeletes(): Unit = {
+    val v = currentVersion.getOrElse(return)
+    val m = readManifest(v)
+    val (dvd, clean) = m.entries.partition(_.deletedRows.nonEmpty)
+    if (dvd.isEmpty) return
+    val rewritten = writeDataFiles(readFiles(dvd, m.schema))
+    commitManifest(v + 1, clean ++ rewritten,
+      m.schema.getOrElse(readFiles(m.entries).schema))
+  }
+
   /** Atomic UPDATE (Delta's `UPDATE ... SET` analog): rows matching
     * `predicate` get each `set` column replaced by its expression, in
     * ONE manifest commit, with the same two-stage file pruning as
@@ -1541,6 +1630,41 @@ final class SnapshotTable(
     * case where reads must merge footers across files. */
   private def evolvedMarker = new Path(s"$path/_evolved")
 
+  /** Read a file set with MERGE-ON-READ deletes applied: files carrying
+    * a deletion vector ([[deleteMoR]]) are read through a position
+    * filter — the manifest's sorted row positions checked against the
+    * parquet reader's `_metadata.row_index`, keyed by file basename
+    * (commit-UUID-prefixed, globally unique) — while the (usually much
+    * larger) DV-free subset stays on the plain vectorized scan with no
+    * metadata column and no filter. Every API read routes here, so a
+    * deleted row can never resurface through time travel, CDC, upsert
+    * merges, compaction or the DML probe paths. */
+  private def readFiles(entries: Seq[FileEntry],
+                        manifestSchema: Option[StructType] = None): DataFrame = {
+    val (dvd, plain) = entries.partition(_.deletedRows.nonEmpty)
+    if (dvd.isEmpty) return readFilesRaw(entries, manifestSchema)
+    // DVs are bounded by deleteMoR's cap (point-delete scale) — the
+    // broadcast map is a few MB at worst, and binary search keeps the
+    // per-row check O(log deleted). A UDF (not codegen) is acceptable
+    // here because only the DV'd files pay it.
+    val dvByBase = dvd.map(e =>
+      e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedRows).toMap
+    val bc = spark.sparkContext.broadcast(dvByBase)
+    val keep = udf { (file: String, idx: Long) =>
+      val base = file.substring(file.lastIndexOf('/') + 1)
+      bc.value.get(base).forall(dv =>
+        java.util.Arrays.binarySearch(dv, idx) < 0)
+    }
+    val raw = readFilesRaw(dvd, manifestSchema, withPos = true)
+    val cols = raw.columns.toIndexedSeq
+      .filterNot(c => c == SnapshotTable.PosFileCol || c == SnapshotTable.PosIdxCol)
+    val filtered = raw
+      .filter(keep(col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol)))
+      .select(cols.map(col): _*)
+    if (plain.isEmpty) filtered
+    else readFilesRaw(plain, manifestSchema).unionByName(filtered)
+  }
+
   /** Read a file set, planning from manifest metadata when possible.
     *
     * `manifestSchema` is the schema the files' manifest logged at
@@ -1549,18 +1673,34 @@ final class SnapshotTable(
     * by a manifest schema handles files written before a schema
     * evolution too: parquet resolves columns by name, so a column
     * absent from an old file simply reads as null under the newer
-    * schema — the per-version schema IS the mergeSchema answer. */
-  private def readFiles(entries: Seq[FileEntry],
-                        manifestSchema: Option[StructType] = None): DataFrame = {
+    * schema — the per-version schema IS the mergeSchema answer.
+    *
+    * `withPos = true` appends two provenance columns straight off the
+    * scan's `_metadata` struct — [[SnapshotTable.PosFileCol]] (the
+    * file path) and [[SnapshotTable.PosIdxCol]] (the row's position in
+    * its file) — the coordinates deletion vectors are expressed in. */
+  private def readFilesRaw(entries: Seq[FileEntry],
+                           manifestSchema: Option[StructType] = None,
+                           withPos: Boolean = false): DataFrame = {
     val effective = declaredSchema.orElse(manifestSchema)
+    // the provenance projection: (file path, row position) straight off
+    // the parquet scan's metadata struct, aliased to reserved names so
+    // callers can address them without re-resolving `_metadata`
+    def posCols: Seq[Column] = Seq(
+      col("_metadata.file_path").as(SnapshotTable.PosFileCol),
+      col("_metadata.row_index").as(SnapshotTable.PosIdxCol))
     if (entries.isEmpty) {
       // a delete can legitimately empty the table; parquet() with zero
       // paths cannot infer a schema, so type the empty frame explicitly
       val s = effective.getOrElse(throw new IllegalStateException(
         s"snapshot at $path has no data files and no schema to " +
           "type an empty read"))
-      return spark.createDataFrame(
+      val base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      return if (!withPos) base
+      else base
+        .withColumn(SnapshotTable.PosFileCol, lit(null).cast("string"))
+        .withColumn(SnapshotTable.PosIdxCol, lit(null).cast("long"))
     }
     // Manifest-index fast path: the scan is planned from manifest
     // metadata ALONE ([[ManifestFileIndex]]) — no directory listing, no
@@ -1590,9 +1730,11 @@ final class SnapshotTable(
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty)(spark)
       // relation schema is dataSchema ++ partitionSchema; restore the
-      // declared column order
+      // declared column order (metadata provenance resolved HERE, on
+      // the relation-rooted frame, where `_metadata` is in scope)
+      val named = schema.fieldNames.toIndexedSeq.map(col)
       return spark.baseRelationToDataFrame(rel)
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .select((if (withPos) named ++ posCols else named): _*)
     }
     // Listing fallback (pre-schema/pre-meta manifests). mergeSchema only
     // once the table has actually evolved: a snapshot then mixes pre-
@@ -1603,8 +1745,11 @@ final class SnapshotTable(
     // is one FS metadata op instead.
     val r = spark.read.option("basePath", dataDir)
       .option("mergeSchema", fs.exists(evolvedMarker).toString)
-    effective.fold(r)(s => r.schema(s))
+    val frame = effective.fold(r)(s => r.schema(s))
       .parquet(entries.map(e => s"$dataDir/${e.path}"): _*)
+    if (!withPos) frame
+    else frame.select(
+      (frame.columns.toIndexedSeq.map(col) ++ posCols): _*)
   }
 
   /** Planning inputs for an external scan of one snapshot (the DSv2
@@ -1663,13 +1808,21 @@ final class SnapshotTable(
     val img = SnapshotTable.ImageCol
     val mFrom = readManifest(fromV)
     val mTo = readManifest(toV)
-    val before = mFrom.entries.map(_.path).toSet
-    val after = mTo.entries.map(_.path).toSet
-    val newEntries = mTo.entries.filterNot(e => before(e.path))
+    // file identity for the diff is (path, deletion vector): a file
+    // whose vector changed (deleteMoR) is the same bytes on disk but a
+    // DIFFERENT visible row set — treating it as removed-at-old-
+    // visibility + added-at-new makes the multiset diff below emit
+    // exactly the newly-hidden rows as before images, with no special
+    // casing (readFiles applies each side's own vector)
+    def key(e: FileEntry): (String, String) =
+      (e.path, e.stats.get(FileEntry.DvKey).map(_._1).getOrElse(""))
+    val before = mFrom.entries.map(key).toSet
+    val after = mTo.entries.map(key).toSet
+    val newEntries = mTo.entries.filterNot(e => before(key(e)))
     // REMOVED files matter independently of added ones: a delete can
     // take a file away without leaving a replacement (delete-all
     // leaves none anywhere) and its rows must surface as before-images
-    val removedEntries = mFrom.entries.filterNot(e => after(e.path))
+    val removedEntries = mFrom.entries.filterNot(e => after(key(e)))
     if (newEntries.isEmpty && removedEntries.isEmpty) {
       // type the empty frame by toV's OWN schema, not the current
       // head's — the table may have evolved after toV, and an empty
@@ -1856,8 +2009,13 @@ final class SnapshotTable(
     def packed(es: Seq[FileEntry]): Int =
       math.max(1, math.ceil(es.map(sizeOf).sum.toDouble
         / targetFileBytes).toInt)
+    // a partition holding any DV-carrying file is always a rewrite
+    // candidate: compaction is deletion vectors' LAZY purge point —
+    // readFiles drops the deleted rows on the way through, and the
+    // packed replacement files carry no vector
     val (frag, keep) = live.groupBy(e => partOf(e.path)).partition {
-      case (_, es) => es.size >= minFiles && packed(es) < es.size
+      case (_, es) => es.exists(_.deletedRows.nonEmpty) ||
+        (es.size >= minFiles && packed(es) < es.size)
     }
     if (frag.isEmpty) return
     val files = frag.values.flatten.toSeq
@@ -1961,6 +2119,81 @@ final class SnapshotTable(
 object SnapshotTable {
   /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
   val ImageCol = "_change_image"
+
+  /** COLUMN-ID MAPPING (Delta column-mapping / Iceberg field-id
+    * analog): tables created with TBLPROPERTIES
+    * (`graft.columnMapping`='id') stamp every field with a stable
+    * parquet FIELD ID (Spark's own `parquet.field.id` metadata key,
+    * written into file footers and matched by the parquet readers when
+    * `spark.sql.parquet.fieldId.read.enabled` is on — every read path,
+    * V1 and DSv2/SQL alike, resolves columns by ID instead of name).
+    * That makes RENAME a metadata-only commit (same id, new name),
+    * DROP a schema-minus-field commit, and a re-ADD of a dropped name
+    * safe: the new column gets a FRESH id, so the dropped column's
+    * bytes (same name, old id) can never resurface as its values. */
+  val MappingProp = "graft.columnMapping"
+
+  /** Monotone field-id high-water mark, logged as a table property so
+    * an id is never reused across drop/re-add. */
+  val MaxIdProp = "graft.colmap.maxId"
+
+  /** Spark's reserved metadata key the parquet writer/readers honor. */
+  val FieldIdKey = "parquet.field.id"
+
+  private[graft] def fieldIdOf(f: org.apache.spark.sql.types.StructField)
+      : Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  /** Whether a schema is fully id-mapped (every field stamped). */
+  private[graft] def idMapped(s: StructType): Boolean =
+    s.nonEmpty && s.fields.forall(f => fieldIdOf(f).isDefined)
+
+  private[graft] def mdWithId(base: org.apache.spark.sql.types.Metadata,
+                              id: Long): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(base).putLong(FieldIdKey, id).build()
+
+  private[graft] def mdWithoutId(base: org.apache.spark.sql.types.Metadata)
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(base).remove(FieldIdKey).build()
+
+  /** Reads of an id-mapped table MUST run with id matching on: with it
+    * off, the readers silently fall back to NAME resolution and a
+    * renamed/re-added column reads the wrong bytes — fail loudly
+    * instead. */
+  private[graft] def requireIdReadEnabled(spark: SparkSession,
+                                          what: String): Unit =
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+          .toBoolean)
+      throw new IllegalStateException(
+        s"$what is column-id mapped: set " +
+          "spark.sql.parquet.fieldId.read.enabled=true (else renamed/" +
+          "re-added columns would silently resolve by name)")
+
+  /** Provenance columns a `withPos` read appends: the row's file path
+    * and its position within that file — the coordinate system
+    * deletion vectors are expressed in. Reserved names (no sane data
+    * column collides). */
+  private[graft] val PosFileCol = "__graft_pos_file"
+  private[graft] val PosIdxCol = "__graft_pos_idx"
+
+  /** Guard for scan paths that CANNOT apply deletion vectors (the
+    * DSv2/SQL planner hands files straight to Spark's parquet stack
+    * with no row filter): serving a DV'd snapshot there would silently
+    * resurrect deleted rows, so it fails loudly with the remedy
+    * instead. */
+  private[graft] def requireNoDeletionVectors(entries: Seq[FileEntry],
+                                              what: String): Unit = {
+    val dvd = entries.count(_.deletedRows.nonEmpty)
+    if (dvd > 0)
+      throw new IllegalStateException(
+        s"$what: snapshot carries deletion vectors on $dvd file(s), " +
+          "which this scan path cannot apply — read through the " +
+          "SnapshotTable API, or materialize them first with " +
+          "purgeDeletes()/compact()")
+  }
 
   /** The Hive-dir-encoded partition value(s) of a table-relative file
     * path, "/"-joined for multi-level layouts ("F/5" for

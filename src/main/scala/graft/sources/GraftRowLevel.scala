@@ -76,6 +76,12 @@ final class GraftRowLevelOperation(
   private[sources] val (liveEntries, tableSchema, partitionCols) =
     snapshot.scanInfo(None)
 
+  // the rewrite's scan hands files straight to the parquet stack: a
+  // deletion vector it can't apply would RESURRECT deleted rows into
+  // the rewritten files — materialize first
+  SnapshotTable.requireNoDeletionVectors(liveEntries,
+    s"$cmd on graft.`$tablePath`")
+
   /** Live entries after STATIC condition pruning. Both scan builders
     * the rewrite creates (the main scan and the runtime group filter's
     * matching-rows scan) receive the same pushed condition and compute

@@ -288,8 +288,13 @@ private[sources] final class GraftMicroBatchStream(
       s"stream offset v$v of $tablePath is no longer retained " +
         "(vacuumed) — restart from a fresh checkpoint with " +
         "startingVersion = 'latest' or a retained version")
-    try snapshot.scanInfo(Some(v))._1
-    catch {
+    try {
+      val es = snapshot.scanInfo(Some(v))._1
+      // the streaming scan is the same no-row-filter parquet stack
+      SnapshotTable.requireNoDeletionVectors(es,
+        s"streaming read of $tablePath@v$v")
+      es
+    } catch {
       // pre-delta logs surfaced a vacuumed version as the manifest's
       // FileNotFound; the delta log surfaces it as a broken replay
       // chain ("no commit record") — same operational fact

@@ -116,9 +116,14 @@ final class GraftTable(
       ManifestFileIndex.MetaPartitionCol,
       org.apache.spark.sql.types.StringType, nullable = true))
 
-  private[sources] def fileIndex: ManifestFileIndex =
+  private[sources] def fileIndex: ManifestFileIndex = {
+    // the DSv2 parquet stack has no row-filter hook, so a snapshot
+    // with merge-on-read deletes must be materialized before SQL can
+    // scan it (SnapshotTable API reads apply them transparently)
+    SnapshotTable.requireNoDeletionVectors(entries, name())
     new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
       indexPartitionSchema)
+  }
 
   /** Batch plans are exactly Spark's parquet scans; the graft subclass
     * only adds `toMicroBatchStream`, so the same relation serves

@@ -1133,4 +1133,129 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable(spark, path, "id", Some("part")).read.count())
     assert(e2.getMessage.contains("legacy-format"), e2.getMessage)
   }
+
+  test("a corrupt delta record fails reconstruction loudly, not wrongly") {
+    val path = tmp("snapcorrupt")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.upsert(frame((2, "b", "p1")))
+    val out = fsOf(path).create(
+      new Path(s"$path/_commits/v000000002.delta"), true)
+    out.write("garbage\tnot-a-commit\n".getBytes("UTF-8")); out.close()
+    val e = intercept[Exception](
+      SnapshotTable(spark, path, "id", Some("part")).read.count())
+    assert(e.getMessage.contains("commit header mismatch"), e.getMessage)
+  }
+
+  // ---- merge-on-read deletes (deletion vectors)
+
+  private def dataFiles(path: String): Set[String] = {
+    val fs = fsOf(path)
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString)
+        else Nil
+      }
+    walk(new Path(s"$path/data")).toSet
+  }
+
+  test("MoR delete: a point delete rewrites ZERO data files") {
+    val path = tmp("mordel")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    val v1Files = dataFiles(path)
+    t.deleteMoR(col("id") === 2)
+    assert(dataFiles(path) == v1Files,
+      "a merge-on-read delete wrote or removed data files")
+    assert(t.currentVersion.contains(2L))
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+    // a FRESH handle replays the vector from the delta log
+    val r = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(r) == Seq(1 -> "a", 3 -> "c"))
+    // time travel: v1 still sees the row, under v1's (empty) vector
+    assert(r.readVersion(1).count() == 3)
+  }
+
+  test("MoR delete: SQL semantics, no-match no-commit, idempotent re-delete") {
+    val t = SnapshotTable(spark, tmp("mordel2"), "id", Some("part"))
+    t.create(Seq((1, "a", "p1"), (2, null: String, "p1"))
+      .toDF("id", "val", "part"))
+    // NULL predicate keeps the row (SQL: only TRUE deletes)
+    t.deleteMoR(length(col("val")) < 0)
+    assert(t.currentVersion.contains(1L), "no-match delete advanced the version")
+    t.deleteMoR(col("val").isNull)
+    assert(t.currentVersion.contains(2L))
+    assert(t.read.count() == 1)
+    // re-running the same delete sees through the existing vector: no-op
+    t.deleteMoR(col("val").isNull)
+    assert(t.currentVersion.contains(2L), "re-delete re-committed")
+  }
+
+  test("MoR deletes union positions; each version time-travels its own vector") {
+    val t = SnapshotTable(spark, tmp("mordel3"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p1"), (4, "d", "p1")))
+    t.deleteMoR(col("id") === 2) // v2
+    t.deleteMoR(col("id") === 4) // v3: same file, second vector entry
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+    assert(t.readVersion(2).orderBy("id").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 3, 4))
+    assert(t.readVersion(1).count() == 4)
+  }
+
+  test("MoR-deleted rows stay gone through an upsert; the key can reinsert") {
+    val t = SnapshotTable(spark, tmp("mordel4"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1")))
+    t.deleteMoR(col("id") === 2)
+    // upsert into the touched partition: the merge reads THROUGH the
+    // vector (no resurrection), rewrites the partition, clears the DV
+    t.upsert(frame((3, "c", "p1")))
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+    t.upsert(frame((2, "B2", "p1")))
+    assert(contents(t) == Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("CDC: a MoR delete emits exactly the hidden rows as before images") {
+    val t = SnapshotTable(spark, tmp("mordel5"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    t.deleteMoR(col("id") === 2)
+    val delta = t.changesDelta(1L, 2L)
+      .select("id", SnapshotTable.ImageCol).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(delta == Seq(2 -> "before"), s"got $delta")
+    // and the after-only view is empty (nothing inserted)
+    assert(t.changes(1L, 2L).count() == 0)
+  }
+
+  test("purgeDeletes materializes vectors; the DSv2 scan guard lifts") {
+    val path = tmp("mordel6")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    t.deleteMoR(col("id") === 2)
+    // SQL/DSv2 scans cannot apply vectors: loud failure, with remedy
+    val e = intercept[Exception](
+      spark.read.format("graft").load(path).count())
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    val before = dataFiles(path)
+    t.purgeDeletes()
+    assert(dataFiles(path) != before, "purge rewrote nothing")
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+    // the guard lifts: SQL serves the materialized snapshot
+    assert(spark.read.format("graft").load(path).count() == 2)
+    // purge on a clean table is a no-op (no version churn)
+    val v = t.currentVersion.get
+    t.purgeDeletes()
+    assert(t.currentVersion.contains(v))
+  }
+
+  test("compact purges vectors lazily") {
+    val t = SnapshotTable(spark, tmp("mordel7"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    t.deleteMoR(col("id") === 1)
+    t.compact()
+    assert(contents(t) == Seq(2 -> "b", 3 -> "c"))
+    // vectors are gone: the DSv2 guard no longer trips
+    assert(t.candidateFiles().forall(_.deletedRows.isEmpty))
+  }
 }
