@@ -20,6 +20,10 @@ private[graft] object Gate {
       // 2,400-dir write) — this makes local[n] behave like a cluster
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      // column-id-mapped tables (graft.columnMapping='id') resolve
+      // parquet columns by field id — required for RENAME/DROP COLUMN
+      // correctness; a no-op for schemas without ids
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

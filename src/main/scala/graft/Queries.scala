@@ -336,6 +336,52 @@ object Queries {
             |FROM graft.cat.orders""".stripMargin)
   }
 
+  /** S4/K1 (COLUMN-ID MAPPING) — `ALTER TABLE RENAME/DROP/re-ADD
+    * COLUMN` as metadata-only commits on an id-mapped catalog table:
+    * files are resolved by parquet FIELD ID, so the renamed column's
+    * pre-rename files read under the new name, the dropped column's
+    * bytes never resurface as the re-added one (fresh id → nulls,
+    * pinned by a require), and time travel serves the pre-evolution
+    * shape. The final SELECT mixes pre- and post-rename file vintages;
+    * the oracle is the aliased projection of the source. */
+  def columnMappingSql(s: SparkSession, dir: String): DataFrame = {
+    catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    s.sql("DROP TABLE IF EXISTS graft.cat.orders_map")
+    s.sql("""CREATE TABLE graft.cat.orders_map (
+            |  o_orderkey BIGINT, o_custkey BIGINT,
+            |  o_orderstatus STRING, o_totalprice DOUBLE)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey',
+            |               'graft.columnMapping' = 'id')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("catalog_orders_src")
+    s.sql("""INSERT INTO graft.cat.orders_map
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM catalog_orders_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql("ALTER TABLE graft.cat.orders_map RENAME COLUMN o_totalprice TO price")
+    // post-rename insert: the table now mixes file vintages written
+    // under BOTH names, unified by field id
+    s.sql("""INSERT INTO graft.cat.orders_map
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM catalog_orders_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql("ALTER TABLE graft.cat.orders_map DROP COLUMN o_custkey")
+    s.sql("ALTER TABLE graft.cat.orders_map ADD COLUMNS (o_custkey BIGINT)")
+    // the re-added name has a FRESH id: the dropped column's committed
+    // bytes must read as null, never as the new column's values
+    require(s.sql("""SELECT count(*) FROM graft.cat.orders_map
+                    |WHERE o_custkey IS NOT NULL""".stripMargin)
+      .head().getLong(0) == 0L,
+      "dropped column's bytes resurfaced after re-add")
+    // time travel crosses the evolution: v2 (the first insert) serves
+    // the ORIGINAL shape and row set
+    val v2 = s.sql("SELECT * FROM graft.cat.orders_map VERSION AS OF 2")
+    require(v2.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      s"pre-evolution version lost its shape: ${v2.columns.toSeq}")
+    s.sql("""SELECT o_orderkey, o_orderstatus, price
+            |FROM graft.cat.orders_map""".stripMargin)
+  }
+
   /** SQL time travel by NAME — `VERSION AS OF` against a catalog
     * table: after a create and a diverging merge, version 2 (the first
     * insert; v1 is the empty CREATE TABLE commit) must read back
@@ -2258,6 +2304,7 @@ object Queries {
     "merge_into_sql" -> (mergeIntoSql _),
     "catalog_sql_lifecycle" -> (catalogSqlLifecycle _),
     "catalog_time_travel_sql" -> (catalogTimeTravelSql _),
+    "column_mapping_sql" -> (columnMappingSql _),
     "stream_source_parity" -> (streamSourceParity _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
@@ -2537,6 +2584,11 @@ object Queries {
     "catalog_time_travel_sql" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    // rename+drop are metadata-only: the visible table is every row
+    // under the renamed price column (both file vintages)
+    "column_mapping_sql" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |FROM orders""".stripMargin,
     // the streamed catch-up must deliver exactly the appended rows
     "stream_source_parity" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

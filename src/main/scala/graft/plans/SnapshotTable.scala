@@ -856,9 +856,11 @@ final class SnapshotTable(
     // committed its files to the stage dir but died before its status
     // reached the driver gets retried under a new task id, and
     // promoting the whole dir would commit BOTH attempts' copies
-    val fresh = promoteStage(commitId,
-      Some(StructType(schema.fields.map(_.copy(nullable = true)))),
-      only = only)
+    val fresh =
+      if (headIdMapped) rewriteStagedWithIds(commitId, schema, only)
+      else promoteStage(commitId,
+        Some(StructType(schema.fields.map(_.copy(nullable = true)))),
+        only = only)
     // a no-op operation (runtime group filter matched nothing: no file
     // replaced, nothing staged) commits nothing — same contract as the
     // API DML paths, so repeated no-op SQL never churns versions
@@ -894,9 +896,12 @@ final class SnapshotTable(
     // promote ONLY this attempt's task-reported files: the stage dir's
     // name is deterministic per epoch, so a crashed earlier attempt of
     // the same epoch may have left committed files beside ours
-    val fresh = promoteStage(commitId,
-      Some(StructType(schema.fields.map(_.copy(nullable = true)))),
-      only = Some(stagedFiles))
+    val fresh =
+      if (headIdMapped)
+        rewriteStagedWithIds(commitId, schema, Some(stagedFiles))
+      else promoteStage(commitId,
+        Some(StructType(schema.fields.map(_.copy(nullable = true)))),
+        only = Some(stagedFiles))
     pendingProps(streamKey) = epochId.toString
     var attempt = 0
     while (true) {
@@ -986,6 +991,60 @@ final class SnapshotTable(
       true
     } finally fs.delete(new Path(stage), true)
   }
+
+  /** The task-COMMITTED parquet files of a staging tree (same rules as
+    * [[promoteStage]]'s walk: `_tmp-*` attempt dirs excluded, `only`
+    * narrows to an explicit reported set), as absolute paths. */
+  private def stagedParquet(commitId: String,
+                            only: Option[Set[String]]): Seq[String] = {
+    val stage = s"$path/_stage/$commitId"
+    val out = mutable.Buffer.empty[String]
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          if (!name.startsWith("_tmp-")) walk(st.getPath, childRel)
+        } else if (name.endsWith(".parquet") &&
+            only.forall(_.contains(childRel))) out += st.getPath.toString
+      }
+    if (fs.exists(new Path(stage))) walk(new Path(stage), "")
+    out.toSeq
+  }
+
+  /** ID-MAPPED alternative to [[promoteStage]]: external (DSv2) task
+    * writers emit the query schema verbatim, so their staged files
+    * carry no parquet field ids — promoting one into an id-mapped
+    * table would leave a file the id-matching reader reads as nulls.
+    * Read the staged batch back (by NAME: the id-less schema makes the
+    * readers fall back to name resolution, which is exactly how the
+    * writer laid the files out) and re-write it through the table's
+    * own writer, which stamps the ids. One extra O(batch) pass, never
+    * O(table), only on id-mapped tables. */
+  private def rewriteStagedWithIds(commitId: String, schema: StructType,
+                                   only: Option[Set[String]])
+      : Seq[FileEntry] = {
+    val stage = s"$path/_stage/$commitId"
+    val paths = stagedParquet(commitId, only)
+    val out =
+      if (paths.isEmpty) Nil
+      else {
+        val noIds = StructType(schema.fields.map(f => f.copy(
+          nullable = true,
+          metadata = SnapshotTable.mdWithoutId(f.metadata))))
+        val batch = spark.read.option("basePath", stage).schema(noIds)
+          .parquet(paths: _*)
+        writeDataFiles(stampFieldIds(batch))
+      }
+    fs.delete(new Path(stage), true)
+    out
+  }
+
+  /** Head logged schema is fully id-mapped (staged promotions must
+    * re-write, see [[rewriteStagedWithIds]]). */
+  private def headIdMapped: Boolean =
+    currentVersion.flatMap(readManifest(_).schema)
+      .exists(SnapshotTable.idMapped)
 
   /** Drop an external writer's staging tree (DSv2 write abort). */
   private[graft] def abortStaged(commitId: String): Unit =
@@ -1175,8 +1234,111 @@ final class SnapshotTable(
     }
     require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
       .forall(_.nullable), "added columns must be nullable")
+    // id-mapped tables: existing fields carry their ids forward, added
+    // fields get fresh ids above the logged high-water mark — an id is
+    // NEVER reused, which is what makes a re-add after dropColumn safe
+    val evolved =
+      if (!SnapshotTable.idMapped(old)) newSchema
+      else {
+        var maxId = effectiveProps.get(SnapshotTable.MaxIdProp)
+          .flatMap(_.toLongOption)
+          .getOrElse(old.fields.flatMap(SnapshotTable.fieldIdOf).max)
+        val byName = old.fields.iterator.map(f => f.name -> f.metadata).toMap
+        val fs2 = newSchema.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(md) => f.copy(metadata = md)
+            case None =>
+              maxId += 1
+              f.copy(metadata = SnapshotTable.mdWithId(f.metadata, maxId))
+          }
+        }
+        pendingProps(SnapshotTable.MaxIdProp) = maxId.toString
+        StructType(fs2)
+      }
     if (!fs.exists(evolvedMarker)) fs.create(evolvedMarker, true).close()
-    commitManifest(v + 1, m.entries, newSchema)
+    commitManifest(v + 1, m.entries, evolved)
+  }
+
+  /** Shared validation for [[renameColumn]]/[[dropColumn]]: the ops
+    * are only sound on an id-mapped table (name-resolved files would
+    * silently detach), never on a partition column (directories encode
+    * its name), the logged merge key, a layout column (stats/cluster/
+    * bloom collection would silently stop), or a column a CHECK
+    * constraint references (its SQL would stop analyzing). */
+  private def validateColumnChange(schema: StructType, m: Manifest,
+                                   name: String, op: String): Unit = {
+    require(SnapshotTable.idMapped(schema),
+      s"cannot $op '$name' at $path: the table is not column-id " +
+        s"mapped — create it with TBLPROPERTIES(" +
+        s"'${SnapshotTable.MappingProp}'='id') (files are otherwise " +
+        "resolved by NAME and committed bytes would silently detach)")
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $path")
+    require(!tablePartitionCols.contains(name),
+      s"cannot $op partition column '$name' at $path: partition " +
+        "directories encode its name")
+    require(!effectiveProps.get("primaryKey").contains(name),
+      s"cannot $op '$name' at $path: it is the table's logged merge key")
+    val lay = effectiveLayout
+    val inLayout = (lay.statsCols ++ lay.clusterBy ++ lay.bloomCols)
+      .contains(name)
+    require(!inLayout,
+      s"cannot $op '$name' at $path: the table layout (stats/cluster/" +
+        "bloom) references it — re-declare the layout first")
+    val word = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+    val refs = m.checks.filter(c => word.findFirstIn(c._2).isDefined)
+    require(refs.isEmpty,
+      s"cannot $op '$name' at $path: CHECK constraint(s) " +
+        s"${refs.map(_._1).mkString(", ")} reference it — drop them first")
+  }
+
+  /** A live-entry set with `name`'s per-file stats and bloom stripped:
+    * a LATER column renamed into this name must never consult the old
+    * column's values (pruning must never be wrong). O(live entries)
+    * re-serialized in the commit — rename/drop are rare DDL. */
+  private def stripColumnStats(entries: Seq[FileEntry],
+                               name: String): Seq[FileEntry] =
+    entries.map(e =>
+      e.copy(stats = e.stats - name - FileEntry.bloomKey(name)))
+
+  /** Delta `ALTER TABLE RENAME COLUMN` analog, METADATA-ONLY: the
+    * field keeps its parquet id and changes its logical name — zero
+    * data I/O, and every committed file (old or new name vintage)
+    * resolves the column by ID on read. Requires column-id mapping
+    * (declared at create); see [[validateColumnChange]] for what may
+    * not be renamed. Old versions time-travel under their own names. */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"cannot rename columns at $path: no logged schema"))
+    validateColumnChange(schema, m, oldName, "rename")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists at $path")
+    val schema2 = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitManifest(v + 1, stripColumnStats(m.entries, oldName), schema2)
+  }
+
+  /** Delta/Iceberg `ALTER TABLE DROP COLUMN` analog, METADATA-ONLY:
+    * the field leaves the logged schema, its bytes stay in the
+    * committed files (invisible — reads project by the schema) until
+    * natural rewrite cycles age them out. A later re-ADD of the same
+    * name gets a FRESH field id ([[evolveTo]]), so the dropped
+    * column's bytes can never resurface as the new column's values —
+    * the failure mode name-resolved parquet cannot avoid, and the
+    * reason this requires column-id mapping. */
+  def dropColumn(name: String): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"cannot drop columns at $path: no logged schema"))
+    validateColumnChange(schema, m, name, "drop")
+    require(schema.length > 1, s"cannot drop the only column of $path")
+    val schema2 = StructType(schema.fields.filterNot(_.name == name))
+    commitManifest(v + 1, stripColumnStats(m.entries, name), schema2)
   }
 
   /** The CHECK constraints in force: those LOGGED in the table's
@@ -1209,10 +1371,67 @@ final class SnapshotTable(
           s"at $path")).isNull)
     }
 
+  /** Whether this table opted into column-id mapping at create
+    * ([[SnapshotTable.MappingProp]] = 'id'). */
+  private def mappingRequested: Boolean =
+    effectiveProps.get(SnapshotTable.MappingProp).contains("id")
+
+  /** Assign fresh sequential field ids to every field of a CREATE
+    * schema and record the high-water mark. */
+  private def assignCreateIds(schema: StructType): StructType = {
+    pendingProps(SnapshotTable.MaxIdProp) = schema.length.toString
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = SnapshotTable.mdWithId(f.metadata, i + 1L))
+    })
+  }
+
+  /** Re-stamp a batch with the table's field ids before it is written.
+    * No-op unless the table is id-mapped. Fields that already carry an
+    * id keep it; fields named in the logged schema inherit its id (the
+    * common case — projections like UPDATE's CASE-WHEN drop attribute
+    * metadata, and an un-stamped column in ONE file would read as null
+    * under id matching); genuinely NEW fields (evolveSchema upserts)
+    * get a fresh id above the logged high-water mark, which is bumped
+    * in the same commit. */
+  private def stampFieldIds(df: DataFrame): DataFrame = {
+    val logged = currentVersion.flatMap(v => readManifest(v).schema)
+    if (!logged.exists(SnapshotTable.idMapped)) return df
+    val byName = logged.get.fields.iterator
+      .map(f => f.name -> f.metadata).toMap
+    var maxId = effectiveProps.get(SnapshotTable.MaxIdProp)
+      .flatMap(_.toLongOption)
+      .getOrElse(logged.get.fields.flatMap(SnapshotTable.fieldIdOf).max)
+    var assigned = false
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      if (SnapshotTable.fieldIdOf(f).isDefined) col(f.name)
+      else byName.get(f.name)
+        .filter(_.contains(SnapshotTable.FieldIdKey)) match {
+        case Some(md) => col(f.name).as(f.name, md)
+        case None =>
+          maxId += 1; assigned = true
+          col(f.name).as(f.name,
+            SnapshotTable.mdWithId(f.metadata, maxId))
+      }
+    }
+    if (assigned) pendingProps(SnapshotTable.MaxIdProp) = maxId.toString
+    df.select(cols: _*)
+  }
+
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
     require(!exists, s"table already exists at $path")
-    commitManifest(1L, writeDataFiles(guardChecks(df)), df.schema)
+    val src =
+      if (!mappingRequested) df
+      else {
+        // CREATE defines the mapping: stamp ids 1..n (any ids the
+        // source carried belong to ITS table, not this one)
+        val s2 = assignCreateIds(StructType(
+          df.schema.fields.map(f =>
+            f.copy(metadata = SnapshotTable.mdWithoutId(f.metadata)))))
+        df.select(s2.fields.toIndexedSeq.map(f =>
+          col(f.name).as(f.name, f.metadata)): _*)
+      }
+    commitManifest(1L, writeDataFiles(guardChecks(src)), src.schema)
   }
 
   /** Initial commit of an EMPTY table (SQL `CREATE TABLE` without AS
@@ -1222,7 +1441,8 @@ final class SnapshotTable(
     * [[append]]/[[upsert]] like any other. */
   def createEmpty(schema: StructType): Unit = {
     require(!exists, s"table already exists at $path")
-    commitManifest(1L, Nil, schema)
+    val s2 = if (mappingRequested) assignCreateIds(schema) else schema
+    commitManifest(1L, Nil, s2)
   }
 
   /** BLIND append as ONE atomic commit: the new batch's files are added
@@ -1280,10 +1500,13 @@ final class SnapshotTable(
       s"write of ${df.columns.length} columns into ${schema.length}-column " +
         s"table at $path")
     val byName = df.columns.toSet == schema.fieldNames.toSet
+    // the alias re-attaches the TABLE field's metadata: the cast drops
+    // attribute metadata, and on an id-mapped table a file written
+    // without the parquet field id would read as null under id matching
     df.select(schema.fields.toIndexedSeq.zipWithIndex.map {
       case (f, i) =>
         (if (byName) col(f.name) else col(df.columns(i)))
-          .cast(f.dataType).as(f.name)
+          .cast(f.dataType).as(f.name, f.metadata)
     }: _*)
   }
 
@@ -1326,9 +1549,9 @@ final class SnapshotTable(
       case Seq() =>
         val cur = read
         val kept = cur.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
-        val merged =
+        val merged = stampFieldIds(
           if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
-          else kept.unionByName(src.select(cur.columns.toIndexedSeq.map(col): _*))
+          else kept.unionByName(src.select(cur.columns.toIndexedSeq.map(col): _*)))
         committedSchema = merged.schema
         writeDataFiles(merged)
       case pcs =>
@@ -1354,7 +1577,7 @@ final class SnapshotTable(
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
           else timed("open-touched")(readFiles(touchedFiles, m.schema))
-        val merged =
+        val merged = stampFieldIds(
           if (touchedFiles.isEmpty) src
           else {
             val kept = current
@@ -1362,7 +1585,7 @@ final class SnapshotTable(
             if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
             else kept.unionByName(
               src.select(current.columns.toIndexedSeq.map(col): _*))
-          }
+          })
         committedSchema = merged.schema
         keptFiles ++ writeDataFiles(merged)
     }
@@ -1378,7 +1601,10 @@ final class SnapshotTable(
   def replace(df: DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    commitManifest(v + 1, writeDataFiles(guardChecks(df)), df.schema)
+    // same-named columns keep their ids; a replace that brings a new
+    // schema stamps fresh ids for the new columns (mapping survives)
+    val src = stampFieldIds(guardChecks(df))
+    commitManifest(v + 1, writeDataFiles(src), src.schema)
   }
 
   /** DYNAMIC partition overwrite as ONE atomic commit (Spark's
@@ -1578,7 +1804,9 @@ final class SnapshotTable(
     if (touched.isEmpty) return
     val touchedSet = touched.map(_.path).toSet
     val carried = live.filterNot(e => touchedSet(e.path))
-    val rewritten = rewrite(readFiles(touched, m.schema))
+    // re-stamp: UPDATE's CASE-WHEN projection drops attribute metadata
+    // and the rewritten files must keep their columns' field ids
+    val rewritten = stampFieldIds(rewrite(readFiles(touched, m.schema)))
     commitManifest(v + 1, carried ++ writeDataFiles(rewritten),
       rewritten.schema)
   }
@@ -1702,6 +1930,10 @@ final class SnapshotTable(
         .withColumn(SnapshotTable.PosFileCol, lit(null).cast("string"))
         .withColumn(SnapshotTable.PosIdxCol, lit(null).cast("long"))
     }
+    // id-mapped schema + id matching OFF would silently resolve by
+    // name — the one configuration that can read WRONG bytes
+    if (effective.exists(SnapshotTable.idMapped))
+      SnapshotTable.requireIdReadEnabled(spark, s"table at $path")
     // Manifest-index fast path: the scan is planned from manifest
     // metadata ALONE ([[ManifestFileIndex]]) — no directory listing, no
     // per-file stat (spark.read.parquet(paths*) stats every explicit

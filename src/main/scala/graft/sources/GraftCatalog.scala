@@ -182,10 +182,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** ALTER TABLE — SET/UNSET TBLPROPERTIES and ADD COLUMNS map onto
-    * metadata-only manifest commits; anything that would rewrite or
-    * reinterpret committed bytes (type changes, renames, drops) is
-    * rejected. */
+  /** ALTER TABLE — SET/UNSET TBLPROPERTIES, ADD COLUMNS, and (on
+    * column-id-mapped tables, TBLPROPERTIES 'graft.columnMapping'='id'
+    * at create) RENAME/DROP COLUMN all map onto metadata-only manifest
+    * commits; anything that would reinterpret committed bytes (type
+    * changes, or rename/drop without id mapping) is rejected. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val snap = snapshotAt(ident)
@@ -212,6 +213,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "supported")
         val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
         adds += Option(a.comment).fold(f)(f.withComment)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft renames top-level columns only")
+        // one commit per rename: each validates against the then-
+        // current schema, and ALTER sends one change per statement
+        snap.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft drops top-level columns only")
+        snap.dropColumn(d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }

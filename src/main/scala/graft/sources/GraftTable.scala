@@ -121,6 +121,10 @@ final class GraftTable(
     // with merge-on-read deletes must be materialized before SQL can
     // scan it (SnapshotTable API reads apply them transparently)
     SnapshotTable.requireNoDeletionVectors(entries, name())
+    // an id-mapped table scanned with id matching off would silently
+    // resolve renamed/re-added columns by NAME — wrong bytes, so loud
+    if (SnapshotTable.idMapped(tableSchema))
+      SnapshotTable.requireIdReadEnabled(spark, name())
     new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
       indexPartitionSchema)
   }

@@ -18,6 +18,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // id-mapped tables resolve parquet columns by field id (same
+      // conf the gate session sets)
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1249,6 +1249,96 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.currentVersion.contains(v))
   }
 
+  // ---- column-id mapping (RENAME/DROP COLUMN)
+
+  private def mappedTable(tag: String) = {
+    val t = SnapshotTable(spark, tmp(tag), "id", Some("part"),
+      tableProps = Map(SnapshotTable.MappingProp -> "id"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t
+  }
+
+  test("rename column: metadata-only, id-resolved across file vintages") {
+    val t = mappedTable("colmap1")
+    val v1Files = dataFiles(t.path)
+    t.renameColumn("val", "label")
+    assert(dataFiles(t.path) == v1Files, "rename touched data files")
+    assert(t.read.columns.toSeq == Seq("id", "label", "part"))
+    // old-vintage files (written under the name 'val') resolve by id
+    assert(t.read.orderBy("id").select("label").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    // new files are written under the NEW name; both vintages unify
+    t.upsert(Seq((3, "c", "p1")).toDF("id", "label", "part"))
+    assert(t.read.orderBy("id").select("label").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // time travel reads v1 under ITS name
+    assert(t.readVersion(1).columns.toSeq == Seq("id", "val", "part"))
+    assert(t.readVersion(1).count() == 2)
+    // and the DSv2/SQL scan path id-resolves too
+    val sql = spark.read.format("graft").load(t.path)
+    assert(sql.columns.toSeq == Seq("id", "label", "part"))
+    assert(sql.orderBy("id").select("label").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("drop then re-add: the dropped column's bytes never resurface") {
+    val t = mappedTable("colmap2")
+    t.dropColumn("val")
+    assert(t.read.columns.toSeq == Seq("id", "part"))
+    // re-add the SAME name: fresh field id — the old files' 'val'
+    // bytes (same name, old id) must read as NULL, not as values
+    t.evolveTo(org.apache.spark.sql.types.StructType(
+      t.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "val", org.apache.spark.sql.types.StringType)))
+    val vals = t.read.orderBy("id").select("val").collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(vals == Seq(None, None),
+      s"dropped column's bytes resurfaced as the re-added column: $vals")
+    // new writes populate the NEW column only
+    t.upsert(Seq((3, "p1", "fresh")).toDF("id", "part", "val"))
+    assert(t.read.filter(col("id") === 3).select("val").collect()
+      .head.getString(0) == "fresh")
+    assert(t.read.filter(col("val").isNotNull).count() == 1)
+  }
+
+  test("rename/drop validations: unmapped, partition, layout, check, dup") {
+    val plain = SnapshotTable(spark, tmp("colmap3"), "id", Some("part"))
+    plain.create(frame((1, "a", "p1")))
+    val e1 = intercept[IllegalArgumentException](
+      plain.renameColumn("val", "v2"))
+    assert(e1.getMessage.contains("not column-id mapped"), e1.getMessage)
+    val t = mappedTable("colmap4")
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn("part", "p2")).getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn("nope", "x")).getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn("val", "id")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      t.dropColumn("part")).getMessage.contains("partition"))
+    // a CHECK-referenced column may not change under the constraint
+    val tc = SnapshotTable(spark, tmp("colmap5"), "id", Some("part"),
+      tableProps = Map(SnapshotTable.MappingProp -> "id"),
+      checkConstraints = Seq("val_short" -> (length(col("val")) < lit(10))))
+    tc.create(frame((1, "a", "p1")))
+    assert(intercept[IllegalArgumentException](
+      tc.dropColumn("val")).getMessage.contains("CHECK"))
+  }
+
+  test("id-mapped: UPDATE/MoR/compact rewrites keep ids (no null bleed)") {
+    val t = mappedTable("colmap6")
+    // UPDATE's CASE-WHEN projection drops attribute metadata — the
+    // rewrite must re-stamp, or the rewritten file reads as nulls
+    t.update(Map("val" -> concat(col("val"), lit("!"))), col("id") === 1)
+    t.renameColumn("val", "label")
+    assert(t.read.orderBy("id").select("label").collect()
+      .map(_.getString(0)).toSeq == Seq("a!", "b"))
+    t.deleteMoR(col("id") === 2)
+    t.compact()
+    assert(t.read.orderBy("id").select("label").collect()
+      .map(_.getString(0)).toSeq == Seq("a!"))
+  }
+
   test("compact purges vectors lazily") {
     val t = SnapshotTable(spark, tmp("mordel7"), "id", Some("part"))
     t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))

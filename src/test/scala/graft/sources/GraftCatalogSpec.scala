@@ -113,6 +113,44 @@ class GraftCatalogSpec extends SparkSpec {
       .properties.contains("owner.team"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN on an id-mapped table; time travel spans the evolution") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.map")
+    sql("""CREATE TABLE graft.map.t (id BIGINT, v STRING, score DOUBLE)
+           TBLPROPERTIES ('primaryKey' = 'id',
+                          'graft.columnMapping' = 'id')""")
+    sql("INSERT INTO graft.map.t VALUES (1, 'a', 0.5), (2, 'b', 0.9)")
+    sql("ALTER TABLE graft.map.t RENAME COLUMN v TO label")
+    // old files (written as 'v') resolve by field id under the new name
+    val renamed = sql("SELECT id, label FROM graft.map.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(renamed.toSeq == Seq((1L, "a"), (2L, "b")))
+    // inserts after the rename land under the new name; vintages unify
+    sql("INSERT INTO graft.map.t VALUES (3, 'c', 0.1)")
+    assert(sql("SELECT count(*) FROM graft.map.t WHERE label IS NOT NULL")
+      .head().getLong(0) == 3)
+    sql("ALTER TABLE graft.map.t DROP COLUMN score")
+    assert(sql("SELECT * FROM graft.map.t").columns.toSeq
+      == Seq("id", "label"))
+    // re-ADD the dropped name: fresh field id — the dropped column's
+    // bytes must NOT resurface as the new column's values
+    sql("ALTER TABLE graft.map.t ADD COLUMNS (score DOUBLE)")
+    assert(sql("SELECT count(*) FROM graft.map.t WHERE score IS NOT NULL")
+      .head().getLong(0) == 0,
+      "dropped column's bytes resurfaced after re-add")
+    // time travel crosses the whole evolution: v2 (pre-rename) still
+    // serves the ORIGINAL shape
+    val v2 = sql("SELECT * FROM graft.map.t VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("id", "v", "score"))
+    assert(v2.count() == 2)
+    // unmapped tables reject rename with the remedy in the message
+    sql("""CREATE TABLE graft.map.plain (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    val e = intercept[Exception](
+      sql("ALTER TABLE graft.map.plain RENAME COLUMN v TO w"))
+    assert(e.getMessage.contains("not column-id mapped"), e.getMessage)
+  }
+
   test("DDL guard rails: bad primaryKey, NOT NULL / positioned adds, missing version") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.guard")
