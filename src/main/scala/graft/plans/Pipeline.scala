@@ -131,12 +131,14 @@ object Pipeline {
     // gate queries — at 100 TB caching the fact table is pure memory
     // churn for nothing (the manifest-planned re-read is cheap).
     val dimNames = jobs.flatMap(_.foreignKeys.map(_._2)).toSet
-    val written = scala.collection.mutable.Map.empty[String, DataFrame]
+    // TrieMap: concurrently-running jobs of one wave each publish their
+    // own entry (distinct keys — a job owns its table)
+    val written = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     // released in the finally below — also when a job exhausts its
     // retries, so earlier jobs' caches don't outlive a failed pipeline
     try {
 
-    val results = jobs.map { job =>
+    def runOne(job: JobSpec): JobResult =
       retry(job.name, retryAttempts, retryDelayMs) {
       val t0 = System.nanoTime()
       def lap(tag: String): Unit =
@@ -163,27 +165,55 @@ object Pipeline {
         // RI against the freshly-written dims (J1/J2) — semi/anti split;
         // the dim key set is persisted so the orphan count and the upsert
         // lineage don't each re-list + re-scan the partitioned dim table
+        // ALL FK probes in ONE cached pass. Each dim's key set
+        // left-joins with its own hit flag (null-unsafe: null/missing
+        // FK rows get a null flag → orphans, exactly the anti-join
+        // semantics, and FK i applies only to rows that passed FKs
+        // < i, preserving the chained-split contract); every orphan
+        // count comes from ONE aggregate over the materialization, and
+        // the per-FK reject writes plus the final upsert read the same
+        // cache. The previous per-FK semi/anti PAIR re-executed the
+        // whole upstream chain in every consumer — the write job alone
+        // re-ran every FK join plus the dedup. O(batch) rows cached,
+        // released in the finally. AQE still picks broadcast-vs-
+        // shuffle per dim size; a FORCED broadcast of orders' distinct
+        // keys would be O(orders table) driver memory and cannot hold
+        // at the 100 TB shape.
+        import org.apache.spark.sql.functions.{col => c, lit, sum, when}
         var kept = vr.valid
         var orphaned = 0L
-        job.foreignKeys.foreach { case (fk, dimName, dimKey) =>
-          val keys = written.getOrElse(dimName, tables(dimName).read)
-            .select(org.apache.spark.sql.functions.col(dimKey).as(fk))
-            .distinct().persist()
-          cachedKeys += keys
-          // broadcastDim = false: the planner/AQE broadcasts when the
-          // key set is actually small (products) and shuffle-joins when
-          // it is not — a FORCED broadcast of orders' distinct keys is
-          // O(orders table) driver+executor memory and cannot hold at
-          // the 100 TB shape this pipeline claims
-          val (ok, orphans) = Integrity.splitOnKeys(kept, keys, fk,
-            broadcastDim = false)
-          val orphanCount = orphans.count()
-          if (orphanCount > 0)
-            Validation.writeRejected(orphans,
-              s"$rejectedDir/${job.name}_ri_$fk",
-              knownCount = Some(orphanCount))
-          orphaned += orphanCount
-          kept = ok
+        if (job.foreignKeys.nonEmpty) {
+          val cols = kept.columns.toIndexedSeq.map(c)
+          var joined = kept
+          val hits = job.foreignKeys.map { case (fk, dimName, dimKey) =>
+            val keys = written.getOrElse(dimName, tables(dimName).read)
+              .select(c(dimKey).as(fk)).distinct()
+            val hit = s"__graft_ri_hit_$fk"
+            joined = joined.join(
+              keys.withColumn(hit, lit(true)), Seq(fk), "left_outer")
+            hit
+          }
+          val marked = joined.persist()
+          cachedKeys += marked
+          // one aggregate fills the cache AND yields every FK's orphan
+          // count: orphan(i) = passed FKs < i, missed FK i
+          def orphanCond(i: Int) =
+            hits.take(i).map(c(_)).foldLeft(c(hits(i)).isNull)(
+              (acc, prev) => acc && prev)
+          val counts = marked.agg(
+            sum(when(orphanCond(0), 1L).otherwise(0L)),
+            hits.indices.drop(1).map(i =>
+              sum(when(orphanCond(i), 1L).otherwise(0L))): _*).head()
+          job.foreignKeys.zipWithIndex.foreach { case ((fk, _, _), i) =>
+            val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+            if (n > 0)
+              Validation.writeRejected(
+                marked.filter(orphanCond(i)).select(cols: _*),
+                s"$rejectedDir/${job.name}_ri_$fk", knownCount = Some(n))
+            orphaned += n
+          }
+          kept = marked.filter(hits.map(c(_)).reduce(_ && _))
+            .select(cols: _*)
         }
         lap("ri")
 
@@ -201,7 +231,34 @@ object Pipeline {
         cachedKeys.foreach(_.unpersist())
       }
       }
+
+    // Topological WAVES: a job waits only for the tables its foreign
+    // keys probe; everything else in a wave runs CONCURRENTLY in the
+    // one session (Spark's scheduler interleaves their stages over the
+    // same executor pool — products ∥ orders here, then order_items).
+    // Dependency ORDER (T4) is exactly preserved: no job starts before
+    // every table it reads has committed, and a wave failure (after
+    // per-job retries) aborts before any dependent starts. At 100 TB
+    // the pipeline's wall time is its critical path, not the sum of
+    // its jobs — sequential execution left the cluster idle for every
+    // independent load.
+    val jobNames = jobs.map(_.name).toSet
+    val done = scala.collection.mutable.Set.empty[String]
+    val resultsByName = scala.collection.mutable.Map.empty[String, JobResult]
+    var remaining = jobs
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(
+        _.foreignKeys.forall { case (_, dim, _) =>
+          done(dim) || !jobNames(dim) })
+      require(ready.nonEmpty, "dependency cycle among pipeline jobs: " +
+        remaining.map(_.name).mkString(", "))
+      val wave = Await.result(
+        Future.sequence(ready.map(j => Future(j.name -> runOne(j)))),
+        Duration.Inf)
+      wave.foreach { case (n, r) => resultsByName(n) = r; done += n }
+      remaining = blocked
     }
+    val results = jobs.map(j => resultsByName(j.name))
 
     archive(spark, rawDir, archivedDir)
 
