@@ -1903,6 +1903,45 @@ object Queries {
       emb, plantedAnnQueries(emb, 5), k = 10, probeRadius = 2))
   }
 
+  /** ANN RECALL@10 against the in-plan exact top-k, as an exact
+    * oracle-hashed scalar. Ten SCALED copies of each planted query's
+    * base vector join the corpus in-plan (ids 1e6+…): positive scaling
+    * is cosine-invariant, so the exact top-10 for each planted query
+    * is precisely the planted family (cos ≈ 1 ≫ any random corpus
+    * vector), and a correct ANN structure — same sign pattern → same
+    * LSH bucket; same direction → same IVF centroid — recovers ALL of
+    * them. recall = |ANN ∩ exact| / 10 is therefore EXACTLY 1.0 per
+    * query and method; any bucketing/probe/re-rank regression drops a
+    * shared neighbor and the hash-compare goes red. (Top-1 planted
+    * recovery is pinned by embedding_ann_lsh/ivf; this generalizes it
+    * to the full k.) */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = plantedAnnQueries(emb, 5)
+    val dups = emb.filter(col("vec_id") < 5)
+      .crossJoin(s.range(10).select(col("id").as("__j")))
+      .select(
+        (lit(1000000L) + col("vec_id") * 100L + col("__j")).as("vec_id"),
+        transform(col("embedding"), v =>
+          (v * (lit(1.0d) + (col("__j") + 1L) * 0.001d)).cast("float"))
+          .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(ann: DataFrame, method: String): DataFrame =
+      ann.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) / 10.0d).as("recall"))
+        .select(lit(method).as("method"),
+          (-col("query_id") - 1L).as("query_id"), col("recall"))
+    recall(Similarity.lshTopK(corpus, queries, k = 10, probeRadius = 2),
+        "lsh")
+      .unionByName(recall(Similarity.ivfTopK(corpus, queries, k = 10,
+        nCentroids = 16, nProbe = 6), "ivf"))
+      .orderBy("method", "query_id")
+  }
+
   /** Pivot: daily event counts, one column per event type (explicit
     * value list so no extra distinct pass runs and the output schema is
     * plan-time static). */
@@ -2374,6 +2413,7 @@ object Queries {
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
+    "ann_recall" -> (annRecall _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
@@ -3214,6 +3254,14 @@ object Queries {
     // per-element float rounding is replicated with CAST(.. AS FLOAT))
     "embedding_ann_lsh" -> AnnPlantedOracleSql,
     "embedding_ann_ivf" -> AnnPlantedOracleSql,
+    // recall@10 over planted scaled-duplicate families is exactly 1.0
+    // per query and method (see annRecall) — the oracle predicts the
+    // full grid; any ANN recall loss breaks the hash
+    "ann_recall" ->
+      """SELECT m.method, v.query_id, CAST(1.0 AS DOUBLE) AS recall
+        |FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+        |CROSS JOIN (SELECT vec_id AS query_id FROM embeddings
+        |            WHERE vec_id < 5) v""".stripMargin,
     "embedding_topk" ->
       """SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

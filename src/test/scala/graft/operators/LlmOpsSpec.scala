@@ -106,6 +106,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits > 0, "LSH ANN found none of the true top-10 neighbors")
   }
 
+  test("recall@10 over planted duplicate families is exactly 1.0 (lsh and ivf)") {
+    // the EXACT gate-entry computation — reused so the spec and the
+    // oracle entry can never diverge on the planted construction
+    val rows = graft.Queries.annRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(rows.size == 10, s"expected 2 methods x 5 queries, got $rows")
+    rows.foreach { case ((m, q), rec) =>
+      assert(rec == 1.0d, s"$m recall@10 for query $q is $rec, not 1.0 — " +
+        "the ANN structure lost a planted near-duplicate")
+    }
+  }
+
   test("planted near-queries: LSH(radius 2) and IVF top-1 recover the source vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // the EXACT construction the gate entries use — reused, not copied,
