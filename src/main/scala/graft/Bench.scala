@@ -23,9 +23,20 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
     catch { case scala.util.control.NonFatal(_) => () }
+    // Min-of-N per query: identical cold runs swing ±20% on this box
+    // (pipeline_e2e measured 26–38s across identical r6-session runs),
+    // which drowns real round-over-round regressions. The min of N runs
+    // is the stable estimator of a query's plan cost. Re-runs are
+    // skipped for queries whose FIRST run exceeds the cutoff — the
+    // heavyweights are exactly where doubling the wall time hurts, and
+    // their absolute size already dominates their variance. N and the
+    // per-query run counts are recorded in the output.
+    val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    val rerunCutoffSec = 10.0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      def once(recordFailure: Boolean): Double = {
+        val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           // bit_xor, not sum: ANSI mode (Spark 4 default) throws on long
@@ -34,24 +45,36 @@ object Bench {
             org.apache.spark.sql.functions.xxhash64(
               df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)))
             .head()
-          true
+          (System.nanoTime() - t0) / 1e9
         }
         // NonFatal only: an OOM must abort the run — recording it as
         // one failure and continuing with a wedged session would turn
         // every later query into a bogus regression
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failures ::= name; false
+          if (recordFailure) failures ::= name
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val first = once(recordFailure = true)
+      var best = first
+      var runs = 1
+      while (best >= 0 && runs < benchRuns && first < rerunCutoffSec) {
+        val t = once(recordFailure = false) // a flaky re-run keeps run 1's time
+        runs += 1
+        if (t >= 0 && t < best) best = t
+      }
+      (name, best, runs)
     }
     import Gate.jstr
     val timed = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    val runCounts = results.map { case (k, _, n) => s"${jstr(k)}:$n" }
       .mkString("{", ",", "}")
     val fails = failures.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
