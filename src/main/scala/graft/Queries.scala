@@ -1925,7 +1925,13 @@ object Queries {
         transform(col("embedding"), v =>
           (v * (lit(1.0d) + (col("__j") + 1L) * 0.001d)).cast("float"))
           .as("embedding"))
+    // materialized ONCE (eager localCheckpoint): three independent ANN
+    // passes (exact, LSH, IVF — itself multi-pass Lloyd) would each
+    // re-derive the union+crossJoin corpus plan otherwise. A recall
+    // evaluation is inherently multi-pass over its corpus; at 100 TB
+    // one evaluates on a bounded sample and persists it the same way.
     val corpus = emb.select("vec_id", "embedding").unionByName(dups)
+      .localCheckpoint()
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
       .select(col("query_id"), col("neighbor_id"))
     def recall(ann: DataFrame, method: String): DataFrame =

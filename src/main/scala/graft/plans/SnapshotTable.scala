@@ -1737,8 +1737,11 @@ final class SnapshotTable(
     * files without their deleted rows, in one atomic commit — every
     * clean file carries over by reference, and the new files carry no
     * vector. A table with no vectors is a no-op (no version churn).
-    * The DSv2/SQL scan path requires this (or [[compact]], which
-    * purges lazily) before it can serve a DV'd snapshot. */
+    * Not required for correctness on any read path (API reads, the
+    * DSv2/SQL scan and SQL DML all apply vectors transparently) — run
+    * it, or [[compact]] (which purges lazily), to restore the
+    * VECTORIZED columnar scan: a DV'd snapshot reads row-based
+    * ([[graft.sources.GraftDvReaderFactory]]). */
   def purgeDeletes(): Unit = {
     val v = currentVersion.getOrElse(return)
     val m = readManifest(v)
@@ -2411,11 +2414,15 @@ object SnapshotTable {
   private[graft] val PosFileCol = "__graft_pos_file"
   private[graft] val PosIdxCol = "__graft_pos_idx"
 
-  /** Guard for scan paths that CANNOT apply deletion vectors (the
-    * DSv2/SQL planner hands files straight to Spark's parquet stack
-    * with no row filter): serving a DV'd snapshot there would silently
-    * resurrect deleted rows, so it fails loudly with the remedy
-    * instead. */
+  /** Guard for the one remaining scan path that CANNOT apply deletion
+    * vectors — the STREAMING source's per-commit file replay
+    * ([[graft.sources.GraftMicroBatchStream]]), whose delivery unit is
+    * whole files (a vector change doesn't add files, so new deletes
+    * could never re-deliver): serving a DV'd snapshot there would
+    * silently resurrect deleted rows, so it fails loudly with the
+    * remedy instead. Batch DSv2/SQL reads and SQL DML no longer need
+    * it ([[graft.sources.GraftDvReaderFactory]] applies vectors
+    * in-scan). */
   private[graft] def requireNoDeletionVectors(entries: Seq[FileEntry],
                                               what: String): Unit = {
     val dvd = entries.count(_.deletedRows.nonEmpty)

@@ -25,7 +25,6 @@ import org.apache.spark.sql.connector.write.{
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,7 +66,7 @@ import graft.plans.SnapshotTable.FileEntry
   * rows. */
 final class GraftRowLevelOperation(
     spark: SparkSession,
-    tablePath: String,
+    private[sources] val tablePath: String,
     cmd: Command) extends RowLevelOperation {
 
   private[sources] val snapshot =
@@ -75,12 +74,6 @@ final class GraftRowLevelOperation(
 
   private[sources] val (liveEntries, tableSchema, partitionCols) =
     snapshot.scanInfo(None)
-
-  // the rewrite's scan hands files straight to the parquet stack: a
-  // deletion vector it can't apply would RESURRECT deleted rows into
-  // the rewritten files — materialize first
-  SnapshotTable.requireNoDeletionVectors(liveEntries,
-    s"$cmd on graft.`$tablePath`")
 
   /** Live entries after STATIC condition pruning. Both scan builders
     * the rewrite creates (the main scan and the runtime group filter's
@@ -235,12 +228,21 @@ final class GraftRowLevelScan(
   }
 
   override def toBatch: Batch = {
+    val replaced = op.replacedEntries
     val index = new ManifestFileIndex(
-      spark, op.snapshot.dataDirPath, op.replacedEntries, partSchema)
+      spark, op.snapshot.dataDirPath, replaced, partSchema)
     // an empty options map and no pushed filters: the inner batch must
-    // plan every surviving file in full
-    ParquetScanBuilder(spark, index, readSchema(), dataSchema,
-      CaseInsensitiveStringMap.empty()).build().toBatch
+    // plan every surviving file in full. Built through the DV-aware
+    // builder so a snapshot carrying merge-on-read deletion vectors
+    // rewrites WITHOUT its hidden rows (the replacement files then
+    // carry no vector — a copy-on-write rewrite is itself the lazy
+    // purge); a plain parquet batch here would resurrect them.
+    val dvByBase = replaced.filter(_.deletedRows.nonEmpty)
+      .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
+        -> e.deletedRows).toMap
+    new GraftScanBuilder(spark, op.tablePath, None, index, readSchema(),
+      dataSchema, dvByBase, CaseInsensitiveStringMap.empty())
+      .build().toBatch
   }
 
   override def description(): String =

@@ -33,7 +33,13 @@ private[sources] final case class GraftOffset(version: Long) extends Offset {
   * answers `toMicroBatchStream`, making the same `format("graft")`
   * relation readable by `spark.readStream`. Batch planning, column
   * pruning, filter pushdown and the vectorized reader are inherited
-  * untouched — the subclass only adds the streaming entry point. */
+  * untouched — the subclass only adds the streaming entry point.
+  *
+  * For a snapshot carrying merge-on-read deletion vectors
+  * (`dvByBase` nonEmpty) the built scan applies them at read
+  * ([[GraftDvReaderFactory]]), and aggregate pushdown is REFUSED:
+  * the pushed COUNT/MIN/MAX answer from parquet footers alone, which
+  * count rows a deletion vector hides. */
 private[sources] final class GraftScanBuilder(
     spark: SparkSession,
     tablePath: String,
@@ -41,11 +47,17 @@ private[sources] final class GraftScanBuilder(
     fileIndex: PartitioningAwareFileIndex,
     tableSchema: StructType,
     dataSchema: StructType,
+    dvByBase: Map[String, Array[Long]],
     opts: CaseInsensitiveStringMap)
     extends ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
       opts) {
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    dvByBase.isEmpty && super.pushAggregation(agg)
+
   override def build(): ParquetScan =
-    new GraftScan(tablePath, pinnedVersion, super.build())
+    new GraftScan(tablePath, pinnedVersion, super.build(), dvByBase)
 }
 
 /** The built scan IS a [[ParquetScan]] (same batch planning, columnar
@@ -62,13 +74,68 @@ private[sources] final class GraftScanBuilder(
 private[sources] final class GraftScan(
     tablePath: String,
     pinnedVersion: Option[Long],
-    base: ParquetScan)
+    base: ParquetScan,
+    /** basename → sorted deleted row positions, for every live file
+      * carrying a merge-on-read deletion vector; empty for clean
+      * snapshots (the overwhelmingly common case — every override
+      * below is a zero-cost pass-through then). */
+    dvByBase: Map[String, Array[Long]] = Map.empty)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters,
       base.pushedVariantExtractions)
     with SupportsRuntimeV2Filtering {
+
+  private def dvBasename(f: org.apache.spark.sql.execution.datasources
+      .PartitionedFile): String = {
+    val raw = f.filePath.toString
+    raw.substring(raw.lastIndexOf('/') + 1)
+  }
+
+  /** DV-aware partition planning (see [[GraftDvInputPartition]]):
+    * every DV'd file that survives pruning becomes its own UNSPLIT
+    * single-file partition (splits merged back to the full byte
+    * range — the position filter's running count must see every row
+    * of the file, in order); clean files keep Spark's packing and
+    * splits verbatim. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = super.planInputPartitions()
+    if (dvByBase.isEmpty) return planned
+    val fps = planned.map(_.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.FilePartition])
+    val cleanSets = fps.map(_.files.filterNot(f =>
+      dvByBase.contains(dvBasename(f)))).filter(_.nonEmpty)
+    val dvWhole = fps.flatMap(_.files.filter(f =>
+        dvByBase.contains(dvBasename(f))))
+      .groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+      .map { case (_, splits) =>
+        val f = splits.head
+        f.copy(start = 0L, length = f.fileSize)
+      }
+    cleanSets.zipWithIndex.map { case (fs, i) =>
+      org.apache.spark.sql.execution.datasources
+        .FilePartition(i, fs): InputPartition
+    } ++ dvWhole.zipWithIndex.map { case (f, i) =>
+      GraftDvInputPartition(
+        org.apache.spark.sql.execution.datasources.FilePartition(
+          cleanSets.length + i, Array(f))): InputPartition
+    }
+  }
+
+  /** For DV'd snapshots: the normal factory serves clean partitions
+    * (row-based — see [[GraftDvReaderFactory]] — but with pushed
+    * filters intact), and a twin with EMPTY pushed filters serves the
+    * DV partitions, so parquet row-group/page skipping can never
+    * renumber the position filter's running count. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val clean = super.createReaderFactory()
+    if (dvByBase.isEmpty) return clean
+    require(pushedAggregate.isEmpty,
+      "aggregate pushdown must be refused for a DV'd snapshot")
+    val dvSide = copy(pushedFilters = Array.empty).createReaderFactory()
+    new GraftDvReaderFactory(clean, dvSide, dvByBase)
+  }
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream = {

@@ -117,10 +117,6 @@ final class GraftTable(
       org.apache.spark.sql.types.StringType, nullable = true))
 
   private[sources] def fileIndex: ManifestFileIndex = {
-    // the DSv2 parquet stack has no row-filter hook, so a snapshot
-    // with merge-on-read deletes must be materialized before SQL can
-    // scan it (SnapshotTable API reads apply them transparently)
-    SnapshotTable.requireNoDeletionVectors(entries, name())
     // an id-mapped table scanned with id matching off would silently
     // resolve renamed/re-added columns by NAME — wrong bytes, so loud
     if (SnapshotTable.idMapped(tableSchema))
@@ -129,12 +125,22 @@ final class GraftTable(
       indexPartitionSchema)
   }
 
+  /** Merge-on-read deletion vectors of this snapshot, keyed by file
+    * basename (commit-UUID-prefixed, globally unique) — applied inside
+    * the scan ([[GraftDvReaderFactory]]), so SQL/DSv2 reads of a DV'd
+    * snapshot hide deleted rows with no materialization step. Empty
+    * for clean snapshots. */
+  private val dvByBase: Map[String, Array[Long]] =
+    entries.filter(_.deletedRows.nonEmpty)
+      .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
+        -> e.deletedRows).toMap
+
   /** Batch plans are exactly Spark's parquet scans; the graft subclass
     * only adds `toMicroBatchStream`, so the same relation serves
     * `spark.read` and `spark.readStream` ([[GraftMicroBatchStream]]). */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
-      tableSchema, dataSchema, opts)
+      tableSchema, dataSchema, dvByBase, opts)
 
   /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row
     * level operations ([[GraftRowLevelOperation]]). DML against a

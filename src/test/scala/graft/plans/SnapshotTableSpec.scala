@@ -1228,20 +1228,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.changes(1L, 2L).count() == 0)
   }
 
-  test("purgeDeletes materializes vectors; the DSv2 scan guard lifts") {
+  test("purgeDeletes materializes vectors; DSv2 serves DVs before AND after") {
     val path = tmp("mordel6")
     val t = SnapshotTable(spark, path, "id", Some("part"))
     t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
     t.deleteMoR(col("id") === 2)
-    // SQL/DSv2 scans cannot apply vectors: loud failure, with remedy
-    val e = intercept[Exception](
-      spark.read.format("graft").load(path).count())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // SQL/DSv2 scans apply vectors in-scan — no materialization step
+    assert(spark.read.format("graft").load(path).count() == 2)
     val before = dataFiles(path)
     t.purgeDeletes()
     assert(dataFiles(path) != before, "purge rewrote nothing")
     assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
-    // the guard lifts: SQL serves the materialized snapshot
+    // the materialized snapshot reads identically (columnar path back)
     assert(spark.read.format("graft").load(path).count() == 2)
     // purge on a clean table is a no-op (no version churn)
     val v = t.currentVersion.get
