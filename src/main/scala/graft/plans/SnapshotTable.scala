@@ -748,15 +748,19 @@ final class SnapshotTable(
         case (_, None) => df
       }
     // The stage dir is commit-private and atomicity comes from the
-    // manifest swap, not the output committer — so the v1 committer's
-    // job-commit merge pass (a second sequential rename per file, plus
-    // a driver-side directory merge) buys nothing here. v2 renames
-    // task output straight into the stage tree at task commit: at the
-    // pipeline's 2,400-dir daily shape that is thousands of metadata
-    // ops saved per write. The _SUCCESS marker is likewise meaningless
-    // one level below a manifest commit.
+    // manifest swap, not the output committer — so the committer only
+    // has to land files in the stage tree, and the ENVIRONMENT default
+    // algorithm is deliberately kept. Forcing v2 here measured ~1.7×
+    // SLOWER at the pipeline's 2,400-dir daily shape (WriteShapeProbe:
+    // v2 9–12s vs v1 5.8–7.5s per write): hash partitioning gives each
+    // task DISJOINT partition dirs, so v1's job commit renames whole
+    // directories, while v2 pays a rename per FILE at task commit —
+    // and v2 is deprecated upstream for task-retry correctness anyway.
+    // Deployments on rename-less object stores configure a cloud
+    // committer via Hadoop conf; nothing below assumes rename
+    // semantics. The _SUCCESS marker is meaningless one level below a
+    // manifest commit.
     val w = clustered.write.mode("overwrite")
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     timed("write-stage")((if (tablePartitionCols.isEmpty) w
       else w.partitionBy(tablePartitionCols: _*)).parquet(stage))

@@ -26,32 +26,30 @@ object WriteShapeProbe {
     }
 
     for (round <- 1 to 2) {
-      timeIt(s"r$round baseline repartition(32,date)+partitionBy") {
+      timeIt(s"r$round v2+nosuccess") {
         orders.repartition(32, col("date")).write.mode("overwrite")
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
           .partitionBy("date").parquet(s"$out/a")
       }
-      timeIt(s"r$round no-committer-opts") {
+      timeIt(s"r$round v1 defaults") {
         orders.repartition(32, col("date")).write.mode("overwrite")
           .partitionBy("date").parquet(s"$out/b")
       }
-      timeIt(s"r$round uncompressed") {
+      timeIt(s"r$round v2 only") {
         orders.repartition(32, col("date")).write.mode("overwrite")
-          .option("compression", "none")
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .partitionBy("date").parquet(s"$out/c")
       }
-      timeIt(s"r$round small-blocksize") {
+      timeIt(s"r$round nosuccess only") {
         orders.repartition(32, col("date")).write.mode("overwrite")
-          .option("parquet.block.size", (1 << 20).toString)
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
           .partitionBy("date").parquet(s"$out/d")
       }
-      timeIt(s"r$round sorted-within (single open writer per task)") {
-        orders.repartitionByRange(32, col("date"))
-          .sortWithinPartitions("date").write.mode("overwrite")
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      timeIt(s"r$round v1+nosuccess concurrent-rename probe") {
+        orders.repartition(32, col("date")).write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "1")
           .partitionBy("date").parquet(s"$out/e")
       }
     }
