@@ -511,6 +511,41 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** S2 (CHANGE FEED) — `readChangeFeed` batch span over a commit
+    * history with one mutation of each kind (upsert rewrite, MoR
+    * delete): the feed delivers per-commit BEFORE/AFTER images planned
+    * from manifest diffs as pure file scans, and the query then runs
+    * the signed fold every incremental consumer runs — net of
+    * canceling pairs, PER COMMIT. The net is layout-independent
+    * (rewrite pair noise cancels), so DuckDB predicts it exactly from
+    * the mutation definitions. DV-aware end-to-end: the v3 before
+    * image of an id that v2 modified must carry the MODIFIED value. */
+  def cdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("cdcfeed", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val orders = t(s, dir, "orders")
+    table.create(orders)                                           // v1
+    table.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority", lit("0-RUSH")))               // v2
+    table.deleteMoR(col("o_orderkey") % 1000 === 7)                // v3
+    val img = plans.SnapshotTable.ImageCol
+    val feed = s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(base)
+    feed
+      .withColumn("__s", when(col(img) === "after", 1L).otherwise(-1L))
+      .groupBy((ordersCols :+ plans.SnapshotTable.CommitVersionCol)
+        .map(col): _*)
+      .agg(sum("__s").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(ordersCols.map(col) ++ Seq(
+        when(col("__d") > 0, "after").otherwise("before").as("image"),
+        col(plans.SnapshotTable.CommitVersionCol).as("commit_version")): _*)
+  }
+
   /** S2 (RESTORE) — roll the table back to v1 after a divergent v2
     * commit: a metadata-only commit referencing v1's files verbatim,
     * so the read must be exactly the created state (the oracle), with
@@ -2355,6 +2390,7 @@ object Queries {
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "mor_delete" -> (morDelete _),
+    "cdc_feed" -> (cdcFeed _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2662,6 +2698,22 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 1000 <> 7""".stripMargin,
+    // the change feed's per-commit NET is exactly the mutation
+    // definitions: v2 = before/after pair per modified row; v3 = one
+    // before image per MoR-deleted row AT ITS v2-MODIFIED VALUE
+    "cdc_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |       'before' AS image, CAST(2 AS BIGINT) AS commit_version
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, '0-RUSH',
+        |       'after', 2
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END,
+        |       'before', 3
+        |FROM orders WHERE o_orderkey % 1000 = 7""".stripMargin,
     "snapshot_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0

@@ -2359,6 +2359,11 @@ object SnapshotTable {
   /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
   val ImageCol = "_change_image"
 
+  /** Commit-version column the change-feed reads append
+    * ([[graft.sources.GraftCdcScan]]) — which commit produced each
+    * image (Delta CDF's `_commit_version` analog). */
+  val CommitVersionCol = "_commit_version"
+
   /** COLUMN-ID MAPPING (Delta column-mapping / Iceberg field-id
     * analog): tables created with TBLPROPERTIES
     * (`graft.columnMapping`='id') stamp every field with a stable

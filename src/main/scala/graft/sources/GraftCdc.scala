@@ -1,0 +1,331 @@
+package graft.sources
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.execution.datasources.{
+  FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.{ManifestFileIndex, SnapshotTable}
+import graft.plans.SnapshotTable.FileEntry
+
+/** CHANGE FEED reads of a snapshot table — the Delta CDF analog,
+  * batch and streaming, DELETION-VECTOR-aware:
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true").load(path)   // stream images
+  *   spark.read.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 2)                  // span (2, head]
+  *     .option("endingVersion", 5).load(path)         // … or (2, 5]
+  * }}}
+  *
+  * Output schema is the table's columns plus `_change_image`
+  * (`before` | `after`) and `_commit_version` — the same image algebra
+  * [[SnapshotTable.changesDelta]] serves in batch: downstream state
+  * folds `agg += f(after) − f(before)` and stays exact.
+  *
+  * Delivery is planned per COMMIT from the manifest diff, entirely as
+  * parquet file scans (no shuffle, no driver data path):
+  *
+  *  - a file ADDED at v → its visible rows as `after` images,
+  *  - a file REMOVED at v → its previously-visible rows as `before`,
+  *  - a file whose DELETION VECTOR grew at v (deleteMoR) → ONLY the
+  *    newly-hidden positions as `before` images — bytes-identical
+  *    files never re-read whole,
+  *  - carried-over files → nothing.
+  *
+  * Contract vs [[SnapshotTable.changesDelta]]: per commit, the
+  * streamed multiset NET of canceling (before, after) pairs equals
+  * `changesDelta(v-1, v)` exactly. The pairs exist because a rewrite
+  * re-delivers its file's unchanged rows as one `before` + one
+  * `after` — which cancel in any incremental fold — while
+  * `changesDelta` spends a shuffle to cancel them up front. A
+  * STREAMING source cannot run that shuffle inside partition
+  * planning; shipping the raw pair algebra keeps delivery a pure
+  * file scan at any scale. Pure appends, MoR deletes and inserts
+  * stream with no extra pairs at all.
+  *
+  * Positions are counted by the reader (file order), so DV'd and
+  * position-filtered files plan as UNSPLIT whole-file partitions with
+  * no pushed filters — the same invariant [[GraftDvReaderFactory]]
+  * relies on; clean `after`/`before` files without a position filter
+  * still read whole here (the factory is filter-free by
+  * construction, CDC reads are full-row by nature). */
+private[sources] final class GraftCdcScanBuilder(
+    spark: SparkSession,
+    tablePath: String,
+    opts: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new GraftCdcScan(spark, tablePath, opts)
+}
+
+private[sources] object GraftCdc {
+  val ImageField: StructField =
+    StructField(SnapshotTable.ImageCol, StringType, nullable = false)
+  val VersionField: StructField =
+    StructField(SnapshotTable.CommitVersionCol, LongType, nullable = false)
+
+  /** Whether an options map asks for change-feed reads. */
+  def requested(options: Map[String, String]): Boolean =
+    options.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.trim.equalsIgnoreCase("true")
+    }
+
+  /** The CDC read schema for a table schema: data+partition columns in
+    * PHYSICAL batch order (what the delegated parquet factory emits),
+    * then the two change columns the reader appends. */
+  def schemaFor(tableSchema: StructType,
+                partitionCols: Seq[String]): StructType = {
+    val (part, data) =
+      tableSchema.fields.partition(f => partitionCols.contains(f.name))
+    StructType(data ++ part ++ Array(ImageField, VersionField))
+  }
+}
+
+private[sources] final class GraftCdcScan(
+    spark: SparkSession,
+    tablePath: String,
+    opts: CaseInsensitiveStringMap) extends Scan {
+
+  private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
+  private val (headEntries, tableSchema, partitionCols) =
+    snapshot.scanInfo(None)
+
+  // same guard as the snapshot scan: an id-mapped table read with id
+  // matching off would resolve renamed/re-added columns by NAME
+  if (SnapshotTable.idMapped(tableSchema))
+    SnapshotTable.requireIdReadEnabled(spark, s"change feed of $tablePath")
+
+  private val dataSchema = StructType(
+    tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+  private val partSchema = StructType(
+    partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
+
+  override def readSchema(): StructType =
+    GraftCdc.schemaFor(tableSchema, partitionCols)
+
+  override def description(): String = s"GraftCdcScan graft.`$tablePath`"
+
+  /** The file-reading half: one filter-free parquet factory over the
+    * table's CURRENT schema serves every span (older files' missing
+    * columns read as null — the same alignment changesDelta applies
+    * across schema evolution). An empty scan-time file index is fine:
+    * the factory's row decoding depends only on the SCHEMA; the files
+    * come from each planned partition. */
+  private[sources] def innerFactory(): PartitionReaderFactory = {
+    val idx = new ManifestFileIndex(
+      spark, snapshot.dataDirPath, headEntries, partSchema)
+    ParquetScanBuilder(spark, idx, tableSchema, dataSchema,
+      CaseInsensitiveStringMap.empty()).build().createReaderFactory()
+  }
+
+  private[sources] def planner: GraftCdcPlanner =
+    new GraftCdcPlanner(spark, snapshot, tablePath, partSchema)
+
+  // ---- batch change feed: an explicit (startingVersion, endingVersion]
+  override def toBatch: Batch = {
+    val from = Option(opts.get("startingVersion")).map(_.trim) match {
+      case Some(raw) => raw.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"readChangeFeed batch read needs a numeric startingVersion, " +
+            s"got '$raw'"))
+      case None => throw new IllegalArgumentException(
+        "readChangeFeed batch read requires startingVersion (images " +
+          "are committed in versions (startingVersion, endingVersion])")
+    }
+    val to = Option(opts.get("endingVersion")).map(_.trim)
+      .map(raw => raw.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"endingVersion must be numeric, got '$raw'")))
+      .getOrElse(snapshot.currentVersion.getOrElse(0L))
+    val p = planner
+    val f = innerFactory()
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        p.planSpan(from, to)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftCdcReaderFactory(f)
+    }
+  }
+
+  override def toMicroBatchStream(loc: String): MicroBatchStream =
+    new GraftCdcMicroBatchStream(tablePath, planner, innerFactory(), opts)
+}
+
+/** Per-span CDC partition planning from manifest diffs — METADATA
+  * only; shared by the batch and streaming entry points. */
+private[sources] final class GraftCdcPlanner(
+    spark: SparkSession,
+    snapshot: SnapshotTable,
+    tablePath: String,
+    partSchema: StructType) {
+
+  private def vacuumed(v: Long) = new IllegalStateException(
+    s"change-feed offset v$v of $tablePath is no longer retained " +
+      "(vacuumed) — restart from a fresh checkpoint with " +
+      "startingVersion = 'latest' or a retained version")
+
+  private def entriesAt(v: Long): Seq[FileEntry] =
+    try snapshot.scanInfo(Some(v))._1
+    catch {
+      case _: java.io.FileNotFoundException => throw vacuumed(v)
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.contains("no commit record")) =>
+        throw vacuumed(v)
+    }
+
+  /** One whole-file partition per entry (positions are counted by the
+    * reader, so splits are forbidden), carrying the image tag, the
+    * commit version, and the entry's position filter. */
+  private def filePartitions(entries: Seq[FileEntry], image: String,
+                             version: Long,
+                             keepOnly: Map[String, Array[Long]] = Map.empty)
+      : Seq[GraftCdcInputPartition] = {
+    if (entries.isEmpty) return Nil
+    val idx = new ManifestFileIndex(
+      spark, snapshot.dataDirPath, entries, partSchema)
+    val byBase = entries.map(e =>
+      e.path.substring(e.path.lastIndexOf('/') + 1) -> e).toMap
+    idx.listFiles(Nil, Nil).flatMap { dir =>
+      dir.files.map { f =>
+        val base = f.getPath.getName
+        val entry = byBase(base)
+        val pf = new PartitionedFile(dir.values,
+          SparkPath.fromPath(f.getPath), 0L, f.getLen,
+          Array.empty[String], f.getModificationTime, f.getLen,
+          Map.empty)
+        GraftCdcInputPartition(FilePartition(0, Array(pf)), image, version,
+          drop = entry.deletedRows, keep = keepOnly.get(base).orNull)
+      }
+    }
+  }
+
+  /** All change partitions committed in versions (vs, ve]. `vs == 0`
+    * is stream start: the whole ve snapshot delivers as `after`
+    * images (Delta CDF's initial-snapshot-as-inserts behavior). */
+  def planSpan(vs: Long, ve: Long): Array[InputPartition] = {
+    if (ve <= vs)
+      return Array.empty
+    if (vs == 0L)
+      return filePartitions(entriesAt(ve), "after", ve).toArray
+    val out = Seq.newBuilder[GraftCdcInputPartition]
+    var prev = entriesAt(vs)
+    var v = vs + 1
+    while (v <= ve) {
+      val cur = entriesAt(v)
+      val prevByPath = prev.map(e => e.path -> e).toMap
+      val curByPath = cur.map(e => e.path -> e).toMap
+      def dvOf(e: FileEntry) = e.deletedRows
+      // same path, GROWN vector (deleteMoR union): only the newly-
+      // hidden positions emit, as before images — the file's bytes
+      // are unchanged and everything else would cancel pairwise
+      val dvDiff = cur.filter { e =>
+        prevByPath.get(e.path).exists(p =>
+          !java.util.Arrays.equals(dvOf(p), dvOf(e)))
+      }
+      val (grown, reshaped) = dvDiff.partition { e =>
+        val old = dvOf(prevByPath(e.path)).toSet
+        old.subsetOf(dvOf(e).toSet)
+      }
+      out ++= filePartitions(
+        grown.map(e => prevByPath(e.path)), "before", v,
+        keepOnly = grown.map { e =>
+          val oldDv = dvOf(prevByPath(e.path)).toSet
+          val newlyHidden = dvOf(e).filterNot(oldDv)
+          e.path.substring(e.path.lastIndexOf('/') + 1) -> newlyHidden
+        }.toMap)
+      // a SHRUNK/reshaped vector (no writer does this today) falls
+      // back to the generic pair: full before at the old visibility,
+      // full after at the new — correct for any vector change
+      out ++= filePartitions(reshaped.map(e => prevByPath(e.path)),
+        "before", v)
+      out ++= filePartitions(reshaped, "after", v)
+      // path-level adds and removes
+      out ++= filePartitions(
+        cur.filterNot(e => prevByPath.contains(e.path)), "after", v)
+      out ++= filePartitions(
+        prev.filterNot(e => curByPath.contains(e.path)), "before", v)
+      prev = cur
+      v += 1
+    }
+    out.result().toArray
+  }
+}
+
+/** One change-feed read unit: a whole parquet file, the image it
+  * contributes, the commit it belongs to, and its position filter —
+  * `drop` hides positions (the file's deletion vector at the image's
+  * visibility), `keep` (when non-null) restricts to exactly those
+  * positions (DV-diff before images). Both sorted ascending. */
+private[sources] final case class GraftCdcInputPartition(
+    fp: FilePartition, image: String, version: Long,
+    drop: Array[Long], keep: Array[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** Wraps the filter-free parquet row reader with the position filter
+  * and appends the two constant change columns. Row-based throughout
+  * (position counting; CDC consumers read full rows). */
+private[sources] final class GraftCdcReaderFactory(
+    inner: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cdc = p.asInstanceOf[GraftCdcInputPartition]
+    val constants = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(cdc.image), cdc.version))
+    val it = inner.createReader(cdc.fp)
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private val joined = new JoinedRow
+      override def next(): Boolean = {
+        while (it.next()) {
+          pos += 1
+          val visible =
+            if (cdc.keep != null)
+              java.util.Arrays.binarySearch(cdc.keep, pos) >= 0
+            else java.util.Arrays.binarySearch(cdc.drop, pos) < 0
+          if (visible) return true
+        }
+        false
+      }
+      override def get(): InternalRow = joined(it.get(), constants)
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+/** The change feed as a Structured Streaming SOURCE: offsets are
+  * manifest versions (shared [[GraftVersionedStream]] machinery —
+  * startingVersion/'latest'/startingTimestamp, AvailableNow pinning,
+  * maxVersionsPerTrigger admission control); each micro-batch
+  * delivers the images of its version span, planned per commit. */
+private[sources] final class GraftCdcMicroBatchStream(
+    tablePath: String,
+    planner: GraftCdcPlanner,
+    factory: PartitionReaderFactory,
+    opts: CaseInsensitiveStringMap)
+    extends GraftVersionedStream(tablePath, opts) {
+
+  override def planInputPartitions(start: org.apache.spark.sql.connector
+      .read.streaming.Offset, end: org.apache.spark.sql.connector.read
+      .streaming.Offset): Array[InputPartition] =
+    planner.planSpan(start.asInstanceOf[GraftOffset].version,
+      end.asInstanceOf[GraftOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdcReaderFactory(factory)
+}

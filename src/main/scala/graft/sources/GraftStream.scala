@@ -262,20 +262,19 @@ private[sources] final class GraftScan(
   * ISO literal in the session zone); mutually exclusive with
   * `startingVersion`. `maxVersionsPerTrigger` — cap how many table
   * versions one micro-batch may span (bounded catch-up epochs). */
-private[sources] final class GraftMicroBatchStream(
-    tablePath: String,
-    template: ParquetScan,
+private[sources] abstract class GraftVersionedStream(
+    protected val tablePath: String,
     opts: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def spark: SparkSession = SparkSession.active
+  protected def spark: SparkSession = SparkSession.active
 
   // one handle for the stream's lifetime: its bounded manifest cache is
   // exactly what serves the consecutive-version walks each trigger does
-  private lazy val snapshot: SnapshotTable =
+  protected lazy val snapshot: SnapshotTable =
     SnapshotTable(spark, tablePath, "_unused_read_only")
 
-  private def head: Long = snapshot.currentVersion.getOrElse(0L)
+  protected def head: Long = snapshot.currentVersion.getOrElse(0L)
 
   override def initialOffset(): Offset = {
     val byVersion = Option(opts.get("startingVersion"))
@@ -348,20 +347,16 @@ private[sources] final class GraftMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 
-  /** One version's manifest entries, with missing-history surfaced as
-    * the operational fact it is: the offset was vacuumed. */
-  private def entriesAt(v: Long): Seq[SnapshotTable.FileEntry] = {
+  /** One version's manifest entries (lengths guaranteed), with
+    * missing-history surfaced as the operational fact it is: the
+    * offset was vacuumed. */
+  protected def rawEntriesAt(v: Long): Seq[SnapshotTable.FileEntry] = {
     def vacuumed() = new IllegalStateException(
       s"stream offset v$v of $tablePath is no longer retained " +
         "(vacuumed) — restart from a fresh checkpoint with " +
         "startingVersion = 'latest' or a retained version")
-    try {
-      val es = snapshot.scanInfo(Some(v))._1
-      // the streaming scan is the same no-row-filter parquet stack
-      SnapshotTable.requireNoDeletionVectors(es,
-        s"streaming read of $tablePath@v$v")
-      es
-    } catch {
+    try snapshot.scanInfo(Some(v))._1
+    catch {
       // pre-delta logs surfaced a vacuumed version as the manifest's
       // FileNotFound; the delta log surfaces it as a broken replay
       // chain ("no commit record") — same operational fact
@@ -370,6 +365,28 @@ private[sources] final class GraftMicroBatchStream(
           if Option(e.getMessage).exists(_.contains("no commit record")) =>
         throw vacuumed()
     }
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+private[sources] final class GraftMicroBatchStream(
+    tablePath: String,
+    template: ParquetScan,
+    opts: CaseInsensitiveStringMap)
+    extends GraftVersionedStream(tablePath, opts) {
+
+  private def entriesAt(v: Long): Seq[SnapshotTable.FileEntry] = {
+    val es = rawEntriesAt(v)
+    // the FILE-replay scan is the same no-row-filter parquet stack,
+    // and delivery is whole files: a deletion-vector change adds no
+    // file, so its newly-hidden rows could never re-deliver — serve
+    // CDC instead (`readChangeFeed`, DV-aware) or purge first
+    SnapshotTable.requireNoDeletionVectors(es,
+      s"streaming read of $tablePath@v$v")
+    es
   }
 
   override def planInputPartitions(start: Offset,
@@ -407,8 +424,4 @@ private[sources] final class GraftMicroBatchStream(
     * the template's factory serves every micro-batch. */
   override def createReaderFactory(): PartitionReaderFactory =
     template.toBatch.createReaderFactory()
-
-  override def commit(end: Offset): Unit = ()
-
-  override def stop(): Unit = ()
 }

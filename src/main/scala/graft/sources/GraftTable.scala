@@ -60,10 +60,22 @@ final class GraftTable(
   private val dataSchema: StructType = StructType(
     tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
 
+  /** CHANGE FEED mode (`option("readChangeFeed", "true")`): the
+    * relation's schema gains `_change_image`/`_commit_version` and
+    * scans plan from manifest DIFFS instead of one snapshot
+    * ([[GraftCdcScan]] — batch spans and the streaming source). */
+  private val cdcMode: Boolean = GraftCdc.requested(options)
+  require(!cdcMode || pinnedVersion.isEmpty,
+    s"readChangeFeed and versionAsOf/timestampAsOf cannot combine on " +
+      s"$tablePath — a change feed is a SPAN of versions; bound it " +
+      "with startingVersion/endingVersion instead")
+
   override def name(): String =
     s"graft.`$tablePath`" + pinnedVersion.fold("")(v => s"@v$v")
 
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType =
+    if (cdcMode) GraftCdc.schemaFor(tableSchema, partitionCols)
+    else tableSchema
 
   override def partitioning(): Array[Transform] =
     partitionCols.map(c => Expressions.identity(c)).toArray
@@ -137,9 +149,11 @@ final class GraftTable(
 
   /** Batch plans are exactly Spark's parquet scans; the graft subclass
     * only adds `toMicroBatchStream`, so the same relation serves
-    * `spark.read` and `spark.readStream` ([[GraftMicroBatchStream]]). */
+    * `spark.read` and `spark.readStream` ([[GraftMicroBatchStream]]).
+    * Change-feed handles get the CDC scan instead. */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
+    if (cdcMode) new GraftCdcScanBuilder(spark, tablePath, opts)
+    else new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
       tableSchema, dataSchema, dvByBase, opts)
 
   /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.plans.SnapshotTable
+
+/** Change-feed reads (`readChangeFeed`): batch spans and the streaming
+  * source. The correctness anchor is the batch CDC contract: per
+  * commit, the delivered images NET of canceling (before, after)
+  * pairs must equal [[SnapshotTable.changesDelta]] exactly — across
+  * appends, upserts (rewrites), copy-on-write deletes and
+  * merge-on-read deletion-vector growth. */
+class GraftCdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/table"
+
+  private val img = SnapshotTable.ImageCol
+  private val ver = SnapshotTable.CommitVersionCol
+
+  /** Signed multiset net of an image frame: rows surviving pair
+    * cancellation, exploded back to (row, image, multiplicity). */
+  private def net(images: DataFrame): Seq[(Int, String, String, String)] = {
+    val dataCols = images.columns.filterNot(c => c == img || c == ver).toSeq
+    images
+      .withColumn("__s", when(col(img) === "after", 1L).otherwise(-1L))
+      .groupBy(dataCols.map(col): _*).agg(sum("__s").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(col("id"), col("val"), col("part"),
+        when(col("__d") > 0, "after").otherwise("before").as("image"),
+        abs(col("__d")).cast("int").as("n"))
+      .collect().flatMap(r => Seq.fill(r.getInt(4))(
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))))
+      .toSeq.sorted
+  }
+
+  private def asImages(df: DataFrame): Seq[(Int, String, String, String)] =
+    df.select(col("id"), col("val"), col("part"), col(img))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq.sorted
+
+  /** A table with one commit of each mutation kind. */
+  private def history(tag: String): (String, SnapshotTable) = {
+    val path = tmp(tag)
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"),
+      (4, "d", "p2")).toDF("id", "val", "part"))           // v1
+    t.upsert(Seq((2, "B2", "p1"), (5, "e", "p2"))
+      .toDF("id", "val", "part"))                          // v2 rewrite+insert
+    t.deleteMoR(col("id") === 3)                           // v3 DV growth
+    t.delete(col("id") === 1)                              // v4 CoW delete
+    (path, t)
+  }
+
+  test("batch span: per-commit net equals changesDelta for every mutation kind") {
+    val (path, t) = history("cdcbatch")
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(path)
+    assert(feed.columns.endsWith(Array(img, ver)))
+    (2L to 4L).foreach { v =>
+      val streamed = feed.filter(col(ver) === v).drop(ver)
+      assert(net(streamed) == asImages(t.changesDelta(v - 1, v)),
+        s"net images at v$v diverge from changesDelta")
+    }
+  }
+
+  test("batch span: DV growth delivers ONLY the newly-hidden row (no pairs)") {
+    val (path, _) = history("cdcdv")
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 3).load(path)
+    // raw delivery, not just the net: one before-image, nothing else —
+    // the file's bytes are unchanged, so pairs would be pure waste
+    val rows = feed.select("id", img).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq(3 -> "before"), s"got $rows")
+  }
+
+  test("streaming: AvailableNow drains the history; restart adds nothing") {
+    val (path, t) = history("cdcstream")
+    val outDir = tmp("cdcout").stripSuffix("/table") + "/out"
+    val ckpt = tmp("cdcckpt").stripSuffix("/table") + "/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1) // images from v2 on
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not drain")
+    }
+    drain()
+    val streamed = spark.read.parquet(outDir)
+    (2L to 4L).foreach { v =>
+      assert(net(streamed.filter(col(ver) === v).drop(ver)) ==
+        asImages(t.changesDelta(v - 1, v)), s"streamed v$v diverges")
+    }
+    drain() // a second run resumes at the checkpointed head: no new rows
+    assert(spark.read.parquet(outDir).count() == streamed.count())
+    // a new commit streams incrementally on the next run
+    t.upsert(Seq((6, "f", "p1")).toDF("id", "val", "part")) // v5
+    drain()
+    val afterV5 = spark.read.parquet(outDir)
+    assert(net(afterV5.filter(col(ver) === 5L).drop(ver)) ==
+      asImages(t.changesDelta(4, 5)))
+  }
+
+  test("streaming default start: the whole snapshot delivers as after-images") {
+    val (path, t) = history("cdcinit")
+    val outDir = tmp("cdcout2").stripSuffix("/table") + "/out"
+    val ckpt = tmp("cdcckpt2").stripSuffix("/table") + "/ckpt"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(path)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.read.parquet(outDir)
+    val head = t.currentVersion.get
+    assert(got.filter(col(img) =!= "after" || col(ver) =!= head).isEmpty)
+    // the DV'd row (id=3) is hidden in the initial snapshot too
+    assert(got.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(2, 4, 5))
+  }
+
+  test("option validation: CDF rejects version pins and versionless batch") {
+    val (path, _) = history("cdcopts")
+    val e1 = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("versionAsOf", 1)
+      .load(path).collect())
+    assert(e1.getMessage.contains("readChangeFeed"), e1.getMessage)
+    val e2 = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").load(path).collect())
+    assert(e2.getMessage.contains("startingVersion"), e2.getMessage)
+  }
+}
