@@ -252,10 +252,23 @@ object Pipeline {
           done(dim) || !jobNames(dim) })
       require(ready.nonEmpty, "dependency cycle among pipeline jobs: " +
         remaining.map(_.name).mkString(", "))
+      // SETTLE every job in the wave before acting on any failure:
+      // Future.sequence fails fast, which would run the finally's
+      // cache cleanup (and the terminal hook) while sibling jobs are
+      // still mid-flight — a sibling's later `written(...) = persist()`
+      // would then leak its cache for the session lifetime, and work
+      // would keep committing after the pipeline reported failure.
+      // Waiting for the stragglers costs nothing on success and makes
+      // failure cleanup deterministic.
       val wave = Await.result(
-        Future.sequence(ready.map(j => Future(j.name -> runOne(j)))),
+        Future.sequence(ready.map(j =>
+          Future(scala.util.Try(j.name -> runOne(j))))),
         Duration.Inf)
-      wave.foreach { case (n, r) => resultsByName(n) = r; done += n }
+      wave.collectFirst { case scala.util.Failure(e) => throw e }
+      wave.foreach {
+        case scala.util.Success((n, r)) => resultsByName(n) = r; done += n
+        case _ => ()
+      }
       remaining = blocked
     }
     val results = jobs.map(j => resultsByName(j.name))

@@ -273,6 +273,10 @@ final class SnapshotTable(
                                          bloomItems: Long,
                                          bloomFpp: Double)
 
+  /** The all-defaults layout — never logged (its line would carry no
+    * information), the filter shared by every header writer. */
+  private val DefaultLayout = Layout(Nil, Nil, 0, Nil, 100000L, 0.03)
+
   private final case class Manifest(entries: Seq[FileEntry],
                                     schema: Option[StructType],
                                     partitionCol: Option[String],
@@ -361,6 +365,12 @@ final class SnapshotTable(
     * delta, legacy record) fails loudly rather than resolving to a
     * wrong snapshot. */
   private def readManifest(v: Long): Manifest = manifestCache.synchronized {
+    // versions start at 1: without this guard the walk below never
+    // runs for v <= 0 and falls through to the EMPTY base — silently
+    // serving a fabricated empty snapshot (the pre-delta code threw
+    // FileNotFound on the missing manifest)
+    require(v >= 1,
+      s"version $v does not exist at $path (versions start at 1)")
     val cached = manifestCache.get(v)
     if (cached != null) return cached
     var deltas = List.empty[Long] // ascending: prepended as c descends
@@ -473,12 +483,6 @@ final class SnapshotTable(
     // scans without opening a single footer
     val loggedSchema =
       StructType(schema.fields.map(_.copy(nullable = true))).json
-    // the partition column is layout metadata readers MUST know (a
-    // handle without it would mis-plan a partitioned table), so it is
-    // logged with every commit alongside the schema
-    val pcLine =
-      if (tablePartitionCols.isEmpty) ""
-      else s"partition\t${tablePartitionCols.mkString(",")}\n"
     // CHECK constraints are TABLE metadata, not handle state: logging
     // them re-binds every future writer — whatever handle or source API
     // it comes through — exactly as Delta persists constraints in its
@@ -505,23 +509,9 @@ final class SnapshotTable(
       .map { case (n, sql) => (n, sql) }
     val allChecks = carried ++ checkConstraints.map { case (n, c) =>
       (n, checkSql(c)) }
-    val checkLines = allChecks
-      .map { case (n, sql) => s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }
-      .mkString
-    val lay = effectiveLayout
-    val layoutLine =
-      if (lay == Layout(Nil, Nil, 0, Nil, 100000L, 0.03)) ""
-      else s"layout\t${encCols(lay.statsCols)}\t${encCols(lay.clusterBy)}\t" +
-        s"${lay.clusterFiles}\t${encCols(lay.bloomCols)}\t" +
-        s"${lay.bloomItems}\t${lay.bloomFpp}\n"
-    // table properties carry forward like checks: logged ones minus
-    // explicit unsets, constructor/setProperties values winning — sorted
-    // so byte-identical metadata commits stay reproducible
-    val propLines = effectiveProps.toSeq.sortBy(_._1)
-      .map { case (k, vl) => s"property\t${encHdr(k)}\t${encHdr(vl)}\n" }
-      .mkString
-    val header = s"version\t$v\ntoken\t$token\nschema\t$loggedSchema\n" +
-      pcLine + checkLines + layoutLine + propLines
+    val header = headerLines(v, token, Some(loggedSchema),
+      Some(tablePartitionCols.mkString(",")), allChecks,
+      Some(effectiveLayout), effectiveProps)
     // v1 commits FULL (every file is new — the manifest IS the delta and
     // doubles as the base checkpoint); later commits write only the diff
     // against the parent state: O(touched) bytes instead of O(live).
@@ -584,8 +574,7 @@ final class SnapshotTable(
       Some(StructType(schema.fields.map(_.copy(nullable = true)))),
       Some(tablePartitionCols.mkString(",")).filter(_.nonEmpty),
       allChecks,
-      Some(effectiveLayout).filterNot(_ == Layout(Nil, Nil, 0, Nil,
-        100000L, 0.03)),
+      Some(effectiveLayout).filterNot(_ == DefaultLayout),
       effectiveProps)
     manifestCache.synchronized(manifestCache.put(v, committed))
     // periodic full checkpoint AFTER the delta wins — best-effort (a
@@ -595,25 +584,45 @@ final class SnapshotTable(
       writeCheckpoint(v, checkpointPayload(v, committed))
   }
 
-  /** Serialize full state `m` as a checkpoint manifest payload —
-    * byte-compatible with what a v1/pre-delta commit writes, so every
-    * reader path parses checkpoints and full manifests identically. */
-  private def checkpointPayload(v: Long, m: Manifest): Array[Byte] = {
-    val schemaLine = m.schema.map(s => s"schema\t${s.json}\n").getOrElse("")
-    val pcLine = m.partitionCol.map(pc => s"partition\t$pc\n").getOrElse("")
-    val checkLines = m.checks.map { case (n, sql) =>
+  /** The header lines every commit record starts with, in ONE
+    * serializer: the delta/manifest writer ([[commitManifest]]) and
+    * the checkpoint writer ([[checkpointPayload]]) must stay
+    * byte-compatible — a drift between two copies would make
+    * checkpoints replay to a different state than the delta chain.
+    * The partition line is layout metadata readers MUST know (a
+    * handle without it would mis-plan a partitioned table);
+    * properties sort so byte-identical metadata commits stay
+    * reproducible. */
+  private def headerLines(v: Long, token: String,
+                          schemaJson: Option[String],
+                          partitionCsv: Option[String],
+                          checks: Seq[(String, String)],
+                          layout: Option[Layout],
+                          props: Map[String, String]): String = {
+    val schemaLine = schemaJson.map(j => s"schema\t$j\n").getOrElse("")
+    val pcLine = partitionCsv.filter(_.nonEmpty)
+      .map(p => s"partition\t$p\n").getOrElse("")
+    val checkLines = checks.map { case (n, sql) =>
       s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }.mkString
-    val layoutLine = m.layout.map(l =>
-      s"layout\t${encCols(l.statsCols)}\t${encCols(l.clusterBy)}\t" +
+    val layoutLine = layout.filterNot(_ == DefaultLayout)
+      .map(l => s"layout\t${encCols(l.statsCols)}\t${encCols(l.clusterBy)}\t" +
         s"${l.clusterFiles}\t${encCols(l.bloomCols)}\t${l.bloomItems}\t" +
         s"${l.bloomFpp}\n").getOrElse("")
-    val propLines = m.props.toSeq.sortBy(_._1).map { case (k, vl) =>
+    val propLines = props.toSeq.sortBy(_._1).map { case (k, vl) =>
       s"property\t${encHdr(k)}\t${encHdr(vl)}\n" }.mkString
-    (s"version\t$v\ntoken\t${UUID.randomUUID()}\n" + schemaLine + pcLine +
-      checkLines + layoutLine + propLines +
+    s"version\t$v\ntoken\t$token\n" + schemaLine + pcLine + checkLines +
+      layoutLine + propLines
+  }
+
+  /** Serialize full state `m` as a checkpoint manifest payload —
+    * byte-compatible with what a v1/pre-delta commit writes
+    * ([[headerLines]]), so every reader path parses checkpoints and
+    * full manifests identically. */
+  private def checkpointPayload(v: Long, m: Manifest): Array[Byte] =
+    (headerLines(v, UUID.randomUUID().toString, m.schema.map(_.json),
+      m.partitionCol, m.checks, m.layout, m.props) +
       m.entries.map(_.serialize).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
-  }
 
   /** Best-effort checkpoint write — NEVER a commit point: rename onto
     * the manifest name, failures swallowed (readers just replay more
@@ -663,11 +672,19 @@ final class SnapshotTable(
     * the vacuum horizon, never scanning data. */
   def history: Seq[(Long, Long, Int)] = {
     val head = currentVersion.getOrElse(return Nil)
-    (1L to head).reverse.iterator.map { v =>
-      commitRecord(v).map(p =>
-        (v, fs.getFileStatus(p).getModificationTime,
-          readManifest(v).entries.size))
-    }.takeWhile(_.isDefined).flatten.toSeq
+    // find the vacuum horizon first (metadata probes only), then
+    // reconstruct ASCENDING: each version's state builds on the
+    // just-cached previous one — one delta parse per version — where
+    // a newest-first walk would miss the 4-entry LRU every time and
+    // replay up to checkpointInterval records per version
+    val retained = (1L to head).reverse.iterator
+      .map(v => v -> commitRecord(v))
+      .takeWhile(_._2.isDefined)
+      .map { case (v, r) => (v, r.get) }.toSeq
+    retained.reverse.map { case (v, p) =>
+      (v, fs.getFileStatus(p).getModificationTime,
+        readManifest(v).entries.size)
+    }.reverse
   }
 
   /** Snapshot read as of a wall-clock instant ([[versionAt]]). */
@@ -1389,14 +1406,20 @@ final class SnapshotTable(
     })
   }
 
-  /** Re-stamp a batch with the table's field ids before it is written.
-    * No-op unless the table is id-mapped. Fields that already carry an
-    * id keep it; fields named in the logged schema inherit its id (the
-    * common case — projections like UPDATE's CASE-WHEN drop attribute
-    * metadata, and an un-stamped column in ONE file would read as null
-    * under id matching); genuinely NEW fields (evolveSchema upserts)
-    * get a fresh id above the logged high-water mark, which is bumped
-    * in the same commit. */
+  /** Re-stamp a batch with THIS table's field ids before it is
+    * written. No-op unless the table is id-mapped. Resolution is by
+    * NAME against the logged schema, always: a field named there
+    * inherits the logged id (projections like UPDATE's CASE-WHEN drop
+    * attribute metadata, and an un-stamped column in ONE file would
+    * read as null under id matching), and a genuinely NEW field
+    * (evolveSchema upserts) gets a fresh id above the logged
+    * high-water mark, bumped in the same commit. An id the SOURCE
+    * batch carries is never trusted — it names a position in some
+    * OTHER table's mapping (e.g. an upsert sourced from a different
+    * id-mapped table), and committing it would re-key this table's
+    * carried-over files to the foreign mapping: silently swapped
+    * column bytes under id matching. create() strips foreign ids for
+    * the same reason. */
   private def stampFieldIds(df: DataFrame): DataFrame = {
     val logged = currentVersion.flatMap(v => readManifest(v).schema)
     if (!logged.exists(SnapshotTable.idMapped)) return df
@@ -1407,14 +1430,14 @@ final class SnapshotTable(
       .getOrElse(logged.get.fields.flatMap(SnapshotTable.fieldIdOf).max)
     var assigned = false
     val cols = df.schema.fields.toIndexedSeq.map { f =>
-      if (SnapshotTable.fieldIdOf(f).isDefined) col(f.name)
-      else byName.get(f.name)
+      byName.get(f.name)
         .filter(_.contains(SnapshotTable.FieldIdKey)) match {
         case Some(md) => col(f.name).as(f.name, md)
         case None =>
           maxId += 1; assigned = true
           col(f.name).as(f.name,
-            SnapshotTable.mdWithId(f.metadata, maxId))
+            SnapshotTable.mdWithId(
+              SnapshotTable.mdWithoutId(f.metadata), maxId))
       }
     }
     if (assigned) pendingProps(SnapshotTable.MaxIdProp) = maxId.toString
@@ -2016,6 +2039,30 @@ final class SnapshotTable(
   /** The table-relative data root (`<path>/data`) external planners
     * resolve manifest paths against. */
   private[graft] def dataDirPath: String = dataDir
+
+  /** [[scanInfo]]'s entries for version `v`, with missing history
+    * surfaced as the operational fact it is — the offset was vacuumed
+    * — instead of the log machinery's raw failure. ONE translation
+    * shared by every streaming/feed consumer ([[graft.sources]]): the
+    * catch arms string-match the replay chain's error, and a second
+    * copy would silently stop translating if that wording moved. */
+  private[graft] def retainedEntriesAt(v: Long, label: String)
+      : Seq[FileEntry] = {
+    def vacuumed() = new IllegalStateException(
+      s"$label offset v$v of $path is no longer retained (vacuumed) — " +
+        "restart from a fresh checkpoint with startingVersion = " +
+        "'latest' or a retained version")
+    try scanInfo(Some(v))._1
+    catch {
+      // pre-delta logs surfaced a vacuumed version as the manifest's
+      // FileNotFound; the delta log surfaces it as a broken replay
+      // chain ("no commit record") — same operational fact
+      case _: java.io.FileNotFoundException => throw vacuumed()
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.contains("no commit record")) =>
+        throw vacuumed()
+    }
+  }
 
   /** CDC / incremental read: the new row images committed in versions
     * (fromV, toV] — every row inserted or updated since fromV. Rows

@@ -85,11 +85,17 @@ private[sources] object GraftCdc {
 
   /** The CDC read schema for a table schema: data+partition columns in
     * PHYSICAL batch order (what the delegated parquet factory emits),
-    * then the two change columns the reader appends. */
+    * then the two change columns the reader appends. Partition fields
+    * must follow `partitionCols` ORDER, not table-schema position —
+    * the factory appends partition values in the index's field order,
+    * and a (status, month) table declared (…, month, status) would
+    * otherwise decode each value in the other's slot. */
   def schemaFor(tableSchema: StructType,
                 partitionCols: Seq[String]): StructType = {
-    val (part, data) =
-      tableSchema.fields.partition(f => partitionCols.contains(f.name))
+    val part = partitionCols.flatMap(c =>
+      tableSchema.fields.find(_.name == c))
+    val data =
+      tableSchema.fields.filterNot(f => partitionCols.contains(f.name))
     StructType(data ++ part ++ Array(ImageField, VersionField))
   }
 }
@@ -132,7 +138,7 @@ private[sources] final class GraftCdcScan(
   }
 
   private[sources] def planner: GraftCdcPlanner =
-    new GraftCdcPlanner(spark, snapshot, tablePath, partSchema)
+    new GraftCdcPlanner(spark, snapshot, partSchema)
 
   // ---- batch change feed: an explicit (startingVersion, endingVersion]
   override def toBatch: Batch = {
@@ -145,11 +151,19 @@ private[sources] final class GraftCdcScan(
         "readChangeFeed batch read requires startingVersion (images " +
           "are committed in versions (startingVersion, endingVersion])")
     }
+    val head = snapshot.currentVersion.getOrElse(0L)
     val to = Option(opts.get("endingVersion")).map(_.trim)
       .map(raw => raw.toLongOption.getOrElse(
         throw new IllegalArgumentException(
           s"endingVersion must be numeric, got '$raw'")))
-      .getOrElse(snapshot.currentVersion.getOrElse(0L))
+      .getOrElse(head)
+    // validate the span against the head NOW: a version past the head
+    // would otherwise surface as the planner's misleading
+    // "vacuumed — restart from a fresh checkpoint" error
+    if (from > head || to > head)
+      throw new IllegalArgumentException(
+        s"change-feed span ($from, $to] exceeds the table head " +
+          s"v$head of $tablePath")
     val p = planner
     val f = innerFactory()
     new Batch {
@@ -169,22 +183,10 @@ private[sources] final class GraftCdcScan(
 private[sources] final class GraftCdcPlanner(
     spark: SparkSession,
     snapshot: SnapshotTable,
-    tablePath: String,
     partSchema: StructType) {
 
-  private def vacuumed(v: Long) = new IllegalStateException(
-    s"change-feed offset v$v of $tablePath is no longer retained " +
-      "(vacuumed) — restart from a fresh checkpoint with " +
-      "startingVersion = 'latest' or a retained version")
-
   private def entriesAt(v: Long): Seq[FileEntry] =
-    try snapshot.scanInfo(Some(v))._1
-    catch {
-      case _: java.io.FileNotFoundException => throw vacuumed(v)
-      case e: IllegalStateException
-          if Option(e.getMessage).exists(_.contains("no commit record")) =>
-        throw vacuumed(v)
-    }
+    snapshot.retainedEntriesAt(v, "change-feed")
 
   /** One whole-file partition per entry (positions are counted by the
     * reader, so splits are forbidden), carrying the image tag, the

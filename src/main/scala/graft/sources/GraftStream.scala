@@ -349,23 +349,9 @@ private[sources] abstract class GraftVersionedStream(
 
   /** One version's manifest entries (lengths guaranteed), with
     * missing-history surfaced as the operational fact it is: the
-    * offset was vacuumed. */
-  protected def rawEntriesAt(v: Long): Seq[SnapshotTable.FileEntry] = {
-    def vacuumed() = new IllegalStateException(
-      s"stream offset v$v of $tablePath is no longer retained " +
-        "(vacuumed) — restart from a fresh checkpoint with " +
-        "startingVersion = 'latest' or a retained version")
-    try snapshot.scanInfo(Some(v))._1
-    catch {
-      // pre-delta logs surfaced a vacuumed version as the manifest's
-      // FileNotFound; the delta log surfaces it as a broken replay
-      // chain ("no commit record") — same operational fact
-      case _: java.io.FileNotFoundException => throw vacuumed()
-      case e: IllegalStateException
-          if Option(e.getMessage).exists(_.contains("no commit record")) =>
-        throw vacuumed()
-    }
-  }
+    * offset was vacuumed ([[SnapshotTable.retainedEntriesAt]]). */
+  protected def rawEntriesAt(v: Long): Seq[SnapshotTable.FileEntry] =
+    snapshot.retainedEntriesAt(v, "stream")
 
   override def commit(end: Offset): Unit = ()
 

@@ -1323,6 +1323,36 @@ class SnapshotTableSpec extends SparkSpec {
       tc.dropColumn("val")).getMessage.contains("CHECK"))
   }
 
+  test("an upsert sourced from ANOTHER id-mapped table cannot leak its ids") {
+    // tableB declares the SAME column names with SWAPPED id positions;
+    // trusting the source batch's ids would re-key tableA's carried
+    // files to B's mapping — silently swapped column bytes under id
+    // matching. The stamp must resolve by NAME against A's log.
+    val a = mappedTable("colmapA")
+    val b = SnapshotTable(spark, tmp("colmapB"), "id", Some("part"),
+      tableProps = Map(SnapshotTable.MappingProp -> "id"))
+    // B's create sees (val, id, …): ids assigned by position differ
+    b.create(Seq(("z", 9, "p9")).toDF("val", "id", "part"))
+    a.upsert(b.read.select("id", "val", "part"))
+    // A's own files still read correctly (ids resolved from A's log)
+    assert(contents(a) == Seq(1 -> "a", 2 -> "b", 9 -> "z"))
+    // and the logged schema still carries A's original mapping
+    val logged = a.read.schema
+    def idOf(n: String) = logged.fields.find(_.name == n)
+      .flatMap(SnapshotTable.fieldIdOf).get
+    assert(idOf("id") == 1 && idOf("val") == 2,
+      s"foreign ids leaked into the logged schema: " +
+        logged.fields.map(f => f.name -> SnapshotTable.fieldIdOf(f)).toSeq)
+  }
+
+  test("readVersion(0) and negative versions fail loudly, never empty") {
+    val t = SnapshotTable(spark, tmp("v0"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    val e = intercept[IllegalArgumentException](t.readVersion(0).count())
+    assert(e.getMessage.contains("versions start at 1"), e.getMessage)
+    intercept[IllegalArgumentException](t.changesDelta(-1, 1).count())
+  }
+
   test("id-mapped: UPDATE/MoR/compact rewrites keep ids (no null bleed)") {
     val t = mappedTable("colmap6")
     // UPDATE's CASE-WHEN projection drops attribute metadata — the

@@ -132,6 +132,37 @@ class GraftCdcSpec extends SparkSpec {
       Seq(2, 4, 5))
   }
 
+  test("multi-column partitioning: partition values land in their own slots") {
+    // partitionCols order (status, month) deliberately REVERSED from
+    // the schema order (…, month, status): the reader appends
+    // partition values in index order, and the declared schema must
+    // agree or the INT month value decodes in the STRING status slot
+    val path = tmp("cdcmulti")
+    val t = SnapshotTable(spark, path, "id",
+      partitionCols = Seq("status", "month"))
+    t.create(Seq((1, 1, "A"), (2, 2, "B")).toDF("id", "month", "status"))
+    t.upsert(Seq((3, 3, "C")).toDF("id", "month", "status"))      // v2
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(path)
+    assert(feed.columns.toSeq ==
+      Seq("id", "status", "month", img, ver))
+    val rows = feed.select("id", "month", "status", img)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    assert(rows == Seq((3, 3, "C", "after")), s"got $rows")
+  }
+
+  test("a span past the head fails as a bad argument, not as 'vacuumed'") {
+    val (path, _) = history("cdcspan")
+    val e = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 99)
+      .load(path).collect())
+    assert(e.getMessage.contains("exceeds the table head"), e.getMessage)
+    assert(!e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("option validation: CDF rejects version pins and versionless batch") {
     val (path, _) = history("cdcopts")
     val e1 = intercept[Exception](spark.read.format("graft")
