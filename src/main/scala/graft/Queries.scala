@@ -546,6 +546,34 @@ object Queries {
         col(plans.SnapshotTable.CommitVersionCol).as("commit_version")): _*)
   }
 
+  /** S2 (TAGS) — named snapshots with VACUUM PINNING (Iceberg refs):
+    * tag v1, mutate twice (the upsert rewrites v1's files away, so
+    * the pin must hold DATA, not just the commit record), vacuum with
+    * a window that reclaims everything untagged — then read the tag
+    * through the DSv2 `tagAsOf` option. The requires prove vacuum
+    * actually dropped the untagged middle version; the oracle is the
+    * plain full SELECT (v1 = the created state). */
+  def snapshotTags(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snaptags", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val orders = t(s, dir, "orders")
+    table.create(orders)                                           // v1
+    table.tag("baseline")
+    table.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority", lit("0-RUSH")))               // v2
+    table.delete(col("o_orderkey") % 5 === 0)                      // v3
+    table.vacuum(keepVersions = 1, retentionMs = 0)
+    require(!table.hasVersion(2), "vacuum kept an untagged version")
+    require(table.versionOfTag("baseline").contains(1L),
+      "tag lost across vacuum")
+    s.read.format("graft").option("tagAsOf", "baseline").load(base)
+      .select(ordersCols.map(col): _*)
+  }
+
   /** S2 (RESTORE) — roll the table back to v1 after a divergent v2
     * commit: a metadata-only commit referencing v1's files verbatim,
     * so the read must be exactly the created state (the oracle), with
@@ -2391,6 +2419,7 @@ object Queries {
     "snapshot_delete" -> (snapshotDelete _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
+    "snapshot_tags" -> (snapshotTags _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2698,6 +2727,11 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 1000 <> 7""".stripMargin,
+    // the tagged snapshot IS the created state: vacuum reclaimed the
+    // untagged history but the pin held both record and data files
+    "snapshot_tags" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     // the change feed's per-commit NET is exactly the mutation
     // definitions: v2 = before/after pair per modified row; v3 = one
     // before image per MoR-deleted row AT ITS v2-MODIFIED VALUE

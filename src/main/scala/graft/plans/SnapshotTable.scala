@@ -2323,39 +2323,125 @@ final class SnapshotTable(
     * in-flight commit older than it can still be clobbered.
     * `retentionMs = 0` is the single-writer fast path (reclaim
     * everything unreferenced now). */
+  // ---- TAGS: named snapshots (Iceberg refs / `VERSION AS OF 'name'`)
+
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*"
+
+  private def tagPath(name: String): Path = {
+    require(name.matches(TagNameRe),
+      s"tag name '$name' must match $TagNameRe")
+    new Path(s"$commitsDir/tag-$name")
+  }
+
+  /** Pin a retained version under a name. Tagged versions survive
+    * [[vacuum]] — commit record and data files — until [[dropTag]]:
+    * the "keep the monthly snapshot" contract (Iceberg tags). A tag
+    * is immutable once created (re-pointing is dropTag + tag, two
+    * auditable operations). Exclusive-create is the race arbiter on
+    * namespaces where create-no-overwrite is atomic (local, HDFS);
+    * tag racing is a rare human-level operation, same caveat class
+    * as Delta's S3 single-writer note. */
+  def tag(name: String, version: Option[Long] = None): Unit = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    if (!hasVersion(v)) throw new IllegalArgumentException(
+      s"cannot tag v$v at $path — never committed or vacuumed")
+    val p = tagPath(name)
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"tag '$name' already exists at $path — dropTag it first")
+    val out = fs.create(p, false)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Remove a tag; the version it pinned becomes reclaimable by the
+    * next [[vacuum]] like any other. Unknown tags fail loudly. */
+  def dropTag(name: String): Unit = {
+    val p = tagPath(name)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"no tag '$name' at $path")
+    if (!fs.delete(p, false) && fs.exists(p))
+      throw new IllegalStateException(s"could not drop tag '$name' at $path")
+  }
+
+  /** All tags: name → pinned version. O(tags) metadata reads. */
+  def tags: Map[String, Long] = {
+    val dir = new Path(commitsDir)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator
+      .filter(_.getPath.getName.startsWith("tag-"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8).trim
+          finally in.close()
+        txt.toLongOption.map(st.getPath.getName.stripPrefix("tag-") -> _)
+      }.toMap
+  }
+
+  /** The version a tag pins, if the tag exists. Total: an invalid or
+    * unknown name is None, never an exception — callers use this to
+    * DISAMBIGUATE (is this string a tag?), e.g. the catalog's
+    * `VERSION AS OF` resolution. */
+  def versionOfTag(name: String): Option[Long] = {
+    if (!name.matches(TagNameRe)) return None
+    val p = tagPath(name)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim
+      finally in.close()
+    txt.toLongOption
+  }
+
+  /** Snapshot read of a tagged version. */
+  def readTag(name: String): DataFrame =
+    readVersion(versionOfTag(name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' at $path")))
+
   def vacuum(keepVersions: Int = 2, retentionMs: Long = 60 * 60 * 1000L): Unit = {
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
+    // TAGGED versions are pinned regardless of the keep window —
+    // that is the tag contract (Iceberg refs): "keep the monthly
+    // snapshot" must survive every later vacuum until dropTag
+    val tagged = tags.values.toSet.filter(hasVersion)
     // a version inside the keep window may ALREADY be vacuumed (a prior
     // run with a smaller keepVersions deleted its manifest) — skip it
     // rather than crash on the missing file
-    val referenced = keep.filter(hasVersion)
-      .flatMap(readManifest(_).entries.map(_.path)).toSet
+    val referenced = (keep.filter(hasVersion).toSet ++ tagged)
+      .flatMap(readManifest(_).entries.map(_.path))
     // the retained versions must stay reconstructable AFTER the older
     // records go: materialize a full checkpoint at the horizon version
-    // first (its base chain may reach below the horizon). Ordering is
-    // the crash-safety: checkpoint before any delete, so an interrupted
+    // AND at every pinned tagged version below it first (their base
+    // chains may reach below the horizon). Ordering is the
+    // crash-safety: checkpoint before any delete, so an interrupted
     // vacuum never strands a retained version. Retained versions above
     // the horizon then replay from it.
     val horizon = keep.head
-    keep.find(hasVersion).foreach { oldest =>
-      if (!fs.exists(manifestPath(oldest))) {
-        writeCheckpoint(oldest, checkpointPayload(oldest,
-          readManifest(oldest)))
+    val needCheckpoint =
+      keep.find(hasVersion).toSeq ++ tagged.filter(_ < horizon).toSeq.sorted
+    needCheckpoint.foreach { pinned =>
+      if (!fs.exists(manifestPath(pinned))) {
+        writeCheckpoint(pinned, checkpointPayload(pinned,
+          readManifest(pinned)))
         // writeCheckpoint is best-effort by contract; HERE it is
         // load-bearing — verify before any record below it is dropped,
         // abort loudly otherwise (nothing is lost by aborting: data
         // sweep below only touches unreferenced files)
-        if (!fs.exists(manifestPath(oldest)))
+        if (!fs.exists(manifestPath(pinned)))
           throw new IllegalStateException(
             s"vacuum at $path failed to materialize a checkpoint at " +
-              s"v$oldest — aborting before dropping its base chain")
+              s"v$pinned — aborting before dropping its base chain")
       }
     }
     // drop commit records older than the retention window (and forget
     // their cached parses: a reclaimed version must fail time travel,
-    // not be served from this handle's memory)
+    // not be served from this handle's memory); tagged versions keep
+    // theirs (now checkpoint manifests — self-contained)
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
@@ -2366,8 +2452,14 @@ final class SnapshotTable(
           Some(n.stripPrefix("v").stripSuffix(".delta").toLong)
         else None
       mv.filter(_ < horizon).foreach { old =>
-        fs.delete(st.getPath, false)
-        manifestCache.synchronized(manifestCache.remove(old))
+        // a tagged version keeps its CHECKPOINT manifest (materialized
+        // and verified above — self-contained); its now-redundant
+        // delta record still drops. Everything untagged goes whole.
+        if (!(tagged(old) && n.endsWith(".manifest"))) {
+          fs.delete(st.getPath, false)
+          if (!tagged(old))
+            manifestCache.synchronized(manifestCache.remove(old))
+        }
       }
     }
     // delete unreferenced-AND-aged data files, then empty partition dirs

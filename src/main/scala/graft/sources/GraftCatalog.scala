@@ -110,12 +110,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(spark, tablePath(ident), None, snap.properties)
   }
 
-  /** SQL `VERSION AS OF <v>`: a handle pinned to one manifest. */
+  /** SQL `VERSION AS OF <v>`: a handle pinned to one manifest. A
+    * non-numeric version resolves as a TAG name (Iceberg's
+    * `VERSION AS OF 'tag'` contract). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val snap = snapshotAt(ident)
     if (!snap.exists) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft versions are numeric manifest ids, got '$version'"))
+    val v = version.toLongOption
+      .orElse(snap.versionOfTag(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a numeric manifest id nor a tag of $ident"))
     // fail resolution with the operational fact, not a scan-time
     // FileNotFoundException (the timestamp overload below already does)
     if (!snap.hasVersion(v)) throw new IllegalArgumentException(

@@ -41,20 +41,31 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: .load/.save(<table dir>)"))
 
-  /** versionAsOf/timestampAsOf options → the pinned snapshot version.
-    * Timestamps (epoch millis, or an ISO date/datetime literal
-    * interpreted in the SESSION time zone — the zone SQL literals mean,
-    * not the JVM default) resolve once, so relations stay
-    * version-pinned. */
+  /** versionAsOf/timestampAsOf/tagAsOf options → the pinned snapshot
+    * version. Timestamps (epoch millis, or an ISO date/datetime
+    * literal interpreted in the SESSION time zone — the zone SQL
+    * literals mean, not the JVM default) and tag names resolve once,
+    * so relations stay version-pinned. */
   private def resolveVersion(spark: SparkSession, path: String,
-                             parameters: Map[String, String]): Option[Long] =
+                             parameters: Map[String, String]): Option[Long] = {
+    val pins = Seq("versionAsOf", "timestampAsOf", "tagAsOf")
+      .filter(parameters.contains)
+    require(pins.lengthIs <= 1,
+      s"set at most one of versionAsOf/timestampAsOf/tagAsOf, " +
+        s"got ${pins.mkString(", ")}")
     parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map { raw =>
         val ms = GraftSource.sessionEpochMs(spark, raw)
         SnapshotTable(spark, path, "_unused_read_only")
           .versionAt(ms).getOrElse(throw new IllegalArgumentException(
             s"no snapshot at $path existed at timestampAsOf=$raw"))
+      }).orElse(
+      parameters.get("tagAsOf").map { name =>
+        SnapshotTable(spark, path, "_unused_read_only")
+          .versionOfTag(name).getOrElse(throw new IllegalArgumentException(
+            s"no tag '$name' at $path"))
       })
+  }
 
   // ---- DataSource V2 read half: TableProvider → GraftTable
 

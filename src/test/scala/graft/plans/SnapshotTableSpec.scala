@@ -1247,6 +1247,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.currentVersion.contains(v))
   }
 
+  // ---- tags (named snapshots, vacuum pinning)
+
+  test("tags pin versions: vacuum keeps the tagged snapshot, files included") {
+    val t = SnapshotTable(spark, tmp("tags1"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))   // v1
+    t.tag("baseline")
+    t.upsert(frame((1, "A2", "p1")))                  // v2 rewrites p1
+    t.upsert(frame((2, "B3", "p2")))                  // v3 rewrites p2
+    t.upsert(frame((3, "c", "p1")))                   // v4
+    t.vacuum(keepVersions = 1, retentionMs = 0)
+    // untagged history is gone...
+    assert(!t.hasVersion(2) && !t.hasVersion(3))
+    intercept[Exception](t.readVersion(2).count())
+    // ...but the tagged snapshot reads complete — v1's files were
+    // rewritten away by v2/v3, so this proves the DATA pin, not just
+    // the record pin
+    assert(t.versionOfTag("baseline").contains(1L))
+    assert(t.readTag("baseline").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+    assert(contents(t) == Seq(1 -> "A2", 2 -> "B3", 3 -> "c"))
+  }
+
+  test("dropTag releases the pin: the next vacuum reclaims the version") {
+    val t = SnapshotTable(spark, tmp("tags2"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.tag("pin")
+    t.upsert(frame((2, "b", "p2")))
+    t.upsert(frame((3, "c", "p1")))
+    t.dropTag("pin")
+    assert(t.tags.isEmpty)
+    t.vacuum(keepVersions = 1, retentionMs = 0)
+    assert(!t.hasVersion(1))
+    intercept[IllegalArgumentException](t.readTag("pin").count())
+  }
+
+  test("tag CRUD: duplicates, unknown versions, invalid names, listing") {
+    val t = SnapshotTable(spark, tmp("tags3"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.upsert(frame((2, "b", "p1")))
+    t.tag("rel-1.0", Some(1L))
+    t.tag("head_tag") // defaults to the current version
+    assert(t.tags == Map("rel-1.0" -> 1L, "head_tag" -> 2L))
+    intercept[IllegalStateException](t.tag("rel-1.0", Some(2L))) // dup
+    intercept[IllegalArgumentException](t.tag("ghost", Some(99L)))
+    intercept[IllegalArgumentException](t.tag("bad name!"))
+    intercept[IllegalArgumentException](t.dropTag("missing"))
+    assert(t.versionOfTag("not a tag?") == None) // total, never throws
+  }
+
   // ---- column-id mapping (RENAME/DROP COLUMN)
 
   private def mappedTable(tag: String) = {

@@ -52,6 +52,23 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3)
   }
 
+  test("SQL time travel by TAG: VERSION AS OF 'name' resolves the pin") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.tags")
+    sql("""CREATE TABLE graft.tags.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.tags.t VALUES (1, 'a')")          // v2
+    SnapshotTable(spark, s"$warehouse/tags/t", "id").tag("rel")
+    sql("INSERT INTO graft.tags.t VALUES (1, 'b')")          // v3 merge
+    assert(sql("SELECT v FROM graft.tags.t VERSION AS OF 'rel'")
+      .head().getString(0) == "a")
+    assert(sql("SELECT v FROM graft.tags.t").head().getString(0) == "b")
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft.tags.t VERSION AS OF 'ghost'").collect())
+    assert(e.getMessage.contains("neither a numeric manifest id nor a tag"),
+      e.getMessage)
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")

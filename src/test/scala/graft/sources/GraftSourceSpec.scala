@@ -29,6 +29,22 @@ class GraftSourceSpec extends SparkSpec {
     assert(v1.toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("tagAsOf pins a tagged snapshot; pin options are mutually exclusive") {
+    val path = tmp("srctag")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", "p1")).toDF("id", "val", "part"))
+    t.tag("first")
+    t.upsert(Seq((1, "A2", "p1")).toDF("id", "val", "part"))
+    assert(spark.read.format("graft").option("tagAsOf", "first").load(path)
+      .select("val").head().getString(0) == "a")
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("tagAsOf", "first").option("versionAsOf", 1)
+      .load(path).collect())
+    val e = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("tagAsOf", "ghost").load(path).collect())
+    assert(e.getMessage.contains("no tag"), e.getMessage)
+  }
+
   test("range filter on a stats column is correct (pruning skips files, never rows)") {
     val path = tmp("srcskip")
     val t = SnapshotTable(spark, path, "k",
