@@ -342,7 +342,8 @@ object GraftCatalog {
   }
 
   private[sources] val ProcedureNames =
-    Seq("vacuum", "compact", "restore", "history", "zorder")
+    Seq("vacuum", "compact", "restore", "history", "zorder",
+      "tag", "drop_tag", "tags")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -469,6 +470,44 @@ object GraftCatalog {
           t.replace(graft.operators.ZOrder.cluster(
             t.read, cols, input.getInt(2), input.getInt(3)))
           (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "tag" => Some(new Proc("tag",
+        "pin a retained version under a name; vacuum keeps it until " +
+          "drop_tag (version -1 = the current head)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType),
+          inDefault("version", DataTypes.LongType, "-1"))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          val v = input.getLong(2)
+          t.tag(input.getUTF8String(1).toString,
+            if (v < 0) None else Some(v))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "drop_tag" => Some(new Proc("drop_tag",
+        "remove a tag; its version becomes reclaimable by vacuum",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.dropTag(input.getUTF8String(1).toString)
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "tags" => Some(new Proc("tags",
+        "list tags: name and pinned version",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val t = snapshotOf(input.getUTF8String(0).toString)
+          val schema = StructType(Seq(
+            StructField("name", DataTypes.StringType, nullable = false),
+            StructField("version", DataTypes.LongType, nullable = false)))
+          (schema, t.tags.toSeq.sortBy(_._1)
+            .map { case (n, v) => row(n, v) }.toArray)
         }
       })
       case "history" => Some(new Proc("history",

@@ -67,8 +67,17 @@ import graft.plans.SnapshotTable.FileEntry
 private[sources] final class GraftCdcScanBuilder(
     spark: SparkSession,
     tablePath: String,
-    opts: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new GraftCdcScan(spark, tablePath, opts)
+    opts: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  // column pruning reaches the inner parquet scan (a key-only
+  // invalidation feed must not read the document bodies); partition
+  // and change columns always ride along (they cost nothing — manifest
+  // values and reader constants), which the contract allows: a scan
+  // may serve a superset and Spark projects on top
+  private var required: Option[StructType] = None
+  override def pruneColumns(s: StructType): Unit = required = Some(s)
+  override def build(): Scan =
+    new GraftCdcScan(spark, tablePath, opts, required)
 }
 
 private[sources] object GraftCdc {
@@ -103,7 +112,8 @@ private[sources] object GraftCdc {
 private[sources] final class GraftCdcScan(
     spark: SparkSession,
     tablePath: String,
-    opts: CaseInsensitiveStringMap) extends Scan {
+    opts: CaseInsensitiveStringMap,
+    required: Option[StructType] = None) extends Scan {
 
   private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
   private val (headEntries, tableSchema, partitionCols) =
@@ -114,13 +124,17 @@ private[sources] final class GraftCdcScan(
   if (SnapshotTable.idMapped(tableSchema))
     SnapshotTable.requireIdReadEnabled(spark, s"change feed of $tablePath")
 
+  // data columns pruned to the query's requirement; partition and
+  // change columns always present (manifest values / reader constants)
   private val dataSchema = StructType(
-    tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+    tableSchema.fields.filterNot(f => partitionCols.contains(f.name))
+      .filter(f => required.forall(_.fieldNames.contains(f.name))))
   private val partSchema = StructType(
     partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
 
-  override def readSchema(): StructType =
-    GraftCdc.schemaFor(tableSchema, partitionCols)
+  override def readSchema(): StructType = StructType(
+    dataSchema.fields ++ partSchema.fields ++
+      Array(GraftCdc.ImageField, GraftCdc.VersionField))
 
   override def description(): String = s"GraftCdcScan graft.`$tablePath`"
 
@@ -133,8 +147,10 @@ private[sources] final class GraftCdcScan(
   private[sources] def innerFactory(): PartitionReaderFactory = {
     val idx = new ManifestFileIndex(
       spark, snapshot.dataDirPath, headEntries, partSchema)
-    ParquetScanBuilder(spark, idx, tableSchema, dataSchema,
-      CaseInsensitiveStringMap.empty()).build().createReaderFactory()
+    val b = ParquetScanBuilder(spark, idx, tableSchema, dataSchema,
+      CaseInsensitiveStringMap.empty())
+    b.pruneColumns(StructType(dataSchema.fields ++ partSchema.fields))
+    b.build().createReaderFactory()
   }
 
   private[sources] def planner: GraftCdcPlanner =

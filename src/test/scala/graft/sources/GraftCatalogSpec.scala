@@ -52,6 +52,24 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3)
   }
 
+  test("CALL graft.system.tag/tags/drop_tag round-trips through SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.tp")
+    sql("""CREATE TABLE graft.tp.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.tp.t VALUES (1, 'a')")            // v2
+    sql("CALL graft.system.tag('tp.t', 'rel')")              // pin head
+    sql("INSERT INTO graft.tp.t VALUES (1, 'b')")            // v3
+    sql("CALL graft.system.tag('tp.t', 'first', 1)")         // explicit v
+    val listed = sql("CALL graft.system.tags('tp.t')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(listed == Seq("first" -> 1L, "rel" -> 2L))
+    assert(sql("SELECT v FROM graft.tp.t VERSION AS OF 'rel'")
+      .head().getString(0) == "a")
+    sql("CALL graft.system.drop_tag('tp.t', 'first')")
+    assert(sql("CALL graft.system.tags('tp.t')").count() == 1)
+  }
+
   test("SQL time travel by TAG: VERSION AS OF 'name' resolves the pin") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.tags")

@@ -163,6 +163,30 @@ class GraftCdcSpec extends SparkSpec {
     assert(!e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  test("column pruning reaches the inner parquet scan (key-only feed)") {
+    val (path, t) = history("cdcprune")
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(path)
+      .select("id", img, ver)
+    val scan = feed.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.getOrElse(fail("no BatchScanExec"))
+    val read = scan.readSchema().fieldNames.toSet
+    assert(read.contains("id") && !read.contains("val"),
+      s"pruning missed: $read")
+    // and the pruned read still nets correctly (raw delivery carries
+    // canceling rewrite pairs by contract)
+    val netted = feed.filter(col(ver) === 4L)
+      .groupBy("id")
+      .agg(sum(when(col(img) === "after", 1).otherwise(-1)).as("d"))
+      .filter(col("d") =!= 0)
+      .select("id").collect().map(_.getInt(0)).toSeq.sorted
+    assert(netted == t.changesDelta(3, 4).select("id").collect()
+      .map(_.getInt(0)).toSeq.sorted)
+  }
+
   test("option validation: CDF rejects version pins and versionless batch") {
     val (path, _) = history("cdcopts")
     val e1 = intercept[Exception](spark.read.format("graft")
