@@ -343,7 +343,7 @@ object GraftCatalog {
 
   private[sources] val ProcedureNames =
     Seq("vacuum", "compact", "restore", "history", "zorder",
-      "tag", "drop_tag", "tags")
+      "tag", "drop_tag", "tags", "files")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -470,6 +470,25 @@ object GraftCatalog {
           t.replace(graft.operators.ZOrder.cluster(
             t.read, cols, input.getInt(2), input.getInt(3)))
           (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "files" => Some(new Proc("files",
+        "live files of the current snapshot: path, partition, bytes, " +
+          "merge-on-read deleted-row count",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val t = snapshotOf(input.getUTF8String(0).toString)
+          val schema = StructType(Seq(
+            StructField("path", DataTypes.StringType, nullable = false),
+            StructField("partition", DataTypes.StringType, nullable = false),
+            StructField("bytes", DataTypes.LongType, nullable = false),
+            StructField("deleted_rows", DataTypes.LongType,
+              nullable = false)))
+          val entries = t.currentVersion
+            .map(v => t.scanInfo(Some(v))._1).getOrElse(Nil)
+          (schema, entries.sortBy(_.path).map(e =>
+            row(e.path, SnapshotTable.partOf(e.path), e.len,
+              e.deletedRows.length.toLong)).toArray)
         }
       })
       case "tag" => Some(new Proc("tag",

@@ -37,17 +37,30 @@ import org.apache.spark.sql.execution.datasources.{
   *
   * One deliberate trade-off: `BatchScanExec` requires every partition
   * of a scan to agree on columnar-vs-row ("Cannot mix row-based and
-  * columnar input partitions"), so a snapshot carrying ANY deletion
-  * vector reads row-based throughout — clean files keep their pushed
-  * filters (row-group/page skipping) and all file-level pruning
-  * (partitions, manifest min/max, blooms, runtime DPP — sound under
-  * DVs, which only hide rows WITHIN a file), they just lose the
-  * vectorized decode until [[graft.plans.SnapshotTable.compact]] or
-  * `purgeDeletes()` clears the vectors. DV'd state is transient by
-  * design (compaction purges lazily), so the row-based window is the
-  * gap between a point delete and the next maintenance pass — the
-  * same window in which Delta pays its own DV filter. */
+  * columnar input partitions"), so a scan whose PLANNED file set
+  * includes a DV'd file reads row-based throughout — clean files keep
+  * their pushed filters (row-group/page skipping) and all file-level
+  * pruning (partitions, manifest min/max, blooms, runtime DPP — sound
+  * under DVs, which only hide rows WITHIN a file), they just lose the
+  * vectorized decode. A scan whose pruning removed every DV'd file
+  * (deletes cluster in a few partitions, the query filters elsewhere)
+  * plans plain partitions and keeps the full columnar path; and DV'd
+  * state is transient by design ([[graft.plans.SnapshotTable.compact]]
+  * purges lazily, `purgeDeletes()` eagerly), so the row-based window
+  * is the gap between a point delete and the next maintenance pass —
+  * the same window in which Delta pays its own DV filter. */
 private[sources] final case class GraftDvInputPartition(fp: FilePartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** A clean file partition of a scan that ALSO planned DV partitions:
+  * tagged so the factory answers row-based for it ("Cannot mix
+  * row-based and columnar input partitions"). A scan whose pruning
+  * removed every DV'd file plans PLAIN partitions instead and keeps
+  * the full vectorized path — the common case when deletes cluster in
+  * a few partitions and queries filter elsewhere. */
+private[sources] final case class GraftRowModePartition(fp: FilePartition)
     extends InputPartition {
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
@@ -62,15 +75,23 @@ private[sources] final class GraftDvReaderFactory(
     dvSide: PartitionReaderFactory,
     dvByBase: Map[String, Array[Long]]) extends PartitionReaderFactory {
 
-  // uniformly row-based: BatchScanExec rejects scans mixing columnar
-  // and row partitions, and DV partitions must be row-based (see the
-  // file-level scaladoc for the trade-off)
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  // row-based whenever the planned set carries DV or row-tagged
+  // partitions (BatchScanExec rejects mixed scans); a plan of PLAIN
+  // partitions — every DV'd file pruned away — keeps the clean
+  // factory's vectorized answer
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftDvInputPartition | _: GraftRowModePartition => false
+    case other => clean.supportColumnarReads(other)
+  }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    throw new IllegalStateException(
-      "columnar read requested from a deletion-vector scan (row-based)")
+    p match {
+      case _: GraftDvInputPartition | _: GraftRowModePartition =>
+        throw new IllegalStateException(
+          "columnar read requested for a row-mode partition")
+      case other => clean.createColumnarReader(other)
+    }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
@@ -84,6 +105,7 @@ private[sources] final class GraftDvReaderFactory(
         throw new IllegalStateException(
           s"no deletion vector for DV-tagged file $base"))
       new GraftDvRowReader(dvSide.createReader(fp), dv)
+    case GraftRowModePartition(fp) => clean.createReader(fp)
     case other => clean.createReader(other)
   }
 }

@@ -104,8 +104,6 @@ private[sources] final class GraftScan(
     if (dvByBase.isEmpty) return planned
     val fps = planned.map(_.asInstanceOf[
       org.apache.spark.sql.execution.datasources.FilePartition])
-    val cleanSets = fps.map(_.files.filterNot(f =>
-      dvByBase.contains(dvBasename(f)))).filter(_.nonEmpty)
     val dvWhole = fps.flatMap(_.files.filter(f =>
         dvByBase.contains(dvBasename(f))))
       .groupBy(_.filePath.toString).toSeq.sortBy(_._1)
@@ -113,9 +111,14 @@ private[sources] final class GraftScan(
         val f = splits.head
         f.copy(start = 0L, length = f.fileSize)
       }
+    // pruning removed every DV'd file: plain partitions, full
+    // vectorized path — the DV machinery costs nothing it didn't hit
+    if (dvWhole.isEmpty) return planned
+    val cleanSets = fps.map(_.files.filterNot(f =>
+      dvByBase.contains(dvBasename(f)))).filter(_.nonEmpty)
     cleanSets.zipWithIndex.map { case (fs, i) =>
-      org.apache.spark.sql.execution.datasources
-        .FilePartition(i, fs): InputPartition
+      GraftRowModePartition(org.apache.spark.sql.execution.datasources
+        .FilePartition(i, fs)): InputPartition
     } ++ dvWhole.zipWithIndex.map { case (f, i) =>
       GraftDvInputPartition(
         org.apache.spark.sql.execution.datasources.FilePartition(

@@ -52,6 +52,21 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3)
   }
 
+  test("CALL graft.system.files lists the live snapshot with DV counts") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.fp")
+    sql("""CREATE TABLE graft.fp.t (id BIGINT, v STRING)
+           PARTITIONED BY (v) TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.fp.t VALUES (1, 'a'), (2, 'b')")
+    SnapshotTable(spark, s"$warehouse/fp/t", "id")
+      .deleteMoR(org.apache.spark.sql.functions.col("id") === 1)
+    val rows = sql("CALL graft.system.files('fp.t')").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) > 0), "bytes missing")
+    assert(rows.map(_.getLong(3)).sum == 1, "DV count wrong")
+    assert(rows.exists(_.getString(1).nonEmpty), "partition value missing")
+  }
+
   test("CALL graft.system.tag/tags/drop_tag round-trips through SQL") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.tp")

@@ -78,9 +78,15 @@ class GraftDvScanSpec extends SparkSpec {
     val df = spark.read.format("graft").load(path)
     // the DV'd partition, pruned to it alone: survivors only
     assert(df.filter($"part" === "even").count() == 80)
-    // the clean partition is untouched (and columnar-ineligible only
-    // because the snapshot as a whole carries vectors)
-    assert(df.filter($"part" === "odd").count() == 100)
+    // the clean partition is untouched — and with every DV'd file
+    // pruned away the scan keeps the full VECTORIZED path
+    val cleanOnly = df.filter($"part" === "odd").select("id", "v")
+    val scan = cleanOnly.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scan.supportsColumnar,
+      "pruning removed every DV'd file but the scan stayed row-based")
+    assert(cleanOnly.count() == 100)
   }
 
   test("SQL catalog SELECT and DML work on a DV'd snapshot") {
