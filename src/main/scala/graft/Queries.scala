@@ -546,6 +546,77 @@ object Queries {
         col(plans.SnapshotTable.CommitVersionCol).as("commit_version")): _*)
   }
 
+  /** T1/S2 (CDC STREAM) — the change feed as a STREAMING source:
+    * same commit history as [[cdcFeed]], drained by an AvailableNow
+    * run with `maxVersionsPerTrigger = 1` (one micro-batch per
+    * commit — the offset walk, not one big batch, is what's under
+    * test) into a parquet sink, then the SAME per-commit net as the
+    * batch entry. Batch/stream parity: both transports must hash to
+    * the identical oracle. */
+  def cdcStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("cdcstream", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, s"$base/table", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val orders = t(s, dir, "orders")
+    table.create(orders)                                           // v1
+    table.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority", lit("0-RUSH")))               // v2
+    table.deleteMoR(col("o_orderkey") % 1000 === 7)                // v3
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 1)
+      .load(s"$base/table")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "CDC stream did not drain")
+    val img = plans.SnapshotTable.ImageCol
+    s.read.parquet(s"$base/out")
+      .withColumn("__s", when(col(img) === "after", 1L).otherwise(-1L))
+      .groupBy((ordersCols :+ plans.SnapshotTable.CommitVersionCol)
+        .map(col): _*)
+      .agg(sum("__s").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(ordersCols.map(col) ++ Seq(
+        when(col("__d") > 0, "after").otherwise("before").as("image"),
+        col(plans.SnapshotTable.CommitVersionCol).as("commit_version")): _*)
+  }
+
+  /** S2 (BRANCHES) — writable named commit lines (Iceberg branches):
+    * fork `dev` from v1 (one metadata write), modify the BRANCH
+    * (priorities re-flagged), diverge MAIN (a delete), then vacuum
+    * main with a window that reclaims everything main no longer
+    * references — the branch's files must survive solely through the
+    * branch-reference union. The result is the branch read through
+    * the DSv2 `branch` option; the requires prove main actually
+    * diverged and vacuumed. */
+  def snapshotBranch(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("snapbranch", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val orders = t(s, dir, "orders")
+    table.create(orders)                                           // v1
+    table.createBranch("dev")
+    table.forBranch("dev").upsert(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderpriority", lit("0-RUSH")))       // dev v2
+    table.delete(col("o_orderkey") % 5 === 0)                // main v2
+    table.vacuum(keepVersions = 1, retentionMs = 0)
+    require(!table.hasVersion(1), "vacuum kept main v1")
+    require(table.branches == Seq("dev"), "branch listing broken")
+    s.read.format("graft").option("branch", "dev").load(base)
+      .select(ordersCols.map(col): _*)
+  }
+
   /** S2 (TAGS) — named snapshots with VACUUM PINNING (Iceberg refs):
     * tag v1, mutate twice (the upsert rewrites v1's files away, so
     * the pin must hold DATA, not just the commit record), vacuum with
@@ -2419,7 +2490,9 @@ object Queries {
     "snapshot_delete" -> (snapshotDelete _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
+    "cdc_stream_parity" -> (cdcStreamParity _),
     "snapshot_tags" -> (snapshotTags _),
+    "snapshot_branch" -> (snapshotBranch _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2549,6 +2622,23 @@ object Queries {
       |                               q.qvec), 6) AS top1_cosine
       |FROM q JOIN embeddings e ON e.vec_id = q.vec_id
       |ORDER BY query_id""".stripMargin
+
+  /** The change feed's per-commit NET over [[cdcFeed]]'s history —
+    * shared by the batch and streaming transports (same table, same
+    * commits, same fold; the transports must hash identically). */
+  private val CdcNetOracleSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+      |       'before' AS image, CAST(2 AS BIGINT) AS commit_version
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, '0-RUSH',
+      |       'after', 2
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END,
+      |       'before', 3
+      |FROM orders WHERE o_orderkey % 1000 = 7""".stripMargin
 
   /** DuckDB replay of the 60-bit md5 simhash
     * ([[graft.operators.TextDedup.md5TokenHashes]] +
@@ -2727,6 +2817,12 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 1000 <> 7""".stripMargin,
+    // the branch = every order with div-3 priorities re-flagged; the
+    // main-side delete and vacuum must not perturb it
+    "snapshot_branch" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
     // the tagged snapshot IS the created state: vacuum reclaimed the
     // untagged history but the pin held both record and data files
     "snapshot_tags" ->
@@ -2734,20 +2830,11 @@ object Queries {
         |FROM orders""".stripMargin,
     // the change feed's per-commit NET is exactly the mutation
     // definitions: v2 = before/after pair per modified row; v3 = one
-    // before image per MoR-deleted row AT ITS v2-MODIFIED VALUE
-    "cdc_feed" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-        |       'before' AS image, CAST(2 AS BIGINT) AS commit_version
-        |FROM orders WHERE o_orderkey % 3 = 0
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, '0-RUSH',
-        |       'after', 2
-        |FROM orders WHERE o_orderkey % 3 = 0
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END,
-        |       'before', 3
-        |FROM orders WHERE o_orderkey % 1000 = 7""".stripMargin,
+    // before image per MoR-deleted row AT ITS v2-MODIFIED VALUE.
+    // ONE oracle for both transports: batch span and streamed
+    // (AvailableNow, one micro-batch per commit) must hash identically.
+    "cdc_feed" -> CdcNetOracleSql,
+    "cdc_stream_parity" -> CdcNetOracleSql,
     "snapshot_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0

@@ -105,15 +105,27 @@ final class SnapshotTable(
       * `INSERT INTO graft.ns.t` know its merge key. Constructor values
       * override same-named logged ones; [[setProperties]] changes them
       * after the fact. */
-    val tableProps: Map[String, String] = Map.empty) {
+    val tableProps: Map[String, String] = Map.empty,
+    /** BRANCH handle (Iceberg branches): a named commit line forked
+      * from a main version ([[createBranch]]) with its OWN version
+      * sequence under `_branches/<name>/_commits`, sharing the main
+      * table's data directory — fork and branch commits reference and
+      * add files there, and only the MAIN handle's [[vacuum]] may
+      * reclaim data (it retains every branch's references). All table
+      * operations work on a branch handle except create (fork via
+      * createBranch) and vacuum (main-only). */
+    val branch: Option[String] = None) {
 
   require(partitionCol.isEmpty || partitionCols.isEmpty,
     "give either partitionCol or partitionCols, not both")
+  branch.foreach(b => require(b.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+    s"branch name '$b' must match [A-Za-z0-9][A-Za-z0-9._-]*"))
 
   import SnapshotTable.FileEntry
 
   private val dataDir = s"$path/data"
-  private val commitsDir = s"$path/_commits"
+  private val commitsDir =
+    branch.fold(s"$path/_commits")(b => s"$path/_branches/$b/_commits")
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -532,38 +544,7 @@ final class SnapshotTable(
       }
     val payload = (header + body + "\n").getBytes(StandardCharsets.UTF_8)
     val dest = if (v <= 1L) manifestPath(v) else deltaPath(v)
-    val tmp = new Path(s"$commitsDir/.tmp-$token")
-    val out = fs.create(tmp, true)
-    try out.write(payload)
-    finally out.close()
-    val won =
-      // getUri, not getScheme: RawLocalFileSystem (and other bare
-      // FileSystem subclasses) never override getScheme and the base
-      // class THROWS — the URI's scheme is always present
-      if (fs.getUri.getScheme == "file") {
-        val local = (p: Path) =>
-          java.nio.file.Paths.get(p.toUri.getPath) match {
-            case abs if abs.isAbsolute => abs
-            case rel => rel.toAbsolutePath
-          }
-        try {
-          java.nio.file.Files.createLink(local(dest), local(tmp))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally fs.delete(tmp, false)
-      } else {
-        val renamed = fs.rename(tmp, dest)
-        val ok = renamed && {
-          val in = fs.open(dest)
-          try java.util.Arrays.equals(
-            org.apache.commons.io.IOUtils.toByteArray(in), payload)
-          finally in.close()
-        }
-        if (!renamed) fs.delete(tmp, false)
-        ok
-      }
-    if (!won)
+    if (!atomicExclusiveWrite(dest, payload, token))
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
     writeLatestHint(v)
@@ -582,6 +563,49 @@ final class SnapshotTable(
     // commit winner reaches here so there is no checkpoint race
     if (v > 1L && v % checkpointInterval == 0L)
       writeCheckpoint(v, checkpointPayload(v, committed))
+  }
+
+  /** Write `payload` to `dest` with atomic-EXCLUSIVE semantics — the
+    * commit point of [[commitManifest]] and [[createBranch]]'s fork:
+    * exactly one writer lands the destination name; every loser sees
+    * `false` and nothing partial is ever visible. The namespace op is
+    * chosen per filesystem (see [[commitManifest]]'s scaladoc):
+    * hard-link on `file:` (rename REPLACES there), verified rename
+    * elsewhere. `token` must be unique per attempt — it names the tmp
+    * file and is embedded in the payload, which is what the
+    * replacing-rename read-back verifies. */
+  private def atomicExclusiveWrite(dest: Path, payload: Array[Byte],
+                                   token: String): Boolean = {
+    val tmp = new Path(s"$commitsDir/.tmp-$token")
+    val out = fs.create(tmp, true)
+    try out.write(payload)
+    finally out.close()
+    // getUri, not getScheme: RawLocalFileSystem (and other bare
+    // FileSystem subclasses) never override getScheme and the base
+    // class THROWS — the URI's scheme is always present
+    if (fs.getUri.getScheme == "file") {
+      val local = (p: Path) =>
+        java.nio.file.Paths.get(p.toUri.getPath) match {
+          case abs if abs.isAbsolute => abs
+          case rel => rel.toAbsolutePath
+        }
+      try {
+        java.nio.file.Files.createLink(local(dest), local(tmp))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      val renamed = fs.rename(tmp, dest)
+      val ok = renamed && {
+        val in = fs.open(dest)
+        try java.util.Arrays.equals(
+          org.apache.commons.io.IOUtils.toByteArray(in), payload)
+        finally in.close()
+      }
+      if (!renamed) fs.delete(tmp, false)
+      ok
+    }
   }
 
   /** The header lines every commit record starts with, in ONE
@@ -1446,6 +1470,9 @@ final class SnapshotTable(
 
   /** Initial commit (v1). */
   def create(df: DataFrame): Unit = {
+    require(branch.isEmpty,
+      s"a branch is forked from existing state (createBranch), never " +
+        s"created: branch '${branch.getOrElse("")}' of $path")
     require(!exists, s"table already exists at $path")
     val src =
       if (!mappingRequested) df
@@ -1467,6 +1494,9 @@ final class SnapshotTable(
     * the manifest alone, and the first data commit is a plain
     * [[append]]/[[upsert]] like any other. */
   def createEmpty(schema: StructType): Unit = {
+    require(branch.isEmpty,
+      s"a branch is forked from existing state (createBranch), never " +
+        s"created: branch '${branch.getOrElse("")}' of $path")
     require(!exists, s"table already exists at $path")
     val s2 = if (mappingRequested) assignCreateIds(schema) else schema
     commitManifest(1L, Nil, s2)
@@ -2323,6 +2353,69 @@ final class SnapshotTable(
     * in-flight commit older than it can still be clobbered.
     * `retentionMs = 0` is the single-writer fast path (reclaim
     * everything unreferenced now). */
+  // ---- BRANCHES: writable named commit lines (Iceberg branches)
+
+  private def branchesRoot = new Path(s"$path/_branches")
+
+  /** A handle onto branch `name` — same path, same data directory,
+    * its own commit log. Carries this handle's writer configuration
+    * (primary key, layout, constraints) verbatim; the branch's logged
+    * metadata governs where the log speaks. */
+  def forBranch(name: String): SnapshotTable =
+    new SnapshotTable(spark, path, primaryKey, partitionCol,
+      declaredSchema, statsCols, clusterBy, clusterFiles, bloomCols,
+      bloomExpectedItems, bloomFpp, checkConstraints, partitionCols,
+      tableProps, branch = Some(name))
+
+  /** Fork branch `name` from `fromVersion` (default: the head): ONE
+    * atomic metadata write — the branch's v1 is a full manifest
+    * referencing the fork point's files verbatim (schema, partition
+    * layout, checks, layout and properties carried), zero data I/O.
+    * Branch commits then evolve independently under
+    * `_branches/<name>`; the MAIN handle's [[vacuum]] retains every
+    * branch's file references, and [[dropBranch]] releases them. Main
+    * handles only: branching a branch would nest retention semantics
+    * nothing audits. */
+  def createBranch(name: String, fromVersion: Option[Long] = None): Unit = {
+    require(branch.isEmpty,
+      s"createBranch from the MAIN handle of $path (this handle is " +
+        s"branch '${branch.get}')")
+    val v = fromVersion.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    if (!hasVersion(v)) throw new IllegalArgumentException(
+      s"cannot branch from v$v at $path — never committed or vacuumed")
+    val bh = forBranch(name)
+    if (bh.exists) throw new IllegalStateException(
+      s"branch '$name' already exists at $path")
+    val m = readManifest(v)
+    fs.mkdirs(new Path(bh.commitsDir))
+    if (!bh.atomicExclusiveWrite(bh.manifestPath(1L),
+        checkpointPayload(1L, m), UUID.randomUUID().toString))
+      throw new IllegalStateException(
+        s"branch '$name' already exists at $path (concurrent fork)")
+    bh.writeLatestHint(1L)
+  }
+
+  /** Existing branch names. O(branches) metadata. */
+  def branches: Seq[String] = {
+    if (!fs.exists(branchesRoot)) return Nil
+    fs.listStatus(branchesRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Drop branch `name` whole — its commit log, hints and tags; data
+    * files only it referenced become unreferenced and the next main
+    * [[vacuum]] reclaims them. Unknown branches fail loudly. */
+  def dropBranch(name: String): Unit = {
+    require(branch.isEmpty, s"dropBranch from the MAIN handle of $path")
+    val dir = new Path(s"$path/_branches/$name")
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"no branch '$name' at $path")
+    if (!fs.delete(dir, true) && fs.exists(dir))
+      throw new IllegalStateException(
+        s"could not drop branch '$name' at $path")
+  }
+
   // ---- TAGS: named snapshots (Iceberg refs / `VERSION AS OF 'name'`)
 
   private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*"
@@ -2402,6 +2495,14 @@ final class SnapshotTable(
       throw new IllegalArgumentException(s"no tag '$name' at $path")))
 
   def vacuum(keepVersions: Int = 2, retentionMs: Long = 60 * 60 * 1000L): Unit = {
+    // the data directory is SHARED with every branch: a branch
+    // handle's log knows nothing about main's (or sibling branches')
+    // references, so only the main handle — which unions them all
+    // below — may decide a data file is garbage
+    require(branch.isEmpty,
+      s"vacuum from the MAIN handle of $path — branch '${branch.getOrElse("")}' " +
+        "logs are dropped whole by dropBranch, and data retention is " +
+        "decided across ALL branches")
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
     val keep = ((v - keepVersions + 1) max 1L) to v
@@ -2409,11 +2510,20 @@ final class SnapshotTable(
     // that is the tag contract (Iceberg refs): "keep the monthly
     // snapshot" must survive every later vacuum until dropTag
     val tagged = tags.values.toSet.filter(hasVersion)
+    // every BRANCH version is still travelable (branch logs are only
+    // dropped whole), so every branch-referenced file must survive;
+    // ascending replay keeps this one delta parse per branch version
+    val branchRefs: Set[String] = branches.flatMap { b =>
+      val bh = forBranch(b)
+      bh.currentVersion.toSeq.flatMap(bv =>
+        (1L to bv).filter(bh.hasVersion)
+          .flatMap(bh.readManifest(_).entries.map(_.path)))
+    }.toSet
     // a version inside the keep window may ALREADY be vacuumed (a prior
     // run with a smaller keepVersions deleted its manifest) — skip it
     // rather than crash on the missing file
     val referenced = (keep.filter(hasVersion).toSet ++ tagged)
-      .flatMap(readManifest(_).entries.map(_.path))
+      .flatMap(readManifest(_).entries.map(_.path)) ++ branchRefs
     // the retained versions must stay reconstructable AFTER the older
     // records go: materialize a full checkpoint at the horizon version
     // AND at every pinned tagged version below it first (their base
@@ -2611,10 +2721,11 @@ object SnapshotTable {
             bloomFpp: Double = 0.03,
             checkConstraints: Seq[(String, Column)] = Nil,
             partitionCols: Seq[String] = Nil,
-            tableProps: Map[String, String] = Map.empty): SnapshotTable =
+            tableProps: Map[String, String] = Map.empty,
+            branch: Option[String] = None): SnapshotTable =
     new SnapshotTable(spark, path, primaryKey, partitionCol, declaredSchema,
       statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
-      bloomFpp, checkConstraints, partitionCols, tableProps)
+      bloomFpp, checkConstraints, partitionCols, tableProps, branch)
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they

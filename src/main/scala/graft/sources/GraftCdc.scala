@@ -115,7 +115,8 @@ private[sources] final class GraftCdcScan(
     opts: CaseInsensitiveStringMap,
     required: Option[StructType] = None) extends Scan {
 
-  private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
+  private val snapshot = SnapshotTable(spark, tablePath,
+    "_unused_read_only", branch = Option(opts.get("branch")))
   private val (headEntries, tableSchema, partitionCols) =
     snapshot.scanInfo(None)
 

@@ -117,6 +117,10 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
+    require(!parameters.contains("branch"),
+      s"the V1 relation of $path cannot serve a branch — read branches " +
+        "through spark.read.format(\"graft\").option(\"branch\", ...) " +
+        "or the SnapshotTable API")
     val asOf = resolveVersion(ctx.sparkSession, path, parameters)
     SnapshotRelation(ctx, path, asOf, parameters)
   }
@@ -135,6 +139,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val path = pathOf(parameters)
+    require(!parameters.contains("branch"),
+      s"cannot write a branch of $path through the save() sink — " +
+        "branch writes go through the SnapshotTable API (forBranch)")
     val pkOpt = parameters.get("primaryKey").orElse(
       SnapshotTable(ctx.sparkSession, path, "_unused_read_only")
         .properties.get("primaryKey"))

@@ -273,9 +273,11 @@ private[sources] abstract class GraftVersionedStream(
   protected def spark: SparkSession = SparkSession.active
 
   // one handle for the stream's lifetime: its bounded manifest cache is
-  // exactly what serves the consecutive-version walks each trigger does
+  // exactly what serves the consecutive-version walks each trigger
+  // does; `option("branch", name)` streams the branch's commit line
   protected lazy val snapshot: SnapshotTable =
-    SnapshotTable(spark, tablePath, "_unused_read_only")
+    SnapshotTable(spark, tablePath, "_unused_read_only",
+      branch = Option(opts.get("branch")))
 
   protected def head: Long = snapshot.currentVersion.getOrElse(0L)
 

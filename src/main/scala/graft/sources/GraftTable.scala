@@ -47,7 +47,13 @@ final class GraftTable(
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  private val snapshot = SnapshotTable(spark, tablePath, "_unused_read_only")
+  // `option("branch", name)` pins reads onto a branch's commit line
+  // (shared data directory, independent log). READ-side only: the V1
+  // write half and SQL DML guard against a silent write to MAIN.
+  private[sources] val branchOpt: Option[String] = options.get("branch")
+
+  private val snapshot =
+    SnapshotTable(spark, tablePath, "_unused_read_only", branch = branchOpt)
 
   // one manifest read per handle: entries (lengths guaranteed), the
   // version's logged schema, and the table's partition column
@@ -163,6 +169,10 @@ final class GraftTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot ${info.command} a versionAsOf/timestampAsOf read of $tablePath")
+    require(branchOpt.isEmpty,
+      s"cannot ${info.command} through a branch-optioned handle of " +
+        s"$tablePath — branch writes go through the SnapshotTable API " +
+        "(forBranch)")
     () => new GraftRowLevelOperation(spark, tablePath, info.command)
   }
 
@@ -176,7 +186,10 @@ final class GraftTable(
     * the V1 batch path does its own pinned repartition inside
     * [[graft.plans.SnapshotTable]] and must not pay a second
     * exchange. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(branchOpt.isEmpty,
+      s"cannot write through a branch-optioned handle of $tablePath — " +
+        "branch writes go through the SnapshotTable API (forBranch)")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -219,6 +232,7 @@ final class GraftTable(
         }
       }
     }
+  }
 }
 
 /** What [[GraftSource.getTable]] returns for a path with NO committed

@@ -1247,6 +1247,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.currentVersion.contains(v))
   }
 
+  // ---- branches (writable named commit lines)
+
+  test("branches: fork is metadata-only; commit lines diverge independently") {
+    val t = SnapshotTable(spark, tmp("br1"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val filesBefore = dataFiles(t.path)
+    t.createBranch("dev")
+    assert(dataFiles(t.path) == filesBefore, "fork wrote data files")
+    val dev = t.forBranch("dev")
+    assert(contents(dev) == Seq(1 -> "a", 2 -> "b"))
+    dev.upsert(frame((1, "DEV", "p1"), (3, "c", "p3")))
+    assert(contents(dev) == Seq(1 -> "DEV", 2 -> "b", 3 -> "c"))
+    assert(contents(t) == Seq(1 -> "a", 2 -> "b"), "branch leaked to main")
+    t.upsert(frame((2, "MAIN", "p2")))
+    assert(contents(dev) == Seq(1 -> "DEV", 2 -> "b", 3 -> "c"),
+      "main leaked to branch")
+    assert(t.branches == Seq("dev"))
+    // branch time travel: its own v1 is the fork point
+    assert(dev.readVersion(1).orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("val"))).toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+  }
+
+  test("main vacuum retains every branch-referenced file; dropBranch releases") {
+    val t = SnapshotTable(spark, tmp("br2"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.createBranch("dev")
+    val dev = t.forBranch("dev")
+    dev.upsert(frame((3, "c", "p3")))   // branch-only file
+    t.upsert(frame((1, "A2", "p1")))    // main rewrites p1
+    t.upsert(frame((2, "B2", "p2")))    // main rewrites p2
+    t.vacuum(keepVersions = 1, retentionMs = 0)
+    // the fork point's files were rewritten away on MAIN — only the
+    // branch still references them, and they must have survived
+    assert(contents(dev) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(contents(t) == Seq(1 -> "A2", 2 -> "B2"))
+    t.dropBranch("dev")
+    t.vacuum(keepVersions = 1, retentionMs = 0)
+    assert(t.branches.isEmpty)
+    assert(contents(t) == Seq(1 -> "A2", 2 -> "B2"))
+  }
+
+  test("branch guards: no create/vacuum/nested fork; CRUD failures loud") {
+    val t = SnapshotTable(spark, tmp("br3"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.createBranch("dev")
+    val dev = t.forBranch("dev")
+    intercept[IllegalArgumentException](dev.create(frame((9, "z", "p9"))))
+    intercept[IllegalArgumentException](
+      dev.vacuum(keepVersions = 1, retentionMs = 0))
+    intercept[IllegalArgumentException](dev.createBranch("nested"))
+    intercept[IllegalStateException](t.createBranch("dev")) // duplicate
+    intercept[IllegalArgumentException](t.createBranch("x", Some(99L)))
+    intercept[IllegalArgumentException](t.dropBranch("missing"))
+  }
+
   // ---- tags (named snapshots, vacuum pinning)
 
   test("tags pin versions: vacuum keeps the tagged snapshot, files included") {

@@ -29,6 +29,27 @@ class GraftSourceSpec extends SparkSpec {
     assert(v1.toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("branch option reads the branch line; branch writes are refused") {
+    val path = tmp("srcbranch")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", "p1")).toDF("id", "val", "part"))
+    t.createBranch("dev")
+    t.forBranch("dev").upsert(Seq((2, "b", "p2")).toDF("id", "val", "part"))
+    val branchRows = spark.read.format("graft").option("branch", "dev")
+      .load(path).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(branchRows == Seq(1 -> "a", 2 -> "b"))
+    assert(spark.read.format("graft").load(path).count() == 1)
+    // versionAsOf composes: the branch's own v1 is the fork point
+    assert(spark.read.format("graft").option("branch", "dev")
+      .option("versionAsOf", 1).load(path).count() == 1)
+    val e = intercept[Exception](
+      Seq((9, "z", "p9")).toDF("id", "val", "part")
+        .write.format("graft").option("branch", "dev")
+        .option("primaryKey", "id").mode("append").save(path))
+    assert(e.getMessage.contains("forBranch"), e.getMessage)
+  }
+
   test("tagAsOf pins a tagged snapshot; pin options are mutually exclusive") {
     val path = tmp("srctag")
     val t = SnapshotTable(spark, path, "id", Some("part"))
