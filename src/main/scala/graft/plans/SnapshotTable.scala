@@ -207,11 +207,14 @@ final class SnapshotTable(
       finally out.close()
     } catch { case _: Exception => () } // a lost hint only costs a listing
 
-  private def readLatestHint: Option[Long] =
+  /** The Long a small metadata file holds, or None when the file is
+    * absent/torn/non-numeric — ONE parse for the latest-commit hint
+    * and the tag files. */
+  private def readLongFile(p: Path): Option[Long] =
     try {
-      if (!fs.exists(latestHint)) None
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(latestHint)
+        val in = fs.open(p)
         val txt =
           try new String(
             org.apache.commons.io.IOUtils.toByteArray(in),
@@ -219,7 +222,10 @@ final class SnapshotTable(
           finally in.close()
         txt.toLongOption
       }
-    } catch { case _: Exception => None } // torn/corrupt hint → listing
+    } catch { case _: Exception => None }
+
+  private def readLatestHint: Option[Long] =
+    readLongFile(latestHint) // torn/corrupt hint → listing fallback
 
   /** Highest committed version, or None for an empty/new table.
     *
@@ -2423,6 +2429,13 @@ final class SnapshotTable(
   private def tagPath(name: String): Path = {
     require(name.matches(TagNameRe),
       s"tag name '$name' must match $TagNameRe")
+    // SQL `VERSION AS OF '123'` resolves NUMERICALLY first, so an
+    // all-digit tag would be silently shadowed by version 123 there
+    // while tagAsOf resolved the tag — two surfaces disagreeing on
+    // the same name. Refuse the ambiguity at creation.
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — indistinguishable from a " +
+        "version number in VERSION AS OF")
     new Path(s"$commitsDir/tag-$name")
   }
 
@@ -2463,31 +2476,18 @@ final class SnapshotTable(
     if (!fs.exists(dir)) return Map.empty
     fs.listStatus(dir).iterator
       .filter(_.getPath.getName.startsWith("tag-"))
-      .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val txt =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            StandardCharsets.UTF_8).trim
-          finally in.close()
-        txt.toLongOption.map(st.getPath.getName.stripPrefix("tag-") -> _)
-      }.toMap
+      .flatMap(st => readLongFile(st.getPath)
+        .map(st.getPath.getName.stripPrefix("tag-") -> _))
+      .toMap
   }
 
   /** The version a tag pins, if the tag exists. Total: an invalid or
     * unknown name is None, never an exception — callers use this to
     * DISAMBIGUATE (is this string a tag?), e.g. the catalog's
     * `VERSION AS OF` resolution. */
-  def versionOfTag(name: String): Option[Long] = {
-    if (!name.matches(TagNameRe)) return None
-    val p = tagPath(name)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim
-      finally in.close()
-    txt.toLongOption
-  }
+  def versionOfTag(name: String): Option[Long] =
+    if (!name.matches(TagNameRe) || name.forall(_.isDigit)) None
+    else readLongFile(tagPath(name))
 
   /** Snapshot read of a tagged version. */
   def readTag(name: String): DataFrame =

@@ -343,7 +343,8 @@ object GraftCatalog {
 
   private[sources] val ProcedureNames =
     Seq("vacuum", "compact", "restore", "history", "zorder",
-      "tag", "drop_tag", "tags", "files")
+      "tag", "drop_tag", "tags", "files",
+      "create_branch", "drop_branch", "branches")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -470,6 +471,47 @@ object GraftCatalog {
           t.replace(graft.operators.ZOrder.cluster(
             t.read, cols, input.getInt(2), input.getInt(3)))
           (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "create_branch" => Some(new Proc("create_branch",
+        "fork a writable branch from a retained version (version -1 = " +
+          "the current head); main vacuum keeps its references until " +
+          "drop_branch",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType),
+          inDefault("version", DataTypes.LongType, "-1"))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          val v = input.getLong(2)
+          t.createBranch(input.getUTF8String(1).toString,
+            if (v < 0) None else Some(v))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "drop_branch" => Some(new Proc("drop_branch",
+        "drop a branch whole; its files release to the next vacuum",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.dropBranch(input.getUTF8String(1).toString)
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "branches" => Some(new Proc("branches",
+        "list branches: name and head version",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val t = snapshotOf(input.getUTF8String(0).toString)
+          val schema = StructType(Seq(
+            StructField("name", DataTypes.StringType, nullable = false),
+            StructField("head_version", DataTypes.LongType,
+              nullable = false)))
+          (schema, t.branches.map(b =>
+            row(b, t.forBranch(b).currentVersion.getOrElse(-1L)))
+            .toArray)
         }
       })
       case "files" => Some(new Proc("files",

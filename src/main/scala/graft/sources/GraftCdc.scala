@@ -105,8 +105,16 @@ private[sources] object GraftCdc {
       tableSchema.fields.find(_.name == c))
     val data =
       tableSchema.fields.filterNot(f => partitionCols.contains(f.name))
-    StructType(data ++ part ++ Array(ImageField, VersionField))
+    shape(data, part)
   }
+
+  /** THE one place the CDC row shape is assembled — the relation
+    * schema ([[schemaFor]]) and the (possibly column-pruned) scan
+    * ([[GraftCdcScan.readSchema]]) must build from the same function
+    * or a drift would decode rows in the wrong slots. */
+  def shape(dataFields: Seq[StructField],
+            partFields: Seq[StructField]): StructType =
+    StructType(dataFields ++ partFields ++ Array(ImageField, VersionField))
 }
 
 private[sources] final class GraftCdcScan(
@@ -133,9 +141,8 @@ private[sources] final class GraftCdcScan(
   private val partSchema = StructType(
     partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
 
-  override def readSchema(): StructType = StructType(
-    dataSchema.fields ++ partSchema.fields ++
-      Array(GraftCdc.ImageField, GraftCdc.VersionField))
+  override def readSchema(): StructType =
+    GraftCdc.shape(dataSchema.fields.toSeq, partSchema.fields.toSeq)
 
   override def description(): String = s"GraftCdcScan graft.`$tablePath`"
 

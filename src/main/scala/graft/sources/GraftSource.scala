@@ -45,25 +45,31 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     * version. Timestamps (epoch millis, or an ISO date/datetime
     * literal interpreted in the SESSION time zone — the zone SQL
     * literals mean, not the JVM default) and tag names resolve once,
-    * so relations stay version-pinned. */
+    * so relations stay version-pinned. With the `branch` option, ALL
+    * pins resolve against the BRANCH's commit line — versions are
+    * branch-local, commit times are the branch records' mtimes, and
+    * tag namespaces are per line (a tag created through a branch
+    * handle lives in that branch's log) — resolving a MAIN tag or
+    * timestamp and pinning the number onto a different line would
+    * silently read an arbitrary snapshot. */
   private def resolveVersion(spark: SparkSession, path: String,
                              parameters: Map[String, String]): Option[Long] = {
     val pins = Seq("versionAsOf", "timestampAsOf", "tagAsOf")
-      .filter(parameters.contains)
+      .filter(k => GraftSource.optCI(parameters, k).isDefined)
     require(pins.lengthIs <= 1,
       s"set at most one of versionAsOf/timestampAsOf/tagAsOf, " +
         s"got ${pins.mkString(", ")}")
-    parameters.get("versionAsOf").map(_.toLong).orElse(
-      parameters.get("timestampAsOf").map { raw =>
+    def handle = SnapshotTable(spark, path, "_unused_read_only",
+      branch = GraftSource.optCI(parameters, "branch"))
+    GraftSource.optCI(parameters, "versionAsOf").map(_.toLong).orElse(
+      GraftSource.optCI(parameters, "timestampAsOf").map { raw =>
         val ms = GraftSource.sessionEpochMs(spark, raw)
-        SnapshotTable(spark, path, "_unused_read_only")
-          .versionAt(ms).getOrElse(throw new IllegalArgumentException(
-            s"no snapshot at $path existed at timestampAsOf=$raw"))
+        handle.versionAt(ms).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot at $path existed at timestampAsOf=$raw"))
       }).orElse(
-      parameters.get("tagAsOf").map { name =>
-        SnapshotTable(spark, path, "_unused_read_only")
-          .versionOfTag(name).getOrElse(throw new IllegalArgumentException(
-            s"no tag '$name' at $path"))
+      GraftSource.optCI(parameters, "tagAsOf").map { name =>
+        handle.versionOfTag(name).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$name' at $path"))
       })
   }
 
@@ -84,9 +90,22 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val cached = lastTable
     if (cached != null && cached._1 == key) return cached._2
     val path = pathOf(options)
+    val main = SnapshotTable(spark, path, "_unused_read_only")
+    // a mistyped branch name must say so — without this check the
+    // branch handle's empty log surfaces as "no committed snapshot at
+    // <path>", telling the user an EXISTING table doesn't exist
+    GraftSource.optCI(options, "branch").foreach { b =>
+      if (main.exists &&
+          !SnapshotTable(spark, path, "_unused_read_only",
+            branch = Some(b)).exists)
+        throw new IllegalArgumentException(
+          s"no branch '$b' at $path" + (main.branches match {
+            case Nil => " (the table has no branches)"
+            case bs => s" (have: ${bs.mkString(", ")})"
+          }))
+    }
     val t =
-      if (!SnapshotTable(spark, path, "_unused_read_only").exists)
-        new MissingGraftTable(path)
+      if (!main.exists) new MissingGraftTable(path)
       else new GraftTable(spark, path, resolveVersion(spark, path, options),
         options)
     lastTable = (key, t)
@@ -245,6 +264,17 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
 }
 
 private[sources] object GraftSource {
+
+  /** Case-INSENSITIVE option lookup: the V2 TableProvider path hands
+    * us `asCaseSensitiveMap` (original key spellings), while Spark's
+    * own option handling — and the V1 `CaseInsensitiveMap` parameters
+    * — treat keys case-insensitively. A case-sensitive get here meant
+    * `option("BRANCH", ...)` silently read/wrote MAIN: the exact
+    * silent-wrong-table class the branch write guard exists for. */
+  def optCI(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
 
   /** An epoch-millis literal, or an ISO date/datetime interpreted in
     * the SESSION time zone — the zone SQL literals mean, not the JVM

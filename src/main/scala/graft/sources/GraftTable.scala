@@ -50,7 +50,10 @@ final class GraftTable(
   // `option("branch", name)` pins reads onto a branch's commit line
   // (shared data directory, independent log). READ-side only: the V1
   // write half and SQL DML guard against a silent write to MAIN.
-  private[sources] val branchOpt: Option[String] = options.get("branch")
+  // Case-insensitive lookup — a case-sensitive get let
+  // `option("BRANCH", ...)` bypass the write guard and hit main.
+  private[sources] val branchOpt: Option[String] =
+    GraftSource.optCI(options, "branch")
 
   private val snapshot =
     SnapshotTable(spark, tablePath, "_unused_read_only", branch = branchOpt)

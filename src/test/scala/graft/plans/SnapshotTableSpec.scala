@@ -1349,6 +1349,8 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalStateException](t.tag("rel-1.0", Some(2L))) // dup
     intercept[IllegalArgumentException](t.tag("ghost", Some(99L)))
     intercept[IllegalArgumentException](t.tag("bad name!"))
+    // an all-digit tag would shadow VERSION AS OF's numeric resolution
+    intercept[IllegalArgumentException](t.tag("123", Some(1L)))
     intercept[IllegalArgumentException](t.dropTag("missing"))
     assert(t.versionOfTag("not a tag?") == None) // total, never throws
   }

@@ -67,6 +67,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.exists(_.getString(1).nonEmpty), "partition value missing")
   }
 
+  test("CALL graft.system.create_branch/branches/drop_branch round-trips") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.bp")
+    sql("""CREATE TABLE graft.bp.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.bp.t VALUES (1, 'a')")            // v2
+    sql("CALL graft.system.create_branch('bp.t', 'dev')")
+    SnapshotTable(spark, s"$warehouse/bp/t", "id").forBranch("dev")
+      .upsert(Seq((2L, "b")).toDF("id", "v"))
+    val listed = sql("CALL graft.system.branches('bp.t')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(listed == Seq("dev" -> 2L), s"got $listed")
+    // main unchanged; branch readable through the DSv2 option
+    assert(sql("SELECT count(*) FROM graft.bp.t").head().getLong(0) == 1)
+    assert(spark.read.format("graft").option("branch", "dev")
+      .load(s"$warehouse/bp/t").count() == 2)
+    sql("CALL graft.system.drop_branch('bp.t', 'dev')")
+    assert(sql("CALL graft.system.branches('bp.t')").count() == 0)
+  }
+
   test("CALL graft.system.tag/tags/drop_tag round-trips through SQL") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.tp")

@@ -50,6 +50,47 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("forBranch"), e.getMessage)
   }
 
+  test("branch options are case-insensitive; bad branch names fail clearly") {
+    val path = tmp("srcbrci")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", "p1")).toDF("id", "val", "part"))
+    t.createBranch("dev")
+    t.forBranch("dev").upsert(Seq((2, "b", "p2")).toDF("id", "val", "part"))
+    // a case-variant key must hit the branch, not silently read MAIN
+    assert(spark.read.format("graft").option("BRANCH", "dev")
+      .load(path).count() == 2)
+    // ...and must not bypass the branch write guard either
+    val w = intercept[Exception](
+      Seq((9, "z", "p9")).toDF("id", "val", "part")
+        .write.format("graft").option("BRANCH", "dev")
+        .option("primaryKey", "id").mode("append").save(path))
+    assert(w.getMessage.contains("forBranch"), w.getMessage)
+    // a typo'd branch fails naming the branch, not the table
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("branch", "dve").load(path).count())
+    assert(e.getMessage.contains("no branch 'dve'") &&
+      e.getMessage.contains("dev"), e.getMessage)
+  }
+
+  test("with a branch option, every pin resolves on the branch line") {
+    val path = tmp("srcbrpin")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(Seq((1, "a", "p1")).toDF("id", "val", "part"))
+    t.tag("mainrel") // main's tag namespace
+    t.createBranch("dev")
+    val dev = t.forBranch("dev")
+    dev.upsert(Seq((2, "b", "p2")).toDF("id", "val", "part")) // dev v2
+    dev.tag("devrel") // pins dev v2, in the BRANCH's namespace
+    assert(spark.read.format("graft").option("branch", "dev")
+      .option("tagAsOf", "devrel").load(path).count() == 2)
+    // a MAIN tag is not visible on the branch line — resolving it and
+    // pinning the number onto dev's versions would read garbage
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("branch", "dev")
+        .option("tagAsOf", "mainrel").load(path).count())
+    assert(e.getMessage.contains("no tag"), e.getMessage)
+  }
+
   test("tagAsOf pins a tagged snapshot; pin options are mutually exclusive") {
     val path = tmp("srctag")
     val t = SnapshotTable(spark, path, "id", Some("part"))
