@@ -617,6 +617,38 @@ object Queries {
       .select(ordersCols.map(col): _*)
   }
 
+  /** S2 (WAP) — the write-audit-publish loop on branches: fork
+    * `audit`, write the modification on the BRANCH, audit it there
+    * (the requires check the flag landed on the branch and that main
+    * is still clean — the whole point of WAP), then
+    * [[plans.SnapshotTable.publishBranch]] fast-forwards main in one
+    * atomic metadata write. The result is MAIN after publish; the
+    * oracle is the same modified SELECT the audit approved. */
+  def branchWap(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("branchwap", dir)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val orders = t(s, dir, "orders")
+    table.create(orders)                                           // v1
+    table.createBranch("audit")
+    val b = table.forBranch("audit")
+    b.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority", lit("0-RUSH")))         // audit v2
+    // AUDIT on the branch; main must still be the unmodified state
+    require(b.read.filter(col("o_orderpriority") === "0-RUSH").count() ==
+      orders.filter(col("o_orderkey") % 3 === 0).count(),
+      "audit failed: branch missing re-flagged rows")
+    require(table.read
+      .filter(col("o_orderpriority") === "0-RUSH").isEmpty,
+      "unpublished branch data visible on main")
+    table.publishBranch("audit")                             // main v2
+    table.dropBranch("audit")
+    table.read.select(ordersCols.map(col): _*)
+  }
+
   /** S2 (TAGS) — named snapshots with VACUUM PINNING (Iceberg refs):
     * tag v1, mutate twice (the upsert rewrites v1's files away, so
     * the pin must hold DATA, not just the commit record), vacuum with
@@ -2493,6 +2525,7 @@ object Queries {
     "cdc_stream_parity" -> (cdcStreamParity _),
     "snapshot_tags" -> (snapshotTags _),
     "snapshot_branch" -> (snapshotBranch _),
+    "branch_wap" -> (branchWap _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2817,6 +2850,11 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 1000 <> 7""".stripMargin,
+    // MAIN after publish = exactly the audited branch state
+    "branch_wap" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
     // the branch = every order with div-3 priorities re-flagged; the
     // main-side delete and vacuum must not perturb it
     "snapshot_branch" ->

@@ -2393,13 +2393,57 @@ final class SnapshotTable(
     val bh = forBranch(name)
     if (bh.exists) throw new IllegalStateException(
       s"branch '$name' already exists at $path")
-    val m = readManifest(v)
+    val m0 = readManifest(v)
+    // the branch records its FORK POINT as a logged property (carried
+    // forward by every branch commit) — what publishBranch's
+    // fast-forward check reads
+    val m = m0.copy(props =
+      m0.props + (SnapshotTable.ForkVersionProp -> v.toString))
     fs.mkdirs(new Path(bh.commitsDir))
     if (!bh.atomicExclusiveWrite(bh.manifestPath(1L),
         checkpointPayload(1L, m), UUID.randomUUID().toString))
       throw new IllegalStateException(
         s"branch '$name' already exists at $path (concurrent fork)")
     bh.writeLatestHint(1L)
+  }
+
+  /** Fast-forward PUBLISH (the Iceberg write-audit-publish pattern):
+    * main advances to branch `name`'s head in ONE atomic metadata
+    * write — a full manifest at main's next version carrying the
+    * branch state verbatim (entries, schema, partitioning, checks,
+    * layout, properties), zero data I/O. Allowed only while main
+    * still sits at the branch's FORK POINT: a diverged main fails
+    * loudly (merge/rebase is out of scope — re-fork and replay).
+    * The branch itself stays for further work; [[dropBranch]]
+    * separately. The WAP loop: fork → write and AUDIT on the branch
+    * (nothing visible on main) → publish. */
+  def publishBranch(name: String): Unit = {
+    require(branch.isEmpty, s"publishBranch from the MAIN handle of $path")
+    val bh = forBranch(name)
+    val bv = bh.currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $path"))
+    val bm = bh.readManifest(bv)
+    val fork = bm.props.get(SnapshotTable.ForkVersionProp)
+      .flatMap(_.toLongOption).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$name' at $path carries no fork-version metadata"))
+    val head = currentVersion.getOrElse(0L)
+    if (head != fork) throw new IllegalStateException(
+      s"cannot fast-forward: main advanced to v$head past branch " +
+        s"'$name''s fork point v$fork — fork a fresh branch and replay")
+    // main is not a branch: the published state drops the fork marker
+    // (rebuilt on THIS instance's inner types — Manifest/Layout are
+    // path-dependent, so bm.copy would be bh.Manifest)
+    val pub = Manifest(bm.entries, bm.schema, bm.partitionCol, bm.checks,
+      bm.layout.map(l => Layout(l.statsCols, l.clusterBy, l.clusterFiles,
+        l.bloomCols, l.bloomItems, l.bloomFpp)),
+      bm.props - SnapshotTable.ForkVersionProp)
+    if (!atomicExclusiveWrite(manifestPath(head + 1L),
+        checkpointPayload(head + 1L, pub), UUID.randomUUID().toString))
+      throw new IllegalStateException(
+        s"commit conflict: version ${head + 1} already exists at $path")
+    manifestCache.synchronized(manifestCache.put(head + 1L, pub))
+    writeLatestHint(head + 1L)
   }
 
   /** Existing branch names. O(branches) metadata. */
@@ -2629,6 +2673,11 @@ object SnapshotTable {
   /** Monotone field-id high-water mark, logged as a table property so
     * an id is never reused across drop/re-add. */
   val MaxIdProp = "graft.colmap.maxId"
+
+  /** The main-line version a branch forked from, logged in the branch's
+    * v1 and carried by every branch commit — [[SnapshotTable.publishBranch]]'s
+    * fast-forward check reads it. */
+  val ForkVersionProp = "graft.branch.forkVersion"
 
   /** Spark's reserved metadata key the parquet writer/readers honor. */
   val FieldIdKey = "parquet.field.id"

@@ -344,7 +344,7 @@ object GraftCatalog {
   private[sources] val ProcedureNames =
     Seq("vacuum", "compact", "restore", "history", "zorder",
       "tag", "drop_tag", "tags", "files",
-      "create_branch", "drop_branch", "branches")
+      "create_branch", "publish_branch", "drop_branch", "branches")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -486,6 +486,18 @@ object GraftCatalog {
           val v = input.getLong(2)
           t.createBranch(input.getUTF8String(1).toString,
             if (v < 0) None else Some(v))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "publish_branch" => Some(new Proc("publish_branch",
+        "fast-forward main to the branch head (write-audit-publish); " +
+          "fails if main diverged past the fork point",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.publishBranch(input.getUTF8String(1).toString)
           (StatusSchema, statusRow(arg, t))
         }
       })

@@ -1289,6 +1289,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(t) == Seq(1 -> "A2", 2 -> "B2"))
   }
 
+  test("publishBranch fast-forwards main to the branch head (WAP)") {
+    val t = SnapshotTable(spark, tmp("br4"), "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))          // main v1
+    t.createBranch("audit")
+    val b = t.forBranch("audit")
+    b.upsert(frame((1, "A2", "p1"), (3, "c", "p3")))         // audit v2
+    // nothing visible on main until publish
+    assert(contents(t) == Seq(1 -> "a", 2 -> "b"))
+    t.publishBranch("audit")                                 // main v2
+    assert(contents(t) == Seq(1 -> "A2", 2 -> "b", 3 -> "c"))
+    // main's pre-publish state stays time-travelable
+    assert(t.readVersion(1).count() == 2)
+    // the published state is main-shaped: no fork marker leaked
+    assert(!t.properties.contains(SnapshotTable.ForkVersionProp))
+    // the branch survives publish and can keep moving
+    b.upsert(frame((4, "d", "p1")))
+    assert(contents(t).size == 3)
+  }
+
+  test("publishBranch refuses a diverged main (no silent merge)") {
+    val t = SnapshotTable(spark, tmp("br5"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.createBranch("dev")
+    t.forBranch("dev").upsert(frame((2, "b", "p2")))
+    t.upsert(frame((1, "MAIN", "p1"))) // main diverges past the fork
+    val e = intercept[IllegalStateException](t.publishBranch("dev"))
+    assert(e.getMessage.contains("fork point"), e.getMessage)
+    assert(contents(t) == Seq(1 -> "MAIN"))
+  }
+
   test("branch guards: no create/vacuum/nested fork; CRUD failures loud") {
     val t = SnapshotTable(spark, tmp("br3"), "id", Some("part"))
     t.create(frame((1, "a", "p1")))

@@ -83,6 +83,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.bp.t").head().getLong(0) == 1)
     assert(spark.read.format("graft").option("branch", "dev")
       .load(s"$warehouse/bp/t").count() == 2)
+    // write-audit-publish through SQL: fast-forward main to the branch
+    sql("CALL graft.system.create_branch('bp.t', 'wap')")
+    SnapshotTable(spark, s"$warehouse/bp/t", "id").forBranch("wap")
+      .upsert(Seq((3L, "c")).toDF("id", "v"))
+    sql("CALL graft.system.publish_branch('bp.t', 'wap')")
+    spark.sql("REFRESH TABLE graft.bp.t")
+    // main = the wap branch's state: (1,'a') + (3,'c') — dev's row
+    // was never published
+    assert(sql("SELECT count(*) FROM graft.bp.t").head().getLong(0) == 2)
+    sql("CALL graft.system.drop_branch('bp.t', 'wap')")
     sql("CALL graft.system.drop_branch('bp.t', 'dev')")
     assert(sql("CALL graft.system.branches('bp.t')").count() == 0)
   }
