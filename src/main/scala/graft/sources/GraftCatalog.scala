@@ -103,6 +103,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     snapshotAt(ident).exists
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style BRANCH identifier: `ns`.`t$branch_dev` reads the
+    // `dev` line of table `t` (SQL has no branch syntax of its own).
+    // Resolution order keeps plain tables authoritative: the suffix
+    // only fires when no table of the literal name exists.
+    ident.name.split("\\$branch_", 2) match {
+      case Array(base, b) if b.nonEmpty &&
+          !snapshotAt(ident).exists =>
+        val baseIdent = Identifier.of(ident.namespace, base)
+        val snap = snapshotAt(baseIdent)
+        if (!snap.exists) throw new NoSuchTableException(ident)
+        if (!snap.forBranch(b).exists)
+          throw new IllegalArgumentException(
+            s"no branch '$b' of $baseIdent" + (snap.branches match {
+              case Nil => " (the table has no branches)"
+              case bs => s" (have: ${bs.mkString(", ")})"
+            }))
+        return new GraftTable(spark, tablePath(baseIdent), None,
+          snap.properties + ("branch" -> b))
+      case _ => ()
+    }
     val snap = snapshotAt(ident)
     if (!snap.exists) throw new NoSuchTableException(ident)
     // the logged properties ride along as the table's options so the

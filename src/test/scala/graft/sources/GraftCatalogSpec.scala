@@ -67,6 +67,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.exists(_.getString(1).nonEmpty), "partition value missing")
   }
 
+  test("SELECT from `t$branch_<name>` reads the branch line; DML refused") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.bi")
+    sql("""CREATE TABLE graft.bi.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.bi.t VALUES (1, 'a')")
+    sql("CALL graft.system.create_branch('bi.t', 'dev')")
+    SnapshotTable(spark, s"$warehouse/bi/t", "id").forBranch("dev")
+      .upsert(Seq((2L, "b")).toDF("id", "v"))
+    assert(sql("SELECT count(*) FROM graft.bi.`t$branch_dev`")
+      .head().getLong(0) == 2)
+    assert(sql("SELECT count(*) FROM graft.bi.t").head().getLong(0) == 1)
+    val e1 = intercept[Exception](
+      sql("SELECT * FROM graft.bi.`t$branch_ghost`").collect())
+    assert(e1.getMessage.contains("no branch 'ghost'"), e1.getMessage)
+    // writes through the branch identifier are refused like the option
+    val e2 = intercept[Exception](
+      sql("INSERT INTO graft.bi.`t$branch_dev` VALUES (9, 'z')"))
+    assert(e2.getMessage.contains("forBranch") ||
+      e2.getMessage.contains("branch"), e2.getMessage)
+  }
+
   test("CALL graft.system.create_branch/branches/drop_branch round-trips") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.bp")
