@@ -2438,6 +2438,16 @@ final class SnapshotTable(
       bm.layout.map(l => Layout(l.statsCols, l.clusterBy, l.clusterFiles,
         l.bloomCols, l.bloomItems, l.bloomFpp)),
       bm.props - SnapshotTable.ForkVersionProp)
+    // either-kind precheck, same as commitManifest: a racing REGULAR
+    // commit writes v+1 as a DELTA — a different filename the
+    // exclusive manifest write below cannot arbitrate against, and
+    // both landing would silently shadow the delta (readManifest
+    // resolves the manifest first). The precheck closes all
+    // non-interleaved windows; a perfectly interleaved cross-kind
+    // pair remains the log's documented single-writer caveat.
+    if (versionExists(head + 1L))
+      throw new IllegalStateException(
+        s"commit conflict: version ${head + 1} already exists at $path")
     if (!atomicExclusiveWrite(manifestPath(head + 1L),
         checkpointPayload(head + 1L, pub), UUID.randomUUID().toString))
       throw new IllegalStateException(
