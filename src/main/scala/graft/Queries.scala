@@ -1064,20 +1064,25 @@ object Queries {
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("pipeline", dir)
     writePipelineRaw(s, dir, base)
-    // one-time layout migration: a dwh written by a pre-SnapshotTable
-    // build has Hive dirs but no _commits — wipe it so create() starts
-    // clean instead of stranding unreferenced files under data/
+    // one-time layout migrations: a dwh written by a pre-SnapshotTable
+    // build has Hive dirs but no _commits; one written by the
+    // pre-clustered pipeline has Hive `date=` dirs UNDER data/ (the
+    // pipeline now writes the date-clustered flat layout) — wipe
+    // either so create() starts clean instead of stranding files or
+    // mis-planning the old partitioned manifest
     val conf = s.sparkContext.hadoopConfiguration
     val dwh = new org.apache.hadoop.fs.Path(s"$base/dwh")
     val dfs = dwh.getFileSystem(conf)
     if (dfs.exists(dwh) &&
-        !dfs.exists(new org.apache.hadoop.fs.Path(s"$base/dwh/order_items/_commits")))
+        (!dfs.exists(new org.apache.hadoop.fs.Path(s"$base/dwh/order_items/_commits")) ||
+         dfs.globStatus(new org.apache.hadoop.fs.Path(
+           s"$base/dwh/order_items/data/date=*")).nonEmpty))
       dfs.delete(dwh, true)
     val report = Pipeline.run(s, s"$base/raw", s"$base/dwh",
       s"$base/rejected", s"$base/archived")
     require(report.gatesPassed, "post-load validation gates failed")
-    SnapshotTable(s, s"$base/dwh/order_items", "id", Some("date"),
-      Some(Tables.asNullable(Tables.orderItems))).read
+    SnapshotTable(s, s"$base/dwh/order_items", "id",
+      partitionCol = None, Some(Tables.asNullable(Tables.orderItems))).read
   }
 
   // ---------------------------------------------------------------------

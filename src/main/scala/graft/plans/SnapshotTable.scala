@@ -1610,13 +1610,64 @@ final class SnapshotTable(
     var committedSchema: StructType = null
     val next = tablePartitionCols match {
       case Seq() =>
-        val cur = read
-        val kept = cur.join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+        // Stats-scoped merge for CLUSTERED unpartitioned layouts (the
+        // Iceberg-hidden-partitioning / Delta-liquid-clustering shape:
+        // no Hive dirs, pruning by per-file min/max instead). Only
+        // files whose cluster-column range can overlap the batch's
+        // [min,max] are read and rewritten; every other live file
+        // carries over by reference — O(touched files) per batch, not
+        // O(table), with NO per-partition-dir file explosion (a daily
+        // batch over a date-clustered 100 TB table touches the handful
+        // of files covering that day, and the rewrite emits a handful
+        // of right-sized files instead of one tiny file per date dir).
+        // Same contract as the partition-scoped branch below: the
+        // PK→cluster-value mapping must be stable across batches. Any
+        // NULL cluster value in the batch disables pruning for that
+        // commit (parquet min/max ignores nulls, so a kept file could
+        // silently hold the null-keyed row the batch replaces).
+        val ccs = clusterColumns
+        val statted = ccs.filter(statsColumns.contains)
+        val (touchedFiles, keptFiles) =
+          if (statted.isEmpty || live.isEmpty) (live, Seq.empty[FileEntry])
+          else {
+            val probe = timed("cluster-bounds")(src.agg(
+              count(lit(1)),
+              statted.flatMap(c => Seq(
+                min(col(c)), max(col(c)),
+                sum(when(col(c).isNull, 1L).otherwise(0L)))): _*).head())
+            if (probe.getLong(0) == 0L) (Seq.empty[FileEntry], live)
+            else {
+              val hasNull = statted.indices.exists(i =>
+                probe.getLong(3 + i * 3) > 0L)
+              if (hasNull) (live, Seq.empty[FileEntry])
+              else {
+                // only bounds the stats encoding supports may prune; a
+                // cluster column of an un-encodable type (date,
+                // decimal…) simply contributes no pruning — never an
+                // upsert failure
+                val bounds = statted.zipWithIndex.flatMap { case (c, i) =>
+                  val (lo, hi) = (probe.get(1 + i * 3), probe.get(2 + i * 3))
+                  try { FileEntry.enc(lo); FileEntry.enc(hi); Some((c, lo, hi)) }
+                  catch { case _: IllegalArgumentException => None }
+                }
+                if (bounds.isEmpty) (live, Seq.empty[FileEntry])
+                else live.partition(e =>
+                  candidatesOf(Seq(e), bounds).nonEmpty)
+              }
+            }
+          }
         val merged = stampFieldIds(
-          if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
-          else kept.unionByName(src.select(cur.columns.toIndexedSeq.map(col): _*)))
+          if (touchedFiles.isEmpty) src
+          else {
+            val cur = readFiles(touchedFiles, m.schema)
+            val kept = cur
+              .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+            if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
+            else kept.unionByName(
+              src.select(cur.columns.toIndexedSeq.map(col): _*))
+          })
         committedSchema = merged.schema
-        writeDataFiles(merged)
+        keptFiles ++ writeDataFiles(merged)
       case pcs =>
         // render the partition values exactly the way the writer names
         // dirs: CAST to string (matches Spark's path rendering for

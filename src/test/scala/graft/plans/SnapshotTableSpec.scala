@@ -1514,4 +1514,46 @@ class SnapshotTableSpec extends SparkSpec {
     // vectors are gone: the DSv2 guard no longer trips
     assert(t.candidateFiles().forall(_.deletedRows.isEmpty))
   }
+
+  test("clustered upsert is stats-scoped: out-of-range files carry over by reference") {
+    val t = SnapshotTable(spark, tmp("clupsert"), "id",
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 8)
+    t.create((1 to 400).map(i => (i, i, s"v$i")).toDF("id", "k", "val"))
+    val before = t.scanInfo()._1.map(_.path).toSet
+    assert(before.size == 8)
+    // batch confined to k∈[10,20]: update two ids, insert one new
+    t.upsert(Seq((10, 10, "V10"), (20, 20, "V20"), (401, 15, "v401"))
+      .toDF("id", "k", "val"))
+    val after = t.scanInfo()._1.map(_.path).toSet
+    val carried = before intersect after
+    assert(carried.nonEmpty, "no file carried over — merge was O(table)")
+    // every carried file's k-range must be disjoint from the batch's
+    val m = t.candidateFiles(("k", 10, 20)).map(_.path).toSet
+    assert(carried.forall(!m.contains(_)),
+      s"a file overlapping the batch range was not rewritten: ${carried & m}")
+    val got = t.read.orderBy("id").collect()
+    assert(got.length == 401)
+    assert(got.count(_.getString(2).startsWith("V")) == 2)
+    // idempotent re-run
+    t.upsert(Seq((10, 10, "V10"), (20, 20, "V20"), (401, 15, "v401"))
+      .toDF("id", "k", "val"))
+    assert(t.read.count() == 401)
+  }
+
+  test("clustered upsert with a NULL cluster value disables pruning, stays correct") {
+    val t = SnapshotTable(spark, tmp("clupsertnull"), "id",
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 4)
+    t.create((Seq((100, null.asInstanceOf[java.lang.Integer], "old")) ++
+      (1 to 50).map(i => (i, java.lang.Integer.valueOf(i), s"v$i")))
+      .toDF("id", "k", "val"))
+    // the null-keyed row lives in SOME file whose k-stats (nulls
+    // excluded) need not overlap the batch — pruning must stand down
+    t.upsert(Seq((100, null.asInstanceOf[java.lang.Integer], "NEW"),
+      (51, java.lang.Integer.valueOf(51), "v51"))
+      .toDF("id", "k", "val"))
+    val rows = t.read.filter(col("id") === 100).collect()
+    assert(rows.length == 1, s"duplicate PK 100: ${rows.length} rows")
+    assert(rows.head.getString(2) == "NEW")
+    assert(t.read.count() == 52)
+  }
 }
