@@ -94,7 +94,20 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failures.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"sf":${jstr(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"sf":${jstr(sfDir)}}"""
+    println(json)
+    // The committed round artifact must be SELF-CONTAINED: the round
+    // driver captures only the tail of stdout, and with 100+ queries the
+    // one-liner above outgrew that window (BENCH_r08.json kept the tail
+    // of the line — unparseable, every per-query time lost). The full
+    // JSON is therefore also written to a file (default BENCH.json in
+    // the working dir, committed per round).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -1608,7 +1608,11 @@ final class SnapshotTable(
       fs.create(evolvedMarker, true).close()
     val live = m.entries
     var committedSchema: StructType = null
-    val next = tablePartitionCols match {
+    // the merge SCOPE: does a file (in particular one a concurrent
+    // commit added) overlap the slice this merge read and rewrote?
+    // Decides whether a lost commit race may re-base (see commitMerge).
+    var overlapsScope: FileEntry => Boolean = _ => true
+    val (keptFiles, newFiles) = tablePartitionCols match {
       case Seq() =>
         // Stats-scoped merge for CLUSTERED unpartitioned layouts (the
         // Iceberg-hidden-partitioning / Delta-liquid-clustering shape:
@@ -1651,8 +1655,11 @@ final class SnapshotTable(
                   catch { case _: IllegalArgumentException => None }
                 }
                 if (bounds.isEmpty) (live, Seq.empty[FileEntry])
-                else live.partition(e =>
-                  candidatesOf(Seq(e), bounds).nonEmpty)
+                else {
+                  overlapsScope =
+                    e => candidatesOf(Seq(e), bounds).nonEmpty
+                  live.partition(overlapsScope)
+                }
               }
             }
           }
@@ -1667,7 +1674,7 @@ final class SnapshotTable(
               src.select(cur.columns.toIndexedSeq.map(col): _*))
           })
         committedSchema = merged.schema
-        keptFiles ++ writeDataFiles(merged)
+        (keptFiles, writeDataFiles(merged))
       case pcs =>
         // render the partition values exactly the way the writer names
         // dirs: CAST to string (matches Spark's path rendering for
@@ -1687,7 +1694,8 @@ final class SnapshotTable(
                 if (r.isNullAt(i)) null else r.getString(i)))
             .mkString("/"))
           .toSet)
-        val (touchedFiles, keptFiles) = live.partition(f => touched(partOf(f.path)))
+        overlapsScope = e => touched(partOf(e.path))
+        val (touchedFiles, keptFiles) = live.partition(overlapsScope)
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
           else timed("open-touched")(readFiles(touchedFiles, m.schema))
@@ -1701,9 +1709,72 @@ final class SnapshotTable(
               src.select(current.columns.toIndexedSeq.map(col): _*))
           })
         committedSchema = merged.schema
-        keptFiles ++ writeDataFiles(merged)
+        (keptFiles, writeDataFiles(merged))
     }
-    commitManifest(v + 1, next, committedSchema)
+    commitMerge(v, m, keptFiles, newFiles, committedSchema, overlapsScope)
+  }
+
+  /** Commit a merge-class rewrite (kept-by-reference + freshly-written
+    * files) with OPTIMISTIC conflict retry, Delta/Iceberg-style: losing
+    * the version race re-checks whether the interleaved commits touched
+    * this merge's read/write scope; a DISJOINT concurrent commit (the
+    * common multi-job case — two upserts into different partitions or
+    * cluster ranges) re-bases onto the new head and retries, while a
+    * genuinely overlapping one keeps failing loudly. The already-written
+    * data files are reused as-is — a re-base costs one manifest write,
+    * never a data rewrite.
+    *
+    * Re-base is refused when an interleaved commit:
+    *  - changed table METADATA (schema/checks/layout/properties) — the
+    *    merge output was conformed and validated against the old state;
+    *  - REMOVED or MODIFIED any file this merge read and replaced (the
+    *    merge's snapshot of those rows is stale — includes a deletion
+    *    vector landing on a replaced file, which rides in the entry's
+    *    serialized stats);
+    *  - ADDED a file overlapping the merge scope (it could hold a PK
+    *    this batch replaces; keeping it would duplicate the key). */
+  private def commitMerge(baseV: Long, base: Manifest,
+                          keptFiles: Seq[FileEntry],
+                          newFiles: Seq[FileEntry],
+                          schema: StructType,
+                          overlapsScope: FileEntry => Boolean): Unit = {
+    val keptPaths = keptFiles.map(_.path).toSet
+    val replaced = base.entries.map(_.path).filterNot(keptPaths).toSet
+    val baseSer = base.entries.map(e => e.path -> e.serialize).toMap
+    var v = baseV
+    var next = keptFiles ++ newFiles
+    var attempt = 0
+    while (true) {
+      try { commitManifest(v + 1, next, schema); return }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("commit conflict") && attempt < 5 =>
+          attempt += 1
+          def stale(why: String) = throw new IllegalStateException(
+            s"merge commit conflict at $path: a concurrent commit $why; " +
+              "re-run the merge against the new head", e)
+          val head = currentVersion.getOrElse(v)
+          val hm = readManifest(head)
+          if (hm.schema != base.schema || hm.checks != base.checks ||
+              hm.layout != base.layout || hm.props != base.props)
+            stale("changed table metadata (schema/checks/layout/properties)")
+          val headSer = hm.entries.map(e => e.path -> e.serialize).toMap
+          replaced.foreach { p =>
+            headSer.get(p) match {
+              case None => stale(s"removed a file this merge rewrote ($p)")
+              case Some(s) if s != baseSer(p) =>
+                stale(s"modified a file this merge rewrote ($p)")
+              case _ => ()
+            }
+          }
+          val added = hm.entries.filter(e => !baseSer.contains(e.path))
+          added.find(overlapsScope).foreach(a =>
+            stale(s"added a file inside this merge's scope (${a.path})"))
+          next = hm.entries.filterNot(e => replaced(e.path)) ++ newFiles
+          v = head
+      }
+    }
   }
 
   /** Atomic full REPLACE: the next version's manifest lists only the

@@ -1515,6 +1515,71 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.candidateFiles().forall(_.deletedRows.isEmpty))
   }
 
+  /** Run `a` in a thread whose SOURCE evaluation blocks (via a gating
+    * UDF on its rows) until `whileABlocked` has run on this thread —
+    * a DETERMINISTIC commit interleave: A reads the head, B commits,
+    * A commits and must arbitrate. Returns A's outcome. */
+  private def interleaved(aSource: org.apache.spark.sql.DataFrame,
+                          a: org.apache.spark.sql.DataFrame => Unit)
+                         (whileABlocked: => Unit): Either[Throwable, Unit] = {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // latches live on the companion: local-mode tasks still serialize
+    // their closures, and a captured CountDownLatch is not Serializable
+    SnapshotTableSpec.started = new CountDownLatch(1)
+    SnapshotTableSpec.gate = new CountDownLatch(1)
+    val started = SnapshotTableSpec.started
+    val gated = aSource.filter(udf { () =>
+      SnapshotTableSpec.started.countDown()
+      SnapshotTableSpec.gate.await(120, TimeUnit.SECONDS)
+    }.apply())
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+      def call(): Either[Throwable, Unit] =
+        try { a(gated); Right(()) } catch { case e: Throwable => Left(e) }
+    })
+    assert(started.await(120, TimeUnit.SECONDS), "writer A never started")
+    whileABlocked
+    SnapshotTableSpec.gate.countDown()
+    pool.shutdown()
+    fut.get(180, TimeUnit.SECONDS)
+  }
+
+  test("concurrent upserts to DISJOINT partitions both land (optimistic re-base)") {
+    val path = tmp("snapmergerace")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    val outcome = interleaved(frame((1, "W0", "p1")), tA.upsert(_)) {
+      // B lands v2 into p2 while A (merging p1) holds a v1 snapshot
+      SnapshotTable(spark, path, "id", Some("part"))
+        .upsert(frame((2, "W1", "p2")))
+    }
+    assert(outcome.isRight,
+      s"disjoint-partition merge must re-base and land: $outcome")
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(reader) == Seq(1 -> "W0", 2 -> "W1", 3 -> "c"))
+    assert(reader.currentVersion.contains(3L),
+      "both merges must land as their own commit")
+  }
+
+  test("concurrent upserts to the SAME partition: the interleaved one fails stale") {
+    val path = tmp("snapmergeconflict")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    val outcome = interleaved(frame((10, "W0", "p1")), tA.upsert(_)) {
+      SnapshotTable(spark, path, "id", Some("part"))
+        .upsert(frame((11, "W1", "p1"))) // same partition as A
+    }
+    assert(outcome.isLeft, "overlapping merge must NOT silently land")
+    val msg = outcome.swap.toOption.get.getMessage
+    assert(msg != null && msg.contains("merge commit conflict"),
+      s"loser must fail the scope re-check, got: $msg")
+    // B's committed state is intact; A changed nothing
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(reader) == Seq(1 -> "a", 2 -> "b", 11 -> "W1"))
+  }
+
   test("clustered upsert is stats-scoped: out-of-range files carry over by reference") {
     val t = SnapshotTable(spark, tmp("clupsert"), "id",
       statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 8)
@@ -1556,4 +1621,11 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows.head.getString(2) == "NEW")
     assert(t.read.count() == 52)
   }
+}
+
+/** Gating latches for [[SnapshotTableSpec.interleaved]] — statics, so
+  * the gating UDF's task closure stays serializable in local mode. */
+object SnapshotTableSpec {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
 }
