@@ -649,6 +649,52 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** K2/S4 (BRANCH DML) — the write-audit-publish loop in PURE SQL,
+    * nothing but catalog names: fork via procedure, mutate the branch
+    * through MERGE INTO and DELETE on the ``t$branch_<name>``
+    * identifier (the row-level ops commit on the BRANCH line), audit
+    * with SELECTs proving the staged state is right and main is
+    * untouched, then CALL publish_branch to fast-forward main
+    * atomically. The oracle is main's post-publish state. */
+  def branchWapSql(s: SparkSession, dir: String): DataFrame = {
+    catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    s.sql("DROP TABLE IF EXISTS graft.cat.orders_wap")
+    s.sql("""CREATE TABLE graft.cat.orders_wap (
+            |  o_orderkey BIGINT, o_custkey BIGINT,
+            |  o_orderstatus STRING, o_totalprice DOUBLE)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("wap_orders_src")
+    s.sql("""INSERT INTO graft.cat.orders_wap
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM wap_orders_src""".stripMargin)
+    s.sql("CALL graft.system.create_branch('cat.orders_wap', 'stage')")
+    // WRITE: stage a price correction and a purge on the branch only
+    s.sql("""MERGE INTO graft.cat.`orders_wap$branch_stage` tgt
+            |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+            |              round(o_totalprice * 2, 2) AS o_totalprice
+            |       FROM wap_orders_src WHERE o_orderkey % 3 = 0) src
+            |ON tgt.o_orderkey = src.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("DELETE FROM graft.cat.`orders_wap$branch_stage` " +
+      "WHERE o_custkey % 7 = 0")
+    // AUDIT: staged state holds; main is still the unmodified load
+    require(s.sql("""SELECT count(*) FROM graft.cat.`orders_wap$branch_stage`
+                    |WHERE o_custkey % 7 = 0""".stripMargin)
+      .head().getLong(0) == 0L, "audit failed: purge missing on branch")
+    require(s.sql("SELECT count(*) FROM graft.cat.orders_wap " +
+        "WHERE o_custkey % 7 = 0").head().getLong(0) > 0L,
+      "unpublished branch delete visible on main")
+    // PUBLISH: main fast-forwards to the audited branch head
+    s.sql("CALL graft.system.publish_branch('cat.orders_wap', 'stage')")
+    s.sql("CALL graft.system.drop_branch('cat.orders_wap', 'stage')")
+    s.sql("REFRESH TABLE graft.cat.orders_wap")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft.cat.orders_wap""".stripMargin)
+  }
+
   /** S2 (TAGS) — named snapshots with VACUUM PINNING (Iceberg refs):
     * tag v1, mutate twice (the upsert rewrites v1's files away, so
     * the pin must hold DATA, not just the commit record), vacuum with
@@ -2531,6 +2577,7 @@ object Queries {
     "snapshot_tags" -> (snapshotTags _),
     "snapshot_branch" -> (snapshotBranch _),
     "branch_wap" -> (branchWap _),
+    "branch_wap_sql" -> (branchWapSql _),
     "snapshot_update" -> (snapshotUpdate _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_changes" -> (snapshotChanges _),
@@ -2860,6 +2907,13 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  CASE WHEN o_orderkey % 3 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders""".stripMargin,
+    // MAIN after the pure-SQL WAP loop: div-3 prices doubled by the
+    // branch MERGE, div-7 customers purged by the branch DELETE
+    "branch_wap_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_custkey % 7 <> 0""".stripMargin,
     // the branch = every order with div-3 priorities re-flagged; the
     // main-side delete and vacuum must not perturb it
     "snapshot_branch" ->

@@ -486,8 +486,17 @@ final class SnapshotTable(
     *    perfectly interleaved pair can still trade wins; strict
     *    N-writer exclusion there needs an external lock/catalog
     *    (public Delta has the same caveat on raw S3). */
+  /** The override params let [[publishBranch]] commit the BRANCH's
+    * logged metadata (checks/layout/props) instead of this main
+    * handle's — through the SAME commit record kind and exclusive
+    * filename as every regular commit, so cross-kind races cannot
+    * exist: whatever the concurrent writer, exactly one v-record
+    * lands. */
   private def commitManifest(v: Long, files: Seq[FileEntry],
-                             schema: StructType): Unit = {
+                             schema: StructType,
+                             checksOverride: Option[Seq[(String, String)]] = None,
+                             layoutOverride: Option[Layout] = None,
+                             propsOverride: Option[Map[String, String]] = None): Unit = {
     fs.mkdirs(new Path(commitsDir))
     // either record kind at `v` means the version is taken (a fake or
     // checkpoint-only manifest must conflict a delta commit too)
@@ -525,11 +534,13 @@ final class SnapshotTable(
     val carried = loggedChecks
       .filterNot(c => ctorNames(c._1) || droppedChecks(c._1))
       .map { case (n, sql) => (n, sql) }
-    val allChecks = carried ++ checkConstraints.map { case (n, c) =>
-      (n, checkSql(c)) }
+    val allChecks = checksOverride.getOrElse(
+      carried ++ checkConstraints.map { case (n, c) => (n, checkSql(c)) })
+    val commitLayout = layoutOverride.getOrElse(effectiveLayout)
+    val commitProps = propsOverride.getOrElse(effectiveProps)
     val header = headerLines(v, token, Some(loggedSchema),
       Some(tablePartitionCols.mkString(",")), allChecks,
-      Some(effectiveLayout), effectiveProps)
+      Some(commitLayout), commitProps)
     // v1 commits FULL (every file is new — the manifest IS the delta and
     // doubles as the base checkpoint); later commits write only the diff
     // against the parent state: O(touched) bytes instead of O(live).
@@ -561,8 +572,8 @@ final class SnapshotTable(
       Some(StructType(schema.fields.map(_.copy(nullable = true)))),
       Some(tablePartitionCols.mkString(",")).filter(_.nonEmpty),
       allChecks,
-      Some(effectiveLayout).filterNot(_ == DefaultLayout),
-      effectiveProps)
+      Some(commitLayout).filterNot(_ == DefaultLayout),
+      commitProps)
     manifestCache.synchronized(manifestCache.put(v, committed))
     // periodic full checkpoint AFTER the delta wins — best-effort (a
     // lost one costs replay depth, never correctness), and only the
@@ -2249,9 +2260,18 @@ final class SnapshotTable(
     * approximate. Same file-diff core as [[changes]]. */
   def changesDelta(fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    require(toV >= 1, s"changes: toV $toV — versions start at 1")
     val img = SnapshotTable.ImageCol
-    val mFrom = readManifest(fromV)
     val mTo = readManifest(toV)
+    // fromV == 0 is the EMPTY pre-v1 state: "every change since the
+    // beginning" — all of toV's rows as after-images (readManifest
+    // itself rejects version 0, which used to make this public span
+    // unreadable)
+    val mFrom =
+      if (fromV == 0L)
+        Manifest(Nil, mTo.schema, mTo.partitionCol, mTo.checks,
+          mTo.layout, mTo.props)
+      else readManifest(fromV)
     // file identity for the diff is (path, deletion vector): a file
     // whose vector changed (deleteMoR) is the same bytes on disk but a
     // DIFFERENT visible row set — treating it as removed-at-old-
@@ -2553,29 +2573,32 @@ final class SnapshotTable(
     if (head != fork) throw new IllegalStateException(
       s"cannot fast-forward: main advanced to v$head past branch " +
         s"'$name''s fork point v$fork — fork a fresh branch and replay")
-    // main is not a branch: the published state drops the fork marker
-    // (rebuilt on THIS instance's inner types — Manifest/Layout are
-    // path-dependent, so bm.copy would be bh.Manifest)
-    val pub = Manifest(bm.entries, bm.schema, bm.partitionCol, bm.checks,
-      bm.layout.map(l => Layout(l.statsCols, l.clusterBy, l.clusterFiles,
-        l.bloomCols, l.bloomItems, l.bloomFpp)),
-      bm.props - SnapshotTable.ForkVersionProp)
-    // either-kind precheck, same as commitManifest: a racing REGULAR
-    // commit writes v+1 as a DELTA — a different filename the
-    // exclusive manifest write below cannot arbitrate against, and
-    // both landing would silently shadow the delta (readManifest
-    // resolves the manifest first). The precheck closes all
-    // non-interleaved windows; a perfectly interleaved cross-kind
-    // pair remains the log's documented single-writer caveat.
-    if (versionExists(head + 1L))
-      throw new IllegalStateException(
-        s"commit conflict: version ${head + 1} already exists at $path")
-    if (!atomicExclusiveWrite(manifestPath(head + 1L),
-        checkpointPayload(head + 1L, pub), UUID.randomUUID().toString))
-      throw new IllegalStateException(
-        s"commit conflict: version ${head + 1} already exists at $path")
-    manifestCache.synchronized(manifestCache.put(head + 1L, pub))
-    writeLatestHint(head + 1L)
+    // The publish commits through commitManifest — the SAME record kind
+    // (delta for v>1) and exclusive filename as every regular commit,
+    // so a racing writer of ANY kind arbitrates at the atomic link:
+    // exactly one v-record lands, the loser throws. (An earlier
+    // revision wrote a v<n>.manifest directly, a DIFFERENT filename a
+    // racing delta could not arbitrate against — a perfectly
+    // interleaved pair silently shadowed the regular commit.) The
+    // branch's own logged metadata rides via the override params; the
+    // layout is rebuilt on THIS instance's path-dependent types.
+    val schema = bm.schema.getOrElse(throw new IllegalStateException(
+      s"branch '$name' at $path logs no schema — cannot publish"))
+    commitManifest(head + 1L, bm.entries, schema,
+      checksOverride = Some(bm.checks),
+      layoutOverride = Some(bm.layout
+        .map(l => Layout(l.statsCols, l.clusterBy, l.clusterFiles,
+          l.bloomCols, l.bloomItems, l.bloomFpp))
+        .getOrElse(DefaultLayout)),
+      propsOverride = Some(bm.props - SnapshotTable.ForkVersionProp))
+    // best-effort full checkpoint on top (the delta won; a published
+    // head is a common read target and this spares its readers the
+    // delta replay) — a failure here costs replay depth, never
+    // correctness
+    if (head + 1L > 1L)
+      try writeCheckpoint(head + 1L,
+        checkpointPayload(head + 1L, readManifest(head + 1L)))
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Existing branch names. O(branches) metadata. */

@@ -102,14 +102,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     snapshotAt(ident).exists
 
-  override def loadTable(ident: Identifier): Table = {
-    // Iceberg-style BRANCH identifier: `ns`.`t$branch_dev` reads the
-    // `dev` line of table `t` (SQL has no branch syntax of its own).
-    // Resolution order keeps plain tables authoritative: the suffix
-    // only fires when no table of the literal name exists.
+  /** Resolve an identifier that may carry the Iceberg-style BRANCH
+    * suffix (`ns`.`t$branch_dev` — SQL has no branch syntax of its
+    * own) into (base identifier, the snapshot handle to resolve
+    * versions/tags against — the BRANCH line's when suffixed — and the
+    * branch option map entry). Shared by ALL loadTable overloads: time
+    * travel on a branch identifier must resolve, and resolve
+    * branch-locally. Resolution order keeps plain tables
+    * authoritative: the suffix only fires when no table of the literal
+    * name exists. */
+  private def resolveIdent(ident: Identifier)
+      : (Identifier, SnapshotTable, Map[String, String]) = {
     ident.name.split("\\$branch_", 2) match {
-      case Array(base, b) if b.nonEmpty &&
-          !snapshotAt(ident).exists =>
+      case Array(base, b) if b.nonEmpty && !snapshotAt(ident).exists =>
         val baseIdent = Identifier.of(ident.namespace, base)
         val snap = snapshotAt(baseIdent)
         if (!snap.exists) throw new NoSuchTableException(ident)
@@ -119,44 +124,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               case Nil => " (the table has no branches)"
               case bs => s" (have: ${bs.mkString(", ")})"
             }))
-        return new GraftTable(spark, tablePath(baseIdent), None,
-          snap.properties + ("branch" -> b))
-      case _ => ()
+        (baseIdent, snap.forBranch(b), Map("branch" -> b))
+      case _ =>
+        val snap = snapshotAt(ident)
+        if (!snap.exists) throw new NoSuchTableException(ident)
+        (ident, snap, Map.empty)
     }
-    val snap = snapshotAt(ident)
-    if (!snap.exists) throw new NoSuchTableException(ident)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (baseIdent, line, branchProp) = resolveIdent(ident)
     // the logged properties ride along as the table's options so the
     // write path knows its merge key without re-reading the manifest
-    new GraftTable(spark, tablePath(ident), None, snap.properties)
+    new GraftTable(spark, tablePath(baseIdent), None,
+      line.properties ++ branchProp)
   }
 
   /** SQL `VERSION AS OF <v>`: a handle pinned to one manifest. A
     * non-numeric version resolves as a TAG name (Iceberg's
-    * `VERSION AS OF 'tag'` contract). */
+    * `VERSION AS OF 'tag'` contract). On a branch identifier both the
+    * version sequence and the tag namespace are the BRANCH's. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val snap = snapshotAt(ident)
-    if (!snap.exists) throw new NoSuchTableException(ident)
+    val (baseIdent, line, branchProp) = resolveIdent(ident)
     val v = version.toLongOption
-      .orElse(snap.versionOfTag(version))
+      .orElse(line.versionOfTag(version))
       .getOrElse(throw new IllegalArgumentException(
         s"'$version' is neither a numeric manifest id nor a tag of $ident"))
     // fail resolution with the operational fact, not a scan-time
     // FileNotFoundException (the timestamp overload below already does)
-    if (!snap.hasVersion(v)) throw new IllegalArgumentException(
+    if (!line.hasVersion(v)) throw new IllegalArgumentException(
       s"no retained snapshot v$v of $ident — never committed or vacuumed")
-    new GraftTable(spark, tablePath(ident), Some(v), snap.properties)
+    new GraftTable(spark, tablePath(baseIdent), Some(v),
+      line.properties ++ branchProp)
   }
 
   /** SQL `TIMESTAMP AS OF <t>` — Spark hands the instant as MICROsecond
     * epoch; resolve it against manifest commit times once, so the
     * relation stays version-pinned for its lifetime. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val snap = snapshotAt(ident)
-    if (!snap.exists) throw new NoSuchTableException(ident)
-    val v = snap.versionAt(Math.floorDiv(timestampMicros, 1000L)).getOrElse(
+    val (baseIdent, line, branchProp) = resolveIdent(ident)
+    val v = line.versionAt(Math.floorDiv(timestampMicros, 1000L)).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot of ${ident} existed at timestamp $timestampMicros"))
-    new GraftTable(spark, tablePath(ident), Some(v), snap.properties)
+    new GraftTable(spark, tablePath(baseIdent), Some(v),
+      line.properties ++ branchProp)
   }
 
   /** Reserved keys Spark routes through `properties` that are not table

@@ -192,7 +192,7 @@ private[sources] final class GraftCdcScan(
     val f = innerFactory()
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        p.planSpan(from, to)
+        p.planSpan(from, to, collapseInitial = false)
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftCdcReaderFactory(f)
     }
@@ -238,16 +238,25 @@ private[sources] final class GraftCdcPlanner(
     }
   }
 
-  /** All change partitions committed in versions (vs, ve]. `vs == 0`
-    * is stream start: the whole ve snapshot delivers as `after`
-    * images (Delta CDF's initial-snapshot-as-inserts behavior). */
-  def planSpan(vs: Long, ve: Long): Array[InputPartition] = {
+  /** All change partitions committed in versions (vs, ve].
+    *
+    * `vs == 0` with `collapseInitial` (the STREAMING initial offset)
+    * delivers the whole ve snapshot as `after` images stamped ve —
+    * Delta CDF's initial-snapshot-as-inserts behavior. The BATCH entry
+    * point passes `collapseInitial = false`: a batch consumer asking
+    * "since the beginning" gets every commit walked from v1 with its
+    * TRUE `_commit_version` (collapsing would stamp every row ve and
+    * break per-commit attribution; net-fold consumers see the same
+    * multiset either way). The walk fails loudly if v1's files were
+    * vacuumed, exactly like any other unretained span. */
+  def planSpan(vs: Long, ve: Long,
+               collapseInitial: Boolean = true): Array[InputPartition] = {
     if (ve <= vs)
       return Array.empty
-    if (vs == 0L)
+    if (vs == 0L && collapseInitial)
       return filePartitions(entriesAt(ve), "after", ve).toArray
     val out = Seq.newBuilder[GraftCdcInputPartition]
-    var prev = entriesAt(vs)
+    var prev = if (vs == 0L) Seq.empty[FileEntry] else entriesAt(vs)
     var v = vs + 1
     while (v <= ve) {
       val cur = entriesAt(v)

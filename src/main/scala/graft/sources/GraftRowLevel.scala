@@ -67,10 +67,14 @@ import graft.plans.SnapshotTable.FileEntry
 final class GraftRowLevelOperation(
     spark: SparkSession,
     private[sources] val tablePath: String,
-    cmd: Command) extends RowLevelOperation {
+    cmd: Command,
+    branch: Option[String] = None) extends RowLevelOperation {
 
+  // with a branch, every stage of the operation — scan planning,
+  // staging, the atomic replace commit — runs against the branch's
+  // commit line (shared data dir): SQL DML on `t$branch_<name>`
   private[sources] val snapshot =
-    SnapshotTable(spark, tablePath, "_unused_read_only")
+    SnapshotTable(spark, tablePath, "_unused_read_only", branch = branch)
 
   private[sources] val (liveEntries, tableSchema, partitionCols) =
     snapshot.scanInfo(None)

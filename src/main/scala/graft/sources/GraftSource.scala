@@ -195,9 +195,15 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
                             parameters: Map[String, String] = Map.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  // read-only handle: the primary key only matters for writes
+  // read-only handle: the primary key only matters for writes. The
+  // catalog's branch identifier (`t$branch_<name>`) rides in as the
+  // `branch` option — this relation then serves the BRANCH line (its
+  // INSERT commits there; scans through the DSv2 path already do).
+  private def branchOf: Option[String] =
+    GraftSource.optCI(parameters, "branch")
   private def table =
-    SnapshotTable(ctx.sparkSession, path, primaryKey = "_unused_read_only")
+    SnapshotTable(ctx.sparkSession, path, primaryKey = "_unused_read_only",
+      branch = branchOf)
 
   override def sqlContext: SQLContext = ctx
 
@@ -230,7 +236,8 @@ case class SnapshotRelation(ctx: SQLContext, path: String,
       .orElse(t0.properties.get("primaryKey"))
     val t = SnapshotTable(ctx.sparkSession, path,
       pk.getOrElse("_unused_no_merge_key"),
-      partitionCol = parameters.get("partitionCol"))
+      partitionCol = parameters.get("partitionCol"),
+      branch = branchOf)
     // INSERT OVERWRITE honors partitionOverwriteMode=dynamic exactly
     // like the save() path: replace only the batch's partitions, keep
     // the rest by reference — without this the two entry points

@@ -172,11 +172,12 @@ final class GraftTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot ${info.command} a versionAsOf/timestampAsOf read of $tablePath")
-    require(branchOpt.isEmpty,
-      s"cannot ${info.command} through a branch-optioned handle of " +
-        s"$tablePath — branch writes go through the SnapshotTable API " +
-        "(forBranch)")
-    () => new GraftRowLevelOperation(spark, tablePath, info.command)
+    // a branch handle is a first-class DML target: the operation scans,
+    // stages and commits against the BRANCH's commit line (same shared
+    // data dir), which is what makes a pure-SQL write-audit-publish
+    // loop possible on the `t$branch_<name>` identifier
+    () => new GraftRowLevelOperation(spark, tablePath, info.command,
+      branchOpt)
   }
 
   /** One builder, two transports: batch writes ride the V1 sink (the
@@ -190,9 +191,6 @@ final class GraftTable(
     * [[graft.plans.SnapshotTable]] and must not pay a second
     * exchange. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(branchOpt.isEmpty,
-      s"cannot write through a branch-optioned handle of $tablePath — " +
-        "branch writes go through the SnapshotTable API (forBranch)")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -207,6 +205,10 @@ final class GraftTable(
             require(pinnedVersion.isEmpty,
               s"cannot stream into a versionAsOf/timestampAsOf handle " +
                 s"of $tablePath")
+            require(branchOpt.isEmpty,
+              s"cannot stream into a branch of $tablePath — the " +
+                "streaming sink's epoch log is main-line only; batch " +
+                "DML (INSERT/MERGE/UPDATE/DELETE) works on branches")
             streaming = true
             new GraftStreamingWrite(spark, tablePath, info.schema(),
               info.queryId(), ow, options)

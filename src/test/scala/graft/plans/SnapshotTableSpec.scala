@@ -1308,6 +1308,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(t).size == 3)
   }
 
+  test("publish commits the SAME record kind as regular commits: a racing append is never shadowed") {
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val path = tmp("brrace")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))                           // main v1
+    t.createBranch("wap")
+    t.forBranch("wap").upsert(frame((2, "b", "p2")))          // wap v2
+    // publish and a regular append race the next main version; the
+    // append re-bases on a lost race, the publish fails (fast-forward
+    // only) — in NO schedule may the append's rows vanish (the old
+    // cross-kind manifest write silently shadowed the delta)
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val pubOutcome = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Unit]]()
+    pool.submit(new Runnable { def run(): Unit = {
+      val h = SnapshotTable(spark, path, "id", Some("part"))
+      barrier.await(60, TimeUnit.SECONDS)
+      pubOutcome.set(
+        try { h.publishBranch("wap"); Right(()) }
+        catch { case e: Throwable => Left(e) })
+    }})
+    pool.submit(new Runnable { def run(): Unit = {
+      val h = SnapshotTable(spark, path, "id", Some("part"))
+      barrier.await(60, TimeUnit.SECONDS)
+      h.append(frame((9, "z", "p9")))
+    }})
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "race threads hung")
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    val got = contents(reader).toMap
+    assert(got.get(9).contains("z"),
+      s"appended row was shadowed by the publish: $got")
+    pubOutcome.get() match {
+      case Right(()) => assert(got.get(2).contains("b"),
+        s"publish reported success but its state is missing: $got")
+      case Left(e) => assert(
+        e.getMessage != null && (e.getMessage.contains("commit conflict") ||
+          e.getMessage.contains("fork point")),
+        s"publish loser died with an undocumented error: ${e.getMessage}")
+    }
+  }
+
   test("publishBranch refuses a diverged main (no silent merge)") {
     val t = SnapshotTable(spark, tmp("br5"), "id", Some("part"))
     t.create(frame((1, "a", "p1")))

@@ -67,7 +67,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.exists(_.getString(1).nonEmpty), "partition value missing")
   }
 
-  test("SELECT from `t$branch_<name>` reads the branch line; DML refused") {
+  test("SELECT from `t$branch_<name>` reads the branch line; unknown branch loud") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.bi")
     sql("""CREATE TABLE graft.bi.t (id BIGINT, v STRING)
@@ -82,11 +82,45 @@ class GraftCatalogSpec extends SparkSpec {
     val e1 = intercept[Exception](
       sql("SELECT * FROM graft.bi.`t$branch_ghost`").collect())
     assert(e1.getMessage.contains("no branch 'ghost'"), e1.getMessage)
-    // writes through the branch identifier are refused like the option
-    val e2 = intercept[Exception](
-      sql("INSERT INTO graft.bi.`t$branch_dev` VALUES (9, 'z')"))
-    assert(e2.getMessage.contains("forBranch") ||
-      e2.getMessage.contains("branch"), e2.getMessage)
+  }
+
+  test("branch DML matrix: INSERT/UPDATE/DELETE/MERGE commit on the branch; time travel resolves branch-locally") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.bdml")
+    sql("""CREATE TABLE graft.bdml.t (id BIGINT, status STRING, amount DOUBLE)
+           PARTITIONED BY (status)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("""INSERT INTO graft.bdml.t
+           VALUES (1, 'open', 10.0), (2, 'open', 20.0), (3, 'done', 30.0)""")
+    sql("CALL graft.system.create_branch('bdml.t', 'stage')")
+    // the full DML matrix, all on the branch identifier
+    sql("INSERT INTO graft.bdml.`t$branch_stage` VALUES (4, 'open', 40.0)")
+    sql("UPDATE graft.bdml.`t$branch_stage` SET amount = amount + 1 WHERE id = 1")
+    sql("DELETE FROM graft.bdml.`t$branch_stage` WHERE id = 3")
+    sql("""MERGE INTO graft.bdml.`t$branch_stage` tgt
+           USING (SELECT 2L AS id, 'open' AS status, 99.0D AS amount) src
+           ON tgt.id = src.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    val staged = sql("""SELECT id, amount FROM graft.bdml.`t$branch_stage`
+                        ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(staged == Seq(1L -> 11.0, 2L -> 99.0, 4L -> 40.0), s"got $staged")
+    // main is untouched by every staged mutation
+    val main = sql("SELECT id, amount FROM graft.bdml.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(main == Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), s"got $main")
+    // VERSION AS OF on the branch identifier resolves the BRANCH's
+    // version sequence (v1 = the fork state)
+    assert(sql("SELECT count(*) FROM graft.bdml.`t$branch_stage` VERSION AS OF 1")
+      .head().getLong(0) == 3)
+    // publish completes the pure-SQL WAP loop
+    sql("CALL graft.system.publish_branch('bdml.t', 'stage')")
+    sql("REFRESH TABLE graft.bdml.t")
+    val published = sql("SELECT id, amount FROM graft.bdml.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(published == Seq(1L -> 11.0, 2L -> 99.0, 4L -> 40.0),
+      s"got $published")
   }
 
   test("CALL graft.system.create_branch/branches/drop_branch round-trips") {

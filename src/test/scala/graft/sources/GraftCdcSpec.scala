@@ -72,6 +72,29 @@ class GraftCdcSpec extends SparkSpec {
     }
   }
 
+  test("batch startingVersion=0 walks from v1 with TRUE per-commit attribution") {
+    val (path, t) = history("cdczero")
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 0).load(path)
+    // v1's images attribute to v1 (the collapse stamped everything ve)
+    val v1 = feed.filter(col(ver) === 1L)
+    assert(v1.count() == 4 &&
+      v1.select(img).distinct().head().getString(0) == "after",
+      "v1 must deliver the created rows as after-images at v1")
+    // every later commit attributes exactly like the from-v1 feed
+    (2L to 4L).foreach { v =>
+      val streamed = feed.filter(col(ver) === v).drop(ver)
+      assert(net(streamed) == asImages(t.changesDelta(v - 1, v)),
+        s"net images at v$v diverge from changesDelta")
+    }
+    // the public incremental API accepts the same since-the-beginning
+    // span: changes(0, v) = the v-snapshot's rows as after-images
+    assert(net(t.changesDelta(0, 1).withColumn(ver, lit(1L))) ==
+      asImages(t.changesDelta(0, 1)))
+    assert(t.changes(0, t.currentVersion.get).count() == t.read.count())
+  }
+
   test("batch span: DV growth delivers ONLY the newly-hidden row (no pairs)") {
     val (path, _) = history("cdcdv")
     val feed = spark.read.format("graft")
