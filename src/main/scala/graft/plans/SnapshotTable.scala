@@ -1877,9 +1877,11 @@ final class SnapshotTable(
     * files never carry one).
     *
     * Deliberately capped (`graft.mor.maxDeleteRows` table property,
-    * default 4M): matching positions cross the driver into the
-    * manifest, so a BROAD delete — where rewriting is the right
-    * physical plan anyway — must use [[delete]]. */
+    * default 64M): positions aggregate into a compressed bitmap PER
+    * FILE on the executors (≤ 2 bytes/deleted row crosses the driver,
+    * never a Row per position), so the cap is a plan-quality guard —
+    * a delete so broad that rewriting is the right physical plan must
+    * use [[delete]] — not a memory ceiling. */
   def deleteMoR(predicate: Column,
                 bounds: Seq[(String, Any, Any)] = Nil): Unit = {
     val v = currentVersion.getOrElse(
@@ -1889,41 +1891,54 @@ final class SnapshotTable(
     val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
     if (cands.isEmpty) return
     val cap = effectiveProps.get("graft.mor.maxDeleteRows")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(4 * 1000 * 1000)
+      .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(64L * 1000 * 1000)
     // the probe sees through EXISTING vectors (same filter readFiles
     // applies): an already-deleted row must not re-enter its file's
     // vector, so re-running the same delete is a clean no-op
     val bcOld = spark.sparkContext.broadcast(
       cands.filter(_.deletedRows.nonEmpty).map(e =>
-        e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedRows)
+        e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedBitmap)
         .toMap)
     val visible = udf { (file: String, idx: Long) =>
       val base = file.substring(file.lastIndexOf('/') + 1)
-      bcOld.value.get(base).forall(dv =>
-        java.util.Arrays.binarySearch(dv, idx) < 0)
+      bcOld.value.get(base).forall(dv => !dv.contains(idx))
     }
-    val hit = readFilesRaw(cands, m.schema, withPos = true)
+    // matched positions are aggregated into one compressed bitmap PER
+    // FILE on the executors — only (basename, bitmap bytes, count)
+    // crosses to the driver, O(≤2 bytes/deleted row) instead of a Row
+    // per position. That is what lets the cap default to 64M (it is a
+    // plan-quality guard — "a delete this broad should rewrite" — not
+    // a driver-memory ceiling anymore).
+    import spark.implicits._
+    val perFile = readFilesRaw(cands, m.schema, withPos = true)
       .filter(visible(
         col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol)))
       .filter(coalesce(predicate, lit(false)))
       .select(col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol))
-      .limit(cap + 1) // bounded collect: cap+1 detects overflow cheaply
-      .collect()
-    if (hit.length > cap)
-      throw new IllegalArgumentException(
-        s"deleteMoR matched more than $cap rows at $path — a delete " +
-          "this broad should rewrite files: use delete() " +
-          "(copy-on-write), or raise graft.mor.maxDeleteRows")
-    if (hit.isEmpty) return // nothing matched: the version does not advance
-    val byBase = hit.toSeq
-      .groupBy { r =>
-        val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1)
+      .as[(String, Long)]
+      .groupByKey { case (f, _) => f.substring(f.lastIndexOf('/') + 1) }
+      .mapGroups { (base, it) =>
+        val pos = it.map(_._2).toArray
+        java.util.Arrays.sort(pos)
+        val bm = graft.functions.DeleteBitmap.fromSorted(pos)
+        (base, FileEntry.encodeDvAscending(bm.iterator), bm.cardinality)
       }
-      .map { case (b, rs) => b -> rs.map(_.getLong(1)).toArray }
+      .collect()
+    if (perFile.isEmpty) return // nothing matched: version does not advance
+    val matched = perFile.map(_._3).sum
+    if (matched > cap)
+      throw new IllegalArgumentException(
+        s"deleteMoR matched $matched rows at $path (cap $cap) — a " +
+          "delete this broad should rewrite files: use delete() " +
+          "(copy-on-write), or raise graft.mor.maxDeleteRows")
+    val byBase = perFile.map { case (b, enc, _) =>
+      b -> graft.functions.DeleteBitmap.fromAscending(
+        FileEntry.dvIterator(enc))
+    }.toMap
     val updated = live.map { e =>
       val base = e.path.substring(e.path.lastIndexOf('/') + 1)
-      byBase.get(base).fold(e)(pos =>
-        e.withDeletedRows(e.deletedRows ++ pos))
+      byBase.get(base).fold(e)(bm =>
+        e.withDeletedBitmap(e.deletedBitmap.union(bm)))
     }
     commitManifest(v + 1, updated,
       m.schema.getOrElse(readFiles(m.entries).schema))
@@ -2070,17 +2085,16 @@ final class SnapshotTable(
                         manifestSchema: Option[StructType] = None): DataFrame = {
     val (dvd, plain) = entries.partition(_.deletedRows.nonEmpty)
     if (dvd.isEmpty) return readFilesRaw(entries, manifestSchema)
-    // DVs are bounded by deleteMoR's cap (point-delete scale) — the
-    // broadcast map is a few MB at worst, and binary search keeps the
-    // per-row check O(log deleted). A UDF (not codegen) is acceptable
-    // here because only the DV'd files pay it.
+    // vectors travel as compressed Roaring-style bitmaps
+    // ([[graft.functions.DeleteBitmap]]): ≤ 2 bytes/deleted row in the
+    // broadcast and O(1) membership per row. A UDF (not codegen) is
+    // acceptable here because only the DV'd files pay it.
     val dvByBase = dvd.map(e =>
-      e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedRows).toMap
+      e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedBitmap).toMap
     val bc = spark.sparkContext.broadcast(dvByBase)
     val keep = udf { (file: String, idx: Long) =>
       val base = file.substring(file.lastIndexOf('/') + 1)
-      bc.value.get(base).forall(dv =>
-        java.util.Arrays.binarySearch(dv, idx) < 0)
+      bc.value.get(base).forall(dv => !dv.contains(idx))
     }
     val raw = readFilesRaw(dvd, manifestSchema, withPos = true)
     val cols = raw.columns.toIndexedSeq
@@ -2967,16 +2981,34 @@ object SnapshotTable {
       }
 
     /** Row positions deleted from this otherwise-live file (deletion
-      * vector), sorted ascending; empty when none. */
+      * vector), sorted ascending; empty when none. Prefer
+      * [[deletedBitmap]] on membership-heavy paths — this array form
+      * exists for the (driver-side, per-changed-file) CDC set algebra. */
     def deletedRows: Array[Long] =
       stats.get(FileEntry.DvKey)
         .map(v => FileEntry.decodeDv(v._1))
         .getOrElse(Array.emptyLongArray)
 
+    /** The deletion vector as a compressed Roaring-style bitmap
+      * ([[graft.functions.DeleteBitmap]]): ≤ 2 bytes/deleted row in
+      * memory and O(1) membership on dense containers — what the scan
+      * broadcasts and probes. */
+    def deletedBitmap: graft.functions.DeleteBitmap =
+      stats.get(FileEntry.DvKey)
+        .map(v => graft.functions.DeleteBitmap.fromAscending(
+          FileEntry.dvIterator(v._1)))
+        .getOrElse(graft.functions.DeleteBitmap.empty)
+
     /** This entry with `positions` recorded as its deletion vector
       * (replacing any previous one — callers union first). */
     def withDeletedRows(positions: Array[Long]): FileEntry =
       copy(stats = stats + FileEntry.dvStat(positions))
+
+    /** This entry with the bitmap recorded as its deletion vector —
+      * streamed straight into the varint encoding, no Long-array
+      * materialization. */
+    def withDeletedBitmap(bm: graft.functions.DeleteBitmap): FileEntry =
+      copy(stats = stats + FileEntry.dvStatAscending(bm.iterator, bm.cardinality))
   }
 
   object FileEntry {
@@ -3006,9 +3038,23 @@ object SnapshotTable {
 
     def dvStat(positions: Array[Long]): (String, (String, String)) = {
       val sorted = positions.distinct.sorted
+      dvStatAscending(sorted.iterator, sorted.length.toLong)
+    }
+
+    /** Encode an ASCENDING de-duplicated position stream (what
+      * [[graft.functions.DeleteBitmap.iterator]] yields) without
+      * materializing it. */
+    def dvStatAscending(ascending: Iterator[Long],
+                        count: Long): (String, (String, String)) =
+      DvKey -> (encodeDvAscending(ascending), s"L:$count")
+
+    /** The delta-varint + base64 payload alone — the wire form the
+      * deleteMoR executors ship their per-file bitmaps to the driver
+      * in (same bytes the manifest logs). */
+    def encodeDvAscending(ascending: Iterator[Long]): String = {
       val bos = new java.io.ByteArrayOutputStream()
       var prev = 0L
-      sorted.foreach { p =>
+      ascending.foreach { p =>
         var d = p - prev // gaps are non-negative: sorted, first from 0
         prev = p
         while ((d & ~0x7fL) != 0L) {
@@ -3016,27 +3062,35 @@ object SnapshotTable {
         }
         bos.write(d.toInt)
       }
-      DvKey -> (
-        java.util.Base64.getEncoder.encodeToString(bos.toByteArray),
-        s"L:${sorted.length}")
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+
+    /** Streaming decode of the delta-varint stream — ascending
+      * positions, one at a time (what [[graft.functions.DeleteBitmap
+      * .fromAscending]] consumes with no intermediate Long array). */
+    def dvIterator(encoded: String): Iterator[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(encoded)
+      new Iterator[Long] {
+        private var i = 0
+        private var prev = 0L
+        def hasNext: Boolean = i < bytes.length
+        def next(): Long = {
+          var d = 0L
+          var shift = 0
+          var b = 0
+          while ({ b = bytes(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
+            d |= (b & 0x7fL) << shift; shift += 7
+          }
+          d |= b.toLong << shift
+          prev += d
+          prev
+        }
+      }
     }
 
     def decodeDv(encoded: String): Array[Long] = {
-      val bytes = java.util.Base64.getDecoder.decode(encoded)
       val out = Array.newBuilder[Long]
-      var i = 0
-      var prev = 0L
-      while (i < bytes.length) {
-        var d = 0L
-        var shift = 0
-        var b = 0
-        while ({ b = bytes(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
-          d |= (b & 0x7fL) << shift; shift += 7
-        }
-        d |= b.toLong << shift
-        prev += d
-        out += prev
-      }
+      dvIterator(encoded).foreach(out += _)
       out.result()
     }
 

@@ -73,7 +73,8 @@ private[sources] final case class GraftRowModePartition(fp: FilePartition)
 private[sources] final class GraftDvReaderFactory(
     clean: PartitionReaderFactory,
     dvSide: PartitionReaderFactory,
-    dvByBase: Map[String, Array[Long]]) extends PartitionReaderFactory {
+    dvByBase: Map[String, graft.functions.DeleteBitmap])
+    extends PartitionReaderFactory {
 
   // row-based whenever the planned set carries DV or row-tagged
   // partitions (BatchScanExec rejects mixed scans); a plan of PLAIN
@@ -110,21 +111,22 @@ private[sources] final class GraftDvReaderFactory(
   }
 }
 
-/** Drops the rows whose running position appears in the sorted
-  * deletion vector. O(log deleted) per row; surviving rows pass
+/** Drops the rows whose running position appears in the deletion
+  * vector — compressed Roaring-style bitmap membership, O(1) on the
+  * dense containers broad deletes produce. Surviving rows pass
   * through untouched (the inner reader's row reuse contract is
   * preserved — `get()` is only called for rows handed to the
   * caller). */
 private[sources] final class GraftDvRowReader(
     inner: PartitionReader[InternalRow],
-    dv: Array[Long]) extends PartitionReader[InternalRow] {
+    dv: graft.functions.DeleteBitmap) extends PartitionReader[InternalRow] {
 
   private var pos = -1L
 
   override def next(): Boolean = {
     while (inner.next()) {
       pos += 1
-      if (java.util.Arrays.binarySearch(dv, pos) < 0) return true
+      if (!dv.contains(pos)) return true
     }
     false
   }

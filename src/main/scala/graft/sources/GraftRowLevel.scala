@@ -243,7 +243,7 @@ final class GraftRowLevelScan(
     // purge); a plain parquet batch here would resurrect them.
     val dvByBase = replaced.filter(_.deletedRows.nonEmpty)
       .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
-        -> e.deletedRows).toMap
+        -> e.deletedBitmap).toMap
     new GraftScanBuilder(spark, op.tablePath, None, index, readSchema(),
       dataSchema, dvByBase, CaseInsensitiveStringMap.empty())
       .build().toBatch

@@ -47,7 +47,7 @@ private[sources] final class GraftScanBuilder(
     fileIndex: PartitioningAwareFileIndex,
     tableSchema: StructType,
     dataSchema: StructType,
-    dvByBase: Map[String, Array[Long]],
+    dvByBase: Map[String, graft.functions.DeleteBitmap],
     opts: CaseInsensitiveStringMap)
     extends ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
       opts) {
@@ -79,7 +79,7 @@ private[sources] final class GraftScan(
       * carrying a merge-on-read deletion vector; empty for clean
       * snapshots (the overwhelmingly common case — every override
       * below is a zero-cost pass-through then). */
-    dvByBase: Map[String, Array[Long]] = Map.empty)
+    dvByBase: Map[String, graft.functions.DeleteBitmap] = Map.empty)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,

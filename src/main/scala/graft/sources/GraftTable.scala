@@ -151,10 +151,10 @@ final class GraftTable(
     * the scan ([[GraftDvReaderFactory]]), so SQL/DSv2 reads of a DV'd
     * snapshot hide deleted rows with no materialization step. Empty
     * for clean snapshots. */
-  private val dvByBase: Map[String, Array[Long]] =
+  private val dvByBase: Map[String, graft.functions.DeleteBitmap] =
     entries.filter(_.deletedRows.nonEmpty)
       .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
-        -> e.deletedRows).toMap
+        -> e.deletedBitmap).toMap
 
   /** Batch plans are exactly Spark's parquet scans; the graft subclass
     * only adds `toMicroBatchStream`, so the same relation serves

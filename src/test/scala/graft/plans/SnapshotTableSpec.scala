@@ -1178,6 +1178,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(r.readVersion(1).count() == 3)
   }
 
+  test("MoR delete at 10% of a multi-file table: zero rewrites, bitmap-exact reads, cap honored") {
+    val path = tmp("morbroad")
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 8)
+    t.create(spark.range(1, 100001).toDF("id")
+      .selectExpr("cast(id as int) as id", "concat('v', id) as val",
+        "concat('p', id % 7) as part"))
+    val v1Files = dataFiles(path)
+    t.deleteMoR(col("id") % 10 === 0) // 10,000 rows across every file
+    assert(dataFiles(path) == v1Files,
+      "a broad MoR delete must still rewrite ZERO data files")
+    assert(t.read.count() == 90000L)
+    assert(t.read.filter(col("id") % 10 === 0).count() == 0L)
+    // every file carries a vector; the total matches exactly
+    val entries = t.scanInfo()._1
+    assert(entries.forall(_.deletedRows.nonEmpty))
+    assert(entries.map(_.deletedBitmap.cardinality).sum == 10000L)
+    // the DSv2 scan applies the bitmaps too
+    assert(spark.read.format("graft").load(path).count() == 90000L)
+    // a delete past the cap fails with the rewrite guidance
+    val capped = SnapshotTable(spark, path, "id",
+      tableProps = Map("graft.mor.maxDeleteRows" -> "100"))
+    val e = intercept[IllegalArgumentException](
+      capped.deleteMoR(col("id") % 3 === 0))
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+  }
+
   test("MoR delete: SQL semantics, no-match no-commit, idempotent re-delete") {
     val t = SnapshotTable(spark, tmp("mordel2"), "id", Some("part"))
     t.create(Seq((1, "a", "p1"), (2, null: String, "p1"))
