@@ -79,11 +79,16 @@ object Similarity {
   /** Sign-random-projection bucket over planes
     * [offset, offset + numPlanes): each BAND of an OR-amplified index
     * uses its own plane range, so bands are independent. */
-  def lshBucketFrom(vec: Column, numPlanes: Int, offset: Int): Column = {
+  def lshBucketFrom(vec: Column, numPlanes: Int, offset: Int): Column =
+    lshBucketFrom(vec, numPlanes, lit(offset))
+
+  /** Column-offset form: multi-TABLE indexes derive each row's plane
+    * range from its table index in-plan. */
+  def lshBucketFrom(vec: Column, numPlanes: Int, offset: Column): Column = {
     val bits = (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * planeComponent(lit(offset + p), d)),
+          (v, d) => v.cast("double") * planeComponent(offset + lit(p), d)),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
@@ -102,29 +107,61 @@ object Similarity {
               numPlanes: Int = 8,
               idCol: String = "vec_id",
               vecCol: String = "embedding",
-              probeRadius: Int = 1): DataFrame = {
+              probeRadius: Int = 1,
+              /** OR-amplification (classic multi-table LSH): `L`
+                * independent hash tables, each over its own plane
+                * range; a corpus vector is a candidate if ANY table
+                * buckets it with the query. Recall composes as
+                * 1−(1−r)^L — the lever that reaches a recall target on
+                * weakly-clustered data, where one table's multi-probe
+                * saturates (probing more buckets of a single table
+                * approaches scanning it). Index cost is the textbook
+                * one: L postings per corpus vector; candidates dedup
+                * before the exact re-rank so no pair scores twice. */
+              numTables: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2,
       s"probeRadius must be 0, 1 or 2, got $probeRadius")
+    require(numTables >= 1 && numTables <= 32,
+      s"numTables must be in [1, 32], got $numTables")
+    val tables = explode(sequence(lit(0), lit(numTables - 1))).as("__t")
     val cb = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+        col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), tables)
+      .withColumn("bucket",
+        lshBucketFrom(col("nvec"), numPlanes, col("__t") * numPlanes))
     // multi-probe: the query claims its own bucket plus every bucket
-    // within probeRadius bit-flips
+    // within probeRadius bit-flips — per table
     val flips: Seq[Int] = Seq(0) ++ // the home bucket (xor 0)
       (if (probeRadius >= 1) (0 until numPlanes).map(1 << _) else Nil) ++
       (if (probeRadius >= 2)
         (for { a <- 0 until numPlanes; b <- a + 1 until numPlanes }
           yield (1 << a) | (1 << b))
       else Nil)
-    val probes = array(flips.map(m =>
-      lshBucket(col("qvec"), numPlanes).bitwiseXOR(lit(m))): _*)
     val qb = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-        .withColumn("bucket", explode(probes)))
+        .withColumn("__t", explode(sequence(lit(0), lit(numTables - 1))))
+        // home bucket computed ONCE per (query, table); the probe set
+        // is pure xor on top (inlining it into every flip blew the
+        // plan up ~40×: each flip re-derived all numPlanes dots)
+        .withColumn("__home",
+          lshBucketFrom(col("qvec"), numPlanes, col("__t") * numPlanes))
+        .withColumn("bucket", explode(array(flips.map(m =>
+          col("__home").bitwiseXOR(lit(m))): _*)))
+        .drop("__home"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cb.join(qb, Seq("bucket"))
+    val candidates = cb.join(qb, Seq("__t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    // across TABLES the same pair surfaces up to L times: dedup before
+    // the exact re-rank so each candidate costs one cosine and
+    // row_number never sees duplicates. A single table never produces
+    // one (each corpus vector owns ONE bucket per table), so the
+    // single-table plan keeps its shuffle-free candidate step.
+    val deduped =
+      if (numTables == 1) candidates
+      else candidates
+        .groupBy("query_id", "neighbor_id")
+        .agg(first("qvec").as("qvec"), first("nvec").as("nvec"))
+    deduped
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
       .filter(col("cosine").isNotNull)
       .withColumn("rk", row_number().over(w))

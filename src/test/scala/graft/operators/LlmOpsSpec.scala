@@ -119,6 +119,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH: OR-amplification strictly grows recall, pairs stay deduped and exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val bruteTop = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(nt: Int): (Double, Array[org.apache.spark.sql.Row]) = {
+      val rows = Similarity.lshTopK(emb, queries, k = 10,
+        probeRadius = 2, numTables = nt).collect()
+      val hits = rows.map(r => (r.getLong(0), r.getLong(2)))
+        .count(bruteTop.contains)
+      (hits.toDouble / bruteTop.size, rows)
+    }
+    val (r1, _) = recall(1)
+    val (r8, rows8) = recall(8)
+    assert(r8 >= r1, s"8 tables recalled $r8 < single table's $r1")
+    assert(r8 >= 0.9, s"8-table recall@10 is $r8, below the 0.9 target")
+    // candidates deduped across tables: ranks are unique per query
+    rows8.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getInt(1)).toSeq
+      assert(rks.distinct == rks, s"query $q has duplicate ranks: $rks")
+    }
+    // the gate entry's thresholds hold where the gate runs them
+    val gate = graft.Queries.annRecallReal(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(gate == Map("ivf" -> true, "lsh" -> true), s"got $gate")
+  }
+
   test("planted near-queries: LSH(radius 2) and IVF top-1 recover the source vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // the EXACT construction the gate entries use — reused, not copied,
