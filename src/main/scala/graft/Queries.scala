@@ -472,6 +472,100 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** RETENTION delete: `DELETE` whose predicate wholly covers entire
+    * partitions drops their files from the manifest BY REFERENCE —
+    * zero data I/O for them (the require proves no new file was
+    * written) — while a second, row-scattered delete takes the normal
+    * probe-and-rewrite path. At 100 TB this is how `DELETE WHERE
+    * date < X` stays a metadata operation instead of a rewrite of
+    * every aged file (Delta/Iceberg's whole-file delete shape);
+    * reference analog: the partition-wise Delta overwrites in
+    * orders_etl.py:67-74, which pay data I/O per partition. */
+  def retentionDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("retdel", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    table.create(t(s, dir, "orders"))
+    val before = table.candidateFiles().map(_.path).toSet
+    table.delete(col("o_orderstatus") === "F")
+    val after = table.candidateFiles().map(_.path).toSet
+    require(after.subsetOf(before),
+      s"retention delete wrote data files: ${after -- before}")
+    require(!after.exists(_.contains("o_orderstatus=F")),
+      "fully-matched partition files were not dropped")
+    table.delete(col("o_orderkey") % 7 === 0) // scattered: rewrites
+    table.read.select(ordersCols.map(col): _*)
+  }
+
+  /** Incrementally-maintained daily-revenue rollup
+    * ([[plans.MaterializedAgg.refreshAdditive]]): the view folds the
+    * source's CHANGE FEED — updates, inserts AND deletes — never
+    * rescanning the table, with the source-version watermark staged
+    * onto the same commit as the merged rows (exactly-once without a
+    * coordinator). The view clusters by its group key, so the refresh
+    * rewrites O(touched groups) of the view. Measures are exact long
+    * cents: the incremental fold is bit-equal to the oracle's full
+    * recompute. Reference analog: the full-rescan aggregation queries
+    * over the Delta tables (athena queries / orders_etl.py), re-run
+    * from scratch each time. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = scratch("mvinc", dir)
+    freshDirs(s, base)
+    val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val view = plans.SnapshotTable(s, s"$base/view",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val sums = Seq("revenue_cents" -> cents)
+    src.create(orders.filter(col("o_orderkey") % 4 =!= 3))
+    plans.MaterializedAgg.refreshAdditive(src, view, Seq("o_orderdate"), sums)
+    // catch-up refresh folds BOTH pending commits in one span:
+    // a price-bump upsert (updates + inserts) and a retention delete
+    src.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+    src.delete(col("o_orderkey") % 5 === 0)
+    plans.MaterializedAgg.refreshAdditive(src, view, Seq("o_orderdate"), sums)
+    view.read.select(col("o_orderdate"), col("revenue_cents"),
+      col(plans.MaterializedAgg.CountCol).as("order_cnt"))
+      .orderBy("o_orderdate")
+  }
+
+  /** Non-additive materialized aggregate
+    * ([[plans.MaterializedAgg.refreshRecompute]]): min/max cannot fold
+    * under deletes, so the change feed contributes only the DIRTY
+    * group keys and those groups recompute from the current source —
+    * O(changed groups' data), never O(table). A whole group is
+    * deleted (every `1-URGENT` row), proving vanished groups leave the
+    * view; the others' maxima move when their top rows are deleted. */
+  def mvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = scratch("mvminmax", dir)
+    freshDirs(s, base)
+    val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val view = plans.SnapshotTable(s, s"$base/view",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 4)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val aggs = Seq("lo_cents" -> min(cents), "hi_cents" -> max(cents))
+    src.create(orders)
+    plans.MaterializedAgg.refreshRecompute(
+      src, view, Seq("o_orderpriority"), aggs)
+    src.delete(col("o_orderkey") % 7 === 0 ||
+      col("o_orderpriority") === "1-URGENT")
+    plans.MaterializedAgg.refreshRecompute(
+      src, view, Seq("o_orderpriority"), aggs)
+    view.read.select(col("o_orderpriority"), col("lo_cents"),
+      col("hi_cents"),
+      col(plans.MaterializedAgg.CountCol).as("grp_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** S2/K2 (MERGE-ON-READ delete) — a scattered POINT delete
     * (`o_orderkey % 1000 = 7`, a handful of rows per file) recorded as
     * per-file deletion vectors in the manifest: the require proves the
@@ -2610,6 +2704,9 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
+    "retention_delete" -> (retentionDelete _),
+    "mv_incremental" -> (mvIncremental _),
+    "mv_minmax" -> (mvMinmax _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
     "cdc_stream_parity" -> (cdcStreamParity _),
@@ -2936,6 +3033,39 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
+    // whole-partition drop + scattered rewrite: plain complement
+    "retention_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_orderkey % 7 <> 0""".stripMargin,
+    // the incrementally-folded view must equal a FULL recompute over
+    // the reconstructed final source state (seed minus deletes, with
+    // the upsert's updates and inserts applied)
+    "mv_incremental" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 5 <> 0
+        |)
+        |SELECT o_orderdate,
+        |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    "mv_minmax" ->
+      """SELECT o_orderpriority,
+        |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS lo_cents,
+        |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS hi_cents,
+        |       COUNT(*) AS grp_cnt
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // merge-on-read: vectors hide the rows, the visible set is the
     // same plain complement
     "mor_delete" ->

@@ -1249,6 +1249,17 @@ final class SnapshotTable(
     scala.collection.mutable.Map.empty[String, String]
   private val unsetProps = scala.collection.mutable.Set.empty[String]
 
+  /** Stage properties to ride the NEXT commit of THIS handle — no
+    * commit of their own. The lever for atomically coupling metadata
+    * to a data change: an incremental view refresh stages its
+    * source-version watermark so the merged rows and the watermark
+    * land in ONE manifest — a crash can never persist one without the
+    * other (the double-apply / lost-update hazard of a separate
+    * metadata commit). Staged values stay on every later commit of the
+    * handle too, exactly like constructor tableProps. */
+  def stageProperties(add: Map[String, String]): Unit =
+    pendingProps ++= add
+
   /** `ALTER TABLE SET/UNSET TBLPROPERTIES` analog: a METADATA-ONLY
     * commit (files carry over by reference) whose manifest logs the
     * updated property map — binding on every subsequently-constructed
@@ -1595,11 +1606,36 @@ final class SnapshotTable(
     *   [[LakehouseTable.upsert]]'s evolution contract. Incompatible
     *   with a declaredSchema (a pinned schema would silently project
     *   the new column away on every read). */
-  def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit = {
+  def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit =
+    mergeBatch(source, evolveSchema, deleteFlag = None)
+
+  /** MERGE with per-row deletes, ONE atomic commit: rows of `source`
+    * whose boolean `deleteFlag` column is TRUE remove their PK match
+    * from the table (and are not inserted); every other row upserts
+    * exactly as [[upsert]]. The flag column never lands in the table.
+    * This is `MERGE … WHEN MATCHED [AND cond] THEN DELETE` as an API —
+    * the shape an incremental view refresh needs (upsert changed
+    * groups + drop emptied groups, atomically), and deletes
+    * participate in the merge SCOPE, so touched-partition / cluster
+    * pruning and the optimistic re-base treat them like any other
+    * keyed write. A delete for an absent PK is a no-op. */
+  def upsertDelete(source: DataFrame, deleteFlag: String): Unit = {
+    require(source.columns.contains(deleteFlag),
+      s"upsertDelete: source has no column '$deleteFlag'")
+    mergeBatch(source, evolveSchema = false, deleteFlag = Some(deleteFlag))
+  }
+
+  private def mergeBatch(source: DataFrame, evolveSchema: Boolean,
+                         deleteFlag: Option[String]): Unit = {
     require(!evolveSchema || declaredSchema.isEmpty,
       "evolveSchema requires schema inference: a declaredSchema would " +
         "silently drop the evolved columns on read")
-    if (!exists) { create(source); return }
+    if (!exists) {
+      // creating from a flagged source: deletes target nothing yet
+      create(deleteFlag.fold(source)(f =>
+        source.filter(!coalesce(col(f).cast("boolean"), lit(false))).drop(f)))
+      return
+    }
     val v = currentVersion.get
     val m = readManifest(v)
     // conform the batch to the table's logged column order/types (same
@@ -1610,11 +1646,22 @@ final class SnapshotTable(
     // logged types out from under carried-over files
     val tableSchema = declaredSchema.orElse(m.schema)
     // checks ride the source's lineage into the write job itself —
-    // kept rows (already committed) are never re-checked
-    val src0 = guardChecks(source)
+    // kept rows (already committed) are never re-checked, and DELETE
+    // rows are never checked at all (they remove, they don't land)
+    val inserts0 = deleteFlag.fold(source)(f =>
+      source.filter(!coalesce(col(f).cast("boolean"), lit(false))).drop(f))
+    val src0 = guardChecks(inserts0)
     val src =
       if (evolveSchema) src0
       else tableSchema.fold(src0)(conformToSchema(src0, _))
+    // the KNOCKOUT set: every source row (inserts AND deletes) defines
+    // the merge scope and removes its PK match from touched files
+    val knock = deleteFlag match {
+      case None => src
+      case Some(f) =>
+        val all = source.drop(f)
+        tableSchema.fold(all)(conformToSchema(all, _))
+    }
     if (evolveSchema && !fs.exists(evolvedMarker))
       fs.create(evolvedMarker, true).close()
     val live = m.entries
@@ -1645,7 +1692,7 @@ final class SnapshotTable(
         val (touchedFiles, keptFiles) =
           if (statted.isEmpty || live.isEmpty) (live, Seq.empty[FileEntry])
           else {
-            val probe = timed("cluster-bounds")(src.agg(
+            val probe = timed("cluster-bounds")(knock.agg(
               count(lit(1)),
               statted.flatMap(c => Seq(
                 min(col(c)), max(col(c)),
@@ -1679,7 +1726,7 @@ final class SnapshotTable(
           else {
             val cur = readFiles(touchedFiles, m.schema)
             val kept = cur
-              .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+              .join(knock.select(primaryKey), Seq(primaryKey), "left_anti")
             if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
             else kept.unionByName(
               src.select(cur.columns.toIndexedSeq.map(col): _*))
@@ -1697,7 +1744,7 @@ final class SnapshotTable(
         // old files carry over alongside the rewrite, duplicating
         // primary keys.
         val touched = timed("touched-collect")(
-          source.select(pcs.map(c => col(c).cast("string")): _*)
+          knock.select(pcs.map(c => col(c).cast("string")): _*)
           .distinct().collect()
           .map(r => pcs.indices.map(i =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1714,7 +1761,7 @@ final class SnapshotTable(
           if (touchedFiles.isEmpty) src
           else {
             val kept = current
-              .join(src.select(primaryKey), Seq(primaryKey), "left_anti")
+              .join(knock.select(primaryKey), Seq(primaryKey), "left_anti")
             if (evolveSchema) kept.unionByName(src, allowMissingColumns = true)
             else kept.unionByName(
               src.select(current.columns.toIndexedSeq.map(col): _*))
@@ -1831,7 +1878,12 @@ final class SnapshotTable(
         .mkString("/"))
       .toSet
     val kept = m.entries.filterNot(f => touched(partOf(f.path)))
-    commitManifest(v + 1, kept ++ writeDataFiles(src), schema)
+    // optimistic re-base like upsert's: a concurrent commit OUTSIDE
+    // the replaced partitions re-bases for one manifest write; a file
+    // landing INSIDE one (overlapsScope) is a genuine conflict — the
+    // overwrite would silently clobber it.
+    commitMerge(v, m, kept, writeDataFiles(src), schema,
+      e => touched(partOf(e.path)))
   }
 
   /** Atomic DELETE of the rows matching `predicate`, as ONE manifest
@@ -1853,8 +1905,11 @@ final class SnapshotTable(
     * half of an update. Old versions stay time-travelable until
     * [[vacuum]]. */
   def delete(predicate: Column, bounds: Seq[(String, Any, Any)] = Nil): Unit =
-    // keep = NOT coalesce(predicate, false): NULL-predicate rows stay
-    rewriteWhere(predicate, bounds)(_.filter(!coalesce(predicate, lit(false))))
+    // keep = NOT coalesce(predicate, false): NULL-predicate rows stay.
+    // dropFullMatches: files with no surviving visible row are removed
+    // as pure metadata (see rewriteWhere) — the retention-delete path.
+    rewriteWhere(predicate, bounds, dropFullMatches = true)(
+      _.filter(!coalesce(predicate, lit(false))))
 
   /** MERGE-ON-READ delete: instead of rewriting every file holding a
     * matching row ([[delete]]'s copy-on-write), record the matching ROW
@@ -1996,8 +2051,24 @@ final class SnapshotTable(
   /** Shared DML core: stats-prune candidates (`bounds`), probe for the
     * files actually holding a predicate match, rewrite ONLY those
     * through `rewrite`, carry everything else over by reference, and
-    * commit once. A predicate matching nothing commits nothing. */
-  private def rewriteWhere(predicate: Column, bounds: Seq[(String, Any, Any)])
+    * commit once — through [[commitMerge]], so losing the version race
+    * to a DISJOINT concurrent commit re-bases instead of failing. A
+    * predicate matching nothing commits nothing.
+    *
+    * With `dropFullMatches` (DELETE's path — an UPDATE must rewrite),
+    * a candidate file whose VISIBLE rows ALL match is dropped from the
+    * manifest BY REFERENCE: zero rewrite I/O. That is the
+    * retention-delete fast path at scale — `DELETE WHERE date < X`
+    * over a date-clustered 100 TB table stats-prunes to the aged
+    * files, proves full coverage in the probe (which reads only the
+    * predicate's columns, columnar), and removes them as pure
+    * metadata; only boundary files holding a survivor row rewrite.
+    * The probe counts VISIBLE rows (deletion vectors applied), so a
+    * DV-carrying file fully matched on its remaining rows drops too;
+    * CDC needs no special case — a dropped file is a manifest remove,
+    * surfacing its visible rows as before-images. */
+  private def rewriteWhere(predicate: Column, bounds: Seq[(String, Any, Any)],
+                           dropFullMatches: Boolean = false)
                           (rewrite: DataFrame => DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
@@ -2005,24 +2076,46 @@ final class SnapshotTable(
     val live = m.entries
     val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
     if (cands.isEmpty) return
-    // exact probe: which candidate files hold at least one TRUE row?
-    // O(distinct files) strings cross the driver, never data. Basenames
+    // exact probe, ONE pass over the candidates' predicate columns:
+    // which files hold a TRUE row, and does any visible row survive?
+    // O(distinct files) rows cross the driver, never data. Basenames
     // are commit-UUID-prefixed, hence unique across the whole table.
     def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val hit = readFiles(cands, m.schema)
-      .filter(predicate)
-      .select(input_file_name())
-      .distinct().collect()
-      .map(r => basename(r.getString(0))).toSet
-    val (touched, _) = cands.partition(e => hit(basename(e.path)))
-    if (touched.isEmpty) return
-    val touchedSet = touched.map(_.path).toSet
-    val carried = live.filterNot(e => touchedSet(e.path))
-    // re-stamp: UPDATE's CASE-WHEN projection drops attribute metadata
-    // and the rewritten files must keep their columns' field ids
-    val rewritten = stampFieldIds(rewrite(readFiles(touched, m.schema)))
-    commitManifest(v + 1, carried ++ writeDataFiles(rewritten),
-      rewritten.schema)
+      .groupBy(input_file_name().as("__f"))
+      .agg(
+        sum(when(coalesce(predicate, lit(false)), 1L).otherwise(0L))
+          .as("__matches"),
+        count(lit(1)).as("__rows"))
+      .filter(col("__matches") > 0)
+      .collect()
+      .map(r => basename(r.getString(0)) -> (r.getLong(1) == r.getLong(2)))
+      .toMap
+    val touchedAll = cands.filter(e => hit.contains(basename(e.path)))
+    if (touchedAll.isEmpty) return
+    val (_, rewriteFiles) =
+      if (dropFullMatches) touchedAll.partition(e => hit(basename(e.path)))
+      else (Seq.empty[FileEntry], touchedAll)
+    val goneSet = touchedAll.map(_.path).toSet
+    val carried = live.filterNot(e => goneSet(e.path))
+    val (newFiles, committedSchema) =
+      if (rewriteFiles.isEmpty)
+        // every touched file fully matched: a METADATA-ONLY commit
+        (Seq.empty[FileEntry],
+          m.schema.getOrElse(readFiles(live, m.schema).schema))
+      else {
+        // re-stamp: UPDATE's CASE-WHEN projection drops attribute
+        // metadata and the rewritten files must keep their field ids
+        val rewritten =
+          stampFieldIds(rewrite(readFiles(rewriteFiles, m.schema)))
+        (writeDataFiles(rewritten), rewritten.schema)
+      }
+    // concurrent ADDS never conflict (overlapsScope = false): DML
+    // binds to the snapshot it read — Delta's WriteSerializable — so
+    // rows an interleaved commit added are simply not covered.
+    // Removal/modification of a touched file, or any metadata change,
+    // still fails the re-base loudly (commitMerge's checks).
+    commitMerge(v, m, carried, newFiles, committedSchema, _ => false)
   }
 
   /** Delta's `ALTER TABLE DROP CONSTRAINT` analog: a METADATA-ONLY
@@ -2499,8 +2592,15 @@ final class SnapshotTable(
     val files = frag.values.flatten.toSeq
     val packIn = readFiles(files, m.schema)
     val rewritten = writeDataFiles(packIn, packFiles = Some(packed(files)))
-    commitManifest(v + 1, keep.values.flatten.toSeq ++ rewritten,
-      m.schema.getOrElse(packIn.schema))
+    // optimistic re-base: compaction claims no exclusivity over FUTURE
+    // files (a concurrent append into a packed partition just carries
+    // over unpacked — overlapsScope = false), so losing the version
+    // race to a disjoint writer costs one manifest retry, never a
+    // repack. An interleaved commit that removed/modified a file this
+    // pack read (a DELETE rewrite, a DV landing) still fails loudly:
+    // the packed output would resurrect its rows.
+    commitMerge(v, m, keep.values.flatten.toSeq, rewritten,
+      m.schema.getOrElse(packIn.schema), _ => false)
   }
 
   /** Reclaim files referenced by no retained manifest: crashed-commit

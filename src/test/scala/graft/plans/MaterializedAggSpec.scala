@@ -1,0 +1,170 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental materialized aggregates: additive fold from the change
+  * feed, dirty-group recompute for non-additive measures, exactly-once
+  * watermarking, group deletion, and the O(changes) cost contract. */
+class MaterializedAggSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def mkSrc(path: String): SnapshotTable =
+    SnapshotTable(spark, s"$path/src", "id", Some("grp"))
+
+  /** Views cluster by their synthesized key: the refresh merge is then
+    * stats-scoped to the files holding touched groups — the same
+    * O(touched) contract as any clustered upsert. */
+  private def mkView(path: String): SnapshotTable =
+    SnapshotTable(spark, s"$path/view", MaterializedAgg.KeyCol,
+      statsCols = Seq(MaterializedAgg.KeyCol),
+      clusterBy = Seq(MaterializedAgg.KeyCol), clusterFiles = 4)
+
+  private def rows(t: (Int, Int, String)*) =
+    t.toDF("id", "amount", "grp")
+
+  private def viewState(v: SnapshotTable): Map[String, (Long, Long)] =
+    v.read.collect().map(r => r.getAs[String]("grp") ->
+      (r.getAs[Long]("total"), r.getAs[Long](MaterializedAgg.CountCol)))
+      .toMap
+
+  /** Full recompute the MV should equal after any refresh. */
+  private def expected(src: SnapshotTable): Map[String, (Long, Long)] =
+    src.read.groupBy("grp")
+      .agg(sum("amount").as("t"), count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("t"), r.getAs[Long]("c"))).toMap
+
+  private val sums = Seq("total" -> col("amount").cast("long"))
+
+  test("additive: create, fold updates+inserts+deletes, drop emptied groups") {
+    val base = tmp("mvadd")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(rows((1, 10, "a"), (2, 20, "a"), (3, 5, "b"), (4, 7, "c")))
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == expected(src))
+    assert(view.properties(MaterializedAgg.SourceVersionProp) == "1")
+
+    // update (2: 20→25), insert (5 into b), then empty group c entirely
+    src.upsert(rows((2, 25, "a"), (5, 3, "b")))
+    src.delete(col("grp") === "c")
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == expected(src))
+    assert(!viewState(view).contains("c"), "emptied group must leave the view")
+    assert(view.properties(MaterializedAgg.SourceVersionProp) == "3")
+
+    // re-refresh with nothing new: version AND watermark unchanged
+    val vBefore = view.currentVersion
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(view.currentVersion == vBefore, "no-op refresh must not commit")
+  }
+
+  test("additive: compaction-only source churn folds to zero group changes") {
+    val base = tmp("mvcompact")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(rows((1, 1, "a"), (2, 2, "a")))
+    src.append(rows((3, 3, "b")))
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    val stateBefore = viewState(view)
+    src.compact(minFiles = 2) // rewrites files, changes no rows
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == stateBefore)
+    // the watermark still advanced past the compaction commit
+    assert(view.properties(MaterializedAgg.SourceVersionProp) ==
+      src.currentVersion.get.toString)
+  }
+
+  test("additive: NULL group keys and null measures fold correctly") {
+    val base = tmp("mvnull")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(Seq((1, Some(10), None: Option[String]),
+      (2, None, Some("a")), (3, Some(4), Some("a")))
+      .toDF("id", "amount", "grp"))
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    val st = view.read.collect().map(r =>
+      Option(r.getAs[String]("grp")) ->
+        (r.getAs[Long]("total"), r.getAs[Long](MaterializedAgg.CountCol)))
+      .toMap
+    assert(st == Map(None -> (10L, 1L), Some("a") -> (4L, 2L)))
+    // delete the null-group row: the NULL group must empty out
+    src.delete(col("grp").isNull)
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(view.read.filter(col("grp").isNull).count() == 0)
+  }
+
+  test("recompute: min/max stay exact under deletes; vanished groups leave") {
+    val base = tmp("mvminmax")
+    val src = mkSrc(base)
+    val view = mkView(base)
+    val aggs = Seq("lo" -> min(col("amount")), "hi" -> max(col("amount")))
+    src.create(rows((1, 10, "a"), (2, 20, "a"), (3, 5, "b")))
+    MaterializedAgg.refreshRecompute(src, view, Seq("grp"), aggs)
+    def st() = view.read.collect().map(r => r.getAs[String]("grp") ->
+      (r.getAs[Int]("lo"), r.getAs[Int]("hi"))).toMap
+    assert(st() == Map("a" -> ((10, 20)), "b" -> ((5, 5))))
+    // delete the max of a — an ADDITIVE fold could never recover this
+    src.delete(col("id") === 2)
+    src.delete(col("grp") === "b") // vanish b entirely
+    MaterializedAgg.refreshRecompute(src, view, Seq("grp"), aggs)
+    assert(st() == Map("a" -> ((10, 10))))
+    // untouched groups are NOT recomputed: seed a new group, refresh,
+    // and confirm the a-row's file carried over by reference
+    src.append(rows((9, 1, "z")))
+    val before = view.candidateFiles().map(_.path).toSet
+    MaterializedAgg.refreshRecompute(src, view, Seq("grp"), aggs)
+    val after = view.candidateFiles().map(_.path).toSet
+    assert((before & after).nonEmpty,
+      "refresh rewrote untouched groups' files — not O(changed groups)")
+    assert(st() == Map("a" -> ((10, 10)), "z" -> ((1, 1))))
+  }
+
+  test("watermark safety: missing prop and ahead-of-head both fail loudly") {
+    val base = tmp("mvguard")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(rows((1, 1, "a")))
+    // a view NOT created through refresh: refuses to fold onto it
+    view.create(Seq(("k", "a", 1L, 1L))
+      .toDF(MaterializedAgg.KeyCol, "grp", "total", MaterializedAgg.CountCol))
+    val e1 = intercept[IllegalStateException] {
+      MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    }
+    assert(e1.getMessage.contains("not a maintained view"))
+    // watermark ahead of source head (source recreated): fail loudly
+    val base2 = tmp("mvahead")
+    val src2 = mkSrc(base2); val view2 = mkView(base2)
+    src2.create(rows((1, 1, "a"))); src2.append(rows((2, 2, "a")))
+    MaterializedAgg.refreshAdditive(src2, view2, Seq("grp"), sums)
+    val src2b = SnapshotTable(spark,
+      s"${tmp("mvfresh")}/src", "id", Some("grp"))
+    src2b.create(rows((9, 9, "z"))) // head v1 < watermark v2
+    val e2 = intercept[IllegalStateException] {
+      MaterializedAgg.refreshAdditive(src2b, view2, Seq("grp"), sums)
+    }
+    assert(e2.getMessage.contains("ahead of source head"))
+  }
+
+  test("refresh reads O(changes): the feed span, not the source table") {
+    val base = tmp("mvcost")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create((1 to 400).map(i => (i, i, s"g${i % 40}"))
+      .toDF("id", "amount", "grp"))
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    // a one-partition touch: the fold's scan must plan ONLY the files
+    // of the rewritten partition (the change-feed diff), never all 40
+    val v0 = src.currentVersion.get
+    src.upsert(rows((1, 999, "g1")))
+    val fed = src.changesDelta(v0, src.currentVersion.get)
+    val files = fed.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    assert(files.forall(_.contains("grp=g1")),
+      s"feed read outside the touched partition: ${files.mkString(", ")}")
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == expected(src))
+  }
+}

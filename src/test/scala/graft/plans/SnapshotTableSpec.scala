@@ -444,13 +444,21 @@ class SnapshotTableSpec extends SparkSpec {
       // direct probe of the commit primitive: committing a version that
       // already exists (the losing side of the race) must throw, not
       // clobber the winner's manifest
-      val m = classOf[SnapshotTable].getDeclaredMethod(
-        "commitManifest", classOf[Long], classOf[Seq[_]],
-        classOf[org.apache.spark.sql.types.StructType])
+      // name-based lookup, trailing default params padded with their
+      // None/empty defaults — the signature has grown overrides before
+      // and a positional getDeclaredMethod breaks on each one
+      val m = classOf[SnapshotTable].getDeclaredMethods
+        .find(_.getName == "commitManifest")
+        .getOrElse(fail("commitManifest not found"))
       m.setAccessible(true)
-      try m.invoke(t, java.lang.Long.valueOf(2L),
+      val defaults = m.getParameterTypes.drop(3).map { pt =>
+        if (pt == classOf[Option[_]]) None
+        else if (pt == classOf[Map[_, _]]) Map.empty
+        else fail(s"unexpected commitManifest param type $pt")
+      }
+      try m.invoke(t, (Seq[AnyRef](java.lang.Long.valueOf(2L),
         live.toSeq.map(SnapshotTable.FileEntry(_, Map.empty)),
-        frame((1, "a", "p1")).schema)
+        frame((1, "a", "p1")).schema) ++ defaults): _*)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
     assert(t.read.count() == 1, "losing commit corrupted the table")
@@ -1629,6 +1637,149 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(reader) == Seq(1 -> "W0", 2 -> "W1", 3 -> "c"))
     assert(reader.currentVersion.contains(3L),
       "both merges must land as their own commit")
+  }
+
+  test("DELETE drops fully-matched files as pure metadata; boundary files rewrite") {
+    val path = tmp("snapdeldrop")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"),
+      (4, "d", "p2"), (5, "e", "p3")))
+    val before = t.candidateFiles().map(_.path).toSet
+    // p1 matches WHOLLY (drop by reference); p2 partially (rewrite);
+    // p3 not at all (carry over untouched)
+    t.delete(col("part") === "p1" || col("id") === 3)
+    val after = t.candidateFiles().map(_.path).toSet
+    assert(contents(t) == Seq(4 -> "d", 5 -> "e"))
+    // p1: all its files vanished and NONE were rewritten — no new
+    // p1-dir file exists in the committed manifest
+    assert(!after.exists(_.startsWith("part=p1")),
+      s"fully-matched p1 files not dropped: $after")
+    // p3 carried over by reference: identical path
+    assert((before & after).exists(_.startsWith("part=p3")),
+      "untouched p3 file was rewritten")
+    // p2 was rewritten: new path, old gone
+    assert(after.exists(p => p.startsWith("part=p2") && !before(p)))
+    // CDC still surfaces the dropped rows as before-images
+    val v = t.currentVersion.get
+    val gone = t.changesDelta(v - 1, v)
+      .filter(col(SnapshotTable.ImageCol) === "before")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(Set(1, 2, 3).subsetOf(gone), s"CDC lost dropped-file rows: $gone")
+  }
+
+  test("DELETE of ONLY fully-matched files is a metadata-only commit (zero new files)") {
+    val path = tmp("snapdelmeta")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")))
+    val before = t.candidateFiles().map(_.path).toSet
+    t.delete(col("part") === "p2")
+    val after = t.candidateFiles().map(_.path).toSet
+    assert(after.subsetOf(before), s"retention delete wrote data: " +
+      s"${after -- before} are new files")
+    assert(contents(t) == Seq(1 -> "a", 3 -> "c"))
+  }
+
+  test("DELETE re-bases over a concurrent append (write-serializable)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val path = tmp("snapdelrace")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2")))
+    SnapshotTableSpec.started = new CountDownLatch(1)
+    SnapshotTableSpec.gate = new CountDownLatch(1)
+    // the gate rides the PREDICATE: the delete's probe blocks with its
+    // v2 snapshot read, B commits v3, the delete commits and must
+    // re-base (an append never conflicts with DML under
+    // write-serializable: the new rows simply aren't covered)
+    val gatedPred = udf { () =>
+      SnapshotTableSpec.started.countDown()
+      SnapshotTableSpec.gate.await(120, TimeUnit.SECONDS)
+    }.apply() && col("part") === "p1"
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+      def call(): Either[Throwable, Unit] =
+        try { tA.delete(gatedPred); Right(()) }
+        catch { case e: Throwable => Left(e) }
+    })
+    assert(SnapshotTableSpec.started.await(120, TimeUnit.SECONDS))
+    SnapshotTable(spark, path, "id", Some("part"))
+      .append(frame((3, "c", "p3")))
+    SnapshotTableSpec.gate.countDown()
+    pool.shutdown()
+    val outcome = fut.get(180, TimeUnit.SECONDS)
+    assert(outcome.isRight, s"delete must re-base over the append: $outcome")
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(reader) == Seq(2 -> "b", 3 -> "c"),
+      "both the append and the delete must be visible")
+  }
+
+  test("replacePartitions re-bases over a DISJOINT concurrent commit") {
+    val path = tmp("snaprepldisj")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    val outcome = interleaved(frame((10, "R", "p1")), tA.replacePartitions(_)) {
+      SnapshotTable(spark, path, "id", Some("part"))
+        .upsert(frame((2, "W1", "p2")))
+    }
+    assert(outcome.isRight, s"disjoint replace must re-base: $outcome")
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(reader) == Seq(2 -> "W1", 10 -> "R"))
+  }
+
+  test("replacePartitions fails stale when a file lands INSIDE a replaced partition") {
+    val path = tmp("snapreplconf")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    val outcome = interleaved(frame((10, "R", "p1")), tA.replacePartitions(_)) {
+      SnapshotTable(spark, path, "id", Some("part"))
+        .append(frame((11, "X", "p1"))) // lands inside the replaced set
+    }
+    assert(outcome.isLeft, "overwrite would clobber the interleaved file")
+    assert(outcome.swap.toOption.get.getMessage.contains("merge commit conflict"))
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(reader) == Seq(1 -> "a", 2 -> "b", 11 -> "X"))
+  }
+
+  test("upsertDelete: flagged rows remove their PK match, others merge; absent-PK delete no-ops") {
+    val path = tmp("snapupsdel")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    val batch = Seq(
+      (1, "A", "p1", false),  // update
+      (2, "b", "p1", true),   // delete
+      (9, "zz", "p2", true),  // delete of absent key: no-op
+      (4, "d", "p2", false))  // insert
+      .toDF("id", "val", "part", "__del")
+    t.upsertDelete(batch, "__del")
+    assert(contents(t) == Seq(1 -> "A", 3 -> "c", 4 -> "d"))
+    assert(t.currentVersion.contains(2L), "one atomic commit")
+    // idempotent re-run
+    t.upsertDelete(batch, "__del")
+    assert(contents(t) == Seq(1 -> "A", 3 -> "c", 4 -> "d"))
+    // a delete-only batch still scopes to its partitions: p2 untouched
+    val before = t.candidateFiles().map(_.path).toSet
+    t.upsertDelete(Seq((1, "", "p1", true)).toDF("id", "val", "part", "__del"),
+      "__del")
+    assert(contents(t) == Seq(3 -> "c", 4 -> "d"))
+    val after = t.candidateFiles().map(_.path).toSet
+    assert((before & after).exists(_.startsWith("part=p2")),
+      "delete-only batch rewrote an untouched partition")
+  }
+
+  test("stageProperties ride the next data commit atomically and persist") {
+    val path = tmp("snapstageprops")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.stageProperties(Map("graft.mv.sourceVersion" -> "7"))
+    // nothing committed yet: a fresh handle sees no property
+    assert(!SnapshotTable(spark, path, "id", Some("part"))
+      .properties.contains("graft.mv.sourceVersion"))
+    t.upsert(frame((2, "b", "p2")))
+    val fresh = SnapshotTable(spark, path, "id", Some("part"))
+    assert(fresh.properties.get("graft.mv.sourceVersion").contains("7"),
+      "staged property did not land with the upsert commit")
   }
 
   test("concurrent upserts to the SAME partition: the interleaved one fails stale") {
