@@ -534,6 +534,39 @@ object Queries {
       .orderBy("o_orderdate")
   }
 
+  /** The STREAMING half of [[mvIncremental]]
+    * ([[streaming.StreamingView.maintainAdditive]]): the source's CDC
+    * stream drives the same additive fold through foreachBatch — the
+    * first run collapses the initial snapshot, the second resumes the
+    * SAME checkpoint and absorbs the upsert + delete incrementally,
+    * and the view's watermark fences any replay. Same commits and the
+    * SAME oracle as the batch refresh: stream and batch maintenance
+    * must land the identical view. */
+  def mvStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = scratch("mvstream", dir)
+    freshDirs(s, base)
+    val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val view = plans.SnapshotTable(s, s"$base/view",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val sums = Seq("revenue_cents" -> cents)
+    src.create(orders.filter(col("o_orderkey") % 4 =!= 3))
+    streaming.StreamingView.maintainAdditive(s, s"$base/src", view,
+      Seq("o_orderdate"), sums, s"$base/ckpt")
+    src.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+    src.delete(col("o_orderkey") % 5 === 0)
+    streaming.StreamingView.maintainAdditive(s, s"$base/src", view,
+      Seq("o_orderdate"), sums, s"$base/ckpt")
+    view.read.select(col("o_orderdate"), col("revenue_cents"),
+      col(plans.MaterializedAgg.CountCol).as("order_cnt"))
+      .orderBy("o_orderdate")
+  }
+
   /** Non-additive materialized aggregate
     * ([[plans.MaterializedAgg.refreshRecompute]]): min/max cannot fold
     * under deletes, so the change feed contributes only the DIRTY
@@ -2706,6 +2739,7 @@ object Queries {
     "snapshot_delete" -> (snapshotDelete _),
     "retention_delete" -> (retentionDelete _),
     "mv_incremental" -> (mvIncremental _),
+    "mv_stream_parity" -> (mvStreamParity _),
     "mv_minmax" -> (mvMinmax _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
@@ -3042,6 +3076,23 @@ object Queries {
     // the reconstructed final source state (seed minus deletes, with
     // the upsert's updates and inserts applied)
     "mv_incremental" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 5 <> 0
+        |)
+        |SELECT o_orderdate,
+        |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    // stream-maintained view, same commits: identical result to the
+    // batch refresh by construction
+    "mv_stream_parity" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_orderdate,
         |         CASE WHEN o_orderkey % 3 = 0

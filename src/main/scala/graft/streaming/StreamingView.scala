@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.plans.{MaterializedAgg, SnapshotTable}
+
+/** CONTINUOUSLY-maintained materialized aggregate: the snapshot
+  * table's streaming change feed drives [[MaterializedAgg]]'s additive
+  * fold, so the view tracks the source commit-by-commit without any
+  * scheduler — the streaming half of the same design (Delta's CDF →
+  * foreachBatch MERGE maintenance loop, Flink's continuous aggregate).
+  *
+  * Exactly-once comes from TWO independent fences, either sufficient:
+  * the stream checkpoint replays at-least-once on crash, and the
+  * view's own source-version watermark ([[MaterializedAgg]]'s staged
+  * property) filters every image at-or-below it — a replayed or
+  * overlapping micro-batch folds only the commits the view has not
+  * absorbed, and a fully-absorbed replay commits nothing. The fences
+  * are per-COMMIT, not per-batch, so re-checkpointing from scratch
+  * (new checkpoint dir, `startingVersion=0`) against a live view is
+  * safe too.
+  *
+  * The feed's raw pair algebra (a rewrite re-delivers unchanged rows
+  * as one `before` + one `after`) cancels inside the additive fold —
+  * the contract [[graft.sources.GraftCdc]] documents — so compaction
+  * and carried files fold to zero group deltas and touch nothing.
+  *
+  * Scale: each micro-batch costs O(its commits' changed files) to
+  * read (the CDC planner never re-reads carried files), the fold is
+  * one partial-aggregated shuffle of those rows, and the view merge
+  * rewrites O(touched groups) of a key-clustered view. State lives in
+  * the view table itself — the streaming query holds NO state-store
+  * state, restarts are free. */
+object StreamingView {
+
+  /** Maintain `view` from `srcPath`'s change-feed stream until all
+    * currently-committed changes are absorbed (AvailableNow), then
+    * return. Call again (same checkpoint) to catch up later; the
+    * watermark makes any overlap harmless. */
+  def maintainAdditive(spark: SparkSession, srcPath: String,
+                       view: SnapshotTable, keys: Seq[String],
+                       sums: Seq[(String, org.apache.spark.sql.Column)],
+                       checkpointDir: String): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(srcPath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vc = col(SnapshotTable.CommitVersionCol)
+        // the view's watermark, NOT the checkpoint, decides what is
+        // new: a replayed batch (crash between sink commit and
+        // checkpoint write) or a batch overlapping a prior
+        // batch-boundary layout folds only versions above it
+        val absorbed =
+          if (!view.exists) 0L
+          else view.properties.get(MaterializedAgg.SourceVersionProp)
+            .flatMap(_.toLongOption).getOrElse(0L)
+        val fresh = batch.filter(vc > absorbed)
+        // bound the batch's high-water BEFORE folding: the property
+        // must never claim a version whose images this batch lacks
+        val hi = fresh.agg(max(vc)).head()
+        if (!hi.isNullAt(0)) {
+          val toV = hi.getLong(0)
+          MaterializedAgg.commitMerged(view, keys, sums.map(_._1),
+            MaterializedAgg.foldAdditive(
+              fresh.drop(SnapshotTable.CommitVersionCol), keys, sums),
+            toV, additive = true)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

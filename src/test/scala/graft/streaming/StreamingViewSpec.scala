@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.{MaterializedAgg, SnapshotTable}
+
+/** Continuously-maintained materialized aggregate: snapshot collapse on
+  * first start, incremental catch-up from the CDC stream, and the
+  * watermark fence against replays. */
+class StreamingViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def rows(t: (Int, Int, String)*) =
+    t.toDF("id", "amount", "grp")
+
+  private val sums = Seq("total" -> col("amount").cast("long"))
+
+  private def state(v: SnapshotTable): Map[String, (Long, Long)] =
+    v.read.collect().map(r => r.getAs[String]("grp") ->
+      (r.getAs[Long]("total"), r.getAs[Long](MaterializedAgg.CountCol)))
+      .toMap
+
+  private def expected(src: SnapshotTable): Map[String, (Long, Long)] =
+    src.read.groupBy("grp")
+      .agg(sum("amount").as("t"), count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("t"), r.getAs[Long]("c"))).toMap
+
+  test("stream-maintained view: collapse, incremental catch-up, replay fence") {
+    val base = tmp("svmaint")
+    val src = SnapshotTable(spark, s"$base/src", "id", Some("grp"))
+    val view = SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol,
+      statsCols = Seq(MaterializedAgg.KeyCol),
+      clusterBy = Seq(MaterializedAgg.KeyCol), clusterFiles = 4)
+    src.create(rows((1, 10, "a"), (2, 20, "a"), (3, 5, "b")))
+    // first start: the stream's initial offset collapses to the head
+    // snapshot — one batch of after-images creates the view
+    StreamingView.maintainAdditive(spark, s"$base/src", view,
+      Seq("grp"), sums, s"$base/ckpt")
+    assert(state(view) == expected(src))
+    assert(view.properties(MaterializedAgg.SourceVersionProp) ==
+      src.currentVersion.get.toString)
+
+    // three more commits: update+insert, a group-emptying delete, and
+    // a compaction (whose uncanceled pairs must fold to zero)
+    src.upsert(rows((2, 25, "a"), (4, 7, "c")))
+    src.delete(col("grp") === "b")
+    src.compact(minFiles = 2)
+    // SAME checkpoint: resumes from the absorbed offset, incremental
+    StreamingView.maintainAdditive(spark, s"$base/src", view,
+      Seq("grp"), sums, s"$base/ckpt")
+    assert(state(view) == expected(src))
+    assert(!state(view).contains("b"), "emptied group must leave the view")
+    assert(view.properties(MaterializedAgg.SourceVersionProp) ==
+      src.currentVersion.get.toString)
+
+    // replay fence: a FRESH checkpoint re-delivers the whole head as a
+    // collapsed snapshot — every image is at-or-below the watermark,
+    // so nothing double-folds and the view is untouched
+    val vBefore = view.currentVersion
+    StreamingView.maintainAdditive(spark, s"$base/src", view,
+      Seq("grp"), sums, s"$base/ckpt2")
+    assert(state(view) == expected(src))
+    assert(view.currentVersion == vBefore,
+      "fully-absorbed replay must not commit")
+  }
+}
