@@ -1943,7 +1943,10 @@ final class SnapshotTable(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
     val live = m.entries
-    val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
+    // same auto-derived box as rewriteWhere: a point MoR delete on a
+    // stats/bloom-covered key probes only the files that can hold it
+    val box = if (bounds.nonEmpty) bounds else PredicateBounds.derive(predicate)
+    val cands = if (box.isEmpty) live else candidatesOf(live, box)
     if (cands.isEmpty) return
     val cap = effectiveProps.get("graft.mor.maxDeleteRows")
       .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(64L * 1000 * 1000)
@@ -2074,7 +2077,11 @@ final class SnapshotTable(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
     val live = m.entries
-    val cands = if (bounds.isEmpty) live else candidatesOf(live, bounds)
+    // no explicit bounds → derive a conservative box from the
+    // predicate itself (PredicateBounds): `DELETE WHERE date < X`
+    // stats-prunes with no caller hand-holding, like Delta/Iceberg
+    val box = if (bounds.nonEmpty) bounds else PredicateBounds.derive(predicate)
+    val cands = if (box.isEmpty) live else candidatesOf(live, box)
     if (cands.isEmpty) return
     // exact probe, ONE pass over the candidates' predicate columns:
     // which files hold a TRUE row, and does any visible row survive?

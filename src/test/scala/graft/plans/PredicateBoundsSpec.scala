@@ -1,0 +1,70 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Conservative bound derivation from DML predicates: what is emitted,
+  * what is refused, and that the derived boxes actually prune manifest
+  * candidates. */
+class PredicateBoundsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("comparison shapes derive the expected boxes") {
+    assert(PredicateBounds.derive(col("k") === 5) == Seq(("k", 5, 5)))
+    assert(PredicateBounds.derive(lit(5) === col("k")) == Seq(("k", 5, 5)))
+    assert(PredicateBounds.derive(col("k") <=> 5) == Seq(("k", 5, 5)))
+    assert(PredicateBounds.derive(col("k") > 10L) ==
+      Seq(("k", 10L, Long.MaxValue)))
+    assert(PredicateBounds.derive(col("k") <= 20) ==
+      Seq(("k", Long.MinValue, 20)))
+    assert(PredicateBounds.derive(lit(3) < col("k")) ==
+      Seq(("k", 3, Long.MaxValue)))
+    assert(PredicateBounds.derive(col("k") > 10 && col("k") <= 20) ==
+      Seq(("k", 10, Long.MaxValue), ("k", Long.MinValue, 20)))
+    assert(PredicateBounds.derive(col("x") < 2.5d) ==
+      Seq(("x", Double.NegativeInfinity, 2.5d)))
+    assert(PredicateBounds.derive(col("s") <= "m") == Seq(("s", "", "m")))
+    // IN → the hull of its values
+    assert(PredicateBounds.derive(col("k").isin(7, 3, 5)) ==
+      Seq(("k", 3, 7)))
+    // conjunction with an opaque side keeps the transparent side
+    val gated = udf(() => true)
+    assert(PredicateBounds.derive(gated() && col("k") === 9) ==
+      Seq(("k", 9, 9)))
+  }
+
+  test("unsound shapes derive NOTHING") {
+    // OR: a row can satisfy either arm — no single box is implied
+    assert(PredicateBounds.derive(col("k") === 1 || col("k") === 9).isEmpty)
+    assert(PredicateBounds.derive(!(col("k") === 1)).isEmpty)
+    // an upper-open STRING bound has no finite top — dropped
+    assert(PredicateBounds.derive(col("s") >= "m").isEmpty)
+    // date/timestamp literals carry internal reps the stats never use
+    assert(PredicateBounds.derive(
+      col("d") === lit(java.sql.Date.valueOf("2020-06-01"))).isEmpty)
+    assert(PredicateBounds.derive(
+      col("t") < lit(java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))).isEmpty)
+    // arithmetic over the attribute is opaque
+    assert(PredicateBounds.derive(col("k") % 2 === 0).isEmpty)
+    // IN mixing literal families has no orderable hull
+    assert(PredicateBounds.derive(col("k").isin(1, "x")).isEmpty)
+  }
+
+  test("derived boxes prune manifest candidates end-to-end") {
+    val path = Files.createTempDirectory("graft_pbound").toString + "/t"
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 8)
+    t.create((1 to 400).map(i => (i, s"v$i")).toDF("id", "val"))
+    val all = t.candidateFiles().size
+    val box = PredicateBounds.derive(col("id") <= 50)
+    val pruned = t.candidateFiles(box: _*).size
+    assert(pruned < all, s"derived box pruned nothing ($pruned of $all)")
+    // and the DELETE itself stays correct with the auto-derived box
+    t.delete(col("id") <= 50)
+    assert(t.read.count() == 350)
+    assert(t.read.agg(min("id")).head.getInt(0) == 51)
+  }
+}
