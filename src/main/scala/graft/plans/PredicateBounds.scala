@@ -37,6 +37,34 @@ object PredicateBounds {
   def derive(predicate: Column): Seq[(String, Any, Any)] =
     walk(GraftBridge.predTree(predicate))
 
+  /** [[derive]] restricted by the TABLE SCHEMA: a bound survives only
+    * when its column's declared type is in the same stat family as
+    * the literal. This is the second fence against unit mismatches —
+    * e.g. an integral literal compared against a DECIMAL column: the
+    * comparison is legal SQL, but any L:-tagged stats for that column
+    * (written by an old engine version from parquet's UNSCALED ints)
+    * are in different units, and pruning on them would silently skip
+    * matching rows. No schema → no derived pruning. */
+  def deriveFor(predicate: Column,
+                schema: Option[StructType]): Seq[(String, Any, Any)] =
+    schema.fold(Seq.empty[(String, Any, Any)]) { st =>
+      val fams = st.fields.iterator
+        .map(f => f.name.toLowerCase -> familyOf(f.dataType)).toMap
+      derive(predicate).filter { case (c, lo, _) =>
+        fams.getOrElse(c.toLowerCase, None).contains(famOf(lo))
+      }
+    }
+
+  /** The stat tag family a column of `dt` writes — None for every
+    * type whose physical stats are in different units than its values
+    * (decimal/date/timestamp/…). */
+  private def familyOf(dt: DataType): Option[Char] = dt match {
+    case IntegerType | LongType | ShortType | ByteType => Some('L')
+    case DoubleType | FloatType => Some('D')
+    case StringType => Some('S')
+    case _ => None
+  }
+
   private def walk(n: PredNode): Seq[(String, Any, Any)] = n match {
     case Fn("and", Seq(l, r)) => walk(l) ++ walk(r)
     case Fn("=" | "==" | "<=>", Seq(a, b)) => point(a, b)

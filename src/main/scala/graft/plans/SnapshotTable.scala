@@ -1190,16 +1190,31 @@ final class SnapshotTable(
       chunks.flatMap { case (name, cs) =>
         val vals = cs.map { c =>
           val st = c.getStatistics
+          // a LOGICAL annotation changes what the physical value MEANS:
+          // DECIMAL int32/64 stats are UNSCALED (5.00 min → 500), DATE
+          // is days, TIMESTAMP micros — encoding those under the plain
+          // numeric tag would let a plain-number bound prune against
+          // values in a different unit and silently skip matching rows
+          // (a DELETE would then silently keep data). Only physically-
+          // plain ints (no annotation / INT(n)) and true UTF8 strings
+          // may encode; everything else stays statless = never pruned.
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val lta = c.getPrimitiveType.getLogicalTypeAnnotation
+          val plainInt = lta == null ||
+            lta.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+          val utf8 = lta.isInstanceOf[
+            LogicalTypeAnnotation.StringLogicalTypeAnnotation]
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else (st.genericGetMin, st.genericGetMax) match {
             case (mn: java.lang.Number, mx: java.lang.Number)
                 if !mn.isInstanceOf[java.lang.Double] &&
                    !mn.isInstanceOf[java.lang.Float] =>
-              Some((s"L:${mn.longValue}", s"L:${mx.longValue}"))
+              if (plainInt) Some((s"L:${mn.longValue}", s"L:${mx.longValue}"))
+              else None
             case (mn: java.lang.Number, mx: java.lang.Number) =>
               Some((s"D:${mn.doubleValue}", s"D:${mx.doubleValue}"))
             case (mn: org.apache.parquet.io.api.Binary,
-                  mx: org.apache.parquet.io.api.Binary) =>
+                  mx: org.apache.parquet.io.api.Binary) if utf8 =>
               val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
               // parquet orders binary stats by unsigned bytes; Java
               // compares UTF-16 chars — the orders agree only on ASCII,
@@ -1688,7 +1703,12 @@ final class SnapshotTable(
         // commit (parquet min/max ignores nulls, so a kept file could
         // silently hold the null-keyed row the batch replaces).
         val ccs = clusterColumns
+        // an evolveSchema batch may legitimately OMIT a statted
+        // cluster column (kept rows null-fill it); probing a missing
+        // column would fail analysis, so it simply contributes no
+        // pruning and the merge is O(live) for that batch
         val statted = ccs.filter(statsColumns.contains)
+          .filter(knock.columns.contains)
         val (touchedFiles, keptFiles) =
           if (statted.isEmpty || live.isEmpty) (live, Seq.empty[FileEntry])
           else {
@@ -1943,9 +1963,12 @@ final class SnapshotTable(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
     val live = m.entries
-    // same auto-derived box as rewriteWhere: a point MoR delete on a
-    // stats/bloom-covered key probes only the files that can hold it
-    val box = if (bounds.nonEmpty) bounds else PredicateBounds.derive(predicate)
+    // same auto-derived, schema-checked box as rewriteWhere: a point
+    // MoR delete on a stats-covered key probes only the files that
+    // can hold it
+    val box =
+      if (bounds.nonEmpty) bounds
+      else PredicateBounds.deriveFor(predicate, m.schema)
     val cands = if (box.isEmpty) live else candidatesOf(live, box)
     if (cands.isEmpty) return
     val cap = effectiveProps.get("graft.mor.maxDeleteRows")
@@ -1954,7 +1977,7 @@ final class SnapshotTable(
     // applies): an already-deleted row must not re-enter its file's
     // vector, so re-running the same delete is a clean no-op
     val bcOld = spark.sparkContext.broadcast(
-      cands.filter(_.deletedRows.nonEmpty).map(e =>
+      cands.filter(_.hasDeletes).map(e =>
         e.path.substring(e.path.lastIndexOf('/') + 1) -> e.deletedBitmap)
         .toMap)
     val visible = udf { (file: String, idx: Long) =>
@@ -2014,7 +2037,7 @@ final class SnapshotTable(
   def purgeDeletes(): Unit = {
     val v = currentVersion.getOrElse(return)
     val m = readManifest(v)
-    val (dvd, clean) = m.entries.partition(_.deletedRows.nonEmpty)
+    val (dvd, clean) = m.entries.partition(_.hasDeletes)
     if (dvd.isEmpty) return
     val rewritten = writeDataFiles(readFiles(dvd, m.schema))
     commitManifest(v + 1, clean ++ rewritten,
@@ -2079,8 +2102,12 @@ final class SnapshotTable(
     val live = m.entries
     // no explicit bounds → derive a conservative box from the
     // predicate itself (PredicateBounds): `DELETE WHERE date < X`
-    // stats-prunes with no caller hand-holding, like Delta/Iceberg
-    val box = if (bounds.nonEmpty) bounds else PredicateBounds.derive(predicate)
+    // stats-prunes with no caller hand-holding, like Delta/Iceberg;
+    // schema-checked so a literal in a different unit than the
+    // column's stats (decimal/date/timestamp) derives nothing
+    val box =
+      if (bounds.nonEmpty) bounds
+      else PredicateBounds.deriveFor(predicate, m.schema)
     val cands = if (box.isEmpty) live else candidatesOf(live, box)
     if (cands.isEmpty) return
     // exact probe, ONE pass over the candidates' predicate columns:
@@ -2183,7 +2210,7 @@ final class SnapshotTable(
     * merges, compaction or the DML probe paths. */
   private def readFiles(entries: Seq[FileEntry],
                         manifestSchema: Option[StructType] = None): DataFrame = {
-    val (dvd, plain) = entries.partition(_.deletedRows.nonEmpty)
+    val (dvd, plain) = entries.partition(_.hasDeletes)
     if (dvd.isEmpty) return readFilesRaw(entries, manifestSchema)
     // vectors travel as compressed Roaring-style bitmaps
     // ([[graft.functions.DeleteBitmap]]): ≤ 2 bytes/deleted row in the
@@ -2592,7 +2619,7 @@ final class SnapshotTable(
     // readFiles drops the deleted rows on the way through, and the
     // packed replacement files carry no vector
     val (frag, keep) = live.groupBy(e => partOf(e.path)).partition {
-      case (_, es) => es.exists(_.deletedRows.nonEmpty) ||
+      case (_, es) => es.exists(_.hasDeletes) ||
         (es.size >= minFiles && packed(es) < es.size)
     }
     if (frag.isEmpty) return
@@ -3008,7 +3035,7 @@ object SnapshotTable {
     * in-scan). */
   private[graft] def requireNoDeletionVectors(entries: Seq[FileEntry],
                                               what: String): Unit = {
-    val dvd = entries.count(_.deletedRows.nonEmpty)
+    val dvd = entries.count(_.hasDeletes)
     if (dvd > 0)
       throw new IllegalStateException(
         s"$what: snapshot carries deletion vectors on $dvd file(s), " +
@@ -3086,6 +3113,12 @@ object SnapshotTable {
         case (v, _) if v.length > 3 && v.charAt(2) == ':' =>
           (v.take(3), graft.functions.BloomSketch.fromBase64(v.drop(3)))
       }
+
+    /** O(1) does-this-file-carry-a-deletion-vector probe — key
+      * presence only, NO decode. Every existence check must use this:
+      * `deletedRows.nonEmpty` materializes the full vector (up to
+      * hundreds of MB at the 64M-row cap) just to test emptiness. */
+    def hasDeletes: Boolean = stats.contains(FileEntry.DvKey)
 
     /** Row positions deleted from this otherwise-live file (deletion
       * vector), sorted ascending; empty when none. Prefer

@@ -47,11 +47,15 @@ final class GraftTable(
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  // `option("branch", name)` pins reads onto a branch's commit line
-  // (shared data directory, independent log). READ-side only: the V1
-  // write half and SQL DML guard against a silent write to MAIN.
-  // Case-insensitive lookup — a case-sensitive get let
-  // `option("BRANCH", ...)` bypass the write guard and hit main.
+  // `option("branch", name)` pins this table handle onto a branch's
+  // commit line (shared data directory, independent log) — reads AND
+  // writes: the catalog's `ns.`t$branch_<name>`` identifier resolves
+  // here, so SQL SELECT/INSERT/MERGE/UPDATE/DELETE all run branch-
+  // local. Only path-based `save()` writes refuse the option
+  // (GraftSource.createRelation), keeping an untracked writer off a
+  // branch line it cannot see. Case-insensitive lookup — a
+  // case-sensitive get let `option("BRANCH", ...)` slip through to
+  // main.
   private[sources] val branchOpt: Option[String] =
     GraftSource.optCI(options, "branch")
 
@@ -152,7 +156,7 @@ final class GraftTable(
     * snapshot hide deleted rows with no materialization step. Empty
     * for clean snapshots. */
   private val dvByBase: Map[String, graft.functions.DeleteBitmap] =
-    entries.filter(_.deletedRows.nonEmpty)
+    entries.filter(_.hasDeletes)
       .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
         -> e.deletedBitmap).toMap
 

@@ -43,8 +43,29 @@ object StreamingView {
                        view: SnapshotTable, keys: Seq[String],
                        sums: Seq[(String, org.apache.spark.sql.Column)],
                        checkpointDir: String): Unit = {
-    val q = spark.readStream.format("graft")
+    // an existing view that was NOT created by a maintainer has no
+    // trustworthy baseline — folding a snapshot onto arbitrary rows
+    // would corrupt silently (same contract as the batch refresh)
+    val absorbedAtStart =
+      if (!view.exists) 0L
+      else view.properties.get(MaterializedAgg.SourceVersionProp)
+        .flatMap(_.toLongOption).getOrElse(throw new IllegalStateException(
+          s"view carries no ${MaterializedAgg.SourceVersionProp} — not " +
+            "a maintained view (create it through maintainAdditive or " +
+            "MaterializedAgg.refreshAdditive)"))
+    val reader = spark.readStream.format("graft")
       .option("readChangeFeed", "true")
+    // a FRESH checkpoint against a live view must NOT start from the
+    // collapsed initial snapshot: its images are a full STATE stamped
+    // with the head version (all above the watermark), and folding
+    // them onto the absorbed state would double every group. Pinning
+    // startingVersion to the watermark makes a fresh checkpoint
+    // resume per-commit exactly where the view stands; an EXISTING
+    // checkpoint ignores the option and resumes from its own offset,
+    // where the per-batch version fence below handles any overlap.
+    if (absorbedAtStart > 0L)
+      reader.option("startingVersion", absorbedAtStart)
+    val q = reader
       .load(srcPath)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -53,6 +53,31 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(PredicateBounds.derive(col("k").isin(1, "x")).isEmpty)
   }
 
+  test("deriveFor drops bounds whose column's type is in a different stat family") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("price", DecimalType(10, 2)),
+      StructField("x", DoubleType), StructField("d", DateType),
+      StructField("s", StringType)))
+    def d(c: org.apache.spark.sql.Column) =
+      PredicateBounds.deriveFor(c, Some(schema))
+    // long column + int literal: same L family, kept
+    assert(d(col("k") === 5) == Seq(("k", 5, 5)))
+    assert(d(col("s") <= "m") == Seq(("s", "", "m")))
+    // DECIMAL column + integral literal: legal SQL, but L-tagged
+    // stats for a decimal column are UNSCALED — pruning on them would
+    // silently skip matching rows. Must derive nothing.
+    assert(d(col("price") < 10).isEmpty)
+    assert(d(col("price") < 10.0).isEmpty)
+    // double column + int literal: family mismatch (useless bound)
+    assert(d(col("x") === 5).isEmpty)
+    // date column never derives, whatever the literal
+    assert(d(col("d") === 18000).isEmpty)
+    // unknown column or no schema: nothing
+    assert(d(col("nope") === 1).isEmpty)
+    assert(PredicateBounds.deriveFor(col("k") === 5, None).isEmpty)
+  }
+
   test("derived boxes prune manifest candidates end-to-end") {
     val path = Files.createTempDirectory("graft_pbound").toString + "/t"
     val t = SnapshotTable(spark, path, "id",

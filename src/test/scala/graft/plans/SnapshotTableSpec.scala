@@ -1825,6 +1825,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.count() == 401)
   }
 
+  test("evolveSchema upsert may omit a statted cluster column (pruning stands down)") {
+    val t = SnapshotTable(spark, tmp("clupsertevolve"), "id",
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 4)
+    t.create((1 to 20).map(i => (i, i, s"v$i")).toDF("id", "k", "val"))
+    // the evolving batch has NO k column and a NEW extra column —
+    // legal under evolveSchema (kept rows null-fill both ways); the
+    // cluster-bounds probe must not fail analysis on the missing k
+    t.upsert(Seq((1, "V1", "new")).toDF("id", "val", "extra"),
+      evolveSchema = true)
+    val got = t.read.orderBy("id").collect()
+    assert(got.length == 20)
+    assert(got.head.getAs[String]("val") == "V1")
+    assert(got.head.getAs[String]("extra") == "new")
+    assert(got(1).getAs[String]("extra") == null)
+  }
+
   test("clustered upsert with a NULL cluster value disables pruning, stays correct") {
     val t = SnapshotTable(spark, tmp("clupsertnull"), "id",
       statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 4)

@@ -70,4 +70,41 @@ class StreamingViewSpec extends SparkSpec {
     assert(view.currentVersion == vBefore,
       "fully-absorbed replay must not commit")
   }
+
+  test("fresh checkpoint with a LAGGING watermark resumes per-commit, never doubles") {
+    val base = tmp("svlag")
+    val src = SnapshotTable(spark, s"$base/src", "id", Some("grp"))
+    val view = SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol,
+      statsCols = Seq(MaterializedAgg.KeyCol),
+      clusterBy = Seq(MaterializedAgg.KeyCol), clusterFiles = 4)
+    src.create(rows((1, 10, "a"), (2, 20, "b")))
+    StreamingView.maintainAdditive(spark, s"$base/src", view,
+      Seq("grp"), sums, s"$base/ckpt")
+    // source advances past the view's watermark; the checkpoint is
+    // LOST. The naive restart would collapse span (0, head] into one
+    // snapshot stamped head — all above the watermark — and fold the
+    // already-absorbed state a second time (every total doubled).
+    src.upsert(rows((3, 5, "a")))
+    StreamingView.maintainAdditive(spark, s"$base/src", view,
+      Seq("grp"), sums, s"$base/ckpt_rebuilt")
+    assert(state(view) == expected(src),
+      s"lagging-watermark restart corrupted the view: ${state(view)}")
+    assert(view.properties(MaterializedAgg.SourceVersionProp) ==
+      src.currentVersion.get.toString)
+  }
+
+  test("an existing view without the watermark property fails loudly") {
+    import spark.implicits._
+    val base = tmp("svbad")
+    val src = SnapshotTable(spark, s"$base/src", "id", Some("grp"))
+    src.create(rows((1, 1, "a")))
+    val view = SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol)
+    view.create(Seq(("k", "a", 1L, 1L))
+      .toDF(MaterializedAgg.KeyCol, "grp", "total", MaterializedAgg.CountCol))
+    val e = intercept[IllegalStateException] {
+      StreamingView.maintainAdditive(spark, s"$base/src", view,
+        Seq("grp"), sums, s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("not a maintained view"))
+  }
 }
