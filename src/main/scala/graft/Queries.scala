@@ -567,6 +567,59 @@ object Queries {
       .orderBy("o_orderdate")
   }
 
+  /** The materialized view as a SQL-operable object: the definition
+    * (source path, mode, group keys, measure SQL) is LOGGED on the
+    * view by [[plans.MaterializedAgg.defineAdditive]], after which
+    * the whole maintenance loop is pure SQL — mutate the source with
+    * MERGE/DELETE on its catalog name, `CALL
+    * graft.system.refresh_mv('cat.view')`, SELECT the view by name.
+    * Nobody in the refresh path knows the view's definition but the
+    * view itself (Delta/Databricks MV shape). Same fixture algebra
+    * and the same full-recompute oracle as [[mvIncremental]]. */
+  def mvSqlRefresh(s: SparkSession, dir: String): DataFrame = {
+    catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    s.sql("DROP TABLE IF EXISTS graft.cat.mv_src")
+    s.sql("DROP TABLE IF EXISTS graft.cat.mv_daily")
+    s.sql("""CREATE TABLE graft.cat.mv_src (
+            |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            |  o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("mv_sql_orders")
+    s.sql("""INSERT INTO graft.cat.mv_src
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |       o_orderdate
+            |FROM mv_sql_orders WHERE o_orderkey % 4 <> 3""".stripMargin)
+    // definition logged ONCE on the view (API); SQL owns the rest
+    val wh = scratch("catalog_wh", dir)
+    val src = plans.SnapshotTable(s, s"$wh/cat/mv_src", "o_orderkey")
+    val view = plans.SnapshotTable(s, s"$wh/cat/mv_daily",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
+    plans.MaterializedAgg.defineAdditive(src, view, Seq("o_orderdate"),
+      Seq("revenue_cents" -> "CAST(round(o_totalprice * 100) AS BIGINT)"))
+    // mutate the source in PURE SQL: price bump + inserts, then a
+    // retention delete
+    s.sql("""MERGE INTO graft.cat.mv_src tgt
+            |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+            |              round(o_totalprice + 1.0, 2) AS o_totalprice,
+            |              o_orderdate
+            |       FROM mv_sql_orders WHERE o_orderkey % 3 = 0) src
+            |ON tgt.o_orderkey = src.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("DELETE FROM graft.cat.mv_src WHERE o_orderkey % 5 = 0")
+    // refresh in PURE SQL; the returned row carries the new watermark
+    val st = s.sql("CALL graft.system.refresh_mv('cat.mv_daily')").head()
+    require(st.getLong(2) > 1L, s"refresh did not advance: $st")
+    s.sql("REFRESH TABLE graft.cat.mv_daily")
+    s.sql("""SELECT o_orderdate, revenue_cents,
+            |       `__mv_count` AS order_cnt
+            |FROM graft.cat.mv_daily ORDER BY o_orderdate""".stripMargin)
+  }
+
   /** Non-additive materialized aggregate
     * ([[plans.MaterializedAgg.refreshRecompute]]): min/max cannot fold
     * under deletes, so the change feed contributes only the DIRTY
@@ -2740,6 +2793,7 @@ object Queries {
     "retention_delete" -> (retentionDelete _),
     "mv_incremental" -> (mvIncremental _),
     "mv_stream_parity" -> (mvStreamParity _),
+    "mv_sql_refresh" -> (mvSqlRefresh _),
     "mv_minmax" -> (mvMinmax _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
@@ -3093,6 +3147,23 @@ object Queries {
     // stream-maintained view, same commits: identical result to the
     // batch refresh by construction
     "mv_stream_parity" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 5 <> 0
+        |)
+        |SELECT o_orderdate,
+        |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    // SQL-driven maintenance loop, same fixture algebra: the view
+    // refreshed through CALL refresh_mv must equal the full recompute
+    "mv_sql_refresh" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_orderdate,
         |         CASE WHEN o_orderkey % 3 = 0

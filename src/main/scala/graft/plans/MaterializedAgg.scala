@@ -165,6 +165,91 @@ object MaterializedAgg {
       out, toV, additive = false)
   }
 
+  // ---- persisted definitions: the SQL-driven refresh loop ----------
+
+  /** Definition properties logged on the view by [[defineAdditive]] /
+    * [[defineRecompute]] — enough to re-derive the whole refresh from
+    * the view alone, which is what lets `CALL
+    * graft.system.refresh_mv('ns.view')` run with no Scala in the
+    * loop. Values are URL-encoded so column names and expression SQL
+    * survive the flat property encoding. */
+  val SourceProp = "graft.mv.source"
+  val ModeProp = "graft.mv.mode"
+  val KeysProp = "graft.mv.keys"
+  val MeasuresProp = "graft.mv.measures"
+
+  private def encList(xs: Seq[String]): String =
+    xs.map(x => java.net.URLEncoder.encode(x, "UTF-8")).mkString(",")
+  private def decList(s: String): Seq[String] =
+    if (s.isEmpty) Nil
+    else s.split(",", -1).toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+
+  private def defProps(src: SnapshotTable, mode: String,
+                       keys: Seq[String],
+                       measures: Seq[(String, String)]): Map[String, String] =
+    Map(SourceProp -> src.path, ModeProp -> mode,
+      KeysProp -> encList(keys),
+      MeasuresProp -> measures.map { case (n, sql) =>
+        encList(Seq(n, sql))
+      }.mkString(";"))
+
+  /** [[refreshAdditive]] with measures as SQL EXPRESSION STRINGS, and
+    * the whole definition (source path, mode, keys, measures) staged
+    * onto the view's first commit — after this, anyone (including the
+    * `refresh_mv` procedure, i.e. pure SQL) can refresh the view
+    * without knowing its definition. */
+  def defineAdditive(src: SnapshotTable, view: SnapshotTable,
+                     keys: Seq[String],
+                     sums: Seq[(String, String)]): Unit = {
+    view.stageProperties(defProps(src, "additive", keys, sums))
+    refreshAdditive(src, view, keys,
+      sums.map { case (n, s) => (n, expr(s)) })
+  }
+
+  /** [[refreshRecompute]]'s definition form — measures are SQL
+    * AGGREGATE expression strings. */
+  def defineRecompute(src: SnapshotTable, view: SnapshotTable,
+                      keys: Seq[String],
+                      aggs: Seq[(String, String)]): Unit = {
+    view.stageProperties(defProps(src, "recompute", keys, aggs))
+    refreshRecompute(src, view, keys,
+      aggs.map { case (n, s) => (n, expr(s)) })
+  }
+
+  /** Refresh a view from its LOGGED definition alone (the
+    * `refresh_mv` procedure's engine): resolve the source path, mode,
+    * keys and measure SQL from the view's properties and dispatch to
+    * the right refresh. Fails loudly on a view that carries no
+    * definition. */
+  def refreshByDefinition(view: SnapshotTable): Unit = {
+    require(view.exists, s"no materialized view at ${view.path}")
+    val props = view.properties
+    def need(k: String): String = props.getOrElse(k,
+      throw new IllegalStateException(
+        s"view at ${view.path} logs no $k — not a DEFINED materialized " +
+          "view (create it through defineAdditive/defineRecompute)"))
+    val src = SnapshotTable(view.session, need(SourceProp),
+      "_unused_read_only")
+    require(src.exists,
+      s"materialized-view source ${need(SourceProp)} no longer exists")
+    val keys = decList(need(KeysProp))
+    val measures = need(MeasuresProp).split(";", -1).toSeq
+      .filter(_.nonEmpty).map { pair =>
+        decList(pair) match {
+          case Seq(n, sql) => (n, expr(sql))
+          case other => throw new IllegalStateException(
+            s"corrupt $MeasuresProp entry: $other")
+        }
+      }
+    need(ModeProp) match {
+      case "additive" => refreshAdditive(src, view, keys, measures)
+      case "recompute" => refreshRecompute(src, view, keys, measures)
+      case other => throw new IllegalStateException(
+        s"unknown materialized-view mode '$other' at ${view.path}")
+    }
+  }
+
   /** Merge refresh output into the view in ONE commit: upsert live
     * groups, delete emptied ones, stage the watermark. For the
     * additive path the incoming measures are DELTAS to fold onto the

@@ -2663,6 +2663,20 @@ final class SnapshotTable(
       bloomExpectedItems, bloomFpp, checkConstraints, partitionCols,
       tableProps, branch = Some(name))
 
+  /** The session this handle operates in (maintenance flows that
+    * derive further handles from one — [[MaterializedAgg]]). */
+  private[graft] def session: SparkSession = spark
+
+  /** This handle with a different MERGE key — for maintenance flows
+    * that must WRITE a table whose key is fixed by convention (the
+    * `refresh_mv` procedure writes views keyed by
+    * [[MaterializedAgg.KeyCol]] through a catalog handle that was
+    * constructed read-only). Everything else carries verbatim. */
+  def withPrimaryKey(pk: String): SnapshotTable =
+    new SnapshotTable(spark, path, pk, partitionCol, declaredSchema,
+      statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
+      bloomFpp, checkConstraints, partitionCols, tableProps, branch)
+
   /** Fork branch `name` from `fromVersion` (default: the head): ONE
     * atomic metadata write — the branch's v1 is a full manifest
     * referencing the fork point's files verbatim (schema, partition

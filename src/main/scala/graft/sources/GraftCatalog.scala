@@ -375,7 +375,8 @@ object GraftCatalog {
   private[sources] val ProcedureNames =
     Seq("vacuum", "compact", "restore", "history", "zorder",
       "tag", "drop_tag", "tags", "files",
-      "create_branch", "publish_branch", "drop_branch", "branches")
+      "create_branch", "publish_branch", "drop_branch", "branches",
+      "refresh_mv")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -441,6 +442,29 @@ object GraftCatalog {
           val t = snapshotOf(arg)
           t.vacuum(input.getInt(1), input.getLong(2))
           (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "refresh_mv" => Some(new Proc("refresh_mv",
+        "fold the source change feed into a DEFINED materialized view " +
+          "(created through MaterializedAgg.define*)",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          // the catalog handle is read-keyed; the view writes under
+          // its conventional key, everything else (clustered layout,
+          // logged props) resolves from the view's own manifest
+          val view = snapshotOf(arg)
+            .withPrimaryKey(graft.plans.MaterializedAgg.KeyCol)
+          graft.plans.MaterializedAgg.refreshByDefinition(view)
+          val schema = StructType(Seq(
+            StructField("table", DataTypes.StringType, nullable = false),
+            StructField("view_version", DataTypes.LongType, nullable = false),
+            StructField("source_version", DataTypes.LongType,
+              nullable = false)))
+          (schema, Array(row(arg, view.currentVersion.getOrElse(-1L),
+            view.properties
+              .get(graft.plans.MaterializedAgg.SourceVersionProp)
+              .flatMap(_.toLongOption).getOrElse(-1L))))
         }
       })
       case "compact" => Some(new Proc("compact",

@@ -124,6 +124,41 @@ class MaterializedAggSpec extends SparkSpec {
     assert(st() == Map("a" -> ((10, 10)), "z" -> ((1, 1))))
   }
 
+  test("defined views refresh from their logged definition alone") {
+    val base = tmp("mvdef")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(rows((1, 10, "a"), (2, 20, "b")))
+    MaterializedAgg.defineAdditive(src, view, Seq("grp"),
+      Seq("total" -> "CAST(amount AS BIGINT)"))
+    assert(viewState(view) == expected(src))
+    // mutate, then refresh through a handle that knows NOTHING but
+    // the view path — definition comes from the logged properties
+    src.upsert(rows((3, 7, "a")))
+    src.delete(col("grp") === "b")
+    val bare = SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol)
+    MaterializedAgg.refreshByDefinition(bare)
+    assert(viewState(view) == expected(src))
+    // a view with no definition refuses
+    val base2 = tmp("mvdef2")
+    val src2 = mkSrc(base2); val view2 = mkView(base2)
+    src2.create(rows((1, 1, "a")))
+    MaterializedAgg.refreshAdditive(src2, view2, Seq("grp"), sums)
+    val e = intercept[IllegalStateException] {
+      MaterializedAgg.refreshByDefinition(view2)
+    }
+    assert(e.getMessage.contains("not a DEFINED materialized view"))
+    // recompute-mode definitions round-trip too
+    val base3 = tmp("mvdef3")
+    val src3 = mkSrc(base3); val view3 = mkView(base3)
+    src3.create(rows((1, 10, "a"), (2, 20, "a")))
+    MaterializedAgg.defineRecompute(src3, view3, Seq("grp"),
+      Seq("hi" -> "max(amount)"))
+    src3.delete(col("id") === 2)
+    MaterializedAgg.refreshByDefinition(
+      SnapshotTable(spark, s"$base3/view", MaterializedAgg.KeyCol))
+    assert(view3.read.select("hi").head.getInt(0) == 10)
+  }
+
   test("watermark safety: missing prop and ahead-of-head both fail loudly") {
     val base = tmp("mvguard")
     val src = mkSrc(base); val view = mkView(base)
