@@ -567,15 +567,17 @@ object Queries {
       .orderBy("o_orderdate")
   }
 
-  /** The materialized view as a SQL-operable object: the definition
-    * (source path, mode, group keys, measure SQL) is LOGGED on the
-    * view by [[plans.MaterializedAgg.defineAdditive]], after which
-    * the whole maintenance loop is pure SQL — mutate the source with
-    * MERGE/DELETE on its catalog name, `CALL
-    * graft.system.refresh_mv('cat.view')`, SELECT the view by name.
-    * Nobody in the refresh path knows the view's definition but the
-    * view itself (Delta/Databricks MV shape). Same fixture algebra
-    * and the same full-recompute oracle as [[mvIncremental]]. */
+  /** The materialized view as a PURE-SQL object, end to end: CREATE
+    * TABLE declares the view's schema, clustered layout AND its
+    * definition (source path, mode, group keys, one
+    * `graft.mv.measure.<name>` property per measure), the first
+    * `CALL graft.system.refresh_mv` folds the source from scratch
+    * into the empty table, the source mutates through MERGE/DELETE on
+    * its catalog name, refresh_mv catches the view up, and SELECT
+    * reads it by name. No Scala anywhere in the loop; nobody in the
+    * refresh path knows the definition but the view itself
+    * (Delta/Databricks MV shape). Same fixture algebra and the same
+    * full-recompute oracle as [[mvIncremental]]. */
   def mvSqlRefresh(s: SparkSession, dir: String): DataFrame = {
     catalogWarehouse(s, dir)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
@@ -591,15 +593,22 @@ object Queries {
             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             |       o_orderdate
             |FROM mv_sql_orders WHERE o_orderkey % 4 <> 3""".stripMargin)
-    // definition logged ONCE on the view (API); SQL owns the rest
+    // the view is DECLARED in SQL too: schema + clustered layout +
+    // the whole definition as TBLPROPERTIES — the first refresh_mv
+    // folds the source from scratch into the empty table
     val wh = scratch("catalog_wh", dir)
-    val src = plans.SnapshotTable(s, s"$wh/cat/mv_src", "o_orderkey")
-    val view = plans.SnapshotTable(s, s"$wh/cat/mv_daily",
-      plans.MaterializedAgg.KeyCol,
-      statsCols = Seq(plans.MaterializedAgg.KeyCol),
-      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
-    plans.MaterializedAgg.defineAdditive(src, view, Seq("o_orderdate"),
-      Seq("revenue_cents" -> "CAST(round(o_totalprice * 100) AS BIGINT)"))
+    s.sql(s"""CREATE TABLE graft.cat.mv_daily (
+            |  `__mv_key` STRING, o_orderdate TIMESTAMP,
+            |  revenue_cents BIGINT, `__mv_count` BIGINT)
+            |TBLPROPERTIES (
+            |  'primaryKey' = '__mv_key',
+            |  'clusterBy' = '__mv_key', 'clusterFiles' = '8',
+            |  'graft.mv.source' = '$wh/cat/mv_src',
+            |  'graft.mv.mode' = 'additive',
+            |  'graft.mv.keys' = 'o_orderdate',
+            |  'graft.mv.measure.revenue_cents' =
+            |    'CAST(round(o_totalprice * 100) AS BIGINT)')""".stripMargin)
+    s.sql("CALL graft.system.refresh_mv('cat.mv_daily')")
     // mutate the source in PURE SQL: price bump + inserts, then a
     // retention delete
     s.sql("""MERGE INTO graft.cat.mv_src tgt
@@ -968,13 +977,16 @@ object Queries {
     table.readWhere(("o_orderkey", 1000L, 2000L)).select(ordersCols.map(col): _*)
   }
 
-  /** Incremental MATERIALIZED-AGGREGATE maintenance: a per-status
-    * (count, sum) aggregate built at v1 is refreshed to v2 using ONLY
-    * the CDC delta (`changesDelta`: after-images add, before-images
-    * subtract) — never re-reading the table. The oracle is the full
-    * recompute over the merged state, so the maintained aggregate must
-    * be EXACTLY the from-scratch answer. At 100 TB this is the
-    * difference between an O(delta) refresh and an O(table) one. */
+  /** Incremental MATERIALIZED-AGGREGATE maintenance (the in-plan
+    * demonstration of the fold algebra; the PERSISTED, multi-commit,
+    * deletion-handling form is [[plans.MaterializedAgg]] /
+    * [[mvIncremental]]): a per-status (count, sum) aggregate built at
+    * v1 is refreshed to v2 using ONLY the CDC delta (`changesDelta`:
+    * after-images add, before-images subtract) — never re-reading the
+    * table. The oracle is the full recompute over the merged state,
+    * so the maintained aggregate must be EXACTLY the from-scratch
+    * answer. At 100 TB this is the difference between an O(delta)
+    * refresh and an O(table) one. */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val target = orders.filter(col("o_orderkey") % 2 === 0)

@@ -73,9 +73,17 @@ object MaterializedAgg {
     val fromV =
       if (!view.exists) 0L
       else view.properties.get(SourceVersionProp).flatMap(_.toLongOption)
-        .getOrElse(throw new IllegalStateException(
-          s"view carries no $SourceVersionProp — not a maintained view " +
-            "(create it through refreshAdditive/refreshRecompute)"))
+        .getOrElse {
+          // an EMPTY view without a watermark is a declared-but-never-
+          // refreshed view (SQL `CREATE TABLE … TBLPROPERTIES(…)` of
+          // the definition): folding from v0 into nothing is exactly
+          // the create path. A view WITH rows but no watermark is an
+          // arbitrary table — refuse to corrupt it.
+          if (view.candidateFiles().isEmpty) 0L
+          else throw new IllegalStateException(
+            s"view carries no $SourceVersionProp — not a maintained " +
+              "view (create it through refreshAdditive/refreshRecompute)")
+        }
     if (fromV > toV) throw new IllegalStateException(
       s"view watermark v$fromV is ahead of source head v$toV — the " +
         "source was restored or recreated; drop and rebuild the view")
@@ -171,28 +179,23 @@ object MaterializedAgg {
     * [[defineRecompute]] — enough to re-derive the whole refresh from
     * the view alone, which is what lets `CALL
     * graft.system.refresh_mv('ns.view')` run with no Scala in the
-    * loop. Values are URL-encoded so column names and expression SQL
-    * survive the flat property encoding. */
+    * loop. The format is plain TBLPROPERTIES, so a view can equally
+    * be DEFINED in pure SQL: `CREATE TABLE … TBLPROPERTIES
+    * ('graft.mv.source' = '<path>', 'graft.mv.mode' = 'additive',
+    * 'graft.mv.keys' = 'k1,k2',
+    * 'graft.mv.measure.revenue' = '<expr sql>')` — one property per
+    * measure, keyed by its output column name. */
   val SourceProp = "graft.mv.source"
   val ModeProp = "graft.mv.mode"
   val KeysProp = "graft.mv.keys"
-  val MeasuresProp = "graft.mv.measures"
-
-  private def encList(xs: Seq[String]): String =
-    xs.map(x => java.net.URLEncoder.encode(x, "UTF-8")).mkString(",")
-  private def decList(s: String): Seq[String] =
-    if (s.isEmpty) Nil
-    else s.split(",", -1).toSeq
-      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+  val MeasurePrefix = "graft.mv.measure."
 
   private def defProps(src: SnapshotTable, mode: String,
                        keys: Seq[String],
                        measures: Seq[(String, String)]): Map[String, String] =
     Map(SourceProp -> src.path, ModeProp -> mode,
-      KeysProp -> encList(keys),
-      MeasuresProp -> measures.map { case (n, sql) =>
-        encList(Seq(n, sql))
-      }.mkString(";"))
+      KeysProp -> keys.mkString(",")) ++
+      measures.map { case (n, sql) => s"$MeasurePrefix$n" -> sql }
 
   /** [[refreshAdditive]] with measures as SQL EXPRESSION STRINGS, and
     * the whole definition (source path, mode, keys, measures) staged
@@ -233,15 +236,17 @@ object MaterializedAgg {
       "_unused_read_only")
     require(src.exists,
       s"materialized-view source ${need(SourceProp)} no longer exists")
-    val keys = decList(need(KeysProp))
-    val measures = need(MeasuresProp).split(";", -1).toSeq
-      .filter(_.nonEmpty).map { pair =>
-        decList(pair) match {
-          case Seq(n, sql) => (n, expr(sql))
-          case other => throw new IllegalStateException(
-            s"corrupt $MeasuresProp entry: $other")
-        }
-      }
+    val keys = need(KeysProp).split(",", -1).toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    // one property per measure; alphabetical by output name so the
+    // derived column order is deterministic (the merge conforms by
+    // NAME, so order never affects results)
+    val measures = props.toSeq
+      .collect { case (k, sql) if k.startsWith(MeasurePrefix) =>
+        (k.stripPrefix(MeasurePrefix), expr(sql))
+      }.sortBy(_._1)
+    require(measures.nonEmpty,
+      s"view at ${view.path} logs no $MeasurePrefix* measures")
     need(ModeProp) match {
       case "additive" => refreshAdditive(src, view, keys, measures)
       case "recompute" => refreshRecompute(src, view, keys, measures)

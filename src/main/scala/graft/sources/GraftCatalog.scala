@@ -209,10 +209,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     props.get("primaryKey").foreach(pk =>
       require(schema.fieldNames.contains(pk),
         s"primaryKey '$pk' not in table schema"))
+    // TBLPROPERTIES('clusterBy' = 'c1,c2'[, 'clusterFiles' = 'n'])
+    // declares the range-clustered flat layout from SQL (the shape a
+    // materialized view wants: stats-scoped merges on its key). The
+    // layout is logged in the create manifest, so every later writer
+    // — whatever handle — clusters and stats the same way.
+    val clusterCols = props.get("clusterBy")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"clusterBy column '$c' not in table schema"))
+    require(clusterCols.isEmpty || partCols.isEmpty,
+      "clusterBy is the flat-layout alternative to PARTITIONED BY — " +
+        "declare one or the other")
     fs.mkdirs(nsPath(ident.namespace))
     SnapshotTable(spark, tablePath(ident),
       props.getOrElse("primaryKey", "_unused_no_merge_key"),
-      partitionCols = partCols, tableProps = props)
+      partitionCols = partCols,
+      statsCols = clusterCols,
+      clusterBy = clusterCols,
+      clusterFiles = props.get("clusterFiles")
+        .flatMap(_.toIntOption).getOrElse(0),
+      tableProps = props)
       .createEmpty(schema)
     loadTable(ident)
   }

@@ -49,10 +49,16 @@ object StreamingView {
     val absorbedAtStart =
       if (!view.exists) 0L
       else view.properties.get(MaterializedAgg.SourceVersionProp)
-        .flatMap(_.toLongOption).getOrElse(throw new IllegalStateException(
-          s"view carries no ${MaterializedAgg.SourceVersionProp} — not " +
-            "a maintained view (create it through maintainAdditive or " +
-            "MaterializedAgg.refreshAdditive)"))
+        .flatMap(_.toLongOption).getOrElse {
+          // an EMPTY watermark-less view is declared-but-never-
+          // refreshed (SQL CREATE TABLE of the definition): fold from
+          // scratch. One WITH rows is an arbitrary table — refuse.
+          if (view.candidateFiles().isEmpty) 0L
+          else throw new IllegalStateException(
+            s"view carries no ${MaterializedAgg.SourceVersionProp} — " +
+              "not a maintained view (create it through " +
+              "maintainAdditive or MaterializedAgg.refreshAdditive)")
+        }
     val reader = spark.readStream.format("graft")
       .option("readChangeFeed", "true")
     // a FRESH checkpoint against a live view must NOT start from the

@@ -36,11 +36,14 @@ object ScaleSmoke {
   // four STREAMING entries (sink merge, funnel state, stream-stream
   // join state, CDC source offsets): state-store and offset-log growth
   // are scale axes the batch entries never exercise
+  // mv_incremental: the O(changed rows) refresh claim is exactly a
+  // scale axis — at 10x data the fold must track the CHANGE volume
   private val Heaviest = Seq(
     "pipeline_e2e", "sketch_partition_maintenance", "snapshot_compact",
     "mor_delete", "catalog_sql_lifecycle", "corpus_curation",
     "doc_winnow_fingerprints", "stream_sink_merge", "snapshot_changes",
-    "funnel_stream_parity", "stream_stream_join", "cdc_stream_parity")
+    "funnel_stream_parity", "stream_stream_join", "cdc_stream_parity",
+    "mv_incremental")
 
   def main(args: Array[String]): Unit = {
     val round = args.headOption.getOrElse("8")

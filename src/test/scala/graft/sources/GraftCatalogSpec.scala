@@ -407,6 +407,53 @@ class GraftCatalogSpec extends SparkSpec {
       s"properties not surfaced: $desc")
   }
 
+  test("CREATE TABLE declares a clustered layout; SQL-defined MV refreshes via CALL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mvns")
+    sql("""CREATE TABLE graft.mvns.src
+           (id BIGINT, grp STRING, amount BIGINT)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.mvns.src VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 5)")
+    // the view: schema + clustered layout + full definition, pure SQL
+    sql(s"""CREATE TABLE graft.mvns.daily
+           (`__mv_key` STRING, grp STRING, total BIGINT, `__mv_count` BIGINT)
+           TBLPROPERTIES (
+             'primaryKey' = '__mv_key',
+             'clusterBy' = '__mv_key', 'clusterFiles' = '4',
+             'graft.mv.source' = '$warehouse/mvns/src',
+             'graft.mv.mode' = 'additive',
+             'graft.mv.keys' = 'grp',
+             'graft.mv.measure.total' = 'CAST(amount AS BIGINT)')""")
+    // first refresh folds the source from scratch into the empty view
+    val st1 = sql("CALL graft.system.refresh_mv('mvns.daily')").head()
+    assert(st1.getLong(2) >= 1L)
+    sql("REFRESH TABLE graft.mvns.daily")
+    def state() = sql(
+      "SELECT grp, total, `__mv_count` FROM graft.mvns.daily ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+    // the CREATEd layout actually clusters: the view's files carry
+    // key stats (the stats-scoped merge's precondition)
+    val vt = SnapshotTable(spark, s"$warehouse/mvns/daily",
+      graft.plans.MaterializedAgg.KeyCol)
+    assert(vt.candidateFiles().forall(
+      _.stats.contains(graft.plans.MaterializedAgg.KeyCol)),
+      "clusterBy TBLPROPERTY did not produce key stats")
+    // mutate and catch up, still pure SQL; the emptied group leaves
+    sql("DELETE FROM graft.mvns.src WHERE grp = 'b'")
+    sql("INSERT INTO graft.mvns.src VALUES (4, 'a', 1)")
+    sql("CALL graft.system.refresh_mv('mvns.daily')")
+    sql("REFRESH TABLE graft.mvns.daily")
+    assert(state() == Seq(("a", 31L, 3L)))
+    // a clusterBy column missing from the schema fails at CREATE
+    val e = intercept[Exception] {
+      sql("""CREATE TABLE graft.mvns.bad (id BIGINT)
+             TBLPROPERTIES ('clusterBy' = 'nope')""")
+    }
+    assert(e.getMessage.contains("clusterBy column"))
+  }
+
   test("CALL graft.system.zorder: rewrite makes box predicates prune on both columns") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.zm")
