@@ -294,12 +294,18 @@ object Queries {
     s.read.parquet(s"$base/out").select(ordersCols.map(col): _*)
   }
 
-  /** The shared warehouse of the session's `graft` V2 catalog. The
-    * catalog resolves lazily from conf and pins its warehouse at first
-    * use, so every catalog query in a JVM must agree on the path —
-    * one scratch tag, keyed by sf like every other fixture. */
-  private def catalogWarehouse(s: SparkSession, dir: String): Unit =
-    sources.GraftCatalog.register(s, "graft", scratch("catalog_wh", dir))
+  /** Register the session's `graft` V2 catalog and return its shared
+    * warehouse path. The catalog resolves lazily from conf and pins
+    * its warehouse at first use, so every catalog query in a JVM must
+    * agree on the path — one scratch tag, keyed by sf like every
+    * other fixture; entries that must point TBLPROPERTIES at a
+    * warehouse-resident table use the RETURN value, never re-derive
+    * the path. */
+  private def catalogWarehouse(s: SparkSession, dir: String): String = {
+    val wh = scratch("catalog_wh", dir)
+    sources.GraftCatalog.register(s, "graft", wh)
+    wh
+  }
 
   /** The V2 TableCatalog surface end-to-end in PURE SQL — the full
     * lakehouse lifecycle a SQL-only user runs, nothing but names:
@@ -579,7 +585,7 @@ object Queries {
     * (Delta/Databricks MV shape). Same fixture algebra and the same
     * full-recompute oracle as [[mvIncremental]]. */
   def mvSqlRefresh(s: SparkSession, dir: String): DataFrame = {
-    catalogWarehouse(s, dir)
+    val wh = catalogWarehouse(s, dir)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
     s.sql("DROP TABLE IF EXISTS graft.cat.mv_src")
     s.sql("DROP TABLE IF EXISTS graft.cat.mv_daily")
@@ -596,7 +602,6 @@ object Queries {
     // the view is DECLARED in SQL too: schema + clustered layout +
     // the whole definition as TBLPROPERTIES — the first refresh_mv
     // folds the source from scratch into the empty table
-    val wh = scratch("catalog_wh", dir)
     s.sql(s"""CREATE TABLE graft.cat.mv_daily (
             |  `__mv_key` STRING, o_orderdate TIMESTAMP,
             |  revenue_cents BIGINT, `__mv_count` BIGINT)

@@ -62,6 +62,40 @@ object MaterializedAgg {
       when(col(k).isNull, lit("\u0000"))
         .otherwise(concat(lit("="), url_encode(col(k).cast("string"))))): _*)
 
+  /** Stamped on every refresh commit; bumped if [[keyExpr]]'s
+    * encoding ever changes. A view persisted under a DIFFERENT key
+    * format must be rebuilt, not folded onto — the merge would miss
+    * every old-format group and double-list them silently. */
+  val KeyFormatProp = "graft.mv.keyFormat"
+  private val KeyFormat = "1"
+
+  /** The source version the view has absorbed — the shared watermark
+    * contract of the batch refresh AND the streaming maintainer: a
+    * missing view (or an EMPTY one, the SQL
+    * `CREATE TABLE … TBLPROPERTIES(…)` declared-but-never-refreshed
+    * case) folds from 0; a view WITH rows but no watermark is an
+    * arbitrary table — refuse to corrupt it. Also refuses a non-empty
+    * view whose [[KeyFormatProp]] predates the current key encoding. */
+  private[graft] def absorbedVersion(view: SnapshotTable): Long =
+    if (!view.exists) 0L
+    else view.properties.get(SourceVersionProp).flatMap(_.toLongOption)
+      .map { w =>
+        if (!view.properties.get(KeyFormatProp).contains(KeyFormat) &&
+            view.candidateFiles().nonEmpty)
+          throw new IllegalStateException(
+            s"view at ${view.path} was persisted under group-key " +
+              s"format ${view.properties.getOrElse(KeyFormatProp, "0")} " +
+              s"(current $KeyFormat) — a fold would miss every " +
+              "old-format group; drop and rebuild the view")
+        w
+      }
+      .getOrElse {
+        if (view.candidateFiles().isEmpty) 0L
+        else throw new IllegalStateException(
+          s"view carries no $SourceVersionProp — not a maintained " +
+            "view (create it through refreshAdditive/refreshRecompute)")
+      }
+
   /** The (fromV, toV] span still owed to the view, or None when
     * already current. Refuses a watermark AHEAD of the source head —
     * that means the source was restored/recreated under the view, and
@@ -70,20 +104,7 @@ object MaterializedAgg {
       : Option[(Long, Long)] = {
     val toV = src.currentVersion.getOrElse(
       throw new IllegalStateException("source has no committed snapshot"))
-    val fromV =
-      if (!view.exists) 0L
-      else view.properties.get(SourceVersionProp).flatMap(_.toLongOption)
-        .getOrElse {
-          // an EMPTY view without a watermark is a declared-but-never-
-          // refreshed view (SQL `CREATE TABLE … TBLPROPERTIES(…)` of
-          // the definition): folding from v0 into nothing is exactly
-          // the create path. A view WITH rows but no watermark is an
-          // arbitrary table — refuse to corrupt it.
-          if (view.candidateFiles().isEmpty) 0L
-          else throw new IllegalStateException(
-            s"view carries no $SourceVersionProp — not a maintained " +
-              "view (create it through refreshAdditive/refreshRecompute)")
-        }
+    val fromV = absorbedVersion(view)
     if (fromV > toV) throw new IllegalStateException(
       s"view watermark v$fromV is ahead of source head v$toV — the " +
         "source was restored or recreated; drop and rebuild the view")
@@ -168,8 +189,9 @@ object MaterializedAgg {
       .join(broadcast(fresh), Seq(KeyCol), "left_outer")
       .withColumn(CountCol, coalesce(col(CountCol), lit(0L)))
     commitMerged(view, keys, aggs.map(_._1),
-      // keys of deleted groups are null after the right join; the
-      // delete path only needs KeyCol, and conformToSchema casts nulls
+      // deleted groups surface with NULL key/measure columns (KeyCol,
+      // the preserved left side, is never null); the delete path only
+      // needs KeyCol, and conformToSchema casts the nulls
       out, toV, additive = false)
   }
 
@@ -208,6 +230,7 @@ object MaterializedAgg {
     view.stageProperties(defProps(src, "additive", keys, sums))
     refreshAdditive(src, view, keys,
       sums.map { case (n, s) => (n, expr(s)) })
+    persistDefinitionIfUncommitted(view, defProps(src, "additive", keys, sums))
   }
 
   /** [[refreshRecompute]]'s definition form — measures are SQL
@@ -218,7 +241,18 @@ object MaterializedAgg {
     view.stageProperties(defProps(src, "recompute", keys, aggs))
     refreshRecompute(src, view, keys,
       aggs.map { case (n, s) => (n, expr(s)) })
+    persistDefinitionIfUncommitted(view, defProps(src, "recompute", keys, aggs))
   }
+
+  /** The refresh inside define* may be a NO-OP (view already current
+    * with its source), in which case nothing committed and the staged
+    * definition would be silently lost with the handle — a later
+    * `refresh_mv` would then refuse the "defined" view. Persist it as
+    * a metadata-only commit in that case. */
+  private def persistDefinitionIfUncommitted(
+      view: SnapshotTable, props: Map[String, String]): Unit =
+    if (view.exists && !view.properties.contains(ModeProp))
+      view.setProperties(props)
 
   /** Refresh a view from its LOGGED definition alone (the
     * `refresh_mv` procedure's engine): resolve the source path, mode,
@@ -287,7 +321,8 @@ object MaterializedAgg {
       .withColumn(DropCol, col(CountCol) === 0L)
       .select(col(KeyCol) +: keys.map(col) ++:
         (measures :+ CountCol).map(col) :+ col(DropCol): _*)
-    view.stageProperties(Map(SourceVersionProp -> toV.toString))
+    view.stageProperties(Map(SourceVersionProp -> toV.toString,
+      KeyFormatProp -> KeyFormat))
     if (!view.exists) {
       view.create(out.filter(!col(DropCol)).drop(DropCol))
     } else view.upsertDelete(out, DropCol)

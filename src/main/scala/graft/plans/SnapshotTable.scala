@@ -1703,12 +1703,22 @@ final class SnapshotTable(
         // commit (parquet min/max ignores nulls, so a kept file could
         // silently hold the null-keyed row the batch replaces).
         val ccs = clusterColumns
-        // an evolveSchema batch may legitimately OMIT a statted
-        // cluster column (kept rows null-fill it); probing a missing
-        // column would fail analysis, so it simply contributes no
-        // pruning and the merge is O(live) for that batch
+        // a batch that OMITS a statted cluster column is REFUSED, not
+        // accommodated: unionByName(allowMissingColumns) would null-
+        // fill the cluster value on every replaced row, silently
+        // violating the PK→cluster-value stability contract pruning
+        // rests on — a later pruned merge could then keep the hidden
+        // null-keyed row alongside its re-sent PK (duplicate keys).
+        // Case-insensitive membership, matching Spark's resolution.
         val statted = ccs.filter(statsColumns.contains)
-          .filter(knock.columns.contains)
+        val missing = statted.filterNot(c =>
+          knock.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"upsert batch omits statted cluster column(s) " +
+            s"${missing.mkString(", ")} of $path — a null-filled " +
+            "cluster value would break the PK→cluster stability that " +
+            "stats-scoped merging relies on; include the column " +
+            "explicitly (nulls in the batch disable pruning safely)")
         val (touchedFiles, keptFiles) =
           if (statted.isEmpty || live.isEmpty) (live, Seq.empty[FileEntry])
           else {

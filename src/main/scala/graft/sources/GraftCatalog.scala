@@ -222,6 +222,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(clusterCols.isEmpty || partCols.isEmpty,
       "clusterBy is the flat-layout alternative to PARTITIONED BY — " +
         "declare one or the other")
+    // fail the typo at CREATE (same stance as primaryKey above): a
+    // silently-zero clusterFiles would leave file sizing to AQE and
+    // quietly degrade the very merge scoping the layout declares
+    props.get("clusterFiles").foreach(v =>
+      require(v.toIntOption.exists(_ >= 0),
+        s"clusterFiles must be a non-negative integer, got '$v'"))
     fs.mkdirs(nsPath(ident.namespace))
     SnapshotTable(spark, tablePath(ident),
       props.getOrElse("primaryKey", "_unused_no_merge_key"),

@@ -43,22 +43,12 @@ object StreamingView {
                        view: SnapshotTable, keys: Seq[String],
                        sums: Seq[(String, org.apache.spark.sql.Column)],
                        checkpointDir: String): Unit = {
-    // an existing view that was NOT created by a maintainer has no
-    // trustworthy baseline — folding a snapshot onto arbitrary rows
-    // would corrupt silently (same contract as the batch refresh)
-    val absorbedAtStart =
-      if (!view.exists) 0L
-      else view.properties.get(MaterializedAgg.SourceVersionProp)
-        .flatMap(_.toLongOption).getOrElse {
-          // an EMPTY watermark-less view is declared-but-never-
-          // refreshed (SQL CREATE TABLE of the definition): fold from
-          // scratch. One WITH rows is an arbitrary table — refuse.
-          if (view.candidateFiles().isEmpty) 0L
-          else throw new IllegalStateException(
-            s"view carries no ${MaterializedAgg.SourceVersionProp} — " +
-              "not a maintained view (create it through " +
-              "maintainAdditive or MaterializedAgg.refreshAdditive)")
-        }
+    // ONE watermark contract with the batch refresh
+    // (MaterializedAgg.absorbedVersion): an existing view that was
+    // not created by a maintainer, or one persisted under an old key
+    // format, has no trustworthy baseline and fails loudly; an empty
+    // declared view folds from scratch.
+    val absorbedAtStart = MaterializedAgg.absorbedVersion(view)
     val reader = spark.readStream.format("graft")
       .option("readChangeFeed", "true")
     // a FRESH checkpoint against a live view must NOT start from the

@@ -1825,15 +1825,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.count() == 401)
   }
 
-  test("evolveSchema upsert may omit a statted cluster column (pruning stands down)") {
+  test("upsert batch omitting a statted cluster column is refused with guidance") {
     val t = SnapshotTable(spark, tmp("clupsertevolve"), "id",
       statsCols = Seq("k"), clusterBy = Seq("k"), clusterFiles = 4)
     t.create((1 to 20).map(i => (i, i, s"v$i")).toDF("id", "k", "val"))
-    // the evolving batch has NO k column and a NEW extra column —
-    // legal under evolveSchema (kept rows null-fill both ways); the
-    // cluster-bounds probe must not fail analysis on the missing k
-    t.upsert(Seq((1, "V1", "new")).toDF("id", "val", "extra"),
-      evolveSchema = true)
+    // accommodating the omission would null-fill k on the replaced
+    // row — a LATER pruned merge re-sending id=1 with a real k could
+    // then keep the hidden null-k row alongside it (duplicate PK).
+    // The refusal must be the explicit contract error, not a raw
+    // unresolved-column analysis failure.
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(Seq((1, "V1", "new")).toDF("id", "val", "extra"),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("omits statted cluster column"))
+    // including the column (even as null) is the sanctioned path:
+    // batch nulls disable pruning for the commit, correctness holds
+    t.upsert(Seq((1, null.asInstanceOf[java.lang.Integer], "V1", "new"))
+      .toDF("id", "k", "val", "extra"), evolveSchema = true)
     val got = t.read.orderBy("id").collect()
     assert(got.length == 20)
     assert(got.head.getAs[String]("val") == "V1")
