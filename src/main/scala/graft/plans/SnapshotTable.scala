@@ -1979,7 +1979,8 @@ final class SnapshotTable(
     val box =
       if (bounds.nonEmpty) bounds
       else PredicateBounds.deriveFor(predicate, m.schema)
-    val cands = if (box.isEmpty) live else candidatesOf(live, box)
+    val cands = bloomNarrow(
+      if (box.isEmpty) live else candidatesOf(live, box), box)
     if (cands.isEmpty) return
     val cap = effectiveProps.get("graft.mor.maxDeleteRows")
       .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(64L * 1000 * 1000)
@@ -2118,7 +2119,8 @@ final class SnapshotTable(
     val box =
       if (bounds.nonEmpty) bounds
       else PredicateBounds.deriveFor(predicate, m.schema)
-    val cands = if (box.isEmpty) live else candidatesOf(live, box)
+    val cands = bloomNarrow(
+      if (box.isEmpty) live else candidatesOf(live, box), box)
     if (cands.isEmpty) return
     // exact probe, ONE pass over the candidates' predicate columns:
     // which files hold a TRUE row, and does any visible row survive?
@@ -2530,27 +2532,44 @@ final class SnapshotTable(
     * for a probed column are conservatively kept. */
   def candidateFilesEq(points: (String, Any)*): Seq[FileEntry] =
     candidateFiles(points.map { case (c, v) => (c, v, v) }: _*)
-      .filter(e => points.forall { case (c, v) =>
-        // a probe may only consult a bloom of ITS OWN type family — a
-        // long probe against a string-built bloom (or vice versa)
-        // hashes unrelated bytes and would prune files that DO contain
-        // the key; on mismatch the file is conservatively kept (the
-        // exact filter on top stays correct either way)
-        e.bloom(c) match {
-          case Some(("BL:", bf)) => v match {
-            case n: Long => bf.mightContainLong(n)
-            case n: Int => bf.mightContainLong(n.toLong)
-            case n: Short => bf.mightContainLong(n.toLong)
-            case n: Byte => bf.mightContainLong(n.toLong)
-            case _ => true
-          }
-          case Some(("BS:", bf)) => v match {
-            case s: String => bf.mightContainString(s)
-            case _ => true
-          }
-          case _ => true // no bloom, or unknown tag: never prune
-        }
-      })
+      .filter(e => points.forall { case (c, v) => bloomKeeps(e, c, v) })
+
+  /** May file `e` contain `v` in column `c`, judged by its bloom?
+    * A probe may only consult a bloom of ITS OWN type family — a long
+    * probe against a string-built bloom (or vice versa) hashes
+    * unrelated bytes and would prune files that DO contain the key;
+    * on mismatch (or no bloom) the file is conservatively kept (the
+    * exact filter on top stays correct either way). */
+  private def bloomKeeps(e: FileEntry, c: String, v: Any): Boolean =
+    e.bloom(c) match {
+      case Some(("BL:", bf)) => v match {
+        case n: Long => bf.mightContainLong(n)
+        case n: Int => bf.mightContainLong(n.toLong)
+        case n: Short => bf.mightContainLong(n.toLong)
+        case n: Byte => bf.mightContainLong(n.toLong)
+        case _ => true
+      }
+      case Some(("BS:", bf)) => v match {
+        case s: String => bf.mightContainString(s)
+        case _ => true
+      }
+      case _ => true // no bloom, or unknown tag: never prune
+    }
+
+  /** Narrow a stats-pruned candidate set further with per-file blooms
+    * for every POINT constraint (`lo == hi`, i.e. an equality the
+    * predicate implies) — the DML pruning path for
+    * `DELETE WHERE user_id = X` on a bloom-indexed high-cardinality
+    * column, where min/max ranges keep almost everything. Sound for
+    * the same reason the stats box is: a TRUE row must hold exactly
+    * `v`, so a file whose bloom rules `v` out holds no matching row. */
+  private def bloomNarrow(cands: Seq[FileEntry],
+                          box: Seq[(String, Any, Any)]): Seq[FileEntry] = {
+    val points = box.collect { case (c, lo, hi) if lo == hi => (c, lo) }
+    if (points.isEmpty) cands
+    else cands.filter(e =>
+      points.forall { case (c, v) => bloomKeeps(e, c, v) })
+  }
 
   /** Manifest-planned read of EXACTLY the named partitions: the file
     * set is decided on manifest metadata alone — by construction, no

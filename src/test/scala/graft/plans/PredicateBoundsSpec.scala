@@ -78,6 +78,29 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(PredicateBounds.deriveFor(col("k") === 5, None).isEmpty)
   }
 
+  test("point-predicate DML prunes with per-file blooms beyond min/max") {
+    val path = Files.createTempDirectory("graft_pbbloom").toString + "/t"
+    // ids INTERLEAVED across files so min/max ranges keep everything:
+    // only the bloom can narrow a point delete
+    val t = SnapshotTable(spark, path, "id",
+      partitionCol = Some("part"), bloomCols = Seq("uid"),
+      bloomExpectedItems = 1000L)
+    t.create((1 to 400).map(i => (i, i * 37 % 1000, s"p${i % 4}"))
+      .toDF("id", "uid", "part"))
+    val probe = 37 * 123 % 1000 // exists in exactly one row (id=123)
+    val rangeOnly = t.candidateFiles(("uid", probe, probe)).size
+    val withBloom = t.candidateFilesEq(("uid", probe)).size
+    assert(withBloom <= rangeOnly)
+    assert(withBloom < t.candidateFiles().size,
+      "bloom pruned nothing on an interleaved key")
+    // the DELETE takes the same narrowed path (derived point box +
+    // bloom) and stays exact
+    val before = t.read.count()
+    t.delete(col("uid") === probe)
+    assert(t.read.count() == before - 1)
+    assert(t.read.filter(col("uid") === probe).count() == 0)
+  }
+
   test("derived boxes prune manifest candidates end-to-end") {
     val path = Files.createTempDirectory("graft_pbound").toString + "/t"
     val t = SnapshotTable(spark, path, "id",
