@@ -478,6 +478,28 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** PREDICATE-pruned API read ([[plans.SnapshotTable.readMatching]]):
+    * the caller hands a plain Column predicate and the engine derives
+    * the skipping itself — conservative stat box from the predicate
+    * tree, bloom narrowing for the implied point constraint — the
+    * same plumbing the DML paths use. The require proves pruning
+    * actually fired; the oracle is the plain WHERE complement. */
+  def predicatePrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("predread", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "o_orderkey",
+      statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
+      clusterFiles = 16, bloomCols = Seq("o_custkey"),
+      bloomExpectedItems = 200000L)
+    table.create(t(s, dir, "orders"))
+    val pred = col("o_orderkey").between(1000, 3000) &&
+      col("o_custkey") === 421
+    val out = table.readMatching(pred)
+    require(out.inputFiles.length < table.read.inputFiles.length,
+      "predicate-derived pruning planned every file")
+    out.select(ordersCols.map(col): _*)
+  }
+
   /** RETENTION delete: `DELETE` whose predicate wholly covers entire
     * partitions drops their files from the manifest BY REFERENCE —
     * zero data I/O for them (the require proves no new file was
@@ -2807,6 +2829,7 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
+    "predicate_pruned_read" -> (predicatePrunedRead _),
     "retention_delete" -> (retentionDelete _),
     "mv_incremental" -> (mvIncremental _),
     "mv_stream_parity" -> (mvStreamParity _),
@@ -3138,6 +3161,11 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
+    // engine-derived skipping must equal the plain WHERE
+    "predicate_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_custkey = 421""".stripMargin,
     // whole-partition drop + scattered rewrite: plain complement
     "retention_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -2510,6 +2510,24 @@ final class SnapshotTable(
       })
   }
 
+  /** PREDICATE-pruned read — the API twin of the DSv2 scan's file
+    * skipping, and of the DML candidate path: derive a conservative
+    * box from the predicate itself ([[PredicateBounds]],
+    * schema-checked), narrow by manifest min/max stats and then by
+    * per-file blooms for the point constraints, open only the
+    * surviving files, and apply the EXACT predicate on top. A
+    * predicate the deriver cannot analyze (OR, UDFs…) reads the
+    * table and filters — correct always, pruned when provable. */
+  def readMatching(predicate: Column): DataFrame = {
+    val m = currentManifest
+    val box = PredicateBounds.deriveFor(predicate, m.schema)
+    val cands = bloomNarrow(
+      if (box.isEmpty) m.entries else candidatesOf(m.entries, box), box)
+    val base =
+      if (cands.isEmpty) read.limit(0) else readFiles(cands, m.schema)
+    base.filter(predicate)
+  }
+
   /** Box-predicate read with manifest-level data skipping: only files
     * whose min/max can overlap every bound are opened — O(matching
     * files) I/O, not O(table) — then the exact filter is applied on

@@ -101,6 +101,22 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(t.read.filter(col("uid") === probe).count() == 0)
   }
 
+  test("readMatching prunes files from the predicate and stays exact") {
+    val path = Files.createTempDirectory("graft_pbread").toString + "/t"
+    val t = SnapshotTable(spark, path, "id",
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterFiles = 8)
+    t.create((1 to 400).map(i => (i, s"v$i")).toDF("id", "val"))
+    val pruned = t.readMatching(col("id") > 350 && col("id") <= 380)
+    assert(pruned.inputFiles.length < t.read.inputFiles.length,
+      "predicate-pruned read planned every file")
+    assert(pruned.orderBy("id").collect().map(_.getInt(0)).toSeq ==
+      (351 to 380))
+    // an unanalyzable predicate still answers correctly (no pruning)
+    assert(t.readMatching(col("id") % 100 === 0).count() == 4)
+    // all-pruned predicates return the typed empty frame
+    assert(t.readMatching(col("id") > 1000).count() == 0)
+  }
+
   test("derived boxes prune manifest candidates end-to-end") {
     val path = Files.createTempDirectory("graft_pbound").toString + "/t"
     val t = SnapshotTable(spark, path, "id",
