@@ -483,14 +483,15 @@ object Queries {
     * the skipping itself — conservative stat box from the predicate
     * tree, bloom narrowing for the implied point constraint — the
     * same plumbing the DML paths use. The require proves pruning
-    * actually fired; the oracle is the plain WHERE complement. */
+    * actually fired — an ALL-pruned read plans zero files, so the
+    * check is sf-robust — and the oracle is the plain WHERE itself. */
   def predicatePrunedRead(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("predread", dir)
     freshDirs(s, base)
     val table = plans.SnapshotTable(s, base, "o_orderkey",
       statsCols = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"),
       clusterFiles = 16, bloomCols = Seq("o_custkey"),
-      bloomExpectedItems = 200000L)
+      bloomExpectedItems = 20000L)
     table.create(t(s, dir, "orders"))
     val pred = col("o_orderkey").between(1000, 3000) &&
       col("o_custkey") === 421

@@ -2524,7 +2524,18 @@ final class SnapshotTable(
     val cands = bloomNarrow(
       if (box.isEmpty) m.entries else candidatesOf(m.entries, box), box)
     val base =
-      if (cands.isEmpty) read.limit(0) else readFiles(cands, m.schema)
+      if (cands.nonEmpty) readFiles(cands, m.schema)
+      else m.schema match {
+        // an all-pruned read is the BEST case and must look like one:
+        // a typed empty frame from THIS manifest's schema — not
+        // read.limit(0), which re-resolves the head (a concurrent
+        // commit could type it differently) and reports every live
+        // file in inputFiles (reading as "no pruning" to any caller
+        // that checks)
+        case Some(schema) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None => read.limit(0) // pre-schema manifest: infer
+      }
     base.filter(predicate)
   }
 

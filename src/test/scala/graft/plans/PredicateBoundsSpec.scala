@@ -113,8 +113,14 @@ class PredicateBoundsSpec extends SparkSpec {
       (351 to 380))
     // an unanalyzable predicate still answers correctly (no pruning)
     assert(t.readMatching(col("id") % 100 === 0).count() == 4)
-    // all-pruned predicates return the typed empty frame
-    assert(t.readMatching(col("id") > 1000).count() == 0)
+    // all-pruned predicates return the typed empty frame, and it
+    // LOOKS all-pruned: zero planned files, not read.limit(0)'s full
+    // list (pruning checks must see the best case as pruned)
+    val none = t.readMatching(col("id") > 1000)
+    assert(none.count() == 0)
+    assert(none.inputFiles.isEmpty,
+      s"all-pruned read reports planned files: ${none.inputFiles.length}")
+    assert(none.schema == t.read.schema)
   }
 
   test("derived boxes prune manifest candidates end-to-end") {
