@@ -168,7 +168,21 @@ object MaterializedAgg {
     val (fromV, toV) = span(src, view).getOrElse(return)
     val dirty = src.changesDelta(fromV, toV)
       .select(keys.map(col): _*).distinct()
-    val source = src.read
+    // pin the recompute to toV: group values and watermark must
+    // describe the SAME source state even if a commit lands mid-plan
+    recomputeDirty(view, src.readVersion(toV), dirty, keys, aggs, toV)
+  }
+
+  /** Recompute exactly the `dirty` groups from `source` and merge
+    * them (upserting changed groups, deleting vanished ones) with the
+    * watermark `toV` — the shared dirty-group core of the batch
+    * refresh and the streaming maintainer. `source` must be the
+    * snapshot AT `toV`. */
+  private[graft] def recomputeDirty(view: SnapshotTable,
+                                    source: DataFrame, dirty: DataFrame,
+                                    keys: Seq[String],
+                                    aggs: Seq[(String, Column)],
+                                    toV: Long): Unit = {
     // null-safe equality: a NULL group key is a real group and must
     // stay refreshable (a plain join would silently drop it forever)
     val cond = keys.map(k => source(k) <=> dirty(k)).reduce(_ && _)
@@ -259,7 +273,11 @@ object MaterializedAgg {
     * keys and measure SQL from the view's properties and dispatch to
     * the right refresh. Fails loudly on a view that carries no
     * definition. */
-  def refreshByDefinition(view: SnapshotTable): Unit = {
+  /** A view's logged definition, decoded: (source handle, mode, group
+    * keys, measures as Columns). ONE parser for the batch refresh and
+    * the streaming maintainer. */
+  private[graft] def definitionOf(view: SnapshotTable)
+      : (SnapshotTable, String, Seq[String], Seq[(String, Column)]) = {
     require(view.exists, s"no materialized view at ${view.path}")
     val props = view.properties
     def need(k: String): String = props.getOrElse(k,
@@ -281,11 +299,17 @@ object MaterializedAgg {
       }.sortBy(_._1)
     require(measures.nonEmpty,
       s"view at ${view.path} logs no $MeasurePrefix* measures")
-    need(ModeProp) match {
+    val mode = need(ModeProp)
+    require(mode == "additive" || mode == "recompute",
+      s"unknown materialized-view mode '$mode' at ${view.path}")
+    (src, mode, keys, measures)
+  }
+
+  def refreshByDefinition(view: SnapshotTable): Unit = {
+    val (src, mode, keys, measures) = definitionOf(view)
+    mode match {
       case "additive" => refreshAdditive(src, view, keys, measures)
       case "recompute" => refreshRecompute(src, view, keys, measures)
-      case other => throw new IllegalStateException(
-        s"unknown materialized-view mode '$other' at ${view.path}")
     }
   }
 

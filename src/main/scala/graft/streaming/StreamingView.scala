@@ -42,7 +42,45 @@ object StreamingView {
   def maintainAdditive(spark: SparkSession, srcPath: String,
                        view: SnapshotTable, keys: Seq[String],
                        sums: Seq[(String, org.apache.spark.sql.Column)],
-                       checkpointDir: String): Unit = {
+                       checkpointDir: String): Unit =
+    maintainLoop(spark, srcPath, view, checkpointDir) { (fresh, toV) =>
+      MaterializedAgg.commitMerged(view, keys, sums.map(_._1),
+        MaterializedAgg.foldAdditive(
+          fresh.drop(SnapshotTable.CommitVersionCol), keys, sums),
+        toV, additive = true)
+    }
+
+  /** Stream-maintain a DEFINED view ([[MaterializedAgg]]'s logged
+    * definition — SQL-declared or define*-created) with the mode the
+    * definition names: additive views fold the batch's images;
+    * recompute views take the batch's DIRTY group keys and recompute
+    * them from the source PINNED at the batch's high-water version,
+    * so group values and watermark always describe the same source
+    * state. The streaming half of `CALL graft.system.refresh_mv`. */
+  def maintainByDefinition(view: SnapshotTable,
+                           checkpointDir: String): Unit = {
+    val (src, mode, keys, measures) = MaterializedAgg.definitionOf(view)
+    maintainLoop(view.session, src.path, view, checkpointDir) {
+      (fresh, toV) =>
+        mode match {
+          case "additive" =>
+            MaterializedAgg.commitMerged(view, keys, measures.map(_._1),
+              MaterializedAgg.foldAdditive(
+                fresh.drop(SnapshotTable.CommitVersionCol), keys, measures),
+              toV, additive = true)
+          case _ =>
+            val dirty = fresh.select(keys.map(col): _*).distinct()
+            MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
+              dirty, keys, measures, toV)
+        }
+    }
+  }
+
+  /** The shared maintenance loop: CDC stream → per-batch version
+    * fence → `apply(freshImages, highWaterVersion)`. */
+  private def maintainLoop(spark: SparkSession, srcPath: String,
+                           view: SnapshotTable, checkpointDir: String)
+                          (apply: (DataFrame, Long) => Unit): Unit = {
     // ONE watermark contract with the batch refresh
     // (MaterializedAgg.absorbedVersion): an existing view that was
     // not created by a maintainer, or one persisted under an old key
@@ -80,13 +118,7 @@ object StreamingView {
         // bound the batch's high-water BEFORE folding: the property
         // must never claim a version whose images this batch lacks
         val hi = fresh.agg(max(vc)).head()
-        if (!hi.isNullAt(0)) {
-          val toV = hi.getLong(0)
-          MaterializedAgg.commitMerged(view, keys, sums.map(_._1),
-            MaterializedAgg.foldAdditive(
-              fresh.drop(SnapshotTable.CommitVersionCol), keys, sums),
-            toV, additive = true)
-        }
+        if (!hi.isNullAt(0)) apply(fresh, hi.getLong(0))
       }
       .start()
     q.awaitTermination()

@@ -93,6 +93,46 @@ class StreamingViewSpec extends SparkSpec {
       src.currentVersion.get.toString)
   }
 
+  test("maintainByDefinition: additive AND recompute views track the source") {
+    // additive: SQL-declarable definition, maintained from the stream
+    val baseA = tmp("svdefadd")
+    val srcA = SnapshotTable(spark, s"$baseA/src", "id", Some("grp"))
+    val viewA = SnapshotTable(spark, s"$baseA/view", MaterializedAgg.KeyCol,
+      statsCols = Seq(MaterializedAgg.KeyCol),
+      clusterBy = Seq(MaterializedAgg.KeyCol), clusterFiles = 4)
+    srcA.create(rows((1, 10, "a"), (2, 20, "b")))
+    MaterializedAgg.defineAdditive(srcA, viewA, Seq("grp"),
+      Seq("total" -> "CAST(amount AS BIGINT)"))
+    srcA.upsert(rows((3, 5, "a")))
+    srcA.delete(col("grp") === "b")
+    StreamingView.maintainByDefinition(viewA, s"$baseA/ckpt")
+    assert(state(viewA) == expected(srcA))
+
+    // recompute: min/max stay exact under a streamed delete — the
+    // dirty groups recompute from the source pinned at the batch's
+    // high-water version
+    val baseR = tmp("svdefrec")
+    val srcR = SnapshotTable(spark, s"$baseR/src", "id", Some("grp"))
+    val viewR = SnapshotTable(spark, s"$baseR/view", MaterializedAgg.KeyCol,
+      statsCols = Seq(MaterializedAgg.KeyCol),
+      clusterBy = Seq(MaterializedAgg.KeyCol), clusterFiles = 4)
+    srcR.create(rows((1, 10, "a"), (2, 20, "a"), (3, 5, "b")))
+    MaterializedAgg.defineRecompute(srcR, viewR, Seq("grp"),
+      Seq("hi" -> "max(amount)"))
+    srcR.delete(col("id") === 2)   // a's max must drop 20 -> 10
+    srcR.delete(col("grp") === "b") // b vanishes
+    StreamingView.maintainByDefinition(viewR, s"$baseR/ckpt")
+    val st = viewR.read.collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Int]("hi")).toMap
+    assert(st == Map("a" -> 10))
+    assert(viewR.properties(MaterializedAgg.SourceVersionProp) ==
+      srcR.currentVersion.get.toString)
+    // idempotent catch-up: nothing new, nothing committed
+    val v0 = viewR.currentVersion
+    StreamingView.maintainByDefinition(viewR, s"$baseR/ckpt")
+    assert(viewR.currentVersion == v0)
+  }
+
   test("an existing view without the watermark property fails loudly") {
     import spark.implicits._
     val base = tmp("svbad")
