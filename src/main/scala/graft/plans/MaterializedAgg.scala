@@ -268,14 +268,11 @@ object MaterializedAgg {
     if (view.exists && !view.properties.contains(ModeProp))
       view.setProperties(props)
 
-  /** Refresh a view from its LOGGED definition alone (the
-    * `refresh_mv` procedure's engine): resolve the source path, mode,
-    * keys and measure SQL from the view's properties and dispatch to
-    * the right refresh. Fails loudly on a view that carries no
-    * definition. */
   /** A view's logged definition, decoded: (source handle, mode, group
-    * keys, measures as Columns). ONE parser for the batch refresh and
-    * the streaming maintainer. */
+    * keys, measures as Columns). ONE parser — and one set of
+    * corruption-class guards (everything throws IllegalStateException
+    * with the operational fact) — for the batch refresh AND the
+    * streaming maintainer. */
   private[graft] def definitionOf(view: SnapshotTable)
       : (SnapshotTable, String, Seq[String], Seq[(String, Column)]) = {
     require(view.exists, s"no materialized view at ${view.path}")
@@ -286,10 +283,13 @@ object MaterializedAgg {
           "view (create it through defineAdditive/defineRecompute)"))
     val src = SnapshotTable(view.session, need(SourceProp),
       "_unused_read_only")
-    require(src.exists,
+    if (!src.exists) throw new IllegalStateException(
       s"materialized-view source ${need(SourceProp)} no longer exists")
     val keys = need(KeysProp).split(",", -1).toSeq
       .map(_.trim).filter(_.nonEmpty)
+    if (keys.isEmpty) throw new IllegalStateException(
+      s"view at ${view.path} logs an empty $KeysProp — a definition " +
+        "needs at least one group key")
     // one property per measure; alphabetical by output name so the
     // derived column order is deterministic (the merge conforms by
     // NAME, so order never affects results)
@@ -297,14 +297,20 @@ object MaterializedAgg {
       .collect { case (k, sql) if k.startsWith(MeasurePrefix) =>
         (k.stripPrefix(MeasurePrefix), expr(sql))
       }.sortBy(_._1)
-    require(measures.nonEmpty,
+    if (measures.isEmpty) throw new IllegalStateException(
       s"view at ${view.path} logs no $MeasurePrefix* measures")
     val mode = need(ModeProp)
-    require(mode == "additive" || mode == "recompute",
-      s"unknown materialized-view mode '$mode' at ${view.path}")
+    if (mode != "additive" && mode != "recompute")
+      throw new IllegalStateException(
+        s"unknown materialized-view mode '$mode' at ${view.path}")
     (src, mode, keys, measures)
   }
 
+  /** Refresh a view from its LOGGED definition alone (the
+    * `refresh_mv` procedure's engine): resolve the source, mode, keys
+    * and measure SQL from the view's properties and dispatch to the
+    * right refresh. Fails loudly on a view that carries no
+    * definition. */
   def refreshByDefinition(view: SnapshotTable): Unit = {
     val (src, mode, keys, measures) = definitionOf(view)
     mode match {
@@ -320,6 +326,16 @@ object MaterializedAgg {
   private[graft] def commitMerged(view: SnapshotTable, keys: Seq[String],
                            measures: Seq[String], incoming: DataFrame,
                            toV: Long, additive: Boolean): Unit = {
+    // NO group changed (rewrite-only source churn — compaction,
+    // clustering): advance the watermark as a METADATA-ONLY commit.
+    // Running the merge machinery on an empty delta would write
+    // nothing useful and could stage empty part files; isEmpty
+    // short-circuits on the first row for real deltas.
+    if (view.exists && incoming.isEmpty) {
+      view.setProperties(Map(SourceVersionProp -> toV.toString,
+        KeyFormatProp -> KeyFormat))
+      return
+    }
     val merged =
       if (!additive || !view.exists) incoming
       else {

@@ -875,7 +875,24 @@ final class SnapshotTable(
     // a rewrite can legitimately stage nothing (e.g. a row-level delete
     // of every scanned row): no stage dir, no new files
     if (fs.exists(new Path(stage))) timed("walk")(walk(new Path(stage), ""))
-    timed("moves")(inParallel(toMove.toSeq) { case (src, destRel, _, _) =>
+    // drop ZERO-ROW part files before they enter the manifest: Spark's
+    // range/hash writers nondeterministically emit empty parts for
+    // empty or skewed inputs, and an empty file is worse than useless
+    // in a manifest — it has NO column stats, so every stats-scoped
+    // merge conservatively treats it as touched forever. Footer-read
+    // only files small enough to plausibly be empty (an empty snappy
+    // parquet is <1 KB; 64 KB is generous), so the check costs nothing
+    // on real data files.
+    val staged = inParallel(toMove.toSeq.filter(_._3 < 64 * 1024)) {
+      case (src, rel, _, _) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          src, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getRecordCount finally r.close()
+        rel -> rows
+    }.toMap
+    val moving = toMove.toSeq.filter(m => staged.getOrElse(m._2, 1L) > 0L)
+    timed("moves")(inParallel(moving) { case (src, destRel, _, _) =>
       val dest = new Path(s"$dataDir/$destRel")
       fs.mkdirs(dest.getParent)
       if (!fs.rename(src, dest))
@@ -883,7 +900,7 @@ final class SnapshotTable(
     })
     timed("stage-delete")(fs.delete(new Path(s"$path/_stage/$commitId"), true))
     val statCols = effectiveLayout.statsCols
-    val entries = timed("footer-stats")(inParallel(toMove.toSeq) {
+    val entries = timed("footer-stats")(inParallel(moving) {
       case (_, rel, len, mtime) =>
         FileEntry(rel,
           (if (statCols.isEmpty) Map.empty[String, (String, String)]

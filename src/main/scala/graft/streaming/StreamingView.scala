@@ -60,19 +60,36 @@ object StreamingView {
   def maintainByDefinition(view: SnapshotTable,
                            checkpointDir: String): Unit = {
     val (src, mode, keys, measures) = MaterializedAgg.definitionOf(view)
-    maintainLoop(view.session, src.path, view, checkpointDir) {
+    if (mode == "additive")
+      // the additive loop IS maintainAdditive — one body, not a copy
+      maintainAdditive(view.session, src.path, view, keys, measures,
+        checkpointDir)
+    else maintainLoop(view.session, src.path, view, checkpointDir) {
       (fresh, toV) =>
-        mode match {
-          case "additive" =>
-            MaterializedAgg.commitMerged(view, keys, measures.map(_._1),
-              MaterializedAgg.foldAdditive(
-                fresh.drop(SnapshotTable.CommitVersionCol), keys, measures),
-              toV, additive = true)
-          case _ =>
-            val dirty = fresh.select(keys.map(col): _*).distinct()
-            MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
-              dirty, keys, measures, toV)
-        }
+        // dirty keys come from the NET of the batch's raw pair
+        // algebra, not its raw rows: a rewrite (compaction,
+        // clustering) re-delivers unchanged rows as canceling
+        // before+after pairs, and recomputing every rewritten group
+        // would cost O(compacted data) in the view for zero change.
+        // Group by the full row with a signed count — pairs cancel,
+        // real changes survive on both their old and new group keys.
+        // MapType columns cannot group; such feeds fall back to raw
+        // distinct keys (correct, just rewrite-churn-sensitive).
+        val img = col(SnapshotTable.ImageCol)
+        val sign = when(img === "before", lit(-1L)).otherwise(lit(1L))
+        val dataCols = fresh.columns.toSeq.filterNot(c =>
+          c == SnapshotTable.ImageCol || c == SnapshotTable.CommitVersionCol)
+        val groupable = !fresh.schema.fields.exists(f =>
+          dataCols.contains(f.name) &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        val dirty =
+          if (!groupable) fresh.select(keys.map(col): _*).distinct()
+          else fresh.groupBy(dataCols.map(col): _*)
+            .agg(sum(sign).as("__net"))
+            .filter(col("__net") =!= 0L)
+            .select(keys.map(col): _*).distinct()
+        MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
+          dirty, keys, measures, toV)
     }
   }
 

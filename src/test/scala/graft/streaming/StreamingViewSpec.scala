@@ -131,6 +131,22 @@ class StreamingViewSpec extends SparkSpec {
     val v0 = viewR.currentVersion
     StreamingView.maintainByDefinition(viewR, s"$baseR/ckpt")
     assert(viewR.currentVersion == v0)
+    // compaction-only source churn: the raw pair feed re-delivers
+    // every rewritten row, but the NET-fold cancels the pairs — no
+    // group recomputes, no view file rewrites; only the watermark
+    // advances past the compaction commit
+    srcR.append(rows((9, 1, "a"), (10, 2, "a"))) // fragment first
+    StreamingView.maintainByDefinition(viewR, s"$baseR/ckpt")
+    val filesBefore = viewR.candidateFiles().map(_.path).toSet
+    srcR.compact(minFiles = 2)
+    StreamingView.maintainByDefinition(viewR, s"$baseR/ckpt")
+    assert(viewR.candidateFiles().map(_.path).toSet == filesBefore,
+      "compaction-only churn rewrote view files")
+    assert(viewR.properties(MaterializedAgg.SourceVersionProp) ==
+      srcR.currentVersion.get.toString)
+    val stC = viewR.read.collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Int]("hi")).toMap
+    assert(stC == Map("a" -> 10))
   }
 
   test("an existing view without the watermark property fails loudly") {
