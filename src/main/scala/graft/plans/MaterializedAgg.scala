@@ -179,35 +179,54 @@ object MaterializedAgg {
     * refresh and the streaming maintainer. `source` must be the
     * snapshot AT `toV`. */
   private[graft] def recomputeDirty(view: SnapshotTable,
-                                    source: DataFrame, dirty: DataFrame,
+                                    source: DataFrame, dirty0: DataFrame,
                                     keys: Seq[String],
                                     aggs: Seq[(String, Column)],
                                     toV: Long): Unit = {
-    // null-safe equality: a NULL group key is a real group and must
-    // stay refreshable (a plain join would silently drop it forever)
-    val cond = keys.map(k => source(k) <=> dirty(k)).reduce(_ && _)
-    val aggCols = aggs.map { case (n, e) => e.as(n) } :+
-      count(lit(1L)).as(CountCol)
-    val fresh = source.join(broadcast(dirty), cond, "left_semi")
-      .groupBy(keys.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn(KeyCol, keyExpr(keys))
-    // a dirty key absent from `fresh` lost its last row: delete it.
-    // Left-outer FROM the dirty keys, broadcasting `fresh`: both
-    // sides are O(changed groups), but only the non-preserved (right)
-    // side of a left-outer join is broadcast-buildable — a broadcast
-    // hint on the preserved side of an outer join is silently ignored
-    // and falls back to a shuffle.
-    val dirtyKeyed = dirty.withColumn(KeyCol, keyExpr(keys))
-    val out = dirtyKeyed.select(KeyCol)
-      .join(broadcast(fresh), Seq(KeyCol), "left_outer")
-      .withColumn(CountCol, coalesce(col(CountCol), lit(0L)))
-    commitMerged(view, keys, aggs.map(_._1),
-      // deleted groups surface with NULL key/measure columns (KeyCol,
-      // the preserved left side, is never null); the delete path only
-      // needs KeyCol, and conformToSchema casts the nulls
-      out, toV, additive = false)
+    // the dirty set is consumed three times (emptiness probe, the
+    // semi-join, the delete-detection join) and is O(changed groups)
+    // small — cache it so the feed/net-fold plan runs once
+    val dirty = dirty0.persist()
+    try {
+      if (dirty.isEmpty) {
+        // rewrite-only churn: NO group changed — the watermark still
+        // must advance past the span, but as pure metadata, without a
+        // source scan to discover the emptiness downstream
+        advanceWatermark(view, toV)
+        return
+      }
+      // null-safe equality: a NULL group key is a real group and must
+      // stay refreshable (a plain join would silently drop it forever)
+      val cond = keys.map(k => source(k) <=> dirty(k)).reduce(_ && _)
+      val aggCols = aggs.map { case (n, e) => e.as(n) } :+
+        count(lit(1L)).as(CountCol)
+      val fresh = source.join(broadcast(dirty), cond, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn(KeyCol, keyExpr(keys))
+      // a dirty key absent from `fresh` lost its last row: delete it.
+      // Left-outer FROM the dirty keys, broadcasting `fresh`: both
+      // sides are O(changed groups), but only the non-preserved (right)
+      // side of a left-outer join is broadcast-buildable — a broadcast
+      // hint on the preserved side of an outer join is silently ignored
+      // and falls back to a shuffle.
+      val dirtyKeyed = dirty.withColumn(KeyCol, keyExpr(keys))
+      val out = dirtyKeyed.select(KeyCol)
+        .join(broadcast(fresh), Seq(KeyCol), "left_outer")
+        .withColumn(CountCol, coalesce(col(CountCol), lit(0L)))
+      commitMerged(view, keys, aggs.map(_._1),
+        // deleted groups surface with NULL key/measure columns (KeyCol,
+        // the preserved left side, is never null); the delete path only
+        // needs KeyCol, and conformToSchema casts the nulls
+        out, toV, additive = false)
+    } finally dirty.unpersist()
   }
+
+  /** Advance the view's watermark (and key-format stamp) as a
+    * METADATA-ONLY commit — the no-group-changed refresh outcome. */
+  private def advanceWatermark(view: SnapshotTable, toV: Long): Unit =
+    view.setProperties(Map(SourceVersionProp -> toV.toString,
+      KeyFormatProp -> KeyFormat))
 
   // ---- persisted definitions: the SQL-driven refresh loop ----------
 
@@ -324,47 +343,51 @@ object MaterializedAgg {
     * additive path the incoming measures are DELTAS to fold onto the
     * current group values; for recompute they are final values. */
   private[graft] def commitMerged(view: SnapshotTable, keys: Seq[String],
-                           measures: Seq[String], incoming: DataFrame,
+                           measures: Seq[String], incoming0: DataFrame,
                            toV: Long, additive: Boolean): Unit = {
-    // NO group changed (rewrite-only source churn — compaction,
-    // clustering): advance the watermark as a METADATA-ONLY commit.
-    // Running the merge machinery on an empty delta would write
-    // nothing useful and could stage empty part files; isEmpty
-    // short-circuits on the first row for real deltas.
-    if (view.exists && incoming.isEmpty) {
-      view.setProperties(Map(SourceVersionProp -> toV.toString,
-        KeyFormatProp -> KeyFormat))
-      return
-    }
-    val merged =
-      if (!additive || !view.exists) incoming
-      else {
-        // old values for exactly the touched groups: semi-join prunes
-        // the view scan to O(changed groups) rows BEFORE the small
-        // broadcast outer join folds them — never a broadcast of the
-        // view, never a shuffle of it either
-        val old = view.read
-          .join(broadcast(incoming.select(KeyCol)), Seq(KeyCol), "left_semi")
-          .select(col(KeyCol) +:
-            (measures :+ CountCol).map(m => col(m).as(s"__old_$m")): _*)
-        incoming.join(broadcast(old), Seq(KeyCol), "left_outer")
-          .select(col(KeyCol) +: keys.map(col) ++:
-            (measures :+ CountCol).map(m =>
-              (coalesce(col(s"__old_$m"), lit(0L)) + col(m)).as(m)): _*)
+    // the delta is consumed at least twice (the emptiness probe plus
+    // the merge — an aggregate plan re-executes in full under
+    // isEmpty's limit(1), so the probe is NOT free on the raw frame)
+    // and is O(changed groups) small: cache it for the duration
+    val incoming = incoming0.persist()
+    try {
+      // NO group changed (rewrite-only source churn — compaction,
+      // clustering): advance the watermark as a METADATA-ONLY commit
+      if (view.exists && incoming.isEmpty) {
+        advanceWatermark(view, toV)
+        return
       }
-    val guarded = merged.withColumn(CountCol,
-      when(col(CountCol) < 0L, raise_error(concat(lit(
-        "materialized view fold went negative for group key "),
-        col(KeyCol), lit(" — source feed and view state disagree"))))
-        .otherwise(col(CountCol)))
-    val out = guarded
-      .withColumn(DropCol, col(CountCol) === 0L)
-      .select(col(KeyCol) +: keys.map(col) ++:
-        (measures :+ CountCol).map(col) :+ col(DropCol): _*)
-    view.stageProperties(Map(SourceVersionProp -> toV.toString,
-      KeyFormatProp -> KeyFormat))
-    if (!view.exists) {
-      view.create(out.filter(!col(DropCol)).drop(DropCol))
-    } else view.upsertDelete(out, DropCol)
+      val merged =
+        if (!additive || !view.exists) incoming
+        else {
+          // old values for exactly the touched groups: semi-join
+          // prunes the view scan to O(changed groups) rows BEFORE the
+          // small broadcast outer join folds them — never a broadcast
+          // of the view, never a shuffle of it either
+          val old = view.read
+            .join(broadcast(incoming.select(KeyCol)), Seq(KeyCol),
+              "left_semi")
+            .select(col(KeyCol) +:
+              (measures :+ CountCol).map(m => col(m).as(s"__old_$m")): _*)
+          incoming.join(broadcast(old), Seq(KeyCol), "left_outer")
+            .select(col(KeyCol) +: keys.map(col) ++:
+              (measures :+ CountCol).map(m =>
+                (coalesce(col(s"__old_$m"), lit(0L)) + col(m)).as(m)): _*)
+        }
+      val guarded = merged.withColumn(CountCol,
+        when(col(CountCol) < 0L, raise_error(concat(lit(
+          "materialized view fold went negative for group key "),
+          col(KeyCol), lit(" — source feed and view state disagree"))))
+          .otherwise(col(CountCol)))
+      val out = guarded
+        .withColumn(DropCol, col(CountCol) === 0L)
+        .select(col(KeyCol) +: keys.map(col) ++:
+          (measures :+ CountCol).map(col) :+ col(DropCol): _*)
+      view.stageProperties(Map(SourceVersionProp -> toV.toString,
+        KeyFormatProp -> KeyFormat))
+      if (!view.exists) {
+        view.create(out.filter(!col(DropCol)).drop(DropCol))
+      } else view.upsertDelete(out, DropCol)
+    } finally incoming.unpersist()
   }
 }

@@ -875,23 +875,21 @@ final class SnapshotTable(
     // a rewrite can legitimately stage nothing (e.g. a row-level delete
     // of every scanned row): no stage dir, no new files
     if (fs.exists(new Path(stage))) timed("walk")(walk(new Path(stage), ""))
-    // drop ZERO-ROW part files before they enter the manifest: Spark's
-    // range/hash writers nondeterministically emit empty parts for
-    // empty or skewed inputs, and an empty file is worse than useless
-    // in a manifest — it has NO column stats, so every stats-scoped
-    // merge conservatively treats it as touched forever. Footer-read
-    // only files small enough to plausibly be empty (an empty snappy
-    // parquet is <1 KB; 64 KB is generous), so the check costs nothing
-    // on real data files.
-    val staged = inParallel(toMove.toSeq.filter(_._3 < 64 * 1024)) {
-      case (src, rel, _, _) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          src, spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try r.getRecordCount finally r.close()
-        rel -> rows
-    }.toMap
-    val moving = toMove.toSeq.filter(m => staged.getOrElse(m._2, 1L) > 0L)
+    // ONE footer read per staged file, pre-move, serving two needs:
+    // (1) drop ZERO-ROW part files before they enter the manifest —
+    // Spark's range/hash writers nondeterministically emit empty parts
+    // for empty or skewed inputs, and an empty file is worse than
+    // useless in a manifest: it has NO column stats, so every
+    // stats-scoped merge conservatively treats it as touched forever
+    // (no size gate: a very wide schema can push even an empty
+    // footer past any fixed byte bound); (2) the per-file min/max
+    // stats for the layout's statsCols, formerly a second footer open
+    // after the move.
+    val statCols = effectiveLayout.statsCols
+    val probed = timed("footer-stats")(inParallel(toMove.toSeq) {
+      case (src, rel, _, _) => rel -> footerProbe(src, statCols)
+    }).toMap
+    val moving = toMove.toSeq.filter(m => probed(m._2)._1 > 0L)
     timed("moves")(inParallel(moving) { case (src, destRel, _, _) =>
       val dest = new Path(s"$dataDir/$destRel")
       fs.mkdirs(dest.getParent)
@@ -899,13 +897,9 @@ final class SnapshotTable(
         throw new IllegalStateException(s"data move failed: $dest")
     })
     timed("stage-delete")(fs.delete(new Path(s"$path/_stage/$commitId"), true))
-    val statCols = effectiveLayout.statsCols
-    val entries = timed("footer-stats")(inParallel(moving) {
-      case (_, rel, len, mtime) =>
-        FileEntry(rel,
-          (if (statCols.isEmpty) Map.empty[String, (String, String)]
-           else footerStats(rel, statCols)) + FileEntry.metaStat(len, mtime))
-    })
+    val entries = moving.map { case (_, rel, len, mtime) =>
+      FileEntry(rel, probed(rel)._2 + FileEntry.metaStat(len, mtime))
+    }
     val blooms = fileBlooms(entries, bloomSchema)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
   }
@@ -1187,24 +1181,26 @@ final class SnapshotTable(
     }.toMap
   }
 
-  /** Per-file min/max of `statsCols` from the parquet footer (one
-    * metadata read per NEW file, driver-side — the same information a
-    * production writer would collect task-side during the write, as
-    * Iceberg does; footers are the no-write-hook equivalent). A column
-    * missing stats in any row group is left unstated = never pruned. */
-  private def footerStats(rel: String,
-                          statCols: Seq[String]): Map[String, (String, String)] = {
+  /** ONE parquet-footer read per NEW file, driver-side, yielding the
+    * file's ROW COUNT plus the per-column min/max of `statsCols` (the
+    * same information a production writer would collect task-side
+    * during the write, as Iceberg does; footers are the no-write-hook
+    * equivalent). A column missing stats in any row group is left
+    * unstated = never pruned. */
+  private def footerProbe(file: Path, statCols: Seq[String])
+      : (Long, Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new Path(s"$dataDir/$rel"), spark.sparkContext.hadoopConfiguration)
+      file, spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
+      val rows = reader.getRecordCount
       val wanted = statCols.toSet
       val chunks = reader.getFooter.getBlocks.asScala
         .flatMap(_.getColumns.asScala)
         .filter(c => wanted(c.getPath.toDotString))
         .groupBy(_.getPath.toDotString)
-      chunks.flatMap { case (name, cs) =>
+      val stats = chunks.flatMap { case (name, cs) =>
         val vals = cs.map { c =>
           val st = c.getStatistics
           // a LOGICAL annotation changes what the physical value MEANS:
@@ -1250,6 +1246,7 @@ final class SnapshotTable(
                         maxs.max(FileEntry.valueOrdering)))
         }
       }.toMap
+      (rows, stats)
     } finally reader.close()
   }
 

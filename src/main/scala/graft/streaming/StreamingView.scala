@@ -73,20 +73,31 @@ object StreamingView {
         // would cost O(compacted data) in the view for zero change.
         // Group by the full row with a signed count — pairs cancel,
         // real changes survive on both their old and new group keys.
-        // MapType columns cannot group; such feeds fall back to raw
-        // distinct keys (correct, just rewrite-churn-sensitive).
+        // MapType ANYWHERE in a column's type tree (top-level, inside
+        // a struct, inside an array) makes it ungroupable; such feeds
+        // fall back to raw distinct keys (correct, just
+        // rewrite-churn-sensitive).
         val img = col(SnapshotTable.ImageCol)
         val sign = when(img === "before", lit(-1L)).otherwise(lit(1L))
         val dataCols = fresh.columns.toSeq.filterNot(c =>
           c == SnapshotTable.ImageCol || c == SnapshotTable.CommitVersionCol)
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+          StructType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType => true
+          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+          case a: ArrayType => hasMap(a.elementType)
+          case _ => false
+        }
         val groupable = !fresh.schema.fields.exists(f =>
-          dataCols.contains(f.name) &&
-            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          dataCols.contains(f.name) && hasMap(f.dataType))
         val dirty =
           if (!groupable) fresh.select(keys.map(col): _*).distinct()
+          // "__mv_net" sits in the module's reserved __mv_* namespace,
+          // so it cannot collide with a source data column
           else fresh.groupBy(dataCols.map(col): _*)
-            .agg(sum(sign).as("__net"))
-            .filter(col("__net") =!= 0L)
+            .agg(sum(sign).as("__mv_net"))
+            .filter(col("__mv_net") =!= 0L)
             .select(keys.map(col): _*).distinct()
         MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
           dirty, keys, measures, toV)
