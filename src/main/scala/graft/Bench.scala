@@ -94,20 +94,50 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failures.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"sf":${jstr(sfDir)}}"""
+    // per-phase wall-times for pipeline_e2e (the one query with ±50%
+    // cold-run swings on this box — the artifact attributes the swing
+    // to a phase instead of leaving a bare number to argue about).
+    // Reflects the LAST run of the query; `best` may be an earlier run.
+    val phases =
+      if (Queries.lastPipelinePhases.isEmpty) ""
+      else Queries.lastPipelinePhases
+        .map { case (k, v) => f"${jstr(k)}:$v%.2f" }
+        .mkString(""","phases":{"pipeline_e2e":{""", ",", "}}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts$phases,"sf":${jstr(sfDir)}}"""
+    // Full JSON first: if a capture window keeps the HEAD of the output
+    // this line is complete there.
     println(json)
     // The committed round artifact must be SELF-CONTAINED: the round
-    // driver captures only the tail of stdout, and with 100+ queries the
-    // one-liner above outgrew that window (BENCH_r08.json kept the tail
-    // of the line — unparseable, every per-query time lost). The full
-    // JSON is therefore also written to a file (default BENCH.json in
-    // the working dir, committed per round).
+    // driver captures only a ~2,000-char TAIL of stdout, and with 100+
+    // queries the one-liner above outgrew that window (BENCH_r08/r09
+    // kept the tail of the line — unparseable). The full JSON is
+    // therefore also written to a file (default BENCH.json in the
+    // working dir, committed per round).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // LAST line: a complete JSON object sized to fit the tail window
+    // (≤ ~1,800 chars). Carries the totals verbatim plus as many
+    // per-query times as fit, slowest first (the sub-second tail is
+    // what gets dropped); `queriesOmitted`/`queriesOmittedSec` make the
+    // truncation explicit and `full` points at the complete artifact.
+    val budget = 1800
+    val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
+    var compactQs = List.empty[String]
+    var used = fixedHead.length + 80 // closing braces + omitted fields
+    var omitted = 0; var omittedSec = 0.0
+    slowestFirst.foreach { case (k, v, _) =>
+      val frag = f"${jstr(k)}:$v%.2f"
+      if (used + frag.length + 1 <= budget) { compactQs ::= frag; used += frag.length + 1 }
+      else { omitted += 1; omittedSec += v }
+    }
+    val compact = fixedHead + compactQs.reverse.mkString(",") +
+      f"""},"queriesOmitted":$omitted,"queriesOmittedSec":$omittedSec%.2f}"""
+    println(compact)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

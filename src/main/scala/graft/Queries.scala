@@ -21,6 +21,11 @@ import graft.streaming.{Ingest, StreamDedup, WindowedAgg}
   */
 object Queries {
 
+  /** Phase wall-times of the most recent [[pipelineE2e]] run, read by
+    * `Bench` into the BENCH.json artifact. Volatile: bench and queries
+    * run on one thread, but pipeline waves write from futures. */
+  @volatile var lastPipelinePhases: Seq[(String, Double)] = Nil
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -1329,7 +1334,9 @@ object Queries {
     * all three (reference: step_functions.json:3-94,183-237). */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("pipeline", dir)
+    val tRaw0 = System.nanoTime()
     writePipelineRaw(s, dir, base)
+    val rawStageSec = (System.nanoTime() - tRaw0) / 1e9
     // one-time layout migrations: a dwh written by a pre-SnapshotTable
     // build has Hive dirs but no _commits; one written by the
     // pre-clustered pipeline has Hive `date=` dirs UNDER data/ (the
@@ -1347,6 +1354,10 @@ object Queries {
     val report = Pipeline.run(s, s"$base/raw", s"$base/dwh",
       s"$base/rejected", s"$base/archived")
     require(report.gatesPassed, "post-load validation gates failed")
+    // expose phase wall-times for the bench artifact (cold-run variance
+    // on this query has been the flakiest gate number for three rounds;
+    // the artifact now says WHICH phase absorbed the cold cost)
+    lastPipelinePhases = ("raw_stage" -> rawStageSec) +: report.phases
     SnapshotTable(s, s"$base/dwh/order_items", "id",
       partitionCol = None, Some(Tables.asNullable(Tables.orderItems))).read
   }

@@ -96,7 +96,13 @@ object Pipeline {
     result.get
   }
 
-  final case class Report(jobs: Seq[JobResult], gatesPassed: Boolean)
+  /** `phases` — wall seconds per pipeline phase (`"<job>.<phase>"` for
+    * per-job read/validate/ri/upsert, plus run-level `archive` /
+    * `gates`), recorded for the bench artifact so cold-run variance can
+    * be attributed to a phase instead of guessed at. Defaulted so
+    * existing positional constructions keep compiling. */
+  final case class Report(jobs: Seq[JobResult], gatesPassed: Boolean,
+                          phases: Seq[(String, Double)] = Nil)
 
   /** Run the full pipeline: for each job, raw CSVs under
     * `$rawDir/<name>/` are validated, RI-checked, deduped and
@@ -150,6 +156,10 @@ object Pipeline {
     // TrieMap: concurrently-running jobs of one wave each publish their
     // own entry (distinct keys — a job owns its table)
     val written = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    // phase wall-times for the Report; jobs in one wave run concurrently,
+    // so the sink must be thread-safe. Seq-of-pairs (not a map) keeps
+    // arrival order for the artifact.
+    val phaseLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
     // released in the finally below — also when a job exhausts its
     // retries, so earlier jobs' caches don't outlive a failed pipeline
     try {
@@ -157,8 +167,13 @@ object Pipeline {
     def runOne(job: JobSpec): JobResult =
       retry(job.name, retryAttempts, retryDelayMs) {
       val t0 = System.nanoTime()
-      def lap(tag: String): Unit =
-        println(f"[pipeline] ${job.name} $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      var lastLap = t0
+      def lap(tag: String): Unit = {
+        val now = System.nanoTime()
+        phaseLog.add((s"${job.name}.$tag", (now - lastLap) / 1e9))
+        lastLap = now
+        println(f"[pipeline] ${job.name} $tag ${(now - t0) / 1e9}%.1fs")
+      }
       val raw = Tables.readCsv(spark, job.schema, s"$rawDir/${job.name}/")
       val readCount = raw.count()
       lap("read")
@@ -289,7 +304,13 @@ object Pipeline {
     }
     val results = jobs.map(j => resultsByName(j.name))
 
-    archive(spark, rawDir, archivedDir)
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      phaseLog.add((tag, (System.nanoTime() - t0) / 1e9))
+      r
+    }
+    timed("archive")(archive(spark, rawDir, archivedDir))
 
     // post-load validation gates, fanned out concurrently (A3/T7); the
     // COUNT(*) gate doubles as the per-table loaded count (one scan, not
@@ -309,7 +330,8 @@ object Pipeline {
         (n, n > 0 && sample > 0)
       }
     }
-    val gateResults = Await.result(Future.sequence(gates), Duration.Inf)
+    val gateResults =
+      timed("gates")(Await.result(Future.sequence(gates), Duration.Inf))
     val withLoaded = results.zip(gateResults).map { case (r, (n, _)) =>
       r.copy(loaded = n)
     }
@@ -320,8 +342,10 @@ object Pipeline {
     // exactly one writer (the job that owns it, reference semantics —
     // a shared-table deployment would keep the default retention).
     if (gateResults.forall(_._2))
-      tables.values.foreach(_.vacuum(keepVersions = 2, retentionMs = 0))
-    Report(withLoaded, gateResults.forall(_._2))
+      timed("vacuum")(
+        tables.values.foreach(_.vacuum(keepVersions = 2, retentionMs = 0)))
+    Report(withLoaded, gateResults.forall(_._2),
+      phases = phaseLog.toArray(Array.empty[(String, Double)]).toSeq)
 
     } finally written.values.foreach(_.unpersist())
   }
