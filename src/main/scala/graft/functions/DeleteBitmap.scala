@@ -67,7 +67,13 @@ final class DeleteBitmap private (
   }
 
   def toArray: Array[Long] = {
-    val out = new Array[Long](cardinality.toInt)
+    val card = cardinality
+    // cardinality.toInt silently wraps past 2^31 (reachable only by
+    // raising graft.mor.maxDeleteRows) — fail loudly instead
+    require(card <= Int.MaxValue,
+      s"DeleteBitmap.toArray: $card positions exceed a JVM array; " +
+        "use iterator instead")
+    val out = new Array[Long](card.toInt)
     var i = 0
     iterator.foreach { p => out(i) = p; i += 1 }
     out

@@ -2016,27 +2016,49 @@ final class SnapshotTable(
     // plan-quality guard — "a delete this broad should rewrite" — not
     // a driver-memory ceiling anymore).
     import spark.implicits._
-    val perFile = readFilesRaw(cands, m.schema, withPos = true)
+    val pairs = readFilesRaw(cands, m.schema, withPos = true)
       .filter(visible(
         col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol)))
       .filter(coalesce(predicate, lit(false)))
-      .select(col(SnapshotTable.PosFileCol), col(SnapshotTable.PosIdxCol))
-      .as[(String, Long)]
-      .groupByKey { case (f, _) => f.substring(f.lastIndexOf('/') + 1) }
-      .mapGroups { (base, it) =>
-        val pos = it.map(_._2).toArray
-        java.util.Arrays.sort(pos)
-        val bm = graft.functions.DeleteBitmap.fromSorted(pos)
-        (base, FileEntry.encodeDvAscending(bm.iterator), bm.cardinality)
-      }
-      .collect()
-    if (perFile.isEmpty) return // nothing matched: version does not advance
-    val matched = perFile.map(_._3).sum
+      .select(
+        substring_index(col(SnapshotTable.PosFileCol), "/", -1).as("f"),
+        col(SnapshotTable.PosIdxCol).as("p"))
+    // cap check FIRST, as its own one-row aggregate: an over-cap delete
+    // fails before a single bitmap byte is built or shipped (the pruned
+    // candidate re-scan below costs less than caching up-to-cap
+    // position pairs would — point deletes touch few files)
+    val matched = pairs.count()
+    if (matched == 0) return // nothing matched: version does not advance
     if (matched > cap)
       throw new IllegalArgumentException(
         s"deleteMoR matched $matched rows at $path (cap $cap) — a " +
           "delete this broad should rewrite files: use delete() " +
           "(copy-on-write), or raise graft.mor.maxDeleteRows")
+    // shuffle by file, sort by position WITHIN partitions, then build
+    // each file's bitmap STREAMING over its contiguous sorted run — no
+    // task ever materializes a file's full position array (a delete
+    // skewed into one large file previously held up to cap×8 bytes in
+    // a single mapGroups task)
+    val perFile = pairs.as[(String, Long)]
+      .repartition(col("f"))
+      .sortWithinPartitions("f", "p")
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(String, String, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, String, Long) = {
+            SnapshotTable.dvBitmapsBuilt.incrementAndGet()
+            val base = buf.head._1
+            val run = new Iterator[Long] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == base
+              def next(): Long = buf.next()._2
+            }
+            val bm = graft.functions.DeleteBitmap.fromAscending(run)
+            (base, FileEntry.encodeDvAscending(bm.iterator), bm.cardinality)
+          }
+        }
+      }
+      .collect()
     val byBase = perFile.map { case (b, enc, _) =>
       b -> graft.functions.DeleteBitmap.fromAscending(
         FileEntry.dvIterator(enc))
@@ -3038,6 +3060,12 @@ final class SnapshotTable(
 }
 
 object SnapshotTable {
+  /** Deletion-vector bitmaps built by [[SnapshotTable.deleteMoR]]'s
+    * streaming per-file pass — observability hook for the spec proving
+    * the over-cap path fails BEFORE any bitmap is built (in local mode
+    * executor tasks share the JVM, so the counter is exact). */
+  private[graft] val dvBitmapsBuilt = new java.util.concurrent.atomic.AtomicLong
+
   /** Image tag column emitted by [[SnapshotTable.changesDelta]]. */
   val ImageCol = "_change_image"
 

@@ -188,11 +188,28 @@ private[sources] final class GraftCdcScan(
       throw new IllegalArgumentException(
         s"change-feed span ($from, $to] exceeds the table head " +
           s"v$head of $tablePath")
+    // startingVersion=0 walks every commit from v1 with true
+    // `_commit_version` attribution — O(history), and it fails if early
+    // versions were vacuumed. `initialSnapshot=collapse` opts a batch
+    // consumer that only needs NET state back into the vacuum-tolerant
+    // O(head) read: the ending snapshot as `after` images stamped `to`
+    // (the streaming source's initial-offset behavior).
+    val collapse = Option(opts.get("initialSnapshot")).map(_.trim.toLowerCase)
+      match {
+        case None | Some("percommit") => false
+        case Some("collapse") =>
+          if (from != 0L) throw new IllegalArgumentException(
+            s"initialSnapshot=collapse requires startingVersion=0 " +
+              s"(got $from): only the initial snapshot can collapse")
+          true
+        case Some(other) => throw new IllegalArgumentException(
+          s"initialSnapshot must be 'collapse' or 'perCommit', got '$other'")
+      }
     val p = planner
     val f = innerFactory()
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        p.planSpan(from, to, collapseInitial = false)
+        p.planSpan(from, to, collapseInitial = collapse)
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftCdcReaderFactory(f)
     }

@@ -1205,12 +1205,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(entries.map(_.deletedBitmap.cardinality).sum == 10000L)
     // the DSv2 scan applies the bitmaps too
     assert(spark.read.format("graft").load(path).count() == 90000L)
-    // a delete past the cap fails with the rewrite guidance
+    // a delete past the cap fails with the rewrite guidance — and it
+    // fails BEFORE building (let alone collecting) a single bitmap:
+    // the cap check is its own count aggregate ahead of the DV pass
     val capped = SnapshotTable(spark, path, "id",
       tableProps = Map("graft.mor.maxDeleteRows" -> "100"))
+    SnapshotTable.dvBitmapsBuilt.set(0L)
     val e = intercept[IllegalArgumentException](
       capped.deleteMoR(col("id") % 3 === 0))
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    assert(SnapshotTable.dvBitmapsBuilt.get() == 0L,
+      "over-cap deleteMoR built deletion-vector bitmaps before failing")
+    // …while an in-cap delete does go through the streaming bitmap pass
+    t.deleteMoR(col("id") === 77)
+    assert(SnapshotTable.dvBitmapsBuilt.get() > 0L)
+    assert(t.read.filter(col("id") === 77).count() == 0L)
   }
 
   test("MoR delete: SQL semantics, no-match no-commit, idempotent re-delete") {

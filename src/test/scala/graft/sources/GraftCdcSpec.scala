@@ -95,6 +95,38 @@ class GraftCdcSpec extends SparkSpec {
     assert(t.changes(0, t.currentVersion.get).count() == t.read.count())
   }
 
+  test("batch startingVersion=0 + initialSnapshot=collapse reads O(head)") {
+    val (path, t) = history("cdccollapse")
+    val head = t.currentVersion.get
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 0)
+      .option("initialSnapshot", "collapse").load(path)
+    // the whole head snapshot as after-images, every row stamped head —
+    // the vacuum-tolerant net-state read (streaming initial-offset
+    // behavior), NOT a per-commit walk
+    assert(feed.select(img).distinct().head().getString(0) == "after")
+    assert(feed.select(ver).distinct().head().getLong(0) == head)
+    assert(asImages(feed.drop(ver)).map(r => (r._1, r._2, r._3)) ==
+      t.read.select("id", "val", "part").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .toSeq.sorted)
+    // option validation: collapse without startingVersion=0 / bad value
+    val e1 = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .option("initialSnapshot", "collapse").load(path).collect())
+    assert(e1.getMessage.contains("startingVersion=0"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 0)
+      .option("initialSnapshot", "bogus").load(path).collect())
+    assert(e2.getMessage.contains("perCommit"), e2.getMessage)
+    // explicit perCommit = the default per-commit walk
+    val walk = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 0)
+      .option("initialSnapshot", "perCommit").load(path)
+    assert(walk.filter(col(ver) === 1L).count() == 4)
+  }
+
   test("batch span: DV growth delivers ONLY the newly-hidden row (no pairs)") {
     val (path, _) = history("cdcdv")
     val feed = spark.read.format("graft")
