@@ -694,6 +694,51 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** STAR-JOIN materialized view
+    * ([[plans.MaterializedAgg.refreshAdditiveJoin]]): revenue by
+    * nation maintained from the FACT table's change feed alone — each
+    * fact delta joins the (broadcast) customer→nation dim chain, then
+    * folds through the same signed additive algebra; O(changed fact
+    * rows × dim lookup), never O(fact). The dims are version-PINNED
+    * on the view; the second refresh re-joins the same pinned
+    * versions. Same fixture algebra (upsert + delete caught up in one
+    * span) and the same full-recompute oracle discipline as
+    * [[mvIncremental]]. Reference analog: the Athena star queries
+    * (step_functions.json:210,227), re-run from scratch each time. */
+  def mvJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = scratch("mvjoin", dir)
+    freshDirs(s, base)
+    val fact = plans.SnapshotTable(s, s"$base/fact", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val cust = plans.SnapshotTable(s, s"$base/customer", "c_custkey")
+    val nat = plans.SnapshotTable(s, s"$base/nation", "n_nationkey")
+    cust.create(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
+    nat.create(t(s, dir, "nation").select("n_nationkey", "n_name"))
+    val view = plans.SnapshotTable(s, s"$base/view",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 4)
+    // snowflake chain: the fact joins customer, customer joins nation
+    val dims = Seq(
+      plans.MaterializedAgg.DimSpec(cust, "o_custkey", "c_custkey"),
+      plans.MaterializedAgg.DimSpec(nat, "c_nationkey", "n_nationkey"))
+    val sums = Seq("revenue_cents" ->
+      round(col("o_totalprice") * 100).cast("long"))
+    fact.create(orders.filter(col("o_orderkey") % 4 =!= 3))
+    plans.MaterializedAgg.refreshAdditiveJoin(
+      fact, dims, view, Seq("n_name"), sums)
+    // catch-up refresh folds BOTH pending commits in one span
+    fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+    fact.delete(col("o_orderkey") % 5 === 0)
+    plans.MaterializedAgg.refreshAdditiveJoin(
+      fact, dims, view, Seq("n_name"), sums)
+    view.read.select(col("n_name"), col("revenue_cents"),
+      col(plans.MaterializedAgg.CountCol).as("order_cnt"))
+      .orderBy("n_name")
+  }
+
   /** S2/K2 (MERGE-ON-READ delete) — a scattered POINT delete
     * (`o_orderkey % 1000 = 7`, a handful of rows per file) recorded as
     * per-file deletion vectors in the manifest: the require proves the
@@ -2847,6 +2892,7 @@ object Queries {
     "mv_stream_parity" -> (mvStreamParity _),
     "mv_sql_refresh" -> (mvSqlRefresh _),
     "mv_minmax" -> (mvMinmax _),
+    "mv_join" -> (mvJoin _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
     "cdc_stream_parity" -> (cdcStreamParity _),
@@ -3235,6 +3281,26 @@ object Queries {
         |         AS revenue_cents,
         |       COUNT(*) AS order_cnt
         |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    // star-join view maintained from the fact feed: the oracle is the
+    // full star recompute over the final fact state
+    "mv_join" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 5 <> 0
+        |)
+        |SELECT n_name,
+        |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM final
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "mv_minmax" ->
       """SELECT o_orderpriority,
         |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

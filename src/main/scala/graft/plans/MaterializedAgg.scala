@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate views over a [[SnapshotTable]]
@@ -44,6 +44,63 @@ object MaterializedAgg {
 
   /** View table property holding the last source version folded in. */
   val SourceVersionProp = "graft.mv.sourceVersion"
+
+  // ---- size-aware broadcast fallback --------------------------------
+
+  /** Decision log of [[hintSmall]] — `(site, size, broadcast?)` where
+    * `size` is changed-group rows (merge/recompute sites) or manifest
+    * bytes (dim sites). Observability for specs; bounded. */
+  private[graft] val broadcastDecisions =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Boolean)]
+
+  private def logDecision(site: String, size: Long, ok: Boolean): Unit = {
+    broadcastDecisions.add((site, size, ok))
+    while (broadcastDecisions.size > 64) broadcastDecisions.poll()
+  }
+
+  /** `spark.sql.autoBroadcastJoinThreshold`-style byte strings. */
+  private def parseBytes(v: String): Long = {
+    val t = v.trim.toLowerCase
+    val (digits, mult) =
+      if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
+      else if (t.endsWith("mb")) (t.dropRight(2), 1L << 20)
+      else if (t.endsWith("gb")) (t.dropRight(2), 1L << 30)
+      else if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    (digits.trim.toDouble * mult).toLong
+  }
+
+  private def broadcastThresholdBytes(spark: SparkSession): Long = {
+    val thr =
+      try parseBytes(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      catch { case scala.util.control.NonFatal(_) => 10L << 20 }
+    if (thr <= 0) 10L << 20 else thr
+  }
+
+  /** Max changed-group ROWS the refresh joins will broadcast — above
+    * it the hints drop and the joins shuffle, which is what makes an
+    * initial fold or a long catch-up span (millions of dirty groups)
+    * safe at any size. Configurable via session conf
+    * `graft.mv.broadcastMaxGroups`; the default derives from the
+    * session broadcast threshold at ~64 bytes per group row (encoded
+    * key + a few numeric measures). */
+  private def maxBroadcastGroups(spark: SparkSession): Long =
+    spark.conf.getOption("graft.mv.broadcastMaxGroups")
+      .flatMap(_.toLongOption)
+      .getOrElse(math.max(1L, broadcastThresholdBytes(spark) / 64))
+
+  /** Broadcast `df` (known to hold `rows` rows) only when it is small
+    * enough to hold in every executor; otherwise return it unhinted
+    * and let the join shuffle. */
+  private def hintSmall(site: String, df: DataFrame, rows: Long): DataFrame = {
+    val ok = rows <= maxBroadcastGroups(df.sparkSession)
+    logDecision(site, rows, ok)
+    if (ok) broadcast(df) else df
+  }
 
   /** Synthesized single-column primary key for the view: injective
     * over the group tuple, null-distinguishing (`\u0000` marks NULL —
@@ -154,6 +211,89 @@ object MaterializedAgg {
       .withColumn(KeyCol, keyExpr(keys))
   }
 
+  // ---- star-join views ----------------------------------------------
+
+  /** One dimension of a star-join view: `factKey` (a column of the
+    * accumulated join frame — the fact table, or an EARLIER dim for
+    * snowflake chains) equi-joins `dimKey` on `table`. Fact and dim
+    * column names must be disjoint (TPC-H style); the dim-side key
+    * column is dropped after the join (redundant by the equi-join). */
+  final case class DimSpec(table: SnapshotTable, factKey: String,
+                           dimKey: String)
+
+  /** Dim-pin property stamped per dimension on every join-view
+    * commit: the dim version the view's rows reflect. */
+  private[graft] def dimVersionProp(i: Int) = s"graft.mv.dim.$i.version"
+
+  /** Incremental refresh of a STAR-JOIN aggregate view — the canonical
+    * warehouse rollup (fact ⋈ dims → group-by), maintained from the
+    * FACT table's change feed alone: each fact delta (before/after
+    * images) joins the dims, then folds through the same signed
+    * additive algebra as [[refreshAdditive]] — O(changed fact rows ×
+    * dim lookup), never O(fact table). Group keys and measures may
+    * reference dim columns (that is the point: daily revenue BY
+    * REGION from a lineitem feed). Joins are INNER: a fact row
+    * without its dim row contributes nothing, on both images —
+    * standard star-schema RI semantics, symmetric between add and
+    * subtract, so orphans can never unbalance a group.
+    *
+    * Dims are PINNED: the versions first folded are stamped on the
+    * view ([[dimVersionProp]]) and every later refresh re-joins the
+    * SAME pinned versions; a dim that advanced REFUSES loudly (a dim
+    * change rewrites history for every already-folded group — v1
+    * punts to drop-and-rebuild rather than fold it incrementally,
+    * the Delta/Materialize "dim tables are slowly changing, views
+    * over them recompute" escape hatch). Dim tables broadcast when
+    * their manifest bytes fit the session broadcast threshold; a big
+    * dim shuffles instead. */
+  def refreshAdditiveJoin(fact: SnapshotTable, dims: Seq[DimSpec],
+                          view: SnapshotTable, keys: Seq[String],
+                          sums: Seq[(String, Column)]): Unit = {
+    require(keys.nonEmpty, "refreshAdditiveJoin needs at least one group key")
+    require(dims.nonEmpty, "refreshAdditiveJoin needs at least one " +
+      "dimension — use refreshAdditive for single-table views")
+    val dimVs = dims.map(d => d.table.currentVersion.getOrElse(
+      throw new IllegalStateException(
+        s"dimension ${d.table.path} has no committed snapshot")))
+    // the dim guard runs even when the fact span is empty: a changed
+    // dim makes the view stale no matter what the fact did, and the
+    // caller must learn NOW, not at the next fact commit
+    if (view.exists && view.candidateFiles().nonEmpty) {
+      val props = view.properties
+      dims.zipWithIndex.foreach { case (d, i) =>
+        val pinned = props.get(dimVersionProp(i)).flatMap(_.toLongOption)
+          .getOrElse(throw new IllegalStateException(
+            s"view at ${view.path} logs no ${dimVersionProp(i)} — not " +
+              "an additive JOIN view (create it through " +
+              "refreshAdditiveJoin)"))
+        if (pinned != dimVs(i)) throw new IllegalStateException(
+          s"dimension ${d.table.path} advanced v$pinned -> " +
+            s"v${dimVs(i)} since the view at ${view.path} folded it — " +
+            "an additive join view cannot fold dim changes; drop and " +
+            "rebuild the view")
+      }
+    }
+    val (fromV, toV) = span(fact, view).getOrElse(return)
+    val images = fact.changesDelta(fromV, toV)
+    val joined = dims.zipWithIndex.foldLeft(images) { case (acc, (d, i)) =>
+      // pin the dim read to the guarded version even if a commit lands
+      // mid-plan; broadcast only when its manifest bytes fit (unknown
+      // lengths — pre-length manifests — conservatively shuffle)
+      val dim = d.table.readVersion(dimVs(i))
+      val lens = d.table.candidateFiles().map(_.len)
+      val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
+      val small = bytes <= broadcastThresholdBytes(view.session)
+      logDecision(s"dim.${d.factKey}", bytes, small)
+      acc.join(if (small) broadcast(dim) else dim,
+          acc(d.factKey) === dim(d.dimKey), "inner")
+        .drop(dim(d.dimKey))
+    }
+    commitMerged(view, keys, sums.map(_._1),
+      foldAdditive(joined, keys, sums), toV, additive = true,
+      extraProps = dims.indices
+        .map(i => dimVersionProp(i) -> dimVs(i).toString).toMap)
+  }
+
   /** Incremental refresh for ARBITRARY aggregates: `aggs` are complete
     * aggregate expressions (min/max/count_distinct/…). The change feed
     * supplies only the DIRTY group keys; those groups are recomputed
@@ -188,7 +328,12 @@ object MaterializedAgg {
     // small — cache it so the feed/net-fold plan runs once
     val dirty = dirty0.persist()
     try {
-      if (dirty.isEmpty) {
+      // one count fills the cache, probes emptiness AND sizes the
+      // broadcast decision (at steady state the dirty set is tiny; an
+      // initial fold or a long catch-up span can hold millions of
+      // groups, where a forced broadcast would OOM the executors)
+      val nDirty = dirty.count()
+      if (nDirty == 0L) {
         // rewrite-only churn: NO group changed — the watermark still
         // must advance past the span, but as pure metadata, without a
         // source scan to discover the emptiness downstream
@@ -200,19 +345,23 @@ object MaterializedAgg {
       val cond = keys.map(k => source(k) <=> dirty(k)).reduce(_ && _)
       val aggCols = aggs.map { case (n, e) => e.as(n) } :+
         count(lit(1L)).as(CountCol)
-      val fresh = source.join(broadcast(dirty), cond, "left_semi")
+      val fresh = source
+        .join(hintSmall("recompute.semi", dirty, nDirty), cond, "left_semi")
         .groupBy(keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .withColumn(KeyCol, keyExpr(keys))
       // a dirty key absent from `fresh` lost its last row: delete it.
-      // Left-outer FROM the dirty keys, broadcasting `fresh`: both
-      // sides are O(changed groups), but only the non-preserved (right)
-      // side of a left-outer join is broadcast-buildable — a broadcast
-      // hint on the preserved side of an outer join is silently ignored
-      // and falls back to a shuffle.
+      // Left-outer FROM the dirty keys, broadcasting `fresh` (when
+      // small): both sides are O(changed groups), but only the
+      // non-preserved (right) side of a left-outer join is
+      // broadcast-buildable — a broadcast hint on the preserved side
+      // of an outer join is silently ignored and falls back to a
+      // shuffle. `fresh` has at most one row per dirty key, so the
+      // dirty count bounds its size for the decision.
       val dirtyKeyed = dirty.withColumn(KeyCol, keyExpr(keys))
       val out = dirtyKeyed.select(KeyCol)
-        .join(broadcast(fresh), Seq(KeyCol), "left_outer")
+        .join(hintSmall("recompute.outer", fresh, nDirty),
+          Seq(KeyCol), "left_outer")
         .withColumn(CountCol, coalesce(col(CountCol), lit(0L)))
       commitMerged(view, keys, aggs.map(_._1),
         // deleted groups surface with NULL key/measure columns (KeyCol,
@@ -224,9 +373,11 @@ object MaterializedAgg {
 
   /** Advance the view's watermark (and key-format stamp) as a
     * METADATA-ONLY commit — the no-group-changed refresh outcome. */
-  private def advanceWatermark(view: SnapshotTable, toV: Long): Unit =
+  private def advanceWatermark(view: SnapshotTable, toV: Long,
+                               extraProps: Map[String, String] = Map.empty)
+      : Unit =
     view.setProperties(Map(SourceVersionProp -> toV.toString,
-      KeyFormatProp -> KeyFormat))
+      KeyFormatProp -> KeyFormat) ++ extraProps)
 
   // ---- persisted definitions: the SQL-driven refresh loop ----------
 
@@ -244,6 +395,10 @@ object MaterializedAgg {
   val ModeProp = "graft.mv.mode"
   val KeysProp = "graft.mv.keys"
   val MeasurePrefix = "graft.mv.measure."
+  /** Join-view dim definitions: `graft.mv.dimCount` plus per-dim
+    * `graft.mv.dim.<i>.{path,factKey,dimKey}` (and the refresh-stamped
+    * [[dimVersionProp]]). */
+  val DimCountProp = "graft.mv.dimCount"
 
   private def defProps(src: SnapshotTable, mode: String,
                        keys: Seq[String],
@@ -275,6 +430,43 @@ object MaterializedAgg {
     refreshRecompute(src, view, keys,
       aggs.map { case (n, s) => (n, expr(s)) })
     persistDefinitionIfUncommitted(view, defProps(src, "recompute", keys, aggs))
+  }
+
+  private def dimDefProps(dims: Seq[DimSpec]): Map[String, String] =
+    Map(DimCountProp -> dims.size.toString) ++
+      dims.zipWithIndex.flatMap { case (d, i) =>
+        Seq(s"graft.mv.dim.$i.path" -> d.table.path,
+          s"graft.mv.dim.$i.factKey" -> d.factKey,
+          s"graft.mv.dim.$i.dimKey" -> d.dimKey)
+      }
+
+  /** [[refreshAdditiveJoin]]'s definition form: the dims join the
+    * logged definition (`graft.mv.dim.<i>.*`), so `CALL
+    * graft.system.refresh_mv` can refresh the star rollup with no
+    * Scala in the loop. */
+  def defineAdditiveJoin(fact: SnapshotTable, dims: Seq[DimSpec],
+                         view: SnapshotTable, keys: Seq[String],
+                         sums: Seq[(String, String)]): Unit = {
+    val props = defProps(fact, "additiveJoin", keys, sums) ++ dimDefProps(dims)
+    view.stageProperties(props)
+    refreshAdditiveJoin(fact, dims, view, keys,
+      sums.map { case (n, s) => (n, expr(s)) })
+    persistDefinitionIfUncommitted(view, props)
+  }
+
+  /** Decode a join view's logged dims ([[dimDefProps]]). */
+  private[graft] def dimsOf(view: SnapshotTable): Seq[DimSpec] = {
+    val props = view.properties
+    val n = props.get(DimCountProp).flatMap(_.toIntOption).getOrElse(
+      throw new IllegalStateException(
+        s"join view at ${view.path} logs no $DimCountProp"))
+    (0 until n).map { i =>
+      def need(k: String): String = props.getOrElse(s"graft.mv.dim.$i.$k",
+        throw new IllegalStateException(
+          s"join view at ${view.path} logs no graft.mv.dim.$i.$k"))
+      DimSpec(SnapshotTable(view.session, need("path"), "_unused_read_only"),
+        need("factKey"), need("dimKey"))
+    }
   }
 
   /** The refresh inside define* may be a NO-OP (view already current
@@ -319,7 +511,7 @@ object MaterializedAgg {
     if (measures.isEmpty) throw new IllegalStateException(
       s"view at ${view.path} logs no $MeasurePrefix* measures")
     val mode = need(ModeProp)
-    if (mode != "additive" && mode != "recompute")
+    if (mode != "additive" && mode != "recompute" && mode != "additiveJoin")
       throw new IllegalStateException(
         s"unknown materialized-view mode '$mode' at ${view.path}")
     (src, mode, keys, measures)
@@ -335,6 +527,8 @@ object MaterializedAgg {
     mode match {
       case "additive" => refreshAdditive(src, view, keys, measures)
       case "recompute" => refreshRecompute(src, view, keys, measures)
+      case "additiveJoin" =>
+        refreshAdditiveJoin(src, dimsOf(view), view, keys, measures)
     }
   }
 
@@ -344,17 +538,22 @@ object MaterializedAgg {
     * current group values; for recompute they are final values. */
   private[graft] def commitMerged(view: SnapshotTable, keys: Seq[String],
                            measures: Seq[String], incoming0: DataFrame,
-                           toV: Long, additive: Boolean): Unit = {
+                           toV: Long, additive: Boolean,
+                           extraProps: Map[String, String] = Map.empty)
+      : Unit = {
     // the delta is consumed at least twice (the emptiness probe plus
     // the merge — an aggregate plan re-executes in full under
     // isEmpty's limit(1), so the probe is NOT free on the raw frame)
     // and is O(changed groups) small: cache it for the duration
     val incoming = incoming0.persist()
     try {
+      // one count fills the cache, probes emptiness AND sizes the
+      // broadcast decision below
+      val nGroups = incoming.count()
       // NO group changed (rewrite-only source churn — compaction,
       // clustering): advance the watermark as a METADATA-ONLY commit
-      if (view.exists && incoming.isEmpty) {
-        advanceWatermark(view, toV)
+      if (view.exists && nGroups == 0L) {
+        advanceWatermark(view, toV, extraProps)
         return
       }
       val merged =
@@ -362,14 +561,19 @@ object MaterializedAgg {
         else {
           // old values for exactly the touched groups: semi-join
           // prunes the view scan to O(changed groups) rows BEFORE the
-          // small broadcast outer join folds them — never a broadcast
-          // of the view, never a shuffle of it either
+          // outer join folds them — never a broadcast of the view,
+          // never a shuffle of it either when the delta is small; a
+          // huge delta (initial fold, long catch-up) drops the hints
+          // and shuffles instead of OOMing the executors
           val old = view.read
-            .join(broadcast(incoming.select(KeyCol)), Seq(KeyCol),
-              "left_semi")
+            .join(hintSmall("merge.semi", incoming.select(KeyCol), nGroups),
+              Seq(KeyCol), "left_semi")
             .select(col(KeyCol) +:
               (measures :+ CountCol).map(m => col(m).as(s"__old_$m")): _*)
-          incoming.join(broadcast(old), Seq(KeyCol), "left_outer")
+          // `old` is semi-join-bounded by the delta, so nGroups bounds
+          // its row count for the broadcast decision too
+          incoming.join(hintSmall("merge.fold", old, nGroups),
+              Seq(KeyCol), "left_outer")
             .select(col(KeyCol) +: keys.map(col) ++:
               (measures :+ CountCol).map(m =>
                 (coalesce(col(s"__old_$m"), lit(0L)) + col(m)).as(m)): _*)
@@ -384,7 +588,7 @@ object MaterializedAgg {
         .select(col(KeyCol) +: keys.map(col) ++:
           (measures :+ CountCol).map(col) :+ col(DropCol): _*)
       view.stageProperties(Map(SourceVersionProp -> toV.toString,
-        KeyFormatProp -> KeyFormat))
+        KeyFormatProp -> KeyFormat) ++ extraProps)
       if (!view.exists) {
         view.create(out.filter(!col(DropCol)).drop(DropCol))
       } else view.upsertDelete(out, DropCol)

@@ -60,6 +60,13 @@ object StreamingView {
   def maintainByDefinition(view: SnapshotTable,
                            checkpointDir: String): Unit = {
     val (src, mode, keys, measures) = MaterializedAgg.definitionOf(view)
+    // v1 scope: join views refresh through refreshByDefinition / CALL
+    // refresh_mv (batch); a streaming maintainer would need the same
+    // dim-pin guard per micro-batch — refuse rather than half-support
+    if (mode == "additiveJoin") throw new IllegalStateException(
+      s"streaming maintenance of join views is not supported (view at " +
+        s"${view.path}) — refresh via CALL graft.system.refresh_mv or " +
+        "MaterializedAgg.refreshByDefinition")
     if (mode == "additive")
       // the additive loop IS maintainAdditive — one body, not a copy
       maintainAdditive(view.session, src.path, view, keys, measures,

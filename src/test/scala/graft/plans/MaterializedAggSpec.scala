@@ -184,6 +184,142 @@ class MaterializedAggSpec extends SparkSpec {
     assert(e2.getMessage.contains("ahead of source head"))
   }
 
+  // ---- star-join views ------------------------------------------------
+
+  private def mkFact(path: String): SnapshotTable =
+    SnapshotTable(spark, s"$path/fact", "id", Some("grp"))
+
+  private def mkDim(path: String): SnapshotTable =
+    SnapshotTable(spark, s"$path/dim", "fk")
+
+  private def factRows(t: (Int, Int, Int)*) =
+    t.toDF("id", "amount", "fk").withColumn("grp", col("fk").cast("string"))
+
+  /** Star recompute the join view should equal after any refresh. */
+  private def starExpected(fact: SnapshotTable, dim: SnapshotTable)
+      : Map[String, (Long, Long)] =
+    fact.read.join(dim.read, "fk").groupBy("name")
+      .agg(sum("amount").as("t"), count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("t"), r.getAs[Long]("c"))).toMap
+
+  private def starState(v: SnapshotTable): Map[String, (Long, Long)] =
+    v.read.collect().map(r => r.getAs[String]("name") ->
+      (r.getAs[Long]("total"), r.getAs[Long](MaterializedAgg.CountCol)))
+      .toMap
+
+  test("additive join: star fold, dim pinning, emptied groups, dim-change refusal") {
+    val base = tmp("mvjoin")
+    val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
+    dim.create(Seq((1, "x"), (2, "y"), (3, "z")).toDF("fk", "name"))
+    val dims = Seq(MaterializedAgg.DimSpec(dim, "fk", "fk"))
+    // NB: factKey and dimKey share the name "fk" — the dim-side copy is
+    // dropped after the join, so grouping/summing stays unambiguous
+    fact.create(factRows((1, 10, 1), (2, 20, 1), (3, 5, 2), (4, 7, 3)))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    assert(view.properties(MaterializedAgg.dimVersionProp(0)) == "1",
+      "dim version must be pinned on the view")
+    // catch-up span: update + insert + empty group z entirely
+    fact.upsert(factRows((2, 25, 1), (5, 3, 2)))
+    fact.delete(col("fk") === 3)
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    assert(!starState(view).contains("z"), "emptied group must leave the view")
+    // a dim commit: the next refresh REFUSES (even with no fact span)
+    dim.upsert(Seq((2, "y2")).toDF("fk", "name"))
+    val e = intercept[IllegalStateException] {
+      MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    }
+    assert(e.getMessage.contains("drop and rebuild"), e.getMessage)
+    // a plain additive view refuses a JOIN refresh (no dim pins logged)
+    val base2 = tmp("mvjoin2")
+    val src2 = mkSrc(base2); val view2 = mkView(base2)
+    src2.create(rows((1, 1, "a")))
+    MaterializedAgg.refreshAdditive(src2, view2, Seq("grp"), sums)
+    src2.append(rows((2, 2, "a")))
+    val dim2 = mkDim(base2)
+    dim2.create(Seq((1, "x")).toDF("fk", "name"))
+    val e2 = intercept[IllegalStateException] {
+      MaterializedAgg.refreshAdditiveJoin(src2,
+        Seq(MaterializedAgg.DimSpec(dim2, "id", "fk")), view2,
+        Seq("name"), sums)
+    }
+    assert(e2.getMessage.contains("not an additive JOIN view"), e2.getMessage)
+  }
+
+  test("defined join views refresh by definition; streaming maintainer refuses") {
+    val base = tmp("mvjoindef")
+    val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
+    dim.create(Seq((1, "x"), (2, "y")).toDF("fk", "name"))
+    val dims = Seq(MaterializedAgg.DimSpec(dim, "fk", "fk"))
+    fact.create(factRows((1, 10, 1), (2, 5, 2)))
+    MaterializedAgg.defineAdditiveJoin(fact, dims, view, Seq("name"),
+      Seq("total" -> "CAST(amount AS BIGINT)"))
+    assert(starState(view) == starExpected(fact, dim))
+    // refresh through a handle that knows nothing but the view path
+    fact.upsert(factRows((3, 7, 1)))
+    fact.delete(col("fk") === 2)
+    MaterializedAgg.refreshByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol))
+    assert(starState(view) == starExpected(fact, dim))
+    // v1 scope: the streaming maintainer refuses join views loudly
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingView.maintainByDefinition(
+        SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+        s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
+  test("broadcast fallback: over-threshold changed-group sets shuffle, same result") {
+    try {
+      spark.conf.set("graft.mv.broadcastMaxGroups", "5")
+      val base = tmp("mvbigdelta")
+      val src = mkSrc(base); val view = mkView(base)
+      src.create((1 to 200).map(i => (i, i, s"g${i % 40}"))
+        .toDF("id", "amount", "grp"))
+      MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+      // catch-up span dirtying all 40 groups — far past the 5-group cap
+      src.upsert((1 to 200).map(i => (i, i * 2, s"g${i % 40}"))
+        .toDF("id", "amount", "grp"))
+      MaterializedAgg.broadcastDecisions.clear()
+      MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+      val mergeDecisions = MaterializedAgg.broadcastDecisions.toArray
+        .map(_.asInstanceOf[(String, Long, Boolean)])
+        .filter(_._1.startsWith("merge."))
+      assert(mergeDecisions.nonEmpty)
+      assert(mergeDecisions.forall(d => !d._3 && d._2 == 40L),
+        s"over-cap delta still broadcast: ${mergeDecisions.mkString(", ")}")
+      assert(viewState(view) == expected(src))
+      // recompute path: all 40 groups dirty → both its joins shuffle too
+      val base2 = tmp("mvbigdirty")
+      val src2 = mkSrc(base2); val view2 = mkView(base2)
+      val aggs = Seq("hi" -> max(col("amount")))
+      src2.create((1 to 200).map(i => (i, i, s"g${i % 40}"))
+        .toDF("id", "amount", "grp"))
+      MaterializedAgg.broadcastDecisions.clear()
+      MaterializedAgg.refreshRecompute(src2, view2, Seq("grp"), aggs)
+      val recompute = MaterializedAgg.broadcastDecisions.toArray
+        .map(_.asInstanceOf[(String, Long, Boolean)])
+        .filter(_._1.startsWith("recompute."))
+      assert(recompute.nonEmpty && recompute.forall(!_._3),
+        s"over-cap dirty set still broadcast: ${recompute.mkString(", ")}")
+      assert(view2.read.count() == 40)
+      // back under the cap: a small delta broadcasts again
+      spark.conf.set("graft.mv.broadcastMaxGroups", "1000")
+      src.upsert(rows((1, 999, "g1")))
+      MaterializedAgg.broadcastDecisions.clear()
+      MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+      val small = MaterializedAgg.broadcastDecisions.toArray
+        .map(_.asInstanceOf[(String, Long, Boolean)])
+        .filter(_._1.startsWith("merge."))
+      assert(small.nonEmpty && small.forall(_._3),
+        s"steady-state delta no longer broadcasts: ${small.mkString(", ")}")
+      assert(viewState(view) == expected(src))
+    } finally spark.conf.unset("graft.mv.broadcastMaxGroups")
+  }
+
   test("refresh reads O(changes): the feed span, not the source table") {
     val base = tmp("mvcost")
     val src = mkSrc(base); val view = mkView(base)
