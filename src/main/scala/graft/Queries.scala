@@ -2848,19 +2848,56 @@ object Queries {
   }
 
   /** Batched per-partition feature extraction over media bytes
-    * (mapPartitions; stub features). Rows-only check. */
+    * (mapPartitions), now with REAL pixel/sample decode for the
+    * codec-free containers: image payloads are BMPs and audio payloads
+    * WAVs whose pixel/sample areas tile an md5-derived byte stream, and
+    * [[Multimodal.extractFeatures]] decodes the ACTUAL pixel rows
+    * (BGR, stride-padded, padding excluded) and PCM samples (signed
+    * 16-bit LE) into per-channel sums/extrema + an integer luma
+    * histogram — every stat BIGINT-exact, so the oracle recomputes the
+    * identical numbers from the same md5 stream in closed form. Video
+    * payloads stay on the stub projection (no demuxer in this build):
+    * their stats are null and only the feature arity is checked. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(
-      t(s, dir, "documents"), "doc_id", "text", "source")
-    // join the metadata back so the checked row carries a CONTENT-
-    // derived scalar (payload byte length) next to the UDF's output
-    // arity — the deterministic halves of the stubbed extraction,
-    // both DuckDB-recomputable
-    Multimodal.extractFeatures(s, media)
-      .join(media.select(col("media_id"),
-        col("meta").getField("n_bytes").as("n_bytes")), Seq("media_id"))
-      .select(col("media_id"), col("kind"),
-        size(col("features")).as("n_features"), col("n_bytes"))
+    val docs = t(s, dir, "documents")
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
+    val content = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val media = docs.select(
+      col("doc_id").as("media_id"), kind.as("kind"),
+      when(kind === "image", Multimodal.bmpBytes(
+          pmod(col("doc_id"), lit(32)) + 1, pmod(col("doc_id"), lit(24)) + 1,
+          content))
+        .when(kind === "audio", Multimodal.wavBytes(
+          lit(8000) + pmod(col("doc_id"), lit(100)) * 100,
+          pmod(col("doc_id"), lit(50)) + 1,
+          pmod(col("doc_id"), lit(2)) + 1, content))
+        .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
+    Multimodal.extractFeatures(s, media).select(
+      col("media_id"), col("kind"),
+      size(col("features")).as("n_features"),
+      col("image_stats.b_sum").as("b_sum"),
+      col("image_stats.b_min").as("b_min"),
+      col("image_stats.b_max").as("b_max"),
+      col("image_stats.g_sum").as("g_sum"),
+      col("image_stats.g_min").as("g_min"),
+      col("image_stats.g_max").as("g_max"),
+      col("image_stats.r_sum").as("r_sum"),
+      col("image_stats.r_min").as("r_min"),
+      col("image_stats.r_max").as("r_max"),
+      col("image_stats.n_px").as("n_px"),
+      element_at(col("image_stats.luma_hist"), 1).as("h0"),
+      element_at(col("image_stats.luma_hist"), 2).as("h1"),
+      element_at(col("image_stats.luma_hist"), 3).as("h2"),
+      element_at(col("image_stats.luma_hist"), 4).as("h3"),
+      element_at(col("image_stats.luma_hist"), 5).as("h4"),
+      element_at(col("image_stats.luma_hist"), 6).as("h5"),
+      element_at(col("image_stats.luma_hist"), 7).as("h6"),
+      element_at(col("image_stats.luma_hist"), 8).as("h7"),
+      col("audio_stats.s_sum").as("s_sum"),
+      col("audio_stats.s_min").as("s_min"),
+      col("audio_stats.s_max").as("s_max"),
+      col("audio_stats.n_samples").as("n_samples"))
   }
 
   // ---------------------------------------------------------------------
@@ -4197,13 +4234,99 @@ object Queries {
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(3 AS INTEGER) END AS n_components
         |FROM documents""".stripMargin,
-    // the deterministic halves of the stubbed feature extraction:
-    // output arity (8 features per media row, proving the mapInPandas-
-    // shaped UDF ran once per row) and the content-derived payload size
+    // REAL pixel/sample decode, recomputed in closed form: the BMP
+    // pixel area / WAV sample area tile repeat(md5(doc_id)), so the
+    // oracle regenerates the same byte stream, drops the BMP row-
+    // padding positions, and re-derives every per-channel / per-sample
+    // statistic and the integer luma histogram byte-exactly
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-        |  CAST(8 AS INTEGER) AS n_features,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin)
+      """WITH imgsz AS (
+        |  SELECT doc_id, doc_id % 32 + 1 AS w,
+        |         ((3*(doc_id % 32 + 1) + 3) // 4) * 4
+        |           * (doc_id % 24 + 1) AS img_size,
+        |         ((3*(doc_id % 32 + 1) + 3) // 4) * 4 AS row_bytes
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |imgbytes AS (
+        |  SELECT doc_id, w, row_bytes, unnest(range(img_size)) AS i,
+        |         repeat(md5(CAST(doc_id AS VARCHAR)),
+        |                CAST(ceil(img_size / 16.0) AS INT)) AS rep
+        |  FROM imgsz),
+        |imgpix AS (
+        |  SELECT doc_id, (i // row_bytes) * w + (i % row_bytes) // 3 AS px,
+        |         (i % row_bytes) % 3 AS ch,
+        |    (strpos('0123456789abcdef',
+        |            substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(rep, CAST(2*i+2 AS INT), 1)) - 1 AS v
+        |  FROM imgbytes WHERE (i % row_bytes) < 3*w),
+        |imgstat AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN ch=0 THEN v END) AS BIGINT) AS b_sum,
+        |    CAST(min(CASE WHEN ch=0 THEN v END) AS BIGINT) AS b_min,
+        |    CAST(max(CASE WHEN ch=0 THEN v END) AS BIGINT) AS b_max,
+        |    CAST(sum(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_sum,
+        |    CAST(min(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_min,
+        |    CAST(max(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_max,
+        |    CAST(sum(CASE WHEN ch=2 THEN v END) AS BIGINT) AS r_sum,
+        |    CAST(min(CASE WHEN ch=2 THEN v END) AS BIGINT) AS r_min,
+        |    CAST(max(CASE WHEN ch=2 THEN v END) AS BIGINT) AS r_max,
+        |    CAST(count(*) FILTER (WHERE ch=0) AS BIGINT) AS n_px
+        |  FROM imgpix GROUP BY doc_id),
+        |imglum AS (
+        |  SELECT doc_id,
+        |    LEAST(7, (299*max(CASE WHEN ch=2 THEN v END)
+        |            + 587*max(CASE WHEN ch=1 THEN v END)
+        |            + 114*max(CASE WHEN ch=0 THEN v END)) // 31875) AS bin
+        |  FROM imgpix GROUP BY doc_id, px),
+        |imghist AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE bin=0) AS BIGINT) AS h0,
+        |    CAST(count(*) FILTER (WHERE bin=1) AS BIGINT) AS h1,
+        |    CAST(count(*) FILTER (WHERE bin=2) AS BIGINT) AS h2,
+        |    CAST(count(*) FILTER (WHERE bin=3) AS BIGINT) AS h3,
+        |    CAST(count(*) FILTER (WHERE bin=4) AS BIGINT) AS h4,
+        |    CAST(count(*) FILTER (WHERE bin=5) AS BIGINT) AS h5,
+        |    CAST(count(*) FILTER (WHERE bin=6) AS BIGINT) AS h6,
+        |    CAST(count(*) FILTER (WHERE bin=7) AS BIGINT) AS h7
+        |  FROM imglum GROUP BY doc_id),
+        |audsz AS (
+        |  SELECT doc_id,
+        |         2*(doc_id % 50 + 1)*(doc_id % 2 + 1) AS data_size
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |audbytes AS (
+        |  SELECT doc_id, unnest(range(data_size)) AS i,
+        |         repeat(md5(CAST(doc_id AS VARCHAR)),
+        |                CAST(ceil(data_size / 16.0) AS INT)) AS rep
+        |  FROM audsz),
+        |audsamp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 256 END *
+        |          ((strpos('0123456789abcdef',
+        |                   substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |           + strpos('0123456789abcdef',
+        |                    substr(rep, CAST(2*i+2 AS INT), 1)) - 1)) AS raw
+        |    FROM audbytes GROUP BY doc_id, i // 2)),
+        |audstat AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS s_sum,
+        |         CAST(min(s) AS BIGINT) AS s_min,
+        |         CAST(max(s) AS BIGINT) AS s_max,
+        |         CAST(count(*) AS BIGINT) AS n_samples
+        |  FROM audsamp GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(d.doc_id % 3 AS INTEGER) + 1]
+        |    AS kind,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 9
+        |            WHEN d.doc_id % 3 = 1 THEN 3 ELSE 8 END AS INTEGER)
+        |    AS n_features,
+        |  i.b_sum, i.b_min, i.b_max, i.g_sum, i.g_min, i.g_max,
+        |  i.r_sum, i.r_min, i.r_max, i.n_px,
+        |  h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7,
+        |  a.s_sum, a.s_min, a.s_max, a.n_samples
+        |FROM documents d
+        |LEFT JOIN imgstat i ON d.doc_id = i.doc_id
+        |LEFT JOIN imghist h ON d.doc_id = h.doc_id
+        |LEFT JOIN audstat a ON d.doc_id = a.doc_id""".stripMargin)
 }

@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   * [[decodeWav]] — channels/sample-rate/bit-depth from the RIFF fmt
   * chunk) and PNG ([[pngBytes]]/[[decodePng]] — big-endian IHDR fields
   * with the chunk CRC32 recomputed and verified, not trusted).
-  * PIXEL/SAMPLE decode and video demuxing remain STUBBED (no
-  * image/audio codecs in this build): `stubDecode*` derive
-  * deterministic fake outputs from the bytes, clearly marked below.
+  * PIXEL/SAMPLE decode is REAL for the codec-free containers: BMP
+  * pixel rows and WAV PCM samples are plain bytes, so
+  * [[bmpPixelStats]]/[[wavSampleStats]] compute genuine per-channel /
+  * per-sample statistics. Only compressed pixel data (PNG/JPEG) and
+  * video demuxing remain STUBBED (no codecs in this build):
+  * `stubDecode*` derive deterministic fake outputs from the bytes,
+  * clearly marked below.
   * Everything around the stubs — schema, binary handling,
   * partition-level batching, output shape — is real Spark plumbing and
   * is what matters at 100 TB: media bytes never pass through the
@@ -55,24 +59,38 @@ object Multimodal {
   private def asInt(v: Column): Column =
     when(v <= Int.MaxValue, v).otherwise(lit(null)).cast(IntegerType)
 
+  /** Tile `contentHex` (an even-length hex string, e.g. an md5 digest)
+    * over `nBytes` payload bytes: repeat to cover, truncate exact.
+    * The dynamic-count SQL `repeat` goes through [[call_function]] —
+    * the Scala DSL only exposes the Int-literal overload. */
+  private def tileHex(contentHex: Column, nBytes: Column): Column =
+    substring(
+      call_function("repeat", contentHex,
+        ceil(nBytes.cast(DoubleType) * 2d / length(contentHex))
+          .cast(IntegerType)),
+      lit(1), (nBytes * 2).cast(IntegerType))
+
   /** Valid 24-bit uncompressed BMP bytes (BITMAPFILEHEADER +
-    * BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding per the
-    * format). Column algebra only — a per-row generated file. Max
-    * supported here: 32×24 (bounded by the static zero-pixel pool). */
-  def bmpBytes(width: Column, height: Column): Column = {
+    * BITMAPINFOHEADER + pixel rows, 4-byte row padding per the
+    * format). Column algebra only — a per-row generated file. The
+    * pixel area (INCLUDING the padding byte positions) is filled by
+    * tiling `contentHex`, default zeros — pass e.g. `md5(...)` for
+    * deterministic non-trivial pixels whose stats an oracle can
+    * recompute byte-exactly. */
+  def bmpBytes(width: Column, height: Column,
+               contentHex: Column = lit("00")): Column = {
     val w = width.cast(LongType)
     val h = height.cast(LongType)
     val rowBytes = w * 3 + lit(3L) - pmod(w * 3 + lit(3L), lit(4L)) // pad to 4
     val imgSize = rowBytes * h
     val fileSize = imgSize + lit(54L)
-    val zeros = lit("00" * (96 * 24)) // pixel pool for dims up to 32×24
     unhex(concat(
       lit("424D"), leHex(fileSize, 4), lit("00000000"), leHex(lit(54L), 4),
       leHex(lit(40L), 4), leHex(w, 4), leHex(h, 4),
       leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
       leHex(imgSize, 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
       leHex(lit(0L), 4), leHex(lit(0L), 4),
-      substring(zeros, lit(1), (imgSize * 2).cast(IntegerType))))
+      tileHex(contentHex, imgSize)))
   }
 
   /** REAL BMP header decode: magic check + width/height/bit-depth/
@@ -87,22 +105,23 @@ object Multimodal {
         leAt(bytes, 29, 2).cast(IntegerType).as("bit_depth"),
         leAt(bytes, 3, 4).as("file_size")))
 
-  /** Valid 16-bit PCM WAV bytes (RIFF/WAVE header + fmt + data chunk of
-    * zeroed samples). Max `nSamples`×`channels` bounded by the static
-    * zero-sample pool (256 samples). */
+  /** Valid 16-bit PCM WAV bytes (RIFF/WAVE header + fmt + data chunk).
+    * The sample area is filled by tiling `contentHex`, default zeros —
+    * pass e.g. `md5(...)` for deterministic non-silent PCM whose
+    * stats an oracle can recompute byte-exactly. */
   def wavBytes(sampleRate: Column, nSamples: Column,
-               channels: Column = lit(1)): Column = {
+               channels: Column = lit(1),
+               contentHex: Column = lit("00")): Column = {
     val rate = sampleRate.cast(LongType)
     val ch = channels.cast(LongType)
     val dataSize = nSamples.cast(LongType) * ch * lit(2L)
-    val zeros = lit("00" * 512) // sample pool
     unhex(concat(
       lit("52494646"), leHex(dataSize + lit(36L), 4), lit("57415645"), // RIFF..WAVE
       lit("666D7420"), leHex(lit(16L), 4), // "fmt ", chunk size
       leHex(lit(1L), 2), leHex(ch, 2), leHex(rate, 4), // PCM, channels, rate
       leHex(rate * ch * lit(2L), 4), leHex(ch * lit(2L), 2), leHex(lit(16L), 2),
       lit("64617461"), leHex(dataSize, 4), // "data", size
-      substring(zeros, lit(1), (dataSize * 2).cast(IntegerType))))
+      tileHex(contentHex, dataSize)))
   }
 
   /** REAL WAV header decode: RIFF/WAVE magic + channels/sample-rate/
@@ -290,17 +309,125 @@ object Multimodal {
       .otherwise(expr("CAST(array() AS ARRAY<STRUCT<frame_no: INT, frame_bytes: BINARY>>)"))
   }
 
+  // ---------------------------------------------------------------
+  // REAL pixel/sample decode for the codec-free containers
+  // ---------------------------------------------------------------
+
+  private def u8(bytes: Array[Byte], off: Int): Int = bytes(off) & 0xFF
+
+  /** Little-endian unsigned read of `n` bytes at 0-based `off`. */
+  private def leLong(bytes: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var k = n - 1
+    while (k >= 0) { v = (v << 8) | (bytes(off + k) & 0xFFL); k -= 1 }
+    v
+  }
+
+  /** Per-channel pixel statistics + 8-bin luma histogram of a 24-bit
+    * uncompressed BMP, decoded from the REAL pixel rows: BGR byte
+    * order, rows stride-padded to 4 bytes (padding excluded), data
+    * offset honored from the file header, top-down (negative height)
+    * accepted. Luma bins use integer arithmetic so an oracle can
+    * recompute them byte-exactly: bin = min(7, (299R+587G+114B)/31875)
+    * — 31875 = 255·1000/8. None for non-BMP / compressed / non-24-bit
+    * / truncated payloads (corruption degrades to "no stats", never to
+    * a job failure). */
+  private[graft] def bmpPixelStats(bytes: Array[Byte])
+      : Option[(Array[Long], Array[Long])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = leLong(bytes, 10, 4)
+    val w = leLong(bytes, 18, 4)
+    val hRaw = leLong(bytes, 22, 4).toInt // signed: negative = top-down
+    val h = math.abs(hRaw).toLong
+    val bpp = leLong(bytes, 28, 2)
+    val compression = leLong(bytes, 30, 4)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff + rowBytes * h > bytes.length) return None
+    // [bSum,bMin,bMax, gSum,gMin,gMax, rSum,rMin,rMax, nPx]
+    val stats = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
+    val hist = new Array[Long](8)
+    var row = 0
+    while (row < h) {
+      var base = (dataOff + row * rowBytes).toInt
+      var x = 0
+      while (x < w) {
+        val b = u8(bytes, base); val g = u8(bytes, base + 1)
+        val r = u8(bytes, base + 2)
+        stats(0) += b; if (b < stats(1)) stats(1) = b; if (b > stats(2)) stats(2) = b
+        stats(3) += g; if (g < stats(4)) stats(4) = g; if (g > stats(5)) stats(5) = g
+        stats(6) += r; if (r < stats(7)) stats(7) = r; if (r > stats(8)) stats(8) = r
+        val bin = math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L)
+        hist(bin.toInt) += 1
+        base += 3; x += 1
+      }
+      row += 1
+    }
+    stats(9) = w * h
+    Some((stats, hist))
+  }
+
+  /** Signed 16-bit PCM sample statistics of a canonical-layout WAV
+    * (44-byte header, fmt then data — the [[wavBytes]]/most-encoder
+    * shape [[decodeWav]] already assumes): sum/min/max/count over ALL
+    * interleaved samples, little-endian two's complement. None for
+    * non-WAV / non-PCM / non-16-bit / truncated payloads. */
+  private[graft] def wavSampleStats(bytes: Array[Byte])
+      : Option[Array[Long]] = {
+    if (bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return None
+    val audioFormat = leLong(bytes, 20, 2)
+    val bitDepth = leLong(bytes, 34, 2)
+    val dataSize = leLong(bytes, 40, 4)
+    if (audioFormat != 1 || bitDepth != 16 ||
+        44 + dataSize > bytes.length) return None
+    val n = dataSize / 2
+    var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+    var j = 0
+    while (j < n) {
+      val raw = u8(bytes, 44 + 2 * j) | (u8(bytes, 45 + 2 * j) << 8)
+      val s: Long = (raw.toShort).toLong // two's complement
+      sum += s; if (s < min) min = s; if (s > max) max = s
+      j += 1
+    }
+    if (n == 0) Some(Array(0L, 0L, 0L, 0L)) else Some(Array(sum, min, max, n))
+  }
+
+  private val imageStatsType = StructType(Seq(
+    StructField("b_sum", LongType), StructField("b_min", LongType),
+    StructField("b_max", LongType), StructField("g_sum", LongType),
+    StructField("g_min", LongType), StructField("g_max", LongType),
+    StructField("r_sum", LongType), StructField("r_min", LongType),
+    StructField("r_max", LongType), StructField("n_px", LongType),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false))))
+
+  private val audioStatsType = StructType(Seq(
+    StructField("s_sum", LongType), StructField("s_min", LongType),
+    StructField("s_max", LongType), StructField("n_samples", LongType)))
+
   /** Feature extraction over media batches via `mapPartitions` — the
     * genuine per-partition imperative path a real decoder would use
-    * (decode library invoked once per batch, not per row). The feature
-    * vector itself is a ---- STUB ----: a deterministic 8-dim projection
-    * of the payload bytes. */
+    * (decode state opened once per batch, not per row).
+    *
+    * BMP and WAV payloads are decoded FOR REAL down to pixels/samples
+    * (no codec needed — [[bmpPixelStats]]/[[wavSampleStats]]):
+    * `image_stats` carries per-channel sum/min/max + an 8-bin integer
+    * luma histogram, `audio_stats` carries sample sum/min/max/count,
+    * and `features` is derived from those real statistics (normalized
+    * channel/sample means and extrema). PNG/JPEG stay header-only
+    * ([[decodePng]]/[[decodeJpeg]]) and video demuxing has no codec in
+    * this build, so payloads that are neither BMP nor WAV fall back to
+    * a ---- STUB ---- deterministic 8-dim byte projection (stats
+    * null), standing in for a real codec. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false),
-        nullable = false)))
+        nullable = false),
+      StructField("image_stats", imageStatsType, nullable = true),
+      StructField("audio_stats", audioStatsType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "kind", "bytes").mapPartitions { rows =>
       // per-partition setup (a real impl would open the codec here, once)
@@ -308,14 +435,34 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        // ---- STUB ---- deterministic fake features from byte content
-        val feats = Array.tabulate(8) { i =>
-          var acc = 1125899906842597L
-          var j = i
-          while (j < bytes.length) { acc = 31 * acc + bytes(j); j += 8 }
-          ((acc & 0xFFFFL).toFloat / 65536.0f) - 0.5f
+        val img = bmpPixelStats(bytes)
+        val aud = if (img.isDefined) None else wavSampleStats(bytes)
+        (img, aud) match {
+          case (Some((s, hist)), _) =>
+            val n = s(9).toFloat
+            val feats = Array(
+              s(0) / n / 255f, s(3) / n / 255f, s(6) / n / 255f,
+              s(1) / 255f, s(4) / 255f, s(7) / 255f,
+              s(2) / 255f, s(5) / 255f, s(8) / 255f)
+            Row(id, kind, feats.toSeq,
+              Row(s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8),
+                s(9), hist.toSeq), null)
+          case (_, Some(a)) =>
+            val n = math.max(1L, a(3)).toFloat
+            val feats = Array(a(0) / n / 32768f, a(1) / 32768f, a(2) / 32768f)
+            Row(id, kind, feats.toSeq, null, Row(a(0), a(1), a(2), a(3)))
+          case _ =>
+            // ---- STUB ---- deterministic fake features from byte
+            // content — the no-codec-available path (PNG/JPEG pixels,
+            // video frames)
+            val feats = Array.tabulate(8) { i =>
+              var acc = 1125899906842597L
+              var j = i
+              while (j < bytes.length) { acc = 31 * acc + bytes(j); j += 8 }
+              ((acc & 0xFFFFL).toFloat / 65536.0f) - 0.5f
+            }
+            Row(id, kind, feats.toSeq, null, null)
         }
-        Row(id, kind, feats.toSeq)
       }
     }(enc)
   }

@@ -155,6 +155,110 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.select(Multimodal.decodeWav($"b")).head().isNullAt(0))
   }
 
+  test("bmpPixelStats agrees with the JDK's OWN pixel decode of the same file") {
+    // non-trivial pixels: tile an md5 stream over the pixel area, then
+    // have ImageIO — an independent BMP implementation — decode the
+    // pixels and recompute every statistic from its getRGB values
+    val rows = dims.toDF("id", "w", "h")
+      .select($"w", $"h", Multimodal.bmpBytes($"w", $"h",
+        md5(encode($"id".cast("string"), "UTF-8"))).as("bytes"))
+      .collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val Some((s, hist)) = Multimodal.bmpPixelStats(bytes)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val px = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y)
+      def chan(shift: Int) = px.map(p => ((p >> shift) & 0xFF).toLong)
+      val (bs, gs, rs) = (chan(0), chan(8), chan(16))
+      assert((s(0), s(1), s(2)) == (bs.sum, bs.min, bs.max), "blue stats")
+      assert((s(3), s(4), s(5)) == (gs.sum, gs.min, gs.max), "green stats")
+      assert((s(6), s(7), s(8)) == (rs.sum, rs.min, rs.max), "red stats")
+      assert(s(9) == px.size.toLong, "pixel count")
+      val wantHist = new Array[Long](8)
+      px.foreach { p =>
+        val (b, g, rr) = (p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF)
+        wantHist(math.min(7L, (299L * rr + 587L * g + 114L * b) / 31875L).toInt) += 1
+      }
+      assert(hist.toSeq == wantHist.toSeq, "luma histogram")
+      assert(hist.sum == s(9), "histogram covers every pixel")
+    }
+  }
+
+  test("bmpPixelStats: top-down BMPs decode; corruption degrades to None") {
+    val base = Seq((3L, 5, 4)).toDF("id", "w", "h")
+      .select(Multimodal.bmpBytes($"w", $"h",
+        md5(encode($"id".cast("string"), "UTF-8"))).as("bytes"))
+      .head().getAs[Array[Byte]]("bytes")
+    val Some((stats, hist)) = Multimodal.bmpPixelStats(base)
+    // flip the height field to -4 (top-down variant): same pixel bytes,
+    // so every order-independent statistic must be identical
+    val topDown = base.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-4).array()
+    System.arraycopy(negH, 0, topDown, 22, 4)
+    val Some((tdStats, tdHist)) = Multimodal.bmpPixelStats(topDown)
+    assert(tdStats.toSeq == stats.toSeq && tdHist.toSeq == hist.toSeq)
+    // truncation (pixel area cut short) and unsupported depth: None
+    assert(Multimodal.bmpPixelStats(base.take(60)).isEmpty)
+    val depth8 = base.clone(); depth8(28) = 8
+    assert(Multimodal.bmpPixelStats(depth8).isEmpty)
+    assert(Multimodal.bmpPixelStats("not a bmp at all".getBytes).isEmpty)
+  }
+
+  test("wavSampleStats agrees with an independent LE-short decode") {
+    val bytes = Seq((11L, 8000, 37, 2)).toDF("id", "rate", "n", "ch")
+      .select(Multimodal.wavBytes($"rate", $"n", $"ch",
+        md5(encode($"id".cast("string"), "UTF-8"))).as("bytes"))
+      .head().getAs[Array[Byte]]("bytes")
+    val Some(stats) = Multimodal.wavSampleStats(bytes)
+    val sb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val samples = (0 until sb.remaining()).map(i => sb.get(i).toLong)
+    assert(samples.size == 37 * 2, "37 samples x 2 channels")
+    assert(stats.toSeq ==
+      Seq(samples.sum, samples.min, samples.max, samples.size.toLong))
+    assert(stats(1) < 0, "md5 PCM must include negative samples " +
+      "or the two's-complement path went untested")
+    // corruption: truncated data chunk and non-PCM format both refuse
+    assert(Multimodal.wavSampleStats(bytes.take(50)).isEmpty)
+    val nonPcm = bytes.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assert(Multimodal.wavSampleStats(nonPcm).isEmpty)
+  }
+
+  test("extractFeatures: real stats for BMP/WAV, stub arity elsewhere") {
+    val media = Seq((0L, "image"), (1L, "audio"), (2L, "video"))
+      .toDF("media_id", "kind")
+      .select($"media_id", $"kind",
+        when($"kind" === "image", Multimodal.bmpBytes(lit(6), lit(5),
+            md5(encode($"media_id".cast("string"), "UTF-8"))))
+          .when($"kind" === "audio", Multimodal.wavBytes(lit(8000), lit(9),
+            lit(1), md5(encode($"media_id".cast("string"), "UTF-8"))))
+          .otherwise(encode(lit("opaque video payload"), "UTF-8"))
+          .as("bytes"))
+    val out = Multimodal.extractFeatures(spark, media)
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    val img = out("image")
+    assert(!img.isNullAt(img.fieldIndex("image_stats")))
+    assert(img.isNullAt(img.fieldIndex("audio_stats")))
+    assert(img.getSeq[Float](img.fieldIndex("features")).size == 9)
+    val is = img.getAs[org.apache.spark.sql.Row]("image_stats")
+    assert(is.getAs[Long]("n_px") == 30L)
+    // features are DERIVED from the real stats, not a parallel path
+    assert(math.abs(img.getSeq[Float](img.fieldIndex("features")).head -
+      is.getAs[Long]("b_sum").toFloat / 30f / 255f) < 1e-6f)
+    val aud = out("audio")
+    assert(!aud.isNullAt(aud.fieldIndex("audio_stats")))
+    assert(aud.isNullAt(aud.fieldIndex("image_stats")))
+    assert(aud.getSeq[Float](aud.fieldIndex("features")).size == 3)
+    assert(aud.getAs[org.apache.spark.sql.Row]("audio_stats")
+      .getAs[Long]("n_samples") == 9L)
+    val vid = out("video")
+    assert(vid.isNullAt(vid.fieldIndex("image_stats")) &&
+      vid.isNullAt(vid.fieldIndex("audio_stats")))
+    assert(vid.getSeq[Float](vid.fieldIndex("features")).size == 8)
+  }
+
   test("metadata-only queries prune the media bytes column out of the scan") {
     // the 100 TB claim at Multimodal.scala:26-28: payload bytes are by
     // far the widest column of a media table, and a catalog/stats query
