@@ -89,14 +89,74 @@ object ScaleSmoke {
     spark.read.parquet(s"$srcDir/nation.parquet").count()
 
     import Gate.jstr
-    val rows = Heaviest.map { name =>
+    // dev loop: SPARK_GRAFT_SMOKE_ONLY=a,b runs just those entries
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = Heaviest.filter(n => only.forall(_.contains(n)))
+    val rows = selected.map { name =>
       val small = timeOne(name, srcDir)
       val big = timeOne(name, bigDir)
       val ratio = big / math.max(small, 1e-9)
       println(f"[smoke] $name sf0.1=$small%.1fs sf1=$big%.1fs ratio=$ratio%.1f")
       s"""${jstr(name)}:{"sf01":$small,"sf1":$big,"ratio":$ratio}"""
     }
-    val json = s"""{"copies":$Copies,"entries":{${rows.mkString(",")}}}"""
+
+    // ---- skew stress: Zipf-skewed join key, salted vs unsalted -------
+    // The 13 entries above all join/aggregate on uniform TPC-H-ish
+    // keys; this one plants a genuinely hot key (50% of the fact on
+    // key 0, the rest uniform over the dim range — a degenerate Zipf)
+    // and times Skew.saltedEquiJoin against the plain equi-join on
+    // IDENTICAL inputs at 1x and 10x. Both joins are pinned to
+    // sort-merge (MERGE hint): the scenario being modeled is a dim too
+    // large to broadcast at 100 TB — letting local[32] broadcast a
+    // 1M-row dim would measure nothing. AQE's own skew splitting stays
+    // ON (defaults); the hot partition here (~80 MB at 10x) sits under
+    // its 256 MB threshold, exactly the regime where explicit salting
+    // is the only fix and the unsalted join serializes one straggler
+    // task.
+    val skewRow = if (only.forall(_.contains("skew_salted_join"))) {
+      val nDim = 1000L * 1000
+      def fact(n: Long) = spark.range(n).select(
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
+        pmod(col("id"), lit(1000)).as("v"))
+      def dim() = spark.range(nDim).select(
+        col("id").as("k"), pmod(col("id"), lit(97)).as("w"))
+      def timeJoin(n: Long, salted: Boolean): Double = {
+        val d = dim().hint("merge")
+        val joined =
+          if (salted) operators.Skew.saltedEquiJoin(fact(n), d, "k")
+          else fact(n).join(d, Seq("k"))
+        val t0 = System.nanoTime()
+        joined.agg(bit_xor(xxhash64(col("k"), col("v"), col("w")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = 2L * 1000 * 1000
+      // untimed warmup of BOTH plan shapes: the first SMJ+explode run
+      // pays one-off codegen/JIT that would otherwise be billed to
+      // whichever variant runs first
+      timeJoin(100L * 1000, salted = true)
+      timeJoin(100L * 1000, salted = false)
+      // min-of-2 per point: this box's documented cold-run noise would
+      // otherwise dominate the 1x numbers the ratios divide by
+      def min2(n: Long, salted: Boolean): Double =
+        math.min(timeJoin(n, salted), timeJoin(n, salted))
+      val sSmall = min2(base, salted = true)
+      val uSmall = min2(base, salted = false)
+      val sBig = min2(base * Copies, salted = true)
+      val uBig = min2(base * Copies, salted = false)
+      val ratio = sBig / math.max(sSmall, 1e-9)
+      val over = uBig / math.max(sBig, 1e-9)
+      println(f"[smoke] skew_salted_join salted=$sSmall%.1f/$sBig%.1fs " +
+        f"ratio=$ratio%.1f unsalted=$uSmall%.1f/$uBig%.1fs " +
+        f"unsalted_over_salted_10x=$over%.1f")
+      Seq(s"""${jstr("skew_salted_join")}:{"sf01":$sSmall,"sf1":$sBig,""" +
+        s""""ratio":$ratio,"sf01_unsalted":$uSmall,"sf1_unsalted":$uBig,""" +
+        s""""unsalted_over_salted_sf1":$over}""")
+    } else Nil
+
+    val json =
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow).mkString(",")}}}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()
