@@ -696,14 +696,16 @@ object Queries {
 
   /** STAR-JOIN materialized view
     * ([[plans.MaterializedAgg.refreshAdditiveJoin]]): revenue by
-    * nation maintained from the FACT table's change feed alone — each
-    * fact delta joins the (broadcast) customer→nation dim chain, then
-    * folds through the same signed additive algebra; O(changed fact
-    * rows × dim lookup), never O(fact). The dims are version-PINNED
-    * on the view; the second refresh re-joins the same pinned
-    * versions. Same fixture algebra (upsert + delete caught up in one
-    * span) and the same full-recompute oracle discipline as
-    * [[mvIncremental]]. Reference analog: the Athena star queries
+    * nation maintained incrementally — fact deltas join the
+    * (broadcast) customer→nation dim chain and fold through the
+    * signed additive algebra (O(changed fact rows × dim lookup),
+    * never O(fact)), and a DIM change (customers moving nation — the
+    * SCD overwrite case) folds through the multilinear delta
+    * expansion: current fact ⋈ signed dim delta, pruned to the
+    * changed keys. Fixture: fact upsert + delete caught up in one
+    * span, then a 1-in-10 customer nation move in its own refresh;
+    * the oracle is the full star recompute over the FINAL states.
+    * Reference analog: the Athena star queries
     * (step_functions.json:210,227), re-run from scratch each time. */
   def mvJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -732,6 +734,15 @@ object Queries {
     fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
     fact.delete(col("o_orderkey") % 5 === 0)
+    plans.MaterializedAgg.refreshAdditiveJoin(
+      fact, dims, view, Seq("n_name"), sums)
+    // dim change: 1-in-10 customers MOVE nation (SCD overwrite) — the
+    // delta-expansion term re-joins only the affected fact rows and
+    // shifts their revenue between nation groups
+    cust.upsert(t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        pmod(col("c_nationkey") + 1, lit(25)).as("c_nationkey")))
     plans.MaterializedAgg.refreshAdditiveJoin(
       fact, dims, view, Seq("n_name"), sums)
     view.read.select(col("n_name"), col("revenue_cents"),
@@ -3329,13 +3340,19 @@ object Queries {
         |  FROM orders
         |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
         |    AND o_orderkey % 5 <> 0
+        |), cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0
+        |              THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer
         |)
         |SELECT n_name,
         |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
         |         AS revenue_cents,
         |       COUNT(*) AS order_cnt
         |FROM final
-        |JOIN customer ON o_custkey = c_custkey
+        |JOIN cust ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "mv_minmax" ->

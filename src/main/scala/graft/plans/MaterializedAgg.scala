@@ -226,72 +226,132 @@ object MaterializedAgg {
   private[graft] def dimVersionProp(i: Int) = s"graft.mv.dim.$i.version"
 
   /** Incremental refresh of a STAR-JOIN aggregate view — the canonical
-    * warehouse rollup (fact ⋈ dims → group-by), maintained from the
-    * FACT table's change feed alone: each fact delta (before/after
-    * images) joins the dims, then folds through the same signed
-    * additive algebra as [[refreshAdditive]] — O(changed fact rows ×
-    * dim lookup), never O(fact table). Group keys and measures may
-    * reference dim columns (that is the point: daily revenue BY
-    * REGION from a lineitem feed). Joins are INNER: a fact row
-    * without its dim row contributes nothing, on both images —
+    * warehouse rollup (fact ⋈ dims → group-by). Group keys and
+    * measures may reference dim columns (that is the point: daily
+    * revenue BY REGION from a lineitem feed). Joins are INNER: a fact
+    * row without its dim row contributes nothing, on both images —
     * standard star-schema RI semantics, symmetric between add and
     * subtract, so orphans can never unbalance a group.
     *
-    * Dims are PINNED: the versions first folded are stamped on the
-    * view ([[dimVersionProp]]) and every later refresh re-joins the
-    * SAME pinned versions; a dim that advanced REFUSES loudly (a dim
-    * change rewrites history for every already-folded group — v1
-    * punts to drop-and-rebuild rather than fold it incrementally,
-    * the Delta/Materialize "dim tables are slowly changing, views
-    * over them recompute" escape hatch). Dim tables broadcast when
-    * their manifest bytes fit the session broadcast threshold; a big
-    * dim shuffles instead. */
+    * Maintenance is the exact multilinear delta expansion over the
+    * table chain `[fact, d1 … dn]` (the incremental-view-maintenance
+    * identity J(new⃗) − J(old⃗) = Σ_k J(new₁…new_{k−1}, Δ_k,
+    * old_{k+1}…old_n), as in differential dataflow / DBSP):
+    *
+    *  - the FACT term joins the fact change feed (signed before/after
+    *    images) against every dim at its PINNED old version —
+    *    O(changed fact rows × dim lookup), never O(fact table);
+    *  - each CHANGED-DIM term joins the full fact at its NEW version
+    *    (pruned by a semi-join on the delta's keys when the dim joins
+    *    a fact column directly) against dims-before-it at new
+    *    versions, the dim's own signed delta, and dims-after-it at
+    *    old versions — O(fact rows referencing changed dim keys),
+    *    the irreducible cost of a dim change, paid only when a dim
+    *    actually changed.
+    *
+    * All terms union into ONE signed fold and ONE view commit, which
+    * stamps the new fact watermark and dim pins atomically — so dim
+    * attribute changes (an SCD overwrite moving groups), dim-key
+    * deletes (facts orphaned out), and fact churn all fold in the
+    * same refresh. Old dim versions must still be readable
+    * (time-travel): a vacuumed-away pin fails loudly — drop and
+    * rebuild the view. Dim tables broadcast when their manifest bytes
+    * fit the session broadcast threshold; a big dim shuffles
+    * instead. */
   def refreshAdditiveJoin(fact: SnapshotTable, dims: Seq[DimSpec],
                           view: SnapshotTable, keys: Seq[String],
                           sums: Seq[(String, Column)]): Unit = {
     require(keys.nonEmpty, "refreshAdditiveJoin needs at least one group key")
     require(dims.nonEmpty, "refreshAdditiveJoin needs at least one " +
       "dimension — use refreshAdditive for single-table views")
-    val dimVs = dims.map(d => d.table.currentVersion.getOrElse(
+    val factTo = fact.currentVersion.getOrElse(
+      throw new IllegalStateException(
+        s"fact table ${fact.path} has no committed snapshot"))
+    val dimTo = dims.map(d => d.table.currentVersion.getOrElse(
       throw new IllegalStateException(
         s"dimension ${d.table.path} has no committed snapshot")))
-    // the dim guard runs even when the fact span is empty: a changed
-    // dim makes the view stale no matter what the fact did, and the
-    // caller must learn NOW, not at the next fact commit
-    if (view.exists && view.candidateFiles().nonEmpty) {
-      val props = view.properties
-      dims.zipWithIndex.foreach { case (d, i) =>
-        val pinned = props.get(dimVersionProp(i)).flatMap(_.toLongOption)
+    val factFrom = absorbedVersion(view)
+    if (factFrom > factTo) throw new IllegalStateException(
+      s"view watermark v$factFrom is ahead of fact head v$factTo — the " +
+        "fact was restored or recreated; drop and rebuild the view")
+    // creation (no folded rows yet): pins initialize to the current
+    // dim versions, so only the fact term runs, against dims-as-now
+    val hasRows = view.exists && view.candidateFiles().nonEmpty
+    val dimFrom: Seq[Long] =
+      if (!hasRows) dimTo
+      else dims.indices.map { i =>
+        view.properties.get(dimVersionProp(i)).flatMap(_.toLongOption)
           .getOrElse(throw new IllegalStateException(
             s"view at ${view.path} logs no ${dimVersionProp(i)} — not " +
               "an additive JOIN view (create it through " +
               "refreshAdditiveJoin)"))
-        if (pinned != dimVs(i)) throw new IllegalStateException(
-          s"dimension ${d.table.path} advanced v$pinned -> " +
-            s"v${dimVs(i)} since the view at ${view.path} folded it — " +
-            "an additive join view cannot fold dim changes; drop and " +
-            "rebuild the view")
       }
+    dims.indices.foreach { i =>
+      if (dimFrom(i) > dimTo(i)) throw new IllegalStateException(
+        s"view pin v${dimFrom(i)} is ahead of dimension " +
+          s"${dims(i).table.path} head v${dimTo(i)} — the dimension " +
+          "was restored or recreated; drop and rebuild the view")
     }
-    val (fromV, toV) = span(fact, view).getOrElse(return)
-    val images = fact.changesDelta(fromV, toV)
-    val joined = dims.zipWithIndex.foldLeft(images) { case (acc, (d, i)) =>
-      // pin the dim read to the guarded version even if a commit lands
-      // mid-plan; broadcast only when its manifest bytes fit (unknown
-      // lengths — pre-length manifests — conservatively shuffle)
-      val dim = d.table.readVersion(dimVs(i))
-      val lens = d.table.candidateFiles().map(_.len)
-      val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
-      val small = bytes <= broadcastThresholdBytes(view.session)
-      logDecision(s"dim.${d.factKey}", bytes, small)
-      acc.join(if (small) broadcast(dim) else dim,
-          acc(d.factKey) === dim(d.dimKey), "inner")
-        .drop(dim(d.dimKey))
+    val changedDims = dims.indices.filter(i => dimFrom(i) < dimTo(i))
+    if (factFrom == factTo && changedDims.isEmpty) return
+
+    /** Join `left` through the whole dim chain with the delta at
+      * overall position `deltaPos` (0 = the fact itself): dims BEFORE
+      * the delta read at their new version, dims AFTER it at their
+      * pinned old version, the delta table contributes `delta`
+      * (signed images) instead of a full read. */
+    def term(left: DataFrame, deltaPos: Int, delta: DataFrame): DataFrame =
+      dims.zipWithIndex.foldLeft(left) { case (acc, (d, j)) =>
+        val pos = j + 1
+        val dim =
+          if (pos == deltaPos) delta
+          else {
+            // pinned reads on both sides of the delta position:
+            // a commit landing mid-plan must not shift the versions
+            // the expansion is exact against
+            val v = if (pos < deltaPos) dimTo(j) else dimFrom(j)
+            val full = d.table.readVersion(v)
+            val lens = d.table.candidateFiles().map(_.len)
+            val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
+            val small = bytes <= broadcastThresholdBytes(view.session)
+            logDecision(s"dim.${d.factKey}", bytes, small)
+            if (small) broadcast(full) else full
+          }
+        // rename the dim-side key to a per-position unique name and
+        // drop it BY NAME after the equi-join: a delta term re-uses
+        // the delta frame on both sides of the fact prune, and a
+        // Column-based drop silently no-ops when self-join
+        // deduplication rewrites the right side's attribute ids
+        val keyAlias = s"__mv_dimkey_$j"
+        val dimR = dim.withColumnRenamed(d.dimKey, keyAlias)
+        acc.join(dimR, acc(d.factKey) === col(keyAlias), "inner")
+          .drop(keyAlias)
+      }
+
+    val factCols = fact.readVersion(factTo).columns.toSet
+    val terms = Seq.newBuilder[DataFrame]
+    if (factFrom < factTo)
+      terms += term(fact.changesDelta(factFrom, factTo), 0, null)
+    changedDims.foreach { k =>
+      val d = dims(k)
+      val delta = d.table.changesDelta(dimFrom(k), dimTo(k))
+      // prune the O(fact) scan to rows that CAN join a changed key —
+      // only expressible up front when the dim joins a fact column
+      // directly (a snowflake-chained dim restricts via its inner
+      // join instead); AQE sizes the semi-join build side at runtime
+      val base =
+        if (factCols(d.factKey))
+          fact.readVersion(factTo).join(
+            delta.select(col(d.dimKey).as("__mv_changed_key")).distinct(),
+            col(d.factKey) === col("__mv_changed_key"), "left_semi")
+        else fact.readVersion(factTo)
+      terms += term(base, k + 1, delta)
     }
+    val images = terms.result().reduce(_ unionByName _)
     commitMerged(view, keys, sums.map(_._1),
-      foldAdditive(joined, keys, sums), toV, additive = true,
+      foldAdditive(images, keys, sums), factTo, additive = true,
       extraProps = dims.indices
-        .map(i => dimVersionProp(i) -> dimVs(i).toString).toMap)
+        .map(i => dimVersionProp(i) -> dimTo(i).toString).toMap)
   }
 
   /** Incremental refresh for ARBITRARY aggregates: `aggs` are complete

@@ -208,7 +208,7 @@ class MaterializedAggSpec extends SparkSpec {
       (r.getAs[Long]("total"), r.getAs[Long](MaterializedAgg.CountCol)))
       .toMap
 
-  test("additive join: star fold, dim pinning, emptied groups, dim-change refusal") {
+  test("additive join: star fold, dim pinning, emptied groups, dim-change fold") {
     val base = tmp("mvjoin")
     val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
     dim.create(Seq((1, "x"), (2, "y"), (3, "z")).toDF("fk", "name"))
@@ -226,12 +226,28 @@ class MaterializedAggSpec extends SparkSpec {
     MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
     assert(starState(view) == starExpected(fact, dim))
     assert(!starState(view).contains("z"), "emptied group must leave the view")
-    // a dim commit: the next refresh REFUSES (even with no fact span)
+    // a dim ATTRIBUTE change (SCD overwrite, y -> y2): the whole
+    // group must MOVE — every fk=2 fact row leaves "y" and lands in
+    // "y2" — with no fact span at all
     dim.upsert(Seq((2, "y2")).toDF("fk", "name"))
-    val e = intercept[IllegalStateException] {
-      MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
-    }
-    assert(e.getMessage.contains("drop and rebuild"), e.getMessage)
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    assert(!starState(view).contains("y") && starState(view).contains("y2"),
+      s"dim rename must move the group: ${starState(view)}")
+    assert(view.properties(MaterializedAgg.dimVersionProp(0)) == "2",
+      "dim pin must advance with the fold")
+    // fact AND dim change in the SAME span: both terms of the delta
+    // expansion fold into one commit
+    fact.upsert(factRows((6, 100, 1), (7, 11, 2)))
+    dim.upsert(Seq((1, "x2")).toDF("fk", "name"))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    // dim-KEY delete: fk=2 facts orphan out of the view entirely
+    dim.delete(col("fk") === 2)
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    assert(!starState(view).contains("y2"),
+      "orphaned facts must leave the view with their deleted dim")
     // a plain additive view refuses a JOIN refresh (no dim pins logged)
     val base2 = tmp("mvjoin2")
     val src2 = mkSrc(base2); val view2 = mkView(base2)
@@ -246,6 +262,48 @@ class MaterializedAggSpec extends SparkSpec {
         Seq("name"), sums)
     }
     assert(e2.getMessage.contains("not an additive JOIN view"), e2.getMessage)
+  }
+
+  test("snowflake chain: changes anywhere in the dim chain fold exactly") {
+    val base = tmp("mvsnow")
+    val fact = mkFact(base)
+    // chain: fact.fk -> mid.fk (carries gk) -> leaf.gk (carries name)
+    val mid = SnapshotTable(spark, s"$base/mid", "fk")
+    val leaf = SnapshotTable(spark, s"$base/leaf", "gk")
+    val view = mkView(base)
+    mid.create(Seq((1, 10), (2, 10), (3, 20)).toDF("fk", "gk"))
+    leaf.create(Seq((10, "north"), (20, "south")).toDF("gk", "name"))
+    val dims = Seq(
+      MaterializedAgg.DimSpec(mid, "fk", "fk"),
+      MaterializedAgg.DimSpec(leaf, "gk", "gk"))
+    def recompute(): Map[String, (Long, Long)] =
+      fact.read.join(mid.read, "fk").join(leaf.read, "gk").groupBy("name")
+        .agg(sum(col("amount").cast("long")).as("t"), count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[String]("name") ->
+          (r.getAs[Long]("t"), r.getAs[Long]("c"))).toMap
+    fact.create(factRows((1, 5, 1), (2, 6, 2), (3, 7, 3), (4, 8, 3)))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == recompute())
+    // MID-chain change: fk=2 moves region 10 -> 20. The delta term for
+    // `mid` cannot prune the fact up front (it can) — but the LEAF term
+    // shape (factKey gk lives on mid, not the fact) is exercised below
+    mid.upsert(Seq((2, 20)).toDF("fk", "gk"))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == recompute())
+    // LEAF change (factKey is a MID column — the no-up-front-prune
+    // path) plus a concurrent fact insert, folded in one span
+    leaf.upsert(Seq((20, "south2")).toDF("gk", "name"))
+    fact.append(factRows((5, 9, 1)))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == recompute())
+    assert(starState(view).contains("south2") &&
+      !starState(view).contains("south"))
+    // all three tables changing at once: three expansion terms, one commit
+    fact.delete(col("fk") === 1)
+    mid.upsert(Seq((3, 10)).toDF("fk", "gk"))
+    leaf.upsert(Seq((10, "north2")).toDF("gk", "name"))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == recompute())
   }
 
   test("defined join views refresh by definition; streaming maintainer refuses") {
