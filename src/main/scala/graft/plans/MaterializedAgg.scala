@@ -267,15 +267,28 @@ object MaterializedAgg {
     val factTo = fact.currentVersion.getOrElse(
       throw new IllegalStateException(
         s"fact table ${fact.path} has no committed snapshot"))
-    val dimTo = dims.map(d => d.table.currentVersion.getOrElse(
-      throw new IllegalStateException(
-        s"dimension ${d.table.path} has no committed snapshot")))
     val factFrom = absorbedVersion(view)
     if (factFrom > factTo) throw new IllegalStateException(
       s"view watermark v$factFrom is ahead of fact head v$factTo — the " +
         "fact was restored or recreated; drop and rebuild the view")
-    // creation (no folded rows yet): pins initialize to the current
-    // dim versions, so only the fact term runs, against dims-as-now
+    val (dimFrom, dimTo) = dimSpanOf(view, dims)
+    if (factFrom == factTo && dimFrom == dimTo) return
+    val factImages =
+      if (factFrom < factTo) Some(fact.changesDelta(factFrom, factTo))
+      else None
+    foldJoinSpan(fact, dims, view, keys, sums, factImages, factTo,
+      dimFrom, dimTo)
+  }
+
+  /** The (pinned old, current head) version pair per dimension still
+    * owed to a join view, with the watermark-safety guards. On a view
+    * with no folded rows yet (creation) the pins initialize to the
+    * current heads, so only the fact term runs, against dims-as-now. */
+  private[graft] def dimSpanOf(view: SnapshotTable, dims: Seq[DimSpec])
+      : (Seq[Long], Seq[Long]) = {
+    val dimTo = dims.map(d => d.table.currentVersion.getOrElse(
+      throw new IllegalStateException(
+        s"dimension ${d.table.path} has no committed snapshot")))
     val hasRows = view.exists && view.candidateFiles().nonEmpty
     val dimFrom: Seq[Long] =
       if (!hasRows) dimTo
@@ -292,8 +305,21 @@ object MaterializedAgg {
           s"${dims(i).table.path} head v${dimTo(i)} — the dimension " +
           "was restored or recreated; drop and rebuild the view")
     }
+    (dimFrom, dimTo)
+  }
+
+  /** Shared span-fold core of [[refreshAdditiveJoin]] and the
+    * streaming maintainer ([[graft.streaming.StreamingView]]): build
+    * the expansion terms for the given fact images (already
+    * watermark-filtered, covering up to `factTo`) and dim spans, fold
+    * them, commit once. `factImages` None = dim-only refresh. */
+  private[graft] def foldJoinSpan(fact: SnapshotTable, dims: Seq[DimSpec],
+                                  view: SnapshotTable, keys: Seq[String],
+                                  sums: Seq[(String, Column)],
+                                  factImages: Option[DataFrame],
+                                  factTo: Long, dimFrom: Seq[Long],
+                                  dimTo: Seq[Long]): Unit = {
     val changedDims = dims.indices.filter(i => dimFrom(i) < dimTo(i))
-    if (factFrom == factTo && changedDims.isEmpty) return
 
     /** Join `left` through the whole dim chain with the delta at
       * overall position `deltaPos` (0 = the fact itself): dims BEFORE
@@ -330,8 +356,7 @@ object MaterializedAgg {
 
     val factCols = fact.readVersion(factTo).columns.toSet
     val terms = Seq.newBuilder[DataFrame]
-    if (factFrom < factTo)
-      terms += term(fact.changesDelta(factFrom, factTo), 0, null)
+    factImages.foreach(images => terms += term(images, 0, null))
     changedDims.foreach { k =>
       val d = dims(k)
       val delta = d.table.changesDelta(dimFrom(k), dimTo(k))
@@ -347,7 +372,9 @@ object MaterializedAgg {
         else fact.readVersion(factTo)
       terms += term(base, k + 1, delta)
     }
-    val images = terms.result().reduce(_ unionByName _)
+    val ts = terms.result()
+    if (ts.isEmpty) return
+    val images = ts.reduce(_ unionByName _)
     commitMerged(view, keys, sums.map(_._1),
       foldAdditive(images, keys, sums), factTo, additive = true,
       extraProps = dims.indices

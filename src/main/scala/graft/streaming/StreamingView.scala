@@ -60,13 +60,29 @@ object StreamingView {
   def maintainByDefinition(view: SnapshotTable,
                            checkpointDir: String): Unit = {
     val (src, mode, keys, measures) = MaterializedAgg.definitionOf(view)
-    // v1 scope: join views refresh through refreshByDefinition / CALL
-    // refresh_mv (batch); a streaming maintainer would need the same
-    // dim-pin guard per micro-batch — refuse rather than half-support
-    if (mode == "additiveJoin") throw new IllegalStateException(
-      s"streaming maintenance of join views is not supported (view at " +
-        s"${view.path}) — refresh via CALL graft.system.refresh_mv or " +
-        "MaterializedAgg.refreshByDefinition")
+    if (mode == "additiveJoin") {
+      // join views stream on the FACT's change feed; each micro-batch
+      // folds its fact images against the pinned dim versions AND any
+      // dim span that opened since the last batch — the same shared
+      // expansion core as the batch refresh, with the batch's
+      // high-water version as "the current fact" for dim terms, so
+      // group values, watermark, and dim pins always describe one
+      // consistent version vector
+      val dims = MaterializedAgg.dimsOf(view)
+      maintainLoop(view.session, src.path, view, checkpointDir) {
+        (fresh, toV) =>
+          val (dimFrom, dimTo) = MaterializedAgg.dimSpanOf(view, dims)
+          MaterializedAgg.foldJoinSpan(src, dims, view, keys, measures,
+            Some(fresh.drop(SnapshotTable.CommitVersionCol)), toV,
+            dimFrom, dimTo)
+      }
+      // dim-ONLY residue: the fact stream is silent when only a dim
+      // changed, so AvailableNow semantics ("current with everything
+      // committed at call time") need one batch catch-up — a no-op
+      // when the loop above already absorbed every span
+      MaterializedAgg.refreshAdditiveJoin(src, dims, view, keys, measures)
+      return
+    }
     if (mode == "additive")
       // the additive loop IS maintainAdditive — one body, not a copy
       maintainAdditive(view.session, src.path, view, keys, measures,

@@ -306,7 +306,7 @@ class MaterializedAggSpec extends SparkSpec {
     assert(starState(view) == recompute())
   }
 
-  test("defined join views refresh by definition; streaming maintainer refuses") {
+  test("defined join views refresh by definition and stream-maintain") {
     val base = tmp("mvjoindef")
     val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
     dim.create(Seq((1, "x"), (2, "y")).toDF("fk", "name"))
@@ -321,13 +321,29 @@ class MaterializedAggSpec extends SparkSpec {
     MaterializedAgg.refreshByDefinition(
       SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol))
     assert(starState(view) == starExpected(fact, dim))
-    // v1 scope: the streaming maintainer refuses join views loudly
-    val e = intercept[IllegalStateException] {
-      graft.streaming.StreamingView.maintainByDefinition(
-        SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
-        s"$base/ckpt")
-    }
-    assert(e.getMessage.contains("not supported"), e.getMessage)
+    // STREAMING maintenance, same handle-only contract: fact churn
+    // and a dim change land together, the fact stream drives the fold
+    fact.upsert(factRows((4, 20, 2), (1, 11, 1)))
+    dim.upsert(Seq((1, "x2")).toDF("fk", "name"))
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(starState(view) == starExpected(fact, dim))
+    assert(starState(view).contains("x2") && !starState(view).contains("x"),
+      s"streamed dim change must move the group: ${starState(view)}")
+    // dim-ONLY span (fact stream silent): the catch-up fold covers it
+    dim.upsert(Seq((2, "y2")).toDF("fk", "name"))
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(starState(view) == starExpected(fact, dim))
+    assert(starState(view).contains("y2"), starState(view).toString)
+    // replay safety: a THIRD maintain with nothing new commits nothing
+    val v0 = view.currentVersion
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(view.currentVersion == v0, "no-op maintain must not commit")
   }
 
   test("broadcast fallback: over-threshold changed-group sets shuffle, same result") {
