@@ -98,10 +98,14 @@ object Bench {
     // cold-run swings on this box — the artifact attributes the swing
     // to a phase instead of leaving a bare number to argue about).
     // Reflects the LAST run of the query; `best` may be an earlier run.
+    // Locale.ROOT formatting throughout: the f"" interpolator uses the
+    // default locale, and a comma-decimal locale would render 3,14 —
+    // invalid JSON in the committed artifact
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val phases =
       if (Queries.lastPipelinePhases.isEmpty) ""
       else Queries.lastPipelinePhases
-        .map { case (k, v) => f"${jstr(k)}:$v%.2f" }
+        .map { case (k, v) => s"${jstr(k)}:${f2(v)}" }
         .mkString(""","phases":{"pipeline_e2e":{""", ",", "}}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts$phases,"sf":${jstr(sfDir)}}"""
     // Full JSON first: if a capture window keeps the HEAD of the output
@@ -131,12 +135,12 @@ object Bench {
     var used = fixedHead.length + 80 // closing braces + omitted fields
     var omitted = 0; var omittedSec = 0.0
     slowestFirst.foreach { case (k, v, _) =>
-      val frag = f"${jstr(k)}:$v%.2f"
+      val frag = s"${jstr(k)}:${f2(v)}"
       if (used + frag.length + 1 <= budget) { compactQs ::= frag; used += frag.length + 1 }
       else { omitted += 1; omittedSec += v }
     }
     val compact = fixedHead + compactQs.reverse.mkString(",") +
-      f"""},"queriesOmitted":$omitted,"queriesOmittedSec":$omittedSec%.2f}"""
+      s"""},"queriesOmitted":$omitted,"queriesOmittedSec":${f2(omittedSec)}}"""
     println(compact)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

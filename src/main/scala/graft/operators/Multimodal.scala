@@ -336,11 +336,19 @@ object Multimodal {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val dataOff = leLong(bytes, 10, 4)
     val w = leLong(bytes, 18, 4)
-    val hRaw = leLong(bytes, 22, 4).toInt // signed: negative = top-down
-    val h = math.abs(hRaw).toLong
+    // toInt first (the field is a signed 32-bit int: negative =
+    // top-down), then widen BEFORE abs — abs(Int.MinValue) stays
+    // negative in Int arithmetic
+    val h = math.abs(leLong(bytes, 22, 4).toInt.toLong)
     val bpp = leLong(bytes, 28, 2)
     val compression = leLong(bytes, 30, 4)
     if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    // overflow fences BEFORE the size check: a crafted header with
+    // w≈2^32 or h≈2^31 would wrap rowBytes*h negative and sail past
+    // the bounds guard into garbage indexing — each dimension is
+    // first bounded by what the payload could possibly hold, after
+    // which rowBytes ≤ len+3 and h ≤ len keep the product overflow-free
+    if (w > bytes.length.toLong / 3 || h > bytes.length.toLong) return None
     val rowBytes = (w * 3 + 3) / 4 * 4
     if (dataOff < 54 || dataOff + rowBytes * h > bytes.length) return None
     // [bSum,bMin,bMax, gSum,gMin,gMax, rSum,rMin,rMax, nPx]
@@ -380,7 +388,13 @@ object Multimodal {
     val audioFormat = leLong(bytes, 20, 2)
     val bitDepth = leLong(bytes, 34, 2)
     val dataSize = leLong(bytes, 40, 4)
+    // the canonical layout this decoder supports has "data" at 36 —
+    // verify it rather than assume: the common 18-byte-fmt variant
+    // passes the format/depth checks by coincidence and would yield
+    // silently misaligned samples
     if (audioFormat != 1 || bitDepth != 16 ||
+        bytes(36) != 'd' || bytes(37) != 'a' ||
+        bytes(38) != 't' || bytes(39) != 'a' ||
         44 + dataSize > bytes.length) return None
     val n = dataSize / 2
     var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue

@@ -58,25 +58,13 @@ object MaterializedAgg {
     while (broadcastDecisions.size > 64) broadcastDecisions.poll()
   }
 
-  /** `spark.sql.autoBroadcastJoinThreshold`-style byte strings. */
-  private def parseBytes(v: String): Long = {
-    val t = v.trim.toLowerCase
-    val (digits, mult) =
-      if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
-      else if (t.endsWith("mb")) (t.dropRight(2), 1L << 20)
-      else if (t.endsWith("gb")) (t.dropRight(2), 1L << 30)
-      else if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
-      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
-      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
-      else if (t.endsWith("b")) (t.dropRight(1), 1L)
-      else (t, 1L)
-    (digits.trim.toDouble * mult).toLong
-  }
-
   private def broadcastThresholdBytes(spark: SparkSession): Long = {
+    // Spark's own byte-string parser (the one the conf itself is
+    // parsed with), not a hand-rolled copy that would drift on
+    // suffixes like "1t"
     val thr =
-      try parseBytes(spark.conf.get(
-        "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
       catch { case scala.util.control.NonFatal(_) => 10L << 20 }
     if (thr <= 0) 10L << 20 else thr
   }
@@ -281,24 +269,37 @@ object MaterializedAgg {
   }
 
   /** The (pinned old, current head) version pair per dimension still
-    * owed to a join view, with the watermark-safety guards. On a view
-    * with no folded rows yet (creation) the pins initialize to the
-    * current heads, so only the fact term runs, against dims-as-now. */
+    * owed to a join view, with the watermark-safety guards. The pins
+    * come from the view's PROPERTIES, never from its row count: a
+    * view whose groups all emptied out still owes every dim delta
+    * since its stamped pins (a row-presence proxy would silently
+    * reset them and drop owed spans forever). Only a view with no
+    * pins at all is treated as creation — pins initialize to the
+    * current heads, so just the fact term runs, against dims-as-now —
+    * and then only when it also has no rows (a view WITH rows but no
+    * pins is not a join view). */
   private[graft] def dimSpanOf(view: SnapshotTable, dims: Seq[DimSpec])
       : (Seq[Long], Seq[Long]) = {
     val dimTo = dims.map(d => d.table.currentVersion.getOrElse(
       throw new IllegalStateException(
         s"dimension ${d.table.path} has no committed snapshot")))
-    val hasRows = view.exists && view.candidateFiles().nonEmpty
+    val props =
+      if (view.exists) view.properties else Map.empty[String, String]
+    val pinned = dims.indices.map(i =>
+      props.get(dimVersionProp(i)).flatMap(_.toLongOption))
     val dimFrom: Seq[Long] =
-      if (!hasRows) dimTo
-      else dims.indices.map { i =>
-        view.properties.get(dimVersionProp(i)).flatMap(_.toLongOption)
-          .getOrElse(throw new IllegalStateException(
-            s"view at ${view.path} logs no ${dimVersionProp(i)} — not " +
-              "an additive JOIN view (create it through " +
-              "refreshAdditiveJoin)"))
-      }
+      if (pinned.forall(_.isDefined)) pinned.map(_.get)
+      else if (pinned.exists(_.isDefined))
+        throw new IllegalStateException(
+          s"view at ${view.path} pins only ${pinned.count(_.isDefined)} " +
+            s"of ${dims.size} dimensions — the dim list no longer " +
+            "matches the view's definition; drop and rebuild the view")
+      else if (view.exists && view.candidateFiles().nonEmpty)
+        throw new IllegalStateException(
+          s"view at ${view.path} logs no ${dimVersionProp(0)} — not " +
+            "an additive JOIN view (create it through " +
+            "refreshAdditiveJoin)")
+      else dimTo
     dims.indices.foreach { i =>
       if (dimFrom(i) > dimTo(i)) throw new IllegalStateException(
         s"view pin v${dimFrom(i)} is ahead of dimension " +
@@ -337,7 +338,13 @@ object MaterializedAgg {
             // the expansion is exact against
             val v = if (pos < deltaPos) dimTo(j) else dimFrom(j)
             val full = d.table.readVersion(v)
-            val lens = d.table.candidateFiles().map(_.len)
+            // size the broadcast decision from the manifest of the
+            // SAME version the join reads — the head manifest can be
+            // arbitrarily smaller than a pinned old snapshot (a big
+            // delete since the pin), and head-based sizing would then
+            // broadcast the large old read
+            val lens = d.table.retainedEntriesAt(v, "join-view dim")
+              .map(_.len)
             val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
             val small = bytes <= broadcastThresholdBytes(view.session)
             logDecision(s"dim.${d.factKey}", bytes, small)

@@ -168,9 +168,14 @@ object Pipeline {
       retry(job.name, retryAttempts, retryDelayMs) {
       val t0 = System.nanoTime()
       var lastLap = t0
+      // laps buffer per ATTEMPT and flush into phaseLog only on
+      // success: a retried job would otherwise publish its failed
+      // attempts' partial phases too — duplicate keys in the bench
+      // artifact's phases map, double-counted cold cost
+      val attemptLaps = scala.collection.mutable.Buffer.empty[(String, Double)]
       def lap(tag: String): Unit = {
         val now = System.nanoTime()
-        phaseLog.add((s"${job.name}.$tag", (now - lastLap) / 1e9))
+        attemptLaps += ((s"${job.name}.$tag", (now - lastLap) / 1e9))
         lastLap = now
         println(f"[pipeline] ${job.name} $tag ${(now - t0) / 1e9}%.1fs")
       }
@@ -255,6 +260,7 @@ object Pipeline {
         written(job.name) =
           if (dimNames(job.name)) fresh.persist() else fresh
         lap("upsert")
+        attemptLaps.foreach(phaseLog.add) // the attempt SUCCEEDED
         JobResult(job.name, readCount, validCount,
           readCount - validCount, orphaned, loaded = -1L)
       } finally {

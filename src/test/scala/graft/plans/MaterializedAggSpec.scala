@@ -248,6 +248,18 @@ class MaterializedAggSpec extends SparkSpec {
     assert(starState(view) == starExpected(fact, dim))
     assert(!starState(view).contains("y2"),
       "orphaned facts must leave the view with their deleted dim")
+    // a view folded to EMPTY keeps its pins: deleting every dim row
+    // empties the view, and a later dim re-add must fold the owed
+    // span — a row-presence pin proxy would silently reset the pins
+    // and no-op here forever
+    dim.delete(lit(true))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view).isEmpty, "all facts orphaned -> empty view")
+    dim.upsert(Seq((1, "xr")).toDF("fk", "name"))
+    MaterializedAgg.refreshAdditiveJoin(fact, dims, view, Seq("name"), sums)
+    assert(starState(view) == starExpected(fact, dim))
+    assert(starState(view).contains("xr"),
+      s"re-added dim must repopulate the emptied view: ${starState(view)}")
     // a plain additive view refuses a JOIN refresh (no dim pins logged)
     val base2 = tmp("mvjoin2")
     val src2 = mkSrc(base2); val view2 = mkView(base2)
