@@ -23,6 +23,9 @@ import graft.functions.expressions.{CosineSimilarity, MinHashMins, SimHash64, So
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // COUNT(*) over a graft table answers from manifest metadata —
+    // see [[graft.sources.MetadataOnlyCount]]
+    ext.injectOptimizerRule(_ => graft.sources.MetadataOnlyCount)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

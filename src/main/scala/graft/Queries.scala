@@ -750,6 +750,32 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** METADATA-ONLY COUNT(*) ([[sources.MetadataOnlyCount]]): the
+    * optimizer collapses a bare count over a snapshot table to a
+    * LocalRelation from per-file manifest row counts minus
+    * deletion-vector cardinalities — zero file I/O (the require
+    * proves it), exact under the MoR delete the fixture plants. The
+    * Delta/Iceberg metadata-count contract: at 100 TB this query is
+    * an O(manifest) driver lookup, not a cluster scan. */
+  def metadataCount(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("metacount", dir)
+    freshDirs(s, base)
+    val tbl = plans.SnapshotTable(s, s"$base/t", "o_orderkey")
+    tbl.create(t(s, dir, "orders"))
+    tbl.deleteMoR(col("o_orderkey") % 100 === 7)
+    if (!s.experimental.extraOptimizations.exists(
+        _ eq sources.MetadataOnlyCount))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ sources.MetadataOnlyCount
+    val df = s.read.format("graft").load(s"$base/t")
+      .agg(count(lit(1)).as("n"))
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "COUNT(*) did not collapse to manifest metadata:\n" +
+      df.queryExecution.optimizedPlan)
+    df
+  }
+
   /** S2/K2 (MERGE-ON-READ delete) — a scattered POINT delete
     * (`o_orderkey % 1000 = 7`, a handful of rows per file) recorded as
     * per-file deletion vectors in the manifest: the require proves the
@@ -2941,6 +2967,7 @@ object Queries {
     "mv_sql_refresh" -> (mvSqlRefresh _),
     "mv_minmax" -> (mvMinmax _),
     "mv_join" -> (mvJoin _),
+    "metadata_count" -> (metadataCount _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
     "cdc_stream_parity" -> (cdcStreamParity _),
@@ -3331,6 +3358,10 @@ object Queries {
         |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
     // star-join view maintained from the fact feed: the oracle is the
     // full star recompute over the final fact state
+    // exact metadata count: orders minus the planted MoR delete
+    "metadata_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 100 <> 7""".stripMargin,
     "mv_join" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_custkey,

@@ -898,7 +898,8 @@ final class SnapshotTable(
     })
     timed("stage-delete")(fs.delete(new Path(s"$path/_stage/$commitId"), true))
     val entries = moving.map { case (_, rel, len, mtime) =>
-      FileEntry(rel, probed(rel)._2 + FileEntry.metaStat(len, mtime))
+      FileEntry(rel, probed(rel)._2 + FileEntry.metaStat(len, mtime)
+        + FileEntry.rowsStat(probed(rel)._1))
     }
     val blooms = fileBlooms(entries, bloomSchema)
     entries.map(e => e.copy(stats = e.stats ++ blooms.getOrElse(e.path, Map.empty)))
@@ -3193,6 +3194,16 @@ object SnapshotTable {
       statsCols, clusterBy, clusterFiles, bloomCols, bloomExpectedItems,
       bloomFpp, checkConstraints, partitionCols, tableProps, branch)
 
+  /** EXACT `COUNT(*)` of a snapshot from its manifest entries alone —
+    * Σ(file rows) − Σ(deletion-vector cardinality) — or None when any
+    * live file predates row-count recording (the caller then falls
+    * back to a scan). The lakehouse metadata-count contract
+    * (Delta/Iceberg `numRecords`): at 100 TB, `SELECT COUNT(*)` is an
+    * O(manifest) driver operation, not a table scan. */
+  def metadataRowCount(entries: Seq[FileEntry]): Option[Long] =
+    if (entries.exists(_.rows < 0L)) None
+    else Some(entries.iterator.map(e => e.rows - e.deletedRowCount).sum)
+
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they
     * order correctly at prune time (strings URL-encoded — tabs and
@@ -3207,6 +3218,19 @@ object SnapshotTable {
       * manifests written before lengths were recorded (readers needing
       * a length then fall back to a filesystem stat). */
     def len: Long = meta.fold(-1L)(_._1)
+
+    /** ROW COUNT of the file from the reserved `file:rows` stats entry
+      * (footer-exact, recorded at promote), or -1 for manifests
+      * written before counts were recorded. Together with
+      * [[deletedRowCount]] this makes `COUNT(*)` a pure
+      * manifest-metadata operation ([[SnapshotTable.metadataRowCount]]). */
+    def rows: Long = stats.get(FileEntry.RowsKey)
+      .flatMap(_._1.stripPrefix("L:").toLongOption).getOrElse(-1L)
+
+    /** Cardinality of the file's deletion vector WITHOUT decoding it
+      * (the count rides as the DV stat's second value); 0 when clean. */
+    def deletedRowCount: Long = stats.get(FileEntry.DvKey)
+      .flatMap(_._2.stripPrefix("L:").toLongOption).getOrElse(0L)
 
     /** Modification time from `file:meta`, or -1 when unrecorded. */
     def mtime: Long = meta.fold(-1L)(_._2)
@@ -3280,6 +3304,12 @@ object SnapshotTable {
     val MetaKey = "file:meta"
     def metaStat(len: Long, mtime: Long): (String, (String, String)) =
       MetaKey -> (s"L:$len", s"L:$mtime")
+
+    /** Per-file ROW COUNT (footer-exact at promote) under a reserved
+      * key — what answers `COUNT(*)` from the manifest alone. */
+    val RowsKey = "file:rows"
+    def rowsStat(rows: Long): (String, (String, String)) =
+      RowsKey -> (s"L:$rows", "L:0")
 
     /** A file's DELETION VECTOR rides the stats map under a reserved
       * key (same convention as `file:meta`/blooms — the `:` makes a

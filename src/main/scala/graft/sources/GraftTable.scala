@@ -150,6 +150,14 @@ final class GraftTable(
       indexPartitionSchema)
   }
 
+  /** EXACT row count of this handle's pinned snapshot from manifest
+    * metadata alone (per-file footer counts minus deletion-vector
+    * cardinalities), or None when any live file predates row-count
+    * recording or the handle is a change feed. What
+    * [[MetadataOnlyCount]] rewrites `COUNT(*)` with. */
+  private[sources] def metadataRowCount: Option[Long] =
+    if (cdcMode) None else SnapshotTable.metadataRowCount(entries)
+
   /** Merge-on-read deletion vectors of this snapshot, keyed by file
     * basename (commit-UUID-prefixed, globally unique) — applied inside
     * the scan ([[GraftDvReaderFactory]]), so SQL/DSv2 reads of a DV'd

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.SnapshotTable
+
+/** COUNT(*) answered from manifest metadata ([[MetadataOnlyCount]]):
+  * the rewrite must be exact under MoR deletes and time travel, and
+  * must REFUSE every shape it cannot answer from a row count alone. */
+class MetadataOnlyCountSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    // the session is shared across suites — do not leave the rule
+    // installed for tests that assert scan shapes
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq MetadataOnlyCount)
+    super.afterAll()
+  }
+
+  private def withRule[T](body: => T): T = {
+    if (!spark.experimental.extraOptimizations.exists(_ eq MetadataOnlyCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetadataOnlyCount
+    body
+  }
+
+  private def isMetadataOnly(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => ()
+    }.nonEmpty
+
+  private def mkTable(tag: String): (SnapshotTable, String) = {
+    val path = Files.createTempDirectory(s"graft_$tag").toString + "/t"
+    val t = SnapshotTable(spark, path, "id")
+    t.create((1 to 500).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "g"))
+    (t, path)
+  }
+
+  test("bare COUNT(*) collapses to a LocalRelation with the exact count") {
+    withRule {
+      val (_, path) = mkTable("metacount")
+      val df = spark.read.format("graft").load(path).agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.head().getLong(0) == 500L)
+      // several count(*) shapes in one aggregate: all rewritten
+      val multi = spark.read.format("graft").load(path)
+        .agg(count(lit(1)).as("a"), count(lit("x")).as("b"))
+      assert(isMetadataOnly(multi))
+      assert(multi.head() == org.apache.spark.sql.Row(500L, 500L))
+    }
+  }
+
+  test("MoR deletes subtract their DV cardinality without a scan") {
+    withRule {
+      val (t, path) = mkTable("metacountdv")
+      t.deleteMoR(col("id") % 10 === 3) // 50 rows into deletion vectors
+      val df = spark.read.format("graft").load(path).agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.head().getLong(0) == 450L)
+      // and the scan-based answer agrees
+      assert(spark.read.format("graft").load(path)
+        .filter(col("id").isNotNull).count() == 450L)
+    }
+  }
+
+  test("time travel counts the pinned version's manifest") {
+    withRule {
+      val (t, path) = mkTable("metacounttt")
+      t.append(Seq((1001L, "x", 1)).toDF("id", "v", "g"))
+      val v1 = spark.read.format("graft").option("versionAsOf", "1")
+        .load(path).agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(v1))
+      assert(v1.head().getLong(0) == 500L)
+      val head = spark.read.format("graft").load(path).agg(count(lit(1)))
+      assert(head.head().getLong(0) == 501L)
+    }
+  }
+
+  test("shapes a row count cannot answer keep their scans") {
+    withRule {
+      val (_, path) = mkTable("metacountno")
+      val rel = spark.read.format("graft").load(path)
+      // filtered, grouped, null-skipping, distinct — none may rewrite
+      val kept = Seq(
+        rel.filter(col("g") === 1).agg(count(lit(1))),
+        rel.groupBy("g").agg(count(lit(1))),
+        rel.agg(count(col("v"))),
+        rel.agg(countDistinct(col("g"))),
+        rel.agg(count(lit(1)).as("n"), max(col("id")).as("m")))
+      kept.foreach { df =>
+        assert(!isMetadataOnly(df),
+          s"must not rewrite:\n${df.queryExecution.optimizedPlan}")
+      }
+      // and they still answer correctly with the rule installed
+      assert(rel.filter(col("g") === 1).count() ==
+        (1 to 500).count(_ % 7 == 1))
+    }
+  }
+
+  test("manifests predating row counts fall back to the scan") {
+    import graft.plans.SnapshotTable.FileEntry
+    val withRows = FileEntry("a.parquet",
+      Map(FileEntry.RowsKey -> ("L:10", "L:0")))
+    val old = FileEntry("b.parquet", Map.empty)
+    assert(SnapshotTable.metadataRowCount(Seq(withRows)) == Some(10L))
+    assert(SnapshotTable.metadataRowCount(Seq(withRows, old)).isEmpty)
+    assert(SnapshotTable.metadataRowCount(Nil) == Some(0L))
+  }
+}
