@@ -750,29 +750,46 @@ object Queries {
       .orderBy("n_name")
   }
 
-  /** METADATA-ONLY COUNT(*) ([[sources.MetadataOnlyCount]]): the
-    * optimizer collapses a bare count over a snapshot table to a
-    * LocalRelation from per-file manifest row counts minus
-    * deletion-vector cardinalities — zero file I/O (the require
-    * proves it), exact under the MoR delete the fixture plants. The
-    * Delta/Iceberg metadata-count contract: at 100 TB this query is
-    * an O(manifest) driver lookup, not a cluster scan. */
+  /** METADATA-ONLY aggregates ([[sources.MetadataOnlyCount]]): the
+    * optimizer collapses bare COUNT(*)/MIN/MAX over snapshot tables
+    * to LocalRelations from manifest metadata — per-file row counts
+    * minus deletion-vector cardinalities for the count (exact under
+    * the MoR delete the fixture plants), folded per-file column stats
+    * for the extremes (a clean table; DVs refuse). The require proves
+    * ZERO file I/O: the final plan contains no V2 relation at all.
+    * The Delta/Iceberg metadata-aggregate contract: at 100 TB these
+    * are O(manifest) driver lookups, not cluster scans. */
   def metadataCount(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("metacount", dir)
     freshDirs(s, base)
-    val tbl = plans.SnapshotTable(s, s"$base/t", "o_orderkey")
-    tbl.create(t(s, dir, "orders"))
-    tbl.deleteMoR(col("o_orderkey") % 100 === 7)
+    val dvTbl = plans.SnapshotTable(s, s"$base/t", "o_orderkey")
+    dvTbl.create(t(s, dir, "orders"))
+    dvTbl.deleteMoR(col("o_orderkey") % 100 === 7)
+    val statTbl = plans.SnapshotTable(s, s"$base/clean", "o_orderkey",
+      statsCols = Seq("o_orderkey", "o_orderpriority"))
+    statTbl.create(t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority"))
     if (!s.experimental.extraOptimizations.exists(
         _ eq sources.MetadataOnlyCount))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ sources.MetadataOnlyCount
-    val df = s.read.format("graft").load(s"$base/t")
+    val counted = s.read.format("graft").load(s"$base/t")
       .agg(count(lit(1)).as("n"))
-    require(df.queryExecution.optimizedPlan.collectFirst {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-    }.nonEmpty, "COUNT(*) did not collapse to manifest metadata:\n" +
-      df.queryExecution.optimizedPlan)
+    val extremes = s.read.format("graft").load(s"$base/clean")
+      .agg(min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"))
+    val df = counted.crossJoin(extremes)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }
+    require(scans.isEmpty,
+      "metadata aggregates did not collapse — still scanning:\n" +
+        df.queryExecution.optimizedPlan)
     df
   }
 
@@ -3358,10 +3375,16 @@ object Queries {
         |FROM final GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
     // star-join view maintained from the fact feed: the oracle is the
     // full star recompute over the final fact state
-    // exact metadata count: orders minus the planted MoR delete
+    // exact metadata aggregates: count minus the planted MoR delete,
+    // extremes over the clean stats table
     "metadata_count" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n
-        |FROM orders WHERE o_orderkey % 100 <> 7""".stripMargin,
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE o_orderkey % 100 <> 7) AS BIGINT) AS n,
+        |  (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders) AS min_key,
+        |  (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders) AS max_key,
+        |  (SELECT min(o_orderpriority) FROM orders) AS min_prio,
+        |  (SELECT max(o_orderpriority) FROM orders) AS max_prio""".stripMargin,
     "mv_join" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_custkey,

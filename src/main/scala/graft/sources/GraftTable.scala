@@ -158,6 +158,49 @@ final class GraftTable(
   private[sources] def metadataRowCount: Option[Long] =
     if (cdcMode) None else SnapshotTable.metadataRowCount(entries)
 
+  /** EXACT column MIN/MAX from manifest stats, or None when metadata
+    * cannot answer exactly: any deletion vector (a hidden row may be
+    * the extreme), any file without stats for the column, a stats
+    * family that is not loss-free under SQL semantics (only plain
+    * integrals `L:` and ASCII strings `S:` qualify — double stats are
+    * NaN/-0.0-hazardous in parquet footers and stay scan-answered), or
+    * a column type the family cannot reconstruct. Parquet column stats
+    * exclude nulls, matching SQL MIN/MAX; an all-null file has no
+    * stats entry and therefore refuses. Empty table → SQL null. */
+  private[sources] def metadataExtreme(
+      colName: String, dataType: org.apache.spark.sql.types.DataType,
+      isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    import SnapshotTable.FileEntry
+    if (cdcMode) return None
+    if (entries.isEmpty) return Some(null)
+    if (entries.exists(_.hasDeletes)) return None
+    val sides = entries.map(_.stats.get(colName).map(s =>
+      if (isMin) s._1 else s._2))
+    if (sides.exists(_.isEmpty)) return None
+    val tagged = sides.map(_.get)
+    if (tagged.map(_.take(2)).distinct.size != 1) return None
+    val pick =
+      if (isMin) tagged.min(FileEntry.valueOrdering)
+      else tagged.max(FileEntry.valueOrdering)
+    (pick.take(2), dataType) match {
+      case ("L:", LongType) => pick.drop(2).toLongOption
+      case ("L:", IntegerType) =>
+        pick.drop(2).toLongOption.collect {
+          case v if v >= Int.MinValue && v <= Int.MaxValue => v.toInt }
+      case ("L:", ShortType) =>
+        pick.drop(2).toLongOption.collect {
+          case v if v >= Short.MinValue && v <= Short.MaxValue => v.toShort }
+      case ("L:", ByteType) =>
+        pick.drop(2).toLongOption.collect {
+          case v if v >= Byte.MinValue && v <= Byte.MaxValue => v.toByte }
+      case ("S:", StringType) => Some(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.net.URLDecoder.decode(pick.drop(2), "UTF-8")))
+      case _ => None
+    }
+  }
+
   /** Merge-on-read deletion vectors of this snapshot, keyed by file
     * basename (commit-UUID-prefixed, globally unique) — applied inside
     * the scan ([[GraftDvReaderFactory]]), so SQL/DSv2 reads of a DV'd

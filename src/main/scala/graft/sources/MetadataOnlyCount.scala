@@ -1,87 +1,110 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count}
+  AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{
   DataSourceV2Relation, DataSourceV2ScanRelation}
 
-/** Optimizer rule answering a bare `COUNT(*)` over a graft snapshot
-  * table from MANIFEST METADATA alone: the aggregate subtree collapses
-  * to a [[LocalRelation]] holding the pre-computed count — zero file
-  * I/O, the Delta (`OptimizeMetadataOnlyDeltaQuery`) / Iceberg
-  * (snapshot `total-records`) contract. At 100 TB, `SELECT COUNT(*)
-  * FROM t` is an O(manifest) driver lookup, not a cluster scan.
+/** Optimizer rule answering bare `COUNT(*)` / `MIN(col)` / `MAX(col)`
+  * aggregates over a graft snapshot table from MANIFEST METADATA
+  * alone: the aggregate subtree collapses to a [[LocalRelation]]
+  * holding the pre-computed values — zero file I/O, the Delta
+  * (`OptimizeMetadataOnlyDeltaQuery`) / Iceberg (snapshot summary)
+  * contract. At 100 TB, `SELECT COUNT(*), MIN(day), MAX(day) FROM t`
+  * is an O(manifest) driver lookup, not a cluster scan.
   *
-  * The count is exact, not an estimate: per-file footer row counts are
-  * recorded at commit (`file:rows`) and merge-on-read deletion-vector
-  * cardinalities subtract without being decoded — so the rewrite stays
-  * correct under MoR deletes, time travel (the handle pins one
-  * manifest), and branches. The rewrite REFUSES anything it cannot
-  * answer exactly: grouped/filtered/distinct counts, `count(col)`
-  * (needs null counts), FILTER clauses, change-feed handles, and
-  * manifests predating row-count recording all keep their scans.
+  * Every answer is exact, never an estimate:
+  *  - COUNT: per-file footer row counts recorded at commit
+  *    (`file:rows`) minus merge-on-read deletion-vector cardinalities
+  *    (read without decoding the bitmap) — exact under MoR deletes,
+  *    time travel (the handle pins one manifest), and branches.
+  *  - MIN/MAX: per-file column stats folded across the manifest —
+  *    only when NO deletion vector exists (a hidden row may be the
+  *    extreme) and only for loss-free stat families (plain integrals
+  *    and ASCII strings; parquet double stats are NaN-hazardous and
+  *    keep their scan). Parquet stats exclude nulls, matching SQL
+  *    MIN/MAX; an all-null file carries no stats entry and refuses.
+  *
+  * The rewrite REFUSES anything it cannot answer exactly: grouped /
+  * filtered / distinct aggregates, `count(col)` (needs null counts),
+  * FILTER clauses, expressions over columns (`min(a+1)`), change-feed
+  * handles, and manifests predating row-count recording all keep
+  * their scans. ALL aggregates in the list must be answerable or none
+  * rewrite.
   *
   * Registered by [[graft.GraftExtensions]]; a live session opts in via
   * `spark.experimental.extraOptimizations`. */
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
-  /** `count(lit)` of any non-null foldable literal == `count(*)` —
-    * the only aggregate shape answerable from a row count alone. */
-  private def isCountStar(e: NamedExpression): Option[Alias] = e match {
-    case a @ Alias(AggregateExpression(
-        Count(children), Complete, false, None, _), _)
-        if children.forall(c => c.foldable && c.eval() != null) =>
-      Some(a)
-    case _ => None
-  }
-
-  /** The bare relation under the aggregate; `count(*)` references no
-    * columns, so any interposed column-pruning Project is irrelevant —
-    * but nothing else (a Filter changes the answer) may intervene.
-    * Both pre- and post-pushdown forms appear depending on where the
-    * rule was injected (extension rules run before
-    * V2ScanRelationPushDown; `experimental.extraOptimizations` after);
-    * a ScanRelation is only safe while its scan carries no pushed
-    * filters/runtime filters — graft scans push filters only when a
-    * logical Filter existed, which this pattern already excludes. */
-  private def unfiltered(s: DataSourceV2ScanRelation)
-      : Option[DataSourceV2Relation] = s.scan match {
-    // parquet keeps a residual logical Filter for every pushed filter
-    // (footer filtering is advisory), so a bare Aggregate-over-scan
-    // with pushed filters should not exist — but the count must never
-    // depend on that staying true
-    case p: org.apache.spark.sql.execution.datasources.v2.parquet
-        .ParquetScan if p.pushedFilters.nonEmpty => None
-    case _ => Some(s.relation)
-  }
-
-  private def relationOf(plan: LogicalPlan): Option[DataSourceV2Relation] =
+  /** The bare relation under the aggregate plus the LEAF node whose
+    * output the aggregate's attribute references resolve against;
+    * a column-pruning Project in between is irrelevant to these
+    * aggregates — but nothing else (a Filter changes the answers) may
+    * intervene. Both pre- and post-pushdown forms appear depending on
+    * where the rule was injected (extension rules run before
+    * V2ScanRelationPushDown; `experimental.extraOptimizations`
+    * after). */
+  private def relationOf(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, LogicalPlan)] =
     plan match {
-      case r: DataSourceV2Relation => Some(r)
+      case r: DataSourceV2Relation => Some((r, r))
       case s: DataSourceV2ScanRelation => unfiltered(s)
-      case Project(_, r: DataSourceV2Relation) => Some(r)
+      case Project(_, r: DataSourceV2Relation) => Some((r, r))
       case Project(_, s: DataSourceV2ScanRelation) => unfiltered(s)
       case _ => None
     }
 
+  private def unfiltered(s: DataSourceV2ScanRelation)
+      : Option[(DataSourceV2Relation, LogicalPlan)] = s.scan match {
+    // parquet keeps a residual logical Filter for every pushed filter
+    // (footer filtering is advisory), so a bare Aggregate-over-scan
+    // with pushed filters should not exist — but the answers must
+    // never depend on that staying true
+    case p: org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScan if p.pushedFilters.nonEmpty => None
+    case _ => Some((s.relation, s))
+  }
+
+  /** The metadata answer for ONE aggregate expression, or None when
+    * this expression cannot be answered exactly. */
+  private def answer(table: GraftTable, leaf: LogicalPlan,
+                     e: NamedExpression): Option[Any] = e match {
+    // count(lit) of any non-null foldable literal == count(*)
+    case Alias(AggregateExpression(
+        Count(children), Complete, false, None, _), _)
+        if children.forall(c => c.foldable && c.eval() != null) =>
+      table.metadataRowCount
+    case Alias(AggregateExpression(
+        Min(attr: AttributeReference), Complete, false, None, _), _)
+        if leaf.outputSet.contains(attr) =>
+      table.metadataExtreme(attr.name, attr.dataType, isMin = true)
+    case Alias(AggregateExpression(
+        Max(attr: AttributeReference), Complete, false, None, _), _)
+        if leaf.outputSet.contains(attr) =>
+      table.metadataExtreme(attr.name, attr.dataType, isMin = false)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.nonEmpty && aggExprs.forall(isCountStar(_).isDefined) =>
+    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       (for {
-        rel <- relationOf(child)
+        (rel, leaf) <- relationOf(child)
         table <- rel.table match {
           case t: GraftTable => Some(t)
           case _ => None
         }
-        count <- table.metadataRowCount
+        values <- {
+          val opts = aggExprs.map(answer(table, leaf, _))
+          if (opts.forall(_.isDefined)) Some(opts.map(_.get)) else None
+        }
       } yield LocalRelation(
-        agg.output,
-        Seq(InternalRow.fromSeq(aggExprs.map(_ => count))))
+        agg.output, Seq(InternalRow.fromSeq(values)))
       ).getOrElse(agg)
   }
 }

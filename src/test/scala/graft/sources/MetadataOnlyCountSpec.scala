@@ -38,7 +38,8 @@ class MetadataOnlyCountSpec extends SparkSpec {
 
   private def mkTable(tag: String): (SnapshotTable, String) = {
     val path = Files.createTempDirectory(s"graft_$tag").toString + "/t"
-    val t = SnapshotTable(spark, path, "id")
+    // id and v carry manifest stats; g deliberately does NOT
+    val t = SnapshotTable(spark, path, "id", statsCols = Seq("id", "v"))
     t.create((1 to 500).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "g"))
     (t, path)
   }
@@ -83,6 +84,40 @@ class MetadataOnlyCountSpec extends SparkSpec {
     }
   }
 
+  test("MIN/MAX answer from manifest stats; mixed aggregates rewrite together") {
+    withRule {
+      val (_, path) = mkTable("metaminmax")
+      val rel = spark.read.format("graft").load(path)
+      val df = rel.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"), min(col("v")).as("slo"),
+        max(col("v")).as("shi"))
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      // exact vs the scan-computed truth (string min/max are
+      // lexicographic: v1 < v10 < ... < v99)
+      assert(df.head() == org.apache.spark.sql.Row(500L, 1L, 500L, "v1", "v99"))
+    }
+  }
+
+  test("MIN/MAX refuse: deletion vectors, statless columns, expressions") {
+    withRule {
+      val (t, path) = mkTable("metaminmaxno")
+      val rel0 = spark.read.format("graft").load(path)
+      // statless column: g has no manifest stats
+      assert(!isMetadataOnly(rel0.agg(min(col("g")))))
+      // expression over a column: not a bare attribute
+      assert(!isMetadataOnly(rel0.agg(min(col("id") + 1))))
+      // DVs: a hidden row may be the extreme — and the refusal takes
+      // the MIXED aggregate with it (count alone would be answerable)
+      t.deleteMoR(col("id") === 500L)
+      val rel = spark.read.format("graft").load(path)
+      val mixed = rel.agg(count(lit(1)).as("n"), max(col("id")).as("hi"))
+      assert(!isMetadataOnly(mixed),
+        mixed.queryExecution.optimizedPlan.toString)
+      // and the scan answer reflects the delete the stats cannot see
+      assert(mixed.head() == org.apache.spark.sql.Row(499L, 499L))
+    }
+  }
+
   test("shapes a row count cannot answer keep their scans") {
     withRule {
       val (_, path) = mkTable("metacountno")
@@ -93,7 +128,8 @@ class MetadataOnlyCountSpec extends SparkSpec {
         rel.groupBy("g").agg(count(lit(1))),
         rel.agg(count(col("v"))),
         rel.agg(countDistinct(col("g"))),
-        rel.agg(count(lit(1)).as("n"), max(col("id")).as("m")))
+        // one unanswerable aggregate keeps the WHOLE list on the scan
+        rel.agg(count(lit(1)).as("n"), avg(col("id")).as("m")))
       kept.foreach { df =>
         assert(!isMetadataOnly(df),
           s"must not rewrite:\n${df.queryExecution.optimizedPlan}")
