@@ -769,28 +769,36 @@ object Queries {
       statsCols = Seq("o_orderkey", "o_orderpriority"))
     statTbl.create(t(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority"))
-    if (!s.experimental.extraOptimizations.exists(
-        _ eq sources.MetadataOnlyCount))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ sources.MetadataOnlyCount
-    val counted = s.read.format("graft").load(s"$base/t")
-      .agg(count(lit(1)).as("n"))
-    val extremes = s.read.format("graft").load(s"$base/clean")
-      .agg(min(col("o_orderkey")).as("min_key"),
-        max(col("o_orderkey")).as("max_key"),
-        min(col("o_orderpriority")).as("min_prio"),
-        max(col("o_orderpriority")).as("max_prio"))
-    val df = counted.crossJoin(extremes)
-    val scans = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.v2
-        .DataSourceV2Relation => r
-      case r: org.apache.spark.sql.execution.datasources.v2
-        .DataSourceV2ScanRelation => r
-    }
-    require(scans.isEmpty,
-      "metadata aggregates did not collapse — still scanning:\n" +
-        df.queryExecution.optimizedPlan)
-    df
+    // install on the live session, collect, UNINSTALL: the gate/bench
+    // session is shared across every registered query, and a rule left
+    // behind would quietly rewrite later queries' bare counts — their
+    // plan requires must keep proving the scans they claim to prove
+    sources.MetadataOnlyCount.install(s)
+    try {
+      val counted = s.read.format("graft").load(s"$base/t")
+        .agg(count(lit(1)).as("n"))
+      val extremes = s.read.format("graft").load(s"$base/clean")
+        .agg(min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderpriority")).as("min_prio"),
+          max(col("o_orderpriority")).as("max_prio"))
+      val df = counted.crossJoin(extremes)
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }
+      require(scans.isEmpty,
+        "metadata aggregates did not collapse — still scanning:\n" +
+          df.queryExecution.optimizedPlan)
+      // materialize under the installed rule so the returned frame no
+      // longer depends on it (a later consumer re-optimizes the tree)
+      val out = df.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(out).asJava), df.schema)
+    } finally sources.MetadataOnlyCount.uninstall(s)
   }
 
   /** S2/K2 (MERGE-ON-READ delete) — a scattered POINT delete

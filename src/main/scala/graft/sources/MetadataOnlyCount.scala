@@ -42,6 +42,18 @@ import org.apache.spark.sql.execution.datasources.v2.{
   * `spark.experimental.extraOptimizations`. */
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
+  /** Idempotently register the rule on a LIVE session (extensions can
+    * only be added at build time); [[uninstall]] undoes it. ONE
+    * registration authority — callers must not hand-roll the append. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_ eq this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  def uninstall(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq this)
+
   /** The bare relation under the aggregate plus the LEAF node whose
     * output the aggregate's attribute references resolve against;
     * a column-pruning Project in between is irrelevant to these
@@ -62,13 +74,21 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
 
   private def unfiltered(s: DataSourceV2ScanRelation)
       : Option[(DataSourceV2Relation, LogicalPlan)] = s.scan match {
-    // parquet keeps a residual logical Filter for every pushed filter
-    // (footer filtering is advisory), so a bare Aggregate-over-scan
-    // with pushed filters should not exist — but the answers must
-    // never depend on that staying true
+    // ANY consumed filter refuses. Data filters leave a residual
+    // logical Filter for parquet (footer filtering is advisory), so a
+    // bare Aggregate-over-scan with pushed data filters should not
+    // exist — but PARTITION filters are consumed EXACTLY by
+    // FileScanBuilder (no residual Filter node remains), so a
+    // partition-pruned count reaches here as a bare aggregate and a
+    // whole-table metadata answer would silently drop the WHERE
+    // clause. Only a provably filter-free parquet scan qualifies;
+    // unknown scan types refuse outright.
     case p: org.apache.spark.sql.execution.datasources.v2.parquet
-        .ParquetScan if p.pushedFilters.nonEmpty => None
-    case _ => Some((s.relation, s))
+        .ParquetScan
+        if p.pushedFilters.isEmpty && p.partitionFilters.isEmpty &&
+           p.dataFilters.isEmpty =>
+      Some((s.relation, s))
+    case _ => None
   }
 
   /** The metadata answer for ONE aggregate expression, or None when

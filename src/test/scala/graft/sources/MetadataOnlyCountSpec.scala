@@ -19,15 +19,12 @@ class MetadataOnlyCountSpec extends SparkSpec {
   override def afterAll(): Unit = {
     // the session is shared across suites — do not leave the rule
     // installed for tests that assert scan shapes
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ eq MetadataOnlyCount)
+    MetadataOnlyCount.uninstall(spark)
     super.afterAll()
   }
 
   private def withRule[T](body: => T): T = {
-    if (!spark.experimental.extraOptimizations.exists(_ eq MetadataOnlyCount))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MetadataOnlyCount
+    MetadataOnlyCount.install(spark)
     body
   }
 
@@ -137,6 +134,30 @@ class MetadataOnlyCountSpec extends SparkSpec {
       // and they still answer correctly with the rule installed
       assert(rel.filter(col("g") === 1).count() ==
         (1 to 500).count(_ % 7 == 1))
+    }
+  }
+
+  test("partition-only filters refuse: consumed filters leave no Filter node") {
+    withRule {
+      // FileScanBuilder consumes partition filters EXACTLY (no
+      // residual logical Filter), so a partition-pruned count reaches
+      // the rule as a bare aggregate — a whole-table metadata answer
+      // would silently drop the WHERE clause
+      val path = Files.createTempDirectory("graft_metapart").toString + "/t"
+      val t = SnapshotTable(spark, path, "id", Some("p"))
+      t.create((1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p"))
+      val df = spark.read.format("graft").load(path)
+        .filter(col("p") === "p1").agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(df),
+        s"partition-filtered count rewrote:\n${df.queryExecution.optimizedPlan}")
+      assert(df.head().getLong(0) == 100L,
+        "partition-filtered count must honor the WHERE clause")
+      // the unfiltered count on the same partitioned table still
+      // answers from metadata
+      val full = spark.read.format("graft").load(path)
+        .agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(full))
+      assert(full.head().getLong(0) == 300L)
     }
   }
 
