@@ -48,7 +48,8 @@ private[sources] final class GraftScanBuilder(
     tableSchema: StructType,
     dataSchema: StructType,
     dvByBase: Map[String, graft.functions.DeleteBitmap],
-    opts: CaseInsensitiveStringMap)
+    opts: CaseInsensitiveStringMap,
+    exactRows: Option[Long] = None)
     extends ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
       opts) {
   override def pushAggregation(
@@ -57,7 +58,8 @@ private[sources] final class GraftScanBuilder(
     dvByBase.isEmpty && super.pushAggregation(agg)
 
   override def build(): ParquetScan =
-    new GraftScan(tablePath, pinnedVersion, super.build(), dvByBase)
+    new GraftScan(tablePath, pinnedVersion, super.build(), dvByBase,
+      exactRows)
 }
 
 /** The built scan IS a [[ParquetScan]] (same batch planning, columnar
@@ -79,13 +81,40 @@ private[sources] final class GraftScan(
       * carrying a merge-on-read deletion vector; empty for clean
       * snapshots (the overwhelmingly common case — every override
       * below is a zero-cost pass-through then). */
-    dvByBase: Map[String, graft.functions.DeleteBitmap] = Map.empty)
+    dvByBase: Map[String, graft.functions.DeleteBitmap] = Map.empty,
+    /** EXACT snapshot row count from manifest metadata (per-file
+      * footer counts minus DV cardinalities), when every live file
+      * carries one — reported to the planner so join-strategy and AQE
+      * decisions see a true rowCount instead of a bytes-derived guess.
+      * Only reported for a FILTER-FREE scan: with any pushed/partition/
+      * data filter the file set is narrower than the table and the
+      * size-based estimate (which follows the pruned listing) is the
+      * honest one. */
+    exactRows: Option[Long] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters,
       base.pushedVariantExtractions)
     with SupportsRuntimeV2Filtering {
+
+  /** Exact-rowCount statistics for filter-free scans (see
+    * [[exactRows]]); the byte estimate stays the inherited one. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val fromFiles = super.estimateStatistics()
+    exactRows match {
+      case Some(n) if pushedFilters.isEmpty && partitionFilters.isEmpty &&
+          dataFilters.isEmpty && pushedAggregate.isEmpty =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            fromFiles.sizeInBytes()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        }
+      case _ => fromFiles
+    }
+  }
 
   private def dvBasename(f: org.apache.spark.sql.execution.datasources
       .PartitionedFile): String = {

@@ -218,7 +218,7 @@ final class GraftTable(
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     if (cdcMode) new GraftCdcScanBuilder(spark, tablePath, opts)
     else new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
-      tableSchema, dataSchema, dvByBase, opts)
+      tableSchema, dataSchema, dvByBase, opts, metadataRowCount)
 
   /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row
     * level operations ([[GraftRowLevelOperation]]). DML against a

@@ -161,6 +161,34 @@ class MetadataOnlyCountSpec extends SparkSpec {
     }
   }
 
+  test("scans report the exact manifest row count to the planner") {
+    // no rule needed: this is SupportsReportStatistics, consumed by
+    // join-strategy/AQE sizing — exact rowCount beats a bytes guess
+    val (t, path) = mkTable("metastats")
+    def scanStats(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => s.stats
+      }.get
+    val rel = spark.read.format("graft").load(path)
+    assert(scanStats(rel).rowCount.contains(BigInt(500)))
+    // DV cardinality subtracts from the reported count too
+    t.deleteMoR(col("id") % 10 === 3)
+    assert(scanStats(spark.read.format("graft").load(path))
+      .rowCount.contains(BigInt(450)))
+    // a PARTITION-pruned scan must not claim the whole-table count:
+    // the pruned listing's size estimate is the honest one
+    val ppath = Files.createTempDirectory("graft_metastatsp").toString + "/t"
+    val pt = SnapshotTable(spark, ppath, "id", Some("p"))
+    pt.create((1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p"))
+    assert(scanStats(spark.read.format("graft").load(ppath))
+      .rowCount.contains(BigInt(300)))
+    val pruned = spark.read.format("graft").load(ppath)
+      .filter(col("p") === "p1")
+    assert(scanStats(pruned).rowCount.isEmpty,
+      s"pruned scan claimed an exact whole-table count: ${scanStats(pruned)}")
+  }
+
   test("manifests predating row counts fall back to the scan") {
     import graft.plans.SnapshotTable.FileEntry
     val withRows = FileEntry("a.parquet",
