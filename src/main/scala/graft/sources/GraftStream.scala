@@ -98,13 +98,22 @@ private[sources] final class GraftScan(
       base.pushedVariantExtractions)
     with SupportsRuntimeV2Filtering {
 
+  /** Set once this scan's effective row set is no longer the whole
+    * snapshot through a channel the plan-time filter guard cannot
+    * see: runtime (DPP) predicates narrowing the shared file index,
+    * or service as a STREAMING template (each micro-batch reads only
+    * a commit delta). From then on [[estimateStatistics]] must stop
+    * claiming the exact whole-table count. */
+  @volatile private var rowSetNarrowed = false
+
   /** Exact-rowCount statistics for filter-free scans (see
     * [[exactRows]]); the byte estimate stays the inherited one. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val fromFiles = super.estimateStatistics()
     exactRows match {
-      case Some(n) if pushedFilters.isEmpty && partitionFilters.isEmpty &&
+      case Some(n) if !rowSetNarrowed && pushedFilters.isEmpty &&
+          partitionFilters.isEmpty &&
           dataFilters.isEmpty && pushedAggregate.isEmpty =>
         new org.apache.spark.sql.connector.read.Statistics {
           override def sizeInBytes(): java.util.OptionalLong =
@@ -174,6 +183,10 @@ private[sources] final class GraftScan(
     require(pinnedVersion.isEmpty,
       s"cannot stream a versionAsOf/timestampAsOf read of $tablePath — " +
         "a pinned snapshot never changes")
+    // the streaming relation's computeStats consults THIS scan, but
+    // each micro-batch delivers only a commit delta — the whole-table
+    // exact count would be off by orders of magnitude per batch
+    rowSetNarrowed = true
     new GraftMicroBatchStream(tablePath, this, options)
   }
 
@@ -203,6 +216,9 @@ private[sources] final class GraftScan(
     * shape or type we don't recognize narrows nothing (pruning may
     * only skip, never change results). */
   override def filter(predicates: Array[V2Predicate]): Unit = {
+    // any runtime narrowing invalidates the exact whole-table count
+    // for later stats consultations (AQE re-optimizations)
+    if (predicates.nonEmpty) rowSetNarrowed = true
     val partCols = partitionFieldNames.toSet
     def refOf(e: V2Expression): Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>

@@ -189,6 +189,33 @@ class MetadataOnlyCountSpec extends SparkSpec {
       s"pruned scan claimed an exact whole-table count: ${scanStats(pruned)}")
   }
 
+  test("exact count withdraws once the scan's row set narrows") {
+    val (_, path) = mkTable("metastatsnarrow")
+    val table = new GraftTable(spark, path)
+    val scan = table.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[GraftScan]
+    assert(scan.estimateStatistics().numRows.isPresent)
+    // a streaming template delivers only commit deltas per batch; the
+    // whole-table count would be off by orders of magnitude there
+    scan.toMicroBatchStream(
+      Files.createTempDirectory("graft_ckpt").toString)
+    assert(!scan.estimateStatistics().numRows.isPresent,
+      "streaming template still claims the whole-snapshot exact count")
+    // runtime (DPP) narrowing likewise withdraws the claim
+    val scan2 = new GraftTable(spark, path).newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[GraftScan]
+    assert(scan2.estimateStatistics().numRows.isPresent)
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan2.filter(Array(new Predicate("=",
+      Array(Expressions.column("id"),
+        Expressions.literal(1L)))))
+    assert(!scan2.estimateStatistics().numRows.isPresent,
+      "runtime-narrowed scan still claims the whole-snapshot exact count")
+  }
+
   test("manifests predating row counts fall back to the scan") {
     import graft.plans.SnapshotTable.FileEntry
     val withRows = FileEntry("a.parquet",
