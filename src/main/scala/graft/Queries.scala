@@ -662,6 +662,79 @@ object Queries {
             |FROM graft.cat.mv_daily ORDER BY o_orderdate""".stripMargin)
   }
 
+  /** The PURE-SQL star-join view loop: fact, dims, and the view are
+    * all DECLARED in SQL (the join definition — dim paths and join
+    * keys — rides as TBLPROPERTIES), every mutation is SQL DML
+    * (MERGE/DELETE on the fact, UPDATE on a dim), and every refresh is
+    * `CALL graft.system.refresh_mv` — no Scala in the loop. Same
+    * fixture algebra as [[mvJoin]] (upsert + delete span, then a
+    * 1-in-10 customer nation move folded through the dim-delta
+    * expansion term), so the same full-recompute oracle applies. */
+  def mvJoinSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = catalogWarehouse(s, dir)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat")
+    Seq("mvj_fact", "mvj_cust", "mvj_nation", "mvj_rev").foreach(n =>
+      s.sql(s"DROP TABLE IF EXISTS graft.cat.$n"))
+    s.sql("""CREATE TABLE graft.cat.mvj_fact (
+            |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            |  o_totalprice DOUBLE)
+            |PARTITIONED BY (o_orderstatus)
+            |TBLPROPERTIES ('primaryKey' = 'o_orderkey')""".stripMargin)
+    s.sql("""CREATE TABLE graft.cat.mvj_cust (
+            |  c_custkey BIGINT, c_nationkey BIGINT)
+            |TBLPROPERTIES ('primaryKey' = 'c_custkey')""".stripMargin)
+    s.sql("""CREATE TABLE graft.cat.mvj_nation (
+            |  n_nationkey BIGINT, n_name STRING)
+            |TBLPROPERTIES ('primaryKey' = 'n_nationkey')""".stripMargin)
+    t(s, dir, "orders").createOrReplaceTempView("mvj_orders")
+    t(s, dir, "customer").createOrReplaceTempView("mvj_customer")
+    t(s, dir, "nation").createOrReplaceTempView("mvj_nation_src")
+    s.sql("""INSERT INTO graft.cat.mvj_fact
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM mvj_orders WHERE o_orderkey % 4 <> 3""".stripMargin)
+    s.sql("""INSERT INTO graft.cat.mvj_cust
+            |SELECT c_custkey, c_nationkey FROM mvj_customer""".stripMargin)
+    s.sql("""INSERT INTO graft.cat.mvj_nation
+            |SELECT n_nationkey, n_name FROM mvj_nation_src""".stripMargin)
+    s.sql(s"""CREATE TABLE graft.cat.mvj_rev (
+            |  `__mv_key` STRING, n_name STRING,
+            |  revenue_cents BIGINT, `__mv_count` BIGINT)
+            |TBLPROPERTIES (
+            |  'primaryKey' = '__mv_key',
+            |  'clusterBy' = '__mv_key', 'clusterFiles' = '4',
+            |  'graft.mv.source' = '$wh/cat/mvj_fact',
+            |  'graft.mv.mode' = 'additiveJoin',
+            |  'graft.mv.keys' = 'n_name',
+            |  'graft.mv.measure.revenue_cents' =
+            |    'CAST(round(o_totalprice * 100) AS BIGINT)',
+            |  'graft.mv.dimCount' = '2',
+            |  'graft.mv.dim.0.path' = '$wh/cat/mvj_cust',
+            |  'graft.mv.dim.0.factKey' = 'o_custkey',
+            |  'graft.mv.dim.0.dimKey' = 'c_custkey',
+            |  'graft.mv.dim.1.path' = '$wh/cat/mvj_nation',
+            |  'graft.mv.dim.1.factKey' = 'c_nationkey',
+            |  'graft.mv.dim.1.dimKey' = 'n_nationkey')""".stripMargin)
+    s.sql("CALL graft.system.refresh_mv('cat.mvj_rev')")
+    // fact churn in pure SQL: price bump + inserts, then a delete
+    s.sql("""MERGE INTO graft.cat.mvj_fact tgt
+            |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+            |              round(o_totalprice + 1.0, 2) AS o_totalprice
+            |       FROM mvj_orders WHERE o_orderkey % 3 = 0) src
+            |ON tgt.o_orderkey = src.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("DELETE FROM graft.cat.mvj_fact WHERE o_orderkey % 5 = 0")
+    // dim churn in pure SQL: 1-in-10 customers MOVE nation
+    s.sql("""UPDATE graft.cat.mvj_cust
+            |SET c_nationkey = (c_nationkey + 1) % 25
+            |WHERE c_custkey % 10 = 0""".stripMargin)
+    val st = s.sql("CALL graft.system.refresh_mv('cat.mvj_rev')").head()
+    require(st.getLong(2) > 1L, s"refresh did not advance: $st")
+    s.sql("REFRESH TABLE graft.cat.mvj_rev")
+    s.sql("""SELECT n_name, revenue_cents, `__mv_count` AS order_cnt
+            |FROM graft.cat.mvj_rev ORDER BY n_name""".stripMargin)
+  }
+
   /** Non-additive materialized aggregate
     * ([[plans.MaterializedAgg.refreshRecompute]]): min/max cannot fold
     * under deletes, so the change feed contributes only the DIRTY
@@ -2992,6 +3065,7 @@ object Queries {
     "mv_sql_refresh" -> (mvSqlRefresh _),
     "mv_minmax" -> (mvMinmax _),
     "mv_join" -> (mvJoin _),
+    "mv_join_sql" -> (mvJoinSql _),
     "metadata_count" -> (metadataCount _),
     "mor_delete" -> (morDelete _),
     "cdc_feed" -> (cdcFeed _),
@@ -3394,6 +3468,31 @@ object Queries {
         |  (SELECT min(o_orderpriority) FROM orders) AS min_prio,
         |  (SELECT max(o_orderpriority) FROM orders) AS max_prio""".stripMargin,
     "mv_join" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 5 <> 0
+        |), cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0
+        |              THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer
+        |)
+        |SELECT n_name,
+        |       CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM final
+        |JOIN cust ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the pure-SQL join-view loop mirrors mv_join's algebra exactly
+    "mv_join_sql" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_custkey,
         |         CASE WHEN o_orderkey % 3 = 0
