@@ -54,6 +54,41 @@ object Bench {
     // that inflated number into the artifact. Only the true
     // heavyweights (pipeline_e2e ~30s) stay single-run.
     val rerunCutoffSec = 15.0
+    // Cold-session guard (round-10 postmortem): the cutoff froze a cold
+    // 31.4s FIRST run of mv_join_sql (5.6s committed min-of-3) straight
+    // into the driver's artifact — a single bad cold session nearly read
+    // as a 2× regression. A first run over the cutoff therefore STILL
+    // earns one re-run when the previous committed BENCH.json (read
+    // below, best-effort) says the query normally lands under the
+    // cutoff; with no prior file, multi-statement session-state entries
+    // (mv_*, *_sql) — the shapes most inflated by a cold catalog — get
+    // the same one re-run. True heavyweights (prior best ≥ cutoff)
+    // stay single-run as before.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val priorBest: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(outFile)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          val qs = root.path("queries")
+          if (!qs.isObject) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            qs.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble(-1.0))
+            b.result()
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] prior $outFile unreadable (${e.getMessage}); cold-run guard uses name heuristic only")
+        Map.empty
+      }
+    def coldRerunEligible(name: String): Boolean =
+      priorBest.get(name) match {
+        case Some(b) => b >= 0 && b < rerunCutoffSec
+        case None    => name.startsWith("mv_") || name.endsWith("_sql")
+      }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(recordFailure: Boolean): Double = {
         val t0 = System.nanoTime()
@@ -84,16 +119,26 @@ object Bench {
         runs += 1
         if (t >= 0 && t < best) best = t
       }
-      (name, best, runs)
+      // one extra chance for a cold-inflated first run (see above)
+      if (best >= rerunCutoffSec && runs == 1 && coldRerunEligible(name)) {
+        val t = once(recordFailure = false)
+        runs += 1
+        if (t >= 0 && t < best) best = t
+      }
+      (name, first, best, runs)
     }
     import Gate.jstr
-    val timed = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
+    val timed = results.filter(_._3 >= 0)
+    val qs = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val runCounts = results.map { case (k, _, n) => s"${jstr(k)}:$n" }
+    val runCounts = results.map { case (k, _, _, n) => s"${jstr(k)}:$n" }
+      .mkString("{", ",", "}")
+    // firstRuns alongside best: makes cold-vs-warm auditable per query
+    // (a large firstRun/best ratio is session cold-start, not plan cost)
+    val firstRuns = results.map { case (k, f, _, _) => s"${jstr(k)}:$f" }
       .mkString("{", ",", "}")
     val fails = failures.map(jstr).mkString("[", ",", "]")
-    val total = timed.map(_._2).sum
+    val total = timed.map(_._3).sum
     // per-phase wall-times for pipeline_e2e (the one query with ±50%
     // cold-run swings on this box — the artifact attributes the swing
     // to a phase instead of leaving a bare number to argue about).
@@ -107,7 +152,7 @@ object Bench {
       else Queries.lastPipelinePhases
         .map { case (k, v) => s"${jstr(k)}:${f2(v)}" }
         .mkString(""","phases":{"pipeline_e2e":{""", ",", "}}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts$phases,"sf":${jstr(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
     // Full JSON first: if a capture window keeps the HEAD of the output
     // this line is complete there.
     println(json)
@@ -117,7 +162,6 @@ object Bench {
     // kept the tail of the line — unparseable). The full JSON is
     // therefore also written to a file (default BENCH.json in the
     // working dir, committed per round).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
@@ -129,12 +173,12 @@ object Bench {
     // what gets dropped); `queriesOmitted`/`queriesOmittedSec` make the
     // truncation explicit and `full` points at the complete artifact.
     val budget = 1800
-    val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val slowestFirst = results.filter(_._3 >= 0).sortBy(-_._3)
     val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
     var compactQs = List.empty[String]
     var used = fixedHead.length + 80 // closing braces + omitted fields
     var omitted = 0; var omittedSec = 0.0
-    slowestFirst.foreach { case (k, v, _) =>
+    slowestFirst.foreach { case (k, _, v, _) =>
       val frag = s"${jstr(k)}:${f2(v)}"
       if (used + frag.length + 1 <= budget) { compactQs ::= frag; used += frag.length + 1 }
       else { omitted += 1; omittedSec += v }

@@ -1531,13 +1531,17 @@ object Queries {
          dfs.globStatus(new org.apache.hadoop.fs.Path(
            s"$base/dwh/order_items/data/date=*")).nonEmpty))
       dfs.delete(dwh, true)
+    lastPipelinePhases = Nil // a throwing run must not report stale phases
     val report = Pipeline.run(s, s"$base/raw", s"$base/dwh",
       s"$base/rejected", s"$base/archived")
-    require(report.gatesPassed, "post-load validation gates failed")
     // expose phase wall-times for the bench artifact (cold-run variance
     // on this query has been the flakiest gate number for three rounds;
-    // the artifact now says WHICH phase absorbed the cold cost)
+    // the artifact now says WHICH phase absorbed the cold cost).
+    // Assigned BEFORE the gates require: a failed run must not leave a
+    // PREVIOUS run's phase breakdown for Bench to stamp next to the
+    // failure record
     lastPipelinePhases = ("raw_stage" -> rawStageSec) +: report.phases
+    require(report.gatesPassed, "post-load validation gates failed")
     SnapshotTable(s, s"$base/dwh/order_items", "id",
       partitionCol = None, Some(Tables.asNullable(Tables.orderItems))).read
   }

@@ -66,7 +66,10 @@ object MaterializedAgg {
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
       catch { case scala.util.control.NonFatal(_) => 10L << 20 }
-    if (thr <= 0) 10L << 20 else thr
+    // thr <= 0 is the session's explicit broadcast OPT-OUT (-1 disables
+    // auto-broadcast) — honor it rather than substituting the default,
+    // or MV refresh joins would re-inject the hints the user turned off
+    thr
   }
 
   /** Max changed-group ROWS the refresh joins will broadcast — above
@@ -79,7 +82,11 @@ object MaterializedAgg {
   private def maxBroadcastGroups(spark: SparkSession): Long =
     spark.conf.getOption("graft.mv.broadcastMaxGroups")
       .flatMap(_.toLongOption)
-      .getOrElse(math.max(1L, broadcastThresholdBytes(spark) / 64))
+      .getOrElse {
+        val thr = broadcastThresholdBytes(spark)
+        // disabled session threshold => never hint (0 groups qualify)
+        if (thr <= 0) 0L else math.max(1L, thr / 64)
+      }
 
   /** Broadcast `df` (known to hold `rows` rows) only when it is small
     * enough to hold in every executor; otherwise return it unhinted

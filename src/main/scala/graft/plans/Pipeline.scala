@@ -98,7 +98,7 @@ object Pipeline {
 
   /** `phases` — wall seconds per pipeline phase (`"<job>.<phase>"` for
     * per-job read/validate/ri/upsert, plus run-level `archive` /
-    * `gates`), recorded for the bench artifact so cold-run variance can
+    * `vacuum` / `gates`), recorded for the bench artifact so cold-run variance can
     * be attributed to a phase instead of guessed at. Defaulted so
     * existing positional constructions keep compiling. */
   final case class Report(jobs: Seq[JobResult], gatesPassed: Boolean,

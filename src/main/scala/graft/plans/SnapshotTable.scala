@@ -2024,6 +2024,20 @@ final class SnapshotTable(
       .select(
         substring_index(col(SnapshotTable.PosFileCol), "/", -1).as("f"),
         col(SnapshotTable.PosIdxCol).as("p"))
+    // the pairs plan is evaluated TWICE (cap-check count, then the
+    // bitmap pass) — a non-deterministic predicate (rand()-based
+    // sampling) could pass the cap on evaluation 1 yet match a
+    // different, larger row set on evaluation 2, committing DVs the
+    // cap never saw. Checked on the ANALYZED filter conditions (the
+    // unresolved Column tree reports `deterministic` from child
+    // expressions only, which would miss rand())
+    require(pairs.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }.forall(identity),
+      "deleteMoR requires a deterministic predicate (it is evaluated " +
+        "once for the cap check and once for the bitmap build); " +
+        "materialize a key list and delete by key instead")
     // cap check FIRST, as its own one-row aggregate: an over-cap delete
     // fails before a single bitmap byte is built or shipped (the pruned
     // candidate re-scan below costs less than caching up-to-cap

@@ -1222,6 +1222,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read.filter(col("id") === 77).count() == 0L)
   }
 
+  test("MoR delete rejects non-deterministic predicates") {
+    val t = SnapshotTable(spark, tmp("mornondet"), "id")
+    t.create(Seq((1, "a"), (2, "b")).toDF("id", "val"))
+    // the predicate runs twice (cap count + bitmap pass); rand() could
+    // match different row sets per evaluation → refuse up front
+    val e = intercept[IllegalArgumentException](
+      t.deleteMoR(org.apache.spark.sql.functions.rand() < 0.5))
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    assert(t.currentVersion.contains(1L),
+      "rejected non-deterministic delete advanced the version")
+    t.deleteMoR(col("id") === 1) // deterministic path still works
+    assert(t.read.count() == 1)
+  }
+
   test("MoR delete: SQL semantics, no-match no-commit, idempotent re-delete") {
     val t = SnapshotTable(spark, tmp("mordel2"), "id", Some("part"))
     t.create(Seq((1, "a", "p1"), (2, null: String, "p1"))
