@@ -2930,32 +2930,70 @@ object Queries {
       when(col("kind") === "audio", wav.getField("channels")).as("channels"))
   }
 
-  /** PNG write→parse round-trip: per-doc headers are generated with a
-    * REAL computed IHDR CRC, then decoded back field-by-field with the
-    * CRC re-verified; one corrupted payload per 50 docs must surface as
-    * crc_ok = 0 with its fields still readable (integrity detection,
-    * not trust). The oracle recomputes everything in closed form. */
+  /** PNG write→parse round-trip, down to the PIXELS: per-doc COMPLETE
+    * PNGs are encoded for real ([[Multimodal.pngEncode]] — filter
+    * types cycling None/Sub/Up/Average/Paeth per row, scanlines
+    * DEFLATE-compressed, every chunk CRC computed), then decoded back
+    * two independent ways: header fields via column algebra
+    * ([[Multimodal.decodePng]], IHDR CRC re-verified) and pixel
+    * statistics via the real inflate + filter-reversal decoder
+    * ([[Multimodal.pngPixelStats]]). The pixel area tiles
+    * md5(doc_id), so the oracle regenerates the same RGB stream in
+    * closed form and recomputes every statistic byte-exactly — DEFLATE
+    * and the row filters must cancel out EXACTLY for the hashes to
+    * match. One payload per 50 docs has a width byte flipped after
+    * encoding: its header fields decode with the bogus width, crc_ok
+    * drops to 0, and its pixel stats must null out (CRC-gated decode —
+    * corruption detected, not trusted). */
   def multimodalPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = t(s, dir, "documents")
-    val w = (pmod(col("doc_id"), lit(64)) + 1).cast(IntegerType)
-    val h = (pmod(col("doc_id"), lit(48)) + 1).cast(IntegerType)
-    val clean = Multimodal.pngBytes(w, h)
-    // flip one width byte AFTER the CRC was computed -> stored CRC no
-    // longer matches the bytes, exactly what a bit-rot scanner must catch
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val content = md.digest(id.toString.getBytes("UTF-8"))
+        (id, Multimodal.pngEncode(
+          (id % 32 + 1).toInt, (id % 24 + 1).toInt, content))
+      }
+    }.toDF("media_id", "bytes")
+    // flip one width byte AFTER encoding -> stored IHDR CRC no longer
+    // matches the bytes, exactly what a bit-rot scanner must catch
     val corrupted = concat(
-      substring(clean, 1, 18), unhex(lit("7F")), substring(clean, 20, 26))
-    val media = docs.select(col("doc_id").as("media_id"),
-      when(pmod(col("doc_id"), lit(50)) === 0, corrupted)
-        .otherwise(clean).as("bytes"))
+      substring(col("bytes"), 1, 18), unhex(lit("7F")),
+      col("bytes").substr(lit(20), length(col("bytes")) - 19))
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0, corrupted)
+        .otherwise(col("bytes")).as("bytes"))
     val png = Multimodal.decodePng(col("bytes"))
-    media.select(
+    val headered = withBytes.select(
       col("media_id"),
-      length(col("bytes")).cast(LongType).as("n_bytes"),
       png.getField("width").as("width"),
       png.getField("height").as("height"),
       png.getField("bit_depth").as("bit_depth"),
       png.getField("color_type").as("color_type"),
-      png.getField("crc_ok").cast(IntegerType).as("crc_ok"))
+      png.getField("crc_ok").cast(IntegerType).as("crc_ok"),
+      col("bytes"))
+    Multimodal.withImageStats(headered, "bytes").select(
+      col("media_id"), col("width"), col("height"), col("bit_depth"),
+      col("color_type"), col("crc_ok"),
+      col("image_stats.b_sum").as("b_sum"),
+      col("image_stats.b_min").as("b_min"),
+      col("image_stats.b_max").as("b_max"),
+      col("image_stats.g_sum").as("g_sum"),
+      col("image_stats.g_min").as("g_min"),
+      col("image_stats.g_max").as("g_max"),
+      col("image_stats.r_sum").as("r_sum"),
+      col("image_stats.r_min").as("r_min"),
+      col("image_stats.r_max").as("r_max"),
+      col("image_stats.n_px").as("n_px"),
+      element_at(col("image_stats.luma_hist"), 1).as("h0"),
+      element_at(col("image_stats.luma_hist"), 2).as("h1"),
+      element_at(col("image_stats.luma_hist"), 3).as("h2"),
+      element_at(col("image_stats.luma_hist"), 4).as("h3"),
+      element_at(col("image_stats.luma_hist"), 5).as("h4"),
+      element_at(col("image_stats.luma_hist"), 6).as("h5"),
+      element_at(col("image_stats.luma_hist"), 7).as("h6"),
+      element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
@@ -4393,18 +4431,70 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER) END AS channels
         |FROM documents""".stripMargin,
     "multimodal_png" ->
-      // closed-form recomputation: a corrupted payload (every 50th doc
-      // got width byte 3 overwritten with 0x7F after CRC computation)
-      // must decode with the bogus width AND crc_ok = 0
-      """SELECT doc_id AS media_id,
-        |  CAST(45 AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 32512 ELSE 0 END
-        |       + doc_id % 64 + 1 AS INTEGER) AS width,
-        |  CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+      // closed-form recomputation of the REAL pixel decode: the PNG's
+      // raw RGB stream tiles repeat(md5(doc_id)) — DEFLATE and the
+      // cycling row filters cancel out exactly in the Spark decoder, so
+      // the oracle just regenerates that stream and re-derives every
+      // channel statistic + the luma histogram. A corrupted payload
+      // (every 50th doc got width byte 3 overwritten with 0x7F after
+      // encoding) must decode with the bogus width, crc_ok = 0 and
+      // NULL pixel stats (the decoder is CRC-gated).
+      """WITH sz AS (
+        |  SELECT doc_id, 3*(doc_id % 32 + 1)*(doc_id % 24 + 1) AS n_raw
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |pix AS (
+        |  SELECT doc_id, i // 3 AS px, i % 3 AS ch,
+        |    (strpos('0123456789abcdef',
+        |            substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(rep, CAST(2*i+2 AS INT), 1)) - 1 AS v
+        |  FROM (SELECT doc_id, unnest(range(n_raw)) AS i,
+        |          repeat(md5(CAST(doc_id AS VARCHAR)),
+        |                 CAST(ceil(n_raw / 16.0) AS INT)) AS rep
+        |        FROM sz)),
+        |stat AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN ch=2 THEN v END) AS BIGINT) AS b_sum,
+        |    CAST(min(CASE WHEN ch=2 THEN v END) AS BIGINT) AS b_min,
+        |    CAST(max(CASE WHEN ch=2 THEN v END) AS BIGINT) AS b_max,
+        |    CAST(sum(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_sum,
+        |    CAST(min(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_min,
+        |    CAST(max(CASE WHEN ch=1 THEN v END) AS BIGINT) AS g_max,
+        |    CAST(sum(CASE WHEN ch=0 THEN v END) AS BIGINT) AS r_sum,
+        |    CAST(min(CASE WHEN ch=0 THEN v END) AS BIGINT) AS r_min,
+        |    CAST(max(CASE WHEN ch=0 THEN v END) AS BIGINT) AS r_max,
+        |    CAST(count(*) FILTER (WHERE ch=0) AS BIGINT) AS n_px
+        |  FROM pix GROUP BY doc_id),
+        |lum AS (
+        |  SELECT doc_id,
+        |    LEAST(7, (299*max(CASE WHEN ch=0 THEN v END)
+        |            + 587*max(CASE WHEN ch=1 THEN v END)
+        |            + 114*max(CASE WHEN ch=2 THEN v END)) // 31875) AS bin
+        |  FROM pix GROUP BY doc_id, px),
+        |hist AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE bin=0) AS BIGINT) AS h0,
+        |    CAST(count(*) FILTER (WHERE bin=1) AS BIGINT) AS h1,
+        |    CAST(count(*) FILTER (WHERE bin=2) AS BIGINT) AS h2,
+        |    CAST(count(*) FILTER (WHERE bin=3) AS BIGINT) AS h3,
+        |    CAST(count(*) FILTER (WHERE bin=4) AS BIGINT) AS h4,
+        |    CAST(count(*) FILTER (WHERE bin=5) AS BIGINT) AS h5,
+        |    CAST(count(*) FILTER (WHERE bin=6) AS BIGINT) AS h6,
+        |    CAST(count(*) FILTER (WHERE bin=7) AS BIGINT) AS h7
+        |  FROM lum GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(CASE WHEN d.doc_id % 50 = 0 THEN 32512 ELSE 0 END
+        |       + d.doc_id % 32 + 1 AS INTEGER) AS width,
+        |  CAST(d.doc_id % 24 + 1 AS INTEGER) AS height,
         |  CAST(8 AS INTEGER) AS bit_depth,
         |  CAST(2 AS INTEGER) AS color_type,
-        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS crc_ok
-        |FROM documents""".stripMargin,
+        |  CAST(CASE WHEN d.doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS crc_ok,
+        |  s.b_sum, s.b_min, s.b_max, s.g_sum, s.g_min, s.g_max,
+        |  s.r_sum, s.r_min, s.r_max, s.n_px,
+        |  h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7
+        |FROM documents d
+        |LEFT JOIN stat s ON d.doc_id = s.doc_id
+        |LEFT JOIN hist h ON d.doc_id = h.doc_id""".stripMargin,
     "multimodal_jpeg" ->
       // closed-form recomputation: every 50th doc got its SOF0 marker
       // byte broken, so the segment walk finds no frame header and all

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * [[decodeWav]] — channels/sample-rate/bit-depth from the RIFF fmt
   * chunk) and PNG ([[pngBytes]]/[[decodePng]] — big-endian IHDR fields
   * with the chunk CRC32 recomputed and verified, not trusted).
-  * PIXEL/SAMPLE decode is REAL for the codec-free containers: BMP
-  * pixel rows and WAV PCM samples are plain bytes, so
-  * [[bmpPixelStats]]/[[wavSampleStats]] compute genuine per-channel /
-  * per-sample statistics. Only compressed pixel data (PNG/JPEG) and
-  * video demuxing remain STUBBED (no codecs in this build):
+  * PIXEL/SAMPLE decode is REAL for BMP, WAV and PNG: BMP pixel rows
+  * and WAV PCM samples are plain bytes, and PNG's only compression is
+  * DEFLATE — in the JDK — so [[bmpPixelStats]]/[[wavSampleStats]]/
+  * [[pngPixelStats]] compute genuine per-channel / per-sample
+  * statistics ([[pngEncode]]/[[pngPixelStats]] do the full
+  * filter+DEFLATE round trip). Only JPEG pixel data (DCT) and video
+  * demuxing remain STUBBED (those need codecs this build lacks):
   * `stubDecode*` derive deterministic fake outputs from the bytes,
   * clearly marked below.
   * Everything around the stubs — schema, binary handling,
@@ -310,7 +312,8 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // REAL pixel/sample decode for the codec-free containers
+  // REAL pixel/sample decode: BMP + WAV (plain bytes) and PNG (the
+  // "codec" is DEFLATE, which ships in the JDK — java.util.zip)
   // ---------------------------------------------------------------
 
   private def u8(bytes: Array[Byte], off: Int): Int = bytes(off) & 0xFF
@@ -408,6 +411,203 @@ object Multimodal {
     if (n == 0) Some(Array(0L, 0L, 0L, 0L)) else Some(Array(sum, min, max, n))
   }
 
+  // ---------------------------------------------------------------
+  // PNG: real encode (filtered scanlines + DEFLATE) and real decode
+  // (INFLATE + the five per-row filter reversals). No external codec:
+  // PNG's only compression is DEFLATE, provided by java.util.zip.
+  // ---------------------------------------------------------------
+
+  private def crc32Of(parts: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue
+  }
+
+  private def be4(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes("US-ASCII")
+    be4(data.length.toLong) ++ t ++ data ++ be4(crc32Of(t, data))
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — shared by encode and decode. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** COMPLETE 8-bit truecolor PNG encode: IHDR, one IDAT holding the
+    * DEFLATE stream of the filtered scanlines, IEND — every chunk CRC
+    * computed for real. The raw pixel stream (RGB row-major, no
+    * padding) tiles `content`; each row's filter type cycles
+    * `row % 5` through None/Sub/Up/Average/Paeth, so a decoder must
+    * implement ALL FIVE reversals to get the pixels back. JVM-side
+    * (DEFLATE is not column algebra) — used from per-partition
+    * generators; [[pngBytes]] stays the header-only column-algebra
+    * variant. */
+  private[graft] def pngEncode(width: Int, height: Int,
+                               content: Array[Byte],
+                               channels: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0 && content.nonEmpty)
+    require(channels == 3 || channels == 4, "RGB or RGBA only")
+    val rowLen = width * channels
+    val raw = Array.tabulate(rowLen * height)(i => content(i % content.length))
+    val filtered = new Array[Byte]((rowLen + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      filtered(y * (rowLen + 1)) = f.toByte
+      var i = 0
+      while (i < rowLen) {
+        val cur = raw(y * rowLen + i) & 0xFF
+        val left = if (i >= channels) raw(y * rowLen + i - channels) & 0xFF else 0
+        val up = if (y > 0) raw((y - 1) * rowLen + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= channels) raw((y - 1) * rowLen + i - channels) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (rowLen + 1) + 1 + i) = ((cur - pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val colorType: Byte = if (channels == 4) 6 else 2 // truecolor(+alpha)
+    val ihdr = be4(width.toLong) ++ be4(height.toLong) ++
+      Array[Byte](8, colorType, 0, 0, 0) // depth 8, std compr/filter/interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG pixel decode down to per-channel statistics: chunk walk
+    * with every CRC verified, IDAT streams concatenated and INFLATED
+    * (`java.util.zip.Inflater`), the five row filters
+    * (None/Sub/Up/Average/Paeth) undone per the spec, then the same
+    * stats as [[bmpPixelStats]] — per-channel sum/min/max (returned in
+    * the shared [b,g,r] slot order), pixel count, and the 8-bin integer
+    * luma histogram (bin = min(7, (299R+587G+114B)/31875)). 8-bit
+    * truecolor (RGB) and truecolor+alpha (RGBA, alpha excluded from
+    * stats) supported; palette/interlaced/16-bit and any corruption
+    * (bad CRC, short inflate, bad filter type) degrade to None, never
+    * to a job failure. Only JPEG pixels (DCT) and video demuxing
+    * remain stubbed — those genuinely need codecs this build lacks. */
+  private[graft] def pngPixelStats(bytes: Array[Byte])
+      : Option[(Array[Long], Array[Long])] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 45 || !bytes.take(8).sameElements(sig)) return None
+    var pos = 8
+    var w = 0; var h = 0; var depth = -1; var colorType = -1
+    var interlace = -1; var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIend = false
+    while (!sawIend && pos + 12 <= bytes.length) {
+      val len = ((bytes(pos) & 0xFFL) << 24) | ((bytes(pos + 1) & 0xFFL) << 16) |
+        ((bytes(pos + 2) & 0xFFL) << 8) | (bytes(pos + 3) & 0xFFL)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return None
+      val tag = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      val stored = ((bytes(dataOff + len.toInt) & 0xFFL) << 24) |
+        ((bytes(dataOff + len.toInt + 1) & 0xFFL) << 16) |
+        ((bytes(dataOff + len.toInt + 2) & 0xFFL) << 8) |
+        (bytes(dataOff + len.toInt + 3) & 0xFFL)
+      val c = new java.util.zip.CRC32
+      c.update(bytes, pos + 4, 4 + len.toInt)
+      if (c.getValue != stored) return None // corruption detected, not trusted
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = (((bytes(dataOff) & 0xFFL) << 24) | ((bytes(dataOff + 1) & 0xFFL) << 16) |
+            ((bytes(dataOff + 2) & 0xFFL) << 8) | (bytes(dataOff + 3) & 0xFFL)).toInt
+          h = (((bytes(dataOff + 4) & 0xFFL) << 24) | ((bytes(dataOff + 5) & 0xFFL) << 16) |
+            ((bytes(dataOff + 6) & 0xFFL) << 8) | (bytes(dataOff + 7) & 0xFFL)).toInt
+          depth = bytes(dataOff + 8) & 0xFF
+          colorType = bytes(dataOff + 9) & 0xFF
+          interlace = bytes(dataOff + 12) & 0xFF
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, dataOff, len.toInt)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks are CRC-checked above, then skipped
+      }
+      pos = dataOff + len.toInt + 4
+    }
+    if (!sawIhdr || !sawIend || idat.size() == 0) return None
+    if (depth != 8 || (colorType != 2 && colorType != 6) || interlace != 0)
+      return None // palette/interlaced/16-bit: refused loudly, not guessed
+    val bpp = if (colorType == 2) 3 else 4
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
+    val rowLen = w * bpp
+    val expect = (rowLen + 1).toLong * h
+    if (expect > Int.MaxValue) return None
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val scan = new Array[Byte](expect.toInt)
+    try {
+      var off = 0
+      while (off < scan.length && !inflater.finished()) {
+        val n = inflater.inflate(scan, off, scan.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != scan.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // undo filters in place: raw(y) = recon over filtered row y
+    val raw = new Array[Byte](rowLen * h)
+    var y = 0
+    while (y < h) {
+      val f = scan(y * (rowLen + 1)) & 0xFF
+      if (f > 4) return None
+      var i = 0
+      while (i < rowLen) {
+        val x = scan(y * (rowLen + 1) + 1 + i) & 0xFF
+        val left = if (i >= bpp) raw(y * rowLen + i - bpp) & 0xFF else 0
+        val up = if (y > 0) raw((y - 1) * rowLen + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * rowLen + i - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * rowLen + i) = ((x + pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // same stat layout as bmpPixelStats: [bSum,bMin,bMax, gSum,gMin,
+    // gMax, rSum,rMin,rMax, nPx] — PNG is RGB(A) byte order, so the
+    // channel offsets invert relative to BMP's BGR
+    val stats = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
+    val hist = new Array[Long](8)
+    var p = 0
+    while (p < raw.length) {
+      val r = raw(p) & 0xFF; val g = raw(p + 1) & 0xFF
+      val b = raw(p + 2) & 0xFF
+      stats(0) += b; if (b < stats(1)) stats(1) = b; if (b > stats(2)) stats(2) = b
+      stats(3) += g; if (g < stats(4)) stats(4) = g; if (g > stats(5)) stats(5) = g
+      stats(6) += r; if (r < stats(7)) stats(7) = r; if (r > stats(8)) stats(8) = r
+      hist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
+      p += bpp
+    }
+    stats(9) = w.toLong * h
+    Some((stats, hist))
+  }
+
   private val imageStatsType = StructType(Seq(
     StructField("b_sum", LongType), StructField("b_min", LongType),
     StructField("b_max", LongType), StructField("g_sum", LongType),
@@ -420,6 +620,30 @@ object Multimodal {
     StructField("s_sum", LongType), StructField("s_min", LongType),
     StructField("s_max", LongType), StructField("n_samples", LongType)))
 
+  /** Append a nullable `image_stats` struct to `df`, decoded FOR REAL
+    * from the payload column: BMP pixel rows or PNG
+    * (inflate + filter reversal) — see [[bmpPixelStats]]/
+    * [[pngPixelStats]]. Per-partition batched like [[extractFeatures]];
+    * undecodable payloads yield a null struct, never a failure. */
+  def withImageStats(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("image_stats", imageStatsType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats = Option(r.get(idx))
+          .map(_.asInstanceOf[Array[Byte]])
+          .flatMap(b => bmpPixelStats(b).orElse(pngPixelStats(b)))
+        val st = stats.map { case (s, hist) =>
+          Row(s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8), s(9),
+            hist.toSeq)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   /** Feature extraction over media batches via `mapPartitions` — the
     * genuine per-partition imperative path a real decoder would use
     * (decode state opened once per batch, not per row).
@@ -429,11 +653,13 @@ object Multimodal {
     * `image_stats` carries per-channel sum/min/max + an 8-bin integer
     * luma histogram, `audio_stats` carries sample sum/min/max/count,
     * and `features` is derived from those real statistics (normalized
-    * channel/sample means and extrema). PNG/JPEG stay header-only
-    * ([[decodePng]]/[[decodeJpeg]]) and video demuxing has no codec in
-    * this build, so payloads that are neither BMP nor WAV fall back to
-    * a ---- STUB ---- deterministic 8-dim byte projection (stats
-    * null), standing in for a real codec. */
+    * channel/sample means and extrema). PNG payloads are decoded FOR
+    * REAL too ([[pngPixelStats]]: inflate + the five filter
+    * reversals). Only JPEG stays header-only ([[decodeJpeg]]) and
+    * video demuxing has no codec in this build, so payloads that are
+    * none of BMP/PNG/WAV fall back to a ---- STUB ---- deterministic
+    * 8-dim byte projection (stats null), standing in for a real
+    * codec. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -449,7 +675,7 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        val img = bmpPixelStats(bytes)
+        val img = bmpPixelStats(bytes).orElse(pngPixelStats(bytes))
         val aud = if (img.isDefined) None else wavSampleStats(bytes)
         (img, aud) match {
           case (Some((s, hist)), _) =>

@@ -206,6 +206,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpPixelStats("not a bmp at all".getBytes).isEmpty)
   }
 
+  test("pngEncode is a REAL PNG: the JDK's OWN decoder reads back identical pixels") {
+    // height 7 > 5 forces every filter type (row % 5 cycles
+    // None/Sub/Up/Average/Paeth) through ImageIO — an independent PNG
+    // implementation; a single wrong filter byte or DEFLATE framing
+    // error fails this
+    for ((id, w, h) <- Seq((7L, 13, 7), (8L, 32, 24), (9L, 1, 1))) {
+      val content = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bytes = Multimodal.pngEncode(w, h, content)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO could not decode the generated PNG")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * 3
+        def c(k: Int) = content((base + k) % content.length) & 0xFF
+        val want = (0xFF << 24) | (c(0) << 16) | (c(1) << 8) | c(2)
+        assert(img.getRGB(x, y) == want, s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  test("pngPixelStats round-trips pngEncode (RGB + RGBA) byte-exactly") {
+    for (channels <- Seq(3, 4)) {
+      val content = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"png$channels".getBytes("UTF-8"))
+      val (w, h) = (11, 9)
+      val bytes = Multimodal.pngEncode(w, h, content, channels)
+      val Some((s, hist)) = Multimodal.pngPixelStats(bytes)
+      // expected stats straight from the tiled raw stream (alpha bytes
+      // excluded for RGBA) — DEFLATE + the five filters must cancel out
+      val raw = Array.tabulate(w * channels * h)(i => content(i % content.length) & 0xFF)
+      val px = raw.grouped(channels).toSeq
+      def chan(k: Int) = px.map(_(k).toLong)
+      val (rs, gs, bs) = (chan(0), chan(1), chan(2))
+      assert((s(0), s(1), s(2)) == (bs.sum, bs.min, bs.max), "blue stats")
+      assert((s(3), s(4), s(5)) == (gs.sum, gs.min, gs.max), "green stats")
+      assert((s(6), s(7), s(8)) == (rs.sum, rs.min, rs.max), "red stats")
+      assert(s(9) == w.toLong * h)
+      val wantHist = new Array[Long](8)
+      px.foreach { p =>
+        wantHist(math.min(7L,
+          (299L * p(0) + 587L * p(1) + 114L * p(2)) / 31875L).toInt) += 1
+      }
+      assert(hist.toSeq == wantHist.toSeq, s"luma histogram (channels=$channels)")
+    }
+  }
+
+  test("pngPixelStats: corruption, truncation and unsupported formats refuse") {
+    val content = java.security.MessageDigest.getInstance("MD5")
+      .digest("corrupt".getBytes("UTF-8"))
+    val base = Multimodal.pngEncode(6, 5, content)
+    assert(Multimodal.pngPixelStats(base).isDefined)
+    // a flipped width byte breaks the stored IHDR CRC: detected, None
+    val flipped = base.clone(); flipped(18) = 0x7F
+    assert(Multimodal.pngPixelStats(flipped).isEmpty)
+    // truncated IDAT (chunk bounds run off the payload): None
+    assert(Multimodal.pngPixelStats(base.take(base.length - 20)).isEmpty)
+    // palette color type — CRC fixed up so only the FORMAT refusal fires
+    val pal = base.clone(); pal(25) = 3
+    val c = new java.util.zip.CRC32; c.update(pal, 12, 17)
+    val fixed = java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array()
+    System.arraycopy(fixed, 0, pal, 29, 4)
+    assert(Multimodal.pngPixelStats(pal).isEmpty)
+    // header-only pngBytes (no IDAT at all): None, not a crash
+    val headerOnly = Seq((1L, 4, 3)).toDF("id", "w", "h")
+      .select(Multimodal.pngBytes($"w", $"h").as("bytes"))
+      .head().getAs[Array[Byte]]("bytes")
+    assert(Multimodal.pngPixelStats(headerOnly).isEmpty)
+    assert(Multimodal.pngPixelStats("not a png".getBytes).isEmpty)
+  }
+
   test("wavSampleStats agrees with an independent LE-short decode") {
     val bytes = Seq((11L, 8000, 37, 2)).toDF("id", "rate", "n", "ch")
       .select(Multimodal.wavBytes($"rate", $"n", $"ch",
