@@ -327,50 +327,76 @@ object MaterializedAgg {
                                   factImages: Option[DataFrame],
                                   factTo: Long, dimFrom: Seq[Long],
                                   dimTo: Seq[Long]): Unit = {
+    val images = expansionImages(fact, dims, view, factImages, factTo,
+      dimFrom, dimTo).getOrElse(return)
+    commitMerged(view, keys, sums.map(_._1),
+      foldAdditive(images, keys, sums), factTo, additive = true,
+      extraProps = dims.indices
+        .map(i => dimVersionProp(i) -> dimTo(i).toString).toMap)
+  }
+
+  /** Join `left` through the whole dim chain with the delta at
+    * overall position `deltaPos` (0 = the fact itself): dims BEFORE
+    * the delta read at their new version, dims AFTER it at their
+    * pinned old version, the delta table contributes `delta` (signed
+    * images) instead of a full read. `deltaPos = dims.size + 1` with
+    * `delta = null` therefore reads the WHOLE chain at its new
+    * versions — the current join frame. */
+  private def chainJoin(view: SnapshotTable, dims: Seq[DimSpec],
+                        dimFrom: Seq[Long], dimTo: Seq[Long],
+                        left: DataFrame, deltaPos: Int,
+                        delta: DataFrame): DataFrame =
+    dims.zipWithIndex.foldLeft(left) { case (acc, (d, j)) =>
+      val pos = j + 1
+      val dim =
+        if (pos == deltaPos) delta
+        else {
+          // pinned reads on both sides of the delta position:
+          // a commit landing mid-plan must not shift the versions
+          // the expansion is exact against
+          val v = if (pos < deltaPos) dimTo(j) else dimFrom(j)
+          val full = d.table.readVersion(v)
+          // size the broadcast decision from the manifest of the
+          // SAME version the join reads — the head manifest can be
+          // arbitrarily smaller than a pinned old snapshot (a big
+          // delete since the pin), and head-based sizing would then
+          // broadcast the large old read
+          val lens = d.table.retainedEntriesAt(v, "join-view dim")
+            .map(_.len)
+          val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
+          val small = bytes <= broadcastThresholdBytes(view.session)
+          logDecision(s"dim.${d.factKey}", bytes, small)
+          if (small) broadcast(full) else full
+        }
+      // rename the dim-side key to a per-position unique name and
+      // drop it BY NAME after the equi-join: a delta term re-uses
+      // the delta frame on both sides of the fact prune, and a
+      // Column-based drop silently no-ops when self-join
+      // deduplication rewrites the right side's attribute ids
+      val keyAlias = s"__mv_dimkey_$j"
+      val dimR = dim.withColumnRenamed(d.dimKey, keyAlias)
+      acc.join(dimR, acc(d.factKey) === col(keyAlias), "inner")
+        .drop(keyAlias)
+    }
+
+  /** The exact multilinear delta expansion of the join frame over the
+    * span: one term per changed table, all unioned — the signed
+    * multiset delta ΔJ of `fact ⋈ dims`. None when neither the fact
+    * nor any dim changed. Shared by the additive fold (which sums the
+    * signed rows) and the recompute path (which only reads the DIRTY
+    * group keys off it: a group with no row in ΔJ has a literally
+    * unchanged joined multiset, so ANY aggregate over it is
+    * unchanged). */
+  private def expansionImages(fact: SnapshotTable, dims: Seq[DimSpec],
+                              view: SnapshotTable,
+                              factImages: Option[DataFrame],
+                              factTo: Long, dimFrom: Seq[Long],
+                              dimTo: Seq[Long]): Option[DataFrame] = {
     val changedDims = dims.indices.filter(i => dimFrom(i) < dimTo(i))
-
-    /** Join `left` through the whole dim chain with the delta at
-      * overall position `deltaPos` (0 = the fact itself): dims BEFORE
-      * the delta read at their new version, dims AFTER it at their
-      * pinned old version, the delta table contributes `delta`
-      * (signed images) instead of a full read. */
-    def term(left: DataFrame, deltaPos: Int, delta: DataFrame): DataFrame =
-      dims.zipWithIndex.foldLeft(left) { case (acc, (d, j)) =>
-        val pos = j + 1
-        val dim =
-          if (pos == deltaPos) delta
-          else {
-            // pinned reads on both sides of the delta position:
-            // a commit landing mid-plan must not shift the versions
-            // the expansion is exact against
-            val v = if (pos < deltaPos) dimTo(j) else dimFrom(j)
-            val full = d.table.readVersion(v)
-            // size the broadcast decision from the manifest of the
-            // SAME version the join reads — the head manifest can be
-            // arbitrarily smaller than a pinned old snapshot (a big
-            // delete since the pin), and head-based sizing would then
-            // broadcast the large old read
-            val lens = d.table.retainedEntriesAt(v, "join-view dim")
-              .map(_.len)
-            val bytes = if (lens.contains(-1L)) Long.MaxValue else lens.sum
-            val small = bytes <= broadcastThresholdBytes(view.session)
-            logDecision(s"dim.${d.factKey}", bytes, small)
-            if (small) broadcast(full) else full
-          }
-        // rename the dim-side key to a per-position unique name and
-        // drop it BY NAME after the equi-join: a delta term re-uses
-        // the delta frame on both sides of the fact prune, and a
-        // Column-based drop silently no-ops when self-join
-        // deduplication rewrites the right side's attribute ids
-        val keyAlias = s"__mv_dimkey_$j"
-        val dimR = dim.withColumnRenamed(d.dimKey, keyAlias)
-        acc.join(dimR, acc(d.factKey) === col(keyAlias), "inner")
-          .drop(keyAlias)
-      }
-
     val factCols = fact.readVersion(factTo).columns.toSet
     val terms = Seq.newBuilder[DataFrame]
-    factImages.foreach(images => terms += term(images, 0, null))
+    factImages.foreach(images =>
+      terms += chainJoin(view, dims, dimFrom, dimTo, images, 0, null))
     changedDims.foreach { k =>
       val d = dims(k)
       val delta = d.table.changesDelta(dimFrom(k), dimTo(k))
@@ -384,15 +410,57 @@ object MaterializedAgg {
             delta.select(col(d.dimKey).as("__mv_changed_key")).distinct(),
             col(d.factKey) === col("__mv_changed_key"), "left_semi")
         else fact.readVersion(factTo)
-      terms += term(base, k + 1, delta)
+      terms += chainJoin(view, dims, dimFrom, dimTo, base, k + 1, delta)
     }
     val ts = terms.result()
-    if (ts.isEmpty) return
-    val images = ts.reduce(_ unionByName _)
-    commitMerged(view, keys, sums.map(_._1),
-      foldAdditive(images, keys, sums), factTo, additive = true,
-      extraProps = dims.indices
-        .map(i => dimVersionProp(i) -> dimTo(i).toString).toMap)
+    if (ts.isEmpty) None else Some(ts.reduce(_ unionByName _))
+  }
+
+  /** Incremental refresh of a star-join view with ARBITRARY aggregates
+    * (min/max/count_distinct/… over fact AND dim columns — e.g. max
+    * order price by nation): the non-additive composition of
+    * [[refreshAdditiveJoin]] and [[refreshRecompute]]. The expansion
+    * terms identify the DIRTY group keys — groups touched by fact
+    * deltas at pinned old dims, plus old AND new groups of facts
+    * referencing changed dim keys (an SCD move dirties both sides) —
+    * and exactly those groups recompute from the CURRENT join frame
+    * (fact and every dim at their new versions), scoped by the usual
+    * null-safe semi-join. When the group keys are dim attributes,
+    * Catalyst's PushDownLeftSemiAntiJoin rewrites the scope onto the
+    * dim side of the inner join and dynamic partition/stats pruning
+    * narrows the fact scan to rows joining dirty dim keys — the fact
+    * table is never aggregated in full after creation. Watermark and
+    * dim pins land atomically with the merged groups, exactly as in
+    * the additive path. */
+  def refreshRecomputeJoin(fact: SnapshotTable, dims: Seq[DimSpec],
+                           view: SnapshotTable, keys: Seq[String],
+                           aggs: Seq[(String, Column)]): Unit = {
+    require(keys.nonEmpty, "refreshRecomputeJoin needs at least one group key")
+    require(dims.nonEmpty, "refreshRecomputeJoin needs at least one " +
+      "dimension — use refreshRecompute for single-table views")
+    val factTo = fact.currentVersion.getOrElse(
+      throw new IllegalStateException(
+        s"fact table ${fact.path} has no committed snapshot"))
+    val factFrom = absorbedVersion(view)
+    if (factFrom > factTo) throw new IllegalStateException(
+      s"view watermark v$factFrom is ahead of fact head v$factTo — the " +
+        "fact was restored or recreated; drop and rebuild the view")
+    val (dimFrom, dimTo) = dimSpanOf(view, dims)
+    if (factFrom == factTo && dimFrom == dimTo) return
+    val factImages =
+      if (factFrom < factTo) Some(fact.changesDelta(factFrom, factTo))
+      else None
+    val dimPins = dims.indices
+      .map(i => dimVersionProp(i) -> dimTo(i).toString).toMap
+    expansionImages(fact, dims, view, factImages, factTo, dimFrom,
+        dimTo) match {
+      case None => advanceWatermark(view, factTo, dimPins)
+      case Some(images) =>
+        val dirty = images.select(keys.map(col): _*).distinct()
+        val current = chainJoin(view, dims, dimFrom, dimTo,
+          fact.readVersion(factTo), dims.size + 1, null)
+        recomputeDirty(view, current, dirty, keys, aggs, factTo, dimPins)
+    }
   }
 
   /** Incremental refresh for ARBITRARY aggregates: `aggs` are complete
@@ -423,7 +491,9 @@ object MaterializedAgg {
                                     source: DataFrame, dirty0: DataFrame,
                                     keys: Seq[String],
                                     aggs: Seq[(String, Column)],
-                                    toV: Long): Unit = {
+                                    toV: Long,
+                                    extraProps: Map[String, String] =
+                                      Map.empty): Unit = {
     // the dirty set is consumed three times (emptiness probe, the
     // semi-join, the delete-detection join) and is O(changed groups)
     // small — cache it so the feed/net-fold plan runs once
@@ -438,16 +508,24 @@ object MaterializedAgg {
         // rewrite-only churn: NO group changed — the watermark still
         // must advance past the span, but as pure metadata, without a
         // source scan to discover the emptiness downstream
-        advanceWatermark(view, toV)
+        advanceWatermark(view, toV, extraProps)
         return
       }
       // null-safe equality: a NULL group key is a real group and must
-      // stay refreshable (a plain join would silently drop it forever)
-      val cond = keys.map(k => source(k) <=> dirty(k)).reduce(_ && _)
+      // stay refreshable (a plain join would silently drop it forever).
+      // The dirty side's columns are RENAMED to unique names and the
+      // condition references them by name: for the join-view path the
+      // dirty keys and `source` share base relations (both read the
+      // fact at its head), and Column-based references across a
+      // self-join lineage mis-resolve once DeduplicateRelations
+      // rewrites the right side's attribute ids
+      val dirtyR = dirty.toDF(keys.map(k => s"__mv_dirty_$k"): _*)
+      val cond = keys.map(k => source(k) <=> col(s"__mv_dirty_$k"))
+        .reduce(_ && _)
       val aggCols = aggs.map { case (n, e) => e.as(n) } :+
         count(lit(1L)).as(CountCol)
       val fresh = source
-        .join(hintSmall("recompute.semi", dirty, nDirty), cond, "left_semi")
+        .join(hintSmall("recompute.semi", dirtyR, nDirty), cond, "left_semi")
         .groupBy(keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .withColumn(KeyCol, keyExpr(keys))
@@ -468,7 +546,7 @@ object MaterializedAgg {
         // deleted groups surface with NULL key/measure columns (KeyCol,
         // the preserved left side, is never null); the delete path only
         // needs KeyCol, and conformToSchema casts the nulls
-        out, toV, additive = false)
+        out, toV, additive = false, extraProps = extraProps)
     } finally dirty.unpersist()
   }
 
@@ -555,6 +633,19 @@ object MaterializedAgg {
     persistDefinitionIfUncommitted(view, props)
   }
 
+  /** [[refreshRecomputeJoin]]'s definition form: star-join views with
+    * arbitrary (non-additive) aggregates, refreshable from the logged
+    * definition alone — mode `recomputeJoin` in the matrix. */
+  def defineRecomputeJoin(fact: SnapshotTable, dims: Seq[DimSpec],
+                          view: SnapshotTable, keys: Seq[String],
+                          aggs: Seq[(String, String)]): Unit = {
+    val props = defProps(fact, "recomputeJoin", keys, aggs) ++ dimDefProps(dims)
+    view.stageProperties(props)
+    refreshRecomputeJoin(fact, dims, view, keys,
+      aggs.map { case (n, s) => (n, expr(s)) })
+    persistDefinitionIfUncommitted(view, props)
+  }
+
   /** Decode a join view's logged dims ([[dimDefProps]]). */
   private[graft] def dimsOf(view: SnapshotTable): Seq[DimSpec] = {
     val props = view.properties
@@ -612,7 +703,8 @@ object MaterializedAgg {
     if (measures.isEmpty) throw new IllegalStateException(
       s"view at ${view.path} logs no $MeasurePrefix* measures")
     val mode = need(ModeProp)
-    if (mode != "additive" && mode != "recompute" && mode != "additiveJoin")
+    if (!Set("additive", "recompute", "additiveJoin", "recomputeJoin")
+        .contains(mode))
       throw new IllegalStateException(
         s"unknown materialized-view mode '$mode' at ${view.path}")
     (src, mode, keys, measures)
@@ -630,6 +722,8 @@ object MaterializedAgg {
       case "recompute" => refreshRecompute(src, view, keys, measures)
       case "additiveJoin" =>
         refreshAdditiveJoin(src, dimsOf(view), view, keys, measures)
+      case "recomputeJoin" =>
+        refreshRecomputeJoin(src, dimsOf(view), view, keys, measures)
     }
   }
 
