@@ -823,6 +823,62 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** NON-ADDITIVE star-join materialized view
+    * ([[plans.MaterializedAgg.refreshRecomputeJoin]]): min/max order
+    * price by nation — aggregates that cannot fold under deletes,
+    * over a join whose groups move when a DIM changes. The expansion
+    * terms contribute only the DIRTY nation keys; exactly those
+    * groups recompute from the current fact ⋈ dims frame. Fixture
+    * hits the three invariants no additive fold recovers: (a) the
+    * top-price fact rows are DELETED, so every group's max must
+    * recompute DOWN; (b) an SCD nation move dirties both the old and
+    * the new group; (c) a dim-KEY delete orphans its facts and the
+    * emptied group leaves the view. Defined once
+    * ([[plans.MaterializedAgg.defineRecomputeJoin]]) and refreshed
+    * from the logged definition alone — the same dispatch `CALL
+    * graft.system.refresh_mv` drives. */
+  def mvJoinMinmax(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val base = scratch("mvjoinminmax", dir)
+    freshDirs(s, base)
+    val fact = plans.SnapshotTable(s, s"$base/fact", "o_orderkey",
+      partitionCol = Some("o_orderstatus"))
+    val cust = plans.SnapshotTable(s, s"$base/customer", "c_custkey")
+    val nat = plans.SnapshotTable(s, s"$base/nation", "n_nationkey")
+    cust.create(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
+    nat.create(t(s, dir, "nation").select("n_nationkey", "n_name"))
+    val view = plans.SnapshotTable(s, s"$base/view",
+      plans.MaterializedAgg.KeyCol,
+      statsCols = Seq(plans.MaterializedAgg.KeyCol),
+      clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 4)
+    val dims = Seq(
+      plans.MaterializedAgg.DimSpec(cust, "o_custkey", "c_custkey"),
+      plans.MaterializedAgg.DimSpec(nat, "c_nationkey", "n_nationkey"))
+    fact.create(orders.filter(col("o_orderkey") % 4 =!= 3))
+    plans.MaterializedAgg.defineRecomputeJoin(fact, dims, view,
+      Seq("n_name"),
+      Seq("lo_cents" -> "min(CAST(round(o_totalprice * 100) AS BIGINT))",
+        "hi_cents" -> "max(CAST(round(o_totalprice * 100) AS BIGINT))"))
+    // fact churn: price bump + inserts, then delete the TOP-PRICE
+    // rows (~20% of the table) — every group's max recomputes down
+    fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+    fact.delete(col("o_totalprice") >= 400000.0d)
+    plans.MaterializedAgg.refreshByDefinition(view)
+    // SCD move: 1-in-10 customers change nation — both sides dirty
+    cust.upsert(t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        pmod(col("c_nationkey") + 1, lit(25)).as("c_nationkey")))
+    plans.MaterializedAgg.refreshByDefinition(view)
+    // dim-key delete: nation 7 vanishes; its group empties out
+    nat.delete(col("n_nationkey") === 7)
+    plans.MaterializedAgg.refreshByDefinition(view)
+    view.read.select(col("n_name"), col("lo_cents"), col("hi_cents"),
+      col(plans.MaterializedAgg.CountCol).as("order_cnt"))
+      .orderBy("n_name")
+  }
+
   /** METADATA-ONLY aggregates ([[sources.MetadataOnlyCount]]): the
     * optimizer collapses bare COUNT(*)/MIN/MAX over snapshot tables
     * to LocalRelations from manifest metadata — per-file row counts
@@ -3107,6 +3163,7 @@ object Queries {
     "mv_sql_refresh" -> (mvSqlRefresh _),
     "mv_minmax" -> (mvMinmax _),
     "mv_join" -> (mvJoin _),
+    "mv_join_minmax" -> (mvJoinMinmax _),
     "mv_join_sql" -> (mvJoinSql _),
     "metadata_count" -> (metadataCount _),
     "mor_delete" -> (morDelete _),
@@ -3557,6 +3614,35 @@ object Queries {
         |FROM final
         |JOIN cust ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // non-additive star view: DuckDB recomputes the FINAL join frame
+    // (post-bump prices minus the top-price delete, customers after
+    // the SCD move, nations minus the deleted key) from scratch
+    "mv_join_minmax" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN round(o_totalprice + 1.0, 2)
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 3 = 0)
+        |), cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0
+        |              THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer
+        |)
+        |SELECT n_name,
+        |       CAST(min(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS lo_cents,
+        |       CAST(max(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS hi_cents,
+        |       COUNT(*) AS order_cnt
+        |FROM fact
+        |JOIN cust ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE price < 400000.0 AND n_nationkey <> 7
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "mv_minmax" ->
       """SELECT o_orderpriority,

@@ -450,17 +450,70 @@ object MaterializedAgg {
     val factImages =
       if (factFrom < factTo) Some(fact.changesDelta(factFrom, factTo))
       else None
+    recomputeJoinSpan(fact, dims, view, keys, aggs, factImages, factTo,
+      dimFrom, dimTo)
+  }
+
+  /** Shared span core of [[refreshRecomputeJoin]] and the streaming
+    * maintainer — the non-additive sibling of [[foldJoinSpan]]: dirty
+    * group keys off the expansion's NET (rewrite pairs cancel, so a
+    * fact compaction recomputes nothing), recompute exactly those
+    * groups from the chain at its new versions, one commit stamping
+    * watermark and dim pins. */
+  private[graft] def recomputeJoinSpan(fact: SnapshotTable,
+                                       dims: Seq[DimSpec],
+                                       view: SnapshotTable,
+                                       keys: Seq[String],
+                                       aggs: Seq[(String, Column)],
+                                       factImages: Option[DataFrame],
+                                       factTo: Long, dimFrom: Seq[Long],
+                                       dimTo: Seq[Long]): Unit = {
     val dimPins = dims.indices
       .map(i => dimVersionProp(i) -> dimTo(i).toString).toMap
     expansionImages(fact, dims, view, factImages, factTo, dimFrom,
         dimTo) match {
       case None => advanceWatermark(view, factTo, dimPins)
       case Some(images) =>
-        val dirty = images.select(keys.map(col): _*).distinct()
+        val dirty = netDirtyKeys(images, keys)
         val current = chainJoin(view, dims, dimFrom, dimTo,
           fact.readVersion(factTo), dims.size + 1, null)
         recomputeDirty(view, current, dirty, keys, aggs, factTo, dimPins)
     }
+  }
+
+  /** DISTINCT group keys of the rows whose signed images do not
+    * cancel — the recompute paths' dirty set. A rewrite (compaction,
+    * clustering, a carried-file re-delivery) emits one `before` plus
+    * one identical `after` per row; grouping by the full data row
+    * with a signed count cancels those pairs, so rewrite-only churn
+    * dirties NOTHING — without this, a fact compaction would recompute
+    * every rewritten group for zero change. MapType anywhere in a
+    * column's type tree makes the row ungroupable; such feeds fall
+    * back to raw distinct keys (correct, just rewrite-churn-
+    * sensitive). */
+  private[graft] def netDirtyKeys(images: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    val img = col(SnapshotTable.ImageCol)
+    val sign = when(img === "before", lit(-1L)).otherwise(lit(1L))
+    val dataCols = images.columns.toSeq
+      .filterNot(_ == SnapshotTable.ImageCol)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val groupable = !images.schema.fields.exists(f =>
+      dataCols.contains(f.name) && hasMap(f.dataType))
+    if (!groupable) images.select(keys.map(col): _*).distinct()
+    // "__mv_net" sits in the module's reserved __mv_* namespace, so
+    // it cannot collide with a source data column
+    else images.groupBy(dataCols.map(col): _*)
+      .agg(sum(sign).as("__mv_net"))
+      .filter(col("__mv_net") =!= 0L)
+      .select(keys.map(col): _*).distinct()
   }
 
   /** Incremental refresh for ARBITRARY aggregates: `aggs` are complete

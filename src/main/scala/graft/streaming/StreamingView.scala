@@ -60,27 +60,34 @@ object StreamingView {
   def maintainByDefinition(view: SnapshotTable,
                            checkpointDir: String): Unit = {
     val (src, mode, keys, measures) = MaterializedAgg.definitionOf(view)
-    if (mode == "additiveJoin") {
+    if (mode == "additiveJoin" || mode == "recomputeJoin") {
       // join views stream on the FACT's change feed; each micro-batch
-      // folds its fact images against the pinned dim versions AND any
-      // dim span that opened since the last batch — the same shared
-      // expansion core as the batch refresh, with the batch's
-      // high-water version as "the current fact" for dim terms, so
-      // group values, watermark, and dim pins always describe one
-      // consistent version vector
+      // folds (additive) or dirty-key-recomputes (non-additive) its
+      // fact images against the pinned dim versions AND any dim span
+      // that opened since the last batch — the same shared span cores
+      // as the batch refresh, with the batch's high-water version as
+      // "the current fact" for dim terms, so group values, watermark,
+      // and dim pins always describe one consistent version vector
       val dims = MaterializedAgg.dimsOf(view)
       maintainLoop(view.session, src.path, view, checkpointDir) {
         (fresh, toV) =>
           val (dimFrom, dimTo) = MaterializedAgg.dimSpanOf(view, dims)
-          MaterializedAgg.foldJoinSpan(src, dims, view, keys, measures,
-            Some(fresh.drop(SnapshotTable.CommitVersionCol)), toV,
-            dimFrom, dimTo)
+          val images = Some(fresh.drop(SnapshotTable.CommitVersionCol))
+          if (mode == "additiveJoin")
+            MaterializedAgg.foldJoinSpan(src, dims, view, keys, measures,
+              images, toV, dimFrom, dimTo)
+          else
+            MaterializedAgg.recomputeJoinSpan(src, dims, view, keys,
+              measures, images, toV, dimFrom, dimTo)
       }
       // dim-ONLY residue: the fact stream is silent when only a dim
       // changed, so AvailableNow semantics ("current with everything
       // committed at call time") need one batch catch-up — a no-op
       // when the loop above already absorbed every span
-      MaterializedAgg.refreshAdditiveJoin(src, dims, view, keys, measures)
+      if (mode == "additiveJoin")
+        MaterializedAgg.refreshAdditiveJoin(src, dims, view, keys, measures)
+      else
+        MaterializedAgg.refreshRecomputeJoin(src, dims, view, keys, measures)
       return
     }
     if (mode == "additive")
@@ -89,39 +96,14 @@ object StreamingView {
         checkpointDir)
     else maintainLoop(view.session, src.path, view, checkpointDir) {
       (fresh, toV) =>
-        // dirty keys come from the NET of the batch's raw pair
-        // algebra, not its raw rows: a rewrite (compaction,
-        // clustering) re-delivers unchanged rows as canceling
-        // before+after pairs, and recomputing every rewritten group
-        // would cost O(compacted data) in the view for zero change.
-        // Group by the full row with a signed count — pairs cancel,
-        // real changes survive on both their old and new group keys.
-        // MapType ANYWHERE in a column's type tree (top-level, inside
-        // a struct, inside an array) makes it ungroupable; such feeds
-        // fall back to raw distinct keys (correct, just
-        // rewrite-churn-sensitive).
-        val img = col(SnapshotTable.ImageCol)
-        val sign = when(img === "before", lit(-1L)).otherwise(lit(1L))
-        val dataCols = fresh.columns.toSeq.filterNot(c =>
-          c == SnapshotTable.ImageCol || c == SnapshotTable.CommitVersionCol)
-        import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
-          StructType}
-        def hasMap(dt: DataType): Boolean = dt match {
-          case _: MapType => true
-          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-          case a: ArrayType => hasMap(a.elementType)
-          case _ => false
-        }
-        val groupable = !fresh.schema.fields.exists(f =>
-          dataCols.contains(f.name) && hasMap(f.dataType))
-        val dirty =
-          if (!groupable) fresh.select(keys.map(col): _*).distinct()
-          // "__mv_net" sits in the module's reserved __mv_* namespace,
-          // so it cannot collide with a source data column
-          else fresh.groupBy(dataCols.map(col): _*)
-            .agg(sum(sign).as("__mv_net"))
-            .filter(col("__mv_net") =!= 0L)
-            .select(keys.map(col): _*).distinct()
+        // dirty keys come from the NET of the batch's raw pair algebra
+        // (MaterializedAgg.netDirtyKeys), not its raw rows: a rewrite
+        // (compaction, clustering) re-delivers unchanged rows as
+        // canceling before+after pairs, and recomputing every
+        // rewritten group would cost O(compacted data) in the view
+        // for zero change
+        val dirty = MaterializedAgg.netDirtyKeys(
+          fresh.drop(SnapshotTable.CommitVersionCol), keys)
         MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
           dirty, keys, measures, toV)
     }

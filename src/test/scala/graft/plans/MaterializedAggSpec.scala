@@ -318,6 +318,133 @@ class MaterializedAggSpec extends SparkSpec {
     assert(starState(view) == recompute())
   }
 
+  test("recompute join: non-additive star aggregates under fact deletes, " +
+      "SCD moves, and dim-key deletes") {
+    val base = tmp("mvrjoin")
+    val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
+    dim.create(Seq((1, "x"), (2, "y"), (3, "z")).toDF("fk", "name"))
+    val dims = Seq(MaterializedAgg.DimSpec(dim, "fk", "fk"))
+    val aggs = Seq("lo" -> min(col("amount")), "hi" -> max(col("amount")))
+    def recompute(): Map[String, (Int, Int, Long)] =
+      fact.read.join(dim.read, "fk").groupBy("name")
+        .agg(min("amount").as("lo"), max("amount").as("hi"),
+          count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[String]("name") ->
+          ((r.getAs[Int]("lo"), r.getAs[Int]("hi"), r.getAs[Long]("c"))))
+        .toMap
+    def st(): Map[String, (Int, Int, Long)] =
+      view.read.collect().map(r => r.getAs[String]("name") ->
+        ((r.getAs[Int]("lo"), r.getAs[Int]("hi"),
+          r.getAs[Long](MaterializedAgg.CountCol)))).toMap
+    fact.create(factRows((1, 10, 1), (2, 20, 1), (3, 5, 2), (4, 7, 3)))
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(view.properties(MaterializedAgg.dimVersionProp(0)) == "1",
+      "dim version must be pinned on the view")
+    // delete the MAX of group x — the invariant no additive fold can
+    // recover: the group must recompute down to its surviving rows
+    fact.delete(col("id") === 2)
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(st()("x") == ((10, 10, 1L)),
+      s"deleted max must lower the group's hi: ${st()}")
+    // SCD move: fk=1 facts move x -> x2. BOTH sides must dirty — the
+    // OLD group (x) empties out of the view, the NEW group (x2)
+    // appears with the moved facts' extremes
+    dim.upsert(Seq((1, "x2")).toDF("fk", "name"))
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(!st().contains("x") && st().contains("x2"),
+      s"SCD move must dirty old AND new groups: ${st()}")
+    // dim-KEY delete: fk=2 facts orphan out of the inner join — the
+    // group recomputes to zero rows and leaves the view
+    dim.delete(col("fk") === 2)
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(!st().contains("y"),
+      s"deleted dim key must empty its group: ${st()}")
+    // fact delete emptying a whole group: every fk=3 row goes — the
+    // dirty key's recompute finds no rows and deletes the group
+    fact.delete(col("fk") === 3)
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(!st().contains("z"),
+      s"group-emptying fact delete must leave the view: ${st()}")
+    // fact AND dim churn in ONE catch-up span: both expansion terms
+    // contribute dirty keys, one commit
+    fact.upsert(factRows((5, 50, 1), (6, 2, 1)))
+    dim.upsert(Seq((1, "x3")).toDF("fk", "name"))
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == recompute())
+    assert(st()("x3") == ((2, 50, 3L)), st().toString)
+    // no-op refresh: neither version nor watermark moves
+    val vBefore = view.currentVersion
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(view.currentVersion == vBefore, "no-op refresh must not commit")
+    // compaction-only fact churn NETS to zero dirty keys: the
+    // watermark advances as metadata, no group recomputes
+    val stBefore = st()
+    val filesBefore = view.candidateFiles().map(_.path).toSet
+    fact.compact(minFiles = 2)
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == stBefore)
+    assert(view.candidateFiles().map(_.path).toSet == filesBefore,
+      "rewrite-only fact churn must not rewrite any view file")
+    assert(view.properties(MaterializedAgg.SourceVersionProp) ==
+      fact.currentVersion.get.toString)
+  }
+
+  test("defined recompute-join views refresh by definition and " +
+      "stream-maintain") {
+    val base = tmp("mvrjdef")
+    val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
+    dim.create(Seq((1, "x"), (2, "y")).toDF("fk", "name"))
+    val dims = Seq(MaterializedAgg.DimSpec(dim, "fk", "fk"))
+    def recompute(): Map[String, (Int, Long)] =
+      fact.read.join(dim.read, "fk").groupBy("name")
+        .agg(max("amount").as("hi"), count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[String]("name") ->
+          ((r.getAs[Int]("hi"), r.getAs[Long]("c")))).toMap
+    def st(): Map[String, (Int, Long)] =
+      view.read.collect().map(r => r.getAs[String]("name") ->
+        ((r.getAs[Int]("hi"),
+          r.getAs[Long](MaterializedAgg.CountCol)))).toMap
+    fact.create(factRows((1, 10, 1), (2, 20, 1), (3, 5, 2)))
+    MaterializedAgg.defineRecomputeJoin(fact, dims, view, Seq("name"),
+      Seq("hi" -> "max(amount)"))
+    assert(st() == recompute())
+    // refresh through a handle that knows NOTHING but the view path:
+    // mode recomputeJoin dispatches off the logged definition
+    fact.delete(col("id") === 2) // x's max vanishes
+    dim.upsert(Seq((2, "y2")).toDF("fk", "name")) // SCD move
+    MaterializedAgg.refreshByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol))
+    assert(st() == recompute())
+    assert(st()("x") == ((10, 1L)) && st().contains("y2") &&
+      !st().contains("y"), st().toString)
+    // STREAMING maintenance, same handle-only contract: the fact feed
+    // drives dirty-key recompute, a dim-only residue catches up after
+    fact.upsert(factRows((4, 99, 2), (5, 1, 1)))
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(st() == recompute())
+    assert(st()("y2") == ((99, 2L)), st().toString)
+    // dim-ONLY span (fact stream silent): the catch-up covers it
+    dim.upsert(Seq((1, "x2")).toDF("fk", "name"))
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(st() == recompute())
+    assert(st().contains("x2") && !st().contains("x"), st().toString)
+    // replay safety: a maintain with nothing new commits nothing
+    val v0 = view.currentVersion
+    graft.streaming.StreamingView.maintainByDefinition(
+      SnapshotTable(spark, s"$base/view", MaterializedAgg.KeyCol),
+      s"$base/ckpt")
+    assert(view.currentVersion == v0, "no-op maintain must not commit")
+  }
+
   test("defined join views refresh by definition and stream-maintain") {
     val base = tmp("mvjoindef")
     val fact = mkFact(base); val dim = mkDim(base); val view = mkView(base)
