@@ -85,8 +85,12 @@ object Bench {
         Map.empty
       }
     def coldRerunEligible(name: String): Boolean =
-      priorBest.get(name) match {
-        case Some(b) => b >= 0 && b < rerunCutoffSec
+      // a prior value < 0 is a recorded FAILURE, not a measurement —
+      // treat it as absent, or a query that failed last round and runs
+      // cold this round would be denied the re-run the name heuristic
+      // grants and commit its inflated first-run time
+      priorBest.get(name).filter(_ >= 0) match {
+        case Some(b) => b < rerunCutoffSec
         case None    => name.startsWith("mv_") || name.endsWith("_sql")
       }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -147,11 +151,15 @@ object Bench {
     // default locale, and a comma-decimal locale would render 3,14 —
     // invalid JSON in the committed artifact
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val phased = Seq(
+      "pipeline_e2e" -> Queries.lastPipelinePhases,
+      "mor_delete" -> Queries.lastMorPhases).filter(_._2.nonEmpty)
     val phases =
-      if (Queries.lastPipelinePhases.isEmpty) ""
-      else Queries.lastPipelinePhases
-        .map { case (k, v) => s"${jstr(k)}:${f2(v)}" }
-        .mkString(""","phases":{"pipeline_e2e":{""", ",", "}}")
+      if (phased.isEmpty) ""
+      else phased.map { case (q, ps) =>
+        ps.map { case (k, v) => s"${jstr(k)}:${f2(v)}" }
+          .mkString(s"${jstr(q)}:{", ",", "}")
+      }.mkString(""","phases":{""", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
     // Full JSON first: if a capture window keeps the HEAD of the output
     // this line is complete there.

@@ -26,6 +26,12 @@ object Queries {
     * run on one thread, but pipeline waves write from futures. */
   @volatile var lastPipelinePhases: Seq[(String, Double)] = Nil
 
+  /** Phase wall-times of the most recent [[morDelete]] run — the bench
+    * entry with an unattributed 3× round-over-round swing (r11): the
+    * artifact records create / delete / checks so any future swing
+    * names its phase instead of leaving a bare number. */
+  @volatile var lastMorPhases: Seq[(String, Double)] = Nil
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -939,6 +945,14 @@ object Queries {
     * vectors transparently. The oracle is the plain complement SELECT;
     * the requires additionally pin the time-travel and CDC surfaces. */
   def morDelete(s: SparkSession, dir: String): DataFrame = {
+    lastMorPhases = Nil // a throwing run must not report stale phases
+    var t0 = System.nanoTime()
+    def phase(name: String): (String, Double) = {
+      val now = System.nanoTime()
+      val out = name -> (now - t0) / 1e9
+      t0 = now
+      out
+    }
     val base = scratch("mordel", dir)
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -947,6 +961,7 @@ object Queries {
       partitionCol = Some("o_orderstatus"))
     table.create(t(s, dir, "orders"))
     val total = table.read.count()
+    val createPhase = phase("create")
     def files(): Set[(String, Long)] = {
       def walk(d: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
         fs.listStatus(d).toSeq.flatMap { st =>
@@ -957,6 +972,7 @@ object Queries {
     }
     val v1Files = files()
     table.deleteMoR(col("o_orderkey") % 1000 === 7)
+    val deletePhase = phase("delete")
     require(files() == v1Files,
       "merge-on-read delete wrote or removed data files")
     require(table.readVersion(1).count() == total,
@@ -966,6 +982,7 @@ object Queries {
       "a pure delete emitted after-images")
     require(hidden.count() == total - table.read.count(),
       "CDC before-images disagree with the hidden row count")
+    lastMorPhases = Seq(createPhase, deletePhase, phase("checks"))
     table.read.select(ordersCols.map(col): _*)
   }
 
@@ -3008,8 +3025,12 @@ object Queries {
       val md = java.security.MessageDigest.getInstance("MD5")
       ids.map { id =>
         val content = md.digest(id.toString.getBytes("UTF-8"))
+        // floorMod, not %: Scala's % is sign-sensitive and a negative
+        // doc_id would hand pngEncode a non-positive width/height
+        // (throws) instead of the pmod convention the oracle uses
         (id, Multimodal.pngEncode(
-          (id % 32 + 1).toInt, (id % 24 + 1).toInt, content))
+          (Math.floorMod(id, 32) + 1).toInt,
+          (Math.floorMod(id, 24) + 1).toInt, content))
       }
     }.toDF("media_id", "bytes")
     // flip one width byte AFTER encoding -> stored IHDR CRC no longer
@@ -3242,7 +3263,6 @@ object Queries {
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
-    "funnel_steps_window" -> (funnelSteps _),
     "funnel_steps_windowed" -> (funnelStepsWindowed _),
     "funnel_stream_parity" -> (funnelStreamParity _),
     "cohort_retention" -> (cohortRetention _),
@@ -4392,24 +4412,6 @@ object Queries {
         |SELECT 'view' AS step, count(*) AS users FROM v
         |UNION ALL SELECT 'click', count(*) FROM c
         |UNION ALL SELECT 'purchase', count(*) FROM p""".stripMargin,
-    // second, independent oracle shape for the same operator: layered
-    // window minima instead of per-step self-joins — guards the fold's
-    // strict-ordering/tie semantics against a formulation bug shared
-    // with the join oracle
-    "funnel_steps_window" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
-        |         OVER (PARTITION BY user_id) AS t1 FROM e),
-        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
-        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
-        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
-        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
-        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
-        |      FROM w3 GROUP BY user_id)
-        |SELECT 'view' AS step, count(t1) AS users FROM u
-        |UNION ALL SELECT 'click', count(t2) FROM u
-        |UNION ALL SELECT 'purchase', count(t3) FROM u""".stripMargin,
     // the streamed stateful fold must reproduce the batch funnel
     // exactly — the oracle IS the batch funnel's formulation
     "funnel_stream_parity" ->

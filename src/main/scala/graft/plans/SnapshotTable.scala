@@ -1988,6 +1988,28 @@ final class SnapshotTable(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
     val live = m.entries
+    // reject non-deterministic predicates BEFORE any pruning: the
+    // matched-row plan is evaluated twice (cap-check count, then the
+    // bitmap pass), and a rand()-based predicate could pass the cap on
+    // evaluation 1 yet match a different, larger row set on evaluation
+    // 2. Checked on an analyzed filter over an empty frame with the
+    // table schema (the unresolved Column tree reports `deterministic`
+    // from child expressions only, which would miss rand()) so the
+    // rejection is independent of whether stats/bloom pruning happens
+    // to empty the candidate set — the same call must not silently
+    // no-op on one data state and start failing on another
+    m.schema.orElse(declaredSchema).foreach { sc =>
+      val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        .filter(coalesce(predicate, lit(false)))
+      require(probe.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.deterministic
+        }.forall(identity),
+        "deleteMoR requires a deterministic predicate (it is evaluated " +
+          "once for the cap check and once for the bitmap build); " +
+          "materialize a key list and delete by key instead")
+    }
     // same auto-derived, schema-checked box as rewriteWhere: a point
     // MoR delete on a stats-covered key probes only the files that
     // can hold it
@@ -2024,20 +2046,17 @@ final class SnapshotTable(
       .select(
         substring_index(col(SnapshotTable.PosFileCol), "/", -1).as("f"),
         col(SnapshotTable.PosIdxCol).as("p"))
-    // the pairs plan is evaluated TWICE (cap-check count, then the
-    // bitmap pass) — a non-deterministic predicate (rand()-based
-    // sampling) could pass the cap on evaluation 1 yet match a
-    // different, larger row set on evaluation 2, committing DVs the
-    // cap never saw. Checked on the ANALYZED filter conditions (the
-    // unresolved Column tree reports `deterministic` from child
-    // expressions only, which would miss rand())
-    require(pairs.queryExecution.analyzed.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition.deterministic
-      }.forall(identity),
-      "deleteMoR requires a deterministic predicate (it is evaluated " +
-        "once for the cap check and once for the bitmap build); " +
-        "materialize a key list and delete by key instead")
+    // backstop for the rare manifest with NO recorded schema (the
+    // empty-frame determinism probe above could not run there): same
+    // check, on the live pairs plan
+    if (m.schema.orElse(declaredSchema).isEmpty)
+      require(pairs.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.deterministic
+        }.forall(identity),
+        "deleteMoR requires a deterministic predicate (it is evaluated " +
+          "once for the cap check and once for the bitmap build); " +
+          "materialize a key list and delete by key instead")
     // cap check FIRST, as its own one-row aggregate: an over-cap delete
     // fails before a single bitmap byte is built or shipped (the pruned
     // candidate re-scan below costs less than caching up-to-cap

@@ -1232,6 +1232,14 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("deterministic"), e.getMessage)
     assert(t.currentVersion.contains(1L),
       "rejected non-deterministic delete advanced the version")
+    // rejection must be independent of pruning: a conjunct whose
+    // stats box empties the candidate set (no id is ever 1M) must not
+    // turn the same bad predicate into a silent no-op — data drift
+    // would then flip the call from "works" to "throws"
+    val e2 = intercept[IllegalArgumentException](
+      t.deleteMoR(org.apache.spark.sql.functions.rand() < 0.5 &&
+        col("id") === 1000000))
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
     t.deleteMoR(col("id") === 1) // deterministic path still works
     assert(t.read.count() == 1)
   }
