@@ -903,7 +903,11 @@ object Queries {
     val statTbl = plans.SnapshotTable(s, s"$base/clean", "o_orderkey",
       statsCols = Seq("o_orderkey", "o_orderpriority"))
     statTbl.create(t(s, dir, "orders")
-      .select("o_orderkey", "o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        // a genuinely nullable column: count(col) must answer from the
+        // manifest's footer-exact null counts, not a scan
+        when(col("o_orderkey") % 9 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_prio_opt")))
     // install on the live session, collect, UNINSTALL: the gate/bench
     // session is shared across every registered query, and a rule left
     // behind would quietly rewrite later queries' bare counts — their
@@ -916,7 +920,8 @@ object Queries {
         .agg(min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           min(col("o_orderpriority")).as("min_prio"),
-          max(col("o_orderpriority")).as("max_prio"))
+          max(col("o_orderpriority")).as("max_prio"),
+          count(col("o_prio_opt")).as("n_prio"))
       val df = counted.crossJoin(extremes)
       val scans = df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2
@@ -3585,7 +3590,9 @@ object Queries {
         |  (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders) AS min_key,
         |  (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders) AS max_key,
         |  (SELECT min(o_orderpriority) FROM orders) AS min_prio,
-        |  (SELECT max(o_orderpriority) FROM orders) AS max_prio""".stripMargin,
+        |  (SELECT max(o_orderpriority) FROM orders) AS max_prio,
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE o_orderkey % 9 <> 0) AS BIGINT) AS n_prio""".stripMargin,
     "mv_join" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_custkey,

@@ -1197,10 +1197,29 @@ final class SnapshotTable(
     try {
       val rows = reader.getRecordCount
       val wanted = statCols.toSet
-      val chunks = reader.getFooter.getBlocks.asScala
+      val allChunks = reader.getFooter.getBlocks.asScala
         .flatMap(_.getColumns.asScala)
-        .filter(c => wanted(c.getPath.toDotString))
         .groupBy(_.getPath.toDotString)
+      val chunks = allChunks.filter { case (n, _) => wanted(n) }
+      // per-column NULL COUNTS for every TOP-LEVEL primitive column
+      // (footer-exact, same read) — what answers `count(col)` from the
+      // manifest. Top-level only: a dotted path is a nested LEAF, and
+      // its leaf null count conflates parent-null with leaf-null (a
+      // struct can be non-null with null leaves), so `count(struct)`
+      // is not derivable from it. A chunk without a recorded null
+      // count leaves the column unstated = the scan answers.
+      val nulls = allChunks.flatMap { case (name, cs) =>
+        if (name.contains('.')) None
+        else {
+          val ns = cs.map { c =>
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) None
+            else Some(st.getNumNulls)
+          }
+          if (ns.exists(_.isEmpty)) None
+          else Some(FileEntry.nullsStat(name, ns.flatten.sum))
+        }
+      }
       val stats = chunks.flatMap { case (name, cs) =>
         val vals = cs.map { c =>
           val st = c.getStatistics
@@ -1247,7 +1266,7 @@ final class SnapshotTable(
                         maxs.max(FileEntry.valueOrdering)))
         }
       }.toMap
-      (rows, stats)
+      (rows, stats ++ nulls)
     } finally reader.close()
   }
 
@@ -3237,6 +3256,20 @@ object SnapshotTable {
     if (entries.exists(_.rows < 0L)) None
     else Some(entries.iterator.map(e => e.rows - e.deletedRowCount).sum)
 
+  /** EXACT `count(col)` of a snapshot from its manifest entries —
+    * Σ(file rows − column null count) — or None when any live file
+    * predates null-count recording, lacks the column's count (nested
+    * or partition column), or carries a deletion vector: the manifest
+    * does not know how many of the HIDDEN rows were null, so unlike
+    * `COUNT(*)` a DV'd file cannot subtract its way to exactness. */
+  def metadataColumnCount(entries: Seq[FileEntry], colName: String)
+      : Option[Long] =
+    if (entries.exists(e => e.rows < 0L || e.hasDeletes)) None
+    else {
+      val per = entries.map(e => e.nullCount(colName).map(e.rows - _))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they
     * order correctly at prune time (strings URL-encoded — tabs and
@@ -3264,6 +3297,14 @@ object SnapshotTable {
       * (the count rides as the DV stat's second value); 0 when clean. */
     def deletedRowCount: Long = stats.get(FileEntry.DvKey)
       .flatMap(_._2.stripPrefix("L:").toLongOption).getOrElse(0L)
+
+    /** NULL COUNT of a top-level column from the reserved
+      * `nulls:<col>` stats entry, or None for manifests written before
+      * null counts were recorded (or nested/partition columns, which
+      * have no footer chunk of their own). */
+    def nullCount(c: String): Option[Long] =
+      stats.get(FileEntry.nullsKey(c))
+        .flatMap(_._1.stripPrefix("L:").toLongOption)
 
     /** Modification time from `file:meta`, or -1 when unrecorded. */
     def mtime: Long = meta.fold(-1L)(_._2)
@@ -3343,6 +3384,16 @@ object SnapshotTable {
     val RowsKey = "file:rows"
     def rowsStat(rows: Long): (String, (String, String)) =
       RowsKey -> (s"L:$rows", "L:0")
+
+    /** Per-column NULL COUNT (footer-exact at promote) under a
+      * reserved key prefix (the `:` makes a plain-column collision
+      * impossible, same convention as blooms) — together with
+      * [[FileEntry.rows]] this answers `count(col)` from the manifest
+      * ([[SnapshotTable.metadataColumnCount]]). */
+    private val NullsPrefix = "nulls:"
+    def nullsKey(c: String): String = NullsPrefix + c
+    def nullsStat(c: String, nulls: Long): (String, (String, String)) =
+      nullsKey(c) -> (s"L:$nulls", "L:0")
 
     /** A file's DELETION VECTOR rides the stats map under a reserved
       * key (same convention as `file:meta`/blooms — the `:` makes a

@@ -158,6 +158,14 @@ final class GraftTable(
   private[sources] def metadataRowCount: Option[Long] =
     if (cdcMode) None else SnapshotTable.metadataRowCount(entries)
 
+  /** EXACT `count(col)` (non-null count) of this handle's pinned
+    * snapshot from manifest null counts, or None when metadata cannot
+    * answer exactly — see [[SnapshotTable.metadataColumnCount]]. What
+    * [[MetadataOnlyCount]] rewrites `count(col)` with. */
+  private[sources] def metadataColumnCount(colName: String): Option[Long] =
+    if (cdcMode) None
+    else SnapshotTable.metadataColumnCount(entries, colName)
+
   /** EXACT column MIN/MAX from manifest stats, or None when metadata
     * cannot answer exactly: any deletion vector (a hidden row may be
     * the extreme), any file without stats for the column, a stats

@@ -20,10 +20,16 @@ import org.apache.spark.sql.execution.datasources.v2.{
   * is an O(manifest) driver lookup, not a cluster scan.
   *
   * Every answer is exact, never an estimate:
-  *  - COUNT: per-file footer row counts recorded at commit
+  *  - COUNT(*): per-file footer row counts recorded at commit
   *    (`file:rows`) minus merge-on-read deletion-vector cardinalities
   *    (read without decoding the bitmap) — exact under MoR deletes,
   *    time travel (the handle pins one manifest), and branches.
+  *  - COUNT(col): per-file footer NULL counts recorded at commit
+  *    (`nulls:<col>`) subtracted from the row counts — only when NO
+  *    deletion vector exists (the manifest does not know how many
+  *    HIDDEN rows were null) and only for top-level primitive columns
+  *    (nested leaves conflate parent-null with leaf-null; partition
+  *    columns have no footer chunk). Distinct counts refuse.
   *  - MIN/MAX: per-file column stats folded across the manifest —
   *    only when NO deletion vector exists (a hidden row may be the
   *    extreme) and only for loss-free stat families (plain integrals
@@ -32,9 +38,9 @@ import org.apache.spark.sql.execution.datasources.v2.{
   *    MIN/MAX; an all-null file carries no stats entry and refuses.
   *
   * The rewrite REFUSES anything it cannot answer exactly: grouped /
-  * filtered / distinct aggregates, `count(col)` (needs null counts),
-  * FILTER clauses, expressions over columns (`min(a+1)`), change-feed
-  * handles, and manifests predating row-count recording all keep
+  * filtered / distinct aggregates, FILTER clauses, expressions over
+  * columns (`min(a+1)`, `count(a+1)`), change-feed handles, and
+  * manifests predating row-count / null-count recording all keep
   * their scans. ALL aggregates in the list must be answerable or none
   * rewrite.
   *
@@ -100,6 +106,11 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
         Count(children), Complete, false, None, _), _)
         if children.forall(c => c.foldable && c.eval() != null) =>
       table.metadataRowCount
+    // count(col): rows minus the manifest's per-file null counts
+    case Alias(AggregateExpression(
+        Count(Seq(attr: AttributeReference)), Complete, false, None, _), _)
+        if leaf.outputSet.contains(attr) =>
+      table.metadataColumnCount(attr.name)
     case Alias(AggregateExpression(
         Min(attr: AttributeReference), Complete, false, None, _), _)
         if leaf.outputSet.contains(attr) =>

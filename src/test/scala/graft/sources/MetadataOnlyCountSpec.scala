@@ -115,15 +115,42 @@ class MetadataOnlyCountSpec extends SparkSpec {
     }
   }
 
+  test("count(col) answers from manifest null counts, exactly") {
+    withRule {
+      val path = Files.createTempDirectory("graft_metanull").toString + "/t"
+      val t = SnapshotTable(spark, path, "id")
+      // v null on every 3rd row, g never null, across two commits
+      def rows(r: Range) = r.map(i => (i.toLong,
+        if (i % 3 == 0) null else s"v$i", i % 7)).toDF("id", "v", "g")
+      t.create(rows(1 to 300))
+      t.append(rows(301 to 500))
+      val rel = spark.read.format("graft").load(path)
+      val df = rel.agg(count(col("v")).as("nv"), count(col("g")).as("ng"),
+        count(lit(1)).as("n"))
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      val expected = (1 to 500).count(_ % 3 != 0).toLong
+      assert(df.head() == org.apache.spark.sql.Row(expected, 500L, 500L))
+      // DVs refuse: the manifest cannot know how many HIDDEN rows
+      // were null — and the refusal takes the mixed list with it
+      t.deleteMoR(col("id") % 10 === 3)
+      val dvd = spark.read.format("graft").load(path)
+        .agg(count(col("v")).as("nv"))
+      assert(!isMetadataOnly(dvd), dvd.queryExecution.optimizedPlan.toString)
+      // the scan answer stays correct with the rule installed
+      assert(dvd.head().getLong(0) ==
+        (1 to 500).count(i => i % 3 != 0 && i % 10 != 3).toLong)
+    }
+  }
+
   test("shapes a row count cannot answer keep their scans") {
     withRule {
       val (_, path) = mkTable("metacountno")
       val rel = spark.read.format("graft").load(path)
-      // filtered, grouped, null-skipping, distinct — none may rewrite
+      // filtered, grouped, expression-typed, distinct — none may rewrite
       val kept = Seq(
         rel.filter(col("g") === 1).agg(count(lit(1))),
         rel.groupBy("g").agg(count(lit(1))),
-        rel.agg(count(col("v"))),
+        rel.agg(count(col("v") + 1)), // expression, not a bare column
         rel.agg(countDistinct(col("g"))),
         // one unanswerable aggregate keeps the WHOLE list on the scan
         rel.agg(count(lit(1)).as("n"), avg(col("id")).as("m")))
@@ -224,5 +251,20 @@ class MetadataOnlyCountSpec extends SparkSpec {
     assert(SnapshotTable.metadataRowCount(Seq(withRows)) == Some(10L))
     assert(SnapshotTable.metadataRowCount(Seq(withRows, old)).isEmpty)
     assert(SnapshotTable.metadataRowCount(Nil) == Some(0L))
+  }
+
+  test("manifests predating null counts refuse count(col)") {
+    import graft.plans.SnapshotTable.FileEntry
+    val full = FileEntry("a.parquet",
+      Map(FileEntry.RowsKey -> ("L:10", "L:0"),
+        FileEntry.nullsStat("v", 3L)))
+    val noNulls = FileEntry("b.parquet",
+      Map(FileEntry.RowsKey -> ("L:5", "L:0")))
+    assert(SnapshotTable.metadataColumnCount(Seq(full), "v") == Some(7L))
+    assert(SnapshotTable.metadataColumnCount(Seq(full, noNulls), "v").isEmpty,
+      "one null-countless file must refuse the whole answer")
+    assert(SnapshotTable.metadataColumnCount(Seq(full), "w").isEmpty,
+      "an unrecorded column must refuse")
+    assert(SnapshotTable.metadataColumnCount(Nil, "v") == Some(0L))
   }
 }
