@@ -714,6 +714,84 @@ object MaterializedAgg {
     }
   }
 
+  /** Validate a view DEFINITION's `graft.mv.*` properties at
+    * DECLARATION time — wired into the catalog's CREATE TABLE / ALTER
+    * TABLE SET TBLPROPERTIES paths, so a malformed dim list or a
+    * mistyped mode fails at the DDL statement with an operational
+    * message instead of at the first `refresh_mv` (where the typo is
+    * far from its cause). No-op when no `graft.mv.*` key is present.
+    * Checks shape and referents, not column resolution (the join frame
+    * only exists at refresh): mode known, keys nonempty, measures
+    * present and PARSEABLE, source/dim tables committed, dim list
+    * complete for `dimCount` with no stray indices. */
+  def validateDefinitionProps(spark: SparkSession,
+                              props: Map[String, String]): Unit = {
+    val mvKeys = props.keys.filter(_.startsWith("graft.mv.")).toSeq.sorted
+    // refresh-stamped bookkeeping (watermark, key format, dim pins) is
+    // not a DEFINITION — a view whose definition keys were all unset
+    // must not trap its leftover stamps in a validation that demands a
+    // mode; conversely any real definition key demands the full shape
+    val bookkeeping = Set(SourceVersionProp, KeyFormatProp)
+    val defKeys = mvKeys.filterNot(k => bookkeeping(k) ||
+      k.matches("""graft\.mv\.dim\.\d+\.version"""))
+    if (defKeys.isEmpty) return
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"invalid materialized-view declaration: $msg " +
+        s"(declared: ${mvKeys.mkString(", ")})")
+    def need(k: String): String = props.getOrElse(k, fail(s"missing '$k'"))
+    val mode = need(ModeProp)
+    if (!Set("additive", "recompute", "additiveJoin", "recomputeJoin")
+        .contains(mode))
+      fail(s"unknown $ModeProp '$mode' — one of additive, recompute, " +
+        "additiveJoin, recomputeJoin")
+    val srcPath = need(SourceProp)
+    if (!SnapshotTable(spark, srcPath, "_unused_read_only").exists)
+      fail(s"$SourceProp '$srcPath' is not a committed graft table")
+    if (!need(KeysProp).split(",", -1).exists(_.trim.nonEmpty))
+      fail(s"$KeysProp must list at least one group key")
+    val measures = props.filter(_._1.startsWith(MeasurePrefix))
+    if (measures.isEmpty)
+      fail(s"at least one $MeasurePrefix<name> measure is required")
+    measures.foreach { case (k, sql) =>
+      // parse EAGERLY via the session parser — Column construction
+      // (expr) defers parsing, which would move the failure back to
+      // the first refresh, exactly what this validation exists to avoid
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case scala.util.control.NonFatal(e) =>
+        fail(s"measure '$k' = '$sql' does not parse: ${e.getMessage}")
+      }
+    }
+    val dimKeys = props.keys.filter(_.startsWith("graft.mv.dim.")).toSeq
+    if (!mode.endsWith("Join")) {
+      if (props.contains(DimCountProp) || dimKeys.nonEmpty)
+        fail(s"mode '$mode' takes no dimensions — declare " +
+          "additiveJoin/recomputeJoin for a star view, or drop the " +
+          "graft.mv.dim* properties")
+    } else {
+      val n = props.get(DimCountProp)
+        .getOrElse(fail(s"mode '$mode' needs $DimCountProp plus " +
+          "graft.mv.dim.<i>.{path,factKey,dimKey} per dimension"))
+        .toIntOption.filter(_ >= 1)
+        .getOrElse(fail(s"$DimCountProp must be a positive integer, " +
+          s"got '${props(DimCountProp)}'"))
+      (0 until n).foreach { i =>
+        Seq("factKey", "dimKey").foreach(k => need(s"graft.mv.dim.$i.$k"))
+        val dp = need(s"graft.mv.dim.$i.path")
+        if (!SnapshotTable(spark, dp, "_unused_read_only").exists)
+          fail(s"graft.mv.dim.$i.path '$dp' is not a committed graft table")
+      }
+      // an index at/past dimCount is a typo'd declaration (a dim the
+      // refresh would silently never join), not configuration noise
+      val allowed = (0 until n).flatMap(i =>
+        Seq("path", "factKey", "dimKey", "version")
+          .map(k => s"graft.mv.dim.$i.$k")).toSet
+      val stray = dimKeys.filterNot(allowed).sorted
+      if (stray.nonEmpty)
+        fail(s"dim properties outside $DimCountProp=$n: " +
+          stray.mkString(", "))
+    }
+  }
+
   /** The refresh inside define* may be a NO-OP (view already current
     * with its source), in which case nothing committed and the staged
     * definition would be silently lost with the handle — a later

@@ -209,6 +209,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     props.get("primaryKey").foreach(pk =>
       require(schema.fieldNames.contains(pk),
         s"primaryKey '$pk' not in table schema"))
+    // a SQL-declared materialized view (graft.mv.* TBLPROPERTIES) must
+    // fail a malformed definition HERE, with the DDL statement — not at
+    // the first CALL refresh_mv, far from the typo
+    graft.plans.MaterializedAgg.validateDefinitionProps(spark, props)
     // TBLPROPERTIES('clusterBy' = 'c1,c2'[, 'clusterFiles' = 'n'])
     // declares the range-clustered flat layout from SQL (the shape a
     // materialized view wants: stats-scoped merges on its key). The
@@ -287,8 +291,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (adds.nonEmpty)
       snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
-    if (sets.nonEmpty || unsets.nonEmpty)
+    if (sets.nonEmpty || unsets.nonEmpty) {
+      // an ALTER that touches a materialized-view definition validates
+      // the MERGED property state, same fail-fast stance as CREATE
+      if (sets.keys.exists(_.startsWith("graft.mv.")) ||
+          unsets.exists(_.startsWith("graft.mv.")))
+        graft.plans.MaterializedAgg.validateDefinitionProps(spark,
+          snap.properties ++ sets -- unsets)
       snap.setProperties(sets.toMap, unsets.toSeq)
+    }
     loadTable(ident)
   }
 

@@ -454,6 +454,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("clusterBy column"))
   }
 
+  test("malformed materialized-view declarations fail at CREATE/ALTER, " +
+      "not at first refresh") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mvv")
+    sql("""CREATE TABLE graft.mvv.fact (id BIGINT, fk BIGINT, amt BIGINT)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.mvv.fact VALUES (1, 1, 10)")
+    sql("""CREATE TABLE graft.mvv.dim (fk BIGINT, name STRING)
+           TBLPROPERTIES ('primaryKey' = 'fk')""")
+    sql("INSERT INTO graft.mvv.dim VALUES (1, 'x')")
+    def declare(extra: String): Unit =
+      sql(s"""CREATE TABLE graft.mvv.v (`__mv_key` STRING, name STRING,
+             |  total BIGINT, `__mv_count` BIGINT)
+             |TBLPROPERTIES (
+             |  'primaryKey' = '__mv_key',
+             |  'graft.mv.source' = '$warehouse/mvv/fact',
+             |  'graft.mv.keys' = 'name',
+             |  'graft.mv.measure.total' = 'CAST(amt AS BIGINT)'
+             |  $extra)""".stripMargin)
+    def failing(extra: String, want: String): Unit = {
+      val e = intercept[Exception](declare(extra))
+      assert(e.getMessage.contains(want),
+        s"for TBLPROPERTIES [$extra]: ${e.getMessage}")
+      sql("DROP TABLE IF EXISTS graft.mvv.v")
+    }
+    // mistyped mode
+    failing(", 'graft.mv.mode' = 'aditive'", "unknown graft.mv.mode")
+    // join mode with NO dim list at all
+    failing(", 'graft.mv.mode' = 'recomputeJoin'", "graft.mv.dimCount")
+    // dim list missing one required key
+    failing(""", 'graft.mv.mode' = 'additiveJoin',
+      'graft.mv.dimCount' = '1',
+      'graft.mv.dim.0.path' = '""" + warehouse + """/mvv/dim',
+      'graft.mv.dim.0.factKey' = 'fk'""",
+      "missing 'graft.mv.dim.0.dimKey'")
+    // a dim index past dimCount: the refresh would silently never
+    // join it — reject the typo at declaration
+    failing(""", 'graft.mv.mode' = 'additiveJoin',
+      'graft.mv.dimCount' = '1',
+      'graft.mv.dim.0.path' = '""" + warehouse + """/mvv/dim',
+      'graft.mv.dim.0.factKey' = 'fk',
+      'graft.mv.dim.0.dimKey' = 'fk',
+      'graft.mv.dim.1.path' = '/nowhere'""",
+      "outside graft.mv.dimCount=1")
+    // a dim path that is not a table
+    failing(""", 'graft.mv.mode' = 'additiveJoin',
+      'graft.mv.dimCount' = '1',
+      'graft.mv.dim.0.path' = '/nowhere',
+      'graft.mv.dim.0.factKey' = 'fk',
+      'graft.mv.dim.0.dimKey' = 'fk'""",
+      "not a committed graft table")
+    // an unparseable measure
+    failing(""", 'graft.mv.mode' = 'additive',
+      'graft.mv.measure.bad' = 'CAST(amt AS'""", "does not parse")
+    // dims declared on a non-join mode
+    failing(""", 'graft.mv.mode' = 'additive',
+      'graft.mv.dimCount' = '1',
+      'graft.mv.dim.0.path' = '""" + warehouse + """/mvv/dim',
+      'graft.mv.dim.0.factKey' = 'fk',
+      'graft.mv.dim.0.dimKey' = 'fk'""", "takes no dimensions")
+    // the WELL-FORMED declaration passes CREATE and refreshes
+    declare(""", 'graft.mv.mode' = 'additiveJoin',
+      'graft.mv.dimCount' = '1',
+      'graft.mv.dim.0.path' = '""" + warehouse + """/mvv/dim',
+      'graft.mv.dim.0.factKey' = 'fk',
+      'graft.mv.dim.0.dimKey' = 'fk'""")
+    sql("CALL graft.system.refresh_mv('mvv.v')")
+    assert(sql("SELECT name, total FROM graft.mvv.v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 10L)))
+    // ALTER validates the MERGED state: breaking one key fails loudly
+    val e = intercept[Exception](
+      sql("ALTER TABLE graft.mvv.v SET TBLPROPERTIES " +
+        "('graft.mv.mode' = 'bogus')"))
+    assert(e.getMessage.contains("unknown graft.mv.mode"), e.getMessage)
+  }
+
   test("CALL graft.system.zorder: rewrite makes box predicates prune on both columns") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.zm")
