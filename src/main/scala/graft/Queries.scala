@@ -3106,6 +3106,70 @@ object Queries {
       jpg.getField("n_components").as("n_components"))
   }
 
+  /** Baseline GRAYSCALE JPEG write→decode round-trip down to the
+    * PIXELS: per-doc JPEGs are encoded for real
+    * ([[Multimodal.jpegEncodeGray]] — forward DCT, quantization,
+    * canonical Huffman with byte stuffing) and decoded back two
+    * independent ways: frame-header fields via the column-algebra
+    * segment walk ([[Multimodal.decodeJpeg]]) and pixel statistics via
+    * the full entropy-decode + IDCT path
+    * ([[Multimodal.jpegPixelStats]]). The fixture's pixel area is
+    * 8x8-tile-constant with tile values from md5(doc_id): a constant
+    * block's only nonzero coefficient is the DC, and the DC
+    * quantization step divides it exactly, so the LOSSY codec
+    * round-trips LOSSLESSLY on exactly this fixture — which is what
+    * lets DuckDB recompute every statistic in closed form. One payload
+    * per 50 docs has its first marker byte broken after encoding: the
+    * marker chain dies and every decoded field nulls out — corruption
+    * detected, not trusted. */
+  def multimodalJpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val tw = Math.floorMod(id, 4).toInt + 1
+        val th = Math.floorMod(id, 3).toInt + 1
+        val w = 8 * tw; val h = 8 * th
+        val pix = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          digest(((y / 8) * tw + x / 8) % 16)
+        }
+        (id, Multimodal.jpegEncodeGray(w, h, pix))
+      }
+    }.toDF("media_id", "bytes")
+    // break the 0xFF of the first marker after SOI (byte 3) — the
+    // decoder's marker walk must refuse the whole payload
+    val corrupted = concat(
+      substring(col("bytes"), 1, 2), unhex(lit("7F")),
+      col("bytes").substr(lit(4), length(col("bytes")) - 3))
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0, corrupted)
+        .otherwise(col("bytes")).as("bytes"))
+    val jpg = Multimodal.decodeJpeg(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      jpg.getField("width").as("width"),
+      jpg.getField("height").as("height"),
+      col("bytes"))
+    // gray stats ride the shared image-stats layout with b=g=r
+    Multimodal.withImageStats(headered, "bytes").select(
+      col("media_id"), col("width"), col("height"),
+      col("image_stats.g_sum").as("g_sum"),
+      col("image_stats.g_min").as("g_min"),
+      col("image_stats.g_max").as("g_max"),
+      col("image_stats.n_px").as("n_px"),
+      element_at(col("image_stats.luma_hist"), 1).as("h0"),
+      element_at(col("image_stats.luma_hist"), 2).as("h1"),
+      element_at(col("image_stats.luma_hist"), 3).as("h2"),
+      element_at(col("image_stats.luma_hist"), 4).as("h3"),
+      element_at(col("image_stats.luma_hist"), 5).as("h4"),
+      element_at(col("image_stats.luma_hist"), 6).as("h5"),
+      element_at(col("image_stats.luma_hist"), 7).as("h6"),
+      element_at(col("image_stats.luma_hist"), 8).as("h7"))
+  }
+
   /** Batched per-partition feature extraction over media bytes
     * (mapPartitions), now with REAL pixel/sample decode for the
     * codec-free containers: image payloads are BMPs and audio payloads
@@ -3282,6 +3346,7 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
     "multimodal_jpeg" -> (multimodalJpeg _),
+    "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -4601,6 +4666,59 @@ object Queries {
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
         |  CASE WHEN doc_id % 50 <> 0 THEN CAST(3 AS INTEGER) END AS n_components
         |FROM documents""".stripMargin,
+    // closed-form recomputation of the REAL grayscale JPEG pixel
+    // decode: the fixture is 8x8-tile-constant with tile values from
+    // md5(doc_id), the one shape the lossy codec round-trips
+    // LOSSLESSLY (constant blocks carry only a DC coefficient, which
+    // the DC quant step divides exactly) — so the oracle regenerates
+    // the tile values and re-derives every statistic, 64 pixels per
+    // tile. Every 50th doc had its first marker byte broken after
+    // encoding: the marker walk fails and every field is NULL.
+    "multimodal_jpeg_pixels" ->
+      """WITH sz AS (
+        |  SELECT doc_id, (doc_id % 4 + 1) AS tw, (doc_id % 3 + 1) AS th,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, tw, th, unnest(range(tw * th)) AS t, hex FROM sz),
+        |vals AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2 * (t % 16) + 1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2 * (t % 16) + 2 AS INT), 1)) - 1 AS v
+        |  FROM tiles),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(v AS BIGINT)) * 64 AS BIGINT) AS g_sum,
+        |    CAST(min(v) AS BIGINT) AS g_min,
+        |    CAST(max(v) AS BIGINT) AS g_max,
+        |    CAST(count(*) * 64 AS BIGINT) AS n_px,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 0) AS BIGINT) AS h0,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 1) AS BIGINT) AS h1,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 2) AS BIGINT) AS h2,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 3) AS BIGINT) AS h3,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 4) AS BIGINT) AS h4,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 5) AS BIGINT) AS h5,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 6) AS BIGINT) AS h6,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 7) AS BIGINT) AS h7
+        |  FROM vals GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.tw * 8 AS INTEGER) END AS width,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.th * 8 AS INTEGER) END AS height,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.n_px END AS n_px,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h0 END AS h0,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h1 END AS h1,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h2 END AS h2,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h3 END AS h3,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h4 END AS h4,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h5 END AS h5,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h6 END AS h6,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h7 END AS h7
+        |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
     // REAL pixel/sample decode, recomputed in closed form: the BMP
     // pixel area / WAV sample area tile repeat(md5(doc_id)), so the
     // oracle regenerates the same byte stream, drops the BMP row-

@@ -330,6 +330,90 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.getSeq[Float](vid.fieldIndex("features")).size == 8)
   }
 
+  private def tilePix(w: Int, h: Int, tiles: Array[Int]): Array[Byte] = {
+    val tilesAcross = (w + 7) / 8
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      tiles(((y / 8) * tilesAcross + x / 8) % tiles.length).toByte
+    }
+  }
+
+  test("jpegEncodeGray is a REAL baseline JPEG: the JDK's OWN decoder " +
+      "reads back identical pixels for tile-constant images") {
+    // a constant 8x8 block has ONLY a DC coefficient; with the DC quant
+    // step 8 it survives quantization exactly, so the lossy format
+    // round-trips losslessly on tile-constant inputs — for ANY
+    // conformant decoder, the JDK's included
+    val (w, h) = (32, 24)
+    val tiles = Array(0, 255, 7, 200, 128, 64, 33, 250, 1, 99, 180, 42)
+    val pix = tilePix(w, h, tiles)
+    val bytes = Multimodal.jpegEncodeGray(w, h, pix)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not decode the encoder's output")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0) & 0xFF) ==
+        (pix(y * w + x) & 0xFF), s"JDK pixel mismatch at ($x,$y)")
+  }
+
+  test("jpegDecodeGray round-trips jpegEncodeGray exactly on tile-constant " +
+      "images, including non-multiple-of-8 dims") {
+    for ((w, h) <- Seq((8, 8), (32, 24), (19, 13), (8, 1), (1, 8), (65, 7))) {
+      val tiles = Array.tabulate(16)(i => (i * 17 + 3) % 256)
+      val pix = tilePix(w, h, tiles)
+      val Some((dw, dh, out)) =
+        Multimodal.jpegDecodeGray(Multimodal.jpegEncodeGray(w, h, pix))
+      assert(dw == w && dh == h, s"dims for ${w}x$h")
+      assert(out.sameElements(pix), s"pixels for ${w}x$h")
+    }
+  }
+
+  test("jpegDecodeGray agrees with the JDK decoder on arbitrary images") {
+    // general blocks are lossy (quantization), so the reference is not
+    // the input but the JDK's decode of the SAME file; IDCT rounding
+    // may legitimately differ by a hair between implementations
+    val rnd = new scala.util.Random(42)
+    val (w, h) = (40, 25)
+    val pix = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val bytes = Multimodal.jpegEncodeGray(w, h, pix)
+    val Some((dw, dh, ours)) = Multimodal.jpegDecodeGray(bytes)
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null && dw == w && dh == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((jdk.getRaster.getSample(x, y, 0) & 0xFF) -
+        (ours(y * w + x) & 0xFF))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 2,
+      s"our IDCT diverges from the JDK's by $maxDiff levels")
+  }
+
+  test("jpegDecodeGray refuses corruption and out-of-scope shapes") {
+    val pix = tilePix(16, 16, Array(10, 200, 30, 90))
+    val good = Multimodal.jpegEncodeGray(16, 16, pix)
+    assert(Multimodal.jpegDecodeGray(good).isDefined)
+    // broken marker chain (second marker's 0xFF overwritten)
+    val badMarker = good.clone(); badMarker(2) = 0x7F
+    assert(Multimodal.jpegDecodeGray(badMarker).isEmpty)
+    // truncated entropy stream
+    assert(Multimodal.jpegDecodeGray(good.dropRight(6)).isEmpty)
+    // SOI followed by garbage instead of a marker chain
+    assert(Multimodal.jpegDecodeGray(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01)).isEmpty)
+    // non-JPEG payloads
+    assert(Multimodal.jpegDecodeGray("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegDecodeGray(Array.emptyByteArray).isEmpty)
+    // stats wrapper mirrors the refusals and the gray stats layout
+    assert(Multimodal.jpegPixelStats(badMarker).isEmpty)
+    val Some((st, hist)) = Multimodal.jpegPixelStats(good)
+    assert(st(9) == 256L && st(1) == 10L && st(2) == 200L)
+    assert(st(0) == (10L + 200L + 30L + 90L) * 64)
+    assert(hist.sum == 256L)
+  }
+
   test("metadata-only queries prune the media bytes column out of the scan") {
     // the 100 TB claim at Multimodal.scala:26-28: payload bytes are by
     // far the widest column of a media table, and a catalog/stats query
