@@ -1009,6 +1009,7 @@ object Multimodal {
   private[graft] def jpegPixelStats(bytes: Array[Byte])
       : Option[(Array[Long], Array[Long])] =
     jpegDecodeGray(bytes).map { case (w, h, pix) =>
+      // pix is never empty: jpegDecodeGray refuses w <= 0 || h <= 0
       var sum = 0L; var min = 255L; var max = 0L
       val hist = new Array[Long](8)
       var i = 0
@@ -1018,7 +1019,6 @@ object Multimodal {
         hist(math.min(7, v / 32)) += 1
         i += 1
       }
-      if (pix.isEmpty) { min = 0L }
       (Array(sum, min, max, sum, min, max, sum, min, max, w.toLong * h),
         hist)
     }
@@ -1111,7 +1111,7 @@ object Multimodal {
             Row(id, kind, feats.toSeq, null, Row(a(0), a(1), a(2), a(3)))
           case _ =>
             // ---- STUB ---- deterministic fake features from byte
-            // content — the no-codec-available path (PNG/JPEG pixels,
+            // content — the no-codec-available path (color JPEG,
             // video frames)
             val feats = Array.tabulate(8) { i =>
               var acc = 1125899906842597L

@@ -493,10 +493,7 @@ object MaterializedAgg {
     * sensitive). */
   private[graft] def netDirtyKeys(images: DataFrame, keys: Seq[String])
       : DataFrame = {
-    val img = col(SnapshotTable.ImageCol)
-    val sign = when(img === "before", lit(-1L)).otherwise(lit(1L))
-    val dataCols = images.columns.toSeq
-      .filterNot(_ == SnapshotTable.ImageCol)
+    val names = images.columns
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
       StructType}
     def hasMap(dt: DataType): Boolean = dt match {
@@ -506,14 +503,33 @@ object MaterializedAgg {
       case _ => false
     }
     val groupable = !images.schema.fields.exists(f =>
-      dataCols.contains(f.name) && hasMap(f.dataType))
-    if (!groupable) images.select(keys.map(col): _*).distinct()
-    // "__mv_net" sits in the module's reserved __mv_* namespace, so
-    // it cannot collide with a source data column
-    else images.groupBy(dataCols.map(col): _*)
+      f.name != SnapshotTable.ImageCol && hasMap(f.dataType))
+    if (!groupable) return images.select(keys.map(col): _*).distinct()
+    // rename POSITIONALLY before grouping: the join-expansion frame
+    // can carry duplicate column names (a fact and a dim sharing a
+    // non-key column — DimSpec documents disjointness, but the net
+    // must not turn a contract slip into an ambiguous-reference
+    // AnalysisException when by-position grouping handles it exactly).
+    // "__mv_net*" sits in the module's reserved __mv_* namespace, so
+    // it cannot collide with a source data column.
+    val tagged = images.toDF(names.indices.map(i => s"__mv_net_c$i"): _*)
+    val imgIdx = names.indexOf(SnapshotTable.ImageCol)
+    val sign = when(col(s"__mv_net_c$imgIdx") === "before", lit(-1L))
+      .otherwise(lit(1L))
+    val keyIdx = keys.map { k =>
+      val hits = names.indices.filter(i => names(i) == k)
+      require(hits.size == 1,
+        s"group key '$k' resolves to ${hits.size} columns of the change " +
+          "frame — group keys must be unambiguous")
+      hits.head
+    }
+    tagged
+      .groupBy(names.indices.filter(_ != imgIdx)
+        .map(i => col(s"__mv_net_c$i")): _*)
       .agg(sum(sign).as("__mv_net"))
       .filter(col("__mv_net") =!= 0L)
-      .select(keys.map(col): _*).distinct()
+      .select(keyIdx.map(i => col(s"__mv_net_c$i").as(names(i))): _*)
+      .distinct()
   }
 
   /** Incremental refresh for ARBITRARY aggregates: `aggs` are complete
@@ -625,6 +641,11 @@ object MaterializedAgg {
     * measure, keyed by its output column name. */
   val SourceProp = "graft.mv.source"
   val ModeProp = "graft.mv.mode"
+  /** ONE mode authority for declaration validation AND refresh
+    * dispatch — two lists would drift and let DDL accept a mode
+    * refresh refuses (or the reverse). */
+  val ValidModes: Set[String] =
+    Set("additive", "recompute", "additiveJoin", "recomputeJoin")
   val KeysProp = "graft.mv.keys"
   val MeasurePrefix = "graft.mv.measure."
   /** Join-view dim definitions: `graft.mv.dimCount` plus per-dim
@@ -740,10 +761,9 @@ object MaterializedAgg {
         s"(declared: ${mvKeys.mkString(", ")})")
     def need(k: String): String = props.getOrElse(k, fail(s"missing '$k'"))
     val mode = need(ModeProp)
-    if (!Set("additive", "recompute", "additiveJoin", "recomputeJoin")
-        .contains(mode))
-      fail(s"unknown $ModeProp '$mode' — one of additive, recompute, " +
-        "additiveJoin, recomputeJoin")
+    if (!ValidModes.contains(mode))
+      fail(s"unknown $ModeProp '$mode' — one of " +
+        ValidModes.toSeq.sorted.mkString(", "))
     val srcPath = need(SourceProp)
     if (!SnapshotTable(spark, srcPath, "_unused_read_only").exists)
       fail(s"$SourceProp '$srcPath' is not a committed graft table")
@@ -834,8 +854,7 @@ object MaterializedAgg {
     if (measures.isEmpty) throw new IllegalStateException(
       s"view at ${view.path} logs no $MeasurePrefix* measures")
     val mode = need(ModeProp)
-    if (!Set("additive", "recompute", "additiveJoin", "recomputeJoin")
-        .contains(mode))
+    if (!ValidModes.contains(mode))
       throw new IllegalStateException(
         s"unknown materialized-view mode '$mode' at ${view.path}")
     (src, mode, keys, measures)

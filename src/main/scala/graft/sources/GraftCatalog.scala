@@ -289,17 +289,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }
+    // an ALTER that touches a materialized-view definition validates
+    // the MERGED property state, same fail-fast stance as CREATE —
+    // BEFORE any commit of this statement (a mixed ALTER carrying an
+    // ADD COLUMNS must not half-apply the schema and then throw)
+    if (sets.keys.exists(_.startsWith("graft.mv.")) ||
+        unsets.exists(_.startsWith("graft.mv.")))
+      graft.plans.MaterializedAgg.validateDefinitionProps(spark,
+        snap.properties ++ sets -- unsets)
     if (adds.nonEmpty)
       snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
-    if (sets.nonEmpty || unsets.nonEmpty) {
-      // an ALTER that touches a materialized-view definition validates
-      // the MERGED property state, same fail-fast stance as CREATE
-      if (sets.keys.exists(_.startsWith("graft.mv.")) ||
-          unsets.exists(_.startsWith("graft.mv.")))
-        graft.plans.MaterializedAgg.validateDefinitionProps(spark,
-          snap.properties ++ sets -- unsets)
+    if (sets.nonEmpty || unsets.nonEmpty)
       snap.setProperties(sets.toMap, unsets.toSeq)
-    }
     loadTable(ident)
   }
 

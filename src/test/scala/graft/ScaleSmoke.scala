@@ -134,17 +134,23 @@ object ScaleSmoke {
         }
         p
       }
+      val hotMod = 5 // 1-in-5 rows on the hot key => hotKeyFraction 0.2
       def factDf(n: Long) = spark.range(n).select(
-        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+        when(pmod(col("id"), lit(hotMod)) === 0, lit(0L))
           .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
         pmod(col("id"), lit(1000)).as("v"))
       // inputs PRE-STAGED as parquet so the timed run is the join
       // phase alone (scan + shuffle + sort-merge + agg) on byte-
-      // identical inputs for both variants — not input generation
-      val factSmall = stage(s"skew_fact_$base", factDf(base))
-      val factBig = stage(s"skew_fact_${base * Copies}",
+      // identical inputs for both variants — not input generation.
+      // The cache key carries EVERY generator parameter: a fixture
+      // reuse across a distribution tweak would silently report the
+      // new parameters against old data — in exactly the artifact
+      // built to attribute swings
+      val factSmall = stage(s"skew_fact_m${hotMod}_d${nDim}_$base",
+        factDf(base))
+      val factBig = stage(s"skew_fact_m${hotMod}_d${nDim}_${base * Copies}",
         factDf(base * Copies))
-      val dimPath = stage("skew_dim", spark.range(nDim).select(
+      val dimPath = stage(s"skew_dim_$nDim", spark.range(nDim).select(
         col("id").as("k"), pmod(col("id"), lit(97)).as("w")))
       // The JOIN PHASE is measured at TASK level, not whole-query
       // wall: on a fixed 32-core box the data-proportional, skew-
@@ -226,26 +232,34 @@ object ScaleSmoke {
       // under-parallelized MAP stage then masquerades as the join
       // phase's critical path (its 7s tasks beat every reduce task)
       val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
-      spark.conf.set("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
-      // untimed warmup of BOTH plan shapes: the first SMJ+explode run
-      // pays one-off codegen/JIT that would otherwise be billed to
-      // whichever variant runs first
-      val warmPath = stage("skew_fact_warm", factDf(100L * 1000))
-      timeJoin(warmPath, 100L * 1000, salted = true)
-      timeJoin(warmPath, 100L * 1000, salted = false)
-      // min-of-2 per point (keep the faster run's task stats): this
-      // box's documented cold-run noise would otherwise dominate the
-      // 1x numbers the ratios divide by
-      def min2(path: String, n: Long, salted: Boolean)
-          : (Double, Double, Double) = {
-        val a = timeJoin(path, n, salted); val b = timeJoin(path, n, salted)
-        if (a._1 <= b._1) a else b
-      }
-      val sSmall = min2(factSmall, base, salted = true)
-      val uSmall = min2(factSmall, base, salted = false)
-      val sBig = min2(factBig, base * Copies, salted = true)
-      val uBig = min2(factBig, base * Copies, salted = false)
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      val (sSmall, uSmall, sBig, uBig) = try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          s"${16 * 1024 * 1024}")
+        // untimed warmup of BOTH plan shapes: the first SMJ+explode
+        // run pays one-off codegen/JIT that would otherwise be billed
+        // to whichever variant runs first
+        val warmPath = stage(s"skew_fact_m${hotMod}_d${nDim}_warm",
+          factDf(100L * 1000))
+        timeJoin(warmPath, 100L * 1000, salted = true)
+        timeJoin(warmPath, 100L * 1000, salted = false)
+        // min-of-2 per point (keep the faster run's task stats): this
+        // box's documented cold-run noise would otherwise dominate the
+        // 1x numbers the ratios divide by
+        def min2(path: String, n: Long, salted: Boolean)
+            : (Double, Double, Double) = {
+          val a = timeJoin(path, n, salted)
+          val b = timeJoin(path, n, salted)
+          if (a._1 <= b._1) a else b
+        }
+        (min2(factSmall, base, salted = true),
+          min2(factSmall, base, salted = false),
+          min2(factBig, base * Copies, salted = true),
+          min2(factBig, base * Copies, salted = false))
+        // restore even when a measurement throws: this session runs
+        // the other smoke entries too, and a leaked 16MB split size
+        // would silently distort every one after
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes",
+        prevSplit)
       val ratio = sBig._1 / math.max(sSmall._1, 1e-9)
       val over = uBig._1 / math.max(sBig._1, 1e-9)
       // the two scale claims, on the join phase alone:
@@ -273,7 +287,8 @@ object ScaleSmoke {
         s""""unsalted_sf1":${f2(uBig._3)}},""" +
         s""""salted_join_phase_ratio_10x":${f2(joinRatio)},""" +
         s""""unsalted_over_salted_join_phase_sf1":${f2(joinOver)},""" +
-        s""""baseRows":$base,"hotKeyFraction":0.2,"numSalts":$salts}""")
+        s""""baseRows":$base,"hotKeyFraction":${1.0 / hotMod},""" +
+        s""""numSalts":$salts}""")
     } else Nil
 
     val json =

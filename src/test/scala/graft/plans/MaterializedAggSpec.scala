@@ -394,6 +394,31 @@ class MaterializedAggSpec extends SparkSpec {
       fact.currentVersion.get.toString)
   }
 
+  test("recompute join tolerates a fact/dim shared non-key column name") {
+    // DimSpec documents fact/dim name-disjointness, but a contract
+    // slip on a NON-key column must not die in an ambiguous-reference
+    // error inside the dirty-key netting — positions disambiguate
+    // exactly where names cannot
+    val base = tmp("mvrjdup")
+    val fact = SnapshotTable(spark, s"$base/fact", "id")
+    fact.create(Seq((1, 10, 1, "ft"), (2, 20, 1, "ft"), (3, 5, 2, "ft"))
+      .toDF("id", "amount", "fk", "tag"))
+    val dim = SnapshotTable(spark, s"$base/dim", "fk")
+    dim.create(Seq((1, "x", "dt"), (2, "y", "dt"))
+      .toDF("fk", "name", "tag")) // "tag" collides with the fact's
+    val view = mkView(base)
+    val dims = Seq(MaterializedAgg.DimSpec(dim, "fk", "fk"))
+    val aggs = Seq("hi" -> max(col("amount")))
+    def st(): Map[String, Int] =
+      view.read.collect().map(r =>
+        r.getAs[String]("name") -> r.getAs[Int]("hi")).toMap
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == Map("x" -> 20, "y" -> 5))
+    fact.delete(col("id") === 2) // x's max vanishes; netting must run
+    MaterializedAgg.refreshRecomputeJoin(fact, dims, view, Seq("name"), aggs)
+    assert(st() == Map("x" -> 10, "y" -> 5))
+  }
+
   test("defined recompute-join views refresh by definition and " +
       "stream-maintain") {
     val base = tmp("mvrjdef")
