@@ -865,13 +865,14 @@ object Queries {
       Seq("n_name"),
       Seq("lo_cents" -> "min(CAST(round(o_totalprice * 100) AS BIGINT))",
         "hi_cents" -> "max(CAST(round(o_totalprice * 100) AS BIGINT))"))
-    // fact churn: price bump + inserts, then delete the TOP-PRICE
-    // rows (~20% of the table) — every group's max recomputes down
+    // ONE catch-up span with fact churn AND an SCD dim move — the
+    // expansion folds a fact term and a dim-delta term together:
+    // price bump + inserts, then delete the TOP-PRICE rows (~20% of
+    // the table; every group's max recomputes down), while 1-in-10
+    // customers change nation (both old and new groups dirty)
     fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
     fact.delete(col("o_totalprice") >= 400000.0d)
-    plans.MaterializedAgg.refreshByDefinition(view)
-    // SCD move: 1-in-10 customers change nation — both sides dirty
     cust.upsert(t(s, dir, "customer")
       .filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"),

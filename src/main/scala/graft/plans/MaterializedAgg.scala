@@ -447,11 +447,42 @@ object MaterializedAgg {
         "fact was restored or recreated; drop and rebuild the view")
     val (dimFrom, dimTo) = dimSpanOf(view, dims)
     if (factFrom == factTo && dimFrom == dimTo) return
+    // INITIAL materialization fast path: a fresh view owes EVERY
+    // group, and the expansion + netting would only rediscover "all
+    // keys dirty" after joining the full fact a FIRST time — then the
+    // recompute joins it again. Aggregate the current chain once.
+    if (factFrom == 0L && dimFrom == dimTo &&
+        (!view.exists || view.candidateFiles().isEmpty)) {
+      val current = chainJoin(view, dims, dimFrom, dimTo,
+        fact.readVersion(factTo), dims.size + 1, null)
+      materializeInitial(view, current, keys, aggs, factTo,
+        dims.indices.map(i => dimVersionProp(i) -> dimTo(i).toString).toMap)
+      return
+    }
     val factImages =
       if (factFrom < factTo) Some(fact.changesDelta(factFrom, factTo))
       else None
     recomputeJoinSpan(fact, dims, view, keys, aggs, factImages, factTo,
       dimFrom, dimTo)
+  }
+
+  /** One full aggregate of `source` committed as the view's FIRST
+    * population — the shared initial-materialization path of both
+    * recompute modes (no dirty set exists to scope by, no emptied
+    * groups to detect). */
+  private def materializeInitial(view: SnapshotTable, source: DataFrame,
+                                 keys: Seq[String],
+                                 aggs: Seq[(String, Column)], toV: Long,
+                                 extraProps: Map[String, String] = Map.empty)
+      : Unit = {
+    val aggCols = aggs.map { case (n, e) => e.as(n) } :+
+      count(lit(1L)).as(CountCol)
+    val fresh = source
+      .groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn(KeyCol, keyExpr(keys))
+    commitMerged(view, keys, aggs.map(_._1), fresh, toV,
+      additive = false, extraProps = extraProps)
   }
 
   /** Shared span core of [[refreshRecomputeJoin]] and the streaming
@@ -474,12 +505,47 @@ object MaterializedAgg {
         dimTo) match {
       case None => advanceWatermark(view, factTo, dimPins)
       case Some(images) =>
-        val dirty = netDirtyKeys(images, keys)
+        val dirty = netDirtyKeys(narrowToMeasured(images, keys, aggs), keys)
         val current = chainJoin(view, dims, dimFrom, dimTo,
           fact.readVersion(factTo), dims.size + 1, null)
         recomputeDirty(view, current, dirty, keys, aggs, factTo, dimPins)
     }
   }
+
+  /** Project `images` down to the columns the view can OBSERVE — the
+    * group keys plus every column the measures read (from the ANALYZED
+    * references of a zero-row probe aggregate) plus the image tag —
+    * before the netting shuffle: if a group's multiset of observed
+    * columns is unchanged, every aggregate over it is unchanged, so
+    * cancellation over the narrowed rows is exactly as sound as over
+    * the full rows and the shuffle carries a fraction of the bytes
+    * (a star expansion row is wide; a (key, measure) pair is not).
+    * Falls back to the full frame when the probe cannot resolve
+    * (ambiguous duplicated names, exotic measures) — narrower is an
+    * optimization, never a requirement. */
+  private[graft] def narrowToMeasured(images: DataFrame, keys: Seq[String],
+                               aggs: Seq[(String, Column)]): DataFrame =
+    try {
+      // probe a zero-row LocalRelation with the SAME schema, never the
+      // real frame: analyzing the expansion tree a second time costs
+      // SECONDS on a cold session (multi-join unions), a LocalRelation
+      // milliseconds
+      val empty = images.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        images.schema)
+      val probe = empty.groupBy(keys.map(col): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      probe.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.references.map(_.name).toSeq.distinct
+      } match {
+        case Some(cols) =>
+          images.select((SnapshotTable.ImageCol +:
+            cols.filterNot(_ == SnapshotTable.ImageCol)).map(col): _*)
+        case None => images
+      }
+    } catch { case scala.util.control.NonFatal(_) => images }
 
   /** DISTINCT group keys of the rows whose signed images do not
     * cancel — the recompute paths' dirty set. A rewrite (compaction,
@@ -544,6 +610,13 @@ object MaterializedAgg {
                        aggs: Seq[(String, Column)]): Unit = {
     require(keys.nonEmpty, "refreshRecompute needs at least one group key")
     val (fromV, toV) = span(src, view).getOrElse(return)
+    // initial materialization: one aggregate pass, no dirty-set scan
+    // (the feed from v0 would list every key just to semi-join the
+    // source back to itself)
+    if (fromV == 0L && (!view.exists || view.candidateFiles().isEmpty)) {
+      materializeInitial(view, src.readVersion(toV), keys, aggs, toV)
+      return
+    }
     val dirty = src.changesDelta(fromV, toV)
       .select(keys.map(col): _*).distinct()
     // pin the recompute to toV: group values and watermark must

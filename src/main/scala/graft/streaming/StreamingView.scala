@@ -101,9 +101,13 @@ object StreamingView {
         // (compaction, clustering) re-delivers unchanged rows as
         // canceling before+after pairs, and recomputing every
         // rewritten group would cost O(compacted data) in the view
-        // for zero change
+        // for zero change — netted over the OBSERVED columns only
+        // (keys + measure inputs), which is exactly as sound and a
+        // fraction of the shuffle bytes
         val dirty = MaterializedAgg.netDirtyKeys(
-          fresh.drop(SnapshotTable.CommitVersionCol), keys)
+          MaterializedAgg.narrowToMeasured(
+            fresh.drop(SnapshotTable.CommitVersionCol), keys, measures),
+          keys)
         MaterializedAgg.recomputeDirty(view, src.readVersion(toV),
           dirty, keys, measures, toV)
     }

@@ -530,11 +530,16 @@ class MaterializedAggSpec extends SparkSpec {
       assert(mergeDecisions.forall(d => !d._3 && d._2 == 40L),
         s"over-cap delta still broadcast: ${mergeDecisions.mkString(", ")}")
       assert(viewState(view) == expected(src))
-      // recompute path: all 40 groups dirty → both its joins shuffle too
+      // recompute path: all 40 groups dirty on a CATCH-UP span (the
+      // initial fold takes the no-dirty-set materialization fast path
+      // and logs no decisions) → both its joins shuffle too
       val base2 = tmp("mvbigdirty")
       val src2 = mkSrc(base2); val view2 = mkView(base2)
       val aggs = Seq("hi" -> max(col("amount")))
       src2.create((1 to 200).map(i => (i, i, s"g${i % 40}"))
+        .toDF("id", "amount", "grp"))
+      MaterializedAgg.refreshRecompute(src2, view2, Seq("grp"), aggs)
+      src2.upsert((1 to 200).map(i => (i, i * 3, s"g${i % 40}"))
         .toDF("id", "amount", "grp"))
       MaterializedAgg.broadcastDecisions.clear()
       MaterializedAgg.refreshRecompute(src2, view2, Seq("grp"), aggs)
@@ -544,6 +549,8 @@ class MaterializedAggSpec extends SparkSpec {
       assert(recompute.nonEmpty && recompute.forall(!_._3),
         s"over-cap dirty set still broadcast: ${recompute.mkString(", ")}")
       assert(view2.read.count() == 40)
+      assert(view2.read.filter(col("grp") === "g1").select("hi")
+        .head.getInt(0) == 161 * 3, "catch-up recompute folded wrong")
       // back under the cap: a small delta broadcasts again
       spark.conf.set("graft.mv.broadcastMaxGroups", "1000")
       src.upsert(rows((1, 999, "g1")))
