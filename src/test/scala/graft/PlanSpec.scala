@@ -53,6 +53,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey#"), s"unreferenced column read:\n$plan")
   }
 
+  test("recompute-join dirty scope pushes onto the dim side of the star") {
+    // the non-additive star refresh scopes its recompute with a
+    // null-safe semi-join on the dirty group keys; when the keys are
+    // DIM attributes, Catalyst's PushDownLeftSemiAntiJoin must land
+    // the semi directly on the dim relation, below both inner joins —
+    // otherwise the scope filters AFTER the full fact join and the
+    // refresh aggregates the whole star at every span
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name")
+    // the exact chainJoin + recomputeDirty `fresh` algebra
+    val current = orders
+      .join(customer.withColumnRenamed("c_custkey", "__mv_dimkey_0"),
+        col("o_custkey") === col("__mv_dimkey_0")).drop("__mv_dimkey_0")
+      .join(nation.withColumnRenamed("n_nationkey", "__mv_dimkey_1"),
+        col("c_nationkey") === col("__mv_dimkey_1")).drop("__mv_dimkey_1")
+    val dirtyR = Seq("NATION_0", "NATION_7").toDF("__mv_dirty_n_name")
+    val fresh = current
+      .join(broadcast(dirtyR),
+        current("n_name") <=> col("__mv_dirty_n_name"), "left_semi")
+      .groupBy("n_name")
+      .agg(max(round(col("o_totalprice") * 100).cast("long")).as("hi"))
+    val semiOnDim = fresh.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql == "LEFT SEMI" => j
+    }.getOrElse(fail("no semi join in the optimized plan"))
+    // the pushed semi's left subtree must be the bare nation relation
+    // (one leaf), not the three-table join (three leaves)
+    val leaves = semiOnDim.left.collectLeaves()
+    assert(leaves.size == 1,
+      s"dirty-scope semi did not push to the dim side:\n" +
+        fresh.queryExecution.optimizedPlan)
+    assert(semiOnDim.left.output.map(_.name).contains("n_name"),
+      s"semi pushed to the wrong side:\n${semiOnDim.left}")
+    assert(fresh.collect().map(_.getString(0)).toSet ==
+      Set("NATION_0", "NATION_7"))
+  }
+
   test("star join: dimension joins broadcast, fact side never shuffles for the joins") {
     val plan = planOf(Queries.starJoinAgg(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
