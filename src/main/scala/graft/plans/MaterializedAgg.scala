@@ -466,6 +466,20 @@ object MaterializedAgg {
       dimFrom, dimTo)
   }
 
+  /** Full group values of `source` in the view's row shape — ONE
+    * assembly authority for the initial materialization and the
+    * dirty-group recompute, so CountCol semantics and the key encoding
+    * can never diverge between the two paths. */
+  private def aggregateGroups(source: DataFrame, keys: Seq[String],
+                              aggs: Seq[(String, Column)]): DataFrame = {
+    val aggCols = aggs.map { case (n, e) => e.as(n) } :+
+      count(lit(1L)).as(CountCol)
+    source
+      .groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn(KeyCol, keyExpr(keys))
+  }
+
   /** One full aggregate of `source` committed as the view's FIRST
     * population — the shared initial-materialization path of both
     * recompute modes (no dirty set exists to scope by, no emptied
@@ -474,16 +488,10 @@ object MaterializedAgg {
                                  keys: Seq[String],
                                  aggs: Seq[(String, Column)], toV: Long,
                                  extraProps: Map[String, String] = Map.empty)
-      : Unit = {
-    val aggCols = aggs.map { case (n, e) => e.as(n) } :+
-      count(lit(1L)).as(CountCol)
-    val fresh = source
-      .groupBy(keys.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn(KeyCol, keyExpr(keys))
-    commitMerged(view, keys, aggs.map(_._1), fresh, toV,
+      : Unit =
+    commitMerged(view, keys, aggs.map(_._1),
+      aggregateGroups(source, keys, aggs), toV,
       additive = false, extraProps = extraProps)
-  }
 
   /** Shared span core of [[refreshRecomputeJoin]] and the streaming
     * maintainer — the non-additive sibling of [[foldJoinSpan]]: dirty
@@ -582,8 +590,13 @@ object MaterializedAgg {
     val imgIdx = names.indexOf(SnapshotTable.ImageCol)
     val sign = when(col(s"__mv_net_c$imgIdx") === "before", lit(-1L))
       .otherwise(lit(1L))
+    // resolve key names with the SESSION's resolver, not exact-case
+    // equality: a key declared as N_NAME over a column n_name resolves
+    // everywhere else (groupBy, keyExpr) under the default
+    // case-insensitive analysis and must resolve here too
+    val resolver = images.sparkSession.sessionState.conf.resolver
     val keyIdx = keys.map { k =>
-      val hits = names.indices.filter(i => names(i) == k)
+      val hits = names.indices.filter(i => resolver(names(i), k))
       require(hits.size == 1,
         s"group key '$k' resolves to ${hits.size} columns of the change " +
           "frame — group keys must be unambiguous")
@@ -664,13 +677,10 @@ object MaterializedAgg {
       val dirtyR = dirty.toDF(keys.map(k => s"__mv_dirty_$k"): _*)
       val cond = keys.map(k => source(k) <=> col(s"__mv_dirty_$k"))
         .reduce(_ && _)
-      val aggCols = aggs.map { case (n, e) => e.as(n) } :+
-        count(lit(1L)).as(CountCol)
-      val fresh = source
-        .join(hintSmall("recompute.semi", dirtyR, nDirty), cond, "left_semi")
-        .groupBy(keys.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-        .withColumn(KeyCol, keyExpr(keys))
+      val fresh = aggregateGroups(
+        source.join(hintSmall("recompute.semi", dirtyR, nDirty), cond,
+          "left_semi"),
+        keys, aggs)
       // a dirty key absent from `fresh` lost its last row: delete it.
       // Left-outer FROM the dirty keys, broadcasting `fresh` (when
       // small): both sides are O(changed groups), but only the

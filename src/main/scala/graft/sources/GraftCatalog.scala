@@ -254,9 +254,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                           changes: TableChange*): Table = {
     val snap = snapshotAt(ident)
     if (!snap.exists) throw new NoSuchTableException(ident)
+    // TWO passes: the first only COLLECTS (and rejects unsupported
+    // shapes), the second commits — so per-statement validation (the
+    // graft.mv.* merged-props check below) runs before ANY commit and
+    // a mixed ALTER can never half-apply a rename/drop/schema change
+    // and then throw
     val sets = scala.collection.mutable.Map.empty[String, String]
     val unsets = scala.collection.mutable.Buffer.empty[String]
     val adds = scala.collection.mutable.Buffer.empty[StructField]
+    val columnOps = scala.collection.mutable.Buffer.empty[() => Unit]
     changes.foreach {
       case s: TableChange.SetProperty =>
         sets += s.property -> s.value
@@ -279,24 +285,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft renames top-level columns only")
-        // one commit per rename: each validates against the then-
-        // current schema, and ALTER sends one change per statement
-        snap.renameColumn(r.fieldNames.head, r.newName)
+        // one commit per rename, in statement order: each validates
+        // against the then-current schema
+        columnOps += (() => snap.renameColumn(r.fieldNames.head, r.newName))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft drops top-level columns only")
-        snap.dropColumn(d.fieldNames.head)
+        columnOps += (() => snap.dropColumn(d.fieldNames.head))
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }
     // an ALTER that touches a materialized-view definition validates
-    // the MERGED property state, same fail-fast stance as CREATE —
-    // BEFORE any commit of this statement (a mixed ALTER carrying an
-    // ADD COLUMNS must not half-apply the schema and then throw)
+    // the MERGED property state, same fail-fast stance as CREATE
     if (sets.keys.exists(_.startsWith("graft.mv.")) ||
         unsets.exists(_.startsWith("graft.mv.")))
       graft.plans.MaterializedAgg.validateDefinitionProps(spark,
         snap.properties ++ sets -- unsets)
+    columnOps.foreach(_.apply())
     if (adds.nonEmpty)
       snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
     if (sets.nonEmpty || unsets.nonEmpty)

@@ -103,8 +103,8 @@ object ScaleSmoke {
 
     // ---- skew stress: Zipf-skewed join key, salted vs unsalted -------
     // The 13 entries above all join/aggregate on uniform TPC-H-ish
-    // keys; this one plants a genuinely hot key (50% of the fact on
-    // key 0, the rest uniform over the dim range — a degenerate Zipf)
+    // keys; this one plants a genuinely hot key (hotMod below: 1-in-5
+    // fact rows on key 0, the rest uniform over the dim range)
     // and times Skew.saltedEquiJoin against the plain equi-join on
     // IDENTICAL inputs at 1x and 10x. Both joins are pinned to
     // sort-merge (MERGE hint): the scenario being modeled is a dim too
