@@ -3119,10 +3119,14 @@ object Queries {
     * block's only nonzero coefficient is the DC, and the DC
     * quantization step divides it exactly, so the LOSSY codec
     * round-trips LOSSLESSLY on exactly this fixture — which is what
-    * lets DuckDB recompute every statistic in closed form. One payload
-    * per 50 docs has its first marker byte broken after encoding: the
-    * marker chain dies and every decoded field nulls out — corruption
-    * detected, not trusted. */
+    * lets DuckDB recompute every statistic in closed form. Odd
+    * doc_ids encode as 3-component COLOR (4:4:4 YCbCr) with R=G=B
+    * tiles — exact through the whole color transform too (the Y
+    * weights sum to 1, the chroma terms cancel to 128) — so ONE
+    * oracle covers both the grayscale and the color machinery. One
+    * payload per 50 docs has its first marker byte broken after
+    * encoding: the marker chain dies and every decoded field nulls
+    * out — corruption detected, not trusted. */
   def multimodalJpegPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
@@ -3137,7 +3141,12 @@ object Queries {
           val x = i % w; val y = i / w
           digest(((y / 8) * tw + x / 8) % 16)
         }
-        (id, Multimodal.jpegEncodeGray(w, h, pix))
+        val bytes =
+          if (Math.floorMod(id, 2) == 1)
+            Multimodal.jpegEncodeColor(w, h,
+              Array.tabulate(w * h * 3)(i => pix(i / 3)))
+          else Multimodal.jpegEncodeGray(w, h, pix)
+        (id, bytes)
       }
     }.toDF("media_id", "bytes")
     // break the 0xFF of the first marker after SOI (byte 3) — the

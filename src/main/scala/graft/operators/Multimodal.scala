@@ -16,15 +16,16 @@ import org.apache.spark.sql.types._
   * [[decodeWav]] — channels/sample-rate/bit-depth from the RIFF fmt
   * chunk) and PNG ([[pngBytes]]/[[decodePng]] — big-endian IHDR fields
   * with the chunk CRC32 recomputed and verified, not trusted).
-  * PIXEL/SAMPLE decode is REAL for BMP, WAV, PNG and baseline
-  * grayscale JPEG: BMP pixel rows and WAV PCM samples are plain
-  * bytes, PNG's only compression is DEFLATE — in the JDK — and the
-  * JPEG path ([[jpegEncodeGray]]/[[jpegDecodeGray]]) implements the
-  * spec's own arithmetic (forward/inverse DCT, quantization,
-  * canonical Huffman with byte stuffing) in ~300 lines of plain JVM
-  * code, validated against the JDK's own ImageIO decoder. Color JPEG
-  * (multi-component, subsampled) and video demuxing remain STUBBED
-  * (a full color codec is out of honest hand-written scope):
+  * PIXEL/SAMPLE decode is REAL for BMP, WAV, PNG and baseline JPEG
+  * (grayscale AND full-resolution 4:4:4 color): BMP pixel rows and
+  * WAV PCM samples are plain bytes, PNG's only compression is
+  * DEFLATE — in the JDK — and the JPEG path
+  * ([[jpegEncodeGray]]/[[jpegEncodeColor]]/[[jpegDecodeImage]])
+  * implements the spec's own arithmetic (forward/inverse DCT,
+  * quantization, canonical Huffman with byte stuffing, the JFIF
+  * YCbCr transform) in plain JVM code, validated against the JDK's
+  * own ImageIO decoder. Subsampled-chroma/progressive JPEG and video
+  * demuxing remain STUBBED (out of honest hand-written scope):
   * `stubDecode*` derive deterministic fake outputs from the bytes,
   * clearly marked below.
   * Everything around the stubs — schema, binary handling,
@@ -698,15 +699,87 @@ object Multimodal {
 
   private def bitLen(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
 
-  /** COMPLETE baseline grayscale JPEG encode: SOI, DQT, SOF0 (8-bit,
-    * one component), DHT (DC+AC), SOS, the real entropy-coded DCT
-    * data with 0xFF byte stuffing, EOI. Dimensions need not be
-    * multiples of 8 — edge pixels replicate into partial blocks, as
-    * the spec prescribes. `pix` is row-major unsigned grayscale. */
-  private[graft] def jpegEncodeGray(width: Int, height: Int,
-                                    pix: Array[Byte]): Array[Byte] = {
+  /** Forward DCT + quantize + Huffman-encode ONE 8x8 block of `plane`
+    * at (bx, by), edge pixels replicated; returns the new DC
+    * predictor. The single encode authority for every component. */
+  private def encodeBlock(bw: BitWriter, plane: Array[Byte],
+                          width: Int, height: Int, bx: Int, by: Int,
+                          pred: Int): Int = {
+    val block = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx + x, width - 1)
+        val sy = math.min(by + y, height - 1)
+        block(y * 8 + x) = (plane(sy * width + sx) & 0xFF) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    // forward DCT + quantization
+    val q = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var y2 = 0
+        while (y2 < 8) {
+          var x2 = 0
+          while (x2 < 8) {
+            sum += block(y2 * 8 + x2) * CosT(x2)(u) * CosT(y2)(v)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        val nat = v * 8 + u
+        q(nat) = Math.round(0.25 * Cu(u) * Cu(v) * sum / QTab(nat)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    // DC difference
+    val diff = q(0) - pred
+    val t = bitLen(math.abs(diff))
+    val (dc, dl) = DcCodes(t)
+    bw.write(dc, dl)
+    if (t > 0)
+      bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    // AC run-length
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val c = q(Zigzag(k))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { val (z, zl) = AcCodes(0xF0); bw.write(z, zl); run -= 16 }
+        val s = bitLen(math.abs(c))
+        val (ac, al) = AcCodes((run << 4) | s)
+        bw.write(ac, al)
+        bw.write(if (c < 0) c + (1 << s) - 1 else c, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (e, el) = AcCodes(0x00); bw.write(e, el) } // EOB
+    q(0)
+  }
+
+  /** COMPLETE baseline JPEG encode of 1 (grayscale) or 3 (YCbCr)
+    * planes at full resolution (4:4:4 — every component samples 0x11,
+    * so an MCU is one block per component): SOI, DQT, SOF0, DHT
+    * (DC+AC, shared by all components), SOS, the real entropy-coded
+    * DCT data with 0xFF byte stuffing, EOI. Dimensions need not be
+    * multiples of 8 — edge pixels replicate into partial blocks. */
+  private def jpegEncodePlanes(width: Int, height: Int,
+                               planes: Array[Array[Byte]]): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)
-    require(pix.length == width * height, "pix must be width*height bytes")
+    require(planes.length == 1 || planes.length == 3,
+      "grayscale or YCbCr only")
+    planes.foreach(p =>
+      require(p.length == width * height, "plane must be width*height bytes"))
+    val n = planes.length
     val out = new java.io.ByteArrayOutputStream(1024)
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -718,75 +791,24 @@ object Multimodal {
     marker(0xD8) // SOI
     seg(0xDB, 0x00 +: Zigzag.map(QTab)) // DQT: 8-bit table 0, zigzag order
     seg(0xC0, Array(8, height >>> 8, height & 0xFF, width >>> 8,
-      width & 0xFF, 1, 1, 0x11, 0)) // SOF0: 1 component, no subsampling
+      width & 0xFF, n) ++
+      (1 to n).flatMap(id => Seq(id, 0x11, 0))) // per-comp: id, 1x1, Q0
     seg(0xC4, 0x00 +: (DcBits ++ DcVals)) // DHT DC table 0
     seg(0xC4, 0x10 +: (AcBits ++ AcVals)) // DHT AC table 0
-    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    seg(0xDA, Array(n) ++ (1 to n).flatMap(id => Seq(id, 0x00)) ++
+      Array(0, 63, 0)) // SOS: every component uses DC0/AC0
     val bw = new BitWriter(out)
-    val block = new Array[Double](64)
-    var pred = 0
+    val preds = new Array[Int](n)
     var by = 0
     while (by < height) {
       var bx = 0
       while (bx < width) {
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx + x, width - 1)
-            val sy = math.min(by + y, height - 1)
-            block(y * 8 + x) = (pix(sy * width + sx) & 0xFF) - 128.0
-            x += 1
-          }
-          y += 1
+        var c = 0
+        while (c < n) {
+          preds(c) = encodeBlock(bw, planes(c), width, height, bx, by,
+            preds(c))
+          c += 1
         }
-        // forward DCT + quantization, emitted in zigzag order
-        val q = new Array[Int](64)
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var sum = 0.0
-            var y2 = 0
-            while (y2 < 8) {
-              var x2 = 0
-              while (x2 < 8) {
-                sum += block(y2 * 8 + x2) * CosT(x2)(u) * CosT(y2)(v)
-                x2 += 1
-              }
-              y2 += 1
-            }
-            val nat = v * 8 + u
-            q(nat) = Math.round(0.25 * Cu(u) * Cu(v) * sum / QTab(nat)).toInt
-            u += 1
-          }
-          v += 1
-        }
-        // DC difference
-        val diff = q(0) - pred
-        pred = q(0)
-        val t = bitLen(math.abs(diff))
-        val (dc, dl) = DcCodes(t)
-        bw.write(dc, dl)
-        if (t > 0)
-          bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        // AC run-length
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val c = q(Zigzag(k))
-          if (c == 0) run += 1
-          else {
-            while (run > 15) { val (z, zl) = AcCodes(0xF0); bw.write(z, zl); run -= 16 }
-            val s = bitLen(math.abs(c))
-            val (ac, al) = AcCodes((run << 4) | s)
-            bw.write(ac, al)
-            bw.write(if (c < 0) c + (1 << s) - 1 else c, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (e, el) = AcCodes(0x00); bw.write(e, el) } // EOB
         bx += 8
       }
       by += 8
@@ -794,6 +816,42 @@ object Multimodal {
     bw.flush()
     marker(0xD9) // EOI
     out.toByteArray
+  }
+
+  /** Baseline GRAYSCALE encode — see [[jpegEncodePlanes]]. */
+  private[graft] def jpegEncodeGray(width: Int, height: Int,
+                                    pix: Array[Byte]): Array[Byte] =
+    jpegEncodePlanes(width, height, Array(pix))
+
+  private def clamp255(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  /** Baseline COLOR encode: packed row-major RGB converted to YCbCr
+    * (the JFIF equations, rounded and clamped) and encoded 4:4:4 —
+    * full-resolution chroma, one block per component per MCU. Note
+    * the R=G=B special case is EXACT through the transform (the Y
+    * weights sum to 1, the chroma terms cancel to 128), which is what
+    * makes a lossless tile-constant fixture possible for a LOSSY
+    * color codec. */
+  private[graft] def jpegEncodeColor(width: Int, height: Int,
+                                     rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val yP = new Array[Byte](width * height)
+    val cbP = new Array[Byte](width * height)
+    val crP = new Array[Byte](width * height)
+    var i = 0
+    while (i < width * height) {
+      val r = rgb(3 * i) & 0xFF
+      val g = rgb(3 * i + 1) & 0xFF
+      val b = rgb(3 * i + 2) & 0xFF
+      yP(i) = clamp255(Math.round(0.299 * r + 0.587 * g + 0.114 * b)).toByte
+      cbP(i) = clamp255(Math.round(128.0 - 0.168736 * r - 0.331264 * g +
+        0.5 * b)).toByte
+      crP(i) = clamp255(Math.round(128.0 + 0.5 * r - 0.418688 * g -
+        0.081312 * b)).toByte
+      i += 1
+    }
+    jpegEncodePlanes(width, height, Array(yP, cbP, crP))
   }
 
   /** Canonical Huffman decode table (spec F.2.2.3 arrays). */
@@ -854,30 +912,43 @@ object Multimodal {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** REAL baseline grayscale JPEG decode down to pixels: marker walk,
-    * DQT (8-bit) and DHT (canonical) parses, SOF0 frame header, then
-    * the entropy-coded scan — Huffman DC/AC decode with 0xFF00
+  /** REAL baseline JPEG decode down to pixels: marker walk, DQT
+    * (8-bit) and DHT (canonical) parses, SOF0 frame header, then the
+    * entropy-coded scan — Huffman DC/AC decode with 0xFF00
     * unstuffing, dequantization, inverse zigzag, IDCT, level shift,
-    * clamp. None (never a throw) for anything outside the honest
-    * scope: multi-component color, progressive/extended SOFs,
-    * arithmetic coding, restart intervals, 16-bit tables, or any
-    * corruption that breaks the marker chain / Huffman stream. */
-  private[graft] def jpegDecodeGray(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Byte])] = {
-    try jpegDecodeGray0(bytes)
+    * clamp. Grayscale returns one plane; 4:4:4 YCbCr converts to
+    * packed RGB (JFIF equations). None (never a throw) for anything
+    * outside the honest scope: subsampled chroma (sampling specs
+    * other than 1x1), progressive/extended SOFs, arithmetic coding,
+    * restart intervals, 16-bit tables, or any corruption that breaks
+    * the marker chain / Huffman stream. Returns (width, height,
+    * nComponents, gray plane or packed RGB). */
+  private[graft] def jpegDecodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    try jpegDecode0(bytes)
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def jpegDecodeGray0(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Byte])] = {
+  /** GRAYSCALE-only view of [[jpegDecodeImage]] — None for color. */
+  private[graft] def jpegDecodeGray(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    jpegDecodeImage(bytes).collect { case (w, h, 1, pix) => (w, h, pix) }
+
+  private def jpegDecode0(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
         (bytes(1) & 0xFF) != 0xD8) return None
     var pos = 2
     val qt = Array.ofDim[Int](4, 64)
     val qtSeen = new Array[Boolean](4)
     val huff = Array.ofDim[HuffTable](2, 4)
-    var w = -1; var h = -1; var qId = -1
-    var dcId = -1; var acId = -1
+    var w = -1; var h = -1
+    var nComp = -1
+    var compIds: Array[Int] = null // SOF order
+    var compQ: Array[Int] = null // quant table per SOF component
+    var compDc: Array[Int] = null // DC table per SOF component (from SOS)
+    var compAc: Array[Int] = null
+    var scanOrder: Array[Int] = null // SOF indices in scan (= MCU) order
     var scanStart = -1
     while (scanStart < 0) {
       if (pos + 4 > bytes.length) return None
@@ -916,22 +987,46 @@ object Multimodal {
             p += 17 + nv
           }
         case 0xC0 => // SOF0, baseline
-          if (dEnd - d < 9) return None
+          if (dEnd - d < 6) return None
           if ((bytes(d) & 0xFF) != 8) return None // precision
           h = ((bytes(d + 1) & 0xFF) << 8) | (bytes(d + 2) & 0xFF)
           w = ((bytes(d + 3) & 0xFF) << 8) | (bytes(d + 4) & 0xFF)
-          if ((bytes(d + 5) & 0xFF) != 1) return None // grayscale only
-          if ((bytes(d + 7) & 0xFF) != 0x11) return None // no subsampling
-          qId = bytes(d + 8) & 0x0F
+          nComp = bytes(d + 5) & 0xFF
+          if (nComp != 1 && nComp != 3) return None // gray or YCbCr
+          if (dEnd - d < 6 + 3 * nComp) return None
+          compIds = new Array[Int](nComp)
+          compQ = new Array[Int](nComp)
+          var ci = 0
+          while (ci < nComp) {
+            compIds(ci) = bytes(d + 6 + 3 * ci) & 0xFF
+            // 4:4:4 only: any chroma subsampling changes the MCU
+            // layout this decoder does not implement — refuse loudly
+            if ((bytes(d + 7 + 3 * ci) & 0xFF) != 0x11) return None
+            compQ(ci) = bytes(d + 8 + 3 * ci) & 0x0F
+            ci += 1
+          }
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
              0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF | 0xCC =>
           return None // extended/progressive/lossless/arithmetic: refuse
         case 0xDD => // DRI: restart markers unsupported — refuse loudly
           if (((bytes(d) & 0xFF) << 8 | (bytes(d + 1) & 0xFF)) != 0) return None
-        case 0xDA => // SOS
-          if ((bytes(d) & 0xFF) != 1) return None
-          dcId = (bytes(d + 2) & 0xFF) >>> 4
-          acId = bytes(d + 2) & 0x0F
+        case 0xDA => // SOS: MCU component order IS the scan order
+          if (nComp < 0) return None // SOS before SOF
+          if ((bytes(d) & 0xFF) != nComp) return None // one full scan
+          if (dEnd - d < 1 + 2 * nComp) return None
+          compDc = new Array[Int](nComp)
+          compAc = new Array[Int](nComp)
+          scanOrder = new Array[Int](nComp)
+          var si = 0
+          while (si < nComp) {
+            val scanId = bytes(d + 1 + 2 * si) & 0xFF
+            val sofIdx = compIds.indexOf(scanId)
+            if (sofIdx < 0) return None // scan names an unknown component
+            scanOrder(si) = sofIdx
+            compDc(sofIdx) = (bytes(d + 2 + 2 * si) & 0xFF) >>> 4
+            compAc(sofIdx) = bytes(d + 2 + 2 * si) & 0x0F
+            si += 1
+          }
           scanStart = dEnd
         case 0xD9 => return None // EOI before any scan
         case _ => () // APPn / COM: skipped
@@ -939,88 +1034,122 @@ object Multimodal {
       pos = pos + 2 + len
     }
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
-    if (qId < 0 || !qtSeen(qId)) return None
-    val dcTab = huff(0)(dcId); val acTab = huff(1)(acId)
-    if (dcTab == null || acTab == null) return None
-    val q = qt(qId)
-    val out = new Array[Byte](w * h)
+    var ci = 0
+    while (ci < nComp) {
+      if (!qtSeen(compQ(ci))) return None
+      if (huff(0)(compDc(ci)) == null || huff(1)(compAc(ci)) == null)
+        return None
+      ci += 1
+    }
+    val planes = Array.fill(nComp)(new Array[Byte](w * h))
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
-    var pred = 0
+    val preds = new Array[Int](nComp)
     var by = 0
     while (by < h) {
       var bx = 0
       while (bx < w) {
-        java.util.Arrays.fill(coef, 0)
-        val t = decodeHuff(br, dcTab)
-        if (t < 0 || t > 11) return None
-        pred += extend(br.bits(t), t)
-        coef(0) = pred * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = decodeHuff(br, acTab)
-          if (rs < 0) return None
-          val r = rs >>> 4; val s = rs & 0x0F
-          if (s == 0) {
-            if (r == 15) k += 16 else k = 64 // ZRL / EOB
-          } else {
-            k += r
-            if (k > 63) return None
-            val nat = Zigzag(k)
-            coef(nat) = extend(br.bits(s), s) * q(nat)
-            k += 1
-          }
-        }
-        if (br.bad) return None
-        // IDCT + level shift + clamp, cropped to the image rectangle
-        var y = 0
-        while (y < 8 && by + y < h) {
-          var x = 0
-          while (x < 8 && bx + x < w) {
-            var sum = 0.0
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              while (u < 8) {
-                val c = coef(v * 8 + u)
-                if (c != 0) sum += Cu(u) * Cu(v) * c * CosT(x)(u) * CosT(y)(v)
-                u += 1
-              }
-              v += 1
+        var mi = 0
+        while (mi < nComp) {
+          val c = scanOrder(mi)
+          val q = qt(compQ(c))
+          java.util.Arrays.fill(coef, 0)
+          val t = decodeHuff(br, huff(0)(compDc(c)))
+          if (t < 0 || t > 11) return None
+          preds(c) += extend(br.bits(t), t)
+          coef(0) = preds(c) * q(0)
+          var k = 1
+          while (k < 64) {
+            val rs = decodeHuff(br, huff(1)(compAc(c)))
+            if (rs < 0) return None
+            val r = rs >>> 4; val s = rs & 0x0F
+            if (s == 0) {
+              if (r == 15) k += 16 else k = 64 // ZRL / EOB
+            } else {
+              k += r
+              if (k > 63) return None
+              val nat = Zigzag(k)
+              coef(nat) = extend(br.bits(s), s) * q(nat)
+              k += 1
             }
-            val p = Math.round(0.25 * sum + 128.0).toInt
-            out((by + y) * w + bx + x) =
-              (if (p < 0) 0 else if (p > 255) 255 else p).toByte
-            x += 1
           }
-          y += 1
+          if (br.bad) return None
+          // IDCT + level shift + clamp, cropped to the image rectangle
+          val plane = planes(c)
+          var y = 0
+          while (y < 8 && by + y < h) {
+            var x = 0
+            while (x < 8 && bx + x < w) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val cf = coef(v * 8 + u)
+                  if (cf != 0)
+                    sum += Cu(u) * Cu(v) * cf * CosT(x)(u) * CosT(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val p = Math.round(0.25 * sum + 128.0).toInt
+              plane((by + y) * w + bx + x) =
+                (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+              x += 1
+            }
+            y += 1
+          }
+          mi += 1
         }
         bx += 8
       }
       by += 8
     }
-    Some((w, h, out))
+    if (nComp == 1) return Some((w, h, 1, planes(0)))
+    // YCbCr -> packed RGB (JFIF inverse equations, rounded + clamped)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val y = planes(0)(i) & 0xFF
+      val cb = (planes(1)(i) & 0xFF) - 128
+      val cr = (planes(2)(i) & 0xFF) - 128
+      rgb(3 * i) = clamp255(Math.round(y + 1.402 * cr)).toByte
+      rgb(3 * i + 1) =
+        clamp255(Math.round(y - 0.344136 * cb - 0.714136 * cr)).toByte
+      rgb(3 * i + 2) = clamp255(Math.round(y + 1.772 * cb)).toByte
+      i += 1
+    }
+    Some((w, h, 3, rgb))
   }
 
-  /** Grayscale JPEG pixels down to the SHARED image-stats layout
-    * ([[bmpPixelStats]]'s): gray replicates across the b/g/r slots
-    * (luma of (v,v,v) is v, so the histogram is the gray histogram).
-    * None for anything [[jpegDecodeGray]] refuses. */
+  /** JPEG pixels down to the SHARED image-stats layout
+    * ([[bmpPixelStats]]'s [b,g,r] slots): color images report
+    * per-channel stats over the decoded RGB; grayscale replicates
+    * across the slots (luma of (v,v,v) is v, so the histogram is the
+    * gray histogram). None for anything [[jpegDecodeImage]]
+    * refuses. */
   private[graft] def jpegPixelStats(bytes: Array[Byte])
       : Option[(Array[Long], Array[Long])] =
-    jpegDecodeGray(bytes).map { case (w, h, pix) =>
-      // pix is never empty: jpegDecodeGray refuses w <= 0 || h <= 0
-      var sum = 0L; var min = 255L; var max = 0L
+    jpegDecodeImage(bytes).map { case (w, h, nComp, pix) =>
+      // pix is never empty: the decoder refuses w <= 0 || h <= 0
+      val stats = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
       val hist = new Array[Long](8)
       var i = 0
       while (i < pix.length) {
-        val v = pix(i) & 0xFF
-        sum += v; if (v < min) min = v; if (v > max) max = v
-        hist(math.min(7, v / 32)) += 1
-        i += 1
+        val r = pix(i) & 0xFF
+        val g = if (nComp == 3) pix(i + 1) & 0xFF else r
+        val b = if (nComp == 3) pix(i + 2) & 0xFF else r
+        stats(0) += b; if (b < stats(1)) stats(1) = b
+        if (b > stats(2)) stats(2) = b
+        stats(3) += g; if (g < stats(4)) stats(4) = g
+        if (g > stats(5)) stats(5) = g
+        stats(6) += r; if (r < stats(7)) stats(7) = r
+        if (r > stats(8)) stats(8) = r
+        hist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
+        i += nComp
       }
-      (Array(sum, min, max, sum, min, max, sum, min, max, w.toLong * h),
-        hist)
+      stats(9) = w.toLong * h
+      (stats, hist)
     }
 
   private val imageStatsType = StructType(Seq(
