@@ -3107,9 +3107,10 @@ object Queries {
       jpg.getField("n_components").as("n_components"))
   }
 
-  /** Baseline GRAYSCALE JPEG write→decode round-trip down to the
-    * PIXELS: per-doc JPEGs are encoded for real
-    * ([[Multimodal.jpegEncodeGray]] — forward DCT, quantization,
+  /** Baseline JPEG write→decode round-trip down to the PIXELS, in
+    * BOTH the grayscale and the 4:4:4 color form: per-doc JPEGs are
+    * encoded for real ([[Multimodal.jpegEncodeGray]] /
+    * [[Multimodal.jpegEncodeColor]] — forward DCT, quantization,
     * canonical Huffman with byte stuffing) and decoded back two
     * independent ways: frame-header fields via the column-algebra
     * segment walk ([[Multimodal.decodeJpeg]]) and pixel statistics via

@@ -612,15 +612,15 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // JPEG: real BASELINE GRAYSCALE encode (forward DCT, quantization,
-  // zigzag, canonical Huffman with byte stuffing) and real decode
-  // (marker walk, DQT/DHT parse, entropy decode, dequant, IDCT). No
-  // external codec: the arithmetic is the JPEG spec's own, in plain
-  // JVM doubles. Color (multi-component, chroma subsampling) and
-  // progressive scans are refused loudly — baseline single-component
-  // only; that is the honest scope a hand-written ~300-line codec can
-  // claim, and it upgrades JPEG from header-only to pixel-exact for
-  // grayscale payloads. Video demuxing remains the one stubbed codec.
+  // JPEG: real BASELINE encode (forward DCT, quantization, zigzag,
+  // canonical Huffman with byte stuffing; grayscale or 4:4:4 YCbCr
+  // color via the JFIF transform) and real decode (marker walk,
+  // DQT/DHT parse, per-component entropy decode, dequant, IDCT,
+  // inverse color transform). No external codec: the arithmetic is
+  // the JPEG spec's own, in plain JVM doubles. Chroma subsampling,
+  // progressive scans, and non-JFIF color spaces are refused loudly —
+  // that is the honest scope a hand-written codec can claim. Video
+  // demuxing remains the one stubbed codec.
   // ---------------------------------------------------------------
 
   /** Natural (row-major) coefficient index per zigzag position —
@@ -704,8 +704,8 @@ object Multimodal {
     * predictor. The single encode authority for every component. */
   private def encodeBlock(bw: BitWriter, plane: Array[Byte],
                           width: Int, height: Int, bx: Int, by: Int,
-                          pred: Int): Int = {
-    val block = new Array[Double](64)
+                          pred: Int, block: Array[Double],
+                          q: Array[Int]): Int = {
     var y = 0
     while (y < 8) {
       var x = 0
@@ -718,7 +718,6 @@ object Multimodal {
       y += 1
     }
     // forward DCT + quantization
-    val q = new Array[Int](64)
     var v = 0
     while (v < 8) {
       var u = 0
@@ -799,6 +798,10 @@ object Multimodal {
       Array(0, 63, 0)) // SOS: every component uses DC0/AC0
     val bw = new BitWriter(out)
     val preds = new Array[Int](n)
+    // scratch shared across every block: the hot loop must not churn
+    // a fresh 64-double + 64-int pair per 8x8 block
+    val block = new Array[Double](64)
+    val q = new Array[Int](64)
     var by = 0
     while (by < height) {
       var bx = 0
@@ -806,7 +809,7 @@ object Multimodal {
         var c = 0
         while (c < n) {
           preds(c) = encodeBlock(bw, planes(c), width, height, bx, by,
-            preds(c))
+            preds(c), block, q)
           c += 1
         }
         bx += 8
@@ -1027,13 +1030,22 @@ object Multimodal {
             compAc(sofIdx) = bytes(d + 2 + 2 * si) & 0x0F
             si += 1
           }
+          // a duplicated scan component would decode one plane twice
+          // and leave another all-zero — garbage surfaced as stats;
+          // the spec forbids it, so refuse rather than trust
+          if (scanOrder.distinct.length != nComp) return None
           scanStart = dEnd
         case 0xD9 => return None // EOI before any scan
         case _ => () // APPn / COM: skipped
       }
       pos = pos + 2 + len
     }
-    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
+    // fence TOTAL allocation (all planes + the packed RGB output):
+    // a crafted ~150-byte header must not force gigabytes of buffers
+    // before any entropy data is validated — OutOfMemoryError is not
+    // NonFatal and would fail the task, not degrade to None
+    if (w <= 0 || h <= 0 || w.toLong * h * 2 * nComp > (1L << 28))
+      return None
     var ci = 0
     while (ci < nComp) {
       if (!qtSeen(compQ(ci))) return None
@@ -1106,6 +1118,12 @@ object Multimodal {
       by += 8
     }
     if (nComp == 1) return Some((w, h, 1, planes(0)))
+    // only the JFIF YCbCr convention (component ids 1,2,3) may take
+    // the color inverse: an Adobe-style 4:4:4 RGB JPEG (ids 'R','G',
+    // 'B') run through these equations would yield silently garbled
+    // stats — refuse loudly instead
+    if (!(compIds(0) == 1 && compIds(1) == 2 && compIds(2) == 3))
+      return None
     // YCbCr -> packed RGB (JFIF inverse equations, rounded + clamped)
     val rgb = new Array[Byte](w * h * 3)
     var i = 0

@@ -459,6 +459,41 @@ class MultimodalSpec extends SparkSpec {
     assert(gs.sameElements(st), "gray and gray-as-color stats must agree")
   }
 
+  test("jpegDecodeImage refuses crafted color shapes: duplicate scan " +
+      "components, non-JFIF ids, allocation-bomb headers") {
+    val gray = tilePix(16, 16, Array(10, 200, 30, 90))
+    val rgb = Array.tabulate(16 * 16 * 3)(i => gray(i / 3))
+    val good = Multimodal.jpegEncodeColor(16, 16, rgb)
+    assert(Multimodal.jpegDecodeImage(good).isDefined)
+    def findMarker(b: Array[Byte], m: Int): Int =
+      (0 until b.length - 1).find(i =>
+        (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == m).get
+    // duplicate scan component: one plane would decode twice, another
+    // stay all-zero — garbage that must be refused, not surfaced
+    val dupScan = good.clone()
+    val sos = findMarker(dupScan, 0xDA)
+    dupScan(sos + 7) = 1 // second scan component id 2 -> 1
+    assert(Multimodal.jpegDecodeImage(dupScan).isEmpty,
+      "duplicate scan component not refused")
+    // non-JFIF component ids ('R','G','B'): running the YCbCr inverse
+    // over RGB planes would silently garble every stat
+    val rgbIds = good.clone()
+    val sof = findMarker(rgbIds, 0xC0)
+    rgbIds(sof + 10) = 'R'.toByte; rgbIds(sof + 13) = 'G'.toByte
+    rgbIds(sof + 16) = 'B'.toByte
+    rgbIds(sos + 5) = 'R'.toByte; rgbIds(sos + 7) = 'G'.toByte
+    rgbIds(sos + 9) = 'B'.toByte
+    assert(Multimodal.jpegDecodeImage(rgbIds).isEmpty,
+      "non-JFIF color space not refused")
+    // allocation bomb: a ~300-byte header declaring 16384x16384x3 must
+    // refuse BEFORE allocating gigabytes of planes
+    val bomb = good.clone()
+    bomb(sof + 5) = 0x40; bomb(sof + 6) = 0 // height 16384
+    bomb(sof + 7) = 0x40; bomb(sof + 8) = 0 // width 16384
+    assert(Multimodal.jpegDecodeImage(bomb).isEmpty,
+      "oversized header not fenced")
+  }
+
   test("jpegDecodeGray refuses corruption and out-of-scope shapes") {
     val pix = tilePix(16, 16, Array(10, 200, 30, 90))
     val good = Multimodal.jpegEncodeGray(16, 16, pix)
