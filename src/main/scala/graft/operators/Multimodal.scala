@@ -1184,7 +1184,8 @@ object Multimodal {
 
   /** Append a nullable `image_stats` struct to `df`, decoded FOR REAL
     * from the payload column: BMP pixel rows, PNG (inflate + filter
-    * reversal), or baseline grayscale JPEG (Huffman + IDCT) — see
+    * reversal), or baseline JPEG, grayscale or color, including
+    * chroma-subsampled scans (Huffman + IDCT) — see
     * [[bmpPixelStats]]/[[pngPixelStats]]/[[jpegPixelStats]].
     * Per-partition batched like [[extractFeatures]]; undecodable
     * payloads yield a null struct, never a failure. */
@@ -1258,8 +1259,8 @@ object Multimodal {
             Row(id, kind, feats.toSeq, null, Row(a(0), a(1), a(2), a(3)))
           case _ =>
             // ---- STUB ---- deterministic fake features from byte
-            // content — the no-codec-available path (color JPEG,
-            // video frames)
+            // content — the no-codec-available path (progressive
+            // JPEG, video frames)
             val feats = Array.tabulate(8) { i =>
               var acc = 1125899906842597L
               var j = i

@@ -1203,7 +1203,13 @@ final class SnapshotTable(
       val chunks = allChunks.filter { case (n, _) => wanted(n) }
       // per-column NULL COUNTS for every TOP-LEVEL primitive column
       // (footer-exact, same read) — what answers `count(col)` from the
-      // manifest. Top-level only: a dotted path is a nested LEAF, and
+      // manifest. Deliberately NOT limited to statsCols: count(col)
+      // targets are unknowable at create time, and the cost is one
+      // short key per column per file entry — accepted trade-off vs a
+      // `count(col)` that only works on pre-declared columns (a very
+      // wide table that cares can declare statsCols and gets minmax
+      // confined to them either way). Top-level only: a dotted path
+      // is a nested LEAF, and
       // its leaf null count conflates parent-null with leaf-null (a
       // struct can be non-null with null leaves), so `count(struct)`
       // is not derivable from it. A chunk without a recorded null
@@ -1421,7 +1427,8 @@ final class SnapshotTable(
   private def stripColumnStats(entries: Seq[FileEntry],
                                name: String): Seq[FileEntry] =
     entries.map(e =>
-      e.copy(stats = e.stats - name - FileEntry.bloomKey(name)))
+      e.copy(stats = e.stats - name - FileEntry.bloomKey(name) -
+        FileEntry.nullsKey(name)))
 
   /** Delta `ALTER TABLE RENAME COLUMN` analog, METADATA-ONLY: the
     * field keeps its parquet id and changes its logical name — zero

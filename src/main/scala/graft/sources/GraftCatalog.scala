@@ -255,10 +255,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val snap = snapshotAt(ident)
     if (!snap.exists) throw new NoSuchTableException(ident)
     // TWO passes: the first only COLLECTS (and rejects unsupported
-    // shapes), the second commits — so per-statement validation (the
-    // graft.mv.* merged-props check below) runs before ANY commit and
-    // a mixed ALTER can never half-apply a rename/drop/schema change
-    // and then throw
+    // shapes), the second commits — so collection-time rejections and
+    // per-statement validation (the graft.mv.* merged-props check
+    // below) run before ANY commit. Atomicity is per-CHANGE, not
+    // per-statement: each rename/drop commits individually and runs
+    // its own validation, so a multi-rename ALTER whose LATER change
+    // fails execution-time validation leaves the earlier renames
+    // committed.
     val sets = scala.collection.mutable.Map.empty[String, String]
     val unsets = scala.collection.mutable.Buffer.empty[String]
     val adds = scala.collection.mutable.Buffer.empty[StructField]

@@ -243,6 +243,37 @@ class MetadataOnlyCountSpec extends SparkSpec {
       "runtime-narrowed scan still claims the whole-snapshot exact count")
   }
 
+  test("count(col) never uses a stale null count after drop/re-add or rename") {
+    withRule {
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      // id-mapped table: v null on every other row — old files record
+      // a nonzero 'nulls:v' that must NOT survive the column's death
+      val path = Files.createTempDirectory("graft_metanulldrop").toString + "/t"
+      val t = SnapshotTable(spark, path, "id",
+        tableProps = Map(SnapshotTable.MappingProp -> "id"))
+      t.create((1 to 100).map(i => (i.toLong,
+        if (i % 2 == 0) null else s"v$i", i)).toDF("id", "v", "u"))
+      t.dropColumn("v")
+      t.evolveTo(StructType(t.read.schema.fields :+
+        StructField("v", StringType)))
+      t.append(Seq((101L, 101, "fresh")).toDF("id", "u", "v"))
+      // old files read all-NULL for the fresh field id; a stale
+      // 'nulls:v' (50) would make the rule answer 100-50+1 = 51
+      val df = spark.read.format("graft").load(path)
+        .agg(count(col("v")).as("nv"))
+      assert(df.head().getLong(0) == 1L,
+        "stale null count survived DROP + re-ADD")
+      // rename that reuses the old name: v2 -> v must not inherit the
+      // dead v's stats either
+      t.renameColumn("v", "v2")
+      t.renameColumn("u", "v")
+      val renamed = spark.read.format("graft").load(path)
+        .agg(count(col("v")).as("nv"))
+      assert(renamed.head().getLong(0) == 101L,
+        "stale null count survived a rename into the old name")
+    }
+  }
+
   test("manifests predating row counts fall back to the scan") {
     import graft.plans.SnapshotTable.FileEntry
     val withRows = FileEntry("a.parquet",
