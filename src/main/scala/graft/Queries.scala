@@ -3181,6 +3181,75 @@ object Queries {
       element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
+  /** FOREIGN chroma-subsampled JPEG decode: the fixtures are encoded
+    * by the JDK's OWN ImageIO writer ([[Multimodal.jdkJpegEncode]]) —
+    * not by this engine — with the luma sampling factors cycled
+    * through 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 by doc_id, i.e. the MCU
+    * geometries every real-world JPEG producer emits (4:2:0 is the
+    * JDK's and libjpeg's default). The query then PROVES the
+    * subsampling from the bytes themselves
+    * ([[Multimodal.jpegLumaSampling]] reads the frame header's packed
+    * H/V byte) and pixel-decodes through
+    * [[Multimodal.jpegDecodeImage]]'s interleaved-MCU walk + fancy
+    * chroma upsampling. The pixel area is 8x8-tile-constant
+    * gray-as-color from md5(doc_id) — exact through the whole foreign
+    * pipeline (Y weights sum to 1 and chroma cancels to 128 in
+    * libjpeg's fixed-point forward transform; constant blocks carry
+    * only a DC that the default-quality quant step 8 divides; constant
+    * chroma is invariant under any down/upsampling) — so DuckDB
+    * recomputes every statistic in closed form. Every 50th payload
+    * gets its first post-SOI marker byte broken: sampling byte, dims,
+    * and stats must all null out — corruption detected, not trusted. */
+  def multimodalJpegForeign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val tw = Math.floorMod(id, 4).toInt + 1
+        val th = Math.floorMod(id, 3).toInt + 1
+        val w = 8 * tw; val h = 8 * th
+        val rgb = Array.tabulate(w * h * 3) { j =>
+          val i = j / 3
+          val x = i % w; val y = i / w
+          digest(((y / 8) * tw + x / 8) % 16)
+        }
+        val (lh, lv) = Math.floorMod(id, 4) match {
+          case 0 => (2, 2) // 4:2:0 — the default everywhere
+          case 1 => (2, 1) // 4:2:2
+          case 2 => (1, 2) // 4:4:0
+          case _ => (4, 1) // 4:1:1
+        }
+        (id, Multimodal.jdkJpegEncode(w, h, rgb, lh, lv))
+      }
+    }.toDF("media_id", "bytes")
+    // break the 0xFF of the first marker after SOI (byte 3) — the
+    // segment walk must refuse the whole payload, sampling included
+    val corrupted = concat(
+      substring(col("bytes"), 1, 2), unhex(lit("7F")),
+      col("bytes").substr(lit(4), length(col("bytes")) - 3))
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0, corrupted)
+        .otherwise(col("bytes")).as("bytes"))
+    val jpg = Multimodal.decodeJpeg(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      jpg.getField("width").as("width"),
+      jpg.getField("height").as("height"),
+      Multimodal.jpegLumaSampling(col("bytes")).as("samp"),
+      col("bytes"))
+    Multimodal.withImageStats(headered, "bytes").select(
+      col("media_id"), col("width"), col("height"), col("samp"),
+      col("image_stats.g_sum").as("g_sum"),
+      col("image_stats.g_min").as("g_min"),
+      col("image_stats.g_max").as("g_max"),
+      col("image_stats.n_px").as("n_px"),
+      element_at(col("image_stats.luma_hist"), 1).as("h0"),
+      element_at(col("image_stats.luma_hist"), 4).as("h3"),
+      element_at(col("image_stats.luma_hist"), 8).as("h7"))
+  }
+
   /** Batched per-partition feature extraction over media bytes
     * (mapPartitions), now with REAL pixel/sample decode for the
     * codec-free containers: image payloads are BMPs and audio payloads
@@ -3358,6 +3427,7 @@ object Queries {
     "multimodal_png" -> (multimodalPng _),
     "multimodal_jpeg" -> (multimodalJpeg _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
+    "multimodal_jpeg_foreign" -> (multimodalJpegForeign _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -4728,6 +4798,51 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h4 END AS h4,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h5 END AS h5,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h6 END AS h6,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h7 END AS h7
+        |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
+    // closed-form recomputation of the FOREIGN (JDK-encoded,
+    // chroma-subsampled) JPEG decode: the pixel area is the same
+    // md5-tile fixture as multimodal_jpeg_pixels — lossless through
+    // the foreign encoder at default quality — and the sampling byte
+    // the engine reads out of the frame header must equal the shape
+    // the fixture requested (0x22/0x21/0x12/0x41 by doc_id % 4).
+    // Every 50th doc is corrupted after encoding: all fields NULL.
+    "multimodal_jpeg_foreign" ->
+      """WITH sz AS (
+        |  SELECT doc_id, (doc_id % 4 + 1) AS tw, (doc_id % 3 + 1) AS th,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, tw, th, unnest(range(tw * th)) AS t, hex FROM sz),
+        |vals AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2 * (t % 16) + 1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2 * (t % 16) + 2 AS INT), 1)) - 1 AS v
+        |  FROM tiles),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(v AS BIGINT)) * 64 AS BIGINT) AS g_sum,
+        |    CAST(min(v) AS BIGINT) AS g_min,
+        |    CAST(max(v) AS BIGINT) AS g_max,
+        |    CAST(count(*) * 64 AS BIGINT) AS n_px,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 0) AS BIGINT) AS h0,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 3) AS BIGINT) AS h3,
+        |    CAST(64 * count(*) FILTER (WHERE v // 32 = 7) AS BIGINT) AS h7
+        |  FROM vals GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.tw * 8 AS INTEGER) END AS width,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.th * 8 AS INTEGER) END AS height,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(CASE s.doc_id % 4
+        |    WHEN 0 THEN 34 WHEN 1 THEN 33 WHEN 2 THEN 18 ELSE 65 END
+        |    AS INTEGER) END AS samp,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.n_px END AS n_px,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h0 END AS h0,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h3 END AS h3,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h7 END AS h7
         |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
     // REAL pixel/sample decode, recomputed in closed form: the BMP

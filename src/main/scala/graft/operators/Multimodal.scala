@@ -17,14 +17,17 @@ import org.apache.spark.sql.types._
   * chunk) and PNG ([[pngBytes]]/[[decodePng]] — big-endian IHDR fields
   * with the chunk CRC32 recomputed and verified, not trusted).
   * PIXEL/SAMPLE decode is REAL for BMP, WAV, PNG and baseline JPEG
-  * (grayscale AND full-resolution 4:4:4 color): BMP pixel rows and
+  * (grayscale, 4:4:4 color, AND the chroma-subsampled scans real
+  * producers emit — 4:2:0/4:2:2/4:4:0/4:1:1): BMP pixel rows and
   * WAV PCM samples are plain bytes, PNG's only compression is
   * DEFLATE — in the JDK — and the JPEG path
   * ([[jpegEncodeGray]]/[[jpegEncodeColor]]/[[jpegDecodeImage]])
   * implements the spec's own arithmetic (forward/inverse DCT,
   * quantization, canonical Huffman with byte stuffing, the JFIF
-  * YCbCr transform) in plain JVM code, validated against the JDK's
-  * own ImageIO decoder. Subsampled-chroma/progressive JPEG and video
+  * YCbCr transform, interleaved-MCU subsampled scans with
+  * libjpeg-parity fancy upsampling) in plain JVM code, validated
+  * against the JDK's own ImageIO decoder — including on
+  * JDK-ImageIO-ENCODED foreign fixtures. Progressive JPEG and video
   * demuxing remain STUBBED (out of honest hand-written scope):
   * `stubDecode*` derive deterministic fake outputs from the bytes,
   * clearly marked below.
@@ -261,6 +264,21 @@ object Multimodal {
         asInt(beAtDyn(bytes, sof + 5, 2)).as("height"),
         asInt(beAtDyn(bytes, sof + 4, 1)).as("bit_depth"),
         asInt(beAtDyn(bytes, sof + 9, 1)).as("n_components")))
+  }
+
+  /** The luma component's packed sampling byte (H<<4 | V) straight
+    * from the frame header — 0x22 is 4:2:0, 0x21 4:2:2, 0x12 4:4:0,
+    * 0x11 4:4:4. Column algebra over the same segment walk as
+    * [[decodeJpeg]]; null when no frame header is reachable
+    * (non-JPEG or corrupted payloads). What lets a query PROVE its
+    * fixtures are foreign-subsampled rather than assume it. */
+  def jpegLumaSampling(bytes: Column): Column = {
+    val sof = jpegSofOffset(bytes)
+    when(length(bytes) >= 4 &&
+         substring(bytes, 1, 2) ===
+           lit(Array(0xFF, 0xD8).map(_.toByte)) &&
+         sof.isNotNull && (sof + 11) <= length(bytes),
+      asInt(beAtDyn(bytes, sof + 11, 1)))
   }
 
   /** Typed metadata carried beside the payload. */
@@ -615,12 +633,13 @@ object Multimodal {
   // JPEG: real BASELINE encode (forward DCT, quantization, zigzag,
   // canonical Huffman with byte stuffing; grayscale or 4:4:4 YCbCr
   // color via the JFIF transform) and real decode (marker walk,
-  // DQT/DHT parse, per-component entropy decode, dequant, IDCT,
-  // inverse color transform). No external codec: the arithmetic is
-  // the JPEG spec's own, in plain JVM doubles. Chroma subsampling,
-  // progressive scans, and non-JFIF color spaces are refused loudly —
-  // that is the honest scope a hand-written codec can claim. Video
-  // demuxing remains the one stubbed codec.
+  // DQT/DHT parse, per-component entropy decode — interleaved MCUs
+  // with per-component sampling factors — dequant, IDCT, fancy
+  // chroma upsampling, inverse color transform). No external codec:
+  // the arithmetic is the JPEG spec's own, in plain JVM doubles.
+  // Progressive scans, restart intervals, and non-JFIF color spaces
+  // are refused loudly — that is the honest scope a hand-written
+  // codec can claim. Video demuxing remains the one stubbed codec.
   // ---------------------------------------------------------------
 
   /** Natural (row-major) coefficient index per zigzag position —
@@ -857,6 +876,59 @@ object Multimodal {
     jpegEncodePlanes(width, height, Array(yP, cbP, crP))
   }
 
+  /** FOREIGN-fixture encoder: packed RGB through the JDK's OWN
+    * ImageIO JPEG writer (libjpeg), with the LUMA sampling factors
+    * forced through the native metadata tree — the one knob ImageIO
+    * exposes for emitting 4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 streams. The
+    * point is that the bytes are NOT this engine's output: they are
+    * what any real-world producer emits (the JDK's default is 4:2:0),
+    * so decoding them exercises [[jpegDecodeImage]]'s subsampled-MCU
+    * walk against an independent encoder. Default quality (0.75)
+    * keeps the luminance DC quantization step at 8, which divides a
+    * constant block's DC exactly — the tile-constant-oracle trick
+    * extends unchanged to foreign bytes. */
+  private[graft] def jdkJpegEncode(width: Int, height: Int,
+                                   rgb: Array[Byte],
+                                   lumaH: Int, lumaV: Int): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xFF) << 16) |
+          ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_jpeg_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val comp = root.getElementsByTagName("sof").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("componentSpec").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      comp.setAttribute("HsamplingFactor", lumaH.toString)
+      comp.setAttribute("VsamplingFactor", lumaV.toString)
+      md.setFromTree(fmt, root)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, md), param)
+      ios.flush()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
   /** Canonical Huffman decode table (spec F.2.2.3 arrays). */
   private final class HuffTable(bits: Array[Int], val vals: Array[Int]) {
     val count: Array[Int] = new Array[Int](17)
@@ -915,17 +987,131 @@ object Multimodal {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Crop-and-upsample one decoded component plane to the full image
+    * rectangle. `plane` is the PADDED block grid (`planeW` wide);
+    * `inW` x `inH` is the component's true downsampled extent — the
+    * padding to its right/bottom is encoder filler and never read.
+    * The 2x axes use the triangular ("fancy") filter from libjpeg's
+    * jdsample.c — 3/4-1/4 weighting with edge replication, the same
+    * arithmetic the JDK's bundled decoder runs by default, so
+    * subsampled-chroma pixels agree with `ImageIO.read` up to IDCT
+    * rounding. The vertical-only 2x (4:4:0) gets libjpeg-turbo's
+    * h1v2 triangular filter — what the platform JDK links — and the
+    * remaining integer ratios (4x) use box replication
+    * (int_upsample), same as libjpeg. */
+  private def upsamplePlane(plane: Array[Byte], planeW: Int,
+                            inW: Int, inH: Int, outW: Int, outH: Int,
+                            rh: Int, rv: Int): Array[Byte] = {
+    if (rh == 1 && rv == 1 && planeW == outW && plane.length == outW * outH)
+      return plane
+    val out = new Array[Byte](outW * outH)
+    def in(x: Int, y: Int): Int = plane(y * planeW + x) & 0xFF
+    if (rh == 1 && rv == 1) { // crop only
+      var y = 0
+      while (y < outH) {
+        System.arraycopy(plane, y * planeW, out, y * outW, outW)
+        y += 1
+      }
+    } else if (rh == 2 && (rv == 1 || rv == 2)) {
+      // h2v1/h2v2 fancy: per output row, build the column sums
+      // (3*near + far vertical weighting for v2; the row itself for
+      // v1), then expand horizontally with the 3:1 triangular filter
+      val colSum = new Array[Int](inW)
+      val (mul, half0, half1, shift) =
+        if (rv == 1) (1, 1, 2, 2) else (1, 8, 7, 4)
+      var yo = 0
+      while (yo < outH) {
+        val r = if (rv == 1) math.min(yo, inH - 1) else math.min(yo >> 1, inH - 1)
+        if (rv == 1) {
+          var i = 0
+          while (i < inW) { colSum(i) = in(i, r); i += 1 }
+        } else {
+          val n = if ((yo & 1) == 0) math.max(r - 1, 0)
+                  else math.min(r + 1, inH - 1)
+          var i = 0
+          while (i < inW) { colSum(i) = 3 * in(i, r) + in(i, n); i += 1 }
+        }
+        val base = yo * outW
+        if (inW == 1) {
+          val v0 = ((colSum(0) * 4 * mul + half0) >> shift).toByte
+          val v1 = ((colSum(0) * 4 * mul + half1) >> shift).toByte
+          out(base) = if (rv == 1) colSum(0).toByte else v0
+          if (outW > 1) out(base + 1) = if (rv == 1) colSum(0).toByte else v1
+        } else {
+          // first/last columns replicate the edge; interior is
+          // (3*this + neighbor + rounding) per libjpeg
+          def put(x: Int, v: Int): Unit =
+            if (x < outW) out(base + x) = v.toByte
+          if (rv == 1) {
+            put(0, colSum(0))
+            put(1, (colSum(0) * 3 + colSum(1) + 2) >> 2)
+          } else {
+            put(0, (colSum(0) * 4 + 8) >> 4)
+            put(1, (colSum(0) * 3 + colSum(1) + 7) >> 4)
+          }
+          var i = 1
+          while (i < inW - 1) {
+            put(2 * i, (colSum(i) * 3 + colSum(i - 1) + half0) >> shift)
+            put(2 * i + 1, (colSum(i) * 3 + colSum(i + 1) + half1) >> shift)
+            i += 1
+          }
+          val l = inW - 1
+          put(2 * l, (colSum(l) * 3 + colSum(l - 1) + half0) >> shift)
+          if (rv == 1) put(2 * l + 1, colSum(l))
+          else put(2 * l + 1, (colSum(l) * 4 + 7) >> 4)
+        }
+        yo += 1
+      }
+    } else if (rh == 1 && rv == 2) {
+      // h1v2 fancy (libjpeg-turbo): vertical triangular only —
+      // out = (3*near + far + bias) >> 2, bias 1 above / 2 below
+      var yo = 0
+      while (yo < outH) {
+        val r = math.min(yo >> 1, inH - 1)
+        val n = if ((yo & 1) == 0) math.max(r - 1, 0)
+                else math.min(r + 1, inH - 1)
+        val bias = if ((yo & 1) == 0) 1 else 2
+        val base = yo * outW
+        var xo = 0
+        while (xo < outW) {
+          out(base + xo) = ((3 * in(xo, r) + in(xo, n) + bias) >> 2).toByte
+          xo += 1
+        }
+        yo += 1
+      }
+    } else { // box replication for the remaining integer ratios
+      var yo = 0
+      while (yo < outH) {
+        val r = math.min(yo / rv, inH - 1)
+        val base = yo * outW
+        var xo = 0
+        while (xo < outW) {
+          out(base + xo) = plane(r * planeW + math.min(xo / rh, inW - 1)).toByte
+          xo += 1
+        }
+        yo += 1
+      }
+    }
+    out
+  }
+
   /** REAL baseline JPEG decode down to pixels: marker walk, DQT
     * (8-bit) and DHT (canonical) parses, SOF0 frame header, then the
     * entropy-coded scan — Huffman DC/AC decode with 0xFF00
     * unstuffing, dequantization, inverse zigzag, IDCT, level shift,
-    * clamp. Grayscale returns one plane; 4:4:4 YCbCr converts to
-    * packed RGB (JFIF equations). None (never a throw) for anything
-    * outside the honest scope: subsampled chroma (sampling specs
-    * other than 1x1), progressive/extended SOFs, arithmetic coding,
-    * restart intervals, 16-bit tables, or any corruption that breaks
-    * the marker chain / Huffman stream. Returns (width, height,
-    * nComponents, gray plane or packed RGB). */
+    * clamp. Grayscale returns one plane; YCbCr converts to packed
+    * RGB (JFIF equations). Chroma-subsampled scans (4:2:0, 4:2:2,
+    * 4:4:0 — any integer per-axis ratio up to 4) decode via the full
+    * interleaved-MCU walk into padded component planes, then
+    * upsample: triangular ("fancy", libjpeg jdsample.c) filtering on
+    * the 2x axes — what the JDK's own decoder applies, so pixels
+    * agree with ImageIO to IDCT rounding — and box replication for
+    * the rarer ratios. None (never a throw) for anything outside the
+    * honest scope: progressive/extended SOFs, arithmetic coding,
+    * restart intervals, 16-bit tables, non-integer sampling ratios,
+    * or any corruption that breaks the marker chain / Huffman
+    * stream. Returns (width, height, nComponents, gray plane or
+    * packed RGB). */
   private[graft] def jpegDecodeImage(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Byte])] = {
     try jpegDecode0(bytes)
@@ -949,6 +1135,8 @@ object Multimodal {
     var nComp = -1
     var compIds: Array[Int] = null // SOF order
     var compQ: Array[Int] = null // quant table per SOF component
+    var sampH: Array[Int] = null // per-component H sampling factor
+    var sampV: Array[Int] = null // per-component V sampling factor
     var compDc: Array[Int] = null // DC table per SOF component (from SOS)
     var compAc: Array[Int] = null
     var scanOrder: Array[Int] = null // SOF indices in scan (= MCU) order
@@ -999,12 +1187,19 @@ object Multimodal {
           if (dEnd - d < 6 + 3 * nComp) return None
           compIds = new Array[Int](nComp)
           compQ = new Array[Int](nComp)
+          sampH = new Array[Int](nComp)
+          sampV = new Array[Int](nComp)
           var ci = 0
           while (ci < nComp) {
             compIds(ci) = bytes(d + 6 + 3 * ci) & 0xFF
-            // 4:4:4 only: any chroma subsampling changes the MCU
-            // layout this decoder does not implement — refuse loudly
-            if ((bytes(d + 7 + 3 * ci) & 0xFF) != 0x11) return None
+            val hv = bytes(d + 7 + 3 * ci) & 0xFF
+            // per-component sampling factors (1..4 per the spec); a
+            // single-component frame is non-interleaved, where the
+            // factors do not shape the scan — normalize them to 1x1
+            sampH(ci) = if (nComp == 1) 1 else hv >>> 4
+            sampV(ci) = if (nComp == 1) 1 else hv & 0x0F
+            if (sampH(ci) < 1 || sampH(ci) > 4 ||
+                sampV(ci) < 1 || sampV(ci) > 4) return None
             compQ(ci) = bytes(d + 8 + 3 * ci) & 0x0F
             ci += 1
           }
@@ -1040,84 +1235,126 @@ object Multimodal {
       }
       pos = pos + 2 + len
     }
-    // fence TOTAL allocation (all planes + the packed RGB output):
-    // a crafted ~150-byte header must not force gigabytes of buffers
-    // before any entropy data is validated — OutOfMemoryError is not
-    // NonFatal and would fail the task, not degrade to None
-    if (w <= 0 || h <= 0 || w.toLong * h * 2 * nComp > (1L << 28))
-      return None
+    if (w <= 0 || h <= 0) return None
+    var hMax = 1; var vMax = 1
     var ci = 0
     while (ci < nComp) {
       if (!qtSeen(compQ(ci))) return None
       if (huff(0)(compDc(ci)) == null || huff(1)(compAc(ci)) == null)
         return None
+      if (sampH(ci) > hMax) hMax = sampH(ci)
+      if (sampV(ci) > vMax) vMax = sampV(ci)
       ci += 1
     }
-    val planes = Array.fill(nComp)(new Array[Byte](w * h))
+    // interleaved-MCU geometry: every MCU carries Hi x Vi blocks per
+    // component — INCLUDING encoder padding blocks past the image
+    // edge — so planes are allocated at the padded block grid and
+    // cropped at upsample time. A non-integer upsample ratio (e.g.
+    // Hi=3 under Hmax=4) has no box/triangular reconstruction; refuse.
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val padW = new Array[Int](nComp) // padded plane width (px)
+    val padH = new Array[Int](nComp)
+    val subW = new Array[Int](nComp) // true downsampled extent (px)
+    val subH = new Array[Int](nComp)
+    var planesBytes = 0L
+    ci = 0
+    while (ci < nComp) {
+      if (hMax % sampH(ci) != 0 || vMax % sampV(ci) != 0) return None
+      padW(ci) = mcusX * sampH(ci) * 8
+      padH(ci) = mcusY * sampV(ci) * 8
+      subW(ci) = (w * sampH(ci) + hMax - 1) / hMax
+      subH(ci) = (h * sampV(ci) + vMax - 1) / vMax
+      planesBytes += padW(ci).toLong * padH(ci)
+      ci += 1
+    }
+    // fence TOTAL allocation (padded planes + upsampled planes + the
+    // packed RGB output): a crafted ~150-byte header must not force
+    // gigabytes of buffers before any entropy data is validated —
+    // OutOfMemoryError is not NonFatal and would fail the task, not
+    // degrade to None
+    if (planesBytes + (nComp + 3L) * w * h > (1L << 28)) return None
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](padW(c) * padH(c)))
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
     val preds = new Array[Int](nComp)
-    var by = 0
-    while (by < h) {
-      var bx = 0
-      while (bx < w) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var mi = 0
         while (mi < nComp) {
           val c = scanOrder(mi)
           val q = qt(compQ(c))
-          java.util.Arrays.fill(coef, 0)
-          val t = decodeHuff(br, huff(0)(compDc(c)))
-          if (t < 0 || t > 11) return None
-          preds(c) += extend(br.bits(t), t)
-          coef(0) = preds(c) * q(0)
-          var k = 1
-          while (k < 64) {
-            val rs = decodeHuff(br, huff(1)(compAc(c)))
-            if (rs < 0) return None
-            val r = rs >>> 4; val s = rs & 0x0F
-            if (s == 0) {
-              if (r == 15) k += 16 else k = 64 // ZRL / EOB
-            } else {
-              k += r
-              if (k > 63) return None
-              val nat = Zigzag(k)
-              coef(nat) = extend(br.bits(s), s) * q(nat)
-              k += 1
-            }
-          }
-          if (br.bad) return None
-          // IDCT + level shift + clamp, cropped to the image rectangle
-          val plane = planes(c)
-          var y = 0
-          while (y < 8 && by + y < h) {
-            var x = 0
-            while (x < 8 && bx + x < w) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val cf = coef(v * 8 + u)
-                  if (cf != 0)
-                    sum += Cu(u) * Cu(v) * cf * CosT(x)(u) * CosT(y)(v)
-                  u += 1
+          val pw = padW(c)
+          var bv = 0
+          while (bv < sampV(c)) {
+            var bu = 0
+            while (bu < sampH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val t = decodeHuff(br, huff(0)(compDc(c)))
+              if (t < 0 || t > 11) return None
+              preds(c) += extend(br.bits(t), t)
+              coef(0) = preds(c) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = decodeHuff(br, huff(1)(compAc(c)))
+                if (rs < 0) return None
+                val r = rs >>> 4; val s = rs & 0x0F
+                if (s == 0) {
+                  if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val nat = Zigzag(k)
+                  coef(nat) = extend(br.bits(s), s) * q(nat)
+                  k += 1
                 }
-                v += 1
               }
-              val p = Math.round(0.25 * sum + 128.0).toInt
-              plane((by + y) * w + bx + x) =
-                (if (p < 0) 0 else if (p > 255) 255 else p).toByte
-              x += 1
+              if (br.bad) return None
+              // IDCT + level shift + clamp into the PADDED plane (the
+              // block always fits; cropping happens at upsample)
+              val plane = planes(c)
+              val px = (mx * sampH(c) + bu) * 8
+              val py = (my * sampV(c) + bv) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      val cf = coef(v * 8 + u)
+                      if (cf != 0)
+                        sum += Cu(u) * Cu(v) * cf * CosT(x)(u) * CosT(y)(v)
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val p = Math.round(0.25 * sum + 128.0).toInt
+                  plane((py + y) * pw + px + x) =
+                    (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bu += 1
             }
-            y += 1
+            bv += 1
           }
           mi += 1
         }
-        bx += 8
+        mx += 1
       }
-      by += 8
+      my += 1
     }
-    if (nComp == 1) return Some((w, h, 1, planes(0)))
+    // bring every component to full w x h resolution (crop + upsample)
+    val full = Array.tabulate(nComp)(c =>
+      upsamplePlane(planes(c), padW(c), subW(c), subH(c), w, h,
+        hMax / sampH(c), vMax / sampV(c)))
+    if (nComp == 1) return Some((w, h, 1, full(0)))
     // only the JFIF YCbCr convention (component ids 1,2,3) may take
     // the color inverse: an Adobe-style 4:4:4 RGB JPEG (ids 'R','G',
     // 'B') run through these equations would yield silently garbled
@@ -1128,9 +1365,9 @@ object Multimodal {
     val rgb = new Array[Byte](w * h * 3)
     var i = 0
     while (i < w * h) {
-      val y = planes(0)(i) & 0xFF
-      val cb = (planes(1)(i) & 0xFF) - 128
-      val cr = (planes(2)(i) & 0xFF) - 128
+      val y = full(0)(i) & 0xFF
+      val cb = (full(1)(i) & 0xFF) - 128
+      val cr = (full(2)(i) & 0xFF) - 128
       rgb(3 * i) = clamp255(Math.round(y + 1.402 * cr)).toByte
       rgb(3 * i + 1) =
         clamp255(Math.round(y - 0.344136 * cb - 0.714136 * cr)).toByte

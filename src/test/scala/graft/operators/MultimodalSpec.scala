@@ -440,6 +440,61 @@ class MultimodalSpec extends SparkSpec {
       s"our color pipeline diverges from the JDK's by $maxDiff levels")
   }
 
+  test("jpegDecodeImage decodes FOREIGN (JDK-encoded, chroma-subsampled) " +
+      "JPEGs exactly on gray tile-constant fixtures") {
+    // the bytes come from the JDK's own encoder (libjpeg), not ours —
+    // 4:2:0 is its default and what virtually every real JPEG uses.
+    // Gray-as-color tile-constant pixels survive the whole lossy path
+    // exactly: Y = v and Cb = Cr = 128 are exact in libjpeg's
+    // fixed-point forward transform, constant blocks carry only a DC
+    // the default-quality quant step (8) divides, and subsampling /
+    // upsampling a constant chroma plane is the identity
+    for ((lh, lv) <- Seq((2, 2), (2, 1), (1, 2), (4, 1));
+         (w, h) <- Seq((32, 24), (24, 16), (19, 13), (48, 40))) {
+      val tiles = Array(0, 255, 7, 200, 128, 64, 33, 250, 1, 99, 180, 42)
+      val gray = tilePix(w, h, tiles)
+      val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3))
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv)
+      // prove the fixture really is subsampled: SOF comp0 sampling
+      val sofAt = (2 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC0).get
+      assert((bytes(sofAt + 11) & 0xFF) == ((lh << 4) | lv),
+        s"JDK did not honor the requested ${lh}x$lv sampling")
+      val Some((dw, dh, nc, ours)) = Multimodal.jpegDecodeImage(bytes)
+      assert(dw == w && dh == h && nc == 3, s"dims for ${w}x$h @ ${lh}x$lv")
+      assert(ours.sameElements(rgb),
+        s"foreign ${lh}x$lv decode diverged on ${w}x$h")
+    }
+  }
+
+  test("jpegDecodeImage matches ImageIO.read on arbitrary subsampled " +
+      "color JPEGs within decoder variance") {
+    // arbitrary pixels are lossy; the reference is the JDK's decode of
+    // the SAME foreign bytes. Our chroma upsampling reproduces
+    // libjpeg's fancy/box arithmetic exactly, so the residual is IDCT
+    // + color-convert rounding (float here, fixed-point there)
+    val rnd = new scala.util.Random(13)
+    for ((lh, lv) <- Seq((2, 2), (2, 1), (1, 2), (4, 1), (1, 1));
+         (w, h) <- Seq((40, 25), (33, 17))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv)
+      val Some((dw, dh, nc, ours)) = Multimodal.jpegDecodeImage(bytes)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null && dw == w && dh == h && nc == 3)
+      var maxDiff = 0; var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+        val d = math.abs((jdk.getRaster.getSample(x, y, ch) & 0xFF) -
+          (ours((y * w + x) * 3 + ch) & 0xFF))
+        sumDiff += d
+        if (d > maxDiff) maxDiff = d
+      }
+      val mean = sumDiff.toDouble / (w * h * 3)
+      assert(maxDiff <= 4 && mean <= 1.0,
+        s"${lh}x$lv ${w}x$h diverges from the JDK: max=$maxDiff mean=$mean")
+    }
+  }
+
   test("jpegPixelStats reports per-channel stats for color payloads") {
     val (w, h) = (16, 8)
     // two tiles: pure-ish red and a mixed color, exact R=G=B not needed
