@@ -153,7 +153,10 @@ object Bench {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val phased = Seq(
       "pipeline_e2e" -> Queries.lastPipelinePhases,
-      "mor_delete" -> Queries.lastMorPhases).filter(_._2.nonEmpty)
+      "mor_delete" -> Queries.lastMorPhases,
+      "stream_ingest_parity" -> Queries.lastStreamIngestPhases,
+      "stream_sink_parity" -> Queries.lastStreamSinkPhases)
+      .filter(_._2.nonEmpty)
     val phases =
       if (phased.isEmpty) ""
       else phased.map { case (q, ps) =>

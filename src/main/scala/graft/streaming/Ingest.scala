@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.plans.{LakehouseTable, SnapshotTable}
@@ -27,12 +27,15 @@ import graft.plans.{LakehouseTable, SnapshotTable}
   */
 object Ingest {
 
-  /** Stream CSV files from `landingDir` into `table`. Returns once all
-    * currently-available files are processed (AvailableNow). */
+  /** Stream CSV files from `landingDir` into `table`. Returns the
+    * TERMINATED query once all currently-available files are processed
+    * (AvailableNow) — `recentProgress` carries the per-micro-batch
+    * duration breakdown for callers that attribute wall time. */
   def csvToTable(spark: SparkSession, landingDir: String, schema: StructType,
                  table: LakehouseTable, checkpointDir: String,
                  maxFilesPerTrigger: Option[Int] = None,
-                 timestampFormat: String = "yyyy-MM-dd['T'][' ']HH:mm:ss"): Unit = {
+                 timestampFormat: String = "yyyy-MM-dd['T'][' ']HH:mm:ss")
+      : StreamingQuery = {
     val reader = spark.readStream
       .schema(graft.Tables.asNullable(schema))
       .option("header", "true")
@@ -45,7 +48,7 @@ object Ingest {
     * columnar landings). */
   def parquetToTable(spark: SparkSession, landingDir: String,
                      schema: StructType, table: LakehouseTable,
-                     checkpointDir: String): Unit =
+                     checkpointDir: String): StreamingQuery =
     runToTable(
       spark.readStream.schema(schema).parquet(landingDir),
       table, checkpointDir)
@@ -60,7 +63,8 @@ object Ingest {
   def parquetToSnapshot(spark: SparkSession, landingDir: String,
                         schema: StructType, table: SnapshotTable,
                         checkpointDir: String,
-                        maxFilesPerTrigger: Option[Int] = None): Unit = {
+                        maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val q = reader.parquet(landingDir).writeStream
@@ -71,6 +75,7 @@ object Ingest {
       }
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Intra-batch PK dedup that keeps the row from the LATEST source
@@ -92,7 +97,7 @@ object Ingest {
   }
 
   private def runToTable(stream: DataFrame, table: LakehouseTable,
-                         checkpointDir: String): Unit = {
+                         checkpointDir: String): StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -103,5 +108,6 @@ object Ingest {
       }
       .start()
     q.awaitTermination()
+    q
   }
 }
