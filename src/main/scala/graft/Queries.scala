@@ -280,6 +280,48 @@ object Queries {
     table.read.select(ordersCols.map(col): _*)
   }
 
+  /** Schema evolution by TYPE WIDENING ([[SnapshotTable.widenColumn]],
+    * Delta/Iceberg's int→long / float→double set): the table is
+    * created from a NARROW vintage (custkey as INT, price as FLOAT),
+    * widened metadata-only — zero data I/O, stats and blooms stay
+    * valid because the manifest tag families coincide across each
+    * widening — then upserted with a natively-wide source, so the
+    * final scan unifies int-typed and long-typed parquet vintages
+    * under one logged schema. The query itself requires the two
+    * contracts the spec pins: the head schema is widened and time
+    * travel still serves the narrow type. The oracle recomputes the
+    * merged aggregate from the raw orders with the same float
+    * round-trip (CAST to REAL and back), proving the widened values
+    * are bit-exactly the narrow ones. */
+  def schemaWidening(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
+    val base = scratch("schema_widening", dir)
+    freshDirs(s, base) // DDL history must be deterministic per run
+    val orders = t(s, dir, "orders")
+    def slice(pred: Column) = orders.filter(pred).select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      col("o_totalprice").cast(FloatType).cast("double").as("price"),
+      col("o_orderstatus").as("status"))
+    val tbl = plans.SnapshotTable(s, base, "id")
+    tbl.create(slice(col("o_orderkey") % 3 === 0)
+      .withColumn("cust", col("cust").cast(IntegerType))
+      .withColumn("price", col("price").cast(FloatType)))
+    tbl.widenColumn("cust", LongType)
+    tbl.widenColumn("price", org.apache.spark.sql.types.DoubleType)
+    require(tbl.read.schema("cust").dataType == LongType,
+      "widening did not take at head")
+    require(tbl.readVersion(1).schema("cust").dataType == IntegerType,
+      "time travel must pin the pre-widening type")
+    tbl.upsert(slice(col("o_orderkey") % 3 =!= 0)) // natively wide
+    tbl.read.groupBy("status").agg(
+      count(lit(1)).as("n"),
+      sum("cust").as("sum_cust"),
+      round(sum("price"), 2).as("sum_price"),
+      round(max("price"), 2).as("max_price"))
+      .orderBy("status")
+  }
+
   /** K2 through PURE SQL — the reference's central Delta MERGE
     * (orders_etl.py:67-71) as a SQL `MERGE INTO` statement against a
     * registered `USING graft` catalog table, planned by the DSv2
@@ -3369,6 +3411,7 @@ object Queries {
     "column_mapping_sql" -> (columnMappingSql _),
     "stream_source_parity" -> (streamSourceParity _),
     "snapshot_upsert" -> (snapshotUpsert _),
+    "schema_widening" -> (schemaWidening _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "predicate_pruned_read" -> (predicatePrunedRead _),
@@ -3919,6 +3962,16 @@ object Queries {
     "snapshot_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2) AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // widened table = narrow vintage (int/float files) + wide vintage
+    // under one schema; the float round-trip (CAST to REAL and back)
+    // reproduces the narrow files' precision loss bit-exactly
+    "schema_widening" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  round(sum(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS sum_price,
+        |  round(max(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the z-ordered, stats-pruned box read must equal the plain SQL box
     "zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

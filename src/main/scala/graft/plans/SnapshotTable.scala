@@ -8,7 +8,8 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** A partitioned parquet table with ATOMIC multi-partition commits via a
   * manifest pointer file — the missing half of [[LakehouseTable]]'s
@@ -1343,9 +1344,17 @@ final class SnapshotTable(
     * the evolved schema. Parquet resolves columns by name, so every
     * already-committed file reads the added columns as null under the
     * new schema — zero data I/O, exactly the upsert(evolveSchema=true)
-    * read contract. Existing columns must carry over unchanged (type
-    * narrowing through metadata would corrupt reads), and added columns
-    * must be nullable (old rows have no value to satisfy NOT NULL). */
+    * read contract. Existing columns carry over unchanged OR take a
+    * SAFE WIDENING (byte/short/int up the integral lattice, float →
+    * double — Delta/Iceberg's type-widening set): the parquet reader
+    * promotes the physical values natively, and every manifest stat
+    * family survives by construction — integral min/max and null
+    * counts are tagged "L:" at every width, float/double both "D:",
+    * and blooms hash integrals canonically as long ("BL:"), so
+    * pruning against widened predicates stays exact. Anything else
+    * (narrowing, cross-family, string↔numeric) would reinterpret
+    * committed bytes and is refused. Added columns must be nullable
+    * (old rows have no value to satisfy NOT NULL). */
   def evolveTo(newSchema: StructType): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
@@ -1356,9 +1365,17 @@ final class SnapshotTable(
         throw new IllegalArgumentException(
           s"evolveTo drops column '${f.name}' — schema evolution may " +
             "only add columns"))
-      require(kept.dataType == f.dataType,
+      require(kept.dataType == f.dataType ||
+          SnapshotTable.isSafeWidening(f.dataType, kept.dataType),
         s"evolveTo changes type of '${f.name}': ${f.dataType} -> " +
-          s"${kept.dataType}")
+          s"${kept.dataType} — only safe widenings (integral up the " +
+          "byte<short<int<long lattice, float->double) are metadata-only")
+      // a partition column's values live as STRINGS in directory names
+      // parsed under the logged type; keep widening off that path
+      // until it has its own spec'd contract
+      require(kept.dataType == f.dataType ||
+          !tablePartitionCols.contains(f.name),
+        s"cannot widen partition column '${f.name}' at $path")
     }
     require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
       .forall(_.nullable), "added columns must be nullable")
@@ -1385,6 +1402,23 @@ final class SnapshotTable(
       }
     if (!fs.exists(evolvedMarker)) fs.create(evolvedMarker, true).close()
     commitManifest(v + 1, m.entries, evolved)
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` analog, METADATA-ONLY:
+    * widen one column to a safely-wider type (see [[evolveTo]] for
+    * the allowed lattice and why every stat family survives). Time
+    * travel reads each version under ITS OWN logged type — a pinned
+    * pre-widening read still yields the narrow type. */
+  def widenColumn(name: String, to: DataType): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val schema = readManifest(v).schema.getOrElse(
+      throw new IllegalStateException(
+        s"cannot widen columns at $path: no logged schema"))
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $path")
+    evolveTo(StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f)))
   }
 
   /** Shared validation for [[renameColumn]]/[[dropColumn]]: the ops
@@ -3146,6 +3180,21 @@ object SnapshotTable {
     * safe: the new column gets a FRESH id, so the dropped column's
     * bytes (same name, old id) can never resurface as its values. */
   val MappingProp = "graft.columnMapping"
+
+  /** Is `from` → `to` a metadata-only SAFE widening? Integral types
+    * up the byte<short<int<long lattice and float→double: every value
+    * of `from` is exactly representable in `to`, the parquet readers
+    * promote the physical encoding natively, and the manifest stat
+    * tags coincide ("L:" for all integrals, "D:" for both floats), so
+    * committed files and their pruning stats stay valid verbatim. */
+  def isSafeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 
   /** Monotone field-id high-water mark, logged as a table property so
     * an id is never reused across drop/re-add. */

@@ -245,11 +245,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** ALTER TABLE — SET/UNSET TBLPROPERTIES, ADD COLUMNS, and (on
+  /** ALTER TABLE — SET/UNSET TBLPROPERTIES, ADD COLUMNS, ALTER COLUMN
+    * TYPE (safe widenings only: int→long, float→double, …), and (on
     * column-id-mapped tables, TBLPROPERTIES 'graft.columnMapping'='id'
     * at create) RENAME/DROP COLUMN all map onto metadata-only manifest
     * commits; anything that would reinterpret committed bytes (type
-    * changes, or rename/drop without id mapping) is rejected. */
+    * narrowing or cross-family changes, rename/drop without id
+    * mapping) is rejected. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val snap = snapshotAt(ident)
@@ -295,6 +297,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           "graft drops top-level columns only")
         columnOps += (() => snap.dropColumn(d.fieldNames.head))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graft widens top-level columns only")
+        // metadata-only SAFE widening (int->long, float->double, ...);
+        // widenColumn refuses anything that would reinterpret bytes
+        columnOps += (() => snap.widenColumn(u.fieldNames.head,
+          u.newDataType))
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }

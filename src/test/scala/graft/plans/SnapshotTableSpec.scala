@@ -188,6 +188,72 @@ class SnapshotTableSpec extends SparkSpec {
       t.readWhere(("part", "p", "p")).count() == 1000)
   }
 
+  test("type widening: metadata-only, widened upserts land, time travel " +
+      "pins the narrow type, stats still prune") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val path = tmp("snapwiden")
+    val t = SnapshotTable(spark, path, "id", statsCols = Seq("q"),
+      clusterBy = Seq("q"), clusterFiles = 8)
+    t.create((1 to 1000).map(i => (i.toLong, i, i.toFloat / 2))
+      .toDF("id", "q", "p").repartition(8))
+    val v1Files = dataFiles(path)
+    val total = t.candidateFiles(("q", Long.MinValue, Long.MaxValue)).size
+    val hitBefore = t.candidateFiles(("q", 100L, 150L)).size
+    assert(hitBefore < total, "narrow range pruned nothing pre-widening")
+    t.widenColumn("q", LongType)
+    t.widenColumn("p", DoubleType)
+    assert(dataFiles(path) == v1Files, "widening touched data files")
+    val sch = t.read.schema
+    assert(sch("q").dataType == LongType && sch("p").dataType == DoubleType)
+    // committed int/float bytes read exactly under the widened types
+    assert(t.read.filter(col("id") === 7L).select("q", "p").head() ==
+      org.apache.spark.sql.Row(7L, 3.5))
+    // the OLD files' stats prune identically under widened (long) bounds
+    assert(t.candidateFiles(("q", 100L, 150L)).size == hitBefore,
+      "widening changed stats pruning")
+    assert(t.readWhere(("q", 100L, 150L)).count() == 51)
+    // a widened-typed source upserts with NO evolveSchema — and a value
+    // outside the old type's range proves the widening is real
+    t.upsert(Seq((1001L, 1L << 40, 0.25)).toDF("id", "q", "p"))
+    assert(t.read.filter(col("id") === 1001L).head().getLong(1) == (1L << 40))
+    assert(t.read.agg(sum("q")).head().getLong(0) ==
+      (1 to 1000).map(_.toLong).sum + (1L << 40))
+    // time travel reads the pre-widening version under ITS OWN type
+    assert(t.readVersion(1).schema("q").dataType == IntegerType)
+    assert(t.readVersion(1).count() == 1000)
+    // and the DSv2/SQL path serves the widened schema
+    val sqlRead = spark.read.format("graft").load(path)
+    assert(sqlRead.schema("q").dataType == LongType)
+    // refusals: narrowing, cross-family, partition columns
+    assert(intercept[IllegalArgumentException](
+      t.widenColumn("q", IntegerType)).getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException](
+      t.widenColumn("id", DoubleType)).getMessage.contains("widening"))
+    val tp = SnapshotTable(spark, tmp("snapwidenpart"), "id", Some("part"))
+    tp.create(Seq((1L, 1)).toDF("id", "part"))
+    assert(intercept[IllegalArgumentException](
+      tp.widenColumn("part", LongType)).getMessage.contains("partition"))
+  }
+
+  test("evolveSchema upsert widens the logged type when the source is wider") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = SnapshotTable(spark, tmp("snapwidenevo"), "id", Some("part"))
+    t.create(Seq((1L, 1, "p1"), (2L, 2, "p2")).toDF("id", "q", "part"))
+    // p1 is untouched (kept by reference, int-typed file); p2 is merged
+    // with the long source; p3 is new — all three vintages must unify
+    t.upsert(Seq((2L, 1L << 40, "p2"), (3L, 7L, "p3")).toDF("id", "q", "part"),
+      evolveSchema = true)
+    assert(t.read.schema("q").dataType == LongType,
+      s"union coercion did not widen: ${t.read.schema("q").dataType}")
+    assert(t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L << 40), (3L, 7L)))
+    assert(t.readVersion(1).schema("q").dataType == IntegerType)
+    val sqlRead = spark.read.format("graft").load(t.path)
+    assert(sqlRead.schema("q").dataType == LongType)
+    assert(sqlRead.agg(sum("q")).head().getLong(0) == 1L + (1L << 40) + 7L)
+  }
+
   test("schema-evolving upsert: kept rows read the new column as null; CDC aligns") {
     val t = SnapshotTable(spark, tmp("snapevo"), "id", Some("part"))
     t.create(frame((1, "a", "p1"), (2, "b", "p2")))

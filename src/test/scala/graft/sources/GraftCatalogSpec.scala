@@ -249,6 +249,36 @@ class GraftCatalogSpec extends SparkSpec {
       .properties.contains("owner.team"))
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE widens metadata-only; narrowing rejects") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.widen")
+    sql("""CREATE TABLE graft.widen.t (id BIGINT, q INT, p FLOAT)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.widen.t VALUES (1, 10, 0.5), (2, 20, 1.5)")
+    sql("ALTER TABLE graft.widen.t ALTER COLUMN q TYPE BIGINT")
+    sql("ALTER TABLE graft.widen.t ALTER COLUMN p TYPE DOUBLE")
+    val sch = sql("SELECT * FROM graft.widen.t").schema
+    assert(sch("q").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("p").dataType == org.apache.spark.sql.types.DoubleType)
+    // old int/float bytes and a beyond-int insert unify
+    sql(s"INSERT INTO graft.widen.t VALUES (3, ${1L << 40}, 2.5)")
+    val rows = sql("SELECT id, q FROM graft.widen.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 1L << 40)))
+    // narrowing dies in Spark's own analyzer (canUpCast check) ...
+    val e = intercept[Exception](
+      sql("ALTER TABLE graft.widen.t ALTER COLUMN q TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e.getMessage)
+    // ... but the analyzer ALLOWS lossless non-widening upcasts like
+    // long->string, which would reinterpret committed bytes — the
+    // catalog's own guard must refuse those
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE graft.widen.t ALTER COLUMN q TYPE STRING"))
+    assert(e2.getMessage.contains("widening"), e2.getMessage)
+    assert(sql("SELECT count(*) FROM graft.widen.t").head().getLong(0) == 3)
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN on an id-mapped table; time travel spans the evolution") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.map")
