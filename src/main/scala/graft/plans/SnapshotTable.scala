@@ -326,6 +326,22 @@ final class SnapshotTable(
           e: java.util.Map.Entry[Long, Manifest]): Boolean = size() > 4
     }
 
+  /** The parquet-checkpoint row layout: one row per live file, stats
+    * as sorted parallel arrays (cheaper to write and decode than a
+    * MapType, and order-stable for byte-reproducible checkpoints). */
+  private val CkptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("skeys",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("smins",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("smaxs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))))
+
   /** One parsed commit record of either kind: headers plus, for a full
     * manifest/checkpoint, the live-file list in `entries`; for a delta,
     * the touched-file actions in `adds`/`removes`. */
@@ -337,6 +353,33 @@ final class SnapshotTable(
 
   private val ActionPrefixes = Seq("add\t", "remove\t")
 
+  /** Parse the header fields out of a commit record's non-entry
+    * lines (everything after the `version` line). */
+  private def parseHeaderFields(hdr: Seq[String])
+      : (Option[StructType], Option[String], Seq[(String, String)],
+         Option[Layout], Map[String, String]) = {
+    val schema = hdr.find(_.startsWith("schema\t")).flatMap { l =>
+      scala.util.Try(org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("schema\t")).asInstanceOf[StructType]).toOption
+    }
+    val pc = hdr.find(_.startsWith("partition\t"))
+      .map(_.stripPrefix("partition\t")).filter(_.nonEmpty)
+    val checks = hdr.filter(_.startsWith("check\t")).map { l =>
+      val parts = l.split("\t", 3)
+      (decHdr(parts(1)), decHdr(parts(2)))
+    }
+    val layout = hdr.find(_.startsWith("layout\t")).map { l =>
+      val p = l.split("\t", -1)
+      Layout(decCols(p(1)), decCols(p(2)), p(3).toInt,
+        decCols(p(4)), p(5).toLong, p(6).toDouble)
+    }
+    val props = hdr.filter(_.startsWith("property\t")).map { l =>
+      val parts = l.split("\t", 3)
+      (decHdr(parts(1)), decHdr(parts(2)))
+    }.toMap
+    (schema, pc, checks, layout, props)
+  }
+
   private def parseCommit(p: Path, v: Long): ParsedCommit = {
     val in = fs.open(p)
     try {
@@ -344,25 +387,9 @@ final class SnapshotTable(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       val lines = txt.split("\n").filter(_.nonEmpty).toSeq
       require(lines.head == s"version\t$v", s"commit header mismatch at $p")
-      val schema = lines.tail.find(_.startsWith("schema\t")).flatMap { l =>
-        scala.util.Try(org.apache.spark.sql.types.DataType
-          .fromJson(l.stripPrefix("schema\t")).asInstanceOf[StructType]).toOption
-      }
-      val pc = lines.tail.find(_.startsWith("partition\t"))
-        .map(_.stripPrefix("partition\t")).filter(_.nonEmpty)
-      val checks = lines.tail.filter(_.startsWith("check\t")).map { l =>
-        val parts = l.split("\t", 3)
-        (decHdr(parts(1)), decHdr(parts(2)))
-      }
-      val layout = lines.tail.find(_.startsWith("layout\t")).map { l =>
-        val p = l.split("\t", -1)
-        Layout(decCols(p(1)), decCols(p(2)), p(3).toInt,
-          decCols(p(4)), p(5).toLong, p(6).toDouble)
-      }
-      val props = lines.tail.filter(_.startsWith("property\t")).map { l =>
-        val parts = l.split("\t", 3)
-        (decHdr(parts(1)), decHdr(parts(2)))
-      }.toMap
+      val (schema, pc, checks, layout, props) =
+        parseHeaderFields(lines.tail.filter(l =>
+          HeaderPrefixes.exists(l.startsWith)))
       val adds = lines.tail.filter(_.startsWith("add\t"))
         .map(l => FileEntry.parse(l.stripPrefix("add\t")))
       val removes = lines.tail.filter(_.startsWith("remove\t"))
@@ -372,6 +399,31 @@ final class SnapshotTable(
           (HeaderPrefixes ++ ActionPrefixes).exists(l.startsWith))
         .map(FileEntry.parse)
       ParsedCommit(schema, pc, checks, layout, props, entries, adds, removes)
+    } finally in.close()
+  }
+
+  /** Header fields of a commit record WITHOUT materializing its entry
+    * lines — an O(header-bytes) streaming read where [[parseCommit]]
+    * is O(whole-record). Sound because every writer emits headers
+    * first ([[headerLines]] is prepended); the read stops at the
+    * first non-header line. Used by the parquet-checkpoint cold-open
+    * path, where the entries come from the columnar side instead. */
+  private def parseHeader(p: Path, v: Long): ParsedCommit = {
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      val first = br.readLine()
+      require(first == s"version\t$v", s"commit header mismatch at $p")
+      val hdr = scala.collection.mutable.Buffer.empty[String]
+      var line = br.readLine()
+      while (line != null &&
+             (line.isEmpty || HeaderPrefixes.exists(line.startsWith))) {
+        if (line.nonEmpty) hdr += line
+        line = br.readLine()
+      }
+      val (schema, pc, checks, layout, props) = parseHeaderFields(hdr.toSeq)
+      ParsedCommit(schema, pc, checks, layout, props, Nil, Nil, Nil)
     } finally in.close()
   }
 
@@ -400,9 +452,7 @@ final class SnapshotTable(
       val m = manifestCache.get(c)
       if (m != null) { base = m; found = true }
       else if (fs.exists(manifestPath(c))) {
-        val pcm = parseCommit(manifestPath(c), c)
-        base = Manifest(pcm.entries, pcm.schema, pcm.partitionCol,
-          pcm.checks, pcm.layout, pcm.props)
+        base = readCheckpointBase(c)
         found = true
       } else if (fs.exists(deltaPath(c))) { deltas ::= c; c -= 1 }
       else if (fs.exists(legacyCommitPath(c)))
@@ -579,8 +629,10 @@ final class SnapshotTable(
     // periodic full checkpoint AFTER the delta wins — best-effort (a
     // lost one costs replay depth, never correctness), and only the
     // commit winner reaches here so there is no checkpoint race
-    if (v > 1L && v % checkpointInterval == 0L)
+    if (v > 1L && v % checkpointInterval == 0L) {
       writeCheckpoint(v, checkpointPayload(v, committed))
+      maybeWriteParquetCheckpoint(v, committed)
+    }
   }
 
   /** Write `payload` to `dest` with atomic-EXCLUSIVE semantics — the
@@ -676,6 +728,72 @@ final class SnapshotTable(
       try out.write(payload) finally out.close()
       if (!fs.rename(tmp, manifestPath(v))) fs.delete(tmp, false)
     } catch { case _: Exception => () }
+
+  /** Files-per-manifest threshold below which the parquet checkpoint
+    * is skipped: a small table gains nothing from a distributed parse
+    * and would pay a Spark write job per checkpoint. Tunable via the
+    * `graft.parquetCheckpointMinFiles` property (0 forces one — what
+    * the parity spec uses). */
+  private def parquetCkptMinFiles: Int =
+    effectiveProps.get("graft.parquetCheckpointMinFiles")
+      .flatMap(_.toIntOption).getOrElse(2000)
+
+  private def parquetCkptPath(v: Long): Path =
+    new Path(f"$commitsDir/ckpt-v$v%09d.parquet")
+
+  /** Best-effort PARQUET twin of a text checkpoint: the entry list as
+    * a columnar, splittable table (one row per live file; stats as
+    * sorted parallel key/min/max arrays). This is Delta's
+    * checkpoint-parquet move: at ~10^6 live files the text checkpoint
+    * is a multi-hundred-MB single-threaded driver parse per cold
+    * open, while the parquet twin decodes on EXECUTORS and ships the
+    * driver compact binary rows ([[readCheckpointBase]]). The text
+    * checkpoint stays authoritative (headers + fallback), so a
+    * missing or corrupt parquet twin costs speed, never correctness. */
+  private def maybeWriteParquetCheckpoint(v: Long, m: Manifest): Unit =
+    try {
+      if (m.entries.size >= parquetCkptMinFiles) {
+        val rows = m.entries.map { e =>
+          val ks = e.stats.keys.toArray.sorted.toIndexedSeq
+          org.apache.spark.sql.Row(e.path, ks,
+            ks.map(k => e.stats(k)._1), ks.map(k => e.stats(k)._2))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows,
+            math.max(1, math.min(32, rows.size / 50000))),
+          CkptSchema)
+        val tmp = new Path(s"$commitsDir/.cpq-${UUID.randomUUID()}")
+        df.write.parquet(tmp.toString)
+        if (!fs.rename(tmp, parquetCkptPath(v))) fs.delete(tmp, true)
+      }
+    } catch { case _: Exception => () }
+
+  /** The full state at checkpoint version `c`: entries from the
+    * parquet twin when one exists (distributed columnar decode, the
+    * 100 TB cold-open path), headers from an O(header) streaming read
+    * of the text record; full driver text parse otherwise — and as
+    * the fallback for ANY parquet-side failure. */
+  private def readCheckpointBase(c: Long): Manifest = {
+    val pq = parquetCkptPath(c)
+    if (fs.exists(pq)) {
+      try {
+        val hdr = parseHeader(manifestPath(c), c)
+        val entries = spark.read.schema(CkptSchema)
+          .parquet(pq.toString).collect().iterator.map { r =>
+            val ks = r.getSeq[String](1)
+            val mns = r.getSeq[String](2)
+            val mxs = r.getSeq[String](3)
+            FileEntry(r.getString(0),
+              ks.indices.iterator.map(i => ks(i) -> (mns(i), mxs(i))).toMap)
+          }.toSeq
+        return Manifest(entries, hdr.schema, hdr.partitionCol,
+          hdr.checks, hdr.layout, hdr.props)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val pcm = parseCommit(manifestPath(c), c)
+    Manifest(pcm.entries, pcm.schema, pcm.partitionCol,
+      pcm.checks, pcm.layout, pcm.props)
+  }
 
   /** Snapshot read of a specific version (time travel), typed by that
     * version's logged schema. */
@@ -3109,13 +3227,19 @@ final class SnapshotTable(
           Some(n.stripPrefix("v").stripSuffix(".manifest").toLong)
         else if (n.startsWith("v") && n.endsWith(".delta"))
           Some(n.stripPrefix("v").stripSuffix(".delta").toLong)
+        else if (n.startsWith("ckpt-v") && n.endsWith(".parquet"))
+          // the parquet twin ages out with its text checkpoint; a
+          // TAGGED version keeps both (the twin is what makes its
+          // pinned cold-open cheap)
+          Some(n.stripPrefix("ckpt-v").stripSuffix(".parquet").toLong)
         else None
       mv.filter(_ < horizon).foreach { old =>
         // a tagged version keeps its CHECKPOINT manifest (materialized
         // and verified above — self-contained); its now-redundant
         // delta record still drops. Everything untagged goes whole.
-        if (!(tagged(old) && n.endsWith(".manifest"))) {
-          fs.delete(st.getPath, false)
+        if (!(tagged(old) &&
+            (n.endsWith(".manifest") || n.startsWith("ckpt-v")))) {
+          fs.delete(st.getPath, n.startsWith("ckpt-v"))
           if (!tagged(old))
             manifestCache.synchronized(manifestCache.remove(old))
         }

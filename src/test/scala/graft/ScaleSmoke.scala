@@ -291,8 +291,56 @@ object ScaleSmoke {
         s""""numSalts":$salts}""")
     } else Nil
 
+    // ---- cold open: manifest reconstruction cost vs live-file count --
+    // The 100 TB table-open bottleneck is the checkpoint parse: time a
+    // FRESH handle's manifest reconstruction (via candidateFiles) on a
+    // checkpointed table at 1x and 10x live-file counts, entries served
+    // by the PARQUET checkpoint twin (distributed columnar decode).
+    // Data files are tiny on purpose — a cold open reads none of them.
+    val coldRow = if (only.forall(_.contains("cold_open"))) {
+      def buildTable(nFiles: Int): String = {
+        val p = s"$bigDir/cold_open_$nFiles"
+        if (!fs.exists(new Path(s"$p/_done"))) {
+          fs.delete(new Path(p), true)
+          val t = plans.SnapshotTable(spark, s"$p/t", "id",
+            statsCols = Seq("id"), clusterBy = Seq("id"),
+            clusterFiles = nFiles,
+            tableProps = Map("graft.parquetCheckpointMinFiles" -> "0",
+              "graft.checkpointInterval" -> "2"))
+          t.create(spark.range(nFiles.toLong * 4)
+            .select(col("id"), pmod(col("id"), lit(997)).as("v")))
+          // ids beyond the clustered range: the stats-scoped merge
+          // touches ZERO existing files, v2 lands the checkpoint+twin
+          t.upsert(spark.range(2)
+            .select((col("id") + nFiles.toLong * 8).as("id"),
+              lit(0L).as("v")))
+          fs.create(new Path(s"$p/_done"), true).close()
+        }
+        s"$p/t"
+      }
+      def coldOpen(path: String, expect: Int): Double =
+        (1 to 3).map { _ =>
+          // a fresh handle's manifest cache starts empty = a cold open
+          val t0 = System.nanoTime()
+          val n = plans.SnapshotTable(spark, path, "id")
+            .candidateFiles().size
+          require(n >= expect, s"cold open saw $n files, expected $expect+")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val smallPath = buildTable(2000)
+      val bigPath = buildTable(20000)
+      val small = coldOpen(smallPath, 2000)
+      val big = coldOpen(bigPath, 20000)
+      val r = big / math.max(small, 1e-9)
+      def f2c(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(f"[smoke] cold_open 2k files=$small%.2fs 20k files=$big%.2fs " +
+        f"ratio=$r%.2f")
+      Seq(s"""${jstr("cold_open")}:{"sf01":$small,"sf1":$big,""" +
+        s""""ratio":${f2c(r)},"files_sf01":2000,"files_sf1":20000}""")
+    } else Nil
+
     val json =
-      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow).mkString(",")}}}"""
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow).mkString(",")}}}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()

@@ -188,6 +188,67 @@ class SnapshotTableSpec extends SparkSpec {
       t.readWhere(("part", "p", "p")).count() == 1000)
   }
 
+  test("parquet checkpoints: the twin serves cold opens, text is the " +
+      "authoritative fallback, replay and checkpoint agree") {
+    val path = tmp("snapckptpq")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      tableProps = Map("graft.parquetCheckpointMinFiles" -> "0",
+        "graft.checkpointInterval" -> "3"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((3, "c", "p1")))
+    t.upsert(frame((2, "B", "p2"), (4, "d", "p3"))) // v3: checkpoint + twin
+    t.upsert(frame((5, "e", "p1"))) // v4: a delta replays on top
+    val expected = Seq(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e")
+    assert(contents(t) == expected)
+    val fs = fsOf(path)
+    val twin = new Path(s"$path/_commits/ckpt-v000000003.parquet")
+    assert(fs.exists(twin), "no parquet checkpoint twin at v3")
+    val textCkpt = new Path(s"$path/_commits/v000000003.manifest")
+    val original = {
+      val in = fs.open(textCkpt)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    // PROOF the twin is the active cold-open path: strip the text
+    // checkpoint down to its header lines — a fresh handle must still
+    // serve every row (entries came from the columnar side)
+    val headerOnly = new String(original, "UTF-8").split("\n")
+      .takeWhile(l => l.startsWith("version\t") || l.startsWith("token\t") ||
+        l.startsWith("schema\t") || l.startsWith("partition\t") ||
+        l.startsWith("check\t") || l.startsWith("layout\t") ||
+        l.startsWith("property\t"))
+      .mkString("", "\n", "\n")
+    val out = fs.create(textCkpt, true)
+    try out.write(headerOnly.getBytes("UTF-8")) finally out.close()
+    val viaTwin = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(viaTwin) == expected,
+      "cold open did not serve entries from the parquet twin")
+    assert(viaTwin.readVersion(3).count() == 4)
+    // restore the text record, corrupt the twin: the fallback must
+    // serve the SAME state (speed lost, correctness kept)
+    val out2 = fs.create(textCkpt, true)
+    try out2.write(original) finally out2.close()
+    fs.listStatus(twin).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val o = fs.create(st.getPath, true)
+        try o.write(Array[Byte](0, 1, 2, 3)) finally o.close()
+      }
+    val viaText = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(viaText) == expected,
+      "text fallback diverged after a corrupt parquet twin")
+    // and with the twin gone entirely, replay still agrees
+    fs.delete(twin, true)
+    val replayOnly = SnapshotTable(spark, path, "id", Some("part"))
+    assert(contents(replayOnly) == expected)
+    // a table UNDER the size threshold never writes a twin
+    val small = SnapshotTable(spark, tmp("snapckptsmall"), "id", Some("part"),
+      tableProps = Map("graft.checkpointInterval" -> "2"))
+    small.create(frame((1, "a", "p1")))
+    small.upsert(frame((2, "b", "p1")))
+    assert(!fsOf(small.path).exists(
+      new Path(s"${small.path}/_commits/ckpt-v000000002.parquet")),
+      "a tiny table paid a parquet checkpoint job")
+  }
+
   test("type widening: metadata-only, widened upserts land, time travel " +
       "pins the narrow type, stats still prune") {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
