@@ -3023,6 +3023,55 @@ object Queries {
       emb, plantedAnnQueries(emb, 5), k = 10, nCentroids = 16, nProbe = 6))
   }
 
+  /** CDC-incremental IVF index maintenance
+    * ([[Similarity.ivfRefresh]]): centroids train ONCE on the v1
+    * corpus and freeze; the corpus then takes an upsert wave (a
+    * held-out third inserted + every 6th vector deterministically
+    * flipped, so assignments genuinely move) and a delete wave, and
+    * the index absorbs the NET CDC delta — after-images reassigned
+    * with an O(delta · centroids) broadcast argmax, before-image ids
+    * dropped from their old lists, everything untouched carried
+    * verbatim. The claim the oracle pins: the maintained index is
+    * BIT-IDENTICAL (centroid ids AND vectors, full-outer-join
+    * compared) to a from-scratch assignment over the final corpus
+    * under the same centroids — incremental costs O(delta) per batch
+    * where the rebuild costs O(corpus). */
+  def ivfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val base = scratch("ivf_incr", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "vec_id")
+    table.create(emb.filter(col("vec_id") % 3 =!= 2))
+    val cents = Similarity.trainCentroids(
+      table.readVersion(1), nCentroids = 16, iters = 2)
+    val index1 = Similarity.ivfAssign(table.readVersion(1), cents)
+    // wave 1: insert the held-out third, flip every 6th vector
+    table.upsert(emb.filter(col("vec_id") % 3 === 2).unionByName(
+      emb.filter(col("vec_id") % 6 === 0).withColumn("embedding",
+        transform(col("embedding"), x => x * lit(-1.0f)))))
+    // wave 2: deletes
+    table.delete(col("vec_id") % 7 === 3)
+    val img = plans.SnapshotTable.ImageCol
+    val delta = table.changesDelta(1, table.currentVersion.get)
+    val index2 = Similarity.ivfRefresh(index1, cents,
+      upserted = delta.filter(col(img) === "after").drop(img),
+      removedIds = delta.filter(col(img) === "before").select("vec_id"))
+    val rebuilt = Similarity.ivfAssign(table.read, cents)
+    val cmp = index2.select(col("vec_id"),
+        col("centroid_id").as("c_inc"), col("embedding").as("e_inc"))
+      .join(rebuilt.select(col("vec_id"),
+          col("centroid_id").as("c_full"), col("embedding").as("e_full")),
+        Seq("vec_id"), "full_outer")
+    cmp.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("c_inc") === col("c_full") &&
+          col("e_inc") === col("e_full"), 0L).otherwise(1L))
+          .as("__mis"))
+      .select(col("n_vectors"),
+        (col("__mis") === 0).as("incremental_matches_rebuild"),
+        col("__mis").as("n_mismatched"))
+  }
+
   /** Salted skewed equi-join + aggregate: result must be identical to
     * the plain join (the salt is plan-level only) — oracle-checked. */
   def saltedJoinAgg(s: SparkSession, dir: String): DataFrame =
@@ -3495,6 +3544,7 @@ object Queries {
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
+    "ivf_incremental" -> (ivfIncremental _),
     "ann_recall" -> (annRecall _),
     "ann_recall_real" -> (annRecallReal _),
     "salted_join_agg" -> (saltedJoinAgg _),
@@ -4559,6 +4609,16 @@ object Queries {
     // per-element float rounding is replicated with CAST(.. AS FLOAT))
     "embedding_ann_lsh" -> AnnPlantedOracleSql,
     "embedding_ann_ivf" -> AnnPlantedOracleSql,
+    // the bit-parity claim is verified IN-PLAN (full-outer join of the
+    // maintained index against the from-scratch assignment under the
+    // same frozen centroids); the oracle recomputes the final corpus
+    // cardinality from the same upsert/delete algebra and pins the
+    // mismatch count at zero
+    "ivf_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       true AS incremental_matches_rebuild,
+        |       CAST(0 AS BIGINT) AS n_mismatched
+        |FROM embeddings WHERE vec_id % 7 <> 3""".stripMargin,
     // recall@10 over planted scaled-duplicate families is exactly 1.0
     // per query and method (see annRecall) — the oracle predicts the
     // full grid; any ANN recall loss breaks the hash

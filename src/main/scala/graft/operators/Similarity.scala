@@ -274,6 +274,38 @@ object Similarity {
         maxTrainVectors),
       idCol, vecCol)
 
+  /** The assignment pass alone, under a caller-supplied (frozen)
+    * centroid set — the building block [[ivfRefresh]] keeps bit-parity
+    * with, and what a periodic full rebuild runs after a retrain. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, vecCol)
+
+  /** CDC-incremental IVF maintenance under a FROZEN centroid set:
+    * only the CHANGED vectors are (re)assigned — a broadcast argmax
+    * over the delta, O(delta · centroids · dim) work — while ids in
+    * `removedIds` (deletes AND the before-images of updates) leave
+    * their old inverted lists and every untouched assignment carries
+    * over verbatim. Per-vector assignment is a pure function of
+    * (vector, centroids), so the maintained index is BIT-IDENTICAL to
+    * [[ivfIndex]]'s assignment pass over the full current corpus with
+    * the same centroids (spec- and oracle-pinned, not approximately).
+    * Centroids stay fixed between retrains — Faiss's operational
+    * model: assignment absorbs deltas continuously, training is a
+    * periodic offline rebuild when drift erodes recall. At corpus
+    * scale this is the difference between O(delta) per refresh and an
+    * O(corpus) rebuild per batch. */
+  def ivfRefresh(index: DataFrame, centroids: DataFrame,
+                 upserted: DataFrame, removedIds: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val gone = removedIds
+      .select(col(removedIds.columns.head).as("__gone")).distinct()
+    index.join(gone, col(idCol) <=> col("__gone"), "left_anti")
+      .unionByName(assignToCentroids(upserted, centroids, idCol, vecCol))
+  }
+
   /** IVF ANN top-k: queries probe their `nProbe` nearest centroids and
     * score only vectors in those inverted lists, exact cosine re-rank.
     * Recall grows with nProbe (and with centroid training quality);

@@ -40,6 +40,49 @@ class SkewIvfSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("ivfRefresh: incremental maintenance is bit-identical to a full " +
+      "re-assignment under the same frozen centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val v1 = emb.filter(col("vec_id") % 3 =!= 2)
+    val cents = Similarity.trainCentroids(v1, nCentroids = 8, iters = 1)
+    val index1 = Similarity.ivfAssign(v1, cents)
+    // the delta: inserts (the held-out third), updates (every 6th
+    // vector flipped — assignments must MOVE), deletes (every 7th≡3)
+    val updated = emb.filter(col("vec_id") % 6 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(-1.0f)))
+    val upserted = emb.filter(col("vec_id") % 3 === 2 &&
+        col("vec_id") % 7 =!= 3)
+      .unionByName(updated.filter(col("vec_id") % 7 =!= 3))
+    val removedIds = emb.filter(col("vec_id") % 7 === 3 ||
+      col("vec_id") % 6 === 0).select("vec_id")
+    val maintained = Similarity.ivfRefresh(index1, cents,
+      upserted, removedIds)
+    val finalCorpus = emb.filter(col("vec_id") % 7 =!= 3)
+      .join(updated.select(col("vec_id").as("uid"), col("embedding")
+        .as("uvec")), col("vec_id") === col("uid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("uvec"), col("embedding")).as("embedding"))
+    val rebuilt = Similarity.ivfAssign(finalCorpus, cents)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("centroid_id"),
+        col("embedding").cast("array<float>"))
+      .collect().map(_.toString).sorted.toSeq
+    val a = canon(maintained)
+    assert(a.nonEmpty && a == canon(rebuilt),
+      "maintained index diverged from the full re-assignment")
+    // updated vectors really moved lists (the refresh wasn't a no-op)
+    val before = index1.filter(col("vec_id") % 6 === 0)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = maintained.filter(col("vec_id") % 6 === 0)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.exists { case (id, c) => before.get(id).exists(_ != c) },
+      "no flipped vector changed its inverted list — fixture too weak")
+  }
+
   test("IVF assigns every vector to exactly one centroid") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Similarity.ivfIndex(emb, nCentroids = 8)
