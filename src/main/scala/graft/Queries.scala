@@ -322,6 +322,42 @@ object Queries {
       .orderBy("status")
   }
 
+  /** Iceberg-style PARTITION-SPEC EVOLUTION
+    * ([[SnapshotTable.repartitionTo]]): the table is created
+    * partitioned by o_orderstatus, evolved metadata-only to partition
+    * by o_orderpriority, then upserted with a wave that touches ONLY
+    * the 'F' legacy partition — its files rewrite under the new
+    * layout while the other statuses' files carry over under the OLD
+    * one, so the final snapshot genuinely mixes vintages (required
+    * in-plan). The mixed read serves every row with both columns
+    * intact — each vintage's partition column comes from its own
+    * directory names, the other from its data pages — and the oracle
+    * recomputes the same two-level aggregate from the raw orders.
+    * Planning-time pruning on BOTH layouts is spec-pinned
+    * (SnapshotTableSpec "partition-spec evolution"). */
+  def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("part_evo", dir)
+    freshDirs(s, base)
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderpriority")
+    plans.SnapshotTable(s, base, "o_orderkey", Some("o_orderstatus"))
+      .create(orders.filter(col("o_orderkey") % 3 =!= 2))
+    // evolution-aware handle: constructed WITHOUT a partition pin
+    val tbl = plans.SnapshotTable(s, base, "o_orderkey")
+    tbl.repartitionTo(Seq("o_orderpriority"))
+    tbl.upsert(orders.filter(col("o_orderkey") % 3 === 2 &&
+      col("o_orderstatus") === "F"))
+    require(tbl.mixedSpecAt(),
+      "fixture must end with BOTH layout vintages live")
+    require(tbl.readVersion(1).count() > 0,
+      "pre-evolution time travel must keep serving")
+    tbl.read.groupBy("o_orderstatus", "o_orderpriority").agg(
+        count(lit(1)).as("n"),
+        sum("o_custkey").as("sum_cust"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** K2 through PURE SQL — the reference's central Delta MERGE
     * (orders_etl.py:67-71) as a SQL `MERGE INTO` statement against a
     * registered `USING graft` catalog table, planned by the DSv2
@@ -3461,6 +3497,7 @@ object Queries {
     "stream_source_parity" -> (streamSourceParity _),
     "snapshot_upsert" -> (snapshotUpsert _),
     "schema_widening" -> (schemaWidening _),
+    "partition_evolution" -> (partitionEvolution _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "predicate_pruned_read" -> (predicatePrunedRead _),
@@ -4022,6 +4059,20 @@ object Queries {
         |  round(sum(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS sum_price,
         |  round(max(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the mixed-vintage (spec-evolved) snapshot must aggregate exactly
+    // like the raw rows it was built from: create wave (keys % 3 <> 2)
+    // plus the F-only upsert wave (pure inserts by key)
+    "partition_evolution" ->
+      """WITH merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 2
+        |  UNION ALL
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 3 = 2 AND o_orderstatus = 'F')
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the z-ordered, stats-pruned box read must equal the plain SQL box
     "zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

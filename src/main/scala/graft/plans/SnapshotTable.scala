@@ -509,12 +509,20 @@ final class SnapshotTable(
     * can never mis-plan a partitioned table as unpartitioned. Resolved
     * once per handle; create() on a not-yet-existing table sees the
     * constructor value. */
-  private[graft] lazy val tablePartitionCols: Seq[String] = {
-    val ctor =
-      if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
-    if (ctor.nonEmpty) ctor
-    else currentVersion.flatMap(v => readManifest(v).partitionCol)
-      .map(_.split(",").toSeq).getOrElse(Nil)
+  @volatile private var cachedPartitionSpec: Seq[String] = null
+  private[graft] def tablePartitionCols: Seq[String] = {
+    val cached = cachedPartitionSpec
+    if (cached != null) cached
+    else {
+      val ctor =
+        if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+      val resolved =
+        if (ctor.nonEmpty) ctor
+        else currentVersion.flatMap(v => readManifest(v).partitionCol)
+          .map(_.split(",").toSeq).getOrElse(Nil)
+      cachedPartitionSpec = resolved
+      resolved
+    }
   }
 
   /** Write manifest to a tmp name, then ONE atomic-exclusive namespace
@@ -1539,6 +1547,69 @@ final class SnapshotTable(
       if (f.name == name) f.copy(dataType = to) else f)))
   }
 
+  /** Iceberg-style PARTITION-SPEC EVOLUTION, metadata-only: commits
+    * `newCols` as the table's write layout — zero data I/O. Files
+    * already committed stay readable (and merge-scoped) under the
+    * spec THEIR OWN paths encode; commits from here on write Hive
+    * dirs for the new spec. Lazy by design (Iceberg's model): data
+    * migrates only as rewrites touch it, or eagerly via
+    * [[migrateSpec]]. The DSv2 `format("graft")` stack plans a single
+    * spec and REFUSES a mixed snapshot ([[mixedSpecAt]]) with the
+    * migration remedy; SnapshotTable reads, upserts, DML, CDC and
+    * compaction are all vintage-aware. A handle constructed with an
+    * explicit `partitionCol` pins that spec (the existing ctor-wins
+    * contract) — evolution-aware callers construct without one. */
+  def repartitionTo(newCols: Seq[String]): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = readManifest(v)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"cannot evolve the partition spec at $path: no logged schema " +
+        "(vintage-aware reads must type every file)"))
+    newCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column '$c' at $path"))
+    require(newCols.distinct == newCols,
+      s"duplicate partition columns: ${newCols.mkString(",")}")
+    require(newCols != tablePartitionCols,
+      s"table at $path already partitions by '${newCols.mkString(",")}'")
+    // headerLines derives the logged spec from tablePartitionCols:
+    // flip the handle's resolved spec first, restore on a failed commit
+    val prev = cachedPartitionSpec
+    cachedPartitionSpec = newCols
+    try commitManifest(v + 1, m.entries, schema)
+    catch {
+      case t: Throwable => cachedPartitionSpec = prev; throw t
+    }
+  }
+
+  /** Rewrite every file still laid out under an OLDER partition spec
+    * into the current one — the eager completion of [[repartitionTo]]'s
+    * lazy contract. One commit, O(legacy files) I/O, a no-op on a
+    * uniform table; afterwards the DSv2/SQL scan (which plans one
+    * spec) serves the table again. */
+  def migrateSpec(): Unit = {
+    val v = currentVersion.getOrElse(return)
+    val m = readManifest(v)
+    val pcs = tablePartitionCols
+    val (legacy, uniform) = m.entries.partition(e =>
+      SnapshotTable.specOf(e.path) != pcs)
+    if (legacy.isEmpty) return
+    val schema = m.schema.orElse(declaredSchema)
+      .getOrElse(readFiles(m.entries).schema)
+    val rewritten = writeDataFiles(readFiles(legacy, m.schema))
+    commitMerge(v, m, uniform, rewritten, schema,
+      e => SnapshotTable.specOf(e.path) != pcs)
+  }
+
+  /** Does this snapshot mix partition-spec vintages (a
+    * [[repartitionTo]] committed and migration incomplete)? The DSv2
+    * scan stacks plan a single spec and must refuse such snapshots;
+    * every SnapshotTable read/DML path is vintage-aware. */
+  private[graft] def mixedSpecAt(version: Option[Long] = None): Boolean =
+    version.orElse(currentVersion).exists(v =>
+      readManifest(v).entries.exists(e =>
+        SnapshotTable.specOf(e.path) != tablePartitionCols))
+
   /** Shared validation for [[renameColumn]]/[[dropColumn]]: the ops
     * are only sound on an id-mapped table (name-resolved files would
     * silently detach), never on a partition column (directories encode
@@ -1557,6 +1628,14 @@ final class SnapshotTable(
     require(!tablePartitionCols.contains(name),
       s"cannot $op partition column '$name' at $path: partition " +
         "directories encode its name")
+    // the same hazard for a column an OLDER spec's live files still
+    // encode in their directory names (partition-spec evolution):
+    // renaming it would detach those files' vintage resolution
+    require(!m.entries.iterator
+        .flatMap(e => SnapshotTable.specOf(e.path)).contains(name),
+      s"cannot $op '$name' at $path: live files written under an older " +
+        "partition spec encode it in their directory names — run " +
+        "migrateSpec() first")
     require(!effectiveProps.get("primaryKey").contains(name),
       s"cannot $op '$name' at $path: it is the table's logged merge key")
     val lay = effectiveLayout
@@ -1966,16 +2045,41 @@ final class SnapshotTable(
         // A mismatch here makes a touched partition look untouched: its
         // old files carry over alongside the rewrite, duplicating
         // primary keys.
-        val touched = timed("touched-collect")(
-          knock.select(pcs.map(c => col(c).cast("string")): _*)
-          .distinct().collect()
-          .map(r => pcs.indices.map(i =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionValueString(
-                if (r.isNullAt(i)) null else r.getString(i)))
-            .mkString("/"))
-          .toSet)
-        overlapsScope = e => touched(partOf(e.path))
+        def renderedSet(spec: Seq[String]): Set[String] =
+          timed("touched-collect")(
+            knock.select(spec.map(c => col(c).cast("string")): _*)
+            .distinct().collect()
+            .map(r => spec.indices.map(i =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionValueString(
+                  if (r.isNullAt(i)) null else r.getString(i)))
+              .mkString("/"))
+            .toSet)
+        val touched = renderedSet(pcs)
+        // LEGACY-spec vintages (partition-spec evolution): each is
+        // merge-scoped by rendering the batch under ITS OWN spec — a
+        // replaced PK may live in an old-layout file, and matching it
+        // against the new spec's rendering would silently keep it
+        // (duplicate keys). A vintage the batch cannot render (an
+        // evolveSchema source omitting its columns) and the
+        // unpartitioned vintage are conservatively ALL-touched.
+        val knockCols = knock.columns.map(_.toLowerCase).toSet
+        val legacySets: Map[Seq[String], Option[Set[String]]] =
+          live.iterator.map(e => SnapshotTable.specOf(e.path))
+            .filter(_ != pcs).toSeq.distinct.map { spec =>
+              spec -> (if (spec.nonEmpty &&
+                           spec.forall(c => knockCols(c.toLowerCase)))
+                         Some(renderedSet(spec))
+                       else None)
+            }.toMap
+        overlapsScope = e => {
+          val sp = SnapshotTable.specOf(e.path)
+          if (sp == pcs) touched(partOf(e.path))
+          else legacySets.get(sp).flatten match {
+            case Some(set) => set(partOf(e.path))
+            case None => true // unknown/unrenderable vintage: conflict
+          }
+        }
         val (touchedFiles, keptFiles) = live.partition(overlapsScope)
         val current =
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
@@ -2100,6 +2204,12 @@ final class SnapshotTable(
             if (r.isNullAt(i)) null else r.getString(i)))
         .mkString("/"))
       .toSet
+    // a legacy-vintage file (partition-spec evolution) may hold rows
+    // of a replaced logical partition without matching its rendered
+    // name — keeping it would leave stale rows beside the replacement
+    require(m.entries.forall(e => SnapshotTable.specOf(e.path) == pcs),
+      s"table at $path mixes partition-spec vintages — run " +
+        "migrateSpec() before replacePartitions")
     val kept = m.entries.filterNot(f => touched(partOf(f.path)))
     // optimistic re-base like upsert's: a concurrent commit OUTSIDE
     // the replaced partitions re-bases for one manifest write; a file
@@ -2542,8 +2652,14 @@ final class SnapshotTable(
     // column (nothing may be inferred without I/O) and recorded file
     // lengths (manifests written before either was logged fall back to
     // the listing path below).
+    // files group by the spec THEIR OWN paths encode: after a
+    // partition-spec evolution a snapshot legitimately mixes vintages,
+    // and each group plans with its own partition schema — old files'
+    // evolved-away partition values come from their dirs, the same
+    // column in new files reads as plain data (and vice versa)
+    val specGroups = entries.groupBy(e => SnapshotTable.specOf(e.path))
     val indexable = effective.exists(s =>
-      tablePartitionCols.forall(s.fieldNames.contains)) &&
+      specGroups.keysIterator.flatten.forall(s.fieldNames.contains)) &&
       entries.forall(_.len >= 0) &&
       // files under Hive dirs with NO known partition column (possible
       // only for manifests from before the layout was logged) must take
@@ -2552,21 +2668,27 @@ final class SnapshotTable(
       (tablePartitionCols.nonEmpty || entries.forall(e => !e.path.contains("=")))
     if (indexable) {
       val schema = effective.get
-      val partSchema = StructType(
-        tablePartitionCols.flatMap(c => schema.fields.find(_.name == c)))
-      val dataSchema = StructType(
-        schema.fields.filterNot(f => tablePartitionCols.contains(f.name)))
-      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new ManifestFileIndex(spark, dataDir, entries, partSchema),
-        partSchema, dataSchema, None,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-        Map.empty)(spark)
-      // relation schema is dataSchema ++ partitionSchema; restore the
-      // declared column order (metadata provenance resolved HERE, on
-      // the relation-rooted frame, where `_metadata` is in scope)
       val named = schema.fieldNames.toIndexedSeq.map(col)
-      return spark.baseRelationToDataFrame(rel)
-        .select((if (withPos) named ++ posCols else named): _*)
+      val frames = specGroups.toSeq.sortBy(_._1.mkString(","))
+        .map { case (spec, es) =>
+          val partSchema = StructType(
+            spec.flatMap(c => schema.fields.find(_.name == c)))
+          val dataSchema = StructType(
+            schema.fields.filterNot(f => spec.contains(f.name)))
+          val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new ManifestFileIndex(spark, dataDir, es, partSchema),
+            partSchema, dataSchema, None,
+            new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetFileFormat,
+            Map.empty)(spark)
+          // relation schema is dataSchema ++ partitionSchema; restore
+          // the declared column order (metadata provenance resolved
+          // HERE, on the relation-rooted frame, where `_metadata` is
+          // in scope)
+          spark.baseRelationToDataFrame(rel)
+            .select((if (withPos) named ++ posCols else named): _*)
+        }
+      return frames.reduce(_ unionByName _)
     }
     // Listing fallback (pre-schema/pre-meta manifests). mergeSchema only
     // once the table has actually evolved: a snapshot then mixes pre-
@@ -2861,6 +2983,13 @@ final class SnapshotTable(
       s"readPartitions targets single-column layouts; table at $path " +
         s"partitions by ${tablePartitionCols.mkString(",")}")
     val m = currentManifest
+    // exact-name matching is only sound when every live file is laid
+    // out under the CURRENT spec — an older vintage's rows would be
+    // silently absent from the named partitions otherwise
+    require(m.entries.forall(e =>
+        SnapshotTable.specOf(e.path) == tablePartitionCols),
+      s"table at $path mixes partition-spec vintages — run " +
+        "migrateSpec() before readPartitions")
     val dirs = values.map(v =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .getPartitionValueString(v)).toSet
@@ -3408,6 +3537,16 @@ object SnapshotTable {
   private[graft] def partValuesOf(rel: String): Map[String, String] =
     rel.split("/").iterator.filter(_.contains("="))
       .map { seg => val a = seg.split("=", 2); (a(0), a(1)) }.toMap
+
+  /** The PARTITION SPEC a file was written under — the ordered key
+    * names its Hive directories encode (Nil for an unpartitioned
+    * vintage). After a partition-spec evolution ([[SnapshotTable.repartitionTo]])
+    * a snapshot legitimately mixes vintages, and each file must be
+    * read and merge-scoped under ITS OWN spec; the path IS the spec
+    * record, so no manifest format change is needed. */
+  private[graft] def specOf(rel: String): Seq[String] =
+    rel.split("/").iterator.filter(_.contains("="))
+      .map(_.split("=", 2)(0)).toSeq
 
   def apply(spark: SparkSession, path: String, primaryKey: String,
             partitionCol: Option[String] = None,

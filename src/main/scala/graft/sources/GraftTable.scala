@@ -223,10 +223,27 @@ final class GraftTable(
     * only adds `toMicroBatchStream`, so the same relation serves
     * `spark.read` and `spark.readStream` ([[GraftMicroBatchStream]]).
     * Change-feed handles get the CDC scan instead. */
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    requireUniformSpec("scan")
     if (cdcMode) new GraftCdcScanBuilder(spark, tablePath, opts)
     else new GraftScanBuilder(spark, tablePath, pinnedVersion, fileIndex,
       tableSchema, dataSchema, dvByBase, opts, metadataRowCount)
+  }
+
+  /** This DSv2 stack plans ONE partition spec (a single
+    * [[graft.plans.ManifestFileIndex]] under `partitionCols`); a
+    * snapshot that mixes spec vintages (repartitionTo committed,
+    * migration incomplete) must refuse rather than parse old-layout
+    * paths under the new spec. Checked at scan/DML construction — not
+    * at table load, so DESCRIBE/SHOW still work on a mixed table. */
+  private def requireUniformSpec(what: String): Unit =
+    require(entries.forall(e =>
+        graft.plans.SnapshotTable.specOf(e.path) == partitionCols),
+      s"cannot $what $tablePath through format(\"graft\"): the snapshot " +
+        "mixes partition-spec vintages (repartitionTo committed, " +
+        "migration incomplete) and this scan stack plans a single spec " +
+        "— read through the SnapshotTable API, or run migrateSpec() to " +
+        "rewrite legacy-layout files")
 
   /** SQL MERGE INTO / UPDATE / DELETE — group-based copy-on-write row
     * level operations ([[GraftRowLevelOperation]]). DML against a
@@ -235,6 +252,7 @@ final class GraftTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot ${info.command} a versionAsOf/timestampAsOf read of $tablePath")
+    requireUniformSpec(s"${info.command}")
     // a branch handle is a first-class DML target: the operation scans,
     // stages and commits against the BRANCH's commit line (same shared
     // data dir), which is what makes a pure-SQL write-audit-publish

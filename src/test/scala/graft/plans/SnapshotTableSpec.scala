@@ -188,6 +188,99 @@ class SnapshotTableSpec extends SparkSpec {
       t.readWhere(("part", "p", "p")).count() == 1000)
   }
 
+  test("partition-spec evolution: metadata-only commit, vintages read " +
+      "and merge-scope under their own specs, both layouts prune") {
+    val path = tmp("snapspecevo")
+    // create partitioned by p1c; p2c is a plain data column (for now)
+    SnapshotTable(spark, path, "id", Some("p1c")).create(
+      Seq((1L, "r1", "a", "x"), (2L, "r2", "a", "y"),
+        (3L, "r3", "b", "x"), (4L, "r4", "b", "y"))
+        .toDF("id", "val", "p1c", "p2c"))
+    // evolution-aware handles construct WITHOUT a ctor pin
+    val t = SnapshotTable(spark, path, "id")
+    val v1Files = dataFiles(path)
+    t.repartitionTo(Seq("p2c"))
+    assert(dataFiles(path) == v1Files, "spec evolution touched data files")
+    // the full read is correct while every file is still old-vintage
+    assert(t.read.count() == 4)
+    // an upsert into old partition a: its files rewrite under the NEW
+    // spec; partition b's files stay old-vintage — the table now MIXES
+    t.upsert(Seq((1L, "R1", "a", "x"), (5L, "r5", "a", "y"))
+      .toDF("id", "val", "p1c", "p2c"))
+    // LIVE files (manifest entries — disk keeps dereferenced vintages
+    // for time travel): partition a rewrote under the new spec,
+    // partition b's old-layout files carry over by reference
+    val live = t.candidateFiles().map(_.path).toSet
+    assert(live.exists(_.contains("p2c=")), "no new-spec files written")
+    assert(live.exists(_.contains("p1c=b")), "old vintage disappeared")
+    assert(!live.exists(_.contains("p1c=a")),
+      "touched old-vintage files were not rewritten")
+    // NO duplicate keys across vintages (the merge-scoping claim), and
+    // every vintage serves BOTH columns — the old files' p1c from
+    // dirs / p2c from data, the new files' the other way around
+    val rows = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(rows == Seq((1L, "R1", "a", "x"), (2L, "r2", "a", "y"),
+      (3L, "r3", "b", "x"), (4L, "r4", "b", "y"), (5L, "r5", "a", "y")),
+      s"mixed-vintage read diverged: $rows")
+    // time travel predates the evolution
+    assert(t.readVersion(1).count() == 4)
+    // pruning on BOTH layouts: each vintage's scan carries ITS spec's
+    // column as a planning-time PartitionFilter
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      var n = 0L
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            n += f.metrics("numFiles").value
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    val total = scannedFiles(t.read)
+    val byOld = t.read.filter(col("p1c") === "a")
+    assert(byOld.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(p1c"),
+      "old vintage lost planning-time pruning on its own spec")
+    assert(scannedFiles(byOld) < total,
+      "a filter on the old spec's column pruned nothing")
+    val byNew = t.read.filter(col("p2c") === "x")
+    assert(byNew.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(p2c"),
+      "new vintage lost planning-time pruning on its own spec")
+    assert(scannedFiles(byNew) < total,
+      "a filter on the new spec's column pruned nothing")
+    // the single-spec surfaces refuse the mixed snapshot with a remedy
+    val e1 = intercept[Exception](
+      spark.read.format("graft").load(path).count())
+    assert(e1.getMessage.contains("migrateSpec"), e1.getMessage)
+    val e2 = intercept[Exception](t.readPartitions(Seq("x")))
+    assert(e2.getMessage.contains("migrateSpec"), e2.getMessage)
+    // DML crosses vintages: delete an old-vintage row (its file —
+    // being rewritten — migrates to the new layout as a side effect)
+    t.delete(col("id") === 3L)
+    assert(t.read.count() == 4)
+    // eager migration: uniform new layout, every surface serves again
+    t.migrateSpec()
+    val migrated = t.candidateFiles().map(_.path).toSet
+    assert(migrated.nonEmpty && migrated.forall(_.contains("p2c=")),
+      s"migrateSpec left legacy-layout files live: $migrated")
+    val sqlRows = spark.read.format("graft").load(path)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("p2c"))).toSeq
+    assert(sqlRows == Seq((1L, "x"), (2L, "y"), (4L, "y"), (5L, "y")))
+    assert(t.readPartitions(Seq("y")).count() == 3)
+    // guard rails: unknown column, no-op spec, dup columns
+    intercept[IllegalArgumentException](t.repartitionTo(Seq("nope")))
+    intercept[IllegalArgumentException](t.repartitionTo(Seq("p2c")))
+    intercept[IllegalArgumentException](t.repartitionTo(Seq("p1c", "p1c")))
+  }
+
   test("parquet checkpoints: the twin serves cold opens, text is the " +
       "authoritative fallback, replay and checkpoint agree") {
     val path = tmp("snapckptpq")
