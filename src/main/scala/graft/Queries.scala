@@ -53,6 +53,16 @@ object Queries {
                            wallSec: Double, stageSec: Double)
       : Seq[(String, Double)] = {
     val ps = q.recentProgress
+    // recentProgress retains at most numRecentProgressUpdates entries
+    // (default 100): past that, triggerExecution sums only the TAIL
+    // while the wall covers every batch — the difference would be
+    // misattributed to stream_init, the exact failure mode these
+    // phases exist to prevent. Report the cap honestly instead.
+    val cap = q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+    if (ps.length >= cap)
+      return Seq("stage" -> stageSec, "progress_capped" -> 1.0,
+        "n_batches_min" -> ps.length.toDouble)
     def sumMs(k: String): Double = ps.map(p =>
       Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum / 1000.0
     val trigger = sumMs("triggerExecution")

@@ -435,21 +435,26 @@ final class SnapshotTable(
     * re-logs them whole). A version whose chain is broken (vacuumed
     * delta, legacy record) fails loudly rather than resolving to a
     * wrong snapshot. */
-  private def readManifest(v: Long): Manifest = manifestCache.synchronized {
+  private def readManifest(v: Long): Manifest = {
     // versions start at 1: without this guard the walk below never
     // runs for v <= 0 and falls through to the EMPTY base — silently
     // serving a fabricated empty snapshot (the pre-delta code threw
     // FileNotFound on the missing manifest)
     require(v >= 1,
       s"version $v does not exist at $path (versions start at 1)")
-    val cached = manifestCache.get(v)
+    // the cache monitor guards MAP ACCESS only — reconstruction (which
+    // may run a distributed parquet-twin decode) proceeds outside it,
+    // so a slow cold open never blocks other versions' readers.
+    // Manifests are immutable per version: two threads racing the same
+    // reconstruction waste work but agree on the result.
+    val cached = manifestCache.synchronized(manifestCache.get(v))
     if (cached != null) return cached
     var deltas = List.empty[Long] // ascending: prepended as c descends
     var base = Manifest(Nil, None, None, Nil, None, Map.empty)
     var c = v
     var found = false
     while (c >= 1 && !found) {
-      val m = manifestCache.get(c)
+      val m = manifestCache.synchronized(manifestCache.get(c))
       if (m != null) { base = m; found = true }
       else if (fs.exists(manifestPath(c))) {
         base = readCheckpointBase(c)
@@ -478,7 +483,7 @@ final class SnapshotTable(
       scala.jdk.CollectionConverters.CollectionHasAsScala(live.values)
         .asScala.toSeq,
       head.schema, head.partitionCol, head.checks, head.layout, head.props)
-    manifestCache.put(v, m)
+    manifestCache.synchronized(manifestCache.put(v, m))
     m
   }
 
@@ -1566,6 +1571,15 @@ final class SnapshotTable(
     val schema = m.schema.getOrElse(throw new IllegalStateException(
       s"cannot evolve the partition spec at $path: no logged schema " +
         "(vintage-aware reads must type every file)"))
+    // an EMPTY target spec is indistinguishable, at read time, from a
+    // legacy pre-layout manifest (both log no partition line while
+    // Hive dirs exist on disk), and that ambiguity forces the
+    // mixed-read planner down the inferring path, which cannot plan
+    // conflicting directory depths — refuse rather than commit a
+    // layout the reads would choke on
+    require(newCols.nonEmpty,
+      s"cannot de-partition $path via repartitionTo: evolve to another " +
+        "partitioning, or rewrite through create/replace")
     newCols.foreach(c => require(schema.fieldNames.contains(c),
       s"no column '$c' at $path"))
     require(newCols.distinct == newCols,
@@ -2196,6 +2210,14 @@ final class SnapshotTable(
       .getOrElse(readFiles(m.entries).schema)
     val src = guardChecks(conformToSchema(df, schema))
     val pcs = tablePartitionCols
+    // a legacy-vintage file (partition-spec evolution) may hold rows
+    // of a replaced logical partition without matching its rendered
+    // name — keeping it would leave stale rows beside the replacement.
+    // Metadata-only, checked BEFORE the touched-partition job: the
+    // refusal must not cost a pass over the input.
+    require(m.entries.forall(e => SnapshotTable.specOf(e.path) == pcs),
+      s"table at $path mixes partition-spec vintages — run " +
+        "migrateSpec() before replacePartitions")
     val touched = src.select(pcs.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => pcs.indices.map(i =>
@@ -2204,12 +2226,6 @@ final class SnapshotTable(
             if (r.isNullAt(i)) null else r.getString(i)))
         .mkString("/"))
       .toSet
-    // a legacy-vintage file (partition-spec evolution) may hold rows
-    // of a replaced logical partition without matching its rendered
-    // name — keeping it would leave stale rows beside the replacement
-    require(m.entries.forall(e => SnapshotTable.specOf(e.path) == pcs),
-      s"table at $path mixes partition-spec vintages — run " +
-        "migrateSpec() before replacePartitions")
     val kept = m.entries.filterNot(f => touched(partOf(f.path)))
     // optimistic re-base like upsert's: a concurrent commit OUTSIDE
     // the replaced partitions re-bases for one manifest write; a file
@@ -2725,7 +2741,14 @@ final class SnapshotTable(
         e.copy(stats = e.stats +
           FileEntry.metaStat(st.getLen, st.getModificationTime))
       })
-    (entries, schema, tablePartitionCols)
+    // the VERSION'S OWN logged spec, not the handle's current one: a
+    // versionAsOf read pinned before a partition-spec evolution must
+    // plan (and pass the uniform-spec check) under the spec its files
+    // were laid out by. Falls back to the handle's resolution for
+    // pre-layout manifests (no partition line logged).
+    val spec = m.partitionCol.map(_.split(",").toSeq)
+      .getOrElse(tablePartitionCols)
+    (entries, schema, spec)
   }
 
   /** The table-relative data root (`<path>/data`) external planners

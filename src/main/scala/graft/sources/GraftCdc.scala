@@ -237,6 +237,18 @@ private[sources] final class GraftCdcPlanner(
                              keepOnly: Map[String, Array[Long]] = Map.empty)
       : Seq[GraftCdcInputPartition] = {
     if (entries.isEmpty) return Nil
+    // a span that crosses a partition-spec evolution would silently
+    // MIS-DECODE pre-evolution files: dir values zip to partSchema
+    // positionally, so an old-layout dir value would land in the new
+    // spec's column (or null). Refuse with the bounded remedy.
+    val spec = partSchema.fieldNames.toSeq
+      .filterNot(_ == ManifestFileIndex.MetaPartitionCol)
+    entries.find(e => SnapshotTable.specOf(e.path) != spec).foreach(e =>
+      throw new IllegalStateException(
+        s"change feed of ${snapshot.path} crossed a partition-spec " +
+          s"evolution: file ${e.path} is not laid out by " +
+          s"'${spec.mkString(",")}' — bound the span (startingVersion) " +
+          "at or after the evolution commit"))
     val idx = new ManifestFileIndex(
       spark, snapshot.dataDirPath, entries, partSchema)
     val byBase = entries.map(e =>

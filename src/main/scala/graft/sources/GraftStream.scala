@@ -449,6 +449,18 @@ private[sources] final class GraftMicroBatchStream(
         added.result()
       }
     if (delta.isEmpty) return Array.empty
+    // a micro-batch that crosses a partition-spec evolution would
+    // silently MIS-DECODE: the index zips dir values to the stream-
+    // start partition schema positionally, so a new-layout file's dir
+    // value would land in the wrong column (or null). Fail loudly.
+    val spec = template.fileIndex.partitionSchema.fieldNames.toSeq
+      .filterNot(_ == ManifestFileIndex.MetaPartitionCol)
+    delta.find(e => SnapshotTable.specOf(e.path) != spec).foreach(e =>
+      throw new IllegalStateException(
+        s"streaming read of ${snapshot.path} crossed a partition-spec " +
+          s"evolution: file ${e.path} is not laid out by " +
+          s"'${spec.mkString(",")}' — restart the stream from a fresh " +
+          "checkpoint (and migrateSpec() to unify remaining vintages)"))
     val idx = new ManifestFileIndex(spark, snapshot.dataDirPath, delta,
       template.fileIndex.partitionSchema)
     // same pruned columns, pushed filters and options as the batch

@@ -236,9 +236,13 @@ final class GraftTable(
     * migration incomplete) must refuse rather than parse old-layout
     * paths under the new spec. Checked at scan/DML construction — not
     * at table load, so DESCRIBE/SHOW still work on a mixed table. */
+  // computed once per handle: entries are fixed at construction, and
+  // re-splitting 10^6 paths per scan-builder call would tax planning
+  private lazy val uniformSpec: Boolean = entries.forall(e =>
+    graft.plans.SnapshotTable.specOf(e.path) == partitionCols)
+
   private def requireUniformSpec(what: String): Unit =
-    require(entries.forall(e =>
-        graft.plans.SnapshotTable.specOf(e.path) == partitionCols),
+    require(uniformSpec,
       s"cannot $what $tablePath through format(\"graft\"): the snapshot " +
         "mixes partition-spec vintages (repartitionTo committed, " +
         "migration incomplete) and this scan stack plans a single spec " +

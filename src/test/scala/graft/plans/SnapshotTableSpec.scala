@@ -275,10 +275,20 @@ class SnapshotTableSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("p2c"))).toSeq
     assert(sqlRows == Seq((1L, "x"), (2L, "y"), (4L, "y"), (5L, "y")))
     assert(t.readPartitions(Seq("y")).count() == 3)
-    // guard rails: unknown column, no-op spec, dup columns
+    // a change-feed span reaching back ACROSS the evolution refuses:
+    // its pre-evolution files would mis-decode under the current spec
+    // (the head is uniform now, so the scan-builder guard passes and
+    // the per-span planner guard is what must fire)
+    val e3 = intercept[Exception](
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(path).collect())
+    assert(e3.getMessage.contains("partition-spec evolution"),
+      e3.getMessage)
+    // guard rails: unknown column, no-op spec, dup columns, empty spec
     intercept[IllegalArgumentException](t.repartitionTo(Seq("nope")))
     intercept[IllegalArgumentException](t.repartitionTo(Seq("p2c")))
     intercept[IllegalArgumentException](t.repartitionTo(Seq("p1c", "p1c")))
+    intercept[IllegalArgumentException](t.repartitionTo(Nil))
   }
 
   test("parquet checkpoints: the twin serves cold opens, text is the " +
