@@ -3403,7 +3403,11 @@ object Queries {
           case 2 => (1, 2) // 4:4:0
           case _ => (4, 1) // 4:1:1
         }
-        (id, Multimodal.jdkJpegEncode(w, h, rgb, lh, lv))
+        // every 5th fixture also carries restart markers (DRI=2) —
+        // the camera-style error-resilient stream shape; pixel-
+        // lossless either way, so the oracle is unchanged
+        val ri = if (Math.floorMod(id, 5) == 1) 2 else 0
+        (id, Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri))
       }
     }.toDF("media_id", "bytes")
     // break the 0xFF of the first marker after SOI (byte 3) — the

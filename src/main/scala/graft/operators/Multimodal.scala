@@ -637,9 +637,10 @@ object Multimodal {
   // with per-component sampling factors — dequant, IDCT, fancy
   // chroma upsampling, inverse color transform). No external codec:
   // the arithmetic is the JPEG spec's own, in plain JVM doubles.
-  // Progressive scans, restart intervals, and non-JFIF color spaces
-  // are refused loudly — that is the honest scope a hand-written
-  // codec can claim. Video demuxing remains the one stubbed codec.
+  // Restart intervals decode (verified RSTn walk + DC resets);
+  // progressive scans and non-JFIF color spaces are refused loudly —
+  // that is the honest scope a hand-written codec can claim. Video
+  // demuxing remains the one stubbed codec.
   // ---------------------------------------------------------------
 
   /** Natural (row-major) coefficient index per zigzag position —
@@ -889,7 +890,8 @@ object Multimodal {
     * extends unchanged to foreign bytes. */
   private[graft] def jdkJpegEncode(width: Int, height: Int,
                                    rgb: Array[Byte],
-                                   lumaH: Int, lumaV: Int): Array[Byte] = {
+                                   lumaH: Int, lumaV: Int,
+                                   restartInterval: Int = 0): Array[Byte] = {
     require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -919,6 +921,15 @@ object Multimodal {
         .asInstanceOf[org.w3c.dom.Element]
       comp.setAttribute("HsamplingFactor", lumaH.toString)
       comp.setAttribute("VsamplingFactor", lumaV.toString)
+      if (restartInterval > 0) {
+        // a dri node in the marker sequence makes the JDK emit real
+        // RSTn-interleaved entropy data — the error-resilient stream
+        // shape cameras produce
+        val seq = root.getElementsByTagName("markerSequence").item(0)
+        val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+        dri.setAttribute("interval", restartInterval.toString)
+        seq.insertBefore(dri, seq.getFirstChild)
+      }
       md.setFromTree(fmt, root)
       val bos = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -969,6 +980,15 @@ object Multimodal {
       var v = 0; var i = 0
       while (i < k) { v = (v << 1) | bit(); i += 1 }
       v
+    }
+    /** Consume an expected RSTn marker: restart markers are
+      * byte-aligned by spec, so the partial byte (encoder 1-padding)
+      * drops first, then 0xFF 0xD0+idx must sit at the cursor. */
+    def restart(idx: Int): Boolean = {
+      n = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xFF) != 0xFF ||
+          (b(pos + 1) & 0xFF) != (0xD0 + idx)) { bad = true; false }
+      else { pos += 2; true }
     }
   }
 
@@ -1106,12 +1126,14 @@ object Multimodal {
     * upsample: triangular ("fancy", libjpeg jdsample.c) filtering on
     * the 2x axes — what the JDK's own decoder applies, so pixels
     * agree with ImageIO to IDCT rounding — and box replication for
-    * the rarer ratios. None (never a throw) for anything outside the
-    * honest scope: progressive/extended SOFs, arithmetic coding,
-    * restart intervals, 16-bit tables, non-integer sampling ratios,
-    * or any corruption that breaks the marker chain / Huffman
-    * stream. Returns (width, height, nComponents, gray plane or
-    * packed RGB). */
+    * the rarer ratios. Restart intervals (DRI/RSTn — the
+    * error-resilient stream shape cameras emit) decode: each
+    * interval's marker index is verified and DC predictors reset.
+    * None (never a throw) for anything outside the honest scope:
+    * progressive/extended SOFs, arithmetic coding, 16-bit tables,
+    * non-integer sampling ratios, or any corruption that breaks the
+    * marker chain / Huffman stream. Returns (width, height,
+    * nComponents, gray plane or packed RGB). */
   private[graft] def jpegDecodeImage(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Byte])] = {
     try jpegDecode0(bytes)
@@ -1140,6 +1162,7 @@ object Multimodal {
     var compDc: Array[Int] = null // DC table per SOF component (from SOS)
     var compAc: Array[Int] = null
     var scanOrder: Array[Int] = null // SOF indices in scan (= MCU) order
+    var restartInterval = 0 // DRI: MCUs between RSTn markers (0 = none)
     var scanStart = -1
     while (scanStart < 0) {
       if (pos + 4 > bytes.length) return None
@@ -1206,8 +1229,10 @@ object Multimodal {
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
              0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF | 0xCC =>
           return None // extended/progressive/lossless/arithmetic: refuse
-        case 0xDD => // DRI: restart markers unsupported — refuse loudly
-          if (((bytes(d) & 0xFF) << 8 | (bytes(d + 1) & 0xFF)) != 0) return None
+        case 0xDD => // DRI: restart every Ri MCUs (0 disables); cameras
+          // and streaming encoders emit these for error resilience
+          if (dEnd - d < 2) return None
+          restartInterval = ((bytes(d) & 0xFF) << 8) | (bytes(d + 1) & 0xFF)
         case 0xDA => // SOS: MCU component order IS the scan order
           if (nComp < 0) return None // SOS before SOF
           if ((bytes(d) & 0xFF) != nComp) return None // one full scan
@@ -1278,6 +1303,9 @@ object Multimodal {
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Int](64)
     val preds = new Array[Int](nComp)
+    var mcuCount = 0L
+    var rstIdx = 0
+    val lastMcu = mcusX.toLong * mcusY
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -1345,6 +1373,17 @@ object Multimodal {
             bv += 1
           }
           mi += 1
+        }
+        // restart intervals: after every Ri MCUs (except the last) a
+        // byte-aligned RSTn marker interposes — consume it, cycle the
+        // expected index, and reset every DC predictor (the point of
+        // restarts: decode resynchronizes after corruption)
+        mcuCount += 1
+        if (restartInterval > 0 && mcuCount < lastMcu &&
+            mcuCount % restartInterval == 0) {
+          if (!br.restart(rstIdx)) return None
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
         }
         mx += 1
       }

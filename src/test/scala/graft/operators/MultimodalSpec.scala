@@ -467,6 +467,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpegDecodeImage decodes restart-interval (DRI/RSTn) JPEGs: exact " +
+      "on tile-constant fixtures, marker-verified, resilient shape") {
+    // restart markers are what cameras and streaming encoders emit;
+    // the JDK writes them when a dri node rides the metadata. Exact
+    // round-trip on the gray tile-constant fixture must survive the
+    // RSTn walk AND the per-interval DC predictor resets
+    for ((lh, lv) <- Seq((2, 2), (1, 1)); ri <- Seq(1, 2, 7)) {
+      val (w, h) = (48, 40)
+      val tiles = Array(3, 250, 17, 99, 128, 64, 200, 5, 77, 180, 42, 11)
+      val gray = tilePix(w, h, tiles)
+      val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3))
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri)
+      // prove the fixture carries real restart markers
+      val rsts = (2 until bytes.length - 1).count(i =>
+        (bytes(i) & 0xFF) == 0xFF && {
+          val m = bytes(i + 1) & 0xFF; m >= 0xD0 && m <= 0xD7
+        })
+      assert(rsts > 0, s"JDK emitted no RSTn at interval $ri")
+      val Some((dw, dh, nc, ours)) = Multimodal.jpegDecodeImage(bytes)
+      assert(dw == w && dh == h && nc == 3)
+      assert(ours.sameElements(rgb),
+        s"restart-interval $ri @ ${lh}x$lv decode diverged")
+    }
+    // a MISSING/misplaced restart marker refuses rather than
+    // desynchronizing: strip the first RSTn from a valid stream
+    val gray = tilePix(32, 32, Array(10, 200, 30, 90))
+    val rgb = Array.tabulate(32 * 32 * 3)(i => gray(i / 3))
+    val ok = Multimodal.jdkJpegEncode(32, 32, rgb, 2, 2, 1)
+    val at = (2 until ok.length - 1).find(i =>
+      (ok(i) & 0xFF) == 0xFF && {
+        val m = ok(i + 1) & 0xFF; m >= 0xD0 && m <= 0xD7
+      }).get
+    val broken = ok.take(at) ++ ok.drop(at + 2)
+    assert(Multimodal.jpegDecodeImage(broken).isEmpty,
+      "a stream missing its restart marker decoded instead of refusing")
+  }
+
   test("jpegDecodeImage matches ImageIO.read on arbitrary subsampled " +
       "color JPEGs within decoder variance") {
     // arbitrary pixels are lossy; the reference is the JDK's decode of
