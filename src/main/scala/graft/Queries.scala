@@ -3403,11 +3403,13 @@ object Queries {
           case 2 => (1, 2) // 4:4:0
           case _ => (4, 1) // 4:1:1
         }
-        // every 5th fixture also carries restart markers (DRI=2) —
-        // the camera-style error-resilient stream shape; pixel-
-        // lossless either way, so the oracle is unchanged
+        // every 5th fixture also carries restart markers (DRI=2 — the
+        // camera-style error-resilient shape) and every 7th is
+        // PROGRESSIVE (SOF2, the web-optimized shape); pixel-lossless
+        // either way, so the oracle is unchanged
         val ri = if (Math.floorMod(id, 5) == 1) 2 else 0
-        (id, Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri))
+        val prog = Math.floorMod(id, 7) == 2
+        (id, Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri, prog))
       }
     }.toDF("media_id", "bytes")
     // break the 0xFF of the first marker after SOI (byte 3) — the

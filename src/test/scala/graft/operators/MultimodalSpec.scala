@@ -504,6 +504,63 @@ class MultimodalSpec extends SparkSpec {
       "a stream missing its restart marker decoded instead of refusing")
   }
 
+  test("jpegDecodeImage decodes PROGRESSIVE (SOF2) JPEGs: exact on " +
+      "tile-constant fixtures across sampling shapes and with restarts") {
+    // successive approximation transmits every coefficient bit across
+    // the scan script, so the accumulated quantized coefficients equal
+    // the baseline ones exactly — the tile-constant lossless trick
+    // carries over to the progressive path whole
+    for ((lh, lv) <- Seq((2, 2), (2, 1), (1, 2), (1, 1));
+         ri <- Seq(0, 2);
+         (w, h) <- Seq((32, 24), (19, 13))) {
+      val tiles = Array(0, 255, 7, 200, 128, 64, 33, 250, 1, 99, 180, 42)
+      val gray = tilePix(w, h, tiles)
+      val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3))
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri,
+        progressive = true)
+      // prove the fixture really is progressive (SOF2 present)
+      assert((2 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+        "JDK did not emit a progressive frame")
+      val Some((dw, dh, nc, ours)) = Multimodal.jpegDecodeImage(bytes)
+      assert(dw == w && dh == h && nc == 3,
+        s"dims for ${w}x$h @ ${lh}x$lv ri=$ri")
+      assert(ours.sameElements(rgb),
+        s"progressive ${lh}x$lv ri=$ri decode diverged on ${w}x$h")
+    }
+    // grayscale progressive too
+    val (w, h) = (40, 24)
+    val gray = tilePix(w, h, Array(10, 200, 30, 90, 128))
+    val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3))
+    val g = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.jdkJpegEncode(w, h, rgb, 1, 1, 0, progressive = true)))
+    assert(g != null)
+  }
+
+  test("jpegDecodeImage matches ImageIO.read on arbitrary PROGRESSIVE " +
+      "color JPEGs within decoder variance") {
+    val rnd = new scala.util.Random(29)
+    for ((lh, lv) <- Seq((2, 2), (1, 1)); (w, h) <- Seq((40, 25), (33, 17))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv,
+        progressive = true)
+      val Some((dw, dh, nc, ours)) = Multimodal.jpegDecodeImage(bytes)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null && dw == w && dh == h && nc == 3)
+      var maxDiff = 0; var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+        val d = math.abs((jdk.getRaster.getSample(x, y, ch) & 0xFF) -
+          (ours((y * w + x) * 3 + ch) & 0xFF))
+        sumDiff += d
+        if (d > maxDiff) maxDiff = d
+      }
+      val mean = sumDiff.toDouble / (w * h * 3)
+      assert(maxDiff <= 4 && mean <= 1.0,
+        s"progressive ${lh}x$lv ${w}x$h diverges: max=$maxDiff mean=$mean")
+    }
+  }
+
   test("jpegDecodeImage matches ImageIO.read on arbitrary subsampled " +
       "color JPEGs within decoder variance") {
     // arbitrary pixels are lossy; the reference is the JDK's decode of
