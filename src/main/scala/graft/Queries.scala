@@ -3166,7 +3166,8 @@ object Queries {
     * the decode reads width/height/sample-rate back FROM THE ACTUAL
     * HEADER BYTES — a genuine write→parse round-trip; the oracle
     * recomputes the expected fields (incl. BMP row padding) in closed
-    * form. Video payloads stay opaque bytes (no demuxer in this build);
+    * form. Video payloads stay opaque bytes here (the real MJPEG-AVI
+    * demux is multimodal_video_frames' surface);
     * their header fields are null. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -3438,6 +3439,63 @@ object Queries {
       element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
+  /** REAL video demux + frame-sampled pixel decode
+    * ([[Multimodal.aviDemux]] / [[Multimodal.withVideoStats]]): the
+    * fixtures are MJPEG AVIs — the RIFF container around per-frame
+    * JPEGs that the JDK's OWN encoder produced (4:2:0, i.e. foreign
+    * bytes end to end except the chunk algebra) — with frame counts,
+    * dims and per-frame tile values all derived from doc_id. The
+    * query reads the main header two independent ways (column-algebra
+    * [[Multimodal.decodeAvi]] at the canonical offsets, and the full
+    * demuxer's count inside the stats pass), samples every 2nd frame,
+    * and decodes the sampled frames down to pixels. Tile-constant
+    * frames survive the lossy encode losslessly, so DuckDB recomputes
+    * every statistic in closed form. Every 50th payload gets its RIFF
+    * magic broken: header fields and stats must all null out. */
+  def multimodalVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val tw = Math.floorMod(id, 3).toInt + 1
+        val th = Math.floorMod(id, 2).toInt + 1
+        val w = 8 * tw; val h = 8 * th
+        val nf = Math.floorMod(id, 4).toInt + 2
+        val frames = (0 until nf).map { f =>
+          val digest = md.digest(s"$id:$f".getBytes("UTF-8"))
+          val rgb = Array.tabulate(w * h * 3) { j =>
+            val i = j / 3
+            digest((((i / w) / 8) * tw + (i % w) / 8) % 16)
+          }
+          Multimodal.jdkJpegEncode(w, h, rgb, 2, 2)
+        }
+        (id, Multimodal.aviMjpegBytes(w, h, frames, fps = 10))
+      }
+    }.toDF("media_id", "bytes")
+    // break the RIFF magic — demux and header decode must both refuse
+    val corrupted = concat(unhex(lit("58")),
+      col("bytes").substr(lit(2), length(col("bytes")) - 1))
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0, corrupted)
+        .otherwise(col("bytes")).as("bytes"))
+    val hdr = Multimodal.decodeAvi(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      hdr.getField("n_frames").as("hdr_frames"),
+      col("bytes"))
+    Multimodal.withVideoStats(headered, "bytes", stride = 2).select(
+      col("media_id"), col("width"), col("height"), col("hdr_frames"),
+      col("video_stats.n_frames").as("n_frames"),
+      col("video_stats.n_sampled").as("n_sampled"),
+      col("video_stats.g_sum").as("g_sum"),
+      col("video_stats.g_min").as("g_min"),
+      col("video_stats.g_max").as("g_max"),
+      col("video_stats.n_px").as("n_px"))
+  }
+
   /** Batched per-partition feature extraction over media bytes
     * (mapPartitions), now with REAL pixel/sample decode for the
     * codec-free containers: image payloads are BMPs and audio payloads
@@ -3447,7 +3505,7 @@ object Queries {
     * 16-bit LE) into per-channel sums/extrema + an integer luma
     * histogram — every stat BIGINT-exact, so the oracle recomputes the
     * identical numbers from the same md5 stream in closed form. Video
-    * payloads stay on the stub projection (no demuxer in this build):
+    * payloads (non-AVI bytes) stay on the stub projection:
     * their stats are null and only the feature arity is checked. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -3619,6 +3677,7 @@ object Queries {
     "multimodal_jpeg" -> (multimodalJpeg _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_foreign" -> (multimodalJpegForeign _),
+    "multimodal_video_frames" -> (multimodalVideoFrames _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -5069,6 +5128,48 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h0 END AS h0,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h3 END AS h3,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h7 END AS h7
+        |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
+    // closed-form recomputation of the REAL MJPEG-AVI demux + stride-2
+    // frame-sampled pixel decode: every sampled frame's tile values
+    // regenerate from md5('<id>:<f>'), each tile worth 64 lossless
+    // pixels; header and demux frame counts must agree. Every 50th
+    // payload had its RIFF magic broken: everything NULL.
+    "multimodal_video_frames" ->
+      """WITH sz AS (
+        |  SELECT doc_id, (doc_id % 3 + 1) AS tw, (doc_id % 2 + 1) AS th,
+        |         (doc_id % 4 + 2) AS nf
+        |  FROM documents),
+        |sfr AS (
+        |  SELECT doc_id, tw, th, nf, unnest(range(nf)) AS f FROM sz),
+        |tiles AS (
+        |  SELECT doc_id, tw, th, unnest(range(tw * th)) AS t,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS hex
+        |  FROM sfr WHERE f % 2 = 0),
+        |vals AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2 * (t % 16) + 1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2 * (t % 16) + 2 AS INT), 1)) - 1 AS v
+        |  FROM tiles),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(v AS BIGINT)) * 64 AS BIGINT) AS g_sum,
+        |    CAST(min(v) AS BIGINT) AS g_min,
+        |    CAST(max(v) AS BIGINT) AS g_max,
+        |    CAST(count(*) * 64 AS BIGINT) AS n_px
+        |  FROM vals GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.tw * 8 AS INTEGER) END AS width,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.th * 8 AS INTEGER) END AS height,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.nf AS INTEGER) END AS hdr_frames,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.nf AS INTEGER) END AS n_frames,
+        |  CASE WHEN s.doc_id % 50 <> 0
+        |    THEN CAST((s.nf + 1) // 2 AS INTEGER) END AS n_sampled,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.n_px END AS n_px
         |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
     // REAL pixel/sample decode, recomputed in closed form: the BMP
     // pixel area / WAV sample area tile repeat(md5(doc_id)), so the

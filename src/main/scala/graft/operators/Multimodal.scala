@@ -28,10 +28,12 @@ import org.apache.spark.sql.types._
   * libjpeg-parity fancy upsampling) in plain JVM code, validated
   * against the JDK's own ImageIO decoder — including on
   * JDK-ImageIO-ENCODED foreign fixtures, progressive (SOF2) scans,
-  * and restart-interval streams. Video demuxing remains the one
-  * STUBBED codec (out of honest hand-written scope): `stubDecode*`
-  * derive deterministic fake outputs from the bytes, clearly marked
-  * below.
+  * and restart-interval streams. VIDEO demuxes for real too, for the
+  * one format a JVM honestly covers end-to-end: MJPEG AVI
+  * ([[aviDemux]]/[[withVideoStats]] — RIFF chunk algebra + per-frame
+  * JPEG decode). Compressed video codecs (H.264 etc.) stay out of
+  * hand-written scope: `stubDecode*` derive deterministic fake
+  * outputs for those bytes, clearly marked below.
   * Everything around the stubs — schema, binary handling,
   * partition-level batching, output shape — is real Spark plumbing and
   * is what matters at 100 TB: media bytes never pass through the
@@ -642,7 +644,8 @@ object Multimodal {
   // progressive (SOF2) scans decode through their own multi-scan
   // path; non-JFIF color spaces and arithmetic coding are refused
   // loudly — that is the honest scope a hand-written codec can
-  // claim. Video demuxing remains the one stubbed codec.
+  // claim. MJPEG-AVI video demuxes for real (see the AVI section);
+  // compressed video codecs remain stubbed.
   // ---------------------------------------------------------------
 
   /** Natural (row-major) coefficient index per zigzag position —
@@ -844,6 +847,202 @@ object Multimodal {
   }
 
   /** Baseline GRAYSCALE encode — see [[jpegEncodePlanes]]. */
+  // ---------------------------------------------------------------
+  // AVI (RIFF) — REAL MJPEG video demux: the container is plain
+  // little-endian chunk algebra (same class of format as BMP/WAV,
+  // both already decoded for real here), and MJPEG frames are
+  // baseline JPEGs, which [[jpegDecodeImage]] decodes — so video
+  // stops being a stub for the one codec-free video format a JVM can
+  // honestly handle end-to-end.
+  // ---------------------------------------------------------------
+
+  /** One demuxed MJPEG-AVI stream: header geometry + per-frame
+    * (offset, length) slices into the ORIGINAL byte array — zero
+    * copying until a frame is actually decoded. */
+  private[graft] final case class AviStream(width: Int, height: Int,
+      usPerFrame: Long, frames: IndexedSeq[(Int, Int)])
+
+  private def leU32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xFFL)) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+
+  private def fourCC(b: Array[Byte], p: Int): String =
+    if (p + 4 > b.length) ""
+    else new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL AVI demux: RIFF/'AVI ' magic, the 'hdrl' LIST's avih main
+    * header (geometry + frame timing), then every video frame chunk
+    * ('00dc'/'00db', even-padded per RIFF) inside the 'movi' LIST —
+    * each frame must open with a JPEG SOI (MJPEG is the scope; a
+    * DIB/raw stream is refused, not misread). None for anything
+    * malformed — corruption is detected, not trusted. */
+  private[graft] def aviDemux(bytes: Array[Byte]): Option[AviStream] = {
+    if (bytes.length < 64 || fourCC(bytes, 0) != "RIFF" ||
+        fourCC(bytes, 8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong, 8L + leU32(bytes, 4)).toInt
+    var w = -1; var h = -1; var usPerFrame = -1L
+    var mjpg = false
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    // walk chunks, descending into the LISTs that matter
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var p = from
+      while (p + 8 <= to) {
+        val tag = fourCC(bytes, p)
+        val sz = leU32(bytes, p + 4)
+        if (sz < 0 || p + 8 + sz > to) return false
+        val d = p + 8
+        val end = (d + sz).toInt
+        tag match {
+          case "LIST" =>
+            val kind = fourCC(bytes, d)
+            if (kind == "hdrl" || kind == "strl" ||
+                (kind == "movi" && !inMovi)) {
+              if (!walk(d + 4, end, kind == "movi")) return false
+            }
+          case "avih" =>
+            if (sz < 40) return false
+            usPerFrame = leU32(bytes, d)
+            w = leU32(bytes, d + 32).toInt
+            h = leU32(bytes, d + 36).toInt
+          case "strh" =>
+            if (sz >= 8 && fourCC(bytes, d) == "vids" &&
+                fourCC(bytes, d + 4) == "MJPG") mjpg = true
+          case t if inMovi && (t.endsWith("dc") || t.endsWith("db")) =>
+            // a video frame: MJPEG means it must open with SOI
+            if (sz >= 2 && (bytes(d) & 0xFF) == 0xFF &&
+                (bytes(d + 1) & 0xFF) == 0xD8)
+              frames += ((d, sz.toInt))
+            else return false
+          case _ => () // idx1 / strf / junk: skipped
+        }
+        p = end + (sz.toInt & 1) // RIFF chunks pad to even sizes
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || !mjpg || fs.isEmpty) return None
+    Some(AviStream(w, h, usPerFrame, fs))
+  }
+
+  /** REAL video frame sampling + pixel decode: demux the AVI, keep
+    * every `stride`-th frame, decode each through the full JPEG path
+    * (baseline/subsampled/progressive — whatever the producer
+    * emitted), and aggregate per-video green-channel stats plus pixel
+    * counts. None for non-AVI payloads, demux corruption, or ANY
+    * sampled frame the JPEG decoder refuses — a video with a bad
+    * frame is bad data, not a partial answer. */
+  private[graft] def aviFrameStats(bytes: Array[Byte], stride: Int)
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    require(stride >= 1, "stride must be >= 1")
+    val avi = aviDemux(bytes).getOrElse(return None)
+    var sampled = 0
+    var gSum = 0L; var gMin = 255L; var gMax = 0L; var nPx = 0L
+    var i = 0
+    while (i < avi.frames.length) {
+      if (i % stride == 0) {
+        val (off, len) = avi.frames(i)
+        jpegDecodeImage(
+          java.util.Arrays.copyOfRange(bytes, off, off + len)) match {
+          case Some((fw, fh, nc, pix)) =>
+            var j = 0
+            val n = fw * fh
+            while (j < n) {
+              val g =
+                if (nc == 3) pix(3 * j + 1) & 0xFF else pix(j) & 0xFF
+              gSum += g
+              if (g < gMin) gMin = g
+              if (g > gMax) gMax = g
+              j += 1
+            }
+            nPx += n
+            sampled += 1
+          case None => return None
+        }
+      }
+      i += 1
+    }
+    Some((avi.frames.length, sampled, gSum, gMin, gMax, nPx))
+  }
+
+  /** REAL AVI main-header decode via COLUMN algebra at the canonical
+    * chunk offsets (RIFF / 'AVI ' / LIST hdrl / avih first — how this
+    * module's writer and mainstream muxers lay files out):
+    * width / height / n_frames / us_per_frame. Null for anything
+    * whose fixed-position tags don't match — non-canonical layouts
+    * take the full demuxer ([[aviDemux]]), never a misread. */
+  def decodeAvi(bytes: Column): Column = {
+    def tagAt(p: Int, t: String): Column =
+      substring(bytes, p, 4) === lit(t.getBytes("US-ASCII"))
+    when(length(bytes) >= 72 &&
+         tagAt(1, "RIFF") && tagAt(9, "AVI ") &&
+         tagAt(13, "LIST") && tagAt(21, "hdrl") && tagAt(25, "avih"),
+      struct(
+        asInt(leAt(bytes, 65, 4)).as("width"),
+        asInt(leAt(bytes, 69, 4)).as("height"),
+        asInt(leAt(bytes, 49, 4)).as("n_frames"),
+        leAt(bytes, 33, 4).as("us_per_frame")))
+  }
+
+  /** An MJPEG AVI around pre-encoded JPEG `frames` — the canonical
+    * RIFF layout (hdrl with avih + one vids/MJPG strl, then movi).
+    * Container-only: the frames are whatever encoder produced them
+    * (the specs and oracle fixtures wrap JDK-ImageIO-encoded JPEGs,
+    * so the whole payload is foreign except this chunk algebra). */
+  private[graft] def aviMjpegBytes(width: Int, height: Int,
+                                   frames: Seq[Array[Byte]],
+                                   fps: Int = 10): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / math.max(1, fps)) // dwMicroSecPerFrame
+    avih.putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames.size) // dwTotalFrames
+    avih.putInt(0).putInt(1) // dwStreams = 1
+    avih.putInt(0)
+    avih.putInt(width).putInt(height)
+    avih.putInt(0).putInt(0).putInt(0).putInt(0)
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+    strh.putInt(0).putShort(0).putShort(0).putInt(0)
+    strh.putInt(1).putInt(math.max(1, fps)) // dwScale / dwRate
+    strh.putInt(0).putInt(frames.size).putInt(0).putInt(-1).putInt(0)
+    strh.putShort(0).putShort(0)
+    strh.putShort(width.toShort).putShort(height.toShort)
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height)
+    strf.putShort(1).putShort(24)
+    strf.put("MJPG".getBytes("US-ASCII"))
+    strf.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    // build bottom-up: strl, hdrl, movi, then the RIFF shell
+    def chunkBytes(t: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(t.getBytes("US-ASCII"))
+      val l = body.length
+      out.write(Array[Byte]((l & 0xFF).toByte, ((l >> 8) & 0xFF).toByte,
+        ((l >> 16) & 0xFF).toByte, ((l >> 24) & 0xFF).toByte))
+      out.write(body)
+      if ((l & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    def listBytes(kind: String, parts: Seq[Array[Byte]]): Array[Byte] =
+      chunkBytes("LIST",
+        kind.getBytes("US-ASCII") ++ parts.flatten.toArray)
+    val strl = listBytes("strl", Seq(
+      chunkBytes("strh", strh.array()), chunkBytes("strf", strf.array())))
+    val hdrl = listBytes("hdrl", Seq(chunkBytes("avih", avih.array()), strl))
+    val movi = listBytes("movi", frames.map(f => chunkBytes("00dc", f)))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val l = payload.length
+    out.write(Array[Byte]((l & 0xFF).toByte, ((l >> 8) & 0xFF).toByte,
+      ((l >> 16) & 0xFF).toByte, ((l >> 24) & 0xFF).toByte))
+    out.write(payload)
+    out.toByteArray
+  }
+
   private[graft] def jpegEncodeGray(width: Int, height: Int,
                                     pix: Array[Byte]): Array[Byte] =
     jpegEncodePlanes(width, height, Array(pix))
@@ -1917,6 +2116,36 @@ object Multimodal {
     }(enc)
   }
 
+  private val videoStatsType = StructType(Seq(
+    StructField("n_frames", IntegerType), StructField("n_sampled", IntegerType),
+    StructField("g_sum", LongType), StructField("g_min", LongType),
+    StructField("g_max", LongType), StructField("n_px", LongType)))
+
+  /** Append a nullable `video_stats` struct decoded FOR REAL from
+    * MJPEG-AVI payloads: demux ([[aviDemux]]), keep every `stride`-th
+    * frame, pixel-decode each through the full JPEG path, aggregate
+    * ([[aviFrameStats]]). Per-partition batched like
+    * [[withImageStats]]; undecodable payloads yield a null struct,
+    * never a failure. */
+  def withVideoStats(df: DataFrame, bytesCol: String,
+                     stride: Int = 2): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("video_stats", videoStatsType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val st = Option(r.get(idx))
+          .map(_.asInstanceOf[Array[Byte]])
+          .flatMap(b => aviFrameStats(b, stride))
+          .map { case (nf, ns, gSum, gMin, gMax, nPx) =>
+            Row(nf, ns, gSum, gMin, gMax, nPx)
+          }.orNull
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   /** Feature extraction over media batches via `mapPartitions` — the
     * genuine per-partition imperative path a real decoder would use
     * (decode state opened once per batch, not per row).
@@ -1967,7 +2196,8 @@ object Multimodal {
             Row(id, kind, feats.toSeq, null, Row(a(0), a(1), a(2), a(3)))
           case _ =>
             // ---- STUB ---- deterministic fake features from byte
-            // content — the no-codec-available path (video frames)
+            // content — the no-codec-available path (compressed video
+            // codecs; MJPEG-AVI payloads take [[withVideoStats]])
             val feats = Array.tabulate(8) { i =>
               var acc = 1125899906842597L
               var j = i

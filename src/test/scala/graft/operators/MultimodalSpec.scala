@@ -589,6 +589,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI demux: MJPEG frames round-trip the container and decode " +
+      "through the full JPEG path; corruption refuses") {
+    val (w, h) = (32, 24)
+    // three FOREIGN (JDK-encoded, 4:2:0) frames with distinct tiles
+    val frames = (0 until 3).map { f =>
+      val gray = tilePix(w, h, Array(10 + f, 200 - f, 30, 90 + f))
+      Multimodal.jdkJpegEncode(w, h,
+        Array.tabulate(w * h * 3)(i => gray(i / 3)), 2, 2)
+    }
+    val avi = Multimodal.aviMjpegBytes(w, h, frames, fps = 5)
+    val Some(stream) = Multimodal.aviDemux(avi)
+    assert(stream.width == w && stream.height == h)
+    assert(stream.frames.length == 3)
+    assert(stream.usPerFrame == 200000L)
+    // every demuxed frame is byte-identical to what went in
+    stream.frames.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + len), frames(i)),
+        s"frame $i bytes diverged through the container")
+    }
+    // sampled decode: stride 2 keeps frames 0 and 2; tile-constant
+    // frames decode losslessly, so the stats are exact closed forms
+    val Some((nf, ns, gSum, gMin, gMax, nPx)) =
+      Multimodal.aviFrameStats(avi, stride = 2)
+    assert(nf == 3 && ns == 2 && nPx == 2L * w * h)
+    val tilesOf = (f: Int) => Array(10 + f, 200 - f, 30, 90 + f)
+    val expSum = Seq(0, 2).map { f =>
+      val gray = tilePix(w, h, tilesOf(f))
+      gray.map(_ & 0xFF).map(_.toLong).sum
+    }.sum
+    assert(gSum == expSum, s"sampled green sum: $gSum != $expSum")
+    // sampled tiles: f=0 -> {10,200,30,90}, f=2 -> {12,198,30,92}
+    assert(gMin == 10 && gMax == 200, s"extremes: $gMin / $gMax")
+    // the column-algebra header decode reads the same fields
+    import spark.implicits._
+    val df = Seq(Tuple1(avi)).toDF("bytes")
+      .select(Multimodal.decodeAvi(col("bytes")).as("d"))
+      .select("d.width", "d.height", "d.n_frames", "d.us_per_frame")
+    assert(df.head() == org.apache.spark.sql.Row(w, h, 3, 200000L))
+    // corruption: a broken RIFF tag, a truncated movi, a non-JPEG frame
+    val badTag = avi.clone(); badTag(0) = 'X'.toByte
+    assert(Multimodal.aviDemux(badTag).isEmpty)
+    assert(Multimodal.aviFrameStats(badTag, 1).isEmpty)
+    val truncated = avi.take(avi.length - 10)
+    assert(Multimodal.aviDemux(truncated).isEmpty,
+      "a truncated movi list demuxed instead of refusing")
+    val rawFrame = Multimodal.aviMjpegBytes(w, h,
+      Seq(Array.fill(64)(7.toByte)))
+    assert(Multimodal.aviDemux(rawFrame).isEmpty,
+      "a non-JPEG frame chunk demuxed as MJPEG")
+  }
+
   test("jpegPixelStats reports per-channel stats for color payloads") {
     val (w, h) = (16, 8)
     // two tiles: pure-ish red and a mixed color, exact R=G=B not needed
