@@ -881,10 +881,16 @@ object Multimodal {
         fourCC(bytes, 8) != "AVI ") return None
     val riffEnd = math.min(bytes.length.toLong, 8L + leU32(bytes, 4)).toInt
     var w = -1; var h = -1; var usPerFrame = -1L
-    var mjpg = false
+    var streamIdx = 0 // strl ordinal — RIFF chunk ids carry it
+    var mjpgStream = -1 // the FIRST vids/MJPG stream's ordinal
     val frames = IndexedSeq.newBuilder[(Int, Int)]
-    // walk chunks, descending into the LISTs that matter
-    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+    // walk chunks, descending into the LISTs that matter. Depth is
+    // CAPPED: legitimate AVIs nest four deep (RIFF > hdrl > strl;
+    // movi > rec), while a crafted payload of nested LISTs would
+    // otherwise recurse to a StackOverflowError — fatal, not NonFatal,
+    // so it would kill the task instead of degrading to None
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 8) return false
       var p = from
       while (p + 8 <= to) {
         val tag = fourCC(bytes, p)
@@ -895,9 +901,13 @@ object Multimodal {
         tag match {
           case "LIST" =>
             val kind = fourCC(bytes, d)
+            if (kind == "strl") streamIdx += 1
+            // 'rec ' groups interleaved frames INSIDE movi — the
+            // layout A/V muxers emit; its chunks belong to movi
             if (kind == "hdrl" || kind == "strl" ||
-                (kind == "movi" && !inMovi)) {
-              if (!walk(d + 4, end, kind == "movi")) return false
+                (kind == "movi" && !inMovi) || (kind == "rec " && inMovi)) {
+              if (!walk(d + 4, end, inMovi || kind == "movi", depth + 1))
+                return false
             }
           case "avih" =>
             if (sz < 40) return false
@@ -906,22 +916,30 @@ object Multimodal {
             h = leU32(bytes, d + 36).toInt
           case "strh" =>
             if (sz >= 8 && fourCC(bytes, d) == "vids" &&
-                fourCC(bytes, d + 4) == "MJPG") mjpg = true
-          case t if inMovi && (t.endsWith("dc") || t.endsWith("db")) =>
-            // a video frame: MJPEG means it must open with SOI
+                fourCC(bytes, d + 4) == "MJPG" && mjpgStream < 0)
+              mjpgStream = streamIdx - 1
+          case t if inMovi && t.length == 4 &&
+              (t.endsWith("dc") || t.endsWith("db")) &&
+              t.take(2) == f"$mjpgStream%02d" =>
+            // one of OUR stream's video frames: MJPEG must open with
+            // SOI. Other streams' chunks (audio '01wb', a second
+            // video stream) fall through to the skip arm — demuxing
+            // stream N never blends neighbors' frames in.
             if (sz >= 2 && (bytes(d) & 0xFF) == 0xFF &&
                 (bytes(d + 1) & 0xFF) == 0xD8)
               frames += ((d, sz.toInt))
             else return false
-          case _ => () // idx1 / strf / junk: skipped
+          case _ => () // idx1 / strf / other streams / junk: skipped
         }
         p = end + (sz.toInt & 1) // RIFF chunks pad to even sizes
       }
       true
     }
-    if (!walk(12, riffEnd, inMovi = false)) return None
+    // hdrl precedes movi in every legal AVI, so mjpgStream is known
+    // before the first frame chunk is considered
+    if (!walk(12, riffEnd, inMovi = false, depth = 0)) return None
     val fs = frames.result()
-    if (w <= 0 || h <= 0 || !mjpg || fs.isEmpty) return None
+    if (w <= 0 || h <= 0 || mjpgStream < 0 || fs.isEmpty) return None
     Some(AviStream(w, h, usPerFrame, fs))
   }
 
@@ -1449,7 +1467,10 @@ object Multimodal {
             compQ(ci) = bytes(d + 8 + 3 * ci) & 0x0F
             ci += 1
           }
-        case 0xC2 => // SOF2, progressive: its own multi-scan decoder
+        case 0xC2 => // SOF2, progressive: its own multi-scan decoder.
+          // The restart re-parses the few segments before SOF2 (APP0
+          // + quant tables, typically well under 200 bytes) — a
+          // deliberate simplicity trade on the per-image path.
           return jpegDecodeProg0(bytes)
         case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
              0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF | 0xCC =>
@@ -1629,6 +1650,7 @@ object Multimodal {
     var tW: Array[Int] = null // TRUE (non-interleaved) block grid
     var tH: Array[Int] = null
     var coefs: Array[Array[Int]] = null // quantized coeffs, natural order
+    var sawScan = false
     var sawEoi = false
     while (!sawEoi) {
       if (pos + 2 > bytes.length) return None
@@ -1761,6 +1783,7 @@ object Multimodal {
             }
             if (found < 0) return None
             nextPos = found
+            sawScan = true
           case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF | 0xCC =>
             return None // a second frame header of any kind: corrupt
@@ -1769,7 +1792,10 @@ object Multimodal {
         pos = nextPos
       }
     }
-    if (nComp < 0 || coefs == null) return None
+    // a frame that reached EOI without ONE decoded scan has no pixel
+    // content — assembling the all-zero grids would fabricate a flat
+    // 128-gray image out of nothing (corruption detected, not trusted)
+    if (nComp < 0 || coefs == null || !sawScan) return None
     var ci = 0
     while (ci < nComp) {
       if (!qtSeen(compQ(ci))) return None

@@ -639,6 +639,74 @@ class MultimodalSpec extends SparkSpec {
       Seq(Array.fill(64)(7.toByte)))
     assert(Multimodal.aviDemux(rawFrame).isEmpty,
       "a non-JPEG frame chunk demuxed as MJPEG")
+    // a crafted bomb of deeply nested LISTs must refuse, not
+    // StackOverflowError (fatal — it would kill the task, not null)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("US-ASCII"))
+    val depth = 200000
+    val inner = depth * 12
+    bomb.write(Array[Byte](((inner + 4) & 0xFF).toByte,
+      (((inner + 4) >> 8) & 0xFF).toByte,
+      (((inner + 4) >> 16) & 0xFF).toByte, 0))
+    bomb.write("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until depth) {
+      bomb.write("LIST".getBytes("US-ASCII"))
+      val rest = (depth - 1 - i) * 12 + 4
+      bomb.write(Array[Byte]((rest & 0xFF).toByte,
+        ((rest >> 8) & 0xFF).toByte, ((rest >> 16) & 0xFF).toByte, 0))
+      bomb.write("hdrl".getBytes("US-ASCII"))
+    }
+    assert(Multimodal.aviDemux(bomb.toByteArray).isEmpty,
+      "nested-LIST bomb did not degrade to None")
+    // the interleaved 'rec ' layout (A/V muxers) still demuxes, and a
+    // SECOND stream's chunks never blend into stream 0's frames: hand-
+    // splice a rec-list movi holding one stream-0 frame and one alien
+    // '01dc' chunk
+    def chunkB(t: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(t.getBytes("US-ASCII"))
+      val l = body.length
+      o.write(Array[Byte]((l & 0xFF).toByte, ((l >> 8) & 0xFF).toByte,
+        ((l >> 16) & 0xFF).toByte, ((l >> 24) & 0xFF).toByte))
+      o.write(body); if ((l & 1) == 1) o.write(0)
+      o.toByteArray
+    }
+    val plain = Multimodal.aviMjpegBytes(w, h, frames.take(1))
+    // locate the movi LIST in the canonical writer's output and wrap
+    // its frame chunk in a rec-list plus an alien '01dc'
+    val moviAt = (12 until plain.length - 12).find(i =>
+      new String(plain, i, 4, "US-ASCII") == "LIST" &&
+        new String(plain, i + 8, 4, "US-ASCII") == "movi").get
+    val head = plain.take(moviAt)
+    val rec = chunkB("LIST", "rec ".getBytes("US-ASCII") ++
+      chunkB("00dc", frames.head) ++ chunkB("01dc", frames(1)))
+    val movi = chunkB("LIST", "movi".getBytes("US-ASCII") ++ rec)
+    val spliced = head ++ movi
+    // fix the RIFF size field to the new payload length
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xFF).toByte
+    spliced(5) = ((riffLen >> 8) & 0xFF).toByte
+    spliced(6) = ((riffLen >> 16) & 0xFF).toByte
+    spliced(7) = ((riffLen >> 24) & 0xFF).toByte
+    val Some(recStream) = Multimodal.aviDemux(spliced)
+    assert(recStream.frames.length == 1,
+      s"rec-list demux saw ${recStream.frames.length} frames (alien " +
+        "stream blended in, or rec not descended)")
+    val (ro, rl) = recStream.frames.head
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(spliced, ro, ro + rl), frames.head))
+  }
+
+  test("progressive frames with ZERO scans refuse: no pixels are " +
+      "fabricated from empty coefficient grids") {
+    val good = Multimodal.jdkJpegEncode(16, 16,
+      Array.fill(16 * 16 * 3)(100.toByte), 1, 1, progressive = true)
+    // truncate at the first SOS and patch an EOI on: header-only frame
+    val sosAt = (2 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xDA).get
+    val headerOnly = good.take(sosAt) ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+    assert(Multimodal.jpegDecodeImage(headerOnly).isEmpty,
+      "a zero-scan progressive frame decoded to invented pixels")
   }
 
   test("jpegPixelStats reports per-channel stats for color payloads") {
