@@ -429,7 +429,7 @@ object GraftCatalog {
     Seq("vacuum", "compact", "restore", "history", "zorder",
       "tag", "drop_tag", "tags", "files",
       "create_branch", "publish_branch", "drop_branch", "branches",
-      "refresh_mv")
+      "refresh_mv", "repartition_to", "migrate_spec")
 
   /** One row of procedure output, all columns pre-encoded. */
   private def row(vals: Any*): InternalRow = InternalRow.fromSeq(vals.map {
@@ -530,6 +530,31 @@ object GraftCatalog {
           val arg = input.getUTF8String(0).toString
           val t = snapshotOf(arg)
           t.compact(input.getLong(1), input.getInt(2))
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "repartition_to" => Some(new Proc("repartition_to",
+        "partition-spec evolution, metadata-only: new commits write " +
+          "the new layout, committed files stay live under their own",
+        Seq(in("table", DataTypes.StringType),
+          in("cols", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val cols = input.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val t = snapshotOf(arg)
+          t.repartitionTo(cols)
+          (StatusSchema, statusRow(arg, t))
+        }
+      })
+      case "migrate_spec" => Some(new Proc("migrate_spec",
+        "rewrite files still laid out under an older partition spec " +
+          "into the current one — completes repartition_to eagerly",
+        Seq(in("table", DataTypes.StringType))) {
+        override def run(input: InternalRow) = {
+          val arg = input.getUTF8String(0).toString
+          val t = snapshotOf(arg)
+          t.migrateSpec()
           (StatusSchema, statusRow(arg, t))
         }
       })

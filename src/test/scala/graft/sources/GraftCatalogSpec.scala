@@ -249,6 +249,33 @@ class GraftCatalogSpec extends SparkSpec {
       .properties.contains("owner.team"))
   }
 
+  test("CALL repartition_to / migrate_spec: the full partition-spec " +
+      "evolution loop in pure SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    sql("""CREATE TABLE graft.evo.t (id BIGINT, v STRING, p1 STRING,
+           p2 STRING) USING graft PARTITIONED BY (p1)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("""INSERT INTO graft.evo.t VALUES
+           (1, 'a', 'x', 'm'), (2, 'b', 'y', 'n')""")
+    sql("CALL graft.system.repartition_to('evo.t', 'p2')")
+    // new writes land under the NEW layout; the snapshot now mixes
+    sql("INSERT INTO graft.evo.t VALUES (3, 'c', 'x', 'm')")
+    // the single-spec SQL scan refuses the mixed snapshot with the
+    // CALLable remedy...
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft.evo.t").collect())
+    assert(e.getMessage.contains("migrateSpec"), e.getMessage)
+    // ...and the remedy is one CALL away
+    val status = sql("CALL graft.system.migrate_spec('evo.t')").collect()
+    assert(status.head.getLong(2) > 0, "no live files after migration")
+    val rows = sql("SELECT id, v, p1, p2 FROM graft.evo.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq((1L, "a", "x", "m"), (2L, "b", "y", "n"),
+      (3L, "c", "x", "m")))
+  }
+
   test("ALTER TABLE ALTER COLUMN TYPE widens metadata-only; narrowing rejects") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.widen")
