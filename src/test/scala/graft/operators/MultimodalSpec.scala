@@ -709,6 +709,85 @@ class MultimodalSpec extends SparkSpec {
       "a zero-scan progressive frame decoded to invented pixels")
   }
 
+  test("differential fuzz: random JPEGs across every sampling x DRI x " +
+      "progressive combination match ImageIO pixel-for-pixel") {
+    // randomized parameter sweep: odd dims stress the MCU padding and
+    // crop paths at every geometry; the reference is the JDK's decode
+    // of the SAME bytes, tolerance is the documented IDCT/fixed-point
+    // variance. A failure prints the exact parameter tuple.
+    val rnd = new scala.util.Random(4242)
+    val shapes = Seq((2, 2), (2, 1), (1, 2), (1, 1), (4, 1))
+    for (trial <- 0 until 40) {
+      val (lh, lv) = shapes(trial % shapes.length)
+      val w = 9 + rnd.nextInt(56)
+      val h = 9 + rnd.nextInt(40)
+      val ri = Seq(0, 0, 1, 3)(trial % 4)
+      val prog = trial % 3 == 2
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val bytes = Multimodal.jdkJpegEncode(w, h, rgb, lh, lv, ri, prog)
+      val tag = s"trial=$trial ${lh}x$lv ${w}x$h ri=$ri prog=$prog"
+      val decoded = Multimodal.jpegDecodeImage(bytes)
+      assert(decoded.isDefined, s"$tag: refused a valid JDK stream")
+      val Some((dw, dh, nc, ours)) = decoded
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null && dw == w && dh == h && nc == 3, tag)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+        val d = math.abs((jdk.getRaster.getSample(x, y, ch) & 0xFF) -
+          (ours((y * w + x) * 3 + ch) & 0xFF))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 4, s"$tag diverges from the JDK by $maxDiff")
+    }
+  }
+
+  test("corruption fuzz: random byte flips NEVER throw — every decode " +
+      "path degrades to None or decodes something") {
+    // the 'corruption is detected, not trusted' contract under random
+    // mutation: flip one byte anywhere in a valid payload and the
+    // decoders must return an Option, never propagate an exception —
+    // a single thrown error would fail a whole Spark task
+    val rnd = new scala.util.Random(777)
+    val gray = tilePix(24, 16, Array(10, 200, 30, 90, 128, 64))
+    val rgb = Array.tabulate(24 * 16 * 3)(i => gray(i / 3))
+    val payloads = Seq(
+      "baseline420" -> Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2),
+      "dri" -> Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2, 2),
+      "progressive" -> Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2, 0,
+        progressive = true),
+      "avi" -> Multimodal.aviMjpegBytes(24, 16,
+        Seq(Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2))))
+    for ((kind, good) <- payloads; trial <- 0 until 400) {
+      val mutated = good.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        if (kind == "avi") {
+          Multimodal.aviFrameStats(mutated, 1)
+          ()
+        } else {
+          Multimodal.jpegDecodeImage(mutated)
+          ()
+        }
+      } catch {
+        case e: Throwable =>
+          fail(s"$kind: flipping bit at byte $at threw ${e.getClass
+            .getSimpleName}: ${e.getMessage}")
+      }
+      // truncation at a random point must hold the same contract
+      val cut = java.util.Arrays.copyOf(good, 1 + rnd.nextInt(good.length))
+      try {
+        if (kind == "avi") { Multimodal.aviFrameStats(cut, 1); () }
+        else { Multimodal.jpegDecodeImage(cut); () }
+      } catch {
+        case e: Throwable =>
+          fail(s"$kind: truncation to ${cut.length} bytes threw " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("jpegPixelStats reports per-channel stats for color payloads") {
     val (w, h) = (16, 8)
     // two tiles: pure-ish red and a mixed color, exact R=G=B not needed
