@@ -3439,6 +3439,62 @@ object Queries {
       element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
+  /** REAL EXIF orientation extraction
+    * ([[Multimodal.jpegExifOrientation]] — APP1 walk, TIFF byte-order
+    * dispatch, IFD0 tag 0x0112): the one EXIF field a training
+    * pipeline MUST honor, because orientations 5-8 transpose the
+    * image and every geometry-derived feature is wrong without the
+    * swap. Fixtures: JDK-encoded 4:2:0 JPEGs, two-thirds spliced with
+    * a crafted APP1 whose orientation cycles 1..8 and whose TIFF byte
+    * order alternates II/MM (both real camera conventions); the rest
+    * carry no EXIF and must read null. The query emits the header
+    * dims and the EFFECTIVE dims after the orientation swap — the
+    * contract downstream resize/crop logic consumes. Every 50th
+    * payload gets its first marker broken: all fields null. */
+  def multimodalExif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val tw = Math.floorMod(id, 3).toInt + 1
+        val th = Math.floorMod(id, 2).toInt + 1
+        val w = 8 * tw; val h = 8 * th
+        val rgb = Array.tabulate(w * h * 3) { j =>
+          val i = j / 3
+          digest((((i / w) / 8) * tw + (i % w) / 8) % 16)
+        }
+        val jpeg = Multimodal.jdkJpegEncode(w, h, rgb, 2, 2)
+        val bytes =
+          if (Math.floorMod(id, 3) == 0) jpeg
+          else jpeg.take(2) ++ Multimodal.exifApp1(
+            Math.floorMod(id, 8).toInt + 1,
+            bigEndian = Math.floorMod(id, 2) == 0) ++ jpeg.drop(2)
+        (id, bytes)
+      }
+    }.toDF("media_id", "bytes")
+    val corrupted = concat(
+      substring(col("bytes"), 1, 2), unhex(lit("7F")),
+      col("bytes").substr(lit(4), length(col("bytes")) - 3))
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0, corrupted)
+        .otherwise(col("bytes")).as("bytes"))
+    val withO = withBytes.as[(Long, Array[Byte])].map { case (id, b) =>
+      (id, b, Multimodal.jpegExifOrientation(b))
+    }.toDF("media_id", "bytes", "orientation")
+    val jpg = Multimodal.decodeJpeg(col("bytes"))
+    val transposed = col("orientation").isin(5, 6, 7, 8)
+    withO.select(
+      col("media_id"), col("orientation"),
+      jpg.getField("width").as("width"),
+      jpg.getField("height").as("height"),
+      when(transposed, jpg.getField("height"))
+        .otherwise(jpg.getField("width")).as("eff_width"),
+      when(transposed, jpg.getField("width"))
+        .otherwise(jpg.getField("height")).as("eff_height"))
+  }
+
   /** REAL video demux + frame-sampled pixel decode
     * ([[Multimodal.aviDemux]] / [[Multimodal.withVideoStats]]): the
     * fixtures are MJPEG AVIs — the RIFF container around per-frame
@@ -3678,6 +3734,7 @@ object Queries {
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_foreign" -> (multimodalJpegForeign _),
     "multimodal_video_frames" -> (multimodalVideoFrames _),
+    "multimodal_exif" -> (multimodalExif _),
     "multimodal_features" -> (multimodalFeatures _))
 
   /** DuckDB-side text normalization, identical to
@@ -5129,6 +5186,27 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h3 END AS h3,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN a.h7 END AS h7
         |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
+    // EXIF orientation extraction, recomputed in closed form:
+    // two-thirds of fixtures carry a spliced APP1 whose orientation
+    // cycles with doc_id (the rest null), and orientations 5-8 swap
+    // the effective dims; corruption nulls everything
+    "multimodal_exif" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 <> 0 AND doc_id % 3 <> 0
+        |       THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+        |  CASE WHEN doc_id % 50 <> 0
+        |       THEN CAST((doc_id % 3 + 1) * 8 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 50 <> 0
+        |       THEN CAST((doc_id % 2 + 1) * 8 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(
+        |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 8 >= 4
+        |         THEN (doc_id % 2 + 1) * 8
+        |         ELSE (doc_id % 3 + 1) * 8 END AS INTEGER) END AS eff_width,
+        |  CASE WHEN doc_id % 50 <> 0 THEN CAST(
+        |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 8 >= 4
+        |         THEN (doc_id % 3 + 1) * 8
+        |         ELSE (doc_id % 2 + 1) * 8 END AS INTEGER) END AS eff_height
+        |FROM documents""".stripMargin,
     // closed-form recomputation of the REAL MJPEG-AVI demux + stride-2
     // frame-sampled pixel decode: every sampled frame's tile values
     // regenerate from md5('<id>:<f>'), each tile worth 64 lossless

@@ -847,6 +847,95 @@ object Multimodal {
   }
 
   /** Baseline GRAYSCALE encode — see [[jpegEncodePlanes]]. */
+  /** REAL EXIF orientation read: walk the segment chain for an APP1
+    * carrying "Exif\0\0", then the TIFF structure inside — byte order
+    * ("II"/"MM"), magic 42, IFD0 — for tag 0x0112 (SHORT, count 1).
+    * The one EXIF field a data pipeline MUST honor: orientations 5-8
+    * transpose the image, so effective dims swap and any
+    * geometry-derived feature is wrong without it. None when no EXIF
+    * APP1 exists, for non-JPEG bytes, and for any structural
+    * corruption — bounds-checked throughout, never a throw. */
+  private[graft] def jpegExifOrientation(bytes: Array[Byte]): Option[Int] = {
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+          (bytes(1) & 0xFF) != 0xD8) return None
+      var pos = 2
+      while (pos + 4 <= bytes.length) {
+        if ((bytes(pos) & 0xFF) != 0xFF) return None
+        val m = bytes(pos + 1) & 0xFF
+        if (m == 0xD9 || m == 0xDA) return None // image data: no EXIF seen
+        val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val d = pos + 4
+        if (m == 0xE1 && len >= 16 &&
+            new String(bytes, d, 6, "US-ASCII") == "Exif  ") {
+          val t = d + 6 // the TIFF header
+          val tiffEnd = pos + 2 + len
+          val order = new String(bytes, t, 2, "US-ASCII")
+          val be = order match {
+            case "MM" => true
+            case "II" => false
+            case _ => return None
+          }
+          def u16(p: Int): Int = {
+            if (p + 2 > tiffEnd) return -1
+            if (be) ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+            else ((bytes(p + 1) & 0xFF) << 8) | (bytes(p) & 0xFF)
+          }
+          def u32(p: Int): Long = {
+            if (p + 4 > tiffEnd) return -1L
+            if (be) ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+              ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+            else ((bytes(p + 3) & 0xFFL) << 24) | ((bytes(p + 2) & 0xFFL) << 16) |
+              ((bytes(p + 1) & 0xFFL) << 8) | (bytes(p) & 0xFFL)
+          }
+          if (u16(t) < 0 || u16(t + 2) != 42) return None
+          val ifd = u32(t + 4)
+          if (ifd < 0 || t + ifd + 2 > tiffEnd) return None
+          val base = (t + ifd).toInt
+          val n = u16(base)
+          if (n < 0) return None
+          var i = 0
+          while (i < n) {
+            val e = base + 2 + 12 * i
+            if (e + 12 > tiffEnd) return None
+            if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
+              val o = u16(e + 8) // SHORT value rides inline
+              return if (o >= 1 && o <= 8) Some(o) else None
+            }
+            i += 1
+          }
+          return None // APP1 present, tag absent
+        }
+        pos = pos + 2 + len
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** A minimal EXIF APP1 segment (marker + length included) carrying
+    * exactly the orientation tag — both TIFF byte orders, for fixture
+    * coverage of real camera output (Canon writes II, some phones
+    * MM). Spliced after SOI into any JPEG to make a foreign-style
+    * EXIF fixture. */
+  private[graft] def exifApp1(orientation: Int,
+                              bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation 1..8")
+    val tiff = java.nio.ByteBuffer.allocate(26).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    tiff.putShort(42).putInt(8) // magic, IFD0 at offset 8
+    tiff.putShort(1) // one entry
+    tiff.putShort(0x0112.toShort).putShort(3).putInt(1) // SHORT x1
+    tiff.putShort(orientation.toShort).putShort(0) // inline value + pad
+    tiff.putInt(0) // no next IFD
+    val data = "Exif  ".getBytes("US-ASCII") ++ tiff.array()
+    val len = data.length + 2
+    Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ data
+  }
+
   // ---------------------------------------------------------------
   // AVI (RIFF) — REAL MJPEG video demux: the container is plain
   // little-endian chunk algebra (same class of format as BMP/WAV,

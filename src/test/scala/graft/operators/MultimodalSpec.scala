@@ -709,6 +709,41 @@ class MultimodalSpec extends SparkSpec {
       "a zero-scan progressive frame decoded to invented pixels")
   }
 
+  test("EXIF orientation: spliced APP1 reads back in both byte orders; " +
+      "absent/foreign-tag/corrupt cases are None; decode is untouched") {
+    val (w, h) = (24, 16)
+    val gray = tilePix(w, h, Array(10, 200, 30, 90))
+    val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3))
+    val jpeg = Multimodal.jdkJpegEncode(w, h, rgb, 2, 2)
+    assert(Multimodal.jpegExifOrientation(jpeg).isEmpty,
+      "an EXIF-less JPEG reported an orientation")
+    for (o <- 1 to 8; be <- Seq(true, false)) {
+      val spliced = jpeg.take(2) ++ Multimodal.exifApp1(o, be) ++ jpeg.drop(2)
+      assert(Multimodal.jpegExifOrientation(spliced).contains(o),
+        s"orientation $o (bigEndian=$be) did not read back")
+      // the APP1 must not disturb pixel decode, and the JDK's own
+      // reader must still accept the file (the splice is well-formed)
+      val Some((dw, dh, _, ours)) = Multimodal.jpegDecodeImage(spliced)
+      assert(dw == w && dh == h && ours.sameElements(rgb))
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(spliced)) != null)
+    }
+    // an APP1 whose IFD carries a DIFFERENT tag: present but absent
+    val alien = jpeg.take(2) ++ Multimodal.exifApp1(3, bigEndian = true) ++
+      jpeg.drop(2)
+    // tag 0x0112 sits 14 bytes into the TIFF block (2+8+2+12 header
+    // path): flip it to 0x0113 and the read must return None
+    val tagAt = 2 + 4 + 6 + 8 + 2 // app1 hdr, Exif\0\0, tiff hdr, count
+    alien(tagAt + 1) = 0x13.toByte // MM order: low byte second
+    assert(Multimodal.jpegExifOrientation(alien).isEmpty,
+      "a foreign IFD tag read back as orientation")
+    // out-of-range orientation values refuse
+    val bad = jpeg.take(2) ++ Multimodal.exifApp1(8, bigEndian = true) ++
+      jpeg.drop(2)
+    bad(tagAt + 9) = 0x2A.toByte // value 42
+    assert(Multimodal.jpegExifOrientation(bad).isEmpty)
+  }
+
   test("differential fuzz: random JPEGs across every sampling x DRI x " +
       "progressive combination match ImageIO pixel-for-pixel") {
     // randomized parameter sweep: odd dims stress the MCU padding and
@@ -757,19 +792,22 @@ class MultimodalSpec extends SparkSpec {
       "progressive" -> Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2, 0,
         progressive = true),
       "avi" -> Multimodal.aviMjpegBytes(24, 16,
-        Seq(Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2))))
+        Seq(Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2))),
+      "exif" -> {
+        val j = Multimodal.jdkJpegEncode(24, 16, rgb, 2, 2)
+        j.take(2) ++ Multimodal.exifApp1(6, bigEndian = false) ++ j.drop(2)
+      })
     for ((kind, good) <- payloads; trial <- 0 until 400) {
       val mutated = good.clone()
       val at = rnd.nextInt(mutated.length)
       mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
       try {
-        if (kind == "avi") {
-          Multimodal.aviFrameStats(mutated, 1)
-          ()
-        } else {
+        if (kind == "avi") { Multimodal.aviFrameStats(mutated, 1); () }
+        else if (kind == "exif") {
+          Multimodal.jpegExifOrientation(mutated)
           Multimodal.jpegDecodeImage(mutated)
           ()
-        }
+        } else { Multimodal.jpegDecodeImage(mutated); () }
       } catch {
         case e: Throwable =>
           fail(s"$kind: flipping bit at byte $at threw ${e.getClass
@@ -779,7 +817,11 @@ class MultimodalSpec extends SparkSpec {
       val cut = java.util.Arrays.copyOf(good, 1 + rnd.nextInt(good.length))
       try {
         if (kind == "avi") { Multimodal.aviFrameStats(cut, 1); () }
-        else { Multimodal.jpegDecodeImage(cut); () }
+        else if (kind == "exif") {
+          Multimodal.jpegExifOrientation(cut)
+          Multimodal.jpegDecodeImage(cut)
+          ()
+        } else { Multimodal.jpegDecodeImage(cut); () }
       } catch {
         case e: Throwable =>
           fail(s"$kind: truncation to ${cut.length} bytes threw " +
