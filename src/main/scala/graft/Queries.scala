@@ -3262,6 +3262,105 @@ object Queries {
       element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
+  /** FOREIGN-bytes PNG decode across the shape matrix real web corpora
+    * actually carry: the fixtures are encoded by the JDK's OWN ImageIO
+    * PNG writer ([[Multimodal.jdkPngEncode]] — not this engine's
+    * encoder), cycling doc_id through 4-bit PALETTE (color type 3 +
+    * PLTE), 8-bit GRAYSCALE (type 0), 16-bit grayscale (samples v*257,
+    * so the spec's high-byte 16→8 downsample is exact) and 1-bit
+    * palette, with every third payload Adam7-INTERLACED (the writer's
+    * progressive mode). PNG is lossless, so DuckDB recomputes every
+    * statistic in closed form from the same md5(doc_id) pixel stream —
+    * palette colors included (palette[j] = digest[j]/digest[j+5]/
+    * digest[j+11]). The interlace flag is read back from the raw IHDR
+    * byte to prove the fixture really was Adam7, and the full decode
+    * ([[Multimodal.pngPixelStats]] — per-pass unfilter + sub-byte
+    * sample unpack + PLTE lookup) must agree with the closed form.
+    * Every 50th payload is TRUNCATED mid-IEND after encoding: the
+    * chunk walk finds no IEND and the stats must null out while the
+    * (intact, CRC-valid) header fields still decode — corruption
+    * detected, not trusted. */
+  def multimodalPngForeign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val w = Math.floorMod(id, 12).toInt + 1
+        val h = Math.floorMod(id, 9).toInt + 1
+        val shape = Math.floorMod(id, 4).toInt
+        def v(i: Int): Int = digest(i % 16) & 0xFF
+        def paletteImg(bits: Int, n: Int): java.awt.image.BufferedImage = {
+          val pr = Array.tabulate(n)(j => digest(j))
+          val pg = Array.tabulate(n)(j => digest((j + 5) % 16))
+          val pb = Array.tabulate(n)(j => digest((j + 11) % 16))
+          val icm = new java.awt.image.IndexColorModel(bits, n, pr, pg, pb)
+          new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+        }
+        val img = shape match {
+          case 0 => paletteImg(4, 16)
+          case 1 => new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          case 2 => new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+          case _ => paletteImg(1, 2)
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pv = v(y * w + x)
+            img.getRaster.setSample(x, y, 0, shape match {
+              case 0 => pv % 16
+              case 1 => pv
+              case 2 => pv * 257 // high byte == pv: exact 16→8 downsample
+              case _ => pv % 2
+            })
+            x += 1
+          }
+          y += 1
+        }
+        (id, Multimodal.jdkPngEncode(img, Math.floorMod(id, 3) == 0))
+      }
+    }.toDF("media_id", "bytes")
+    // truncate mid-IEND AFTER encoding: header chunks stay CRC-valid
+    // but the walk never reaches IEND — the stats path must refuse
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0,
+        col("bytes").substr(lit(1), length(col("bytes")) - 13))
+        .otherwise(col("bytes")).as("bytes"))
+    val png = Multimodal.decodePng(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      png.getField("width").as("width"),
+      png.getField("height").as("height"),
+      png.getField("bit_depth").as("bit_depth"),
+      png.getField("color_type").as("color_type"),
+      // raw IHDR interlace byte (offset 29): proves Adam7 was written
+      conv(hex(col("bytes").substr(lit(29), lit(1))), 16, 10)
+        .cast(IntegerType).as("interlaced"),
+      col("bytes"))
+    Multimodal.withImageStats(headered, "bytes").select(
+      col("media_id"), col("width"), col("height"), col("bit_depth"),
+      col("color_type"), col("interlaced"),
+      col("image_stats.b_sum").as("b_sum"),
+      col("image_stats.b_min").as("b_min"),
+      col("image_stats.b_max").as("b_max"),
+      col("image_stats.g_sum").as("g_sum"),
+      col("image_stats.g_min").as("g_min"),
+      col("image_stats.g_max").as("g_max"),
+      col("image_stats.r_sum").as("r_sum"),
+      col("image_stats.r_min").as("r_min"),
+      col("image_stats.r_max").as("r_max"),
+      col("image_stats.n_px").as("n_px"),
+      element_at(col("image_stats.luma_hist"), 1).as("h0"),
+      element_at(col("image_stats.luma_hist"), 3).as("h2"),
+      element_at(col("image_stats.luma_hist"), 5).as("h4"),
+      element_at(col("image_stats.luma_hist"), 8).as("h7"))
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -3730,6 +3829,7 @@ object Queries {
     "orc_scan_roundtrip" -> (orcScanRoundtrip _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
+    "multimodal_png_foreign" -> (multimodalPngForeign _),
     "multimodal_jpeg" -> (multimodalJpeg _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_foreign" -> (multimodalJpegForeign _),
@@ -5077,6 +5177,88 @@ object Queries {
         |FROM documents d
         |LEFT JOIN stat s ON d.doc_id = s.doc_id
         |LEFT JOIN hist h ON d.doc_id = h.doc_id""".stripMargin,
+    // closed-form recomputation of the FOREIGN (JDK-ImageIO-encoded)
+    // PNG decode across palette/gray/16-bit/interlaced shapes: PNG is
+    // lossless, so the oracle regenerates the md5(doc_id) pixel stream
+    // (palette colors = digest[j]/digest[j+5]/digest[j+11]; 16-bit
+    // samples v*257 downsample back to v exactly) and re-derives every
+    // statistic. Header fields always decode (truncation leaves them
+    // CRC-valid); every 50th doc is truncated mid-IEND so its stats
+    // must be NULL.
+    "multimodal_png_foreign" ->
+      """WITH sz AS (
+        |  SELECT doc_id, doc_id % 12 + 1 AS w, doc_id % 9 + 1 AS h,
+        |         doc_id % 4 AS shape, md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |dig AS (
+        |  SELECT doc_id, j,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2*j+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2*j+2 AS INT), 1)) - 1 AS dv
+        |  FROM (SELECT doc_id, hex, unnest(range(16)) AS j FROM sz)),
+        |pixidx AS (
+        |  SELECT doc_id, shape, unnest(range(w*h)) AS i FROM sz),
+        |pix AS (
+        |  SELECT p.doc_id, p.shape, p.i, d.dv AS v
+        |  FROM pixidx p JOIN dig d ON d.doc_id = p.doc_id AND d.j = p.i % 16),
+        |rgb AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.shape IN (0,3) THEN dr.dv ELSE p.v END AS r,
+        |    CASE WHEN p.shape IN (0,3) THEN dg.dv ELSE p.v END AS g,
+        |    CASE WHEN p.shape IN (0,3) THEN db.dv ELSE p.v END AS b
+        |  FROM pix p
+        |  LEFT JOIN dig dr ON dr.doc_id = p.doc_id
+        |    AND dr.j = CASE WHEN p.shape = 0 THEN p.v % 16
+        |                    WHEN p.shape = 3 THEN p.v % 2 END
+        |  LEFT JOIN dig dg ON dg.doc_id = p.doc_id
+        |    AND dg.j = (CASE WHEN p.shape = 0 THEN p.v % 16
+        |                     WHEN p.shape = 3 THEN p.v % 2 END + 5) % 16
+        |  LEFT JOIN dig db ON db.doc_id = p.doc_id
+        |    AND db.j = (CASE WHEN p.shape = 0 THEN p.v % 16
+        |                     WHEN p.shape = 3 THEN p.v % 2 END + 11) % 16),
+        |stat AS (
+        |  SELECT doc_id,
+        |    CAST(sum(b) AS BIGINT) AS b_sum, CAST(min(b) AS BIGINT) AS b_min,
+        |    CAST(max(b) AS BIGINT) AS b_max,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(min(g) AS BIGINT) AS g_min,
+        |    CAST(max(g) AS BIGINT) AS g_max,
+        |    CAST(sum(r) AS BIGINT) AS r_sum, CAST(min(r) AS BIGINT) AS r_min,
+        |    CAST(max(r) AS BIGINT) AS r_max,
+        |    CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 0) AS BIGINT) AS h0,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 2) AS BIGINT) AS h2,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 4) AS BIGINT) AS h4,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 7) AS BIGINT) AS h7
+        |  FROM rgb GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CAST(s.w AS INTEGER) AS width,
+        |  CAST(s.h AS INTEGER) AS height,
+        |  CAST(CASE s.shape WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 16
+        |       ELSE 1 END AS INTEGER) AS bit_depth,
+        |  CAST(CASE WHEN s.shape IN (0,3) THEN 3 ELSE 0 END
+        |       AS INTEGER) AS color_type,
+        |  CAST(CASE WHEN s.doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |       AS INTEGER) AS interlaced,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_sum END AS b_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_min END AS b_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_max END AS b_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_sum END AS r_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_min END AS r_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_max END AS r_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.n_px END AS n_px,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h0 END AS h0,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h2 END AS h2,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h4 END AS h4,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
+        |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
     "multimodal_jpeg" ->
       // closed-form recomputation: every 50th doc got its SOF0 marker
       // byte broken, so the segment walk finds no frame header and all

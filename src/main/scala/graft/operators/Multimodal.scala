@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * (grayscale, 4:4:4 color, AND the chroma-subsampled scans real
   * producers emit — 4:2:0/4:2:2/4:4:0/4:1:1): BMP pixel rows and
   * WAV PCM samples are plain bytes, PNG's only compression is
-  * DEFLATE — in the JDK — and the JPEG path
+  * DEFLATE — in the JDK — with [[pngPixelStats]] covering the FULL
+  * shape matrix (gray 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8,
+  * gray+alpha and RGBA, sequential and Adam7-interlaced), and the
+  * JPEG path
   * ([[jpegEncodeGray]]/[[jpegEncodeColor]]/[[jpegDecodeImage]])
   * implements the spec's own arithmetic (forward/inverse DCT,
   * quantization, canonical Huffman with byte stuffing, the JFIF
@@ -516,18 +519,32 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Adam7 interlace pass geometry (PNG spec §8.2): per-pass start
+    * column/row and column/row step over the full image grid. Each
+    * image pixel belongs to EXACTLY ONE pass, which is what lets the
+    * stats accumulate per pass without reassembling pixel positions. */
+  private val Adam7XStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val Adam7YStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val Adam7XStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val Adam7YStep = Array(8, 8, 8, 4, 4, 2, 2)
+
   /** REAL PNG pixel decode down to per-channel statistics: chunk walk
     * with every CRC verified, IDAT streams concatenated and INFLATED
     * (`java.util.zip.Inflater`), the five row filters
     * (None/Sub/Up/Average/Paeth) undone per the spec, then the same
     * stats as [[bmpPixelStats]] — per-channel sum/min/max (returned in
     * the shared [b,g,r] slot order), pixel count, and the 8-bin integer
-    * luma histogram (bin = min(7, (299R+587G+114B)/31875)). 8-bit
-    * truecolor (RGB) and truecolor+alpha (RGBA, alpha excluded from
-    * stats) supported; palette/interlaced/16-bit and any corruption
-    * (bad CRC, short inflate, bad filter type) degrade to None, never
-    * to a job failure. Only JPEG pixels (DCT) and video demuxing
-    * remain stubbed — those genuinely need codecs this build lacks. */
+    * luma histogram (bin = min(7, (299R+587G+114B)/31875)). FULL
+    * format coverage: all five color types — grayscale (0, depths
+    * 1/2/4/8/16, sub-byte samples rescaled v*255/maxVal), truecolor
+    * (2, 8/16), palette (3, depths 1/2/4/8 through the PLTE lookup),
+    * gray+alpha (4, 8/16) and RGBA (6, 8/16; alpha excluded from
+    * stats) — in both sequential and Adam7-INTERLACED form (per-pass
+    * unfilter; passes partition the pixels so stats accumulate without
+    * repositioning), 16-bit samples reduced to their high byte (the
+    * spec's own 16→8 downsample). Any corruption (bad CRC, short
+    * inflate, bad filter type, out-of-range palette index) degrades to
+    * None, never to a job failure. */
   private[graft] def pngPixelStats(bytes: Array[Byte])
       : Option[(Array[Long], Array[Long])] = {
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
@@ -535,6 +552,7 @@ object Multimodal {
     var pos = 8
     var w = 0; var h = 0; var depth = -1; var colorType = -1
     var interlace = -1; var sawIhdr = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawIend = false
     while (!sawIend && pos + 12 <= bytes.length) {
@@ -561,6 +579,9 @@ object Multimodal {
           colorType = bytes(dataOff + 9) & 0xFF
           interlace = bytes(dataOff + 12) & 0xFF
           sawIhdr = true
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len.toInt)
         case "IDAT" => idat.write(bytes, dataOff, len.toInt)
         case "IEND" => sawIend = true
         case _ => () // ancillary chunks are CRC-checked above, then skipped
@@ -568,13 +589,46 @@ object Multimodal {
       pos = dataOff + len.toInt + 4
     }
     if (!sawIhdr || !sawIend || idat.size() == 0) return None
-    if (depth != 8 || (colorType != 2 && colorType != 6) || interlace != 0)
-      return None // palette/interlaced/16-bit: refused loudly, not guessed
-    val bpp = if (colorType == 2) 3 else 4
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 3 => (depth == 1 || depth == 2 || depth == 4 || depth == 8) &&
+        plte != null // spec: PLTE is mandatory before IDAT for type 3
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk || (interlace != 0 && interlace != 1)) return None
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return None
-    val rowLen = w * bpp
-    val expect = (rowLen + 1).toLong * h
-    if (expect > Int.MaxValue) return None
+    val bitsPP = channels * depth
+    // pass geometry: one full-image pass sequential, seven Adam7
+    // passes interlaced (empty passes contribute zero scanline bytes)
+    val nPass = if (interlace == 0) 1 else 7
+    val passW = new Array[Int](nPass)
+    val passH = new Array[Int](nPass)
+    if (interlace == 0) { passW(0) = w; passH(0) = h }
+    else {
+      var p = 0
+      while (p < 7) {
+        passW(p) = if (w > Adam7XStart(p))
+          (w - Adam7XStart(p) + Adam7XStep(p) - 1) / Adam7XStep(p) else 0
+        passH(p) = if (h > Adam7YStart(p))
+          (h - Adam7YStart(p) + Adam7YStep(p) - 1) / Adam7YStep(p) else 0
+        p += 1
+      }
+    }
+    var expect = 0L
+    var ep = 0
+    while (ep < nPass) {
+      if (passW(ep) > 0 && passH(ep) > 0)
+        expect += passH(ep).toLong * (1L + (passW(ep).toLong * bitsPP + 7) / 8)
+      ep += 1
+    }
+    if (expect <= 0 || expect > Int.MaxValue) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val scan = new Array[Byte](expect.toInt)
@@ -589,47 +643,126 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    // undo filters in place: raw(y) = recon over filtered row y
-    val raw = new Array[Byte](rowLen * h)
-    var y = 0
-    while (y < h) {
-      val f = scan(y * (rowLen + 1)) & 0xFF
-      if (f > 4) return None
-      var i = 0
-      while (i < rowLen) {
-        val x = scan(y * (rowLen + 1) + 1 + i) & 0xFF
-        val left = if (i >= bpp) raw(y * rowLen + i - bpp) & 0xFF else 0
-        val up = if (y > 0) raw((y - 1) * rowLen + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= bpp) raw((y - 1) * rowLen + i - bpp) & 0xFF else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
-        }
-        raw(y * rowLen + i) = ((x + pred) & 0xFF).toByte
-        i += 1
-      }
-      y += 1
-    }
-    // same stat layout as bmpPixelStats: [bSum,bMin,bMax, gSum,gMin,
-    // gMax, rSum,rMin,rMax, nPx] — PNG is RGB(A) byte order, so the
-    // channel offsets invert relative to BMP's BGR
+    // stat layout shared with bmpPixelStats: [bSum,bMin,bMax, gSum,
+    // gMin,gMax, rSum,rMin,rMax, nPx] — PNG is RGB(A) sample order, so
+    // the channel offsets invert relative to BMP's BGR
     val stats = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
     val hist = new Array[Long](8)
+    val fbpp = math.max(1, bitsPP / 8) // filter unit (spec: bytes/px, min 1)
+    val maxSample = (1 << math.min(depth, 8)) - 1
+    var base = 0
     var p = 0
-    while (p < raw.length) {
-      val r = raw(p) & 0xFF; val g = raw(p + 1) & 0xFF
-      val b = raw(p + 2) & 0xFF
-      stats(0) += b; if (b < stats(1)) stats(1) = b; if (b > stats(2)) stats(2) = b
-      stats(3) += g; if (g < stats(4)) stats(4) = g; if (g > stats(5)) stats(5) = g
-      stats(6) += r; if (r < stats(7)) stats(7) = r; if (r > stats(8)) stats(8) = r
-      hist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
-      p += bpp
+    while (p < nPass) {
+      val pw = passW(p); val ph = passH(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * bitsPP + 7) / 8).toInt
+        // undo filters: raw(y) = recon over filtered row y of THIS pass
+        val raw = new Array[Byte](rowBytes * ph)
+        var y = 0
+        while (y < ph) {
+          val f = scan(base + y * (rowBytes + 1)) & 0xFF
+          if (f > 4) return None
+          var i = 0
+          while (i < rowBytes) {
+            val x = scan(base + y * (rowBytes + 1) + 1 + i) & 0xFF
+            val left = if (i >= fbpp) raw(y * rowBytes + i - fbpp) & 0xFF else 0
+            val up = if (y > 0) raw((y - 1) * rowBytes + i) & 0xFF else 0
+            val ul = if (y > 0 && i >= fbpp) raw((y - 1) * rowBytes + i - fbpp) & 0xFF else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            raw(y * rowBytes + i) = ((x + pred) & 0xFF).toByte
+            i += 1
+          }
+          y += 1
+        }
+        base += (rowBytes + 1) * ph
+        // sample extraction: 16-bit → high byte, sub-byte gray rescaled
+        // to full range, palette through PLTE, gray replicated to RGB,
+        // alpha (types 4/6) excluded from stats
+        var yy = 0
+        while (yy < ph) {
+          val rowOff = yy * rowBytes
+          var xx = 0
+          while (xx < pw) {
+            var r = 0; var g = 0; var b = 0
+            if (depth == 16) {
+              val o = rowOff + xx * channels * 2
+              if (colorType == 0 || colorType == 4) {
+                val v = raw(o) & 0xFF; r = v; g = v; b = v
+              } else {
+                r = raw(o) & 0xFF; g = raw(o + 2) & 0xFF; b = raw(o + 4) & 0xFF
+              }
+            } else if (depth == 8) {
+              val o = rowOff + xx * channels
+              if (colorType == 0 || colorType == 4) {
+                val v = raw(o) & 0xFF; r = v; g = v; b = v
+              } else if (colorType == 3) {
+                val idx = raw(o) & 0xFF
+                if (3 * idx + 2 >= plte.length) return None
+                r = plte(3 * idx) & 0xFF; g = plte(3 * idx + 1) & 0xFF
+                b = plte(3 * idx + 2) & 0xFF
+              } else {
+                r = raw(o) & 0xFF; g = raw(o + 1) & 0xFF; b = raw(o + 2) & 0xFF
+              }
+            } else { // depths 1/2/4: single-channel (gray or palette)
+              val bitPos = xx.toLong * depth
+              val byteV = raw(rowOff + (bitPos >> 3).toInt) & 0xFF
+              val shift = 8 - depth - (bitPos & 7).toInt
+              val s = (byteV >> shift) & maxSample
+              if (colorType == 3) {
+                if (3 * s + 2 >= plte.length) return None
+                r = plte(3 * s) & 0xFF; g = plte(3 * s + 1) & 0xFF
+                b = plte(3 * s + 2) & 0xFF
+              } else {
+                val v = s * 255 / maxSample // spec §2.1 sample rescale
+                r = v; g = v; b = v
+              }
+            }
+            stats(0) += b; if (b < stats(1)) stats(1) = b; if (b > stats(2)) stats(2) = b
+            stats(3) += g; if (g < stats(4)) stats(4) = g; if (g > stats(5)) stats(5) = g
+            stats(6) += r; if (r < stats(7)) stats(7) = r; if (r > stats(8)) stats(8) = r
+            hist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      p += 1
     }
     stats(9) = w.toLong * h
     Some((stats, hist))
+  }
+
+  /** Foreign-bytes PNG fixture: the JDK's OWN ImageIO PNG writer. The
+    * point (mirroring [[jdkJpegEncode]]) is that the payload is NOT
+    * this engine's output — the JDK writer picks the bit depth and
+    * color type from the BufferedImage's color model (TYPE_BYTE_GRAY →
+    * gray/8, TYPE_USHORT_GRAY → gray/16, an IndexColorModel →
+    * palette/1/4/8 + PLTE, TYPE_3BYTE_BGR → truecolor/8) and
+    * progressive mode makes it emit Adam7-INTERLACED scanlines — so
+    * decoding exercises [[pngPixelStats]]' full shape matrix against
+    * an independent encoder. PNG is lossless, so no fixture shaping is
+    * needed for an exact oracle. */
+  private[graft] def jdkPngEncode(img: java.awt.image.BufferedImage,
+                                  interlaced: Boolean): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      if (interlaced && param.canWriteProgressive())
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
+      bos.toByteArray
+    } finally writer.dispose()
   }
 
   // ---------------------------------------------------------------

@@ -263,7 +263,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngPixelStats(flipped).isEmpty)
     // truncated IDAT (chunk bounds run off the payload): None
     assert(Multimodal.pngPixelStats(base.take(base.length - 20)).isEmpty)
-    // palette color type — CRC fixed up so only the FORMAT refusal fires
+    // palette color type WITHOUT a PLTE chunk (spec: mandatory) — CRC
+    // fixed up so only the missing-palette refusal fires
     val pal = base.clone(); pal(25) = 3
     val c = new java.util.zip.CRC32; c.update(pal, 12, 17)
     val fixed = java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array()
@@ -275,6 +276,133 @@ class MultimodalSpec extends SparkSpec {
       .head().getAs[Array[Byte]]("bytes")
     assert(Multimodal.pngPixelStats(headerOnly).isEmpty)
     assert(Multimodal.pngPixelStats("not a png".getBytes).isEmpty)
+  }
+
+  test("differential fuzz: JDK-encoded PNGs across the full shape matrix " +
+      "(gray 8/16, palette 1/4/8, RGB(A)) x interlace match pngPixelStats " +
+      "EXACTLY") {
+    // the payload is the JDK PNG writer's own bytes — palette PLTE
+    // layout, Adam7 pass order, sub-byte packing all chosen by an
+    // independent encoder — and PNG is lossless, so our stats must
+    // equal stats recomputed from the source raster EXACTLY (16-bit
+    // samples reduced by the spec's high-byte downsample).
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(1414)
+    val shapes = Seq("gray8", "gray16", "pal1", "pal4", "pal8", "rgb8", "rgba8")
+    for (trial <- 0 until 70) {
+      val shape = shapes(trial % shapes.length)
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(33)
+      val interlaced = trial % 2 == 1
+      // per-shape image + an exact (x,y) -> (r,g,b) ground truth that
+      // avoids getRGB's gray-colorspace gamma (raster samples are what
+      // the PNG writer stores)
+      val (img, truth): (java.awt.image.BufferedImage, (Int, Int) => (Int, Int, Int)) =
+        shape match {
+          case "gray8" =>
+            val im = new java.awt.image.BufferedImage(w, h, TYPE_BYTE_GRAY)
+            (im, (x, y) => { val v = im.getRaster.getSample(x, y, 0); (v, v, v) })
+          case "gray16" =>
+            val im = new java.awt.image.BufferedImage(w, h, TYPE_USHORT_GRAY)
+            (im, (x, y) => { val v = im.getRaster.getSample(x, y, 0) >> 8; (v, v, v) })
+          case s if s.startsWith("pal") =>
+            val (bits, n) = s match {
+              case "pal1" => (1, 2); case "pal4" => (4, 16); case _ => (8, 256)
+            }
+            val pr = Array.fill(n)(rnd.nextInt(256).toByte)
+            val pg = Array.fill(n)(rnd.nextInt(256).toByte)
+            val pb = Array.fill(n)(rnd.nextInt(256).toByte)
+            val icm = new java.awt.image.IndexColorModel(bits, n, pr, pg, pb)
+            val im = new java.awt.image.BufferedImage(w, h,
+              if (bits == 8) TYPE_BYTE_INDEXED else TYPE_BYTE_BINARY, icm)
+            (im, (x, y) => {
+              val j = im.getRaster.getSample(x, y, 0)
+              (pr(j) & 0xFF, pg(j) & 0xFF, pb(j) & 0xFF)
+            })
+          case "rgb8" =>
+            val im = new java.awt.image.BufferedImage(w, h, TYPE_3BYTE_BGR)
+            (im, (x, y) => { val p = im.getRGB(x, y)
+              ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) })
+          case _ =>
+            val im = new java.awt.image.BufferedImage(w, h, TYPE_4BYTE_ABGR)
+            (im, (x, y) => { val p = im.getRGB(x, y)
+              ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) })
+        }
+      val maxV = shape match {
+        case "gray16" => 65535; case "pal1" => 1; case "pal4" => 15; case _ => 255
+      }
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until img.getRaster.getNumBands)
+        img.getRaster.setSample(x, y, b, rnd.nextInt(maxV + 1))
+      val bytes = Multimodal.jdkPngEncode(img, interlaced)
+      val tag = s"trial=$trial $shape ${w}x$h il=$interlaced"
+      // the interlace request must actually have landed in the IHDR —
+      // otherwise the Adam7 path silently goes untested
+      assert((bytes(28) & 0xFF) == (if (interlaced) 1 else 0), s"$tag IHDR il")
+      val got = Multimodal.pngPixelStats(bytes)
+      assert(got.isDefined, s"$tag: refused a valid JDK stream")
+      val Some((s, hist)) = got
+      val want = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
+      val wantHist = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = truth(x, y)
+        want(0) += b; want(1) = math.min(want(1), b); want(2) = math.max(want(2), b)
+        want(3) += g; want(4) = math.min(want(4), g); want(5) = math.max(want(5), g)
+        want(6) += r; want(7) = math.min(want(7), r); want(8) = math.max(want(8), r)
+        wantHist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
+      }
+      want(9) = w.toLong * h
+      assert(s.toSeq == want.toSeq, s"$tag channel stats")
+      assert(hist.toSeq == wantHist.toSeq, s"$tag luma histogram")
+    }
+  }
+
+  test("corruption fuzz: PNG byte flips and truncations across the shape " +
+      "matrix NEVER throw") {
+    // same contract as the JPEG mutation harness: one flipped bit or a
+    // random truncation anywhere in a valid payload must degrade to
+    // None (or decode something), never propagate an exception — a
+    // single throw would fail a whole Spark task
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(2828)
+    def mk(shape: String, interlaced: Boolean): Array[Byte] = {
+      val (w, h) = (13, 9)
+      val img = shape match {
+        case "gray8" => new java.awt.image.BufferedImage(w, h, TYPE_BYTE_GRAY)
+        case "gray16" => new java.awt.image.BufferedImage(w, h, TYPE_USHORT_GRAY)
+        case "pal4" =>
+          val p = Array.tabulate(16)(i => (i * 17).toByte)
+          new java.awt.image.BufferedImage(w, h, TYPE_BYTE_BINARY,
+            new java.awt.image.IndexColorModel(4, 16, p, p.reverse, p))
+        case _ => new java.awt.image.BufferedImage(w, h, TYPE_3BYTE_BGR)
+      }
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until img.getRaster.getNumBands)
+        img.getRaster.setSample(x, y, b,
+          rnd.nextInt(if (shape == "gray16") 65536 else if (shape == "pal4") 16 else 256))
+      Multimodal.jdkPngEncode(img, interlaced)
+    }
+    val payloads = Seq(
+      "gray8" -> mk("gray8", interlaced = false),
+      "gray16-il" -> mk("gray16", interlaced = true),
+      "pal4-il" -> mk("pal4", interlaced = true),
+      "rgb8" -> mk("rgb8", interlaced = false))
+    for ((kind, good) <- payloads; trial <- 0 until 300) {
+      val mutated = good.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      try { Multimodal.pngPixelStats(mutated); () }
+      catch {
+        case e: Throwable =>
+          fail(s"$kind: flipping bit at byte $at threw " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      val cut = java.util.Arrays.copyOf(good, 1 + rnd.nextInt(good.length))
+      try { Multimodal.pngPixelStats(cut); () }
+      catch {
+        case e: Throwable =>
+          fail(s"$kind: truncation to ${cut.length} bytes threw " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
   }
 
   test("wavSampleStats agrees with an independent LE-short decode") {
