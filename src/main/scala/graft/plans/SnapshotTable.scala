@@ -560,13 +560,32 @@ final class SnapshotTable(
                              schema: StructType,
                              checksOverride: Option[Seq[(String, String)]] = None,
                              layoutOverride: Option[Layout] = None,
-                             propsOverride: Option[Map[String, String]] = None): Unit = {
+                             propsOverride: Option[Map[String, String]] = None,
+                             partitionSpecOverride: Option[Seq[String]] = None): Unit = {
     fs.mkdirs(new Path(commitsDir))
     // either record kind at `v` means the version is taken (a fake or
     // checkpoint-only manifest must conflict a delta commit too)
     if (versionExists(v))
       throw new IllegalStateException(
         s"commit conflict: version $v already exists at $path")
+    val parent = if (v <= 1L) None else Some(readManifest(v - 1))
+    // the logged partition line is REVALIDATED against the parent at
+    // commit time: a handle resolves its spec ONCE (cachedPartitionSpec)
+    // and re-logging that one-shot value would silently REVERT a
+    // repartitionTo committed by another handle in between. Only
+    // repartitionTo itself (via the override) may change the line.
+    val commitSpec = partitionSpecOverride.getOrElse {
+      val cached = tablePartitionCols
+      parent.foreach(_.partitionCol.map(_.split(",").toSeq).foreach { headSpec =>
+        if (headSpec != cached)
+          throw new IllegalStateException(
+            s"partition spec conflict at $path: this handle resolved " +
+              s"[${cached.mkString(",")}] but version ${v - 1} logs " +
+              s"[${headSpec.mkString(",")}] — the spec evolved under a " +
+              "concurrent repartitionTo; re-open the table and re-run")
+      })
+      cached
+    }
     val token = UUID.randomUUID().toString
     // the schema rides in the manifest as one compact-JSON line (JSON
     // string escaping guarantees no literal tab/newline), nullability
@@ -603,7 +622,7 @@ final class SnapshotTable(
     val commitLayout = layoutOverride.getOrElse(effectiveLayout)
     val commitProps = propsOverride.getOrElse(effectiveProps)
     val header = headerLines(v, token, Some(loggedSchema),
-      Some(tablePartitionCols.mkString(",")), allChecks,
+      Some(commitSpec.mkString(",")), allChecks,
       Some(commitLayout), commitProps)
     // v1 commits FULL (every file is new — the manifest IS the delta and
     // doubles as the base checkpoint); later commits write only the diff
@@ -614,7 +633,7 @@ final class SnapshotTable(
     val body =
       if (v <= 1L) files.map(_.serialize).mkString("\n")
       else {
-        val prevSer = readManifest(v - 1).entries
+        val prevSer = parent.get.entries
           .map(e => e.path -> e.serialize).toMap
         val newPaths = files.map(_.path).toSet
         val removes = prevSer.keysIterator.filterNot(newPaths).toSeq.sorted
@@ -634,7 +653,7 @@ final class SnapshotTable(
     val committed = Manifest(
       files,
       Some(StructType(schema.fields.map(_.copy(nullable = true)))),
-      Some(tablePartitionCols.mkString(",")).filter(_.nonEmpty),
+      Some(commitSpec.mkString(",")).filter(_.nonEmpty),
       allChecks,
       Some(commitLayout).filterNot(_ == DefaultLayout),
       commitProps)
@@ -776,8 +795,15 @@ final class SnapshotTable(
             math.max(1, math.min(32, rows.size / 50000))),
           CkptSchema)
         val tmp = new Path(s"$commitsDir/.cpq-${UUID.randomUUID()}")
-        df.write.parquet(tmp.toString)
-        if (!fs.rename(tmp, parquetCkptPath(v))) fs.delete(tmp, true)
+        // the tmp dir must go whenever the rename did NOT land — a
+        // mid-write throw would otherwise orphan partial twins that
+        // accumulate forever on flaky stores (vacuum also sweeps aged
+        // .cpq-* leftovers as a second line of defense)
+        var landed = false
+        try {
+          df.write.parquet(tmp.toString)
+          landed = fs.rename(tmp, parquetCkptPath(v))
+        } finally if (!landed) fs.delete(tmp, true)
       }
     } catch { case _: Exception => () }
 
@@ -1586,14 +1612,12 @@ final class SnapshotTable(
       s"duplicate partition columns: ${newCols.mkString(",")}")
     require(newCols != tablePartitionCols,
       s"table at $path already partitions by '${newCols.mkString(",")}'")
-    // headerLines derives the logged spec from tablePartitionCols:
-    // flip the handle's resolved spec first, restore on a failed commit
-    val prev = cachedPartitionSpec
+    // commit FIRST, flip the handle's resolved spec only once the
+    // commit has landed: concurrent reads/upserts on this handle must
+    // never plan under a spec that is not yet (or never) committed
+    commitManifest(v + 1, m.entries, schema,
+      partitionSpecOverride = Some(newCols))
     cachedPartitionSpec = newCols
-    try commitManifest(v + 1, m.entries, schema)
-    catch {
-      case t: Throwable => cachedPartitionSpec = prev; throw t
-    }
   }
 
   /** Rewrite every file still laid out under an OLDER partition spec
@@ -1663,6 +1687,51 @@ final class SnapshotTable(
     require(refs.isEmpty,
       s"cannot $op '$name' at $path: CHECK constraint(s) " +
         s"${refs.map(_._1).mkString(", ")} reference it — drop them first")
+  }
+
+  /** DRY-RUN the full column-op sequence of a multi-change ALTER
+    * against the EVOLVING schema (each op validated as if every prior
+    * op had committed), plus the trailing ADD COLUMNS names against
+    * the final shape — without committing anything. The catalog calls
+    * this before executing the first op, so an ALTER whose later
+    * change is invalid fails whole: the earlier changes are never
+    * committed (validation-level per-statement atomicity; each op
+    * still commits individually afterwards, mirroring [[renameColumn]]
+    * /[[dropColumn]]/[[widenColumn]] semantics). */
+  private[graft] def validateAlterSequence(
+      ops: Seq[SnapshotTable.ColumnAlter],
+      adds: Seq[org.apache.spark.sql.types.StructField] = Nil): Unit = {
+    val v = currentVersion.getOrElse(return) // the ops themselves throw
+    val m = readManifest(v)
+    var schema = m.schema.getOrElse(return)
+    ops.foreach {
+      case SnapshotTable.RenameCol(o, n) =>
+        validateColumnChange(schema, m, o, "rename")
+        require(!schema.fieldNames.contains(n),
+          s"column '$n' already exists at $path")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == o) f.copy(name = n) else f))
+      case SnapshotTable.DropCol(n) =>
+        validateColumnChange(schema, m, n, "drop")
+        require(schema.length > 1, s"cannot drop the only column of $path")
+        schema = StructType(schema.fields.filterNot(_.name == n))
+      case SnapshotTable.WidenCol(n, to) =>
+        require(schema.fieldNames.contains(n), s"no column '$n' at $path")
+        val from = schema(n).dataType
+        require(from == to || SnapshotTable.isSafeWidening(from, to),
+          s"evolveTo changes type of '$n': $from -> $to — only safe " +
+            "widenings (integral up the byte<short<int<long lattice, " +
+            "float->double) are metadata-only")
+        require(from == to || !tablePartitionCols.contains(n),
+          s"cannot widen partition column '$n' at $path")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(dataType = to) else f))
+    }
+    adds.foreach { f =>
+      require(!schema.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists at $path")
+      require(f.nullable, "added columns must be nullable")
+    }
   }
 
   /** A live-entry set with `name`'s per-file stats and bloom stripped:
@@ -2158,6 +2227,10 @@ final class SnapshotTable(
           if (hm.schema != base.schema || hm.checks != base.checks ||
               hm.layout != base.layout || hm.props != base.props)
             stale("changed table metadata (schema/checks/layout/properties)")
+          // partition-spec evolution is metadata too: the merge's new
+          // files were laid out under the base's spec
+          if (hm.partitionCol != base.partitionCol)
+            stale("evolved the partition spec")
           val headSer = hm.entries.map(e => e.path -> e.serialize).toMap
           replaced.foreach { p =>
             headSer.get(p) match {
@@ -3374,6 +3447,12 @@ final class SnapshotTable(
     val dir = new Path(commitsDir)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
+      // orphaned parquet-twin tmp dirs (a writer crashed between the
+      // parquet write and the rename) parse as no version below and
+      // would otherwise never be reclaimed; age-gate on the retention
+      // cutoff so an IN-FLIGHT twin write is never swept
+      if (n.startsWith(".cpq-") && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
       val mv =
         if (n.startsWith("v") && n.endsWith(".manifest"))
           Some(n.stripPrefix("v").stripSuffix(".manifest").toLong)
@@ -3471,6 +3550,17 @@ object SnapshotTable {
       case (FloatType, DoubleType) => true
       case _ => false
     }
+
+  /** One column change of a multi-change ALTER statement — the catalog
+    * collects these and pre-validates the WHOLE sequence
+    * ([[SnapshotTable!.validateAlterSequence]]) before committing any,
+    * so a mixed ALTER whose later change is invalid leaves the table
+    * untouched (per-statement atomicity for validation failures). */
+  sealed trait ColumnAlter
+  final case class RenameCol(oldName: String, newName: String)
+    extends ColumnAlter
+  final case class DropCol(name: String) extends ColumnAlter
+  final case class WidenCol(name: String, to: DataType) extends ColumnAlter
 
   /** Monotone field-id high-water mark, logged as a table property so
     * an id is never reused across drop/re-add. */

@@ -257,17 +257,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val snap = snapshotAt(ident)
     if (!snap.exists) throw new NoSuchTableException(ident)
     // TWO passes: the first only COLLECTS (and rejects unsupported
-    // shapes), the second commits — so collection-time rejections and
-    // per-statement validation (the graft.mv.* merged-props check
-    // below) run before ANY commit. Atomicity is per-CHANGE, not
-    // per-statement: each rename/drop commits individually and runs
-    // its own validation, so a multi-rename ALTER whose LATER change
-    // fails execution-time validation leaves the earlier renames
-    // committed.
+    // shapes), the second commits — and the whole column-op sequence
+    // is DRY-RUN against the evolving schema
+    // (SnapshotTable.validateAlterSequence) before the first commit,
+    // so a mixed ALTER whose later change is invalid leaves the table
+    // untouched. Each op then still commits individually (one manifest
+    // version per change, like consecutive single-change ALTERs).
     val sets = scala.collection.mutable.Map.empty[String, String]
     val unsets = scala.collection.mutable.Buffer.empty[String]
     val adds = scala.collection.mutable.Buffer.empty[StructField]
-    val columnOps = scala.collection.mutable.Buffer.empty[() => Unit]
+    val columnOps =
+      scala.collection.mutable.Buffer.empty[graft.plans.SnapshotTable.ColumnAlter]
     changes.foreach {
       case s: TableChange.SetProperty =>
         sets += s.property -> s.value
@@ -290,20 +290,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft renames top-level columns only")
-        // one commit per rename, in statement order: each validates
-        // against the then-current schema
-        columnOps += (() => snap.renameColumn(r.fieldNames.head, r.newName))
+        columnOps += graft.plans.SnapshotTable.RenameCol(
+          r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft drops top-level columns only")
-        columnOps += (() => snap.dropColumn(d.fieldNames.head))
+        columnOps += graft.plans.SnapshotTable.DropCol(d.fieldNames.head)
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1,
           "graft widens top-level columns only")
         // metadata-only SAFE widening (int->long, float->double, ...);
         // widenColumn refuses anything that would reinterpret bytes
-        columnOps += (() => snap.widenColumn(u.fieldNames.head,
-          u.newDataType))
+        columnOps += graft.plans.SnapshotTable.WidenCol(
+          u.fieldNames.head, u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"graft tables do not support ALTER change $other")
     }
@@ -313,7 +312,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         unsets.exists(_.startsWith("graft.mv.")))
       graft.plans.MaterializedAgg.validateDefinitionProps(spark,
         snap.properties ++ sets -- unsets)
-    columnOps.foreach(_.apply())
+    if (columnOps.nonEmpty || adds.nonEmpty)
+      snap.validateAlterSequence(columnOps.toSeq, adds.toSeq)
+    columnOps.foreach {
+      case graft.plans.SnapshotTable.RenameCol(o, n) => snap.renameColumn(o, n)
+      case graft.plans.SnapshotTable.DropCol(n) => snap.dropColumn(n)
+      case graft.plans.SnapshotTable.WidenCol(n, t) => snap.widenColumn(n, t)
+    }
     if (adds.nonEmpty)
       snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
     if (sets.nonEmpty || unsets.nonEmpty)

@@ -291,6 +291,54 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.repartitionTo(Nil))
   }
 
+  test("a stale handle cannot silently revert a concurrent " +
+      "partition-spec evolution") {
+    val path = tmp("snapspecrace")
+    SnapshotTable(spark, path, "id", Some("p1c")).create(
+      Seq((1L, "r1", "a", "x"), (2L, "r2", "b", "y"))
+        .toDF("id", "val", "p1c", "p2c"))
+    // handle A resolves its spec once (the per-handle cache)
+    val a = SnapshotTable(spark, path, "id")
+    assert(a.tablePartitionCols == Seq("p1c"))
+    // handle B (another writer/process) evolves the spec
+    SnapshotTable(spark, path, "id").repartitionTo(Seq("p2c"))
+    // A's next commit would re-log p1c from its one-shot cache,
+    // reverting the evolution with no conflict — it must REFUSE instead
+    val e = intercept[IllegalStateException](
+      a.upsert(Seq((3L, "r3", "a", "z")).toDF("id", "val", "p1c", "p2c")))
+    assert(e.getMessage.contains("partition spec") ||
+      e.getMessage.contains("evolved the partition spec"), e.getMessage)
+    // the committed spec is still the evolved one, and a fresh handle
+    // (the remedy the error names) writes under it
+    val fresh = SnapshotTable(spark, path, "id")
+    assert(fresh.tablePartitionCols == Seq("p2c"))
+    fresh.upsert(Seq((3L, "r3", "a", "z")).toDF("id", "val", "p1c", "p2c"))
+    assert(fresh.read.count() == 3)
+    assert(fresh.candidateFiles().map(_.path).exists(_.contains("p2c=z")),
+      "post-evolution upsert did not land under the evolved spec")
+  }
+
+  test("vacuum sweeps aged orphaned .cpq checkpoint tmp dirs, " +
+      "leaves fresh ones") {
+    val path = tmp("snapcpqorphan")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((3, "c", "p1")))
+    val commits = new java.io.File(s"$path/_commits")
+    val orphan = new java.io.File(commits, ".cpq-dead")
+    assert(orphan.mkdirs())
+    new java.io.FileOutputStream(
+      new java.io.File(orphan, "part-00000.parquet")).close()
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val inflight = new java.io.File(commits, ".cpq-inflight")
+    assert(inflight.mkdirs())
+    t.vacuum(keepVersions = 2, retentionMs = 3600 * 1000L)
+    assert(!orphan.exists(), "aged .cpq orphan survived vacuum")
+    assert(inflight.exists(), "in-flight .cpq tmp dir was swept")
+    assert(t.read.count() == 3)
+  }
+
   test("parquet checkpoints: the twin serves cold opens, text is the " +
       "authoritative fallback, replay and checkpoint agree") {
     val path = tmp("snapckptpq")

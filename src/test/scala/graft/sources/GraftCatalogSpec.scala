@@ -306,6 +306,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.widen.t").head().getLong(0) == 3)
   }
 
+  test("mixed multi-change ALTER is pre-validated whole: a later invalid " +
+      "change leaves earlier changes uncommitted") {
+    warehouse
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mixedalter")
+    sql("""CREATE TABLE graft.mixedalter.t (id BIGINT, q INT, p FLOAT)
+           TBLPROPERTIES ('primaryKey' = 'id',
+                          'graft.columnMapping' = 'id')""")
+    sql("INSERT INTO graft.mixedalter.t VALUES (1, 10, 0.5)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("mixedalter"), "t")
+    // rename (valid alone) + a byte-reinterpreting widen (invalid):
+    // the statement must fail WHOLE — per-change commits would leave
+    // the rename in and only then hit the widen validation
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("q"), "q2"),
+      TableChange.updateColumnType(Array("p"),
+        org.apache.spark.sql.types.StringType)))
+    assert(e.getMessage.contains("widening"), e.getMessage)
+    val sch = sql("SELECT * FROM graft.mixedalter.t").schema
+    assert(sch.fieldNames.contains("q") && !sch.fieldNames.contains("q2"),
+      s"failed mixed ALTER committed its earlier rename: $sch")
+    // a VALID mixed sequence applies — including an op that references
+    // the name a PRIOR op in the same statement introduced (the
+    // dry-run must validate against the evolving schema)
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("q"), "q2"),
+      TableChange.updateColumnType(Array("q2"),
+        org.apache.spark.sql.types.LongType),
+      TableChange.updateColumnType(Array("p"),
+        org.apache.spark.sql.types.DoubleType))
+    val sch2 = sql("SELECT * FROM graft.mixedalter.t").schema
+    assert(sch2("q2").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch2("p").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sql("SELECT q2 FROM graft.mixedalter.t").head().getLong(0) == 10L)
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN on an id-mapped table; time travel spans the evolution") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graft.map")
