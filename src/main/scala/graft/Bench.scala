@@ -155,7 +155,8 @@ object Bench {
       "pipeline_e2e" -> Queries.lastPipelinePhases,
       "mor_delete" -> Queries.lastMorPhases,
       "stream_ingest_parity" -> Queries.lastStreamIngestPhases,
-      "stream_sink_parity" -> Queries.lastStreamSinkPhases)
+      "stream_sink_parity" -> Queries.lastStreamSinkPhases,
+      "ann_recall_real" -> Queries.lastAnnRecallPhases)
       .filter(_._2.nonEmpty)
     val phases =
       if (phased.isEmpty) ""

@@ -40,6 +40,13 @@ object Queries {
   @volatile var lastStreamIngestPhases: Seq[(String, Double)] = Nil
   @volatile var lastStreamSinkPhases: Seq[(String, Double)] = Nil
 
+  /** Phase wall-times of the most recent [[annRecallReal]] run — the
+    * top-10 bench entry that rose two consecutive rounds (4.5→7.0 s,
+    * r11→r13) with no breakdown: corpus materialize / exact top-k
+    * oracle / LSH probe / Lloyd training / IVF probe each get a
+    * number, so the next drift names its phase. */
+  @volatile var lastAnnRecallPhases: Seq[(String, Double)] = Nil
+
   /** Attribute a TERMINATED streaming query's wall time from its
     * progress log: `add_batch` is the work inside each micro-batch
     * (source read + sink/foreachBatch commit), `batch_overhead` the
@@ -2776,8 +2783,10 @@ object Queries {
     // one evaluates on a bounded sample and persists it the same way.
     val corpus = emb.select("vec_id", "embedding").unionByName(dups)
       .localCheckpoint()
+    // checkpointed: BOTH recall branches consume the exact set, and
+    // lazily it would run the O(corpus·queries) brute force twice
     val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     def recall(ann: DataFrame, method: String): DataFrame =
       ann.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -2803,15 +2812,27 @@ object Queries {
     * query count and the threshold booleans (plan-time-stable), the
     * raw recall stays in-plan. */
   def annRecallReal(s: SparkSession, dir: String): DataFrame = {
+    lastAnnRecallPhases = Nil // a throwing run must not report stale phases
+    val ph = Seq.newBuilder[(String, Double)]
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      ph += name -> (System.nanoTime() - t0) / 1e9; r
+    }
     val emb = t(s, dir, "embeddings")
     // one eager materialization, three ANN passes over it (see
     // annRecall); the stride keeps the query set identical at every SF
-    val corpus = emb.select("vec_id", "embedding").localCheckpoint()
+    val corpus = phase("corpus") {
+      emb.select("vec_id", "embedding").localCheckpoint()
+    }
     val queries = corpus
       .filter(col("vec_id") % 23 === 0 && col("vec_id") < 460)
       .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"))
-    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
-      .select(col("query_id"), col("neighbor_id"))
+    // checkpointed: both recall branches consume the exact set, and
+    // lazily the O(corpus·queries) brute force would run TWICE
+    val exact = phase("exact_topk") {
+      Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    }
     // left join from the EXACT side, not semi+group: an exact pair the
     // ANN pass missed must count against recall, and a query whose ANN
     // pass returned nothing must count as 0, not vanish from the mean
@@ -2824,11 +2845,22 @@ object Queries {
           countDistinct("query_id").as("n_queries"))
         .select(lit(method).as("method"), col("n_queries"),
           (col("recall") >= 0.9d).as("recall_ok"))
-    recallOf(Similarity.lshTopK(corpus, queries, k = 10,
-        probeRadius = 2, numTables = 8), "lsh")
-      .unionByName(recallOf(Similarity.ivfTopK(corpus, queries, k = 10,
-        nCentroids = 16, nProbe = 12), "ivf"))
-      .orderBy("method")
+    val lsh = phase("lsh_probe") {
+      recallOf(Similarity.lshTopK(corpus, queries, k = 10,
+        probeRadius = 2, numTables = 8), "lsh").localCheckpoint()
+    }
+    // Lloyd training and the IVF probe timed apart: training is the
+    // phase that scales with iterations/sample size, probing with
+    // nProbe — a drift in either now names itself
+    val cents = phase("ivf_train") {
+      Similarity.trainCentroids(corpus, nCentroids = 16)
+    }
+    val ivf = phase("ivf_probe") {
+      recallOf(Similarity.ivfTopKWith(cents, corpus, queries, k = 10,
+        nProbe = 12), "ivf").localCheckpoint()
+    }
+    lastAnnRecallPhases = ph.result()
+    lsh.unionByName(ivf).orderBy("method")
   }
 
   /** Pivot: daily event counts, one column per event type (explicit
@@ -3116,6 +3148,47 @@ object Queries {
       .select(col("n_vectors"),
         (col("__mis") === 0).as("incremental_matches_rebuild"),
         col("__mis").as("n_mismatched"))
+  }
+
+  /** The RECALL-GATED RETRAIN LOOP end-to-end on the real embeddings
+    * ([[Similarity.ivfMaybeRetrain]] — the monitored decision that
+    * closes Faiss's operational model around CDC-incremental
+    * maintenance): a same-distribution delta keeps the centroids
+    * FROZEN (no trigger, zero training I/O — the common case), while
+    * a distribution shift (every embedding folded into the positive
+    * orthant via element-wise |x|, measured fit drop ~0.15 against a
+    * 0.05 budget) fires the trigger, and the retrained index's fit
+    * recovers above the budget line. Hashed output is the
+    * plan-time-stable decision booleans (the approxProfile pattern);
+    * raw fit values stay in-plan. */
+  def ivfRetrainTrigger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .localCheckpoint()
+    val cents = Similarity.trainCentroids(corpus, nCentroids = 16)
+    val index = Similarity.ivfAssign(corpus, cents).localCheckpoint()
+    val baseline = Similarity.ivfFit(index, cents)
+    // stable: a same-distribution delta (re-inserted vectors, fresh ids)
+    val stableDelta = corpus.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val stableIdx = Similarity.ivfRefresh(index, cents, stableDelta,
+      corpus.select("vec_id").limit(0))
+    val (_, _, retrainedStable, fitStable) =
+      Similarity.ivfMaybeRetrain(stableIdx, cents, baseline,
+        maxFitDrop = 0.05, nCentroids = 16)
+    // drift: the whole corpus replaced by its positive-orthant fold —
+    // strongly asymmetric vs the training distribution
+    val folded = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val driftIdx = Similarity.ivfRefresh(index, cents, folded,
+      corpus.select("vec_id"))
+    val (_, _, retrainedDrift, fitDrift) =
+      Similarity.ivfMaybeRetrain(driftIdx, cents, baseline,
+        maxFitDrop = 0.05, nCentroids = 16)
+    Seq(
+      ("drift", retrainedDrift, fitDrift >= baseline - 0.05),
+      ("stable", retrainedStable, fitStable >= baseline - 0.05))
+      .toDF("scenario", "retrained", "fit_ok").orderBy("scenario")
   }
 
   /** Salted skewed equi-join + aggregate: result must be identical to
@@ -3811,6 +3884,7 @@ object Queries {
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
     "ivf_incremental" -> (ivfIncremental _),
+    "ivf_retrain_trigger" -> (ivfRetrainTrigger _),
     "ann_recall" -> (annRecall _),
     "ann_recall_real" -> (annRecallReal _),
     "salted_join_agg" -> (saltedJoinAgg _),
@@ -4897,6 +4971,14 @@ object Queries {
     // same frozen centroids); the oracle recomputes the final corpus
     // cardinality from the same upsert/delete algebra and pins the
     // mismatch count at zero
+    // the retrain-trigger decision table: drift retrains and recovers
+    // fit, a stable corpus keeps frozen centroids — plan-time-stable
+    // booleans (DuckDB cannot run the training passes)
+    "ivf_retrain_trigger" ->
+      """SELECT 'drift' AS scenario, true AS retrained, true AS fit_ok
+        |UNION ALL
+        |SELECT 'stable', false, true
+        |ORDER BY scenario""".stripMargin,
     "ivf_incremental" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |       true AS incremental_matches_rebuild,

@@ -306,6 +306,67 @@ object Similarity {
       .unionByName(assignToCentroids(upserted, centroids, idCol, vecCol))
   }
 
+  /** The index's FIT under its centroid set: mean cosine between each
+    * vector and its ASSIGNED centroid — the cheap drift signal that
+    * decides when [[ivfRefresh]]'s frozen centroids have stopped
+    * describing the corpus. One broadcast join + one pass over the
+    * index (no re-assignment, no training): O(corpus · dim), the same
+    * cost as a single scan — cheap enough to evaluate after every
+    * maintenance batch. Distribution shift moves vectors away from
+    * the centroids they trained on, so the mean assigned cosine falls
+    * monotonically with drift; recall erosion follows the same curve
+    * (queries probe lists whose contents no longer cluster). NaN-safe:
+    * an empty index reports fit 0. */
+  def ivfFit(index: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): Double = {
+    val row = index
+      .join(broadcast(centroids.select(col("centroid_id"), col("cvec"))),
+        Seq("centroid_id"))
+      .agg(avg(cosine(col(vecCol), col("cvec"))).as("fit"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** RECALL-GATED RETRAIN TRIGGER — the piece that closes Faiss's
+    * operational loop around [[ivfRefresh]]: assignment absorbs deltas
+    * continuously under frozen centroids, and a MONITORED decision —
+    * not a human guessing — schedules the periodic offline retrain.
+    * The monitor is [[ivfFit]] against the fit recorded when the
+    * centroids were last trained: when the mean assigned cosine has
+    * fallen more than `maxFitDrop` below `baselineFit`, the corpus has
+    * drifted enough that probe recall is eroding, and the trigger
+    * retrains (Lloyd, sample-bounded) and fully re-assigns; otherwise
+    * the index and centroids pass through UNTOUCHED — zero training
+    * I/O on the no-drift path, which is the common case.
+    *
+    * Returns (index, centroids, retrained, fit): the caller persists
+    * the new fit as the next baseline whenever `retrained` is true.
+    * At 100 TB the signal pass is one scan and the retrain stays
+    * sample-bounded ([[trainCentroids]]'s `maxTrainVectors`) with one
+    * O(corpus) final assignment — the same shape as the initial
+    * build, paid only when drift demands it. */
+  def ivfMaybeRetrain(index: DataFrame, centroids: DataFrame,
+                      baselineFit: Double,
+                      maxFitDrop: Double = 0.05,
+                      nCentroids: Int = 16,
+                      trainIters: Int = 2,
+                      maxTrainVectors: Long = 100000L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding")
+      : (DataFrame, DataFrame, Boolean, Double) = {
+    require(maxFitDrop > 0, s"maxFitDrop must be positive, got $maxFitDrop")
+    val fit = ivfFit(index, centroids, idCol, vecCol)
+    if (fit >= baselineFit - maxFitDrop) (index, centroids, false, fit)
+    else {
+      val corpus = index.select(col(idCol), col(vecCol))
+      val cents = trainCentroids(corpus, nCentroids, trainIters,
+        idCol, vecCol, maxTrainVectors)
+      val rebuilt = assignToCentroids(corpus, cents, idCol, vecCol)
+      (rebuilt, cents, true, ivfFit(rebuilt, cents, idCol, vecCol))
+    }
+  }
+
   /** IVF ANN top-k: queries probe their `nProbe` nearest centroids and
     * score only vectors in those inverted lists, exact cosine re-rank.
     * Recall grows with nProbe (and with centroid training quality);
@@ -316,9 +377,20 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding",
               trainIters: Int = 2,
-              maxTrainVectors: Long = 100000L): DataFrame = {
-    val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol,
-      maxTrainVectors)
+              maxTrainVectors: Long = 100000L): DataFrame =
+    ivfTopKWith(
+      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol,
+        maxTrainVectors),
+      corpus, queries, k, nProbe, idCol, vecCol)
+
+  /** [[ivfTopK]] under a CALLER-TRAINED centroid set — the probe stage
+    * alone, so a recall harness (or a production pipeline reusing one
+    * trained index across query batches) can time/train separately. */
+  def ivfTopKWith(cents: DataFrame,
+                  corpus: DataFrame, queries: DataFrame, k: Int,
+                  nProbe: Int = 4,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val indexed = assignToCentroids(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         col("centroid_id"))

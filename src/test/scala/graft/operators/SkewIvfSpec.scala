@@ -83,6 +83,81 @@ class SkewIvfSpec extends SparkSpec {
       "no flipped vector changed its inverted list — fixture too weak")
   }
 
+  test("ivfMaybeRetrain: distribution shift erodes frozen-centroid " +
+      "recall, the fit trigger fires and the retrain restores it; a " +
+      "stable corpus keeps its centroids frozen") {
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    def clustered(centers: Array[Array[Float]], n: Int,
+                  idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val c = centers(i % centers.length)
+        (idBase + i, c.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.1f).toSeq)
+      }
+    val centersA = Array.fill(8, dim)(rnd.nextFloat() * 2f - 1f)
+    val corpusA = clustered(centersA, 400, 0L).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpusA, nCentroids = 8)
+    val indexA = Similarity.ivfAssign(corpusA, cents).localCheckpoint()
+    val baselineFit = Similarity.ivfFit(indexA, cents)
+    assert(baselineFit > 0.5, s"clustered fixture should fit well: $baselineFit")
+
+    // STABLE maintenance: a delta drawn from the SAME clusters must
+    // NOT trigger a retrain (the zero-training-I/O common case)
+    val sameDist = clustered(centersA, 40, 1000L).toDF("vec_id", "embedding")
+    val stable = Similarity.ivfRefresh(indexA, cents, sameDist,
+      spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0))
+    val (_, stableCents, retrainedStable, stableFit) =
+      Similarity.ivfMaybeRetrain(stable, cents, baselineFit,
+        maxFitDrop = 0.05, nCentroids = 8)
+    assert(!retrainedStable,
+      s"stable corpus triggered a retrain (fit $baselineFit -> $stableFit)")
+    assert(stableCents eq cents, "no-drift path must pass centroids through")
+
+    // DRIFT: the new clusters sit ON the old list boundaries — each
+    // new center is the midpoint of a NORMALIZED pair of trained
+    // centroids, so its members split ~50/50 between two old lists
+    // and a single-probe query recovers only its own half. (A tight
+    // cluster anywhere ELSE co-locates under any centroid set, which
+    // is why "new random clusters" cannot erode frozen recall.)
+    val cvecs = cents.orderBy("centroid_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    def norm(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centersB = Array.tabulate(4) { j =>
+      val a = norm(cvecs(2 * j)); val b = norm(cvecs(2 * j + 1))
+      a.zip(b).map { case (x, y) => x + y }
+    }
+    val corpusB = clustered(centersB, 400, 5000L).toDF("vec_id", "embedding")
+    val drifted = Similarity.ivfRefresh(indexA, cents, corpusB,
+      corpusA.select("vec_id")).localCheckpoint()
+    val queries = corpusB.filter(col("vec_id") % 37 === 0)
+      .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(corpusB, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallWith(cs: org.apache.spark.sql.DataFrame,
+                   corpus: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopKWith(cs, corpus, queries, k = 10,
+        nProbe = 1).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.count(brute.contains).toDouble / brute.size
+    }
+    val frozenRecall = recallWith(cents, corpusB)
+    val (rebuilt, newCents, retrained, newFit) =
+      Similarity.ivfMaybeRetrain(drifted, cents, baselineFit,
+        maxFitDrop = 0.05, nCentroids = 4)
+    assert(retrained, "full distribution shift did not trigger a retrain")
+    assert(newFit > Similarity.ivfFit(drifted, cents),
+      "retrain did not improve the fit signal")
+    val retrainedRecall = recallWith(newCents,
+      rebuilt.select("vec_id", "embedding"))
+    assert(frozenRecall < 0.9,
+      s"fixture too weak: frozen centroids still at recall $frozenRecall")
+    assert(retrainedRecall >= 0.9,
+      s"retrain did not restore recall: frozen=$frozenRecall " +
+        s"retrained=$retrainedRecall")
+  }
+
   test("IVF assigns every vector to exactly one centroid") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Similarity.ivfIndex(emb, nCentroids = 8)
