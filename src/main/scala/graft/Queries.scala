@@ -375,6 +375,43 @@ object Queries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** Partitioned→UNPARTITIONED spec evolution (Iceberg's
+    * evolve-to-flat — the consolidation path for an over-partitioned
+    * table): create partitioned by o_orderstatus, evolve to the
+    * EXPLICIT flat spec (`repartitionTo(Nil)` — logged as the flat
+    * marker, which disambiguates an intentional de-partition from a
+    * legacy pre-layout manifest), read the MIXED snapshot vintage-
+    * aware (old Hive-layout files keep serving their partition column
+    * from directory names under the flat spec), then a flat upsert
+    * merges the held-out rows. A fresh handle must resolve the
+    * explicit flat spec from the marker — the commit after the upsert
+    * must have RE-LOGGED it. */
+  def departitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("depart_evo", dir)
+    freshDirs(s, base)
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderpriority")
+    plans.SnapshotTable(s, base, "o_orderkey", Some("o_orderstatus"))
+      .create(orders.filter(col("o_orderkey") % 3 =!= 2))
+    // evolution-aware handle: constructed WITHOUT a partition pin
+    val tbl = plans.SnapshotTable(s, base, "o_orderkey")
+    tbl.repartitionTo(Nil)
+    require(tbl.mixedSpecAt(),
+      "fixture must mix the old Hive layout with the flat spec")
+    require(tbl.read.count() > 0,
+      "mixed flat-spec snapshot must keep serving vintage-aware")
+    tbl.upsert(orders.filter(col("o_orderkey") % 3 === 2 &&
+      col("o_orderstatus") === "F"))
+    require(plans.SnapshotTable(s, base, "o_orderkey")
+        .tablePartitionCols.isEmpty,
+      "a fresh handle must resolve the explicit flat marker")
+    tbl.read.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum("o_custkey").as("sum_cust"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** K2 through PURE SQL — the reference's central Delta MERGE
     * (orders_etl.py:67-71) as a SQL `MERGE INTO` statement against a
     * registered `USING graft` catalog table, planned by the DSv2
@@ -3800,6 +3837,7 @@ object Queries {
     "snapshot_upsert" -> (snapshotUpsert _),
     "schema_widening" -> (schemaWidening _),
     "partition_evolution" -> (partitionEvolution _),
+    "departition_evolution" -> (departitionEvolution _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "predicate_pruned_read" -> (predicatePrunedRead _),
@@ -4379,6 +4417,19 @@ object Queries {
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // de-partitioned (explicit flat) state must equal the relational
+    // merge of both loads
+    "departition_evolution" ->
+      """WITH merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 2
+        |  UNION ALL
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 3 = 2 AND o_orderstatus = 'F')
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // the z-ordered, stats-pruned box read must equal the plain SQL box
     "zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -33,10 +33,10 @@ import graft.plans.SnapshotTable.FileEntry
   * pruned scan opens only matching partitions' files — same contract as
   * [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]],
   * different (free) source of truth. */
-final class ManifestFileIndex(
+final class ManifestFileIndex private (
     spark: SparkSession,
     dataDir: String,
-    entries: Seq[FileEntry],
+    src: ManifestFileIndex.EntriesSource,
     override val partitionSchema: StructType)
   // PartitioningAwareFileIndex (not bare FileIndex) so Spark's own
   // ParquetScanBuilder/ParquetScan — the vectorized DSv2 parquet read
@@ -45,6 +45,19 @@ final class ManifestFileIndex(
   // class's filesystem machinery is never invoked
   extends PartitioningAwareFileIndex(
     spark, Map.empty, None, FileStatusCache.getOrCreate(spark)) {
+
+  /** The classic shape: a driver-side entry list (already-parsed
+    * manifest state). */
+  def this(spark: SparkSession, dataDir: String, entries: Seq[FileEntry],
+           partitionSchema: StructType) =
+    this(spark, dataDir, new ManifestFileIndex.EagerEntries(entries),
+      partitionSchema)
+
+  // the FULL entry list — the fallback the pruned planning path never
+  // touches; in lazy mode this is the one member that collects
+  // O(live files) to the driver, and only the rarely-consulted
+  // members below reach for it
+  private lazy val entries: Seq[FileEntry] = src.all
 
   // real partition fields (any number of levels) may be followed by the
   // reserved _partition metadata field, never interleaved
@@ -58,7 +71,8 @@ final class ManifestFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(dataDir))
 
-  override def sizeInBytes: Long = entries.map(_.len max 0L).sum
+  private lazy val cachedSize: Long = src.totalLen
+  override def sizeInBytes: Long = cachedSize
 
   override def inputFiles: Array[String] =
     entries.map(e => s"$dataDir/${e.path}").toArray
@@ -83,12 +97,13 @@ final class ManifestFileIndex(
   // manifest alone (zero filesystem calls — the whole point)
 
   // a snapshot index is immutable (refresh() is a no-op), so the
-  // O(entries) structures the base class consults repeatedly during
-  // planning are computed once
+  // structures the base class consults repeatedly during planning are
+  // computed once — from the DISTINCT partition dirs, O(partitions)
+  // driver state in both modes
   private lazy val computedSpec: PartitionSpec =
     if (partitionSchema.isEmpty) PartitionSpec.emptySpec
     else PartitionSpec(partitionSchema,
-      entries.map(e => partOf(e.path)).distinct.map { raw =>
+      src.distinctRawDirs.map { raw =>
         val dir = realPartitionFields.map(_.name)
           .zip(raw.split("/", -1)).map { case (n, v) => s"$n=$v" }
           .mkString("/")
@@ -224,7 +239,7 @@ final class ManifestFileIndex(
   /** DATA columns a runtime join-key filter can skip files on: those
     * with manifest min/max stats or a per-file bloom. */
   private[graft] lazy val skippableDataColumns: Seq[String] = {
-    val keys = entries.iterator.flatMap(_.stats.keys).toSet
+    val keys = src.statKeys.toSet
     val plain = keys.filterNot(_.contains(":"))
     val bloomed = keys.collect {
       case k if k.startsWith("bloom:") => k.stripPrefix("bloom:")
@@ -296,29 +311,38 @@ final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = skipByKeySets(skipByStats(entries, dataFilters))
     val allPartFilters = partitionFilters ++ runtimeFilters
     if (partitionSchema.isEmpty) {
+      val kept = skipByKeySets(skipByStats(entries, dataFilters))
       Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
     } else {
-      val dirs = kept.groupBy(e => partOf(e.path)).toSeq.map {
-        case (raw, es) =>
-          PartitionDirectory(partitionRow(raw), es.map(statusOf).toArray)
-      }
-      if (allPartFilters.isEmpty) dirs
-      else {
-        // bind by NAME against the single partition attribute — the
-        // incoming filters reference the relation's attribute instances,
-        // whose exprIds a fresh index cannot know (same binding
-        // InMemoryFileIndex.prunePartitions does)
-        val bound = allPartFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            BoundReference(partitionSchema.fieldIndex(a.name),
-              a.dataType, a.nullable)
+      // prune partition DIRS first — O(distinct partitions) driver
+      // work — then materialize ONLY the surviving partitions' entries
+      // (in lazy mode that is a distributed filter over the checkpoint
+      // twin; the driver never holds the pruned-away partitions)
+      val rawDirs = src.distinctRawDirs
+      val surviving =
+        if (allPartFilters.isEmpty) rawDirs
+        else {
+          // bind by NAME against the partition attributes — the
+          // incoming filters reference the relation's attribute
+          // instances, whose exprIds a fresh index cannot know (same
+          // binding InMemoryFileIndex.prunePartitions does)
+          val bound = allPartFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              BoundReference(partitionSchema.fieldIndex(a.name),
+                a.dataType, a.nullable)
+          }
+          val pred = Predicate.createInterpreted(bound)
+          pred.initialize(0)
+          rawDirs.filter(raw => pred.eval(partitionRow(raw)))
         }
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        dirs.filter(d => pred.eval(d.values))
+      val candidates =
+        if (surviving.size == rawDirs.size) entries
+        else src.forRawDirs(surviving)
+      val kept = skipByKeySets(skipByStats(candidates, dataFilters))
+      kept.groupBy(e => partOf(e.path)).toSeq.map { case (raw, es) =>
+        PartitionDirectory(partitionRow(raw), es.map(statusOf).toArray)
       }
     }
   }
@@ -333,4 +357,94 @@ object ManifestFileIndex {
     * the parquet readers: to the scan it is just one more partition
     * column whose value comes from the manifest path. */
   val MetaPartitionCol = "_partition"
+
+  /** An index planning from the UNCOLLECTED checkpoint-twin DataFrame
+    * ([[SnapshotTable.CkptSchema]] rows, as composed by
+    * [[SnapshotTable!.lazyScanState]]): partition-pruned listings
+    * materialize only matching partitions' entries on the driver. */
+  private[graft] def lazyIndex(spark: SparkSession, dataDir: String,
+                               entriesDF: org.apache.spark.sql.DataFrame,
+                               partitionSchema: StructType)
+      : ManifestFileIndex =
+    new ManifestFileIndex(spark, dataDir, new LazyEntries(entriesDF),
+      partitionSchema)
+
+  /** The PARENT-DIR (table-relative) of a twin row's path, as a column
+    * expression — '' for root-level files. Collecting its DISTINCT
+    * values is the O(partitions) driver handshake both the lazy index
+    * and [[graft.sources.GraftTable]]'s uniform-spec check run. */
+  private[graft] val ParentDirExpr: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "case when instr(path, '/') = 0 then '' " +
+        "else regexp_extract(path, '^(.*)/[^/]*$', 1) end")
+
+  /** Where an index's listing comes from. Both modes keep the pruned
+    * planning path at O(matching files) driver memory; only `all`
+    * (the no-partition-filter fallback) is O(live files). */
+  private[graft] sealed trait EntriesSource {
+    def all: Seq[FileEntry]
+    /** Distinct RAW partition-dir values ([[SnapshotTable.partOf]]
+      * form) — O(partitions). */
+    def distinctRawDirs: Seq[String]
+    /** Entries of exactly these raw dirs — O(matching files). */
+    def forRawDirs(dirs: Seq[String]): Seq[FileEntry]
+    def totalLen: Long
+    /** Distinct stat keys across the listing. */
+    def statKeys: Seq[String]
+  }
+
+  private[graft] final class EagerEntries(entries: Seq[FileEntry])
+      extends EntriesSource {
+    def all: Seq[FileEntry] = entries
+    lazy val distinctRawDirs: Seq[String] =
+      entries.map(e => SnapshotTable.partOf(e.path)).distinct
+    def forRawDirs(dirs: Seq[String]): Seq[FileEntry] = {
+      val s = dirs.toSet
+      entries.filter(e => s(SnapshotTable.partOf(e.path)))
+    }
+    def totalLen: Long = entries.map(_.len max 0L).sum
+    def statKeys: Seq[String] =
+      entries.iterator.flatMap(_.stats.keys).toSet.toSeq.sorted
+  }
+
+  private[graft] final class LazyEntries(
+      df: org.apache.spark.sql.DataFrame) extends EntriesSource {
+    import org.apache.spark.sql.functions._
+    // parent dir → raw partition value, collected ONCE (distributed
+    // distinct, O(partitions) driver). partOf stays the single
+    // definition of path→values — the SQL side only splits off the
+    // filename, the driver maps the (few) distinct parents.
+    private lazy val parentToRaw: Map[String, String] =
+      df.select(ParentDirExpr.as("__p")).distinct().collect()
+        .map { r =>
+          val p = r.getString(0)
+          p -> SnapshotTable.partOf(if (p.isEmpty) "f" else s"$p/f")
+        }.toMap
+    lazy val all: Seq[FileEntry] =
+      df.collect().iterator.map(SnapshotTable.entryOfCkptRow).toSeq
+    def distinctRawDirs: Seq[String] =
+      parentToRaw.values.toSeq.distinct
+    def forRawDirs(dirs: Seq[String]): Seq[FileEntry] = {
+      val raw = dirs.toSet
+      val parents = parentToRaw.collect {
+        case (p, r) if raw(r) => p
+      }.toSeq
+      if (parents.isEmpty) Nil
+      else df.filter(ParentDirExpr.isin(parents: _*))
+        .collect().iterator.map(SnapshotTable.entryOfCkptRow).toSeq
+    }
+    lazy val totalLen: Long = {
+      val metaLit = SnapshotTable.FileEntry.MetaKey
+      val r = df.agg(expr(
+        s"""coalesce(sum(case when array_position(skeys, '$metaLit') > 0
+           |  then greatest(cast(substring(element_at(smins,
+           |    cast(array_position(skeys, '$metaLit') as int)), 3)
+           |    as bigint), 0L)
+           |  else 0L end), 0L)""".stripMargin)).head()
+      r.getLong(0)
+    }
+    lazy val statKeys: Seq[String] =
+      df.select(explode(col("skeys")).as("__k")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+  }
 }

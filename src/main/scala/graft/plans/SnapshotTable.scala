@@ -329,18 +329,7 @@ final class SnapshotTable(
   /** The parquet-checkpoint row layout: one row per live file, stats
     * as sorted parallel arrays (cheaper to write and decode than a
     * MapType, and order-stable for byte-reproducible checkpoints). */
-  private val CkptSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("path",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("skeys",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false)),
-    org.apache.spark.sql.types.StructField("smins",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false)),
-    org.apache.spark.sql.types.StructField("smaxs",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false))))
+  private val CkptSchema = SnapshotTable.CkptSchema
 
   /** One parsed commit record of either kind: headers plus, for a full
     * manifest/checkpoint, the live-file list in `entries`; for a delta,
@@ -364,6 +353,9 @@ final class SnapshotTable(
     }
     val pc = hdr.find(_.startsWith("partition\t"))
       .map(_.stripPrefix("partition\t")).filter(_.nonEmpty)
+      // the explicit-flat marker decodes to Some(""): "the layout is
+      // INTENTIONALLY unpartitioned", distinct from None ("unlogged")
+      .map(v => if (v == SnapshotTable.FlatSpecMarker) "" else v)
     val checks = hdr.filter(_.startsWith("check\t")).map { l =>
       val parts = l.split("\t", 3)
       (decHdr(parts(1)), decHdr(parts(2)))
@@ -515,16 +507,28 @@ final class SnapshotTable(
     * once per handle; create() on a not-yet-existing table sees the
     * constructor value. */
   @volatile private var cachedPartitionSpec: Seq[String] = null
+  /** Did this handle resolve its (empty) spec from an EXPLICIT flat
+    * marker ([[SnapshotTable.FlatSpecMarker]])? A de-partitioned table
+    * must keep re-logging the marker on every commit, or the ambiguity
+    * with legacy no-line manifests comes back. */
+  @volatile private var cachedExplicitFlat: Boolean = false
+  private def explicitFlatSpec: Boolean = {
+    tablePartitionCols // forces resolution
+    cachedExplicitFlat
+  }
   private[graft] def tablePartitionCols: Seq[String] = {
     val cached = cachedPartitionSpec
     if (cached != null) cached
     else {
       val ctor =
         if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+      val logged =
+        if (ctor.nonEmpty) None
+        else currentVersion.flatMap(v => readManifest(v).partitionCol)
       val resolved =
         if (ctor.nonEmpty) ctor
-        else currentVersion.flatMap(v => readManifest(v).partitionCol)
-          .map(_.split(",").toSeq).getOrElse(Nil)
+        else logged.map(SnapshotTable.specOfCsv).getOrElse(Nil)
+      cachedExplicitFlat = ctor.isEmpty && logged.contains("")
       cachedPartitionSpec = resolved
       resolved
     }
@@ -574,17 +578,28 @@ final class SnapshotTable(
     // and re-logging that one-shot value would silently REVERT a
     // repartitionTo committed by another handle in between. Only
     // repartitionTo itself (via the override) may change the line.
-    val commitSpec = partitionSpecOverride.getOrElse {
-      val cached = tablePartitionCols
-      parent.foreach(_.partitionCol.map(_.split(",").toSeq).foreach { headSpec =>
-        if (headSpec != cached)
-          throw new IllegalStateException(
-            s"partition spec conflict at $path: this handle resolved " +
-              s"[${cached.mkString(",")}] but version ${v - 1} logs " +
-              s"[${headSpec.mkString(",")}] — the spec evolved under a " +
-              "concurrent repartitionTo; re-open the table and re-run")
-      })
-      cached
+    // The LINE value: Some("") marks explicit flat (a de-partitioned
+    // table must keep re-logging the marker or the ambiguity with
+    // legacy no-line manifests returns); None keeps the classic
+    // plain-unpartitioned shape.
+    val commitSpecLine: Option[String] = partitionSpecOverride match {
+      case Some(cols) => Some(cols.mkString(","))
+      case None =>
+        val cached = tablePartitionCols
+        parent.foreach(_.partitionCol.map(SnapshotTable.specOfCsv)
+          .foreach { headSpec =>
+            if (headSpec != cached)
+              throw new IllegalStateException(
+                s"partition spec conflict at $path: this handle resolved " +
+                  s"[${cached.mkString(",")}] but version ${v - 1} logs " +
+                  s"[${headSpec.mkString(",")}] — the spec evolved under " +
+                  "a concurrent repartitionTo; re-open the table and " +
+                  "re-run")
+          })
+        if (cached.nonEmpty) Some(cached.mkString(","))
+        else if (explicitFlatSpec ||
+            parent.exists(_.partitionCol.contains(""))) Some("")
+        else None
     }
     val token = UUID.randomUUID().toString
     // the schema rides in the manifest as one compact-JSON line (JSON
@@ -622,7 +637,7 @@ final class SnapshotTable(
     val commitLayout = layoutOverride.getOrElse(effectiveLayout)
     val commitProps = propsOverride.getOrElse(effectiveProps)
     val header = headerLines(v, token, Some(loggedSchema),
-      Some(commitSpec.mkString(",")), allChecks,
+      commitSpecLine, allChecks,
       Some(commitLayout), commitProps)
     // v1 commits FULL (every file is new — the manifest IS the delta and
     // doubles as the base checkpoint); later commits write only the diff
@@ -653,7 +668,7 @@ final class SnapshotTable(
     val committed = Manifest(
       files,
       Some(StructType(schema.fields.map(_.copy(nullable = true)))),
-      Some(commitSpec.mkString(",")).filter(_.nonEmpty),
+      commitSpecLine, // Some("") = explicit flat, exactly as re-parsed
       allChecks,
       Some(commitLayout).filterNot(_ == DefaultLayout),
       commitProps)
@@ -726,8 +741,11 @@ final class SnapshotTable(
                           layout: Option[Layout],
                           props: Map[String, String]): String = {
     val schemaLine = schemaJson.map(j => s"schema\t$j\n").getOrElse("")
-    val pcLine = partitionCsv.filter(_.nonEmpty)
-      .map(p => s"partition\t$p\n").getOrElse("")
+    // Some("") = explicitly flat → the marker line; None = no line
+    val pcLine = partitionCsv
+      .map(p => s"partition\t${
+        if (p.isEmpty) SnapshotTable.FlatSpecMarker else p}\n")
+      .getOrElse("")
     val checkLines = checks.map { case (n, sql) =>
       s"check\t${encHdr(n)}\t${encHdr(sql)}\n" }.mkString
     val layoutLine = layout.filterNot(_ == DefaultLayout)
@@ -785,11 +803,7 @@ final class SnapshotTable(
   private def maybeWriteParquetCheckpoint(v: Long, m: Manifest): Unit =
     try {
       if (m.entries.size >= parquetCkptMinFiles) {
-        val rows = m.entries.map { e =>
-          val ks = e.stats.keys.toArray.sorted.toIndexedSeq
-          org.apache.spark.sql.Row(e.path, ks,
-            ks.map(k => e.stats(k)._1), ks.map(k => e.stats(k)._2))
-        }
+        val rows = m.entries.map(SnapshotTable.ckptRowOf)
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(rows,
             math.max(1, math.min(32, rows.size / 50000))),
@@ -818,13 +832,8 @@ final class SnapshotTable(
       try {
         val hdr = parseHeader(manifestPath(c), c)
         val entries = spark.read.schema(CkptSchema)
-          .parquet(pq.toString).collect().iterator.map { r =>
-            val ks = r.getSeq[String](1)
-            val mns = r.getSeq[String](2)
-            val mxs = r.getSeq[String](3)
-            FileEntry(r.getString(0),
-              ks.indices.iterator.map(i => ks(i) -> (mns(i), mxs(i))).toMap)
-          }.toSeq
+          .parquet(pq.toString).collect().iterator
+          .map(SnapshotTable.entryOfCkptRow).toSeq
         return Manifest(entries, hdr.schema, hdr.partitionCol,
           hdr.checks, hdr.layout, hdr.props)
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -832,6 +841,81 @@ final class SnapshotTable(
     val pcm = parseCommit(manifestPath(c), c)
     Manifest(pcm.entries, pcm.schema, pcm.partitionCol,
       pcm.checks, pcm.layout, pcm.props)
+  }
+
+  /** LAZY cold-open scan state for the DSv2 path: the snapshot's live
+    * entries as an UNCOLLECTED DataFrame — the parquet checkpoint twin
+    * (executor-decoded, columnar) minus the delta chain's net removes,
+    * plus its net adds — together with the resolved version and the
+    * HEADER state of `v` (schema/spec/props, O(header) streaming
+    * reads). The driver holds O(net delta + headers), never O(live
+    * files); [[ManifestFileIndex]]'s lazy mode then materializes only
+    * the partitions a scan's filters keep. None routes the caller to
+    * the eager path whenever that is the right call:
+    *  - no parquet twin under the replay chain (text cold-open rules);
+    *  - the version (or a chain base) is already reconstructed in this
+    *    handle's cache — replay from memory beats extra Spark jobs;
+    *  - the twin is below `graft.lazyPlanMinTwinBytes` (default 4 MiB
+    *    ≈ tens of thousands of entries): small tables parse faster on
+    *    the driver than the lazy path's planning jobs run;
+    *  - the net delta exceeds the isin() plan-literal budget;
+    *  - no logged schema (pre-schema manifests must infer via footers).
+    * The twin is trusted as written — it landed via atomic rename, so
+    * a visible twin is complete; the eager path keeps its text-side
+    * fallback for paranoia. */
+  private[graft] def lazyScanState(version: Option[Long])
+      : Option[(Long, DataFrame, StructType, Seq[String])] = {
+    val v = version.orElse(currentVersion).getOrElse(return None)
+    if (v < 1) return None
+    if (manifestCache.synchronized(manifestCache.get(v)) != null) return None
+    // header of the TOP record: every commit re-logs headers whole
+    val headRec =
+      if (fs.exists(manifestPath(v))) parseHeader(manifestPath(v), v)
+      else if (fs.exists(deltaPath(v))) parseHeader(deltaPath(v), v)
+      else return None
+    if (headRec.schema.isEmpty) return None
+    val gate = tableProps.get("graft.lazyPlanMinTwinBytes")
+      .orElse(headRec.props.get("graft.lazyPlanMinTwinBytes"))
+      .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
+    var deltas = List.empty[Long] // ascending: prepended as c descends
+    var c = v
+    while (c >= 1) {
+      if (c != v && manifestCache.synchronized(manifestCache.get(c)) != null)
+        return None // materialized base: eager replay is cheap from here
+      if (fs.exists(manifestPath(c))) {
+        val pq = parquetCkptPath(c)
+        if (!fs.exists(pq)) return None
+        if (fs.getContentSummary(pq).getLength < gate) return None
+        val adds = new java.util.LinkedHashMap[String, FileEntry]
+        val removes = new java.util.LinkedHashSet[String]
+        deltas.foreach { dv =>
+          val pcm = parseCommit(deltaPath(dv), dv)
+          pcm.removes.foreach { p => adds.remove(p); removes.add(p) }
+          pcm.adds.foreach { e => removes.remove(e.path); adds.put(e.path, e) }
+        }
+        if (adds.size + removes.size > 20000) return None
+        import scala.jdk.CollectionConverters._
+        val twin = spark.read.schema(CkptSchema).parquet(pq.toString)
+        // a path the chain touched is EXCLUDED from the twin wholesale
+        // (re-adds carry the delta's entry, whose stats may differ)
+        val excl = (removes.asScala ++ adds.keySet.asScala).toSeq
+        val base =
+          if (excl.isEmpty) twin
+          else twin.filter(!col("path").isin(excl: _*))
+        val composed =
+          if (adds.isEmpty) base
+          else base.unionByName(spark.createDataFrame(
+            adds.values.asScala.toSeq.map(SnapshotTable.ckptRowOf).asJava,
+            CkptSchema))
+        // the VERSION'S OWN logged spec (scanInfo's contract); an
+        // absent line means unpartitioned on every modern manifest
+        // (pre-layout legacies predate twins and never reach here)
+        return Some((v, composed, headRec.schema.get,
+          headRec.partitionCol.map(SnapshotTable.specOfCsv).getOrElse(Nil)))
+      } else if (fs.exists(deltaPath(c))) { deltas ::= c; c -= 1 }
+      else return None
+    }
+    None
   }
 
   /** Snapshot read of a specific version (time travel), typed by that
@@ -1597,27 +1681,26 @@ final class SnapshotTable(
     val schema = m.schema.getOrElse(throw new IllegalStateException(
       s"cannot evolve the partition spec at $path: no logged schema " +
         "(vintage-aware reads must type every file)"))
-    // an EMPTY target spec is indistinguishable, at read time, from a
-    // legacy pre-layout manifest (both log no partition line while
-    // Hive dirs exist on disk), and that ambiguity forces the
-    // mixed-read planner down the inferring path, which cannot plan
-    // conflicting directory depths — refuse rather than commit a
-    // layout the reads would choke on
-    require(newCols.nonEmpty,
-      s"cannot de-partition $path via repartitionTo: evolve to another " +
-        "partitioning, or rewrite through create/replace")
+    // an EMPTY target spec (DE-partitioning, Iceberg's evolve-to-
+    // unpartitioned) is legal: the commit logs the explicit flat
+    // marker ([[SnapshotTable.FlatSpecMarker]]), which disambiguates
+    // it from legacy pre-layout manifests (no line logged while Hive
+    // dirs exist on disk) — readers see "intentionally flat" and plan
+    // old-layout files under their own path-encoded vintage as usual
     newCols.foreach(c => require(schema.fieldNames.contains(c),
       s"no column '$c' at $path"))
     require(newCols.distinct == newCols,
       s"duplicate partition columns: ${newCols.mkString(",")}")
     require(newCols != tablePartitionCols,
-      s"table at $path already partitions by '${newCols.mkString(",")}'")
+      s"table at $path already partitions by " +
+        s"'${if (newCols.isEmpty) "<flat>" else newCols.mkString(",")}'")
     // commit FIRST, flip the handle's resolved spec only once the
     // commit has landed: concurrent reads/upserts on this handle must
     // never plan under a spec that is not yet (or never) committed
     commitManifest(v + 1, m.entries, schema,
       partitionSpecOverride = Some(newCols))
     cachedPartitionSpec = newCols
+    cachedExplicitFlat = newCols.isEmpty
   }
 
   /** Rewrite every file still laid out under an OLDER partition spec
@@ -2819,7 +2902,7 @@ final class SnapshotTable(
     // plan (and pass the uniform-spec check) under the spec its files
     // were laid out by. Falls back to the handle's resolution for
     // pre-layout manifests (no partition line logged).
-    val spec = m.partitionCol.map(_.split(",").toSeq)
+    val spec = m.partitionCol.map(SnapshotTable.specOfCsv)
       .getOrElse(tablePartitionCols)
     (entries, schema, spec)
   }
@@ -3701,6 +3784,55 @@ object SnapshotTable {
       val per = entries.map(e => e.nullCount(colName).map(e.rows - _))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
+
+  /** Schema of the parquet checkpoint TWIN: one row per live file,
+    * stats as sorted parallel key/min/max arrays — the columnar,
+    * splittable form of the text checkpoint's entry list. Shared by
+    * the twin writer, the cold-open decode, and the LAZY DSv2 scan
+    * path ([[SnapshotTable!.lazyScanState]]). */
+  private[graft] val CkptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("skeys",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("smins",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("smaxs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))))
+
+  /** The explicit UNPARTITIONED marker in a manifest's partition line.
+    * An ABSENT line is ambiguous — legacy pre-layout manifests logged
+    * nothing while Hive dirs exist on disk — so a table evolved to
+    * flat ([[SnapshotTable!.repartitionTo]](Nil)) logs
+    * `partition\t<marker>`, which parses back as `Some("")`: "the
+    * write layout is EXPLICITLY flat", distinct from `None` ("never
+    * logged"). */
+  private[graft] val FlatSpecMarker = "__flat__"
+
+  /** A logged partition CSV decoded to its column list — `Some("")`
+    * (explicit flat) and `Some("a,b")` both pass through here so no
+    * consumer ever splits an empty string into `Seq("")`. */
+  private[graft] def specOfCsv(csv: String): Seq[String] =
+    if (csv.isEmpty) Nil else csv.split(",").toSeq
+
+  /** A twin row ([[CkptSchema]]) decoded back to a [[FileEntry]]. */
+  private[graft] def entryOfCkptRow(r: org.apache.spark.sql.Row): FileEntry = {
+    val ks = r.getSeq[String](1)
+    val mns = r.getSeq[String](2)
+    val mxs = r.getSeq[String](3)
+    FileEntry(r.getString(0),
+      ks.indices.iterator.map(i => ks(i) -> (mns(i), mxs(i))).toMap)
+  }
+
+  /** A [[FileEntry]] encoded as a twin row ([[CkptSchema]]). */
+  private[graft] def ckptRowOf(e: FileEntry): org.apache.spark.sql.Row = {
+    val ks = e.stats.keys.toArray.sorted.toIndexedSeq
+    org.apache.spark.sql.Row(e.path, ks,
+      ks.map(k => e.stats(k)._1), ks.map(k => e.stats(k)._2))
+  }
 
   /** One manifest line: a table-relative file path plus optional
     * per-column (min, max) stats, values tagged `L:`/`D:`/`S:` so they

@@ -62,10 +62,29 @@ final class GraftTable(
   private val snapshot =
     SnapshotTable(spark, tablePath, "_unused_read_only", branch = branchOpt)
 
-  // one manifest read per handle: entries (lengths guaranteed), the
-  // version's logged schema, and the table's partition column
-  private val (entries, tableSchema, partitionCols) =
-    snapshot.scanInfo(pinnedVersion)
+  /** LAZY cold-open state (big tables with a parquet checkpoint twin):
+    * the live entries stay an uncollected DataFrame and scans
+    * materialize only the partitions their filters keep
+    * ([[graft.plans.SnapshotTable.lazyScanState]] documents the
+    * gates). None → the classic eager path: one driver-side manifest
+    * read per handle. */
+  private val lazyState
+      : Option[(Long, org.apache.spark.sql.DataFrame, StructType, Seq[String])] =
+    snapshot.lazyScanState(pinnedVersion)
+
+  // the eager manifest read: the ONLY path on small tables, the forced
+  // fallback on lazy handles when a consumer genuinely needs the full
+  // driver-side entry list (metadata-only extremes, inputFiles). The
+  // version is pinned to the lazy state's resolution so both views
+  // always describe the SAME snapshot.
+  private lazy val eagerScan: (Seq[SnapshotTable.FileEntry], StructType, Seq[String]) =
+    snapshot.scanInfo(lazyState.map(_._1).orElse(pinnedVersion))
+
+  private lazy val entries: Seq[SnapshotTable.FileEntry] = eagerScan._1
+
+  private val (tableSchema: StructType, partitionCols: Seq[String]) =
+    lazyState.map(s => (s._3, s._4))
+      .getOrElse((eagerScan._2, eagerScan._3))
 
   private val partitionSchema: StructType = StructType(
     partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
@@ -146,8 +165,14 @@ final class GraftTable(
     // resolve renamed/re-added columns by NAME — wrong bytes, so loud
     if (SnapshotTable.idMapped(tableSchema))
       SnapshotTable.requireIdReadEnabled(spark, name())
-    new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
-      indexPartitionSchema)
+    lazyState match {
+      case Some((_, df, _, _)) =>
+        ManifestFileIndex.lazyIndex(spark, snapshot.dataDirPath, df,
+          indexPartitionSchema)
+      case None =>
+        new ManifestFileIndex(spark, snapshot.dataDirPath, entries,
+          indexPartitionSchema)
+    }
   }
 
   /** EXACT row count of this handle's pinned snapshot from manifest
@@ -156,7 +181,39 @@ final class GraftTable(
     * recording or the handle is a change feed. What
     * [[MetadataOnlyCount]] rewrites `COUNT(*)` with. */
   private[sources] def metadataRowCount: Option[Long] =
-    if (cdcMode) None else SnapshotTable.metadataRowCount(entries)
+    if (cdcMode) None
+    else lazyState match {
+      case Some(_) => lazyRowCount // distributed, cached per handle
+      case None => SnapshotTable.metadataRowCount(entries)
+    }
+
+  /** [[SnapshotTable.metadataRowCount]] computed as ONE distributed
+    * aggregate over the twin DataFrame — Σ(file rows − DV cardinality)
+    * with an all-files-have-counts gate — so `COUNT(*)` stays a
+    * metadata answer on lazy handles without collecting the entry
+    * list. (Column counts/extremes still force the eager list: they
+    * are rarer rewrites and their null/stat plumbing is per-column.) */
+  private lazy val lazyRowCount: Option[Long] = lazyState.flatMap {
+    case (_, df, _, _) =>
+      import org.apache.spark.sql.functions.expr
+      val rk = SnapshotTable.FileEntry.RowsKey
+      val dk = SnapshotTable.FileEntry.DvKey
+      val r = df.agg(
+        expr(s"min(case when array_position(skeys, '$rk') > 0 " +
+          "then 1 else 0 end)").as("__all"),
+        expr(s"""sum(case when array_position(skeys, '$rk') > 0
+          | then cast(substring(element_at(smins,
+          |   cast(array_position(skeys, '$rk') as int)), 3) as bigint)
+          | else 0L end)
+          | - sum(case when array_position(skeys, '$dk') > 0
+          | then cast(substring(element_at(smaxs,
+          |   cast(array_position(skeys, '$dk') as int)), 3) as bigint)
+          | else 0L end)""".stripMargin.replace("\n", " ")).as("__n"))
+        .head()
+      if (r.isNullAt(0)) Some(0L) // empty snapshot
+      else if (r.getInt(0) == 0) None // a live file predates row counts
+      else Some(r.getLong(1))
+  }
 
   /** EXACT `count(col)` (non-null count) of this handle's pinned
     * snapshot from manifest null counts, or None when metadata cannot
@@ -214,10 +271,20 @@ final class GraftTable(
     * the scan ([[GraftDvReaderFactory]]), so SQL/DSv2 reads of a DV'd
     * snapshot hide deleted rows with no materialization step. Empty
     * for clean snapshots. */
-  private val dvByBase: Map[String, graft.functions.DeleteBitmap] =
-    entries.filter(_.hasDeletes)
-      .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
-        -> e.deletedBitmap).toMap
+  private lazy val dvByBase: Map[String, graft.functions.DeleteBitmap] = {
+    // lazy mode: only the DV-carrying entries (usually none) cross to
+    // the driver — a distributed filter over the twin, not a full list
+    val dvd = lazyState match {
+      case Some((_, df, _, _)) =>
+        import org.apache.spark.sql.functions._
+        df.filter(array_contains(col("skeys"),
+            lit(SnapshotTable.FileEntry.DvKey)))
+          .collect().iterator.map(SnapshotTable.entryOfCkptRow).toSeq
+      case None => entries.filter(_.hasDeletes)
+    }
+    dvd.map(e => e.path.substring(e.path.lastIndexOf('/') + 1)
+      -> e.deletedBitmap).toMap
+  }
 
   /** Batch plans are exactly Spark's parquet scans; the graft subclass
     * only adds `toMicroBatchStream`, so the same relation serves
@@ -237,9 +304,21 @@ final class GraftTable(
     * paths under the new spec. Checked at scan/DML construction — not
     * at table load, so DESCRIBE/SHOW still work on a mixed table. */
   // computed once per handle: entries are fixed at construction, and
-  // re-splitting 10^6 paths per scan-builder call would tax planning
-  private lazy val uniformSpec: Boolean = entries.forall(e =>
-    graft.plans.SnapshotTable.specOf(e.path) == partitionCols)
+  // re-splitting 10^6 paths per scan-builder call would tax planning.
+  // Lazy mode answers from the DISTINCT parent dirs (O(partitions)
+  // driver, collected distributively) — vintage is a per-DIRECTORY
+  // fact, so the full path list is never needed.
+  private lazy val uniformSpec: Boolean = lazyState match {
+    case Some((_, df, _, _)) =>
+      df.select(ManifestFileIndex.ParentDirExpr.as("__p")).distinct()
+        .collect().forall { r =>
+          val p = r.getString(0)
+          graft.plans.SnapshotTable.specOf(
+            if (p.isEmpty) "f" else s"$p/f") == partitionCols
+        }
+    case None => entries.forall(e =>
+      graft.plans.SnapshotTable.specOf(e.path) == partitionCols)
+  }
 
   private def requireUniformSpec(what: String): Unit =
     require(uniformSpec,

@@ -339,8 +339,62 @@ object ScaleSmoke {
         s""""ratio":${f2c(r)},"files_sf01":2000,"files_sf1":20000}""")
     } else Nil
 
+    // ---- LAZY cold open: a fresh handle's PARTITION-PRUNED DSv2 scan
+    // vs live-file count. The lazy checkpoint-planned path's claim:
+    // planning + reading one partition costs O(matching files +
+    // distinct partitions) driver work — the twin is filtered on
+    // EXECUTORS and only the matching partition's entries ever
+    // materialize — so 5x the live files is ~flat wall time, where the
+    // eager path re-collects the whole 100k-entry list per open.
+    val coldLazyRow = if (only.forall(_.contains("cold_open_lazy"))) {
+      val parts = 1000
+      def buildPart(nFiles: Int): String = {
+        val p = s"$bigDir/cold_lazy_$nFiles"
+        if (!fs.exists(new Path(s"$p/_done"))) {
+          fs.delete(new Path(p), true)
+          val t = plans.SnapshotTable(spark, s"$p/t", "id", Some("part"),
+            tableProps = Map("graft.parquetCheckpointMinFiles" -> "0",
+              "graft.checkpointInterval" -> "2",
+              "graft.lazyPlanMinTwinBytes" -> "0"))
+          val rows = nFiles.toLong * 4
+          // filesPerPart tasks x `parts` dirs = nFiles tiny files
+          t.create(spark.range(rows).select(col("id"),
+              pmod(col("id"), lit(parts)).cast("string").as("part"),
+              (col("id") % 997).as("v"))
+            .repartition(nFiles / parts, col("id")))
+          // a second commit (one partition touched) lands the v2
+          // checkpoint + parquet twin the lazy path plans from
+          t.upsert(spark.range(2).select((col("id") + rows * 2).as("id"),
+            lit("0").as("part"), lit(0L).as("v")))
+          fs.create(new Path(s"$p/_done"), true).close()
+        }
+        s"$p/t"
+      }
+      def coldLazy(path: String): Double =
+        (1 to 3).map { _ =>
+          // every iteration is a FRESH load → fresh handle, cold cache
+          val t0 = System.nanoTime()
+          val r = spark.read.format("graft").load(path)
+            .filter(col("part") === "7")
+            .agg(sum("v")).head()
+          require(!r.isNullAt(0), "pruned partition read came back empty")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val smallPath = buildPart(20000)
+      val bigPath = buildPart(100000)
+      val small = coldLazy(smallPath)
+      val big = coldLazy(bigPath)
+      val r = big / math.max(small, 1e-9)
+      def f2c(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(f"[smoke] cold_open_lazy 20k files=$small%.2fs " +
+        f"100k files=$big%.2fs ratio=$r%.2f")
+      Seq(s"""${jstr("cold_open_lazy")}:{"sf01":$small,"sf1":$big,""" +
+        s""""ratio":${f2c(r)},"files_sf01":20000,"files_sf1":100000,""" +
+        s""""partitions":$parts}""")
+    } else Nil
+
     val json =
-      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow).mkString(",")}}}"""
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow).mkString(",")}}}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()

@@ -284,11 +284,40 @@ class SnapshotTableSpec extends SparkSpec {
         .option("startingVersion", "1").load(path).collect())
     assert(e3.getMessage.contains("partition-spec evolution"),
       e3.getMessage)
-    // guard rails: unknown column, no-op spec, dup columns, empty spec
+    // guard rails: unknown column, no-op spec, dup columns
     intercept[IllegalArgumentException](t.repartitionTo(Seq("nope")))
     intercept[IllegalArgumentException](t.repartitionTo(Seq("p2c")))
     intercept[IllegalArgumentException](t.repartitionTo(Seq("p1c", "p1c")))
-    intercept[IllegalArgumentException](t.repartitionTo(Nil))
+    // DE-partition: evolve to the EXPLICIT flat spec — metadata-only,
+    // old p2c-layout files stay live under their path-encoded vintage
+    val preFlat = dataFiles(path)
+    t.repartitionTo(Nil)
+    assert(dataFiles(path) == preFlat, "de-partitioning touched data files")
+    assert(t.read.count() == 4)
+    // a FRESH handle resolves the marker (not the legacy ambiguity)
+    val flat = SnapshotTable(spark, path, "id")
+    assert(flat.tablePartitionCols.isEmpty)
+    assert(flat.read.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L, 5L))
+    // vintage-aware: the flat-spec snapshot still serves the OLD
+    // Hive-layout files (asserted by the 4-row read above on a fresh
+    // handle). New writes land at the data ROOT; an unpartitioned
+    // upsert's merge scope is the whole table, so old-vintage files it
+    // merges with legitimately rewrite flat.
+    flat.upsert(Seq((7L, "r7", "c", "z")).toDF("id", "val", "p1c", "p2c"))
+    val liveFlat = flat.candidateFiles().map(_.path)
+    assert(liveFlat.exists(!_.contains("=")), "flat upsert wrote Hive dirs")
+    assert(flat.read.count() == 5)
+    // the marker survives FURTHER commits (a plain upsert must re-log
+    // it, or the legacy ambiguity returns on the next fresh handle)
+    assert(SnapshotTable(spark, path, "id").tablePartitionCols.isEmpty)
+    // eager completion: uniform flat layout, single-spec SQL serves
+    flat.migrateSpec()
+    assert(flat.candidateFiles().map(_.path).forall(!_.contains("=")),
+      "migrateSpec left Hive-layout files live")
+    assert(spark.read.format("graft").load(path).count() == 5)
+    // a no-op de-partition refuses like any other no-op spec
+    intercept[IllegalArgumentException](flat.repartitionTo(Nil))
   }
 
   test("a stale handle cannot silently revert a concurrent " +
@@ -316,6 +345,65 @@ class SnapshotTableSpec extends SparkSpec {
     assert(fresh.read.count() == 3)
     assert(fresh.candidateFiles().map(_.path).exists(_.contains("p2c=z")),
       "post-evolution upsert did not land under the evolved spec")
+  }
+
+  test("lazy checkpoint-planned scans: listing parity with the eager " +
+      "entry list, partition pruning materializes only matching files, " +
+      "DVs and COUNT(*) survive the lazy path") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = tmp("lazyscan")
+    val t = SnapshotTable(spark, path, "id", Some("part"),
+      tableProps = Map(
+        "graft.parquetCheckpointMinFiles" -> "0",
+        "graft.checkpointInterval" -> "2",
+        "graft.lazyPlanMinTwinBytes" -> "0"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p1"),
+      (3, "c", "p2"), (4, "d", "p3")))
+    t.upsert(frame((5, "e", "p2"))) // v2: checkpoint + parquet twin
+    t.deleteMoR(col("id") === 2) // v3: a DELTA above the twin, with a DV
+    // the lazy state engages on a fresh handle (cold cache) and
+    // composes twin(v2) + the v3 delta
+    val fresh = SnapshotTable(spark, path, "id")
+    val st = fresh.lazyScanState(None)
+    assert(st.isDefined, "lazy scan state did not engage")
+    val (v, df, schema, spec) = st.get
+    assert(v == 3L && spec == Seq("part"))
+    assert(schema.fieldNames.toSeq == Seq("id", "val", "part"))
+    // LISTING PARITY: lazy index == eager entry-list index, pruned and
+    // unpruned, down to identical file path sets
+    val partSchema = StructType(Seq(StructField("part", StringType)))
+    val lazyIdx = ManifestFileIndex.lazyIndex(
+      spark, fresh.dataDirPath, df, partSchema)
+    val eagerIdx = new ManifestFileIndex(
+      spark, fresh.dataDirPath, fresh.candidateFiles(), partSchema)
+    def listed(idx: ManifestFileIndex,
+               filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      idx.listFiles(filters, Nil)
+        .flatMap(_.files.map(_.getPath.toString)).sorted
+    val all = listed(eagerIdx, Nil)
+    assert(listed(lazyIdx, Nil) == all && all.nonEmpty)
+    val p1 = EqualTo(AttributeReference("part", StringType)(),
+      Literal(UTF8String.fromString("p1"), StringType))
+    val prunedLazy = listed(lazyIdx, Seq(p1))
+    assert(prunedLazy == listed(eagerIdx, Seq(p1)))
+    assert(prunedLazy.nonEmpty && prunedLazy.size < all.size,
+      s"pruning did not narrow the listing: $prunedLazy")
+    assert(lazyIdx.sizeInBytes == eagerIdx.sizeInBytes)
+    // DSv2 read through the lazy path: full parity incl. the DV
+    val dsv2 = spark.read.format("graft").load(path)
+    assert(dsv2.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((1, "p1"), (3, "p2"), (4, "p3"), (5, "p2")))
+    // metadata COUNT(*) (distributed Σ rows − DV cardinality)
+    assert(dsv2.count() == 4L)
+    // the size gate routes small twins back to the eager path
+    val gated = SnapshotTable(spark, path, "id",
+      tableProps = Map("graft.lazyPlanMinTwinBytes" -> "1000000000"))
+    assert(gated.lazyScanState(None).isEmpty,
+      "the twin-size gate did not route to the eager path")
   }
 
   test("vacuum sweeps aged orphaned .cpq checkpoint tmp dirs, " +

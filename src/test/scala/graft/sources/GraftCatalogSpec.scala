@@ -274,6 +274,19 @@ class GraftCatalogSpec extends SparkSpec {
         r.getString(2), r.getString(3)))
     assert(rows.toSeq == Seq((1L, "a", "x", "m"), (2L, "b", "y", "n"),
       (3L, "c", "x", "m")))
+    // DE-partition through the same CALL (empty spec = evolve to
+    // unpartitioned, logged as the explicit flat marker). The next
+    // INSERT's merge scope is the whole table, so it also completes
+    // the flat rewrite — SQL serves without an explicit migrate.
+    sql("CALL graft.system.repartition_to('evo.t', '')")
+    sql("INSERT INTO graft.evo.t VALUES (4, 'd', 'z', 'o')")
+    val flat = sql("SELECT id, p2 FROM graft.evo.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(flat.toSeq == Seq((1L, "m"), (2L, "n"), (3L, "m"), (4L, "o")))
+    // and the table stays explicitly flat for fresh handles
+    assert(sql("SELECT * FROM graft.evo.t").schema.fieldNames.length == 4)
+    sql("CALL graft.system.migrate_spec('evo.t')") // no-op on uniform flat
+    assert(sql("SELECT count(*) FROM graft.evo.t").head().getLong(0) == 4L)
   }
 
   test("ALTER TABLE ALTER COLUMN TYPE widens metadata-only; narrowing rejects") {
