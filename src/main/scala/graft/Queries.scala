@@ -298,20 +298,24 @@ object Queries {
   }
 
   /** Schema evolution by TYPE WIDENING ([[SnapshotTable.widenColumn]],
-    * Delta/Iceberg's int→long / float→double set): the table is
-    * created from a NARROW vintage (custkey as INT, price as FLOAT),
-    * widened metadata-only — zero data I/O, stats and blooms stay
-    * valid because the manifest tag families coincide across each
-    * widening — then upserted with a natively-wide source, so the
-    * final scan unifies int-typed and long-typed parquet vintages
-    * under one logged schema. The query itself requires the two
-    * contracts the spec pins: the head schema is widened and time
-    * travel still serves the narrow type. The oracle recomputes the
-    * merged aggregate from the raw orders with the same float
-    * round-trip (CAST to REAL and back), proving the widened values
-    * are bit-exactly the narrow ones. */
+    * Delta 4.0 / Iceberg V3's type-promotion set): the table is
+    * created from a NARROW vintage (custkey as INT, price as FLOAT,
+    * total as DECIMAL(12,2), odate as DATE), widened metadata-only —
+    * zero data I/O, stats and blooms stay valid because the manifest
+    * tag families survive each widening ("L:" at every integral
+    * width, "D:" for both floats, "C:" carries its scale, "T:" micros
+    * across date→timestamp_ntz) — then upserted with a natively-wide
+    * source, so the final scan unifies narrow-typed and wide-typed
+    * parquet vintages under one logged schema. The query itself
+    * requires the two contracts the spec pins: the head schema is
+    * widened and time travel still serves the narrow types. The
+    * oracle recomputes the merged aggregate from the raw orders with
+    * the same narrow round-trips (CAST to REAL / DECIMAL(12,2) /
+    * DATE and back), proving the widened values are bit-exactly the
+    * narrow ones. */
   def schemaWidening(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{DateType, DecimalType, FloatType,
+      IntegerType, LongType, TimestampNTZType}
     val base = scratch("schema_widening", dir)
     freshDirs(s, base) // DDL history must be deterministic per run
     val orders = t(s, dir, "orders")
@@ -319,6 +323,8 @@ object Queries {
       col("o_orderkey").as("id"),
       col("o_custkey").as("cust"),
       col("o_totalprice").cast(FloatType).cast("double").as("price"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+      col("o_orderdate").cast(DateType).as("odate"),
       col("o_orderstatus").as("status"))
     val tbl = plans.SnapshotTable(s, base, "id")
     tbl.create(slice(col("o_orderkey") % 3 === 0)
@@ -326,16 +332,26 @@ object Queries {
       .withColumn("price", col("price").cast(FloatType)))
     tbl.widenColumn("cust", LongType)
     tbl.widenColumn("price", org.apache.spark.sql.types.DoubleType)
-    require(tbl.read.schema("cust").dataType == LongType,
+    tbl.widenColumn("total", DecimalType(18, 4))
+    tbl.widenColumn("odate", TimestampNTZType)
+    require(tbl.read.schema("cust").dataType == LongType &&
+        tbl.read.schema("total").dataType == DecimalType(18, 4) &&
+        tbl.read.schema("odate").dataType == TimestampNTZType,
       "widening did not take at head")
-    require(tbl.readVersion(1).schema("cust").dataType == IntegerType,
-      "time travel must pin the pre-widening type")
-    tbl.upsert(slice(col("o_orderkey") % 3 =!= 0)) // natively wide
+    require(tbl.readVersion(1).schema("cust").dataType == IntegerType &&
+        tbl.readVersion(1).schema("total").dataType == DecimalType(12, 2) &&
+        tbl.readVersion(1).schema("odate").dataType == DateType,
+      "time travel must pin the pre-widening types")
+    tbl.upsert(slice(col("o_orderkey") % 3 =!= 0) // natively wide
+      .withColumn("total", col("total").cast(DecimalType(18, 4)))
+      .withColumn("odate", col("odate").cast(TimestampNTZType)))
     tbl.read.groupBy("status").agg(
       count(lit(1)).as("n"),
       sum("cust").as("sum_cust"),
       round(sum("price"), 2).as("sum_price"),
-      round(max("price"), 2).as("max_price"))
+      round(max("price"), 2).as("max_price"),
+      sum("total").cast("string").as("sum_total"),
+      max("odate").cast("string").as("max_odate"))
       .orderBy("status")
   }
 
@@ -4393,15 +4409,19 @@ object Queries {
     "snapshot_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice + 1.0, 2) AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
-    // widened table = narrow vintage (int/float files) + wide vintage
-    // under one schema; the float round-trip (CAST to REAL and back)
-    // reproduces the narrow files' precision loss bit-exactly
+    // widened table = narrow vintage (int/float/decimal(12,2)/date
+    // files) + wide vintage under one schema; the narrow round-trips
+    // (CAST to REAL / DECIMAL(12,2) / DATE and back) reproduce the
+    // narrow files' values bit-exactly, and the decimal/ntz outputs
+    // print at the WIDENED scale (rescaling pads zeros exactly)
     "schema_widening" ->
       """SELECT o_orderstatus AS status,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  round(sum(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS sum_price,
-        |  round(max(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS max_price
+        |  round(max(CAST(CAST(o_totalprice AS REAL) AS DOUBLE)), 2) AS max_price,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS VARCHAR) AS sum_total,
+        |  CAST(CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS VARCHAR) AS max_odate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the mixed-vintage (spec-evolved) snapshot must aggregate exactly
     // like the raw rows it was built from: create wave (keys % 3 <> 2)

@@ -167,39 +167,55 @@ final class ManifestFileIndex private (
     * wrong, only useless. */
   private def filterBounds(filters: Seq[Expression])
       : Seq[(String, Option[String], Option[String])] = {
-    def enc(v: Any): Option[String] = v match {
-      case n: Long => Some(s"L:$n")
-      case n: Int => Some(s"L:$n")
-      case n: Short => Some(s"L:$n")
-      case n: Byte => Some(s"L:$n")
-      case n: Double => Some(s"D:$n")
-      case n: Float => Some(s"D:${n.toDouble}")
-      case s: UTF8String => Some(FileEntry.encS(s.toString))
-      case _ => None // dates/decimals/etc: no pruning, never wrong
+    import org.apache.spark.sql.types.{DateType, Decimal, DecimalType,
+      TimestampNTZType, TimestampType}
+    // the literal's DECLARED type decides the tag family: a DateType
+    // Int is days (→ "T:" micros), not a plain number — encoding it
+    // "L:" would compare against the wrong unit. Each family matches
+    // [[SnapshotTable.footerProbe]]'s stat tags exactly.
+    def enc(v: Any, dt: org.apache.spark.sql.types.DataType)
+        : Option[String] = (v, dt) match {
+      case (n: Int, DateType) =>
+        Some(FileEntry.encMicros(
+          FileEntry.scaleMicros(n, FileEntry.MicrosPerDay)))
+      case (n: Long, TimestampType | TimestampNTZType) =>
+        Some(FileEntry.encMicros(n))
+      case (d: Decimal, _: DecimalType) =>
+        Some(FileEntry.encDecimal(d.toJavaBigDecimal))
+      case (_, DateType | TimestampType | TimestampNTZType |
+               _: DecimalType) => None
+      case (n: Long, _) => Some(s"L:$n")
+      case (n: Int, _) => Some(s"L:$n")
+      case (n: Short, _) => Some(s"L:$n")
+      case (n: Byte, _) => Some(s"L:$n")
+      case (n: Double, _) => Some(s"D:$n")
+      case (n: Float, _) => Some(s"D:${n.toDouble}")
+      case (s: UTF8String, _) => Some(FileEntry.encS(s.toString))
+      case _ => None // intervals/binary/etc: no pruning, never wrong
     }
     def walk(e: Expression): Seq[(String, Option[String], Option[String])] =
       e match {
         case And(l, r) => walk(l) ++ walk(r)
-        case EqualTo(a: AttributeReference, Literal(v, _)) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), Some(x)))
-        case EqualTo(Literal(v, _), a: AttributeReference) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), Some(x)))
-        case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), None))
-        case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), None))
-        case LessThan(Literal(v, _), a: AttributeReference) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), None))
-        case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-          enc(v).toSeq.map(x => (a.name, Some(x), None))
-        case LessThan(a: AttributeReference, Literal(v, _)) =>
-          enc(v).toSeq.map(x => (a.name, None, Some(x)))
-        case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-          enc(v).toSeq.map(x => (a.name, None, Some(x)))
-        case GreaterThan(Literal(v, _), a: AttributeReference) =>
-          enc(v).toSeq.map(x => (a.name, None, Some(x)))
-        case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-          enc(v).toSeq.map(x => (a.name, None, Some(x)))
+        case EqualTo(a: AttributeReference, Literal(v, t)) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
+        case EqualTo(Literal(v, t), a: AttributeReference) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
+        case GreaterThan(a: AttributeReference, Literal(v, t)) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), None))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), None))
+        case LessThan(Literal(v, t), a: AttributeReference) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), None))
+        case LessThanOrEqual(Literal(v, t), a: AttributeReference) =>
+          enc(v, t).toSeq.map(x => (a.name, Some(x), None))
+        case LessThan(a: AttributeReference, Literal(v, t)) =>
+          enc(v, t).toSeq.map(x => (a.name, None, Some(x)))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, t)) =>
+          enc(v, t).toSeq.map(x => (a.name, None, Some(x)))
+        case GreaterThan(Literal(v, t), a: AttributeReference) =>
+          enc(v, t).toSeq.map(x => (a.name, None, Some(x)))
+        case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) =>
+          enc(v, t).toSeq.map(x => (a.name, None, Some(x)))
         case _ => Nil
       }
     filters.flatMap(walk)

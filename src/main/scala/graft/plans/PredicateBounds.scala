@@ -5,6 +5,8 @@ import org.apache.spark.sql.graftext.GraftBridge
 import org.apache.spark.sql.graftext.GraftBridge.{Attr, Fn, Lit, PredNode}
 import org.apache.spark.sql.types._
 
+import SnapshotTable.FileEntry
+
 /** Derive manifest data-skipping bounds from a DML predicate — the
   * Delta/Iceberg behavior where `DELETE WHERE date_col < X` prunes on
   * file stats WITHOUT the caller hand-writing a bounds box. Purely
@@ -24,14 +26,16 @@ import org.apache.spark.sql.types._
   *  - `=`, `<=>` vs a literal — the point box `[v, v]`.
   *  - `<`, `<=`, `>`, `>=` vs a literal — a half-open box closed with
   *    a type-family sentinel (integral `Long.{Min,Max}Value`,
-  *    floating `±Infinity`, string `""` for the low end; an
-  *    upper-open STRING bound is dropped — no finite max string).
+  *    floating `±Infinity`, datetime `Micros(Long.{Min,Max}Value)`,
+  *    decimal `±1E+39` (beyond any precision-38 value), string `""`
+  *    for the low end; an upper-open STRING bound is dropped — no
+  *    finite max string).
   *  - `IN (v1…vn)` — the hull `[min v, max v]`.
   *
-  * Only integral / floating / string literals qualify — matching
-  * [[SnapshotTable.FileEntry.enc]]'s stat tag families exactly;
-  * date/timestamp/decimal literals are refused (the manifest never
-  * tags stats in their representations). */
+  * Literal families match [[SnapshotTable.FileEntry.enc]]'s stat tag
+  * families exactly: integral `L`, floating `D`, string `S`,
+  * date/timestamp `T` (internal days/micros canonicalized to
+  * [[FileEntry.Micros]]), decimal `C`. */
 object PredicateBounds {
 
   def derive(predicate: Column): Seq[(String, Any, Any)] =
@@ -56,12 +60,13 @@ object PredicateBounds {
     }
 
   /** The stat tag family a column of `dt` writes — None for every
-    * type whose physical stats are in different units than its values
-    * (decimal/date/timestamp/…). */
+    * type the manifest never tags (binary/interval/nested/…). */
   private def familyOf(dt: DataType): Option[Char] = dt match {
     case IntegerType | LongType | ShortType | ByteType => Some('L')
     case DoubleType | FloatType => Some('D')
     case StringType => Some('S')
+    case DateType | TimestampType | TimestampNTZType => Some('T')
+    case _: DecimalType => Some('C')
     case _ => None
   }
 
@@ -110,16 +115,44 @@ object PredicateBounds {
     case _ => None
   }
 
-  /** A literal safe to compare against manifest stats: integral,
-    * floating, or string, with any DECLARED type agreeing with the
-    * runtime value (a declared DateType over an Int is days-since-
-    * epoch, not a number the stats know). */
+  /** A literal safe to compare against manifest stats — integral,
+    * floating, string, date/timestamp (external java.sql / java.time
+    * forms AND internal days/micros alike, canonicalized into
+    * [[FileEntry.Micros]], the manifest's one datetime unit), or
+    * decimal (canonicalized to java BigDecimal — scale travels with
+    * the value) — with any DECLARED type agreeing with the runtime
+    * value. A value under a datetime/decimal declared type in any
+    * shape this walk can't prove the unit of is refused, never
+    * guessed. */
   private def litOf(n: PredNode): Option[Any] = n match {
-    case Lit(v, dtOpt) if v != null && typeAgrees(v, dtOpt) =>
-      v match {
-        case _: Int | _: Long | _: Short | _: Byte => Some(v)
-        case _: Double | _: Float => Some(v)
-        case _: String => Some(v)
+    case Lit(v, dtOpt) if v != null =>
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      (v, dtOpt) match {
+        case (d: java.sql.Date, _) => Some(FileEntry.Micros(
+          FileEntry.scaleMicros(DateTimeUtils.fromJavaDate(d),
+            FileEntry.MicrosPerDay)))
+        case (d: java.time.LocalDate, _) => Some(FileEntry.Micros(
+          FileEntry.scaleMicros(DateTimeUtils.localDateToDays(d),
+            FileEntry.MicrosPerDay)))
+        case (t: java.sql.Timestamp, _) => Some(FileEntry.Micros(
+          DateTimeUtils.fromJavaTimestamp(t)))
+        case (t: java.time.Instant, _) => Some(FileEntry.Micros(
+          DateTimeUtils.instantToMicros(t)))
+        case (t: java.time.LocalDateTime, _) => Some(FileEntry.Micros(
+          DateTimeUtils.localDateTimeToMicros(t)))
+        case (days: Int, Some(DateType)) => Some(FileEntry.Micros(
+          FileEntry.scaleMicros(days, FileEntry.MicrosPerDay)))
+        case (us: Long, Some(TimestampType | TimestampNTZType)) =>
+          Some(FileEntry.Micros(us))
+        case (d: java.math.BigDecimal, _) => Some(d)
+        case (d: scala.math.BigDecimal, _) => Some(d.bigDecimal)
+        case (d: Decimal, _) => Some(d.toJavaBigDecimal)
+        case (_, Some(DateType | TimestampType | TimestampNTZType |
+                      _: DecimalType)) => None
+        case (_: Int | _: Long | _: Short | _: Byte, dt)
+            if typeAgrees(v, dt) => Some(v)
+        case (_: Double | _: Float, dt) if typeAgrees(v, dt) => Some(v)
+        case (_: String, dt) if typeAgrees(v, dt) => Some(v)
         case _ => None
       }
     case _ => None
@@ -139,12 +172,18 @@ object PredicateBounds {
   private def famOf(v: Any): Char = v match {
     case _: Long | _: Int | _: Short | _: Byte => 'L'
     case _: Double | _: Float => 'D'
+    case _: FileEntry.Micros => 'T'
+    case _: java.math.BigDecimal => 'C'
     case _ => 'S'
   }
 
   private def lt(a: Any, b: Any): Boolean = (famOf(a): @unchecked) match {
     case 'L' => toL(a) < toL(b)
     case 'D' => toD(a) < toD(b)
+    case 'T' => a.asInstanceOf[FileEntry.Micros].us <
+      b.asInstanceOf[FileEntry.Micros].us
+    case 'C' => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
     case 'S' => a.asInstanceOf[String] < b.asInstanceOf[String]
   }
 
@@ -159,6 +198,8 @@ object PredicateBounds {
   private def minOf(v: Any): Any = (famOf(v): @unchecked) match {
     case 'L' => Long.MinValue
     case 'D' => Double.NegativeInfinity
+    case 'T' => FileEntry.Micros(Long.MinValue)
+    case 'C' => DecimalSentinelLo
     case 'S' => "" // the minimal string
   }
 
@@ -167,6 +208,12 @@ object PredicateBounds {
   private def maxOf(v: Any): Option[Any] = (famOf(v): @unchecked) match {
     case 'L' => Some(Long.MaxValue)
     case 'D' => Some(Double.PositiveInfinity)
+    case 'T' => Some(FileEntry.Micros(Long.MaxValue))
+    case 'C' => Some(DecimalSentinelHi)
     case 'S' => None
   }
+
+  // beyond any value a precision-38 decimal can hold, either side
+  private val DecimalSentinelHi = new java.math.BigDecimal("1E+39")
+  private val DecimalSentinelLo = new java.math.BigDecimal("-1E+39")
 }

@@ -8,8 +8,9 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
-  FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+  StructType, TimestampNTZType}
 
 /** A partitioned parquet table with ATOMIC multi-partition commits via a
   * manifest pointer file — the missing half of [[LakehouseTable]]'s
@@ -1476,24 +1477,72 @@ final class SnapshotTable(
           // is days, TIMESTAMP micros — encoding those under the plain
           // numeric tag would let a plain-number bound prune against
           // values in a different unit and silently skip matching rows
-          // (a DELETE would then silently keep data). Only physically-
-          // plain ints (no annotation / INT(n)) and true UTF8 strings
-          // may encode; everything else stays statless = never pruned.
+          // (a DELETE would then silently keep data). Each annotation
+          // therefore encodes into ITS OWN tag family: plain ints
+          // (no annotation / INT(n)) "L:", DATE/TIMESTAMP "T:" in one
+          // canonical unit (micros), DECIMAL "C:" carrying its scale,
+          // true UTF8 strings "S:". Anything else (INT96, NANOS, enum,
+          // UUID…) stays statless = never pruned.
           import org.apache.parquet.schema.LogicalTypeAnnotation
+          import LogicalTypeAnnotation.TimeUnit
           val lta = c.getPrimitiveType.getLogicalTypeAnnotation
           val plainInt = lta == null ||
             lta.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
           val utf8 = lta.isInstanceOf[
             LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val isDate = lta.isInstanceOf[
+            LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+          // micros per stored unit: MICROS 1, MILLIS 1000 (exact);
+          // NANOS would truncate and is left statless
+          val tsScale = lta match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit match {
+                case TimeUnit.MICROS => Some(1L)
+                case TimeUnit.MILLIS => Some(1000L)
+                case _ => None
+              }
+            case _ => None
+          }
+          val decScale = lta match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(d.getScale)
+            case _ => None
+          }
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else (st.genericGetMin, st.genericGetMax) match {
             case (mn: java.lang.Number, mx: java.lang.Number)
                 if !mn.isInstanceOf[java.lang.Double] &&
                    !mn.isInstanceOf[java.lang.Float] =>
               if (plainInt) Some((s"L:${mn.longValue}", s"L:${mx.longValue}"))
-              else None
+              else if (isDate) Some((
+                FileEntry.encMicros(
+                  FileEntry.scaleMicros(mn.longValue, FileEntry.MicrosPerDay)),
+                FileEntry.encMicros(
+                  FileEntry.scaleMicros(mx.longValue, FileEntry.MicrosPerDay))))
+              else if (tsScale.isDefined) Some((
+                FileEntry.encMicros(
+                  FileEntry.scaleMicros(mn.longValue, tsScale.get)),
+                FileEntry.encMicros(
+                  FileEntry.scaleMicros(mx.longValue, tsScale.get))))
+              else decScale.map(s => (
+                FileEntry.encDecimal(s,
+                  java.math.BigInteger.valueOf(mn.longValue)),
+                FileEntry.encDecimal(s,
+                  java.math.BigInteger.valueOf(mx.longValue))))
             case (mn: java.lang.Number, mx: java.lang.Number) =>
               Some((s"D:${mn.doubleValue}", s"D:${mx.doubleValue}"))
+            case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary)
+                if decScale.isDefined =>
+              // precision >18 decimals: FIXED_LEN_BYTE_ARRAY, big-endian
+              // two's-complement unscaled (parquet-mr only surfaces
+              // these stats when the footer ordering is the correct
+              // signed one — legacy PARQUET-251 files yield no stats)
+              Some((
+                FileEntry.encDecimal(decScale.get,
+                  new java.math.BigInteger(mn.getBytes)),
+                FileEntry.encDecimal(decScale.get,
+                  new java.math.BigInteger(mx.getBytes))))
             case (mn: org.apache.parquet.io.api.Binary,
                   mx: org.apache.parquet.io.api.Binary) if utf8 =>
               val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
@@ -1610,13 +1659,27 @@ final class SnapshotTable(
           SnapshotTable.isSafeWidening(f.dataType, kept.dataType),
         s"evolveTo changes type of '${f.name}': ${f.dataType} -> " +
           s"${kept.dataType} — only safe widenings (integral up the " +
-          "byte<short<int<long lattice, float->double) are metadata-only")
+          "byte<short<int<long lattice, float->double, int->double, " +
+          "integral->decimal, decimal precision/scale growth, " +
+          "date->timestamp_ntz) are metadata-only")
       // a partition column's values live as STRINGS in directory names
       // parsed under the logged type; keep widening off that path
       // until it has its own spec'd contract
       require(kept.dataType == f.dataType ||
           !tablePartitionCols.contains(f.name),
         s"cannot widen partition column '${f.name}' at $path")
+      // a bloom column's sketches hash integrals canonically as long
+      // ("BL:") — widening it OUT of the integral family (int→double/
+      // decimal) would leave committed blooms that can never match a
+      // probe of the new type; within the family (int→long) they stay
+      // valid verbatim
+      require(kept.dataType == f.dataType ||
+          !effectiveLayout.bloomCols.contains(f.name) ||
+          SnapshotTable.integralType(kept.dataType),
+        s"cannot widen bloom-indexed column '${f.name}' at $path to " +
+          s"${kept.dataType}: committed blooms hash integrals as long " +
+          "and would silently stop matching — drop the bloom index " +
+          "(re-layout) first")
     }
     require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
       .forall(_.nullable), "added columns must be nullable")
@@ -1804,7 +1867,9 @@ final class SnapshotTable(
         require(from == to || SnapshotTable.isSafeWidening(from, to),
           s"evolveTo changes type of '$n': $from -> $to — only safe " +
             "widenings (integral up the byte<short<int<long lattice, " +
-            "float->double) are metadata-only")
+            "float->double, int->double, integral->decimal, decimal " +
+            "precision/scale growth, date->timestamp_ntz) are " +
+            "metadata-only")
         require(from == to || !tablePartitionCols.contains(n),
           s"cannot widen partition column '$n' at $path")
         schema = StructType(schema.fields.map(f =>
@@ -2171,10 +2236,11 @@ final class SnapshotTable(
                 probe.getLong(3 + i * 3) > 0L)
               if (hasNull) (live, Seq.empty[FileEntry])
               else {
-                // only bounds the stats encoding supports may prune; a
-                // cluster column of an un-encodable type (date,
-                // decimal…) simply contributes no pruning — never an
-                // upsert failure
+                // only bounds the stats encoding supports may prune
+                // (integral/float/string/date/timestamp/decimal); a
+                // cluster column of an un-encodable type (binary…)
+                // simply contributes no pruning — never an upsert
+                // failure
                 val bounds = statted.zipWithIndex.flatMap { case (c, i) =>
                   val (lo, hi) = (probe.get(1 + i * 3), probe.get(2 + i * 3))
                   try { FileEntry.enc(lo); FileEntry.enc(hi); Some((c, lo, hi)) }
@@ -3619,18 +3685,53 @@ object SnapshotTable {
     * bytes (same name, old id) can never resurface as its values. */
   val MappingProp = "graft.columnMapping"
 
-  /** Is `from` → `to` a metadata-only SAFE widening? Integral types
-    * up the byte<short<int<long lattice and float→double: every value
-    * of `from` is exactly representable in `to`, the parquet readers
-    * promote the physical encoding natively, and the manifest stat
-    * tags coincide ("L:" for all integrals, "D:" for both floats), so
-    * committed files and their pruning stats stay valid verbatim. */
+  /** Is `from` → `to` a metadata-only SAFE widening? Delta 4.0 /
+    * Iceberg V3's type-promotion set: every value of `from` is exactly
+    * representable in `to` and the Spark 4 parquet readers (vectorized
+    * and row-based alike) promote the physical encoding natively —
+    * verified empirically per pair. Manifest pruning stays EXACT
+    * because the stat tags either coincide across the widening ("L:"
+    * at every integral width, "D:" for both floats, "T:" micros across
+    * date→timestamp_ntz, "C:" carries its own scale so decimal
+    * precision/scale growth compares numerically) or land in a
+    * different family (int→double/decimal), where [[FileEntry
+    * .valueOrdering]]-guarded consumers conservatively keep the file.
+    *
+    *  - integrals up the byte<short<int<long lattice ("L:" verbatim)
+    *  - float→double ("D:" verbatim)
+    *  - byte/short/int→double (exact in a 53-bit mantissa; long is NOT
+    *    — 2^63-1 rounds — and stays refused)
+    *  - byte/short/int/long→decimal(p,s) with s≥0 and p−s integer
+    *    digits enough for the source width (3/5/10/19)
+    *  - decimal(p,s)→decimal(p',s') with s'≥s and p'−s' ≥ p−s (the
+    *    integer part never shrinks; rescaling pads zeros exactly)
+    *  - date→timestamp_ntz (midnight local; timestamp WITH local
+    *    timezone would reinterpret the value under a session zone and
+    *    stays refused — Spark's reader refuses it too) */
+  private[graft] def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   def isSafeWidening(from: DataType, to: DataType): Boolean =
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType, d: DecimalType) =>
+        d.scale >= 0 && d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) =>
+        d.scale >= 0 && d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) =>
+        d.scale >= 0 && d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) =>
+        d.scale >= 0 && d.precision - d.scale >= 19
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
 
@@ -4037,7 +4138,50 @@ object SnapshotTable {
     def encS(s: String): String =
       "S:" + java.net.URLEncoder.encode(s, "UTF-8")
 
-    /** Tag a predicate bound the way footer stats are tagged. */
+    /** The datetime family ("T:"): MICROSECONDS since the epoch, one
+      * unit for DATE (days × 86 400 000 000), TIMESTAMP and
+      * TIMESTAMP_NTZ footer stats alike — what keeps a file's stats
+      * valid VERBATIM across the date→timestamp_ntz widening (a date's
+      * midnight micros ARE its NTZ value). */
+    val MicrosPerDay = 86400000000L
+    def encMicros(us: Long): String = s"T:$us"
+
+    /** `v × perUnit` micros, SATURATING at ±Long range in the sign
+      * direction — a pathological day/millis value beyond year
+      * ±292,000 keeps every comparison against in-range values
+      * correct (the saturated bound is still on the right side of
+      * every representable value), where a silent wrap would prune
+      * wrongly. */
+    def scaleMicros(v: Long, perUnit: Long): Long = {
+      val lim = Long.MaxValue / perUnit
+      if (v > lim) Long.MaxValue
+      else if (v < -lim) Long.MinValue
+      else v * perUnit
+    }
+
+    /** The decimal family ("C:"): `<scale>:<unscaled>` — each tagged
+      * value carries ITS OWN scale, so bounds and stats written at
+      * different scales (decimal precision/scale widening, mixed file
+      * vintages) still compare exactly as numbers. */
+    def encDecimal(scale: Int, unscaled: java.math.BigInteger): String =
+      s"C:$scale:$unscaled"
+    def encDecimal(d: java.math.BigDecimal): String =
+      encDecimal(d.scale, d.unscaledValue)
+    private[graft] def decodeDecimal(payload: String): java.math.BigDecimal = {
+      val i = payload.indexOf(':')
+      new java.math.BigDecimal(
+        new java.math.BigInteger(payload.substring(i + 1)),
+        payload.substring(0, i).toInt)
+    }
+
+    /** An explicit micros-since-epoch bound for [[enc]] — what
+      * [[PredicateBounds]] converts date/timestamp literals into so a
+      * raw Int/Long can never be mistaken for a plain number. */
+    final case class Micros(us: Long)
+
+    /** Tag a predicate bound the way footer stats are tagged. Accepts
+      * the EXTERNAL JVM forms a `df.agg(min/max).head()` yields (both
+      * the java.sql and java.time families) plus [[Micros]]. */
     def enc(v: Any): String = v match {
       case n: Long => s"L:$n"
       case n: Int => s"L:$n"
@@ -4046,6 +4190,24 @@ object SnapshotTable {
       case n: Double => s"D:$n"
       case n: Float => s"D:${n.toDouble}"
       case s: String => encS(s)
+      case Micros(us) => encMicros(us)
+      case d: java.sql.Timestamp => encMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(d))
+      case d: java.time.Instant => encMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(d))
+      case d: java.time.LocalDateTime => encMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(d))
+      case d: java.sql.Date => encMicros(scaleMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d),
+        MicrosPerDay))
+      case d: java.time.LocalDate => encMicros(scaleMicros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d),
+        MicrosPerDay))
+      case d: java.math.BigDecimal => encDecimal(d)
+      case d: org.apache.spark.sql.types.Decimal =>
+        encDecimal(d.toJavaBigDecimal)
+      case d: scala.math.BigDecimal => encDecimal(d.bigDecimal)
       case other => throw new IllegalArgumentException(
         s"unsupported stats bound type: ${other.getClass}")
     }
@@ -4059,6 +4221,11 @@ object SnapshotTable {
       (a.splitAt(2), b.splitAt(2)) match {
         case (("L:", x), ("L:", y)) => x.toLong < y.toLong
         case (("D:", x), ("D:", y)) => x.toDouble < y.toDouble
+        case (("T:", x), ("T:", y)) => x.toLong < y.toLong
+        // scale travels with each value: cross-scale (mixed widening
+        // vintages) comparisons are exact numeric comparisons
+        case (("C:", x), ("C:", y)) =>
+          decodeDecimal(x).compareTo(decodeDecimal(y)) < 0
         case (("S:", x), ("S:", y)) =>
           java.net.URLDecoder.decode(x, "UTF-8") <
             java.net.URLDecoder.decode(y, "UTF-8")

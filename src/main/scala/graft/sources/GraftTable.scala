@@ -226,12 +226,13 @@ final class GraftTable(
   /** EXACT column MIN/MAX from manifest stats, or None when metadata
     * cannot answer exactly: any deletion vector (a hidden row may be
     * the extreme), any file without stats for the column, a stats
-    * family that is not loss-free under SQL semantics (only plain
-    * integrals `L:` and ASCII strings `S:` qualify — double stats are
-    * NaN/-0.0-hazardous in parquet footers and stay scan-answered), or
-    * a column type the family cannot reconstruct. Parquet column stats
-    * exclude nulls, matching SQL MIN/MAX; an all-null file has no
-    * stats entry and therefore refuses. Empty table → SQL null. */
+    * family that is not loss-free under SQL semantics (plain integrals
+    * `L:`, ASCII strings `S:`, datetimes `T:` and decimals `C:`
+    * qualify — double stats are NaN/-0.0-hazardous in parquet footers
+    * and stay scan-answered), or a column type the family cannot
+    * reconstruct. Parquet column stats exclude nulls, matching SQL
+    * MIN/MAX; an all-null file has no stats entry and therefore
+    * refuses. Empty table → SQL null. */
   private[sources] def metadataExtreme(
       colName: String, dataType: org.apache.spark.sql.types.DataType,
       isMin: Boolean): Option[Any] = {
@@ -262,6 +263,31 @@ final class GraftTable(
       case ("S:", StringType) => Some(
         org.apache.spark.unsafe.types.UTF8String.fromString(
           java.net.URLDecoder.decode(pick.drop(2), "UTF-8")))
+      // "T:" is micros in the COLUMN'S OWN semantics (a date file's
+      // stats are midnight micros; date→ts_ntz widened vintages stay
+      // in one unit) — timestamps take it verbatim, dates divide back
+      // to days, exactly or not at all
+      case ("T:", TimestampType | TimestampNTZType) =>
+        pick.drop(2).toLongOption
+      case ("T:", DateType) =>
+        pick.drop(2).toLongOption.collect {
+          case us if us % SnapshotTable.FileEntry.MicrosPerDay == 0 &&
+              us / SnapshotTable.FileEntry.MicrosPerDay >= Int.MinValue &&
+              us / SnapshotTable.FileEntry.MicrosPerDay <= Int.MaxValue =>
+            (us / SnapshotTable.FileEntry.MicrosPerDay).toInt
+        }
+      // "C:" carries each value's own scale; rescaling to the column's
+      // declared (wider-or-equal) scale is exact by the widening
+      // contract — anything that would round refuses
+      case ("C:", dt: DecimalType) =>
+        try {
+          val d = FileEntry.decodeDecimal(pick.drop(2))
+            .setScale(dt.scale) // throws on any rounding
+          if (d.precision <= dt.precision)
+            Some(org.apache.spark.sql.types.Decimal(d, dt.precision,
+              dt.scale))
+          else None
+        } catch { case _: ArithmeticException => None }
       case _ => None
     }
   }

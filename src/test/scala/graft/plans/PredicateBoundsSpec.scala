@@ -30,6 +30,25 @@ class PredicateBoundsSpec extends SparkSpec {
     // IN → the hull of its values
     assert(PredicateBounds.derive(col("k").isin(7, 3, 5)) ==
       Seq(("k", 3, 7)))
+    // date/timestamp literals canonicalize into the one datetime unit
+    // ("T:" micros); decimals keep their own scale (java BigDecimal)
+    import SnapshotTable.FileEntry.{Micros, MicrosPerDay}
+    val jun1 = java.sql.Date.valueOf("2020-06-01")
+    val jun1us = Micros(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(jun1) *
+        MicrosPerDay)
+    assert(PredicateBounds.derive(col("d") === lit(jun1)) ==
+      Seq(("d", jun1us, jun1us)))
+    assert(PredicateBounds.derive(
+      col("t") < lit(java.time.LocalDateTime.of(2020, 6, 1, 12, 30))) ==
+      Seq(("t", Micros(Long.MinValue), Micros(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(
+            java.time.LocalDateTime.of(2020, 6, 1, 12, 30))))))
+    assert(PredicateBounds.derive(
+      col("price") >= lit(new java.math.BigDecimal("12.34"))) ==
+      Seq(("price", new java.math.BigDecimal("12.34"),
+        new java.math.BigDecimal("1E+39"))))
     // conjunction with an opaque side keeps the transparent side
     val gated = udf(() => true)
     assert(PredicateBounds.derive(gated() && col("k") === 9) ==
@@ -42,11 +61,6 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(PredicateBounds.derive(!(col("k") === 1)).isEmpty)
     // an upper-open STRING bound has no finite top — dropped
     assert(PredicateBounds.derive(col("s") >= "m").isEmpty)
-    // date/timestamp literals carry internal reps the stats never use
-    assert(PredicateBounds.derive(
-      col("d") === lit(java.sql.Date.valueOf("2020-06-01"))).isEmpty)
-    assert(PredicateBounds.derive(
-      col("t") < lit(java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))).isEmpty)
     // arithmetic over the attribute is opaque
     assert(PredicateBounds.derive(col("k") % 2 === 0).isEmpty)
     // IN mixing literal families has no orderable hull
@@ -71,8 +85,16 @@ class PredicateBoundsSpec extends SparkSpec {
     assert(d(col("price") < 10.0).isEmpty)
     // double column + int literal: family mismatch (useless bound)
     assert(d(col("x") === 5).isEmpty)
-    // date column never derives, whatever the literal
+    // a date column keeps DATETIME-family literals ("T:") and drops
+    // plain-number ones — a bare Int is not provably days
     assert(d(col("d") === 18000).isEmpty)
+    import SnapshotTable.FileEntry.{Micros, MicrosPerDay}
+    assert(d(col("d") >= lit(java.sql.Date.valueOf("1970-01-03"))) ==
+      Seq(("d", Micros(2 * MicrosPerDay), Micros(Long.MaxValue))))
+    // a decimal column keeps decimal literals ("C:")
+    assert(d(col("price") === lit(new java.math.BigDecimal("9.99"))) ==
+      Seq(("price", new java.math.BigDecimal("9.99"),
+        new java.math.BigDecimal("9.99"))))
     // unknown column or no schema: nothing
     assert(d(col("nope") === 1).isEmpty)
     assert(PredicateBounds.deriveFor(col("k") === 5, None).isEmpty)

@@ -535,6 +535,128 @@ class SnapshotTableSpec extends SparkSpec {
       tp.widenColumn("part", LongType)).getMessage.contains("partition"))
   }
 
+  test("type widening v2: decimal precision/scale growth, date→timestamp_ntz, " +
+      "int→decimal/double — metadata-only, stats prune exactly across vintages") {
+    import org.apache.spark.sql.types._
+    import java.time.{LocalDate, LocalDateTime}
+    val path = tmp("snapwiden2")
+    val t = SnapshotTable(spark, path, "id", statsCols = Seq("price", "d"),
+      clusterBy = Seq("d"), clusterFiles = 8)
+    val day0 = LocalDate.of(2021, 1, 1)
+    t.create((1 to 400).map(i => (i.toLong, new java.math.BigDecimal(s"$i.25"),
+        java.sql.Date.valueOf(day0.plusDays(i)), i, i))
+      .toDF("id", "price", "d", "q", "w")
+      .withColumn("price", col("price").cast(DecimalType(10, 2)))
+      .repartition(8))
+    val v1Files = dataFiles(path)
+    val total = t.candidateFiles().size
+    // dates and decimals PRUNE pre-widening (the "T:"/"C:" families)
+    val hitDate = t.candidateFiles(("d", java.sql.Date.valueOf("2021-02-01"),
+      java.sql.Date.valueOf("2021-02-15"))).size
+    val hitDec = t.candidateFiles(("price", new java.math.BigDecimal("100.00"),
+      new java.math.BigDecimal("120.00"))).size
+    assert(hitDate < total, s"date stats pruned nothing ($hitDate/$total)")
+    assert(hitDec < total, s"decimal stats pruned nothing ($hitDec/$total)")
+    t.widenColumn("price", DecimalType(16, 4)) // precision AND scale grow
+    t.widenColumn("d", TimestampNTZType)
+    t.widenColumn("q", DecimalType(12, 1))
+    t.widenColumn("w", DoubleType)
+    assert(dataFiles(path) == v1Files, "widening touched data files")
+    // committed bytes read exactly under every widened type
+    val r7 = t.read.filter(col("id") === 7L).head()
+    assert(r7.getDecimal(1) == new java.math.BigDecimal("7.2500"))
+    assert(r7.getAs[LocalDateTime]("d") == day0.plusDays(7).atStartOfDay)
+    assert(r7.getDecimal(3) == new java.math.BigDecimal("7.0"))
+    assert(r7.getDouble(4) == 7.0)
+    // the OLD files' stats prune identically under widened-type bounds:
+    // "T:" micros serve date and ntz bounds in one unit; "C:" carries
+    // its scale so scale-2 stats answer scale-4 bounds exactly
+    assert(t.candidateFiles(("d", LocalDateTime.of(2021, 2, 1, 0, 0),
+      LocalDateTime.of(2021, 2, 15, 0, 0))).size == hitDate,
+      "date→ntz widening changed datetime pruning")
+    assert(t.candidateFiles(("price", new java.math.BigDecimal("100.0000"),
+      new java.math.BigDecimal("120.0000"))).size == hitDec,
+      "decimal widening changed decimal pruning")
+    // predicate-derived pruning ([[PredicateBounds]]) and the V1 scan's
+    // data skipping ([[ManifestFileIndex.filterBounds]]) agree
+    val feb = t.readMatching(
+      col("d") >= lit(LocalDateTime.of(2021, 2, 1, 0, 0)) &&
+        col("d") < lit(LocalDateTime.of(2021, 3, 1, 0, 0)))
+    assert(feb.count() == 28)
+    assert(t.readMatching(
+      col("price") === lit(new java.math.BigDecimal("100.25"))).count() == 1)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      var n = 0L
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            n += f.metrics("numFiles").value
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    val allScanned = scannedFiles(t.read)
+    assert(scannedFiles(t.read.filter(
+      col("d") >= lit(LocalDateTime.of(2021, 2, 1, 0, 0)) &&
+        col("d") < lit(LocalDateTime.of(2021, 2, 15, 0, 0)))) < allScanned,
+      "ntz filter skipped no files at the scan")
+    assert(scannedFiles(t.read.filter(
+      col("price") >= lit(new java.math.BigDecimal("100.0000")) &&
+        col("price") <= lit(new java.math.BigDecimal("120.0000")))) <
+        allScanned, "decimal filter skipped no files at the scan")
+    // int→double left "L:" stats behind a "D:" bound — conservative
+    // keep, never wrong: the exact filter still answers
+    assert(t.readWhere(("w", 5.0, 10.0)).count() == 6)
+    // a natively-wide upsert lands values beyond every narrow range,
+    // and cross-vintage (scale-2 + scale-4 files) bounds stay exact
+    t.upsert(Seq((1001L, "12345678901.2345", "2030-06-01T12:30",
+        "99999999999.5", 0.5))
+      .toDF("id", "price", "d", "q", "w")
+      .select(col("id"), col("price").cast(DecimalType(16, 4)),
+        col("d").cast(TimestampNTZType),
+        col("q").cast(DecimalType(12, 1)), col("w")))
+    assert(t.read.filter(col("id") === 1001L).head().getDecimal(1) ==
+      new java.math.BigDecimal("12345678901.2345"))
+    assert(t.readWhere(("price", new java.math.BigDecimal("1.00"),
+      new java.math.BigDecimal("999999999999.00"))).count() == 401)
+    // time travel reads the pre-widening version under ITS OWN types
+    val v1 = t.readVersion(1)
+    assert(v1.schema("price").dataType == DecimalType(10, 2))
+    assert(v1.schema("d").dataType == DateType)
+    assert(v1.schema("q").dataType == IntegerType)
+    // the DSv2/SQL path serves the widened schema
+    val sqlRead = spark.read.format("graft").load(path)
+    assert(sqlRead.schema("d").dataType == TimestampNTZType)
+    assert(sqlRead.schema("price").dataType == DecimalType(16, 4))
+    assert(sqlRead.count() == 401)
+    // refusals: scale shrink, integer-digit shrink, date→LTZ (session-
+    // zone reinterpretation), long→double (not exact), widening a
+    // bloom column out of the integral family
+    assert(intercept[IllegalArgumentException](
+      t.widenColumn("price", DecimalType(17, 3))).getMessage
+      .contains("widening"))
+    assert(intercept[IllegalArgumentException](
+      t.widenColumn("price", DecimalType(12, 4))).getMessage
+      .contains("widening"))
+    assert(intercept[IllegalArgumentException](
+      t.widenColumn("id", DoubleType)).getMessage.contains("widening"))
+    val td = SnapshotTable(spark, tmp("snapwidenltz"), "id")
+    td.create(Seq((1L, java.sql.Date.valueOf("2021-01-01")))
+      .toDF("id", "d"))
+    assert(intercept[IllegalArgumentException](
+      td.widenColumn("d", TimestampType)).getMessage.contains("widening"))
+    val tb = SnapshotTable(spark, tmp("snapwidenbloom"), "id",
+      bloomCols = Seq("q"))
+    tb.create(Seq((1L, 2)).toDF("id", "q"))
+    tb.widenColumn("q", LongType) // within the integral family: fine
+    assert(intercept[IllegalArgumentException](
+      tb.widenColumn("q", DecimalType(25, 1))).getMessage.contains("bloom"))
+  }
+
   test("evolveSchema upsert widens the logged type when the source is wider") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val t = SnapshotTable(spark, tmp("snapwidenevo"), "id", Some("part"))

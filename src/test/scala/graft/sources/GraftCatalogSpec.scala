@@ -317,6 +317,35 @@ class GraftCatalogSpec extends SparkSpec {
       sql("ALTER TABLE graft.widen.t ALTER COLUMN q TYPE STRING"))
     assert(e2.getMessage.contains("widening"), e2.getMessage)
     assert(sql("SELECT count(*) FROM graft.widen.t").head().getLong(0) == 3)
+    // the wider lattice: decimal precision/scale growth, date→ntz,
+    // int→decimal — committed narrow bytes serve the wide schema
+    sql("""CREATE TABLE graft.widen.t2
+           (id BIGINT, price DECIMAL(10,2), d DATE, q INT)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("""INSERT INTO graft.widen.t2 VALUES
+           (1, 12.34, DATE'2021-03-04', 7), (2, 56.78, DATE'2021-03-05', 8)""")
+    sql("ALTER TABLE graft.widen.t2 ALTER COLUMN price TYPE DECIMAL(16,4)")
+    sql("ALTER TABLE graft.widen.t2 ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    sql("ALTER TABLE graft.widen.t2 ALTER COLUMN q TYPE DECIMAL(12,1)")
+    val r = sql("""SELECT CAST(price AS STRING), CAST(d AS STRING),
+                   CAST(q AS STRING) FROM graft.widen.t2 WHERE id = 1""")
+      .head()
+    assert(r == org.apache.spark.sql.Row("12.3400", "2021-03-04 00:00:00",
+      "7.0"), r.toString)
+    val e3 = intercept[Exception](
+      sql("ALTER TABLE graft.widen.t2 ALTER COLUMN price TYPE DECIMAL(12,4)"))
+    assert(e3.getMessage.contains("widening") ||
+      e3.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e3.getMessage)
+    // row-level DML rewrites NARROW-vintage files under the WIDE
+    // schema: the decimal predicate hits scale-2 bytes, the update
+    // writes scale-4 files, and both vintages keep unifying
+    sql("UPDATE graft.widen.t2 SET q = 9.5 WHERE id = 1")
+    sql("DELETE FROM graft.widen.t2 WHERE price = 56.78")
+    val after = sql(
+      """SELECT id, CAST(price AS STRING), CAST(q AS STRING)
+         FROM graft.widen.t2 ORDER BY id""").collect().toSeq
+    assert(after == Seq(org.apache.spark.sql.Row(1L, "12.3400", "9.5")),
+      after.toString)
   }
 
   test("mixed multi-change ALTER is pre-validated whole: a later invalid " +

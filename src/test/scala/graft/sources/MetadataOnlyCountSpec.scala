@@ -95,6 +95,48 @@ class MetadataOnlyCountSpec extends SparkSpec {
     }
   }
 
+  test("MIN/MAX of date/ntz/decimal columns answer from T:/C: stats — " +
+      "exactly, including across type-widened vintages") {
+    withRule {
+      import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+      import java.time.{LocalDate, LocalDateTime}
+      val path = Files.createTempDirectory("graft_metaminmaxtc").toString + "/t"
+      val t = SnapshotTable(spark, path, "id", statsCols = Seq("d", "price"))
+      t.create((1 to 300).map(i => (i.toLong,
+          java.sql.Date.valueOf(LocalDate.of(2021, 1, 1).plusDays(i)),
+          new java.math.BigDecimal(s"$i.75")))
+        .toDF("id", "d", "price")
+        .withColumn("price", col("price").cast(DecimalType(10, 2))))
+      val rel = spark.read.format("graft").load(path)
+      val df = rel.agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"),
+        min(col("price")).as("plo"), max(col("price")).as("phi"))
+      assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.head() == org.apache.spark.sql.Row(
+        java.sql.Date.valueOf("2021-01-02"),
+        java.sql.Date.valueOf("2021-10-28"),
+        new java.math.BigDecimal("1.75"),
+        new java.math.BigDecimal("300.75")))
+      // widen (date→ntz, decimal scale up), add a wide vintage: the
+      // mixed "T:"/"C:" stats still fold — micros are one unit, and
+      // each "C:" value carries its own scale
+      t.widenColumn("d", TimestampNTZType)
+      t.widenColumn("price", DecimalType(14, 4))
+      t.upsert(Seq((301L, "2030-06-01T12:30", "98765.4321"))
+        .toDF("id", "d", "price")
+        .select(col("id"), col("d").cast(TimestampNTZType),
+          col("price").cast(DecimalType(14, 4))))
+      val df2 = spark.read.format("graft").load(path)
+        .agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"),
+          min(col("price")).as("plo"), max(col("price")).as("phi"))
+      assert(isMetadataOnly(df2), df2.queryExecution.optimizedPlan.toString)
+      assert(df2.head() == org.apache.spark.sql.Row(
+        LocalDate.of(2021, 1, 2).atStartOfDay,
+        LocalDateTime.of(2030, 6, 1, 12, 30),
+        new java.math.BigDecimal("1.7500"),
+        new java.math.BigDecimal("98765.4321")))
+    }
+  }
+
   test("MIN/MAX refuse: deletion vectors, statless columns, expressions") {
     withRule {
       val (t, path) = mkTable("metaminmaxno")
