@@ -24,6 +24,13 @@ private[graft] object Gate {
       // parquet columns by field id — required for RENAME/DROP COLUMN
       // correctness; a no-op for schemas without ids
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // write timestamps as INT64 micros, not the Spark-default legacy
+      // INT96: 4 fewer bytes per value, and INT96 chunks carry NO
+      // usable footer stats — with MICROS every timestamp column in
+      // statsCols gets "T:" min/max in the manifest, which is what
+      // makes time-range scans (the dominant 100 TB pattern) skip
+      // files instead of opening them
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -693,6 +693,42 @@ object Queries {
     out.select(ordersCols.map(col): _*)
   }
 
+  /** TIME-RANGE file skipping over the manifest's "T:" (micros) stat
+    * family: events land range-clustered by event time with timestamp
+    * stats (INT64-micros parquet — the gate session writes MICROS,
+    * never statless INT96), and a one-day dashboard window prunes to
+    * the few files whose [min,max] overlap it. This is the dominant
+    * 100 TB scan shape — billions of events in time-tight files,
+    * O(window) I/O instead of O(table) — and the require pins that
+    * the window scan actually planned fewer files than the table
+    * holds. The oracle recomputes the same absolute window (min(ts)
+    * + 10/11 days) from the raw events. */
+  def timeRangeScan(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("time_range_scan", dir)
+    freshDirs(s, base)
+    val events = t(s, dir, "events")
+    val table = plans.SnapshotTable(s, base, "event_id",
+      statsCols = Seq("ts"), clusterBy = Seq("ts"), clusterFiles = 16)
+    table.create(events.select("event_id", "ts", "event_type", "value"))
+    // micros-exact window bounds (java.sql.Timestamp.getTime would
+    // truncate min(ts)'s sub-millisecond digits and shift the window
+    // off the oracle's by a fraction of a millisecond)
+    val minUs = events.agg(unix_micros(min("ts"))).head().getLong(0)
+    def tsOf(us: Long) = java.time.Instant.ofEpochSecond(
+      us / 1000000L, us % 1000000L * 1000L)
+    val lo = tsOf(minUs + 10L * 86400000000L)
+    val hi = tsOf(minUs + 11L * 86400000000L)
+    val window = table.readMatching(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    require(window.inputFiles.length < table.read.inputFiles.length,
+      "timestamp stats pruned no files for a one-day window")
+    window.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(sum("value"), 4).as("sum_value"),
+      unix_micros(min("ts")).as("min_ts_us"),
+      unix_micros(max("ts")).as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   /** RETENTION delete: `DELETE` whose predicate wholly covers entire
     * partitions drops their files from the manifest BY REFERENCE —
     * zero data I/O for them (the require proves no new file was
@@ -3857,6 +3893,7 @@ object Queries {
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_delete" -> (snapshotDelete _),
     "predicate_pruned_read" -> (predicatePrunedRead _),
+    "time_range_scan" -> (timeRangeScan _),
     "retention_delete" -> (retentionDelete _),
     "mv_incremental" -> (mvIncremental _),
     "mv_stream_parity" -> (mvStreamParity _),
@@ -4203,6 +4240,18 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_custkey = 421""".stripMargin,
+    // the same absolute one-day window, recomputed from the raw
+    // events (micros-exact: min(ts) + 10/11 days)
+    "time_range_scan" ->
+      """WITH b AS (SELECT min(ts) AS t0 FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+        |FROM events, b
+        |WHERE ts >= b.t0 + INTERVAL 10 DAY AND ts < b.t0 + INTERVAL 11 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // whole-partition drop + scattered rewrite: plain complement
     "retention_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

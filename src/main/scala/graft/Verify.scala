@@ -17,8 +17,23 @@ object Verify {
       // and single-file output simplifies the DuckDB compare) — NOT a
       // pattern for production result sinks, which should keep the
       // query's natural output partitioning.
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // LTZ timestamps dump as NTZ: the session writes INT64-micros
+      // parquet (isAdjustedToUTC=true), which pandas reads TZ-AWARE
+      // while DuckDB's oracle timestamps are naive — under the UTC
+      // session the cast is the wall-clock identity, and the compare
+      // sees the same naive micros both sides (the old INT96 dumps
+      // were naive by accident of the legacy encoding)
+      try {
+        val out = fn(spark, sfDir)
+        val cols = out.schema.fields.toIndexedSeq.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }
+        out.select(cols: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal only: an OOM must abort the run, not wedge the
         // session and cascade bogus failures through every later query

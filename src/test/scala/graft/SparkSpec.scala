@@ -21,6 +21,9 @@ object SparkSpec {
       // id-mapped tables resolve parquet columns by field id (same
       // conf the gate session sets)
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // INT64-micros timestamps, matching the gate session: INT96 is
+      // statless, so "T:" manifest stats would silently never exist
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

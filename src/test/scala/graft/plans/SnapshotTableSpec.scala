@@ -657,6 +657,54 @@ class SnapshotTableSpec extends SparkSpec {
       tb.widenColumn("q", DecimalType(25, 1))).getMessage.contains("bloom"))
   }
 
+  test("pruning is never wrong: randomized predicates over every stat " +
+      "family agree with the full scan") {
+    import org.apache.spark.sql.types.DecimalType
+    import java.time.LocalDateTime
+    val rnd = new scala.util.Random(42)
+    val day0 = java.time.LocalDate.of(2021, 1, 1)
+    val t = SnapshotTable(spark, tmp("snapprune"), "id",
+      statsCols = Seq("l", "x", "s", "d", "ts", "dec"),
+      clusterBy = Seq("l"), clusterFiles = 6)
+    t.create((1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble() * 100,
+        f"k${rnd.nextInt(100)}%03d",
+        java.sql.Date.valueOf(day0.plusDays(rnd.nextInt(400))),
+        LocalDateTime.of(2021, 1, 1, 0, 0).plusMinutes(rnd.nextInt(500000)),
+        new java.math.BigDecimal(s"${rnd.nextInt(10000)}.${10 + rnd.nextInt(89)}"))
+    }.toDF("id", "l", "x", "s", "d", "ts", "dec")
+      .withColumn("dec", col("dec").cast(DecimalType(10, 2))))
+    val full = t.read.cache()
+    full.count()
+    def rndLit(c: String): org.apache.spark.sql.Column = c match {
+      case "l" => lit(rnd.nextInt(1100).toLong - 50)
+      case "x" => lit(rnd.nextDouble() * 110 - 5)
+      case "s" => lit(f"k${rnd.nextInt(110)}%03d")
+      case "d" => lit(java.sql.Date.valueOf(day0.plusDays(rnd.nextInt(440) - 20)))
+      case "ts" => lit(LocalDateTime.of(2021, 1, 1, 0, 0)
+        .plusMinutes(rnd.nextInt(550000) - 25000))
+      case _ => lit(new java.math.BigDecimal(
+        s"${rnd.nextInt(11000) - 500}.${10 + rnd.nextInt(89)}"))
+    }
+    def rndCmp(): org.apache.spark.sql.Column = {
+      val c = Seq("l", "x", "s", "d", "ts", "dec")(rnd.nextInt(6))
+      rnd.nextInt(5) match {
+        case 0 => col(c) === rndLit(c)
+        case 1 => col(c) >= rndLit(c)
+        case 2 => col(c) <= rndLit(c)
+        case 3 => col(c) > rndLit(c)
+        case _ => col(c) < rndLit(c)
+      }
+    }
+    (1 to 80).foreach { _ =>
+      val p = if (rnd.nextBoolean()) rndCmp() else rndCmp() && rndCmp()
+      val (pruned, truth) = (t.readMatching(p).count(), full.filter(p).count())
+      assert(pruned == truth, s"pruned scan diverged for $p: " +
+        s"$pruned != $truth")
+    }
+    full.unpersist()
+  }
+
   test("evolveSchema upsert widens the logged type when the source is wider") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val t = SnapshotTable(spark, tmp("snapwidenevo"), "id", Some("part"))
