@@ -1662,12 +1662,22 @@ final class SnapshotTable(
           "byte<short<int<long lattice, float->double, int->double, " +
           "integral->decimal, decimal precision/scale growth, " +
           "date->timestamp_ntz) are metadata-only")
-      // a partition column's values live as STRINGS in directory names
-      // parsed under the logged type; keep widening off that path
-      // until it has its own spec'd contract
+      // a partition column's values live as STRINGS in directory names,
+      // parsed under the logged type and RE-RENDERED by every write:
+      // only widenings whose renderings coincide at every shared value
+      // are sound (integral→integral: 5 renders "5" at every width —
+      // merge scoping and pruning keep matching old dirs). int→double
+      // would render the same id as "5" pre- and "5.0" post-widening:
+      // two directories for one logical partition, and a PK upsert
+      // that misses the old dir's rows — refused, like every other
+      // non-integral pair
       require(kept.dataType == f.dataType ||
-          !tablePartitionCols.contains(f.name),
-        s"cannot widen partition column '${f.name}' at $path")
+          !tablePartitionCols.contains(f.name) ||
+          (SnapshotTable.integralType(f.dataType) &&
+            SnapshotTable.integralType(kept.dataType)),
+        s"cannot widen partition column '${f.name}' at $path to " +
+          s"${kept.dataType}: Hive directory renderings only coincide " +
+          "across integral widths")
       // a bloom column's sketches hash integrals canonically as long
       // ("BL:") — widening it OUT of the integral family (int→double/
       // decimal) would leave committed blooms that can never match a
@@ -1870,8 +1880,11 @@ final class SnapshotTable(
             "float->double, int->double, integral->decimal, decimal " +
             "precision/scale growth, date->timestamp_ntz) are " +
             "metadata-only")
-        require(from == to || !tablePartitionCols.contains(n),
-          s"cannot widen partition column '$n' at $path")
+        require(from == to || !tablePartitionCols.contains(n) ||
+            (SnapshotTable.integralType(from) &&
+              SnapshotTable.integralType(to)),
+          s"cannot widen partition column '$n' at $path to $to: Hive " +
+            "directory renderings only coincide across integral widths")
         schema = StructType(schema.fields.map(f =>
           if (f.name == n) f.copy(dataType = to) else f))
     }

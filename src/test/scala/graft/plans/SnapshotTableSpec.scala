@@ -531,8 +531,24 @@ class SnapshotTableSpec extends SparkSpec {
       t.widenColumn("id", DoubleType)).getMessage.contains("widening"))
     val tp = SnapshotTable(spark, tmp("snapwidenpart"), "id", Some("part"))
     tp.create(Seq((1L, 1)).toDF("id", "part"))
+    // INTEGRAL partition widening is sound: every shared value renders
+    // the same Hive dir at every width ("1" as int and as long), so
+    // old dirs keep merging and pruning
+    tp.widenColumn("part", LongType)
+    tp.upsert(Seq((2L, 1L), (3L, 1L << 40)).toDF("id", "part"))
+    assert(tp.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L << 40)))
+    // an upsert into the PRE-widening dir merges, never duplicates
+    tp.upsert(Seq((1L, 1L)).toDF("id", "part"))
+    assert(tp.read.count() == 3)
+    assert(tp.readPartitions(Seq("1")).count() == 2)
+    // non-integral partition widening renders "5" vs "5.0" — refused
+    // (decimal(29,0) passes the long→decimal lattice, so the refusal
+    // is specifically the partition-rendering guard)
     assert(intercept[IllegalArgumentException](
-      tp.widenColumn("part", LongType)).getMessage.contains("partition"))
+      tp.widenColumn("part", org.apache.spark.sql.types.DecimalType(29, 0)))
+      .getMessage.contains("renderings"))
   }
 
   test("type widening v2: decimal precision/scale growth, date→timestamp_ntz, " +
@@ -628,6 +644,15 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v1.schema("price").dataType == DecimalType(10, 2))
     assert(v1.schema("d").dataType == DateType)
     assert(v1.schema("q").dataType == IntegerType)
+    // CDC across the widening commits: the metadata-only versions
+    // contribute NO row changes (narrow and wide images of the same
+    // row must cancel in the diff), and the one upsert surfaces at the
+    // widened types
+    val cdc = t.changes(1, t.currentVersion.get)
+    assert(cdc.schema("price").dataType == DecimalType(16, 4))
+    val ch = cdc.collect()
+    assert(ch.length == 1 && ch.head.getAs[Long]("id") == 1001L,
+      ch.mkString("; "))
     // the DSv2/SQL path serves the widened schema
     val sqlRead = spark.read.format("graft").load(path)
     assert(sqlRead.schema("d").dataType == TimestampNTZType)
