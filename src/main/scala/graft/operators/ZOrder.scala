@@ -47,19 +47,40 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Cluster `df` by the z-order curve over numeric `cols` into
-    * `numFiles` range partitions (one output file each when written).
-    * The min/max frame comes from the data in one aggregate pass. */
+  /** `c` as a monotone NUMBER the bucketer can frame: dates as days,
+    * timestamps as micros (a cast to double can collapse nearby values
+    * past 2^53 — harmless here, bucketing is lossy by design and only
+    * clustering QUALITY depends on it), everything else through the
+    * plain double cast. Date→double is not a legal Spark cast, so
+    * without this a date×key z-order — the bread-and-butter
+    * time-series layout — would not analyze. */
+  private def asNumber(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(c).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // any monotone map works for clustering; the LTZ reinterpretation
+        // is a constant shift at a fixed session zone
+        unix_micros(c.cast("timestamp")).cast("double")
+      case _ => c.cast("double")
+    }
+
+  /** Cluster `df` by the z-order curve over `cols` (numeric, string-
+    * free orderable: date/timestamp/decimal included) into `numFiles`
+    * range partitions (one output file each when written). The min/max
+    * frame comes from the data in one aggregate pass. */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
               bits: Int = 12): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val nums = cols.map(c => asNumber(col(c), df.schema(c).dataType))
+    val aggs = nums.flatMap(c => Seq(min(c), max(c)))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // empty input or an all-null column has no frame: nothing to
     // cluster (getDouble on the null aggregate would NPE)
     if ((0 until 2 * cols.size).exists(row.isNullAt)) return df
-    val framed = cols.zipWithIndex.map { case (c, i) =>
-      (col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    val framed = nums.zipWithIndex.map { case (c, i) =>
+      (c, row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }
     df.withColumn("__z", zValue(framed, bits))
       .repartitionByRange(numFiles, col("__z"))

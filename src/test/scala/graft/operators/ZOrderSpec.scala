@@ -55,4 +55,30 @@ class ZOrderSpec extends SparkSpec {
     assert(zt.readWhere(box: _*).count() == expected)
     assert(lt.readWhere(box: _*).count() == expected)
   }
+
+  test("date × key z-order: both dimensions prune via the T:/L: stats") {
+    val n = 4096
+    val day0 = java.time.LocalDate.of(2021, 1, 1)
+    val toDate = udf((i: Long) => java.sql.Date.valueOf(day0.plusDays(i)))
+    // independent uniform date and key dims, as a sessions table would be
+    val data = spark.range(n.toLong).select(
+      toDate(col("id") * 2654435761L % 365).as("d"),
+      (col("id") * 40503L % n).as("k"),
+      col("id"))
+    val t = SnapshotTable(spark,
+      Files.createTempDirectory("graft_zdate").toString + "/t", "id",
+      statsCols = Seq("d", "k"))
+    t.create(ZOrder.cluster(data, Seq("d", "k"), numFiles = 16))
+    val total = t.candidateFiles().size
+    assert(total >= 8, s"expected ~16 files, got $total")
+    val dBox = ("d", java.sql.Date.valueOf(day0),
+      java.sql.Date.valueOf(day0.plusDays(90)))
+    val kBox = ("k", 0L, (n / 4).toLong)
+    assert(t.candidateFiles(dBox).size < total, "no date-dim pruning")
+    assert(t.candidateFiles(kBox).size < total, "no key-dim pruning")
+    val expected = data.filter(
+      col("d") <= lit(java.sql.Date.valueOf(day0.plusDays(90))) &&
+        col("k") <= n / 4).count()
+    assert(t.readWhere(dBox, kBox).count() == expected)
+  }
 }
