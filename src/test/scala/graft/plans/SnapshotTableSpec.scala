@@ -689,18 +689,34 @@ class SnapshotTableSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val day0 = java.time.LocalDate.of(2021, 1, 1)
     val t = SnapshotTable(spark, tmp("snapprune"), "id",
-      statsCols = Seq("l", "x", "s", "d", "ts", "dec"),
+      statsCols = Seq("l", "x", "s", "d", "ts", "dec", "bigdec"),
       clusterBy = Seq("l"), clusterFiles = 6)
     t.create((1 to 500).map { i =>
       (i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble() * 100,
         f"k${rnd.nextInt(100)}%03d",
         java.sql.Date.valueOf(day0.plusDays(rnd.nextInt(400))),
         LocalDateTime.of(2021, 1, 1, 0, 0).plusMinutes(rnd.nextInt(500000)),
-        new java.math.BigDecimal(s"${rnd.nextInt(10000)}.${10 + rnd.nextInt(89)}"))
-    }.toDF("id", "l", "x", "s", "d", "ts", "dec")
-      .withColumn("dec", col("dec").cast(DecimalType(10, 2))))
+        new java.math.BigDecimal(s"${rnd.nextInt(10000)}.${10 + rnd.nextInt(89)}"),
+        // precision 24 → FIXED_LEN_BYTE_ARRAY physical: footer stats
+        // decode through the big-endian BigInteger path, ~15% null so
+        // null-bearing chunks keep valid min/max
+        if (rnd.nextInt(100) < 15) null
+        else new java.math.BigDecimal(
+          s"${rnd.nextLong(100000000000000L)}.${1000 + rnd.nextInt(8999)}"))
+    }.toDF("id", "l", "x", "s", "d", "ts", "dec", "bigdec")
+      .withColumn("dec", col("dec").cast(DecimalType(10, 2)))
+      .withColumn("bigdec", col("bigdec").cast(DecimalType(24, 4))))
     val full = t.read.cache()
     full.count()
+    // the families must actually EXIST on every file — otherwise the
+    // agreement below would hold vacuously through conservative keeps
+    val live = t.candidateFiles()
+    assert(live.forall(e => Seq("l", "x", "s", "d", "ts", "dec", "bigdec")
+      .forall(e.stats.contains)), "a stat family failed to collect")
+    assert(live.forall(e => e.stats("d")._1.startsWith("T:") &&
+      e.stats("ts")._1.startsWith("T:") &&
+      e.stats("dec")._1.startsWith("C:") &&
+      e.stats("bigdec")._1.startsWith("C:")))
     def rndLit(c: String): org.apache.spark.sql.Column = c match {
       case "l" => lit(rnd.nextInt(1100).toLong - 50)
       case "x" => lit(rnd.nextDouble() * 110 - 5)
@@ -708,11 +724,13 @@ class SnapshotTableSpec extends SparkSpec {
       case "d" => lit(java.sql.Date.valueOf(day0.plusDays(rnd.nextInt(440) - 20)))
       case "ts" => lit(LocalDateTime.of(2021, 1, 1, 0, 0)
         .plusMinutes(rnd.nextInt(550000) - 25000))
+      case "bigdec" => lit(new java.math.BigDecimal(
+        s"${rnd.nextLong(110000000000000L) - 5000000000000L}.${1000 + rnd.nextInt(8999)}"))
       case _ => lit(new java.math.BigDecimal(
         s"${rnd.nextInt(11000) - 500}.${10 + rnd.nextInt(89)}"))
     }
     def rndCmp(): org.apache.spark.sql.Column = {
-      val c = Seq("l", "x", "s", "d", "ts", "dec")(rnd.nextInt(6))
+      val c = Seq("l", "x", "s", "d", "ts", "dec", "bigdec")(rnd.nextInt(7))
       rnd.nextInt(5) match {
         case 0 => col(c) === rndLit(c)
         case 1 => col(c) >= rndLit(c)
