@@ -693,6 +693,40 @@ object Queries {
     out.select(ordersCols.map(col): _*)
   }
 
+  /** DEFAULT-valued column adds ([[plans.SnapshotTable.addColumn]],
+    * Iceberg V3 initial-default / Delta default values): two columns
+    * land with defaults AFTER the first wave committed, metadata-only
+    * (the require pins that no existing file was rewritten) — the
+    * first wave's rows read the frozen defaults through Spark's
+    * EXISTS_DEFAULT fill on file-missing columns, while the second
+    * wave writes explicit values into untouched partitions. The oracle
+    * recomputes both waves from the raw orders with a CASE on wave
+    * membership. */
+  def columnDefaults(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val base = scratch("column_defaults", dir)
+    freshDirs(s, base)
+    val orders = t(s, dir, "orders")
+    def slice(pred: Column) = orders.filter(pred).select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      (col("o_orderkey") % 3).cast("int").as("bucket"))
+    val tbl = plans.SnapshotTable(s, base, "id", Some("bucket"))
+    tbl.create(slice(col("o_orderkey") % 3 === 0))
+    val before = tbl.candidateFiles().map(_.path).toSet
+    tbl.addColumn("fee", DecimalType(8, 2), Some("1.50"))
+    tbl.addColumn("channel", StringType, Some("'web'"))
+    tbl.upsert(slice(col("o_orderkey") % 3 =!= 0) // all-new partitions
+      .withColumn("fee", (col("id") % 97).cast(DecimalType(8, 2)))
+      .withColumn("channel", lower(substring(col("status"), 1, 1))))
+    require(before.subsetOf(tbl.candidateFiles().map(_.path).toSet),
+      "DEFAULT adds rewrote committed files")
+    tbl.read.groupBy("status", "channel").agg(
+      count(lit(1)).as("n"),
+      sum("fee").cast("string").as("sum_fee"))
+      .orderBy("status", "channel")
+  }
+
   /** TIME-RANGE file skipping over the manifest's "T:" (micros) stat
     * family: events land range-clustered by event time with timestamp
     * stats (INT64-micros parquet — the gate session writes MICROS,
@@ -3894,6 +3928,7 @@ object Queries {
     "snapshot_delete" -> (snapshotDelete _),
     "predicate_pruned_read" -> (predicatePrunedRead _),
     "time_range_scan" -> (timeRangeScan _),
+    "column_defaults" -> (columnDefaults _),
     "retention_delete" -> (retentionDelete _),
     "mv_incremental" -> (mvIncremental _),
     "mv_stream_parity" -> (mvStreamParity _),
@@ -4240,6 +4275,19 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_custkey = 421""".stripMargin,
+    // both waves recomputed from the raw orders: the create wave
+    // (keys % 3 = 0) reads the frozen defaults, the upsert wave wrote
+    // explicit values
+    "column_defaults" ->
+      """SELECT o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'web'
+        |       ELSE lower(substring(o_orderstatus, 1, 1)) END AS channel,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0
+        |                THEN CAST(1.50 AS DECIMAL(8,2))
+        |                ELSE CAST(o_orderkey % 97 AS DECIMAL(8,2)) END)
+        |       AS VARCHAR) AS sum_fee
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the same absolute one-day window, recomputed from the raw
     // events (micros-exact: min(ts) + 10/11 days)
     "time_range_scan" ->

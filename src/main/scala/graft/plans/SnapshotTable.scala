@@ -1693,6 +1693,20 @@ final class SnapshotTable(
     }
     require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
       .forall(_.nullable), "added columns must be nullable")
+    // a default riding on an added field must analyze NOW (parse,
+    // coerce to the field type, constant-fold) — a broken default
+    // stored unvalidated would fail every later READ instead of this
+    // one ALTER
+    newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
+      .foreach { f =>
+        if (f.metadata.contains(SnapshotTable.CurrentDefaultKey))
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(f, "ALTER TABLE ADD COLUMNS")
+        if (f.metadata.contains(SnapshotTable.ExistsDefaultKey))
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .analyze(f, "ALTER TABLE ADD COLUMNS",
+              SnapshotTable.ExistsDefaultKey)
+      }
     // id-mapped tables: existing fields carry their ids forward, added
     // fields get fresh ids above the logged high-water mark — an id is
     // NEVER reused, which is what makes a re-add after dropColumn safe
@@ -1716,6 +1730,99 @@ final class SnapshotTable(
       }
     if (!fs.exists(evolvedMarker)) fs.create(evolvedMarker, true).close()
     commitManifest(v + 1, m.entries, evolved)
+  }
+
+  /** The upsert batch ALIGNED to the logged schema when the merge
+    * touches NO live files: committing `src.schema` verbatim would
+    * silently NARROW the table (columns a prior evolution added — and
+    * their data in untouched files — would vanish from the log). With
+    * evolveSchema the omitted columns are appended null-filled;
+    * without it the omission is an error, exactly as the touched-file
+    * path fails through its schema-conforming select. No-op when the
+    * batch covers the schema. */
+  private def alignUntouched(src: DataFrame, logged: Option[StructType],
+                             evolveSchema: Boolean): DataFrame =
+    logged match {
+      case Some(ls) =>
+        val missing = ls.fields.filterNot(f =>
+          src.columns.exists(_.equalsIgnoreCase(f.name)))
+        if (missing.isEmpty) src
+        else if (evolveSchema)
+          missing.foldLeft(src)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        else throw new IllegalArgumentException(
+          s"upsert batch omits column(s) " +
+            s"${missing.map(_.name).mkString(", ")} of $path — pass " +
+            "evolveSchema=true to null-fill them")
+      case None => src
+    }
+
+  /** `schema` with each logged field's METADATA overlaid (logged keys
+    * first, data-side wins on conflict, so fresh field-id stamps
+    * survive): a null-filled alignment column or a union must never
+    * strip the logged defaults/comments/ids from the schema this
+    * commit re-logs. */
+  private def withLoggedMetadata(schema: StructType,
+                                 logged: Option[StructType]): StructType =
+    logged match {
+      case Some(ls) =>
+        val byName = ls.fields.iterator
+          .map(f => f.name.toLowerCase -> f.metadata).toMap
+        StructType(schema.fields.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(md) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(md).withMetadata(f.metadata).build())
+            case None => f
+          }
+        })
+      case None => schema
+    }
+
+  /** `ALTER TABLE ... ADD COLUMN ... [DEFAULT <sql>]` analog,
+    * METADATA-ONLY (Iceberg V3 initial-default / Delta default
+    * values): with a default, rows committed BEFORE the add read the
+    * default instead of null — no backfill rewrite. Both halves ride
+    * Spark's own default-column machinery: the parquet readers
+    * (vectorized and row-based) fill a file-missing column from the
+    * field's `EXISTS_DEFAULT` metadata, and SQL INSERTs that omit the
+    * column resolve `CURRENT_DEFAULT`. The default is analyzed and
+    * CONSTANT-FOLDED here (Spark's `ResolveDefaultColumns.analyze`:
+    * parses, type-coerces to `dt`, refuses non-foldable expressions),
+    * so `EXISTS_DEFAULT` freezes the add-time value — a later `now()`
+    * never rewrites history. Files written after the add materialize
+    * the column, so only genuinely-missing chunks fill. Stats/COUNT
+    * consumers stay exact for free: a file that predates the column
+    * has no stats for it, and every metadata fast path already refuses
+    * on missing stats. API upserts of a batch that omits the column
+    * still union-fill NULL (DataFrame semantics, as Delta/Iceberg
+    * behave); the default applies to READS of files missing the
+    * column and to SQL INSERT resolution. */
+  def addColumn(name: String, dt: DataType,
+                defaultSql: Option[String] = None): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val schema = readManifest(v).schema.getOrElse(
+      throw new IllegalStateException(
+        s"cannot add columns at $path: no logged schema"))
+    require(!schema.fieldNames.contains(name),
+      s"column '$name' already exists at $path")
+    val md = defaultSql.fold(org.apache.spark.sql.types.Metadata.empty) {
+      sql =>
+        val probe = org.apache.spark.sql.types.StructField(name, dt,
+          nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(SnapshotTable.CurrentDefaultKey, sql).build())
+        val folded = org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.analyze(probe, "ALTER TABLE ADD COLUMNS")
+        val frozen = org.apache.spark.sql.catalyst.expressions
+          .Literal(folded.eval(), dt).sql
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(SnapshotTable.CurrentDefaultKey, sql)
+          .putString(SnapshotTable.ExistsDefaultKey, frozen)
+          .build()
+    }
+    evolveTo(StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true, md)))
   }
 
   /** `ALTER TABLE ... ALTER COLUMN ... TYPE` analog, METADATA-ONLY:
@@ -2269,7 +2376,8 @@ final class SnapshotTable(
             }
           }
         val merged = stampFieldIds(
-          if (touchedFiles.isEmpty) src
+          if (touchedFiles.isEmpty)
+            alignUntouched(src, m.schema, evolveSchema)
           else {
             val cur = readFiles(touchedFiles, m.schema)
             val kept = cur
@@ -2278,7 +2386,7 @@ final class SnapshotTable(
             else kept.unionByName(
               src.select(cur.columns.toIndexedSeq.map(col): _*))
           })
-        committedSchema = merged.schema
+        committedSchema = withLoggedMetadata(merged.schema, m.schema)
         (keptFiles, writeDataFiles(merged))
       case pcs =>
         // render the partition values exactly the way the writer names
@@ -2330,7 +2438,8 @@ final class SnapshotTable(
           if (touchedFiles.isEmpty) spark.emptyDataFrame // all-new partitions
           else timed("open-touched")(readFiles(touchedFiles, m.schema))
         val merged = stampFieldIds(
-          if (touchedFiles.isEmpty) src
+          if (touchedFiles.isEmpty)
+            alignUntouched(src, m.schema, evolveSchema)
           else {
             val kept = current
               .join(knock.select(primaryKey), Seq(primaryKey), "left_anti")
@@ -2338,7 +2447,7 @@ final class SnapshotTable(
             else kept.unionByName(
               src.select(current.columns.toIndexedSeq.map(col): _*))
           })
-        committedSchema = merged.schema
+        committedSchema = withLoggedMetadata(merged.schema, m.schema)
         (keptFiles, writeDataFiles(merged))
     }
     commitMerge(v, m, keptFiles, newFiles, committedSchema, overlapsScope)
@@ -3721,6 +3830,17 @@ object SnapshotTable {
     *  - date→timestamp_ntz (midnight local; timestamp WITH local
     *    timezone would reinterpret the value under a session zone and
     *    stays refused — Spark's reader refuses it too) */
+  /** Spark's OWN default-column metadata keys ([[addColumn]]): a field
+    * carrying `EXISTS_DEFAULT` is filled by the parquet readers when a
+    * file lacks its chunk; `CURRENT_DEFAULT` is what SQL INSERT
+    * resolution consults. Using Spark's keys (not graft-private ones)
+    * is the whole design — every reader and the analyzer already honor
+    * them. */
+  private[graft] val CurrentDefaultKey = org.apache.spark.sql.catalyst
+    .util.ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private[graft] val ExistsDefaultKey = org.apache.spark.sql.catalyst
+    .util.ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
   private[graft] def integralType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
   CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog,
-  SupportsNamespaces, Table, TableCatalog, TableChange}
+  SupportsNamespaces, Table, TableCatalog, TableCatalogCapability,
+  TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{
   BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -57,6 +58,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** DEFAULT-valued columns are accepted in DDL (`CREATE TABLE (c INT
+    * DEFAULT 5)`, `ALTER TABLE ADD COLUMN c INT DEFAULT 5`): the
+    * analyzer folds the default and this catalog stores it in the
+    * field's metadata under Spark's own keys, where the parquet
+    * readers (file-missing columns) and INSERT resolution already
+    * consume it — see [[graft.plans.SnapshotTable.addColumn]]. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -285,7 +295,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (a.position != null) throw new UnsupportedOperationException(
           "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
             "supported")
-        val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        val base = StructField(a.fieldNames.head, a.dataType,
+          nullable = true)
+        // DEFAULT: the analyzer already folded it to a typed literal
+        // (getValue) — store the original SQL as CURRENT_DEFAULT (what
+        // future INSERTs resolve) and the frozen literal as
+        // EXISTS_DEFAULT (what pre-add rows read)
+        val f = Option(a.defaultValue()).fold(base) { d =>
+          val lit = d.getValue
+          if (lit == null) throw new UnsupportedOperationException(
+            s"ADD COLUMN '${a.fieldNames.head}' DEFAULT must fold to a " +
+              "literal")
+          val frozen = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit.value, lit.dataType).sql
+          base.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder()
+            .putString(graft.plans.SnapshotTable.CurrentDefaultKey,
+              Option(d.getSql).getOrElse(frozen))
+            .putString(graft.plans.SnapshotTable.ExistsDefaultKey, frozen)
+            .build())
+        }
         adds += Option(a.comment).fold(f)(f.withComment)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

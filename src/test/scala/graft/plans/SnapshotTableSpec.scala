@@ -682,6 +682,48 @@ class SnapshotTableSpec extends SparkSpec {
       tb.widenColumn("q", DecimalType(25, 1))).getMessage.contains("bloom"))
   }
 
+  test("ADD COLUMN with DEFAULT: pre-add rows read the frozen default " +
+      "metadata-only; rewrites materialize it; time travel predates it") {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType}
+    val path = tmp("snapdefault")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    val v1Files = dataFiles(path)
+    t.addColumn("fee", DecimalType(8, 2), Some("1.50"))
+    t.addColumn("channel", StringType, Some("'web'"))
+    t.addColumn("note", StringType) // no default → old rows read null
+    assert(dataFiles(path) == v1Files, "addColumn touched data files")
+    val r = t.read.orderBy("id").collect().map(x =>
+      (x.getAs[Int]("id"), x.getAs[java.math.BigDecimal]("fee"),
+        x.getAs[String]("channel"), x.getAs[String]("note"))).toSeq
+    assert(r == Seq(
+      (1, new java.math.BigDecimal("1.50"), "web", null),
+      (2, new java.math.BigDecimal("1.50"), "web", null)), r.toString)
+    // the DSv2/SQL read path fills the same defaults
+    val sqlRead = spark.read.format("graft").load(path)
+    assert(sqlRead.filter(col("id") === 1).head()
+      .getAs[String]("channel") == "web")
+    // an upsert rewriting p2 materializes the default for KEPT rows;
+    // the batch's explicit values win for its own
+    t.upsert(Seq((3, "c", "p2", new java.math.BigDecimal("9.99"),
+        "store", "n")).toDF("id", "val", "part", "fee", "channel", "note"))
+    assert(t.read.filter(col("id") === 2).head()
+      .getAs[java.math.BigDecimal]("fee") == new java.math.BigDecimal("1.50"))
+    assert(t.read.filter(col("id") === 3).head()
+      .getAs[String]("channel") == "store")
+    // an API upsert OMITTING the columns null-fills ITS rows (DataFrame
+    // union semantics — the default governs reads of files MISSING the
+    // column and SQL INSERT resolution, not DataFrame writes)
+    t.upsert(frame((4, "d", "p3")), evolveSchema = true)
+    assert(t.read.filter(col("id") === 4).head()
+      .getAs[String]("channel") == null)
+    // time travel: the pre-add version has no such column
+    assert(!t.readVersion(1).columns.contains("fee"))
+    // defaults that reference columns or don't analyze refuse at ALTER
+    intercept[Exception](t.addColumn("bad", IntegerType, Some("id + 1")))
+    intercept[Exception](t.addColumn("bad2", IntegerType, Some("not sql (")))
+  }
+
   test("pruning is never wrong: randomized predicates over every stat " +
       "family agree with the full scan") {
     import org.apache.spark.sql.types.DecimalType
@@ -765,6 +807,28 @@ class SnapshotTableSpec extends SparkSpec {
     val sqlRead = spark.read.format("graft").load(t.path)
     assert(sqlRead.schema("q").dataType == LongType)
     assert(sqlRead.agg(sum("q")).head().getLong(0) == 1L + (1L << 40) + 7L)
+  }
+
+  test("a narrower batch never narrows the logged schema") {
+    val t = SnapshotTable(spark, tmp("snapnarrow"), "id", Some("part"))
+    t.create(frame((1, "a", "p1")))
+    t.upsert(frame((2, "b", "p2")).withColumn("extra", lit(7)),
+      evolveSchema = true)
+    assert(t.read.columns.contains("extra"))
+    // an all-new-partition batch that OMITS the evolved column used to
+    // commit src.schema verbatim, silently dropping 'extra' (and its
+    // committed data in untouched files) from the log
+    t.upsert(frame((3, "c", "p3")), evolveSchema = true)
+    assert(t.read.columns.contains("extra"),
+      "schema narrowed by an untouched-partition upsert")
+    assert(t.read.filter(col("id") === 2).head().getAs[Int]("extra") == 7)
+    assert(t.read.filter(col("id") === 3).head()
+      .isNullAt(t.read.columns.indexOf("extra")))
+    // without evolveSchema the omission is an error — the arity guard
+    // (or, past it, the alignment/conforming select) refuses
+    val e = intercept[IllegalArgumentException](t.upsert(frame((4, "d", "p4"))))
+    assert(e.getMessage.contains("omits") || e.getMessage.contains("columns"),
+      e.getMessage)
   }
 
   test("schema-evolving upsert: kept rows read the new column as null; CDC aligns") {

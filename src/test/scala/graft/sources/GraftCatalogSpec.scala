@@ -348,6 +348,37 @@ class GraftCatalogSpec extends SparkSpec {
       after.toString)
   }
 
+  test("DEFAULT columns through SQL: pre-add rows read the default, " +
+      "INSERT resolves CURRENT_DEFAULT, CREATE TABLE accepts DEFAULT") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.defs")
+    sql("""CREATE TABLE graft.defs.t (id BIGINT, v STRING)
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.defs.t VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE graft.defs.t ADD COLUMN q INT DEFAULT 7")
+    sql("ALTER TABLE graft.defs.t ADD COLUMN fee DECIMAL(8,2) DEFAULT 1.50")
+    // committed (pre-add) rows read the frozen defaults — no rewrite
+    assert(sql("SELECT q, CAST(fee AS STRING) FROM graft.defs.t WHERE id = 1")
+      .head() == org.apache.spark.sql.Row(7, "1.50"))
+    // INSERT omitting the columns resolves CURRENT_DEFAULT; the DEFAULT
+    // keyword resolves positionally
+    sql("INSERT INTO graft.defs.t (id, v) VALUES (3, 'c')")
+    sql("INSERT INTO graft.defs.t VALUES (4, 'd', DEFAULT, 9.99)")
+    val rows = sql(
+      """SELECT id, q, CAST(fee AS STRING) FROM graft.defs.t ORDER BY id""")
+      .collect().toSeq
+    assert(rows == Seq(
+      org.apache.spark.sql.Row(1L, 7, "1.50"),
+      org.apache.spark.sql.Row(2L, 7, "1.50"),
+      org.apache.spark.sql.Row(3L, 7, "1.50"),
+      org.apache.spark.sql.Row(4L, 7, "9.99")), rows.toString)
+    // CREATE TABLE with DEFAULT in the DDL lands the same metadata
+    sql("""CREATE TABLE graft.defs.t2 (id BIGINT, tag STRING DEFAULT 'x')
+           TBLPROPERTIES ('primaryKey' = 'id')""")
+    sql("INSERT INTO graft.defs.t2 (id) VALUES (1)")
+    assert(sql("SELECT tag FROM graft.defs.t2").head().getString(0) == "x")
+  }
+
   test("mixed multi-change ALTER is pre-validated whole: a later invalid " +
       "change leaves earlier changes uncommitted") {
     warehouse
