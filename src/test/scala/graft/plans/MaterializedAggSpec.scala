@@ -65,6 +65,25 @@ class MaterializedAggSpec extends SparkSpec {
     assert(view.currentVersion == vBefore, "no-op refresh must not commit")
   }
 
+  test("additive: a refresh spanning a source-widening commit folds " +
+      "narrow and wide change images exactly") {
+    import org.apache.spark.sql.types.LongType
+    val base = tmp("mvwiden")
+    val src = mkSrc(base); val view = mkView(base)
+    src.create(rows((1, 10, "a"), (2, 20, "a"), (3, 5, "b"))) // int amount
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == expected(src))
+    // widen the measure column mid-history, then land values beyond the
+    // narrow range; one refresh folds the span that crosses the
+    // widening commit — narrow before-images against wide after-images
+    src.widenColumn("amount", LongType)
+    src.upsert(Seq((2, 1L << 40, "a"), (4, 7L, "c"))
+      .toDF("id", "amount", "grp"))
+    MaterializedAgg.refreshAdditive(src, view, Seq("grp"), sums)
+    assert(viewState(view) == expected(src))
+    assert(viewState(view)("a")._1 == 10L + (1L << 40))
+  }
+
   test("additive: compaction-only source churn folds to zero group changes") {
     val base = tmp("mvcompact")
     val src = mkSrc(base); val view = mkView(base)

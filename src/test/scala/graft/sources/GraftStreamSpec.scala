@@ -50,6 +50,31 @@ class GraftStreamSpec extends SparkSpec {
       Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")))
   }
 
+  test("a stream spanning widening and DEFAULT-add commits delivers " +
+      "every vintage under the head schema") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val root = tmp("stream_widen")
+    val path = s"$root/table"
+    val t = SnapshotTable(spark, path, "id")
+    t.create(Seq((1L, 10), (2L, 20)).toDF("id", "q")) // v1: int-typed q
+    t.widenColumn("q", LongType)                    // v2: metadata-only
+    t.addColumn("tag", StringType, Some("'old'"))   // v3: metadata-only
+    t.append(Seq((3L, 1L << 40, "new")).toDF("id", "q", "tag")) // v4: wide
+    val out = s"$root/out"
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // the narrow-vintage commits replay promoted (int bytes as long)
+    // and default-filled (file-missing column reads the frozen 'old')
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("q")),
+        r.getString(r.fieldIndex("tag")))).toSeq
+    assert(rows == Seq((1L, 10L, "old"), (2L, 20L, "old"),
+      (3L, 1L << 40, "new")), rows.toString)
+  }
+
   test("projection and filter apply to the streamed batches") {
     val root = tmp("stream_proj")
     val path = s"$root/table"
