@@ -1747,9 +1747,16 @@ final class SnapshotTable(
         val missing = ls.fields.filterNot(f =>
           src.columns.exists(_.equalsIgnoreCase(f.name)))
         if (missing.isEmpty) src
-        else if (evolveSchema)
-          missing.foldLeft(src)((d, f) =>
+        else if (evolveSchema) {
+          // null-fill, then RESTORE the logged column order (withColumn
+          // appends): the committed schema must not reorder the table's
+          // columns just because one batch omitted some
+          val filled = missing.foldLeft(src)((d, f) =>
             d.withColumn(f.name, lit(null).cast(f.dataType)))
+          val extras = src.columns.filterNot(c =>
+            ls.fieldNames.exists(_.equalsIgnoreCase(c)))
+          filled.select((ls.fieldNames ++ extras).toIndexedSeq.map(col): _*)
+        }
         else throw new IllegalArgumentException(
           s"upsert batch omits column(s) " +
             s"${missing.map(_.name).mkString(", ")} of $path — pass " +

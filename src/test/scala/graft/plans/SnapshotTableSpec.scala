@@ -815,12 +815,15 @@ class SnapshotTableSpec extends SparkSpec {
     t.upsert(frame((2, "b", "p2")).withColumn("extra", lit(7)),
       evolveSchema = true)
     assert(t.read.columns.contains("extra"))
+    val colOrder = t.read.columns.toSeq
     // an all-new-partition batch that OMITS the evolved column used to
     // commit src.schema verbatim, silently dropping 'extra' (and its
     // committed data in untouched files) from the log
     t.upsert(frame((3, "c", "p3")), evolveSchema = true)
     assert(t.read.columns.contains("extra"),
       "schema narrowed by an untouched-partition upsert")
+    assert(t.read.columns.toSeq == colOrder,
+      s"column order shuffled by the alignment: ${t.read.columns.toSeq}")
     assert(t.read.filter(col("id") === 2).head().getAs[Int]("extra") == 7)
     assert(t.read.filter(col("id") === 3).head()
       .isNullAt(t.read.columns.indexOf("extra")))
