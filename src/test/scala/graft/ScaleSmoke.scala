@@ -393,8 +393,57 @@ object ScaleSmoke {
         s""""partitions":$parts}""")
     } else Nil
 
+    // ---- TIME-RANGE window scan vs table HISTORY: the "T:" stat
+    // family's scale claim — a one-day dashboard window costs
+    // O(window files), independent of how much history the table
+    // holds. Rows-per-day stays constant while the time span (and the
+    // ts-clustered file count) grows 10x; the same absolute one-day
+    // window must stay ~flat. Without datetime stats this scan is
+    // O(table) and the ratio tracks the history growth instead.
+    val timeRangeRow = if (only.forall(_.contains("time_range_prune"))) {
+      val rowsPerDay = 20000L
+      val usPerRow = 86400000000L / rowsPerDay
+      val base = 1600000000000000L // 2020-09-13, micros
+      def build(days: Int): String = {
+        val p = s"$bigDir/time_range_$days"
+        if (!fs.exists(new Path(s"$p/_done"))) {
+          fs.delete(new Path(p), true)
+          val t = plans.SnapshotTable(spark, s"$p/t", "id",
+            statsCols = Seq("ts"), clusterBy = Seq("ts"),
+            clusterFiles = days / 2)
+          t.create(spark.range(days * rowsPerDay).select(col("id"),
+            timestamp_micros(lit(base) + col("id") * lit(usPerRow))
+              .as("ts"),
+            (col("id") % 997).as("v")))
+          fs.create(new Path(s"$p/_done"), true).close()
+        }
+        s"$p/t"
+      }
+      def windowScan(path: String): Double = {
+        def ts(day: Long) = java.time.Instant.ofEpochSecond(
+          (base + day * 86400000000L) / 1000000L)
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = spark.read.format("graft").load(path)
+            .filter(col("ts") >= lit(ts(10)) && col("ts") < lit(ts(11)))
+            .count()
+          require(n == rowsPerDay, s"window read $n rows, want $rowsPerDay")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val small = windowScan(build(40))   // 0.8M rows, 20 files
+      val big = windowScan(build(400))    // 8M rows, 200 files
+      val r = big / math.max(small, 1e-9)
+      def f2t(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(f"[smoke] time_range_prune 40d=$small%.2fs 400d=$big%.2fs " +
+        f"ratio=$r%.2f")
+      Seq(s"""${jstr("time_range_prune")}:{"sf01":$small,"sf1":$big,""" +
+        s""""ratio":${f2t(r)},"days_sf01":40,"days_sf1":400,""" +
+        s""""rows_per_day":$rowsPerDay}""")
+    } else Nil
+
     val json =
-      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow).mkString(",")}}}"""
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow ++ timeRangeRow).mkString(",")}}}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()
