@@ -1719,7 +1719,14 @@ final class SnapshotTable(
         val byName = old.fields.iterator.map(f => f.name -> f.metadata).toMap
         val fs2 = newSchema.fields.map { f =>
           byName.get(f.name) match {
-            case Some(md) => f.copy(metadata = md)
+            // the ID carries forward from the old field; everything
+            // else (defaults, comments) is the CALLER's metadata — a
+            // SET DEFAULT must land, and every caller builds its new
+            // schema from the logged fields anyway
+            case Some(md) if md.contains(SnapshotTable.FieldIdKey) =>
+              f.copy(metadata = SnapshotTable.mdWithId(f.metadata,
+                md.getLong(SnapshotTable.FieldIdKey)))
+            case Some(_) => f
             case None =>
               maxId += 1
               f.copy(metadata = SnapshotTable.mdWithId(f.metadata, maxId))
@@ -1830,6 +1837,43 @@ final class SnapshotTable(
     }
     evolveTo(StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(name, dt, nullable = true, md)))
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN ... SET/DROP DEFAULT` analog,
+    * METADATA-ONLY. Only `CURRENT_DEFAULT` moves — what FUTURE SQL
+    * INSERTs resolve. The initial default (`EXISTS_DEFAULT`, what
+    * rows predating the column read) stays frozen at its add-time
+    * value, and a column that never had one does NOT gain one: its
+    * pre-existing rows were committed under null semantics and a
+    * later SET DEFAULT must not rewrite their history (Delta/Iceberg
+    * semantics). DROP DEFAULT (`None`) removes only the
+    * current-default, for the same reason. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val schema = readManifest(v).schema.getOrElse(
+      throw new IllegalStateException(
+        s"cannot alter column defaults at $path: no logged schema"))
+    require(schema.fieldNames.contains(name), s"no column '$name' at $path")
+    val f = schema(name)
+    val md = defaultSql match {
+      case Some(sql) =>
+        // validate NOW through Spark's own analysis (parse, coerce to
+        // the column type, constant-fold) — same stance as addColumn
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.analyze(
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(SnapshotTable.CurrentDefaultKey, sql).build()),
+          "ALTER TABLE ALTER COLUMN")
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(SnapshotTable.CurrentDefaultKey, sql).build()
+      case None =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(SnapshotTable.CurrentDefaultKey).build()
+    }
+    evolveTo(StructType(schema.fields.map(x =>
+      if (x.name == name) x.copy(metadata = md) else x)))
   }
 
   /** `ALTER TABLE ... ALTER COLUMN ... TYPE` analog, METADATA-ONLY:

@@ -276,6 +276,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val sets = scala.collection.mutable.Map.empty[String, String]
     val unsets = scala.collection.mutable.Buffer.empty[String]
     val adds = scala.collection.mutable.Buffer.empty[StructField]
+    val defaultOps =
+      scala.collection.mutable.Buffer.empty[(String, Option[String])]
     val columnOps =
       scala.collection.mutable.Buffer.empty[graft.plans.SnapshotTable.ColumnAlter]
     changes.foreach {
@@ -325,6 +327,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           "graft drops top-level columns only")
         columnOps += graft.plans.SnapshotTable.DropCol(d.fieldNames.head)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "graft alters top-level column defaults only")
+        // "" is the parser's DROP DEFAULT; anything else is SET — only
+        // the CURRENT default moves (the frozen initial default stays,
+        // see SnapshotTable.setColumnDefault)
+        defaultOps += (u.fieldNames.head ->
+          Option(u.newDefaultValue()).filter(_.nonEmpty))
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1,
           "graft widens top-level columns only")
@@ -348,6 +358,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case graft.plans.SnapshotTable.DropCol(n) => snap.dropColumn(n)
       case graft.plans.SnapshotTable.WidenCol(n, t) => snap.widenColumn(n, t)
     }
+    defaultOps.foreach { case (n, d) => snap.setColumnDefault(n, d) }
     if (adds.nonEmpty)
       snap.evolveTo(StructType(snap.read.schema.fields ++ adds))
     if (sets.nonEmpty || unsets.nonEmpty)

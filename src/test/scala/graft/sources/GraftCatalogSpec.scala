@@ -377,6 +377,31 @@ class GraftCatalogSpec extends SparkSpec {
            TBLPROPERTIES ('primaryKey' = 'id')""")
     sql("INSERT INTO graft.defs.t2 (id) VALUES (1)")
     assert(sql("SELECT tag FROM graft.defs.t2").head().getString(0) == "x")
+    // SET DEFAULT moves only the CURRENT default: future inserts get
+    // the new value, rows predating the column keep reading the FROZEN
+    // initial default
+    sql("ALTER TABLE graft.defs.t ALTER COLUMN q SET DEFAULT 11")
+    sql("INSERT INTO graft.defs.t (id, v) VALUES (5, 'e')")
+    assert(sql("SELECT q FROM graft.defs.t WHERE id = 1").head().getInt(0)
+      == 7, "SET DEFAULT must not rewrite pre-add rows")
+    assert(sql("SELECT q FROM graft.defs.t WHERE id = 5").head().getInt(0)
+      == 11)
+    // DROP DEFAULT: later inserts omitting the column get null; frozen
+    // history still intact
+    sql("ALTER TABLE graft.defs.t ALTER COLUMN q DROP DEFAULT")
+    sql("INSERT INTO graft.defs.t (id, v) VALUES (6, 'f')")
+    assert(sql("SELECT q FROM graft.defs.t WHERE id = 6").head().isNullAt(0))
+    assert(sql("SELECT q FROM graft.defs.t WHERE id = 1").head().getInt(0)
+      == 7)
+    // SET DEFAULT on a column that never had one: pre-existing rows
+    // were committed under null semantics and MUST stay null
+    sql("ALTER TABLE graft.defs.t2 ADD COLUMN n INT")
+    sql("ALTER TABLE graft.defs.t2 ALTER COLUMN n SET DEFAULT 3")
+    assert(sql("SELECT n FROM graft.defs.t2 WHERE id = 1").head().isNullAt(0),
+      "SET DEFAULT invented history for a defaultless column")
+    sql("INSERT INTO graft.defs.t2 (id) VALUES (2)")
+    assert(sql("SELECT n, tag FROM graft.defs.t2 WHERE id = 2").head() ==
+      org.apache.spark.sql.Row(3, "x"))
   }
 
   test("mixed multi-change ALTER is pre-validated whole: a later invalid " +
