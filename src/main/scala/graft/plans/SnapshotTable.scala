@@ -1692,7 +1692,9 @@ final class SnapshotTable(
           "(re-layout) first")
     }
     require(newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
-      .forall(_.nullable), "added columns must be nullable")
+      .forall(_.nullable), "added columns must be nullable (the " +
+      "manifest deliberately relaxes nullability at commit — a NOT " +
+      "NULL add could not be retained)")
     // a default riding on an added field must analyze NOW (parse,
     // coerce to the field type, constant-fold) — a broken default
     // stored unvalidated would fail every later READ instead of this
@@ -1836,7 +1838,8 @@ final class SnapshotTable(
           .build()
     }
     evolveTo(StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(name, dt, nullable = true, md)))
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+        md)))
   }
 
   /** `ALTER TABLE ... ALTER COLUMN ... SET/DROP DEFAULT` analog,

@@ -288,12 +288,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft schema evolution adds top-level columns only")
-        // reject rather than silently rewrite the user's DDL: old rows
-        // read an added column as null, so NOT NULL cannot be honored,
-        // and parquet name-resolution ignores position
+        // reject rather than silently rewrite the user's DDL: the
+        // manifest deliberately relaxes nullability at commit (readers
+        // plan scans without opening footers), so a NOT NULL add could
+        // not be enforced — even with a DEFAULT backing old rows
         if (!a.isNullable) throw new UnsupportedOperationException(
           s"added column '${a.fieldNames.head}' must be nullable — " +
-            "existing rows have no value for it")
+            "graft manifests do not retain NOT NULL (add it nullable, " +
+            "optionally with a DEFAULT)")
         if (a.position != null) throw new UnsupportedOperationException(
           "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
             "supported")

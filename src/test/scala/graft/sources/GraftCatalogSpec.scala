@@ -402,6 +402,12 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT INTO graft.defs.t2 (id) VALUES (2)")
     assert(sql("SELECT n, tag FROM graft.defs.t2 WHERE id = 2").head() ==
       org.apache.spark.sql.Row(3, "x"))
+    // NOT NULL adds stay rejected even with a DEFAULT: the manifest
+    // deliberately relaxes nullability at commit, so the constraint
+    // could not be retained — refusing beats silently dropping it
+    val e4 = intercept[Exception](
+      sql("ALTER TABLE graft.defs.t2 ADD COLUMN req INT NOT NULL DEFAULT 5"))
+    assert(e4.getMessage.contains("nullable"), e4.getMessage)
   }
 
   test("mixed multi-change ALTER is pre-validated whole: a later invalid " +
