@@ -2017,7 +2017,8 @@ final class SnapshotTable(
     * /[[dropColumn]]/[[widenColumn]] semantics). */
   private[graft] def validateAlterSequence(
       ops: Seq[SnapshotTable.ColumnAlter],
-      adds: Seq[org.apache.spark.sql.types.StructField] = Nil): Unit = {
+      adds: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      defaults: Seq[(String, Option[String])] = Nil): Unit = {
     val v = currentVersion.getOrElse(return) // the ops themselves throw
     val m = readManifest(v)
     var schema = m.schema.getOrElse(return)
@@ -2053,6 +2054,21 @@ final class SnapshotTable(
       require(!schema.fieldNames.contains(f.name),
         s"column '${f.name}' already exists at $path")
       require(f.nullable, "added columns must be nullable")
+      schema = StructType(schema.fields :+ f)
+    }
+    // SET/DROP DEFAULT, dry-run against the EVOLVED schema: a mixed
+    // ALTER whose default is broken must leave the earlier changes
+    // uncommitted (the same per-statement-atomicity stance as the
+    // column ops above)
+    defaults.foreach { case (n, d) =>
+      require(schema.fieldNames.contains(n), s"no column '$n' at $path")
+      d.foreach { sql =>
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.analyze(
+          schema(n).copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(SnapshotTable.CurrentDefaultKey, sql).build()),
+          "ALTER TABLE ALTER COLUMN")
+      }
     }
   }
 

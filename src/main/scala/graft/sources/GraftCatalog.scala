@@ -353,8 +353,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         unsets.exists(_.startsWith("graft.mv.")))
       graft.plans.MaterializedAgg.validateDefinitionProps(spark,
         snap.properties ++ sets -- unsets)
-    if (columnOps.nonEmpty || adds.nonEmpty)
-      snap.validateAlterSequence(columnOps.toSeq, adds.toSeq)
+    if (columnOps.nonEmpty || adds.nonEmpty || defaultOps.nonEmpty)
+      snap.validateAlterSequence(columnOps.toSeq, adds.toSeq,
+        defaultOps.toSeq)
     columnOps.foreach {
       case graft.plans.SnapshotTable.RenameCol(o, n) => snap.renameColumn(o, n)
       case graft.plans.SnapshotTable.DropCol(n) => snap.dropColumn(n)

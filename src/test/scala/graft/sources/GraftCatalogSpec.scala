@@ -446,6 +446,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sch2("q2").dataType == org.apache.spark.sql.types.LongType)
     assert(sch2("p").dataType == org.apache.spark.sql.types.DoubleType)
     assert(sql("SELECT q2 FROM graft.mixedalter.t").head().getLong(0) == 10L)
+    // rename + a BROKEN default in one statement: same whole-statement
+    // stance — the rename must not land when the default fails
+    val e2 = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("q2"), "q3"),
+      TableChange.updateColumnDefaultValue(Array("q3"), "id + 1")))
+    val sch3 = sql("SELECT * FROM graft.mixedalter.t").schema
+    assert(sch3.fieldNames.contains("q2") && !sch3.fieldNames.contains("q3"),
+      s"failed mixed ALTER committed its earlier rename: $sch3 ($e2)")
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN on an id-mapped table; time travel spans the evolution") {
