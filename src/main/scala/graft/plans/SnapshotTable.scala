@@ -3727,6 +3727,61 @@ final class SnapshotTable(
     readVersion(versionOfTag(name).getOrElse(
       throw new IllegalArgumentException(s"no tag '$name' at $path")))
 
+  /** Everything [[vacuum]] must keep: the keep-window versions, the
+    * tagged versions (pinned regardless of the window — the Iceberg
+    * refs contract: "keep the monthly snapshot" survives every later
+    * vacuum until dropTag), and the data paths those versions plus
+    * every travelable BRANCH version reference (branch logs are only
+    * dropped whole; ascending replay keeps this one delta parse per
+    * branch version). A keep-window version may ALREADY be vacuumed (a
+    * prior run with a smaller keepVersions) — skipped, not a crash.
+    * Shared by [[vacuum]] and [[vacuumDryRun]] so the dry run can
+    * never disagree with the sweep. */
+  private def retainedRefs(v: Long, keepVersions: Int)
+      : (scala.collection.immutable.NumericRange.Inclusive[Long],
+         Set[Long], Set[String]) = {
+    val keep = ((v - keepVersions + 1) max 1L) to v
+    val tagged = tags.values.toSet.filter(hasVersion)
+    val branchRefs: Set[String] = branches.flatMap { b =>
+      val bh = forBranch(b)
+      bh.currentVersion.toSeq.flatMap(bv =>
+        (1L to bv).filter(bh.hasVersion)
+          .flatMap(bh.readManifest(_).entries.map(_.path)))
+    }.toSet
+    val referenced = (keep.filter(hasVersion).toSet ++ tagged)
+      .flatMap(readManifest(_).entries.map(_.path)) ++ branchRefs
+    (keep, tagged, referenced)
+  }
+
+  /** What [[vacuum]] WOULD reclaim, touching nothing: the
+    * unreferenced-and-aged data files, table-relative — the operator's
+    * pre-flight before an irreversible sweep (Delta's `VACUUM ... DRY
+    * RUN`). Commit-record housekeeping (aged deltas/checkpoints) is
+    * not listed: it is reconstructable metadata governed by the same
+    * version rules either way. */
+  def vacuumDryRun(keepVersions: Int = 2,
+                   retentionMs: Long = 60 * 60 * 1000L): Seq[String] = {
+    require(branch.isEmpty,
+      s"vacuum from the MAIN handle of $path — data retention is " +
+        "decided across ALL branches")
+    val v = currentVersion.getOrElse(return Nil)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val (_, _, referenced) = retainedRefs(v, keepVersions)
+    val root = new Path(dataDir)
+    if (!fs.exists(root)) return Nil
+    val out = Seq.newBuilder[String]
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (!referenced(childRel) && st.getModificationTime <= cutoff)
+          out += childRel
+      }
+    walk(root, "")
+    out.result().sorted
+  }
+
   def vacuum(keepVersions: Int = 2, retentionMs: Long = 60 * 60 * 1000L): Unit = {
     // the data directory is SHARED with every branch: a branch
     // handle's log knows nothing about main's (or sibling branches')
@@ -3738,25 +3793,7 @@ final class SnapshotTable(
         "decided across ALL branches")
     val v = currentVersion.getOrElse(return)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val keep = ((v - keepVersions + 1) max 1L) to v
-    // TAGGED versions are pinned regardless of the keep window —
-    // that is the tag contract (Iceberg refs): "keep the monthly
-    // snapshot" must survive every later vacuum until dropTag
-    val tagged = tags.values.toSet.filter(hasVersion)
-    // every BRANCH version is still travelable (branch logs are only
-    // dropped whole), so every branch-referenced file must survive;
-    // ascending replay keeps this one delta parse per branch version
-    val branchRefs: Set[String] = branches.flatMap { b =>
-      val bh = forBranch(b)
-      bh.currentVersion.toSeq.flatMap(bv =>
-        (1L to bv).filter(bh.hasVersion)
-          .flatMap(bh.readManifest(_).entries.map(_.path)))
-    }.toSet
-    // a version inside the keep window may ALREADY be vacuumed (a prior
-    // run with a smaller keepVersions deleted its manifest) — skip it
-    // rather than crash on the missing file
-    val referenced = (keep.filter(hasVersion).toSet ++ tagged)
-      .flatMap(readManifest(_).entries.map(_.path)) ++ branchRefs
+    val (keep, tagged, referenced) = retainedRefs(v, keepVersions)
     // the retained versions must stay reconstructable AFTER the older
     // records go: materialize a full checkpoint at the horizon version
     // AND at every pinned tagged version below it first (their base

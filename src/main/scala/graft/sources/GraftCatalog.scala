@@ -534,15 +534,26 @@ object GraftCatalog {
       snapshotOf: String => SnapshotTable): Option[UnboundProcedure] =
     name match {
       case "vacuum" => Some(new Proc("vacuum",
-        "reclaim files unreferenced by the newest keep_versions manifests",
+        "reclaim files unreferenced by the newest keep_versions " +
+          "manifests; dry_run => true lists what WOULD go, touching " +
+          "nothing",
         Seq(in("table", DataTypes.StringType),
           inDefault("keep_versions", DataTypes.IntegerType, "2"),
-          inDefault("retention_ms", DataTypes.LongType, "3600000"))) {
+          inDefault("retention_ms", DataTypes.LongType, "3600000"),
+          inDefault("dry_run", DataTypes.BooleanType, "false"))) {
         override def run(input: InternalRow) = {
           val arg = input.getUTF8String(0).toString
           val t = snapshotOf(arg)
-          t.vacuum(input.getInt(1), input.getLong(2))
-          (StatusSchema, statusRow(arg, t))
+          if (!input.isNullAt(3) && input.getBoolean(3)) {
+            val schema = StructType(Seq(
+              StructField("would_delete", DataTypes.StringType,
+                nullable = false)))
+            (schema, t.vacuumDryRun(input.getInt(1), input.getLong(2))
+              .map(row(_)).toArray)
+          } else {
+            t.vacuum(input.getInt(1), input.getLong(2))
+            (StatusSchema, statusRow(arg, t))
+          }
         }
       })
       case "refresh_mv" => Some(new Proc("refresh_mv",

@@ -1815,6 +1815,25 @@ class SnapshotTableSpec extends SparkSpec {
     walk(new Path(s"$path/data")).toSet
   }
 
+  test("vacuum dry run lists EXACTLY the sweep's reclaim set, touching " +
+      "nothing") {
+    val path = tmp("snapvacdry")
+    val t = SnapshotTable(spark, path, "id", Some("part"))
+    t.create(frame((1, "a", "p1"), (2, "b", "p2")))
+    t.upsert(frame((1, "A", "p1"))) // p1 rewritten: v1's file unreferenced
+    val before = dataFiles(path)
+    val dry = t.vacuumDryRun(keepVersions = 1, retentionMs = 0)
+    assert(dry.nonEmpty, "a rewritten partition left nothing to reclaim?")
+    assert(dataFiles(path) == before, "dry run deleted files")
+    assert(contents(t) == Seq(1 -> "A", 2 -> "b"))
+    t.vacuum(keepVersions = 1, retentionMs = 0)
+    val swept = (before -- dataFiles(path))
+      .map(_.split("/data/", 2)(1)) // strip scheme + table prefix
+    assert(swept == dry.toSet,
+      s"dry run ($dry) disagreed with the sweep ($swept)")
+    assert(contents(t) == Seq(1 -> "A", 2 -> "b"))
+  }
+
   test("MoR delete: a point delete rewrites ZERO data files") {
     val path = tmp("mordel")
     val t = SnapshotTable(spark, path, "id", Some("part"))

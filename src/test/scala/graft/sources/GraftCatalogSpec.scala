@@ -560,10 +560,20 @@ class GraftCatalogSpec extends SparkSpec {
       "CALL graft.system.compact(table => 'maint.t', " +
         "target_file_bytes => 134217728, min_files => 2)").head()
     assert(compacted.getLong(2) == 1L, "two tiny files should bin-pack to 1")
+    // dry_run FIRST: lists reclaimable files, touches nothing
+    val dry = sql("CALL graft.system.vacuum(table => 'maint.t', " +
+      "keep_versions => 1, retention_ms => 0, dry_run => true)").collect()
+    assert(dry.nonEmpty && dry.forall(r =>
+      r.getString(0).endsWith(".parquet")), dry.mkString("; "))
+    assert(sql("SELECT count(*) FROM graft.maint.t").head().getLong(0) == 2)
     sql("CALL graft.system.vacuum(table => 'maint.t', " +
       "keep_versions => 1, retention_ms => 0)")
-    // the table still reads fine after reclamation
+    // the table still reads fine after reclamation, and a second dry
+    // run has nothing left to list
     assert(sql("SELECT count(*) FROM graft.maint.t").head().getLong(0) == 2)
+    assert(sql("CALL graft.system.vacuum(table => 'maint.t', " +
+      "keep_versions => 1, retention_ms => 0, dry_run => true)")
+      .collect().isEmpty)
   }
 
   test("writeStream.toTable streams into a catalog table through the native sink") {
