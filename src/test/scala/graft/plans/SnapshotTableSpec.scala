@@ -2438,6 +2438,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(reader) == Seq(1 -> "a", 2 -> "b", 11 -> "X"))
   }
 
+  test("a concurrent widening (or DEFAULT add) fails an in-flight merge " +
+      "loudly; the DDL survives") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val path = tmp("snapwidenrace")
+    SnapshotTable(spark, path, "id", Some("part"))
+      .create(Seq((1L, 1, "p1"), (2L, 2, "p2")).toDF("id", "q", "part"))
+    val tA = SnapshotTable(spark, path, "id", Some("part"))
+    // A reads the head, B widens AND adds a defaulted column, A commits:
+    // A's merge was planned under the OLD schema — silently landing it
+    // would re-log that schema and revert the DDL (the same class of
+    // loss as the partition-spec race) — it must fail with the remedy
+    val outcome = interleaved(
+      Seq((3L, 3, "p2")).toDF("id", "q", "part"), tA.upsert(_)) {
+      val tB = SnapshotTable(spark, path, "id", Some("part"))
+      tB.widenColumn("q", LongType)
+      tB.addColumn("tag", StringType, Some("'old'"))
+    }
+    assert(outcome.isLeft, "an upsert raced past a concurrent schema change")
+    assert(outcome.swap.toOption.get.getMessage.contains("metadata"),
+      outcome.swap.toOption.get.getMessage)
+    val reader = SnapshotTable(spark, path, "id", Some("part"))
+    assert(reader.read.schema("q").dataType == LongType,
+      "the widening was reverted by the losing merge")
+    assert(reader.read.schema.fieldNames.contains("tag"),
+      "the DEFAULT add was reverted by the losing merge")
+    assert(reader.read.count() == 2)
+  }
+
   test("upsertDelete: flagged rows remove their PK match, others merge; absent-PK delete no-ops") {
     val path = tmp("snapupsdel")
     val t = SnapshotTable(spark, path, "id", Some("part"))
