@@ -3557,6 +3557,154 @@ object Queries {
       element_at(col("image_stats.luma_hist"), 8).as("h7"))
   }
 
+  /** FOREIGN-bytes GIF decode: the fixtures are encoded by the JDK's
+    * OWN ImageIO GIF writer ([[Multimodal.jdkGifEncode]] — LZW code
+    * schedule, palette layout and interlace row order all chosen by an
+    * independent encoder), cycling doc_id through 8-bit/4-bit 16-color
+    * and 1-bit 2-color palette shapes, every second payload
+    * INTERLACED (the writer's progressive mode). GIF is lossless on
+    * palette images, so DuckDB recomputes every statistic in closed
+    * form from the same md5(doc_id) pixel stream — palette[j] =
+    * digest[j]/digest[j+5]/digest[j+11], pixel index = digest[i%16] %
+    * n. The full decode ([[Multimodal.gifStats]]: real LZW, palette
+    * lookup, 4-pass DE-INTERLACE) must agree — including the
+    * POSITION-SENSITIVE checksum sum((i+1)*(r<<16|g<<8|b)), which is
+    * what makes interlacing count: plain channel sums are
+    * row-permutation-invariant, so a broken de-interlace would pass
+    * them. Every 50th payload is TRUNCATED mid-stream after encoding:
+    * the block walk never reaches the trailer and the stats must null
+    * out while the (intact) header LSD still decodes via column
+    * algebra ([[Multimodal.decodeGif]]) — corruption detected, not
+    * trusted. */
+  def multimodalGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val w = Math.floorMod(id, 14).toInt + 1
+        val h = Math.floorMod(id, 10).toInt + 1
+        val shape = Math.floorMod(id, 3).toInt
+        val n = if (shape == 2) 2 else 16
+        val pr = Array.tabulate(n)(j => digest(j))
+        val pg = Array.tabulate(n)(j => digest((j + 5) % 16))
+        val pb = Array.tabulate(n)(j => digest((j + 11) % 16))
+        val bits = shape match { case 0 => 8; case 1 => 4; case _ => 1 }
+        val icm = new java.awt.image.IndexColorModel(bits, n, pr, pg, pb)
+        val img = new java.awt.image.BufferedImage(w, h,
+          if (bits == 8) java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+          else java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0,
+              (digest((y * w + x) % 16) & 0xFF) % n)
+            x += 1
+          }
+          y += 1
+        }
+        (id, Multimodal.jdkGifEncode(img, Math.floorMod(id, 2) == 0))
+      }
+    }.toDF("media_id", "bytes")
+    // truncate mid-stream AFTER encoding: the header LSD stays intact
+    // but the block walk never reaches the trailer — stats must refuse
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0,
+        col("bytes").substr(lit(1), length(col("bytes")) - 4))
+        .otherwise(col("bytes")).as("bytes"))
+    val hdr = Multimodal.decodeGif(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      col("bytes"))
+    Multimodal.withGifStats(headered, "bytes").select(
+      col("media_id"), col("width"), col("height"),
+      col("gif_stats.n_frames").as("n_frames"),
+      col("gif_stats.interlaced").as("interlaced"),
+      col("gif_stats.b_sum").as("b_sum"),
+      col("gif_stats.b_min").as("b_min"),
+      col("gif_stats.b_max").as("b_max"),
+      col("gif_stats.g_sum").as("g_sum"),
+      col("gif_stats.g_min").as("g_min"),
+      col("gif_stats.g_max").as("g_max"),
+      col("gif_stats.r_sum").as("r_sum"),
+      col("gif_stats.r_min").as("r_min"),
+      col("gif_stats.r_max").as("r_max"),
+      col("gif_stats.n_px").as("n_px"),
+      col("gif_stats.pos_sum").as("pos_sum"),
+      element_at(col("gif_stats.luma_hist"), 1).as("h0"),
+      element_at(col("gif_stats.luma_hist"), 3).as("h2"),
+      element_at(col("gif_stats.luma_hist"), 6).as("h5"),
+      element_at(col("gif_stats.luma_hist"), 8).as("h7"))
+  }
+
+  /** ANIMATED GIF decode with REAL GIF89a composition, on FOREIGN
+    * bytes: per-doc multi-frame GIFs come from the JDK writer's
+    * sequence API ([[Multimodal.jdkGifEncodeAnimated]]), full-canvas
+    * frames whose pixels tile md5(doc_id:frame) through a 16-color
+    * md5(doc_id) palette. [[Multimodal.gifFrameStats]] decodes every
+    * frame's LZW stream, composes it onto the logical screen and
+    * samples every SECOND composed canvas (stride 2, the
+    * [[Multimodal.withVideoStats]] path shared with MJPEG-AVI) — the
+    * oracle regenerates the sampled frames' pixel streams in closed
+    * form. Every 50th payload is truncated after encoding: video
+    * stats null out while the header LSD still decodes. */
+  def multimodalGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        val digest = md.digest(id.toString.getBytes("UTF-8"))
+        val w = Math.floorMod(id, 9).toInt + 2
+        val h = Math.floorMod(id, 7).toInt + 2
+        val nf = Math.floorMod(id, 4).toInt + 2
+        val pr = Array.tabulate(16)(j => digest(j))
+        val pg = Array.tabulate(16)(j => digest((j + 5) % 16))
+        val pb = Array.tabulate(16)(j => digest((j + 11) % 16))
+        val icm = new java.awt.image.IndexColorModel(4, 16, pr, pg, pb)
+        val frames = (0 until nf).map { f =>
+          val digF = md.digest(s"$id:$f".getBytes("UTF-8"))
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0,
+                (digF((y * w + x) % 16) & 0xFF) % 16)
+              x += 1
+            }
+            y += 1
+          }
+          (img, 0, 0, "doNotDispose")
+        }
+        (id, Multimodal.jdkGifEncodeAnimated(frames))
+      }
+    }.toDF("media_id", "bytes")
+    val withBytes = media.select(col("media_id"),
+      when(pmod(col("media_id"), lit(50)) === 0,
+        col("bytes").substr(lit(1), length(col("bytes")) - 4))
+        .otherwise(col("bytes")).as("bytes"))
+    val hdr = Multimodal.decodeGif(col("bytes"))
+    val headered = withBytes.select(
+      col("media_id"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      col("bytes"))
+    Multimodal.withVideoStats(headered, "bytes", stride = 2).select(
+      col("media_id"), col("width"), col("height"),
+      col("video_stats.n_frames").as("n_frames"),
+      col("video_stats.n_sampled").as("n_sampled"),
+      col("video_stats.g_sum").as("g_sum"),
+      col("video_stats.g_min").as("g_min"),
+      col("video_stats.g_max").as("g_max"),
+      col("video_stats.n_px").as("n_px"))
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4030,6 +4178,8 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
     "multimodal_png_foreign" -> (multimodalPngForeign _),
+    "multimodal_gif" -> (multimodalGif _),
+    "multimodal_gif_frames" -> (multimodalGifFrames _),
     "multimodal_jpeg" -> (multimodalJpeg _),
     "multimodal_jpeg_pixels" -> (multimodalJpegPixels _),
     "multimodal_jpeg_foreign" -> (multimodalJpegForeign _),
@@ -5509,6 +5659,132 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h4 END AS h4,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
         |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
+    // closed-form recomputation of the FOREIGN (JDK-encoded) GIF
+    // decode: palette[j] = digest[j]/digest[(j+5)%16]/digest[(j+11)%16],
+    // pixel i's index = digest[i%16] % n — GIF is lossless on palette
+    // images, so every statistic (and the position checksum that pins
+    // de-interlaced rows to their places) recomputes exactly. Every
+    // 50th doc is truncated after encoding: stats NULL, header intact.
+    "multimodal_gif" ->
+      """WITH sz AS (
+        |  SELECT doc_id, doc_id % 14 + 1 AS w, doc_id % 10 + 1 AS h,
+        |         CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 16 END AS n,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |dig AS (
+        |  SELECT doc_id, j,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2*j+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2*j+2 AS INT), 1)) - 1 AS dv
+        |  FROM (SELECT doc_id, hex, unnest(range(16)) AS j FROM sz)),
+        |pixidx AS (
+        |  SELECT doc_id, n, unnest(range(w*h)) AS i FROM sz),
+        |pix AS (
+        |  SELECT p.doc_id, p.i, d.dv % p.n AS ix
+        |  FROM pixidx p JOIN dig d ON d.doc_id = p.doc_id AND d.j = p.i % 16),
+        |rgb AS (
+        |  SELECT p.doc_id, p.i, dr.dv AS r, dg.dv AS g, db.dv AS b
+        |  FROM pix p
+        |  JOIN dig dr ON dr.doc_id = p.doc_id AND dr.j = p.ix
+        |  JOIN dig dg ON dg.doc_id = p.doc_id AND dg.j = (p.ix + 5) % 16
+        |  JOIN dig db ON db.doc_id = p.doc_id AND db.j = (p.ix + 11) % 16),
+        |stat AS (
+        |  SELECT doc_id,
+        |    CAST(sum(b) AS BIGINT) AS b_sum, CAST(min(b) AS BIGINT) AS b_min,
+        |    CAST(max(b) AS BIGINT) AS b_max,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(min(g) AS BIGINT) AS g_min,
+        |    CAST(max(g) AS BIGINT) AS g_max,
+        |    CAST(sum(r) AS BIGINT) AS r_sum, CAST(min(r) AS BIGINT) AS r_min,
+        |    CAST(max(r) AS BIGINT) AS r_max,
+        |    CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum((i + 1) * (65536*r + 256*g + b)) AS BIGINT) AS pos_sum,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 0) AS BIGINT) AS h0,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 2) AS BIGINT) AS h2,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 5) AS BIGINT) AS h5,
+        |    CAST(count(*) FILTER (WHERE LEAST(7,
+        |      (299*r+587*g+114*b)//31875) = 7) AS BIGINT) AS h7
+        |  FROM rgb GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CAST(s.w AS INTEGER) AS width,
+        |  CAST(s.h AS INTEGER) AS height,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(1 AS INTEGER) END AS n_frames,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(CASE WHEN s.doc_id % 2 = 0
+        |       THEN 1 ELSE 0 END AS INTEGER) END AS interlaced,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_sum END AS b_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_min END AS b_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.b_max END AS b_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_sum END AS r_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_min END AS r_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.r_max END AS r_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.n_px END AS n_px,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.pos_sum END AS pos_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h0 END AS h0,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h2 END AS h2,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h5 END AS h5,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
+        |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
+    // closed-form recomputation of the ANIMATED GIF composition:
+    // full-canvas frames, so composed canvas f == frame f; sampled
+    // frames (f % 2 = 0) tile md5(doc_id:f) through the md5(doc_id)
+    // palette's green channel. Every 50th doc truncated: stats NULL.
+    "multimodal_gif_frames" ->
+      """WITH sz AS (
+        |  SELECT doc_id, doc_id % 9 + 2 AS w, doc_id % 7 + 2 AS h,
+        |         doc_id % 4 + 2 AS nf, md5(CAST(doc_id AS VARCHAR)) AS hexp
+        |  FROM documents),
+        |digp AS (
+        |  SELECT doc_id, j,
+        |    (strpos('0123456789abcdef',
+        |            substr(hexp, CAST(2*j+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hexp, CAST(2*j+2 AS INT), 1)) - 1 AS dv
+        |  FROM (SELECT doc_id, hexp, unnest(range(16)) AS j FROM sz)),
+        |sfr AS (
+        |  SELECT doc_id, w, h, unnest(range(nf)) AS f FROM sz),
+        |digf AS (
+        |  SELECT doc_id, f, j,
+        |    (strpos('0123456789abcdef',
+        |            substr(hex, CAST(2*j+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(hex, CAST(2*j+2 AS INT), 1)) - 1 AS dv
+        |  FROM (SELECT doc_id, f,
+        |          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS hex,
+        |          unnest(range(16)) AS j
+        |        FROM sfr WHERE f % 2 = 0)),
+        |pixidx AS (
+        |  SELECT doc_id, f, unnest(range(w*h)) AS i
+        |  FROM sfr WHERE f % 2 = 0),
+        |pix AS (
+        |  SELECT p.doc_id, d.dv % 16 AS ix
+        |  FROM pixidx p
+        |  JOIN digf d ON d.doc_id = p.doc_id AND d.f = p.f AND d.j = p.i % 16),
+        |gvals AS (
+        |  SELECT p.doc_id, dg.dv AS g
+        |  FROM pix p
+        |  JOIN digp dg ON dg.doc_id = p.doc_id AND dg.j = (p.ix + 5) % 16),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(min(g) AS BIGINT) AS g_min,
+        |    CAST(max(g) AS BIGINT) AS g_max, CAST(count(*) AS BIGINT) AS n_px
+        |  FROM gvals GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CAST(s.w AS INTEGER) AS width,
+        |  CAST(s.h AS INTEGER) AS height,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN CAST(s.nf AS INTEGER) END AS n_frames,
+        |  CASE WHEN s.doc_id % 50 <> 0
+        |    THEN CAST((s.nf + 1) // 2 AS INTEGER) END AS n_sampled,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_sum END AS g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_min END AS g_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_max END AS g_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.n_px END AS n_px
+        |FROM sz s JOIN agg a USING (doc_id)""".stripMargin,
     "multimodal_jpeg" ->
       // closed-form recomputation: every 50th doc got its SOF0 marker
       // byte broken, so the segment walk finds no frame header and all

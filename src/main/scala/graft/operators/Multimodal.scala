@@ -34,7 +34,12 @@ import org.apache.spark.sql.types._
   * and restart-interval streams. VIDEO demuxes for real too, for the
   * one format a JVM honestly covers end-to-end: MJPEG AVI
   * ([[aviDemux]]/[[withVideoStats]] — RIFF chunk algebra + per-frame
-  * JPEG decode). Compressed video codecs (H.264 etc.) stay out of
+  * JPEG decode). GIF decodes for real as well ([[gifParse]]/
+  * [[gifStats]]/[[gifFrameStats]]): hand-written LZW (deferred
+  * clear, 12-bit cap), global/local palettes, 4-pass de-interlace,
+  * and GIF89a ANIMATION composition — placement rects, transparency,
+  * all three disposal methods — validated against the JDK's own GIF
+  * writer/reader. Compressed video codecs (H.264 etc.) stay out of
   * hand-written scope: `stubDecode*` derive deterministic fake
   * outputs for those bytes, clearly marked below.
   * Everything around the stubs — schema, binary handling,
@@ -2325,6 +2330,585 @@ object Multimodal {
       (stats, hist)
     }
 
+  // ---------------------------------------------------------------
+  // GIF: header column algebra + a real LZW codec, both directions
+  // ---------------------------------------------------------------
+
+  /** REAL GIF header + logical-screen-descriptor decode via COLUMN
+    * algebra: version ("87a"/"89a"), canvas width/height (LE u16),
+    * global-color-table presence and entry count from the packed
+    * byte. Null for anything without the GIF signature — deeper
+    * structure (frames, LZW) takes the JVM parser ([[gifParse]]),
+    * never a misread. */
+  def decodeGif(bytes: Column): Column =
+    when(length(bytes) >= 13 &&
+         (substring(bytes, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+          substring(bytes, 1, 6) === lit("GIF89a".getBytes("US-ASCII"))), {
+      val packed = conv(hex(substring(bytes, 11, 1)), 16, 10).cast(LongType)
+      struct(
+        substring(bytes, 4, 3).cast(StringType).as("version"),
+        asInt(leAt(bytes, 7, 2)).as("width"),
+        asInt(leAt(bytes, 9, 2)).as("height"),
+        (shiftright(packed, 7).bitwiseAND(lit(1L)) === 1L).as("has_gct"),
+        when(shiftright(packed, 7).bitwiseAND(lit(1L)) === 1L,
+          pow(lit(2d), packed.bitwiseAND(lit(7L)) + 1)
+            .cast(IntegerType)).as("gct_colors"))
+    })
+
+  /** One decoded GIF frame: placement rect on the logical screen,
+    * interlace flag, GIF89a graphic-control state (disposal method,
+    * transparent index or -1), the LZW-decoded palette indices
+    * (row-major, de-interlaced) and the palette the indices resolve
+    * through (local if present, else global). */
+  private[graft] final case class GifFrame(
+      left: Int, top: Int, w: Int, h: Int, interlaced: Boolean,
+      disposal: Int, transIdx: Int, indices: Array[Byte],
+      palette: Array[Byte])
+
+  private[graft] final case class GifParsed(
+      w: Int, h: Int, frames: Array[GifFrame])
+
+  /** GIF-flavor LZW decode (LSB-first variable-width codes, CLEAR /
+    * EOI, 12-bit table cap with deferred clear). Returns exactly
+    * `nPix` bytes or null — malformed streams (code beyond the table,
+    * truncated input, non-literal after CLEAR) degrade to null, never
+    * throw: a single exception would fail a whole Spark task. */
+  private def gifLzwDecode(data: Array[Byte], minCodeSize: Int,
+                           nPix: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 8 || nPix <= 0) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val firstB = new Array[Byte](4096)
+    var c0 = 0
+    while (c0 < clear) { firstB(c0) = c0.toByte; c0 += 1 }
+    val out = new Array[Byte](nPix)
+    val stack = new Array[Byte](4097)
+    var outN = 0
+    var next = eoi + 1
+    var codeSize = minCodeSize + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var pos = 0
+    while (true) {
+      while (accBits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xFFL) << accBits; accBits += 8; pos += 1
+      }
+      if (accBits < codeSize)
+        return if (outN == nPix) out else null // input exhausted
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == nPix) out else null
+      } else {
+        val isNew = code == next
+        if (code > next || (isNew && prev < 0)) return null
+        var sp = 0
+        var c = if (isNew) prev else code
+        if (isNew) { stack(sp) = firstB(prev); sp += 1 }
+        while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return null // chain must bottom out at a literal
+        stack(sp) = c.toByte; sp += 1
+        while (sp > 0 && outN < nPix) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (outN == nPix) return out // pixels complete; trailing data is legal
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = if (isNew) firstB(prev) else firstB(code)
+          firstB(next) = firstB(prev)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    null // unreachable
+  }
+
+  /** GIF-flavor LZW ENCODE, literal-only emission: CLEAR, then one
+    * literal code per pixel at the decoder's exact code-width
+    * schedule (the decoder's table still grows on every symbol, so
+    * widths track [[gifLzwDecode]]'s growth rule), re-CLEARing before
+    * the table fills. Spec-valid output any GIF decoder accepts —
+    * compression is not the point, the write-side fixture is. */
+  private def gifLzwEncodeLiterals(pixels: Array[Byte],
+                                   minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += width
+      while (accBits >= 8) { bos.write((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prevSeen = false
+    put(clear, codeSize)
+    var i = 0
+    while (i < pixels.length) {
+      put(pixels(i) & 0xFF, codeSize)
+      if (prevSeen) {
+        next += 1
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        if (next >= 4094) { // re-clear well before the 12-bit cap
+          put(clear, codeSize); codeSize = minCodeSize + 1
+          next = eoi + 1; prevSeen = false
+        }
+      } else prevSeen = true
+      i += 1
+    }
+    put(eoi, codeSize)
+    if (accBits > 0) bos.write((acc & 0xFF).toInt)
+    bos.toByteArray
+  }
+
+  /** A complete GIF89a around per-frame palette indices — this
+    * module's own write side (the read-side foreign fixtures come
+    * from the JDK's writer, [[jdkGifEncode]]). Frames carry placement
+    * rects, disposal methods, optional transparency and optional
+    * local palettes; indices are LZW-packed via
+    * [[gifLzwEncodeLiterals]]. */
+  private[graft] def gifEncode(w: Int, h: Int, globalPalette: Array[Byte],
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], Array[Byte], Int, Int)])
+      : Array[Byte] = {
+    // frame tuple: (left, top, fw, fh, indices, localPalette|null,
+    //               disposal, transIdx|-1)
+    require(globalPalette.length % 3 == 0 && globalPalette.length >= 6)
+    val nGct = globalPalette.length / 3
+    require(Integer.bitCount(nGct) == 1, "palette size must be a power of 2")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    bos.write(w & 0xFF); bos.write((w >> 8) & 0xFF)
+    bos.write(h & 0xFF); bos.write((h >> 8) & 0xFF)
+    val gctBits = 31 - Integer.numberOfLeadingZeros(nGct)
+    bos.write(0x80 | (gctBits - 1)) // GCT present, size 2^gctBits
+    bos.write(0); bos.write(0)      // bg index, aspect
+    bos.write(globalPalette)
+    for ((left, top, fw, fh, idx, lct, disposal, transIdx) <- frames) {
+      require(idx.length == fw * fh)
+      if (disposal != 0 || transIdx >= 0) {
+        bos.write(0x21); bos.write(0xF9); bos.write(4)
+        bos.write(((disposal & 7) << 2) | (if (transIdx >= 0) 1 else 0))
+        bos.write(0); bos.write(0) // delay
+        bos.write(if (transIdx >= 0) transIdx else 0)
+        bos.write(0) // terminator
+      }
+      bos.write(0x2C)
+      bos.write(left & 0xFF); bos.write((left >> 8) & 0xFF)
+      bos.write(top & 0xFF); bos.write((top >> 8) & 0xFF)
+      bos.write(fw & 0xFF); bos.write((fw >> 8) & 0xFF)
+      bos.write(fh & 0xFF); bos.write((fh >> 8) & 0xFF)
+      if (lct != null) {
+        val nL = lct.length / 3
+        require(Integer.bitCount(nL) == 1 && nL >= 2)
+        bos.write(0x80 | (31 - Integer.numberOfLeadingZeros(nL) - 1))
+        // (interlace never written by this encoder)
+      } else bos.write(0)
+      if (lct != null) bos.write(lct)
+      val nPal = (if (lct != null) lct.length else globalPalette.length) / 3
+      val minCode = math.max(2, 32 - Integer.numberOfLeadingZeros(nPal - 1))
+      bos.write(minCode)
+      val lzw = gifLzwEncodeLiterals(idx, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n); bos.write(lzw, off, n); off += n
+      }
+      bos.write(0) // block terminator
+    }
+    bos.write(0x3B)
+    bos.toByteArray
+  }
+
+  /** Full GIF parse: signature, logical screen, global/local color
+    * tables, GIF89a extensions (graphic control: disposal +
+    * transparency; others skipped by the generic sub-block walk),
+    * per-frame LZW decode and Adam-style 4-pass DE-INTERLACE into
+    * row-major indices. Every length is bounds-checked and every
+    * malformed shape returns None — corruption detected, not
+    * trusted, and never a throw. */
+  private[graft] def gifParse(bytes: Array[Byte]): Option[GifParsed] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+    val w = le16(6); val h = le16(8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val packed = bytes(10) & 0xFF
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (2 << (packed & 7))
+      if (pos + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n
+    }
+    var disposal = 0; var transIdx = -1 // pending graphic control
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var totalPx = 0L
+    while (true) {
+      if (pos >= bytes.length) return None // ran off before the trailer
+      (bytes(pos) & 0xFF) match {
+        case 0x3B =>
+          if (frames.isEmpty) return None
+          return Some(GifParsed(w, h, frames.toArray))
+        case 0x21 =>
+          if (pos + 2 > bytes.length) return None
+          val label = bytes(pos + 1) & 0xFF
+          if (label == 0xF9) {
+            if (pos + 7 >= bytes.length || (bytes(pos + 2) & 0xFF) != 4)
+              return None
+            val p = bytes(pos + 3) & 0xFF
+            disposal = (p >> 2) & 7
+            transIdx = if ((p & 1) != 0) bytes(pos + 6) & 0xFF else -1
+          }
+          var q = pos + 2
+          var bl = 0
+          while ({
+            if (q >= bytes.length) return None
+            bl = bytes(q) & 0xFF; bl != 0
+          }) q += 1 + bl
+          pos = q + 1
+        case 0x2C =>
+          if (pos + 10 > bytes.length) return None
+          val fl = le16(pos + 1); val ft = le16(pos + 3)
+          val fw = le16(pos + 5); val fh = le16(pos + 7)
+          val ip = bytes(pos + 9) & 0xFF
+          pos += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 3 * (2 << (ip & 7))
+            if (pos + n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n
+          }
+          if (pal == null) return None
+          if (fw <= 0 || fh <= 0 || fl + fw > w || ft + fh > h) return None
+          totalPx += fw.toLong * fh
+          if (totalPx > (1L << 27)) return None
+          if (pos >= bytes.length) return None
+          val minCode = bytes(pos) & 0xFF; pos += 1
+          val buf = new java.io.ByteArrayOutputStream()
+          var bl = 0
+          while ({
+            if (pos >= bytes.length) return None
+            bl = bytes(pos) & 0xFF; bl != 0
+          }) {
+            if (pos + 1 + bl > bytes.length) return None
+            buf.write(bytes, pos + 1, bl); pos += 1 + bl
+          }
+          pos += 1
+          val raw = gifLzwDecode(buf.toByteArray, minCode, fw * fh)
+          if (raw == null) return None
+          val idx =
+            if ((ip & 0x40) == 0) raw
+            else { // de-interlace: 4 passes, rows 0/8, 4/8, 2/4, 1/2
+              val ordered = new Array[Byte](fw * fh)
+              var src = 0
+              val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+              var p = 0
+              while (p < 4) {
+                var y = starts(p)
+                while (y < fh) {
+                  System.arraycopy(raw, src * fw, ordered, y * fw, fw)
+                  src += 1; y += steps(p)
+                }
+                p += 1
+              }
+              ordered
+            }
+          frames += GifFrame(fl, ft, fw, fh, (ip & 0x40) != 0,
+            disposal, transIdx, idx, pal)
+          disposal = 0; transIdx = -1
+        case _ => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** First-frame GIF decode down to pixel statistics: the shared
+    * [bgr sum/min/max, opaque-pixel count] layout + 8-bin luma
+    * histogram, PLUS a POSITION-SENSITIVE checksum
+    * `sum((i+1) * (r<<16 | g<<8 | b))` over the frame's row-major
+    * pixel index i. Stats alone are row-permutation-invariant — a
+    * broken DE-INTERLACE would pass them — so the checksum is what
+    * pins rows to their places. Transparent pixels are excluded;
+    * an all-transparent first frame refuses (no stats to report).
+    * Returns (canvasW, canvasH, nFrames, interlaced, stats, hist,
+    * posSum). */
+  private[graft] def gifStats(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Long], Array[Long], Long)] = {
+    val g = gifParse(bytes).getOrElse(return None)
+    val f = g.frames(0)
+    val nCol = f.palette.length / 3
+    val stats = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
+    val hist = new Array[Long](8)
+    var posSum = 0L
+    var opaque = 0L
+    var i = 0
+    while (i < f.indices.length) {
+      val ix = f.indices(i) & 0xFF
+      if (ix != f.transIdx) {
+        if (ix >= nCol) return None
+        val r = f.palette(3 * ix) & 0xFF
+        val gg = f.palette(3 * ix + 1) & 0xFF
+        val b = f.palette(3 * ix + 2) & 0xFF
+        stats(0) += b; if (b < stats(1)) stats(1) = b; if (b > stats(2)) stats(2) = b
+        stats(3) += gg; if (gg < stats(4)) stats(4) = gg; if (gg > stats(5)) stats(5) = gg
+        stats(6) += r; if (r < stats(7)) stats(7) = r; if (r > stats(8)) stats(8) = r
+        hist(math.min(7L, (299L * r + 587L * gg + 114L * b) / 31875L).toInt) += 1
+        posSum += (i + 1).toLong * ((r.toLong << 16) | (gg.toLong << 8) | b)
+        opaque += 1
+      }
+      i += 1
+    }
+    if (opaque == 0) return None
+    stats(9) = opaque
+    Some((g.w, g.h, g.frames.length, if (f.interlaced) 1 else 0,
+      stats, hist, posSum))
+  }
+
+  /** [[withImageStats]]-shaped view of [[gifStats]]. */
+  private[graft] def gifPixelStats(bytes: Array[Byte])
+      : Option[(Array[Long], Array[Long])] =
+    gifStats(bytes).map(t => (t._5, t._6))
+
+  /** ANIMATED GIF frame statistics with REAL GIF89a composition:
+    * each frame draws its non-transparent pixels onto the logical
+    * screen at its placement rect, the composed canvas is sampled
+    * every `stride`-th frame (green channel over covered pixels,
+    * [[aviFrameStats]]'s exact output shape), and then the frame's
+    * DISPOSAL runs — 2 clears the rect back to uncovered, 3 restores
+    * the pre-draw canvas, else the paint stays. Undecodable payloads
+    * and out-of-palette indices return None, never throw. */
+  private[graft] def gifFrameStats(bytes: Array[Byte], stride: Int)
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    require(stride >= 1, "stride must be >= 1")
+    val g = gifParse(bytes).getOrElse(return None)
+    val canvas = new Array[Int](g.w * g.h)
+    val covered = new Array[Boolean](g.w * g.h)
+    var sampled = 0
+    var gSum = 0L; var gMin = 255L; var gMax = 0L; var nPx = 0L
+    var fi = 0
+    while (fi < g.frames.length) {
+      val f = g.frames(fi)
+      val nCol = f.palette.length / 3
+      var savedPix: Array[Int] = null
+      var savedCov: Array[Boolean] = null
+      if (f.disposal == 3) { // restore-to-previous: snapshot the rect
+        savedPix = new Array[Int](f.w * f.h)
+        savedCov = new Array[Boolean](f.w * f.h)
+        var y = 0
+        while (y < f.h) {
+          var x = 0
+          while (x < f.w) {
+            val ci = (f.top + y) * g.w + (f.left + x)
+            savedPix(y * f.w + x) = canvas(ci)
+            savedCov(y * f.w + x) = covered(ci)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val ix = f.indices(y * f.w + x) & 0xFF
+          if (ix != f.transIdx) {
+            if (ix >= nCol) return None
+            val ci = (f.top + y) * g.w + (f.left + x)
+            canvas(ci) = ((f.palette(3 * ix) & 0xFF) << 16) |
+              ((f.palette(3 * ix + 1) & 0xFF) << 8) |
+              (f.palette(3 * ix + 2) & 0xFF)
+            covered(ci) = true
+          }
+          x += 1
+        }
+        y += 1
+      }
+      if (fi % stride == 0) {
+        var i = 0
+        while (i < canvas.length) {
+          if (covered(i)) {
+            val gg = (canvas(i) >> 8) & 0xFF
+            gSum += gg
+            if (gg < gMin) gMin = gg
+            if (gg > gMax) gMax = gg
+            nPx += 1
+          }
+          i += 1
+        }
+        sampled += 1
+      }
+      f.disposal match {
+        case 2 => // restore to background: the rect becomes uncovered
+          var yy = 0
+          while (yy < f.h) {
+            var xx = 0
+            while (xx < f.w) {
+              covered((f.top + yy) * g.w + (f.left + xx)) = false
+              xx += 1
+            }
+            yy += 1
+          }
+        case 3 =>
+          var yy = 0
+          while (yy < f.h) {
+            var xx = 0
+            while (xx < f.w) {
+              val ci = (f.top + yy) * g.w + (f.left + xx)
+              canvas(ci) = savedPix(yy * f.w + xx)
+              covered(ci) = savedCov(yy * f.w + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+        case _ => ()
+      }
+      fi += 1
+    }
+    Some((g.frames.length, sampled, gSum, gMin, gMax, nPx))
+  }
+
+  /** Foreign-bytes GIF fixture: the JDK's OWN ImageIO GIF writer
+    * (mirroring [[jdkPngEncode]]/[[jdkJpegEncode]]) — palette layout,
+    * LZW code schedule and interlace row order all chosen by an
+    * independent encoder; GIF is lossless on palette images, so
+    * closed-form oracles recompute the decode exactly. Progressive
+    * mode makes the writer emit INTERLACED frames. */
+  private[graft] def jdkGifEncode(img: java.awt.image.BufferedImage,
+                                  interlaced: Boolean): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      if (param.canWriteProgressive())
+        param.setProgressiveMode(
+          if (interlaced) javax.imageio.ImageWriteParam.MODE_DEFAULT
+          else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  /** Foreign-bytes ANIMATED GIF fixture via the JDK writer's sequence
+    * API: each frame carries (image, left, top, disposalMethod) set
+    * through the native `javax_imageio_gif_image_1.0` metadata tree.
+    * The logical screen derives from the FIRST frame, so pass it
+    * full-canvas-sized. */
+  private[graft] def jdkGifEncodeAnimated(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)])
+      : Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for ((img, left, top, disposal) <- frames) {
+        val spec = javax.imageio.ImageTypeSpecifier
+          .createFromRenderedImage(img)
+        val meta = writer.getDefaultImageMetadata(spec, param)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+          val found = root.getElementsByTagName(name)
+          if (found.getLength > 0)
+            found.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode(name)
+            root.appendChild(n); n
+          }
+        }
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        // the default tree carries a stale 2-color LocalColorTable the
+        // writer TRUSTS over the image's own color model (the
+        // single-image write() path infers the palette only when no
+        // metadata is passed) — rebuild it from the actual
+        // IndexColorModel or every sequence frame comes out bw
+        img.getColorModel match {
+          case icm: java.awt.image.IndexColorModel =>
+            val lct = node("LocalColorTable")
+            while (lct.hasChildNodes) lct.removeChild(lct.getFirstChild)
+            lct.setAttribute("sizeOfLocalColorTable", icm.getMapSize.toString)
+            lct.setAttribute("sortFlag", "FALSE")
+            var ci = 0
+            while (ci < icm.getMapSize) {
+              val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+              e.setAttribute("index", ci.toString)
+              e.setAttribute("red", icm.getRed(ci).toString)
+              e.setAttribute("green", icm.getGreen(ci).toString)
+              e.setAttribute("blue", icm.getBlue(ci).toString)
+              lct.appendChild(e)
+              ci += 1
+            }
+          case _ => ()
+        }
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  private val gifStatsType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("interlaced", IntegerType),
+    StructField("b_sum", LongType), StructField("b_min", LongType),
+    StructField("b_max", LongType), StructField("g_sum", LongType),
+    StructField("g_min", LongType), StructField("g_max", LongType),
+    StructField("r_sum", LongType), StructField("r_min", LongType),
+    StructField("r_max", LongType), StructField("n_px", LongType),
+    StructField("pos_sum", LongType),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false))))
+
+  /** Append a nullable `gif_stats` struct decoded FOR REAL from GIF
+    * payloads ([[gifStats]]: LZW + palette + de-interlace + the
+    * position checksum). Per-partition batched like
+    * [[withImageStats]]; undecodable payloads yield a null struct,
+    * never a failure. */
+  def withGifStats(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("gif_stats", gifStatsType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val st = Option(r.get(idx))
+          .map(_.asInstanceOf[Array[Byte]])
+          .flatMap(gifStats)
+          .map { case (w, h, nf, il, s, hist, posSum) =>
+            Row(w, h, nf, il, s(0), s(1), s(2), s(3), s(4), s(5), s(6),
+              s(7), s(8), s(9), posSum, hist.toSeq)
+          }.orNull
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   private val imageStatsType = StructType(Seq(
     StructField("b_sum", LongType), StructField("b_min", LongType),
     StructField("b_max", LongType), StructField("g_sum", LongType),
@@ -2354,7 +2938,7 @@ object Multimodal {
         val stats = Option(r.get(idx))
           .map(_.asInstanceOf[Array[Byte]])
           .flatMap(b => bmpPixelStats(b).orElse(pngPixelStats(b))
-            .orElse(jpegPixelStats(b)))
+            .orElse(jpegPixelStats(b)).orElse(gifPixelStats(b)))
         val st = stats.map { case (s, hist) =>
           Row(s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8), s(9),
             hist.toSeq)
@@ -2385,7 +2969,8 @@ object Multimodal {
       rows.map { r =>
         val st = Option(r.get(idx))
           .map(_.asInstanceOf[Array[Byte]])
-          .flatMap(b => aviFrameStats(b, stride))
+          .flatMap(b => aviFrameStats(b, stride)
+            .orElse(gifFrameStats(b, stride)))
           .map { case (nf, ns, gSum, gMin, gMax, nPx) =>
             Row(nf, ns, gSum, gMin, gMax, nPx)
           }.orNull
@@ -2426,7 +3011,7 @@ object Multimodal {
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
         val img = bmpPixelStats(bytes).orElse(pngPixelStats(bytes))
-          .orElse(jpegPixelStats(bytes))
+          .orElse(jpegPixelStats(bytes)).orElse(gifPixelStats(bytes))
         val aud = if (img.isDefined) None else wavSampleStats(bytes)
         (img, aud) match {
           case (Some((s, hist)), _) =>

@@ -1066,4 +1066,239 @@ class MultimodalSpec extends SparkSpec {
     // and the result is right (3 kinds over 500 docs)
     assert(metaOnly.collect().map(_.getLong(1)).sum == docs.count())
   }
+
+  // ---------------------------------------------------------------
+  // GIF: LZW + palette + interlace + animation composition
+  // ---------------------------------------------------------------
+
+  /** Test-side mini-walk to the first image descriptor's packed byte —
+    * independent of the engine parser, so interlace assertions are not
+    * circular. Returns the packed byte or -1. */
+  private def gifFirstDescriptorPacked(bytes: Array[Byte]): Int = {
+    var pos = 13
+    if ((bytes(10) & 0x80) != 0) pos += 3 * (2 << (bytes(10) & 7))
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xFF) match {
+        case 0x2C => return bytes(pos + 9) & 0xFF
+        case 0x21 =>
+          var q = pos + 2
+          while ((bytes(q) & 0xFF) != 0) q += 1 + (bytes(q) & 0xFF)
+          pos = q + 1
+        case _ => return -1
+      }
+    }
+    -1
+  }
+
+  test("differential fuzz: JDK-encoded GIFs (palette 1/4/8-bit, gray) x " +
+      "interlace match gifStats EXACTLY, position checksum included") {
+    // the payload is the JDK GIF writer's own bytes — palette layout,
+    // LZW code schedule and interlace row order all chosen by an
+    // independent encoder — and GIF is lossless on palette images, so
+    // our stats must equal stats recomputed from the source raster
+    // EXACTLY. The position checksum makes de-interlace order count:
+    // plain sums are row-permutation-invariant.
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(4141)
+    val shapes = Seq("pal1", "pal4", "pal8", "gray8")
+    for (trial <- 0 until 60) {
+      val shape = shapes(trial % shapes.length)
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(33)
+      val interlaced = trial % 2 == 1
+      val (img, truth): (java.awt.image.BufferedImage, (Int, Int) => (Int, Int, Int)) =
+        shape match {
+          case "gray8" =>
+            val im = new java.awt.image.BufferedImage(w, h, TYPE_BYTE_GRAY)
+            (im, (x, y) => { val v = im.getRaster.getSample(x, y, 0); (v, v, v) })
+          case s =>
+            val (bits, n) = s match {
+              case "pal1" => (1, 2); case "pal4" => (4, 16); case _ => (8, 256)
+            }
+            val pr = Array.fill(n)(rnd.nextInt(256).toByte)
+            val pg = Array.fill(n)(rnd.nextInt(256).toByte)
+            val pb = Array.fill(n)(rnd.nextInt(256).toByte)
+            val icm = new java.awt.image.IndexColorModel(bits, n, pr, pg, pb)
+            val im = new java.awt.image.BufferedImage(w, h,
+              if (bits == 8) TYPE_BYTE_INDEXED else TYPE_BYTE_BINARY, icm)
+            (im, (x, y) => {
+              val j = im.getRaster.getSample(x, y, 0)
+              (pr(j) & 0xFF, pg(j) & 0xFF, pb(j) & 0xFF)
+            })
+        }
+      val maxV = shape match {
+        case "pal1" => 1; case "pal4" => 15; case _ => 255
+      }
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(maxV + 1))
+      val bytes = Multimodal.jdkGifEncode(img, interlaced)
+      val tag = s"trial=$trial $shape ${w}x$h il=$interlaced"
+      // the interlace request must actually have landed in the image
+      // descriptor — otherwise the de-interlace path goes untested
+      val packed = gifFirstDescriptorPacked(bytes)
+      assert(packed >= 0, s"$tag: no image descriptor found")
+      assert(((packed >> 6) & 1) == (if (interlaced) 1 else 0),
+        s"$tag descriptor interlace bit")
+      val got = Multimodal.gifStats(bytes)
+      assert(got.isDefined, s"$tag: refused a valid JDK stream")
+      val Some((cw, ch, nf, il, s, hist, posSum)) = got
+      assert(cw == w && ch == h, s"$tag canvas dims")
+      assert(nf == 1, s"$tag frame count")
+      assert(il == (if (interlaced) 1 else 0), s"$tag interlace flag")
+      val want = Array(0L, 255L, 0L, 0L, 255L, 0L, 0L, 255L, 0L, 0L)
+      val wantHist = new Array[Long](8)
+      var wantPos = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = truth(x, y)
+        want(0) += b; want(1) = math.min(want(1), b); want(2) = math.max(want(2), b)
+        want(3) += g; want(4) = math.min(want(4), g); want(5) = math.max(want(5), g)
+        want(6) += r; want(7) = math.min(want(7), r); want(8) = math.max(want(8), r)
+        wantHist(math.min(7L, (299L * r + 587L * g + 114L * b) / 31875L).toInt) += 1
+        wantPos += (y.toLong * w + x + 1) * ((r.toLong << 16) | (g.toLong << 8) | b)
+      }
+      want(9) = w.toLong * h
+      assert(s.toSeq == want.toSeq, s"$tag channel stats")
+      assert(hist.toSeq == wantHist.toSeq, s"$tag luma histogram")
+      assert(posSum == wantPos, s"$tag position checksum")
+    }
+  }
+
+  test("animated GIF: JDK-sequence-encoded full-canvas frames match " +
+      "gifFrameStats under stride sampling") {
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(5252)
+    for (trial <- 0 until 25) {
+      val w = 2 + rnd.nextInt(20)
+      val h = 2 + rnd.nextInt(16)
+      val nf = 2 + rnd.nextInt(4)
+      val stride = 1 + rnd.nextInt(2)
+      val n = 16
+      val pr = Array.fill(n)(rnd.nextInt(256).toByte)
+      val pg = Array.fill(n)(rnd.nextInt(256).toByte)
+      val pb = Array.fill(n)(rnd.nextInt(256).toByte)
+      val icm = new java.awt.image.IndexColorModel(4, n, pr, pg, pb)
+      val frames = (0 until nf).map { _ =>
+        val im = new java.awt.image.BufferedImage(w, h, TYPE_BYTE_BINARY, icm)
+        for (y <- 0 until h; x <- 0 until w)
+          im.getRaster.setSample(x, y, 0, rnd.nextInt(n))
+        im
+      }
+      val bytes = Multimodal.jdkGifEncodeAnimated(
+        frames.map(f => (f, 0, 0, "doNotDispose")))
+      val tag = s"trial=$trial ${w}x$h nf=$nf stride=$stride"
+      val got = Multimodal.gifFrameStats(bytes, stride)
+      assert(got.isDefined, s"$tag: refused a valid JDK sequence")
+      val (gotNf, gotSampled, gSum, gMin, gMax, nPx) = got.get
+      assert(gotNf == nf, s"$tag n_frames")
+      assert(gotSampled == (nf + stride - 1) / stride, s"$tag n_sampled")
+      // full-canvas replacement frames: composed canvas f == frame f
+      var wSum = 0L; var wMin = 255L; var wMax = 0L; var wPx = 0L
+      for (f <- 0 until nf if f % stride == 0; y <- 0 until h; x <- 0 until w) {
+        val g = pg(frames(f).getRaster.getSample(x, y, 0)) & 0xFF
+        wSum += g; wMin = math.min(wMin, g); wMax = math.max(wMax, g); wPx += 1
+      }
+      assert(gSum == wSum, s"$tag g_sum")
+      assert(gMin == wMin && gMax == wMax, s"$tag g extrema")
+      assert(nPx == wPx, s"$tag n_px")
+    }
+  }
+
+  test("animated GIF composition: sub-rect frames, transparency and all " +
+      "three disposal methods compose per GIF89a") {
+    // engine-encoded ([[Multimodal.gifEncode]]) so rects/disposal/
+    // transparency are EXACTLY placed, then hand-computed canvases.
+    // 4x3 canvas; palette: 0=black 1=red 2=green 3=blue.
+    val pal = Array[Byte](
+      0, 0, 0,
+      255.toByte, 0, 0,
+      0, 255.toByte, 0,
+      0, 0, 255.toByte)
+    def solid(n: Int, v: Int) = Array.fill(n)(v.toByte)
+    // f0: full 4x3 red (disposal 0)
+    // f1: 2x1 green at (1,1), disposal 3 (restore-to-previous)
+    // f2: 2x2 blue at (2,1), disposal 2 (restore-to-background)
+    // f3: 1x1 transparent at (0,0) — a no-op paint probing prior state
+    val bytes = Multimodal.gifEncode(4, 3, pal, Seq(
+      (0, 0, 4, 3, solid(12, 1), null, 0, -1),
+      (1, 1, 2, 1, solid(2, 2), null, 3, -1),
+      (2, 1, 2, 2, solid(4, 3), null, 2, -1),
+      (0, 0, 1, 1, solid(1, 0), null, 0, 0)))
+    // composed canvases (green channel; covered-only):
+    // after f0: all red (g=0), 12 px
+    // after f1: green g=255 at 2 px, red elsewhere -> sum 510, 12 px
+    // after f2 draw: f1's paint was RESTORED away first, blue 4 px
+    //   (g=0) over red -> sum 0, 12 px
+    // after f3 draw: f2's rect was cleared to UNCOVERED (disposal 2),
+    //   f3 paints nothing (transparent) -> 8 covered px, all red, sum 0
+    val got = Multimodal.gifFrameStats(bytes, 1)
+    assert(got.isDefined, "refused the crafted animation")
+    val (nf, sampled, gSum, gMin, gMax, nPx) = got.get
+    assert(nf == 4 && sampled == 4)
+    assert(gSum == 0L + 510L + 0L + 0L, s"g_sum $gSum")
+    assert(gMin == 0 && gMax == 255)
+    assert(nPx == 12L + 12L + 12L + 8L, s"n_px $nPx")
+    // stride 2 samples frames 0 and 2 only
+    val (_, s2, gSum2, _, _, nPx2) = Multimodal.gifFrameStats(bytes, 2).get
+    assert(s2 == 2 && gSum2 == 0L && nPx2 == 24L)
+  }
+
+  test("gifEncode round-trips through gifParse with local palettes and " +
+      "interlace through the JDK's own reader") {
+    // engine write side vs the JDK's independent GIF READER: crafted
+    // frames with a local palette must decode identically under both.
+    val rnd = new scala.util.Random(6363)
+    for (trial <- 0 until 10) {
+      val w = 1 + rnd.nextInt(30); val h = 1 + rnd.nextInt(20)
+      val gpal = Array.fill(48)(rnd.nextInt(256).toByte) // 16 colors
+      val lpal = Array.fill(12)(rnd.nextInt(256).toByte) // 4 colors
+      val idx = Array.fill(w * h)(rnd.nextInt(4).toByte)
+      val bytes = Multimodal.gifEncode(w, h, gpal,
+        Seq((0, 0, w, h, idx, lpal, 0, -1)))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"trial=$trial: JDK refused our GIF")
+      assert(jdk.getWidth == w && jdk.getHeight == h, s"trial=$trial dims")
+      val mine = Multimodal.gifParse(bytes).get
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = mine.frames(0).indices(y * w + x) & 0xFF
+        val (r, g, b) = (lpal(3 * j) & 0xFF, lpal(3 * j + 1) & 0xFF,
+          lpal(3 * j + 2) & 0xFF)
+        val p = jdk.getRGB(x, y)
+        assert(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) == ((r, g, b)),
+          s"trial=$trial pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("corruption fuzz: GIF byte flips and truncations NEVER throw") {
+    // same contract as the PNG/JPEG mutation harnesses: one flipped
+    // byte or a random truncation anywhere in a valid payload must
+    // degrade to None (or decode something), never propagate an
+    // exception — a single throw would fail a whole Spark task
+    import java.awt.image.BufferedImage._
+    val rnd = new scala.util.Random(7474)
+    val pr = Array.tabulate(16)(i => (i * 17).toByte)
+    val icm = new java.awt.image.IndexColorModel(4, 16, pr, pr.reverse, pr)
+    val img = new java.awt.image.BufferedImage(13, 9, TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 9; x <- 0 until 13)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(16))
+    val anim = Multimodal.jdkGifEncodeAnimated(
+      Seq((img, 0, 0, "doNotDispose"), (img, 0, 0, "restoreToBackgroundColor")))
+    val payloads = Seq(
+      Multimodal.jdkGifEncode(img, interlaced = false),
+      Multimodal.jdkGifEncode(img, interlaced = true),
+      anim)
+    for (base <- payloads; trial <- 0 until 400) {
+      val mutated = base.clone()
+      if (trial % 2 == 0) {
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        Multimodal.gifStats(mutated)
+        Multimodal.gifFrameStats(mutated, 2)
+      } else {
+        val cut = java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+        Multimodal.gifStats(cut)
+        Multimodal.gifFrameStats(cut, 2)
+      }
+    }
+  }
 }
