@@ -3224,6 +3224,23 @@ object Queries {
       emb, plantedAnnQueries(emb, 5), k = 10, nCentroids = 16, nProbe = 6))
   }
 
+  /** IVF-PQ ANN top-10 ([[Similarity.ivfPqTopK]]): coarse inverted
+    * lists prune to nProbe lists, candidates score by ADC against
+    * their m-byte PRODUCT-QUANTIZATION codes (the candidate stage
+    * never touches a raw vector — plan-asserted in SkewIvfSpec), the
+    * refine pool re-ranks exactly. Self-checked via the same planted
+    * near-neighbors as the LSH/IVF entries: lossy codes choose the
+    * candidates, but the EXACT re-rank must still surface each
+    * planted query's source at rank 1 with its exactly-recomputed
+    * cosine — the end-to-end property a compressed index has to keep
+    * to be usable. */
+  def embeddingAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annPlantedTop1(Similarity.ivfPqTopK(
+      emb, plantedAnnQueries(emb, 5), k = 10, nCentroids = 16, nProbe = 6,
+      m = 8, ksub = 16, refine = 4))
+  }
+
   /** CDC-incremental IVF index maintenance
     * ([[Similarity.ivfRefresh]]): centroids train ONCE on the v1
     * corpus and freeze; the corpus then takes an upsert wave (a
@@ -4157,6 +4174,7 @@ object Queries {
     "embedding_ann_lsh" -> (embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
+    "embedding_ann_pq" -> (embeddingAnnPq _),
     "ivf_incremental" -> (ivfIncremental _),
     "ivf_retrain_trigger" -> (ivfRetrainTrigger _),
     "ann_recall" -> (annRecall _),
@@ -5284,6 +5302,7 @@ object Queries {
     // per-element float rounding is replicated with CAST(.. AS FLOAT))
     "embedding_ann_lsh" -> AnnPlantedOracleSql,
     "embedding_ann_ivf" -> AnnPlantedOracleSql,
+    "embedding_ann_pq" -> AnnPlantedOracleSql,
     // the bit-parity claim is verified IN-PLAN (full-outer join of the
     // maintained index against the from-scratch assignment under the
     // same frozen centroids); the oracle recomputes the final corpus

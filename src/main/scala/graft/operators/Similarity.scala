@@ -415,6 +415,232 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  // ---------------------------------------------------------------
+  // product quantization (IVF-PQ): compressed-code ANN at scale
+  // ---------------------------------------------------------------
+
+  /** Train `m` per-subspace PQ codebooks of `ksub` centroids each
+    * (classic product quantization: the vector splits into m
+    * contiguous sub-vectors, each quantized independently by L2
+    * k-means). ALL m codebooks train in the SAME distributed Lloyd
+    * pass — sub-vector slicing is a narrow explode, assignment is one
+    * broadcast join + argmin, the mean update is one grouped
+    * aggregate keyed by (subspace, code) — so training cost does not
+    * grow with m. Like [[trainCentroids]], training is SAMPLE-BOUNDED
+    * (`maxTrainVectors`) and per-round state collected to the driver
+    * is O(m·ksub·dsub) floats — for the canonical 8×16 over 64 dims,
+    * one kilobyte. Returns the codebooks driver-side: they are plan
+    * literals for the shuffle-free encode ([[pqEncodeCol]]), not a
+    * dataset.
+    *
+    * Scale notes (100 TB): PQ is what makes a billion-vector index
+    * RESIDENT — m codes of log2(ksub) bits replace dim floats (8×16
+    * over 64-dim float: 4 bytes/vector vs 256, a 64× reduction), so
+    * candidate scoring never touches the raw vectors and the whole
+    * index fits where the corpus cannot. */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 3,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       maxTrainVectors: Long = 100000L)
+      : Array[Array[Array[Float]]] = {
+    require(m >= 1 && ksub >= 2 && iters >= 0)
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val corpusSize = corpus.count()
+    val train =
+      if (corpusSize <= maxTrainVectors) corpus
+      else corpus.sample(
+        math.min(1.0, maxTrainVectors.toDouble * 1.1 / corpusSize), 42L)
+    // (id, sub, svec): one narrow explode — every subspace trains from
+    // the same pass over the sample
+    val slices = train.select(col(idCol).as("__id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * dsub + 1, lit(dsub))))
+        .as(Seq("sub", "svec")))
+    if (iters > 0) slices.persist()
+    val seedW = Window.partitionBy("sub")
+      .orderBy(pmod(hash(col("__id")), lit(1000000007)), col("__id"))
+    var cb = slices
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= ksub)
+      .select(col("sub"), (col("__rn") - 1).as("code"),
+        col("svec").as("cvec"))
+    var cbRows = cb.collect()
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    for (_ <- 1 to iters) {
+      val cents = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(cbRows: _*), cb.schema))
+      val assigned = slices.join(cents, Seq("sub"))
+        .withColumn("__d", l2sq(col("svec"), col("cvec")))
+        .groupBy("__id", "sub")
+        .agg(min_by(struct(col("svec"), col("code")),
+          struct(col("__d"), col("code"))).as("__best"))
+        .select(col("sub"), col("__best.code").as("code"),
+          col("__best.svec").as("svec"))
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("svec")).as(Seq("__pos", "__x")))
+        .groupBy("sub", "code", "__pos")
+        .agg(avg("__x").as("__mu"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("__pos"), col("__mu"))))
+          .as("__pm"))
+        .select(col("sub"), col("code"),
+          transform(col("__pm"), e => e.getField("__mu").cast("float"))
+            .as("cvec"))
+      // empty codes keep their previous centroid
+      val keptRows = {
+        val liveKeys = means.select("sub", "code").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+        cbRows.filter(r => !liveKeys((r.getInt(0), r.getInt(1))))
+      }
+      cbRows = means.collect() ++ keptRows
+    }
+    if (iters > 0) slices.unpersist()
+    val out = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Float](2).toArray
+    }
+    // a seed short of ksub distinct rows (tiny corpora) pads with the
+    // first centroid so element_at never lands on a hole
+    for (s <- 0 until m; c <- 0 until ksub)
+      if (out(s)(c) == null) out(s)(c) = out(s)(0)
+    out.map(_.toArray)
+  }
+
+  private def cbLit(codebooks: Array[Array[Array[Float]]]): Column =
+    typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** SHUFFLE-FREE PQ encode: `vec` → its m nearest-sub-centroid codes
+    * (array<int>, one entry per subspace). The codebooks ride the plan
+    * as a LITERAL — nothing is joined, nothing is shipped per row —
+    * so encoding a 100 TB corpus is a pure narrow map over the scan.
+    * Ties break toward the smallest code; assignment is a pure
+    * function of (vector, codebooks), so re-encoding is deterministic
+    * (the same property [[ivfRefresh]] leans on for incremental
+    * maintenance of the coarse index). */
+  def pqEncodeCol(vec: Column,
+                  codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(vec, s * dsub + 1, lit(dsub))
+      aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val cent = element_at(element_at(cb, s + 1), c + 1)
+          val d = aggregate(zip_with(sub, cent, (x, y) => {
+            val dd = x.cast("double") - y.cast("double"); dd * dd
+          }), lit(0.0), (a, v) => a + v)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+  }
+
+  /** Per-query ADC lookup table: `lut[s*ksub + c]` = dot(query's
+    * subspace s, codebook centroid c of subspace s) — m·ksub doubles
+    * computed ONCE per query, after which scoring a candidate is m
+    * array lookups ([[pqAdcScore]]) instead of a dim-length dot
+    * product. */
+  def pqLutCol(qvec: Column,
+               codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(ksub - 1)), c =>
+        aggregate(zip_with(slice(qvec, s * dsub + 1, lit(dsub)),
+          element_at(element_at(cb, s + 1), c + 1),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, v) => a + v))))
+  }
+
+  /** Asymmetric-distance score: the PQ approximation of dot(query,
+    * candidate) — m lookups into the query's LUT, one per code. */
+  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
+    aggregate(zip_with(codes, sequence(lit(0), size(codes) - 1),
+      (c, s) => element_at(lut, s * ksub + c + 1)),
+      lit(0.0), (a, v) => a + v)
+
+  /** IVF-PQ ANN top-k — the Faiss-shaped scale path end to end:
+    * queries probe their `nProbe` nearest coarse centroids
+    * (inverted-file pruning), candidates inside the probed lists are
+    * scored by ADC against their m-byte PQ CODES (the raw vectors
+    * never enter the candidate stage — at 8×16 over 64-dim float the
+    * code payload is 64× smaller than the vectors it stands for),
+    * the top `refine`·k per query by ADC re-rank EXACTLY (true cosine
+    * over just those vectors), and the top k of that are returned.
+    * Precision of returned scores is exact; recall grows with nProbe
+    * (probe coverage) and refine (ADC candidate pool).
+    *
+    * Scale notes (100 TB): the corpus is touched twice — once at
+    * index build (coarse assign + shuffle-free encode, both narrow
+    * against broadcast/literal state) and once by the final re-rank,
+    * which joins only refine·k ids per query back to their vectors.
+    * Everything between — probe join, ADC scoring, candidate top-k —
+    * moves (id, codes) pairs, never embeddings. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, refine: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                trainIters: Int = 2,
+                maxTrainVectors: Long = 100000L): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, trainIters,
+      idCol, vecCol, maxTrainVectors)
+    val cb = pqTrainCodebooks(corpus, m, ksub, math.max(1, trainIters),
+      idCol, vecCol, maxTrainVectors)
+    // the compressed index: (id, coarse list, m-byte codes) — vectors
+    // DROPPED here and re-joined only for the exact re-rank
+    val codes = assignToCentroids(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        pqEncodeCol(col(vecCol), cb).as("__codes"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col("qvec"), col("cvec")))
+        .withColumn("__rk", row_number().over(probeW))
+        .filter(col("__rk") <= nProbe)
+        .select(col("query_id"),
+          pqLutCol(col("qvec"), cb).as("__lut"), col("centroid_id")))
+    val candW = Window.partitionBy("query_id")
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val cand = codes.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", pqAdcScore(col("__codes"), col("__lut"), ksub))
+      .withColumn("__crk", row_number().over(candW))
+      .filter(col("__crk") <= refine * k)
+      .select("query_id", "neighbor_id")
+    // exact re-rank over refine·k ids per query
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec")), Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: bucketed candidate generation (same
     * sign-LSH), exact cosine ≥ threshold re-check. Never all-pairs. */
   /** Near-duplicate pairs by banded sign-LSH: candidates share at

@@ -231,4 +231,122 @@ class SkewIvfSpec extends SparkSpec {
       }
     }
   }
+
+  test("PQ: plan-side encode and ADC agree BIT-EXACTLY with a driver-side " +
+      "replay of the same arithmetic") {
+    // the claim is not approximation quality (that's the recall test) —
+    // it's that the HOF plan arithmetic computes exactly the PQ it
+    // says: per-subspace argmin L2 encode, LUT = sub-dot products,
+    // ADC = sum of LUT entries at the codes. Left-to-right double
+    // accumulation both sides -> bit parity, no tolerance.
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val m = 4; val ksub = 4; val dsub = dim / m
+    val rows = (0L until 60L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(emb, m, ksub, iters = 2)
+    assert(cb.length == m && cb.forall(_.length == ksub) &&
+      cb.forall(_.forall(_.length == dsub)), "codebook shape")
+    val got = emb.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"),
+      Similarity.pqAdcScore(
+        Similarity.pqEncodeCol(col("embedding"), cb),
+        Similarity.pqLutCol(col("embedding"), cb), ksub).as("self_adc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toArray, r.getDouble(2)))).toMap
+    rows.foreach { case (id, vec) =>
+      val (codes, adc) = {
+        val cs = Array.tabulate(m) { s =>
+          var best = -1; var bestD = Double.MaxValue
+          for (c <- 0 until ksub) {
+            var d = 0.0
+            for (j <- 0 until dsub) {
+              val dd = vec(s * dsub + j).toDouble - cb(s)(c)(j).toDouble
+              d += dd * dd
+            }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          cs_check(best); best
+        }
+        var a = 0.0
+        for (s <- 0 until m) {
+          var dot = 0.0
+          for (j <- 0 until dsub)
+            dot += vec(s * dsub + j).toDouble * cb(s)(cs(s))(j).toDouble
+          a += dot
+        }
+        (cs, a)
+      }
+      val (gotCodes, gotAdc) = (got(id)._1, got(id)._2)
+      assert(gotCodes.toSeq == codes.toSeq, s"codes for vec $id")
+      assert(gotAdc == adc, s"self-ADC for vec $id: $gotAdc != $adc")
+    }
+  }
+  private def cs_check(c: Int): Unit = assert(c >= 0, "argmin found no code")
+
+  test("IVF-PQ ANN: planted recovery is exact and clustered recall holds " +
+      "against brute force") {
+    // clustered fixture (the production shape): IVF prunes to probed
+    // lists, ADC over 4-byte-scale codes picks the candidate pool,
+    // exact re-rank returns true cosines. Planted near-duplicates must
+    // come back rank-1 at their exact cosine; corpus-wide recall@10
+    // must clear a floor that code-only scoring without refine+re-rank
+    // would miss.
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val centers = Array.fill(6, dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 300).map { i =>
+      val c = i % 6
+      (i.toLong, centers(c).map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.2f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 12)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.ivfPqTopK(emb, queries, k = 10,
+      nCentroids = 6, nProbe = 3, m = 4, ksub = 8, refine = 4).collect()
+    val recall = pq.map(r => (r.getLong(0), r.getLong(2)))
+      .count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"IVF-PQ recall@10 $recall below 0.7")
+    // scores exact: every returned cosine matches brute force's
+    val bruteScores = Similarity.bruteForceTopK(emb, queries, k = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { r =>
+      bruteScores.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9, "re-rank cosine not exact")
+      }
+    }
+    // planted family: the perturbed copy must recover its source at
+    // rank 1 (the CORRECTNESS entry's exact shape)
+    val planted = emb.filter(col("vec_id") < 5).select(
+      (-col("vec_id") - 1L).as("vec_id"),
+      transform(col("embedding"), (v, i) =>
+        (v + when(pmod(i, lit(2)) === 0, 0.01f).otherwise(-0.01f))
+          .cast("float")).as("embedding"))
+    val top1 = Similarity.ivfPqTopK(emb, planted, k = 10,
+      nCentroids = 6, nProbe = 3, m = 4, ksub = 8, refine = 4)
+      .filter(col("rk") === 1).collect()
+      .map(r => (-r.getLong(0) - 1L, r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1.get(q).contains(q), s"planted query $q missed its source")
+    }
+  }
+
+  test("IVF-PQ candidate stage moves codes, not vectors") {
+    // the 100 TB claim: between probe join and re-rank, rows carry
+    // (id, codes) — the embedding column must not appear in the
+    // candidate window's input. Assert on the optimized plan: the
+    // window over __adc sees no 'embedding / qvec / nvec' attribute.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+    val df = Similarity.ivfPqTopK(emb, queries, k = 5,
+      nCentroids = 4, nProbe = 2, m = 8, ksub = 16, refine = 2)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    val candWindow = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("__adc"))
+      .toSeq
+    assert(candWindow.nonEmpty, "ADC candidate window not found in plan")
+    assert(!candWindow.exists(l => l.contains("embedding") ||
+      l.contains("qvec") || l.contains("nvec")),
+      s"candidate window still carries vectors:\n${candWindow.mkString("\n")}")
+  }
 }
