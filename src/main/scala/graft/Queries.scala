@@ -3722,6 +3722,54 @@ object Queries {
       col("video_stats.n_px").as("n_px"))
   }
 
+  /** The fixed merge list the `bpe_encode` oracle replays. Chosen so
+    * sequential global replaces over the `;`-terminated form equal
+    * real iterative lowest-rank BPE (BpeSpec pins the equivalence):
+    * every merge extends its own chain (ranks only build on earlier
+    * ranks) and no left part is a proper suffix of any other token
+    * (no false boundary match for the oracle's string replace). The
+    * chains spell corpus vocabulary — query/scan/join/batch — so the
+    * merges genuinely fire. */
+  private[graft] val bpeFixedMerges: Seq[(String, String)] = Seq(
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"))
+
+  /** BPE ENCODE under the fixed merge list ([[bpeFixedMerges]]):
+    * every document's words encode through the real iterative
+    * lowest-rank-first merge loop ([[operators.Bpe.encodeWord]],
+    * shipped per partition by [[operators.Bpe.withBpeTokens]] — a
+    * shuffle-free narrow map), emitting the canonical `;`-terminated
+    * token stream and the corpus token count. The oracle replays the
+    * merges as nested string replaces — equal to iterative BPE only
+    * because the list was built for it (see [[bpeFixedMerges]]);
+    * hash-exact, down to every token boundary in every document. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.withBpeTokens(
+      t(s, dir, "documents").select("doc_id", "text"), "text",
+      bpeFixedMerges)
+      .select(col("doc_id").as("media_id"), col("n_tokens"), col("encoded"))
+
+  /** BPE TRAINING over the corpus ([[operators.Bpe.train]]): ONE
+    * distributed word-count pass (the only O(corpus) stage — training
+    * state is the word histogram, the same shape every production BPE
+    * trainer uses), then the merge loop on the capped histogram.
+    * Deterministic: ties break lexicographically at every rank, so
+    * the learned merge table is a pure function of the corpus. Emits
+    * (rank, left, right, merged); rows-only check — the iterative
+    * selection has no closed relational form (BpeSpec pins the loop
+    * against a hand-computed textbook fixture instead). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = operators.Bpe.train(
+      t(s, dir, "documents").select("doc_id", "text"), "text",
+      numMerges = 16, maxVocab = 5000)
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4196,6 +4244,8 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
     "multimodal_png_foreign" -> (multimodalPngForeign _),
+    "bpe_encode" -> (bpeEncode _),
+    "bpe_train" -> (bpeTrain _),
     "multimodal_gif" -> (multimodalGif _),
     "multimodal_gif_frames" -> (multimodalGifFrames _),
     "multimodal_jpeg" -> (multimodalJpeg _),
@@ -5678,6 +5728,27 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h4 END AS h4,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
         |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
+    // sequential-replace replay of the fixed-merge BPE encode (see
+    // bpeFixedMerges for why replace order == iterative BPE here);
+    // the replace chain is GENERATED from the same Scala list the
+    // engine encodes with, so the two can never drift apart
+    "bpe_encode" -> {
+      val perWord = bpeFixedMerges.foldLeft(
+        "regexp_replace(w, '(.)', '\\1;', 'g')") { case (acc, (l, r)) =>
+        s"replace($acc, '$l;$r;', '$l$r;')"
+      }
+      s"""SELECT doc_id AS media_id,
+         |  CAST(length(enc) - length(replace(enc, ';', '')) AS BIGINT)
+         |    AS n_tokens,
+         |  enc AS encoded
+         |FROM (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split(lower(trim(text)), ' '),
+         |                  w -> length(w) > 0),
+         |      w -> $perWord), ' ') AS enc
+         |  FROM documents)""".stripMargin
+    },
     // closed-form recomputation of the FOREIGN (JDK-encoded) GIF
     // decode: palette[j] = digest[j]/digest[(j+5)%16]/digest[(j+11)%16],
     // pixel i's index = digest[i%16] % n — GIF is lossless on palette

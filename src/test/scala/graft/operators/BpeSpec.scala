@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Trainable BPE: merge learning on the classic word-histogram
+  * fixture, rank-order encode semantics, distributed/driver parity,
+  * and the sequential-replay property the CORRECTNESS oracle leans
+  * on. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("trainMerges learns the textbook merge sequence on the classic " +
+      "low/lower/newest/widest histogram") {
+    // hand-computed: pair counts weighted by word frequency —
+    // (e,s)=9 and (s,t)=9 tie, lexicographic picks (e,s); then
+    // (es,t)=9; then (l,o)=7 ties (o,w)=7, lex picks (l,o); then
+    // (lo,w)=7.
+    val hist = Array(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val merges = Bpe.trainMerges(hist, numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"got $merges")
+  }
+
+  test("trainMerges stops early when the best pair falls below minCount") {
+    val hist = Array(("ab", 1L), ("cd", 1L))
+    assert(Bpe.trainMerges(hist, numMerges = 10, minCount = 2L).isEmpty)
+    assert(Bpe.trainMerges(hist, numMerges = 10, minCount = 1L).size == 2)
+  }
+
+  test("encodeWord merges the LOWEST-RANK pair first, not the leftmost") {
+    // ranks [(a,b),(b,c)] on "abc": (a,b) wins -> [ab, c];
+    // flipped ranks: (b,c) wins -> [a, bc]
+    assert(Bpe.encodeWord("abc",
+      Map(("a", "b") -> 0, ("b", "c") -> 1)).toSeq == Seq("ab", "c"))
+    assert(Bpe.encodeWord("abc",
+      Map(("b", "c") -> 0, ("a", "b") -> 1)).toSeq == Seq("a", "bc"))
+  }
+
+  test("encodeWord merges all occurrences and chains onto merged tokens") {
+    val ranks = Map(("a", "b") -> 0, ("ab", "ab") -> 1)
+    assert(Bpe.encodeWord("abab", ranks).toSeq == Seq("abab"))
+    assert(Bpe.encodeWord("ababa", ranks).toSeq == Seq("abab", "a"))
+    // unknown characters pass through untouched
+    assert(Bpe.encodeWord("xyz", ranks).toSeq == Seq("x", "y", "z"))
+    assert(Bpe.encodeWord("", ranks).isEmpty)
+  }
+
+  test("withBpeTokens equals a driver-side replay over real documents, " +
+      "and more merges never increase the token count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select("doc_id", "text").cache()
+    val merges = Bpe.train(docs, "text", numMerges = 12, maxVocab = 1000)
+    assert(merges.size == 12)
+    val ranks = merges.zipWithIndex.toMap
+    val got = Bpe.withBpeTokens(docs, "text", merges)
+      .select("doc_id", "n_tokens", "encoded").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val few = Bpe.withBpeTokens(docs, "text", merges.take(3))
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val words = r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty)
+      val toks = words.map(w => Bpe.encodeWord(w, ranks))
+      val wantN = toks.map(_.length.toLong).sum
+      val wantEnc = toks.map(_.map(_ + ";").mkString("")).mkString(" ")
+      assert(got(id)._1 == wantN, s"doc $id token count")
+      assert(got(id)._2 == wantEnc, s"doc $id canonical form")
+      assert(few(id) >= wantN, s"doc $id: more merges grew the count")
+    }
+    docs.unpersist()
+  }
+
+  test("the fixed oracle merge list replays as SEQUENTIAL replaces: " +
+      "iterative lowest-rank encode == one replace pass per merge") {
+    // the CORRECTNESS entry's oracle applies each merge as one global
+    // string replace over the ;-terminated form, in rank order. That
+    // equals real BPE iff no merge's left part is a proper suffix of
+    // any other token (no false boundary match) and each merge only
+    // builds on earlier ranks — properties this list was chosen for
+    // and this test pins against the engine encoder.
+    val merges = Queries_bpeFixedMerges
+    val ranks = merges.zipWithIndex.toMap
+    val vocab = Seq("query", "scan", "join", "batch", "key", "table",
+      "value", "qu", "scanscan", "joins", "subquery", "batches",
+      "quasar", "jo", "ba", "squash")
+    vocab.foreach { w =>
+      val iterative = Bpe.encodeWord(w, ranks).map(_ + ";").mkString("")
+      var seq = w.map(c => s"$c;").mkString("")
+      merges.foreach { case (l, r) =>
+        seq = seq.replace(s"$l;$r;", s"$l$r;")
+      }
+      assert(iterative == seq, s"word '$w': iterative=$iterative seq=$seq")
+    }
+  }
+
+  private def Queries_bpeFixedMerges: Seq[(String, String)] =
+    graft.Queries.bpeFixedMerges
+}
