@@ -3770,6 +3770,21 @@ object Queries {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Bigram-LM perplexity scoring ([[operators.NgramLm]]) — the
+    * CCNet-style corpus quality filter, self-scored: the model (two
+    * distributed count tables + vocabulary size) trains on the whole
+    * corpus and every document's mean bigram negative log-likelihood
+    * and perplexity come back. The oracle replays the entire model —
+    * history counts, pair counts, add-one smoothing, the ln fold —
+    * relationally in DuckDB, so training and scoring are both
+    * hash-checked end to end. */
+  def ngramPerplexity(s: SparkSession, dir: String): DataFrame =
+    operators.NgramLm.selfPerplexity(
+      t(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 6).as("avg_nll"),
+        round(col("ppl"), 4).as("ppl"))
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4244,6 +4259,7 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
     "multimodal_png_foreign" -> (multimodalPngForeign _),
+    "ngram_perplexity" -> (ngramPerplexity _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_train" -> (bpeTrain _),
     "multimodal_gif" -> (multimodalGif _),
@@ -5728,6 +5744,37 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h4 END AS h4,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
         |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
+    // full relational replay of the bigram LM: history counts, pair
+    // counts, vocabulary size, add-one smoothing, the ln fold — the
+    // oracle re-trains the same model DuckDB-side, so a drift in ANY
+    // stage (tokenization, counting, smoothing) goes red
+    "ngram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
+        |                             w -> length(w) > 0) AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts[CAST(i + 1 AS INT)] AS w1,
+        |         ts[CAST(i + 2 AS INT)] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        |        FROM toks)),
+        |hist AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(ts) AS w FROM toks)),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |    ln((h.c1 + v.vs)::DOUBLE / (p.c12 + 1)::DOUBLE) AS x
+        |  FROM big b
+        |  JOIN hist h USING (w1)
+        |  JOIN pair p ON p.w1 = b.w1 AND p.w2 = b.w2, v),
+        |agg AS (SELECT doc_id, count(*) AS nb, avg(x) AS nl
+        |        FROM nll GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(a.nl, 6) AS avg_nll,
+        |  round(exp(a.nl), 4) AS ppl
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // sequential-replace replay of the fixed-merge BPE encode (see
     // bpeFixedMerges for why replace order == iterative BPE here);
     // the replace chain is GENERATED from the same Scala list the
