@@ -156,7 +156,8 @@ object Bench {
       "mor_delete" -> Queries.lastMorPhases,
       "stream_ingest_parity" -> Queries.lastStreamIngestPhases,
       "stream_sink_parity" -> Queries.lastStreamSinkPhases,
-      "ann_recall_real" -> Queries.lastAnnRecallPhases)
+      "ann_recall_real" -> Queries.lastAnnRecallPhases,
+      "embedding_ann_pq" -> Queries.lastAnnPqPhases)
       .filter(_._2.nonEmpty)
     val phases =
       if (phased.isEmpty) ""

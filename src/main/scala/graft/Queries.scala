@@ -47,6 +47,11 @@ object Queries {
     * number, so the next drift names its phase. */
   @volatile var lastAnnRecallPhases: Seq[(String, Double)] = Nil
 
+  /** Phase wall-times of the most recent [[embeddingAnnPq]] run — it
+    * runs TWO Lloyd trainings (coarse centroids + PQ codebooks) plus
+    * the probe, so a drift must name which of the three moved. */
+  @volatile var lastAnnPqPhases: Seq[(String, Double)] = Nil
+
   /** Attribute a TERMINATED streaming query's wall time from its
     * progress log: `add_batch` is the work inside each micro-batch
     * (source read + sink/foreachBatch commit), `batch_overhead` the
@@ -3235,10 +3240,34 @@ object Queries {
     * cosine — the end-to-end property a compressed index has to keep
     * to be usable. */
   def embeddingAnnPq(s: SparkSession, dir: String): DataFrame = {
+    lastAnnPqPhases = Nil // a throwing run must not report stale phases
+    val ph = Seq.newBuilder[(String, Double)]
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      ph += name -> (System.nanoTime() - t0) / 1e9; r
+    }
     val emb = t(s, dir, "embeddings")
-    annPlantedTop1(Similarity.ivfPqTopK(
-      emb, plantedAnnQueries(emb, 5), k = 10, nCentroids = 16, nProbe = 6,
-      m = 8, ksub = 16, refine = 4))
+    // one eager materialization: coarse training, PQ training, the
+    // encode pass and the re-rank all read this corpus — without the
+    // checkpoint each would rescan the source
+    val corpus = phase("corpus") {
+      emb.select("vec_id", "embedding").localCheckpoint()
+    }
+    val cents = phase("coarse_train") {
+      Similarity.trainCentroids(corpus, nCentroids = 16, iters = 2)
+    }
+    val cb = phase("pq_train") {
+      Similarity.pqTrainCodebooks(corpus, m = 8, ksub = 16, iters = 2)
+    }
+    // localCheckpoint forces execution INSIDE the phase — the entry
+    // result is 5 rows, so the materialization is free
+    val out = phase("probe") {
+      annPlantedTop1(Similarity.ivfPqTopKWith(cents, cb, corpus,
+        plantedAnnQueries(corpus, 5), k = 10, nProbe = 6, refine = 4))
+        .localCheckpoint()
+    }
+    lastAnnPqPhases = ph.result()
+    out
   }
 
   /** CDC-incremental IVF index maintenance

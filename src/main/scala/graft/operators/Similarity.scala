@@ -602,6 +602,20 @@ object Similarity {
       idCol, vecCol, maxTrainVectors)
     val cb = pqTrainCodebooks(corpus, m, ksub, math.max(1, trainIters),
       idCol, vecCol, maxTrainVectors)
+    ivfPqTopKWith(cents, cb, corpus, queries, k, nProbe, refine,
+      idCol, vecCol)
+  }
+
+  /** [[ivfPqTopK]] under CALLER-TRAINED coarse centroids and PQ
+    * codebooks — the probe stage alone (mirrors [[ivfTopKWith]]), so
+    * a production pipeline trains once and probes per batch, and a
+    * harness can time/attribute the stages separately. */
+  def ivfPqTopKWith(cents: DataFrame, cb: Array[Array[Array[Float]]],
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    nProbe: Int = 4, refine: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val ksub = cb(0).length
     // the compressed index: (id, coarse list, m-byte codes) — vectors
     // DROPPED here and re-joined only for the exact re-rank
     val codes = assignToCentroids(corpus, cents, idCol, vecCol)
