@@ -3814,6 +3814,20 @@ object Queries {
         round(col("avg_nll"), 6).as("avg_nll"),
         round(col("ppl"), 4).as("ppl"))
 
+  /** Per-group quota capping ([[operators.QuotaSample]]) — the
+    * domain-balancing curation stage, keyed here by language (the
+    * skewed natural key: `en` carries ~3x any other lang, so the cap
+    * truncates it while under-quota groups pass whole — both paths
+    * live in one entry). The engine runs the two-level salted top-k
+    * (no group serializes through one task); the oracle replays the
+    * SINGLE-window form — equality IS the proof the decomposition is
+    * exact. */
+  def domainQuota(s: SparkSession, dir: String): DataFrame =
+    operators.QuotaSample.cap(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      keyCol = "lang", idCol = "doc_id", quota = 100)
+
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4288,6 +4302,7 @@ object Queries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_png" -> (multimodalPng _),
     "multimodal_png_foreign" -> (multimodalPngForeign _),
+    "domain_quota" -> (domainQuota _),
     "ngram_perplexity" -> (ngramPerplexity _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_train" -> (bpeTrain _),
@@ -5773,6 +5788,14 @@ object Queries {
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h4 END AS h4,
         |  CASE WHEN s.doc_id % 50 <> 0 THEN t.h7 END AS h7
         |FROM sz s JOIN stat t USING (doc_id)""".stripMargin,
+    // single-window replay of the two-level salted quota cap — the
+    // decomposition must be EXACTLY the naive form
+    "domain_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 100""".stripMargin,
     // full relational replay of the bigram LM: history counts, pair
     // counts, vocabulary size, add-one smoothing, the ln fold — the
     // oracle re-trains the same model DuckDB-side, so a drift in ANY
