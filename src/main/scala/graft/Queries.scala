@@ -3828,6 +3828,47 @@ object Queries {
       keyCol = "lang", idCol = "doc_id", quota = 100)
 
 
+  /** Image RESIZE down to exact pixels ([[Multimodal.resizeFixed]]):
+    * per-doc 24-bit BMPs (md5-tiled pixel area, built by column
+    * algebra) decode to rasters ([[Multimodal.bmpPixels]] — file rows
+    * flipped to top-down) and resize BOTH ways in one decode pass —
+    * nearest neighbor and bilinear, each in exact integer fixed-point
+    * (bit-identical on every platform, unlike a float resize whose
+    * last-ulp behavior is libm-dependent). Even docs downscale to
+    * 5x4, odd docs upscale to 19x11; position checksums make row
+    * order and axis mapping count (a flipped or transposed resize
+    * cannot hide in channel sums). The oracle regenerates the source
+    * pixel stream and replays the full fixed-point arithmetic —
+    * four-tap blends, common-denominator rounding — relationally.
+    * Every 50th payload is truncated: stats null out. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = (pmod(col("doc_id"), lit(13)) + 2).cast(IntegerType)
+    val h = (pmod(col("doc_id"), lit(9)) + 2).cast(IntegerType)
+    val clean = Multimodal.bmpBytes(w, h, md5(col("doc_id").cast("string")))
+    val media = docs.select(col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        clean.substr(lit(1), length(clean) - 4)).otherwise(clean).as("bytes"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(5)).otherwise(lit(19))
+        .as("out_w"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(4)).otherwise(lit(11))
+        .as("out_h"))
+    Multimodal.withResizedStats(media, "bytes", "out_w", "out_h").select(
+      col("media_id"), col("out_w"), col("out_h"),
+      col("resize_stats.nn_r_sum").as("nn_r_sum"),
+      col("resize_stats.nn_g_sum").as("nn_g_sum"),
+      col("resize_stats.nn_b_sum").as("nn_b_sum"),
+      col("resize_stats.nn_min").as("nn_min"),
+      col("resize_stats.nn_max").as("nn_max"),
+      col("resize_stats.nn_pos_sum").as("nn_pos_sum"),
+      col("resize_stats.bl_r_sum").as("bl_r_sum"),
+      col("resize_stats.bl_g_sum").as("bl_g_sum"),
+      col("resize_stats.bl_b_sum").as("bl_b_sum"),
+      col("resize_stats.bl_min").as("bl_min"),
+      col("resize_stats.bl_max").as("bl_max"),
+      col("resize_stats.bl_pos_sum").as("bl_pos_sum"))
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4306,6 +4347,7 @@ object Queries {
     "ngram_perplexity" -> (ngramPerplexity _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_train" -> (bpeTrain _),
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_gif" -> (multimodalGif _),
     "multimodal_gif_frames" -> (multimodalGifFrames _),
     "multimodal_jpeg" -> (multimodalJpeg _),
@@ -5848,6 +5890,101 @@ object Queries {
          |      w -> $perWord), ' ') AS enc
          |  FROM documents)""".stripMargin
     },
+    // full fixed-point replay of BOTH resize modes: the oracle
+    // regenerates the BMP pixel stream (file rows flipped to raster
+    // order), maps every output pixel back through the integer
+    // nearest / bilinear arithmetic, and recomputes sums, extrema and
+    // the position checksums. Truncated payloads (every 50th): NULL.
+    "multimodal_resize" ->
+      """WITH sz AS (
+        |  SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 9 + 2 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 19 END AS ow,
+        |    CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 11 END AS oh,
+        |    ((3*(doc_id % 13 + 2) + 3) // 4) * 4 AS row_bytes,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, w, h, row_bytes, unnest(range(row_bytes*h)) AS i,
+        |    repeat(hex, CAST(ceil(row_bytes*h/16.0) AS INT)) AS rep
+        |  FROM sz),
+        |srcb AS (
+        |  SELECT doc_id, h - 1 - (i // row_bytes) AS sy,
+        |    (i % row_bytes) // 3 AS sx, (i % row_bytes) % 3 AS ch,
+        |    (strpos('0123456789abcdef',
+        |            substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(rep, CAST(2*i+2 AS INT), 1)) - 1 AS v
+        |  FROM raw WHERE (i % row_bytes) < 3*w),
+        |pix AS (
+        |  SELECT doc_id, sy, sx,
+        |    max(CASE WHEN ch = 2 THEN v END) AS r,
+        |    max(CASE WHEN ch = 1 THEN v END) AS g,
+        |    max(CASE WHEN ch = 0 THEN v END) AS b
+        |  FROM srcb GROUP BY doc_id, sy, sx),
+        |o AS (
+        |  SELECT doc_id, w, h, ow, oh, oi, oi // ow AS oy, oi % ow AS ox
+        |  FROM (SELECT doc_id, w, h, ow, oh, unnest(range(ow*oh)) AS oi
+        |        FROM sz)),
+        |nn AS (
+        |  SELECT o.doc_id, o.oi, p.r, p.g, p.b
+        |  FROM o JOIN pix p ON p.doc_id = o.doc_id
+        |    AND p.sy = (o.oy * o.h) // o.oh
+        |    AND p.sx = (o.ox * o.w) // o.ow),
+        |bl0 AS (
+        |  SELECT doc_id, oi, w, h, ow - 1 AS qx, oh - 1 AS qy,
+        |    (ox * (w-1)) // (ow-1) AS x0, (ox * (w-1)) % (ow-1) AS fx,
+        |    (oy * (h-1)) // (oh-1) AS y0, (oy * (h-1)) % (oh-1) AS fy
+        |  FROM o),
+        |bl AS (
+        |  SELECT b0.doc_id, b0.oi,
+        |    ((b0.qx-b0.fx)*(b0.qy-b0.fy)*p00.r + b0.fx*(b0.qy-b0.fy)*p10.r
+        |     + (b0.qx-b0.fx)*b0.fy*p01.r + b0.fx*b0.fy*p11.r
+        |     + (b0.qx*b0.qy)//2) // (b0.qx*b0.qy) AS r,
+        |    ((b0.qx-b0.fx)*(b0.qy-b0.fy)*p00.g + b0.fx*(b0.qy-b0.fy)*p10.g
+        |     + (b0.qx-b0.fx)*b0.fy*p01.g + b0.fx*b0.fy*p11.g
+        |     + (b0.qx*b0.qy)//2) // (b0.qx*b0.qy) AS g,
+        |    ((b0.qx-b0.fx)*(b0.qy-b0.fy)*p00.b + b0.fx*(b0.qy-b0.fy)*p10.b
+        |     + (b0.qx-b0.fx)*b0.fy*p01.b + b0.fx*b0.fy*p11.b
+        |     + (b0.qx*b0.qy)//2) // (b0.qx*b0.qy) AS b
+        |  FROM bl0 b0
+        |  JOIN pix p00 ON p00.doc_id = b0.doc_id AND p00.sy = b0.y0
+        |    AND p00.sx = b0.x0
+        |  JOIN pix p10 ON p10.doc_id = b0.doc_id AND p10.sy = b0.y0
+        |    AND p10.sx = LEAST(b0.w - 1, b0.x0 + 1)
+        |  JOIN pix p01 ON p01.doc_id = b0.doc_id
+        |    AND p01.sy = LEAST(b0.h - 1, b0.y0 + 1) AND p01.sx = b0.x0
+        |  JOIN pix p11 ON p11.doc_id = b0.doc_id
+        |    AND p11.sy = LEAST(b0.h - 1, b0.y0 + 1)
+        |    AND p11.sx = LEAST(b0.w - 1, b0.x0 + 1)),
+        |nagg AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(sum(b) AS BIGINT) AS b_sum,
+        |    CAST(min(LEAST(r,g,b)) AS BIGINT) AS mn,
+        |    CAST(max(GREATEST(r,g,b)) AS BIGINT) AS mx,
+        |    CAST(sum((oi+1) * (65536*r + 256*g + b)) AS BIGINT) AS pos
+        |  FROM nn GROUP BY doc_id),
+        |bagg AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+        |    CAST(sum(g) AS BIGINT) AS g_sum, CAST(sum(b) AS BIGINT) AS b_sum,
+        |    CAST(min(LEAST(r,g,b)) AS BIGINT) AS mn,
+        |    CAST(max(GREATEST(r,g,b)) AS BIGINT) AS mx,
+        |    CAST(sum((oi+1) * (65536*r + 256*g + b)) AS BIGINT) AS pos
+        |  FROM bl GROUP BY doc_id)
+        |SELECT s.doc_id AS media_id,
+        |  CAST(s.ow AS INTEGER) AS out_w, CAST(s.oh AS INTEGER) AS out_h,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.r_sum END AS nn_r_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.g_sum END AS nn_g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.b_sum END AS nn_b_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.mn END AS nn_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.mx END AS nn_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN n.pos END AS nn_pos_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.r_sum END AS bl_r_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.g_sum END AS bl_g_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.b_sum END AS bl_b_sum,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.mn END AS bl_min,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.mx END AS bl_max,
+        |  CASE WHEN s.doc_id % 50 <> 0 THEN a.pos END AS bl_pos_sum
+        |FROM sz s JOIN nagg n USING (doc_id) JOIN bagg a USING (doc_id)""".stripMargin,
     // closed-form recomputation of the FOREIGN (JDK-encoded) GIF
     // decode: palette[j] = digest[j]/digest[(j+5)%16]/digest[(j+11)%16],
     // pixel i's index = digest[i%16] % n — GIF is lossless on palette

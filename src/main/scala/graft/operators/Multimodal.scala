@@ -2909,6 +2909,172 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // image resize: exact fixed-point, the vision-training prep stage
+  // ---------------------------------------------------------------
+
+  /** Decode a 24-bit BMP to a top-down row-major RGB raster (file rows
+    * are bottom-up for positive heights — the decoder flips them, and
+    * negative heights mean top-down per the format). Same guards as
+    * [[bmpPixelStats]]; None on anything malformed. */
+  private[graft] def bmpPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = leLong(bytes, 10, 4)
+    val rawH = leLong(bytes, 22, 4).toInt
+    val w = leLong(bytes, 18, 4)
+    val h = math.abs(rawH.toLong)
+    val bpp = leLong(bytes, 28, 2)
+    val compression = leLong(bytes, 30, 4)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    if (w > bytes.length.toLong / 3 || h > bytes.length.toLong) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff + rowBytes * h > bytes.length) return None
+    val wi = w.toInt; val hi = h.toInt
+    val out = new Array[Byte](wi * hi * 3)
+    var row = 0
+    while (row < hi) {
+      val imgRow = if (rawH > 0) hi - 1 - row else row
+      var base = (dataOff + row * rowBytes).toInt
+      var x = 0
+      while (x < wi) {
+        val o = (imgRow * wi + x) * 3
+        out(o) = bytes(base + 2)     // R (file order is BGR)
+        out(o + 1) = bytes(base + 1) // G
+        out(o + 2) = bytes(base)     // B
+        base += 3; x += 1
+      }
+      row += 1
+    }
+    Some((wi, hi, out))
+  }
+
+  /** Exact FIXED-POINT image resize — nearest neighbor or bilinear,
+    * integer arithmetic only, so results are bit-identical on every
+    * platform and a relational oracle can replay them (a float
+    * resize's last-ulp behavior is libm-dependent; a training corpus
+    * resized twice should not hash twice).
+    *
+    * Nearest: src = (dst · srcDim) / dstDim, floor division (monotone,
+    * covers the full source range). Bilinear: edge-to-edge mapping
+    * src = dst·(srcDim−1)/(dstDim−1) held as an exact fraction — the
+    * four-tap blend runs in the common denominator q = (dstW−1)(dstH−1)
+    * and rounds half-up once at the end. A 1-wide/1-tall output pins
+    * to the first row/column (q would be 0). */
+  private[graft] def resizeFixed(pix: Array[Byte], w: Int, h: Int, nc: Int,
+                                 outW: Int, outH: Int,
+                                 bilinear: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0 && nc > 0)
+    require(pix.length == w * h * nc)
+    val out = new Array[Byte](outW * outH * nc)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        var c = 0
+        if (!bilinear) {
+          val sy = (y.toLong * h / outH).toInt
+          val sx = (x.toLong * w / outW).toInt
+          while (c < nc) {
+            out((y * outW + x) * nc + c) = pix((sy * w + sx) * nc + c)
+            c += 1
+          }
+        } else {
+          val qx = if (outW > 1) (outW - 1).toLong else 1L
+          val qy = if (outH > 1) (outH - 1).toLong else 1L
+          val numX = x.toLong * (w - 1)
+          val numY = y.toLong * (h - 1)
+          val x0 = (numX / qx).toInt; val fx = numX % qx
+          val y0 = (numY / qy).toInt; val fy = numY % qy
+          val x1 = math.min(w - 1, x0 + 1)
+          val y1 = math.min(h - 1, y0 + 1)
+          val qq = qx * qy
+          while (c < nc) {
+            val p00 = pix((y0 * w + x0) * nc + c) & 0xFF
+            val p10 = pix((y0 * w + x1) * nc + c) & 0xFF
+            val p01 = pix((y1 * w + x0) * nc + c) & 0xFF
+            val p11 = pix((y1 * w + x1) * nc + c) & 0xFF
+            val v = ((qx - fx) * (qy - fy) * p00 + fx * (qy - fy) * p10 +
+              (qx - fx) * fy * p01 + fx * fy * p11 + qq / 2) / qq
+            out((y * outW + x) * nc + c) = v.toByte
+            c += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def rgbStats(pix: Array[Byte], nPx: Int, nc: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    // (r_sum, g_sum, b_sum, px_min, px_max, pos_sum); gray replicates
+    var rS = 0L; var gS = 0L; var bS = 0L
+    var mn = 255L; var mx = 0L; var pos = 0L
+    var i = 0
+    while (i < nPx) {
+      val r = pix(i * nc) & 0xFF
+      val g = if (nc >= 3) pix(i * nc + 1) & 0xFF else r
+      val b = if (nc >= 3) pix(i * nc + 2) & 0xFF else r
+      rS += r; gS += g; bS += b
+      val lo = math.min(r, math.min(g, b)); val hi = math.max(r, math.max(g, b))
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+      pos += (i + 1).toLong * ((r.toLong << 16) | (g.toLong << 8) | b)
+      i += 1
+    }
+    (rS, gS, bS, mn, mx, pos)
+  }
+
+  private val resizeStatsType = StructType(Seq(
+    StructField("nn_r_sum", LongType), StructField("nn_g_sum", LongType),
+    StructField("nn_b_sum", LongType), StructField("nn_min", LongType),
+    StructField("nn_max", LongType), StructField("nn_pos_sum", LongType),
+    StructField("bl_r_sum", LongType), StructField("bl_g_sum", LongType),
+    StructField("bl_b_sum", LongType), StructField("bl_min", LongType),
+    StructField("bl_max", LongType), StructField("bl_pos_sum", LongType)))
+
+  /** Append a nullable `resize_stats` struct: decode the payload to a
+    * raster (24-bit BMP via [[bmpPixels]] or any JPEG the codec reads
+    * via [[jpegDecodeImage]]), resize it BOTH ways ([[resizeFixed]]
+    * nearest + bilinear) to the per-row (`outWCol`, `outHCol`) target
+    * in ONE decode pass, and report per-channel sums, global extrema
+    * and the position checksum of each result (position-sensitive: a
+    * flipped row order or transposed mapping cannot hide in sums).
+    * Per-partition batched; undecodable payloads yield null. */
+  def withResizedStats(df: DataFrame, bytesCol: String,
+                       outWCol: String, outHCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resize_stats", resizeStatsType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val bi = df.schema.fieldIndex(bytesCol)
+    val wi = df.schema.fieldIndex(outWCol)
+    val hi = df.schema.fieldIndex(outHCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val st = (for {
+          bytes <- Option(r.get(bi)).map(_.asInstanceOf[Array[Byte]])
+          outW = r.getInt(wi); outH = r.getInt(hi)
+          if outW > 0 && outH > 0
+          (w, h, nc, pix) <- bmpPixels(bytes)
+            .map { case (bw, bh, p) => (bw, bh, 3, p) }
+            .orElse(jpegDecodeImage(bytes))
+        } yield {
+          val nn = rgbStats(
+            resizeFixed(pix, w, h, nc, outW, outH, bilinear = false),
+            outW * outH, nc)
+          val bl = rgbStats(
+            resizeFixed(pix, w, h, nc, outW, outH, bilinear = true),
+            outW * outH, nc)
+          Row(nn._1, nn._2, nn._3, nn._4, nn._5, nn._6,
+            bl._1, bl._2, bl._3, bl._4, bl._5, bl._6)
+        }).orNull
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   private val imageStatsType = StructType(Seq(
     StructField("b_sum", LongType), StructField("b_min", LongType),
     StructField("b_max", LongType), StructField("g_sum", LongType),

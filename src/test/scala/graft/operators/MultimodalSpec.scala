@@ -1301,4 +1301,95 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // fixed-point resize
+  // ---------------------------------------------------------------
+
+  test("resizeFixed identity: both modes return the source raster " +
+      "bit-exactly") {
+    val rnd = new scala.util.Random(8181)
+    for (_ <- 0 until 10) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      assert(Multimodal.resizeFixed(pix, w, h, 3, w, h, bilinear = false)
+        .sameElements(pix), s"NN identity ${w}x$h")
+      assert(Multimodal.resizeFixed(pix, w, h, 3, w, h, bilinear = true)
+        .sameElements(pix), s"bilinear identity ${w}x$h")
+    }
+  }
+
+  test("resizeFixed bilinear matches a hand-computed 2x2 -> 3x3 blowup") {
+    // gray 2x2: 0 100 / 200 40; edge-to-edge mapping puts the middle
+    // output at the exact half-point of each axis (q = 2, f = 1)
+    val pix = Array[Byte](0, 100.toByte, 200.toByte, 40)
+    val out = Multimodal.resizeFixed(pix, 2, 2, 1, 3, 3, bilinear = true)
+      .map(_ & 0xFF)
+    // corners copy; edges average pairs (half-up); center averages all
+    // four: (0+100+200+40+2)/4 = 85 (qq=4, +2 rounds half-up)
+    assert(out.toSeq == Seq(
+      0, 50, 100,
+      100, 85, 70,
+      200, 120, 40), s"got ${out.toSeq}")
+  }
+
+  test("resizeFixed nearest covers the full source range and never " +
+      "interpolates") {
+    val pix = Array.tabulate(4 * 2 * 1)(i => (i * 10).toByte) // 4x2 gray
+    val out = Multimodal.resizeFixed(pix, 4, 2, 1, 2, 1, bilinear = false)
+      .map(_ & 0xFF)
+    // sx = x*4/2: x=0 -> src 0, x=1 -> src 2; sy = 0
+    assert(out.toSeq == Seq(0, 20), s"got ${out.toSeq}")
+    // every NN output value must be SOME source value
+    val rnd = new scala.util.Random(17)
+    val big = Array.fill(7 * 5 * 3)(rnd.nextInt(256).toByte)
+    val vals = big.map(_ & 0xFF).toSet
+    Multimodal.resizeFixed(big, 7, 5, 3, 13, 9, bilinear = false)
+      .foreach(v => assert(vals.contains(v & 0xFF)))
+  }
+
+  test("bmpPixels flips bottom-up file rows to raster order") {
+    // 1x2 BMP via the column builder: file stores the BOTTOM row first,
+    // so raster row 0 must come from the file's second row
+    val bytes = spark.range(1).select(
+      Multimodal.bmpBytes(lit(1), lit(2),
+        lit("102030405060"))).head().getAs[Array[Byte]](0)
+    val Some((w, h, pix)) = Multimodal.bmpPixels(bytes)
+    assert(w == 1 && h == 2)
+    // file pixel area (with row padding 4): row0 = 10 20 30, row1 = 50 60
+    // ... tiled hex continues across padding; raster row 0 = file row 1
+    val stats = Multimodal.bmpPixelStats(bytes).get._1
+    val sumFromPixels = pix.map(_ & 0xFF).map(_.toLong).sum
+    assert(sumFromPixels == stats(0) + stats(3) + stats(6),
+      "pixel buffer disagrees with the stats pass")
+    // orientation: decode via the JDK and compare pixel (0,0)
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val p = jdk.getRGB(0, 0)
+    assert(((p >> 16) & 0xFF) == (pix(0) & 0xFF) &&
+      ((p >> 8) & 0xFF) == (pix(1) & 0xFF) &&
+      (p & 0xFF) == (pix(2) & 0xFF),
+      "raster row 0 must match the JDK's top row")
+  }
+
+  test("withResizedStats resizes JPEG payloads through the same path " +
+      "and nulls out undecodable bytes") {
+    import spark.implicits._
+    // 16x8 plane, 8x8-constant tiles (0 | 100) — the lossless shape
+    val plane = Array.tabulate(16 * 8) { i =>
+      (if (i % 16 < 8) 0 else 100).toByte
+    }
+    val jpeg = Multimodal.jpegEncodeGray(16, 8, plane)
+    val rows = Seq((1L, jpeg, 8, 4), (2L, Array[Byte](1, 2, 3), 8, 4))
+      .toDF("media_id", "bytes", "out_w", "out_h")
+    val got = Multimodal.withResizedStats(rows, "bytes", "out_w", "out_h")
+      .select(col("media_id"), col("resize_stats")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got(2L) == null, "garbage bytes must yield a null struct")
+    val st = got(1L).asInstanceOf[org.apache.spark.sql.Row]
+    // tile-constant JPEG round-trips losslessly: NN 8x4 output = 4x4
+    // pixels of tile 0 (value 0) + 4x4 of tile 1 (value 100) per row
+    assert(st.getAs[Long]("nn_r_sum") == 16L * 0 + 16L * 100,
+      s"jpeg NN sum ${st.getAs[Long]("nn_r_sum")}")
+  }
 }
