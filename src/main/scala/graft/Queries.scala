@@ -3869,6 +3869,45 @@ object Queries {
       col("resize_stats.bl_pos_sum").as("bl_pos_sum"))
   }
 
+  /** Audio DOWNMIX + RESAMPLE down to exact samples
+    * ([[Multimodal.resamplePcm]]): per-doc 16-bit PCM WAVs (mono and
+    * STEREO alternating, md5-tiled sample area, built by column
+    * algebra) decode to interleaved PCM ([[Multimodal.wavPcm]]),
+    * downmix to mono (per-frame mean) and linearly resample to a
+    * per-row target frame count — every third doc downsamples, the
+    * rest upsample — all in exact integer fixed-point (the
+    * speech-prep stage: a corpus resampled twice must hash twice,
+    * independent of platform libm). The oracle regenerates the PCM
+    * byte stream and replays downmix and interpolation exactly; the
+    * position checksum pins sample order. Every 50th payload is
+    * truncated: stats null while the header still decodes. */
+  def multimodalAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ch = when(pmod(col("doc_id"), lit(2)) === 0, lit(2)).otherwise(lit(1))
+    val nFrames = (pmod(col("doc_id"), lit(37)) + 10).cast(IntegerType)
+    val clean = Multimodal.wavBytes(lit(8000), nFrames, ch,
+      md5(col("doc_id").cast("string")))
+    val media = docs.select(col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        clean.substr(lit(1), length(clean) - 4)).otherwise(clean).as("bytes"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(12)).otherwise(lit(48))
+        .as("target_n"))
+    val hdr = Multimodal.decodeWav(col("bytes"))
+    val headered = media.select(col("media_id"),
+      hdr.getField("channels").as("channels"),
+      (hdr.getField("data_size") /
+        (hdr.getField("channels").cast(LongType) * 2L))
+        .cast(LongType).as("n_frames"),
+      col("target_n"), col("bytes"))
+    Multimodal.withResampledAudio(headered, "bytes", "target_n").select(
+      col("media_id"), col("channels"), col("n_frames"), col("target_n"),
+      col("resample_stats.out_n").as("out_n"),
+      col("resample_stats.s_sum").as("s_sum"),
+      col("resample_stats.s_min").as("s_min"),
+      col("resample_stats.s_max").as("s_max"),
+      col("resample_stats.pos_sum").as("pos_sum"))
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4348,6 +4387,7 @@ object Queries {
     "bpe_encode" -> (bpeEncode _),
     "bpe_train" -> (bpeTrain _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_audio_resample" -> (multimodalAudioResample _),
     "multimodal_gif" -> (multimodalGif _),
     "multimodal_gif_frames" -> (multimodalGifFrames _),
     "multimodal_jpeg" -> (multimodalJpeg _),
@@ -5890,6 +5930,68 @@ object Queries {
          |      w -> $perWord), ' ') AS enc
          |  FROM documents)""".stripMargin
     },
+    // exact fixed-point replay of downmix + linear resample: the PCM
+    // byte stream regenerates from the tiled md5, samples reassemble
+    // as unsigned 16-bit LE, the downmix is the positive-domain frame
+    // mean, and the interpolation runs in the common denominator with
+    // one half-up rounding — all integers, hash-exact
+    "multimodal_audio_resample" ->
+      """WITH sz AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch,
+        |    doc_id % 37 + 10 AS nf,
+        |    CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 48 END AS tn,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, ch, nf, unnest(range(nf*ch*2)) AS i,
+        |    repeat(hex, CAST(ceil(nf*ch*2/16.0) AS INT)) AS rep
+        |  FROM sz),
+        |bytes AS (
+        |  SELECT doc_id, ch, i,
+        |    (strpos('0123456789abcdef',
+        |            substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(rep, CAST(2*i+2 AS INT), 1)) - 1 AS v
+        |  FROM raw),
+        |samp AS (
+        |  SELECT lo.doc_id, lo.i // 2 AS k,
+        |    (lo.v + 256*hi.v + 32768) % 65536 AS u
+        |  FROM bytes lo JOIN bytes hi
+        |    ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+        |  WHERE lo.i % 2 = 0),
+        |mono AS (
+        |  SELECT s.doc_id, s.k // z.ch AS f, sum(s.u) // z.ch AS m
+        |  FROM samp s JOIN sz z USING (doc_id)
+        |  GROUP BY s.doc_id, s.k // z.ch, z.ch),
+        |o AS (
+        |  SELECT doc_id, nf, tn, tn - 1 AS q, unnest(range(tn)) AS i
+        |  FROM sz),
+        |res AS (
+        |  SELECT o.doc_id, o.i,
+        |    ((o.q - (o.i*(o.nf-1)) % o.q) * m0.m
+        |     + ((o.i*(o.nf-1)) % o.q) * m1.m + o.q // 2) // o.q
+        |      - 32768 AS s
+        |  FROM o
+        |  JOIN mono m0 ON m0.doc_id = o.doc_id
+        |    AND m0.f = (o.i*(o.nf-1)) // o.q
+        |  JOIN mono m1 ON m1.doc_id = o.doc_id
+        |    AND m1.f = LEAST(o.nf - 1, (o.i*(o.nf-1)) // o.q + 1)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS s_sum,
+        |    CAST(min(s) AS BIGINT) AS s_min, CAST(max(s) AS BIGINT) AS s_max,
+        |    CAST(sum((i+1) * s) AS BIGINT) AS pos_sum
+        |  FROM res GROUP BY doc_id)
+        |SELECT z.doc_id AS media_id,
+        |  CAST(z.ch AS INTEGER) AS channels,
+        |  CAST(z.nf AS BIGINT) AS n_frames,
+        |  CAST(z.tn AS INTEGER) AS target_n,
+        |  CASE WHEN z.doc_id % 50 <> 0 THEN CAST(z.tn AS INTEGER) END AS out_n,
+        |  CASE WHEN z.doc_id % 50 <> 0 THEN a.s_sum END AS s_sum,
+        |  CASE WHEN z.doc_id % 50 <> 0 THEN a.s_min END AS s_min,
+        |  CASE WHEN z.doc_id % 50 <> 0 THEN a.s_max END AS s_max,
+        |  CASE WHEN z.doc_id % 50 <> 0 THEN a.pos_sum END AS pos_sum
+        |FROM sz z JOIN agg a USING (doc_id)""".stripMargin,
     // full fixed-point replay of BOTH resize modes: the oracle
     // regenerates the BMP pixel stream (file rows flipped to raster
     // order), maps every output pixel back through the integer

@@ -3075,6 +3075,125 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // audio downmix + resample: the speech-prep stage, exact fixed-point
+  // ---------------------------------------------------------------
+
+  /** Decode a canonical-layout 16-bit PCM WAV ([[wavSampleStats]]'s
+    * exact guards) to (channels, sampleRate, interleaved samples). */
+  private[graft] def wavPcm(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Short])] = {
+    if (bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return None
+    val audioFormat = leLong(bytes, 20, 2)
+    val channels = leLong(bytes, 22, 2)
+    val rate = leLong(bytes, 24, 4)
+    val bitDepth = leLong(bytes, 34, 2)
+    val dataSize = leLong(bytes, 40, 4)
+    if (audioFormat != 1 || bitDepth != 16 ||
+        channels < 1 || channels > 8 || rate <= 0 || rate > Int.MaxValue ||
+        bytes(36) != 'd' || bytes(37) != 'a' ||
+        bytes(38) != 't' || bytes(39) != 'a' ||
+        44 + dataSize > bytes.length) return None
+    val n = (dataSize / 2).toInt
+    if (n % channels != 0) return None
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = (u8(bytes, 44 + 2 * j) | (u8(bytes, 45 + 2 * j) << 8)).toShort
+      j += 1
+    }
+    Some((channels.toInt, rate.toInt, out))
+  }
+
+  /** Downmix interleaved multi-channel PCM to mono and linearly
+    * resample to `nOut` frames — in EXACT integer fixed-point (the
+    * [[resizeFixed]] design, one dimension): samples shift to the
+    * unsigned domain so floor division rounds identically everywhere,
+    * the downmix is the per-frame mean, and the resample holds the
+    * edge-to-edge source position as an exact fraction with one
+    * half-up rounding in the common denominator. Bit-identical on
+    * every platform and relationally replayable — resampling a speech
+    * corpus twice must hash twice. */
+  private[graft] def resamplePcm(samples: Array[Short], channels: Int,
+                                 nOut: Int): Array[Short] = {
+    require(channels >= 1 && nOut >= 1)
+    require(samples.length % channels == 0)
+    val nIn = samples.length / channels
+    if (nIn == 0) return new Array[Short](0)
+    // downmix in the shifted-positive domain: floor of the frame mean
+    val mono = new Array[Int](nIn) // unsigned 0..65535
+    var f = 0
+    while (f < nIn) {
+      var acc = 0L
+      var c = 0
+      // affine shift, NOT the unsigned reinterpretation (& 0xFFFF
+      // wraps at the sign boundary and would blend across it)
+      while (c < channels) { acc += samples(f * channels + c) + 32768; c += 1 }
+      mono(f) = (acc / channels).toInt
+      f += 1
+    }
+    val out = new Array[Short](nOut)
+    val q = if (nOut > 1) (nOut - 1).toLong else 1L
+    var i = 0
+    while (i < nOut) {
+      val num = i.toLong * (nIn - 1)
+      val x0 = (num / q).toInt
+      val fr = num % q
+      val x1 = math.min(nIn - 1, x0 + 1)
+      val v = ((q - fr) * mono(x0) + fr * mono(x1) + q / 2) / q
+      out(i) = (v.toInt - 32768).toShort
+      i += 1
+    }
+    out
+  }
+
+  private val audioResampleType = StructType(Seq(
+    StructField("out_n", IntegerType),
+    StructField("s_sum", LongType), StructField("s_min", LongType),
+    StructField("s_max", LongType), StructField("pos_sum", LongType)))
+
+  /** Append a nullable `resample_stats` struct: decode the WAV
+    * ([[wavPcm]]), downmix + resample ([[resamplePcm]]) to the
+    * per-row `outNCol` frame count, and report sum/min/max and the
+    * position checksum of the RESAMPLED signal (position-sensitive —
+    * a reversed or misaligned resample cannot hide in sums).
+    * Per-partition batched; undecodable payloads yield null. */
+  def withResampledAudio(df: DataFrame, bytesCol: String,
+                         outNCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resample_stats", audioResampleType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val bi = df.schema.fieldIndex(bytesCol)
+    val ni = df.schema.fieldIndex(outNCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val st = (for {
+          bytes <- Option(r.get(bi)).map(_.asInstanceOf[Array[Byte]])
+          nOut = r.getInt(ni)
+          if nOut > 0
+          (ch, _, samples) <- wavPcm(bytes)
+          if samples.length > 0
+        } yield {
+          val res = resamplePcm(samples, ch, nOut)
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var pos = 0L
+          var i = 0
+          while (i < res.length) {
+            val s = res(i).toLong
+            sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+            pos += (i + 1) * s
+            i += 1
+          }
+          Row(res.length, sum, mn, mx, pos)
+        }).orNull
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   private val imageStatsType = StructType(Seq(
     StructField("b_sum", LongType), StructField("b_min", LongType),
     StructField("b_max", LongType), StructField("g_sum", LongType),

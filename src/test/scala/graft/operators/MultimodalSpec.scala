@@ -1392,4 +1392,48 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getAs[Long]("nn_r_sum") == 16L * 0 + 16L * 100,
       s"jpeg NN sum ${st.getAs[Long]("nn_r_sum")}")
   }
+
+  // ---------------------------------------------------------------
+  // audio downmix + resample
+  // ---------------------------------------------------------------
+
+  test("resamplePcm identity on mono input returns the source exactly") {
+    val rnd = new scala.util.Random(9292)
+    for (_ <- 0 until 10) {
+      val n = 2 + rnd.nextInt(40)
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      assert(Multimodal.resamplePcm(s, 1, n).toSeq == s.toSeq)
+    }
+  }
+
+  test("resamplePcm downmix + interpolation match hand-computed cases, " +
+      "negative samples included") {
+    // stereo frames (-100, 50), (200, -301): means in the shifted
+    // domain floor((l+r)/2) -> -25, -51 (floor of -50.5)
+    val st = Array[Short](-100, 50, 200, -301)
+    val mono = Multimodal.resamplePcm(st, 2, 2)
+    assert(mono.toSeq == Seq[Short](-25, -51), s"got ${mono.toSeq}")
+    // mono [0, 100] -> 3 frames: q=2, midpoint = (1*32768 + 1*32868 + 1)/2
+    // - 32768 = 50 (half-up); ends copy
+    val up = Multimodal.resamplePcm(Array[Short](0, 100), 1, 3)
+    assert(up.toSeq == Seq[Short](0, 50, 100), s"got ${up.toSeq}")
+    // downsample [0, 10, 20, 30] -> 2: positions 0 and 3 exactly
+    val down = Multimodal.resamplePcm(Array[Short](0, 10, 20, 30), 1, 2)
+    assert(down.toSeq == Seq[Short](0, 30), s"got ${down.toSeq}")
+  }
+
+  test("wavPcm agrees with wavSampleStats and reads stereo interleave") {
+    val bytes = spark.range(1).select(Multimodal.wavBytes(
+      lit(8000), lit(25), lit(2),
+      md5(lit("seed")))).head().getAs[Array[Byte]](0)
+    val Some((ch, rate, samples)) = Multimodal.wavPcm(bytes)
+    assert(ch == 2 && rate == 8000 && samples.length == 50)
+    val stats = Multimodal.wavSampleStats(bytes).get
+    assert(samples.map(_.toLong).sum == stats(0), "sum mismatch vs stats pass")
+    assert(samples.map(_.toLong).min == stats(1))
+    assert(samples.map(_.toLong).max == stats(2))
+    // truncation and garbage degrade to None, never throw
+    assert(Multimodal.wavPcm(java.util.Arrays.copyOf(bytes, 47)).isEmpty)
+    assert(Multimodal.wavPcm(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
