@@ -2768,6 +2768,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CANONICAL-document selection per near-duplicate cluster — the
+    * keep-best dedup curation stage (keep-min-id, which
+    * [[neardupComponents]] pins, discards arbitrarily; real pipelines
+    * keep the highest-QUALITY member of each cluster). Clusters come
+    * from the same MinHash pair graph + min-label propagation; the
+    * canonical member is the max-quality doc (rounded to the oracle's
+    * 6 decimals so tie order is shared), ties to the smallest id —
+    * selected by a map-side-combinable `min_by` aggregate, not a
+    * window (no per-cluster sort at corpus scale). The oracle replays
+    * clustering (recursive CTE), quality, and the argmax. */
+  def neardupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = TextDedup.minhashNearDupPairs(
+      docs, "doc_id", "text", threshold = 0.5, numHashes = 128, bands = 32)
+    val comp = operators.Components.minLabelComponents(pairs, "idA", "idB")
+    val scored = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")), 6)
+          .as("quality"))
+    val labeled = scored
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"), col("quality"))
+    val canon = labeled.groupBy("component")
+      .agg(min_by(col("doc_id"),
+        struct((-col("quality")).as("nq"), col("doc_id"))).as("canonical"))
+    labeled.join(canon, Seq("component"))
+      .select(col("doc_id"), col("component"), col("quality"),
+        col("canonical"), (col("doc_id") === col("canonical")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-duplicate pairs (16-bit bands, Hamming re-check).
     * Oracle-EXACT by construction: any pair within Hamming 3 of a
     * 64-bit simhash agrees on ≥1 of the 4 bands (pigeonhole), so the
@@ -4353,6 +4386,7 @@ object Queries {
     "exact_dedup" -> (exactDedup _),
     "minhash_neardup" -> (minhashNearDup _),
     "neardup_components" -> (neardupComponents _),
+    "neardup_canonical" -> (neardupCanonical _),
     "simhash_neardup" -> (simhashNearDup _),
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "embedding_topk" -> (embeddingTopK _),
@@ -5453,6 +5487,35 @@ object Queries {
          |  least(coalesce(c.m, d.doc_id), d.doc_id) = d.doc_id AS is_survivor
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY d.doc_id""".stripMargin,
+    "neardup_canonical" ->
+      s"""WITH RECURSIVE $MinhashPairsCte,
+         |fpairs AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM fpairs
+         |          UNION ALL SELECT id_b, id_a FROM fpairs),
+         |reach(node, lab) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.lab = e.a),
+         |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
+         |base AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS toks,
+         |    length(text) AS n,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
+         |  FROM documents),
+         |scored AS (SELECT doc_id, $QualitySql AS quality FROM base),
+         |labeled AS (
+         |  SELECT s.doc_id,
+         |    least(coalesce(c.m, s.doc_id), s.doc_id) AS component, s.quality
+         |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.node),
+         |canon AS (
+         |  SELECT component, doc_id AS canonical FROM (
+         |    SELECT component, doc_id, row_number() OVER (
+         |      PARTITION BY component ORDER BY quality DESC, doc_id) AS rk
+         |    FROM labeled) WHERE rk = 1)
+         |SELECT l.doc_id, l.component, l.quality, c.canonical,
+         |  l.doc_id = c.canonical AS keep
+         |FROM labeled l JOIN canon c USING (component)
+         |ORDER BY l.doc_id""".stripMargin,
     // full simhash recompute from scratch: md5 token hashes → per-bit
     // majority → all-pairs Hamming (the banded candidates have recall 1
     // by pigeonhole, so the engine output IS all-pairs Hamming <= 3)
