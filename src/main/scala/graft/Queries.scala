@@ -3352,6 +3352,48 @@ object Queries {
         col("__mis").as("n_mismatched"))
   }
 
+  /** CDC-incremental PQ code maintenance ([[Similarity.pqRefresh]]):
+    * codebooks train ONCE on the v1 corpus and freeze; the corpus
+    * takes the same upsert + delete waves as [[ivfIncremental]], and
+    * the code table absorbs the NET CDC delta — after-images
+    * re-encode (shuffle-free, codebooks are plan literals),
+    * before-image ids leave, untouched codes carry verbatim. The
+    * oracle-pinned claim: the maintained table is BIT-IDENTICAL
+    * (code arrays compared element-wise under a full outer join) to a
+    * from-scratch encode of the final corpus under the same
+    * codebooks. */
+  def pqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val base = scratch("pq_incr", dir)
+    freshDirs(s, base)
+    val table = plans.SnapshotTable(s, base, "vec_id")
+    table.create(emb.filter(col("vec_id") % 3 =!= 2))
+    val cb = Similarity.pqTrainCodebooks(
+      table.readVersion(1), m = 8, ksub = 16, iters = 1)
+    val codes1 = table.readVersion(1).select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    table.upsert(emb.filter(col("vec_id") % 3 === 2).unionByName(
+      emb.filter(col("vec_id") % 6 === 0).withColumn("embedding",
+        transform(col("embedding"), x => x * lit(-1.0f)))))
+    table.delete(col("vec_id") % 7 === 3)
+    val img = plans.SnapshotTable.ImageCol
+    val delta = table.changesDelta(1, table.currentVersion.get)
+    val codes2 = Similarity.pqRefresh(codes1, cb,
+      upserted = delta.filter(col(img) === "after").drop(img),
+      removedIds = delta.filter(col(img) === "before").select("vec_id"))
+    val rebuilt = table.read.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    codes2.select(col("vec_id"), col("codes").as("c_inc"))
+      .join(rebuilt.select(col("vec_id"), col("codes").as("c_full")),
+        Seq("vec_id"), "full_outer")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("c_inc") === col("c_full"), 0L).otherwise(1L))
+          .as("__mis"))
+      .select(col("n_vectors"),
+        (col("__mis") === 0).as("incremental_matches_rebuild"),
+        col("__mis").as("n_mismatched"))
+  }
+
   /** The RECALL-GATED RETRAIN LOOP end-to-end on the real embeddings
     * ([[Similarity.ivfMaybeRetrain]] — the monitored decision that
     * closes Faiss's operational model around CDC-incremental
@@ -4396,6 +4438,7 @@ object Queries {
     "embedding_ann_ivf" -> (embeddingAnnIvf _),
     "embedding_ann_pq" -> (embeddingAnnPq _),
     "ivf_incremental" -> (ivfIncremental _),
+    "pq_incremental" -> (pqIncremental _),
     "ivf_retrain_trigger" -> (ivfRetrainTrigger _),
     "ann_recall" -> (annRecall _),
     "ann_recall_real" -> (annRecallReal _),
@@ -5571,6 +5614,11 @@ object Queries {
         |UNION ALL
         |SELECT 'stable', false, true
         |ORDER BY scenario""".stripMargin,
+    "pq_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       true AS incremental_matches_rebuild,
+        |       CAST(0 AS BIGINT) AS n_mismatched
+        |FROM embeddings WHERE vec_id % 7 <> 3""".stripMargin,
     "ivf_incremental" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |       true AS incremental_matches_rebuild,

@@ -548,6 +548,27 @@ object Similarity {
     })
   }
 
+  /** CDC-incremental PQ code maintenance under FROZEN codebooks —
+    * [[ivfRefresh]]'s exact shape one level down: only CHANGED vectors
+    * re-encode (a shuffle-free narrow map over the delta, the
+    * codebooks are plan literals), removed ids leave, untouched codes
+    * carry verbatim. Encoding is a pure function of (vector,
+    * codebooks), so the maintained code table is BIT-IDENTICAL to a
+    * full re-encode of the current corpus — O(delta) per refresh
+    * where the rebuild is O(corpus). Codebooks freeze between
+    * retrains like the coarse centroids (Faiss's operational model);
+    * [[ivfMaybeRetrain]]'s drift trigger governs both. */
+  def pqRefresh(codes: DataFrame, cb: Array[Array[Array[Float]]],
+                upserted: DataFrame, removedIds: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val gone = removedIds
+      .select(col(removedIds.columns.head).as("__gone")).distinct()
+    codes.join(gone, col(idCol) <=> col("__gone"), "left_anti")
+      .unionByName(upserted.select(col(idCol),
+        pqEncodeCol(col(vecCol), cb).as("codes")))
+  }
+
   /** Per-query ADC lookup table: `lut[s*ksub + c]` = dot(query's
     * subspace s, codebook centroid c of subspace s) — m·ksub doubles
     * computed ONCE per query, after which scoring a candidate is m

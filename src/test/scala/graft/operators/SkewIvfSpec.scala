@@ -349,4 +349,38 @@ class SkewIvfSpec extends SparkSpec {
       l.contains("qvec") || l.contains("nvec")),
       s"candidate window still carries vectors:\n${candWindow.mkString("\n")}")
   }
+
+  test("pqRefresh: incremental code maintenance is bit-identical to a " +
+      "full re-encode under frozen codebooks") {
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val mk = (n: Int, seed: Int) => {
+      val r2 = new scala.util.Random(seed)
+      (0 until n).map(i => (i.toLong, Seq.fill(dim)(r2.nextFloat() * 2f - 1f)))
+    }
+    val v1 = mk(80, 1).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(v1, m = 4, ksub = 8, iters = 1)
+    val codes1 = v1.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    // delta: 20 updated (new vectors for ids 0..19), 10 deleted (70..79),
+    // 15 inserted (100..114)
+    val updated = mk(20, 2).toDF("vec_id", "embedding")
+    val inserted = mk(15, 3).toDF("vec_id", "embedding")
+      .withColumn("vec_id", col("vec_id") + 100L)
+    val removed = ((0L until 20L) ++ (70L until 80L)).toDF("vec_id")
+    val incr = Similarity.pqRefresh(codes1, cb,
+      updated.unionByName(inserted), removed)
+    val finalCorpus = mk(80, 1).filter(_._1 < 70).filter(_._1 >= 20)
+      .toDF("vec_id", "embedding")
+      .unionByName(updated).unionByName(inserted)
+    val rebuilt = finalCorpus.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    val mis = incr.select(col("vec_id"), col("codes").as("a"))
+      .join(rebuilt.select(col("vec_id"), col("codes").as("b")),
+        Seq("vec_id"), "full_outer")
+      .filter(!(col("a") === col("b")) || col("a").isNull || col("b").isNull)
+      .count()
+    assert(mis == 0, s"$mis rows diverged from the rebuild")
+    assert(incr.count() == 85)
+  }
 }
