@@ -3983,6 +3983,57 @@ object Queries {
       col("resample_stats.pos_sum").as("pos_sum"))
   }
 
+  /** HTML main-content extraction
+    * ([[functions.TextAnalysis.htmlExtract]]): per-doc HTML pages are
+    * synthesized around the document text by column algebra — a style
+    * block, a script whose body contains live `<` comparisons (tag
+    * stripping alone would mangle it; whole-block removal must win),
+    * an entity-laden fragment and an HTML comment hiding document
+    * text — then the extractor strips them down to visible text.
+    * Everything is codegen'd regexp algebra in the Java∩RE2 subset,
+    * so the oracle builds the identical page and replays the
+    * identical chain, hash-exact down to whitespace collapse. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body { color: #fff; }</style>" +
+        "<script>if (a < b && c > d) { run(); }</script></head><body><h1>"),
+      substring(col("text"), 1, 20),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; more &lt;markup&gt; &quot;quoted&quot;&nbsp;tail</p>" +
+        "<!-- hidden "),
+      substring(col("text"), 1, 10),
+      lit(" --></body></html>"))
+    docs.select(col("doc_id"), html.as("__html"))
+      .select(col("doc_id"),
+        TextAnalysis.htmlExtract(col("__html")).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast(LongType))
+  }
+
+  /** URL canonicalization ([[functions.TextAnalysis.urlCanonicalize]])
+    * over synthesized crawl URLs: even docs carry an upper-cased http
+    * URL with the default port, two tracking params around a real one
+    * and a fragment; odd docs carry an https/:443 URL whose query is
+    * ALL tracking (the query must vanish entirely). The oracle builds
+    * identical URLs and replays the identical canonicalization chain;
+    * the derived host column feeds per-host aggregation downstream. */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val url = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".Example.COM:80/Docs/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"),
+        lit("&utm_campaign=x&ref=keep#sec-2")))
+      .otherwise(concat(lit("HTTPS://"), upper(col("source")),
+        lit(".COM:443/A/b?utm_source=only")))
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", TextAnalysis.urlCanonicalize(col("url")))
+      .withColumn("host",
+        regexp_extract(col("canonical"), "^[a-z]+://([^/:?#]+)", 1))
+      .select("doc_id", "canonical", "host")
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4460,6 +4511,8 @@ object Queries {
     "multimodal_png" -> (multimodalPng _),
     "multimodal_png_foreign" -> (multimodalPngForeign _),
     "domain_quota" -> (domainQuota _),
+    "html_extract" -> (htmlExtract _),
+    "url_canonicalize" -> (urlCanonicalize _),
     "ngram_perplexity" -> (ngramPerplexity _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_train" -> (bpeTrain _),
@@ -5989,6 +6042,63 @@ object Queries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 100""".stripMargin,
+    // identical URL synthesis + identical canonicalization chain
+    "url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
+        |    'HTTP://WWW.' || upper(source) || '.Example.COM:80/Docs/' ||
+        |      doc_id || '?utm_source=feed&id=' || doc_id ||
+        |      '&utm_campaign=x&ref=keep#sec-2'
+        |  ELSE 'HTTPS://' || upper(source) || '.COM:443/A/b?utm_source=only'
+        |  END AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |s2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) ||
+        |  regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g') AS u
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+        |  '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g') AS u FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+        |  '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(u, '\?$', '', 'g') AS canonical
+        |  FROM s4)
+        |SELECT doc_id, canonical,
+        |  regexp_extract(canonical, '^[a-z]+://([^/:?#]+)', 1) AS host
+        |FROM s5""".stripMargin,
+    // identical page synthesis + identical extraction chain, replayed
+    // in DuckDB's RE2 (the engine keeps its patterns inside the
+    // Java∩RE2 subset precisely so this replay is exact)
+    "html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>body { color: #fff; }</style>' ||
+        |    '<script>if (a < b && c > d) { run(); }</script></head><body><h1>' ||
+        |    substr(text, 1, 20) || '</h1><p>' || text ||
+        |    ' &amp; more &lt;markup&gt; &quot;quoted&quot;&nbsp;tail</p>' ||
+        |    '<!-- hidden ' || substr(text, 1, 10) ||
+        |    ' --></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<script\b.*?</script\s*>', ' ', 'g') AS h FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<style\b.*?</style\s*>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(h,
+        |  '<[^>]*>', ' ', 'g') AS h FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS h
+        |  FROM s4),
+        |x AS (SELECT doc_id,
+        |  trim(regexp_replace(h, '\s+', ' ', 'g')) AS extracted FROM s5)
+        |SELECT doc_id, extracted,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM x""".stripMargin,
     // full relational replay of the bigram LM: history counts, pair
     // counts, vocabulary size, add-one smoothing, the ln fold — the
     // oracle re-trains the same model DuckDB-side, so a drift in ANY

@@ -51,6 +51,54 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Main-content text extraction from HTML — the first stage of a
+    * web-scrape pipeline (script/style/comment blocks dropped whole,
+    * tags stripped, the six ubiquitous character entities decoded,
+    * whitespace collapsed). Pure regexp column algebra: codegen'd,
+    * shuffle-free, and every pattern stays inside the regex subset
+    * Java regex and RE2 share (inline (?is) flags, non-greedy spans,
+    * no backreferences) so a relational oracle replays it exactly.
+    * `&amp;` decodes LAST — decoding it first would double-decode
+    * `&amp;lt;` into a live `<`. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, e, v)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the crawl-dedup prep stage (two fetches
+    * of one page must collapse to one key): fragment dropped,
+    * scheme+host lowercased (path case is significant and stays),
+    * default ports stripped, tracking parameters (utm_*, fbclid,
+    * gclid) removed with the query separator repaired, a dangling
+    * `?` dropped. Deterministic regexp column algebra in the
+    * Java∩RE2 subset (replay-exact relationally); the sequential
+    * global passes handle runs of tracking params without loops. */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, prefix, 0)),
+      regexp_replace(noFrag, prefix, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    val trackers = "(utm_[a-z]+|fbclid|gclid)"
+    val cleaned = regexp_replace(
+      regexp_replace(noPort, trackers + "=[^&#]*&", ""),
+      "[?&]" + trackers + "=[^&#]*$", "")
+    regexp_replace(cleaned, "\\?$", "")
+  }
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column = {
     val n = length(text).cast("double")

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Web-scrape prep: HTML extraction and URL canonicalization against
+  * hand-pinned cases — the fixed points the oracle replay can't
+  * provide (it replays the same chain; these pin the SEMANTICS). */
+class WebTextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h"))).head().getString(0)
+
+  test("htmlExtract drops script/style/comment blocks whole and strips tags") {
+    assert(extract("<p>Hello <b>world</b></p>") == "Hello world")
+    // a script body with live < and > must vanish entirely — tag
+    // stripping alone would leak 'if (a' fragments
+    assert(extract("<script>if (a < b && c > d) { x(); }</script>ok") == "ok")
+    assert(extract("<style>p > a { color: red; }</style>text") == "text")
+    assert(extract("before<!-- hidden <b>bold</b> -->after") == "before after")
+    // unterminated script: the block rule cannot match, individual
+    // tags still strip — deterministic, never an error
+    assert(extract("<script>var a = 1; x<y") == "var a = 1; x<y")
+  }
+
+  test("htmlExtract decodes entities after stripping, &amp; last") {
+    assert(extract("<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e</p>")
+      == "a <b> \"c\" 'd' e")
+    // &amp;lt; must decode to the literal text '<' ONCE, not twice:
+    // the output contains <x> as TEXT, which only a double decode
+    // would have turned into a strippable tag upstream
+    assert(extract("a &amp;lt;x&amp;gt; b") == "a &lt;x&gt; b")
+  }
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u")
+      .select(TextAnalysis.urlCanonicalize(col("u"))).head().getString(0)
+
+  test("urlCanonicalize: case, ports, fragments, tracking params") {
+    assert(canon("HTTP://WWW.Ex.COM:80/Path/X?id=1#frag")
+      == "http://www.ex.com/Path/X?id=1")
+    assert(canon("https://A.com:443/p") == "https://a.com/p")
+    // non-default ports survive
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    // path case preserved; only scheme+host lowercase
+    assert(canon("HTTPS://HOST.com/CaseSensitive") ==
+      "https://host.com/CaseSensitive")
+    // tracking runs collapse and the separator repairs
+    assert(canon("http://a.com/?utm_source=x&utm_medium=y&id=2&gclid=z")
+      == "http://a.com/?id=2")
+    assert(canon("http://a.com/p?utm_source=only") == "http://a.com/p")
+    assert(canon("http://a.com/p?fbclid=abc&ref=keep")
+      == "http://a.com/p?ref=keep")
+    // idempotent: canonicalizing twice changes nothing
+    val once = canon("HTTP://B.COM:80/q?utm_a=1&z=2#f")
+    assert(canon(once) == once)
+  }
+}
