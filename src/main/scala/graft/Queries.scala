@@ -4034,6 +4034,23 @@ object Queries {
       .select("doc_id", "canonical", "host")
   }
 
+  /** Tokenize→pack composition — the actual pre-training data layout
+    * stage: REAL BPE token counts ([[bpeEncode]]'s fixed-merge
+    * encoder, not whitespace counts) feed the two-level distributed
+    * prefix sum ([[operators.SequencePack.packOffsets]]) that places
+    * every document on the global token axis in 256-token context
+    * windows. The oracle replays BOTH stages — the sequential-replace
+    * BPE token count and the relational running sum — so the
+    * composition is hash-exact end to end. */
+  def tokenizePack(s: SparkSession, dir: String): DataFrame =
+    operators.SequencePack.packOffsets(
+      operators.Bpe.withBpeTokens(
+        t(s, dir, "documents").select("doc_id", "text"), "text",
+        bpeFixedMerges)
+        .select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", ctxLen = 256)
+      .orderBy("doc_id")
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4515,6 +4532,7 @@ object Queries {
     "url_canonicalize" -> (urlCanonicalize _),
     "ngram_perplexity" -> (ngramPerplexity _),
     "bpe_encode" -> (bpeEncode _),
+    "tokenize_pack" -> (tokenizePack _),
     "bpe_train" -> (bpeTrain _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_audio_resample" -> (multimodalAudioResample _),
@@ -6130,6 +6148,38 @@ object Queries {
         |  round(a.nl, 6) AS avg_nll,
         |  round(exp(a.nl), 4) AS ppl
         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // BPE token counts (the same generated replace chain as
+    // bpe_encode) through the relational running-sum replay of the
+    // packer — both stages of the composition re-derived
+    "tokenize_pack" -> {
+      val perWord = bpeFixedMerges.foldLeft(
+        "regexp_replace(w, '(.)', '\\1;', 'g')") { case (acc, (l, r)) =>
+        s"replace($acc, '$l;$r;', '$l$r;')"
+      }
+      s"""WITH enc AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split(lower(trim(text)), ' '),
+         |                  w -> length(w) > 0),
+         |      w -> $perWord), ' ') AS e
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(length(e) - length(replace(e, ';', '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM enc),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 256 AS first_seq,
+         |  CAST((start_offset + greatest(n_tokens, 1) - 1) // 256 AS BIGINT)
+         |    AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     // sequential-replace replay of the fixed-merge BPE encode (see
     // bpeFixedMerges for why replace order == iterative BPE here);
     // the replace chain is GENERATED from the same Scala list the
