@@ -52,6 +52,18 @@ object Queries {
     * the probe, so a drift must name which of the three moved. */
   @volatile var lastAnnPqPhases: Seq[(String, Double)] = Nil
 
+  /** Shared wall-time accumulator for phase-attributed entries —
+    * one definition so the timing convention cannot drift between
+    * copies ([[annRecallReal]], [[embeddingAnnPq]]). */
+  private final class PhaseTimer {
+    private val buf = Seq.newBuilder[(String, Double)]
+    def apply[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      buf += name -> ((System.nanoTime() - t0) / 1e9); r
+    }
+    def result(): Seq[(String, Double)] = buf.result()
+  }
+
   /** Attribute a TERMINATED streaming query's wall time from its
     * progress log: `add_batch` is the work inside each micro-batch
     * (source read + sink/foreachBatch commit), `batch_overhead` the
@@ -2974,11 +2986,7 @@ object Queries {
     * raw recall stays in-plan. */
   def annRecallReal(s: SparkSession, dir: String): DataFrame = {
     lastAnnRecallPhases = Nil // a throwing run must not report stale phases
-    val ph = Seq.newBuilder[(String, Double)]
-    def phase[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      ph += name -> (System.nanoTime() - t0) / 1e9; r
-    }
+    val phase = new PhaseTimer
     val emb = t(s, dir, "embeddings")
     // one eager materialization, three ANN passes over it (see
     // annRecall); the stride keeps the query set identical at every SF
@@ -3020,7 +3028,7 @@ object Queries {
       recallOf(Similarity.ivfTopKWith(cents, corpus, queries, k = 10,
         nProbe = 12), "ivf").localCheckpoint()
     }
-    lastAnnRecallPhases = ph.result()
+    lastAnnRecallPhases = phase.result()
     lsh.unionByName(ivf).orderBy("method")
   }
 
@@ -3274,11 +3282,7 @@ object Queries {
     * to be usable. */
   def embeddingAnnPq(s: SparkSession, dir: String): DataFrame = {
     lastAnnPqPhases = Nil // a throwing run must not report stale phases
-    val ph = Seq.newBuilder[(String, Double)]
-    def phase[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      ph += name -> (System.nanoTime() - t0) / 1e9; r
-    }
+    val phase = new PhaseTimer
     val emb = t(s, dir, "embeddings")
     // one eager materialization: coarse training, PQ training, the
     // encode pass and the re-rank all read this corpus — without the
@@ -3299,7 +3303,7 @@ object Queries {
         plantedAnnQueries(corpus, 5), k = 10, nProbe = 6, refine = 4))
         .localCheckpoint()
     }
-    lastAnnPqPhases = ph.result()
+    lastAnnPqPhases = phase.result()
     out
   }
 
@@ -6078,8 +6082,8 @@ object Queries {
         |  '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
         |  '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g') AS u FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |  '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
-        |  '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g') AS u FROM s3),
+        |  '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |  '^([^?&]*)&', '\1?', 'g') AS u FROM s3),
         |s5 AS (SELECT doc_id, regexp_replace(u, '\?$', '', 'g') AS canonical
         |  FROM s4)
         |SELECT doc_id, canonical,
@@ -6159,7 +6163,7 @@ object Queries {
       s"""WITH enc AS (
          |  SELECT doc_id,
          |    array_to_string(list_transform(
-         |      list_filter(string_split(lower(trim(text)), ' '),
+         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                  w -> length(w) > 0),
          |      w -> $perWord), ' ') AS e
          |  FROM documents),
@@ -6196,7 +6200,7 @@ object Queries {
          |FROM (
          |  SELECT doc_id,
          |    array_to_string(list_transform(
-         |      list_filter(string_split(lower(trim(text)), ' '),
+         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |                  w -> length(w) > 0),
          |      w -> $perWord), ' ') AS enc
          |  FROM documents)""".stripMargin

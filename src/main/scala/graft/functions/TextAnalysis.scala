@@ -92,11 +92,16 @@ object TextAnalysis {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    // tracker params must be LEFT-ANCHORED on a separator — an
+    // unanchored pass would match inside unrelated names ("xgclid")
+    // and values ("?q=gclid=..."). Stripping the LEADING separator
+    // keeps runs removable in one global pass (consuming the trailing
+    // '&' would swallow the next run member's anchor); when the '?'
+    // itself was consumed, the repair pass promotes the first '&'.
     val trackers = "(utm_[a-z]+|fbclid|gclid)"
-    val cleaned = regexp_replace(
-      regexp_replace(noPort, trackers + "=[^&#]*&", ""),
-      "[?&]" + trackers + "=[^&#]*$", "")
-    regexp_replace(cleaned, "\\?$", "")
+    val cleaned = regexp_replace(noPort, "[?&]" + trackers + "=[^&#]*", "")
+    val repaired = regexp_replace(cleaned, "^([^?&]*)&", "$1?")
+    regexp_replace(repaired, "\\?$", "")
   }
 
   /** Fraction of characters that are sentence punctuation. */

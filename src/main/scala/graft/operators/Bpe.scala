@@ -1,11 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import graft.functions.TextAnalysis
 
 /** Trainable byte-pair encoding over a document corpus — the
   * tokenizer-training stage of an LLM data pipeline (the reference
@@ -29,14 +27,28 @@ import graft.functions.TextAnalysis
   */
 object Bpe {
 
+  /** Pre-tokenization: lowercase ALPHANUMERIC runs — the regex
+    * approximation every BPE trainer applies before merging (GPT-2
+    * splits off punctuation the same way). Restricting tokens to
+    * [a-z0-9] also guarantees the `;`/space delimiters of the
+    * canonical encoded form can never occur INSIDE a token, which the
+    * serialization (and its oracle) depend on. */
+  private[graft] def preTokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Column form of [[preTokenize]] — Spark's lower() is
+    * locale-independent, matching Locale.ROOT on the JVM side. */
+  private def preTokenizeCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
   /** Top-`maxVocab` (word, count) pairs by frequency (ties to the
     * lexicographically smaller word — deterministic across runs and
     * partitionings). One distributed count; only the capped histogram
     * reaches the driver. */
   def wordHistogram(docs: DataFrame, textCol: String,
                     maxVocab: Int): Array[(String, Long)] =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+    docs.select(explode(preTokenizeCol(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(maxVocab)
@@ -140,8 +152,9 @@ object Bpe {
   /** Append BPE token columns to `df`: `n_tokens` (count across all
     * words) and `encoded` — the canonical serialized form, each token
     * suffix-terminated with `;` and words joined by a space (tokens
-    * are drawn from whitespace-split words, so neither delimiter can
-    * occur inside a token). Per-partition narrow map: the rank map
+    * are [[preTokenize]]d alphanumeric runs, so neither delimiter can
+    * occur inside a token — the invariant the count-of-`;` oracle
+    * formulation rests on). Per-partition narrow map: the rank map
     * builds once per task from the closure-shipped merge list. */
   def withBpeTokens(df: DataFrame, textCol: String,
                     merges: Seq[(String, String)]): DataFrame = {
@@ -155,7 +168,7 @@ object Bpe {
       val ranks = mergeList.zipWithIndex.toMap
       rows.map { r =>
         val text = Option(r.getString(idx)).getOrElse("")
-        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val words = preTokenize(text)
         var n = 0L
         val sb = new StringBuilder
         var wi = 0

@@ -202,6 +202,18 @@ object Similarity {
       .select(col(idCol), col(s"__best.$vecCol").as(vecCol),
         col("__best.centroid_id").as("centroid_id"))
 
+  /** Sample-bound a training corpus: one count() pass, then a seeded
+    * ~1.1x-oversampled Bernoulli sample when the corpus exceeds the
+    * budget (shared by centroid and PQ-codebook training so the
+    * bounding policy cannot drift between them). */
+  private def sampleBounded(corpus: DataFrame,
+                            maxTrainVectors: Long): DataFrame = {
+    val corpusSize = corpus.count()
+    if (corpusSize <= maxTrainVectors) corpus
+    else corpus.sample(
+      math.min(1.0, maxTrainVectors.toDouble * 1.1 / corpusSize), 42L)
+  }
+
   /** Lloyd-trained IVF centroids: seed with the stable pseudo-random
     * sample, then `iters` assign/update rounds — assignment is the
     * broadcast crossJoin + argmax above; the update is the per-cluster
@@ -232,11 +244,7 @@ object Similarity {
     var cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
     if (iters <= 0) return cents
     val spark = corpus.sparkSession
-    val corpusSize = corpus.count()
-    val train =
-      if (corpusSize <= maxTrainVectors) corpus
-      else corpus.sample(
-        math.min(1.0, maxTrainVectors.toDouble * 1.1 / corpusSize), 42L)
+    val train = sampleBounded(corpus, maxTrainVectors)
     if (iters > 1 && (train ne corpus)) train.persist()
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(train, cents, idCol, vecCol)
@@ -449,11 +457,7 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val corpusSize = corpus.count()
-    val train =
-      if (corpusSize <= maxTrainVectors) corpus
-      else corpus.sample(
-        math.min(1.0, maxTrainVectors.toDouble * 1.1 / corpusSize), 42L)
+    val train = sampleBounded(corpus, maxTrainVectors)
     // (id, sub, svec): one narrow explode — every subspace trains from
     // the same pass over the sample
     val slices = train.select(col(idCol).as("__id"),
@@ -494,13 +498,13 @@ object Similarity {
         .select(col("sub"), col("code"),
           transform(col("__pm"), e => e.getField("__mu").cast("float"))
             .as("cvec"))
-      // empty codes keep their previous centroid
-      val keptRows = {
-        val liveKeys = means.select("sub", "code").collect()
-          .map(r => (r.getInt(0), r.getInt(1))).toSet
+      // ONE collect per iteration (a second .collect for the live-key
+      // set would re-run the whole assignment+mean pipeline); empty
+      // codes keep their previous centroid
+      val meanRows = means.collect()
+      val liveKeys = meanRows.map(r => (r.getInt(0), r.getInt(1))).toSet
+      cbRows = meanRows ++
         cbRows.filter(r => !liveKeys((r.getInt(0), r.getInt(1))))
-      }
-      cbRows = means.collect() ++ keptRows
     }
     if (iters > 0) slices.unpersist()
     val out = Array.ofDim[Array[Float]](m, ksub)

@@ -54,6 +54,12 @@ class WebTextSpec extends SparkSpec {
     assert(canon("http://a.com/p?utm_source=only") == "http://a.com/p")
     assert(canon("http://a.com/p?fbclid=abc&ref=keep")
       == "http://a.com/p?ref=keep")
+    // tracker names must be SEPARATOR-anchored: a param merely ending
+    // in a tracker name, or a tracker name inside a VALUE, survives
+    assert(canon("http://a.com/?xgclid=1&id=2") == "http://a.com/?xgclid=1&id=2")
+    assert(canon("http://a.com/?q=gclid=abc&x=1") == "http://a.com/?q=gclid=abc&x=1")
+    // a run whose '?' is consumed gets its separator repaired
+    assert(canon("http://a.com/?utm_a=1&utm_b=2&id=3") == "http://a.com/?id=3")
     // idempotent: canonicalizing twice changes nothing
     val once = canon("HTTP://B.COM:80/q?utm_a=1&z=2#f")
     assert(canon(once) == once)

@@ -63,8 +63,7 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     docs.collect().foreach { r =>
       val id = r.getLong(0)
-      val words = r.getString(1).toLowerCase.trim.split("\\s+")
-        .filter(_.nonEmpty)
+      val words = Bpe.preTokenize(r.getString(1))
       val toks = words.map(w => Bpe.encodeWord(w, ranks))
       val wantN = toks.map(_.length.toLong).sum
       val wantEnc = toks.map(_.map(_ + ";").mkString("")).mkString(" ")
