@@ -3283,13 +3283,11 @@ object Queries {
   def embeddingAnnPq(s: SparkSession, dir: String): DataFrame = {
     lastAnnPqPhases = Nil // a throwing run must not report stale phases
     val phase = new PhaseTimer
-    val emb = t(s, dir, "embeddings")
-    // one eager materialization: coarse training, PQ training, the
-    // encode pass and the re-rank all read this corpus — without the
-    // checkpoint each would rescan the source
-    val corpus = phase("corpus") {
-      emb.select("vec_id", "embedding").localCheckpoint()
-    }
+    // the PLAIN parquet scan stays the corpus: a localCheckpoint here
+    // measured 3x SLOWER end-to-end — the RDD-backed base knocks the
+    // trainings' scans out of the columnar/codegen path, which costs
+    // far more than re-reading 5k rows of parquet per pass
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
     val cents = phase("coarse_train") {
       Similarity.trainCentroids(corpus, nCentroids = 16, iters = 2)
     }

@@ -38,12 +38,18 @@ object ScaleSmoke {
   // are scale axes the batch entries never exercise
   // mv_incremental: the O(changed rows) refresh claim is exactly a
   // scale axis — at 10x data the fold must track the CHANGE volume
+  // round-14 additions: embedding_ann_pq (two Lloyd trainings must
+  // stay sample-bounded), bpe_encode + ngram_perplexity +
+  // multimodal_resize (narrow maps / two-join scoring that must scale
+  // ~linearly), domain_quota (the two-level top-k whose whole point is
+  // surviving group growth)
   private val Heaviest = Seq(
     "pipeline_e2e", "sketch_partition_maintenance", "snapshot_compact",
     "mor_delete", "catalog_sql_lifecycle", "corpus_curation",
     "doc_winnow_fingerprints", "stream_sink_merge", "snapshot_changes",
     "funnel_stream_parity", "stream_stream_join", "cdc_stream_parity",
-    "mv_incremental")
+    "mv_incremental", "embedding_ann_pq", "bpe_encode",
+    "ngram_perplexity", "multimodal_resize", "domain_quota")
 
   def main(args: Array[String]): Unit = {
     val round = args.headOption.getOrElse("8")
@@ -78,6 +84,14 @@ object ScaleSmoke {
     }
 
     def timeOne(name: String, dir: String): Double = {
+      // entry hygiene: earlier entries leave persisted RDDs and cached
+      // relations behind (localCheckpoints, fixture caches) — without
+      // clearing them the 14th entry times GC pressure, not its plan
+      // (observed 169s vs 7.5s for the same entry, loaded vs clean)
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       df.agg(bit_xor(xxhash64(
