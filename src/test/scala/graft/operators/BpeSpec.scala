@@ -99,4 +99,30 @@ class BpeSpec extends SparkSpec {
 
   private def Queries_bpeFixedMerges: Seq[(String, String)] =
     graft.Queries.bpeFixedMerges
+
+  test("property: BPE encoding is LOSSLESS — tokens concatenate back to " +
+      "the word, for random words under random trained merges") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 50) {
+      val alpha = "abcdef01"
+      val vocabWords = (0 until 30).map(_ =>
+        (0 until (1 + rnd.nextInt(8))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString)
+      val hist = vocabWords.groupBy(identity)
+        .map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(5))) }
+        .toArray
+      val merges = Bpe.trainMerges(hist, numMerges = 1 + rnd.nextInt(12),
+        minCount = 1L)
+      val ranks = merges.zipWithIndex.toMap
+      for (w <- vocabWords ++ Seq("zzz", "a", "")) {
+        val toks = Bpe.encodeWord(w, ranks)
+        assert(toks.mkString == w,
+          s"trial=$trial lossy encode of '$w': ${toks.toSeq}")
+        // every token is either a single char or a learned merge product
+        val learned = merges.map { case (l, r) => l + r }.toSet
+        toks.foreach(t => assert(t.length == 1 || learned(t),
+          s"trial=$trial token '$t' is neither a char nor a learned merge"))
+      }
+    }
+  }
 }
