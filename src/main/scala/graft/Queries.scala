@@ -2855,6 +2855,71 @@ object Queries {
       .orderBy("source")
   }
 
+  /** STREAMING corpus curation with cross-batch dedup — the ingest
+    * shape a production corpus actually arrives in: document slices
+    * land in doc_id order and drain through AvailableNow micro-batches;
+    * each batch quality+language gates, fingerprints, keeps its min-id
+    * doc per fingerprint, and INSERT-IF-ABSENTs into a fingerprint-
+    * keyed [[plans.SnapshotTable]] (anti-join against the current
+    * snapshot, then an atomic upsert commit) — so the first-seen
+    * (= globally minimal, batches being id-ordered) document survives
+    * per fingerprint, exactly the batch pipeline's keep-min-id rule.
+    * The final per-source summary must equal [[corpusCuration]]'s —
+    * streamed == batch, one shared oracle. */
+  def streamCurationParity(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("stream_cur", dir)
+    freshDirs(s, base)
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val slice = maxId / 4 + 1
+    val landing = s"$base/landing"
+    (0 to 3).foreach { b =>
+      docs.filter(col("doc_id") >= b * slice && col("doc_id") < (b + 1) * slice)
+        .coalesce(1).write.parquet(s"$landing/b$b")
+    }
+    val table = plans.SnapshotTable(s, s"$base/table", "fp")
+    var created = false
+    val q = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = batch
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .withColumn("quality",
+            TextAnalysis.qualityScoreOfTokens(col("__toks"), col("text")))
+          .withColumn("lang_pred",
+            TextAnalysis.languageIdOfTokens(col("__toks"), col("text")))
+          .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .groupBy("fp") // min-id doc per fingerprint WITHIN the batch
+          .agg(min_by(struct(col("doc_id"), col("source"),
+            col("n_chars"), col("quality")), col("doc_id")).as("__d"))
+          .select(col("fp"), col("__d.doc_id").as("doc_id"),
+            col("__d.source").as("source"), col("__d.n_chars").as("n_chars"),
+            col("__d.quality").as("quality"))
+        if (!created) { table.create(scored); created = true }
+        else {
+          // insert-if-absent: a fingerprint already in the table keeps
+          // its (earlier, smaller-id) document
+          val fresh = scored.join(table.read.select("fp"), Seq("fp"),
+            "left_anti")
+          table.upsert(fresh)
+        }
+      }
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   /** Brute-force cosine top-10 for the first five vectors as queries —
     * the exact ANN baseline. */
   def embeddingTopK(s: SparkSession, dir: String): DataFrame = {
@@ -4519,6 +4584,7 @@ object Queries {
     "funnel_stream_parity" -> (funnelStreamParity _),
     "cohort_retention" -> (cohortRetention _),
     "corpus_curation" -> (corpusCuration _),
+    "stream_curation_parity" -> (streamCurationParity _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "asof_event_order" -> (asofEventOrder _),
     "range_join_bands" -> (rangeJoinBands _),
@@ -4665,6 +4731,30 @@ object Queries {
        |     WHEN $RFr = greatest($REn, $RDe, $RFr, $REs) AND $RFr > 0 THEN 'fr'
        |     WHEN $REs = greatest($REn, $RDe, $RFr, $REs) AND $REs > 0 THEN 'es'
        |     ELSE 'unknown' END""".stripMargin
+
+  /** The curation summary, gate→min-id-dedup→per-source rollup —
+    * shared by the batch pipeline and its streaming parity twin. */
+  private val CurationSummarySql =
+    s"""WITH base AS (
+         |  SELECT doc_id, source, n_chars, md5($NormSql) AS fp,
+         |    string_split($NormSql, ' ') AS toks,
+         |    length(text) AS n,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p,
+         |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, n_chars, fp,
+         |    $QualitySql AS quality,
+         |    $LangPredSql AS lang_pred
+         |  FROM base),
+         |gated AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM scored WHERE quality >= 0.5 AND lang_pred = 'en')
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM gated WHERE rn = 1
+         |GROUP BY source ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "scan_counts" ->
@@ -5746,30 +5836,11 @@ object Queries {
         |       CAST(list_min(qv) AS INTEGER) AS q_min,
         |       CAST(list_max(qv) AS INTEGER) AS q_max
         |FROM q""".stripMargin,
-    "corpus_curation" ->
-      // mirrors the Spark pipeline exactly: gate first, then dedup by
-      // normalized fingerprint (min doc_id among survivors) — the corpus
-      // has normalized duplicates at larger sf
-      s"""WITH base AS (
-         |  SELECT doc_id, source, n_chars, md5($NormSql) AS fp,
-         |    string_split($NormSql, ' ') AS toks,
-         |    length(text) AS n,
-         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p,
-         |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, source, n_chars, fp,
-         |    $QualitySql AS quality,
-         |    $LangPredSql AS lang_pred
-         |  FROM base),
-         |gated AS (
-         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-         |  FROM scored WHERE quality >= 0.5 AND lang_pred = 'en')
-         |SELECT source, count(*) AS n_docs,
-         |  round(avg(quality), 4) AS avg_quality,
-         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM gated WHERE rn = 1
-         |GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_curation" -> CurationSummarySql,
+    // streamed curation must land on the SAME summary: one oracle
+    // string for both transports, so they can never drift apart
+    "stream_curation_parity" -> CurationSummarySql,
+
     "sessionize_events" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
