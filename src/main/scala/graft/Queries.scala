@@ -4118,6 +4118,61 @@ object Queries {
       "doc_id", "n_tokens", ctxLen = 256)
       .orderBy("doc_id")
 
+  /** IMAGE near-duplicate detection via perceptual hashing
+    * ([[Multimodal.aHash64]]): every doc carries a BMP whose pixels
+    * tile md5; every 25th doc is a PLANTED near-duplicate of its
+    * predecessor (same dims, one content byte changed), so real pairs
+    * exist. Hashes are average-hashes over the exact fixed-point
+    * 8x8 NN resize — all integers, so the oracle recomputes every bit.
+    * Candidates come from 16-bit HAMMING BANDS (pigeonhole: any pair
+    * within Hamming 3 of 64 bits agrees on one of 4 bands, so banded
+    * recall is exactly 1 and the engine output IS all-pairs
+    * Hamming ≤ 3, which the oracle computes directly) — never an
+    * all-pairs join engine-side. */
+  def multimodalImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") > 0
+    val sid = when(planted, col("doc_id") - 1).otherwise(col("doc_id"))
+    val w = (pmod(sid, lit(9)) + 8).cast(IntegerType)
+    val h = (pmod(sid, lit(5)) + 8).cast(IntegerType)
+    val hex = md5(sid.cast(StringType))
+    val hexP = concat(lit("ff"), substring(hex, 3, 30))
+    val bytes = Multimodal.bmpBytes(w, h,
+      when(planted, hexP).otherwise(hex))
+    val hashed = Multimodal.withAHash(
+      docs.select(col("doc_id"), bytes.as("bytes")), "bytes")
+      .filter(col("ahash_lo").isNotNull)
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
+    val bands = array(
+      struct(lit(0).as("band"),
+        col("ahash_lo").bitwiseAND(lit(65535L)).as("bv")),
+      struct(lit(1).as("band"),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+      struct(lit(2).as("band"),
+        col("ahash_hi").bitwiseAND(lit(65535L)).as("bv")),
+      struct(lit(3).as("band"),
+        shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bv")))
+    val b = hashed.select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+      explode(bands).as("bk"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = b.select(col("band"), col("bv"), col("doc_id").as("id_a"),
+        col("ahash_lo").as("lo_a"), col("ahash_hi").as("hi_a"))
+      .join(b.select(col("band"), col("bv"), col("doc_id").as("id_b"),
+        col("ahash_lo").as("lo_b"), col("ahash_hi").as("hi_b")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+          .cast(IntegerType))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   /** JPEG write→parse round-trip: per-doc baseline JPEGs whose SOF0
     * frame header sits behind APP0 and COM segments, decoded back via
     * the REAL segment walk ([[Multimodal.jpegSofOffset]]). One payload
@@ -4603,6 +4658,7 @@ object Queries {
     "tokenize_pack" -> (tokenizePack _),
     "bpe_train" -> (bpeTrain _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_image_neardup" -> (multimodalImageNearDup _),
     "multimodal_audio_resample" -> (multimodalAudioResample _),
     "multimodal_gif" -> (multimodalGif _),
     "multimodal_gif_frames" -> (multimodalGifFrames _),
@@ -6336,6 +6392,63 @@ object Queries {
         |  CASE WHEN z.doc_id % 50 <> 0 THEN a.s_max END AS s_max,
         |  CASE WHEN z.doc_id % 50 <> 0 THEN a.pos_sum END AS pos_sum
         |FROM sz z JOIN agg a USING (doc_id)""".stripMargin,
+    // full bit-level replay: regenerate the BMPs (planted twins
+    // included), NN-resize 8x8 in integer SQL, luma, floored mean,
+    // bit-pack into two 32-bit halves, then ALL-PAIRS Hamming <= 3 —
+    // which the banded engine output must equal exactly (pigeonhole
+    // recall 1)
+    "multimodal_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 25 = 0 AND doc_id > 0
+        |         THEN doc_id - 1 ELSE doc_id END AS sid
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, sid % 9 + 8 AS w, sid % 5 + 8 AS h,
+        |    CASE WHEN doc_id % 25 = 0 AND doc_id > 0
+        |      THEN 'ff' || substr(md5(CAST(sid AS VARCHAR)), 3)
+        |      ELSE md5(CAST(sid AS VARCHAR)) END AS hex,
+        |    ((3*(sid % 9 + 8) + 3) // 4) * 4 AS row_bytes
+        |  FROM ids),
+        |raw AS (
+        |  SELECT doc_id, w, h, row_bytes, unnest(range(row_bytes*h)) AS i,
+        |    repeat(hex, CAST(ceil(row_bytes*h/16.0) AS INT)) AS rep
+        |  FROM sz),
+        |srcb AS (
+        |  SELECT doc_id, h - 1 - (i // row_bytes) AS sy,
+        |    (i % row_bytes) // 3 AS sx, (i % row_bytes) % 3 AS ch,
+        |    (strpos('0123456789abcdef',
+        |            substr(rep, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |     + strpos('0123456789abcdef',
+        |              substr(rep, CAST(2*i+2 AS INT), 1)) - 1 AS v
+        |  FROM raw WHERE (i % row_bytes) < 3*w),
+        |pix AS (
+        |  SELECT doc_id, sy, sx,
+        |    max(CASE WHEN ch = 2 THEN v END) AS r,
+        |    max(CASE WHEN ch = 1 THEN v END) AS g,
+        |    max(CASE WHEN ch = 0 THEN v END) AS b
+        |  FROM srcb GROUP BY doc_id, sy, sx),
+        |o AS (SELECT doc_id, w, h, unnest(range(64)) AS oi FROM sz),
+        |cell AS (
+        |  SELECT o.doc_id, o.oi,
+        |    (299*p.r + 587*p.g + 114*p.b) // 1000 AS luma
+        |  FROM o JOIN pix p ON p.doc_id = o.doc_id
+        |    AND p.sy = ((o.oi // 8) * o.h) // 8
+        |    AND p.sx = ((o.oi % 8) * o.w) // 8),
+        |m AS (SELECT doc_id, sum(luma) // 64 AS mean FROM cell GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN c.oi < 32 AND c.luma > m.mean
+        |      THEN 1::BIGINT << c.oi ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN c.oi >= 32 AND c.luma > m.mean
+        |      THEN 1::BIGINT << (c.oi - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM cell c JOIN m USING (doc_id) GROUP BY c.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |       AS INTEGER) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // full fixed-point replay of BOTH resize modes: the oracle
     // regenerates the BMP pixel stream (file rows flipped to raster
     // order), maps every output pixel back through the integer

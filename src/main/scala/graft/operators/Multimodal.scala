@@ -3194,6 +3194,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual AVERAGE HASH of an image payload — the
+    * image-near-duplicate signature (aHash): decode (BMP or JPEG),
+    * NN-resize to 8x8 through the exact fixed-point path
+    * ([[resizeFixed]]), integer luma per cell, bit = luma strictly
+    * above the floored mean. All integer arithmetic, so a relational
+    * oracle recomputes every bit. Returned as two unsigned 32-bit
+    * halves (lo, hi) — a single signed 64-bit hash would overflow the
+    * oracle's BIGINT bit-sum at bit 63. None when undecodable. */
+  private[graft] def aHash64(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val (w, h, nc, pix) = bmpPixels(bytes)
+      .map { case (bw, bh, p) => (bw, bh, 3, p) }
+      .orElse(jpegDecodeImage(bytes))
+      .getOrElse(return None)
+    val small = resizeFixed(pix, w, h, nc, 8, 8, bilinear = false)
+    val luma = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val r = small(i * nc) & 0xFF
+      val g = if (nc >= 3) small(i * nc + 1) & 0xFF else r
+      val b = if (nc >= 3) small(i * nc + 2) & 0xFF else r
+      luma(i) = (299L * r + 587L * g + 114L * b) / 1000L
+      sum += luma(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (luma(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    Some((lo, hi))
+  }
+
+  /** Append nullable `ahash_lo`/`ahash_hi` columns ([[aHash64]]).
+    * Per-partition batched; undecodable payloads yield nulls. */
+  def withAHash(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("ahash_lo", LongType, nullable = true),
+      StructField("ahash_hi", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hs = Option(r.get(idx)).map(_.asInstanceOf[Array[Byte]])
+          .flatMap(aHash64)
+        Row.fromSeq(r.toSeq ++ Seq(
+          hs.map(_._1).map(Long.box).orNull,
+          hs.map(_._2).map(Long.box).orNull))
+      }
+    }(enc)
+  }
+
   private val imageStatsType = StructType(Seq(
     StructField("b_sum", LongType), StructField("b_min", LongType),
     StructField("b_max", LongType), StructField("g_sum", LongType),
