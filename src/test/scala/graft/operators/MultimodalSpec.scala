@@ -1436,4 +1436,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavPcm(java.util.Arrays.copyOf(bytes, 47)).isEmpty)
     assert(Multimodal.wavPcm(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("property: bilinear resize output stays within the source value " +
+      "range per channel, at any scale factor") {
+    // a convex blend can never overshoot its inputs; the half-up
+    // rounding must not break that (it cannot: the numerator is
+    // bounded by max*qq and the +qq/2 is absorbed by floor division
+    // except at exact max, where it stays max)
+    val rnd = new scala.util.Random(1717)
+    for (_ <- 0 until 20) {
+      val w = 1 + rnd.nextInt(15); val h = 1 + rnd.nextInt(15)
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val lo = pix.map(_ & 0xFF).min; val hi = pix.map(_ & 0xFF).max
+      val ow = 1 + rnd.nextInt(30); val oh = 1 + rnd.nextInt(30)
+      val out = Multimodal.resizeFixed(pix, w, h, 3, ow, oh, bilinear = true)
+      out.map(_ & 0xFF).foreach { v =>
+        assert(v >= lo && v <= hi, s"${w}x$h -> ${ow}x$oh value $v outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("property: resamplePcm output stays within the mono-mixed input " +
+      "range, at any target length") {
+    val rnd = new scala.util.Random(1818)
+    for (_ <- 0 until 20) {
+      val ch = 1 + rnd.nextInt(2)
+      val nIn = 1 + rnd.nextInt(40)
+      val s = Array.fill(nIn * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val mono = (0 until nIn).map { f =>
+        ((0 until ch).map(c => s(f * ch + c) + 32768).sum / ch) - 32768
+      }
+      val nOut = 1 + rnd.nextInt(80)
+      val out = Multimodal.resamplePcm(s, ch, nOut)
+      assert(out.length == nOut)
+      out.foreach { v =>
+        assert(v >= mono.min && v <= mono.max,
+          s"ch=$ch nIn=$nIn nOut=$nOut sample $v outside [${mono.min},${mono.max}]")
+      }
+    }
+  }
 }
