@@ -2877,6 +2877,18 @@ object Queries {
     (0 to 3).foreach { b =>
       docs.filter(col("doc_id") >= b * slice && col("doc_id") < (b + 1) * slice)
         .coalesce(1).write.parquet(s"$landing/b$b")
+      // FileStreamSource orders files by MODIFICATION TIME; four tiny
+      // sequential writes can land on one mtime tick (coarse-granularity
+      // filesystems), which would make the batch order — and with it the
+      // first-seen == min-id invariant the parity rests on —
+      // nondeterministic. Pin strictly increasing mtimes per slice.
+      val dir0 = java.nio.file.Paths.get(s"$landing/b$b")
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(
+        1600000000000L + b * 60000L)
+      java.nio.file.Files.walk(dir0).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.setLastModifiedTime(p, t0)
+      }
     }
     val table = plans.SnapshotTable(s, s"$base/table", "fp")
     var created = false
@@ -6251,8 +6263,8 @@ object Queries {
     // oracle re-trains the same model DuckDB-side, so a drift in ANY
     // stage (tokenization, counting, smoothing) goes red
     "ngram_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split($NormSql, ' '),
         |                             w -> length(w) > 0) AS ts
         |  FROM documents),
         |big AS (
@@ -6287,10 +6299,12 @@ object Queries {
       }
       s"""WITH enc AS (
          |  SELECT doc_id,
-         |    array_to_string(list_transform(
-         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    -- coalesce: array_to_string([]) is NULL in DuckDB, but a
+         |    -- no-token document encodes to '' engine-side
+         |    coalesce(array_to_string(list_transform(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
          |                  w -> length(w) > 0),
-         |      w -> $perWord), ' ') AS e
+         |      w -> $perWord), ' '), '') AS e
          |  FROM documents),
          |toks AS (
          |  SELECT doc_id,
@@ -6324,10 +6338,10 @@ object Queries {
          |  enc AS encoded
          |FROM (
          |  SELECT doc_id,
-         |    array_to_string(list_transform(
-         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    coalesce(array_to_string(list_transform(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
          |                  w -> length(w) > 0),
-         |      w -> $perWord), ' ') AS enc
+         |      w -> $perWord), ' '), '') AS enc
          |  FROM documents)""".stripMargin
     },
     // exact fixed-point replay of downmix + linear resample: the PCM

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Trainable byte-pair encoding over a document corpus — the
   * tokenizer-training stage of an LLM data pipeline (the reference
@@ -27,20 +28,49 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  /** Pre-tokenization: lowercase ALPHANUMERIC runs — the regex
-    * approximation every BPE trainer applies before merging (GPT-2
-    * splits off punctuation the same way). Restricting tokens to
-    * [a-z0-9] also guarantees the `;`/space delimiters of the
-    * canonical encoded form can never occur INSIDE a token, which the
-    * serialization (and its oracle) depend on. */
+  /** Pre-tokenization: lowercase UNICODE letter/digit runs — the
+    * regex approximation every BPE trainer applies before merging
+    * (GPT-2 splits off punctuation the same way), across ALL scripts:
+    * accented Latin, Cyrillic, Greek, CJK, Arabic… all survive (the
+    * former `[a-z0-9]` restriction silently tokenized every
+    * non-English document to nothing). `;` (U+003B) and space are
+    * punctuation — neither is ever `\p{L}`/`\p{N}` — so the
+    * `;`/space delimiters of the canonical encoded form still cannot
+    * occur INSIDE a token, the invariant the serialization (and its
+    * oracle) depend on.
+    *
+    * Lowercasing goes through Spark's own [[UTF8String.toLowerCase]]
+    * so this JVM path and [[preTokenizeCol]]'s `lower()` are the SAME
+    * function by construction. Oracle parity (DuckDB `lower()` +
+    * RE2 `[^\p{L}\p{N}]+`) was verified per-codepoint over all of
+    * U+0020..U+2FFFF: the only divergences are U+0130 (İ: JVM full
+    * mapping appends U+0307) + 3 Unicode-12 title/lower additions,
+    * and codepoints added to Unicode after the JDK 17 tables —
+    * none reachable from any oracle fixture. */
   private[graft] def preTokenize(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    UTF8String.fromString(text).toLowerCase.toString
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
-  /** Column form of [[preTokenize]] — Spark's lower() is
-    * locale-independent, matching Locale.ROOT on the JVM side. */
+  /** Column form of [[preTokenize]] — identical by construction:
+    * `lower()` on the default binary collation IS
+    * [[UTF8String.toLowerCase]], and the split pattern is the same
+    * Unicode class. */
   private def preTokenizeCol(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+
+  /** A word's initial symbol sequence: one symbol per CODEPOINT (not
+    * UTF-16 code unit — astral-plane letters must not shear into
+    * surrogate halves; the oracle's RE2 `.` walks codepoints). */
+  private[graft] def symbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
 
   /** Top-`maxVocab` (word, count) pairs by frequency (ties to the
     * lexicographically smaller word — deterministic across runs and
@@ -63,7 +93,7 @@ object Bpe {
   def trainMerges(hist: Array[(String, Long)], numMerges: Int,
                   minCount: Long = 2L): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] =
-      hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      hist.map { case (w, c) => (symbols(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -122,7 +152,7 @@ object Bpe {
   def encodeWord(word: String,
                  ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = symbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

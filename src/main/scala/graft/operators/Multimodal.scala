@@ -3055,6 +3055,9 @@ object Multimodal {
       rows.map { r =>
         val st = (for {
           bytes <- Option(r.get(bi)).map(_.asInstanceOf[Array[Byte]])
+          // a NULL target is "no resize requested", not a task failure —
+          // same null-in/null-out contract the bytes column honors
+          if !r.isNullAt(wi) && !r.isNullAt(hi)
           outW = r.getInt(wi); outH = r.getInt(hi)
           if outW > 0 && outH > 0
           (w, h, nc, pix) <- bmpPixels(bytes)
@@ -3172,6 +3175,8 @@ object Multimodal {
       rows.map { r =>
         val st = (for {
           bytes <- Option(r.get(bi)).map(_.asInstanceOf[Array[Byte]])
+          // NULL target: no resample requested — yield null, never throw
+          if !r.isNullAt(ni)
           nOut = r.getInt(ni)
           if nOut > 0
           (ch, _, samples) <- wavPcm(bytes)

@@ -64,4 +64,25 @@ class WebTextSpec extends SparkSpec {
     val once = canon("HTTP://B.COM:80/q?utm_a=1&z=2#f")
     assert(canon(once) == once)
   }
+
+  test("non-English text does NOT tokenize to zero anywhere in the " +
+      "token path: whitespace tokens, BPE pre-tokens, bigram counts") {
+    // the r14 defect: Bpe's [a-z0-9] pre-split dropped every non-Latin
+    // document silently — an LLM-data pipeline's first real-corpus bug
+    val docs = Seq(
+      (1L, "Привет мир, это тест"), // Cyrillic
+      (2L, "数据湖 很大 分析"),        // CJK (space-separated)
+      (3L, "café naïve žluťoučký")   // accented Latin
+    ).toDF("doc_id", "text")
+    val ws = docs.select(size(TextAnalysis.tokens(col("text")))).collect()
+    assert(ws.forall(_.getInt(0) >= 3), "whitespace tokens dropped text")
+    val bpe = graft.operators.Bpe.withBpeTokens(docs, "text", Seq.empty)
+      .select("doc_id", "n_tokens").collect()
+    assert(bpe.forall(_.getLong(1) > 0),
+      s"BPE tokenized a non-English doc to zero: ${bpe.mkString(",")}")
+    val ppl = graft.operators.NgramLm.selfPerplexity(docs)
+      .select("doc_id", "n_bigrams").collect()
+    assert(ppl.forall(_.getLong(1) >= 2),
+      s"bigram LM saw no bigrams: ${ppl.mkString(",")}")
+  }
 }

@@ -100,6 +100,57 @@ class BpeSpec extends SparkSpec {
   private def Queries_bpeFixedMerges: Seq[(String, String)] =
     graft.Queries.bpeFixedMerges
 
+  test("preTokenize is Unicode-aware: accented Latin, Cyrillic, CJK and " +
+      "astral-plane letters survive; punctuation still splits") {
+    // the former [a-z0-9] split tokenized ALL of these to nothing —
+    // the first real-corpus defect a multilingual user hits
+    assert(Bpe.preTokenize("Café au lait, s'il vous plaît!").toSeq ==
+      Seq("café", "au", "lait", "s", "il", "vous", "plaît"))
+    assert(Bpe.preTokenize("Привет, МИР-42").toSeq ==
+      Seq("привет", "мир", "42"))
+    assert(Bpe.preTokenize("数据湖,很大。GPT-4モデル").toSeq ==
+      Seq("数据湖", "很大", "gpt", "4モデル"))
+    assert(Bpe.preTokenize("ΣΟΦΊΑ und Straße").toSeq ==
+      Seq("σοφία", "und", "straße"))
+    // Gothic 𐌰 (U+10330) is an astral LETTER: must stay one token and
+    // one SYMBOL (a UTF-16 split would shear it into surrogate halves)
+    val got = Bpe.preTokenize("ahab 𐌰𐌿 ahab")
+    assert(got.toSeq == Seq("ahab", "𐌰𐌿", "ahab"))
+    assert(Bpe.symbols("𐌰𐌿").toSeq ==
+      Seq("𐌰", "𐌿"))
+    // the delimiter invariant holds in every script: ; and space are
+    // punctuation, never inside a token
+    assert(Bpe.preTokenize("a;b c;d").forall(w => !w.contains(';') &&
+      !w.contains(' ')))
+  }
+
+  test("train + encode work end-to-end on a NON-ASCII corpus: merges " +
+      "learn multi-script pairs and the canonical form round-trips") {
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, s"Привет мир ${i % 3} — café плюс 数据 café мир")
+    }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 6, maxVocab = 100)
+    assert(merges.nonEmpty, "no merges learned on the non-ASCII corpus")
+    // the highest-frequency words are Cyrillic/accented — at least one
+    // learned merge must involve a non-ASCII symbol
+    assert(merges.exists { case (l, r) => (l + r).exists(_ > 127) },
+      s"all merges ASCII: $merges")
+    val ranks = merges.zipWithIndex.toMap
+    val out = Bpe.withBpeTokens(docs, "text", merges)
+      .select("doc_id", "n_tokens", "encoded").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) > 0, s"doc ${r.getLong(0)} tokenized to zero")
+    }
+    // parity with the driver-side replay, token boundaries included
+    val byId = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    docs.collect().foreach { r =>
+      val want = Bpe.preTokenize(r.getString(1))
+        .map(w => Bpe.encodeWord(w, ranks).map(_ + ";").mkString(""))
+        .mkString(" ")
+      assert(byId(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("property: BPE encoding is LOSSLESS — tokens concatenate back to " +
       "the word, for random words under random trained merges") {
     val rnd = new scala.util.Random(97)
