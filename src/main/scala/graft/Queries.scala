@@ -3940,9 +3940,13 @@ object Queries {
     * trainer uses), then the merge loop on the capped histogram.
     * Deterministic: ties break lexicographically at every rank, so
     * the learned merge table is a pure function of the corpus. Emits
-    * (rank, left, right, merged); rows-only check — the iterative
-    * selection has no closed relational form (BpeSpec pins the loop
-    * against a hand-computed textbook fixture instead). */
+    * (rank, left, right, merged), hash-checked end to end: the oracle
+    * ([[bpeTrainOracleSql]]) unrolls all 16 training rounds
+    * relationally in DuckDB — weighted pair counts, the
+    * (count desc, pair asc) argmax, and the leftmost-skip merge
+    * rebuild — so the entire learned merge table is replayed, not just
+    * row-counted (BpeSpec additionally pins the loop against a
+    * hand-computed textbook fixture). */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = operators.Bpe.train(
@@ -4824,7 +4828,83 @@ object Queries {
          |FROM gated WHERE rn = 1
          |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Relational replay of [[bpeTrain]]'s 16 training rounds, unrolled
+    * as one generated CTE chain (numMerges is a fixed 16, so the
+    * "iterative selection" IS a closed form — sixteen of them). Per
+    * round r: explode each histogram word's symbol list with adjacent
+    * pairs (`v\$r`), weighted-count (`p\$r`), pick the
+    * (count desc, pair asc) argmax subject to minCount=2 (`m\$r` —
+    * empty when training exhausts, which makes every later round a
+    * no-op, exactly the engine's early stop), then rebuild each word
+    * with the LEFTMOST-SKIP merge the engine's scan applies: within
+    * each maximal run of consecutive match positions, merge every other
+    * position from the run start (`mt\$r`/`sel\$r` — for l≠r matches
+    * are never adjacent so this selects all of them; for l=r runs it
+    * reproduces the pairing of aaaa→(aa)(aa)). A plain string replace
+    * could NOT express this (replace consumes the shared delimiter
+    * between consecutive occurrences — ababab would mis-merge), which
+    * is why the rebuild is positional. CTEs are MATERIALIZED: each
+    * round references its predecessor three times and inlining would
+    * blow up 3^16. Validated hash-exact against the engine on sf0.001,
+    * sf0.01, a multilingual corpus, an adversarial same-symbol-run
+    * corpus (aaaaaa/ababab/密密密密), and an early-exhaustion corpus. */
+  private def bpeTrainOracleSql: String = {
+    val numMerges = 16
+    def roundCte(r: Int): String = {
+      val p = r - 1
+      s"""u$r AS (
+         |  SELECT wid, c, unnest(range(1, len(syms) + 1)) AS i, syms
+         |  FROM w$p),
+         |v$r AS MATERIALIZED (
+         |  SELECT wid, c, i, syms[i] AS s, syms[i+1] AS s2 FROM u$r),
+         |p$r AS (
+         |  SELECT s AS l, s2 AS rr, sum(c) AS cnt
+         |  FROM v$r WHERE s2 IS NOT NULL GROUP BY 1, 2),
+         |m$r AS (
+         |  SELECT l, rr FROM p$r WHERE cnt >= 2
+         |  ORDER BY cnt DESC, l, rr LIMIT 1),
+         |mt$r AS (
+         |  SELECT v.wid, v.i,
+         |    v.i - row_number() OVER (PARTITION BY v.wid ORDER BY v.i) AS grp
+         |  FROM v$r v JOIN m$r m ON v.s = m.l AND v.s2 = m.rr),
+         |sel$r AS MATERIALIZED (
+         |  SELECT wid, i FROM (
+         |    SELECT wid, i, min(i) OVER (PARTITION BY wid, grp) AS g0
+         |    FROM mt$r)
+         |  WHERE (i - g0) % 2 = 0),
+         |w$r AS MATERIALIZED (
+         |  SELECT v.wid, v.c,
+         |    list(CASE WHEN s1.i IS NOT NULL THEN v.s || v.s2 ELSE v.s END
+         |         ORDER BY v.i) AS syms
+         |  FROM v$r v
+         |  LEFT JOIN sel$r s1 ON s1.wid = v.wid AND s1.i = v.i
+         |  LEFT JOIN sel$r s0 ON s0.wid = v.wid AND s0.i = v.i - 1
+         |  WHERE s0.i IS NULL
+         |  GROUP BY v.wid, v.c)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(roundCte).mkString(",\n")
+    val union = (1 to numMerges)
+      .map(r => s"SELECT $r AS rnd, l, rr FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH hist AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+       |          x -> length(x) > 0)) AS w
+       |        FROM documents)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT 5000),
+       |w0 AS (
+       |  SELECT row_number() OVER () AS wid, c,
+       |         regexp_extract_all(w, '.') AS syms
+       |  FROM hist),
+       |$rounds
+       |SELECT CAST(row_number() OVER (ORDER BY rnd) AS INTEGER) AS rank,
+       |  l AS "left", rr AS "right", l || rr AS merged
+       |FROM ($union)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracleSql,
     "scan_counts" ->
       """SELECT 'region' AS tbl, count(*) AS cnt FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation
