@@ -46,8 +46,27 @@ object Bench {
     // heavyweights are exactly where doubling the wall time hurts, and
     // their absolute size already dominates their variance. N and the
     // per-query run counts are recorded in the output.
+    // 3 (r15): same-HEAD driver-vs-committed runs diverged 31% total /
+    // 5.5x per-query under min-of-2 — the min of three is measurably
+    // more robust to one contended run landing on a query.
     val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // Host-load sentinel: the SAME fixed calibration query timed before
+    // and after the whole sweep, recorded in the artifact. Its cost is
+    // sf-independent pure compute + one small shuffle, so a sentinel
+    // reading far above its cross-round norm (or end >> start) marks
+    // the run as host-contaminated — the r14 driver/committed gap
+    // (273.7 vs 208.8 s, same code) was undetectable from the artifact
+    // alone. Calibrates AFTER warmup so it measures the host, not JIT.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .select(((col("id") * 2654435761L) % 1000003L).as("h"))
+        .groupBy(pmod(col("h"), lit(101))).agg(count(lit(1)), sum("h"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // 15 (not 10): ann_recall's FIRST run lands near 11s on a cold
     // session — almost entirely one-time JIT/codegen for its plan
     // shapes (4.8s warm, AnnProbe) — and a 10s cutoff froze exactly
@@ -93,6 +112,7 @@ object Bench {
         case Some(b) => b < rerunCutoffSec
         case None    => name.startsWith("mv_") || name.endsWith("_sql")
       }
+    val sentinelStart = sentinel()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(recordFailure: Boolean): Double = {
         val t0 = System.nanoTime()
@@ -131,6 +151,7 @@ object Bench {
       }
       (name, first, best, runs)
     }
+    val sentinelEnd = sentinel()
     import Gate.jstr
     val timed = results.filter(_._3 >= 0)
     val qs = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }
@@ -165,7 +186,9 @@ object Bench {
         ps.map { case (k, v) => s"${jstr(k)}:${f2(v)}" }
           .mkString(s"${jstr(q)}:{", ",", "}")
       }.mkString(""","phases":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
+    val sentinelJson =
+      s""""sentinel":{"start":${f2(sentinelStart)},"end":${f2(sentinelEnd)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,$sentinelJson,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
     // Full JSON first: if a capture window keeps the HEAD of the output
     // this line is complete there.
     println(json)
@@ -187,7 +210,7 @@ object Bench {
     // truncation explicit and `full` points at the complete artifact.
     val budget = 1800
     val slowestFirst = results.filter(_._3 >= 0).sortBy(-_._3)
-    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
+    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,$sentinelJson,"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
     var compactQs = List.empty[String]
     var used = fixedHead.length + 80 // closing braces + omitted fields
     var omitted = 0; var omittedSec = 0.0

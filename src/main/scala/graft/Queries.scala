@@ -120,6 +120,77 @@ object Queries {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) write
   }
 
+  /** The shared mv_* source fixture: orders minus the 1-in-4 holdout,
+    * snapshot-formatted with pk=o_orderkey partitioned by
+    * o_orderstatus. Four entries (mv_incremental, mv_stream_parity,
+    * mv_join, mv_join_minmax) churn an identical copy of this table —
+    * one stage serves them all. */
+  private def stagedOrdersMod4(s: SparkSession, dir: String,
+                               dest: String): Unit =
+    stagedTableCopy(s, dir, "orders_mod4_status",
+      "orders where o_orderkey%4!=3; pk=o_orderkey; part=o_orderstatus; v1",
+      dest) { st =>
+      plans.SnapshotTable(s, st, "o_orderkey",
+        partitionCol = Some("o_orderstatus"))
+        .create(t(s, dir, "orders").filter(col("o_orderkey") % 4 =!= 3))
+    }
+
+  /** The star-join dim fixtures (customer→nation chain), shared by
+    * mv_join and mv_join_minmax. */
+  private def stagedStarDims(s: SparkSession, dir: String,
+                             base: String): Unit = {
+    stagedTableCopy(s, dir, "customer_nk",
+      "customer(c_custkey,c_nationkey); pk=c_custkey; v1",
+      s"$base/customer") { st =>
+      plans.SnapshotTable(s, st, "c_custkey")
+        .create(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
+    }
+    stagedTableCopy(s, dir, "nation_nm",
+      "nation(n_nationkey,n_name); pk=n_nationkey; v1",
+      s"$base/nation") { st =>
+      plans.SnapshotTable(s, st, "n_nationkey")
+        .create(t(s, dir, "nation").select("n_nationkey", "n_name"))
+    }
+  }
+
+  /** Stage a MUTABLE table fixture once and serve per-run copies.
+    * Harness entries that churn a [[plans.SnapshotTable]] (the mv_*
+    * family) were re-running the full Spark create — a ~5 s
+    * partitioned write at sf0.1 — on every bench/verify run, which
+    * measures fixture construction, not the refresh machinery under
+    * test. The staged content is a pure function of (testdata,
+    * builder algebra): build it once under `_fixtures/<key>`, then
+    * file-copy it into the entry's run dir (~5 MB, milliseconds;
+    * snapshot manifests store table-RELATIVE paths, so a copied table
+    * is fully valid). The `algebra` descriptor is recorded in a
+    * marker and validated on reuse — change the fixture definition
+    * and the stage rebuilds instead of serving stale content; the
+    * marker is written only after a successful build, so a crashed
+    * attempt self-heals. Entries run sequentially in one process
+    * (bench/verify drivers), so no cross-process locking is needed. */
+  private def stagedTableCopy(s: SparkSession, dir: String, key: String,
+                              algebra: String, dest: String)
+                             (build: String => Unit): Unit = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stage = s"${sys.props("java.io.tmpdir")}/graft_scratch/_fixtures/$sf/$key"
+    val marker = java.nio.file.Paths.get(stage, "_FIXTURE_OK")
+    val want = algebra.trim
+    val ok = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(java.nio.file.Files.readString(marker).trim)
+        .toOption.contains(want)
+    if (!ok) {
+      freshDirs(s, stage)
+      build(stage)
+      java.nio.file.Files.writeString(marker, want + "\n")
+    }
+    freshDirs(s, dest)
+    new java.io.File(dest).getParentFile.mkdirs()
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(stage), new java.io.File(dest))
+    // the marker must not ride along into a live table dir
+    new java.io.File(s"$dest/_FIXTURE_OK").delete()
+  }
+
   /** Delete per-run output/checkpoint dirs so a re-run reprocesses the
     * staged fixture from scratch (a surviving checkpoint would mark all
     * landing files as seen and emit nothing). */
@@ -821,6 +892,7 @@ object Queries {
     val orders = t(s, dir, "orders")
     val base = scratch("mvinc", dir)
     freshDirs(s, base)
+    stagedOrdersMod4(s, dir, s"$base/src")
     val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val view = plans.SnapshotTable(s, s"$base/view",
@@ -829,7 +901,6 @@ object Queries {
       clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
     val cents = round(col("o_totalprice") * 100).cast("long")
     val sums = Seq("revenue_cents" -> cents)
-    src.create(orders.filter(col("o_orderkey") % 4 =!= 3))
     plans.MaterializedAgg.refreshAdditive(src, view, Seq("o_orderdate"), sums)
     // catch-up refresh folds BOTH pending commits in one span:
     // a price-bump upsert (updates + inserts) and a retention delete
@@ -854,6 +925,7 @@ object Queries {
     val orders = t(s, dir, "orders")
     val base = scratch("mvstream", dir)
     freshDirs(s, base)
+    stagedOrdersMod4(s, dir, s"$base/src")
     val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val view = plans.SnapshotTable(s, s"$base/view",
@@ -862,7 +934,6 @@ object Queries {
       clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 8)
     val cents = round(col("o_totalprice") * 100).cast("long")
     val sums = Seq("revenue_cents" -> cents)
-    src.create(orders.filter(col("o_orderkey") % 4 =!= 3))
     streaming.StreamingView.maintainAdditive(s, s"$base/src", view,
       Seq("o_orderdate"), sums, s"$base/ckpt")
     src.upsert(orders.filter(col("o_orderkey") % 3 === 0)
@@ -1020,6 +1091,12 @@ object Queries {
     val orders = t(s, dir, "orders")
     val base = scratch("mvminmax", dir)
     freshDirs(s, base)
+    stagedTableCopy(s, dir, "orders_full_status",
+      "orders full; pk=o_orderkey; part=o_orderstatus; v1", s"$base/src") {
+      st =>
+        plans.SnapshotTable(s, st, "o_orderkey",
+          partitionCol = Some("o_orderstatus")).create(t(s, dir, "orders"))
+    }
     val src = plans.SnapshotTable(s, s"$base/src", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val view = plans.SnapshotTable(s, s"$base/view",
@@ -1028,7 +1105,6 @@ object Queries {
       clusterBy = Seq(plans.MaterializedAgg.KeyCol), clusterFiles = 4)
     val cents = round(col("o_totalprice") * 100).cast("long")
     val aggs = Seq("lo_cents" -> min(cents), "hi_cents" -> max(cents))
-    src.create(orders)
     plans.MaterializedAgg.refreshRecompute(
       src, view, Seq("o_orderpriority"), aggs)
     src.delete(col("o_orderkey") % 7 === 0 ||
@@ -1049,21 +1125,25 @@ object Queries {
     * never O(fact)), and a DIM change (customers moving nation — the
     * SCD overwrite case) folds through the multilinear delta
     * expansion: current fact ⋈ signed dim delta, pruned to the
-    * changed keys. Fixture: fact upsert + delete caught up in one
-    * span, then a 1-in-10 customer nation move in its own refresh;
-    * the oracle is the full star recompute over the FINAL states.
-    * Reference analog: the Athena star queries
-    * (step_functions.json:210,227), re-run from scratch each time. */
+    * changed keys. Fixture: ONE catch-up span carrying fact churn
+    * (price-bump upsert + retention delete) AND the 1-in-10 customer
+    * nation move — the refresh must fold the fact term and the
+    * dim-delta term of the multilinear expansion TOGETHER (the
+    * dim-in-its-own-refresh split case is pinned by
+    * MaterializedAggSpec's star-fold tests); the oracle is the full
+    * star recompute over the FINAL states. Reference analog: the
+    * Athena star queries (step_functions.json:210,227), re-run from
+    * scratch each time. */
   def mvJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val base = scratch("mvjoin", dir)
     freshDirs(s, base)
+    stagedOrdersMod4(s, dir, s"$base/fact")
+    stagedStarDims(s, dir, base)
     val fact = plans.SnapshotTable(s, s"$base/fact", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val cust = plans.SnapshotTable(s, s"$base/customer", "c_custkey")
     val nat = plans.SnapshotTable(s, s"$base/nation", "n_nationkey")
-    cust.create(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
-    nat.create(t(s, dir, "nation").select("n_nationkey", "n_name"))
     val view = plans.SnapshotTable(s, s"$base/view",
       plans.MaterializedAgg.KeyCol,
       statsCols = Seq(plans.MaterializedAgg.KeyCol),
@@ -1074,18 +1154,15 @@ object Queries {
       plans.MaterializedAgg.DimSpec(nat, "c_nationkey", "n_nationkey"))
     val sums = Seq("revenue_cents" ->
       round(col("o_totalprice") * 100).cast("long"))
-    fact.create(orders.filter(col("o_orderkey") % 4 =!= 3))
     plans.MaterializedAgg.refreshAdditiveJoin(
       fact, dims, view, Seq("n_name"), sums)
-    // catch-up refresh folds BOTH pending commits in one span
+    // ONE catch-up span: fact churn AND a dim change pending together —
+    // the fold must combine the fact-delta term with the dim-delta
+    // expansion term (1-in-10 customers MOVE nation, shifting their
+    // orders' revenue between groups) in a single refresh
     fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
     fact.delete(col("o_orderkey") % 5 === 0)
-    plans.MaterializedAgg.refreshAdditiveJoin(
-      fact, dims, view, Seq("n_name"), sums)
-    // dim change: 1-in-10 customers MOVE nation (SCD overwrite) — the
-    // delta-expansion term re-joins only the affected fact rows and
-    // shifts their revenue between nation groups
     cust.upsert(t(s, dir, "customer")
       .filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"),
@@ -1115,12 +1192,12 @@ object Queries {
     val orders = t(s, dir, "orders")
     val base = scratch("mvjoinminmax", dir)
     freshDirs(s, base)
+    stagedOrdersMod4(s, dir, s"$base/fact")
+    stagedStarDims(s, dir, base)
     val fact = plans.SnapshotTable(s, s"$base/fact", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val cust = plans.SnapshotTable(s, s"$base/customer", "c_custkey")
     val nat = plans.SnapshotTable(s, s"$base/nation", "n_nationkey")
-    cust.create(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
-    nat.create(t(s, dir, "nation").select("n_nationkey", "n_name"))
     val view = plans.SnapshotTable(s, s"$base/view",
       plans.MaterializedAgg.KeyCol,
       statsCols = Seq(plans.MaterializedAgg.KeyCol),
@@ -1128,7 +1205,6 @@ object Queries {
     val dims = Seq(
       plans.MaterializedAgg.DimSpec(cust, "o_custkey", "c_custkey"),
       plans.MaterializedAgg.DimSpec(nat, "c_nationkey", "n_nationkey"))
-    fact.create(orders.filter(col("o_orderkey") % 4 =!= 3))
     plans.MaterializedAgg.defineRecomputeJoin(fact, dims, view,
       Seq("n_name"),
       Seq("lo_cents" -> "min(CAST(round(o_totalprice * 100) AS BIGINT))",
@@ -2441,6 +2517,17 @@ object Queries {
         .write.mode("overwrite").parquet(s"$base/right")
     }
     freshDirs(s, s"$base/out", s"$base/checkpoint")
+    // 8 state partitions, not the session's 32: a stream-stream join
+    // materializes four state stores PER shuffle partition, and at this
+    // join's state size (~70k rows) store open/commit overhead dominates
+    // the actual probe work 4:1. The checkpoint records the count, so
+    // it binds for the query's whole life; the session conf is restored
+    // after start (the setting is read at plan time). At 100 TB the
+    // same knob goes UP with state volume — the point is sizing state
+    // partitions to the state, not inheriting the batch shuffle width.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val schema = s.read.parquet(s"$base/left").schema
     val a = s.readStream.schema(schema).parquet(s"$base/left")
       .withWatermark("ets", "2 days")
@@ -2461,6 +2548,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(s"$base/out")
   }
 
@@ -3512,6 +3600,144 @@ object Queries {
       ("drift", retrainedDrift, fitDrift >= baseline - 0.05),
       ("stable", retrainedStable, fitStable >= baseline - 0.05))
       .toDF("scenario", "retrained", "fit_ok").orderBy("scenario")
+  }
+
+  /** PQ-codebook drift trigger ([[Similarity.pqMaybeRetrain]]) with
+    * the ADC-ranking CONSEQUENCE measured, not assumed — the loop
+    * [[ivfRetrainTrigger]] closes for the coarse stage, closed here
+    * for the codebook stage: ADC recall@10 (ADC-ranked top-10 against
+    * the exact dot-product top-10 the ADC score approximates) is the
+    * gated quantity. Stable scenario: a same-distribution delta
+    * absorbs through [[Similarity.pqRefresh]] under frozen codebooks —
+    * quantization error stays at baseline, NO retrain fires
+    * (pq_incremental's bit-identity regime), recall holds. Drift
+    * scenario: the corpus TRANSLATES (+2 per element — a centroid
+    * drift no direction-only monitor sees); under the FROZEN
+    * codebooks every subvector maps to the centroid nearest the
+    * offset, ADC scores collapse, and recall falls to the tie-break
+    * floor, while [[Similarity.pqQuantErr]] grows ~400× over
+    * baseline — the monitor trips, the retrain re-trains codebooks
+    * and re-encodes, and recall on the shifted corpus recovers. The
+    * recall is CANDIDATE-SELECTION recall — exact dot top-10
+    * surviving in the ADC pool of ~12% of the corpus — because
+    * candidate selection before exact re-rank is ADC's actual job in
+    * [[Similarity.ivfPqTopKWith]]. The 0.4 gate sits between the
+    * measured frozen-drift recalls (0.07–0.16 across
+    * sf0.001/0.01/0.1) and the healthy recalls (0.62–0.80), so the
+    * booleans are distribution-robust, and the oracle pins the full
+    * outcome grid. */
+  def pqRetrainTrigger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+    // ONE Lloyd iteration on both trainings: the trigger mechanics are
+    // under test here, not codebook quality (embedding_ann_pq owns
+    // that); the recall gate's margins were measured at iters=1
+    val cb = Similarity.pqTrainCodebooks(corpus, m = 8, ksub = 16,
+      iters = 1)
+    // localCheckpoint the CODE tables (not the training bases): the
+    // encode expression carries the full codebook literal — without
+    // plan truncation every downstream action re-analyzes and
+    // re-codegens that tree (measured 10s of overhead across the
+    // recall evaluations)
+    val codes = corpus.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+      .localCheckpoint()
+    val baseErr = Similarity.pqQuantErr(corpus, codes, cb)
+    val recallGate = 0.4
+    // candidate-selection recall: the exact dot-product top-10 (what
+    // ADC approximates; cosine re-rank is the refine stage's job)
+    // surviving in the ADC-ranked pool of ~12% of the corpus. The 20
+    // query LUTs are computed DRIVER-side (20 × m·ksub dots — harness
+    // measurement over a bounded query set, not the operator path;
+    // [[Similarity.ivfPqTopKWith]] builds its LUTs in-plan) and join
+    // in as a 20-row broadcast: the in-plan alternative re-codegens a
+    // 128-aggregate literal tree per evaluation, which dominated this
+    // entry's bench cost 3:1.
+    def adcRecall(cor: DataFrame, cds: DataFrame,
+                  b: Array[Array[Array[Float]]]): Double = {
+      val k = 10
+      val nQueries = 20
+      val pool = math.max(60, (cor.count() * 3 / 25).toInt)
+      val m = b.length; val ksub = b(0).length; val dsub = b(0)(0).length
+      val qRows = cor.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")).collect()
+      require(qRows.length == nQueries, s"expected $nQueries queries")
+      val qs = broadcast(qRows.toSeq.map { r =>
+        val qv = r.getSeq[Float](1).toArray
+        val lut = Array.tabulate(m * ksub) { i =>
+          val s = i / ksub; val c = i % ksub
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            d += qv(s * dsub + j).toDouble * b(s)(c)(j).toDouble; j += 1
+          }
+          d
+        }
+        (r.getLong(0), qv.toSeq, lut.toSeq)
+      }.toDF("query_id", "qvec", "lut"))
+      val dot = (a: Column, c: Column) =>
+        aggregate(zip_with(a, c,
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+      def topSet(scored: DataFrame, score: Column,
+                 n: Int): DataFrame = scored
+        .withColumn("__rk", row_number().over(
+          w.orderBy(score.desc, col("vec_id"))))
+        .filter(col("__rk") <= n)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val exact = topSet(
+        cor.crossJoin(qs).filter(col("query_id") =!= col("vec_id")),
+        dot(col("qvec"), col("embedding")), k)
+      val adc = topSet(
+        cds.crossJoin(qs).filter(col("query_id") =!= col("vec_id")),
+        Similarity.pqAdcScore(col("codes"), col("lut"), ksub), pool)
+      // exact is k rows per query by construction (corpus >> k), so
+      // the denominator needs no extra action
+      adc.join(exact, Seq("query_id", "neighbor_id")).count().toDouble /
+        (k.toDouble * nQueries)
+    }
+    // stable: a same-distribution delta (re-inserted vectors, fresh
+    // ids) absorbs through pqRefresh; the monitor must NOT trip
+    val stableDelta = corpus.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val stableCorpus = corpus.unionByName(stableDelta)
+    val stableCodes = Similarity.pqRefresh(codes, cb, stableDelta,
+      corpus.select("vec_id").limit(0))
+    val (stCodes, stCb, retrainedStable, _) =
+      Similarity.pqMaybeRetrain(stableCorpus, stableCodes, cb, baseErr,
+        iters = 1)
+    val stableRecall = adcRecall(stableCorpus, stCodes, stCb)
+    // the no-retrain path passes codes/codebooks through UNTOUCHED
+    // (spec-pinned reference identity), so the frozen recall IS the
+    // post-trigger recall — no second evaluation needed
+    val stableFrozenRecall =
+      if (!retrainedStable) stableRecall
+      else adcRecall(stableCorpus, stableCodes, cb)
+    // drift: the whole corpus TRANSLATES by +2 per element — the
+    // codebooks' training region no longer contains the data
+    // persist, not localCheckpoint: the retrain runs Lloyd over this
+    // frame, and an RDD-backed base leaves the columnar/codegen path
+    // (measured ~3x slower on the ann_recall harness)
+    val folded = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x + lit(2.0f)).cast("float")).as("embedding"))
+      .persist()
+    val frozenDriftCodes = Similarity.pqRefresh(codes, cb, folded,
+      corpus.select("vec_id")).localCheckpoint()
+    val frozenDriftRecall = adcRecall(folded, frozenDriftCodes, cb)
+    val (drCodes, drCb, retrainedDrift, _) =
+      Similarity.pqMaybeRetrain(folded, frozenDriftCodes, cb, baseErr,
+        iters = 1)
+    val retrainedRecall = adcRecall(folded, drCodes, drCb)
+    Seq(
+      ("drift", retrainedDrift, frozenDriftRecall < recallGate,
+        retrainedRecall >= recallGate),
+      ("stable", retrainedStable, stableFrozenRecall < recallGate,
+        stableRecall >= recallGate))
+      .toDF("scenario", "retrained", "frozen_recall_degraded",
+        "recall_after_ok")
+      .orderBy("scenario")
   }
 
   /** Salted skewed equi-join + aggregate: result must be identical to
@@ -4646,6 +4872,7 @@ object Queries {
     "ivf_incremental" -> (ivfIncremental _),
     "pq_incremental" -> (pqIncremental _),
     "ivf_retrain_trigger" -> (ivfRetrainTrigger _),
+    "pq_retrain_trigger" -> (pqRetrainTrigger _),
     "ann_recall" -> (annRecall _),
     "ann_recall_real" -> (annRecallReal _),
     "salted_join_agg" -> (saltedJoinAgg _),
@@ -5924,6 +6151,15 @@ object Queries {
       """SELECT 'drift' AS scenario, true AS retrained, true AS fit_ok
         |UNION ALL
         |SELECT 'stable', false, true
+        |ORDER BY scenario""".stripMargin,
+    // the full outcome grid: drift must trip the monitor AND the ADC
+    // recall consequence must be real (degraded frozen, restored after
+    // retrain); a same-distribution delta must trip NOTHING
+    "pq_retrain_trigger" ->
+      """SELECT 'drift' AS scenario, true AS retrained,
+        |       true AS frozen_recall_degraded, true AS recall_after_ok
+        |UNION ALL
+        |SELECT 'stable', false, false, true
         |ORDER BY scenario""".stripMargin,
     "pq_incremental" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,

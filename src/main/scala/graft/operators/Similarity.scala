@@ -573,6 +573,81 @@ object Similarity {
         pqEncodeCol(col(vecCol), cb).as("codes")))
   }
 
+  /** Mean PQ QUANTIZATION ERROR of a code table against its codebooks:
+    * avg over vectors of Σ_s ‖vec_s − cb[s][code_s]‖² — the ADC drift
+    * signal, [[ivfFit]]'s mirror one level down. ADC scores are dot
+    * products against exactly the reconstructions this error measures,
+    * so ranking quality degrades on the same curve the error rises on
+    * (distribution shift moves vectors away from the centroids their
+    * codes point at). One equi-join of ids to codes (AQE broadcasts
+    * the code table when it is the small side) and one narrow pass
+    * with the codebooks as plan literals — O(corpus·dim), cheap
+    * enough to evaluate after every maintenance batch. Empty input
+    * reports 0. */
+  def pqQuantErr(corpus: DataFrame, codes: DataFrame,
+                 cb: Array[Array[Array[Float]]],
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Double = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val cbL = cbLit(cb)
+    val err = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => {
+        val sub = slice(col(vecCol), s * dsub + 1, lit(dsub))
+        val cent = element_at(element_at(cbL, s + 1),
+          element_at(col("codes"), s + 1) + 1)
+        acc + aggregate(zip_with(sub, cent, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (a, v) => a + v)
+      })
+    val row = corpus.select(col(idCol), col(vecCol))
+      .join(codes, Seq(idCol))
+      .agg(avg(err).as("e")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** ERROR-GATED PQ RETRAIN TRIGGER — closes the same operational loop
+    * [[ivfMaybeRetrain]] closes for the coarse stage, for the codebook
+    * stage the r14 verdict flagged as frozen-forever: [[pqRefresh]]
+    * absorbs deltas continuously under frozen codebooks, and the
+    * monitored mean quantization error ([[pqQuantErr]]) — compared
+    * against the error recorded when the codebooks were trained —
+    * decides the periodic offline retrain. When the error has grown
+    * more than `maxErrGrowth` above `baselineErr`, the codebooks
+    * retrain (one sample-bounded distributed Lloyd pass over all m
+    * subspaces) and the corpus re-encodes (shuffle-free narrow map);
+    * otherwise codes and codebooks pass through UNTOUCHED — the
+    * frozen-regime path keeps [[pqRefresh]]'s bit-identity contract
+    * and costs one scan, no training I/O.
+    *
+    * Returns (codes, codebooks, retrained, err): the caller persists
+    * the post-retrain [[pqQuantErr]] as the next baseline whenever
+    * `retrained` is true. A relative gate (×(1+growth)), not the
+    * coarse trigger's absolute fit drop: quantization error scales
+    * with vector norms and subspace count, so only its RATIO to the
+    * training-time error is distribution-free. */
+  def pqMaybeRetrain(corpus: DataFrame, codes: DataFrame,
+                     cb: Array[Array[Array[Float]]],
+                     baselineErr: Double,
+                     maxErrGrowth: Double = 0.25,
+                     iters: Int = 2,
+                     maxTrainVectors: Long = 100000L,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Array[Float]]], Boolean, Double) = {
+    require(maxErrGrowth > 0,
+      s"maxErrGrowth must be positive, got $maxErrGrowth")
+    val err = pqQuantErr(corpus, codes, cb, idCol, vecCol)
+    if (err <= baselineErr * (1.0 + maxErrGrowth)) (codes, cb, false, err)
+    else {
+      val cb2 = pqTrainCodebooks(corpus, cb.length, cb(0).length, iters,
+        idCol, vecCol, maxTrainVectors)
+      val codes2 = corpus.select(col(idCol),
+        pqEncodeCol(col(vecCol), cb2).as("codes"))
+      (codes2, cb2, true, err)
+    }
+  }
+
   /** Per-query ADC lookup table: `lut[s*ksub + c]` = dot(query's
     * subspace s, codebook centroid c of subspace s) — m·ksub doubles
     * computed ONCE per query, after which scoring a candidate is m

@@ -32,11 +32,64 @@ object Skew {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      numSalts: Int = 8): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    if (numSalts == 1) return big.join(small, Seq(key))
     val saltedBig = big.withColumn("__salt", rowSalt(numSalts))
-    val replicatedSmall = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(numSalts - 1))))
+    // repartition BEFORE exploding: a dim that fits a couple of input
+    // splits would otherwise push numSalts × |small| replicated rows
+    // through one or two shuffle-write tasks — the r14 scale smoke
+    // measured exactly that serialized explode as the salted join's
+    // critical path (its max task beat the unsalted straggler it was
+    // supposed to cure). Spread the replication across numSalts tasks
+    // first; the extra small-side shuffle is O(|small|), paid once.
+    val replicatedSmall = small.repartition(numSalts)
+      .withColumn("__salt", explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Pick the salt count the measured skew actually warrants — or 1
+    * (don't salt) when it doesn't. Salting is a TAX: the small side
+    * replicates ×salts and the big side's shuffle rows widen by the
+    * salt column, so it only pays while the hot key's reduce partition
+    * still dominates the stage. The decision model: with `parts`
+    * shuffle partitions a balanced task carries ~1/parts of the rows
+    * and the hot partition carries `hotShare`, i.e. the straggler runs
+    * `hotShare × parts` balanced-tasks long; slice it with
+    * ceil(hotShare·parts / targetOver) salts so the worst salted
+    * partition lands within `targetOver` of balanced, and refuse
+    * entirely when it is ALREADY within targetOver (the r14 regime:
+    * fixed ×32 salting lost 1.6× to the plain join it was "fixing").
+    * The estimate reads a `sampleFraction` sample of the big side's
+    * key column only — one narrow partial-agg job, O(sample) — and is
+    * deliberately coarse: the decision needs the hot share's ORDER,
+    * not its third digit. */
+  def chooseSalts(big: DataFrame, key: String,
+                  sampleFraction: Double = 0.01,
+                  targetOver: Double = 2.0,
+                  maxSalts: Int = 64): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1, "bad fraction")
+    val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val top = big.select(col(key)).sample(sampleFraction)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+      .head()
+    if (top.isNullAt(0) || top.getLong(1) == 0L) 1
+    else {
+      val hotShare = top.getLong(0).toDouble / top.getLong(1).toDouble
+      val over = hotShare * parts
+      if (over <= targetOver) 1
+      else math.min(maxSalts, math.ceil(over / targetOver).toInt)
+    }
+  }
+
+  /** [[chooseSalts]] + [[saltedEquiJoin]]: salt only as hard as the
+    * sampled skew warrants, falling through to the plain equi-join
+    * below the break-even. */
+  def saltedEquiJoinAuto(big: DataFrame, small: DataFrame, key: String,
+                         sampleFraction: Double = 0.01,
+                         targetOver: Double = 2.0,
+                         maxSalts: Int = 64): DataFrame =
+    saltedEquiJoin(big, small, key,
+      chooseSalts(big, key, sampleFraction, targetOver, maxSalts))
 
   /** Two-stage (salted) aggregation: partial aggregate on (key, salt),
     * final combine on key. For algebraic aggregates Spark's own

@@ -30,6 +30,38 @@ class SkewIvfSpec extends SparkSpec {
     assert(salts > 4, s"hot key only landed on $salts salts")
   }
 
+  test("chooseSalts: declines below break-even, slices to the measured " +
+      "skew above it, and the auto join stays row-identical") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // uniform keys: hot share ~1/50, over = 32/50 < 2 -> don't salt
+      val uniform = spark.range(0, 20000)
+        .select(pmod(col("id"), lit(50)).as("k"), col("id").as("p"))
+      assert(Skew.chooseSalts(uniform, "k", sampleFraction = 1.0) == 1)
+      // 50% hot: over = 0.5 * 32 = 16 -> ceil(16/2) = 8 salts
+      val hot = spark.range(0, 20000)
+        .select(when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(1000))).as("k"),
+          col("id").as("p"))
+      assert(Skew.chooseSalts(hot, "k", sampleFraction = 1.0) == 8)
+      // maxSalts caps the slice
+      assert(Skew.chooseSalts(hot, "k", sampleFraction = 1.0,
+        maxSalts = 4) == 4)
+      // empty input: no evidence, no salting
+      assert(Skew.chooseSalts(uniform.filter(col("k") < 0), "k",
+        sampleFraction = 1.0) == 1)
+      // auto join == plain join, rows and all
+      val dim = Seq((0L, "hot"), (3L, "a"), (7L, "b")).toDF("k", "name")
+      val plain = hot.join(dim, Seq("k"))
+        .select("k", "p", "name").collect().map(_.toString).sorted
+      val auto = Skew.saltedEquiJoinAuto(hot, dim, "k",
+        sampleFraction = 1.0)
+        .select("k", "p", "name").collect().map(_.toString).sorted
+      assert(auto.toSeq == plain.toSeq && plain.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("salted sum equals plain sum") {
     val df = spark.range(0, 500)
       .select((col("id") % 3).as("k"), (col("id") * 2).cast("double").as("v"))
@@ -38,6 +70,39 @@ class SkewIvfSpec extends SparkSpec {
     val salted = Skew.saltedSum(df, Seq("k"), "v", numSalts = 8).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(salted == plain)
+  }
+
+  test("pqMaybeRetrain: the frozen-regime path passes codes and " +
+      "codebooks through UNTOUCHED; drift trips the error monitor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, ksub = 16, iters = 1)
+    val codes = emb.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+      .localCheckpoint()
+    val baseErr = Similarity.pqQuantErr(emb, codes, cb)
+    assert(baseErr > 0)
+    // no drift: the SAME codes object comes back (eq, not just equal)
+    // and the codebooks are the same arrays — pq_incremental's
+    // bit-identity contract is untouched on this path
+    val (c1, b1, r1, e1) = Similarity.pqMaybeRetrain(emb, codes, cb, baseErr)
+    assert(!r1 && (c1 eq codes) && (b1 eq cb) &&
+      math.abs(e1 - baseErr) < 1e-12)
+    // drift: translated corpus re-encoded under frozen codebooks —
+    // the error monitor must trip and the retrained codebooks must
+    // fit the shifted corpus again
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x + lit(2.0f)).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val frozen = shifted.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    val (c2, b2, r2, e2) = Similarity.pqMaybeRetrain(shifted, frozen, cb,
+      baseErr)
+    assert(r2 && e2 > baseErr * 10, s"monitor did not trip: $e2 vs $baseErr")
+    val retrainedErr = Similarity.pqQuantErr(shifted, c2, b2)
+    assert(retrainedErr < e2 / 10,
+      s"retrain did not restore fit: $retrainedErr vs frozen $e2")
   }
 
   test("ivfRefresh: incremental maintenance is bit-identical to a full " +
