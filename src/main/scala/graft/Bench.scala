@@ -110,7 +110,13 @@ object Bench {
       // grants and commit its inflated first-run time
       priorBest.get(name).filter(_ >= 0) match {
         case Some(b) => b < rerunCutoffSec
-        case None    => name.startsWith("mv_") || name.endsWith("_sql")
+        // absent from the prior artifact = a NEW entry (or no prior
+        // file at all): one warm re-run beats freezing a cold first
+        // run into the committed number — exactly the defect the
+        // cold-session guard exists for (r15: a brand-new entry's
+        // first-ever measurement billed two codebook trainings'
+        // codegen warmup as steady-state cost)
+        case None    => true
       }
     val sentinelStart = sentinel()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

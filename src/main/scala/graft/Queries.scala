@@ -153,6 +153,21 @@ object Queries {
     }
   }
 
+  /** Run `body` under `n` shuffle partitions, restoring the session
+    * conf after. For STATEFUL streaming entries: state-store count =
+    * shuffle partitions, and store open/commit overhead dominates the
+    * probe work when a few-MB state spreads over the batch shuffle
+    * width (32). The checkpoint records the count, so it binds for
+    * the query's life. At 100 TB the knob goes UP with state volume —
+    * the principle is sizing state partitions to the STATE, not
+    * inheriting the batch width. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)
+                                      (body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** A staged FAMILY of directory snapshots for SQL-built catalog
     * fixtures — [[stagedTableCopy]]'s shape extended with multiple
     * checkpoints along ONE commit lineage. The graft catalog is
@@ -1482,13 +1497,20 @@ object Queries {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // deterministic full re-run
-    val table = plans.SnapshotTable(s, s"$base/table", "o_orderkey",
-      partitionCol = Some("o_orderstatus"))
-    val orders = t(s, dir, "orders")
-    table.create(orders)                                           // v1
-    table.upsert(orders.filter(col("o_orderkey") % 3 === 0)
-      .withColumn("o_orderpriority", lit("0-RUSH")))               // v2
-    table.deleteMoR(col("o_orderkey") % 1000 === 7)                // v3
+    // the 3-commit source lineage is deterministic — staged once; the
+    // CDC STREAM (the operator under test) replays it live per run
+    // from startingVersion=1
+    stagedTableCopy(s, dir, "cdc_orders_v3",
+      "orders; upsert %3 rush; deleteMoR %1000==7; pk=o_orderkey; " +
+        "part=o_orderstatus; v1", s"$base/table") { st =>
+      val tbl = plans.SnapshotTable(s, st, "o_orderkey",
+        partitionCol = Some("o_orderstatus"))
+      val orders = t(s, dir, "orders")
+      tbl.create(orders)                                           // v1
+      tbl.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderpriority", lit("0-RUSH")))             // v2
+      tbl.deleteMoR(col("o_orderkey") % 1000 === 7)                // v3
+    }
     val q = s.readStream.format("graft")
       .option("readChangeFeed", "true")
       .option("startingVersion", 1)
@@ -2589,9 +2611,13 @@ object Queries {
     // orders same-mtime files arbitrarily, so a tighter watermark could
     // let one batch's late-time files mark an earlier batch's FIRST
     // arrivals as late and silently drop originals, not re-deliveries
-    StreamDedup.dedupToParquet(s, landing, schema, "event_id", "ets",
-      "3650 days", s"$base/out", s"$base/checkpoint",
-      maxFilesPerTrigger = Some(4))
+    // 8 state partitions: see withShufflePartitions — the dedup state
+    // is a few MB of keys, not 32 stores' worth
+    withShufflePartitions(s, 8) {
+      StreamDedup.dedupToParquet(s, landing, schema, "event_id", "ets",
+        "3650 days", s"$base/out", s"$base/checkpoint",
+        maxFilesPerTrigger = Some(4))
+    }
     s.read.parquet(s"$base/out")
       .select("event_id", "user_id", "event_type", "value")
   }
@@ -2722,9 +2748,12 @@ object Queries {
       java.nio.file.Paths.get(dir, "events.parquet"),
       landing.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    WindowedAgg.tumblingComplete(s, landing.toString,
-      tsExpr, "event_type", "value", "1 day",
-      s"$base/out", s"$base/checkpoint", schema)
+    // 8 state partitions: ~370 (day × type) window groups of state
+    withShufflePartitions(s, 8) {
+      WindowedAgg.tumblingComplete(s, landing.toString,
+        tsExpr, "event_type", "value", "1 day",
+        s"$base/out", s"$base/checkpoint", schema)
+    }
     s.read.parquet(s"$base/out")
   }
 
@@ -3083,6 +3112,10 @@ object Queries {
     }
     val table = plans.SnapshotTable(s, s"$base/table", "fp")
     var created = false
+    // 8 shuffle partitions for the whole drain: each micro-batch's
+    // gate + groupBy + anti-join + upsert runs over a ~20-doc slice —
+    // 32-wide shuffles are pure task overhead at that size
+    withShufflePartitions(s, 8) {
     val q = s.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -3116,6 +3149,7 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    } // withShufflePartitions
     table.read.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("quality")), 4).as("avg_quality"),
@@ -3513,8 +3547,12 @@ object Queries {
         .close()
     }
     freshDirs(s, s"$base/out", s"$base/checkpoint")
-    streaming.StreamingFunnel.run(s, landing, steps,
-      s"$base/out", s"$base/checkpoint", maxFilesPerTrigger = 1)
+    // 8 state partitions: ~30k users of funnel state don't warrant 32
+    // state stores' open/commit overhead per micro-batch
+    withShufflePartitions(s, 8) {
+      streaming.StreamingFunnel.run(s, landing, steps,
+        s"$base/out", s"$base/checkpoint", maxFilesPerTrigger = 1)
+    }
     // depth is monotone per user: the final state is the max emission
     val depths = s.read.parquet(s"$base/out")
       .groupBy("user").agg(max("depth").as("d"))
@@ -3735,7 +3773,13 @@ object Queries {
     * outcome grid. */
   def pqRetrainTrigger(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // a FIXED 500-vector corpus at every sf: the entry tests the
+    // TRIGGER mechanics (monitor, gate, restore), which are corpus-
+    // size-free; PQ's scale coverage lives in embedding_ann_pq /
+    // pq_incremental and the scale smoke. Fixing the corpus also
+    // fixes the recall-gate margins to the measured sf0.001 point.
     val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 500)
     // ONE Lloyd iteration on both trainings: the trigger mechanics are
     // under test here, not codebook quality (embedding_ann_pq owns
     // that); the recall gate's margins were measured at iters=1
