@@ -34,14 +34,18 @@ object Skew {
     require(numSalts > 0, "numSalts must be positive")
     if (numSalts == 1) return big.join(small, Seq(key))
     val saltedBig = big.withColumn("__salt", rowSalt(numSalts))
-    // repartition BEFORE exploding: a dim that fits a couple of input
-    // splits would otherwise push numSalts × |small| replicated rows
-    // through one or two shuffle-write tasks — the r14 scale smoke
-    // measured exactly that serialized explode as the salted join's
-    // critical path (its max task beat the unsalted straggler it was
-    // supposed to cure). Spread the replication across numSalts tasks
-    // first; the extra small-side shuffle is O(|small|), paid once.
-    val replicatedSmall = small.repartition(numSalts)
+    // repartition BEFORE exploding, to the session's FULL shuffle
+    // width: a dim that fits a couple of input splits would otherwise
+    // push numSalts × |small| replicated rows through one or two
+    // shuffle-write tasks — the r14 scale smoke measured exactly that
+    // serialized explode as the salted join's critical path (its max
+    // task beat the unsalted straggler it was supposed to cure), and
+    // repartitioning to only numSalts tasks still left ~|small| rows
+    // per writer. The extra small-side shuffle is O(|small|), paid
+    // once, and spread over every core.
+    val parts = big.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val replicatedSmall = small.repartition(math.max(numSalts, parts))
       .withColumn("__salt", explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }

@@ -182,10 +182,18 @@ object ScaleSmoke {
           byStage.getOrElseUpdate(t.stageId,
             scala.collection.mutable.ArrayBuffer.empty[Long])
             .synchronized { byStage(t.stageId) += t.taskInfo.duration }
-        /** (max task sec, median task sec of the max task's stage). */
+        /** (max task sec, median task sec) of the JOIN REDUCE stage —
+          * pinned as the highest-stageId stage with more than one
+          * task: the reduce (sort-merge + partial agg) always runs
+          * after every map/replication stage, and the only later
+          * stage is the single-task final agg. The previous
+          * maxBy(_.max) heuristic attributed whichever stage happened
+          * to own the slowest task — on the salted plan that was the
+          * DIM REPLICATION map, which mis-billed the replication cost
+          * as the join phase (r14's inverted verdict). */
         def joinPhase: (Double, Double) = {
-          val heaviest = byStage.values.maxBy(_.max)
-          val sorted = heaviest.toSeq.sorted
+          val reduce = byStage.filter(_._2.size > 1).maxBy(_._1)._2
+          val sorted = reduce.toSeq.sorted
           (sorted.last / 1e3, sorted(sorted.size / 2) / 1e3)
         }
       }
