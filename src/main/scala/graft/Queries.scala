@@ -3628,21 +3628,33 @@ object Queries {
     * compared) to a from-scratch assignment over the final corpus
     * under the same centroids — incremental costs O(delta) per batch
     * where the rebuild costs O(corpus). */
+  /** The shared CDC fixture lineage of [[ivfIncremental]] and
+    * [[pqIncremental]]: v1 = two-thirds of the embeddings, v2 =
+    * held-out third inserted + every 6th flipped, v3 = every 7th≡3
+    * deleted. Staged once; the entries read versions and change
+    * feeds of the copy. */
+  private def stagedEmbCdc(s: SparkSession, dir: String,
+                           dest: String): Unit =
+    stagedTableCopy(s, dir, "emb_cdc_v3",
+      "emb %3!=2; upsert %3==2 + flip %6==0; delete %7==3; " +
+        "pk=vec_id; v1", dest) { st =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tbl = plans.SnapshotTable(s, st, "vec_id")
+      tbl.create(emb.filter(col("vec_id") % 3 =!= 2))
+      tbl.upsert(emb.filter(col("vec_id") % 3 === 2).unionByName(
+        emb.filter(col("vec_id") % 6 === 0).withColumn("embedding",
+          transform(col("embedding"), x => x * lit(-1.0f)))))
+      tbl.delete(col("vec_id") % 7 === 3)
+    }
+
   def ivfIncremental(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val base = scratch("ivf_incr", dir)
     freshDirs(s, base)
+    stagedEmbCdc(s, dir, base)
     val table = plans.SnapshotTable(s, base, "vec_id")
-    table.create(emb.filter(col("vec_id") % 3 =!= 2))
     val cents = Similarity.trainCentroids(
       table.readVersion(1), nCentroids = 16, iters = 2)
     val index1 = Similarity.ivfAssign(table.readVersion(1), cents)
-    // wave 1: insert the held-out third, flip every 6th vector
-    table.upsert(emb.filter(col("vec_id") % 3 === 2).unionByName(
-      emb.filter(col("vec_id") % 6 === 0).withColumn("embedding",
-        transform(col("embedding"), x => x * lit(-1.0f)))))
-    // wave 2: deletes
-    table.delete(col("vec_id") % 7 === 3)
     val img = plans.SnapshotTable.ImageCol
     val delta = table.changesDelta(1, table.currentVersion.get)
     val index2 = Similarity.ivfRefresh(index1, cents,
@@ -3675,19 +3687,14 @@ object Queries {
     * from-scratch encode of the final corpus under the same
     * codebooks. */
   def pqIncremental(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val base = scratch("pq_incr", dir)
     freshDirs(s, base)
+    stagedEmbCdc(s, dir, base)
     val table = plans.SnapshotTable(s, base, "vec_id")
-    table.create(emb.filter(col("vec_id") % 3 =!= 2))
     val cb = Similarity.pqTrainCodebooks(
       table.readVersion(1), m = 8, ksub = 16, iters = 1)
     val codes1 = table.readVersion(1).select(col("vec_id"),
       Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
-    table.upsert(emb.filter(col("vec_id") % 3 === 2).unionByName(
-      emb.filter(col("vec_id") % 6 === 0).withColumn("embedding",
-        transform(col("embedding"), x => x * lit(-1.0f)))))
-    table.delete(col("vec_id") % 7 === 3)
     val img = plans.SnapshotTable.ImageCol
     val delta = table.changesDelta(1, table.currentVersion.get)
     val codes2 = Similarity.pqRefresh(codes1, cb,

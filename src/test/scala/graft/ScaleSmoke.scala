@@ -221,6 +221,15 @@ object ScaleSmoke {
         * wall; single-box wall time dilutes it 32:1. */
       def timeJoin(path: String, nRows: Long, mode: String)
           : (Double, Double, Double, Int) = {
+        // the same per-measurement hygiene timeOne applies: 18 smoke
+        // entries run before this block, and their leftover cached
+        // relations/persisted RDDs + GC pressure inflated every skew
+        // variant ~2x when the full sweep ran (standalone: salted max
+        // task 6.8s; after the sweep: 16.7s — same code, same data)
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         // partitions scale with the FACT volume (the scaling axis;
         // the salted dim replication is a fixed rider), so per-task
         // join work — sort + merge + agg over ~1.5M fact rows — is
