@@ -3780,6 +3780,10 @@ object Queries {
     * outcome grid. */
   def pqRetrainTrigger(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // snapshot FIRST: the code-table localCheckpoint below pins
+    // blocks before the try begins, and the finally's snapshot-diff
+    // must see them as this entry's
+    val pinnedBefore = s.sparkContext.getPersistentRDDs.keySet
     // a FIXED 500-vector corpus at every sf: the entry tests the
     // TRIGGER mechanics (monitor, gate, restore), which are corpus-
     // size-free; PQ's scale coverage lives in embedding_ann_pq /
@@ -3802,100 +3806,157 @@ object Queries {
       .localCheckpoint()
     val baseErr = Similarity.pqQuantErr(corpus, codes, cb)
     val recallGate = 0.4
-    // candidate-selection recall: the exact dot-product top-10 (what
-    // ADC approximates; cosine re-rank is the refine stage's job)
-    // surviving in the ADC-ranked pool of ~12% of the corpus. The 20
-    // query LUTs are computed DRIVER-side (20 × m·ksub dots — harness
-    // measurement over a bounded query set, not the operator path;
-    // [[Similarity.ivfPqTopKWith]] builds its LUTs in-plan) and join
-    // in as a 20-row broadcast: the in-plan alternative re-codegens a
-    // 128-aggregate literal tree per evaluation, which dominated this
-    // entry's bench cost 3:1.
-    def adcRecall(cor: DataFrame, cds: DataFrame,
-                  b: Array[Array[Array[Float]]]): Double = {
-      val k = 10
-      val nQueries = 20
-      val pool = math.max(60, (cor.count() * 3 / 25).toInt)
-      val m = b.length; val ksub = b(0).length; val dsub = b(0)(0).length
-      val qRows = cor.filter(col("vec_id") < nQueries)
-        .select(col("vec_id"), col("embedding")).collect()
-      require(qRows.length == nQueries, s"expected $nQueries queries")
-      val qs = broadcast(qRows.toSeq.map { r =>
-        val qv = r.getSeq[Float](1).toArray
-        val lut = Array.tabulate(m * ksub) { i =>
-          val s = i / ksub; val c = i % ksub
-          var d = 0.0; var j = 0
-          while (j < dsub) {
-            d += qv(s * dsub + j).toDouble * b(s)(c)(j).toDouble; j += 1
+    // Every block this entry pins (persist + localCheckpoint) is
+    // dropped in the finally: a bench session runs entries back to
+    // back in one JVM, and leaked blocks contaminate later entries'
+    // measurements (the skew-smoke postmortem measured ~2x from
+    // exactly this). The snapshot-diff of the persistent-RDD set
+    // catches the localCheckpoint blocks, which expose no Dataset
+    // unpersist handle; it is safe because the returned frame is a
+    // driver-local relation — nothing downstream reads the blocks.
+    var pinnedFrames = List.empty[DataFrame]
+    try {
+      // ONE evaluation plan for every scenario (the r15 verdict: three
+      // separate ADC-recall evaluations re-compiled the same cross-join
+      // + window machinery three times and were this entry's dominant
+      // bench cost). The codebooks only enter through the
+      // driver-computed LUTs, so all scenarios share one physical plan
+      // over a scenario-tagged union. Recall is candidate-selection
+      // recall: the exact dot-product top-10 (what ADC approximates;
+      // cosine re-rank is the refine stage's job) surviving in the
+      // ADC-ranked pool of ~12% of the scenario's corpus. The 20 query
+      // LUTs per scenario are computed DRIVER-side (20 × m·ksub dots —
+      // harness measurement over a bounded query set, not the operator
+      // path; [[Similarity.ivfPqTopKWith]] builds its LUTs in-plan) and
+      // join in as a small broadcast: the in-plan alternative
+      // re-codegens a 128-aggregate literal tree per evaluation, which
+      // dominated this entry's bench cost 3:1.
+      def adcRecallMulti(scs: Seq[(String, DataFrame, DataFrame,
+                                   Array[Array[Array[Float]]])])
+          : Map[String, Double] = {
+        val k = 10
+        val nQueries = 20
+        val m = scs.head._4.length
+        val ksub = scs.head._4(0).length
+        val dsub = scs.head._4(0)(0).length
+        val cor = scs.map { case (n, c, _, _) =>
+          c.select(lit(n).as("scenario"), col("vec_id"), col("embedding"))
+        }.reduce(_ unionByName _)
+        val cds = scs.map { case (n, _, d, _) =>
+          d.select(lit(n).as("scenario"), col("vec_id"), col("codes"))
+        }.reduce(_ unionByName _)
+        val cbOf = scs.map { case (n, _, _, b) => n -> b }.toMap
+        // per-scenario candidate pool from that scenario's corpus size
+        val pools = cor.groupBy("scenario").count().collect()
+          .map(r => r.getString(0) ->
+            math.max(60, (r.getLong(1) * 3 / 25).toInt)).toMap
+        val qRows = cor.filter(col("vec_id") < nQueries).collect()
+        scs.foreach { case (n, _, _, _) =>
+          require(qRows.count(_.getString(0) == n) == nQueries,
+            s"expected $nQueries queries in scenario $n") }
+        val qs = broadcast(qRows.toSeq.map { r =>
+          val n = r.getString(0)
+          val b = cbOf(n)
+          val qv = r.getSeq[Float](2).toArray
+          val lut = Array.tabulate(m * ksub) { i =>
+            val sub = i / ksub; val c = i % ksub
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              d += qv(sub * dsub + j).toDouble * b(sub)(c)(j).toDouble
+              j += 1
+            }
+            d
           }
-          d
-        }
-        (r.getLong(0), qv.toSeq, lut.toSeq)
-      }.toDF("query_id", "qvec", "lut"))
-      val dot = (a: Column, c: Column) =>
-        aggregate(zip_with(a, c,
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-      def topSet(scored: DataFrame, score: Column,
-                 n: Int): DataFrame = scored
-        .withColumn("__rk", row_number().over(
-          w.orderBy(score.desc, col("vec_id"))))
-        .filter(col("__rk") <= n)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      val exact = topSet(
-        cor.crossJoin(qs).filter(col("query_id") =!= col("vec_id")),
-        dot(col("qvec"), col("embedding")), k)
-      val adc = topSet(
-        cds.crossJoin(qs).filter(col("query_id") =!= col("vec_id")),
-        Similarity.pqAdcScore(col("codes"), col("lut"), ksub), pool)
-      // exact is k rows per query by construction (corpus >> k), so
-      // the denominator needs no extra action
-      adc.join(exact, Seq("query_id", "neighbor_id")).count().toDouble /
-        (k.toDouble * nQueries)
+          (n, r.getLong(1), qv.toSeq, lut.toSeq, pools(n))
+        }.toDF("scenario", "query_id", "qvec", "lut", "pool"))
+        val dot = (a: Column, c: Column) =>
+          aggregate(zip_with(a, c,
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+            lit(0.0), (acc, v) => acc + v)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("scenario", "query_id")
+        def topSet(scored: DataFrame, score: Column,
+                   n: Column): DataFrame = scored
+          .withColumn("__rk", row_number().over(
+            w.orderBy(score.desc, col("vec_id"))))
+          .filter(col("__rk") <= n)
+          .select(col("scenario"), col("query_id"),
+            col("vec_id").as("neighbor_id"))
+        val exact = topSet(
+          cor.join(qs, Seq("scenario"))
+            .filter(col("query_id") =!= col("vec_id")),
+          dot(col("qvec"), col("embedding")), lit(k))
+        val adc = topSet(
+          cds.join(qs, Seq("scenario"))
+            .filter(col("query_id") =!= col("vec_id")),
+          Similarity.pqAdcScore(col("codes"), col("lut"), ksub),
+          col("pool"))
+        // exact is k rows per query by construction (corpus >> k), so
+        // the denominator needs no extra action
+        val hits = adc
+          .join(exact, Seq("scenario", "query_id", "neighbor_id"))
+          .groupBy("scenario").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        scs.map { case (n, _, _, _) =>
+          n -> hits.getOrElse(n, 0L).toDouble / (k.toDouble * nQueries)
+        }.toMap
+      }
+      // stable: a same-distribution delta (re-inserted vectors, fresh
+      // ids) absorbs through pqRefresh; the monitor must NOT trip
+      val stableDelta = corpus.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"))
+      val stableCorpus = corpus.unionByName(stableDelta)
+      val stableCodes = Similarity.pqRefresh(codes, cb, stableDelta,
+        corpus.select("vec_id").limit(0))
+      val (stCodes, stCb, retrainedStable, _) =
+        Similarity.pqMaybeRetrain(stableCorpus, stableCodes, cb, baseErr,
+          iters = 1)
+      // drift: the whole corpus TRANSLATES by +2 per element — the
+      // codebooks' training region no longer contains the data
+      // persist, not localCheckpoint: the retrain runs Lloyd over this
+      // frame, and an RDD-backed base leaves the columnar/codegen path
+      // (measured ~3x slower on the ann_recall harness)
+      val folded = corpus.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(2.0f)).cast("float")).as("embedding"))
+        .persist()
+      pinnedFrames ::= folded
+      val frozenDriftCodes = Similarity.pqRefresh(codes, cb, folded,
+        corpus.select("vec_id")).localCheckpoint()
+      val (drCodes, drCb, retrainedDrift, _) =
+        Similarity.pqMaybeRetrain(folded, frozenDriftCodes, cb, baseErr,
+          iters = 1)
+      // the no-retrain path passes codes/codebooks through UNTOUCHED
+      // (spec-pinned reference identity), so the stable scenario's
+      // frozen recall IS its post-trigger recall — the fourth
+      // evaluation only exists on the (grid-failing) retrained branch
+      val scenarios =
+        Seq(("stable", stableCorpus, stCodes, stCb),
+            ("frozen_drift", folded, frozenDriftCodes, cb),
+            ("retrained_drift", folded, drCodes, drCb)) ++
+          (if (retrainedStable)
+             Seq(("stable_frozen", stableCorpus, stableCodes, cb))
+           else Nil)
+      val recalls = adcRecallMulti(scenarios)
+      val stableRecall = recalls("stable")
+      val stableFrozenRecall =
+        if (!retrainedStable) stableRecall else recalls("stable_frozen")
+      Seq(
+        ("drift", retrainedDrift,
+          recalls("frozen_drift") < recallGate,
+          recalls("retrained_drift") >= recallGate),
+        ("stable", retrainedStable, stableFrozenRecall < recallGate,
+          stableRecall >= recallGate))
+        .toDF("scenario", "retrained", "frozen_recall_degraded",
+          "recall_after_ok")
+        .orderBy("scenario")
+    } finally {
+      pinnedFrames.foreach(_.unpersist(blocking = false))
+      val now = s.sparkContext.getPersistentRDDs
+      (now.keySet -- pinnedBefore).foreach(id =>
+        now.get(id).foreach(_.unpersist(blocking = false)))
     }
-    // stable: a same-distribution delta (re-inserted vectors, fresh
-    // ids) absorbs through pqRefresh; the monitor must NOT trip
-    val stableDelta = corpus.filter(col("vec_id") % 13 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val stableCorpus = corpus.unionByName(stableDelta)
-    val stableCodes = Similarity.pqRefresh(codes, cb, stableDelta,
-      corpus.select("vec_id").limit(0))
-    val (stCodes, stCb, retrainedStable, _) =
-      Similarity.pqMaybeRetrain(stableCorpus, stableCodes, cb, baseErr,
-        iters = 1)
-    val stableRecall = adcRecall(stableCorpus, stCodes, stCb)
-    // the no-retrain path passes codes/codebooks through UNTOUCHED
-    // (spec-pinned reference identity), so the frozen recall IS the
-    // post-trigger recall — no second evaluation needed
-    val stableFrozenRecall =
-      if (!retrainedStable) stableRecall
-      else adcRecall(stableCorpus, stableCodes, cb)
-    // drift: the whole corpus TRANSLATES by +2 per element — the
-    // codebooks' training region no longer contains the data
-    // persist, not localCheckpoint: the retrain runs Lloyd over this
-    // frame, and an RDD-backed base leaves the columnar/codegen path
-    // (measured ~3x slower on the ann_recall harness)
-    val folded = corpus.select(col("vec_id"),
-      transform(col("embedding"),
-        x => (x + lit(2.0f)).cast("float")).as("embedding"))
-      .persist()
-    val frozenDriftCodes = Similarity.pqRefresh(codes, cb, folded,
-      corpus.select("vec_id")).localCheckpoint()
-    val frozenDriftRecall = adcRecall(folded, frozenDriftCodes, cb)
-    val (drCodes, drCb, retrainedDrift, _) =
-      Similarity.pqMaybeRetrain(folded, frozenDriftCodes, cb, baseErr,
-        iters = 1)
-    val retrainedRecall = adcRecall(folded, drCodes, drCb)
-    Seq(
-      ("drift", retrainedDrift, frozenDriftRecall < recallGate,
-        retrainedRecall >= recallGate),
-      ("stable", retrainedStable, stableFrozenRecall < recallGate,
-        stableRecall >= recallGate))
-      .toDF("scenario", "retrained", "frozen_recall_degraded",
-        "recall_after_ok")
-      .orderBy("scenario")
   }
 
   /** Salted skewed equi-join + aggregate: result must be identical to

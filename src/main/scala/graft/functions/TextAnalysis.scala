@@ -17,14 +17,46 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Canonical form: lowercase, trim, whitespace runs collapsed to one
-    * space. The shared base for dedup hashing and tokenization. */
+    * space. The shared base for dedup hashing (fingerprints, char-gram
+    * winnowing). Tokenization no longer builds on it — see [[tokens]]. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** The Unicode letter/digit RUN-SPLIT class shared by [[tokens]] and
+    * [[graft.operators.Bpe]]'s pre-tokenizer: a token is a maximal run
+    * of `\p{L}\p{N}` codepoints, everything else is a delimiter. Kept
+    * inside the Java∩RE2 regex subset so a DuckDB oracle replays it;
+    * Java vs RE2 class membership diverges only on post-Unicode-13
+    * codepoints (verified per-codepoint over U+0020..U+2FFFF). */
+  val TokenRunSplitRe = "[^\\p{L}\\p{N}]+"
 
-  /** Whitespace token count. */
+  /** Han ideographs (URO + Ext-A + compatibility + the supplementary
+    * blocks) — the scripts with no word delimiters where a run split
+    * still yields whole-clause "tokens". Matches BERT's CJK heuristic:
+    * each ideograph becomes its own token. Kana and Hangul are NOT
+    * split (kana words are multi-character; Hangul syllables compose
+    * alphabetically) — their runs stay whole. `\x{...}` escapes parse
+    * identically in Java regex and RE2. */
+  val CjkCharRe =
+    "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FA1F}]"
+
+  /** Tokens: lowercase Unicode letter/digit runs, with Han ideographs
+    * split one-per-character first. The former whitespace split scored
+    * a whole CJK sentence as ONE token and glued punctuation onto
+    * words ("end." ≠ "end"); the run split matches what [[Bpe]]'s
+    * trainer already does, so the quality / perplexity / dedup
+    * features and the tokenizer see the same word stream. Lowercasing
+    * is Spark's `lower()` (= `UTF8String.toLowerCase`), which matches
+    * DuckDB `lower()` everywhere but 4 unreachable codepoints. Still
+    * pure codegen'd column algebra — two regex passes and a split, no
+    * UDF, shuffle-free. */
+  def tokens(text: Column): Column =
+    filter(
+      split(lower(regexp_replace(text, s"($CjkCharRe)", " $1 ")),
+        TokenRunSplitRe),
+      t => length(t) > 0)
+
+  /** Token count under [[tokens]]. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** md5 hashes of word-level n-gram shingles from a MATERIALIZED

@@ -58,6 +58,13 @@ object Bpe {
   private def preTokenizeCol(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
 
+  /** UTF-8 byte order (codepoint order) — the one string order all
+    * three training stages share: Spark's `orderBy` on the histogram
+    * (UTF8String binary comparison), this driver-side merge loop's
+    * tie-break, and the DuckDB oracle's `ORDER BY`. */
+  private def u8lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
   /** A word's initial symbol sequence: one symbol per CODEPOINT (not
     * UTF-16 code unit — astral-plane letters must not shear into
     * surrogate halves; the oracle's RE2 `.` walks codepoints). */
@@ -112,9 +119,16 @@ object Bpe {
       var bestC = 0L
       counts.foreach { case (p, c) =>
         // full order on (count desc, pair asc): deterministic however
-        // the hash map iterates
+        // the hash map iterates. Pair order is UTF-8 BYTE order
+        // (UTF8String.compareTo), not Java String's UTF-16 code-unit
+        // order: wordHistogram's orderBy and the DuckDB oracle's
+        // ORDER BY both compare UTF-8 bytes, and the two orders
+        // disagree exactly where a supplementary-plane pair ties with
+        // a BMP pair in U+E000..U+FFFF (surrogates sort below those
+        // code units; their UTF-8 encodings sort above).
         if (c > bestC || (c == bestC && best != null &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
+            (u8lt(p._1, best._1) ||
+              (p._1 == best._1 && u8lt(p._2, best._2)))))
           { best = p; bestC = c }
       }
       if (best == null || bestC < minCount) exhausted = true

@@ -583,7 +583,13 @@ object Similarity {
     * the code table when it is the small side) and one narrow pass
     * with the codebooks as plan literals — O(corpus·dim), cheap
     * enough to evaluate after every maintenance batch. Empty input
-    * reports 0. */
+    * reports 0.
+    *
+    * Coverage is REQUIRED: a corpus vector with no code row throws
+    * instead of silently dropping out of the mean — a stale or
+    * incomplete code table is exactly the failure regime a drift
+    * monitor exists to surface, and an inner join would understate
+    * the error and suppress the retrain it should trigger. */
   def pqQuantErr(corpus: DataFrame, codes: DataFrame,
                  cb: Array[Array[Array[Float]]],
                  idCol: String = "vec_id",
@@ -600,9 +606,17 @@ object Similarity {
           val d = x.cast("double") - y.cast("double"); d * d
         }), lit(0.0), (a, v) => a + v)
       })
+    // left join, one aggregate: unmatched ids surface as a count (the
+    // err expression is null there, so avg() already excludes them)
     val row = corpus.select(col(idCol), col(vecCol))
-      .join(codes, Seq(idCol))
-      .agg(avg(err).as("e")).head()
+      .join(codes, Seq(idCol), "left")
+      .agg(avg(err).as("e"),
+        count(when(col("codes").isNull, lit(1))).as("uncoded"),
+        count(lit(1)).as("n")).head()
+    require(row.getLong(1) == 0L,
+      s"pqQuantErr: ${row.getLong(1)} of ${row.getLong(2)} corpus " +
+        "vectors have no PQ code — refresh the code table before " +
+        "monitoring, or the mean understates the drift")
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
@@ -620,9 +634,16 @@ object Similarity {
     * frozen-regime path keeps [[pqRefresh]]'s bit-identity contract
     * and costs one scan, no training I/O.
     *
-    * Returns (codes, codebooks, retrained, err): the caller persists
-    * the post-retrain [[pqQuantErr]] as the next baseline whenever
-    * `retrained` is true. A relative gate (×(1+growth)), not the
+    * Returns (codes, codebooks, retrained, err). `err` is always
+    * measured against the RETURNED (codes, codebooks) pair: when
+    * `retrained` it is the POST-retrain error — the caller persists
+    * it verbatim as the next baseline (one extra scan, paid only on
+    * the retrain branch; returning the pre-retrain drifted error here
+    * would hand the caller a ~400× baseline that permanently deadens
+    * the monitor). When not retrained it is the monitored error under
+    * the frozen codebooks — keep the ORIGINAL baseline in that case
+    * (persisting a within-gate reading would ratchet the gate upward
+    * batch over batch). A relative gate (×(1+growth)), not the
     * coarse trigger's absolute fit drop: quantization error scales
     * with vector norms and subspace count, so only its RATIO to the
     * training-time error is distribution-free. */
@@ -644,7 +665,7 @@ object Similarity {
         idCol, vecCol, maxTrainVectors)
       val codes2 = corpus.select(col(idCol),
         pqEncodeCol(col(vecCol), cb2).as("codes"))
-      (codes2, cb2, true, err)
+      (codes2, cb2, true, pqQuantErr(corpus, codes2, cb2, idCol, vecCol))
     }
   }
 

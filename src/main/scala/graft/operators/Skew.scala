@@ -72,7 +72,12 @@ object Skew {
                   maxSalts: Int = 64): Int = {
     require(sampleFraction > 0 && sampleFraction <= 1, "bad fraction")
     val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val top = big.select(col(key)).sample(sampleFraction)
+    // fixed seed: the chosen salt count picks the PHYSICAL PLAN, and
+    // an unseeded sample near a decision boundary would flip plans
+    // (and their timings) run to run — min-of-N measurements must
+    // compare the same plan
+    val top = big.select(col(key))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
       .head()

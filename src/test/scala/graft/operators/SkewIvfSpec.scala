@@ -97,12 +97,19 @@ class SkewIvfSpec extends SparkSpec {
       .localCheckpoint()
     val frozen = shifted.select(col("vec_id"),
       Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    val frozenErr = Similarity.pqQuantErr(shifted, frozen, cb)
+    assert(frozenErr > baseErr * 10,
+      s"drift fixture too weak: $frozenErr vs $baseErr")
     val (c2, b2, r2, e2) = Similarity.pqMaybeRetrain(shifted, frozen, cb,
       baseErr)
-    assert(r2 && e2 > baseErr * 10, s"monitor did not trip: $e2 vs $baseErr")
+    assert(r2, s"monitor did not trip: frozen $frozenErr vs base $baseErr")
+    // the returned err on the retrain branch is the POST-retrain error
+    // — the caller's next baseline, never the drifted reading
     val retrainedErr = Similarity.pqQuantErr(shifted, c2, b2)
-    assert(retrainedErr < e2 / 10,
-      s"retrain did not restore fit: $retrainedErr vs frozen $e2")
+    assert(math.abs(e2 - retrainedErr) < 1e-9,
+      s"returned err $e2 is not the post-retrain error $retrainedErr")
+    assert(retrainedErr < frozenErr / 10,
+      s"retrain did not restore fit: $retrainedErr vs frozen $frozenErr")
   }
 
   test("ivfRefresh: incremental maintenance is bit-identical to a full " +
