@@ -2761,10 +2761,60 @@ object Queries {
   // LLM-pipeline operators: text analysis / dedup / similarity / media
   // ---------------------------------------------------------------------
 
-  /** Text quality + token statistics per document (TextAnalysis). */
+  /** Multilingual fixture documents injected into the text-analysis
+    * entries ([[textStats]], [[langId]], [[ngramPerplexity]]): the
+    * generated corpus is ASCII-only, so without these the Unicode
+    * run-split, the Han char-split, and non-ASCII lowercasing would
+    * never face the oracle. Deterministic constants; negative ids
+    * cannot collide with corpus doc_ids; no apostrophes, so the texts
+    * embed verbatim in single-quoted SQL literals; BMP-only (astral
+    * coverage lives in the Bpe specs). The zh doc pins "a CJK document
+    * is not one token": 22 Han chars + a digit run + a latin run = 24
+    * tokens, where the whitespace split saw 4 blobs. */
+  private[graft] val UnicodeFixtureDocs: Seq[(Long, String, String)] = Seq(
+    (-1L, "深度学习模型在大规模数据集上训练 2024 效果明显提升 gpu", "zh"),
+    (-2L, "東京で機械学習の研究をしています。モデルは高速です。", "ja"),
+    (-3L, "Москва — столица России. Быстрая обработка данных!", "ru"),
+    (-4L, "GPU 加速 training 数据 pipeline 2024!", "mix"),
+    (-5L, "Größe und Qualität der Datenmengen überprüfen.", "de"),
+    (-6L, "The quick brown fox, it jumped; over the lazy dog!", "en"))
+
+  /** The fixture rows as a SQL VALUES body (id, text[, lang]) — the
+    * oracle injects the SAME rows the engine unions in. */
+  private def fixtureValuesSql(withLang: Boolean): String =
+    UnicodeFixtureDocs.map { case (id, tx, lg) =>
+      if (withLang) s"(CAST($id AS BIGINT), '$tx', '$lg')"
+      else s"(CAST($id AS BIGINT), '$tx')"
+    }.mkString(", ")
+
+  /** A FROM-clause source: documents plus the fixture rows, aliased
+    * back to `documents` so oracle column references are untouched. */
+  private def docsWithFixturesSql(withLang: Boolean): String =
+    if (withLang)
+      "(SELECT doc_id, text, lang FROM documents UNION ALL SELECT * " +
+        s"FROM (VALUES ${fixtureValuesSql(true)}) fx(doc_id, text, lang)) documents"
+    else
+      "(SELECT doc_id, text FROM documents UNION ALL SELECT * " +
+        s"FROM (VALUES ${fixtureValuesSql(false)}) fx(doc_id, text)) documents"
+
+  private def withFixtureDocs(s: SparkSession, docs: DataFrame,
+                              withLang: Boolean): DataFrame = {
+    import s.implicits._
+    if (withLang)
+      docs.unionByName(UnicodeFixtureDocs
+        .toDF("doc_id", "text", "lang"))
+    else
+      docs.unionByName(UnicodeFixtureDocs.map { case (id, tx, _) =>
+        (id, tx) }.toDF("doc_id", "text"))
+  }
+
+  /** Text quality + token statistics per document (TextAnalysis),
+    * over the corpus plus the [[UnicodeFixtureDocs]]. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
-    t(s, dir, "documents").select(
+    withFixtureDocs(s,
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      withLang = false).select(
       col("doc_id"),
       TextAnalysis.tokenCount(txt).as("n_tokens"),
       TextAnalysis.regexTokenCount(txt).as("n_tokens_regex"),
@@ -2895,9 +2945,14 @@ object Queries {
       .groupBy("source").agg(count(lit(1)).as("kept"))
   }
 
-  /** Language-ID heuristic per document (tokens materialized once). */
+  /** Language-ID heuristic per document (tokens materialized once),
+    * over the corpus plus the [[UnicodeFixtureDocs]] (zh/ja/ru hit the
+    * non-ASCII short-circuit; de/en hit their stopword sets through
+    * the run split — "und," now matches "und"). */
   def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    withFixtureDocs(s,
+      t(s, dir, "documents").select("doc_id", "text", "lang"),
+      withLang = true)
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(
         col("doc_id"), col("lang"),
@@ -4412,7 +4467,9 @@ object Queries {
     * hash-checked end to end. */
   def ngramPerplexity(s: SparkSession, dir: String): DataFrame =
     operators.NgramLm.selfPerplexity(
-      t(s, dir, "documents").select("doc_id", "text"))
+      withFixtureDocs(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        withLang = false))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("avg_nll"), 6).as("avg_nll"),
         round(col("ppl"), 4).as("ppl"))
@@ -5136,6 +5193,22 @@ object Queries {
   private val NormSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** DuckDB-side tokens of text expression `e`, identical to
+    * [[graft.functions.TextAnalysis.tokens]]: Han ideographs spaced
+    * out one-per-character, lowercased, split on non-letter/digit
+    * runs, empties dropped. The CJK class and the run-split class are
+    * interpolated from the SAME Scala constants the engine compiles
+    * into its plan — the two engines cannot drift apart silently.
+    * (Both classes live in the Java∩RE2 subset; RE2 `\p{L}\p{N}`
+    * agrees with the JDK 17 tables below the post-Unicode-13
+    * additions, verified per-codepoint in r15.) */
+  private def tokSqlOf(e: String): String =
+    s"list_filter(regexp_split_to_array(lower(regexp_replace($e, " +
+      s"'(${functions.TextAnalysis.CjkCharRe})', ' \\1 ', 'g')), " +
+      s"'${functions.TextAnalysis.TokenRunSplitRe}'), x -> x <> '')"
+
+  private val TokSql = tokSqlOf("text")
+
   /** Shared CTE chain: normalized 3-gram shingles → exact pairwise
     * Jaccard for every id-ordered doc pair (column `j`). Used by the
     * minhash oracle and, wrapped in a recursive closure, by the
@@ -5148,8 +5221,8 @@ object Queries {
        |    list_distinct(CASE WHEN len(toks) >= 3
        |      THEN list_transform(range(1, len(toks) - 1),
        |                          i -> array_to_string(toks[i:i+2], ' '))
-       |      ELSE [array_to_string(toks, ' ')] END) AS sh
-       |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
+       |      ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS sh
+       |  FROM (SELECT id, norm, ${tokSqlOf("norm")} AS toks FROM docs)),
        |pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b,
        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -5255,7 +5328,7 @@ object Queries {
   private val CurationSummarySql =
     s"""WITH base AS (
          |  SELECT doc_id, source, n_chars, md5($NormSql) AS fp,
-         |    string_split($NormSql, ' ') AS toks,
+         |    $TokSql AS toks,
          |    length(text) AS n,
          |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p,
          |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
@@ -6038,13 +6111,13 @@ object Queries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "corpus_top_tokens" ->
       s"""SELECT t AS token, count(*) AS cnt
-         |FROM (SELECT unnest(string_split($NormSql, ' ')) AS t FROM documents)
+         |FROM (SELECT unnest($TokSql) AS t FROM documents)
          |GROUP BY t
          |ORDER BY cnt DESC, t
          |LIMIT 20""".stripMargin,
     "doc_repetition" ->
       s"""WITH base AS (
-         |  SELECT doc_id, string_split($NormSql, ' ') AS toks
+         |  SELECT doc_id, $TokSql AS toks
          |  FROM documents),
          |tok AS (
          |  SELECT doc_id, unnest(toks) AS t,
@@ -6075,10 +6148,10 @@ object Queries {
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,
-         |    string_split($NormSql, ' ') AS toks,
+         |    $TokSql AS toks,
          |    length(text) AS n,
          |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
-         |  FROM documents)
+         |  FROM ${docsWithFixturesSql(false)})
          |SELECT doc_id,
          |  CAST(len(toks) AS INTEGER) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_regex,
@@ -6102,7 +6175,7 @@ object Queries {
     "sequence_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
-         |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+         |    CAST(len($TokSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, n_tokens,
@@ -6120,7 +6193,7 @@ object Queries {
     // oracle already pins)
     "curation_pipeline" ->
       s"""WITH base AS (
-         |  SELECT *, string_split($NormSql, ' ') AS toks, length(text) AS n,
+         |  SELECT *, $TokSql AS toks, length(text) AS n,
          |         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
          |  FROM documents),
          |q AS (
@@ -6151,13 +6224,13 @@ object Queries {
     // sharing ANY shingle hash with the benchmark set is dropped
     "decontaminate" ->
       s"""WITH t AS (
-         |  SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+         |  SELECT doc_id, $TokSql AS toks FROM documents),
          |g AS (
          |  SELECT doc_id,
          |    CASE WHEN len(toks) >= 8
          |      THEN list_transform(range(1, len(toks) - 8 + 2),
          |             i -> md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')))
-         |      ELSE [md5(list_aggregate(toks, 'string_agg', ' '))] END AS grams
+         |      ELSE [md5(coalesce(list_aggregate(toks, 'string_agg', ' '), ''))] END AS grams
          |  FROM t),
          |fp AS (SELECT doc_id, unnest(grams) AS fp FROM g),
          |bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 40 = 0),
@@ -6199,10 +6272,10 @@ object Queries {
         |FROM inj""".stripMargin,
     "lang_id" ->
       s"""WITH base AS (
-         |  SELECT doc_id, lang, text, string_split($NormSql, ' ') AS toks,
+         |  SELECT doc_id, lang, text, $TokSql AS toks,
          |    length(text) AS n,
          |    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
-         |  FROM documents),
+         |  FROM ${docsWithFixturesSql(true)}),
          |r AS (
          |  SELECT doc_id, lang,
          |    CASE WHEN n > 0 THEN na::DOUBLE / n::DOUBLE ELSE 0.0 END AS nonascii,
@@ -6254,8 +6327,8 @@ object Queries {
          |    list_distinct(CASE WHEN len(toks) >= 3
          |      THEN list_transform(range(1, len(toks) - 1),
          |                          i -> array_to_string(toks[i:i+2], ' '))
-         |      ELSE [array_to_string(toks, ' ')] END) AS sh
-         |  FROM (SELECT id, norm, string_split(norm, ' ') AS toks FROM docs)),
+         |      ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS sh
+         |  FROM (SELECT id, norm, ${tokSqlOf("norm")} AS toks FROM docs)),
          |pairs AS (
          |  SELECT a.id AS id_a, b.id AS id_b,
          |    len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -6298,7 +6371,7 @@ object Queries {
          |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.lab = e.a),
          |comp AS (SELECT node, min(lab) AS m FROM reach GROUP BY node),
          |base AS (
-         |  SELECT doc_id, string_split($NormSql, ' ') AS toks,
+         |  SELECT doc_id, $TokSql AS toks,
          |    length(text) AS n,
          |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS p
          |  FROM documents),
@@ -6321,7 +6394,7 @@ object Queries {
     // by pigeonhole, so the engine output IS all-pairs Hamming <= 3)
     "simhash_neardup" ->
       s"""WITH docs AS (
-         |  SELECT doc_id AS id, string_split($NormSql, ' ') AS toks
+         |  SELECT doc_id AS id, $TokSql AS toks
          |  FROM documents),
          |hashed AS (
          |  SELECT id, list_transform(toks,
@@ -6799,9 +6872,8 @@ object Queries {
     // stage (tokenization, counting, smoothing) goes red
     "ngram_perplexity" ->
       s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split($NormSql, ' '),
-        |                             w -> length(w) > 0) AS ts
-        |  FROM documents),
+        |  SELECT doc_id, $TokSql AS ts
+        |  FROM ${docsWithFixturesSql(false)}),
         |big AS (
         |  SELECT doc_id, ts[CAST(i + 1 AS INT)] AS w1,
         |         ts[CAST(i + 2 AS INT)] AS w2

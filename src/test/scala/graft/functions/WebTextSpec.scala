@@ -85,4 +85,34 @@ class WebTextSpec extends SparkSpec {
     assert(ppl.forall(_.getLong(1) >= 2),
       s"bigram LM saw no bigrams: ${ppl.mkString(",")}")
   }
+
+  test("CJK documents tokenize per ideograph, not per whitespace blob; " +
+      "punctuation splits; Cyrillic lowercases") {
+    val docs = Seq(
+      (1L, "深度学习模型在大规模数据集上训练"), // one unspaced Han run
+      (2L, "東京で機械学習の研究をしています。"), // Han + kana + CJK punct
+      (3L, "Москва — столица России!"),
+      (4L, "Hello, world! test-case: tokens & more.")
+    ).toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the r15 gap closed: the whitespace split scored doc 1 as ONE
+    // token; the Han char-split yields one token per ideograph
+    assert(toks(1L) == Seq("深", "度", "学", "习", "模", "型", "在", "大",
+      "规", "模", "数", "据", "集", "上", "训", "练"), s"got ${toks(1L)}")
+    // kana runs stay whole (no dictionary segmentation), Han chars
+    // split, 。 delimits (it is neither \p{L} nor \p{N})
+    assert(toks(2L) == Seq("東", "京", "で", "機", "械", "学", "習", "の",
+      "研", "究", "をしています"), s"got ${toks(2L)}")
+    assert(toks(3L) == Seq("москва", "столица", "россии"),
+      s"got ${toks(3L)}")
+    // latin: punctuation no longer glues onto words ("world!" != "world")
+    assert(toks(4L) == Seq("hello", "world", "test", "case", "tokens",
+      "more"), s"got ${toks(4L)}")
+    // and the bigram LM sees per-character bigrams on the CJK doc
+    val nb = graft.operators.NgramLm.selfPerplexity(docs)
+      .filter(col("doc_id") === 1L).select("n_bigrams").head().getLong(0)
+    assert(nb == 15L, s"expected 15 char bigrams, got $nb")
+  }
 }
