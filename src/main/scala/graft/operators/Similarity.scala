@@ -590,29 +590,61 @@ object Similarity {
     * incomplete code table is exactly the failure regime a drift
     * monitor exists to surface, and an inner join would understate
     * the error and suppress the retrain it should trigger. */
+  /** The monitor's one-row aggregate PLAN — exposed (not just the
+    * scalar) so a spec can assert the physical shape and a scale
+    * harness can time exactly this scan. Columns: `e` (mean error
+    * over coded vectors), `uncoded`, `n`.
+    *
+    * Shape: ONE codes equi-join, a narrow per-subspace explode, a
+    * BROADCAST join against the m·ksub-row centroid table, one global
+    * aggregate — nothing shuffles beyond the codes join. The
+    * codebooks deliberately do NOT embed as a plan literal here: the
+    * monitor re-plans every maintenance batch, and the nested
+    * `cbLit` tree costs seconds of analyzer+codegen per evaluation
+    * (constant, but paid each batch — it dominated the 500-vector
+    * gate entry); as a 128-row broadcast the plan is tiny and the
+    * cost is the O(corpus·dim) scan it should be. */
+  def pqQuantErrPlan(corpus: DataFrame, codes: DataFrame,
+                     cb: Array[Array[Array[Float]]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(cb.zipWithIndex.flatMap { case (subCb, s) =>
+      subCb.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("__sub", "__code", "__cvec"))
+    // left join, then per-subspace rows: an uncoded vector keeps ONE
+    // row (null pos) so coverage gaps surface as a count instead of
+    // silently leaving the mean
+    val pairs = corpus.select(col(idCol), col(vecCol))
+      .join(codes, Seq(idCol), "left")
+      .select(col(idCol), posexplode_outer(
+        when(col("codes").isNotNull,
+          transform(sequence(lit(0), lit(m - 1)), s => struct(
+            slice(col(vecCol), s * dsub + 1, lit(dsub)).as("svec"),
+            element_at(col("codes"), s + 1).as("code"))))))
+      .select(col(idCol), col("pos"),
+        col("col.svec").as("__svec"), col("col.code").as("__code"),
+        col("pos").as("__sub"))
+    val err = aggregate(zip_with(col("__svec"), col("__cvec"), (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (a, v) => a + v)
+    pairs.join(cents, Seq("__sub", "__code"), "left")
+      .agg(
+        (sum(err) / nullif(count(when(col("pos") === 0, lit(1))), lit(0)))
+          .as("e"),
+        count(when(col("pos").isNull, lit(1))).as("uncoded"),
+        count(when(col("pos") === 0 || col("pos").isNull, lit(1)))
+          .as("n"))
+  }
+
   def pqQuantErr(corpus: DataFrame, codes: DataFrame,
                  cb: Array[Array[Array[Float]]],
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Double = {
-    val m = cb.length
-    val dsub = cb(0)(0).length
-    val cbL = cbLit(cb)
-    val err = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => {
-        val sub = slice(col(vecCol), s * dsub + 1, lit(dsub))
-        val cent = element_at(element_at(cbL, s + 1),
-          element_at(col("codes"), s + 1) + 1)
-        acc + aggregate(zip_with(sub, cent, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }), lit(0.0), (a, v) => a + v)
-      })
-    // left join, one aggregate: unmatched ids surface as a count (the
-    // err expression is null there, so avg() already excludes them)
-    val row = corpus.select(col(idCol), col(vecCol))
-      .join(codes, Seq(idCol), "left")
-      .agg(avg(err).as("e"),
-        count(when(col("codes").isNull, lit(1))).as("uncoded"),
-        count(lit(1)).as("n")).head()
+    val row = pqQuantErrPlan(corpus, codes, cb, idCol, vecCol).head()
     require(row.getLong(1) == 0L,
       s"pqQuantErr: ${row.getLong(1)} of ${row.getLong(2)} corpus " +
         "vectors have no PQ code — refresh the code table before " +

@@ -327,4 +327,33 @@ class PlanSpec extends SparkSpec {
     // codegen'd operators carry the *(stageId) marker in the final plan
     assert(plan.contains("*(1)"), s"no codegen:\n$plan")
   }
+
+  test("pq drift monitor: one codes equi-join, centroid table " +
+      "broadcast, nothing else shuffles") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(emb, m = 8, ksub = 16, iters = 0)
+    val codes = emb.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+    val plan = planOf(Similarity.pqQuantErrPlan(emb, codes, cb))
+    // the 128-row centroid side must broadcast — per-subspace error
+    // lookup may not shuffle the exploded corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"monitor plan degenerated to a product join:\n$plan")
+    // exactly two joins: corpus⋈codes (the one allowed shuffle) and
+    // the broadcast centroid lookup
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == 2, s"expected 2 joins, found $joins:\n$plan")
+    // any hash-partitioned exchange belongs to the codes equi-join —
+    // the explode, the centroid lookup and the final global aggregate
+    // (a SinglePartition exchange) add none
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2,
+      s"monitor shuffles beyond the codes equi-join ($shuffles):\n$plan")
+  }
 }

@@ -458,20 +458,28 @@ object ScaleSmoke {
         }
         s"$p/t"
       }
-      def coldLazy(path: String): Double =
-        (1 to 3).map { _ =>
-          // every iteration is a FRESH load → fresh handle, cold cache
-          val t0 = System.nanoTime()
-          val r = spark.read.format("graft").load(path)
-            .filter(col("part") === "7")
-            .agg(sum("v")).head()
-          require(!r.isNullAt(0), "pruned partition read came back empty")
-          (System.nanoTime() - t0) / 1e9
-        }.min
+      def coldLazyOnce(path: String): Double = {
+        // every iteration is a FRESH load → fresh handle, cold cache
+        val t0 = System.nanoTime()
+        val r = spark.read.format("graft").load(path)
+          .filter(col("part") === "7")
+          .agg(sum("v")).head()
+        require(!r.isNullAt(0), "pruned partition read came back empty")
+        (System.nanoTime() - t0) / 1e9
+      }
       val smallPath = buildPart(20000)
       val bigPath = buildPart(100000)
-      val small = coldLazy(smallPath)
-      val big = coldLazy(bigPath)
+      // r15 postmortem: back-to-back min-of-3 per path read 0.60→1.02
+      // (ratio 1.69) one session and 1.26→0.91 (0.72) the next — the
+      // "growth" was session order + host windows, not a per-file
+      // term. One UNTIMED warmup open per path eats the session
+      // one-time costs, and the timed runs INTERLEAVE so a load
+      // window hits both sides symmetrically.
+      coldLazyOnce(smallPath); coldLazyOnce(bigPath)
+      val pairs = (1 to 3).map { _ =>
+        (coldLazyOnce(smallPath), coldLazyOnce(bigPath)) }
+      val small = pairs.map(_._1).min
+      val big = pairs.map(_._2).min
       val r = big / math.max(small, 1e-9)
       def f2c(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       println(f"[smoke] cold_open_lazy 20k files=$small%.2fs " +
@@ -530,8 +538,68 @@ object ScaleSmoke {
         s""""rows_per_day":$rowsPerDay}""")
     } else Nil
 
+    // ---- PQ drift-monitor cost at corpus scale: pqQuantErr is billed
+    // as "cheap enough to evaluate after every maintenance batch"
+    // (one codes equi-join + one narrow pass, O(corpus·dim)) but the
+    // gate entry only measures it at 500 vectors. Time EXACTLY the
+    // monitor aggregate over the sf0.1 embeddings (~n) and the 10x
+    // smoke embeddings, codes staged as parquet (training and encode
+    // are maintenance cost, not monitor cost — and pqTrainCodebooks
+    // is seeded/deterministic, so staged codes stay valid). 10x data
+    // must be ~10x work on 32 fixed cores ⇒ wall ratio well under
+    // 10 (threads are idle at 1x); the claim pinned here is NO
+    // superlinear term (ratio ≤ Copies). PlanSpec owns the shape
+    // assert (one join, nothing else shuffles).
+    val pqErrRow = if (only.forall(_.contains("pq_quant_err_monitor"))) {
+      import operators.Similarity
+      val smallEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val cb = Similarity.pqTrainCodebooks(smallEmb, m = 8, ksub = 16,
+        iters = 1)
+      def stageCodes(src: String, tag: String): String = {
+        val p = s"$bigDir/pq_codes_$tag"
+        if (!fs.exists(new Path(s"$p/_done"))) {
+          fs.delete(new Path(p), true)
+          spark.read.parquet(src).select(col("vec_id"),
+            Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
+            .write.mode("overwrite").parquet(s"$p/codes")
+          fs.create(new Path(s"$p/_done"), true).close()
+        }
+        s"$p/codes"
+      }
+      val smallCodes = stageCodes(s"$srcDir/embeddings.parquet", "small")
+      val bigCodes = stageCodes(s"$bigDir/embeddings.parquet", "big")
+      def monitor(emb: String, codes: String): Double = {
+        val e = spark.read.parquet(emb).select("vec_id", "embedding")
+        val c = spark.read.parquet(codes)
+        val err = Similarity.pqQuantErr(e, c, cb)
+        require(err > 0, "monitor read an empty corpus")
+        0.0
+      }
+      def timeMonitor(emb: String, codes: String): Double = {
+        val t0 = System.nanoTime()
+        monitor(emb, codes)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // untimed warmups (codegen of the codebook-literal tree), then
+      // interleaved min-of-3 — the cold_open_lazy protocol
+      monitor(s"$srcDir/embeddings.parquet", smallCodes)
+      monitor(s"$bigDir/embeddings.parquet", bigCodes)
+      val pairsPq = (1 to 3).map { _ =>
+        (timeMonitor(s"$srcDir/embeddings.parquet", smallCodes),
+          timeMonitor(s"$bigDir/embeddings.parquet", bigCodes)) }
+      val small = pairsPq.map(_._1).min
+      val big = pairsPq.map(_._2).min
+      val r = big / math.max(small, 1e-9)
+      def f2q(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      println(f"[smoke] pq_quant_err_monitor 1x=$small%.2fs 10x=$big%.2fs " +
+        f"ratio=$r%.2f")
+      Seq(s"""${jstr("pq_quant_err_monitor")}:{"sf01":$small,"sf1":$big,""" +
+        s""""ratio":${f2q(r)},"copies":$Copies}""")
+    } else Nil
+
     val json =
-      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow ++ timeRangeRow).mkString(",")}}}"""
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow ++ timeRangeRow ++ pqErrRow).mkString(",")}}}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()
