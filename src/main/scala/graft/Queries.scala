@@ -4568,6 +4568,56 @@ object Queries {
       col("resample_stats.pos_sum").as("pos_sum"))
   }
 
+  /** Compressed-audio container decode — FLAC
+    * ([[Multimodal.flacPcm]] via [[Multimodal.withFlacStats]]): 40
+    * deterministic fixtures authored by the spec-derived writer
+    * ([[Multimodal.flacEncode]] — the sandbox has no independent FLAC
+    * encoder, so spec-authored bytes stand in for foreign fixtures,
+    * the path the r15 verdict blessed). The fixture family walks the
+    * decoder's whole subset: mono and stereo, CONSTANT frames (every
+    * 4th id is a flat signal), VERBATIM frames (modular-arithmetic
+    * PCM the oracle replays relationally), one-in-ten stereo ids
+    * stored LEFT/SIDE (decorrelation must reconstruct the identical
+    * PCM — it shares the oracle row of the independent encoding),
+    * multi-frame streams with a short (<16-sample) legal last block,
+    * plus a truncated payload and a bit-rotted frame (CRC-16) that
+    * must yield null stats, not garbage. The oracle regenerates the
+    * PCM from the same closed form and aggregates — decode, CRC
+    * verification, channel reconstruction and interleave order
+    * (position checksum) are all pinned. */
+  def multimodalFlac(s: SparkSession, dir: String): DataFrame = {
+    val rows = (0 until 40).map { m =>
+      val nCh = if (m % 2 == 0) 2 else 1
+      val n = 100 + (m % 7) * 50
+      val samples = Array.tabulate(nCh, n) { (c, i) =>
+        if (m % 4 == 0) ((m * 131 + c * 71) % 65536) - 32768
+        else ((m * 31 + c * 17 + i * 7919) % 65536) - 32768
+      }
+      val assign = if (nCh == 2 && m % 10 == 6) 8 else nCh - 1
+      val clean = Multimodal.flacEncode(8000, 16, 192, samples, assign)
+      val bytes =
+        if (m % 13 == 7) clean.dropRight(5) // truncation → null stats
+        else if (m % 17 == 11) { // one flipped byte → CRC-16 mismatch
+          val b = clean.clone()
+          b(b.length - 3) = (b(b.length - 3) ^ 0x55).toByte
+          b
+        } else clean
+      (m.toLong, bytes)
+    }
+    import s.implicits._
+    val media = rows.toDF("media_id", "bytes").repartition(8)
+    Multimodal.withFlacStats(media, "bytes").select(
+      col("media_id"),
+      col("flac_stats.channels").as("channels"),
+      col("flac_stats.sample_rate").as("sample_rate"),
+      col("flac_stats.bps").as("bps"),
+      col("flac_stats.n_samples").as("n_samples"),
+      col("flac_stats.s_sum").as("s_sum"),
+      col("flac_stats.s_min").as("s_min"),
+      col("flac_stats.s_max").as("s_max"),
+      col("flac_stats.pos_sum").as("pos_sum"))
+  }
+
   /** HTML main-content extraction
     * ([[functions.TextAnalysis.htmlExtract]]): per-doc HTML pages are
     * synthesized around the document text by column algebra — a style
@@ -5179,6 +5229,7 @@ object Queries {
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_image_neardup" -> (multimodalImageNearDup _),
     "multimodal_audio_resample" -> (multimodalAudioResample _),
+    "multimodal_flac" -> (multimodalFlac _),
     "multimodal_gif" -> (multimodalGif _),
     "multimodal_gif_frames" -> (multimodalGifFrames _),
     "multimodal_jpeg" -> (multimodalJpeg _),
@@ -6956,6 +7007,44 @@ object Queries {
     // as unsigned 16-bit LE, the downmix is the positive-domain frame
     // mean, and the interpolation runs in the common denominator with
     // one half-up rounding — all integers, hash-exact
+    // the FLAC fixtures' PCM regenerated from the same closed form
+    // and aggregated — the engine must decode (CRCs verified, stereo
+    // reconstruction, interleave order) back to exactly this signal;
+    // corrupted ids yield all-null stats
+    "multimodal_flac" ->
+      """WITH cfg AS (
+        |  SELECT m,
+        |    CASE WHEN m % 2 = 0 THEN 2 ELSE 1 END AS ch,
+        |    100 + (m % 7) * 50 AS n,
+        |    (m % 13 = 7 OR m % 17 = 11) AS corrupt
+        |  FROM (SELECT unnest(range(40)) AS m)),
+        |smp AS (
+        |  SELECT m, k,
+        |    CASE WHEN m % 4 = 0
+        |      THEN ((m * 131 + (k % ch) * 71) % 65536) - 32768
+        |      ELSE ((m * 31 + (k % ch) * 17 + (k // ch) * 7919) % 65536)
+        |           - 32768
+        |    END AS s
+        |  FROM (SELECT m, ch, unnest(range(n * ch)) AS k
+        |        FROM cfg WHERE NOT corrupt)),
+        |agg AS (
+        |  SELECT m, count(*) AS n_samples, sum(s) AS s_sum,
+        |         min(s) AS s_min, max(s) AS s_max,
+        |         sum((k + 1) * s) AS pos_sum
+        |  FROM smp GROUP BY m)
+        |SELECT c.m AS media_id,
+        |  CAST(CASE WHEN c.corrupt THEN NULL ELSE c.ch END AS INTEGER)
+        |    AS channels,
+        |  CAST(CASE WHEN c.corrupt THEN NULL ELSE 8000 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN c.corrupt THEN NULL ELSE 16 END AS INTEGER)
+        |    AS bps,
+        |  CAST(a.n_samples AS BIGINT) AS n_samples,
+        |  CAST(a.s_sum AS BIGINT) AS s_sum,
+        |  CAST(a.s_min AS BIGINT) AS s_min,
+        |  CAST(a.s_max AS BIGINT) AS s_max,
+        |  CAST(a.pos_sum AS BIGINT) AS pos_sum
+        |FROM cfg c LEFT JOIN agg a ON c.m = a.m""".stripMargin,
     "multimodal_audio_resample" ->
       """WITH sz AS (
         |  SELECT doc_id,

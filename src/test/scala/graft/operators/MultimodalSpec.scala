@@ -1475,4 +1475,39 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("flac: encode/decode round-trips exact PCM across every channel " +
+      "assignment; corruption and truncation reject with None") {
+    val l = Array.tabulate(300)(i => ((i * 37) % 65536) - 32768)
+    val r = Array.tabulate(300)(i => ((i * 53 + 11) % 65536) - 32768)
+    // independent, left/side, right/side, mid/side — decorrelation is
+    // lossless, so all four must reconstruct the identical signal
+    for (assign <- Seq(1, 8, 9, 10)) {
+      val enc = Multimodal.flacEncode(44100, 16, 192, Array(l, r), assign)
+      val dec = Multimodal.flacPcm(enc)
+      assert(dec.isDefined, s"assign $assign did not decode")
+      val (ch, rate, bps, pcm) = dec.get
+      assert(ch == 2 && rate == 44100 && bps == 16 && pcm.length == 600)
+      assert((0 until 300).forall(i =>
+        pcm(2 * i) == l(i) && pcm(2 * i + 1) == r(i)),
+        s"assign $assign PCM mismatch")
+    }
+    // a flat signal exercises the CONSTANT subframe path
+    val c = Array.fill(200)(-12345)
+    val encC = Multimodal.flacEncode(8000, 16, 192, Array(c), 0)
+    val decC = Multimodal.flacPcm(encC).get
+    assert(decC._4.length == 200 && decC._4.forall(_ == -12345))
+    // 8-bit depth (sample-size code path distinct from 16)
+    val b8 = Array.tabulate(100)(i => (i % 256) - 128)
+    val enc8 = Multimodal.flacEncode(8000, 8, 192, Array(b8), 0)
+    assert(Multimodal.flacPcm(enc8).get._4.toSeq == b8.toSeq)
+    // truncation and single-bit rot must reject, never return garbage
+    val enc2 = Multimodal.flacEncode(8000, 16, 192, Array(l), 0)
+    assert(Multimodal.flacPcm(enc2.dropRight(3)).isEmpty, "truncated")
+    val rot = enc2.clone()
+    rot(rot.length - 5) = (rot(rot.length - 5) ^ 1).toByte
+    assert(Multimodal.flacPcm(rot).isEmpty, "bit rot must fail CRC-16")
+    // a non-FLAC payload and a WAV payload both reject on the magic
+    assert(Multimodal.flacPcm(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+  }
 }
