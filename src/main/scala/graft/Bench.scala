@@ -132,6 +132,10 @@ object Bench {
     val divergenceK = 3.0
     val divergenceFloorSec = 0.5
     val maxRunsDiverged = 5
+    // sweep-wide budget: a handful of outliers is the r15 failure mode
+    // this mechanism exists for; if EVERYTHING diverges the host is
+    // gone for the whole window and more reruns only stretch it
+    var divergenceBudget = 24
     var divSentinels = List.empty[(String, Double, Double)] // name, prior, sentinel
     val sentinelStart = sentinel()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -174,11 +178,13 @@ object Bench {
       // failure, not a measurement
       priorBest.get(name).filter(_ >= 0).foreach { prior =>
         if (best >= 0 && best > divergenceK * prior &&
-            best - prior > divergenceFloorSec) {
+            best - prior > divergenceFloorSec && divergenceBudget > 0) {
           divSentinels ::= ((name, prior, sentinel()))
-          while (runs < maxRunsDiverged && best > divergenceK * prior) {
+          while (runs < maxRunsDiverged && best > divergenceK * prior &&
+              divergenceBudget > 0) {
             val t = once(recordFailure = false)
             runs += 1
+            divergenceBudget -= 1
             if (t >= 0 && t < best) best = t
           }
         }
