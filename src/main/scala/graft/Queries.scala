@@ -2979,7 +2979,9 @@ object Queries {
     * recomputes every signal relationally (unnest + window) — two
     * entirely different formulations must agree to 6 decimals. */
   def docRepetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    withFixtureDocs(s,
+      t(s, dir, "documents").select("doc_id", "text"),
+      withLang = false)
       .select(col("doc_id"),
         functions.TextAnalysis.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
@@ -6169,7 +6171,7 @@ object Queries {
     "doc_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id, $TokSql AS toks
-         |  FROM documents),
+         |  FROM ${docsWithFixturesSql(false)}),
          |tok AS (
          |  SELECT doc_id, unnest(toks) AS t,
          |         unnest(generate_series(1, len(toks))) AS i,
