@@ -35,8 +35,11 @@ object TextAnalysis {
     * still yields whole-clause "tokens". Matches BERT's CJK heuristic:
     * each ideograph becomes its own token. Kana and Hangul are NOT
     * split (kana words are multi-character; Hangul syllables compose
-    * alphabetically) — their runs stay whole. `\x{...}` escapes parse
-    * identically in Java regex and RE2. */
+    * alphabetically), and neither are Thai/Lao/Khmer — space-free
+    * scripts where per-character splitting is wrong and proper
+    * segmentation is dictionary work out of this engine's scope;
+    * their runs stay whole, the documented residual limitation.
+    * `\x{...}` escapes parse identically in Java regex and RE2. */
   val CjkCharRe =
     "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FA1F}]"
 

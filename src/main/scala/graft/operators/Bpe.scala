@@ -49,14 +49,17 @@ object Bpe {
     * none reachable from any oracle fixture. */
   private[graft] def preTokenize(text: String): Array[String] =
     UTF8String.fromString(text).toLowerCase.toString
-      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      .split(graft.functions.TextAnalysis.TokenRunSplitRe)
+      .filter(_.nonEmpty)
 
   /** Column form of [[preTokenize]] — identical by construction:
     * `lower()` on the default binary collation IS
-    * [[UTF8String.toLowerCase]], and the split pattern is the same
-    * Unicode class. */
+    * [[UTF8String.toLowerCase]], and the split pattern is the SAME
+    * shared constant [[graft.functions.TextAnalysis.TokenRunSplitRe]]
+    * the whole text path (and its oracles) interpolate. */
   private def preTokenizeCol(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+    filter(split(lower(text), graft.functions.TextAnalysis.TokenRunSplitRe),
+      w => length(w) > 0)
 
   /** UTF-8 byte order (codepoint order) — the one string order all
     * three training stages share: Spark's `orderBy` on the histogram
