@@ -259,7 +259,11 @@ object Bench {
     // truncation explicit and `full` points at the complete artifact.
     val budget = 1800
     val slowestFirst = results.filter(_._3 >= 0).sortBy(-_._3)
-    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,$sentinelJson,"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
+    // divergentN in the tail line: the driver's capture window keeps
+    // only this compact object, and "how many entries needed
+    // divergence reruns" is the one-number contamination signal (the
+    // per-entry prior/sentinel detail lives in the full artifact)
+    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"benchRuns":$benchRuns,$sentinelJson,"divergentN":${divSentinels.size},"nQueries":${results.size},"full":${jstr(outFile)},"sf":${jstr(sfDir)},"queries":{"""
     var compactQs = List.empty[String]
     var used = fixedHead.length + 80 // closing braces + omitted fields
     var omitted = 0; var omittedSec = 0.0
