@@ -4576,17 +4576,20 @@ object Queries {
     * ([[Multimodal.flacEncode]] — the sandbox has no independent FLAC
     * encoder, so spec-authored bytes stand in for foreign fixtures,
     * the path the r15 verdict blessed). The fixture family walks the
-    * decoder's whole subset: mono and stereo, CONSTANT frames (every
+    * decoder's whole surface: mono and stereo, CONSTANT frames (every
     * 4th id is a flat signal), VERBATIM frames (modular-arithmetic
-    * PCM the oracle replays relationally), one-in-ten stereo ids
-    * stored LEFT/SIDE (decorrelation must reconstruct the identical
-    * PCM — it shares the oracle row of the independent encoding),
+    * PCM the oracle replays relationally), FIXED orders 1-3 and LPC
+    * frames with Rice-coded residuals (partitioned residual blocks
+    * for some ids, RICE2 parameters whenever the optimizer picks >14,
+    * escape partitions for others), one-in-ten stereo ids stored
+    * LEFT/SIDE (decorrelation must reconstruct the identical PCM),
     * multi-frame streams with a short (<16-sample) legal last block,
     * plus a truncated payload and a bit-rotted frame (CRC-16) that
-    * must yield null stats, not garbage. The oracle regenerates the
-    * PCM from the same closed form and aggregates — decode, CRC
-    * verification, channel reconstruction and interleave order
-    * (position checksum) are all pinned. */
+    * must yield null stats, not garbage. Every encoding mode decodes
+    * to the SAME signal, so ONE oracle covers all of them: DuckDB
+    * regenerates the PCM from the closed form and aggregates —
+    * decode, CRC verification, channel reconstruction and interleave
+    * order (position checksum) are all pinned. */
   def multimodalFlac(s: SparkSession, dir: String): DataFrame = {
     val rows = (0 until 40).map { m =>
       val nCh = if (m % 2 == 0) 2 else 1
@@ -4596,7 +4599,19 @@ object Queries {
         else ((m * 31 + c * 17 + i * 7919) % 65536) - 32768
       }
       val assign = if (nCh == 2 && m % 10 == 6) 8 else nCh - 1
-      val clean = Multimodal.flacEncode(8000, 16, 192, samples, assign)
+      // the subframe machinery rotates with the id: FIXED orders 1-3
+      // and LPC frames (Rice-coded residuals, partitioned for some
+      // ids, escape partitions for others) join the CONSTANT/VERBATIM
+      // family — every compressed path decodes back to the SAME PCM,
+      // so the oracle is identical for all of them
+      val mode = m % 5 match {
+        case 3 => s"fixed${m % 3 + 1}"
+        case 4 => "lpc2"
+        case _ => "auto"
+      }
+      val clean = Multimodal.flacEncode(8000, 16, 192, samples, assign,
+        mode, partOrder = if (m % 8 == 3) 1 else 0,
+        riceEscape = m % 11 == 9)
       val bytes =
         if (m % 13 == 7) clean.dropRight(5) // truncation → null stats
         else if (m % 17 == 11) { // one flipped byte → CRC-16 mismatch

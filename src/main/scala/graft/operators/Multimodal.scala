@@ -3203,15 +3203,16 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // FLAC (subset): real bitstream decode of CONSTANT and VERBATIM
-  // subframes with both CRCs verified, all stereo decorrelation
-  // modes; FIXED/LPC (Rice-coded residual) frames are out of scope
-  // and reject cleanly. Fixtures are authored by [[flacEncode]], a
-  // separate writer derived from the PUBLIC bitstream layout (RFC
-  // 9639 / the flac format spec) — the sandbox has no independent
-  // FLAC encoder (no flac/ffmpeg/sox), so spec-authored bytes are the
-  // foreign-fixture substitute the r15 verdict blessed: the bytes
-  // come from the spec document, not from the decoder under test.
+  // FLAC: real bitstream decode of ALL FOUR subframe types —
+  // CONSTANT, VERBATIM, FIXED (orders 0-4) and LPC (any order) with
+  // partitioned RICE/RICE2 residuals including escape partitions —
+  // both CRCs verified, all stereo decorrelation modes. Fixtures are
+  // authored by [[flacEncode]], a separate writer derived from the
+  // PUBLIC bitstream layout (RFC 9639 / the flac format spec) — the
+  // sandbox has no independent FLAC encoder (no flac/ffmpeg/sox), so
+  // spec-authored bytes are the foreign-fixture substitute the r15
+  // verdict blessed: the bytes come from the spec document, not from
+  // the decoder under test.
   // ---------------------------------------------------------------
 
   /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the FLAC frame-header
@@ -3279,14 +3280,61 @@ object Multimodal {
     }
   }
 
-  /** Decode a FLAC stream whose frames use CONSTANT / VERBATIM
-    * subframes to (channels, sampleRate, bitsPerSample, interleaved
-    * samples). None for anything else: missing magic/STREAMINFO,
-    * FIXED/LPC subframes, either CRC failing, nonzero padding,
-    * truncation, or a decoded sample count that contradicts
-    * STREAMINFO. All four channel assignments decode (independent,
-    * left/side, right/side, mid/side — the side channel carries one
-    * extra bit per the spec). */
+  /** Partitioned RICE/RICE2 residual block into arr[order,
+    * blockSize): 2-bit coding method, 4-bit partition order, then per
+    * partition a 4/5-bit Rice parameter (all-ones = ESCAPE: 5 bits of
+    * raw width, residuals stored as plain signed ints) or unary
+    * quotient + `param` remainder bits, zigzag-folded. False on
+    * malformed structure; truncation surfaces as [[FlacEof]]. */
+  private def flacReadResiduals(r: FlacBitReader, arr: Array[Long],
+                                order: Int, blockSize: Int): Boolean = {
+    val method = r.take(2).toInt
+    if (method > 1) return false
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val pOrder = r.take(4).toInt
+    val parts = 1 << pOrder
+    if (blockSize % parts != 0) return false
+    val perPart = blockSize >> pOrder
+    var p = 0
+    var idx = order
+    while (p < parts) {
+      val n = if (p == 0) perPart - order else perPart
+      if (n < 0) return false
+      val param = r.take(pBits).toInt
+      if (param == escape) {
+        val raw = r.take(5).toInt
+        var i = 0
+        while (i < n) {
+          arr(idx) = if (raw == 0) 0L else r.takeSigned(raw)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          var q = 0L
+          while (r.take(1) == 0) q += 1
+          val u = (q << param) | r.take(param)
+          arr(idx) = (u >>> 1) ^ -(u & 1L) // zigzag unfold
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    idx == blockSize
+  }
+
+  /** Decode a FLAC stream to (channels, sampleRate, bitsPerSample,
+    * interleaved samples). All four subframe types decode — CONSTANT,
+    * VERBATIM, FIXED orders 0-4 (the spec's polynomial predictors)
+    * and LPC of any order (quantized coefficients, 64-bit
+    * accumulation, signed shift) — with partitioned RICE/RICE2
+    * residuals including escape partitions, wasted-bits handling, and
+    * all four channel assignments (independent, left/side,
+    * right/side, mid/side — the side channel carries one extra bit).
+    * None for anything malformed: missing magic/STREAMINFO, either
+    * CRC failing, nonzero padding, reserved codes, truncation, or a
+    * decoded sample count that contradicts STREAMINFO. */
   private[graft] def flacPcm(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Int])] =
     try {
@@ -3401,14 +3449,54 @@ object Multimodal {
           val arr = new Array[Long](blockSize)
           sfType match {
             case 0 =>
-              java.util.Arrays.fill(arr, r.takeSigned(eb) << wasted)
+              java.util.Arrays.fill(arr, r.takeSigned(eb))
             case 1 =>
               var i = 0
-              while (i < blockSize) {
-                arr(i) = r.takeSigned(eb) << wasted
-                i += 1
+              while (i < blockSize) { arr(i) = r.takeSigned(eb); i += 1 }
+            case t if t >= 8 && t <= 12 => // FIXED, order t−8
+              val order = t - 8
+              if (order > blockSize) return None
+              var i = 0
+              while (i < order) { arr(i) = r.takeSigned(eb); i += 1 }
+              if (!flacReadResiduals(r, arr, order, blockSize)) return None
+              // polynomial reconstruction: s[i] = pred(s) + residual
+              var j = order
+              while (j < blockSize) {
+                arr(j) += (order match {
+                  case 0 => 0L
+                  case 1 => arr(j - 1)
+                  case 2 => 2 * arr(j - 1) - arr(j - 2)
+                  case 3 => 3 * arr(j - 1) - 3 * arr(j - 2) + arr(j - 3)
+                  case _ => 4 * arr(j - 1) - 6 * arr(j - 2) +
+                    4 * arr(j - 3) - arr(j - 4)
+                })
+                j += 1
               }
-            case _ => return None // FIXED/LPC: out of this subset
+            case t if t >= 32 => // LPC, order t−31
+              val order = t - 31
+              if (order > blockSize) return None
+              var i = 0
+              while (i < order) { arr(i) = r.takeSigned(eb); i += 1 }
+              val precM1 = r.take(4).toInt
+              if (precM1 == 15) return None // reserved
+              val prec = precM1 + 1
+              val shift = r.takeSigned(5).toInt
+              if (shift < 0) return None // negative shift: spec'd unused
+              val coefs = Array.fill(order)(r.takeSigned(prec))
+              if (!flacReadResiduals(r, arr, order, blockSize)) return None
+              var j = order
+              while (j < blockSize) {
+                var acc = 0L
+                var k = 0
+                while (k < order) { acc += coefs(k) * arr(j - 1 - k); k += 1 }
+                arr(j) += (acc >> shift)
+                j += 1
+              }
+            case _ => return None // reserved subframe types 2-7, 13-31
+          }
+          if (wasted > 0) {
+            var i = 0
+            while (i < blockSize) { arr(i) <<= wasted; i += 1 }
           }
           chans(c) = arr
           c += 1
@@ -3476,21 +3564,104 @@ object Multimodal {
       buf.slice(from, until).toArray
   }
 
-  /** FIXTURE WRITER — a FLAC encoder for the same subset, written
-    * against the public bitstream layout (independent of [[flacPcm]];
-    * see the section comment for why spec-authored bytes stand in for
-    * foreign fixtures here). Each channel's block becomes a CONSTANT
-    * subframe when all its samples are equal, VERBATIM otherwise.
-    * `chAssign`: 0..7 independent (must equal channels−1), or 8/9/10
-    * for left/side, right/side, mid/side over stereo input — the
-    * encoder applies the forward decorrelation, the stream stores the
-    * derived channels. Fixed 16-bit block-size field (code 0b0111) so
-    * any `blockSize` up to 65536 encodes uniformly; sample rate is
-    * carried by STREAMINFO (frame code 0b0000). */
+  /** Rice-encode residuals for samples [order, blockSize) with
+    * 2^`partOrder0` partitions (falling back to one partition when the
+    * block — e.g. the last, partial one — does not divide evenly).
+    * Parameters are chosen per partition by exact cost minimization;
+    * the method escalates RICE→RICE2 when any parameter needs 5 bits.
+    * `escapeLast` stores the final partition raw (escape-coded) to
+    * exercise that spec path. */
+  private def flacWriteResiduals(w: FlacBitWriter, res: Array[Long],
+                                 order: Int, blockSize: Int,
+                                 partOrder0: Int,
+                                 escapeLast: Boolean): Unit = {
+    val pOrder =
+      if (partOrder0 > 0 && blockSize % (1 << partOrder0) == 0 &&
+          (blockSize >> partOrder0) > order) partOrder0
+      else 0
+    val parts = 1 << pOrder
+    val perPart = blockSize >> pOrder
+    def zig(v: Long): Long = if (v >= 0) v << 1 else ((-v) << 1) - 1
+    val bounds = (0 until parts).map { p =>
+      (if (p == 0) 0 else p * perPart - order, (p + 1) * perPart - order)
+    }
+    def bestParam(from: Int, until: Int): Int = {
+      var best = 0; var bestCost = Long.MaxValue
+      var k = 0
+      while (k <= 30) {
+        var cost = 0L; var i = from
+        while (i < until) { cost += (zig(res(i)) >>> k) + 1 + k; i += 1 }
+        if (cost < bestCost) { bestCost = cost; best = k }
+        k += 1
+      }
+      best
+    }
+    val params = bounds.map { case (f, u) => bestParam(f, u) }
+    val rice2 = params.exists(_ > 14)
+    val pBits = if (rice2) 5 else 4
+    val escape = (1 << pBits) - 1
+    w.put(if (rice2) 1L else 0L, 2)
+    w.put(pOrder.toLong, 4)
+    var p = 0
+    while (p < parts) {
+      val (from, until) = bounds(p)
+      if (escapeLast && p == parts - 1) {
+        w.put(escape.toLong, pBits)
+        var raw = 1
+        var i = from
+        while (i < until) { // signed width: bitlength + sign bit
+          val v = res(i)
+          val need = 65 - java.lang.Long.numberOfLeadingZeros(
+            if (v >= 0) v else -(v + 1))
+          if (need.toInt > raw) raw = need.toInt
+          i += 1
+        }
+        require(raw <= 31, s"escape residual needs $raw bits")
+        w.put(raw.toLong, 5)
+        i = from
+        while (i < until) { w.putSigned(res(i), raw); i += 1 }
+      } else {
+        val k = params(p)
+        w.put(k.toLong, pBits)
+        var i = from
+        while (i < until) {
+          val u = zig(res(i))
+          var q = u >>> k
+          while (q > 0) { w.put(0L, 1); q -= 1 }
+          w.put(1L, 1)
+          w.put(u & ((1L << k) - 1), k)
+          i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** FIXTURE WRITER — a FLAC encoder covering the same surface as the
+    * decoder, written against the public bitstream layout
+    * (independent of [[flacPcm]]; see the section comment for why
+    * spec-authored bytes stand in for foreign fixtures here).
+    * `mode` picks the subframe machinery: "auto" emits CONSTANT for a
+    * flat block and VERBATIM otherwise; "fixed0".."fixed4" emit the
+    * polynomial predictors with Rice-coded residuals; "lpc2" emits a
+    * second-order LPC subframe (coefficients [3,−1], shift 1,
+    * precision 4) with Rice-coded residuals. `partOrder` partitions
+    * the residual block (auto-falls back to 0 when indivisible, e.g.
+    * the last partial block); `riceEscape` stores each residual
+    * block's final partition raw. `chAssign`: 0..7 independent (must
+    * equal channels−1), or 8/9/10 for left/side, right/side, mid/side
+    * over stereo input — the encoder applies the forward
+    * decorrelation, the stream stores the derived channels. Fixed
+    * 16-bit block-size field (code 0b0111) so any `blockSize` up to
+    * 65536 encodes uniformly; sample rate is carried by STREAMINFO
+    * (frame code 0b0000). */
   private[graft] def flacEncode(sampleRate: Int, bps: Int,
                                 blockSize: Int,
                                 channels: Array[Array[Int]],
-                                chAssign: Int): Array[Byte] = {
+                                chAssign: Int,
+                                mode: String = "auto",
+                                partOrder: Int = 0,
+                                riceEscape: Boolean = false): Array[Byte] = {
     val nCh = channels.length
     require(nCh >= 1 && nCh <= 8 && channels.forall(_.length == channels(0).length))
     require(if (chAssign <= 7) chAssign == nCh - 1
@@ -3561,10 +3732,53 @@ object Multimodal {
         val blk = stored(c)
         val const = blk.forall(_ == blk(0))
         w.put(0L, 1) // pad
-        w.put(if (const) 0L else 1L, 6)
-        w.put(0L, 1) // no wasted bits
-        if (const) w.putSigned(blk(0), eb)
-        else blk.foreach(v => w.putSigned(v, eb))
+        val emit = mode match {
+          case "auto" => if (const) "constant" else "verbatim"
+          case other => other
+        }
+        emit match {
+          case "constant" =>
+            w.put(0L, 6); w.put(0L, 1)
+            w.putSigned(blk(0), eb)
+          case "verbatim" =>
+            w.put(1L, 6); w.put(0L, 1)
+            blk.foreach(v => w.putSigned(v, eb))
+          case f if f.startsWith("fixed") =>
+            val order = f.stripPrefix("fixed").toInt
+            require(order >= 0 && order <= 4 && order <= blk.length,
+              s"fixed order $order on a ${blk.length}-sample block")
+            w.put((8 + order).toLong, 6); w.put(0L, 1)
+            (0 until order).foreach(i => w.putSigned(blk(i), eb))
+            val res = Array.tabulate(blk.length - order) { ii =>
+              val j = ii + order
+              blk(j) - (order match {
+                case 0 => 0L
+                case 1 => blk(j - 1)
+                case 2 => 2 * blk(j - 1) - blk(j - 2)
+                case 3 => 3 * blk(j - 1) - 3 * blk(j - 2) + blk(j - 3)
+                case _ => 4 * blk(j - 1) - 6 * blk(j - 2) +
+                  4 * blk(j - 3) - blk(j - 4)
+              })
+            }
+            flacWriteResiduals(w, res, order, blk.length, partOrder,
+              riceEscape)
+          case "lpc2" =>
+            require(blk.length >= 2, "lpc2 needs two warmup samples")
+            w.put(33L, 6) // 1ooooo, order = 1 + 1 = 2
+            w.put(0L, 1)
+            w.putSigned(blk(0), eb); w.putSigned(blk(1), eb)
+            w.put(3L, 4) // coefficient precision 4 (field is prec−1)
+            w.putSigned(1L, 5) // shift
+            w.putSigned(3L, 4); w.putSigned(-1L, 4)
+            val res = Array.tabulate(blk.length - 2) { ii =>
+              val j = ii + 2
+              blk(j) - ((3 * blk(j - 1) - blk(j - 2)) >> 1)
+            }
+            flacWriteResiduals(w, res, 2, blk.length, partOrder,
+              riceEscape)
+          case other =>
+            throw new IllegalArgumentException(s"unknown mode $other")
+        }
         c += 1
       }
       w.alignZero()
