@@ -576,29 +576,53 @@ object ScaleSmoke {
         require(err > 0, "monitor read an empty corpus")
         0.0
       }
-      def timeMonitor(emb: String, codes: String): Double = {
-        val t0 = System.nanoTime()
-        monitor(emb, codes)
-        (System.nanoTime() - t0) / 1e9
+      // wall AND summed executor task time: at these corpus sizes the
+      // wall is scheduler/job-overhead floor (sub-second both sides —
+      // its ratio is an upper bound that bounces with session state),
+      // while the task-time sum is the O(corpus·dim) work itself: the
+      // scale claim is task_ratio staying ~linear (≤ Copies + small
+      // per-task overhead), with wall flat because 32 cores absorb it
+      final class TaskSum extends org.apache.spark.scheduler.SparkListener {
+        val total = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          total.addAndGet(t.taskInfo.duration)
+      }
+      def timeMonitor(emb: String, codes: String): (Double, Double) = {
+        val ls = new TaskSum
+        spark.sparkContext.addSparkListener(ls)
+        try {
+          val t0 = System.nanoTime()
+          monitor(emb, codes)
+          val wall = (System.nanoTime() - t0) / 1e9
+          // the listener bus is async: wait for the count to go quiet
+          var prev = -1L; var cur = ls.total.get(); var spins = 0
+          while (cur != prev && spins < 40) {
+            Thread.sleep(50); prev = cur; cur = ls.total.get(); spins += 1
+          }
+          (wall, cur / 1e3)
+        } finally spark.sparkContext.removeSparkListener(ls)
       }
       // untimed warmups, then interleaved min-of-5 (the cold_open_lazy
-      // protocol, two extra pairs): both sides run in the hundreds of
-      // milliseconds where the scheduler/job-overhead floor dominates,
-      // so the ratio is an UPPER bound on the data-dependent term and
-      // needs the deeper min to stabilize
+      // protocol, two extra pairs)
       monitor(s"$srcDir/embeddings.parquet", smallCodes)
       monitor(s"$bigDir/embeddings.parquet", bigCodes)
       val pairsPq = (1 to 5).map { _ =>
         (timeMonitor(s"$srcDir/embeddings.parquet", smallCodes),
           timeMonitor(s"$bigDir/embeddings.parquet", bigCodes)) }
-      val small = pairsPq.map(_._1).min
-      val big = pairsPq.map(_._2).min
+      val small = pairsPq.map(_._1._1).min
+      val big = pairsPq.map(_._2._1).min
+      val taskSmall = pairsPq.map(_._1._2).min
+      val taskBig = pairsPq.map(_._2._2).min
       val r = big / math.max(small, 1e-9)
+      val tr = taskBig / math.max(taskSmall, 1e-9)
       def f2q(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       println(f"[smoke] pq_quant_err_monitor 1x=$small%.2fs 10x=$big%.2fs " +
-        f"ratio=$r%.2f")
+        f"ratio=$r%.2f taskSec=$taskSmall%.2f/$taskBig%.2f taskRatio=$tr%.2f")
       Seq(s"""${jstr("pq_quant_err_monitor")}:{"sf01":$small,"sf1":$big,""" +
-        s""""ratio":${f2q(r)},"copies":$Copies}""")
+        s""""ratio":${f2q(r)},"task_sf01":${f2q(taskSmall)},""" +
+        s""""task_sf1":${f2q(taskBig)},"task_ratio":${f2q(tr)},""" +
+        s""""copies":$Copies}""")
     } else Nil
 
     val json =
