@@ -218,6 +218,7 @@ object Bench {
       "stream_ingest_parity" -> Queries.lastStreamIngestPhases,
       "stream_sink_parity" -> Queries.lastStreamSinkPhases,
       "ann_recall_real" -> Queries.lastAnnRecallPhases,
+      "mv_join_minmax" -> Queries.lastMvJoinMinmaxPhases,
       "embedding_ann_pq" -> Queries.lastAnnPqPhases)
       .filter(_._2.nonEmpty)
     val phases =

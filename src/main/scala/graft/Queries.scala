@@ -46,6 +46,7 @@ object Queries {
     * oracle / LSH probe / Lloyd training / IVF probe each get a
     * number, so the next drift names its phase. */
   @volatile var lastAnnRecallPhases: Seq[(String, Double)] = Nil
+  @volatile var lastMvJoinMinmaxPhases: Seq[(String, Double)] = Nil
 
   /** Phase wall-times of the most recent [[embeddingAnnPq]] run — it
     * runs TWO Lloyd trainings (coarse centroids + PQ codebooks) plus
@@ -1303,11 +1304,15 @@ object Queries {
     * from the logged definition alone — the same dispatch `CALL
     * graft.system.refresh_mv` drives. */
   def mvJoinMinmax(s: SparkSession, dir: String): DataFrame = {
+    lastMvJoinMinmaxPhases = Nil // a throwing run must not report stale phases
+    val phase = new PhaseTimer
     val orders = t(s, dir, "orders")
     val base = scratch("mvjoinminmax", dir)
-    freshDirs(s, base)
-    stagedOrdersMod4(s, dir, s"$base/fact")
-    stagedStarDims(s, dir, base)
+    phase("stage") {
+      freshDirs(s, base)
+      stagedOrdersMod4(s, dir, s"$base/fact")
+      stagedStarDims(s, dir, base)
+    }
     val fact = plans.SnapshotTable(s, s"$base/fact", "o_orderkey",
       partitionCol = Some("o_orderstatus"))
     val cust = plans.SnapshotTable(s, s"$base/customer", "c_custkey")
@@ -1319,26 +1324,31 @@ object Queries {
     val dims = Seq(
       plans.MaterializedAgg.DimSpec(cust, "o_custkey", "c_custkey"),
       plans.MaterializedAgg.DimSpec(nat, "c_nationkey", "n_nationkey"))
-    plans.MaterializedAgg.defineRecomputeJoin(fact, dims, view,
-      Seq("n_name"),
-      Seq("lo_cents" -> "min(CAST(round(o_totalprice * 100) AS BIGINT))",
-        "hi_cents" -> "max(CAST(round(o_totalprice * 100) AS BIGINT))"))
+    phase("define") {
+      plans.MaterializedAgg.defineRecomputeJoin(fact, dims, view,
+        Seq("n_name"),
+        Seq("lo_cents" -> "min(CAST(round(o_totalprice * 100) AS BIGINT))",
+          "hi_cents" -> "max(CAST(round(o_totalprice * 100) AS BIGINT))"))
+    }
     // ONE catch-up span with fact churn AND an SCD dim move — the
     // expansion folds a fact term and a dim-delta term together:
     // price bump + inserts, then delete the TOP-PRICE rows (~20% of
     // the table; every group's max recomputes down), while 1-in-10
     // customers change nation (both old and new groups dirty)
-    fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
-      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
-    fact.delete(col("o_totalprice") >= 400000.0d)
-    cust.upsert(t(s, dir, "customer")
-      .filter(col("c_custkey") % 10 === 0)
-      .select(col("c_custkey"),
-        pmod(col("c_nationkey") + 1, lit(25)).as("c_nationkey")))
-    plans.MaterializedAgg.refreshByDefinition(view)
+    phase("churn") {
+      fact.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1.0d, 2)))
+      fact.delete(col("o_totalprice") >= 400000.0d)
+      cust.upsert(t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          pmod(col("c_nationkey") + 1, lit(25)).as("c_nationkey")))
+    }
+    phase("refresh1") { plans.MaterializedAgg.refreshByDefinition(view) }
     // dim-key delete: nation 7 vanishes; its group empties out
-    nat.delete(col("n_nationkey") === 7)
-    plans.MaterializedAgg.refreshByDefinition(view)
+    phase("dim_delete") { nat.delete(col("n_nationkey") === 7) }
+    phase("refresh2") { plans.MaterializedAgg.refreshByDefinition(view) }
+    lastMvJoinMinmaxPhases = phase.result()
     view.read.select(col("n_name"), col("lo_cents"), col("hi_cents"),
       col(plans.MaterializedAgg.CountCol).as("order_cnt"))
       .orderBy("n_name")
