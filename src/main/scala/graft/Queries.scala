@@ -5272,18 +5272,18 @@ object Queries {
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** DuckDB-side tokens of text expression `e`, identical to
-    * [[graft.functions.TextAnalysis.tokens]]: Han ideographs spaced
-    * out one-per-character, lowercased, split on non-letter/digit
-    * runs, empties dropped. The CJK class and the run-split class are
-    * interpolated from the SAME Scala constants the engine compiles
-    * into its plan — the two engines cannot drift apart silently.
-    * (Both classes live in the Java∩RE2 subset; RE2 `\p{L}\p{N}`
-    * agrees with the JDK 17 tables below the post-Unicode-13
-    * additions, verified per-codepoint in r15.) */
+    * [[graft.functions.TextAnalysis.tokens]]: lowercased, one
+    * extraction pass — single Han ideographs or maximal non-CJK
+    * letter/digit runs. The pattern is interpolated from the SAME
+    * Scala constant the engine compiles into its plan — the two
+    * engines cannot drift apart silently. (The pattern lives in the
+    * Java∩RE2 subset; RE2 `\p{L}\p{N}` agrees with the JDK 17 tables
+    * below the post-Unicode-13 additions, verified per-codepoint in
+    * r15; DuckDB `regexp_extract_all` defaults to group 0 = the whole
+    * match, matching the engine's `regexp_extract_all(..., 0)`.) */
   private def tokSqlOf(e: String): String =
-    s"list_filter(regexp_split_to_array(lower(regexp_replace($e, " +
-      s"'(${functions.TextAnalysis.CjkCharRe})', ' \\1 ', 'g')), " +
-      s"'${functions.TextAnalysis.TokenRunSplitRe}'), x -> x <> '')"
+    s"regexp_extract_all(lower($e), " +
+      s"'${functions.TextAnalysis.TokenExtractRe}')"
 
   private val TokSql = tokSqlOf("text")
 

@@ -30,6 +30,12 @@ object TextAnalysis {
     * codepoints (verified per-codepoint over U+0020..U+2FFFF). */
   val TokenRunSplitRe = "[^\\p{L}\\p{N}]+"
 
+  /** Body (bracket-less) of the Han-ideograph class, so it can embed
+    * both as its own class ([[CjkCharRe]]) and inside the negated
+    * letters-minus-CJK class of [[TokenExtractRe]]. */
+  private val CjkRangesBody =
+    "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FA1F}"
+
   /** Han ideographs (URO + Ext-A + compatibility + the supplementary
     * blocks) — the scripts with no word delimiters where a run split
     * still yields whole-clause "tokens". Matches BERT's CJK heuristic:
@@ -37,27 +43,42 @@ object TextAnalysis {
     * split (kana words are multi-character; Hangul syllables compose
     * alphabetically), and neither are Thai/Lao/Khmer — space-free
     * scripts where per-character splitting is wrong and proper
-    * segmentation is dictionary work out of this engine's scope;
-    * their runs stay whole, the documented residual limitation.
+    * segmentation is dictionary work out of this engine's scope.
+    * (Thai/Lao/Khmer runs do still break at their combining vowel /
+    * tone marks — category Mn, outside `\p{L}\p{N}` — so a clause
+    * yields consonant-cluster fragments, not one whole-clause token;
+    * WebTextSpec pins that residual behavior.)
     * `\x{...}` escapes parse identically in Java regex and RE2. */
-  val CjkCharRe =
-    "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FA1F}]"
+  val CjkCharRe = s"[$CjkRangesBody]"
+
+  /** The ONE-PASS token extraction pattern: a token is either a single
+    * Han ideograph or a maximal run of non-CJK letters/digits. The two
+    * branches have disjoint start sets (the run element class excludes
+    * the CJK ranges), so leftmost-first vs leftmost-longest alternation
+    * semantics cannot diverge between engines. `[^\P{L}…]` = "letter
+    * AND not CJK" — class intersection spelled as a negated union,
+    * because RE2 has no `&&` intersection and no lookahead; everything
+    * here stays in the Java∩RE2 subset (verified per-codepoint parity
+    * in r15, fused-vs-two-pass equality re-verified in r17 on CJK /
+    * Cyrillic / Thai / supplementary-plane fixtures in BOTH engines). */
+  val TokenExtractRe =
+    s"$CjkCharRe|(?:\\p{N}|[^\\P{L}$CjkRangesBody])+"
 
   /** Tokens: lowercase Unicode letter/digit runs, with Han ideographs
-    * split one-per-character first. The former whitespace split scored
-    * a whole CJK sentence as ONE token and glued punctuation onto
-    * words ("end." ≠ "end"); the run split matches what [[Bpe]]'s
-    * trainer already does, so the quality / perplexity / dedup
-    * features and the tokenizer see the same word stream. Lowercasing
-    * is Spark's `lower()` (= `UTF8String.toLowerCase`), which matches
-    * DuckDB `lower()` everywhere but 4 unreachable codepoints. Still
-    * pure codegen'd column algebra — two regex passes and a split, no
-    * UDF, shuffle-free. */
+    * one-per-character. The former whitespace split scored a whole CJK
+    * sentence as ONE token and glued punctuation onto words
+    * ("end." ≠ "end"); the run semantics match what [[Bpe]]'s trainer
+    * does, so the quality / perplexity / dedup features and the
+    * tokenizer see the same word stream. Lowercasing is Spark's
+    * `lower()` (= `UTF8String.toLowerCase`), which matches DuckDB
+    * `lower()` everywhere but 4 unreachable codepoints. ONE regex
+    * extraction pass ([[TokenExtractRe]]) — the r16 two-pass form
+    * (CJK spacer `regexp_replace`, then run `split`, then an empties
+    * filter) scanned and rebuilt every document twice and cost the
+    * tokenization-family bench entries ~2.5 s; same results, pure
+    * codegen'd column algebra, no UDF, shuffle-free. */
   def tokens(text: Column): Column =
-    filter(
-      split(lower(regexp_replace(text, s"($CjkCharRe)", " $1 ")),
-        TokenRunSplitRe),
-      t => length(t) > 0)
+    regexp_extract_all(lower(text), lit(TokenExtractRe), lit(0))
 
   /** Token count under [[tokens]]. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -39,10 +39,13 @@ import org.apache.spark.sql.types._
   * clear, 12-bit cap), global/local palettes, 4-pass de-interlace,
   * and GIF89a ANIMATION composition — placement rects, transparency,
   * all three disposal methods — validated against the JDK's own GIF
-  * writer/reader. FLAC decodes for real within its spec-pinned
-  * subset ([[flacPcm]]: CONSTANT/VERBATIM subframes, both CRCs
-  * verified, all four channel assignments; Rice-coded FIXED/LPC
-  * frames reject cleanly). Compressed video codecs (H.264 etc.) and
+  * writer/reader. FLAC decodes for real across the full bitstream
+  * ([[flacPcm]]: all four subframe types — CONSTANT, VERBATIM,
+  * FIXED orders 0-4, and LPC of any order — with partitioned
+  * Rice/Rice2 residuals including escape partitions, CRC-8 + CRC-16
+  * verified, all four channel assignments); fixtures are
+  * spec-authored by the separate [[flacEncode]] writer (RFC 9639).
+  * Compressed video codecs (H.264 etc.) and
   * MP3 stay out of hand-written scope: `stubDecode*` derive
   * deterministic fake outputs for those bytes, clearly marked below.
   * Everything around the stubs — schema, binary handling,
@@ -3267,8 +3270,12 @@ object Multimodal {
       var v = 0L
       var i = 0
       while (i < n) {
-        val p = pos.toInt
-        v = (v << 1) | ((bytes(p >>> 3) >> (7 - (p & 7))) & 1)
+        // byte index computed in Long then narrowed: pos >>> 3 is
+        // always < bytes.length <= Int.MaxValue, so the narrow is
+        // safe even when the BIT position exceeds Int.MaxValue
+        // (payloads past ~256 MiB).
+        val bIdx = (pos >>> 3).toInt
+        v = (v << 1) | ((bytes(bIdx) >> (7 - (pos & 7).toInt)) & 1)
         pos += 1
         i += 1
       }
@@ -3539,7 +3546,13 @@ object Multimodal {
       if (decoded == 0) return None
       if (siTotal > 0 && decoded != siTotal) return None
       Some((siCh, siRate, siBps, out.toArray))
-    } catch { case FlacEof => None }
+    } catch {
+      case FlacEof => None
+      // never-throw contract shared with the other media decoders: an
+      // undecodable (or adversarial) cell yields null stats, it must
+      // not crash the Spark task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** MSB-first bit accumulator for [[flacEncode]]. */
   private final class FlacBitWriter {
@@ -3653,8 +3666,10 @@ object Multimodal {
     * over stereo input — the encoder applies the forward
     * decorrelation, the stream stores the derived channels. Fixed
     * 16-bit block-size field (code 0b0111) so any `blockSize` up to
-    * 65536 encodes uniformly; sample rate is carried by STREAMINFO
-    * (frame code 0b0000). */
+    * 65535 encodes uniformly (65536 would truncate to 0 in the
+    * 16-bit STREAMINFO min/max block-size fields — an invalid
+    * STREAMINFO for conforming decoders); sample rate is carried by
+    * STREAMINFO (frame code 0b0000). */
   private[graft] def flacEncode(sampleRate: Int, bps: Int,
                                 blockSize: Int,
                                 channels: Array[Array[Int]],
@@ -3666,7 +3681,7 @@ object Multimodal {
     require(nCh >= 1 && nCh <= 8 && channels.forall(_.length == channels(0).length))
     require(if (chAssign <= 7) chAssign == nCh - 1
             else chAssign <= 10 && nCh == 2, "bad channel assignment")
-    require(blockSize >= 16 && blockSize <= 65536)
+    require(blockSize >= 16 && blockSize <= 65535)
     val n = channels(0).length
     val w = new FlacBitWriter
     // fLaC magic + one (last) STREAMINFO metadata block
