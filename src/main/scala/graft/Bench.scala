@@ -219,7 +219,8 @@ object Bench {
       "stream_sink_parity" -> Queries.lastStreamSinkPhases,
       "ann_recall_real" -> Queries.lastAnnRecallPhases,
       "mv_join_minmax" -> Queries.lastMvJoinMinmaxPhases,
-      "embedding_ann_pq" -> Queries.lastAnnPqPhases)
+      "embedding_ann_pq" -> Queries.lastAnnPqPhases,
+      "pq_retrain_trigger" -> Queries.lastPqTriggerPhases)
       .filter(_._2.nonEmpty)
     val phases =
       if (phased.isEmpty) ""

@@ -53,6 +53,13 @@ object Queries {
     * the probe, so a drift must name which of the three moved. */
   @volatile var lastAnnPqPhases: Seq[(String, Double)] = Nil
 
+  /** Phase wall-times of the most recent [[pqRetrainTrigger]] run —
+    * the r15/r16 verdicts flagged this entry's bench weight without a
+    * breakdown; train / monitor / retrain / recall-union each get a
+    * number so "measurement scaffolding vs operator cost" is
+    * adjudicable from the artifact. */
+  @volatile var lastPqTriggerPhases: Seq[(String, Double)] = Nil
+
   /** Shared wall-time accumulator for phase-attributed entries —
     * one definition so the timing convention cannot drift between
     * copies ([[annRecallReal]], [[embeddingAnnPq]]). */
@@ -3851,6 +3858,10 @@ object Queries {
     // blocks before the try begins, and the finally's snapshot-diff
     // must see them as this entry's
     val pinnedBefore = s.sparkContext.getPersistentRDDs.keySet
+    // the corpus is pinned at 500 vectors at EVERY sf (below), so 32
+    // shuffle partitions are pure task/scheduling overhead on each of
+    // the entry's ~15 tiny actions — size the shuffles to the fixture
+    withShufflePartitions(s, 8) {
     // a FIXED 500-vector corpus at every sf: the entry tests the
     // TRIGGER mechanics (monitor, gate, restore), which are corpus-
     // size-free; PQ's scale coverage lives in embedding_ann_pq /
@@ -3858,20 +3869,22 @@ object Queries {
     // fixes the recall-gate margins to the measured sf0.001 point.
     val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
       .filter(col("vec_id") < 500)
+    lastPqTriggerPhases = Nil // no stale phases from a throwing run
+    val ph = new PhaseTimer
     // ONE Lloyd iteration on both trainings: the trigger mechanics are
     // under test here, not codebook quality (embedding_ann_pq owns
     // that); the recall gate's margins were measured at iters=1
-    val cb = Similarity.pqTrainCodebooks(corpus, m = 8, ksub = 16,
-      iters = 1)
+    val cb = ph("train_base")(Similarity.pqTrainCodebooks(corpus, m = 8,
+      ksub = 16, iters = 1))
     // localCheckpoint the CODE tables (not the training bases): the
     // encode expression carries the full codebook literal — without
     // plan truncation every downstream action re-analyzes and
     // re-codegens that tree (measured 10s of overhead across the
     // recall evaluations)
-    val codes = corpus.select(col("vec_id"),
+    val codes = ph("encode_checkpoint")(corpus.select(col("vec_id"),
       Similarity.pqEncodeCol(col("embedding"), cb).as("codes"))
-      .localCheckpoint()
-    val baseErr = Similarity.pqQuantErr(corpus, codes, cb)
+      .localCheckpoint())
+    val baseErr = ph("base_err")(Similarity.pqQuantErr(corpus, codes, cb))
     val recallGate = 0.4
     // Every block this entry pins (persist + localCheckpoint) is
     // dropped in the finally: a bench session runs entries back to
@@ -3913,18 +3926,27 @@ object Queries {
           d.select(lit(n).as("scenario"), col("vec_id"), col("codes"))
         }.reduce(_ unionByName _)
         val cbOf = scs.map { case (n, _, _, b) => n -> b }.toMap
+        // ONE action for both the per-scenario corpus sizes (candidate
+        // pool sizing) and the query vectors: r16 ran these as two
+        // separate collects and each tiny-data action here is plan
+        // compile + scheduling cost, not compute
+        val meta = cor.groupBy("scenario").agg(
+          count(lit(1)).as("n"),
+          array_sort(collect_list(when(col("vec_id") < nQueries,
+            struct(col("vec_id"), col("embedding"))))).as("qs")).collect()
         // per-scenario candidate pool from that scenario's corpus size
-        val pools = cor.groupBy("scenario").count().collect()
-          .map(r => r.getString(0) ->
-            math.max(60, (r.getLong(1) * 3 / 25).toInt)).toMap
-        val qRows = cor.filter(col("vec_id") < nQueries).collect()
+        val pools = meta.map(r => r.getString(0) ->
+          math.max(60, (r.getLong(1) * 3 / 25).toInt)).toMap
+        val qRows = meta.flatMap { r =>
+          r.getSeq[org.apache.spark.sql.Row](2).map(q =>
+            (r.getString(0), q.getLong(0), q.getSeq[Float](1)))
+        }
         scs.foreach { case (n, _, _, _) =>
-          require(qRows.count(_.getString(0) == n) == nQueries,
+          require(qRows.count(_._1 == n) == nQueries,
             s"expected $nQueries queries in scenario $n") }
-        val qs = broadcast(qRows.toSeq.map { r =>
-          val n = r.getString(0)
+        val qs = broadcast(qRows.toSeq.map { case (n, qid, qseq) =>
           val b = cbOf(n)
-          val qv = r.getSeq[Float](2).toArray
+          val qv = qseq.toArray
           val lut = Array.tabulate(m * ksub) { i =>
             val sub = i / ksub; val c = i % ksub
             var d = 0.0; var j = 0
@@ -3934,7 +3956,7 @@ object Queries {
             }
             d
           }
-          (n, r.getLong(1), qv.toSeq, lut.toSeq, pools(n))
+          (n, qid, qv.toSeq, lut.toSeq, pools(n))
         }.toDF("scenario", "query_id", "qvec", "lut", "pool"))
         val dot = (a: Column, c: Column) =>
           aggregate(zip_with(a, c,
@@ -3976,9 +3998,9 @@ object Queries {
       val stableCorpus = corpus.unionByName(stableDelta)
       val stableCodes = Similarity.pqRefresh(codes, cb, stableDelta,
         corpus.select("vec_id").limit(0))
-      val (stCodes, stCb, retrainedStable, _) =
+      val (stCodes, stCb, retrainedStable, _) = ph("stable_trigger")(
         Similarity.pqMaybeRetrain(stableCorpus, stableCodes, cb, baseErr,
-          iters = 1)
+          iters = 1))
       // drift: the whole corpus TRANSLATES by +2 per element — the
       // codebooks' training region no longer contains the data
       // persist, not localCheckpoint: the retrain runs Lloyd over this
@@ -3989,11 +4011,12 @@ object Queries {
           x => (x + lit(2.0f)).cast("float")).as("embedding"))
         .persist()
       pinnedFrames ::= folded
-      val frozenDriftCodes = Similarity.pqRefresh(codes, cb, folded,
-        corpus.select("vec_id")).localCheckpoint()
-      val (drCodes, drCb, retrainedDrift, _) =
+      val frozenDriftCodes = ph("drift_prep")(
+        Similarity.pqRefresh(codes, cb, folded,
+          corpus.select("vec_id")).localCheckpoint())
+      val (drCodes, drCb, retrainedDrift, _) = ph("drift_trigger")(
         Similarity.pqMaybeRetrain(folded, frozenDriftCodes, cb, baseErr,
-          iters = 1)
+          iters = 1))
       // the no-retrain path passes codes/codebooks through UNTOUCHED
       // (spec-pinned reference identity), so the stable scenario's
       // frozen recall IS its post-trigger recall — the fourth
@@ -4005,7 +4028,8 @@ object Queries {
           (if (retrainedStable)
              Seq(("stable_frozen", stableCorpus, stableCodes, cb))
            else Nil)
-      val recalls = adcRecallMulti(scenarios)
+      val recalls = ph("recall_union")(adcRecallMulti(scenarios))
+      lastPqTriggerPhases = ph.result()
       val stableRecall = recalls("stable")
       val stableFrozenRecall =
         if (!retrainedStable) stableRecall else recalls("stable_frozen")
@@ -4024,6 +4048,7 @@ object Queries {
       (now.keySet -- pinnedBefore).foreach(id =>
         now.get(id).foreach(_.unpersist(blocking = false)))
     }
+    } // withShufflePartitions
   }
 
   /** Salted skewed equi-join + aggregate: result must be identical to
