@@ -138,7 +138,19 @@ object Bench {
     var divergenceBudget = 24
     var divSentinels = List.empty[(String, Double, Double)] // name, prior, sentinel
     val sentinelStart = sentinel()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // sentinelTrace (r16 verdict ask #5): the start/end sentinel pair
+    // proves a host-load window EXISTED but not which entries it
+    // covered (r16's broad 1.24x-median inflation was unattributable
+    // entry-by-entry). Sampling the same sub-second sentinel every
+    // ~decile of the sweep makes a contaminated window attributable to
+    // the entries measured inside it — ~10 extra sub-second runs,
+    // untimed with respect to the total.
+    var sentinelTrace = List.empty[(Int, String, Double)] // idx, next entry, sec
+    val sentinelEvery = math.max(1, selected.size / 10)
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), entryIdx) =>
+      if (entryIdx > 0 && entryIdx % sentinelEvery == 0)
+        sentinelTrace ::= ((entryIdx, name, sentinel()))
       def once(recordFailure: Boolean): Double = {
         val t0 = System.nanoTime()
         try {
@@ -163,14 +175,16 @@ object Bench {
       val first = once(recordFailure = true)
       var best = first
       var runs = 1
-      while (best >= 0 && runs < benchRuns && first < rerunCutoffSec) {
+      // r17: a cold-inflated first run used to earn only ONE extra run
+      // (r16 driver: pipeline_e2e first 25.2s -> second 19.1s FROZEN,
+      // both carrying costs the committed 7.7s min-of-3 never sees).
+      // An entry whose committed prior is under the cutoff (or which
+      // has no prior) now gets its full min-of-N regardless of the
+      // first run — only true heavyweights (prior >= cutoff) stay
+      // single-run.
+      while (best >= 0 && runs < benchRuns &&
+          (first < rerunCutoffSec || coldRerunEligible(name))) {
         val t = once(recordFailure = false) // a flaky re-run keeps run 1's time
-        runs += 1
-        if (t >= 0 && t < best) best = t
-      }
-      // one extra chance for a cold-inflated first run (see above)
-      if (best >= rerunCutoffSec && runs == 1 && coldRerunEligible(name)) {
-        val t = once(recordFailure = false)
         runs += 1
         if (t >= 0 && t < best) best = t
       }
@@ -230,6 +244,12 @@ object Bench {
       }.mkString(""","phases":{""", ",", "}")
     val sentinelJson =
       s""""sentinel":{"start":${f2(sentinelStart)},"end":${f2(sentinelEnd)}}"""
+    // per-decile sentinel samples, sweep order: `i` = how many entries
+    // (alphabetical) had completed when the sample ran, `at` = the
+    // entry about to run
+    val sentinelTraceJson = sentinelTrace.reverse.map { case (i, n, sv) =>
+      s"""{"i":$i,"at":${jstr(n)},"sec":${f2(sv)}}"""
+    }.mkString(""","sentinelTrace":[""", ",", "]")
     // entries that triggered divergence reruns, with the prior best
     // they diverged from and the sentinel timed INSIDE the divergence
     // window — a sentinel well above its cross-round norm attributes
@@ -239,7 +259,7 @@ object Bench {
       else divSentinels.reverse.map { case (n, p, sv) =>
         s"${jstr(n)}:{" + s""""prior":${f2(p)},"sentinel":${f2(sv)}}"""
       }.mkString(""","divergent":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,$sentinelJson$divergentJson,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"benchRuns":$benchRuns,$sentinelJson$sentinelTraceJson$divergentJson,"runCounts":$runCounts,"firstRuns":$firstRuns$phases,"sf":${jstr(sfDir)}}"""
     // Full JSON first: if a capture window keeps the HEAD of the output
     // this line is complete there.
     println(json)
