@@ -115,4 +115,64 @@ class WebTextSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).select("n_bigrams").head().getLong(0)
     assert(nb == 15L, s"expected 15 char bigrams, got $nb")
   }
+
+  test("Thai/Lao/Khmer: the residual limitation is PINNED behavior — " +
+      "runs break at combining marks, digits extract, perplexity is " +
+      "finite, dedup keys on fingerprints not tokens") {
+    // Space-free alphabetic scripts get no dictionary segmentation
+    // (documented scope line, TextAnalysis.CjkCharRe doc): their
+    // letter runs stay whole EXCEPT where combining vowel/tone marks
+    // (category Mn/Mc, outside \p{L}\p{N}) break them — so a Thai
+    // clause yields consonant-cluster fragments, not one whole-clause
+    // token and not per-character tokens. These cases freeze that
+    // contract; a change (e.g. adopting segmentation) must touch this
+    // spec AND the oracle constant together.
+    val docs = Seq(
+      (1L, "สวัสดีครับ"),
+      (2L, "ໞາສາລາວ"), // Lao: vowels are Lo
+      (3L, "ភាសាខ្មែរ"),
+      (4L, "วันที่ 25 " +
+        "ธันวาคม 2567") // Thai date
+    ).toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // Thai: sara/mai marks (U+0E31, U+0E35) are Mn — runs break there
+    assert(toks(1L) == Seq("สว", "สด", "คร",
+      "บ"), s"got ${toks(1L)}")
+    // Lao vowel signs in this word are SPACING letters (Lo) — the run
+    // stays whole: one word, one token
+    assert(toks(2L) == Seq("ໞາສາລາວ"),
+      s"got ${toks(2L)}")
+    // Khmer: vowel signs (Mc) and coeng (Mn) drop as delimiters,
+    // leaving base consonants
+    assert(toks(3L) == Seq("ភ", "ស", "ខ", "ម",
+      "រ"), s"got ${toks(3L)}")
+    // digits always extract intact regardless of surrounding script
+    assert(toks(4L).contains("25") && toks(4L).contains("2567"),
+      s"got ${toks(4L)}")
+    // perplexity stays FINITE on the multi-token Thai docs (the
+    // fragments are real bigram events, not one degenerate
+    // whole-clause token); the single-token Lao doc has no bigrams
+    // and reports the documented null
+    val ppl = graft.operators.NgramLm.selfPerplexity(docs)
+      .select("doc_id", "n_bigrams", "ppl").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None
+        else Some(r.getDouble(2))))).toMap
+    for (id <- Seq(1L, 3L, 4L)) {
+      val (nb, p) = ppl(id)
+      assert(nb >= 1L && p.exists(v => !v.isNaN && !v.isInfinite &&
+        v >= 1.0), s"doc $id degenerate: n_bigrams=$nb ppl=$p")
+    }
+    assert(ppl(2L)._1 == 0L, s"Lao single-token doc: ${ppl(2L)}")
+    // near-dup fingerprints key on the NORMALIZED TEXT (shingle
+    // hashes), not on segmentation quality: two byte-identical Thai
+    // docs collide exactly, a one-codepoint edit does not
+    val a = "สวัสดี โลก"
+    val fp = Seq((1L, a), (2L, a), (3L, a + "ๆ"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(TextAnalysis.normalize(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
 }
