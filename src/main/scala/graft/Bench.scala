@@ -234,7 +234,8 @@ object Bench {
       "ann_recall_real" -> Queries.lastAnnRecallPhases,
       "mv_join_minmax" -> Queries.lastMvJoinMinmaxPhases,
       "embedding_ann_pq" -> Queries.lastAnnPqPhases,
-      "pq_retrain_trigger" -> Queries.lastPqTriggerPhases)
+      "pq_retrain_trigger" -> Queries.lastPqTriggerPhases,
+      "snapshot_compact" -> Queries.lastCompactStats)
       .filter(_._2.nonEmpty)
     val phases =
       if (phased.isEmpty) ""
