@@ -2138,7 +2138,11 @@ object Queries {
     Seq("products", "orders", "order_items").foreach { n =>
       val src = new org.apache.hadoop.fs.Path(s"$base/staged/$n")
       val dst = new org.apache.hadoop.fs.Path(s"$base/raw/$n")
-      val linked = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] && {
+      // scheme check, not an instanceof: the gate sessions mount
+      // file:// as RawLocalFileSystem (no .crc siblings), which is NOT
+      // a LocalFileSystem subclass — an instanceof test silently fell
+      // back to the byte copy exactly where the link matters
+      val linked = "file" == fs.getUri.getScheme && {
         try {
           val srcDir = java.nio.file.Paths.get(
             fs.makeQualified(src).toUri.getPath)
