@@ -3260,28 +3260,41 @@ object Queries {
     * streamed == batch, one shared oracle. */
   def streamCurationParity(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("stream_cur", dir)
-    freshDirs(s, base)
     val docs = t(s, dir, "documents")
       .select("doc_id", "text", "source", "n_chars")
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val slice = maxId / 4 + 1
-    val landing = s"$base/landing"
-    (0 to 3).foreach { b =>
-      docs.filter(col("doc_id") >= b * slice && col("doc_id") < (b + 1) * slice)
-        .coalesce(1).write.parquet(s"$landing/b$b")
-      // FileStreamSource orders files by MODIFICATION TIME; four tiny
-      // sequential writes can land on one mtime tick (coarse-granularity
-      // filesystems), which would make the batch order — and with it the
-      // first-seen == min-id invariant the parity rests on —
-      // nondeterministic. Pin strictly increasing mtimes per slice.
-      val dir0 = java.nio.file.Paths.get(s"$landing/b$b")
-      val t0 = java.nio.file.attribute.FileTime.fromMillis(
-        1600000000000L + b * 60000L)
-      java.nio.file.Files.walk(dir0).forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p))
-          java.nio.file.Files.setLastModifiedTime(p, t0)
+    // the landing slices are a pure function of the testdata: stage
+    // them ONCE per sf outside the per-run dir (the streaming source
+    // only READS them; the checkpoint is per-run) — r16 re-derived and
+    // re-wrote them inside every timed run
+    val landing = s"${sys.props("java.io.tmpdir")}/graft_scratch/" +
+      s"_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/stream_cur_landing"
+    staged(s, landing) {
+      freshDirs(s, landing)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val slice = maxId / 4 + 1
+      (0 to 3).foreach { b =>
+        docs.filter(col("doc_id") >= b * slice &&
+            col("doc_id") < (b + 1) * slice)
+          .coalesce(1).write.parquet(s"$landing/b$b")
+        // FileStreamSource orders files by MODIFICATION TIME; four tiny
+        // sequential writes can land on one mtime tick (coarse-granularity
+        // filesystems), which would make the batch order — and with it the
+        // first-seen == min-id invariant the parity rests on —
+        // nondeterministic. Pin strictly increasing mtimes per slice.
+        val dir0 = java.nio.file.Paths.get(s"$landing/b$b")
+        val t0 = java.nio.file.attribute.FileTime.fromMillis(
+          1600000000000L + b * 60000L)
+        java.nio.file.Files.walk(dir0).forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            java.nio.file.Files.setLastModifiedTime(p, t0)
+        }
       }
+      val lfs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      lfs.create(new org.apache.hadoop.fs.Path(s"$landing/_SUCCESS"), true)
+        .close()
     }
+    freshDirs(s, base)
     val table = plans.SnapshotTable(s, s"$base/table", "fp")
     var created = false
     // 8 shuffle partitions for the whole drain: each micro-batch's
