@@ -3927,10 +3927,17 @@ object Queries {
     // 0.05 budget (retrained=false, contradicting the oracle's pinned
     // grid) while sf0.01 sat comfortably outside. Pinning the corpus
     // pins the margins to the measured 500-vector point at every sf.
+    // plain scan, not localCheckpoint: an RDD-backed base knocks the
+    // Lloyd trainings out of the columnar/codegen path (~3x, measured
+    // on the ann_recall harness), and with the grid fixed the DRIFT
+    // path now genuinely retrains — i.e. trains TWICE per run
     val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
       .filter(col("vec_id") < 500)
-      .localCheckpoint()
-    val cents = Similarity.trainCentroids(corpus, nCentroids = 16)
+    // ONE Lloyd iteration on both trainings (the pq_retrain_trigger
+    // recipe): trigger mechanics are under test, not centroid quality,
+    // and the grid margins below were re-measured at iters=1
+    val cents = Similarity.trainCentroids(corpus, nCentroids = 16,
+      iters = 1)
     val index = Similarity.ivfAssign(corpus, cents).localCheckpoint()
     val baseline = Similarity.ivfFit(index, cents)
     // stable: a same-distribution delta (re-inserted vectors, fresh ids)
@@ -3940,7 +3947,7 @@ object Queries {
       corpus.select("vec_id").limit(0))
     val (_, _, retrainedStable, fitStable) =
       Similarity.ivfMaybeRetrain(stableIdx, cents, baseline,
-        maxFitDrop = 0.05, nCentroids = 16)
+        maxFitDrop = 0.05, nCentroids = 16, trainIters = 1)
     // drift: the whole corpus replaced by its positive-orthant fold —
     // strongly asymmetric vs the training distribution
     val folded = corpus.select(col("vec_id"),
@@ -3949,7 +3956,7 @@ object Queries {
       corpus.select("vec_id"))
     val (_, _, retrainedDrift, fitDrift) =
       Similarity.ivfMaybeRetrain(driftIdx, cents, baseline,
-        maxFitDrop = 0.05, nCentroids = 16)
+        maxFitDrop = 0.05, nCentroids = 16, trainIters = 1)
     Seq(
       ("drift", retrainedDrift, fitDrift >= baseline - 0.05),
       ("stable", retrainedStable, fitStable >= baseline - 0.05))
