@@ -181,8 +181,15 @@ object Bench {
       // An entry whose committed prior is under the cutoff (or which
       // has no prior) now gets its full min-of-N regardless of the
       // first run — only true heavyweights (prior >= cutoff) stay
-      // single-run.
-      while (best >= 0 && runs < benchRuns &&
+      // single-run. r18 refinement: when there is NO prior artifact at
+      // all (fresh checkout), a first run >= the cutoff is evidence of
+      // a genuine heavyweight, not cold-start — cap those at 2 runs so
+      // a fresh-checkout sweep doesn't triple its wall on, e.g., a 30s
+      // pipeline_e2e first measurement.
+      val rerunCap =
+        if (first >= rerunCutoffSec && priorBest.isEmpty) math.min(2, benchRuns)
+        else benchRuns
+      while (best >= 0 && runs < rerunCap &&
           (first < rerunCutoffSec || coldRerunEligible(name))) {
         val t = once(recordFailure = false) // a flaky re-run keeps run 1's time
         runs += 1

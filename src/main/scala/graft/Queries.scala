@@ -2158,13 +2158,20 @@ object Queries {
           val dstDir = java.nio.file.Paths.get(
             fs.makeQualified(dst).toUri.getPath)
           java.nio.file.Files.createDirectories(dstDir)
-          val it = java.nio.file.Files.list(srcDir).iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (java.nio.file.Files.isRegularFile(f))
+          val stream = java.nio.file.Files.list(srcDir)
+          try {
+            val it = stream.iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              // anything non-regular (a nested dir) means the flat
+              // link would silently drop data — bail to the recursive
+              // copy instead of reporting a partial stage as linked
+              if (!java.nio.file.Files.isRegularFile(f))
+                throw new java.io.IOException(s"non-regular entry $f")
               java.nio.file.Files.createLink(
                 dstDir.resolve(f.getFileName), f)
-          }
+            }
+          } finally stream.close()
           true
         } catch { case scala.util.control.NonFatal(_) =>
           fs.delete(dst, true); false }

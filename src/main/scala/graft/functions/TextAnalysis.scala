@@ -60,7 +60,15 @@ object TextAnalysis {
     * because RE2 has no `&&` intersection and no lookahead; everything
     * here stays in the Java∩RE2 subset (verified per-codepoint parity
     * in r15, fused-vs-two-pass equality re-verified in r17 on CJK /
-    * Cyrillic / Thai / supplementary-plane fixtures in BOTH engines). */
+    * Cyrillic / Thai / supplementary-plane fixtures in BOTH engines).
+    *
+    * Known residual vs the r16 two-pass form: the CJK branch matches
+    * by RANGE, so unassigned/non-letter codepoints inside the CJK
+    * blocks (e.g. U+2A6F5 in the Ext-B gap, U+FADA past the last
+    * compat ideograph) extract as single-char tokens here where the
+    * two-pass form (whose run split required `\p{L}\p{N}`) dropped
+    * them. Engine and oracle share this constant, so parity holds
+    * either way; real corpora don't contain unassigned codepoints. */
   val TokenExtractRe =
     s"$CjkCharRe|(?:\\p{N}|[^\\P{L}$CjkRangesBody])+"
 

@@ -25,18 +25,30 @@ import graft.functions.TextAnalysis
   * codegen-friendly. */
 object NgramLm {
 
-  /** (id, w1, w2) bigram rows of each document — one narrow explode. */
-  private def docBigrams(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame = {
-    val ts = TextAnalysis.tokens(col(textCol))
+  /** (id, w1, w2) bigram rows from an ALREADY-TOKENIZED (id, ts)
+    * frame — one narrow explode, no re-tokenization. */
+  private def tokBigrams(tok: DataFrame, idCol: String): DataFrame = {
+    val ts = col("__ts")
     val n = size(ts)
     val pairs = when(n >= 2,
       zip_with(slice(ts, lit(1), n - 1), slice(ts, lit(2), n - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(col(idCol), explode(pairs).as("bg"))
+    tok.select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
+
+  /** (id, __ts) tokenized projection — the ONE regex pass over the
+    * corpus; every downstream stage derives from this frame. */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__ts"))
+
+  /** (id, w1, w2) bigram rows of each document — one narrow explode. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    tokBigrams(tokenized(docs, idCol, textCol), idCol)
 
   /** The trained model: history counts c(w1·), pair counts c(w1,w2),
     * and the vocabulary size V — the first two stay DataFrames (at
@@ -47,8 +59,12 @@ object NgramLm {
   def trainBigram(train: DataFrame, textCol: String,
                   idCol: String = "doc_id"): BigramModel = {
     val big = docBigrams(train, idCol, textCol)
-    val hist = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // ONE shuffle of the raw bigram explode: c(w1·) = Σ_w2 c(w1,w2)
+    // exactly (every w1-as-left occurrence is in exactly one pair
+    // group), so histories re-aggregate the already-reduced pair
+    // table instead of shuffling the raw bigrams a second time
     val pairs = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = pairs.groupBy("w1").agg(sum("c12").as("c1"))
     val v = train.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .agg(count_distinct(col("w"))).head().getLong(0)
@@ -63,8 +79,9 @@ object NgramLm {
     * scores (no bigrams to score — a 0 would fake a perfect model). */
   def scorePerplexity(model: BigramModel, docs: DataFrame,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val big = docBigrams(docs, idCol, textCol)
+                      textCol: String = "text",
+                      preBigrams: Option[DataFrame] = None): DataFrame = {
+    val big = preBigrams.getOrElse(docBigrams(docs, idCol, textCol))
     val nll = big
       .join(model.histories, Seq("w1"), "left")
       .join(model.pairs, Seq("w1", "w2"), "left")
@@ -83,8 +100,39 @@ object NgramLm {
   /** Self-scoring: every document scored under the model trained on
     * the whole corpus — the standard filtering setup (a document that
     * is unlike the corpus that contains it is exactly the outlier the
-    * filter wants). */
+    * filter wants).
+    *
+    * Fused single-tokenization path (r18): the generic
+    * train-then-score composition regex-tokenized the corpus THREE
+    * times (training bigrams, vocabulary count, scoring bigrams) and
+    * shuffled the raw bigram explode twice — at sf0.1 that was over
+    * half the entry's wall. Here the tokenized (id, tokens) frame is
+    * persisted once and every stage — vocabulary, pair counts,
+    * histories (re-aggregated from pairs), scoring bigrams — derives
+    * from it; the model tables and arithmetic are unchanged, so the
+    * scores are identical to the generic path (NgramLmSpec pins both
+    * against the same hand-computed fixture). The persist is the
+    * scale-honest design too: a multi-pass algorithm over a 100 TB
+    * corpus wants the token stream materialized once
+    * (MEMORY_AND_DISK spills, never recomputes the regex), then
+    * released. */
   def selfPerplexity(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame =
-    scorePerplexity(trainBigram(docs, textCol, idCol), docs, idCol, textCol)
+                     textCol: String = "text"): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol).persist()
+    try {
+      val big = tokBigrams(tok, idCol)
+      val pairs = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val hist = pairs.groupBy("w1").agg(sum("c12").as("c1"))
+      // the vocabulary count is the forcing action: it populates the
+      // token cache every later stage reads
+      val v = tok.select(explode(col("__ts")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(count_distinct(col("w"))).head().getLong(0)
+      val result =
+        scorePerplexity(BigramModel(hist, pairs, v), docs, idCol, textCol,
+          preBigrams = Some(big))
+      // eager: the scoring joins must run while the token cache is live
+      result.localCheckpoint(eager = true)
+    } finally tok.unpersist()
+  }
 }

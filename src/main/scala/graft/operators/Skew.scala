@@ -66,39 +66,102 @@ object Skew {
     * key column only — one narrow partial-agg job, O(sample) — and is
     * deliberately coarse: the decision needs the hot share's ORDER,
     * not its third digit. */
-  def chooseSalts(big: DataFrame, key: String,
-                  sampleFraction: Double = 0.01,
-                  targetOver: Double = 2.0,
-                  maxSalts: Int = 64): Int = {
+  /** Sampled skew of `big`'s key column: (hot key's row share,
+    * estimated total rows). One narrow partial-agg job over a
+    * `sampleFraction` sample; fixed seed because the result picks the
+    * PHYSICAL PLAN and an unseeded sample near a decision boundary
+    * would flip plans (and their timings) run to run. */
+  def sampleSkew(big: DataFrame, key: String,
+                 sampleFraction: Double = 0.01): (Double, Long) = {
     require(sampleFraction > 0 && sampleFraction <= 1, "bad fraction")
-    val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // fixed seed: the chosen salt count picks the PHYSICAL PLAN, and
-    // an unseeded sample near a decision boundary would flip plans
-    // (and their timings) run to run — min-of-N measurements must
-    // compare the same plan
     val top = big.select(col(key))
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
       .head()
-    if (top.isNullAt(0) || top.getLong(1) == 0L) 1
+    if (top.isNullAt(0) || top.getLong(1) == 0L) (0.0, 0L)
+    else (top.getLong(0).toDouble / top.getLong(1).toDouble,
+      (top.getLong(1) / sampleFraction).toLong)
+  }
+
+  private def saltsFor(spark: org.apache.spark.sql.SparkSession,
+                       hotShare: Double, targetOver: Double,
+                       maxSalts: Int): Int = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val over = hotShare * parts
+    if (over <= targetOver) 1
+    else math.min(maxSalts, math.ceil(over / targetOver).toInt)
+  }
+
+  def chooseSalts(big: DataFrame, key: String,
+                  sampleFraction: Double = 0.01,
+                  targetOver: Double = 2.0,
+                  maxSalts: Int = 64): Int = {
+    val (hotShare, _) = sampleSkew(big, key, sampleFraction)
+    saltsFor(big.sparkSession, hotShare, targetOver, maxSalts)
+  }
+
+  /** Would AQE's runtime skew-join split handle this skew under the
+    * SESSION'S CURRENT thresholds? AQE splits a sort-merge join's
+    * skewed partition when its shuffle size ≥ max(threshold,
+    * factor × median) — when that fires it beats explicit salting
+    * (it slices the one hot partition at zero replication tax; the
+    * r17 scale smoke measured forced-AQE max task 2.96 s vs salted
+    * 4.73 s on identical inputs). When it does NOT fire — the default
+    * 256 MB threshold vs an 80 MB-wire hot partition in that same
+    * smoke — the unsalted straggler runs 2× the salted one, and
+    * explicit salting is the only fix. So the decision needs the hot
+    * partition's WIRE size under the session's thresholds.
+    *
+    * The estimate: sampled rows × the join projection's default row
+    * width / 4 (row-shuffle lz4 compression, measured ≈4× on packed
+    * numeric rows — within 10% of the smoke's observed 80 MB). The
+    * deferral demands a 2× margin over the threshold because the two
+    * mispredictions are asymmetric: deferring when AQE then does not
+    * fire re-inherits the full straggler; salting when AQE would have
+    * fired only pays the bounded replication tax. */
+  def aqeCoversJoinSkew(big: DataFrame, hotShare: Double,
+                        estRows: Long): Boolean = {
+    val conf = big.sparkSession.conf
+    def bytesConf(k: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.get(k, dflt))
+    val enabled =
+      conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    if (!enabled || hotShare <= 0 || estRows <= 0) false
     else {
-      val hotShare = top.getLong(0).toDouble / top.getLong(1).toDouble
-      val over = hotShare * parts
-      if (over <= targetOver) 1
-      else math.min(maxSalts, math.ceil(over / targetOver).toInt)
+      val threshold = bytesConf(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256MB")
+      val factor = conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0").toDouble
+      val parts = conf.get("spark.sql.shuffle.partitions").toInt
+      val rowBytes = big.schema.defaultSize.toDouble / 4
+      val hotWire = hotShare * estRows * rowBytes
+      val medianWire = (1.0 - hotShare) * estRows * rowBytes / parts
+      hotWire >= 2.0 * threshold && hotWire >= factor * medianWire
     }
   }
 
-  /** [[chooseSalts]] + [[saltedEquiJoin]]: salt only as hard as the
-    * sampled skew warrants, falling through to the plain equi-join
-    * below the break-even. */
+  /** [[chooseSalts]] + [[saltedEquiJoin]], AQE-aware: salt only as
+    * hard as the sampled skew warrants, falling through to the plain
+    * equi-join when the skew is near-balanced OR when the session's
+    * AQE skew-join thresholds will demonstrably split it at runtime
+    * ([[aqeCoversJoinSkew]] — the r18 re-adjudication: AQE's split is
+    * strictly cheaper than salting WHEN IT FIRES, and explicit
+    * salting's regime is the sub-threshold logical skew AQE's byte
+    * heuristics miss). */
   def saltedEquiJoinAuto(big: DataFrame, small: DataFrame, key: String,
                          sampleFraction: Double = 0.01,
                          targetOver: Double = 2.0,
-                         maxSalts: Int = 64): DataFrame =
-    saltedEquiJoin(big, small, key,
-      chooseSalts(big, key, sampleFraction, targetOver, maxSalts))
+                         maxSalts: Int = 64): DataFrame = {
+    val (hotShare, estRows) = sampleSkew(big, key, sampleFraction)
+    val salts =
+      if (aqeCoversJoinSkew(big, hotShare, estRows)) 1
+      else saltsFor(big.sparkSession, hotShare, targetOver, maxSalts)
+    saltedEquiJoin(big, small, key, salts)
+  }
 
   /** Two-stage (salted) aggregation: partial aggregate on (key, salt),
     * final combine on key. For algebraic aggregates Spark's own

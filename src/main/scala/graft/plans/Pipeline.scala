@@ -319,15 +319,22 @@ object Pipeline {
     timed("archive")(archive(spark, rawDir, archivedDir))
 
     // post-load validation gates, fanned out concurrently (A3/T7); the
-    // COUNT(*) gate doubles as the per-table loaded count (one scan, not
-    // a separate loaded-count pass per job)
+    // COUNT(*) gate doubles as the per-table loaded count. r18: the
+    // count is answered from MANIFEST METADATA — Σ(file:rows) −
+    // Σ(DV cardinality) over the just-committed snapshot, the same
+    // exact contract [[graft.sources.MetadataOnlyCount]] gives SQL
+    // COUNT(*) — so the three gates cost O(manifest) driver work, not
+    // three full table scans (at 100 TB a post-load COUNT(*) scan per
+    // table would dwarf the loads themselves). A manifest predating
+    // row-count recording falls back to the scan.
     jobs.foreach(j =>
       written.getOrElse(j.name, tables(j.name).read)
         .createOrReplaceTempView(j.name))
     val gates = jobs.map { j =>
       Future {
-        val n = spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
-          .head().getLong(0)
+        val n = SnapshotTable.metadataRowCount(tables(j.name).candidateFiles())
+          .getOrElse(spark.sql(s"SELECT COUNT(*) AS cnt FROM ${j.name}")
+            .head().getLong(0))
         // the LIMIT 10 probe is logically implied by n > 0, but it is
         // the reference's OWN second validation query
         // (step_functions.json:193) — kept for behavioral parity; its

@@ -265,7 +265,7 @@ object ScaleSmoke {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
           "false")
-        if (mode == "aqe") {
+        if (mode == "aqe" || mode == "auto_aqe") {
           spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             s"${8 * 1024 * 1024}")
@@ -279,12 +279,21 @@ object ScaleSmoke {
         }
         val d = spark.read.parquet(dimPath).hint("merge")
         val f = spark.read.parquet(path)
-        val chosen =
-          if (mode == "salted")
+        // auto modes replay saltedEquiJoinAuto's decision inline so the
+        // artifact can record WHAT it picked (the sample is seeded, so
+        // this is the same decision the operator makes internally)
+        val chosen = mode match {
+          case "salted" =>
             operators.Skew.chooseSalts(f, "k", sampleFraction = 0.01)
-          else 1
+          case "auto" | "auto_aqe" =>
+            val (hs, er) = operators.Skew.sampleSkew(f, "k", 0.01)
+            if (operators.Skew.aqeCoversJoinSkew(f, hs, er)) 1
+            else operators.Skew.chooseSalts(f, "k", sampleFraction = 0.01)
+          case _ => 1
+        }
         val joined =
-          if (mode == "salted")
+          if (mode == "salted" || ((mode == "auto" || mode == "auto_aqe")
+              && chosen > 1))
             operators.Skew.saltedEquiJoin(f, d, "k", chosen)
           else f.join(d, Seq("k"))
         val listener = new TaskStats
@@ -327,7 +336,7 @@ object ScaleSmoke {
       // under-parallelized MAP stage then masquerades as the join
       // phase's critical path (its 7s tasks beat every reduce task)
       val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
-      val (sSmall, uSmall, sBig, uBig, aBig) = try {
+      val (sSmall, uSmall, sBig, uBig, aBig, autoBig, autoAqeBig) = try {
         spark.conf.set("spark.sql.files.maxPartitionBytes",
           s"${16 * 1024 * 1024}")
         // untimed warmup of the plan shapes: the first SMJ+explode
@@ -350,7 +359,12 @@ object ScaleSmoke {
           min2(factSmall, base, "unsalted"),
           min2(factBig, base * Copies, "salted"),
           min2(factBig, base * Copies, "unsalted"),
-          min2(factBig, base * Copies, "aqe"))
+          min2(factBig, base * Copies, "aqe"),
+          // the r18 auto path, under BOTH conf regimes: default
+          // thresholds (sub-threshold hot partition -> must salt) and
+          // the forced-aggressive conf (AQE covers -> must defer)
+          min2(factBig, base * Copies, "auto"),
+          min2(factBig, base * Copies, "auto_aqe"))
         // restore even when a measurement throws: this session runs
         // the other smoke entries too, and a leaked 16MB split size
         // would silently distort every one after
@@ -378,6 +392,10 @@ object ScaleSmoke {
         f"aqeOverSalted=$aqeOver%.2f " +
         f"skewFactorUnsalted=${uBig._2 / math.max(uBig._3, 1e-9)}%.1f " +
         f"skewFactorSalted=${sBig._2 / math.max(sBig._3, 1e-9)}%.1f")
+      println(f"[smoke] skew auto: default-conf salts=${autoBig._4} " +
+        f"maxTask=${autoBig._2}%.2fs (salted=${sBig._2}%.2f unsalted=" +
+        f"${uBig._2}%.2f) | forced-aqe-conf salts=${autoAqeBig._4} " +
+        f"maxTask=${autoAqeBig._2}%.2fs (aqe=${aBig._2}%.2f)")
       Seq(s"""${jstr("skew_salted_join")}:{"sf01":${sSmall._1},"sf1":${sBig._1},""" +
         s""""ratio":${f2(ratio)},"sf01_unsalted":${uSmall._1},""" +
         s""""sf1_unsalted":${uBig._1},"unsalted_over_salted_sf1":${f2(over)},""" +
@@ -391,7 +409,19 @@ object ScaleSmoke {
         s""""unsalted_over_salted_join_phase_sf1":${f2(joinOver)},""" +
         s""""aqe_over_salted_join_phase_sf1":${f2(aqeOver)},""" +
         s""""baseRows":$base,"hotKeyFraction":${1.0 / hotMod},""" +
-        s""""autoSalts":{"sf01":${sSmall._4},"sf1":${sBig._4}}}""")
+        s""""autoSalts":{"sf01":${sSmall._4},"sf1":${sBig._4}},""" +
+        // r18 decision rule, measured: saltedEquiJoinAuto defers to
+        // AQE iff aqeCoversJoinSkew (hot wire bytes >= 2x the
+        // session's skew threshold AND >= factor x median) — under
+        // default thresholds it salts (AQE provably won't split the
+        // sub-threshold hot partition); under the forced-aggressive
+        // conf it defers and inherits AQE's cheaper split
+        s""""autoPath":{"default_conf":{"salts":${autoBig._4},""" +
+        s""""maxTaskSec":${f2(autoBig._2)},"wall":${f2(autoBig._1)}},""" +
+        s""""forced_aqe_conf":{"salts":${autoAqeBig._4},""" +
+        s""""maxTaskSec":${f2(autoAqeBig._2)},"wall":${f2(autoAqeBig._1)}},""" +
+        s""""rule":"defer iff skewJoin enabled and estHotWireBytes >= """ +
+        s"""max(2*threshold, factor*medianWire)"}}""")
     } else Nil
 
     // ---- cold open: manifest reconstruction cost vs live-file count --
@@ -640,8 +670,93 @@ object ScaleSmoke {
         s""""copies":$Copies}""")
     } else Nil
 
+    // ---- outcome-grid asserts at sf0.1 (r18) -----------------------
+    // The generalized ivf_retrain_trigger lesson: every oracle whose
+    // BOOLEAN outcome grid has scale-dependent margins must hold at
+    // sf0.1 too, not only at the sf0.01 correctness gate (the r16 ivf
+    // grid contradiction lived two rounds because only sf0.01 ran).
+    // Audit of the outcome-grid entries:
+    //  - ivf_retrain_trigger / pq_retrain_trigger: retrain booleans
+    //    gated on fit/recall margins — corpus now PINNED at 500
+    //    vectors, but the margins are still measured quantities →
+    //    asserted here (these asserts fail on the r16 ivf behavior).
+    //  - ann_recall: planted recall == 1.0 exactly, over a corpus that
+    //    GROWS with sf (LSH probe / IVF nProbe margins) → asserted.
+    //  - ann_recall_real: mean recall@10 >= 0.9 threshold booleans
+    //    over the full real corpus → asserted.
+    //  - quality_checks, stream_curation_parity: fully RELATIONAL
+    //    oracles (DuckDB replays the same counts/summary at whatever
+    //    sf) — no pinned scale-dependent constant, nothing to assert.
+    val gridRows = if (only.isEmpty) {
+      def grid(name: String)(
+          check: Array[org.apache.spark.sql.Row] => Option[String])
+          : String = {
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        val res = SparkEntry.queries(name)(spark, srcDir).collect()
+        val viol = check(res)
+        println(s"[smoke] grid@sf0.1 $name: ${viol.getOrElse("OK")}")
+        s"""${jstr(name)}:{"ok":${viol.isEmpty}""" +
+          viol.map(v => s""","violation":${jstr(v)}""").getOrElse("") + "}"
+      }
+      def b(r: org.apache.spark.sql.Row, c: String) = r.getAs[Boolean](c)
+      Seq(
+        grid("ivf_retrain_trigger") { rs =>
+          val m = rs.map(r => r.getAs[String]("scenario") ->
+            ((b(r, "retrained"), b(r, "fit_ok")))).toMap
+          if (m.get("drift").contains((true, true)) &&
+              m.get("stable").contains((false, true))) None
+          else Some(s"grid=${m.toSeq.sortBy(_._1)}")
+        },
+        grid("pq_retrain_trigger") { rs =>
+          val m = rs.map(r => r.getAs[String]("scenario") ->
+            ((b(r, "retrained"), b(r, "frozen_recall_degraded"),
+              b(r, "recall_after_ok")))).toMap
+          if (m.get("drift").contains((true, true, true)) &&
+              m.get("stable").contains((false, false, true))) None
+          else Some(s"grid=${m.toSeq.sortBy(_._1)}")
+        },
+        grid("ann_recall") { rs =>
+          val nonUnit = rs.filter(r =>
+            math.abs(r.getAs[Double]("recall") - 1.0) > 0)
+          if (rs.length == 10 && nonUnit.isEmpty) None
+          else Some(s"rows=${rs.length} nonUnitRecall=${nonUnit.length}")
+        },
+        grid("ann_recall_real") { rs =>
+          val bad = rs.filterNot(b(_, "recall_ok"))
+          if (rs.length == 2 && bad.isEmpty) None
+          else Some(s"rows=${rs.length} belowGate=" +
+            bad.map(_.getAs[String]("method")).mkString(","))
+        })
+    } else Nil
+    val gridJson = if (gridRows.nonEmpty)
+      s""","gridAssertsSf01":{${gridRows.mkString(",")}}""" else ""
+
+    // ---- script-derived ratio claims (r18) -------------------------
+    // Round-close claims about "N of M entries <= t x" are GENERATED
+    // from the artifact numbers here, never hand-written (three rounds
+    // of off-by-a-hair shading: r15 "all <=1.9" vs 2.68, r17 "17/18
+    // <=1.7" vs 1.7122). Copy the printed line verbatim.
+    val ratioRe = """"ratio":([0-9.]+)""".r
+    val entryRatios = rows.map { row =>
+      val name = row.takeWhile(_ != ':').stripPrefix("\"").stripSuffix("\"")
+      name -> ratioRe.findFirstMatchIn(row).map(_.group(1).toDouble)
+    }.collect { case (n, Some(r)) => n -> r }
+    val claimJson = if (entryRatios.nonEmpty) {
+      val m = entryRatios.size
+      val claims = Seq(1.5, 1.7, 2.0).map { t =>
+        val n = entryRatios.count(_._2 <= t)
+        println(s"[smoke] CLAIM: $n/$m entries <= ${t}x wall at ${Copies}x " +
+          s"data (script-derived; worst ${entryRatios.maxBy(_._2)._1} " +
+          f"${entryRatios.map(_._2).max}%.2fx)")
+        s"""${jstr(s"le_${t}x")}:$n"""
+      }
+      s""","ratioClaims":{"entries":$m,${claims.mkString(",")}}"""
+    } else ""
+
     val json =
-      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow ++ timeRangeRow ++ pqErrRow).mkString(",")}}}"""
+      s"""{"copies":$Copies,"entries":{${(rows ++ skewRow ++ coldRow ++ coldLazyRow ++ timeRangeRow ++ pqErrRow).mkString(",")}}$gridJson$claimJson}"""
     Files.writeString(Paths.get(s"SMOKE_r$round.json"), json)
     println(s"[smoke] wrote SMOKE_r$round.json")
     spark.stop()

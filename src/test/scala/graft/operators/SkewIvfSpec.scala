@@ -62,6 +62,48 @@ class SkewIvfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("saltedEquiJoinAuto defers to AQE exactly when the session's " +
+      "skew-join thresholds cover the estimated hot partition") {
+    // the r17 scale-smoke regime, replayed as the decision rule's
+    // fixture: 100M rows of (long k, long v) => ~4 wire bytes/row,
+    // hot share 0.2 => ~80 MB hot partition on the shuffle wire
+    val fact = spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("v"))
+    val hotShare = 0.2
+    val estRows = 100L * 1000 * 1000
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // the smoke's partitioning: ~66 reduce partitions at sf1, so the
+      // hot partition is ~13x the median — AQE's factor test passes
+      // and the decision hinges on the BYTE threshold (at this suite's
+      // default of 4 partitions the hot partition would be ~median and
+      // AQE would rightly never flag it)
+      spark.conf.set("spark.sql.shuffle.partitions", "66")
+      // DEFAULT thresholds (256 MB): 80 MB hot wire is SUB-threshold —
+      // AQE will not split it (the smoke measured the unsalted
+      // straggler at 2x the salted task here), so auto must salt
+      assert(!Skew.aqeCoversJoinSkew(fact, hotShare, estRows))
+      // the smoke's forced-aggressive conf (8 MB threshold, factor 2):
+      // AQE fires and beats salting (2.96s vs 4.73s max task at sf1)
+      // — auto must defer
+      spark.conf.set(keys(0), s"${8 * 1024 * 1024}")
+      spark.conf.set(keys(1), "2.0")
+      assert(Skew.aqeCoversJoinSkew(fact, hotShare, estRows))
+      // skew-join disabled: never defer, whatever the thresholds
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      assert(!Skew.aqeCoversJoinSkew(fact, hotShare, estRows))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // no measured skew: nothing for AQE to cover
+      assert(!Skew.aqeCoversJoinSkew(fact, 0.0, estRows))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("salted sum equals plain sum") {
     val df = spark.range(0, 500)
       .select((col("id") % 3).as("k"), (col("id") * 2).cast("double").as("v"))
