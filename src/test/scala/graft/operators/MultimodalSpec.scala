@@ -1511,6 +1511,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.flacPcm(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
   }
 
+  test("flac: a frame parked past bit 2^32 decodes correctly (Long " +
+      "bit-position indexing), and the adversarial tail yields None") {
+    // r17 hardening pinned (ADVICE fix at Multimodal FlacBitReader):
+    // the byte index must be computed from the Long bit position
+    // BEFORE narrowing. The r16 form (`pos.toInt` then `>>> 3`)
+    // truncates the bit position mod 2^32, so past bit 2^32 (byte
+    // ~512 MiB) every read lands ~512 MiB too early — wrong bytes,
+    // silently. Splice a REAL encoded frame behind thirty-two maximal
+    // (16 MiB) PADDING metadata blocks so the first frame read starts
+    // at bit ~4,294,968,400 > 2^32: the Long-indexed reader decodes
+    // the true PCM; the r16 reader reads wrapped padding zeros at the
+    // sync check and returns None.
+    val sig = Array.tabulate(150)(i => ((i * 91 + 7) % 65536) - 32768)
+    val enc = Multimodal.flacEncode(8000, 16, 192, Array(sig), 0)
+    assert(Multimodal.flacPcm(enc).exists(_._4.toSeq == sig.toSeq))
+    val siEnd = 42 // magic(4) + STREAMINFO header(4) + STREAMINFO(34)
+    val padLen = 0xFFFFFF
+    val nPads = 32
+    val frameOff = siEnd + nPads * (4 + padLen)
+    assert(frameOff.toLong * 8 > (1L << 32),
+      "fixture must push the bit cursor past 2^32")
+    val bytes = new Array[Byte](frameOff + (enc.length - siEnd))
+    System.arraycopy(enc, 0, bytes, 0, siEnd)
+    bytes(4) = (bytes(4) & 0x7F).toByte // STREAMINFO no longer last
+    var off = siEnd
+    for (i <- 0 until nPads) {
+      bytes(off) = (if (i == nPads - 1) 0x81 else 0x01).toByte // PADDING
+      bytes(off + 1) = 0xFF.toByte
+      bytes(off + 2) = 0xFF.toByte
+      bytes(off + 3) = 0xFF.toByte
+      off += 4 + padLen
+    }
+    System.arraycopy(enc, siEnd, bytes, off, enc.length - siEnd)
+    val dec = Multimodal.flacPcm(bytes)
+    assert(dec.isDefined, "frame past bit 2^32 must decode (Long index)")
+    assert(dec.get._4.toSeq == sig.toSeq, "PCM must survive the splice")
+    // and truncating INSIDE the far frame still rejects cleanly (no
+    // crash, null stats) with the cursor out past 2^32
+    assert(Multimodal.flacPcm(bytes.dropRight(3)).isEmpty,
+      "truncated far frame must yield null stats")
+  }
+
   test("flac: FIXED (all five orders) and LPC subframes with " +
       "partitioned Rice / RICE2 / escape residuals round-trip exactly") {
     // a smooth-ish signal (small residuals under polynomial
