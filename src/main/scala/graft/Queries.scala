@@ -2013,14 +2013,28 @@ object Queries {
     * one and scan everything for the other. Result must equal the plain
     * SQL box filter (the oracle). */
   def zorderScan(s: SparkSession, dir: String): DataFrame = {
-    val base = scratch("zorder", dir)
-    val p = new org.apache.hadoop.fs.Path(base)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // the z-ordered table is a PURE function of the testdata: stage it
+    // once per sf and read in place (r18 — the per-run rebuild was
+    // ~2 s of cluster-sort + write per bench run measuring fixture
+    // prep, not the skipping scan under test; the clustering transform
+    // itself stays pinned by ZOrderSpec and the skipping requirement
+    // below stays live on every run). Read-only after build, so unlike
+    // the mv fixtures no per-run copy is needed.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_scratch/" +
+      s"_fixtures/$sfTag/zorder_table_v1"
+    staged(s, base) {
+      freshDirs(s, base)
+      plans.SnapshotTable(s, base, "o_orderkey",
+        statsCols = Seq("o_custkey", "o_orderkey"))
+        .create(ZOrder.cluster(
+          t(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), numFiles = 16))
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS"), true).close()
+    }
     val table = plans.SnapshotTable(s, base, "o_orderkey",
       statsCols = Seq("o_custkey", "o_orderkey"))
-    table.create(ZOrder.cluster(
-      t(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), numFiles = 16))
     val box = Seq(("o_custkey", 100L, 300L), ("o_orderkey", 1000L, 5000L))
     val total = table.candidateFiles().size
     val hit = table.candidateFiles(box: _*).size
