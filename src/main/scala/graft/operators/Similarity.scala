@@ -95,6 +95,19 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** ALL band/table buckets of a vector in ONE fused codegen pass —
+    * band k over planes [k·numPlanes, (k+1)·numPlanes), bit-identical
+    * to per-band [[lshBucketFrom]] (SignLshBandsSpec pins the parity on
+    * real embeddings). The interpreted HOF form costs bands × planes
+    * array traversals of per-element closures per row; the fused
+    * expression is one tight loop over a cached plane table. */
+  private[graft] def signBands(vec: Column, numPlanes: Int,
+                               bands: Int): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.SignLshBands(
+      GraftBridge.expression(vec), numPlanes, bands))
+  }
+
   /** ANN top-k: score only corpus vectors whose LSH bucket is within
     * `probeRadius` bit-flips of the query's bucket (multi-probe), then
     * exact cosine re-rank within candidates. Recall is probabilistic
@@ -123,11 +136,14 @@ object Similarity {
       s"probeRadius must be 0, 1 or 2, got $probeRadius")
     require(numTables >= 1 && numTables <= 32,
       s"numTables must be in [1, 32], got $numTables")
-    val tables = explode(sequence(lit(0), lit(numTables - 1))).as("__t")
+    // one fused codegen pass computes every table's bucket (r18: the
+    // per-(row, table) interpreted lshBucketFrom HOFs were this
+    // operator's dominant cost — same fusion embeddingNearDupPairs
+    // already runs; bit-identical by SignLshBandsSpec)
     val cb = corpus.select(
-        col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), tables)
-      .withColumn("bucket",
-        lshBucketFrom(col("nvec"), numPlanes, col("__t") * numPlanes))
+        col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        posexplode(signBands(col(vecCol), numPlanes, numTables))
+          .as(Seq("__t", "bucket")))
     // multi-probe: the query claims its own bucket plus every bucket
     // within probeRadius bit-flips — per table
     val flips: Seq[Int] = Seq(0) ++ // the home bucket (xor 0)
@@ -138,12 +154,12 @@ object Similarity {
       else Nil)
     val qb = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-        .withColumn("__t", explode(sequence(lit(0), lit(numTables - 1))))
-        // home bucket computed ONCE per (query, table); the probe set
-        // is pure xor on top (inlining it into every flip blew the
-        // plan up ~40×: each flip re-derived all numPlanes dots)
-        .withColumn("__home",
-          lshBucketFrom(col("qvec"), numPlanes, col("__t") * numPlanes))
+        // home buckets for ALL tables in one fused pass (see cb); the
+        // probe set is pure xor on top (inlining it into every flip
+        // blew the plan up ~40×: each flip re-derived all dots)
+        .select(col("query_id"), col("qvec"),
+          posexplode(signBands(col("qvec"), numPlanes, numTables))
+            .as(Seq("__t", "__home")))
         .withColumn("bucket", explode(array(flips.map(m =>
           col("__home").bitwiseXOR(lit(m))): _*)))
         .drop("__home"))
@@ -836,11 +852,7 @@ object Similarity {
     // ([[graft.functions.expressions.SignLshBands]], bit-identical to
     // per-band lshBucketFrom, whose interpreted HOFs dominated the
     // whole query's runtime at bands × planes passes per row)
-    val bandArr = {
-      import org.apache.spark.sql.graftext.GraftBridge
-      GraftBridge.column(graft.functions.expressions.SignLshBands(
-        GraftBridge.expression(col("vec")), numPlanes, bands))
-    }
+    val bandArr = signBands(col("vec"), numPlanes, bands)
     val b = docs
       .select(col("id"), posexplode(bandArr).as(Seq("band", "bh")))
       .select(col("id"), struct(col("band"), col("bh")).as("bucket"))
