@@ -222,8 +222,19 @@ object Pipeline {
           val cols = kept.columns.toIndexedSeq.map(c)
           var joined = kept
           val hits = job.foreignKeys.map { case (fk, dimName, dimKey) =>
-            val keys = written.getOrElse(dimName, tables(dimName).read)
-              .select(c(dimKey).as(fk)).distinct()
+            // distinct() only when the FK probes a NON-key dim column:
+            // when dimKey IS the dim table's primary key (the reference
+            // shape for both FKs) the merged table already holds one
+            // row per key — dropping the redundant distinct removes a
+            // full shuffle + two HashAggregates per FK from the RI path
+            // (guide §2.4, "a distinct on data that is already unique");
+            // uniqueness is load-bearing for the left_outer fan-out and
+            // guaranteed by the PK merge, not assumed from the batch
+            val dimRead = written.getOrElse(dimName, tables(dimName).read)
+              .select(c(dimKey).as(fk))
+            val keys =
+              if (tables(dimName).primaryKey == dimKey) dimRead
+              else dimRead.distinct()
             val hit = s"__graft_ri_hit_$fk"
             joined = joined.join(
               keys.withColumn(hit, lit(true)), Seq(fk), "left_outer")
