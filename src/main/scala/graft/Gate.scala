@@ -12,6 +12,23 @@ private[graft] object Gate {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size-first AQE coalescing (optimization guide §2.2): with the
+      // default parallelismFirst=true, AQE deliberately ignores the
+      // advisory partition size and keeps ~defaultParallelism tasks per
+      // shuffle — on the gate's small-shuffle entries that is pure
+      // per-task scheduling overhead (TailProbe: repeat-action, i.e.
+      // execution, is 60–90% of the sub-second tail), and at cluster
+      // scale Spark's own docs recommend parallelismFirst=false so
+      // partitions land near the advisory size. The advisory size is
+      // env-tunable (SPARK_GRAFT_ADVISORY_PARTITION, bytes-string) with
+      // Spark's 64m default — a cluster deployment would raise it to
+      // 128–256m per guide §9; the SETTING is scale-adaptive by
+      // construction (AQE derives partition counts from runtime bytes,
+      // not from a constant tuned to either width).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // raw local FS, no client-side .crc siblings: production filesystems

@@ -3112,11 +3112,15 @@ object Queries {
     * selection), one row per (doc, fingerprint) so the oracle compares
     * flat rows instead of nested arrays. */
   def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    // r18: one fused codegen pass (normalize stays column algebra; the
+    // gram-hash + window-min + distinct + sort pipeline runs as a
+    // single expression — the composable charGramHashesOfNorm/
+    // winnowFingerprints pair is the spec-pinned reference form)
     t(s, dir, "documents")
       .withColumn("__norm", TextAnalysis.normalize(col("text")))
-      .withColumn("__grams", TextAnalysis.charGramHashesOfNorm(col("__norm"), k = 8))
       .select(col("doc_id"),
-        explode(TextAnalysis.winnowFingerprints(col("__grams"), w = 4)).as("fp"))
+        explode(TextAnalysis.winnowFingerprintsFusedOfNorm(
+          col("__norm"), k = 8, w = 4)).as("fp"))
 
   /** Repetition / boilerplate signals per document (Gopher-style):
     * token-, top-token- and bigram-level repetition fractions, all

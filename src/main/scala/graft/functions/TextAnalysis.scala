@@ -315,6 +315,22 @@ object TextAnalysis {
       .otherwise(array(md5(norm)))
   }
 
+  /** The whole winnowing fingerprint set (normalize → char-gram md5s →
+    * window minima → distinct → sorted) as ONE fused codegen
+    * expression over the normalized text — bit-identical to
+    * `sort_array(array_distinct(winnowFingerprints(
+    * charGramHashesOfNorm(norm, k), w)))` (WinnowFingerprintsSpec pins
+    * the parity on the real corpus plus edge shapes). The composable
+    * pair below stays as the readable reference implementation; this
+    * is the hot path — it hashes gram bytes directly (no O(n) hex
+    * array per document) and hex-encodes only surviving minima. */
+  def winnowFingerprintsFusedOfNorm(norm: Column, k: Int = 8,
+                                    w: Int = 4): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.WinnowMd5Fingerprints(
+      GraftBridge.expression(norm), k, w))
+  }
+
   /** Winnowing (stage 2): the minimum hash of each sliding window of
     * `w` consecutive gram hashes, deduplicated and sorted — the standard
     * robust fingerprint set (local document edits perturb only nearby
