@@ -489,10 +489,13 @@ object Similarity {
       .select(col("sub"), (col("__rn") - 1).as("code"),
         col("svec").as("cvec"))
     var cbRows = cb.collect()
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }), lit(0.0), (acc, v) => acc + v)
+    // fused codegen L2² kernel (r18, guide §4); parity with the
+    // former aggregate(zip_with(...)) form pinned by PqCodecSpec
+    def l2sq(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graftext.GraftBridge
+      GraftBridge.column(graft.functions.expressions.L2SquaredDistance(
+        GraftBridge.expression(a), GraftBridge.expression(b)))
+    }
     for (_ <- 1 to iters) {
       val cents = broadcast(spark.createDataFrame(
         java.util.Arrays.asList(cbRows: _*), cb.schema))
@@ -547,6 +550,20 @@ object Similarity {
     * (the same property [[ivfRefresh]] leans on for incremental
     * maintenance of the coarse index). */
   def pqEncodeCol(vec: Column,
+                  codebooks: Array[Array[Array[Float]]]): Column = {
+    // r18: one fused codegen loop over a flattened codebook constant
+    // (guide §4) — the composable argmin below re-ran a per-element
+    // lambda chain per (subspace × code × dim); bit-parity pinned by
+    // PqCodecSpec, which exercises pqEncodeColRef against this
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.PqEncode(
+      GraftBridge.expression(vec), codebooks))
+  }
+
+  /** The composable reference form of [[pqEncodeCol]] — kept for the
+    * parity spec (and as the readable definition of the encode
+    * semantics the fused expression must match). */
+  private[graft] def pqEncodeColRef(vec: Column,
                   codebooks: Array[Array[Array[Float]]]): Column = {
     val m = codebooks.length
     val ksub = codebooks(0).length
@@ -644,9 +661,15 @@ object Similarity {
       .select(col(idCol), col("pos"),
         col("col.svec").as("__svec"), col("col.code").as("__code"),
         col("pos").as("__sub"))
-    val err = aggregate(zip_with(col("__svec"), col("__cvec"), (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (a, v) => a + v)
+    // fused codegen L2² kernel (r18); a null __cvec (unmatched code —
+    // cannot happen for codes the encode produced) null-propagates
+    // exactly as the composable aggregate(zip_with(...)) did
+    val err = {
+      import org.apache.spark.sql.graftext.GraftBridge
+      GraftBridge.column(graft.functions.expressions.L2SquaredDistance(
+        GraftBridge.expression(col("__svec")),
+        GraftBridge.expression(col("__cvec"))))
+    }
     pairs.join(cents, Seq("__sub", "__code"), "left")
       .agg(
         (sum(err) / nullif(count(when(col("pos") === 0, lit(1))), lit(0)))
@@ -737,8 +760,18 @@ object Similarity {
   }
 
   /** Asymmetric-distance score: the PQ approximation of dot(query,
-    * candidate) — m lookups into the query's LUT, one per code. */
-  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column =
+    * candidate) — m lookups into the query's LUT, one per code.
+    * Fused codegen kernel (r18, guide §4); parity with the composable
+    * fold pinned by PqCodecSpec via [[pqAdcScoreRef]]. */
+  def pqAdcScore(codes: Column, lut: Column, ksub: Int): Column = {
+    import org.apache.spark.sql.graftext.GraftBridge
+    GraftBridge.column(graft.functions.expressions.PqAdcLookupScore(
+      GraftBridge.expression(codes), GraftBridge.expression(lut), ksub))
+  }
+
+  /** Composable reference form of [[pqAdcScore]] (parity spec). */
+  private[graft] def pqAdcScoreRef(codes: Column, lut: Column,
+                                   ksub: Int): Column =
     aggregate(zip_with(codes, sequence(lit(0), size(codes) - 1),
       (c, s) => element_at(lut, s * ksub + c + 1)),
       lit(0.0), (a, v) => a + v)
