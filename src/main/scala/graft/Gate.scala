@@ -12,21 +12,19 @@ private[graft] object Gate {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Size-first AQE coalescing (optimization guide §2.2): with the
-      // default parallelismFirst=true, AQE deliberately ignores the
-      // advisory partition size and keeps ~defaultParallelism tasks per
-      // shuffle — on the gate's small-shuffle entries that is pure
-      // per-task scheduling overhead (TailProbe: repeat-action, i.e.
-      // execution, is 60–90% of the sub-second tail), and at cluster
-      // scale Spark's own docs recommend parallelismFirst=false so
-      // partitions land near the advisory size. The advisory size is
-      // env-tunable (SPARK_GRAFT_ADVISORY_PARTITION, bytes-string) with
-      // Spark's 64m default — a cluster deployment would raise it to
-      // 128–256m per guide §9; the SETTING is scale-adaptive by
-      // construction (AQE derives partition counts from runtime bytes,
-      // not from a constant tuned to either width).
+      // AQE coalescing knobs (optimization guide §2.2/§9), env-tunable,
+      // DEFAULTS = Spark defaults. r18 measured size-first coalescing
+      // (parallelismFirst=false) against the default on mixed and
+      // DML-heavy subsets and two full sweeps: a wash in both
+      // directions at this box's shapes — tiny shuffles save task
+      // scheduling, CPU-heavy small-byte DML stages lose parallelism,
+      // net zero. Defaults keep the committed bench comparable across
+      // rounds; a cluster deployment should set
+      // SPARK_GRAFT_AQE_PARALLELISM_FIRST=false and raise the advisory
+      // to 128-256m (guide §9) so partition counts derive from runtime
+      // bytes rather than defaultParallelism.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
