@@ -11,7 +11,8 @@ private[graft] object Gate {
   def session(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       // AQE coalescing knobs (optimization guide §2.2/§9), env-tunable,
       // DEFAULTS = Spark defaults. r18 measured size-first coalescing
       // (parallelismFirst=false) against the default on mixed and

@@ -142,6 +142,32 @@ final class SnapshotTable(
       finally println(f"[snap-timing] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else body
 
+  /** Run an eager DML body with scan splits derived from BYTES alone.
+    *
+    * Spark's default split floor (`spark.sql.files.minPartitionNum` =
+    * defaultParallelism) exists to parallelize compute-heavy scans of
+    * small inputs; the jobs inside a merge/rewrite/compact only move
+    * rows (read → key anti-join → write), so for them the floor just
+    * shreds a few-MB read into one ~openCost-sized task per file —
+    * pure per-task fixed overhead that grows with core count (guide
+    * §2.2/§6: fewer, larger tasks). With the floor at 1, split count =
+    * ceil(bytes / maxPartitionBytes): a 100 TB-scale merge still fans
+    * out fully, a 2 MB commit probe runs as one task on any cluster.
+    * Scoped and restored around the eager body only — declared-query
+    * scans (where per-row compute may be heavy) keep the session
+    * default. */
+  private def withSizeDerivedSplits[A](body: => A): A = {
+    if (sys.env.contains("GRAFT_NO_SIZED_SPLITS")) return body
+    val k = "spark.sql.files.minPartitionNum"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "1")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   // ---- commit-log format (Delta-log pattern, two record kinds):
   //  * `v<n>.delta` — the version's ATOMIC commit point: full header
   //    lines (version/token/schema/partition/check/layout/property —
@@ -1021,7 +1047,8 @@ final class SnapshotTable(
     * move (same-FS renames, metadata ops) into the canonical tree under
     * a fresh commit id so basePath partition parsing spans commits. */
   private def writeDataFiles(df: DataFrame,
-                             packFiles: Option[Int] = None): Seq[FileEntry] = {
+                             packFiles: Option[Int] = None,
+                             dirHint: Option[Int] = None): Seq[FileEntry] = {
     val commitId = UUID.randomUUID().toString.take(8)
     val stage = s"$path/_stage/$commitId"
     val lay = effectiveLayout
@@ -1041,10 +1068,19 @@ final class SnapshotTable(
         // one file per partition; count pinned so AQE can't collapse a
         // small batch over many partitions onto one task that pays every
         // per-dir file round-trip sequentially (38s vs 7s at the
-        // pipeline's 2,400-date shape, same one-file-per-dir layout)
+        // pipeline's 2,400-date shape, same one-file-per-dir layout).
+        // dirHint: when the caller already KNOWS how many distinct
+        // partition dirs the batch touches (merge/rewrite/compact
+        // collect that set anyway), cap the width at that count — hash
+        // repartitioning by the partition key makes at most one reduce
+        // task per dir non-empty, so tasks beyond nDirs are always
+        // empty: pure scheduling overhead (guide §2.2). nDirs ≥ the
+        // shuffle default keeps the pinned spread unchanged, so the
+        // 2,400-dir shape above still fans out fully.
         case (cs, _) if cs.nonEmpty =>
-          df.repartition(spark.sessionState.conf.numShufflePartitions,
-            cs.map(col): _*)
+          val sp = spark.sessionState.conf.numShufflePartitions
+          val width = dirHint.fold(sp)(n => math.min(sp, math.max(1, n)))
+          df.repartition(width, cs.map(col): _*)
         case (_, Some(n)) => df.repartition(math.max(n, 1))
         case (_, None) => df
       }
@@ -1270,7 +1306,7 @@ final class SnapshotTable(
                                               epochId: Long,
                                               stagedFiles: Set[String],
                                               evolve: Boolean = false)
-      : Boolean = {
+      : Boolean = withSizeDerivedSplits {
     def epochDone: Boolean =
       currentVersion.flatMap(readManifest(_).props.get(streamKey))
         .exists(_.toLong >= epochId)
@@ -2315,7 +2351,7 @@ final class SnapshotTable(
     *   with a declaredSchema (a pinned schema would silently project
     *   the new column away on every read). */
   def upsert(source: DataFrame, evolveSchema: Boolean = false): Unit =
-    mergeBatch(source, evolveSchema, deleteFlag = None)
+    withSizeDerivedSplits(mergeBatch(source, evolveSchema, deleteFlag = None))
 
   /** MERGE with per-row deletes, ONE atomic commit: rows of `source`
     * whose boolean `deleteFlag` column is TRUE remove their PK match
@@ -2330,7 +2366,8 @@ final class SnapshotTable(
   def upsertDelete(source: DataFrame, deleteFlag: String): Unit = {
     require(source.columns.contains(deleteFlag),
       s"upsertDelete: source has no column '$deleteFlag'")
-    mergeBatch(source, evolveSchema = false, deleteFlag = Some(deleteFlag))
+    withSizeDerivedSplits(
+      mergeBatch(source, evolveSchema = false, deleteFlag = Some(deleteFlag)))
   }
 
   private def mergeBatch(source: DataFrame, evolveSchema: Boolean,
@@ -2468,10 +2505,18 @@ final class SnapshotTable(
         // A mismatch here makes a touched partition look untouched: its
         // old files carry over alongside the rewrite, duplicating
         // primary keys.
+        // ONE-reduce-task global aggregate, not distinct(): partial
+        // collect_sets merge map-side, so a single final task replaces
+        // numShufflePartitions mostly-empty ones (guide §2.2 — the
+        // touched set is O(dirs), KBs either way, but the wide
+        // exchange's empty tasks were pure scheduling overhead on
+        // every merge). Driver memory bound is unchanged: the same
+        // O(distinct dirs) rows crossed under distinct().collect().
         def renderedSet(spec: Seq[String]): Set[String] =
           timed("touched-collect")(
-            knock.select(spec.map(c => col(c).cast("string")): _*)
-            .distinct().collect()
+            knock.agg(collect_set(
+              struct(spec.map(c => col(c).cast("string")): _*)))
+            .head().getSeq[org.apache.spark.sql.Row](0)
             .map(r => spec.indices.map(i =>
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .getPartitionValueString(
@@ -2518,7 +2563,17 @@ final class SnapshotTable(
               src.select(current.columns.toIndexedSeq.map(col): _*))
           })
         committedSchema = withLoggedMetadata(merged.schema, m.schema)
-        (keptFiles, writeDataFiles(merged))
+        // merged rows live only in the `touched` dirs — src renders
+        // into them by construction and current-spec kept rows came
+        // from files inside them — so `touched.size` is the exact
+        // output-dir count. A LEGACY-spec touched file (partition-spec
+        // evolution) breaks that: its kept rows carry arbitrary
+        // current-spec values, so the hint is withheld there.
+        val mergeDirHint =
+          if (touchedFiles.forall(e => SnapshotTable.specOf(e.path) == pcs))
+            Some(touched.size)
+          else None
+        (keptFiles, writeDataFiles(merged, dirHint = mergeDirHint))
     }
     commitMerge(v, m, keptFiles, newFiles, committedSchema, overlapsScope)
   }
@@ -2671,8 +2726,9 @@ final class SnapshotTable(
     // keep = NOT coalesce(predicate, false): NULL-predicate rows stay.
     // dropFullMatches: files with no surviving visible row are removed
     // as pure metadata (see rewriteWhere) — the retention-delete path.
-    rewriteWhere(predicate, bounds, dropFullMatches = true)(
-      _.filter(!coalesce(predicate, lit(false))))
+    withSizeDerivedSplits(
+      rewriteWhere(predicate, bounds, dropFullMatches = true)(
+        _.filter(!coalesce(predicate, lit(false)))))
 
   /** MERGE-ON-READ delete: instead of rewriting every file holding a
     * matching row ([[delete]]'s copy-on-write), record the matching ROW
@@ -2701,7 +2757,8 @@ final class SnapshotTable(
     * a delete so broad that rewriting is the right physical plan must
     * use [[delete]] — not a memory ceiling. */
   def deleteMoR(predicate: Column,
-                bounds: Seq[(String, Any, Any)] = Nil): Unit = {
+                bounds: Seq[(String, Any, Any)] = Nil): Unit =
+      withSizeDerivedSplits {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val m = readManifest(v)
@@ -2855,7 +2912,10 @@ final class SnapshotTable(
     * the dir from the row). */
   def update(set: Map[String, Column], predicate: Column,
              bounds: Seq[(String, Any, Any)] = Nil): Unit =
-    rewriteWhere(predicate, bounds) { df =>
+    // SETting a partition column can move a row to a NEW dir, so only
+    // updates leaving every partition col alone may hint the dir count
+    withSizeDerivedSplits(rewriteWhere(predicate, bounds,
+      dirsPreserved = set.keySet.intersect(tablePartitionCols.toSet).isEmpty) { df =>
       val unknown = set.keySet.diff(df.columns.toSet)
       require(unknown.isEmpty, s"update of unknown column(s): $unknown")
       val cond = coalesce(predicate, lit(false))
@@ -2871,7 +2931,7 @@ final class SnapshotTable(
         }
       } :+ cond.as(flag): _*)
       guardChecks(updated, col(flag)).drop(flag)
-    }
+    })
 
   /** Shared DML core: stats-prune candidates (`bounds`), probe for the
     * files actually holding a predicate match, rewrite ONLY those
@@ -2892,8 +2952,13 @@ final class SnapshotTable(
     * DV-carrying file fully matched on its remaining rows drops too;
     * CDC needs no special case — a dropped file is a manifest remove,
     * surfacing its visible rows as before-images. */
+  /** @param dirsPreserved the rewrite never changes a partition-column
+    *   value (DELETE's filter; an UPDATE not SETting a partition col),
+    *   so the output dirs ⊆ the rewritten files' dirs — lets the write
+    *   size its shuffle to that count (see writeDataFiles' dirHint). */
   private def rewriteWhere(predicate: Column, bounds: Seq[(String, Any, Any)],
-                           dropFullMatches: Boolean = false)
+                           dropFullMatches: Boolean = false,
+                           dirsPreserved: Boolean = true)
                           (rewrite: DataFrame => DataFrame): Unit = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
@@ -2942,7 +3007,15 @@ final class SnapshotTable(
         // metadata and the rewritten files must keep their field ids
         val rewritten =
           stampFieldIds(rewrite(readFiles(rewriteFiles, m.schema)))
-        (writeDataFiles(rewritten), rewritten.schema)
+        // value-preserving rewrites of current-spec files can't emit a
+        // row outside the touched dirs — size the shuffle to them
+        val pcs = tablePartitionCols
+        val hint =
+          if (dirsPreserved && pcs.nonEmpty &&
+              rewriteFiles.forall(e => SnapshotTable.specOf(e.path) == pcs))
+            Some(rewriteFiles.map(e => partOf(e.path)).distinct.size)
+          else None
+        (writeDataFiles(rewritten, dirHint = hint), rewritten.schema)
       }
     // concurrent ADDS never conflict (overlapsScope = false): DML
     // binds to the snapshot it read — Delta's WriteSerializable — so
@@ -3455,7 +3528,7 @@ final class SnapshotTable(
     * vacuum; clustered tables are re-range-clustered at the packed
     * file count, so compacted files remain skippable. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-              minFiles: Int = 2): Unit = {
+              minFiles: Int = 2): Unit = withSizeDerivedSplits {
     val v = currentVersion.getOrElse(return)
     val m = readManifest(v)
     val live = m.entries
@@ -3497,7 +3570,19 @@ final class SnapshotTable(
     if (frag.isEmpty) return
     val files = frag.values.flatten.toSeq
     val packIn = readFiles(files, m.schema)
-    val rewritten = writeDataFiles(packIn, packFiles = Some(packed(files)))
+    // dirHint: packing a current-spec file never moves a row across
+    // dirs, so the rewrite touches exactly the fragmented dirs. A
+    // LEGACY-spec file (partition evolution) re-lays its rows out
+    // under the current spec — dir count unknown, hint withheld.
+    // (Ignored by the clustered/unpartitioned branches, which size by
+    // packFiles instead.)
+    val packHint =
+      if (tablePartitionCols.nonEmpty &&
+          files.forall(e => SnapshotTable.specOf(e.path) == tablePartitionCols))
+        Some(frag.size)
+      else None
+    val rewritten = writeDataFiles(packIn, packFiles = Some(packed(files)),
+      dirHint = packHint)
     // optimistic re-base: compaction claims no exclusivity over FUTURE
     // files (a concurrent append into a packed partition just carries
     // over unpacked — overlapsScope = false), so losing the version
